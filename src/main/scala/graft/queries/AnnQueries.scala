@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector/similarity-search operators over `embeddings` (F1/F2, K1, and the
+  * ANN path from SURVEY §4.1): exact cosine, brute-force top-k (baseline),
+  * and an IVF-style centroid-pruned search (the scale path: prune to the
+  * nearest partitions before scanning).
+  */
+object AnnQueries {
+  import Catalog.table
+  import Frag._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q20_cosine_adjacent",
+      (s, d) => {
+        // F1/F2: exact cosine similarity + distance between consecutive
+        // vectors (HOF fold over double-cast arrays — codegen-friendly,
+        // no UDF).
+        val e = table(s, d, "embeddings")
+        val a = e.select(col("vec_id").as("id_a"), expr(toDoubleSpark("embedding")).as("va"))
+        val b = e.select(col("vec_id").as("id_b"), expr(toDoubleSpark("embedding")).as("vb"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .withColumn("sim", expr(cosSpark("va", "vb")))
+          .select(col("id_a").as("vec_id"),
+            round(col("sim"), 6).as("cos_sim"),
+            round(lit(1.0) - col("sim"), 6).as("cos_dist"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        SELECT a.vec_id AS vec_id,
+               round(${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_sim,
+               round(1.0 - ${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_dist
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        ORDER BY vec_id"""),
+      doc = "F1/F2 exact cosine similarity/distance"),
+
+    QueryDef(
+      "q28_ann_bruteforce",
+      (s, d) => {
+        // K1 + ANN baseline: brute-force cosine top-10 for a query batch.
+        // Query side is tiny => broadcast; ranking via per-query window
+        // top-k (TakeOrdered shape per group).
+        val e = table(s, d, "embeddings")
+        val corpus = e.select(col("vec_id").as("nid"), expr(toDoubleSpark("embedding")).as("vn"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), expr(toDoubleSpark("embedding")).as("vq"))
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
+        corpus.join(broadcast(queries), col("qid") =!= col("nid"))
+          .withColumn("sim", expr(cosSpark("vq", "vn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("nid"), round(col("sim"), 6).as("cos_sim"), col("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) vq FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) vn FROM embeddings),
+             scored AS (SELECT qid, nid, ${cosDuck("vq", "vn")} sim,
+                               row_number() OVER (PARTITION BY qid ORDER BY ${cosDuck("vq", "vn")} DESC, nid) rank
+                        FROM q JOIN c ON qid <> nid)
+        SELECT qid, nid, round(sim, 6) AS cos_sim, rank
+        FROM scored WHERE rank <= 10 ORDER BY qid, rank"""),
+      doc = "ANN baseline: brute-force cosine top-k per query"),
+
+    QueryDef(
+      "q29_ann_ivf",
+      (s, d) => {
+        // IVF-style pruned search: elementwise-mean centroid per label
+        // partition, route each query to its top-2 centroids, scan only
+        // those partitions. This is the 100 TB shape — scan cost drops by
+        // n_lists/probes while the oracle pins exactness of the routing.
+        val e = table(s, d, "embeddings")
+        val centroids = e
+          .select(col("label"), posexplode(expr(toDoubleSpark("embedding"))).as(Seq("pos", "v")))
+          .groupBy("label", "pos").agg(avg("v").as("av"))
+          .groupBy("label")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, av))), x -> x.av)").as("centroid"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), expr(toDoubleSpark("embedding")).as("vq"))
+        val wq = Window.partitionBy("qid").orderBy(desc("csim"), col("label"))
+        val routed = queries.crossJoin(broadcast(centroids))
+          .withColumn("csim", expr(cosSpark("vq", "centroid")))
+          .withColumn("crank", row_number().over(wq))
+          .filter(col("crank") <= 2)
+          .select(col("qid"), col("vq"), col("label"))
+        val corpus = e.select(col("label"), col("vec_id").as("nid"),
+          expr(toDoubleSpark("embedding")).as("vn"))
+        val wn = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
+        routed.join(corpus, Seq("label"))
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("sim", expr(cosSpark("vq", "vn")))
+          .withColumn("rank", row_number().over(wn))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("nid"), round(col("sim"), 6).as("cos_sim"), col("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH ew AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             cent0 AS (SELECT label, i, avg(v[i]) av
+                       FROM ew CROSS JOIN (SELECT unnest(range(1, 65)) i)
+                       GROUP BY label, i),
+             cent AS (SELECT label, array_agg(av ORDER BY i) centroid FROM cent0 GROUP BY label),
+             q AS (SELECT vec_id qid, v vq FROM ew WHERE vec_id < 5),
+             routed AS (SELECT qid, vq, label
+                        FROM (SELECT qid, vq, cent.label,
+                                     row_number() OVER (PARTITION BY qid
+                                       ORDER BY ${cosDuck("vq", "centroid")} DESC, cent.label) crank
+                              FROM q CROSS JOIN cent)
+                        WHERE crank <= 2),
+             scored AS (SELECT qid, vec_id nid, ${cosDuck("vq", "v")} sim,
+                               row_number() OVER (PARTITION BY qid ORDER BY ${cosDuck("vq", "v")} DESC, vec_id) rank
+                        FROM routed JOIN ew USING (label)
+                        WHERE qid <> vec_id)
+        SELECT qid, nid, round(sim, 6) AS cos_sim, rank
+        FROM scored WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "IVF-pruned ANN: centroid routing + partition-local top-k")
+  )
+}

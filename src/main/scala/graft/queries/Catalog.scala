@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator: a Spark DataFrame pipeline plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  *
+  * Contract (driver gate): the driver runs `fn(spark, sfDir)`, writes the
+  * result to parquet, runs `oracle` in DuckDB over the same parquet tables,
+  * sorts columns by name and hash-compares values. Hence every query here:
+  *   - aliases every computed column identically on both sides,
+  *   - ends in a total deterministic ORDER BY (unique tie-break key),
+  *   - rounds floating-point outputs (sum order differs across engines),
+  *   - avoids raw timestamp outputs (formats to 'yyyy-MM-dd' strings).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Catalog {
+  /** Read one of the driver-provided tables (TESTDATA.md) from the given
+    * scale-factor dir. Plain parquet scans so Catalyst pushes filters and
+    * prunes columns into the file scan.
+    *
+    * `events.ts` is TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    * unless nanos are surfaced as long (we only ever use `ts` as a sort key,
+    * so epoch-nanos ordering is equivalent).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def all: Seq[QueryDef] =
+    RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      AnnQueries.defs ++ PipelineQueries.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
+
+/** SQL fragments computed IDENTICALLY by Spark SQL and DuckDB, so that
+  * hash-sensitive operators (MinHash, SimHash, fingerprints) can still be
+  * oracle-checked bit-for-bit. The primitive is a polynomial rolling hash
+  * over codepoints — both engines evaluate it with exact BIGINT arithmetic,
+  * so no engine-private hash function (murmur3/xxhash) leaks into results.
+  */
+object Frag {
+  /** Modulus for all polynomial hashing (largest 31-bit prime). */
+  val P = 1000000007L
+
+  /** Lowercased alnum tokens of a text column — same RE2/Java regex. */
+  def toksSpark(col: String): String =
+    s"regexp_extract_all(lower($col), '[a-z0-9]+', 0)"
+  def toksDuck(col: String): String =
+    s"regexp_extract_all(lower($col), '[a-z0-9]+')"
+
+  /** Polynomial hash of a string expr: fold(31*acc + codepoint) mod P, seed 7. */
+  def polySpark(tok: String): String =
+    s"aggregate(sequence(1, length($tok)), 7L, (acc, i) -> (acc * 31 + ascii(substring($tok, i, 1))) % $P)"
+  def polyDuck(tok: String): String =
+    s"list_reduce(list_concat([CAST(7 AS BIGINT)], list_transform(range(1, length($tok)+1), i -> CAST(unicode($tok[i]) AS BIGINT))), (a, b) -> (a * 31 + b) % $P)"
+
+  /** Word 3-gram shingles over a token-array expr (space-joined, distinct). */
+  def shinglesSpark(toks: String): String =
+    s"array_distinct(transform(sequence(1, size($toks) - 2), i -> concat_ws(' ', element_at($toks, i), element_at($toks, i+1), element_at($toks, i+2))))"
+  def shinglesDuck(toks: String): String =
+    s"list_distinct(list_transform(range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"
+
+  /** Cosine similarity between two double-array exprs (sequential fold —
+    * identical summation order on both engines). */
+  def cosSpark(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (s, v) -> s + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+  def cosDuck(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** Float array -> double array. */
+  def toDoubleSpark(col: String): String =
+    s"transform($col, x -> cast(x as double))"
+  def toDoubleDuck(col: String): String = s"CAST($col AS DOUBLE[])"
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact hash dedup, n-gram
+  * Jaccard near-dup join, MinHash+LSH banding, SimHash. All hashing uses the
+  * engine-agnostic polynomial hash (Frag) so DuckDB oracles can verify the
+  * signatures bit-for-bit.
+  *
+  * Scale notes: the shingle-join (q24) and LSH band-join (q25) are the
+  * 100 TB-safe shapes — work is proportional to shared-shingle/bucket pairs,
+  * never to n², and the joins shuffle on shingle/bucket keys.
+  */
+object DedupQueries {
+  import Catalog.table
+  import Frag._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q23_dedup_exact",
+      (s, d) =>
+        // Exact dedup by content-prefix hash: hash -> groupBy -> keep-min
+        // canonical id. (Full-text hash has no dups in the synthetic corpus;
+        // a 50-char normalized prefix key makes the dup groups non-empty.)
+        table(s, d, "documents")
+          .withColumn("dup_key", sha2(substring(col("text"), 1, 50), 256))
+          .groupBy("dup_key")
+          .agg(count(lit(1)).as("n_dups"), min("doc_id").as("canonical_id"))
+          .filter(col("n_dups") > 1)
+          .orderBy("dup_key"),
+      Some("""
+        SELECT dup_key, n_dups, canonical_id
+        FROM (SELECT sha256(substr(text, 1, 50)) dup_key, count(*) n_dups,
+                     min(doc_id) canonical_id
+              FROM documents GROUP BY 1)
+        WHERE n_dups > 1 ORDER BY dup_key"""),
+      doc = "exact dedup: hash -> groupBy -> canonical representative"),
+
+    QueryDef(
+      "q24_ngram_jaccard",
+      (s, d) => {
+        // n-gram Jaccard near-dup: distinct word-3-gram shingles, exploded
+        // and self-joined on the shingle key (shuffle ∝ matching pairs, not
+        // n²), then |∩| / |∪| per candidate pair.
+        val sh = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+          .select(col("doc_id"), col("sh"))
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+          .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+          .withColumn("jaccard",
+            round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
+          .filter(col("jaccard") >= 0.1)
+          .select("doc_a", "doc_b", "common", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest(${shinglesDuck("toks")}) sh
+                    FROM (SELECT doc_id, ${toksDuck("text")} toks FROM documents)
+                    WHERE len(toks) >= 3),
+             counts AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+             pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+        SELECT doc_a, doc_b, common,
+               round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.1
+        ORDER BY doc_a, doc_b"""),
+      doc = "n-gram Jaccard near-dup via shingle-key self-join"),
+
+    QueryDef(
+      "q25_minhash_lsh",
+      (s, d) => {
+        // MinHash + LSH banding: 16 permutation hashes h_k(x) = ((2k+1)x +
+        // 104729k) mod P over shingle hashes; 4 bands × 4 rows; candidate
+        // pairs = docs sharing a band bucket; est. Jaccard = matching
+        // signature fraction. Band-join shuffles on (band, band_hash) —
+        // the linear-scale LSH shape.
+        // Row-oriented signature build: hash each shingle ONCE, then apply
+        // the 16 cheap permutations as exploded rows and min-aggregate.
+        // (A nested transform(seq16, k -> ... transform(hs, ...)) lambda
+        // form re-evaluates the shingle hashes 16x per row after Catalyst
+        // project-collapsing — 30x slower at sf0.1.)
+        val shingleHash = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+          .select(col("doc_id"), expr(polySpark("sh")).as("h"))
+        val sig = shingleHash
+          .withColumn("k", explode(expr("sequence(0, 15)")))
+          .withColumn("ph", expr(s"((2*k + 1) * h + 104729L * k) % $P"))
+          .groupBy("doc_id", "k")
+          .agg(min("ph").as("mh"))
+        val bands = sig
+          .withColumn("band", (col("k") / 4).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(expr(s"aggregate(transform(sort_array(collect_list(struct(k, mh))), x -> x.mh), cast(band + 7 as bigint), (a, b) -> (a * 31 + b) % $P)")
+            .as("band_hash"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        cand
+          .join(sig.select(col("doc_id").as("doc_a"), col("k"), col("mh").as("mh_a")), Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("k"), col("mh").as("mh_b")), Seq("doc_b", "k"))
+          .groupBy("doc_a", "doc_b")
+          .agg(round(sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).cast("double") / 16, 6)
+            .as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH hs AS (SELECT doc_id, list_transform(${shinglesDuck("toks")}, sh -> ${polyDuck("sh")}) hs
+                    FROM (SELECT doc_id, ${toksDuck("text")} toks FROM documents)
+                    WHERE len(toks) >= 3),
+             sig AS (SELECT doc_id, unnest(range(0, 16)) k,
+                            unnest(list_transform(range(0, 16),
+                              k -> list_min(list_transform(hs, h -> ((2*k + 1) * h + 104729 * k) % $P)))) mh
+                     FROM hs),
+             bands AS (SELECT doc_id, CAST(k // 4 AS INT) band,
+                              list_reduce(list_concat([CAST(k // 4 AS BIGINT) + 7], array_agg(mh ORDER BY k)),
+                                          (a, b) -> (a * 31 + b) % $P) band_hash
+                       FROM sig GROUP BY doc_id, k // 4),
+             cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                      FROM bands a JOIN bands b
+                        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(count(*) FILTER (WHERE sa.mh = sb.mh) AS DOUBLE) / 16, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b AND sb.k = sa.k
+        GROUP BY doc_a, doc_b
+        ORDER BY doc_a, doc_b"""),
+      doc = "MinHash signatures + LSH band-bucket candidate pairs"),
+
+    QueryDef(
+      "q26_simhash",
+      (s, d) =>
+        // SimHash: 32-bit signature — per-bit vote of token-frequency-
+        // weighted polynomial hashes, sign -> bit.
+        table(s, d, "documents")
+          .withColumn("tok", explode(expr(toksSpark("text"))))
+          .withColumn("h", expr(polySpark("tok")))
+          .withColumn("j", explode(expr("sequence(0, 31)")))
+          .withColumn("vote", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "j")
+          .agg(sum("vote").as("v"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(1L, j) ELSE 0L END")).as("simhash"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH th AS (SELECT doc_id, ${polyDuck("tok")} h
+                    FROM (SELECT doc_id, unnest(${toksDuck("text")}) tok FROM documents)),
+             bits AS (SELECT doc_id, j,
+                             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+                      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) j)
+                      GROUP BY doc_id, j)
+        SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "SimHash 32-bit signature (bit-vote of token hashes)"),
+
+    QueryDef(
+      "q27_simhash_pairs",
+      (s, d) => {
+        // SimHash near-dup pairs: Hamming distance via popcount(xor) over
+        // the q26 signatures. (Self-join here; the scale path is banding on
+        // 8-bit signature slices, same as LSH.)
+        val sig = table(s, d, "documents")
+          .withColumn("tok", explode(expr(toksSpark("text"))))
+          .withColumn("h", expr(polySpark("tok")))
+          .withColumn("j", explode(expr("sequence(0, 31)")))
+          .withColumn("vote", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "j")
+          .agg(sum("vote").as("v"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(1L, j) ELSE 0L END")).as("simhash"))
+        sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+          .filter(col("hamming") <= 4)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH th AS (SELECT doc_id, ${polyDuck("tok")} h
+                    FROM (SELECT doc_id, unnest(${toksDuck("text")}) tok FROM documents)),
+             bits AS (SELECT doc_id, j,
+                             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+                      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) j)
+                      GROUP BY doc_id, j),
+             sig AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) simhash
+                     FROM bits GROUP BY doc_id)
+        SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        ORDER BY doc_a, doc_b"""),
+      doc = "SimHash near-dup pairs (Hamming distance <= 4)")
+  )
+}

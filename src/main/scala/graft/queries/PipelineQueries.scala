@@ -1,0 +1,10 @@
+package graft.queries
+
+/** Library-backed pipeline queries (chunkers, hybrid search over a built
+  * index, ingestion). These exercise the non-SQL-expressible operators, so
+  * most carry no DuckDB oracle (driver records a rows-only check).
+  * Populated as the graft.* library lands.
+  */
+object PipelineQueries {
+  val defs: Seq[QueryDef] = Seq()
+}

@@ -1,0 +1,507 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational [D] operator battery over the TPC-H-ish tables (SURVEY §2:
+  * P1–P7, J1–J6, A1–A6, W1–W6, K1–K5, set ops). Each query is the Spark-first
+  * form of a reference operator; the DuckDB oracle pins its semantics.
+  */
+object RelationalQueries {
+  import Catalog.table
+
+  private def w6(u: String*) = Window.partitionBy(u.map(col): _*)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- A: aggregations -------------------------------------------------
+    QueryDef(
+      "q01_pricing_summary",
+      (s, d) => {
+        // TPC-H Q1 shape: scan-heavy groupBy with map-side partial agg.
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "A1-shape groupBy aggregate (sum/avg/count) with pushed filter"),
+
+    QueryDef(
+      "q08_container_stats",
+      (s, d) => {
+        // A1: per-"container" status rollup (orders standing in for documents).
+        table(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total_price"),
+            date_format(max("o_orderdate"), "yyyy-MM-dd").as("max_date"),
+            count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "A1 container stats: counts by status, sums, max timestamp"),
+
+    QueryDef(
+      "q09_vector_models",
+      (s, d) =>
+        // A2: model discovery — GROUP BY (label, dims) ordered by count desc.
+        table(s, d, "embeddings")
+          .groupBy(col("label"), size(col("embedding")).as("dims"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy(desc("n_vectors"), col("label")),
+      Some("""
+        SELECT label, len(embedding) AS dims, count(*) AS n_vectors
+        FROM embeddings GROUP BY label, len(embedding)
+        ORDER BY n_vectors DESC, label"""),
+      doc = "A2 vector-model discovery: group by (model, dims) + counts"),
+
+    QueryDef(
+      "q12_thresholds",
+      (s, d) =>
+        // A6: breakpoint thresholds — percentile / mean+kσ / mean+k·IQR.
+        table(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+            round(avg("value") + lit(3) * stddev_pop(col("value")), 6).as("mean_3sigma"),
+            round(
+              avg("value") + lit(1.5) *
+                (expr("percentile(value, 0.75D)") - expr("percentile(value, 0.25D)")), 6)
+              .as("mean_iqr"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(avg(value) + 3 * stddev_pop(value), 6) AS mean_3sigma,
+               round(avg(value) + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS mean_iqr
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "A6 adaptive-threshold statistics (percentile / stddev / IQR)"),
+
+    // ---- J: joins --------------------------------------------------------
+    QueryDef(
+      "q04_join3_revenue",
+      (s, d) => {
+        // J1: 3-way equi-join; customer is small => broadcast, lineitem/orders
+        // shuffle on the join key once.
+        val li = table(s, d, "lineitem")
+        val o = table(s, d, "orders")
+        val c = table(s, d, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            countDistinct("o_orderkey").as("n_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "J1 three-way hydration join (broadcast small dim)"),
+
+    QueryDef(
+      "q06_left_anti",
+      (s, d) => {
+        // J4-miss / P6: anti-join — customers with no event activity.
+        val c = table(s, d, "customer")
+        val e = table(s, d, "events").select(col("user_id"))
+        c.join(e, col("c_custkey") === col("user_id"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+          .limit(100)
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        ORDER BY c_custkey LIMIT 100"""),
+      doc = "left_anti join (cache-miss / stale-job skip shape)"),
+
+    QueryDef(
+      "q07_delta_classify",
+      (s, d) => {
+        // J5: reindex delta detection — full-outer join two snapshots and
+        // classify Created/Deleted/Changed/Unchanged.
+        val o = table(s, d, "orders")
+        val old = o.filter(year(col("o_orderdate")) === 1995)
+          .groupBy(col("o_custkey").as("k_old")).agg(count(lit(1)).as("c_old"))
+        val neu = o.filter(year(col("o_orderdate")) === 1996)
+          .groupBy(col("o_custkey").as("k_new")).agg(count(lit(1)).as("c_new"))
+        old.join(neu, col("k_old") === col("k_new"), "full_outer")
+          .select(
+            coalesce(col("k_old"), col("k_new")).as("custkey"),
+            coalesce(col("c_old"), lit(0)).as("c_old"),
+            coalesce(col("c_new"), lit(0)).as("c_new"),
+            when(col("k_old").isNull, "created")
+              .when(col("k_new").isNull, "deleted")
+              .when(col("c_old") === col("c_new"), "unchanged")
+              .otherwise("changed").as("status"))
+          .orderBy("custkey")
+      },
+      Some("""
+        WITH old AS (SELECT o_custkey k, count(*) c FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+             neu AS (SELECT o_custkey k, count(*) c FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        SELECT coalesce(old.k, neu.k) AS custkey,
+               coalesce(old.c, 0) AS c_old,
+               coalesce(neu.c, 0) AS c_new,
+               CASE WHEN old.k IS NULL THEN 'created'
+                    WHEN neu.k IS NULL THEN 'deleted'
+                    WHEN old.c = neu.c THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN neu ON old.k = neu.k
+        ORDER BY custkey"""),
+      doc = "J5 snapshot-delta classification via full-outer join"),
+
+    QueryDef(
+      "q37_events_enrich",
+      (s, d) => {
+        // J2 + P7: hydrate events with the (small, broadcast) customer dim
+        // and project the SearchHit-shaped output.
+        val e = table(s, d, "events").filter(col("event_type") === "purchase")
+        val c = table(s, d, "customer")
+        e.join(broadcast(c), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("c_name"), col("c_mktsegment"),
+            round(col("value"), 6).as("value"))
+          .orderBy("event_id")
+          .limit(500)
+      },
+      Some("""
+        SELECT event_id, c_name, c_mktsegment, round(value, 6) AS value
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        ORDER BY event_id LIMIT 500"""),
+      doc = "J2 enrichment join + P7 projection"),
+
+    // ---- P/K: filters, projections, sorts, pagination --------------------
+    QueryDef(
+      "q03_filter_project",
+      (s, d) =>
+        // P1/P3/S8: equality + prefix ("path LIKE 'p%'") + IN-list filters,
+        // narrow projection (column pruning into the parquet scan).
+        table(s, d, "part")
+          .filter(col("p_name").startsWith("small") &&
+            col("p_type").isin("ECONOMY", "SMALL") && col("p_size") < 30)
+          .select("p_partkey", "p_name", "p_brand", "p_size")
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_size FROM part
+        WHERE p_name LIKE 'small%' AND p_type IN ('ECONOMY','SMALL') AND p_size < 30
+        ORDER BY p_partkey"""),
+      doc = "P1/P3 scoping filters + pruned projection"),
+
+    QueryDef(
+      "q02_topk_events",
+      (s, d) =>
+        // K1: global top-k => TakeOrderedAndProject (no full sort at scale).
+        table(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value"), 6).as("value"))
+          .orderBy(desc("value"), col("event_id"))
+          .limit(20),
+      Some("""
+        SELECT event_id, user_id, event_type, round(value, 6) AS value
+        FROM events ORDER BY value DESC, event_id LIMIT 20"""),
+      doc = "K1 top-k by score (TakeOrderedAndProject)"),
+
+    QueryDef(
+      "q17_pagination",
+      (s, d) =>
+        // K5: deterministic sort + offset/limit page.
+        table(s, d, "orders")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .offset(100)
+          .limit(50),
+      Some("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100"""),
+      doc = "K5 pagination (sort + offset + limit)"),
+
+    QueryDef(
+      "q18_except",
+      (s, d) => {
+        // §2.7 set op: ordering customers that never generated an event.
+        val o = table(s, d, "orders").select(col("o_custkey").as("id"))
+        val e = table(s, d, "events").select(col("user_id").as("id"))
+        o.except(e).orderBy("id")
+      },
+      Some("""
+        SELECT o_custkey AS id FROM orders
+        EXCEPT
+        SELECT user_id AS id FROM events
+        ORDER BY id"""),
+      doc = "EXCEPT set operator (bulk-delete key subtraction shape)"),
+
+    // ---- A4/A5: score normalization (fusion legs) ------------------------
+    QueryDef(
+      "q10_minmax_norm",
+      (s, d) => {
+        // A4: min-max normalize per leg; zero-range and singleton legs -> 1.0.
+        val w = w6("event_type")
+        table(s, d, "events")
+          .withColumn("mn", min("value").over(w))
+          .withColumn("mx", max("value").over(w))
+          .select(col("event_id"), col("event_type"),
+            round(
+              when(col("mx") === col("mn"), 1.0)
+                .otherwise((col("value") - col("mn")) / (col("mx") - col("mn"))), 6)
+              .as("norm"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, event_type,
+               round(CASE WHEN mx = mn THEN 1.0 ELSE (value - mn) / (mx - mn) END, 6) AS norm
+        FROM (SELECT event_id, event_type, value,
+                     min(value) OVER (PARTITION BY event_type) mn,
+                     max(value) OVER (PARTITION BY event_type) mx
+              FROM events)
+        ORDER BY event_id"""),
+      doc = "A4 min-max score normalization per leg"),
+
+    QueryDef(
+      "q11_dbsf_norm",
+      (s, d) => {
+        // A5: DBSF — clamp((s - (μ-3σ)) / 6σ, 0, 1); σ≈0 leg -> all 1.0.
+        val w = w6("event_type")
+        table(s, d, "events")
+          .withColumn("mu", avg("value").over(w))
+          .withColumn("sigma", stddev_pop(col("value")).over(w))
+          .select(col("event_id"),
+            round(
+              when(col("sigma") < 1e-9, 1.0)
+                .otherwise(least(greatest(
+                  (col("value") - (col("mu") - lit(3) * col("sigma"))) / (lit(6) * col("sigma")),
+                  lit(0.0)), lit(1.0))), 6).as("dbsf"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               round(CASE WHEN sigma < 1e-9 THEN 1.0
+                     ELSE least(greatest((value - (mu - 3*sigma)) / (6*sigma), 0.0), 1.0) END, 6) AS dbsf
+        FROM (SELECT event_id, value,
+                     avg(value) OVER (PARTITION BY event_type) mu,
+                     stddev_pop(value) OVER (PARTITION BY event_type) sigma
+              FROM events)
+        ORDER BY event_id"""),
+      doc = "A5 distribution-based score fusion normalization"),
+
+    QueryDef(
+      "q05_fusion_minmax",
+      (s, d) => {
+        // J3+A4+P5+K3: the full fusion core on relational data — two score
+        // legs, min-max normalized, full-outer merged on the key, convex
+        // combination, source tag, min-score filter, top-k.
+        val e = table(s, d, "events")
+        def leg(tpe: String, out: String) = {
+          val base = e.filter(col("event_type") === tpe)
+            .groupBy(col("user_id")).agg(avg("value").as("raw"))
+          val w = Window.partitionBy()
+          base
+            .withColumn("mn", min("raw").over(w))
+            .withColumn("mx", max("raw").over(w))
+            .select(col("user_id"),
+              when(col("mx") === col("mn"), 1.0)
+                .otherwise((col("raw") - col("mn")) / (col("mx") - col("mn"))).as(out))
+        }
+        val v = leg("click", "nv")
+        val k = leg("view", "nk")
+        v.join(k, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            round(lit(0.7) * coalesce(col("nv"), lit(0.0)) +
+              lit(0.3) * coalesce(col("nk"), lit(0.0)), 6).as("score"),
+            when(col("nv").isNotNull && col("nk").isNotNull, "both")
+              .when(col("nv").isNotNull, "vector").otherwise("keyword").as("source"))
+          .filter(col("score") >= 0.1)
+          .orderBy(desc("score"), col("user_id"))
+          .limit(50)
+      },
+      Some("""
+        WITH v0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'click' GROUP BY 1),
+             k0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'view' GROUP BY 1),
+             v AS (SELECT user_id, CASE WHEN mx = mn THEN 1.0 ELSE (raw - mn)/(mx - mn) END nv
+                   FROM (SELECT user_id, raw, min(raw) OVER () mn, max(raw) OVER () mx FROM v0)),
+             k AS (SELECT user_id, CASE WHEN mx = mn THEN 1.0 ELSE (raw - mn)/(mx - mn) END nk
+                   FROM (SELECT user_id, raw, min(raw) OVER () mn, max(raw) OVER () mx FROM k0))
+        SELECT coalesce(v.user_id, k.user_id) AS user_id,
+               round(0.7 * coalesce(nv, 0.0) + 0.3 * coalesce(nk, 0.0), 6) AS score,
+               CASE WHEN nv IS NOT NULL AND nk IS NOT NULL THEN 'both'
+                    WHEN nv IS NOT NULL THEN 'vector' ELSE 'keyword' END AS source
+        FROM v FULL OUTER JOIN k ON v.user_id = k.user_id
+        WHERE 0.7 * coalesce(nv, 0.0) + 0.3 * coalesce(nk, 0.0) >= 0.1
+        ORDER BY score DESC, user_id LIMIT 50"""),
+      doc = "J3 hybrid fusion: normalize legs, full-outer merge, convex combine"),
+
+    // ---- W: window-function operators ------------------------------------
+    QueryDef(
+      "q13_window_lead",
+      (s, d) => {
+        // W2: adjacent-pair delta over an ordered per-key series.
+        val w = w6("user_id").orderBy(col("ts"), col("event_id"))
+        table(s, d, "events")
+          .withColumn("nxt", lead(col("value"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_id"), round(col("nxt") - col("value"), 6).as("delta"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, round(nxt - value, 6) AS delta
+        FROM (SELECT event_id, value,
+                     lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt
+              FROM events)
+        WHERE nxt IS NOT NULL ORDER BY event_id"""),
+      doc = "W2 adjacent-pair distance series (lead)"),
+
+    QueryDef(
+      "q14_gradient",
+      (s, d) => {
+        // W3: central-difference gradient over the per-key series.
+        val w = w6("user_id").orderBy(col("ts"), col("event_id"))
+        table(s, d, "events")
+          .withColumn("prv", lag(col("value"), 1).over(w))
+          .withColumn("nxt", lead(col("value"), 1).over(w))
+          .filter(col("prv").isNotNull && col("nxt").isNotNull)
+          .select(col("event_id"), round((col("nxt") - col("prv")) / 2.0, 6).as("grad"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, round((nxt - prv) / 2.0, 6) AS grad
+        FROM (SELECT event_id,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) prv,
+                     lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt
+              FROM events)
+        WHERE prv IS NOT NULL AND nxt IS NOT NULL ORDER BY event_id"""),
+      doc = "W3 central-difference gradient (lag/lead)"),
+
+    QueryDef(
+      "q15_rownum_topn",
+      (s, d) => {
+        // W6 + per-group top-k: rank within partition, keep top 3.
+        val w = w6("user_id").orderBy(desc("value"), col("event_id"))
+        table(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("user_id"), col("event_id"), col("rn"))
+          .orderBy(col("user_id"), col("rn"))
+      },
+      Some("""
+        SELECT user_id, event_id, rn
+        FROM (SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn
+              FROM events)
+        WHERE rn <= 3 ORDER BY user_id, rn"""),
+      doc = "W6 row_number ordinal + per-group top-n"),
+
+    QueryDef(
+      "q35_window_buffer",
+      (s, d) => {
+        // W1: ±1-neighbor context buffer (sentence context window shape).
+        val w = w6("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-1, 1)
+        table(s, d, "events")
+          .select(col("event_id"), round(avg("value").over(w), 6).as("ctx_avg"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS ctx_avg
+        FROM events ORDER BY event_id"""),
+      doc = "W1 neighbor context buffer (rowsBetween frame)"),
+
+    QueryDef(
+      "q36_sentence_window",
+      (s, d) => {
+        // W4: ±2-neighbor string window (sentence-window substitution shape).
+        val w = w6("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, 2)
+        table(s, d, "events")
+          .select(col("event_id"),
+            concat_ws("|", collect_list("event_type").over(w)).as("window_types"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               string_agg(event_type, '|') OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS window_types
+        FROM events ORDER BY event_id"""),
+      doc = "W4 sentence-window join over ±N neighbors"),
+
+    QueryDef(
+      "q16_autocut",
+      (s, d) => {
+        // W5: largest-gap auto-cut with the reference's exact rule
+        // (HybridSearchService.cs:380-411): cut at the largest consecutive
+        // gap iff gap > 10% of range AND > 2× the second-largest gap;
+        // no cut for ≤3 hits. Top-k is tiny, so gap logic runs driver-side
+        // exactly like the reference (SURVEY W5).
+        val spark = s
+        val topn = table(spark, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value"))
+          .orderBy(desc("value"), col("event_id"))
+          .limit(20)
+        val rows = topn.collect()
+        val scores = rows.map(_.getDouble(1))
+        val n = scores.length
+        val cut =
+          if (n <= 3) n
+          else {
+            val gaps = (0 until n - 1).map(i => scores(i) - scores(i + 1))
+            val sorted = gaps.zipWithIndex.sortBy { case (g, i) => (-g, i) }
+            val (g1, i1) = sorted.head
+            val g2 = if (sorted.length > 1) sorted(1)._1 else 0.0
+            val range = scores.head - scores.last
+            if (g1 > 0.1 * range && g1 > 2 * g2) i1 + 1 else n
+          }
+        import spark.implicits._
+        rows.take(cut).zipWithIndex
+          .map { case (r, i) => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
+          .toSeq.toDF("event_id", "score", "rn")
+      },
+      Some("""
+        WITH topn AS (SELECT event_id, value FROM events WHERE event_type = 'purchase'
+                      ORDER BY value DESC, event_id LIMIT 20),
+             ranked AS (SELECT event_id, value,
+                               row_number() OVER (ORDER BY value DESC, event_id) rn FROM topn),
+             gaps AS (SELECT rn, value - lead(value) OVER (ORDER BY rn) g FROM ranked),
+             g1 AS (SELECT rn AS irn, g FROM gaps WHERE g IS NOT NULL ORDER BY g DESC, rn LIMIT 1),
+             g2 AS (SELECT g FROM gaps WHERE g IS NOT NULL ORDER BY g DESC, rn OFFSET 1 LIMIT 1),
+             cut AS (SELECT CASE WHEN (SELECT count(*) FROM ranked) <= 3 THEN 1000000
+                                 WHEN (SELECT g FROM g1) > 0.1 * ((SELECT max(value) FROM ranked) - (SELECT min(value) FROM ranked))
+                                  AND (SELECT g FROM g1) > 2 * coalesce((SELECT g FROM g2), 0)
+                                 THEN (SELECT irn FROM g1) ELSE 1000000 END c)
+        SELECT event_id, round(value, 6) AS score, rn FROM ranked
+        WHERE rn <= (SELECT c FROM cut) ORDER BY rn"""),
+      doc = "W5 largest-gap auto-cut of a ranked result list")
+  )
+}

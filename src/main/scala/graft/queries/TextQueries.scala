@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + search-pipeline queries over the `documents` table:
+  * keyword rank (F4/F5 shape), hybrid two-leg retrieval (§3.1), hashing
+  * (F3), language-ID / quality scoring / token counting / fingerprinting
+  * (training-data pipeline ops), embedding-cache join (J4) and reindex
+  * classification (J5/T6).
+  */
+object TextQueries {
+  import Catalog.table
+  import Frag._
+
+  /** Keyword-query terms used by the retrieval queries. */
+  private val terms = Seq("spark", "join", "window")
+  private def termsSqlList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  private val enStop =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+  private def stopSqlList = enStop.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q19_sha256",
+      (s, d) =>
+        // F3: content hashing — built-in sha2, pushed projection.
+        table(s, d, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, sha256(text) AS content_hash FROM documents
+        WHERE doc_id < 100 ORDER BY doc_id"""),
+      doc = "F3 SHA-256 content hash"),
+
+    QueryDef(
+      "q21_keyword_rank",
+      (s, d) =>
+        // K2/F5 (rank/(rank+1) normalization): AND-semantics keyword match,
+        // term-frequency rank, top-k. The position-sensitive cover-density
+        // variant is the library's CoverDensityRank (ScalaTest-pinned);
+        // this TF form is the oracle-checkable projection of it.
+        table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("tf", expr(s"size(filter(toks, t -> t IN $termsSqlList))"))
+          .withColumn("matched", expr(
+            s"size(array_intersect(array_distinct(toks), array${termsSqlList}))"))
+          .filter(col("matched") === terms.length)
+          .select(col("doc_id"),
+            round(col("tf").cast("double") / (col("tf") + 1), 6).as("rank"))
+          .orderBy(desc("rank"), col("doc_id"))
+          .limit(20),
+      Some(s"""
+        SELECT doc_id,
+               round(CAST(tf AS DOUBLE) / (tf + 1), 6) AS rank
+        FROM (SELECT doc_id,
+                     len(list_filter(${toksDuck("text")}, t -> t IN $termsSqlList)) AS tf,
+                     len(list_intersect(list_distinct(${toksDuck("text")}), [${terms.map(t => s"'$t'").mkString(", ")}])) AS matched
+              FROM documents)
+        WHERE matched = ${terms.length}
+        ORDER BY rank DESC, doc_id LIMIT 20"""),
+      doc = "K2 keyword leg: AND match + tf/(tf+1) rank + top-k"),
+
+    QueryDef(
+      "q22_hybrid_docs",
+      (s, d) => {
+        // §3.1 full hybrid pipeline, relational form: keyword leg (TF rank)
+        // + similarity leg (unigram Jaccard vs the query), each top-20,
+        // min-max normalized per leg, full-outer merged, alpha-fused, top-15.
+        val qArr = s"array(${terms.map(t => s"'$t'").mkString(", ")})"
+        val docs = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("dtoks", expr("array_distinct(toks)"))
+        val keyword = docs
+          .withColumn("tf", expr(s"size(filter(toks, t -> t IN $termsSqlList))"))
+          .filter(col("tf") > 0)
+          .select(col("doc_id"), (col("tf").cast("double") / (col("tf") + 1)).as("raw_k"))
+          .orderBy(desc("raw_k"), col("doc_id")).limit(20)
+        val vector = docs
+          .withColumn("inter", expr(s"size(array_intersect(dtoks, $qArr))"))
+          .withColumn("uni", expr(s"size(array_union(dtoks, $qArr))"))
+          .filter(col("inter") > 0)
+          .select(col("doc_id"), (col("inter").cast("double") / col("uni")).as("raw_v"))
+          .orderBy(desc("raw_v"), col("doc_id")).limit(20)
+        def norm(df: org.apache.spark.sql.DataFrame, in: String, out: String) = {
+          val w = Window.partitionBy()
+          df.withColumn("mn", min(in).over(w)).withColumn("mx", max(in).over(w))
+            .select(col("doc_id"),
+              when(col("mx") === col("mn"), 1.0)
+                .otherwise((col(in) - col("mn")) / (col("mx") - col("mn"))).as(out))
+        }
+        norm(vector, "raw_v", "nv").join(norm(keyword, "raw_k", "nk"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(lit(0.6) * coalesce(col("nv"), lit(0.0)) +
+              lit(0.4) * coalesce(col("nk"), lit(0.0)), 6).as("score"),
+            when(col("nv").isNotNull && col("nk").isNotNull, "both")
+              .when(col("nv").isNotNull, "vector").otherwise("keyword").as("source"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(15)
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${toksDuck("text")} toks FROM documents),
+             k0 AS (SELECT doc_id, CAST(tf AS DOUBLE)/(tf+1) raw_k
+                    FROM (SELECT doc_id, len(list_filter(toks, t -> t IN $termsSqlList)) tf FROM toks)
+                    WHERE tf > 0 ORDER BY raw_k DESC, doc_id LIMIT 20),
+             v0 AS (SELECT doc_id, CAST(i AS DOUBLE)/u raw_v
+                    FROM (SELECT doc_id,
+                                 len(list_intersect(list_distinct(toks), [${terms.map(t => s"'$t'").mkString(", ")}])) i,
+                                 len(list_distinct(list_concat(list_distinct(toks), [${terms.map(t => s"'$t'").mkString(", ")}]))) u
+                          FROM toks)
+                    WHERE i > 0 ORDER BY raw_v DESC, doc_id LIMIT 20),
+             k AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0 ELSE (raw_k-mn)/(mx-mn) END nk
+                   FROM (SELECT doc_id, raw_k, min(raw_k) OVER () mn, max(raw_k) OVER () mx FROM k0)),
+             v AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0 ELSE (raw_v-mn)/(mx-mn) END nv
+                   FROM (SELECT doc_id, raw_v, min(raw_v) OVER () mn, max(raw_v) OVER () mx FROM v0))
+        SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+               round(0.6*coalesce(nv,0.0) + 0.4*coalesce(nk,0.0), 6) AS score,
+               CASE WHEN nv IS NOT NULL AND nk IS NOT NULL THEN 'both'
+                    WHEN nv IS NOT NULL THEN 'vector' ELSE 'keyword' END AS source
+        FROM v FULL OUTER JOIN k ON v.doc_id = k.doc_id
+        ORDER BY score DESC, doc_id LIMIT 15"""),
+      doc = "§3.1 hybrid search: two legs, normalize, fuse, top-k"),
+
+    QueryDef(
+      "q30_langid",
+      (s, d) =>
+        // Language-ID heuristic: stopword-hit ratio vs an English profile.
+        table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .select(col("doc_id"),
+            round(expr(s"size(filter(toks, t -> t IN $stopSqlList))").cast("double") /
+              greatest(size(col("toks")), lit(1)), 6).as("stop_ratio"))
+          .withColumn("predicted", when(col("stop_ratio") > 0.02, "en").otherwise("und"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, stop_ratio,
+               CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'und' END AS predicted
+        FROM (SELECT doc_id,
+                     round(CAST(len(list_filter(${toksDuck("text")}, t -> t IN $stopSqlList)) AS DOUBLE)
+                           / greatest(len(${toksDuck("text")}), 1), 6) AS stop_ratio
+              FROM documents)
+        ORDER BY doc_id"""),
+      doc = "language-ID heuristic (stopword-profile ratio)"),
+
+    QueryDef(
+      "q31_quality",
+      (s, d) =>
+        // Quality scoring: token count, mean token length, unique ratio,
+        // stopword ratio — the standard pretraining-filter features.
+        table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .select(col("doc_id"), col("n_tok"),
+            round(expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double") /
+              greatest(col("n_tok"), lit(1)), 6).as("avg_tok_len"),
+            round(expr("size(array_distinct(toks))").cast("double") /
+              greatest(col("n_tok"), lit(1)), 6).as("uniq_ratio"),
+            round(expr(s"size(filter(toks, t -> t IN $stopSqlList))").cast("double") /
+              greatest(col("n_tok"), lit(1)), 6).as("stop_ratio"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, n_tok,
+               round(CAST(tot_len AS DOUBLE) / greatest(n_tok, 1), 6) AS avg_tok_len,
+               round(CAST(n_uniq AS DOUBLE) / greatest(n_tok, 1), 6) AS uniq_ratio,
+               round(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 6) AS stop_ratio
+        FROM (SELECT doc_id,
+                     len(toks) n_tok,
+                     list_reduce(list_concat([0], list_transform(toks, t -> length(t))), (a, b) -> a + b) tot_len,
+                     len(list_distinct(toks)) n_uniq,
+                     len(list_filter(toks, t -> t IN $stopSqlList)) n_stop
+              FROM (SELECT doc_id, ${toksDuck("text")} toks FROM documents))
+        ORDER BY doc_id"""),
+      doc = "document quality-score features"),
+
+    QueryDef(
+      "q32_tokencount",
+      (s, d) =>
+        // Token counting (BPE-ish regex: alnum runs + punctuation runs),
+        // rolled up per language.
+        table(s, d, "documents")
+          .withColumn("n_tok",
+            expr("size(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0))"))
+          .groupBy("lang")
+          .agg(sum("n_tok").as("total_tokens"),
+            round(avg(col("n_tok").cast("double")), 6).as("avg_tokens"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang"),
+      Some("""
+        SELECT lang, sum(n_tok) AS total_tokens,
+               round(avg(CAST(n_tok AS DOUBLE)), 6) AS avg_tokens,
+               count(*) AS n_docs
+        FROM (SELECT lang, len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) n_tok
+              FROM documents)
+        GROUP BY lang ORDER BY lang"""),
+      doc = "token counting (regex tokenizer) + per-lang rollup"),
+
+    QueryDef(
+      "q33_fingerprint",
+      (s, d) =>
+        // Document fingerprinting: polynomial rolling hash of the normalized
+        // token stream — engine-agnostic exact arithmetic (Frag.polySpark).
+        table(s, d, "documents")
+          .withColumn("norm", expr(s"concat_ws(' ', ${toksSpark("text")})"))
+          .select(col("doc_id"), expr(polySpark("norm")).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, ${polyDuck("norm")} AS fingerprint
+        FROM (SELECT doc_id, list_reduce(${toksDuck("text")}, (a, b) -> a || ' ' || b) AS norm
+              FROM documents)
+        ORDER BY doc_id"""),
+      doc = "rolling-hash document fingerprint"),
+
+    QueryDef(
+      "q34_cache_join",
+      (s, d) => {
+        // J4: embedding-cache lookup — left join on content hash, hit/miss
+        // classification, per-lang rollup. The cache is simulated as "even
+        // doc_ids were embedded previously".
+        val docs = table(s, d, "documents")
+          .withColumn("content_hash", sha2(col("text"), 256))
+        val cache = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("content_hash").as("cached_hash"))
+        docs.join(cache, col("content_hash") === col("cached_hash"), "left")
+          .groupBy("lang")
+          .agg(count(when(col("cached_hash").isNotNull, 1)).as("hits"),
+            count(when(col("cached_hash").isNull, 1)).as("misses"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, lang, sha256(text) content_hash FROM documents),
+             cache AS (SELECT content_hash cached_hash FROM docs WHERE doc_id % 2 = 0)
+        SELECT lang,
+               count(*) FILTER (WHERE cached_hash IS NOT NULL) AS hits,
+               count(*) FILTER (WHERE cached_hash IS NULL) AS misses
+        FROM docs LEFT JOIN cache ON content_hash = cached_hash
+        GROUP BY lang ORDER BY lang"""),
+      doc = "J4 embedding-cache left join + hit/miss stats"),
+
+    QueryDef(
+      "q38_reindex_classify",
+      (s, d) => {
+        // J5/T6: reindex trigger classification — stored ledger vs live
+        // listing, full-outer on doc id, hash comparison. Simulation: every
+        // 10th doc deleted from the listing, every 7th doc's content changed.
+        val stored = table(s, d, "documents")
+          .select(col("doc_id").as("sid"), sha2(col("text"), 256).as("stored_hash"))
+        val live = table(s, d, "documents")
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("lid"),
+            when(col("doc_id") % 7 === 0, sha2(concat(col("text"), lit("v2")), 256))
+              .otherwise(sha2(col("text"), 256)).as("live_hash"))
+        stored.join(live, col("sid") === col("lid"), "full_outer")
+          .select(coalesce(col("sid"), col("lid")).as("doc_id"),
+            when(col("lid").isNull, "FileNotFound")
+              .when(col("stored_hash") =!= col("live_hash"), "ContentChanged")
+              .otherwise("Unchanged").as("action"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH stored AS (SELECT doc_id sid, sha256(text) stored_hash FROM documents),
+             live AS (SELECT doc_id lid,
+                             CASE WHEN doc_id % 7 = 0 THEN sha256(text || 'v2') ELSE sha256(text) END live_hash
+                      FROM documents WHERE doc_id % 10 <> 0)
+        SELECT coalesce(sid, lid) AS doc_id,
+               CASE WHEN lid IS NULL THEN 'FileNotFound'
+                    WHEN stored_hash <> live_hash THEN 'ContentChanged'
+                    ELSE 'Unchanged' END AS action
+        FROM stored FULL OUTER JOIN live ON sid = lid
+        ORDER BY doc_id"""),
+      doc = "J5/T6 reindex-trigger classification")
+  )
+}

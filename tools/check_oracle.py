@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mirroring the driver's correctness gate:
+run graft.Verify at a given SF, then run each oracle SQL in DuckDB over the
+same parquet tables and compare (columns sorted by name, rows sorted, values
+compared exactly after the queries' own rounding).
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+(assumes `sbt "runMain graft.Verify <sf> <out>"` already produced <out>)
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = [tuple(norm_cell(col[i]) for col in data) for i in range(tbl.num_rows)]
+    return cols, sorted(rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got_cols, got = table_rows(pq.read_table(files[0]))
+        except Exception as e:
+            print(f"FAIL {name}: read spark output: {e}"); n_bad += 1; continue
+        try:
+            exp_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); n_bad += 1; continue
+        exp_cols, exp = table_rows(exp_tbl)
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: cols {got_cols} != {exp_cols}"); n_bad += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: {len(got)} rows != {len(exp)}")
+            for a, b in list(zip(got, exp))[:3]:
+                if a != b: print("   spark:", a, "\n   duck :", b)
+            n_bad += 1; continue
+        diffs = [(a, b) for a, b in zip(got, exp) if a != b]
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)}/{len(got)} rows differ")
+            for a, b in diffs[:3]:
+                print("   spark:", a, "\n   duck :", b)
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)"); n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
