@@ -9,10 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the full hybrid-fusion pipeline (two legs, normalize, merge, top-k).
+    * the full hybrid search pipeline — chunk + embed the corpus, run both
+    * retrieval legs, normalize, fuse, top-k.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q05_fusion_minmax")(spark, "/root/testdata/sf0.001")
+    queries("q52_hybrid_search_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

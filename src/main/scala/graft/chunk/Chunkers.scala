@@ -1,0 +1,440 @@
+package graft.chunk
+
+import graft.embed.{Embedder, VectorOps}
+import graft.model.{ChunkInfo, ChunkingConfig, ParsedDocument}
+import graft.text.{MarkdownSections, RegexTokenCounter, SentenceSegmenter, TokenCounter}
+
+/** Document -> chunks flatMap family (SURVEY §2.9, C1-C6). Pure Scala —
+  * driven from Spark as `Dataset[ParsedDoc].flatMap(chunker.chunk)`, unit-
+  * testable without a session.
+  */
+trait Chunker extends Serializable {
+  def name: String
+  def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo]
+  protected def counter: TokenCounter = RegexTokenCounter
+
+  /** Re-number chunk indices densely from 0 (W6). */
+  protected def reindex(chunks: Vector[ChunkInfo]): Vector[ChunkInfo] =
+    chunks.zipWithIndex.map { case (c, i) => c.copy(chunkIndex = i) }
+}
+
+object Chunkers {
+  def forName(name: String): Chunker = name.toLowerCase match {
+    case "fixedsize" | "fixed" => FixedSizeChunker
+    case "recursive" => RecursiveChunker
+    case "documentaware" | "document_aware" => DocumentAwareChunker
+    case "sentencewindow" | "sentence_window" => SentenceWindowChunker
+    case "sentenceawarefixedsize" | "sentence_aware" => SentenceAwareFixedSizeChunker
+    case "semantic" => new SemanticChunker(graft.embed.HashEmbedder())
+    case other => throw new IllegalArgumentException(s"unknown chunker: $other")
+  }
+
+  /** Strategy auto-routing: markdown extensions always go DocumentAware
+    * (ref IngestionPipeline.cs:520-533). */
+  def route(fileName: String, configured: Chunker): Chunker = {
+    val lower = fileName.toLowerCase
+    if (lower.endsWith(".md") || lower.endsWith(".markdown") || lower.endsWith(".mdx"))
+      DocumentAwareChunker
+    else configured
+  }
+}
+
+/** C1 — token-budget windows with trailing-token overlap and natural-
+  * breakpoint snapping (ref FixedSizeChunker.cs:9-165). Overlap >= max is
+  * clamped to max/4 (ref :29-33); the final sub-min chunk may be dropped
+  * (ref behavior); breakpoints searched backward <=100 chars
+  * (ref :116-165: paragraph break, newline, ". ", whitespace).
+  */
+object FixedSizeChunker extends Chunker {
+  override val name = "fixedsize"
+  private val BreakpointWindow = 100
+
+  /** Find a natural break in text(start until end), searching backward from
+    * `end` at most [[BreakpointWindow]] chars. Returns the snapped end. */
+  private[chunk] def snapToBreakpoint(text: String, start: Int, end: Int): Int = {
+    if (end >= text.length) return end
+    val lo = math.max(start + 1, end - BreakpointWindow)
+    // preference order: paragraph break > newline > ". " > whitespace
+    def searchBack(pred: Int => Boolean): Option[Int] = {
+      var i = end - 1
+      while (i >= lo) {
+        if (pred(i)) return Some(i + 1)
+        i -= 1
+      }
+      None
+    }
+    searchBack(i => text.charAt(i) == '\n' && i > 0 && text.charAt(i - 1) == '\n')
+      .orElse(searchBack(i => text.charAt(i) == '\n'))
+      .orElse(searchBack(i => text.charAt(i) == '.' && i + 1 < text.length && text.charAt(i + 1) == ' '))
+      .orElse(searchBack(i => text.charAt(i).isWhitespace))
+      .getOrElse(end)
+  }
+
+  override def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    val text = doc.content
+    if (text.trim.isEmpty) return Vector.empty
+    val overlap =
+      if (cfg.overlap >= cfg.maxChunkSize) cfg.maxChunkSize / 4 else cfg.overlap
+    val out = Vector.newBuilder[ChunkInfo]
+    var start = 0
+    var idx = 0
+    var emitted = 0
+    while (start < text.length) {
+      val rel = counter.charIndexAtTokenCount(text.substring(start), cfg.maxChunkSize)
+      var end = math.min(start + math.max(rel, 1), text.length)
+      if (end < text.length) end = snapToBreakpoint(text, start, end)
+      val raw = text.substring(start, end)
+      val content = raw.trim
+      val isFinal = end >= text.length
+      if (content.nonEmpty) {
+        val tokens = counter.count(content)
+        // the final tail below min size is dropped once something was emitted
+        if (!(isFinal && emitted > 0 && tokens < cfg.minChunkSize)) {
+          val lead = raw.indexWhere(!_.isWhitespace)
+          out += ChunkInfo(content, idx, tokens, start + lead, start + lead + content.length)
+          idx += 1; emitted += 1
+        }
+      }
+      if (isFinal) start = text.length
+      else {
+        val chunkTokens = counter.count(text.substring(start, end))
+        val keep = math.max(chunkTokens - overlap, 1)
+        val next = start + counter.charIndexAtTokenCount(text.substring(start, end), keep)
+        start = if (next <= start) end else next
+      }
+    }
+    out.result()
+  }
+}
+
+/** C2 — LangChain-style hierarchical recursive split + merge with overlap
+  * (ref RecursiveChunker.cs:13-255; split :86-209, merge :215-255).
+  * Separator ladder "\n\n" -> "\n" -> ". " -> " " -> per-char fallback;
+  * sub-min chunks merge forward (never dropping content); exact offsets.
+  */
+object RecursiveChunker extends Chunker {
+  override val name = "recursive"
+  private val separators = Seq("\n\n", "\n", ". ", " ")
+
+  /** A split piece with its absolute start offset. */
+  private final case class Piece(text: String, start: Int)
+
+  /** Split `piece` by the first applicable separator; recurse on oversize
+    * fragments with the remaining ladder. Separators are kept attached to
+    * the preceding fragment so offsets stay exact.
+    */
+  private def split(piece: Piece, seps: Seq[String], max: Int): Vector[Piece] = {
+    if (counter.count(piece.text) <= max) return Vector(piece)
+    seps match {
+      case sep +: rest =>
+        if (!piece.text.contains(sep)) split(piece, rest, max)
+        else {
+          val parts = Vector.newBuilder[Piece]
+          var from = 0
+          var i = piece.text.indexOf(sep)
+          while (i >= 0) {
+            val end = i + sep.length
+            parts += Piece(piece.text.substring(from, end), piece.start + from)
+            from = end
+            i = piece.text.indexOf(sep, from)
+          }
+          if (from < piece.text.length)
+            parts += Piece(piece.text.substring(from), piece.start + from)
+          parts.result().flatMap { p =>
+            if (counter.count(p.text) > max) split(p, rest, max) else Vector(p)
+          }
+        }
+      case _ =>
+        // char fallback: hard-cut at the token budget
+        val out = Vector.newBuilder[Piece]
+        var off = 0
+        while (off < piece.text.length) {
+          val rel = counter.charIndexAtTokenCount(piece.text.substring(off), max)
+          val end = math.min(off + math.max(rel, 1), piece.text.length)
+          out += Piece(piece.text.substring(off, end), piece.start + off)
+          off = end
+        }
+        out.result()
+    }
+  }
+
+  /** LangChain merge loop: accumulate pieces up to the budget; on emit, pop
+    * buffer head until the remainder fits the overlap budget (ref :215-255).
+    */
+  private def merge(pieces: Vector[Piece], cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    val out = Vector.newBuilder[ChunkInfo]
+    var buf = Vector.empty[Piece]
+    var bufTokens = 0
+    var idx = 0
+    def emit(): Unit = if (buf.nonEmpty) {
+      val start = buf.head.start
+      val endPiece = buf.last
+      val end = endPiece.start + endPiece.text.length
+      val content = buf.map(_.text).mkString.trim
+      if (content.nonEmpty) {
+        val lead = buf.map(_.text).mkString.indexWhere(!_.isWhitespace)
+        out += ChunkInfo(content, idx, counter.count(content), start + lead,
+          start + lead + content.length)
+        idx += 1
+      }
+    }
+    pieces.foreach { p =>
+      val t = counter.count(p.text)
+      if (bufTokens + t > cfg.maxChunkSize && buf.nonEmpty) {
+        emit()
+        // retain tail of buffer as the overlap seed
+        while (bufTokens > cfg.overlap && buf.length > 1) {
+          bufTokens -= counter.count(buf.head.text)
+          buf = buf.tail
+        }
+        if (bufTokens > cfg.overlap) { buf = Vector.empty; bufTokens = 0 }
+      }
+      buf :+= p
+      bufTokens += t
+    }
+    emit()
+    mergeForward(out.result(), cfg)
+  }
+
+  /** Sub-min chunks merge into the following chunk (last one merges
+    * backward) — content is never dropped (ref :215-255 merge-forward).
+    */
+  private[chunk] def mergeForward(chunks: Vector[ChunkInfo], cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    if (chunks.length <= 1) return chunks
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChunkInfo]
+    var carry: Option[ChunkInfo] = None
+    chunks.foreach { c =>
+      val cur = carry match {
+        case Some(p) =>
+          val merged = p.content + " " + c.content
+          ChunkInfo(merged, p.chunkIndex, counter.count(merged), p.startOffset, c.endOffset,
+            p.metadata ++ c.metadata)
+        case None => c
+      }
+      if (cur.tokenCount < cfg.minChunkSize) carry = Some(cur)
+      else { out += cur; carry = None }
+    }
+    carry.foreach { tail =>
+      if (out.nonEmpty) {
+        val p = out.remove(out.length - 1)
+        val merged = p.content + " " + tail.content
+        out += ChunkInfo(merged, p.chunkIndex, counter.count(merged), p.startOffset,
+          tail.endOffset, p.metadata ++ tail.metadata)
+      } else out += tail
+    }
+    out.toVector.zipWithIndex.map { case (c, i) => c.copy(chunkIndex = i) }
+  }
+
+  override def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    if (doc.content.trim.isEmpty) return Vector.empty
+    merge(split(Piece(doc.content, 0), separators, cfg.maxChunkSize), cfg)
+  }
+
+  /** Sub-split arbitrary text that lives at `baseOffset` in the original
+    * document (used by DocumentAware/Semantic/SentenceAware delegation).
+    */
+  private[chunk] def chunkAt(text: String, baseOffset: Int, cfg: ChunkingConfig): Vector[ChunkInfo] =
+    chunk(ParsedDocument(text), cfg).map(c =>
+      c.copy(startOffset = c.startOffset + baseOffset, endOffset = c.endOffset + baseOffset))
+}
+
+/** C4 — markdown-structure chunking (ref DocumentAwareChunker.cs:14-182):
+  * one chunk per heading section with an `H1 > H2` breadcrumb (prepended
+  * when cfg.prependHeaderPath, ref SettingsModels.cs:148 default true);
+  * no-structure docs fall back to Recursive (ref :37-41); oversize sections
+  * sub-split recursively with the breadcrumb on every piece (ref :76-115);
+  * intentionally no merge post-pass (ref :118-120).
+  */
+object DocumentAwareChunker extends Chunker {
+  override val name = "documentaware"
+
+  override def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    if (doc.content.trim.isEmpty) return Vector.empty
+    if (!MarkdownSections.hasStructure(doc.content))
+      return RecursiveChunker.chunk(doc, cfg)
+    val sections = MarkdownSections.walk(doc.content)
+    val out = Vector.newBuilder[ChunkInfo]
+    sections.foreach { sec =>
+      val body = sec.content.trim
+      if (body.nonEmpty) {
+        val prefix =
+          if (cfg.prependHeaderPath && sec.headerPath.nonEmpty) sec.headerPath + "\n\n" else ""
+        val meta = if (sec.headerPath.nonEmpty) Map("header_path" -> sec.headerPath) else Map.empty[String, String]
+        if (counter.count(prefix + body) <= cfg.maxChunkSize) {
+          val lead = sec.content.indexWhere(!_.isWhitespace)
+          out += ChunkInfo(prefix + body, 0, counter.count(prefix + body),
+            sec.start + lead, sec.start + lead + body.length, meta)
+        } else {
+          RecursiveChunker.chunkAt(body, sec.start + sec.content.indexWhere(!_.isWhitespace), cfg)
+            .foreach { piece =>
+              out += piece.copy(
+                content = prefix + piece.content,
+                tokenCount = counter.count(prefix + piece.content),
+                metadata = piece.metadata ++ meta)
+            }
+        }
+      }
+    }
+    reindex(out.result())
+  }
+}
+
+/** C5 — one chunk per sentence, with the ±N-sentence window stored in
+  * metadata for answer-time substitution (ref SentenceWindowChunker.cs:
+  * 15-101; substitution read side HybridSearchService.cs:13-28).
+  * Bypasses MinChunkSize by design.
+  */
+object SentenceWindowChunker extends Chunker {
+  override val name = "sentencewindow"
+
+  override def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    val sents = SentenceSegmenter.segment(doc.content)
+    val n = cfg.windowSize
+    sents.zipWithIndex.map { case (s, i) =>
+      val lo = math.max(0, i - n)
+      val hi = math.min(sents.length - 1, i + n)
+      val window = (lo to hi).map(sents(_).text).mkString(" ")
+      ChunkInfo(s.text, i, counter.count(s.text), s.start, s.end,
+        Map("window" -> window, "original_text" -> s.text))
+    }
+  }
+}
+
+/** C6 — sentence-aware token packing (ref SentenceAwareFixedSizeChunker.cs:
+  * 13-198): fill token-budget buffers without ever splitting a sentence;
+  * a single oversize sentence delegates to Recursive.
+  */
+object SentenceAwareFixedSizeChunker extends Chunker {
+  override val name = "sentenceawarefixedsize"
+
+  override def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    val sents = SentenceSegmenter.segment(doc.content)
+    if (sents.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[ChunkInfo]
+    var buf = Vector.empty[SentenceSegmenter.Sentence]
+    var bufTokens = 0
+    def emit(): Unit = if (buf.nonEmpty) {
+      val content = buf.map(_.text).mkString(" ")
+      out += ChunkInfo(content, 0, counter.count(content), buf.head.start, buf.last.end)
+      buf = Vector.empty; bufTokens = 0
+    }
+    sents.foreach { s =>
+      val t = counter.count(s.text)
+      if (t > cfg.maxChunkSize) {
+        emit()
+        out ++= RecursiveChunker.chunkAt(s.text, s.start, cfg)
+      } else {
+        if (bufTokens + t > cfg.maxChunkSize) emit()
+        buf :+= s; bufTokens += t
+      }
+    }
+    emit()
+    reindex(out.result())
+  }
+}
+
+/** C3 — semantic chunking (ref SemanticChunker.cs:18-492): sentences are
+  * embedded with a ±buffer context window (W1), adjacent-pair cosine
+  * distances (W2) are thresholded adaptively (A6; legacy 1-threshold when
+  * <5 distances, ref :108-128), splits fall where distance > threshold,
+  * oversize groups delegate to Recursive, small chunks merge forward, and
+  * each intact group carries a mean-pooled precomputed embedding so the
+  * pipeline can skip re-embedding (ref :6-16; IngestionPipeline.cs:242-249).
+  */
+final class SemanticChunker(embedder: Embedder) extends Chunker {
+  override val name = "semantic"
+
+  /** Linear-interpolated percentile (ref BreakpointThreshold percentile). */
+  private[chunk] def percentile(xs: Seq[Double], p: Double): Double = {
+    val sorted = xs.sorted
+    if (sorted.isEmpty) return 0.0
+    val rank = (p / 100.0) * (sorted.length - 1)
+    val lo = rank.toInt
+    val hi = math.min(lo + 1, sorted.length - 1)
+    sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  /** Adaptive split threshold over the distance series (ref :348-441). */
+  private[chunk] def threshold(distances: Seq[Double], cfg: ChunkingConfig): Double = {
+    if (distances.length < 5) return 1.0 - cfg.semanticThreshold // legacy (ref :108-128)
+    val mean = distances.sum / distances.length
+    cfg.breakpointMethod.toLowerCase match {
+      case "percentile" => percentile(distances, cfg.breakpointAmount)
+      case "stddev" | "standarddeviation" =>
+        val sd = math.sqrt(distances.map(x => (x - mean) * (x - mean)).sum / distances.length)
+        mean + cfg.breakpointAmount * sd
+      case "iqr" | "interquartile" =>
+        val iqr = percentile(distances, 75) - percentile(distances, 25)
+        mean + cfg.breakpointAmount * iqr
+      case "gradient" =>
+        val g = gradient(distances)
+        percentile(g, cfg.breakpointAmount)
+      case other => throw new IllegalArgumentException(s"unknown breakpoint method: $other")
+    }
+  }
+
+  /** Central-difference gradient (ref :389-403, W3). */
+  private[chunk] def gradient(xs: Seq[Double]): Seq[Double] =
+    xs.indices.map { i =>
+      if (i == 0) xs(math.min(1, xs.length - 1)) - xs(0)
+      else if (i == xs.length - 1) xs(i) - xs(i - 1)
+      else (xs(i + 1) - xs(i - 1)) / 2.0
+    }
+
+  override def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo] = {
+    val sents = SentenceSegmenter.segment(doc.content)
+    if (sents.isEmpty) return Vector.empty
+    if (sents.length == 1) {
+      val s = sents.head
+      return Vector(ChunkInfo(s.text, 0, counter.count(s.text), s.start, s.end,
+        precomputedEmbedding = Some(embedder.embed(s.text))))
+    }
+    // W1: context-buffered embedding input
+    val b = cfg.semanticBufferSize
+    val ctxTexts = sents.indices.map { i =>
+      val lo = math.max(0, i - b)
+      val hi = math.min(sents.length - 1, i + b)
+      (lo to hi).map(sents(_).text).mkString(" ")
+    }
+    val embeddings = embedder.embedBatch(ctxTexts).toVector
+    // W2: adjacent distances
+    val distances = (0 until sents.length - 1)
+      .map(i => 1.0 - VectorOps.cosine(embeddings(i), embeddings(i + 1)))
+    val thr = {
+      val base = threshold(distances, cfg)
+      cfg.breakpointMethod.toLowerCase match {
+        case "gradient" if distances.length >= 5 => base
+        case _ => base
+      }
+    }
+    val series =
+      if (cfg.breakpointMethod.equalsIgnoreCase("gradient") && distances.length >= 5)
+        gradient(distances)
+      else distances
+    // split AFTER sentence i when series(i) exceeds the threshold
+    val groups = Vector.newBuilder[Range]
+    var start = 0
+    series.indices.foreach { i =>
+      if (series(i) > thr) { groups += (start to i); start = i + 1 }
+    }
+    groups += (start until sents.length)
+    val out = Vector.newBuilder[ChunkInfo]
+    groups.result().filter(_.nonEmpty).foreach { g =>
+      val content = g.map(sents(_).text).mkString(" ")
+      val tokens = counter.count(content)
+      val startOff = sents(g.head).start
+      val endOff = sents(g.last).end
+      if (tokens > cfg.maxChunkSize) {
+        out ++= RecursiveChunker.chunkAt(content, startOff, cfg)
+          .map(_.copy(metadata = Map("offset_estimated" -> "true")))
+      } else {
+        // pipeline-fusion: mean-pooled sentence embeddings become the chunk
+        // embedding, halving embed calls (ref SemanticChunker.cs:6-16)
+        val pooled = VectorOps.meanPool(g.map(embeddings(_)))
+        out += ChunkInfo(content, 0, tokens, startOff, endOff,
+          precomputedEmbedding = Some(pooled))
+      }
+    }
+    reindex(RecursiveChunker.mergeForward(out.result(), cfg))
+  }
+}

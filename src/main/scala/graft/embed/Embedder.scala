@@ -1,0 +1,76 @@
+package graft.embed
+
+import scala.util.hashing.MurmurHash3
+
+/** Embedding provider abstraction (ref IEmbeddingProvider.cs:3-10). Real
+  * deployments plug an HTTP/ONNX batcher behind this trait via
+  * `mapPartitions` (batched, like the reference's 16-text POSTs,
+  * OllamaEmbeddingProvider.cs:51-79); tests and the self-contained index
+  * build use the deterministic [[HashEmbedder]].
+  */
+trait Embedder extends Serializable {
+  def modelId: String
+  def dimensions: Int
+  def embed(text: String): Array[Float]
+  /** Batched form — override for providers with real batching. */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+}
+
+/** Deterministic hash-projection embedder (FIXTURES.md B.3 refined):
+  * bag-of-words sum of per-token pseudo-random unit directions — dimension
+  * d of token t contributes (murmur3(t, seed=d) mod 2000 - 1000) / 1000 —
+  * then L2-normalized. Deterministic, identical text -> identical vector
+  * (embedding-cache tests), and texts SHARING tokens -> correlated vectors
+  * (cosine actually reflects lexical similarity, which the search and
+  * near-dup tests rely on).
+  */
+final case class HashEmbedder(dimensions: Int = 64) extends Embedder {
+  override val modelId: String = s"hash-$dimensions-v1"
+
+  override def embed(text: String): Array[Float] = {
+    val toks = graft.text.Tokenizer.simple(text)
+    val v = new Array[Float](dimensions)
+    toks.foreach { t =>
+      var d = 0
+      while (d < dimensions) {
+        val h = MurmurHash3.stringHash(t, d)
+        v(d) += ((((h % 2000) + 2000) % 2000) - 1000) / 1000.0f
+        d += 1
+      }
+    }
+    val norm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
+    if (norm > 0f) {
+      var i = 0
+      while (i < dimensions) { v(i) = v(i) / norm; i += 1 }
+    }
+    v
+  }
+}
+
+object VectorOps {
+  /** Cosine similarity with the reference's zero-magnitude -> 0 convention
+    * (ref SemanticChunker.cs:318-346). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, s"dim mismatch ${a.length} vs ${b.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Element-wise mean of vectors (ref SemanticChunker.cs:286-310 mean-pool). */
+  def meanPool(vs: Seq[Array[Float]]): Array[Float] = {
+    require(vs.nonEmpty, "meanPool of empty seq")
+    val out = new Array[Float](vs.head.length)
+    vs.foreach { v =>
+      var i = 0
+      while (i < out.length) { out(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < out.length) { out(i) /= vs.length; i += 1 }
+    out
+  }
+}

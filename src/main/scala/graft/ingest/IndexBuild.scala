@@ -1,0 +1,200 @@
+package graft.ingest
+
+import graft.chunk.{Chunker, Chunkers}
+import graft.embed.Embedder
+import graft.model._
+import graft.text.{PorterStemmer, Stopwords, Tokenizer}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index-build batch job — the Spark form of the reference's ingestion
+  * pipeline (SURVEY §3.2): scan -> parse -> chunk -> embedding-cache join
+  * (J4) -> embed misses -> write chunks + vectors + ledger, partitioned by
+  * container_id for partition pruning (§4.1). Idempotent per
+  * (container_id, document_id): rewriting a document's partition replaces
+  * its chunks, which is the upsert/generation story without a database
+  * (SURVEY §7.4).
+  */
+object IndexBuild {
+
+  /** Raw input row: one document to ingest. */
+  final case class RawDoc(
+      document_id: String,
+      container_id: String,
+      path: String,
+      file_name: String,
+      content: String)
+
+  /** Flat chunk output carried between stages. */
+  final case class BuiltChunk(
+      chunk_id: String,
+      document_id: String,
+      container_id: String,
+      path: String,
+      content: String,
+      chunk_index: Int,
+      token_count: Int,
+      start_offset: Int,
+      end_offset: Int,
+      metadata: Map[String, String],
+      tokens_simple: Seq[String],
+      tokens_english: Seq[String],
+      content_hash: String,
+      precomputed: Option[Array[Float]])
+
+  /** Positional stemmed tokens: same length as the simple stream, stopwords
+    * as empty slots — keeps stem-match positions aligned for cover-density
+    * ranking (the tsvector-weights analog, SURVEY §4.3).
+    */
+  def positionalEnglish(simple: Seq[String]): Seq[String] =
+    simple.map(t => if (Stopwords.en(t)) "" else PorterStemmer.stem(t))
+
+  def sha256(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Stage 1-2: parse + chunk as a flatMap over documents (C* operators). */
+  def chunkDocs(
+      docs: Dataset[RawDoc],
+      chunker: Chunker,
+      cfg: ChunkingConfig): Dataset[BuiltChunk] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      val routed = Chunkers.route(doc.file_name, chunker)
+      val parsed = Parsers.parseText(doc.file_name, doc.content)
+      routed.chunk(parsed, cfg).map { c =>
+        val simple = Tokenizer.simple(c.content)
+        BuiltChunk(
+          chunk_id = s"${doc.document_id}:${c.chunkIndex}",
+          document_id = doc.document_id,
+          container_id = doc.container_id,
+          path = doc.path,
+          content = c.content,
+          chunk_index = c.chunkIndex,
+          token_count = c.tokenCount,
+          start_offset = c.startOffset,
+          end_offset = c.endOffset,
+          metadata = c.metadata,
+          tokens_simple = simple,
+          tokens_english = positionalEnglish(simple),
+          content_hash = sha256(c.content),
+          precomputed = c.precomputedEmbedding)
+      }
+    }
+  }
+
+  /** Stage 3: embedding with cache reuse (J4) — chunks with a precomputed
+    * (semantic mean-pool) or cached vector skip the embedder; the rest
+    * embed in batches inside mapPartitions (E1 batching, 16/request like
+    * the reference).
+    */
+  def embedChunks(
+      chunks: Dataset[BuiltChunk],
+      cache: Option[DataFrame],
+      embedder: Embedder): DataFrame = {
+    import chunks.sparkSession.implicits._
+    val spark = chunks.sparkSession
+
+    val withPre = chunks.filter(_.precomputed.isDefined)
+      .map(c => (c.chunk_id, c.document_id, c.container_id, c.precomputed.get, c.content_hash))
+      .toDF("chunk_id", "document_id", "container_id", "embedding", "content_hash")
+    val needing = chunks.filter(_.precomputed.isEmpty)
+
+    val (cached, missing) = cache match {
+      case Some(cacheDf) =>
+        val hits = needing.toDF().join(
+          broadcast(cacheDf
+            .filter(col("model_id") === embedder.modelId &&
+              col("dimensions") === embedder.dimensions)
+            .select(col("content_hash"), col("embedding").as("cached_emb"))
+            .dropDuplicates("content_hash")),
+          Seq("content_hash"), "left")
+        (hits.filter(col("cached_emb").isNotNull)
+          .select(col("chunk_id"), col("document_id"), col("container_id"),
+            col("cached_emb").as("embedding"), col("content_hash")),
+          hits.filter(col("cached_emb").isNull).drop("cached_emb").as[BuiltChunk])
+      case None => (spark.emptyDataFrame, needing)
+    }
+
+    val embedded = missing.mapPartitions { it =>
+      it.grouped(16).flatMap { batch =>
+        val vecs = embedder.embedBatch(batch.map(_.content))
+        batch.zip(vecs).map { case (c, v) =>
+          (c.chunk_id, c.document_id, c.container_id, v, c.content_hash)
+        }
+      }
+    }.toDF("chunk_id", "document_id", "container_id", "embedding", "content_hash")
+
+    val all =
+      if (cache.isDefined) withPre.unionByName(cached).unionByName(embedded)
+      else withPre.unionByName(embedded)
+    all
+      .withColumn("model_id", lit(embedder.modelId))
+      .withColumn("dimensions", lit(embedder.dimensions))
+  }
+
+  /** Full build: writes `chunks/`, `vectors/`, `embed_cache/`, `ledger/`
+    * under the warehouse dir, all partitioned by container_id (vectors
+    * additionally by model_id for P4 pruning).
+    */
+  def build(
+      spark: SparkSession,
+      docs: Dataset[RawDoc],
+      warehouse: String,
+      chunkerName: String = "recursive",
+      cfg: ChunkingConfig = ChunkingConfig(),
+      embedder: Embedder = graft.embed.HashEmbedder()): Unit = {
+    import spark.implicits._
+    val chunker = Chunkers.forName(chunkerName)
+    val chunks = chunkDocs(docs, chunker, cfg).persist()
+
+    val cachePath = s"$warehouse/embed_cache"
+    val cache =
+      try Some(spark.read.parquet(cachePath)) catch { case _: Throwable => None }
+    val vectors = embedChunks(chunks, cache, embedder)
+
+    chunks.drop("precomputed")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("container_id")
+      .parquet(s"$warehouse/chunks")
+
+    vectors.write.mode(SaveMode.Overwrite)
+      .partitionBy("container_id", "model_id")
+      .parquet(s"$warehouse/vectors")
+
+    // refresh the embedding cache (memoization table, §4.1)
+    spark.read.parquet(s"$warehouse/vectors")
+      .select("content_hash", "model_id", "dimensions", "embedding")
+      .dropDuplicates("content_hash", "model_id", "dimensions")
+      .write.mode(SaveMode.Overwrite).parquet(cachePath)
+
+    // document ledger: status + chunk_count + settings stamp (T5/T6)
+    val stamp = Map(
+      "IndexedWith:Chunker" -> chunkerName,
+      "IndexedWith:MaxChunkSize" -> cfg.maxChunkSize.toString,
+      "IndexedWith:Overlap" -> cfg.overlap.toString,
+      "IndexedWith:Model" -> embedder.modelId)
+    val ledger = chunks.groupBy($"document_id", $"container_id", $"path")
+      .agg(count(lit(1)).cast("int").as("chunk_count"))
+      .join(docs.select($"document_id", sha2($"content", 256).as("content_hash"),
+        length($"content").cast("long").as("size_bytes"), $"file_name"), Seq("document_id"))
+      .withColumn("status", lit("Ready"))
+      .withColumn("generation", lit(1))
+      .withColumn("indexed_with", typedLit(stamp))
+    ledger.write.mode(SaveMode.Overwrite)
+      .partitionBy("container_id")
+      .parquet(s"$warehouse/ledger")
+    chunks.unpersist()
+  }
+
+  /** Load the warehouse as a search index. */
+  def loadIndex(spark: SparkSession, warehouse: String): graft.search.HybridSearch.Index = {
+    val chunks = spark.read.parquet(s"$warehouse/chunks")
+    val vectors = spark.read.parquet(s"$warehouse/vectors")
+    // chunks carry no path? they do; vectors need path for P3 — hydrate via join
+    graft.search.HybridSearch.Index(
+      chunks,
+      vectors.join(chunks.select("chunk_id", "path"), Seq("chunk_id")))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ingest
+
+import graft.model.ParsedDocument
+import java.nio.charset.StandardCharsets
+
+/** Document parsers (ref S5-S8). The text family is real; binary formats
+  * (PDF S6, Office S7) are deliberate deterministic stand-ins — the decode
+  * libraries are not in this container, so the parser plumbing (selection
+  * by extension, metadata, warnings) is real and tested while the byte
+  * decoding is faked (mirrors how the reference's tests mock parsers).
+  */
+object Parsers {
+
+  /** Extension whitelist gate (ref FileTypeValidator.cs, S8). */
+  val allowedExtensions: Set[String] = Set(
+    "txt", "md", "markdown", "mdx", "csv", "log", "json", "xml", "yaml",
+    "yml", "pdf", "docx", "pptx")
+
+  def extension(fileName: String): String = {
+    val i = fileName.lastIndexOf('.')
+    if (i < 0) "" else fileName.substring(i + 1).toLowerCase
+  }
+
+  def isSupported(fileName: String): Boolean =
+    allowedExtensions.contains(extension(fileName))
+
+  /** Sniff a CSV delimiter from the first line (ref TextParser.cs:144-187). */
+  private[ingest] def sniffDelimiter(firstLine: String): Char =
+    Seq(',', ';', '\t', '|').maxBy(c => firstLine.count(_ == c))
+
+  /** Text-family parse (ref TextParser.cs:8,114-125): passthrough content +
+    * shape metadata. */
+  def parseText(fileName: String, content: String): ParsedDocument = {
+    val ext = extension(fileName)
+    val lines = content.linesIterator.toVector
+    val base = Map(
+      "file_name" -> fileName,
+      "format" -> ext,
+      "line_count" -> lines.length.toString)
+    val meta = ext match {
+      case "md" | "markdown" | "mdx" =>
+        base + ("has_markdown_structure" ->
+          graft.text.MarkdownSections.hasStructure(content).toString)
+      case "csv" =>
+        base + ("delimiter" -> lines.headOption.map(sniffDelimiter(_).toString).getOrElse(","))
+      case _ => base
+    }
+    ParsedDocument(content, meta)
+  }
+
+  /** STUB decode for binary formats: real deployments swap in PDFBox/POI
+    * here (inside the same mapPartitions); the fake emits page markers in
+    * the reference's format (ref PdfParser.cs:53-80 `--- Page N ---`).
+    */
+  def parseBinaryStub(fileName: String, bytes: Array[Byte]): ParsedDocument = {
+    val ext = extension(fileName)
+    val fakePages = math.max(1, bytes.length / 1024)
+    val text = (1 to fakePages)
+      .map(p => s"--- Page $p ---\n[decoded text unavailable in this build: $ext]")
+      .mkString("\n")
+    ParsedDocument(text,
+      Map("file_name" -> fileName, "format" -> ext, "page_count" -> fakePages.toString),
+      warnings = Seq(s"stub decoder used for .$ext"))
+  }
+
+  /** Dispatch by extension (ref IngestionPipeline.cs:456-477). */
+  def parse(fileName: String, bytes: Array[Byte]): Either[String, ParsedDocument] = {
+    val ext = extension(fileName)
+    if (!isSupported(fileName)) Left(s"unsupported file type: .$ext")
+    else if (Set("pdf", "docx", "pptx").contains(ext))
+      Right(parseBinaryStub(fileName, bytes))
+    else Right(parseText(fileName, new String(bytes, StandardCharsets.UTF_8)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reindex delta detection (ref ReindexService.cs:95,267-420; J5/T6): join
+  * the stored ledger against a live listing and classify each document.
+  * The classification feeds a filtered re-ingest of only the changed set —
+  * at 100 TB this is the difference between an incremental sync and a full
+  * rebuild.
+  */
+object Reindex {
+
+  /** Actions, in the reference's decision order (ref :293-420). */
+  val Unchanged = "Unchanged"
+  val ContentChanged = "ContentChanged"
+  val SettingsChanged = "SettingsChanged"
+  val NeverIndexed = "NeverIndexed"
+  val FileNotFound = "FileNotFound"
+  val Forced = "Forced"
+
+  /** `ledger` needs (document_id, content_hash, indexed_with map);
+    * `listing` needs (document_id, live_hash). `currentSettings` is the
+    * would-be IndexedWith:* stamp of a fresh ingest.
+    */
+  def classify(
+      ledger: DataFrame,
+      listing: DataFrame,
+      currentSettings: Map[String, String],
+      force: Boolean = false): DataFrame = {
+    // maps are not order-comparable in Spark: compare a canonical sorted
+    // key=value serialization of the settings stamp instead
+    def canonical(m: org.apache.spark.sql.Column) = array_join(
+      array_sort(transform(map_entries(m), e =>
+        concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+    val stampStr = currentSettings.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString(",")
+    val l = ledger.select(col("document_id").as("sid"),
+      col("content_hash").as("stored_hash"),
+      canonical(col("indexed_with")).as("stored_stamp"))
+    val live = listing.select(col("document_id").as("lid"), col("live_hash"))
+    l.join(live, col("sid") === col("lid"), "full_outer")
+      .select(
+        coalesce(col("sid"), col("lid")).as("document_id"),
+        (if (force) lit(Forced)
+         else
+           when(col("lid").isNull, FileNotFound)
+             .when(col("sid").isNull, NeverIndexed)
+             .when(col("stored_hash") =!= col("live_hash"), ContentChanged)
+             .when(col("stored_stamp") =!= lit(stampStr), SettingsChanged)
+             .otherwise(Unchanged)).as("action"))
+      .withColumn("needs_reindex",
+        col("action").isin(ContentChanged, SettingsChanged, NeverIndexed, Forced))
+  }
+}

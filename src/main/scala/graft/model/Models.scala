@@ -1,0 +1,95 @@
+package graft.model
+
+/** Core records of the engine — the Spark mapping of the reference's public
+  * API surface (SURVEY §1.1: Chunk/Document/Container/SearchHit/ChunkInfo/
+  * ParsedDocument, ref src/Connapse.Core/Models).
+  */
+
+/** A parsed document ready for chunking
+  * (ref IDocumentParser.cs:26-29 ParsedDocument). */
+final case class ParsedDocument(
+    content: String,
+    metadata: Map[String, String] = Map.empty,
+    warnings: Seq[String] = Seq.empty)
+
+/** Chunker output unit (ref IChunkingStrategy.cs:29-36 ChunkInfo). */
+final case class ChunkInfo(
+    content: String,
+    chunkIndex: Int,
+    tokenCount: Int,
+    startOffset: Int,
+    endOffset: Int,
+    metadata: Map[String, String] = Map.empty,
+    precomputedEmbedding: Option[Array[Float]] = None)
+
+/** Chunking settings (ref SettingsModels.cs:78-156 defaults). */
+final case class ChunkingConfig(
+    maxChunkSize: Int = 512,      // token budget per chunk
+    overlap: Int = 50,            // trailing-token overlap
+    minChunkSize: Int = 100,      // merge-forward threshold
+    semanticThreshold: Double = 0.5,
+    semanticBufferSize: Int = 1,
+    breakpointMethod: String = "percentile", // percentile|stddev|iqr|gradient
+    breakpointAmount: Double = 95.0,
+    windowSize: Int = 3,          // sentence-window ±N
+    prependHeaderPath: Boolean = true)
+
+/** A stored chunk row in the index warehouse (ref ChunkEntity.cs:5-21;
+  * container_id denormalized for partition pruning, architecture.md:270). */
+final case class ChunkRow(
+    chunk_id: String,
+    document_id: String,
+    container_id: String,
+    content: String,
+    chunk_index: Int,
+    token_count: Int,
+    start_offset: Int,
+    end_offset: Int,
+    metadata: Map[String, String],
+    tokens_simple: Seq[String],   // materialized tsvector analog ("simple")
+    tokens_english: Seq[String])  // Porter-stemmed ("english" config)
+
+/** A stored embedding row (ref ChunkVectorEntity.cs:8-22). */
+final case class ChunkVectorRow(
+    chunk_id: String,
+    document_id: String,
+    container_id: String,
+    embedding: Array[Float],
+    model_id: String,
+    content_hash: String,
+    dimensions: Int)
+
+/** Document ledger row (ref DocumentEntity.cs:5-24). */
+final case class DocumentRow(
+    document_id: String,
+    container_id: String,
+    file_name: String,
+    path: String,
+    content_hash: String,
+    size_bytes: Long,
+    chunk_count: Int,
+    generation: Int,
+    status: String, // Pending | Processing | Ready | Failed
+    indexed_with: Map[String, String]) // settings stamp for reindex detection
+
+/** One search hit (ref SearchModels.cs:15-20 SearchHit). */
+final case class SearchHit(
+    chunk_id: String,
+    document_id: String,
+    content: String,
+    score: Double,
+    metadata: Map[String, String])
+
+/** Search request (ref SearchModels.cs + SearchOptions). */
+final case class SearchRequest(
+    query: String,
+    containerId: String,
+    mode: String = "hybrid",      // semantic | keyword | hybrid
+    topK: Int = 10,
+    minScore: Double = 0.0,
+    alpha: Double = 0.5,          // vector weight in convex fusion
+    fusionMethod: String = "minmax", // minmax | dbsf
+    autoCut: Boolean = false,
+    pathPrefix: Option[String] = None,
+    documentId: Option[String] = None,
+    modelId: Option[String] = None)

@@ -1,10 +1,95 @@
 package graft.queries
 
-/** Library-backed pipeline queries (chunkers, hybrid search over a built
-  * index, ingestion). These exercise the non-SQL-expressible operators, so
-  * most carry no DuckDB oracle (driver records a rows-only check).
-  * Populated as the graft.* library lands.
+import graft.chunk.{Chunkers, SemanticChunker}
+import graft.embed.HashEmbedder
+import graft.ingest.IndexBuild
+import graft.model.{ChunkingConfig, SearchRequest}
+import graft.search.HybridSearch
+import org.apache.spark.sql.functions._
+
+/** Library-backed pipeline queries: the chunker family, the index build and
+  * the full hybrid search running over the `documents` table. These
+  * operators are not ANSI-SQL-expressible, so they carry no DuckDB oracle
+  * (driver records a rows-only check); their semantics are pinned by the
+  * ScalaTest suites instead.
   */
 object PipelineQueries {
-  val defs: Seq[QueryDef] = Seq()
+  import Catalog.table
+
+  private val cfg = ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
+
+  private def rawDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id").cast("string"), col("lang"), col("source"), col("text"))
+      .as[(String, String, String, String)]
+      .map { case (id, lang, source, text) =>
+        IndexBuild.RawDoc(id, lang, s"/$source/$id.txt", s"$id.txt", text)
+      }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q50_chunk_recursive",
+      (s, d) => {
+        // C2 as a distributed flatMap over the corpus.
+        IndexBuild.chunkDocs(rawDocs(s, d), Chunkers.forName("recursive"), cfg)
+          .toDF()
+          .select(col("document_id"), col("chunk_index"), col("token_count"),
+            col("start_offset"), col("end_offset"), sha2(col("content"), 256).as("chunk_hash"))
+          .orderBy(col("document_id").cast("long"), col("chunk_index"))
+      },
+      None,
+      doc = "C2 recursive chunking flatMap over the corpus"),
+
+    QueryDef(
+      "q51_chunk_sentence_window",
+      (s, d) =>
+        // C5: per-sentence chunks with ±N window metadata (W4).
+        IndexBuild.chunkDocs(rawDocs(s, d), Chunkers.forName("sentencewindow"), cfg)
+          .toDF()
+          .select(col("document_id"), col("chunk_index"),
+            col("metadata").getItem("window").as("window"))
+          .orderBy(col("document_id").cast("long"), col("chunk_index")),
+      None,
+      doc = "C5 sentence-window chunking with window metadata"),
+
+    QueryDef(
+      "q52_hybrid_search_e2e",
+      (s, d) => {
+        // §3.1/§3.2 end-to-end: chunk + embed the corpus in-flight, then run
+        // the full two-leg hybrid pipeline against it (container = lang).
+        import s.implicits._
+        val embedder = HashEmbedder(64)
+        val chunks = IndexBuild.chunkDocs(rawDocs(s, d), Chunkers.forName("recursive"), cfg)
+          .persist()
+        val vectors = IndexBuild.embedChunks(chunks, None, embedder)
+        val index = HybridSearch.Index(
+          chunks.toDF(),
+          vectors.join(chunks.toDF().select("chunk_id", "path"), Seq("chunk_id")))
+        val hits = HybridSearch.search(index,
+          SearchRequest("spark join window", "en", topK = 10, alpha = 0.5), embedder)
+        chunks.unpersist()
+        hits.map(h => (h.chunk_id, h.document_id,
+          BigDecimal(h.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          h.metadata("source")))
+          .toDF("chunk_id", "document_id", "score", "source")
+      },
+      None,
+      doc = "full hybrid search over a freshly built index"),
+
+    QueryDef(
+      "q53_chunk_semantic",
+      (s, d) =>
+        // C3: semantic chunking with the deterministic embedder — exercises
+        // W1 context buffering, W2 distances, A6 thresholds, mean-pooling.
+        IndexBuild.chunkDocs(rawDocs(s, d),
+          new SemanticChunker(HashEmbedder(32)), cfg.copy(maxChunkSize = 128))
+          .toDF()
+          .groupBy("document_id")
+          .agg(count(lit(1)).as("n_chunks"), sum("token_count").as("total_tokens"))
+          .orderBy(col("document_id").cast("long")),
+      None,
+      doc = "C3 semantic chunking (adaptive breakpoints + mean-pool)")
+  )
 }

@@ -1,0 +1,69 @@
+package graft.search
+
+/** Cover-density ranking — the engine's ts_rank_cd analog
+  * (ref KeywordSearchService.cs:79-82 `ts_rank_cd(search_vector, query, 32)`;
+  * physical design SURVEY §4.3). Scores a document by the density of
+  * "covers": minimal position windows containing one occurrence of every
+  * required query term. Each cover contributes 1/width; normalization flag
+  * 32 maps the raw rank to [0,1) via rank/(rank+1).
+  */
+object CoverDensityRank {
+
+  /** Minimal covers over per-term position lists (each Vector[Int] is the
+    * sorted token positions of one required term). Standard algorithm:
+    * for every position p of any term, the smallest window starting at or
+    * before p that includes all terms; keep windows minimal (no nested).
+    */
+  private[search] def minimalCovers(termPositions: Vector[Vector[Int]]): Vector[(Int, Int)] = {
+    if (termPositions.isEmpty || termPositions.exists(_.isEmpty)) return Vector.empty
+    // sweep: merge all positions tagged by term
+    val tagged = termPositions.zipWithIndex
+      .flatMap { case (ps, t) => ps.map(p => (p, t)) }
+      .sortBy(_._1)
+    val need = termPositions.length
+    val counts = new Array[Int](need)
+    var have = 0
+    var lo = 0
+    val covers = Vector.newBuilder[(Int, Int)]
+    var hi = 0
+    while (hi < tagged.length) {
+      val (_, t) = tagged(hi)
+      counts(t) += 1
+      if (counts(t) == 1) have += 1
+      // shrink from the left while still covering
+      while (have == need && counts(tagged(lo)._2) > 1) {
+        counts(tagged(lo)._2) -= 1
+        lo += 1
+      }
+      if (have == need) {
+        covers += ((tagged(lo)._1, tagged(hi)._1))
+        // advance past lo to find the next cover
+        counts(tagged(lo)._2) -= 1
+        have -= 1
+        lo += 1
+      }
+      hi += 1
+    }
+    covers.result()
+  }
+
+  /** Raw cover-density score: sum over minimal covers of 1/(width+1),
+    * where width = span in token positions. A single-term query scores
+    * 1/(1) per occurrence scaled down, matching ts_rank_cd's behavior of
+    * rewarding frequency and tightness.
+    */
+  def rawRank(termPositions: Vector[Vector[Int]]): Double = {
+    if (termPositions.isEmpty) return 0.0
+    if (termPositions.length == 1)
+      return termPositions.head.length * 0.1 // frequency-only for 1 term
+    minimalCovers(termPositions)
+      .map { case (lo, hi) => 1.0 / (hi - lo + 1) }
+      .sum * 0.1
+  }
+
+  /** Normalized [0,1) rank — ts_rank_cd normalization flag 32. */
+  def rank32(termPositions: Vector[Vector[Int]]): Double = {
+    val r = rawRank(termPositions)
+    r / (r + 1.0)
+  }
+}

@@ -1,0 +1,268 @@
+package graft.search
+
+import graft.embed.Embedder
+import graft.model.{SearchHit, SearchRequest}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Score fusion (ref HybridSearchService.cs) as declarative column ops:
+  * per-leg normalization (min-max :362-371, DBSF :336-360), full-outer
+  * merge on chunk_id (:239-251), convex combination, auto-cut (:380-411),
+  * sentence-window substitution (:13-28, 154-157).
+  */
+object Fusion {
+
+  /** Min-max normalize `in` over the whole leg; singleton / zero-range legs
+    * normalize to 1.0 (ref :362-371). */
+  def normalizeMinMax(df: DataFrame, in: String, out: String): DataFrame = {
+    val w = Window.partitionBy()
+    df.withColumn("_mn", min(in).over(w)).withColumn("_mx", max(in).over(w))
+      .withColumn(out,
+        when(col("_mx") === col("_mn"), 1.0)
+          .otherwise((col(in) - col("_mn")) / (col("_mx") - col("_mn"))))
+      .drop("_mn", "_mx", in)
+  }
+
+  /** DBSF: clamp((s - (mu-3sigma)) / 6sigma, 0, 1); degenerate sigma -> 1.0
+    * (ref :336-360). */
+  def normalizeDbsf(df: DataFrame, in: String, out: String): DataFrame = {
+    val w = Window.partitionBy()
+    df.withColumn("_mu", avg(in).over(w))
+      .withColumn("_sd", stddev_pop(col(in)).over(w))
+      .withColumn(out,
+        when(col("_sd") < 1e-9, 1.0)
+          .otherwise(least(greatest(
+            (col(in) - (col("_mu") - lit(3) * col("_sd"))) / (lit(6) * col("_sd")),
+            lit(0.0)), lit(1.0))))
+      .drop("_mu", "_sd", in)
+  }
+
+  def normalize(df: DataFrame, method: String, in: String, out: String): DataFrame =
+    method.toLowerCase match {
+      case "dbsf" => normalizeDbsf(df, in, out)
+      case _ => normalizeMinMax(df, in, out)
+    }
+
+  /** Full-outer merge of the two normalized legs keyed on chunk_id; missing
+    * side scores 0; source tagged both/vector/keyword (ref :239-251).
+    * Both legs carry (chunk_id, norm score, hydration cols). */
+  def fuse(vectorLeg: DataFrame, keywordLeg: DataFrame, alpha: Double): DataFrame = {
+    val v = vectorLeg.select(col("chunk_id"), col("document_id").as("v_doc"),
+      col("content").as("v_content"), col("metadata").as("v_meta"), col("nv"))
+    val k = keywordLeg.select(col("chunk_id"), col("document_id").as("k_doc"),
+      col("content").as("k_content"), col("metadata").as("k_meta"), col("nk"))
+    v.join(k, Seq("chunk_id"), "full_outer")
+      .select(
+        col("chunk_id"),
+        coalesce(col("v_doc"), col("k_doc")).as("document_id"),
+        coalesce(col("v_content"), col("k_content")).as("content"),
+        coalesce(col("v_meta"), col("k_meta")).as("metadata"),
+        (lit(alpha) * coalesce(col("nv"), lit(0.0)) +
+          lit(1 - alpha) * coalesce(col("nk"), lit(0.0))).as("score"),
+        when(col("nv").isNotNull && col("nk").isNotNull, "both")
+          .when(col("nv").isNotNull, "vector").otherwise("keyword").as("source"))
+  }
+
+  /** Largest-gap auto-cut index over desc-sorted scores: cut at the largest
+    * consecutive gap iff it exceeds 10% of the range AND 2x the second
+    * gap; lists of <=3 are never cut (ref :380-411). Returns how many hits
+    * to keep.
+    */
+  def autocutIndex(scores: Seq[Double]): Int = {
+    val n = scores.length
+    if (n <= 3) return n
+    val gaps = (0 until n - 1).map(i => scores(i) - scores(i + 1))
+    val sorted = gaps.zipWithIndex.sortBy { case (g, i) => (-g, i) }
+    val (g1, i1) = sorted.head
+    val g2 = if (sorted.length > 1) sorted(1)._1 else 0.0
+    val range = scores.head - scores.last
+    if (g1 > 0.1 * range && g1 > 2 * g2) i1 + 1 else n
+  }
+
+  /** Sentence-window substitution: hits whose chunk carries a "window"
+    * metadata entry surface the window as content (ref :13-28,154-157). */
+  def substituteWindow(hit: SearchHit): SearchHit =
+    hit.metadata.get("window") match {
+      case Some(w) => hit.copy(content = w,
+        metadata = hit.metadata + ("original_text" -> hit.content))
+      case None => hit
+    }
+}
+
+/** Keyword leg (ref KeywordSearchService.cs:22-121): websearch parse ->
+  * dual-config match over the materialized token columns -> cover-density
+  * rank -> top-k. The rank runs as a UDF over the stored positional token
+  * arrays (SURVEY §4.3 physical design).
+  */
+object KeywordSearch {
+
+  /** Positions of one atom in a chunk's token streams. Phrases require
+    * consecutive simple-token positions; single terms match either config. */
+  private def atomPositions(
+      atom: WebsearchParser.Atom,
+      simple: IndexedSeq[String],
+      english: IndexedSeq[String]): Vector[Int] = {
+    if (atom.isPhrase) {
+      val ws = atom.simple
+      (0 to simple.length - ws.length).collect {
+        case i if ws.indices.forall(j => simple(i + j) == ws(j)) => i
+      }.toVector
+    } else {
+      val exact = atom.simple.head
+      val stemmed = atom.english.headOption.getOrElse("")
+      simple.indices.collect {
+        case i if simple(i) == exact ||
+          (stemmed.nonEmpty && i < english.length && english(i) == stemmed) => i
+      }.toVector
+    }
+  }
+
+  /** Rank a chunk against a parsed query with the reference's dual-config
+    * OR (`simple_q || english_q`, ref KeywordSearchService.cs:69-91): the
+    * chunk matches if EITHER every AND-group matches exactly (simple) OR
+    * every non-stopword group matches stemmed (english — groups whose atoms
+    * are all stopwords vanish there, like to_tsquery('english')). Negated
+    * atoms must not appear. Score = cover-density rank over the per-group
+    * position unions. None = no match.
+    */
+  def rankChunk(
+      q: WebsearchParser.ParsedQuery,
+      simple: IndexedSeq[String],
+      english: IndexedSeq[String]): Option[Double] = {
+    if (q.isEmpty) return None
+    if (q.negated.exists(a => atomPositions(a, simple, english).nonEmpty)) return None
+    val perGroup = q.groups.map { g =>
+      val pos = g.flatMap(a => atomPositions(a, simple, english)).distinct.sorted
+      val vacuousInEnglish = g.forall(_.english.isEmpty)
+      (pos, vacuousInEnglish)
+    }
+    val simpleOk = perGroup.forall(_._1.nonEmpty)
+    val englishOk = perGroup.exists(!_._2) &&
+      perGroup.forall { case (pos, vac) => vac || pos.nonEmpty }
+    if (!simpleOk && !englishOk) None
+    else {
+      val positions = perGroup.collect { case (pos, _) if pos.nonEmpty => pos }
+      Some(CoverDensityRank.rank32(positions))
+    }
+  }
+
+  /** The leg as a DataFrame op: filter+rank via UDF, top-k. `chunks` needs
+    * (chunk_id, document_id, content, metadata, tokens_simple,
+    * tokens_english). */
+  def leg(chunks: DataFrame, query: String, k: Int): DataFrame = {
+    val parsed = WebsearchParser.parse(query)
+    val rankUdf = udf { (simple: Seq[String], english: Seq[String]) =>
+      rankChunk(parsed, simple.toIndexedSeq, english.toIndexedSeq)
+    }
+    chunks
+      .withColumn("raw_k", rankUdf(col("tokens_simple"), col("tokens_english")))
+      .filter(col("raw_k").isNotNull)
+      .select(col("chunk_id"), col("document_id"), col("content"), col("metadata"), col("raw_k"))
+      .orderBy(desc("raw_k"), col("chunk_id"))
+      .limit(k)
+  }
+}
+
+/** Vector leg (ref VectorSearchService.cs:35-97 + PgVectorStore.cs:186-266):
+  * embed the query, cosine against the model-scoped vector partition,
+  * top-k (TakeOrderedAndProject — no full sort).
+  */
+object VectorSearch {
+
+  /** Cosine similarity column between an embedding array column and a query
+    * literal, as a codegen-friendly HOF fold (SURVEY §4.2: HOF first,
+    * custom Expression if the benchmark demands). */
+  def cosineToQuery(embCol: Column, q: Array[Float]): Column = {
+    val qlit = array(q.map(x => lit(x.toDouble)): _*)
+    val zipped = zip_with(embCol, qlit, (a, b) => a.cast("double") * b)
+    val dot = aggregate(zipped, lit(0.0), (acc, x) => acc + x)
+    val nq = math.sqrt(q.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+    val selfDot = aggregate(
+      transform(embCol, a => a.cast("double") * a.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(selfDot) * lit(nq))
+  }
+
+  /** The leg: score = cosine similarity (ref similarity = 1 - distance),
+    * `vectors` joined back to chunks for hydration (J1). */
+  def leg(vectors: DataFrame, chunks: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val scored = vectors
+      .withColumn("raw_v", cosineToQuery(col("embedding"), queryVec))
+      .select(col("chunk_id"), col("raw_v"))
+      .orderBy(desc("raw_v"), col("chunk_id"))
+      .limit(k)
+    scored.join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))
+  }
+}
+
+/** The search orchestrator (ref HybridSearchService.cs:68-172 lifecycle
+  * §3.1): two legs -> normalize -> fuse -> minScore -> autocut ->
+  * sentence-window substitution -> topK.
+  */
+object HybridSearch {
+
+  /** Index handles: chunk + vector DataFrames (pre-filtered caches are the
+    * caller's choice; filters here prune partitions by container/model). */
+  final case class Index(chunks: DataFrame, vectors: DataFrame)
+
+  private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
+    var out = df.filter(col("container_id") === req.containerId) // P1
+    req.documentId.foreach(id => out = out.filter(col("document_id") === id)) // P2
+    req.pathPrefix.foreach(p => out = out.filter(col("path").startsWith(p))) // P3
+    out
+  }
+
+  def search(index: Index, req: SearchRequest, embedder: Embedder): Seq[SearchHit] = {
+    val fetchK = math.max(req.topK * 2, req.topK) // legs over-fetch like the reference
+    val chunks = scope(index.chunks, req)
+    val vectors = {
+      val v = scope(index.vectors, req)
+      req.modelId.orElse(Some(embedder.modelId)) // P4: cross-model cosine is meaningless
+        .map(m => v.filter(col("model_id") === m)).getOrElse(v)
+    }
+
+    val vectorLeg =
+      if (req.mode == "keyword") None
+      else Some(Fusion.normalize(
+        VectorSearch.leg(vectors, chunks, embedder.embed(req.query), fetchK),
+        req.fusionMethod, "raw_v", "nv"))
+    val keywordLeg =
+      if (req.mode == "semantic") None
+      else Some(Fusion.normalize(
+        KeywordSearch.leg(chunks, req.query, fetchK),
+        req.fusionMethod, "raw_k", "nk"))
+
+    val fused = (vectorLeg, keywordLeg) match {
+      case (Some(v), Some(k)) => Fusion.fuse(v, k, req.alpha)
+      case (Some(v), None) =>
+        v.select(col("chunk_id"), col("document_id"), col("content"), col("metadata"),
+          col("nv").as("score"), lit("vector").as("source"))
+      case (None, Some(k)) =>
+        k.select(col("chunk_id"), col("document_id"), col("content"), col("metadata"),
+          col("nk").as("score"), lit("keyword").as("source"))
+      case (None, None) => return Seq.empty
+    }
+
+    // driver-side tail (<=100 rows by validation bound, like the reference)
+    val collected = fused
+      .filter(col("score") >= req.minScore) // P5
+      .orderBy(desc("score"), col("chunk_id"))
+      .limit(100)
+      .collect()
+      .map { r =>
+        val mi = r.fieldIndex("metadata")
+        val meta =
+          if (r.isNullAt(mi)) Map.empty[String, String]
+          else r.getMap[String, String](mi).toMap
+        SearchHit(
+          r.getAs[String]("chunk_id"), r.getAs[String]("document_id"),
+          Option(r.getAs[String]("content")).getOrElse(""),
+          r.getAs[Double]("score"),
+          meta + ("source" -> r.getAs[String]("source")))
+      }.toSeq
+
+    val cut = if (req.autoCut) Fusion.autocutIndex(collected.map(_.score)) else collected.length
+    collected.take(cut).take(req.topK).map(Fusion.substituteWindow)
+  }
+}

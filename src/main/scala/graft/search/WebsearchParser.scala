@@ -1,0 +1,72 @@
+package graft.search
+
+import graft.text.{PorterStemmer, Stopwords, Tokenizer}
+
+/** websearch_to_tsquery-style query parsing (ref KeywordSearchService.cs:
+  * 69-91): bare words AND together, "quoted phrases" match consecutively,
+  * `OR` alternates, `-term` negates. Parsed against BOTH configs — exact
+  * ("simple") and stemmed ("english") — mirroring the reference's dual
+  * tsvector match (`KnowledgeDbContext.cs:235`).
+  */
+object WebsearchParser {
+
+  /** One positive atom: a single term or a phrase (consecutive terms).
+    * `simple` is the exact lowercased form, `english` the stemmed form. */
+  final case class Atom(simple: Vector[String], english: Vector[String]) {
+    def isPhrase: Boolean = simple.length > 1
+  }
+
+  /** alternatives(i) = OR-group i (all groups AND together); negated terms
+    * must not appear. */
+  final case class ParsedQuery(
+      groups: Vector[Vector[Atom]],
+      negated: Vector[Atom]) {
+    def isEmpty: Boolean = groups.isEmpty
+  }
+
+  private def atom(words: Vector[String]): Option[Atom] = {
+    val simple = words.filter(_.nonEmpty)
+    if (simple.isEmpty) None
+    else Some(Atom(simple, simple.filterNot(Stopwords.en).map(PorterStemmer.stem)))
+  }
+
+  def parse(query: String): ParsedQuery = {
+    // lex: quoted phrases | -negations | OR | words
+    val tokenRe = "\"([^\"]*)\"|(\\S+)".r
+    final case class Lex(text: String, phrase: Boolean, negated: Boolean)
+    val lexed = tokenRe.findAllMatchIn(query).flatMap { m =>
+      if (m.group(1) != null) Some(Lex(m.group(1), phrase = true, negated = false))
+      else {
+        val raw = m.group(2)
+        if (raw.equalsIgnoreCase("or")) Some(Lex("OR", phrase = false, negated = false))
+        else if (raw.startsWith("-") && raw.length > 1)
+          Some(Lex(raw.drop(1), phrase = false, negated = true))
+        else Some(Lex(raw, phrase = false, negated = false))
+      }
+    }.toVector
+
+    val groups = Vector.newBuilder[Vector[Atom]]
+    val negated = Vector.newBuilder[Atom]
+    var current = Vector.empty[Atom]   // current OR-group being built
+    var orPending = false
+    lexed.foreach {
+      case Lex("OR", false, false) => orPending = true
+      case Lex(text, isPhrase, isNeg) =>
+        // a bare token that lexes to several words (e.g. "foo-bar") behaves
+        // like a phrase, matching websearch_to_tsquery
+        val words = Tokenizer.simple(text)
+        atom(words) match {
+          case None => ()
+          case Some(a) =>
+            if (isNeg) negated += a
+            else if (orPending && current.nonEmpty) { current :+= a; orPending = false }
+            else {
+              if (current.nonEmpty) groups += current
+              current = Vector(a)
+            }
+        }
+    }
+    if (current.nonEmpty) groups += current
+    ParsedQuery(groups.result(), negated.result())
+  }
+}

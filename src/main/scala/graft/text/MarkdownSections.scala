@@ -1,0 +1,76 @@
+package graft.text
+
+/** Markdown heading-section walker (ref MarkdownSectionWalker.cs:22-118):
+  * splits a document into one span per heading section, maintaining a
+  * heading stack that renders as an `H1 > H2 > H3` breadcrumb path.
+  * Headings inside fenced code blocks are ignored; structure detection is
+  * "any heading or any fenced code block" (ref :72-78).
+  */
+object MarkdownSections {
+
+  /** One heading-delimited section: [start, end) span over the source,
+    * breadcrumb of enclosing headings, level of the owning heading
+    * (0 = preamble before any heading).
+    */
+  final case class Section(
+      headerPath: String,  // "Install > Linux"
+      level: Int,
+      start: Int,          // span start (content AFTER the heading line)
+      end: Int,
+      content: String)
+
+  private val HeadingRe = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+  private val FenceRe = "^(```|~~~)".r
+
+  def hasStructure(text: String): Boolean = {
+    var inFence = false
+    text.linesIterator.exists { line =>
+      if (FenceRe.findFirstIn(line.trim).isDefined) { inFence = !inFence; true }
+      else !inFence && HeadingRe.findFirstMatchIn(line).isDefined
+    }
+  }
+
+  def walk(text: String): Vector[Section] = {
+    // line offsets
+    val lines = {
+      val b = Vector.newBuilder[(String, Int)] // (line, startOffset)
+      var off = 0
+      text.linesWithSeparators.foreach { l =>
+        b += ((l, off)); off += l.length
+      }
+      b.result()
+    }
+    final case class Head(level: Int, title: String, contentStart: Int)
+    var stack = List.empty[Head]
+    var inFence = false
+    val out = Vector.newBuilder[Section]
+    var sectionStart = 0          // content start of the currently open section
+    var sectionPath = ""          // breadcrumb of the open section
+    var sectionLevel = 0
+
+    def close(endOffset: Int): Unit = {
+      val content = text.substring(sectionStart, endOffset)
+      if (content.trim.nonEmpty || sectionLevel > 0)
+        out += Section(sectionPath, sectionLevel, sectionStart, endOffset, content)
+    }
+
+    lines.foreach { case (line, off) =>
+      val stripped = line.stripLineEnd
+      if (FenceRe.findFirstIn(stripped.trim).isDefined) inFence = !inFence
+      else if (!inFence) HeadingRe.findFirstMatchIn(stripped) match {
+        case Some(m) =>
+          close(off)
+          val level = m.group(1).length
+          val title = m.group(2)
+          stack = Head(level, title, off + line.length) ::
+            stack.dropWhile(_.level >= level)
+          sectionStart = off + line.length
+          sectionPath = stack.reverse.map(_.title).mkString(" > ")
+          sectionLevel = level
+        case None => ()
+      }
+    }
+    close(text.length)
+    out.result()
+  }
+}

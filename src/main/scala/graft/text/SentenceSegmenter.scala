@@ -1,0 +1,91 @@
+package graft.text
+
+/** Rule-based sentence segmentation — the engine's stand-in for the
+  * reference's pragmatic-segmenter port (ref PragmaticSentenceSegmenter.cs:
+  * 10-18; contract ISentenceSegmenter.cs:7-18, which explicitly allows
+  * whitespace normalization). Handles the fixture edge rules (FIXTURES B.1
+  * abbrev.txt): common abbreviations, initials, decimals, URLs/emails,
+  * ellipses, and closing quotes/brackets after terminators.
+  */
+object SentenceSegmenter {
+
+  private val abbreviations: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "eg",
+    "e.g", "ie", "i.e", "cf", "al", "inc", "ltd", "co", "corp", "dept",
+    "fig", "no", "vol", "pp", "approx", "jan", "feb", "mar", "apr", "jun",
+    "jul", "aug", "sep", "sept", "oct", "nov", "dec")
+
+  /** A sentence with its [start, end) character span in the original text. */
+  final case class Sentence(text: String, start: Int, end: Int)
+
+  def segment(text: String): Vector[Sentence] = {
+    if (text.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Sentence]
+    var start = 0
+    var i = 0
+    val n = text.length
+
+    def isBoundary(pos: Int): Boolean = {
+      val c = text.charAt(pos)
+      if (c == '\n') {
+        // blank line (paragraph break) always ends a sentence
+        pos + 1 >= n || text.charAt(pos + 1) == '\n'
+      } else if (c == '!' || c == '?') {
+        true
+      } else if (c == '.') {
+        // not a boundary inside "..." unless it's the last dot
+        if (pos + 1 < n && text.charAt(pos + 1) == '.') return false
+        // decimal number: digit.digit
+        if (pos > 0 && pos + 1 < n && text.charAt(pos - 1).isDigit &&
+          text.charAt(pos + 1).isDigit) return false
+        // inside a non-whitespace run that looks like a URL/email/path:
+        // scan the token around the dot for ://, @ or www.
+        var ts = pos
+        while (ts > 0 && !text.charAt(ts - 1).isWhitespace) ts -= 1
+        var te = pos
+        while (te + 1 < n && !text.charAt(te + 1).isWhitespace) te += 1
+        val token = text.substring(ts, te + 1)
+        if (token.contains("://") || token.contains("@") ||
+          token.toLowerCase.startsWith("www.")) return false
+        // abbreviation or single initial before the dot
+        val word = token.takeWhile(_ != '.').toLowerCase
+        if (abbreviations.contains(word)) return false
+        if (word.length == 1 && word.headOption.exists(_.isLetter)) return false
+        // require whitespace-then-capital/digit/quote, or end of text
+        var j = pos + 1
+        // allow closing quotes/brackets to ride along
+        while (j < n && "\"')]}".contains(text.charAt(j))) j += 1
+        if (j >= n) true
+        else if (!text.charAt(j).isWhitespace) false
+        else true
+      } else false
+    }
+
+    while (i < n) {
+      if (isBoundary(i)) {
+        var end = i + 1
+        // attach closing quotes/brackets to the sentence
+        while (end < n && "\"')]}".contains(text.charAt(end))) end += 1
+        val raw = text.substring(start, end)
+        if (raw.trim.nonEmpty) {
+          val lead = raw.indexWhere(!_.isWhitespace)
+          val trail = raw.lastIndexWhere(!_.isWhitespace)
+          out += Sentence(raw.substring(lead, trail + 1), start + lead, start + trail + 1)
+        }
+        start = end
+        i = end
+      } else i += 1
+    }
+    if (start < n) {
+      val raw = text.substring(start, n)
+      if (raw.trim.nonEmpty) {
+        val lead = raw.indexWhere(!_.isWhitespace)
+        val trail = raw.lastIndexWhere(!_.isWhitespace)
+        out += Sentence(raw.substring(lead, trail + 1), start + lead, start + trail + 1)
+      }
+    }
+    out.result()
+  }
+
+  def sentences(text: String): Vector[String] = segment(text).map(_.text)
+}

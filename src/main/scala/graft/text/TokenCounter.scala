@@ -1,0 +1,33 @@
+package graft.text
+
+/** Token counting (ref ITokenCounter.cs:7-17; TiktokenTokenCounter.cs:10-30
+  * uses cl100k_base BPE). The engine's deterministic counter approximates a
+  * BPE tokenizer with a regex token model — alnum runs plus individual
+  * punctuation — which is stable across platforms and pinned by fixtures
+  * (SURVEY §7.4: fixture tests use a pinned simple tokenizer so token-budget
+  * assertions are stable).
+  */
+trait TokenCounter extends Serializable {
+  def count(text: String): Int
+  /** Character index such that text.substring(0, idx) contains ~n tokens
+    * (ref ITokenCounter GetCharIndexAtTokenCount). */
+  def charIndexAtTokenCount(text: String, n: Int): Int
+}
+
+object RegexTokenCounter extends TokenCounter {
+  private val TokenRe = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]".r
+
+  override def count(text: String): Int = TokenRe.findAllIn(text).size
+
+  override def charIndexAtTokenCount(text: String, n: Int): Int = {
+    if (n <= 0) return 0
+    var seen = 0
+    val it = TokenRe.findAllMatchIn(text)
+    while (it.hasNext) {
+      val m = it.next()
+      seen += 1
+      if (seen == n) return m.end
+    }
+    text.length
+  }
+}

@@ -1,0 +1,175 @@
+package graft.text
+
+/** Dual-config tokenization — the Spark analog of the reference's generated
+  * tsvector column `setweight(to_tsvector('simple', content),'A') ||
+  * setweight(to_tsvector('english', content),'B')`
+  * (ref KnowledgeDbContext.cs:233-245). "simple" keeps exact lowercased
+  * tokens (technical terms like "README"); "english" applies Porter stemming
+  * for recall (ref KeywordSearchService.cs:69-72 dual-config match).
+  */
+object Tokenizer {
+  private val TokenRe = "[a-z0-9]+".r
+
+  /** Lowercased alnum tokens — the "simple" config. */
+  def simple(text: String): Vector[String] =
+    TokenRe.findAllIn(text.toLowerCase).toVector
+
+  /** Porter-stemmed tokens — the "english" config (stopwords removed, as
+    * to_tsvector('english') does). */
+  def english(text: String): Vector[String] =
+    simple(text).filterNot(Stopwords.en).map(PorterStemmer.stem)
+
+  /** Tokens with positions (0-based token ordinals), for cover-density
+    * ranking. */
+  def simpleWithPositions(text: String): Vector[(String, Int)] =
+    simple(text).zipWithIndex
+}
+
+/** English stopword set (the usual snowball core list). */
+object Stopwords {
+  val en: Set[String] = Set(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his", "himself",
+    "she", "her", "hers", "herself", "it", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom", "this",
+    "that", "these", "those", "am", "is", "are", "was", "were", "be", "been",
+    "being", "have", "has", "had", "having", "do", "does", "did", "doing",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as", "until",
+    "while", "of", "at", "by", "for", "with", "about", "against", "between",
+    "into", "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under", "again",
+    "further", "then", "once", "here", "there", "when", "where", "why",
+    "how", "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "s", "t", "can", "will", "just", "don", "should", "now")
+}
+
+/** Porter stemming algorithm — standard implementation of the published
+  * algorithm (Porter, 1980, "An algorithm for suffix stripping"). Used for
+  * the "english" token config.
+  */
+object PorterStemmer {
+  def stem(word: String): String = {
+    if (word.length <= 2) return word
+    var w = word
+    w = step1a(w); w = step1b(w); w = step1c(w)
+    w = step2(w); w = step3(w); w = step4(w); w = step5(w)
+    w
+  }
+
+  private def isCons(w: String, i: Int): Boolean = w.charAt(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => false
+    case 'y' => i == 0 || !isCons(w, i - 1)
+    case _ => true
+  }
+
+  /** Measure m of the stem: number of VC sequences. */
+  private def measure(w: String): Int = {
+    var m = 0; var i = 0; val n = w.length
+    while (i < n && isCons(w, i)) i += 1
+    while (i < n) {
+      while (i < n && !isCons(w, i)) i += 1
+      if (i < n) { m += 1; while (i < n && isCons(w, i)) i += 1 }
+    }
+    m
+  }
+
+  private def containsVowel(w: String): Boolean =
+    w.indices.exists(i => !isCons(w, i))
+
+  private def endsDoubleCons(w: String): Boolean =
+    w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+      isCons(w, w.length - 1)
+
+  /** *o — stem ends cvc where second c is not w, x or y. */
+  private def endsCvc(w: String): Boolean = {
+    val n = w.length
+    n >= 3 && isCons(w, n - 3) && !isCons(w, n - 2) && isCons(w, n - 1) &&
+      !"wxy".contains(w.charAt(n - 1))
+  }
+
+  private def replaceSuffix(w: String, suf: String, rep: String, minM: Int): Option[String] =
+    if (w.endsWith(suf)) {
+      val stem = w.dropRight(suf.length)
+      if (measure(stem) > minM) Some(stem + rep) else None
+    } else None
+
+  private def step1a(w: String): String =
+    if (w.endsWith("sses")) w.dropRight(2)
+    else if (w.endsWith("ies")) w.dropRight(2)
+    else if (w.endsWith("ss")) w
+    else if (w.endsWith("s") && w.length > 1) w.dropRight(1)
+    else w
+
+  private def step1b(w: String): String = {
+    if (w.endsWith("eed")) {
+      val stem = w.dropRight(3)
+      if (measure(stem) > 0) w.dropRight(1) else w
+    } else {
+      val stripped =
+        if (w.endsWith("ed") && containsVowel(w.dropRight(2))) Some(w.dropRight(2))
+        else if (w.endsWith("ing") && containsVowel(w.dropRight(3))) Some(w.dropRight(3))
+        else None
+      stripped match {
+        case None => w
+        case Some(s) =>
+          if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz")) s + "e"
+          else if (endsDoubleCons(s) && !"lsz".contains(s.last)) s.dropRight(1)
+          else if (measure(s) == 1 && endsCvc(s)) s + "e"
+          else s
+      }
+    }
+  }
+
+  private def step1c(w: String): String =
+    if (w.endsWith("y") && containsVowel(w.dropRight(1))) w.dropRight(1) + "i"
+    else w
+
+  private val step2Sufs = Seq(
+    "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+    "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+    "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+    "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+
+  private val step3Sufs = Seq(
+    "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+    "ical" -> "ic", "ful" -> "", "ness" -> "")
+
+  private val step4Sufs = Seq(
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+
+  private def applyFirst(w: String, sufs: Seq[(String, String)], minM: Int): String =
+    sufs.collectFirst { case (s, r) if w.endsWith(s) => (s, r) } match {
+      case Some((s, r)) => replaceSuffix(w, s, r, minM).getOrElse(w)
+      case None => w
+    }
+
+  private def step2(w: String): String = applyFirst(w, step2Sufs, 0)
+  private def step3(w: String): String = applyFirst(w, step3Sufs, 0)
+
+  private def step4(w: String): String =
+    step4Sufs.find(w.endsWith) match {
+      case Some(s) =>
+        val stem = w.dropRight(s.length)
+        if (measure(stem) > 1) stem else w
+      case None =>
+        // -ion strips only when the stem ends in s or t (standard rule)
+        if (w.endsWith("ion")) {
+          val stem = w.dropRight(3)
+          if (stem.nonEmpty && measure(stem) > 1 && "st".contains(stem.last)) stem else w
+        } else w
+    }
+
+  private def step5(w: String): String = {
+    var v = w
+    if (v.endsWith("e")) {
+      val stem = v.dropRight(1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !endsCvc(stem))) v = stem
+    }
+    if (v.endsWith("ll") && measure(v) > 1) v = v.dropRight(1)
+    v
+  }
+}

@@ -1,0 +1,186 @@
+package graft.chunk
+
+import graft.embed.HashEmbedder
+import graft.model.{ChunkingConfig, ParsedDocument}
+import graft.text.RegexTokenCounter
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkerSpec extends AnyFunSuite {
+
+  /** Hand-rolled property driver (no scalatest-scalacheck bridge in the
+    * offline cache): N samples from a Gen under a fixed seed. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 50)(check: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    (1 to n).foreach { _ =>
+      check(gen.pureApply(params, seed))
+      seed = seed.next
+    }
+  }
+  private val cfg = ChunkingConfig(maxChunkSize = 20, overlap = 5, minChunkSize = 4)
+  private val para = (1 to 8).map(i =>
+    s"Paragraph $i sentence one here. Paragraph $i sentence two follows on.").mkString("\n\n")
+
+  private def allChunkers: Seq[Chunker] = Seq(
+    FixedSizeChunker, RecursiveChunker, DocumentAwareChunker,
+    SentenceWindowChunker, SentenceAwareFixedSizeChunker,
+    new SemanticChunker(HashEmbedder(16)))
+
+  test("chunk indices are dense from 0 (W6)") {
+    allChunkers.foreach { ch =>
+      val out = ch.chunk(ParsedDocument(para), cfg)
+      assert(out.map(_.chunkIndex) == out.indices.toVector, ch.name)
+    }
+  }
+
+  test("empty documents produce no chunks") {
+    allChunkers.foreach { ch =>
+      assert(ch.chunk(ParsedDocument(""), cfg).isEmpty, ch.name)
+      assert(ch.chunk(ParsedDocument("   \n  "), cfg).isEmpty, ch.name)
+    }
+  }
+
+  test("fixed-size respects the token budget") {
+    val out = FixedSizeChunker.chunk(ParsedDocument(para), cfg)
+    assert(out.nonEmpty)
+    out.foreach(c => assert(c.tokenCount <= cfg.maxChunkSize))
+  }
+
+  test("fixed-size overlap >= max clamps to max/4") {
+    val bad = cfg.copy(overlap = 50) // >= maxChunkSize=20
+    val out = FixedSizeChunker.chunk(ParsedDocument(para), bad)
+    assert(out.nonEmpty) // terminates => clamp happened
+  }
+
+  test("fixed-size offsets round-trip") {
+    FixedSizeChunker.chunk(ParsedDocument(para), cfg).foreach { c =>
+      assert(para.substring(c.startOffset, c.endOffset) == c.content)
+    }
+  }
+
+  test("recursive prefers paragraph breaks and respects budget") {
+    val out = RecursiveChunker.chunk(ParsedDocument(para), cfg)
+    assert(out.nonEmpty)
+    out.foreach(c => assert(c.tokenCount <= cfg.maxChunkSize + cfg.minChunkSize,
+      s"chunk too big: ${c.tokenCount}"))
+  }
+
+  test("recursive offsets round-trip") {
+    RecursiveChunker.chunk(ParsedDocument(para), cfg).foreach { c =>
+      assert(para.substring(c.startOffset, c.endOffset) == c.content)
+    }
+  }
+
+  test("recursive merge-forward never drops content (property)") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon zeta.",
+      "one two three.", "\n\n", "\n")
+    val textGen = Gen.listOfN(60, wordGen).map(_.mkString(" "))
+    forAllSamples(textGen) { text =>
+      val chunks = RecursiveChunker.chunk(ParsedDocument(text), cfg)
+      val chunkWords = chunks.flatMap(c => graft.text.Tokenizer.simple(c.content))
+      val textWords = graft.text.Tokenizer.simple(text)
+      // overlap duplicates tokens across chunk boundaries, so chunks form a
+      // SUPERSET multiset of the text; nothing may be lost
+      val chunkCounts = chunkWords.groupBy(identity).view.mapValues(_.size).toMap
+      textWords.groupBy(identity).foreach { case (w, occ) =>
+        assert(chunkCounts.getOrElse(w, 0) >= occ.size,
+          s"word '$w' lost: ${occ.size} in text, ${chunkCounts.getOrElse(w, 0)} in chunks")
+      }
+    }
+  }
+
+  test("document-aware: one chunk per heading section with breadcrumb") {
+    val md = "# Guide\nintro words here\n\n## Setup\nsetup body text\n"
+    val out = DocumentAwareChunker.chunk(ParsedDocument(md), cfg.copy(maxChunkSize = 100))
+    assert(out.length == 2)
+    assert(out(0).content.startsWith("Guide\n\n"))
+    assert(out(1).content.startsWith("Guide > Setup\n\n"))
+    assert(out(1).metadata("header_path") == "Guide > Setup")
+  }
+
+  test("document-aware: prependHeaderPath=false keeps raw section") {
+    val md = "# Guide\nintro words here\n"
+    val out = DocumentAwareChunker.chunk(ParsedDocument(md),
+      cfg.copy(maxChunkSize = 100, prependHeaderPath = false))
+    assert(out.head.content == "intro words here")
+  }
+
+  test("document-aware: no structure falls back to recursive") {
+    val plain = "no headings here just words " * 10
+    val da = DocumentAwareChunker.chunk(ParsedDocument(plain), cfg)
+    val rc = RecursiveChunker.chunk(ParsedDocument(plain), cfg)
+    assert(da.map(_.content) == rc.map(_.content))
+  }
+
+  test("document-aware: oversize section sub-splits with breadcrumb on every piece") {
+    val body = (1 to 30).map(i => s"sentence number $i is right here.").mkString(" ")
+    val md = s"# Big\n$body\n"
+    val out = DocumentAwareChunker.chunk(ParsedDocument(md), cfg)
+    assert(out.length > 1)
+    out.foreach(c => assert(c.content.startsWith("Big\n\n")))
+  }
+
+  test("sentence-window: one chunk per sentence with +-N window metadata") {
+    val text = "One here. Two here. Three here. Four here. Five here."
+    val out = SentenceWindowChunker.chunk(ParsedDocument(text), cfg.copy(windowSize = 1))
+    assert(out.length == 5)
+    assert(out(0).metadata("window") == "One here. Two here.")
+    assert(out(2).metadata("window") == "Two here. Three here. Four here.")
+    assert(out(2).metadata("original_text") == "Three here.")
+    // bypasses min chunk size by design
+    assert(out.forall(_.tokenCount < cfg.minChunkSize + 10))
+  }
+
+  test("sentence-aware fixed-size never splits sentences") {
+    val text = (1 to 12).map(i => s"Sentence number $i sits here.").mkString(" ")
+    val out = SentenceAwareFixedSizeChunker.chunk(ParsedDocument(text), cfg)
+    assert(out.nonEmpty)
+    out.foreach { c =>
+      // every chunk is a join of complete sentences
+      assert(c.content.endsWith("."), c.content)
+      assert(c.content.startsWith("Sentence"), c.content)
+    }
+  }
+
+  test("semantic: single sentence short-circuits with embedding") {
+    val ch = new SemanticChunker(HashEmbedder(16))
+    val out = ch.chunk(ParsedDocument("Only one sentence here."), cfg)
+    assert(out.length == 1)
+    assert(out.head.precomputedEmbedding.isDefined)
+  }
+
+  test("semantic: groups sentences and pools embeddings deterministically") {
+    val ch = new SemanticChunker(HashEmbedder(16))
+    val text = ("The cat sat on the mat. " * 3 +
+      "Quantum chromodynamics concerns quarks. " * 3).trim
+    val a = ch.chunk(ParsedDocument(text), cfg.copy(maxChunkSize = 60))
+    val b = ch.chunk(ParsedDocument(text), cfg.copy(maxChunkSize = 60))
+    assert(a.map(_.content) == b.map(_.content)) // deterministic
+    assert(a.nonEmpty)
+    assert(a.exists(_.precomputedEmbedding.isDefined))
+  }
+
+  test("semantic: breakpoint methods all produce valid chunkings") {
+    val text = (1 to 12).map(i => s"Sentence about topic number $i right here.").mkString(" ")
+    Seq("percentile", "stddev", "iqr", "gradient").foreach { m =>
+      val ch = new SemanticChunker(HashEmbedder(16))
+      val out = ch.chunk(ParsedDocument(text),
+        cfg.copy(maxChunkSize = 200, breakpointMethod = m))
+      assert(out.nonEmpty, m)
+      assert(out.map(_.chunkIndex) == out.indices.toVector, m)
+    }
+  }
+
+  test("md auto-routing always picks DocumentAware (ref pipeline rule)") {
+    assert(Chunkers.route("notes.md", FixedSizeChunker) == DocumentAwareChunker)
+    assert(Chunkers.route("notes.txt", FixedSizeChunker) == FixedSizeChunker)
+  }
+
+  test("percentile interpolation matches linear definition") {
+    val ch = new SemanticChunker(HashEmbedder(16))
+    assert(ch.percentile(Seq(1.0, 2.0, 3.0, 4.0), 50) == 2.5)
+    assert(ch.percentile(Seq(1.0, 2.0, 3.0, 4.0), 100) == 4.0)
+    assert(ch.percentile(Seq(5.0), 95) == 5.0)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.search
+
+import graft.TestSpark
+import graft.embed.HashEmbedder
+import graft.ingest.IndexBuild
+import graft.model.{ChunkingConfig, SearchRequest}
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebsearchParserSpec extends AnyFunSuite {
+  import WebsearchParser._
+
+  test("bare words AND together") {
+    val q = parse("spark shuffle")
+    assert(q.groups.length == 2)
+    assert(q.groups.forall(_.length == 1))
+    assert(q.negated.isEmpty)
+  }
+  test("quoted phrase is one atom") {
+    val q = parse("\"chunk overlap\" config")
+    assert(q.groups.length == 2)
+    assert(q.groups(0).head.isPhrase)
+    assert(q.groups(0).head.simple == Vector("chunk", "overlap"))
+  }
+  test("OR groups alternatives") {
+    val q = parse("spark OR flink engine")
+    assert(q.groups.length == 2)
+    assert(q.groups(0).map(_.simple.head) == Vector("spark", "flink"))
+    assert(q.groups(1).head.simple.head == "engine")
+  }
+  test("negation is captured separately") {
+    val q = parse("spark -python")
+    assert(q.groups.length == 1)
+    assert(q.negated.map(_.simple.head) == Vector("python"))
+  }
+  test("stemmed forms carried per atom") {
+    val q = parse("running")
+    assert(q.groups.head.head.english == Vector("run"))
+  }
+}
+
+class CoverDensityRankSpec extends AnyFunSuite {
+  import CoverDensityRank._
+
+  test("no positions -> zero") {
+    assert(rawRank(Vector.empty) == 0.0)
+    assert(rawRank(Vector(Vector(1), Vector.empty)) == 0.0)
+  }
+  test("tighter covers rank higher") {
+    val tight = rank32(Vector(Vector(0), Vector(1)))   // adjacent terms
+    val loose = rank32(Vector(Vector(0), Vector(50)))  // far apart
+    assert(tight > loose)
+  }
+  test("more occurrences rank higher") {
+    val once = rank32(Vector(Vector(0), Vector(1)))
+    val twice = rank32(Vector(Vector(0, 10), Vector(1, 11)))
+    assert(twice > once)
+  }
+  test("single-term frequency ranks") {
+    assert(rank32(Vector(Vector(1, 5, 9))) > rank32(Vector(Vector(1))))
+  }
+  test("rank32 stays in [0,1)") {
+    val r = rank32(Vector(Vector(0, 2, 4), Vector(1, 3, 5)))
+    assert(r >= 0.0 && r < 1.0)
+  }
+}
+
+class FusionSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("min-max: zero-range and singleton legs normalize to 1.0") {
+    val one = Seq(("a", 0.7)).toDF("chunk_id", "raw")
+    assert(Fusion.normalizeMinMax(one, "raw", "n").select("n").as[Double].collect().toSeq == Seq(1.0))
+    val flat = Seq(("a", 0.5), ("b", 0.5)).toDF("chunk_id", "raw")
+    assert(Fusion.normalizeMinMax(flat, "raw", "n").select("n").as[Double].collect().toSet == Set(1.0))
+  }
+  test("min-max maps extremes to 0 and 1") {
+    val df = Seq(("a", 2.0), ("b", 4.0), ("c", 6.0)).toDF("chunk_id", "raw")
+    val got = Fusion.normalizeMinMax(df, "raw", "n")
+      .orderBy("chunk_id").select("n").as[Double].collect().toSeq
+    assert(got == Seq(0.0, 0.5, 1.0))
+  }
+  test("dbsf: degenerate sigma -> 1.0, else clamped to [0,1]") {
+    val flat = Seq(("a", 3.0), ("b", 3.0)).toDF("chunk_id", "raw")
+    assert(Fusion.normalizeDbsf(flat, "raw", "n").select("n").as[Double].collect().toSet == Set(1.0))
+    val df = Seq(("a", 0.0), ("b", 5.0), ("c", 100.0)).toDF("chunk_id", "raw")
+    val got = Fusion.normalizeDbsf(df, "raw", "n").select("n").as[Double].collect()
+    got.foreach(x => assert(x >= 0.0 && x <= 1.0))
+  }
+  test("autocut: <=3 hits never cut") {
+    assert(Fusion.autocutIndex(Seq(1.0, 0.1, 0.05)) == 3)
+  }
+  test("autocut: dominant gap cuts") {
+    // gap after 2nd: 0.8-0.75=0.05... make dominant: [1.0, 0.98, 0.3, 0.29, 0.28]
+    assert(Fusion.autocutIndex(Seq(1.0, 0.98, 0.3, 0.29, 0.28)) == 2)
+  }
+  test("autocut: evenly spaced scores do not cut") {
+    assert(Fusion.autocutIndex(Seq(1.0, 0.8, 0.6, 0.4, 0.2)) == 5)
+  }
+  test("fusion dedups on chunk_id with source=both ranking from both legs") {
+    val v = Seq(("c1", "d1", "x", Map.empty[String, String], 1.0),
+      ("c2", "d1", "y", Map.empty[String, String], 0.5))
+      .toDF("chunk_id", "document_id", "content", "metadata", "nv")
+    val k = Seq(("c1", "d1", "x", Map.empty[String, String], 0.8),
+      ("c3", "d2", "z", Map.empty[String, String], 1.0))
+      .toDF("chunk_id", "document_id", "content", "metadata", "nk")
+    val fused = Fusion.fuse(v, k, alpha = 0.5)
+      .orderBy(org.apache.spark.sql.functions.desc("score"))
+      .select("chunk_id", "score", "source").as[(String, Double, String)].collect()
+    assert(fused.length == 3)
+    assert(fused.head._1 == "c1" && fused.head._3 == "both")
+    assert(math.abs(fused.head._2 - 0.9) < 1e-9)
+    assert(fused.map(_._1).toSet == Set("c1", "c2", "c3"))
+  }
+  test("alpha extremes weight a single leg") {
+    val v = Seq(("c1", "d", "x", Map.empty[String, String], 1.0))
+      .toDF("chunk_id", "document_id", "content", "metadata", "nv")
+    val k = Seq(("c2", "d", "y", Map.empty[String, String], 1.0))
+      .toDF("chunk_id", "document_id", "content", "metadata", "nk")
+    val a1 = Fusion.fuse(v, k, 1.0).select("chunk_id", "score").as[(String, Double)].collect().toMap
+    assert(a1("c1") == 1.0 && a1("c2") == 0.0)
+    val a0 = Fusion.fuse(v, k, 0.0).select("chunk_id", "score").as[(String, Double)].collect().toMap
+    assert(a0("c1") == 0.0 && a0("c2") == 1.0)
+  }
+}
+
+/** The SURVEY §7.2 minimum end-to-end slice: ingest fixture docs, search all
+  * three modes, assert scoping and hit semantics — one suite, no services.
+  */
+class HybridSearchE2ESpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+  private val embedder = HashEmbedder(32)
+
+  private lazy val index: HybridSearch.Index = {
+    val docs = Seq(
+      IndexBuild.RawDoc("doc-overlap", "c1", "/docs/guide/chunking.txt", "chunking.txt",
+        "Chunk overlap controls how many tokens adjacent chunks share. " +
+          "Set the chunk overlap in the chunking settings. " +
+          "Overlap must stay below the maximum chunk size."),
+      IndexBuild.RawDoc("doc-embed", "c1", "/docs/guide/embedding.txt", "embedding.txt",
+        "Embedding models map text to vectors. " +
+          "The embedding dimension depends on the model. " +
+          "Vectors are stored per model id."),
+      IndexBuild.RawDoc("doc-search", "c1", "/docs/api/search.txt", "search.txt",
+        "Search runs a vector leg and a keyword leg. " +
+          "Hybrid search fuses both legs with a convex combination. " +
+          "Results are running through normalization first."),
+      IndexBuild.RawDoc("doc-other", "c2", "/other/readme.txt", "readme.txt",
+        "Chunk overlap appears here too but in another container entirely."))
+      .toDS()
+    IndexBuild.build(spark, docs, warehouse,
+      cfg = ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      embedder = embedder)
+    IndexBuild.loadIndex(spark, warehouse)
+  }
+
+  test("hybrid search finds the overlap doc inside the container") {
+    val hits = HybridSearch.search(index,
+      SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)
+    assert(hits.nonEmpty)
+    assert(hits.head.document_id == "doc-overlap")
+    assert(hits.forall(h => h.score >= 0.0 && h.score <= 1.0))
+    assert(hits.forall(_.metadata.contains("source")))
+  }
+
+  test("container scoping excludes other containers (P1)") {
+    val hits = HybridSearch.search(index,
+      SearchRequest("chunk overlap", "c1", topK = 10), embedder)
+    assert(hits.nonEmpty)
+    assert(!hits.exists(_.document_id == "doc-other"))
+    val other = HybridSearch.search(index,
+      SearchRequest("chunk overlap", "c2", topK = 10), embedder)
+    assert(other.nonEmpty && other.forall(_.document_id == "doc-other"))
+  }
+
+  test("path-prefix scoping (P3)") {
+    val hits = HybridSearch.search(index,
+      SearchRequest("search legs", "c1", topK = 10,
+        pathPrefix = Some("/docs/api/")), embedder)
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.document_id == "doc-search"))
+  }
+
+  test("keyword mode: stemmed match finds morphological variants") {
+    val hits = HybridSearch.search(index,
+      SearchRequest("run", "c1", mode = "keyword", topK = 10), embedder)
+    // "running" and "runs" stem to run
+    assert(hits.exists(_.document_id == "doc-search"))
+  }
+
+  test("keyword mode: negation excludes") {
+    val hits = HybridSearch.search(index,
+      SearchRequest("chunk -overlap", "c1", mode = "keyword", topK = 10), embedder)
+    assert(!hits.exists(_.document_id == "doc-overlap"))
+  }
+
+  test("keyword mode: phrase requires adjacency") {
+    val phrase = HybridSearch.search(index,
+      SearchRequest("\"chunk overlap\"", "c1", mode = "keyword", topK = 10), embedder)
+    assert(phrase.nonEmpty && phrase.forall(_.document_id == "doc-overlap"))
+    val reversed = HybridSearch.search(index,
+      SearchRequest("\"overlap chunk\"", "c1", mode = "keyword", topK = 10), embedder)
+    assert(reversed.isEmpty)
+  }
+
+  test("semantic mode returns cosine-ranked hits") {
+    val hits = HybridSearch.search(index,
+      SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3), embedder)
+    assert(hits.nonEmpty)
+    assert(hits.head.document_id == "doc-embed")
+  }
+
+  test("identical content across runs embeds identically (cache determinism)") {
+    val a = embedder.embed("same text")
+    val b = embedder.embed("same text")
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("minScore filters (P5) and topK bounds (K3)") {
+    val all = HybridSearch.search(index,
+      SearchRequest("chunk overlap settings", "c1", topK = 2), embedder)
+    assert(all.length <= 2)
+    val none = HybridSearch.search(index,
+      SearchRequest("chunk overlap settings", "c1", topK = 10, minScore = 2.0), embedder)
+    assert(none.isEmpty)
+  }
+}

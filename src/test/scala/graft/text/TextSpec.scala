@@ -1,0 +1,141 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizerSpec extends AnyFunSuite {
+  test("simple tokens are lowercased alnum runs") {
+    assert(Tokenizer.simple("Hello, World! v2.0") == Vector("hello", "world", "v2", "0"))
+  }
+  test("simple keeps technical terms exact") {
+    assert(Tokenizer.simple("read the README now") == Vector("read", "the", "readme", "now"))
+  }
+  test("english removes stopwords and stems") {
+    assert(Tokenizer.english("the running dogs") == Vector("run", "dog"))
+  }
+  test("positions are 0-based ordinals") {
+    assert(Tokenizer.simpleWithPositions("a b c") ==
+      Vector(("a", 0), ("b", 1), ("c", 2)))
+  }
+}
+
+class PorterStemmerSpec extends AnyFunSuite {
+  // classic vectors from the published algorithm description
+  val cases = Seq(
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat",
+    "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+    "motoring" -> "motor", "sing" -> "sing",
+    "happy" -> "happi", "sky" -> "sky",
+    "relational" -> "relat", "conditional" -> "condit",
+    "vietnamization" -> "vietnam", "predication" -> "predic",
+    "triplicate" -> "triplic", "hopeful" -> "hope", "goodness" -> "good",
+    "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+    "adjustment" -> "adjust", "adoption" -> "adopt",
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controll" -> "control", "roll" -> "roll")
+  cases.foreach { case (in, want) =>
+    test(s"stem($in) == $want") { assert(PorterStemmer.stem(in) == want) }
+  }
+}
+
+class SentenceSegmenterSpec extends AnyFunSuite {
+  import SentenceSegmenter._
+
+  test("splits on terminators before capitals") {
+    assert(sentences("One sentence. Two sentence! Three?") ==
+      Vector("One sentence.", "Two sentence!", "Three?"))
+  }
+  test("abbreviations do not split") {
+    assert(sentences("Dr. Smith arrived. He sat.") ==
+      Vector("Dr. Smith arrived.", "He sat."))
+  }
+  test("decimals do not split") {
+    assert(sentences("Pi is 3.14 roughly. Yes.") ==
+      Vector("Pi is 3.14 roughly.", "Yes."))
+  }
+  test("urls and emails do not split") {
+    assert(sentences("See https://example.com/a.b for details. Then write a@b.co today.") ==
+      Vector("See https://example.com/a.b for details.", "Then write a@b.co today."))
+  }
+  test("ellipsis splits only at its end") {
+    assert(sentences("Wait... Done now.") == Vector("Wait...", "Done now."))
+  }
+  test("initials do not split") {
+    assert(sentences("J. R. Tolkien wrote it. True.") ==
+      Vector("J. R. Tolkien wrote it.", "True."))
+  }
+  test("offsets round-trip to the source text") {
+    val text = "Alpha beta. Gamma delta! Epsilon."
+    segment(text).foreach { s =>
+      assert(text.substring(s.start, s.end) == s.text)
+    }
+  }
+  test("closing quote rides with the sentence") {
+    assert(sentences("He said \"go.\" She left.") ==
+      Vector("He said \"go.\"", "She left."))
+  }
+  test("empty and whitespace-only input") {
+    assert(sentences("") == Vector.empty)
+    assert(sentences("   \n\n  ") == Vector.empty)
+  }
+}
+
+class MarkdownSectionsSpec extends AnyFunSuite {
+  val doc =
+    """preamble text
+      |
+      |# Install
+      |intro line
+      |
+      |## Linux
+      |apt-get stuff
+      |
+      |```
+      |# not a heading
+      |```
+      |
+      |## Mac
+      |brew stuff
+      |
+      |# Usage
+      |run it
+      |""".stripMargin
+
+  test("structure detection") {
+    assert(MarkdownSections.hasStructure(doc))
+    assert(MarkdownSections.hasStructure("```\ncode\n```"))
+    assert(!MarkdownSections.hasStructure("plain text\nno headings"))
+  }
+  test("breadcrumb paths follow the heading stack") {
+    val paths = MarkdownSections.walk(doc).map(_.headerPath)
+    assert(paths == Vector("", "Install", "Install > Linux", "Install > Mac", "Usage"))
+  }
+  test("headings inside fences are ignored") {
+    val sections = MarkdownSections.walk(doc)
+    val linux = sections.find(_.headerPath == "Install > Linux").get
+    assert(linux.content.contains("# not a heading"))
+  }
+  test("spans cover the source") {
+    val sections = MarkdownSections.walk(doc)
+    sections.foreach(s => assert(doc.substring(s.start, s.end) == s.content))
+  }
+  test("sibling heading pops the stack") {
+    val p = MarkdownSections.walk("# A\nx\n## B\ny\n## C\nz").map(_.headerPath)
+    assert(p == Vector("A", "A > B", "A > C"))
+  }
+}
+
+class TokenCounterSpec extends AnyFunSuite {
+  test("counts alnum runs and punctuation") {
+    assert(RegexTokenCounter.count("hello world") == 2)
+    assert(RegexTokenCounter.count("a, b.") == 4)
+    assert(RegexTokenCounter.count("") == 0)
+  }
+  test("charIndexAtTokenCount lands after the nth token") {
+    val t = "one two three four"
+    val i = RegexTokenCounter.charIndexAtTokenCount(t, 2)
+    assert(t.substring(0, i) == "one two")
+    assert(RegexTokenCounter.charIndexAtTokenCount(t, 99) == t.length)
+    assert(RegexTokenCounter.charIndexAtTokenCount(t, 0) == 0)
+  }
+}
