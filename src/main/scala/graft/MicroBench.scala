@@ -1,0 +1,55 @@
+package graft
+
+import graft.embed.HashEmbedder
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Micro-benchmarks for operator implementation choices (SURVEY §4.2:
+  * "start with the HOF form, benchmark, then specialize").
+  * `sbt "runMain graft.MicroBench"`.
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = HashEmbedder(64)
+    val n = 200000
+    val df = spark.range(n)
+      .map(i => (i, emb.embed(s"document $i topic ${i % 100}")))
+      .toDF("id", "v")
+      .persist()
+    df.count()
+    val q = emb.embed("topic 42 document")
+    val qlitD = array(q.map(x => lit(x.toDouble)): _*)
+
+    def time(label: String)(body: => Long): Unit = {
+      (1 to 3).foreach(_ => body) // warm codegen + JIT
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e6}%9.1f ms  ($rows rows)")
+    }
+
+    val hof = {
+      val zipped = zip_with(col("v"), qlitD, (a, b) => a.cast("double") * b)
+      val dot = aggregate(zipped, lit(0.0), (acc, x) => acc + x)
+      val self = aggregate(transform(col("v"), a => a.cast("double") * a.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      dot / (sqrt(self) * lit(math.sqrt(q.foldLeft(0.0)((s, x) => s + x.toDouble * x))))
+    }
+
+    time("cosine HOF (zip_with/agg)") {
+      df.select(hof.as("s")).filter(col("s") > 0.9).count()
+    }
+    time("cosine codegen Expression") {
+      df.select(CosineSimilarity.toQuery(col("v"), q).as("s")).filter(col("s") > 0.9).count()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ann
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column (the 100 TB
+  * similarity-search path; SURVEY §4.1 "ANN search" row). Three tiers:
+  *
+  *  - [[BruteForceKnn]] — exact cosine top-k; correct baseline, linear scan.
+  *  - [[HyperplaneLsh]] — random-hyperplane signatures: candidates share a
+  *    signature bucket, so the scan narrows to matching buckets (shuffle on
+  *    the bucket key; recall tunable via tables × bits).
+  *  - IVF (centroid routing) lives in the oracled query battery
+  *    (q29_ann_ivf) — route to nearest partitions, scan only those.
+  */
+object BruteForceKnn {
+
+  /** Exact top-k neighbors for each query row. `queries` is expected small
+    * (broadcast); corpus scan is one pass, ranked per query via window
+    * top-k. Columns: corpus(id, embedding), queries(qid, qemb).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", CosineSimilarity(col("embedding"), col("qemb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+}
+
+/** Random-hyperplane (SimHash-for-vectors) LSH: signature bit i = sign of
+  * the dot product with pseudo-random hyperplane i. Cosine-similar vectors
+  * agree on most bits, so bucketing on the signature collapses the search
+  * space. Multiple tables trade memory for recall.
+  */
+final case class HyperplaneLsh(dims: Int, bits: Int = 16, tables: Int = 4, seed: Int = 42) {
+
+  /** Deterministic hyperplanes: unit-free gaussian-ish values from a
+    * splitmix-style hash — reproducible across executors with no shared
+    * state. */
+  private[ann] def hyperplane(table: Int, bit: Int): Array[Double] = {
+    val out = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      var z = seed.toLong * 0x9E3779B97F4A7C15L + table * 0xBF58476D1CE4E5B9L +
+        bit * 0x94D049BB133111EBL + i * 0x2545F4914F6CDD1DL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // map to [-1, 1): uniform is fine for sign-projections
+      out(i) = (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      i += 1
+    }
+    out
+  }
+
+  /** Signature of one vector in one table. */
+  private[ann] def signature(v: Array[Float], table: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val h = hyperplane(table, b)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * h(i); i += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Add (table, bucket) rows for a DataFrame with an `embedding` column —
+    * one output row per table. The bucket column is the shuffle/join key.
+    */
+  def bucketize(df: DataFrame, idCol: String): DataFrame = {
+    val self = this
+    val sigUdf = udf((v: Seq[Float], t: Int) => self.signature(v.toArray, t))
+    df.select(col(idCol), col("embedding"))
+      .withColumn("table", explode(lit((0 until tables).toArray)))
+      .withColumn("bucket", sigUdf(col("embedding"), col("table")))
+  }
+
+  /** ANN top-k: candidates = corpus rows sharing any (table, bucket) with
+    * the query; exact cosine re-rank on the candidate set only.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cb = bucketize(corpus, "id")
+    val qb = bucketize(queries.withColumnRenamed("qemb", "embedding"), "qid")
+      .withColumnRenamed("embedding", "qemb")
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "qemb", "id", "embedding")
+      .dropDuplicates("qid", "id")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
+    cand
+      .withColumn("sim", CosineSimilarity(col("embedding"), col("qemb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+}
+
+/** Embedding-cosine near-duplicate detection via LSH buckets: pairs that
+  * collide in any bucket and exceed the cosine threshold. The linear-scale
+  * alternative to an all-pairs self-join.
+  */
+object EmbeddingNearDup {
+  def pairs(df: DataFrame, idCol: String, lsh: HyperplaneLsh, minCosine: Double): DataFrame = {
+    val b = lsh.bucketize(df, idCol)
+    b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", CosineSimilarity(col("ea"), col("eb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * travel as opaque `binary` columns with typed metadata, and per-asset
+  * transforms (decode, feature-extract, resize, frame-sample) run as
+  * batched mapPartitions stages. The decode kernels are DELIBERATE STUBS —
+  * the codec libraries are not in this container — behind [[Decoder]];
+  * everything Spark-side (schema, partitioning, batch shape, null/error
+  * channels) is real and tested, so swapping a real decoder in changes one
+  * function.
+  */
+object Multimodal {
+
+  /** One media asset row: the binary payload plus typed envelope. */
+  final case class Asset(
+      asset_id: String,
+      container_id: String,
+      media_type: String,       // image | audio | video
+      content_type: String,     // mime
+      data: Array[Byte],
+      size_bytes: Long,
+      metadata: Map[String, String])
+
+  /** Decoded features for one asset; `error` carries decode failures as
+    * data (a failed asset must not kill the 100 TB job). */
+  final case class AssetFeatures(
+      asset_id: String,
+      container_id: String,
+      media_type: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      n_frames: Int,
+      feature: Array[Float],    // embedding-shaped feature vector
+      error: String)
+
+  /** The pluggable decode kernel. */
+  trait Decoder extends Serializable {
+    def decode(a: Asset): AssetFeatures
+  }
+
+  /** Deterministic stub decoder: derives plausible dimensions/durations and
+    * a feature vector from the bytes alone. Replace with an image/audio
+    * codec (inside the same mapPartitions) for real deployments.
+    */
+  final class StubDecoder(featureDims: Int = 16) extends Decoder {
+    override def decode(a: Asset): AssetFeatures = {
+      if (a.data.isEmpty)
+        return AssetFeatures(a.asset_id, a.container_id, a.media_type,
+          0, 0, 0L, 0, Array.empty, "empty payload")
+      val h = java.util.Arrays.hashCode(a.data)
+      val width = 64 + math.abs(h % 1024)
+      val height = 64 + math.abs((h / 7) % 1024)
+      val duration = if (a.media_type == "image") 0L else 1000L + math.abs(h % 60000)
+      val frames = if (a.media_type == "video") (duration / 40).toInt else
+        (if (a.media_type == "image") 1 else 0)
+      val feat = new Array[Float](featureDims)
+      var i = 0
+      while (i < featureDims) {
+        feat(i) = (scala.util.hashing.MurmurHash3.bytesHash(a.data, i) % 1000) / 1000.0f
+        i += 1
+      }
+      AssetFeatures(a.asset_id, a.container_id, a.media_type,
+        width, height, duration, frames, feat, null)
+    }
+  }
+
+  /** Ingest a directory of binary files as assets (S1 binaryFile scan). */
+  def readAssets(spark: SparkSession, dir: String, containerId: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"), col("length"))
+      .as[(String, Array[Byte], Long)]
+      .map { case (path, bytes, len) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val ext = name.substring(name.lastIndexOf('.') + 1).toLowerCase
+        val (media, mime) = ext match {
+          case "png" | "jpg" | "jpeg" | "gif" => ("image", s"image/$ext")
+          case "wav" | "mp3" | "flac" => ("audio", s"audio/$ext")
+          case "mp4" | "mkv" | "webm" => ("video", s"video/$ext")
+          case _ => ("binary", "application/octet-stream")
+        }
+        Asset(name, containerId, media, mime, bytes, len, Map("path" -> path))
+      }
+  }
+
+  /** Decode/feature-extract as a batched mapPartitions stage — the decoder
+    * amortizes per-partition setup (model load, codec init) exactly where a
+    * real implementation needs it.
+    */
+  def extractFeatures(assets: Dataset[Asset], decoder: Decoder): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder setup happens here (once, not per row)
+      it.map(decoder.decode)
+    }
+  }
+
+  /** Frame-sampling plan for videos: every `everyMs` milliseconds, capped.
+    * Emits (asset_id, frame_index, timestamp_ms) rows — the downstream
+    * decode of individual frames is again a mapPartitions over this plan.
+    */
+  def sampleFramePlan(features: Dataset[AssetFeatures], everyMs: Long, maxFrames: Int): DataFrame = {
+    features.toDF()
+      .filter(col("media_type") === "video" && col("error").isNull)
+      .select(col("asset_id"),
+        posexplode(slice(sequence(lit(0L), col("duration_ms"), lit(everyMs)), 1, maxFrames))
+          .as(Seq("frame_index", "timestamp_ms")))
+  }
+
+  /** Write the feature table partitioned for downstream joins. */
+  def writeFeatures(features: Dataset[AssetFeatures], path: String): Unit =
+    features.toDF().write.mode("overwrite")
+      .partitionBy("container_id", "media_type")
+      .parquet(path)
+}

@@ -1,0 +1,50 @@
+package graft.search
+
+import graft.model.SearchHit
+
+/** Cross-encoder reranking (ref CrossEncoderReranker.cs:13-131, E2):
+  * score (query, content) pairs with an external model, replace scores,
+  * re-sort desc; unscored hits are dropped; any provider failure falls back
+  * to the original order. Providers (TEI/Cohere/... in the reference) plug
+  * in behind the trait; the deterministic stand-in keeps tests hermetic,
+  * exactly as the reference's tests mock ICrossEncoderProvider.
+  */
+trait CrossEncoderProvider extends Serializable {
+  def name: String
+  /** Score each (query, passage) pair; None = provider could not score. */
+  def score(query: String, passages: Seq[String]): Option[Seq[Double]]
+}
+
+/** Deterministic stand-in: token-overlap ratio (|q ∩ p| / |q|) — monotone
+  * in lexical relevance, reproducible everywhere. */
+final class OverlapCrossEncoder extends CrossEncoderProvider {
+  override val name = "overlap-v1"
+  override def score(query: String, passages: Seq[String]): Option[Seq[Double]] = {
+    val q = graft.text.Tokenizer.simple(query).toSet
+    if (q.isEmpty) return None
+    Some(passages.map { p =>
+      val toks = graft.text.Tokenizer.simple(p).toSet
+      q.intersect(toks).size.toDouble / q.size
+    })
+  }
+}
+
+object Reranker {
+  /** Rerank the (driver-side, <=100) hit list; `topN` truncates before
+    * scoring like the reference's CrossEncoderTopN (ref :63-67). */
+  def rerank(
+      provider: CrossEncoderProvider,
+      query: String,
+      hits: Seq[SearchHit],
+      topN: Int = 100): Seq[SearchHit] = {
+    val cand = hits.take(topN)
+    provider.score(query, cand.map(_.content)) match {
+      case Some(scores) if scores.length == cand.length =>
+        cand.zip(scores)
+          .map { case (h, s) => h.copy(score = s,
+            metadata = h.metadata + ("reranker" -> provider.name)) }
+          .sortBy(h => (-h.score, h.chunk_id))
+      case _ => hits // failure -> original order (ref behavior)
+    }
+  }
+}

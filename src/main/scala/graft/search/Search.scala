@@ -185,10 +185,14 @@ object VectorSearch {
   }
 
   /** The leg: score = cosine similarity (ref similarity = 1 - distance),
-    * `vectors` joined back to chunks for hydration (J1). */
+    * `vectors` joined back to chunks for hydration (J1). Uses the codegen
+    * CosineSimilarity expression (one fused loop per row; the HOF form in
+    * [[cosineToQuery]] stays as the pure-Catalyst reference).
+    */
   def leg(vectors: DataFrame, chunks: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
     val scored = vectors
-      .withColumn("raw_v", cosineToQuery(col("embedding"), queryVec))
+      .withColumn("raw_v",
+        graft.functions.CosineSimilarity.toQuery(col("embedding"), queryVec))
       .select(col("chunk_id"), col("raw_v"))
       .orderBy(desc("raw_v"), col("chunk_id"))
       .limit(k)

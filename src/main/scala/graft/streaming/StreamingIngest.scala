@@ -34,8 +34,15 @@ object StreamingIngest {
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     import spark.implicits._
 
+    // the binaryFile streaming source requires its (fixed) schema up front
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
     val stream = spark.readStream
       .format("binaryFile")
+      .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.{txt,md,markdown,csv,log,json}")
       .load(rootDir)
 
@@ -56,16 +63,20 @@ object StreamingIngest {
               content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
           }
         if (!docs.isEmpty)
-          upsertBatch(spark, docs, warehouse, chunkerName, cfg, embedder)
+          upsertBatch(spark, docs, warehouse, chunkerName, cfg, embedder,
+            generation = batchId)
         ()
       }
       .start()
   }
 
-  /** Idempotent per-document upsert: dynamic partition overwrite of only
-    * the (container_id) partitions present in the batch, with document-
-    * level replacement inside them (read-merge-write of the small touched
-    * partition set — the Delta MERGE stand-in from SURVEY S9).
+  /** Idempotent per-document upsert, APPEND-ONLY: each batch appends its
+    * chunks/vectors stamped with a monotonically increasing `generation`
+    * (the streaming batch id — the reference's Document.Generation
+    * counter, T5). Readers resolve last-writer-wins via [[latest]]; nothing
+    * is ever rewritten in place, so replays are safe, concurrent readers
+    * never see missing files, and at 100 TB an upsert touches only the new
+    * data (compaction is an offline job, not part of the ingest path).
     */
   private[streaming] def upsertBatch(
       spark: SparkSession,
@@ -73,32 +84,47 @@ object StreamingIngest {
       warehouse: String,
       chunkerName: String,
       cfg: ChunkingConfig,
-      embedder: Embedder): Unit = {
+      embedder: Embedder,
+      generation: Long): Unit = {
     val chunker = Chunkers.forName(chunkerName)
     val newChunks = IndexBuild.chunkDocs(docs, chunker, cfg).persist()
     val newVectors = IndexBuild.embedChunks(newChunks, None, embedder)
-    val docIds = newChunks.select("document_id").distinct()
 
-    def mergeInto(path: String, fresh: DataFrame, partCols: Seq[String]): Unit = {
-      val merged =
-        try {
-          val existing = spark.read.parquet(path)
-          existing.join(docIds, Seq("document_id"), "left_anti")
-            .unionByName(fresh, allowMissingColumns = true)
-        } catch { case _: Throwable => fresh }
-      val tmp = path + "_tmp"
-      merged.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(path)
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    }
-
-    mergeInto(s"$warehouse/chunks", newChunks.drop("precomputed").toDF(),
-      Seq("container_id"))
-    mergeInto(s"$warehouse/vectors", newVectors, Seq("container_id", "model_id"))
+    newChunks.drop("precomputed").toDF()
+      .withColumn("generation", lit(generation))
+      .write.mode("append").partitionBy("container_id")
+      .parquet(s"$warehouse/chunks")
+    newVectors
+      .withColumn("generation", lit(generation))
+      .write.mode("append").partitionBy("container_id", "model_id")
+      .parquet(s"$warehouse/vectors")
     newChunks.unpersist()
     ()
+  }
+
+  /** Last-writer-wins view over an append-only table: keep only rows from
+    * each document's maximum generation (stale replays lose, T5).
+    */
+  def latest(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("document_id")
+    df.withColumn("_maxgen", max("generation").over(w))
+      .filter(col("generation") === col("_maxgen"))
+      .drop("_maxgen")
+  }
+
+  /** Compaction: rewrite the append-only table down to its latest
+    * generations (run offline, never concurrent with the ingest stream).
+    */
+  def compact(spark: SparkSession, path: String, partCols: Seq[String]): Unit = {
+    val tmp = path + "_compact"
+    latest(spark.read.parquet(path))
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    spark.catalog.refreshByPath(path)
+    org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
   }
 }

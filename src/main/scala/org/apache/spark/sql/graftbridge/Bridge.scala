@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Catalyst Expression bridge. Spark 4's Column is a
+  * connect-compatible facade whose expression accessors are private[sql],
+  * so custom Expressions (graft.functions.*) go through this package-scoped
+  * shim — the same pattern third-party Catalyst extensions use.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drop the session-shared file-status cache. Needed after an in-place
+    * directory rewrite (compaction): `catalog.refreshByPath` clears plan
+    * caches but not the shared listing cache for path-based reads.
+    */
+  def invalidateFileStatusCache(): Unit =
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+}

@@ -1,0 +1,66 @@
+package graft.ann
+
+import graft.TestSpark
+import graft.embed.{HashEmbedder, VectorOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // 5 clusters of lexically-similar docs => embedding clusters
+  private val emb = HashEmbedder(32)
+  private val corpus = (0 until 100).map { i =>
+    val topic = i % 5
+    (i.toLong, emb.embed(s"topic $topic words about subject $topic item ${i / 5}"))
+  }
+  private val queries = (0 until 3).map { t =>
+    (t.toLong, emb.embed(s"topic $t words about subject $t"))
+  }
+
+  test("brute-force top-k returns exact neighbors in order") {
+    val got = BruteForceKnn.topK(
+      corpus.toDF("id", "embedding"), queries.toDF("qid", "qemb"), 5)
+      .collect()
+      .groupBy(_.getLong(0))
+    queries.foreach { case (qid, qv) =>
+      val expected = corpus
+        .filter(_._1 != qid)
+        .map { case (id, v) => (id, VectorOps.cosine(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).map(_._1)
+      val rows = got(qid).sortBy(_.getInt(3))
+      assert(rows.map(_.getLong(1)).toSeq == expected, s"query $qid")
+    }
+  }
+
+  test("LSH signatures are deterministic and bucketize per table") {
+    val lsh = HyperplaneLsh(dims = 32, bits = 8, tables = 3)
+    val v = corpus.head._2
+    assert(lsh.signature(v, 0) == lsh.signature(v, 0))
+    assert(lsh.bucketize(corpus.toDF("id", "embedding"), "id").count() == 300)
+  }
+
+  test("LSH top-k recalls most exact neighbors") {
+    val lsh = HyperplaneLsh(dims = 32, bits = 8, tables = 8)
+    val exact = BruteForceKnn.topK(
+      corpus.toDF("id", "embedding"), queries.toDF("qid", "qemb"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = lsh.topK(
+      corpus.toDF("id", "embedding"), queries.toDF("qid", "qemb"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low: got $approx vs $exact")
+  }
+
+  test("embedding near-dup finds planted duplicates") {
+    val dups = corpus ++ Seq(
+      (1000L, emb.embed("topic 0 words about subject 0 item 0")), // ~= id 0
+      (1001L, emb.embed("completely unrelated content entirely")))
+    val lsh = HyperplaneLsh(dims = 32, bits = 8, tables = 8)
+    val pairs = EmbeddingNearDup.pairs(dups.toDF("id", "embedding"), "id", lsh, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1000L)), s"missing planted dup in $pairs")
+    assert(!pairs.exists(p => p._1 == 1001L || p._2 == 1001L))
+  }
+}

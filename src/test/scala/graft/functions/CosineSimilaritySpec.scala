@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.embed.{HashEmbedder, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CosineSimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = (0 until 50).map(i => (i.toLong, HashEmbedder(32).embed(s"doc number $i about topic ${i % 5}")))
+
+  test("matches the scalar reference implementation") {
+    val df = vecs.toDF("id", "v")
+    val q = HashEmbedder(32).embed("topic 3 doc")
+    val got = df.select($"id", CosineSimilarity.toQuery($"v", q).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(math.abs(got(id) - VectorOps.cosine(v, q)) < 1e-12, s"id $id")
+    }
+  }
+
+  test("column-column form inside whole-stage codegen") {
+    val df = vecs.toDF("id", "v")
+    val joined = df.as("a").join(df.as("b"), $"a.id" =!= $"b.id")
+      .select(CosineSimilarity($"a.v", $"b.v").as("sim"))
+    val sims = joined.collect().map(_.getDouble(0))
+    assert(sims.nonEmpty)
+    sims.foreach(s => assert(s >= -1.0001 && s <= 1.0001))
+    // the projection stays inside whole-stage codegen (the `*(n)` marker)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_sim"), plan)
+  }
+
+  test("zero vector scores 0 (reference convention)") {
+    val df = Seq((1L, Array.fill(4)(0f)), (2L, Array(1f, 0f, 0f, 0f)))
+      .toDF("id", "v")
+    val q = Array(1f, 2f, 3f, 4f)
+    val got = df.select($"id", CosineSimilarity.toQuery($"v", q).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) > 0.0)
+  }
+
+  test("null propagates") {
+    val df = Seq((1L, Some(Array(1f, 2f))), (2L, None))
+      .toDF("id", "v")
+    val q = Array(1f, 2f)
+    val got = df.select(CosineSimilarity.toQuery($"v", q)).collect()
+    assert(got.count(_.isNullAt(0)) == 1)
+  }
+
+  test("registered SQL function works") {
+    CosineSimilarity.register(spark)
+    vecs.toDF("id", "v").createOrReplaceTempView("cs_vecs")
+    val n = spark.sql(
+      "SELECT cosine_sim(a.v, b.v) s FROM cs_vecs a JOIN cs_vecs b ON a.id < b.id")
+      .filter("s IS NOT NULL").count()
+    assert(n == 50L * 49 / 2)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import Multimodal._
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def asset(id: String, media: String, bytes: Array[Byte]) =
+    Asset(id, "c1", media, s"$media/x", bytes, bytes.length.toLong, Map.empty)
+
+  test("binaryFile ingest assigns media types from extensions (S1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm")
+    java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.wav"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("c.mp4"), Array.fill[Byte](100)(7))
+    val assets = readAssets(spark, dir.toString, "c1").collect()
+    assert(assets.map(a => a.asset_id -> a.media_type).toMap ==
+      Map("a.png" -> "image", "b.wav" -> "audio", "c.mp4" -> "video"))
+    assert(assets.forall(_.size_bytes > 0))
+  }
+
+  test("feature extraction runs as mapPartitions with error channel") {
+    val assets = Seq(
+      asset("img", "image", Array[Byte](1, 2, 3, 4)),
+      asset("vid", "video", Array.fill[Byte](64)(9)),
+      asset("bad", "image", Array.empty[Byte])).toDS()
+    val feats = extractFeatures(assets, new StubDecoder(8)).collect()
+    val byId = feats.map(f => f.asset_id -> f).toMap
+    assert(byId("img").error == null && byId("img").n_frames == 1)
+    assert(byId("vid").duration_ms > 0 && byId("vid").n_frames > 0)
+    assert(byId("bad").error == "empty payload")
+    assert(byId("img").feature.length == 8)
+    // determinism: same bytes -> same features
+    val again = extractFeatures(assets, new StubDecoder(8)).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(again("img").feature.toSeq == byId("img").feature.toSeq)
+  }
+
+  test("frame-sample plan emits capped timestamp rows for videos only") {
+    val assets = Seq(
+      asset("vid", "video", Array.fill[Byte](64)(9)),
+      asset("img", "image", Array[Byte](1))).toDS()
+    val feats = extractFeatures(assets, new StubDecoder(8))
+    val plan = sampleFramePlan(feats, everyMs = 1000, maxFrames = 10).collect()
+    assert(plan.nonEmpty)
+    assert(plan.forall(_.getAs[String]("asset_id") == "vid"))
+    assert(plan.length <= 10)
+    assert(plan.map(_.getAs[Long]("timestamp_ms")).toSeq == plan.map(_.getAs[Long]("timestamp_ms")).toSeq.sorted)
+  }
+
+  test("feature table partitions by container and media type") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mmw").toString
+    val assets = Seq(
+      asset("i1", "image", Array[Byte](1, 2)),
+      asset("v1", "video", Array.fill[Byte](32)(3))).toDS()
+    writeFeatures(extractFeatures(assets, new StubDecoder(4)), out)
+    assert(new java.io.File(s"$out/container_id=c1/media_type=image").exists())
+    assert(new java.io.File(s"$out/container_id=c1/media_type=video").exists())
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}

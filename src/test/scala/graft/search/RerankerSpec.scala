@@ -1,0 +1,36 @@
+package graft.search
+
+import graft.model.SearchHit
+import org.scalatest.funsuite.AnyFunSuite
+
+class RerankerSpec extends AnyFunSuite {
+  private def hit(id: String, content: String, score: Double) =
+    SearchHit(id, "d", content, score, Map.empty)
+
+  private val hits = Seq(
+    hit("c1", "nothing relevant here", 0.9),
+    hit("c2", "spark shuffle partition tuning", 0.5),
+    hit("c3", "spark shuffle", 0.4))
+
+  test("reranker replaces scores and re-sorts") {
+    val out = Reranker.rerank(new OverlapCrossEncoder, "spark shuffle partition", hits)
+    assert(out.map(_.chunk_id) == Seq("c2", "c3", "c1"))
+    assert(out.head.score == 1.0)
+    assert(out.forall(_.metadata("reranker") == "overlap-v1"))
+  }
+
+  test("topN truncates before scoring (ref CrossEncoderTopN)") {
+    val out = Reranker.rerank(new OverlapCrossEncoder, "spark", hits, topN = 2)
+    assert(out.length == 2)
+    assert(out.map(_.chunk_id).toSet == Set("c1", "c2"))
+  }
+
+  test("provider failure falls back to original order") {
+    val failing = new CrossEncoderProvider {
+      val name = "broken"
+      def score(q: String, ps: Seq[String]) = None
+    }
+    val out = Reranker.rerank(failing, "spark", hits)
+    assert(out == hits)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.embed.HashEmbedder
+import graft.ingest.IndexBuild
+import graft.model.ChunkingConfig
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = ChunkingConfig(maxChunkSize = 30, overlap = 5, minChunkSize = 5)
+  private val emb = HashEmbedder(16)
+
+  test("append-only upsert: last-writer-wins via generation (T5)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-st-wh").toString
+    val v1 = Seq(IndexBuild.RawDoc("d1", "c1", "/d1.txt", "d1.txt",
+      "first version words here. " * 10)).toDS()
+    StreamingIngest.upsertBatch(spark, v1, wh, "recursive", cfg, emb, generation = 0)
+    val n1 = StreamingIngest.latest(spark.read.parquet(s"$wh/chunks")).count()
+    assert(n1 > 0)
+
+    // replay with the SAME generation (stream retry): latest view unchanged
+    // in shape (same doc, same generation)
+    val d2 = Seq(IndexBuild.RawDoc("d2", "c1", "/d2.txt", "d2.txt",
+      "another doc entirely. " * 10)).toDS()
+    StreamingIngest.upsertBatch(spark, d2, wh, "recursive", cfg, emb, generation = 1)
+    val d2count = StreamingIngest.latest(spark.read.parquet(s"$wh/chunks"))
+      .filter($"document_id" === "d2").count()
+
+    // new version of d1 replaces it in the latest view; d2 untouched
+    val v2 = Seq(IndexBuild.RawDoc("d1", "c1", "/d1.txt", "d1.txt",
+      "second version now.")).toDS()
+    StreamingIngest.upsertBatch(spark, v2, wh, "recursive", cfg, emb, generation = 2)
+    val chunks = StreamingIngest.latest(spark.read.parquet(s"$wh/chunks"))
+    assert(chunks.filter($"document_id" === "d1").count() == 1) // short doc -> 1 chunk
+    assert(chunks.filter($"document_id" === "d1").select("content").as[String].head()
+      .contains("second version"))
+    assert(chunks.filter($"document_id" === "d2").count() == d2count)
+
+    // raw table keeps history (append-only); compaction shrinks to latest
+    val latestCount = chunks.count() // materialize BEFORE compact rewrites files
+    assert(spark.read.parquet(s"$wh/chunks").count() > latestCount)
+    StreamingIngest.compact(spark, s"$wh/chunks", Seq("container_id"))
+    val compacted = spark.read.parquet(s"$wh/chunks")
+    assert(compacted.count() == latestCount)
+  }
+
+  test("file-source stream ingests a directory end-to-end (T1)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-st-in")
+    val wh = java.nio.file.Files.createTempDirectory("graft-st-wh2").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-st-cp").toString
+    java.nio.file.Files.writeString(root.resolve("one.txt"),
+      "streaming ingestion works with files. " * 5)
+    java.nio.file.Files.writeString(root.resolve("two.md"),
+      "# Title\nsome markdown body content here\n")
+
+    val q = StreamingIngest.start(spark, root.toString, "cS", wh, cp,
+      cfg, "recursive", emb, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val chunks = StreamingIngest.latest(spark.read.parquet(s"$wh/chunks"))
+    assert(chunks.count() > 0)
+    assert(chunks.select("document_id").distinct().as[String].collect().toSet ==
+      Set("one.txt", "two.md"))
+    // md auto-routed through DocumentAware: breadcrumb prepended
+    assert(chunks.filter($"document_id" === "two.md")
+      .select("content").as[String].collect().exists(_.startsWith("Title")))
+    val vectors = StreamingIngest.latest(spark.read.parquet(s"$wh/vectors"))
+    assert(vectors.count() == chunks.count())
+  }
+}
