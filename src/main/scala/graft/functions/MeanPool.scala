@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Element-wise mean over float-vector groups (A3: the SemanticChunker's
+  * sentence-embedding mean-pool, ref SemanticChunker.cs:286-310, and the
+  * IVF centroid builder) as a typed Aggregator — partial aggregation
+  * (map-side combine) comes for free, so at scale the shuffle carries one
+  * (sum, count) buffer per group per partition, not the raw vectors.
+  */
+object MeanPoolAggregator extends Aggregator[Seq[Float], MeanPoolBuffer, Seq[Float]] {
+  override def zero: MeanPoolBuffer = MeanPoolBuffer(Array.empty, 0L)
+
+  override def reduce(b: MeanPoolBuffer, v: Seq[Float]): MeanPoolBuffer = {
+    if (b.count == 0L) {
+      val s = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { s(i) = v(i); i += 1 }
+      MeanPoolBuffer(s, 1L)
+    } else {
+      require(b.sums.length == v.length, s"dim mismatch ${b.sums.length} vs ${v.length}")
+      var i = 0
+      while (i < v.length) { b.sums(i) += v(i); i += 1 }
+      MeanPoolBuffer(b.sums, b.count + 1)
+    }
+  }
+
+  override def merge(a: MeanPoolBuffer, b: MeanPoolBuffer): MeanPoolBuffer = {
+    if (a.count == 0L) b
+    else if (b.count == 0L) a
+    else {
+      var i = 0
+      while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+      MeanPoolBuffer(a.sums, a.count + b.count)
+    }
+  }
+
+  override def finish(b: MeanPoolBuffer): Seq[Float] =
+    if (b.count == 0L) Seq.empty
+    else b.sums.map(s => (s / b.count).toFloat).toSeq
+
+  override def bufferEncoder: Encoder[MeanPoolBuffer] = Encoders.product[MeanPoolBuffer]
+  override def outputEncoder: Encoder[Seq[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+
+  /** Untyped column form for DataFrame groupBy.agg. */
+  lazy val column: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(this)
+}
+
+final case class MeanPoolBuffer(sums: Array[Double], count: Long)

@@ -116,6 +116,28 @@ object AnnQueries {
                         WHERE qid <> vec_id)
         SELECT qid, nid, round(sim, 6) AS cos_sim, rank
         FROM scored WHERE rank <= 5 ORDER BY qid, rank"""),
-      doc = "IVF-pruned ANN: centroid routing + partition-local top-k")
+      doc = "IVF-pruned ANN: centroid routing + partition-local top-k"),
+
+    QueryDef(
+      "q54_meanpool",
+      (s, d) =>
+        // A3: element-wise mean-pool per group via the typed Aggregator
+        // (map-side partial aggregation — one buffer per group per
+        // partition crosses the shuffle, not the raw vectors).
+        table(s, d, "embeddings")
+          .groupBy("label")
+          .agg(graft.functions.MeanPoolAggregator.column(col("embedding")).as("centroid"))
+          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+          .select(col("label"), (col("pos") + 1).as("pos"), round(col("v").cast("double"), 4).as("v"))
+          .orderBy("label", "pos"),
+      Some("""
+        -- CAST .. AS REAL mirrors the Spark side's float-valued centroid, so
+        -- both engines quantize identically before rounding
+        SELECT label, i AS pos, round(CAST(CAST(avg(v) AS REAL) AS DOUBLE), 4) AS v
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) v,
+                     unnest(range(1, 65)) i
+              FROM embeddings)
+        GROUP BY label, i ORDER BY label, pos"""),
+      doc = "A3 mean-pool embedding via typed Aggregator (partial agg)")
   )
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MeanPoolSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("element-wise mean per group") {
+    val df = Seq(
+      ("a", Seq(1f, 2f)), ("a", Seq(3f, 4f)),
+      ("b", Seq(10f, 20f)))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(MeanPoolAggregator.column(col("v")).as("m"))
+      .as[(String, Seq[Float])].collect().toMap
+    assert(got("a") == Seq(2f, 3f))
+    assert(got("b") == Seq(10f, 20f))
+  }
+
+  test("partial aggregation across partitions merges correctly") {
+    val df = spark.range(1000).repartition(13)
+      .map(i => ("g", Seq(i.toFloat, 1f)))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(MeanPoolAggregator.column(col("v")).as("m"))
+      .as[(String, Seq[Float])].head()._2
+    assert(got(0) == 499.5f)
+    assert(got(1) == 1f)
+    // physical plan carries a partial_ stage (map-side combine)
+    val plan = df.groupBy("g").agg(MeanPoolAggregator.column(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("matches the scalar meanPool implementation") {
+    val vs = (0 until 7).map(i => Array.fill(4)(i.toFloat * 0.5f))
+    val expected = graft.embed.VectorOps.meanPool(vs).toSeq
+    val got = vs.map(v => ("g", v.toSeq)).toDF("g", "v")
+      .groupBy("g").agg(MeanPoolAggregator.column(col("v")).as("m"))
+      .as[(String, Seq[Float])].head()._2
+    assert(got == expected)
+  }
+}
