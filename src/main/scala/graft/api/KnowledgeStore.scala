@@ -1,0 +1,244 @@
+package graft.api
+
+import graft.embed.Embedder
+import graft.ingest.IndexBuild
+import graft.model.{ChunkingConfig, SearchHit, SearchRequest}
+import graft.search.{CrossEncoderProvider, HybridSearch, Reranker}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's query surface — the Scala equivalent of the reference's 11
+  * MCP tools / REST endpoints (SURVEY §2.12, ref McpTools.cs):
+  * container_create/list/delete, search_knowledge, list_files, upload_file,
+  * delete_file, bulk_upload, bulk_delete, get_document, container_stats.
+  * A long-lived instance holds cached index DataFrames, so interactive
+  * queries pay Spark job latency, not scan latency (BASELINE translation:
+  * steady-state hybrid latency over cached index frames).
+  *
+  * Storage is the partitioned parquet warehouse (IndexBuild layout);
+  * containers are partition values, so create/delete are metadata-cheap and
+  * every read prunes to its container partition (P1).
+  */
+final class KnowledgeStore(
+    spark: SparkSession,
+    warehouse: String,
+    embedder: Embedder = graft.embed.HashEmbedder(),
+    cfg: ChunkingConfig = ChunkingConfig(),
+    chunkerName: String = "recursive") {
+  import spark.implicits._
+
+  /** Validation bounds (ref ValidationConstants.cs:6-8). */
+  val MaxTopK = 100
+  val MaxQueryChars = 10000
+  val MaxBulk = 100
+
+  private val containersPath = s"$warehouse/containers"
+
+  private def containersDf: DataFrame =
+    try spark.read.parquet(containersPath)
+    catch { case _: Throwable => Seq.empty[(String, String, String)]
+      .toDF("container_id", "name", "connector_type") }
+
+  private def tableOrEmpty(path: String, empty: => DataFrame): DataFrame =
+    try spark.read.parquet(path) catch { case _: Throwable => empty }
+
+  private def chunksDf: DataFrame = tableOrEmpty(s"$warehouse/chunks",
+    spark.emptyDataFrame)
+  private def vectorsDf: DataFrame = tableOrEmpty(s"$warehouse/vectors",
+    spark.emptyDataFrame)
+  private def ledgerDf: DataFrame = tableOrEmpty(s"$warehouse/ledger",
+    spark.emptyDataFrame)
+
+  // ---- containers -------------------------------------------------------
+
+  /** container_create (ref McpTools.cs:17): names are unique. */
+  def createContainer(name: String, connectorType: String = "ManagedStorage"): String = {
+    require(name.nonEmpty, "container name required")
+    val existing = listContainers()
+    require(!existing.exists(_._2 == name), s"container '$name' exists")
+    val id = java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8")).toString
+    Seq((id, name, connectorType)).toDF("container_id", "name", "connector_type")
+      .write.mode(SaveMode.Append).parquet(containersPath)
+    id
+  }
+
+  /** container_list: (id, name, connector_type). */
+  def listContainers(): Seq[(String, String, String)] =
+    containersDf.as[(String, String, String)].collect().toSeq
+
+  /** container_delete (ref :64): drops the container's data partitions. */
+  def deleteContainer(containerId: String): Unit = {
+    Seq(s"$warehouse/chunks/container_id=$containerId",
+      s"$warehouse/vectors/container_id=$containerId",
+      s"$warehouse/ledger/container_id=$containerId").foreach { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    val remaining = containersDf.filter(col("container_id") =!= containerId)
+    val rows = remaining.collect()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(containersPath), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(containersPath), true)
+    if (rows.nonEmpty)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), remaining.schema)
+        .write.mode(SaveMode.Overwrite).parquet(containersPath)
+    invalidate()
+  }
+
+  // ---- documents --------------------------------------------------------
+
+  /** upload_file (ref :250): decode (optionally base64), ingest, index.
+    * Returns the document id. */
+  def uploadFile(
+      containerId: String,
+      path: String,
+      content: String,
+      base64: Boolean = false): String =
+    bulkUpload(containerId, Seq((path, content)), base64).head
+
+  /** bulk_upload (ref :439, <=100 files/call). */
+  def bulkUpload(
+      containerId: String,
+      files: Seq[(String, String)],
+      base64: Boolean = false): Seq[String] = {
+    require(files.length <= MaxBulk, s"bulk_upload limited to $MaxBulk files")
+    val docs = files.map { case (path, raw) =>
+      val norm = graft.ingest.PathUtil.normalize(path)
+      val content = if (base64) new String(
+        java.util.Base64.getDecoder.decode(raw), "UTF-8") else raw
+      val fileName = norm.substring(norm.lastIndexOf('/') + 1)
+      require(graft.ingest.Parsers.isSupported(fileName), s"unsupported type: $fileName")
+      IndexBuild.RawDoc(
+        document_id = java.util.UUID.nameUUIDFromBytes(
+          s"$containerId:$norm".getBytes("UTF-8")).toString,
+        container_id = containerId, path = norm, file_name = fileName,
+        content = content)
+    }
+    appendDocs(docs)
+    docs.map(_.document_id)
+  }
+
+  private def appendDocs(docs: Seq[IndexBuild.RawDoc]): Unit = {
+    val ds = docs.toDS()
+    val chunker = graft.chunk.Chunkers.forName(chunkerName)
+    val newChunks = IndexBuild.chunkDocs(ds, chunker, cfg).persist()
+    val vectors = IndexBuild.embedChunks(newChunks,
+      Option(tableOrEmpty(s"$warehouse/embed_cache", null)), embedder)
+    newChunks.drop("precomputed").toDF()
+      .write.mode(SaveMode.Append).partitionBy("container_id")
+      .parquet(s"$warehouse/chunks")
+    vectors.write.mode(SaveMode.Append).partitionBy("container_id", "model_id")
+      .parquet(s"$warehouse/vectors")
+    val ledger = newChunks.groupBy($"document_id", $"container_id", $"path")
+      .agg(count(lit(1)).cast("int").as("chunk_count"))
+      .join(ds.select($"document_id", sha2($"content", 256).as("content_hash"),
+        length($"content").cast("long").as("size_bytes"), $"file_name"), Seq("document_id"))
+      .withColumn("status", lit("Ready"))
+    ledger.write.mode(SaveMode.Append).partitionBy("container_id")
+      .parquet(s"$warehouse/ledger")
+    newChunks.unpersist()
+    invalidate()
+  }
+
+  /** delete_file (ref :321): drop one document's rows. */
+  def deleteFile(containerId: String, path: String): Unit =
+    bulkDelete(containerId, Seq(path))
+
+  /** bulk_delete (ref :375, <=100 ids — EXCEPT on keys). */
+  def bulkDelete(containerId: String, paths: Seq[String]): Unit = {
+    require(paths.length <= MaxBulk, s"bulk_delete limited to $MaxBulk")
+    val ids = paths.map(p => java.util.UUID.nameUUIDFromBytes(
+      s"$containerId:${graft.ingest.PathUtil.normalize(p)}".getBytes("UTF-8")).toString).toSet
+    def rewrite(path: String, partCols: Seq[String]): Unit = {
+      val df = tableOrEmpty(path, null)
+      if (df != null) {
+        val kept = df.filter(!col("document_id").isin(ids.toSeq: _*)).collect()
+        val schema = df.schema
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        if (kept.nonEmpty)
+          spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq), schema)
+            .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+      }
+    }
+    // NOTE: driver-side rewrite is fine at test scale; the 100 TB path is
+    // the append-only tombstone + compaction in StreamingIngest
+    rewrite(s"$warehouse/chunks", Seq("container_id"))
+    rewrite(s"$warehouse/vectors", Seq("container_id", "model_id"))
+    rewrite(s"$warehouse/ledger", Seq("container_id"))
+    invalidate()
+  }
+
+  /** list_files (ref :174) with pagination (K5). */
+  def listFiles(
+      containerId: String,
+      pathPrefix: Option[String] = None,
+      offset: Int = 0,
+      limit: Int = 50): Seq[(String, String, Int)] = {
+    var df = ledgerDf.filter(col("container_id") === containerId)
+    pathPrefix.foreach(p => df = df.filter(col("path").startsWith(p)))
+    df.select($"document_id", $"path", $"chunk_count")
+      .orderBy("path")
+      .offset(offset).limit(limit)
+      .as[(String, String, Int)].collect().toSeq
+  }
+
+  /** get_document (ref :546): reconstruct extracted text from chunks. */
+  def getDocument(containerId: String, path: String): Option[String] = {
+    val norm = graft.ingest.PathUtil.normalize(path)
+    val rows = chunksDf
+      .filter(col("container_id") === containerId && col("path") === norm)
+      .orderBy("chunk_index")
+      .select("content").as[String].collect()
+    if (rows.isEmpty) None else Some(rows.mkString("\n"))
+  }
+
+  /** container_stats (ref :670, A1): counts by status, chunk/byte sums. */
+  def containerStats(containerId: String): Map[String, Long] = {
+    val led = ledgerDf.filter(col("container_id") === containerId)
+    if (led.isEmpty) return Map("documents" -> 0L, "chunks" -> 0L, "bytes" -> 0L)
+    val row = led.agg(
+      count(lit(1)).as("documents"),
+      sum("chunk_count").as("chunks"),
+      sum("size_bytes").as("bytes"),
+      count(when(col("status") === "Ready", 1)).as("ready")).head()
+    Map("documents" -> row.getLong(0), "chunks" -> row.getLong(1),
+      "bytes" -> row.getLong(2), "ready" -> row.getLong(3))
+  }
+
+  // ---- search -----------------------------------------------------------
+
+  @volatile private var cachedIndex: Option[HybridSearch.Index] = None
+
+  private def invalidate(): Unit = synchronized {
+    cachedIndex.foreach { ix =>
+      ix.chunks.unpersist(); ix.vectors.unpersist()
+    }
+    cachedIndex = None
+  }
+
+  /** The cached index frames (interactive-latency path). */
+  private def index: HybridSearch.Index = synchronized {
+    cachedIndex.getOrElse {
+      val chunks = chunksDf.persist()
+      val vectors = vectorsDf.join(chunks.select("chunk_id", "path"), Seq("chunk_id")).persist()
+      val ix = HybridSearch.Index(chunks, vectors)
+      cachedIndex = Some(ix)
+      ix
+    }
+  }
+
+  /** search_knowledge (ref :93): bounds-checked hybrid search, optional
+    * rerank. */
+  def search(req: SearchRequest, reranker: Option[CrossEncoderProvider] = None): Seq[SearchHit] = {
+    require(req.topK >= 1 && req.topK <= MaxTopK, s"topK must be in [1,$MaxTopK]")
+    require(req.query.length <= MaxQueryChars, s"query over $MaxQueryChars chars")
+    val hits = HybridSearch.search(index, req, embedder)
+    reranker match {
+      case Some(r) => Reranker.rerank(r, req.query, hits).take(req.topK)
+      case None => hits
+    }
+  }
+}

@@ -1,0 +1,36 @@
+package graft.ingest
+
+/** Virtual path normalization (F10, ref src/Connapse.Core/Utilities/
+  * PathUtilities.cs): forward slashes, single leading slash, no
+  * trailing slash, "." and ".." segments resolved (".." never escapes
+  * the root).
+  */
+object PathUtil {
+  def normalize(path: String): String = {
+    val segs = path.replace('\\', '/').split('/').filter(s => s.nonEmpty && s != ".")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    segs.foreach {
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case s => out += s
+    }
+    "/" + out.mkString("/")
+  }
+
+  def fileName(path: String): String = {
+    val n = normalize(path)
+    n.substring(n.lastIndexOf('/') + 1)
+  }
+
+  def parent(path: String): String = {
+    val n = normalize(path)
+    val i = n.lastIndexOf('/')
+    if (i <= 0) "/" else n.substring(0, i)
+  }
+
+  /** Prefix match on whole segments: /a/b covers /a/b/c but not /a/bc. */
+  def isUnder(path: String, prefix: String): Boolean = {
+    val p = normalize(path)
+    val pre = normalize(prefix)
+    pre == "/" || p == pre || p.startsWith(pre + "/")
+  }
+}

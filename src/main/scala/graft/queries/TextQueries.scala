@@ -269,6 +269,27 @@ object TextQueries {
                     ELSE 'Unchanged' END AS action
         FROM stored FULL OUTER JOIN live ON sid = lid
         ORDER BY doc_id"""),
-      doc = "J5/T6 reindex-trigger classification")
+      doc = "J5/T6 reindex-trigger classification"),
+
+    QueryDef(
+      "q55_base64",
+      (s, d) =>
+        // F9: base64 decode/encode for uploads (ref McpTools.cs:250-259).
+        // 40-char prefix keeps both engines in unchunked RFC-4648 territory.
+        table(s, d, "documents")
+          .filter(col("doc_id") < 200)
+          .withColumn("prefix", substring(col("text"), 1, 40))
+          .withColumn("b64", base64(col("prefix").cast("binary")))
+          .withColumn("ok",
+            (unbase64(col("b64")).cast("string") === col("prefix")).cast("int"))
+          .select("doc_id", "b64", "ok")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               to_base64(encode(substr(text, 1, 40))) AS b64,
+               CASE WHEN decode(from_base64(to_base64(encode(substr(text, 1, 40)))))
+                         = substr(text, 1, 40) THEN 1 ELSE 0 END AS ok
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "F9 base64 encode/decode round-trip")
   )
 }

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cloud-snapshot delta detection (J6/T2, ref ConnectorWatcherService.cs:
+  * 40-45): compare the previous (path -> mtime, size) listing snapshot with
+  * a fresh one and emit Created/Changed/Deleted events — the poll-based
+  * change feed for object stores that have no native notifications. The
+  * snapshot is itself a little parquet state table, so the 5-minute poll
+  * job is: list -> full-outer join -> events + new snapshot.
+  */
+object ConnectorDelta {
+
+  val Created = "Created"
+  val Changed = "Changed"
+  val Deleted = "Deleted"
+
+  /** Both frames carry (path, mtime: long, size: long). Returns
+    * (path, event_type) rows; unchanged files emit nothing.
+    */
+  def events(previous: DataFrame, current: DataFrame): DataFrame = {
+    val prev = previous.select(col("path").as("p_path"),
+      col("mtime").as("p_mtime"), col("size").as("p_size"))
+    val cur = current.select(col("path").as("c_path"),
+      col("mtime").as("c_mtime"), col("size").as("c_size"))
+    prev.join(cur, col("p_path") === col("c_path"), "full_outer")
+      .select(
+        coalesce(col("c_path"), col("p_path")).as("path"),
+        when(col("p_path").isNull, Created)
+          .when(col("c_path").isNull, Deleted)
+          .when(col("p_mtime") =!= col("c_mtime") || col("p_size") =!= col("c_size"), Changed)
+          .otherwise("Unchanged").as("event_type"))
+      .filter(col("event_type") =!= "Unchanged")
+  }
+
+  /** Directory listing as a snapshot frame (the local-FS connector; object
+    * stores substitute their ListObjects output with the same shape). */
+  def listDirectory(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(dir)
+    val files = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .map(f => (f.getPath, f.lastModified(), f.length()))
+    files.toSeq.toDF("path", "mtime", "size")
+  }
+}

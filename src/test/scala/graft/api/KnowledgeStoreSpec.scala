@@ -1,0 +1,138 @@
+package graft.api
+
+import graft.TestSpark
+import graft.ingest.PathUtil
+import graft.model.SearchRequest
+import graft.search.OverlapCrossEncoder
+import org.scalatest.funsuite.AnyFunSuite
+
+class PathUtilSpec extends AnyFunSuite {
+  test("normalization (F10)") {
+    assert(PathUtil.normalize("a/b/c.txt") == "/a/b/c.txt")
+    assert(PathUtil.normalize("/a//b/./c.txt") == "/a/b/c.txt")
+    assert(PathUtil.normalize("a\\b\\c.txt") == "/a/b/c.txt")
+    assert(PathUtil.normalize("/a/b/../c.txt") == "/a/c.txt")
+    assert(PathUtil.normalize("/../../x") == "/x") // .. never escapes root
+  }
+  test("fileName / parent / isUnder") {
+    assert(PathUtil.fileName("/a/b/c.txt") == "c.txt")
+    assert(PathUtil.parent("/a/b/c.txt") == "/a/b")
+    assert(PathUtil.parent("/c.txt") == "/")
+    assert(PathUtil.isUnder("/a/b/c", "/a/b"))
+    assert(!PathUtil.isUnder("/a/bc", "/a/b"))
+  }
+}
+
+/** §2.12: the 11-tool query surface end-to-end over a temp warehouse. */
+class KnowledgeStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft-ks").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+
+  test("container create/list enforces unique names") {
+    val id = store.createContainer("docs")
+    assert(store.listContainers().map(_._2) == Seq("docs"))
+    assertThrows[IllegalArgumentException](store.createContainer("docs"))
+    assert(id.nonEmpty)
+  }
+
+  test("upload_file -> search_knowledge -> get_document round-trip") {
+    val cid = store.listContainers().head._1
+    store.uploadFile(cid, "guide/overlap.txt",
+      "Chunk overlap controls shared tokens between chunks. Set overlap in settings.")
+    store.uploadFile(cid, "guide/other.txt", "Nothing about that topic at all here.")
+    val hits = store.search(SearchRequest("chunk overlap", cid, topK = 5))
+    assert(hits.nonEmpty)
+    val doc = store.getDocument(cid, "guide/overlap.txt")
+    assert(doc.exists(_.contains("Chunk overlap controls")))
+    assert(store.getDocument(cid, "guide/missing.txt").isEmpty)
+  }
+
+  test("base64 upload decodes (F9)") {
+    val cid = store.listContainers().head._1
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "encoded upload content".getBytes("UTF-8"))
+    store.uploadFile(cid, "up/enc.txt", b64, base64 = true)
+    assert(store.getDocument(cid, "up/enc.txt").exists(_.contains("encoded upload content")))
+  }
+
+  test("list_files paginates with path prefix (K5/P3)") {
+    val cid = store.listContainers().head._1
+    val files = store.listFiles(cid, pathPrefix = Some("/guide/"))
+    assert(files.map(_._2).toSet == Set("/guide/overlap.txt", "/guide/other.txt"))
+    val page = store.listFiles(cid, pathPrefix = Some("/guide/"), offset = 1, limit = 1)
+    // ordered by path: "other" < "overlap", so offset 1 lands on overlap
+    assert(page.length == 1 && page.head._2 == "/guide/overlap.txt")
+  }
+
+  test("container_stats aggregates the ledger (A1)") {
+    val cid = store.listContainers().head._1
+    val stats = store.containerStats(cid)
+    assert(stats("documents") == 3)
+    assert(stats("chunks") >= 3)
+    assert(stats("ready") == 3)
+    assert(stats("bytes") > 0)
+  }
+
+  test("search with reranker (E2/K4)") {
+    val cid = store.listContainers().head._1
+    val hits = store.search(SearchRequest("chunk overlap settings", cid, topK = 5),
+      reranker = Some(new OverlapCrossEncoder))
+    assert(hits.nonEmpty)
+    assert(hits.head.metadata("reranker") == "overlap-v1")
+  }
+
+  test("search bounds validation (topK, query length)") {
+    val cid = store.listContainers().head._1
+    assertThrows[IllegalArgumentException](
+      store.search(SearchRequest("x", cid, topK = 101)))
+    assertThrows[IllegalArgumentException](
+      store.search(SearchRequest("y" * 10001, cid)))
+  }
+
+  test("delete_file removes one document only") {
+    val cid = store.listContainers().head._1
+    store.deleteFile(cid, "guide/other.txt")
+    assert(store.getDocument(cid, "guide/other.txt").isEmpty)
+    assert(store.getDocument(cid, "guide/overlap.txt").nonEmpty)
+    assert(store.containerStats(cid)("documents") == 2)
+  }
+
+  test("container_delete drops data and registry entry") {
+    val cid = store.createContainer("temp")
+    store.uploadFile(cid, "x.txt", "temporary words here")
+    store.deleteContainer(cid)
+    assert(!store.listContainers().exists(_._1 == cid))
+    assert(store.containerStats(cid)("documents") == 0)
+  }
+}
+
+class ConnectorDeltaSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import graft.streaming.ConnectorDelta
+  import spark.implicits._
+
+  test("snapshot join classifies Created/Changed/Deleted (J6/T2)") {
+    val prev = Seq(("/a", 100L, 10L), ("/b", 100L, 10L), ("/c", 100L, 10L))
+      .toDF("path", "mtime", "size")
+    val cur = Seq(("/a", 100L, 10L), ("/b", 200L, 10L), ("/d", 100L, 5L))
+      .toDF("path", "mtime", "size")
+    val got = ConnectorDelta.events(prev, cur)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("/b" -> ConnectorDelta.Changed,
+      "/c" -> ConnectorDelta.Deleted, "/d" -> ConnectorDelta.Created))
+  }
+
+  test("directory listing feeds the snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cd")
+    java.nio.file.Files.writeString(dir.resolve("f1.txt"), "one")
+    val snap1 = ConnectorDelta.listDirectory(spark, dir.toString)
+    assert(snap1.count() == 1)
+    java.nio.file.Files.writeString(dir.resolve("f2.txt"), "two")
+    val snap2 = ConnectorDelta.listDirectory(spark, dir.toString)
+    val events = ConnectorDelta.events(snap1, snap2).collect()
+    assert(events.length == 1 && events.head.getString(1) == ConnectorDelta.Created)
+  }
+}
