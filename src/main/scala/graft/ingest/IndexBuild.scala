@@ -159,6 +159,10 @@ object IndexBuild {
       .partitionBy("container_id")
       .parquet(s"$warehouse/chunks")
 
+    // inverted postings + term stats (the GIN analog, SURVEY §4.3)
+    graft.search.PostingsIndex.write(
+      spark.read.parquet(s"$warehouse/chunks"), warehouse)
+
     vectors.write.mode(SaveMode.Overwrite)
       .partitionBy("container_id", "model_id")
       .parquet(s"$warehouse/vectors")
@@ -188,13 +192,17 @@ object IndexBuild {
     chunks.unpersist()
   }
 
-  /** Load the warehouse as a search index. */
+  /** Load the warehouse as a search index (vectors hydrated with path for
+    * P3 scoping; postings attached when present). */
   def loadIndex(spark: SparkSession, warehouse: String): graft.search.HybridSearch.Index = {
     val chunks = spark.read.parquet(s"$warehouse/chunks")
     val vectors = spark.read.parquet(s"$warehouse/vectors")
-    // chunks carry no path? they do; vectors need path for P3 — hydrate via join
+    val postings =
+      try Some(spark.read.parquet(s"$warehouse/postings"))
+      catch { case _: Throwable => None }
     graft.search.HybridSearch.Index(
       chunks,
-      vectors.join(chunks.select("chunk_id", "path"), Seq("chunk_id")))
+      vectors.join(chunks.select("chunk_id", "path"), Seq("chunk_id")),
+      postings)
   }
 }

@@ -1,0 +1,121 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Inverted postings index — the at-scale physical design for the keyword
+  * leg (SURVEY §4.3; the GIN-index analog). The scan leg touches every
+  * chunk's token arrays per query; the postings leg turns a keyword query
+  * into an equi-join against a term-keyed table, so work scales with the
+  * posting lists of the queried terms, not the corpus.
+  *
+  * Layout: `postings/` rows (container_id, config, term, chunk_id,
+  * positions array<int>) partitioned by container_id and repartitioned on
+  * term within each write (term-locality for the join); `term_stats/`
+  * (container_id, config, term, df) supports query planning (rare-term
+  * first) and IDF-style ranking extensions.
+  */
+object PostingsIndex {
+
+  /** Build postings from the chunks table (tokens_simple / tokens_english
+    * are positional — english keeps empty slots for stopwords, so both
+    * configs share the position space).
+    */
+  def build(chunks: DataFrame): DataFrame = {
+    def explodeConfig(tokCol: String, config: String) =
+      chunks
+        .select(col("container_id"), col("chunk_id"),
+          posexplode(col(tokCol)).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+        .withColumn("config", lit(config))
+    explodeConfig("tokens_simple", "simple")
+      .unionByName(explodeConfig("tokens_english", "english"))
+      .groupBy("container_id", "config", "term", "chunk_id")
+      .agg(sort_array(collect_list("pos")).as("positions"))
+  }
+
+  def termStats(postings: DataFrame): DataFrame =
+    postings.groupBy("container_id", "config", "term")
+      .agg(count(lit(1)).as("df"))
+
+  /** Write both tables under the warehouse. */
+  def write(chunks: DataFrame, warehouse: String): Unit = {
+    val p = build(chunks)
+      // term-locality inside each container partition: co-locates a term's
+      // posting list in few files (the bucketing stand-in)
+      .repartition(col("container_id"), col("term"))
+    p.write.mode(SaveMode.Overwrite).partitionBy("container_id")
+      .parquet(s"$warehouse/postings")
+    termStats(p).write.mode(SaveMode.Overwrite).partitionBy("container_id")
+      .parquet(s"$warehouse/term_stats")
+  }
+
+  /** Keyword leg over postings: single-term atoms, OR-groups and negation
+    * (phrase atoms need adjacent positions across terms — those queries
+    * route to the scan leg; see [[supports]]).
+    *
+    * Shape: tiny lookup table of the query's (config, term, group) →
+    * broadcast equi-join into postings → per-(chunk, group) position union
+    * → AND check (all groups present) → cover-density rank → top-k.
+    */
+  def leg(
+      postings: DataFrame,
+      chunks: DataFrame,
+      query: WebsearchParser.ParsedQuery,
+      k: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    // stopword-only groups vanish (the to_tsquery('english') behavior the
+    // scan leg's english config applies); remaining groups AND together
+    val effective = query.groups.filter(_.exists(_.english.nonEmpty))
+    val nGroups = effective.length
+
+    val lookups = effective.zipWithIndex.flatMap { case (g, gi) =>
+      g.flatMap { a =>
+        if (a.isPhrase) Seq.empty
+        else Seq((a.simple.head, "simple", gi)) ++
+          a.english.headOption.map(t => (t, "english", gi))
+      }
+    }
+    val negLookups = query.negated.flatMap { a =>
+      if (a.isPhrase) Seq.empty
+      else Seq((a.simple.head, "simple")) ++ a.english.headOption.map((_, "english"))
+    }
+    if (lookups.isEmpty) return spark.emptyDataFrame
+
+    val lookupDf = broadcast(lookups.toDF("term", "config", "gi"))
+    val candidates = postings
+      .join(lookupDf, Seq("term", "config"))
+      .groupBy("chunk_id", "gi")
+      .agg(array_sort(array_distinct(flatten(collect_list("positions")))).as("pos"))
+      .groupBy("chunk_id")
+      .agg(collect_list(struct(col("gi"), col("pos"))).as("groups"),
+        countDistinct("gi").as("matched"))
+      .filter(col("matched") === nGroups)
+
+    val filtered = if (negLookups.isEmpty) candidates else {
+      val negDf = broadcast(negLookups.toDF("term", "config"))
+      candidates.join(
+        postings.join(negDf, Seq("term", "config")).select("chunk_id").distinct(),
+        Seq("chunk_id"), "left_anti")
+    }
+
+    val rankUdf = udf { groups: Seq[org.apache.spark.sql.Row] =>
+      val positions = groups
+        .map(r => r.getSeq[Int](1).toVector)
+        .filter(_.nonEmpty)
+      CoverDensityRank.rank32(positions.toVector)
+    }
+    filtered
+      .withColumn("raw_k", rankUdf(col("groups")))
+      .select("chunk_id", "raw_k")
+      .orderBy(desc("raw_k"), col("chunk_id"))
+      .limit(k)
+      .join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))
+  }
+
+  /** Postings can serve this query iff it has no phrase atoms (adjacency
+    * needs the full position streams, which the scan leg has). */
+  def supports(query: WebsearchParser.ParsedQuery): Boolean =
+    query.groups.forall(_.forall(!_.isPhrase)) && query.negated.forall(!_.isPhrase)
+}

@@ -207,8 +207,14 @@ object VectorSearch {
 object HybridSearch {
 
   /** Index handles: chunk + vector DataFrames (pre-filtered caches are the
-    * caller's choice; filters here prune partitions by container/model). */
-  final case class Index(chunks: DataFrame, vectors: DataFrame)
+    * caller's choice; filters here prune partitions by container/model).
+    * When a postings table is present, phrase-free keyword queries use the
+    * inverted-index leg instead of scanning token arrays (SURVEY §4.3).
+    */
+  final case class Index(
+      chunks: DataFrame,
+      vectors: DataFrame,
+      postings: Option[DataFrame] = None)
 
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
     var out = df.filter(col("container_id") === req.containerId) // P1
@@ -233,9 +239,19 @@ object HybridSearch {
         req.fusionMethod, "raw_v", "nv"))
     val keywordLeg =
       if (req.mode == "semantic") None
-      else Some(Fusion.normalize(
-        KeywordSearch.leg(chunks, req.query, fetchK),
-        req.fusionMethod, "raw_k", "nk"))
+      else {
+        val parsed = WebsearchParser.parse(req.query)
+        // postings carry (container_id, term) only — doc/path-scoped
+        // requests and phrase queries route to the scan leg
+        val raw = index.postings match {
+          case Some(p) if PostingsIndex.supports(parsed) &&
+              req.documentId.isEmpty && req.pathPrefix.isEmpty =>
+            PostingsIndex.leg(p.filter(col("container_id") === req.containerId),
+              chunks, parsed, fetchK)
+          case _ => KeywordSearch.leg(chunks, req.query, fetchK)
+        }
+        Some(Fusion.normalize(raw, req.fusionMethod, "raw_k", "nk"))
+      }
 
     val fused = (vectorLeg, keywordLeg) match {
       case (Some(v), Some(k)) => Fusion.fuse(v, k, req.alpha)

@@ -1,0 +1,90 @@
+package graft.search
+
+import graft.TestSpark
+import graft.ingest.IndexBuild
+import graft.model.ChunkingConfig
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PostingsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val chunks = {
+    val docs = Seq(
+      IndexBuild.RawDoc("d1", "c1", "/a.txt", "a.txt",
+        "spark shuffle tuning guide. spark partitions matter."),
+      IndexBuild.RawDoc("d2", "c1", "/b.txt", "b.txt",
+        "running jobs with shuffle services enabled."),
+      IndexBuild.RawDoc("d3", "c1", "/c.txt", "c.txt",
+        "nothing relevant in this one at all."),
+      IndexBuild.RawDoc("d4", "c2", "/d.txt", "d.txt",
+        "spark shuffle in another container."))
+      .toDS()
+    IndexBuild.chunkDocs(docs, graft.chunk.RecursiveChunker,
+      ChunkingConfig(maxChunkSize = 50, overlap = 0, minChunkSize = 2)).toDF()
+  }
+  private lazy val postings = PostingsIndex.build(chunks)
+
+  test("postings carry per-config positional lists") {
+    val spark1 = postings.filter($"term" === "spark" && $"config" === "simple" &&
+      $"chunk_id" === "d1:0").select("positions").as[Seq[Int]].head()
+    assert(spark1 == Seq(0, 4)) // "spark" at token positions 0 and 4
+    // stemmed config: "running" -> "run"
+    assert(postings.filter($"term" === "run" && $"config" === "english").count() == 1)
+    // stopword slots are absent from the english config
+    assert(postings.filter($"config" === "english" && $"term" === "the").count() == 0)
+  }
+
+  test("term stats count document frequency") {
+    // stats are per container: c1 has two chunks with "shuffle", c2 one
+    val stats = PostingsIndex.termStats(postings)
+      .filter($"term" === "shuffle" && $"config" === "simple")
+      .select("container_id", "df").as[(String, Long)].collect().toMap
+    assert(stats == Map("c1" -> 2L, "c2" -> 1L))
+  }
+
+  test("postings leg agrees with the scan leg on non-phrase queries") {
+    Seq("spark shuffle", "shuffle", "running", "spark -partitions",
+      "spark OR running", "spark absentterm").foreach { q =>
+      val parsed = WebsearchParser.parse(q)
+      assert(PostingsIndex.supports(parsed), q)
+      val viaPostings = PostingsIndex.leg(postings, chunks, parsed, 10)
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      val viaScan = KeywordSearch.leg(chunks, q, 10)
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      assert(viaPostings.keySet == viaScan.keySet, s"query '$q'")
+      viaPostings.foreach { case (id, r) =>
+        assert(math.abs(r - viaScan(id)) < 1e-12, s"query '$q' chunk $id")
+      }
+    }
+  }
+
+  test("phrase queries are routed away from postings") {
+    assert(!PostingsIndex.supports(WebsearchParser.parse("\"spark shuffle\"")))
+  }
+
+  test("container scoping via partition column") {
+    val parsed = WebsearchParser.parse("spark shuffle")
+    val hits = PostingsIndex.leg(
+      postings.filter($"container_id" === "c1"), chunks, parsed, 10)
+      .select("chunk_id").as[String].collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.startsWith("d1")))
+  }
+
+  test("end-to-end: built warehouse uses the postings leg") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-post").toString
+    val docs = Seq(
+      IndexBuild.RawDoc("dA", "cc", "/x.txt", "x.txt",
+        "keyword retrieval over inverted postings works fine."))
+      .toDS()
+    IndexBuild.build(spark, docs, wh)
+    val index = IndexBuild.loadIndex(spark, wh)
+    assert(index.postings.isDefined)
+    val hits = HybridSearch.search(index,
+      graft.model.SearchRequest("inverted postings", "cc", mode = "keyword", topK = 5),
+      graft.embed.HashEmbedder())
+    assert(hits.nonEmpty && hits.head.document_id == "dA")
+  }
+}
