@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers (SCALE.md): AQE's skew-join split handles most
+  * runtime skew, but known-hot keys (duplicate-heavy shingles, celebrity
+  * users) are cheaper to pre-salt — the salt spreads one hot key over N
+  * reducer partitions deterministically (no RNG: replays and retries see
+  * identical salts).
+  */
+object Skew {
+
+  /** Salted broadcast-free join for a skewed equi-join: the large side
+    * salts each row by a deterministic hash of `saltBy` (any column(s)
+    * that distribute within a key — e.g. the row's other id); the small
+    * side replicates once per salt bucket. Result equals
+    * `large.join(small, key)` with the hot key spread across
+    * `saltBuckets` partitions.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int,
+      saltBy: Column): DataFrame = {
+    require(saltBuckets > 0)
+    val l = large.withColumn("_salt", pmod(hash(saltBy), lit(saltBuckets)))
+    val s = small.withColumn("_salt",
+      explode(lit((0 until saltBuckets).toArray)))
+    l.join(s, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase salted aggregation: partial aggregate on (key, salt), then
+    * final on key. Equivalent to `df.groupBy(key).agg(sum(valueCol))` but
+    * no single reducer ever sees a whole hot key.
+    */
+  def saltedSum(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      saltBuckets: Int,
+      saltBy: Column): DataFrame = {
+    require(saltBuckets > 0)
+    df.withColumn("_salt", pmod(hash(saltBy), lit(saltBuckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueCol).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as(s"sum_$valueCol"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // 90% of rows share one hot key
+  private val large = (0 until 2000)
+    .map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong))
+    .toDF("key", "v")
+  private val small = Seq(("hot", "H"), ("k0", "A"), ("k3", "B"))
+    .toDF("key", "label")
+
+  test("salted join equals the plain join") {
+    val plain = large.join(small, Seq("key"))
+      .select("key", "v", "label").as[(String, Long, String)].collect().sorted
+    val salted = Skew.saltedJoin(large, small, "key", 8, col("v"))
+      .select("key", "v", "label").as[(String, Long, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.nonEmpty)
+  }
+
+  test("salted join spreads the hot key across buckets") {
+    val salts = large.withColumn("_salt", pmod(hash(col("v")), lit(8)))
+      .filter($"key" === "hot")
+      .select("_salt").distinct().count()
+    assert(salts > 4) // deterministic hash spreads over most buckets
+  }
+
+  test("salted sum equals the plain aggregation") {
+    val plain = large.groupBy("key").agg(sum("v").as("sum_v"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedSum(large, "key", "v", 8, col("v"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salting is deterministic across runs (replay-safe)") {
+    val a = Skew.saltedSum(large, "key", "v", 8, col("v")).collect().map(_.toString).sorted
+    val b = Skew.saltedSum(large, "key", "v", 8, col("v")).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+}
