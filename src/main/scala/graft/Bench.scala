@@ -30,7 +30,51 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // BASELINE-comparable derived metrics: index-build throughput (chunks/s,
+    // reference bottleneck ~100 ms/chunk => ~10 chunks/s/worker) and
+    // steady-state hybrid-search latency over cached index frames
+    // (reference: <100 ms with both legs + fusion).
+    val (chunksPerSec, hybridMs) = {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val embedder = graft.embed.HashEmbedder(64)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string"), col("lang"), col("source"), col("text"))
+        .as[(String, String, String, String)]
+        .map { case (id, lang, source, text) =>
+          graft.ingest.IndexBuild.RawDoc(id, lang, s"/$source/$id.txt", s"$id.txt", text)
+        }
+      val cfg = graft.model.ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
+      val t0 = System.nanoTime()
+      val chunks = graft.ingest.IndexBuild
+        .chunkDocs(docs, graft.chunk.RecursiveChunker, cfg).persist()
+      val vectors = graft.ingest.IndexBuild.embedChunks(chunks, None, embedder).persist()
+      val nChunks = vectors.count()
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      // interactive-serving config: few cached partitions, AQE off — tiny
+      // per-query jobs pay per-task overhead, not data cost (SCALE.md)
+      val index = graft.search.HybridSearch.Index(
+        chunks.toDF().coalesce(4).persist(),
+        vectors.join(chunks.toDF().select("chunk_id", "path"), Seq("chunk_id"))
+          .coalesce(4).persist())
+      val req = graft.model.SearchRequest("spark join window", "en", topK = 10)
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      graft.search.HybridSearch.search(index, req, embedder) // warm
+      val times = (1 to 5).map { _ =>
+        val s0 = System.nanoTime()
+        graft.search.HybridSearch.search(index, req, embedder)
+        (System.nanoTime() - s0) / 1e6
+      }.sorted
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      (nChunks / math.max(ingestSec, 1e-9), times(times.length / 2))
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)}}""")
     spark.stop()
   }
 }

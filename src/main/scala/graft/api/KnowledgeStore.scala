@@ -219,11 +219,16 @@ final class KnowledgeStore(
     cachedIndex = None
   }
 
-  /** The cached index frames (interactive-latency path). */
+  /** The cached index frames (interactive-latency path). Coalesced to few
+    * partitions: per-query jobs on a cached index pay per-task scheduling
+    * overhead, not data cost, so fewer fat partitions beat many thin ones
+    * (re-examine if a single container's index outgrows executor memory).
+    */
   private def index: HybridSearch.Index = synchronized {
     cachedIndex.getOrElse {
-      val chunks = chunksDf.persist()
-      val vectors = vectorsDf.join(chunks.select("chunk_id", "path"), Seq("chunk_id")).persist()
+      val chunks = chunksDf.coalesce(8).persist()
+      val vectors = vectorsDf.join(chunks.select("chunk_id", "path"), Seq("chunk_id"))
+        .coalesce(8).persist()
       val ix = HybridSearch.Index(chunks, vectors)
       cachedIndex = Some(ix)
       ix

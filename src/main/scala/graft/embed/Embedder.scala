@@ -27,16 +27,36 @@ trait Embedder extends Serializable {
 final case class HashEmbedder(dimensions: Int = 64) extends Embedder {
   override val modelId: String = s"hash-$dimensions-v1"
 
+  /** Per-token direction memo (token text -> unnormalized contribution).
+    * Tokens repeat heavily within a corpus, so this turns the per-token
+    * cost from dims hash calls into one map lookup. Bounded: beyond
+    * [[HashEmbedder.MemoLimit]] entries new tokens hash directly (no
+    * eviction churn on adversarial vocabularies). JVM-local, per executor.
+    */
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+
+  private def tokenVector(t: String): Array[Float] = {
+    val cached = memo.get(t)
+    if (cached != null) return cached
+    val v = new Array[Float](dimensions)
+    var d = 0
+    while (d < dimensions) {
+      val h = MurmurHash3.stringHash(t, d)
+      v(d) = ((((h % 2000) + 2000) % 2000) - 1000) / 1000.0f
+      d += 1
+    }
+    if (memo.size < HashEmbedder.MemoLimit) memo.putIfAbsent(t, v)
+    v
+  }
+
   override def embed(text: String): Array[Float] = {
     val toks = graft.text.Tokenizer.simple(text)
     val v = new Array[Float](dimensions)
     toks.foreach { t =>
+      val tv = tokenVector(t)
       var d = 0
-      while (d < dimensions) {
-        val h = MurmurHash3.stringHash(t, d)
-        v(d) += ((((h % 2000) + 2000) % 2000) - 1000) / 1000.0f
-        d += 1
-      }
+      while (d < dimensions) { v(d) += tv(d); d += 1 }
     }
     val norm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
     if (norm > 0f) {
@@ -45,6 +65,10 @@ final case class HashEmbedder(dimensions: Int = 64) extends Embedder {
     }
     v
   }
+}
+
+object HashEmbedder {
+  val MemoLimit = 65536
 }
 
 object VectorOps {

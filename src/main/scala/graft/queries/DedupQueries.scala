@@ -42,11 +42,14 @@ object DedupQueries {
         // n-gram Jaccard near-dup: distinct word-3-gram shingles, exploded
         // and self-joined on the shingle key (shuffle ∝ matching pairs, not
         // n²), then |∩| / |∪| per candidate pair.
+        // persist: consumed three times (counts + both self-join sides) —
+        // caching the exploded shingles beats re-tokenizing the corpus
         val sh = table(s, d, "documents")
           .withColumn("toks", expr(toksSpark("text")))
           .filter(size(col("toks")) >= 3)
           .withColumn("sh", explode(expr(shinglesSpark("toks"))))
           .select(col("doc_id"), col("sh"))
+          .persist()
         val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val pairs = sh.as("a")
           .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

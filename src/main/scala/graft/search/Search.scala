@@ -64,6 +64,26 @@ object Fusion {
           .when(col("nv").isNotNull, "vector").otherwise("keyword").as("source"))
   }
 
+  /** Scalar min-max / DBSF normalization over a leg's raw scores — the
+    * driver-side twin of the column forms above, used by the interactive
+    * path where legs are collected (<=200 rows) before fusion. */
+  def normalizeSeq(scores: Seq[Double], method: String): Seq[Double] =
+    method.toLowerCase match {
+      case "dbsf" =>
+        val n = scores.length
+        if (n == 0) return scores
+        val mu = scores.sum / n
+        val sd = math.sqrt(scores.map(x => (x - mu) * (x - mu)).sum / n)
+        if (sd < 1e-9) scores.map(_ => 1.0)
+        else scores.map(s => math.min(math.max((s - (mu - 3 * sd)) / (6 * sd), 0.0), 1.0))
+      case _ =>
+        if (scores.isEmpty) return scores
+        val mn = scores.min
+        val mx = scores.max
+        if (mx == mn) scores.map(_ => 1.0)
+        else scores.map(s => (s - mn) / (mx - mn))
+    }
+
   /** Largest-gap auto-cut index over desc-sorted scores: cut at the largest
     * consecutive gap iff it exceeds 10% of the range AND 2x the second
     * gap; lists of <=3 are never cut (ref :380-411). Returns how many hits
@@ -223,7 +243,36 @@ object HybridSearch {
     out
   }
 
+  /** One leg's collected hit: raw (un-normalized) score + hydration. */
+  private final case class LegHit(
+      chunkId: String, docId: String, content: String,
+      meta: Map[String, String], raw: Double)
+
+  private def collectLeg(df: DataFrame, rawCol: String): Seq[LegHit] =
+    df.collect().map { r =>
+      val mi = r.fieldIndex("metadata")
+      val meta =
+        if (r.isNullAt(mi)) Map.empty[String, String]
+        else r.getMap[String, String](mi).toMap
+      LegHit(r.getAs[String]("chunk_id"), r.getAs[String]("document_id"),
+        Option(r.getAs[String]("content")).getOrElse(""), meta,
+        r.getAs[Double](rawCol))
+    }.toSeq
+
+  /** Interactive search: the two legs run as CONCURRENT Spark jobs (the
+    * reference's parallel Task.Run legs, ref HybridSearchService.cs:
+    * 182-200) and are fused driver-side over their <=2·topK collected rows
+    * — normalization/merge/sort on ~200 rows is driver arithmetic, so the
+    * query pays two short scan jobs instead of a fusion DAG of joins and
+    * windows (roughly halves steady-state latency). The equivalent
+    * relational fusion plan remains available as Fusion.fuse (used by the
+    * oracled query battery, where the whole pipeline must stay in Spark).
+    */
   def search(index: Index, req: SearchRequest, embedder: Embedder): Seq[SearchHit] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
     val fetchK = math.max(req.topK * 2, req.topK) // legs over-fetch like the reference
     val chunks = scope(index.chunks, req)
     val vectors = {
@@ -232,14 +281,14 @@ object HybridSearch {
         .map(m => v.filter(col("model_id") === m)).getOrElse(v)
     }
 
-    val vectorLeg =
-      if (req.mode == "keyword") None
-      else Some(Fusion.normalize(
-        VectorSearch.leg(vectors, chunks, embedder.embed(req.query), fetchK),
-        req.fusionMethod, "raw_v", "nv"))
-    val keywordLeg =
-      if (req.mode == "semantic") None
-      else {
+    val vectorF: Future[Seq[LegHit]] =
+      if (req.mode == "keyword") Future.successful(Seq.empty)
+      else Future {
+        collectLeg(VectorSearch.leg(vectors, chunks, embedder.embed(req.query), fetchK), "raw_v")
+      }
+    val keywordF: Future[Seq[LegHit]] =
+      if (req.mode == "semantic") Future.successful(Seq.empty)
+      else Future {
         val parsed = WebsearchParser.parse(req.query)
         // postings carry (container_id, term) only — doc/path-scoped
         // requests and phrase queries route to the scan leg
@@ -250,37 +299,32 @@ object HybridSearch {
               chunks, parsed, fetchK)
           case _ => KeywordSearch.leg(chunks, req.query, fetchK)
         }
-        Some(Fusion.normalize(raw, req.fusionMethod, "raw_k", "nk"))
+        collectLeg(raw, "raw_k")
       }
+    val vHits = Await.result(vectorF, Duration.Inf)
+    val kHits = Await.result(keywordF, Duration.Inf)
 
-    val fused = (vectorLeg, keywordLeg) match {
-      case (Some(v), Some(k)) => Fusion.fuse(v, k, req.alpha)
-      case (Some(v), None) =>
-        v.select(col("chunk_id"), col("document_id"), col("content"), col("metadata"),
-          col("nv").as("score"), lit("vector").as("source"))
-      case (None, Some(k)) =>
-        k.select(col("chunk_id"), col("document_id"), col("content"), col("metadata"),
-          col("nk").as("score"), lit("keyword").as("source"))
-      case (None, None) => return Seq.empty
-    }
-
-    // driver-side tail (<=100 rows by validation bound, like the reference)
-    val collected = fused
-      .filter(col("score") >= req.minScore) // P5
-      .orderBy(desc("score"), col("chunk_id"))
-      .limit(100)
-      .collect()
-      .map { r =>
-        val mi = r.fieldIndex("metadata")
-        val meta =
-          if (r.isNullAt(mi)) Map.empty[String, String]
-          else r.getMap[String, String](mi).toMap
-        SearchHit(
-          r.getAs[String]("chunk_id"), r.getAs[String]("document_id"),
-          Option(r.getAs[String]("content")).getOrElse(""),
-          r.getAs[Double]("score"),
-          meta + ("source" -> r.getAs[String]("source")))
-      }.toSeq
+    // driver-side fusion (J3/A4/A5 on <=200 rows)
+    val nv = vHits.map(_.chunkId).zip(Fusion.normalizeSeq(vHits.map(_.raw), req.fusionMethod)).toMap
+    val nk = kHits.map(_.chunkId).zip(Fusion.normalizeSeq(kHits.map(_.raw), req.fusionMethod)).toMap
+    val byId = (vHits ++ kHits).map(h => h.chunkId -> h).toMap
+    val collected = byId.values.map { h =>
+      val v = nv.get(h.chunkId)
+      val k = nk.get(h.chunkId)
+      val score = req.alpha * v.getOrElse(0.0) + (1 - req.alpha) * k.getOrElse(0.0)
+      val source =
+        if (v.isDefined && k.isDefined) "both"
+        else if (v.isDefined) "vector" else "keyword"
+      val finalScore =
+        if (req.mode == "semantic") v.getOrElse(0.0)
+        else if (req.mode == "keyword") k.getOrElse(0.0)
+        else score
+      SearchHit(h.chunkId, h.docId, h.content, finalScore,
+        h.meta + ("source" -> source))
+    }.toSeq
+      .filter(_.score >= req.minScore) // P5
+      .sortBy(h => (-h.score, h.chunk_id))
+      .take(100)
 
     val cut = if (req.autoCut) Fusion.autocutIndex(collected.map(_.score)) else collected.length
     collected.take(cut).take(req.topK).map(Fusion.substituteWindow)
