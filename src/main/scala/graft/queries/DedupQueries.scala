@@ -206,6 +206,37 @@ object DedupQueries {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
         ORDER BY doc_a, doc_b"""),
-      doc = "SimHash near-dup pairs (Hamming distance <= 4)")
+      doc = "SimHash near-dup pairs (Hamming distance <= 4)"),
+
+    QueryDef(
+      "q56_dedup_canonical",
+      (s, d) => {
+        // Dedup with canonical selection: cluster by content key, keep the
+        // highest-quality member (most tokens, ties to lowest id) — the
+        // standard "which copy survives" step of a pretraining dedup pass.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("dup_key").orderBy(desc("n_tok"), col("doc_id"))
+        table(s, d, "documents")
+          .withColumn("dup_key", sha2(substring(col("text"), 1, 50), 256))
+          .withColumn("n_tok", size(expr(toksSpark("text"))))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cluster_size", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("dup_key")))
+          .filter(col("cluster_size") > 1)
+          .select(col("dup_key"), col("doc_id"), col("n_tok"),
+            (col("rn") === 1).cast("int").as("is_canonical"))
+          .orderBy("dup_key", "doc_id")
+      },
+      Some(s"""
+        SELECT dup_key, doc_id, n_tok,
+               CASE WHEN row_number() OVER (PARTITION BY dup_key ORDER BY n_tok DESC, doc_id) = 1
+                    THEN 1 ELSE 0 END AS is_canonical
+        FROM (SELECT sha256(substr(text, 1, 50)) dup_key, doc_id,
+                     len(${toksDuck("text")}) n_tok,
+                     count(*) OVER (PARTITION BY sha256(substr(text, 1, 50))) cluster_size
+              FROM documents)
+        WHERE cluster_size > 1
+        ORDER BY dup_key, doc_id"""),
+      doc = "dedup canonical selection (best-quality survivor per cluster)")
   )
 }

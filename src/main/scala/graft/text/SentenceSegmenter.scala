@@ -30,7 +30,8 @@ object SentenceSegmenter {
       if (c == '\n') {
         // blank line (paragraph break) always ends a sentence
         pos + 1 >= n || text.charAt(pos + 1) == '\n'
-      } else if (c == '!' || c == '?') {
+      } else if (c == '!' || c == '?' || c == '。' || c == '！' || c == '？') {
+        // CJK fullwidth terminators end sentences unconditionally
         true
       } else if (c == '.') {
         // not a boundary inside "..." unless it's the last dot

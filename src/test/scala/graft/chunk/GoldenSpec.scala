@@ -1,0 +1,66 @@
+package graft.chunk
+
+import graft.embed.HashEmbedder
+import graft.model.{ChunkingConfig, ParsedDocument}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-output freeze of the chunker family over the FIXTURES.md B.1
+  * corpus (src/test/resources/fixtures). Goldens are generated ONCE (run
+  * `GoldenSpec.regenerate` via -Dgraft.regen=true), committed, and any
+  * later semantic drift in a chunker fails here before it can silently
+  * change index contents between rounds.
+  *
+  * Golden format: one line per chunk,
+  * `index<TAB>tokenCount<TAB>start<TAB>end<TAB>sha256(content)<TAB>meta-keys`.
+  */
+class GoldenSpec extends AnyFunSuite {
+  private val fixtureRoot = new java.io.File("src/test/resources/fixtures")
+  private val docsDir = new java.io.File(fixtureRoot, "documents")
+  private val goldenDir = new java.io.File(fixtureRoot, "expected_chunks")
+
+  private val configs = Map(
+    "default" -> ChunkingConfig(),
+    "small" -> ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8))
+
+  private def chunkers: Map[String, Chunker] = Map(
+    "fixedsize" -> FixedSizeChunker,
+    "recursive" -> RecursiveChunker,
+    "documentaware" -> DocumentAwareChunker,
+    "sentencewindow" -> SentenceWindowChunker,
+    "sentenceaware" -> SentenceAwareFixedSizeChunker,
+    "semantic" -> new SemanticChunker(HashEmbedder(16)))
+
+  private def sha(s: String): String = graft.ingest.IndexBuild.sha256(s)
+
+  private def render(doc: String, chunker: Chunker, cfg: ChunkingConfig): String = {
+    val text = java.nio.file.Files.readString(
+      docsDir.toPath.resolve(doc), java.nio.charset.StandardCharsets.UTF_8)
+    chunker.chunk(ParsedDocument(text), cfg)
+      .map(c => Seq(c.chunkIndex, c.tokenCount, c.startOffset, c.endOffset,
+        sha(c.content), c.metadata.keys.toSeq.sorted.mkString(",")).mkString("\t"))
+      .mkString("\n")
+  }
+
+  private val docs = docsDir.listFiles().filter(_.isFile).map(_.getName).sorted
+
+  private val regen = sys.props.get("graft.regen").contains("true")
+
+  for {
+    (cfgName, cfg) <- configs
+    (chName, ch) <- chunkers
+    doc <- docs
+  } test(s"golden: $chName/$cfgName/$doc") {
+    val goldenFile = new java.io.File(goldenDir, s"$chName/$cfgName/$doc.golden")
+    val got = render(doc, ch, cfg)
+    if (regen || !goldenFile.exists()) {
+      goldenFile.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(goldenFile.toPath, got)
+      info(s"golden written: ${goldenFile.getPath}")
+    } else {
+      val want = java.nio.file.Files.readString(goldenFile.toPath)
+      assert(got == want,
+        s"chunker output drifted from frozen golden ${goldenFile.getPath} — " +
+          "if intentional, regenerate with -Dgraft.regen=true and review the diff")
+    }
+  }
+}

@@ -78,6 +78,10 @@ class SentenceSegmenterSpec extends AnyFunSuite {
     assert(sentences("") == Vector.empty)
     assert(sentences("   \n\n  ") == Vector.empty)
   }
+  test("CJK fullwidth terminators split") {
+    assert(sentences("这是第一句。这是第二句！好吗？") ==
+      Vector("这是第一句。", "这是第二句！", "好吗？"))
+  }
 }
 
 class MarkdownSectionsSpec extends AnyFunSuite {
