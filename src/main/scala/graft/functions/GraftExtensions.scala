@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: makes the engine's native functions
+  * available to ANY session — including pure-SQL users — via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * (SURVEY §4.2: no custom Rule/Strategy is needed for v0 — the one
+  * genuinely custom piece is the expression layer, registered here.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -25,14 +25,14 @@ object AnnQueries {
         a.join(b, col("id_b") === col("id_a") + 1)
           .withColumn("sim", expr(cosSpark("va", "vb")))
           .select(col("id_a").as("vec_id"),
-            round(col("sim"), 6).as("cos_sim"),
-            round(lit(1.0) - col("sim"), 6).as("cos_dist"))
+            (round(col("sim"), 6) + 0.0).as("cos_sim"),
+            (round(lit(1.0) - col("sim"), 6) + 0.0).as("cos_dist"))
           .orderBy("vec_id")
       },
       Some(s"""
         SELECT a.vec_id AS vec_id,
-               round(${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_sim,
-               round(1.0 - ${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_dist
+               round(${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) + 0.0 AS cos_sim,
+               round(1.0 - ${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) + 0.0 AS cos_dist
         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         ORDER BY vec_id"""),
       doc = "F1/F2 exact cosine similarity/distance"),
@@ -52,7 +52,7 @@ object AnnQueries {
           .withColumn("sim", expr(cosSpark("vq", "vn")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
-          .select(col("qid"), col("nid"), round(col("sim"), 6).as("cos_sim"), col("rank"))
+          .select(col("qid"), col("nid"), (round(col("sim"), 6) + 0.0).as("cos_sim"), col("rank"))
           .orderBy("qid", "rank")
       },
       Some(s"""
@@ -61,7 +61,7 @@ object AnnQueries {
              scored AS (SELECT qid, nid, ${cosDuck("vq", "vn")} sim,
                                row_number() OVER (PARTITION BY qid ORDER BY ${cosDuck("vq", "vn")} DESC, nid) rank
                         FROM q JOIN c ON qid <> nid)
-        SELECT qid, nid, round(sim, 6) AS cos_sim, rank
+        SELECT qid, nid, round(sim, 6) + 0.0 AS cos_sim, rank
         FROM scored WHERE rank <= 10 ORDER BY qid, rank"""),
       doc = "ANN baseline: brute-force cosine top-k per query"),
 
@@ -94,7 +94,7 @@ object AnnQueries {
           .withColumn("sim", expr(cosSpark("vq", "vn")))
           .withColumn("rank", row_number().over(wn))
           .filter(col("rank") <= 5)
-          .select(col("qid"), col("nid"), round(col("sim"), 6).as("cos_sim"), col("rank"))
+          .select(col("qid"), col("nid"), (round(col("sim"), 6) + 0.0).as("cos_sim"), col("rank"))
           .orderBy("qid", "rank")
       },
       Some(s"""
@@ -114,7 +114,7 @@ object AnnQueries {
                                row_number() OVER (PARTITION BY qid ORDER BY ${cosDuck("vq", "v")} DESC, vec_id) rank
                         FROM routed JOIN ew USING (label)
                         WHERE qid <> vec_id)
-        SELECT qid, nid, round(sim, 6) AS cos_sim, rank
+        SELECT qid, nid, round(sim, 6) + 0.0 AS cos_sim, rank
         FROM scored WHERE rank <= 5 ORDER BY qid, rank"""),
       doc = "IVF-pruned ANN: centroid routing + partition-local top-k"),
 
@@ -128,12 +128,12 @@ object AnnQueries {
           .groupBy("label")
           .agg(graft.functions.MeanPoolAggregator.column(col("embedding")).as("centroid"))
           .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
-          .select(col("label"), (col("pos") + 1).as("pos"), round(col("v").cast("double"), 4).as("v"))
+          .select(col("label"), (col("pos") + 1).as("pos"), (round(col("v").cast("double"), 4) + 0.0).as("v"))
           .orderBy("label", "pos"),
       Some("""
         -- CAST .. AS REAL mirrors the Spark side's float-valued centroid, so
         -- both engines quantize identically before rounding
-        SELECT label, i AS pos, round(CAST(CAST(avg(v) AS REAL) AS DOUBLE), 4) AS v
+        SELECT label, i AS pos, round(CAST(CAST(avg(v) AS REAL) AS DOUBLE), 4) + 0.0 AS v
         FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) v,
                      unnest(range(1, 65)) i
               FROM embeddings)

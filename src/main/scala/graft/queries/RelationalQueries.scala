@@ -370,11 +370,11 @@ object RelationalQueries {
         table(s, d, "events")
           .withColumn("nxt", lead(col("value"), 1).over(w))
           .filter(col("nxt").isNotNull)
-          .select(col("event_id"), round(col("nxt") - col("value"), 6).as("delta"))
+          .select(col("event_id"), (round(col("nxt") - col("value"), 6) + 0.0).as("delta"))
           .orderBy("event_id")
       },
       Some("""
-        SELECT event_id, round(nxt - value, 6) AS delta
+        SELECT event_id, round(nxt - value, 6) + 0.0 AS delta
         FROM (SELECT event_id, value,
                      lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt
               FROM events)
@@ -390,11 +390,11 @@ object RelationalQueries {
           .withColumn("prv", lag(col("value"), 1).over(w))
           .withColumn("nxt", lead(col("value"), 1).over(w))
           .filter(col("prv").isNotNull && col("nxt").isNotNull)
-          .select(col("event_id"), round((col("nxt") - col("prv")) / 2.0, 6).as("grad"))
+          .select(col("event_id"), (round((col("nxt") - col("prv")) / 2.0, 6) + 0.0).as("grad"))
           .orderBy("event_id")
       },
       Some("""
-        SELECT event_id, round((nxt - prv) / 2.0, 6) AS grad
+        SELECT event_id, round((nxt - prv) / 2.0, 6) + 0.0 AS grad
         FROM (SELECT event_id,
                      lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) prv,
                      lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt

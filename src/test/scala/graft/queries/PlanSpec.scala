@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard: the scale properties SCALE.md claims
+  * (pushdown, pruned read schema, broadcast dims, map-side partial agg,
+  * distributed top-k) must stay true as queries evolve — a silently
+  * regressed plan is exactly the class of bug correctness tests miss.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Catalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters push into the parquet scan with pruned columns (q03)") {
+    val p = plan("q03_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(p_name)"), p.take(800))
+    assert(p.contains("StringStartsWith(p_name,small)"), p.take(800))
+    // pruned: only the 5 referenced columns are read
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int>"),
+      p.take(800))
+  }
+
+  test("dimension joins broadcast (q04)") {
+    val p = plan("q04_join3_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("aggregation is partial (map-side combine) (q01)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), p.take(800))
+  }
+
+  test("global top-k avoids a full sort (q02)") {
+    val p = plan("q02_topk_events")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  // (codegen participation of CosineSimilarity is asserted in
+  // CosineSimilaritySpec over a join, where whole-stage codegen engages)
+
+  test("SparkSessionExtensions registers cosine_sim for SQL users") {
+    new graft.functions.GraftExtensions()
+    // function injection is builder-time; validate the registry path used
+    // by the extension directly
+    graft.functions.CosineSimilarity.register(spark)
+    import spark.implicits._
+    Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b").createOrReplaceTempView("ext_v")
+    val r = spark.sql("SELECT cosine_sim(a, b) FROM ext_v").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
