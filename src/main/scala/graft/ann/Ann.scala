@@ -42,7 +42,7 @@ final case class HyperplaneLsh(dims: Int, bits: Int = 16, tables: Int = 4, seed:
   /** Deterministic hyperplanes: unit-free gaussian-ish values from a
     * splitmix-style hash — reproducible across executors with no shared
     * state. */
-  private[ann] def hyperplane(table: Int, bit: Int): Array[Double] = {
+  private def hyperplane(table: Int, bit: Int): Array[Double] = {
     val out = new Array[Double](dims)
     var i = 0
     while (i < dims) {
@@ -59,7 +59,7 @@ final case class HyperplaneLsh(dims: Int, bits: Int = 16, tables: Int = 4, seed:
   }
 
   /** Signature of one vector in one table. */
-  private[ann] def signature(v: Array[Float], table: Int): Long = {
+  def signature(v: Array[Float], table: Int): Long = {
     var sig = 0L
     var b = 0
     while (b < bits) {

@@ -1,0 +1,131 @@
+package graft.functions
+
+import graft.ann.HyperplaneLsh
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Catalyst optimizer rule (SURVEY §4.2's "candidate later" ANN rewrite):
+  * a brute-force cosine top-k —
+  *
+  *   relation.withColumn("sim", cosine_sim(embedding, queryLiteral))
+  *           .orderBy(desc("sim")).limit(k)
+  *
+  * — over a relation that carries LSH bucket columns (`lsh_b0..lsh_b{T-1}`,
+  * written by the index build) is rewritten to pre-filter on the query
+  * vector's own bucket signatures:
+  *
+  *   Filter(lsh_b0 = sig0(q) OR ... OR lsh_bT = sigT(q))  <- injected
+  *
+  * The scan then touches only bucket-colliding candidates; the original
+  * Sort+Limit re-ranks them exactly. This trades exactness for scan cost
+  * (standard ANN), so the rule is OPT-IN:
+  * `spark.conf.set("spark.graft.ann.lshRewrite", "true")`.
+  *
+  * Bucket-column convention: [[annBucketCols]] names, produced with the
+  * same [[HyperplaneLsh]] seed/bits as [[signaturesFor]] computes at plan
+  * time from the query literal.
+  */
+case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption(AnnTopKRewrite.ConfKey).contains("true")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      // limit(k) over Sort; cosine either sorted directly or via an alias
+      // produced by the Project beneath the Sort
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_,
+          s @ Sort(Seq(SortOrder(sortExpr, Descending, _, _)), true, child, _))) =>
+        rewriteSorted(sortExpr, child) match {
+          case Some(newChild) => gl.copy(child = ll.copy(child = s.copy(child = newChild)))
+          case None => gl
+        }
+    }
+  }
+
+  /** If `child` (possibly through a Project) scans a relation with LSH
+    * bucket columns and the sort key is a cosine_sim against a literal,
+    * return the child with the bucket Filter injected. */
+  private def rewriteSorted(sortExpr: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+    // resolve the sorted expression to the underlying CosineSimilarity
+    val cosine: Option[CosineSimilarity] = sortExpr match {
+      case c: CosineSimilarity => Some(c)
+      case attr: Attribute =>
+        child match {
+          case Project(projList, _) =>
+            projList.collectFirst {
+              case a @ Alias(c: CosineSimilarity, _) if a.exprId == attr.exprId => c
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+    cosine.flatMap {
+      case CosineSimilarity(_, Literal(qv: ArrayData, _)) =>
+        val q = qv.toFloatArray()
+        injectFilter(child, q)
+      case CosineSimilarity(Literal(qv: ArrayData, _), _) =>
+        val q = qv.toFloatArray()
+        injectFilter(child, q)
+      case _ => None
+    }
+  }
+
+  private def injectFilter(plan: LogicalPlan, q: Array[Float]): Option[LogicalPlan] = {
+    def bucketAttrs(p: LogicalPlan): Seq[Attribute] =
+      AnnTopKRewrite.annBucketCols.flatMap(n => p.output.find(_.name == n))
+
+    def alreadyFiltered(p: LogicalPlan): Boolean = p.exists {
+      case Filter(cond, _) =>
+        cond.references.exists(a => AnnTopKRewrite.annBucketCols.contains(a.name))
+      case _ => false
+    }
+
+    if (alreadyFiltered(plan)) return None
+
+    def inject(p: LogicalPlan): Option[LogicalPlan] = {
+      val attrs = bucketAttrs(p)
+      if (attrs.length == AnnTopKRewrite.annBucketCols.length) {
+        val lsh = HyperplaneLsh(dims = q.length,
+          bits = AnnTopKRewrite.Bits, tables = AnnTopKRewrite.Tables)
+        val cond = attrs.zipWithIndex
+          .map { case (a, t) => EqualTo(a, Literal(lsh.signature(q, t))): Expression }
+          .reduce(Or)
+        Some(Filter(cond, p))
+      } else p match {
+        case proj @ Project(_, inner) => inject(inner).map(f => proj.copy(child = f))
+        case f @ Filter(_, inner) => inject(inner).map(nf => f.copy(child = nf))
+        case _ => None
+      }
+    }
+    inject(plan)
+  }
+}
+
+object AnnTopKRewrite {
+  val ConfKey = "spark.graft.ann.lshRewrite"
+  // 8 bits x 8 tables: P(bucket match per table) = ((pi-theta)/pi)^8, so a
+  // cosine-0.7 neighbor collides in >=1 of 8 tables with p~0.56 while a
+  // random vector collides with p~0.03 — recall-vs-pruning knob; fewer
+  // bits/more tables favor recall
+  val Tables = 8
+  val Bits = 8
+
+  /** Bucket column names the index build writes and the rule matches. */
+  val annBucketCols: Seq[String] = (0 until Tables).map(t => s"lsh_b$t")
+
+  /** Column expressions adding the bucket columns to a vector DataFrame. */
+  def withBucketColumns(df: org.apache.spark.sql.DataFrame, dims: Int): org.apache.spark.sql.DataFrame = {
+    val lsh = HyperplaneLsh(dims = dims, bits = Bits, tables = Tables)
+    val sigUdf = org.apache.spark.sql.functions.udf(
+      (v: Seq[Float], t: Int) => lsh.signature(v.toArray, t))
+    annBucketCols.zipWithIndex.foldLeft(df) { case (d, (n, t)) =>
+      d.withColumn(n, sigUdf(org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.lit(t)))
+    }
+  }
+}

@@ -129,9 +129,14 @@ object IndexBuild {
     val all =
       if (cache.isDefined) withPre.unionByName(cached).unionByName(embedded)
       else withPre.unionByName(embedded)
-    all
-      .withColumn("model_id", lit(embedder.modelId))
-      .withColumn("dimensions", lit(embedder.dimensions))
+    // LSH bucket columns ride with every vector row (written by ALL
+    // producers — batch build, API appends, streaming — so the ANN rewrite
+    // rule can prefilter any vector scan)
+    graft.functions.AnnTopKRewrite.withBucketColumns(
+      all
+        .withColumn("model_id", lit(embedder.modelId))
+        .withColumn("dimensions", lit(embedder.dimensions)),
+      embedder.dimensions)
   }
 
   /** Full build: writes `chunks/`, `vectors/`, `embed_cache/`, `ledger/`

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.embed.HashEmbedder
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fresh sessions ignore builder-time extensions when one already exists in
+  * the JVM (getOrCreate), so this suite attaches the rule through the
+  * shared session's experimental.extraOptimizations hook — the same rule
+  * instance GraftExtensions injects at builder time.
+  */
+class AnnRewriteSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = {
+    val s = graft.TestSpark.spark
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AnnTopKRewrite]))
+      s.experimental.extraOptimizations ++= Seq(AnnTopKRewrite(s))
+    s
+  }
+
+  private val emb = HashEmbedder(32)
+  private lazy val vectors = {
+    import spark.implicits._
+    val base = (0 until 400)
+      .map(i => (i.toLong, emb.embed(s"topic ${i % 8} item ${i / 8} words about topic ${i % 8}")))
+      .toDF("id", "embedding")
+    AnnTopKRewrite.withBucketColumns(base, 32).persist()
+  }
+  private lazy val q = emb.embed("topic 3 words about topic 3")
+
+  private def topkPlan = vectors
+    .withColumn("sim", CosineSimilarity.toQuery(col("embedding"), q))
+    .orderBy(desc("sim"))
+    .limit(10)
+
+  test("rule is inert unless enabled") {
+    spark.conf.unset(AnnTopKRewrite.ConfKey)
+    val p = topkPlan.queryExecution.optimizedPlan.toString
+    assert(!p.contains("lsh_b0 ="), p)
+  }
+
+  test("enabled: bucket prefilter is injected below the sort") {
+    spark.conf.set(AnnTopKRewrite.ConfKey, "true")
+    try {
+      val p = topkPlan.queryExecution.optimizedPlan.toString
+      assert(p.contains("lsh_b0"), p)
+      assert(p.contains("Filter"), p)
+    } finally spark.conf.unset(AnnTopKRewrite.ConfKey)
+  }
+
+  test("enabled: results are a high-recall subset of brute force") {
+    val exact = topkPlan.collect().map(_.getLong(0)).toSet
+    spark.conf.set(AnnTopKRewrite.ConfKey, "true")
+    try {
+      val approx = topkPlan.collect().map(_.getLong(0)).toSet
+      assert(approx.size <= 10)
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall, approx=$approx exact=$exact")
+      // and it actually pruned: candidate count < corpus
+      val candidates = {
+        val lsh = graft.ann.HyperplaneLsh(32, AnnTopKRewrite.Bits, AnnTopKRewrite.Tables)
+        val sigs = (0 until AnnTopKRewrite.Tables).map(t => lsh.signature(q, t))
+        vectors.filter(
+          AnnTopKRewrite.annBucketCols.zip(sigs)
+            .map { case (c, s) => col(c) === s }.reduce(_ || _)).count()
+      }
+      assert(candidates < 400, s"no pruning: $candidates")
+    } finally spark.conf.unset(AnnTopKRewrite.ConfKey)
+  }
+}
