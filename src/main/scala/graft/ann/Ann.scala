@@ -58,12 +58,19 @@ final case class HyperplaneLsh(dims: Int, bits: Int = 16, tables: Int = 4, seed:
     out
   }
 
+  /** All hyperplanes, materialized once per instance (and once per
+    * executor after task deserialization) — regenerating them per row made
+    * signatures dominate ingest cost. */
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits)((t, b) => hyperplane(t, b))
+
   /** Signature of one vector in one table. */
   def signature(v: Array[Float], table: Int): Long = {
+    val tp = planes(table)
     var sig = 0L
     var b = 0
     while (b < bits) {
-      val h = hyperplane(table, b)
+      val h = tp(b)
       var dot = 0.0
       var i = 0
       while (i < v.length) { dot += v(i) * h(i); i += 1 }

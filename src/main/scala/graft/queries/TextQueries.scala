@@ -290,6 +290,56 @@ object TextQueries {
                CASE WHEN decode(from_base64(to_base64(encode(substr(text, 1, 40)))))
                          = substr(text, 1, 40) THEN 1 ELSE 0 END AS ok
         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
-      doc = "F9 base64 encode/decode round-trip")
+      doc = "F9 base64 encode/decode round-trip"),
+
+    QueryDef(
+      "q57_pretrain_filter",
+      (s, d) => {
+        // Composite pretraining filter — the realistic end-to-end data-prep
+        // op: length gate, lexical-diversity gate, language proxy, and
+        // duplicate suppression (keep only cluster canonicals), each drop
+        // tagged with its first failing rule.
+        val wDup = Window.partitionBy("dup_key").orderBy(desc("n_tok"), col("doc_id"))
+        table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("uniq_ratio",
+            expr("size(array_distinct(toks))").cast("double") / greatest(col("n_tok"), lit(1)))
+          .withColumn("stop_ratio",
+            expr(s"size(filter(toks, t -> t IN $stopSqlList))").cast("double") /
+              greatest(col("n_tok"), lit(1)))
+          .withColumn("dup_key", sha2(substring(col("text"), 1, 50), 256))
+          .withColumn("dup_rank", row_number().over(wDup))
+          .withColumn("verdict",
+            when(col("n_tok") < 20, "too_short")
+              .when(col("n_tok") > 2000, "too_long")
+              .when(col("uniq_ratio") < 0.3, "low_diversity")
+              .when(col("stop_ratio") < 0.02, "non_english")
+              .when(col("dup_rank") > 1, "duplicate")
+              .otherwise("kept"))
+          .select(col("doc_id"), col("n_tok"),
+            round(col("uniq_ratio"), 6).as("uniq_ratio"), col("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, n_tok, round(uniq_ratio, 6) AS uniq_ratio,
+               CASE WHEN n_tok < 20 THEN 'too_short'
+                    WHEN n_tok > 2000 THEN 'too_long'
+                    WHEN uniq_ratio < 0.3 THEN 'low_diversity'
+                    WHEN stop_ratio < 0.02 THEN 'non_english'
+                    WHEN dup_rank > 1 THEN 'duplicate'
+                    ELSE 'kept' END AS verdict
+        FROM (SELECT doc_id, n_tok,
+                     CAST(n_uniq AS DOUBLE) / greatest(n_tok, 1) uniq_ratio,
+                     CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) stop_ratio,
+                     row_number() OVER (PARTITION BY dup_key ORDER BY n_tok DESC, doc_id) dup_rank
+              FROM (SELECT doc_id,
+                           len(toks) n_tok,
+                           len(list_distinct(toks)) n_uniq,
+                           len(list_filter(toks, t -> t IN $stopSqlList)) n_stop,
+                           sha256(substr(text, 1, 50)) dup_key
+                    FROM (SELECT doc_id, text, ${toksDuck("text")} toks FROM documents)))
+        ORDER BY doc_id"""),
+      doc = "composite pretraining filter: quality + language + dedup gates")
   )
 }
