@@ -502,6 +502,59 @@ object RelationalQueries {
                                  THEN (SELECT irn FROM g1) ELSE 1000000 END c)
         SELECT event_id, round(value, 6) AS score, rn FROM ranked
         WHERE rn <= (SELECT c FROM cut) ORDER BY rn"""),
-      doc = "W5 largest-gap auto-cut of a ranked result list")
+      doc = "W5 largest-gap auto-cut of a ranked result list"),
+
+    QueryDef(
+      "q58_event_windows",
+      (s, d) =>
+        // Tumbling event-time windows over the stream table (batch form of
+        // the Structured Streaming aggregation in StreamingSpec — identical
+        // keys/values, so the stream's correctness is oracle-anchored here).
+        // ts is epoch-nanos (nanosAsLong); 1-hour buckets.
+        table(s, d, "events")
+          .withColumn("window_start", (col("ts") / lit(3600000000000L)).cast("long"))
+          .groupBy("window_start", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value"))
+          .orderBy("window_start", "event_type"),
+      Some("""
+        SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS window_start,
+               event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+      doc = "tumbling event-time window aggregation (stream-table batch twin)"),
+
+    QueryDef(
+      "q59_sessionize",
+      (s, d) => {
+        // Sessionization: a >30-minute gap starts a new session — the
+        // classic large-scale event-pipeline op (lag + running sum of
+        // boundaries, then per-session rollup).
+        val gapNs = 30L * 60 * 1000000000L
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        table(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1).otherwise(0))
+          .withColumn("session_id", sum("new_session").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            floor((max("ts") - min("ts")) / lit(1000000000L)).cast("long").as("duration_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH g AS (SELECT user_id, event_id, epoch_ns(ts) tsn,
+                          lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+                   FROM events),
+             ses AS (SELECT user_id, event_id, tsn,
+                            sum(CASE WHEN prev_ts IS NULL OR tsn - prev_ts > 1800000000000 THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+                     FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+               CAST(floor((max(tsn) - min(tsn)) / 1000000000) AS BIGINT) AS duration_s
+        FROM ses GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""),
+      doc = "sessionization: gap-based session assignment + rollup")
   )
 }

@@ -48,6 +48,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(compacted.count() == latestCount)
   }
 
+  test("windowed stream aggregation with watermark matches the batch twin (q58)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source wants a directory, not one file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_counts")
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch twin (same bucketing as q58: hour buckets over epoch time)
+    val batch = graft.queries.Catalog.table(spark, sf, "events")
+      .withColumn("w", (expr("ts div 3600000000000") * 3600).cast("long"))
+      .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("file-source stream ingests a directory end-to-end (T1)") {
     val root = java.nio.file.Files.createTempDirectory("graft-st-in")
     val wh = java.nio.file.Files.createTempDirectory("graft-st-wh2").toString
