@@ -92,4 +92,8 @@ final case class SearchRequest(
     autoCut: Boolean = false,
     pathPrefix: Option[String] = None,
     documentId: Option[String] = None,
-    modelId: Option[String] = None)
+    modelId: Option[String] = None,
+    /** Semantic requests upgrade to Hybrid so the keyword leg recalls
+      * chunks whose vectors belong to other models
+      * (ref HybridSearchService.cs:89-96 EnableCrossModelSearch). */
+    crossModelSearch: Boolean = false)

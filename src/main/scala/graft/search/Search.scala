@@ -268,11 +268,16 @@ object HybridSearch {
     * relational fusion plan remains available as Fusion.fuse (used by the
     * oracled query battery, where the whole pipeline must stay in Spark).
     */
-  def search(index: Index, req: SearchRequest, embedder: Embedder): Seq[SearchHit] = {
+  def search(index: Index, req0: SearchRequest, embedder: Embedder): Seq[SearchHit] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
 
+    // cross-model override: Semantic -> Hybrid so the keyword leg reaches
+    // chunks embedded under other models (ref :89-96)
+    val req =
+      if (req0.mode == "semantic" && req0.crossModelSearch) req0.copy(mode = "hybrid")
+      else req0
     val fetchK = math.max(req.topK * 2, req.topK) // legs over-fetch like the reference
     val chunks = scope(index.chunks, req)
     val vectors = {

@@ -219,6 +219,51 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("cross-model vectors are filtered out (P4) — mixed-model table stays searchable") {
+    // two models with different dimensions in ONE vector table: the model
+    // filter must scope the leg to the query embedder's model, or cosine
+    // would compare incompatible spaces (ref: cross-model cosine is
+    // meaningless, VectorSearchService.cs:65-70)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val other = HashEmbedder(16)
+    val otherVecs = index.chunks
+      .select(col("chunk_id"), col("document_id"), col("container_id"), col("path"), col("content"))
+      .as[(String, String, String, String, String)]
+      .map { case (cid, did, cont, path, content) =>
+        (cid, did, cont, path, other.embed(content), other.modelId, other.dimensions)
+      }
+      .toDF("chunk_id", "document_id", "container_id", "path", "embedding", "model_id", "dimensions")
+    val mixed = HybridSearch.Index(
+      index.chunks,
+      index.vectors.select("chunk_id", "document_id", "container_id", "path",
+        "embedding", "model_id", "dimensions").unionByName(otherVecs),
+      index.postings)
+    // searching with the 32-dim embedder must not throw and must rank as
+    // before (16-dim rows excluded by the model filter)
+    val hits = HybridSearch.search(mixed,
+      graft.model.SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3),
+      embedder)
+    assert(hits.nonEmpty)
+    assert(hits.head.document_id == "doc-embed")
+    // and the other model works too, scoped to its own vectors
+    val hits16 = HybridSearch.search(mixed,
+      graft.model.SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3),
+      other)
+    assert(hits16.nonEmpty)
+  }
+
+  test("cross-model override upgrades semantic to hybrid (ref :89-96)") {
+    // keyword-only content match: semantic alone could miss it if its
+    // vector lived under another model; with the override the keyword leg
+    // still recalls it
+    val hits = HybridSearch.search(index,
+      graft.model.SearchRequest("\"convex combination\"", "c1", mode = "semantic",
+        topK = 5, crossModelSearch = true), embedder)
+    assert(hits.exists(_.document_id == "doc-search"))
+    assert(hits.exists(_.metadata("source") != "vector")) // keyword leg ran
+  }
+
   test("minScore filters (P5) and topK bounds (K3)") {
     val all = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 2), embedder)
