@@ -138,6 +138,31 @@ object AnnQueries {
                      unnest(range(1, 65)) i
               FROM embeddings)
         GROUP BY label, i ORDER BY label, pos"""),
-      doc = "A3 mean-pool embedding via typed Aggregator (partial agg)")
+      doc = "A3 mean-pool embedding via typed Aggregator (partial agg)"),
+
+    QueryDef(
+      "q60_closest_pairs",
+      (s, d) => {
+        // Embedding-cosine near-dup, closest-pairs form: global top-20 most
+        // similar vector pairs (the all-pairs dedup report; the corpus has
+        // no pairs above a fixed threshold, so top-k keeps the oracle
+        // non-degenerate). Exact quadratic baseline — the linear-scale path
+        // is EmbeddingNearDup's LSH bucketing (AnnSpec).
+        val e = table(s, d, "embeddings")
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("sim", graft.functions.CosineSimilarity(col("ea"), col("eb")))
+          .select(col("id_a"), col("id_b"), (round(col("sim"), 6) + 0.0).as("cos_sim"))
+          .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT id_a, id_b, round(sim, 6) + 0.0 AS cos_sim
+        FROM (SELECT a.vec_id id_a, b.vec_id id_b,
+                     ${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")} sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        ORDER BY round(sim, 6) DESC, id_a, id_b LIMIT 20"""),
+      doc = "embedding near-dup closest pairs (exact all-pairs baseline)")
   )
 }

@@ -90,6 +90,30 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_chunks"), sum("token_count").as("total_tokens"))
           .orderBy(col("document_id").cast("long")),
       None,
-      doc = "C3 semantic chunking (adaptive breakpoints + mean-pool)")
+      doc = "C3 semantic chunking (adaptive breakpoints + mean-pool)"),
+
+    QueryDef(
+      "q61_keyword_postings",
+      (s, d) => {
+        // §4.3 inverted-index retrieval end-to-end: build postings over the
+        // corpus chunks, then answer a keyword query via the term-join leg
+        // (PostingsSpec pins its equivalence with the scan leg).
+        val chunks = IndexBuild.chunkDocs(rawDocs(s, d), Chunkers.forName("recursive"), cfg)
+          .toDF().persist()
+        val postings = graft.search.PostingsIndex.build(chunks)
+        val parsed = graft.search.WebsearchParser.parse("spark join -error")
+        val out = graft.search.PostingsIndex.leg(postings, chunks, parsed, 20)
+          .select(col("chunk_id"), col("document_id"),
+            round(col("raw_k"), 6).as("rank"))
+          .orderBy(desc("rank"), col("chunk_id"))
+        val rows = out.collect() // materialize before unpersist
+        chunks.unpersist()
+        val spark = s
+        import spark.implicits._
+        rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+          .toSeq.toDF("chunk_id", "document_id", "rank")
+      },
+      None,
+      doc = "inverted-postings keyword retrieval over a built index")
   )
 }
