@@ -69,7 +69,8 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       graft.search.HybridSearch.search(index, req, embedder) // warm
-      val times = (1 to 5).map { _ =>
+      System.gc() // shed the query suite's garbage before the latency loop
+      val times = (1 to 11).map { _ =>
         val s0 = System.nanoTime()
         graft.search.HybridSearch.search(index, req, embedder)
         (System.nanoTime() - s0) / 1e6

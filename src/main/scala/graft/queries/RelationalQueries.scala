@@ -325,10 +325,10 @@ object RelationalQueries {
         def leg(tpe: String, out: String) = {
           val base = e.filter(col("event_type") === tpe)
             .groupBy(col("user_id")).agg(avg("value").as("raw"))
-          val w = Window.partitionBy()
-          base
-            .withColumn("mn", min("raw").over(w))
-            .withColumn("mx", max("raw").over(w))
+          // leg-wide min/max as a broadcast 1-row aggregate: the leg spans
+          // every user, so an unpartitioned window here would funnel the
+          // whole leg through one partition at scale
+          base.crossJoin(broadcast(base.agg(min("raw").as("mn"), max("raw").as("mx"))))
             .select(col("user_id"),
               when(col("mx") === col("mn"), 1.0)
                 .otherwise((col("raw") - col("mn")) / (col("mx") - col("mn"))).as(out))

@@ -84,13 +84,13 @@ object TextQueries {
           .filter(col("inter") > 0)
           .select(col("doc_id"), (col("inter").cast("double") / col("uni")).as("raw_v"))
           .orderBy(desc("raw_v"), col("doc_id")).limit(20)
-        def norm(df: org.apache.spark.sql.DataFrame, in: String, out: String) = {
-          val w = Window.partitionBy()
-          df.withColumn("mn", min(in).over(w)).withColumn("mx", max(in).over(w))
+        // leg-wide stats via broadcast 1-row aggregate (scale-safe shape;
+        // an unpartitioned window would single-partition the leg)
+        def norm(df: org.apache.spark.sql.DataFrame, in: String, out: String) =
+          df.crossJoin(broadcast(df.agg(min(in).as("mn"), max(in).as("mx"))))
             .select(col("doc_id"),
               when(col("mx") === col("mn"), 1.0)
                 .otherwise((col(in) - col("mn")) / (col("mx") - col("mn"))).as(out))
-        }
         norm(vector, "raw_v", "nv").join(norm(keyword, "raw_k", "nk"), Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             round(lit(0.6) * coalesce(col("nv"), lit(0.0)) +

@@ -3,7 +3,6 @@ package graft.search
 import graft.embed.Embedder
 import graft.model.{SearchHit, SearchRequest}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Score fusion (ref HybridSearchService.cs) as declarative column ops:
@@ -14,29 +13,32 @@ import org.apache.spark.sql.functions._
 object Fusion {
 
   /** Min-max normalize `in` over the whole leg; singleton / zero-range legs
-    * normalize to 1.0 (ref :362-371). */
-  def normalizeMinMax(df: DataFrame, in: String, out: String): DataFrame = {
-    val w = Window.partitionBy()
-    df.withColumn("_mn", min(in).over(w)).withColumn("_mx", max(in).over(w))
+    * normalize to 1.0 (ref :362-371).
+    *
+    * Leg-wide stats come from a 1-row aggregate broadcast-cross-joined back,
+    * not an unpartitioned window: a `Window.partitionBy()` moves the whole
+    * leg to one partition, which is fine for a ≤100-row top-k leg but a
+    * bottleneck when the same function normalizes a full score table. The
+    * aggregate form keeps map-side partial aggregation and leaves the leg's
+    * partitioning untouched. */
+  def normalizeMinMax(df: DataFrame, in: String, out: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(min(in).as("_mn"), max(in).as("_mx"))))
       .withColumn(out,
         when(col("_mx") === col("_mn"), 1.0)
           .otherwise((col(in) - col("_mn")) / (col("_mx") - col("_mn"))))
       .drop("_mn", "_mx", in)
-  }
 
   /** DBSF: clamp((s - (mu-3sigma)) / 6sigma, 0, 1); degenerate sigma -> 1.0
-    * (ref :336-360). */
-  def normalizeDbsf(df: DataFrame, in: String, out: String): DataFrame = {
-    val w = Window.partitionBy()
-    df.withColumn("_mu", avg(in).over(w))
-      .withColumn("_sd", stddev_pop(col(in)).over(w))
+    * (ref :336-360). Same broadcast-stats shape as [[normalizeMinMax]]. */
+  def normalizeDbsf(df: DataFrame, in: String, out: String): DataFrame =
+    df.crossJoin(broadcast(
+        df.agg(avg(in).as("_mu"), stddev_pop(col(in)).as("_sd"))))
       .withColumn(out,
         when(col("_sd") < 1e-9, 1.0)
           .otherwise(least(greatest(
             (col(in) - (col("_mu") - lit(3) * col("_sd"))) / (lit(6) * col("_sd")),
             lit(0.0)), lit(1.0))))
       .drop("_mu", "_sd", in)
-  }
 
   def normalize(df: DataFrame, method: String, in: String, out: String): DataFrame =
     method.toLowerCase match {
