@@ -1,0 +1,98 @@
+package graft.search
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the fusion math (SURVEY §5 plan: fusion
+  * invariants — scores ∈ [0,1], dedup, alpha extremes — checked with
+  * ScalaCheck generators; ref HybridSearchService.cs:336-411).
+  */
+class FusionPropertySpec extends AnyFunSuite {
+
+  /** Hand-rolled property driver (no scalatest-scalacheck bridge in the
+    * offline cache): N samples from a Gen under a fixed seed. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 200)(check: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(7L)
+    (1 to n).foreach { _ =>
+      check(gen.pureApply(params, seed))
+      seed = seed.next
+    }
+  }
+
+  private val scoresGen: Gen[List[Double]] =
+    Gen.listOf(Gen.chooseNum(-1e6, 1e6)).map(_.map(x => x / 1e3))
+
+  test("normalizeSeq stays in [0,1] and preserves length/order (A4/A5)") {
+    forAllSamples(scoresGen) { xs =>
+      Seq("minmax", "dbsf").foreach { m =>
+        val n = Fusion.normalizeSeq(xs, m)
+        assert(n.length == xs.length)
+        assert(n.forall(v => v >= 0.0 && v <= 1.0))
+        // order-preserving: higher raw never normalizes strictly lower
+        xs.zip(n).combinations(2).foreach {
+          case Seq((r1, v1), (r2, v2)) =>
+            if (r1 > r2) assert(v1 >= v2) else if (r1 < r2) assert(v1 <= v2)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("degenerate legs normalize to all-1.0 (singleton, zero range)") {
+    forAllSamples(Gen.chooseNum(-1e3, 1e3)) { x =>
+      Seq("minmax", "dbsf").foreach { m =>
+        assert(Fusion.normalizeSeq(Seq(x), m) == Seq(1.0))
+        assert(Fusion.normalizeSeq(Seq.fill(5)(x), m) == Seq.fill(5)(1.0))
+      }
+    }
+  }
+
+  test("minmax maps extremes to exactly 0 and 1") {
+    forAllSamples(scoresGen.suchThat(xs => xs.nonEmpty && xs.max > xs.min)) { xs =>
+      val n = Fusion.normalizeSeq(xs, "minmax")
+      assert(n(xs.indexOf(xs.max)) == 1.0)
+      assert(n(xs.indexOf(xs.min)) == 0.0)
+    }
+  }
+
+  private val descGen: Gen[List[Double]] =
+    Gen.listOf(Gen.chooseNum(0.0, 1.0)).map(_.sorted(Ordering[Double].reverse))
+
+  test("autocutIndex keeps a non-empty prefix and never cuts <=3 hits (W5)") {
+    forAllSamples(descGen) { xs =>
+      val cut = Fusion.autocutIndex(xs)
+      assert(cut >= 0 && cut <= xs.length)
+      if (xs.length <= 3) assert(cut == xs.length)
+      if (xs.nonEmpty) assert(cut >= 1)
+    }
+  }
+
+  test("autocutIndex cuts exactly at a planted dominant gap") {
+    // high cluster ~[0.9,1.0], low cluster ~[0,0.05]: the inter-cluster gap
+    // is > 10% of range and > 2x any intra-cluster gap
+    val planted = for {
+      hi <- Gen.chooseNum(1, 5)
+      lo <- Gen.chooseNum(1, 5)
+      hs <- Gen.listOfN(hi, Gen.chooseNum(0.9, 1.0))
+      ls <- Gen.listOfN(lo, Gen.chooseNum(0.0, 0.05))
+    } yield (hs.sorted.reverse, ls.sorted.reverse)
+    forAllSamples(planted.suchThat { case (h, l) => h.size + l.size > 3 }) {
+      case (h, l) => assert(Fusion.autocutIndex(h ++ l) == h.length)
+    }
+  }
+
+  test("fused score is a convex combination: alpha extremes select one leg") {
+    val legGen = for {
+      v <- Gen.chooseNum(0.0, 1.0)
+      k <- Gen.chooseNum(0.0, 1.0)
+    } yield (v, k)
+    forAllSamples(legGen) { case (v, k) =>
+      def fused(alpha: Double) = alpha * v + (1 - alpha) * k
+      assert(fused(1.0) == v)
+      assert(fused(0.0) == k)
+      val mid = fused(0.5)
+      assert(mid >= math.min(v, k) - 1e-12 && mid <= math.max(v, k) + 1e-12)
+    }
+  }
+}
