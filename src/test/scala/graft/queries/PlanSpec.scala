@@ -42,6 +42,47 @@ class PlanSpec extends AnyFunSuite {
   // (codegen participation of CosineSimilarity is asserted in
   // CosineSimilaritySpec over a join, where whole-stage codegen engages)
 
+  test("container filter prunes warehouse partitions at plan time (P1)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val docs = Seq(
+      graft.ingest.IndexBuild.RawDoc("d1", "cA", "/a/x.txt", "x.txt", "alpha beta gamma. " * 30),
+      graft.ingest.IndexBuild.RawDoc("d2", "cB", "/b/y.txt", "y.txt", "delta epsilon zeta. " * 30))
+      .toDS()
+    graft.ingest.IndexBuild.build(spark, docs, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 30, overlap = 5, minChunkSize = 5))
+    val scoped = spark.read.parquet(s"$wh/chunks")
+      .filter(org.apache.spark.sql.functions.col("container_id") === "cA")
+    val scan = scoped.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    // the filter lands in PartitionFilters (directory-level pruning), not in
+    // data filters — only container cA's files are listed and read
+    assert(scan.partitionFilters.exists(_.toString.contains("container_id")),
+      scan.partitionFilters.toString)
+    assert(scan.metadata("Location").contains(wh))
+    // post-pruning listing: exactly one partition directory (cA) survives,
+    // and every file the scan will read lives under it
+    val selected = scan.selectedPartitions
+    assert(selected.partitionCount == 1,
+      s"expected 1 pruned partition, got ${selected.partitionCount}")
+    assert(selected.toPartitionArray.forall(_.urlEncodedPath.contains("container_id=cA")))
+  }
+
+  test("postings leg joins query terms by broadcast (K2 scale path)") {
+    import spark.implicits._
+    val chunks = graft.ingest.IndexBuild.chunkDocs(
+      Seq(graft.ingest.IndexBuild.RawDoc("d1", "c", "/x.txt", "x.txt",
+        "spark joins windows. " * 40)).toDS(),
+      graft.chunk.RecursiveChunker,
+      graft.model.ChunkingConfig(maxChunkSize = 30, overlap = 5, minChunkSize = 5)).toDF()
+    val postings = graft.search.PostingsIndex.build(chunks)
+    val parsed = graft.search.WebsearchParser.parse("spark joins")
+    val p = graft.search.PostingsIndex.leg(postings, chunks, parsed, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("SparkSessionExtensions registers cosine_sim for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used
