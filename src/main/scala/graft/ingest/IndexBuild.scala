@@ -210,4 +210,55 @@ object IndexBuild {
       vectors.join(chunks.select("chunk_id", "path"), Seq("chunk_id")),
       postings)
   }
+
+  /** Co-bucketed physical layout for index-wide equi-joins: chunks and
+    * vectors bucketed AND sorted on chunk_id into catalog tables (`bucketBy`
+    * requires `saveAsTable`; `path` keeps the data at the warehouse dir).
+    *
+    * With matching bucket count + column on both sides, a join on chunk_id
+    * plans as a SortMergeJoin with NO Exchange and NO Sort on either side
+    * (BucketedJoinSpec pins this). The path-partitioned layout `build`
+    * writes is right for container-pruned queries, where the probe side is
+    * a tiny top-k and broadcasts; this layout is for the index-wide joins —
+    * J1 hydration of every vector, the embed-cache refresh, postings
+    * rebuilds — where at 100 TB both sides would otherwise shuffle the
+    * whole corpus every run.
+    *
+    * To also elide the per-bucket Sort under the merge join, readers set
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`: Spark stopped
+    * trusting bucket sort order by default because multi-file buckets only
+    * sort within files — this writer guarantees ONE file per bucket (the
+    * repartition below), which is exactly the case the flag is safe for.
+    */
+  def writeBucketed(
+      chunks: DataFrame,
+      vectors: DataFrame,
+      path: String,
+      prefix: String,
+      nBuckets: Int = 64): Unit = {
+    def save(df: DataFrame, name: String): Unit =
+      // repartition on the bucket column first: the writer's bucket hash is
+      // the same murmur3 as the shuffle's, so each task holds exactly one
+      // bucket → one file per bucket. That keeps file count = nBuckets (not
+      // nTasks × nBuckets) and lets the scan trust sortBy order, which is
+      // what eliminates the Sort under the merge join.
+      df.repartition(nBuckets, col("chunk_id"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(nBuckets, "chunk_id").sortBy("chunk_id")
+        .option("path", s"$path/$name")
+        .format("parquet")
+        .saveAsTable(s"${prefix}_$name")
+    save(chunks, "chunks")
+    save(vectors, "vectors")
+  }
+
+  /** Load the bucketed layout as a search index; the hydration join is
+    * shuffle-free by construction. */
+  def loadBucketedIndex(spark: SparkSession, prefix: String): graft.search.HybridSearch.Index = {
+    val chunks = spark.table(s"${prefix}_chunks")
+    val vectors = spark.table(s"${prefix}_vectors")
+    graft.search.HybridSearch.Index(
+      chunks,
+      vectors.join(chunks.select("chunk_id", "path"), Seq("chunk_id")))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ingest
+
+import graft.TestSpark
+import graft.model.ChunkingConfig
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SortExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The co-bucketed warehouse layout must make the index-wide hydration join
+  * (J1) shuffle-free: matching bucket spec on both tables ⇒ SortMergeJoin
+  * with no Exchange and no Sort (SCALE.md "co-located joins").
+  */
+class BucketedJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("co-bucketed chunks/vectors join without exchange or sort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val docs = Seq(
+      IndexBuild.RawDoc("d1", "cA", "/a/x.txt", "x.txt", "alpha beta gamma. " * 40),
+      IndexBuild.RawDoc("d2", "cA", "/a/y.txt", "y.txt", "delta epsilon zeta. " * 40))
+      .toDS()
+    val chunksDs = IndexBuild.chunkDocs(docs, graft.chunk.RecursiveChunker,
+      ChunkingConfig(maxChunkSize = 30, overlap = 5, minChunkSize = 5))
+    val vectors = IndexBuild.embedChunks(chunksDs, None, graft.embed.HashEmbedder(16))
+
+    IndexBuild.writeBucketed(chunksDs.toDF().drop("precomputed"), vectors, dir, "bjs", nBuckets = 4)
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the SMJ path (a broadcast join would hide the bucketing) and
+      // pin the plan (AQE defers it); the plan must be inspected while
+      // these confs hold — DataFrames plan lazily
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // safe because writeBucketed guarantees one file per bucket
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val index = IndexBuild.loadBucketedIndex(spark, "bjs")
+      val plan = index.vectors.queryExecution.executedPlan
+      assert(plan.toString.contains("SortMergeJoin"), plan.toString.take(1200))
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "hydration join must not shuffle: " + plan.toString.take(1200))
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        "bucket sort order must be reused: " + plan.toString.take(1200))
+      // and the data survives the round-trip
+      assert(index.vectors.count() == vectors.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+}
