@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *  - [[HyperplaneLsh]] — random-hyperplane signatures: candidates share a
   *    signature bucket, so the scan narrows to matching buckets (shuffle on
   *    the bucket key; recall tunable via tables × bits).
-  *  - IVF (centroid routing) lives in the oracled query battery
-  *    (q29_ann_ivf) — route to nearest partitions, scan only those.
+  *  - [[Ivf]] — k-means cells + centroid routing: scan only the probed
+  *    cells (the pgvector IVFFlat analog; oracled as q29_ann_ivf).
   */
 object BruteForceKnn {
 

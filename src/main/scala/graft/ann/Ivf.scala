@@ -1,0 +1,86 @@
+package graft.ann
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: MLlib k-means partitions the corpus into
+  * `nLists` cells; a query routes to its `nProbes` nearest centroids and
+  * scans only those cells — scan cost drops by ~nProbes/nLists while recall
+  * stays high for clustered embedding spaces (the pgvector IVFFlat analog,
+  * ref VectorColumnManager.cs:95-107; q29_ann_ivf pins the routing math
+  * against the DuckDB oracle with fixed label cells).
+  *
+  * Clustering runs on L2-normalized vectors so Euclidean k-means agrees
+  * with the cosine geometry used for routing and scoring.
+  */
+object Ivf {
+
+  /** (centroids: (list_id, centroid float[]), assigned: corpus + list_id). */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  private def normalized(embCol: String) = {
+    val d = col(embCol).cast("array<double>")
+    val nrm = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (a, x) => a + x))
+    transform(d, x => x / nrm)
+  }
+
+  /** Cluster `corpus(id, embedding)` into nLists cells. The reference sizes
+    * lists as clamp(rows/1000, 1, 100) (VectorColumnManager.cs:98) — pass
+    * that or tune per corpus. Deterministic under a fixed seed.
+    */
+  def build(
+      corpus: DataFrame,
+      nLists: Int,
+      maxIter: Int = 10,
+      seed: Long = 42L): IvfIndex = {
+    val feat = corpus.withColumn("_fv", array_to_vector(normalized("embedding")))
+    val model = new KMeans()
+      .setK(nLists).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("_fv").setPredictionCol("list_id")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("_fv")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("list_id", "centroid")
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Top-k per query over the probed cells only. Centroids and queries are
+    * broadcast (both tiny); the corpus side never re-partitions — the cell
+    * join is a pruned scan, which is the property that matters at 100 TB.
+    * Columns: queries(qid, qemb). */
+  def search(index: IvfIndex, queries: DataFrame, k: Int, nProbes: Int): DataFrame = {
+    val wc = Window.partitionBy("qid").orderBy(desc("csim"), col("list_id"))
+    val routed = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", CosineSimilarity(col("qemb"), col("centroid")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nProbes)
+      .select("qid", "qemb", "list_id")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
+    index.assigned.join(broadcast(routed), Seq("list_id"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", CosineSimilarity(col("embedding"), col("qemb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
+
+  /** Warehouse layout: cells as physical partitions, so probed-cell scans
+    * prune at the directory level like every other partition filter. */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(s"$path/ivf_cells")
+    index.centroids.write.mode(SaveMode.Overwrite).parquet(s"$path/ivf_centroids")
+  }
+
+  def load(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/ivf_centroids"),
+      spark.read.parquet(s"$path/ivf_cells"))
+}

@@ -1,0 +1,77 @@
+package graft.ann
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF recall against the exact baseline on planted clusters, plus the
+  * pruning property (probed cells ≪ corpus) and the save/load round trip.
+  */
+class IvfSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val dims = 16
+  private val nClusters = 6
+
+  /** Deterministic corpus: `n` vectors around `nClusters` orthogonal-ish
+    * prototypes with small hash-derived noise. */
+  private def corpus(n: Int) = {
+    def noise(id: Int, i: Int): Float = {
+      var z = id.toLong * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      ((z >>> 40).toInt % 1000) / 10000.0f // ±0.1-ish
+    }
+    (0 until n).map { id =>
+      val c = id % nClusters
+      val v = Array.tabulate(dims)(i => (if (i == c) 1.0f else 0.1f) + noise(id, i))
+      (id.toLong, v)
+    }.toDF("id", "embedding")
+  }
+
+  test("IVF top-k recall >= 0.9 vs brute force on clustered data") {
+    val corp = corpus(300).persist()
+    val queries = corp.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val index = Ivf.build(corp, nLists = nClusters, maxIter = 5)
+
+    val exact = BruteForceKnn.topK(corp, queries, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.search(index, queries, 10, nProbes = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    corp.unpersist()
+  }
+
+  test("probed search scans only nProbes cells of the corpus") {
+    val corp = corpus(300)
+    val index = Ivf.build(corp, nLists = nClusters, maxIter = 5)
+    val queries = corp.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val routed = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", graft.functions.CosineSimilarity(col("qemb"), col("centroid")))
+      .orderBy(desc("csim")).limit(2).select("list_id")
+    val probedRows = index.assigned
+      .join(routed, Seq("list_id")).count()
+    val total = corp.count()
+    assert(probedRows < total / 2,
+      s"probed $probedRows of $total — cells are not pruning")
+  }
+
+  test("save/load round-trips cells and centroids; cells are partition dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val index = Ivf.build(corpus(120), nLists = 4, maxIter = 3)
+    Ivf.save(index, dir)
+    val loaded = Ivf.load(spark, dir)
+    assert(loaded.assigned.count() == 120)
+    assert(loaded.centroids.count() == 4)
+    assert(new java.io.File(s"$dir/ivf_cells").listFiles()
+      .exists(_.getName.startsWith("list_id=")))
+    // loaded index still searches
+    val queries = loaded.assigned.filter(col("id") === 1)
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    assert(Ivf.search(loaded, queries, 5, 2).count() == 5)
+  }
+}
