@@ -35,7 +35,7 @@ object Catalog {
 
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      AnnQueries.defs ++ PipelineQueries.defs
+      AnnQueries.defs ++ PipelineQueries.defs ++ ExportQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data EXPORT operators — the last mile of the pretraining
+  * pipeline after filtering/dedup (which q23-q33/q57 cover): deterministic
+  * train/val/test splitting, stratified sampling, token-budget sequence
+  * packing, and weighted source mixture. All selection decisions hash the
+  * stable document id with the engine-agnostic polynomial hash (Frag), so
+  * every op is reproducible under reshuffles/retries and DuckDB-oracled
+  * bit-for-bit — no engine RNG anywhere.
+  */
+object ExportQueries {
+  import Catalog.table
+  import Frag._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q62_train_split",
+      (s, d) =>
+        // Deterministic train/val/test split: bucket = hash(salt || doc_id)
+        // mod 100 -> 90/5/5. Hash-based (not modulo-id or row-order) so the
+        // assignment is independent of partitioning, stable under appends,
+        // and re-saltable for fresh splits. Narrow op: no shuffle at all.
+        table(s, d, "documents")
+          .withColumn("idstr", concat(lit("split-v1:"), col("doc_id").cast("string")))
+          .withColumn("bucket", (expr(polySpark("idstr")) % 100).cast("int"))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test"))
+          .select("doc_id", "bucket", "split")
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, CAST(h % 100 AS INT) AS bucket,
+               CASE WHEN h % 100 < 90 THEN 'train'
+                    WHEN h % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, ${polyDuck("idstr")} AS h
+              FROM (SELECT doc_id, 'split-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                    FROM documents))
+        ORDER BY doc_id"""),
+      doc = "deterministic salted-hash train/val/test split"),
+
+    QueryDef(
+      "q63_stratified_sample",
+      (s, d) => {
+        // Stratified exact-quota sample: 20 docs per language, chosen by
+        // hash order (uniform within stratum, deterministic). The window
+        // ranks within each lang partition; quotas this small ride the
+        // shuffle of their stratum key. For unbounded quotas at 100 TB the
+        // fraction-based form (hash threshold, q62 shape) is the scale path.
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        table(s, d, "documents")
+          .withColumn("idstr", concat(lit("sample-v1:"), col("doc_id").cast("string")))
+          .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select("doc_id", "lang", "rk")
+          .orderBy("lang", "rk")
+      },
+      Some(s"""
+        SELECT doc_id, lang, rk
+        FROM (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+              FROM (SELECT doc_id, lang, ${polyDuck("idstr")} AS h
+                    FROM (SELECT doc_id, lang,
+                                 'sample-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                          FROM documents)))
+        WHERE rk <= 20 ORDER BY lang, rk"""),
+      doc = "stratified per-language sample with exact quotas"),
+
+    QueryDef(
+      "q64_pack_sequences",
+      (s, d) => {
+        // Sequence packing: fill 2000-token bins with whole documents,
+        // greedy in stable (shard, doc_id) order — bin = preceding running
+        // token count / budget. Docs are pre-sharded by hash so each
+        // (lang, shard) packs independently: at 100 TB the running sum
+        // parallelizes across shards instead of serializing per language
+        // (more shards = more parallelism, same packing semantics).
+        val budget = 2000
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "documents")
+          .withColumn("idstr", concat(lit("pack-v1:"), col("doc_id").cast("string")))
+          .withColumn("shard", (expr(polySpark("idstr")) % 8).cast("int"))
+          .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
+          // floor, not cast: DuckDB CAST(double AS BIGINT) rounds-to-nearest
+          // while Spark's cast truncates — floor agrees on both engines
+          .withColumn("bin", floor((sum("n_tok").over(w) - col("n_tok")) / budget))
+          .groupBy("lang", "shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+          .orderBy("lang", "shard", "bin")
+      },
+      Some(s"""
+        SELECT lang, shard, bin, count(*) AS n_docs, sum(n_tok) AS bin_tokens
+        FROM (SELECT lang, shard, doc_id, n_tok,
+                     CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok) / 2000) AS BIGINT) AS bin
+              FROM (SELECT lang, doc_id,
+                           CAST(${polyDuck("idstr")} % 8 AS INT) AS shard,
+                           len(${toksDuck("text")}) AS n_tok
+                    FROM (SELECT lang, doc_id, text,
+                                 'pack-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                          FROM documents)))
+        GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""),
+      doc = "token-budget sequence packing, hash-sharded for parallelism"),
+
+    QueryDef(
+      "q65_source_mixture",
+      (s, d) => {
+        // Weighted source mixture: target epochs per source (even sources
+        // down-sampled at 0.6, odd up-sampled at 1.7); fractional epochs
+        // resolved per-document by hash threshold, integer epochs by row
+        // replication. copies = floor(w) + [hash%1000 < frac*1000] — the
+        // standard deterministic mixture-sampling recipe. Narrow op (the
+        // explode replicates in place, no shuffle).
+        table(s, d, "documents")
+          .withColumn("srcnum",
+            regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"))
+          .withColumn("w", when(col("srcnum") % 2 === 0, 0.6).otherwise(1.7))
+          .withColumn("idstr", concat(lit("mix-v1:"), col("doc_id").cast("string")))
+          .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("copies",
+            (floor(col("w")) +
+              when(col("h") % 1000 < round(col("w") * 1000) % 1000, 1)
+                .otherwise(0)).cast("int"))
+          .filter(col("copies") >= 1) // Spark sequence(1,0) would descend
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1, copies)")).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some(s"""
+        SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
+        FROM (SELECT doc_id, source,
+                     CAST(floor(w) + CASE WHEN h % 1000 < CAST(round(w * 1000) AS BIGINT) % 1000
+                                          THEN 1 ELSE 0 END AS INT) AS copies
+              FROM (SELECT doc_id, source,
+                           CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0
+                                THEN 0.6 ELSE 1.7 END AS w,
+                           ${polyDuck("idstr")} AS h
+                    FROM (SELECT doc_id, source,
+                                 'mix-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                          FROM documents)))
+        WHERE copies >= 1
+        ORDER BY doc_id, epoch"""),
+      doc = "weighted source-mixture replication (epochs per source)")
+  )
+}
