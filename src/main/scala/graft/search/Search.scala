@@ -177,7 +177,23 @@ object KeywordSearch {
     val rankUdf = udf { (simple: Seq[String], english: Seq[String]) =>
       rankChunk(parsed, simple.toIndexedSeq, english.toIndexedSeq)
     }
-    chunks
+    // codegen prefilter — a NECESSARY condition for any match (the first
+    // AND-group must appear in one of the two configs; phrase matches
+    // require their words in the simple stream), so the row-at-a-time rank
+    // UDF only ever sees candidate chunks. arrays_overlap stays inside
+    // whole-stage codegen; the UDF boundary is where scan time goes.
+    val prefiltered = parsed.groups.headOption.filter(_.nonEmpty).map { g =>
+      val simpleTerms = g.flatMap(_.simple).distinct
+      val englishTerms = g.flatMap(_.english).distinct
+      val hitSimple =
+        arrays_overlap(col("tokens_simple"), array(simpleTerms.map(lit): _*))
+      val pre =
+        if (englishTerms.isEmpty) hitSimple
+        else hitSimple ||
+          arrays_overlap(col("tokens_english"), array(englishTerms.map(lit): _*))
+      chunks.filter(pre)
+    }.getOrElse(chunks)
+    prefiltered
       .withColumn("raw_k", rankUdf(col("tokens_simple"), col("tokens_english")))
       .filter(col("raw_k").isNotNull)
       .select(col("chunk_id"), col("document_id"), col("content"), col("metadata"), col("raw_k"))
@@ -212,13 +228,22 @@ object VectorSearch {
     * [[cosineToQuery]] stays as the pure-Catalyst reference).
     */
   def leg(vectors: DataFrame, chunks: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    // serving fast path: a denormalized vector frame (hydration columns
+    // carried next to the embedding) answers in ONE scan — no per-query
+    // hydration join. The normalized layout pays one more join, with the
+    // k-row scored side broadcast so the chunk table is never re-hashed.
+    val hydrationCols = Seq("document_id", "content", "metadata")
+    val denormalized = hydrationCols.forall(vectors.columns.contains)
+    val hydration = if (denormalized) hydrationCols.map(col) else Seq.empty
     val scored = vectors
       .withColumn("raw_v",
         graft.functions.CosineSimilarity.toQuery(col("embedding"), queryVec))
-      .select(col("chunk_id"), col("raw_v"))
+      .select(col("chunk_id") +: col("raw_v") +: hydration: _*)
       .orderBy(desc("raw_v"), col("chunk_id"))
       .limit(k)
-    scored.join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))
+    if (denormalized) scored
+    else broadcast(scored)
+      .join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))
   }
 }
 
