@@ -42,22 +42,29 @@ object DedupQueries {
         // n-gram Jaccard near-dup: distinct word-3-gram shingles, exploded
         // and self-joined on the shingle key (shuffle ∝ matching pairs, not
         // n²), then |∩| / |∪| per candidate pair.
-        // persist: consumed three times (counts + both self-join sides) —
-        // caching the exploded shingles beats re-tokenizing the corpus
-        val sh = table(s, d, "documents")
+        // persist: the shingle arrays feed counts + both self-join sides —
+        // caching beats re-tokenizing the corpus. Per-doc counts come from
+        // the array size (narrow, no groupBy over the exploded rows) and
+        // broadcast into the pair table; the self-join keys on a 64-bit
+        // hash of the shingle, not the string (smaller shuffle, cheaper
+        // compares — results identical barring a 2^-64 collision).
+        val base = table(s, d, "documents")
           .withColumn("toks", expr(toksSpark("text")))
           .filter(size(col("toks")) >= 3)
-          .withColumn("sh", explode(expr(shinglesSpark("toks"))))
-          .select(col("doc_id"), col("sh"))
+          .withColumn("shs", expr(shinglesSpark("toks")))
+          .select(col("doc_id"), col("shs"))
           .persist()
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val counts = base.select(col("doc_id"), size(col("shs")).as("n_sh"))
+        val sh = base
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
         val pairs = sh.as("a")
-          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .join(sh.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("common"))
         pairs
-          .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-          .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+          .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
+          .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
           .withColumn("jaccard",
             round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
           .filter(col("jaccard") >= 0.1)
@@ -99,6 +106,11 @@ object DedupQueries {
           .filter(size(col("toks")) >= 3)
           .withColumn("sh", explode(expr(shinglesSpark("toks"))))
           .select(col("doc_id"), expr(polySpark("sh")).as("h"))
+        // NOT persisted: sig feeds three consumers, but its groupBy
+        // exchange is identical in all of them, so ReuseExchange computes
+        // the shingle poly-hash pass once anyway — an explicit persist
+        // measured ~1.6x SLOWER (cache write + GenericArrayData reads
+        // replace whole-stage codegen over the reused shuffle files)
         val sig = shingleHash
           .withColumn("k", explode(expr("sequence(0, 15)")))
           .withColumn("ph", expr(s"((2*k + 1) * h + 104729L * k) % $P"))

@@ -106,14 +106,11 @@ object PostingsIndex {
         .filter(_.nonEmpty)
       CoverDensityRank.rank32(positions.toVector)
     }
-    val scored = filtered
+    filtered
       .withColumn("raw_k", rankUdf(col("groups")))
       .select("chunk_id", "raw_k")
       .orderBy(desc("raw_k"), col("chunk_id"))
       .limit(k)
-    // broadcast the k scored rows: the hydration join probes the chunk
-    // table instead of hashing it per query
-    broadcast(scored)
       .join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))
   }
 

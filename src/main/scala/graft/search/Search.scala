@@ -230,8 +230,8 @@ object VectorSearch {
   def leg(vectors: DataFrame, chunks: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
     // serving fast path: a denormalized vector frame (hydration columns
     // carried next to the embedding) answers in ONE scan — no per-query
-    // hydration join. The normalized layout pays one more join, with the
-    // k-row scored side broadcast so the chunk table is never re-hashed.
+    // hydration join. The normalized layout pays one more join (AQE picks
+    // the build side from the k-row runtime stats).
     val hydrationCols = Seq("document_id", "content", "metadata")
     val denormalized = hydrationCols.forall(vectors.columns.contains)
     val hydration = if (denormalized) hydrationCols.map(col) else Seq.empty
@@ -242,7 +242,7 @@ object VectorSearch {
       .orderBy(desc("raw_v"), col("chunk_id"))
       .limit(k)
     if (denormalized) scored
-    else broadcast(scored)
+    else scored
       .join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))
   }
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.embed.HashEmbedder
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DotProductSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = (0 until 30).map(i =>
+    (i.toLong, HashEmbedder(32).embed(s"doc $i topic ${i % 4}")))
+
+  test("matches a scalar sequential fold (float arrays)") {
+    val df = vecs.toDF("id", "v")
+    val got = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id", DotProduct($"a.v", $"b.v").as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for { (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib } {
+      var dot = 0.0
+      var i = 0
+      while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+      assert(math.abs(got((ia, ib)) - dot) < 1e-12, s"pair ($ia,$ib)")
+    }
+  }
+
+  test("double arrays and mixed float/double inputs") {
+    val df = Seq((1L, Array(1.0, 2.0, 3.0), Array(4f, 5f, 6f))).toDF("id", "d", "f")
+    val r = df.select(
+      DotProduct($"d", $"d").as("dd"),
+      DotProduct($"d", $"f").as("df")).head()
+    assert(r.getDouble(0) == 14.0)
+    assert(r.getDouble(1) == 32.0)
+  }
+
+  test("dot equals cosine on unit vectors, at a third of the flops") {
+    val df = vecs.toDF("id", "v")
+      .withColumn("ed", expr("transform(v, x -> cast(x as double))"))
+      .withColumn("u", expr(
+        "transform(ed, x -> x / sqrt(aggregate(zip_with(ed, ed, (p, q) -> p * q), 0D, (s, v) -> s + v)))"))
+    val both = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+      .select(DotProduct($"a.u", $"b.u").as("dot"),
+        CosineSimilarity($"a.v", $"b.v").as("cos"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("stays inside whole-stage codegen") {
+    // join form: a bare local projection constant-folds to LocalTableScan
+    val df = vecs.toDF("id", "v")
+    val q = df.as("a").join(df.as("b"), $"a.id" =!= $"b.id")
+      .select(DotProduct($"a.v", $"b.v").as("d"))
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Project [dot_product") && plan.contains("*(1)"), plan)
+  }
+}
