@@ -50,6 +50,16 @@ object MicroBench {
     time("cosine codegen Expression") {
       df.select(CosineSimilarity.toQuery(col("v"), q).as("s")).filter(col("s") > 0.9).count()
     }
+    // pre-normalized corpora (IVF cells, dedup scans): dot ≡ cosine at a
+    // third of the per-row flops
+    val qlitF = {
+      val nq = math.sqrt(q.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      array(q.map(x => lit((x / nq).toFloat)): _*)
+    }
+    time("dot codegen (normalized)") {
+      df.select(graft.functions.DotProduct(col("v"), qlitF).as("s"))
+        .filter(col("s") > 0.9).count()
+    }
     spark.stop()
   }
 }
