@@ -83,14 +83,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
-  test("SparkSessionExtensions registers cosine_sim for SQL users") {
+  test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used
     // by the extension directly
     graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
     import spark.implicits._
     Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b").createOrReplaceTempView("ext_v")
-    val r = spark.sql("SELECT cosine_sim(a, b) FROM ext_v").head().getDouble(0)
-    assert(math.abs(r - 1.0) < 1e-12)
+    val r = spark.sql("SELECT cosine_sim(a, b) s, dot_product(a, b) d FROM ext_v").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 1.0)
   }
 }
