@@ -147,6 +147,53 @@ object ExportQueries {
                           FROM documents)))
         WHERE copies >= 1
         ORDER BY doc_id, epoch"""),
-      doc = "weighted source-mixture replication (epochs per source)")
+      doc = "weighted source-mixture replication (epochs per source)"),
+
+    QueryDef(
+      "q66_corpus_sketch",
+      (s, d) =>
+        // Corpus statistics the way they run at 100 TB: HLL++ distinct
+        // sketches and quantile sketches — mergeable partial aggregates, one
+        // shuffle of sketch buffers instead of a distinct/sort of the corpus.
+        // Sketch internals are engine-private, so the driver gate is
+        // rows-only; CorpusSketchSpec pins the error bounds vs exact.
+        table(s, d, "documents")
+          .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
+          .groupBy("lang")
+          .agg(
+            approx_count_distinct(col("text"), rsd = 0.02).as("approx_distinct_docs"),
+            percentile_approx(col("n_tok"), lit(0.5), lit(1000)).as("p50_tokens"),
+            percentile_approx(col("n_tok"), lit(0.95), lit(1000)).as("p95_tokens"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang"),
+      None,
+      doc = "sketch-based corpus stats: HLL distinct + quantile sketches"),
+
+    QueryDef(
+      "q67_token_histogram",
+      (s, d) =>
+        // Doc-length histogram with log2 buckets — the fixed-width
+        // alternative to a quantile sort: one groupBy on a derived bucket
+        // key, fully map-side-combinable at any corpus size. Bucket =
+        // bit length - 1 (integer-exact floor(log2) on both engines;
+        // float log2 disagrees at exact powers of two).
+        table(s, d, "documents")
+          .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
+          .withColumn("bucket",
+            when(col("n_tok") <= 0, -1)
+              .otherwise(length(bin(col("n_tok"))) - 1).cast("int"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
+          .orderBy("lang", "bucket"),
+      Some(s"""
+        SELECT lang, bucket, count(*) AS n_docs,
+               min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+        FROM (SELECT lang, n_tok,
+                     CAST(CASE WHEN n_tok <= 0 THEN -1
+                               ELSE length(bin(n_tok)) - 1 END AS INT) AS bucket
+              FROM (SELECT lang, len(${toksDuck("text")}) AS n_tok FROM documents))
+        GROUP BY lang, bucket ORDER BY lang, bucket"""),
+      doc = "log2-bucketed token-length histogram per language")
   )
 }

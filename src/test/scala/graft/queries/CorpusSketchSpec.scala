@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q66's sketches are engine-private (no DuckDB oracle), so their accuracy
+  * is pinned here against exact computations on the sf0.001 table.
+  */
+class CorpusSketchSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("HLL distinct counts stay within the configured 2% rsd (5x slack)") {
+    val got = Catalog.queries("q66_corpus_sketch")(spark, dir)
+      .select("lang", "approx_distinct_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Catalog.table(spark, dir, "documents")
+      .groupBy("lang").agg(countDistinct("text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (lang, n) =>
+      assert(math.abs(got(lang) - n) <= math.max(1L, (n * 0.10).toLong),
+        s"lang=$lang approx=${got(lang)} exact=$n")
+    }
+  }
+
+  test("quantile sketches bracket the exact percentiles") {
+    val rows = Catalog.queries("q66_corpus_sketch")(spark, dir).collect()
+    val exact = Catalog.table(spark, dir, "documents")
+      .withColumn("n_tok", expr(s"size(${Frag.toksSpark("text")})"))
+      .groupBy("lang")
+      .agg(expr("percentile(n_tok, 0.5)").as("p50"),
+        expr("percentile(n_tok, 0.95)").as("p95"),
+        min("n_tok").as("mn"), max("n_tok").as("mx"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val e = exact(lang)
+      val (mn, mx) = (e.getAs[Int]("mn").toLong, e.getAs[Int]("mx").toLong)
+      val p50 = r.getAs[Int]("p50_tokens").toLong
+      val p95 = r.getAs[Int]("p95_tokens").toLong
+      assert(p50 >= mn && p50 <= mx && p95 >= p50 - 1 && p95 <= mx,
+        s"lang=$lang p50=$p50 p95=$p95 range=[$mn,$mx]")
+    }
+  }
+}
