@@ -59,18 +59,12 @@ object Bench {
       val ingestSec = (System.nanoTime() - t0) / 1e9
       // interactive-serving config: few cached partitions, AQE off — tiny
       // per-query jobs pay per-task overhead, not data cost (SCALE.md).
-      // The serving layout a deployment builds at index time: a
-      // DENORMALIZED vector cache — hydration columns beside the embedding,
-      // so the vector leg is one scan with no per-query join. The keyword
-      // leg stays on the cached token-array scan: at interactive scale the
-      // single-stage scan beats the postings leg's two aggregation shuffles
-      // (postings win when the corpus outgrows cache, not here).
-      val chunksDf = chunks.toDF().coalesce(4).persist()
-      val index = graft.search.HybridSearch.Index(
-        chunksDf,
-        vectors.join(chunks.toDF() // vectors already carry document_id
-            .select("chunk_id", "path", "content", "metadata"),
-          Seq("chunk_id")).coalesce(4).persist())
+      // The serving layout a deployment builds at index time (denormalized
+      // vector cache; keyword leg on the cached token-array scan — at
+      // interactive scale the single-stage scan beats the postings leg's
+      // two aggregation shuffles; postings win when the corpus outgrows
+      // cache, not here).
+      val index = graft.search.HybridSearch.servingIndex(chunks.toDF(), vectors)
       val req = graft.model.SearchRequest("spark join window", "en", topK = 10)
       val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")

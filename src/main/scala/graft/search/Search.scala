@@ -263,6 +263,30 @@ object HybridSearch {
       vectors: DataFrame,
       postings: Option[DataFrame] = None)
 
+  /** Build the interactive serving index from warehouse frames: hydration
+    * columns are denormalized INTO the vector frame (so the vector leg is a
+    * single cached scan — `VectorSearch.leg` detects the layout and skips
+    * the per-query join), and both frames are coalesced to a few cached
+    * partitions so a query pays per-task overhead, not data cost. One-time
+    * build cost, amortized across every query of a long-lived session
+    * (BASELINE.md compares steady-state latency; measured 203→~150 ms
+    * median at sf0.1).
+    */
+  def servingIndex(
+      chunks: DataFrame,
+      vectors: DataFrame,
+      partitions: Int = 4): Index = {
+    val hydration = Seq("path", "document_id", "content", "metadata")
+      .filterNot(vectors.columns.contains)
+    val denorm =
+      if (hydration.isEmpty) vectors
+      else vectors.join(
+        chunks.select((Seq("chunk_id") ++ hydration).map(col): _*), Seq("chunk_id"))
+    Index(
+      chunks.coalesce(partitions).persist(),
+      denorm.coalesce(partitions).persist())
+  }
+
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
     var out = df.filter(col("container_id") === req.containerId) // P1
     req.documentId.foreach(id => out = out.filter(col("document_id") === id)) // P2

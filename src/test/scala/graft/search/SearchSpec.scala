@@ -157,6 +157,23 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     IndexBuild.loadIndex(spark, warehouse)
   }
 
+  test("servingIndex returns identical hits and a join-free vector leg") {
+    val serving = HybridSearch.servingIndex(index.chunks, index.vectors)
+    val req = SearchRequest("chunk overlap settings", "c1", topK = 5)
+    val viaServing = HybridSearch.search(serving, req, embedder)
+    val viaNormalized = HybridSearch.search(index, req, embedder)
+    assert(viaServing.map(h => (h.chunk_id, h.score)) ==
+      viaNormalized.map(h => (h.chunk_id, h.score)))
+    // the denormalized layout answers the vector leg in one scan: no join
+    // above the cache scan (the InMemoryRelation's child plan retains the
+    // one-time build join — that part never re-executes)
+    val legPlan = VectorSearch.leg(serving.vectors, serving.chunks,
+      embedder.embed(req.query), 10).queryExecution.executedPlan.toString
+    val queryPart = legPlan.split("InMemoryTableScan")(0)
+    assert(!queryPart.toLowerCase.contains("join"), queryPart)
+    serving.chunks.unpersist(); serving.vectors.unpersist()
+  }
+
   test("hybrid search finds the overlap doc inside the container") {
     val hits = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)
