@@ -226,10 +226,9 @@ final class KnowledgeStore(
     */
   private def index: HybridSearch.Index = synchronized {
     cachedIndex.getOrElse {
-      val chunks = chunksDf.coalesce(8).persist()
-      val vectors = vectorsDf.join(chunks.select("chunk_id", "path"), Seq("chunk_id"))
-        .coalesce(8).persist()
-      val ix = HybridSearch.Index(chunks, vectors)
+      // denormalized serving layout: the vector leg answers in one cached
+      // scan, no per-query hydration join (HybridSearch.servingIndex)
+      val ix = HybridSearch.servingIndex(chunksDf, vectorsDf, partitions = 8)
       cachedIndex = Some(ix)
       ix
     }
