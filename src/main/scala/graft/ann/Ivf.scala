@@ -1,6 +1,6 @@
 package graft.ann
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -42,7 +42,12 @@ object Ivf {
       .setK(nLists).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("_fv").setPredictionCol("list_id")
       .fit(feat)
+    // hoist each vector's norm at build time: the probed-cell scan then
+    // scores with a single-accumulator DotProduct / (nrm * qnrm) — same
+    // double arithmetic as CosineSimilarity at a third of the per-row
+    // flops (see SCALE.md "Vector search / ANN")
     val assigned = model.transform(feat).drop("_fv")
+      .withColumn("nrm", sqrt(DotProduct(col("embedding"), col("embedding"))))
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
@@ -61,11 +66,19 @@ object Ivf {
       .withColumn("csim", CosineSimilarity(col("qemb"), col("centroid")))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nProbes)
-      .select("qid", "qemb", "list_id")
+      .select(col("qid"), col("qemb"),
+        sqrt(DotProduct(col("qemb"), col("qemb"))).as("qnrm"), col("list_id"))
+    // scan kernel: dot / (nrm * qnrm) — norms hoisted (build time for the
+    // corpus, routing time for the query), so the hot loop is a single
+    // accumulator; arithmetic identical to CosineSimilarity, including the
+    // zero-magnitude -> 0.0 convention
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
     index.assigned.join(broadcast(routed), Seq("list_id"))
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim", CosineSimilarity(col("embedding"), col("qemb")))
+      .withColumn("sim",
+        when(col("nrm") === 0.0 || col("qnrm") === 0.0, 0.0)
+          .otherwise(
+            DotProduct(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "sim", "rank")
