@@ -1,6 +1,6 @@
 package graft.ann
 
-import graft.functions.CosineSimilarity
+import graft.functions.DotProduct
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,10 +22,20 @@ object BruteForceKnn {
     * top-k. Columns: corpus(id, embedding), queries(qid, qemb).
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms hoisted out of the |corpus| × |queries| loop: computed once per
+    // corpus row / query row, the pair kernel is a single-accumulator dot
+    // (arithmetic identical to CosineSimilarity, incl. zero-magnitude -> 0)
+    val c = corpus.withColumn("nrm",
+      sqrt(DotProduct(col("embedding"), col("embedding"))))
+    val q = queries.withColumn("qnrm",
+      sqrt(DotProduct(col("qemb"), col("qemb"))))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
-    corpus.crossJoin(broadcast(queries))
+    c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim", CosineSimilarity(col("embedding"), col("qemb")))
+      .withColumn("sim",
+        when(col("nrm") === 0.0 || col("qnrm") === 0.0, 0.0)
+          .otherwise(
+            DotProduct(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "sim", "rank")
@@ -82,11 +92,11 @@ final case class HyperplaneLsh(dims: Int, bits: Int = 16, tables: Int = 4, seed:
 
   /** Add (table, bucket) rows for a DataFrame with an `embedding` column —
     * one output row per table. The bucket column is the shuffle/join key.
-    */
-  def bucketize(df: DataFrame, idCol: String): DataFrame = {
+    * `keep` carries extra columns through (e.g. a hoisted norm). */
+  def bucketize(df: DataFrame, idCol: String, keep: Seq[String] = Nil): DataFrame = {
     val self = this
     val sigUdf = udf((v: Seq[Float], t: Int) => self.signature(v.toArray, t))
-    df.select(col(idCol), col("embedding"))
+    df.select((idCol +: "embedding" +: keep).map(col): _*)
       .withColumn("table", explode(lit((0 until tables).toArray)))
       .withColumn("bucket", sigUdf(col("embedding"), col("table")))
   }
@@ -95,16 +105,22 @@ final case class HyperplaneLsh(dims: Int, bits: Int = 16, tables: Int = 4, seed:
     * the query; exact cosine re-rank on the candidate set only.
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cb = bucketize(corpus, "id")
-    val qb = bucketize(queries.withColumnRenamed("qemb", "embedding"), "qid")
+    val cb = bucketize(corpus.withColumn("nrm",
+      sqrt(DotProduct(col("embedding"), col("embedding")))), "id", keep = Seq("nrm"))
+    val qb = bucketize(queries.withColumnRenamed("qemb", "embedding")
+        .withColumn("qnrm", sqrt(DotProduct(col("embedding"), col("embedding")))),
+        "qid", keep = Seq("qnrm"))
       .withColumnRenamed("embedding", "qemb")
     val cand = cb.join(qb, Seq("table", "bucket"))
       .filter(col("id") =!= col("qid"))
-      .select("qid", "qemb", "id", "embedding")
+      .select("qid", "qemb", "qnrm", "id", "embedding", "nrm")
       .dropDuplicates("qid", "id")
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
     cand
-      .withColumn("sim", CosineSimilarity(col("embedding"), col("qemb")))
+      .withColumn("sim",
+        when(col("nrm") === 0.0 || col("qnrm") === 0.0, 0.0)
+          .otherwise(
+            DotProduct(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "sim", "rank")
@@ -117,14 +133,18 @@ final case class HyperplaneLsh(dims: Int, bits: Int = 16, tables: Int = 4, seed:
   */
 object EmbeddingNearDup {
   def pairs(df: DataFrame, idCol: String, lsh: HyperplaneLsh, minCosine: Double): DataFrame = {
-    val b = lsh.bucketize(df, idCol)
+    val b = lsh.bucketize(df.withColumn("nrm",
+      sqrt(DotProduct(col("embedding"), col("embedding")))), idCol, keep = Seq("nrm"))
     b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", CosineSimilarity(col("ea"), col("eb")))
+      .withColumn("cosine",
+        when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+          .otherwise(DotProduct(col("ea"), col("eb")) / (col("na") * col("nb"))))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
