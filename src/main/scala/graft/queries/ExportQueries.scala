@@ -194,6 +194,77 @@ object ExportQueries {
                                ELSE length(bin(n_tok)) - 1 END AS INT) AS bucket
               FROM (SELECT lang, len(${toksDuck("text")}) AS n_tok FROM documents))
         GROUP BY lang, bucket ORDER BY lang, bucket"""),
-      doc = "log2-bucketed token-length histogram per language")
+      doc = "log2-bucketed token-length histogram per language"),
+
+    QueryDef(
+      "q68_pii_redact",
+      (s, d) =>
+        // PII scrubbing: regex redaction of email-shaped and long-digit
+        // spans (narrow map over the corpus — the shape runs at any scale);
+        // reports per-doc redaction counts and a content hash of the
+        // scrubbed text so the oracle pins the exact rewrite.
+        table(s, d, "documents")
+          .filter(col("doc_id") < 300)
+          .withColumn("n_email",
+            size(expr("regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)")))
+          .withColumn("n_digits",
+            size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")))
+          .withColumn("scrubbed",
+            regexp_replace(
+              regexp_replace(col("text"), "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+              "[0-9]{6,}", "<NUM>"))
+          .select(col("doc_id"), col("n_email"), col("n_digits"),
+            sha2(col("scrubbed"), 256).as("scrubbed_hash"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS n_email,
+               len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digits,
+               sha256(regexp_replace(regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_hash
+        FROM documents WHERE doc_id < 300 ORDER BY doc_id"""),
+      doc = "PII redaction: regex scrub + redaction counts"),
+
+    QueryDef(
+      "q69_decontaminate",
+      (s, d) => {
+        // Benchmark decontamination: flag training docs sharing any word
+        // 5-gram with the eval set (here: every 97th doc). Same shingle-key
+        // equi-join shape as q24 — work ∝ colliding n-grams, never
+        // |train| × |eval| — with the eval side small enough to broadcast.
+        def grams(src: org.apache.spark.sql.DataFrame) = src
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            s"""array_distinct(transform(sequence(1, size(toks) - 4),
+                i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+                               element_at(toks, i+2), element_at(toks, i+3),
+                               element_at(toks, i+4))))""")).as("g"))
+        val docs = table(s, d, "documents")
+        val train = grams(docs.filter(col("doc_id") % 97 =!= 0))
+        val eval_ = grams(docs.filter(col("doc_id") % 97 === 0))
+          .select(col("g"), col("doc_id").as("eval_id"))
+        train.join(broadcast(eval_), Seq("g"))
+          .groupBy("doc_id")
+          .agg(countDistinct("g").as("n_shared"),
+            countDistinct("eval_id").as("n_eval_docs"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4]))) AS g
+          FROM (SELECT doc_id, ${toksDuck("text")} AS toks FROM documents)
+          WHERE len(toks) >= 5)
+        SELECT t.doc_id AS doc_id,
+               count(DISTINCT t.g) AS n_shared,
+               count(DISTINCT e.doc_id) AS n_eval_docs
+        FROM grams t JOIN grams e ON t.g = e.g
+        WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+        GROUP BY t.doc_id ORDER BY doc_id"""),
+      doc = "eval-set decontamination via 5-gram collision join")
   )
 }
