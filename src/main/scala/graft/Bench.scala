@@ -82,7 +82,44 @@ object Bench {
       (nChunks / math.max(ingestSec, 1e-9), times(times.length / 2))
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)}}""")
+    // BASELINE "upload -> searchable < 30 s": wall time from dropping a
+    // file into a watched dir until a hybrid search over the freshly-read
+    // warehouse returns it (streaming micro-batch + append upsert + search).
+    val uploadToSearchableS: Double = try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+      val watch = tmp.resolve("in"); val wh = tmp.resolve("wh"); val cp = tmp.resolve("cp")
+      java.nio.file.Files.createDirectories(watch)
+      val embedder = graft.embed.HashEmbedder(64)
+      val q = graft.streaming.StreamingIngest.start(
+        spark, watch.toString, "bench", wh.toString, cp.toString,
+        embedder = embedder,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      val t0 = System.nanoTime()
+      java.nio.file.Files.write(watch.resolve("note.txt"),
+        "The zanzibar protocol gates warehouse uploads end to end.".getBytes("UTF-8"))
+      val deadline = t0 + 30L * 1000 * 1000 * 1000
+      var found = false
+      while (!found && System.nanoTime() < deadline) {
+        found = try {
+          val chunks = graft.streaming.StreamingIngest.latest(
+            spark.read.parquet(s"$wh/chunks"))
+          val vectors = graft.streaming.StreamingIngest.latest(
+            spark.read.parquet(s"$wh/vectors"))
+          val hits = graft.search.HybridSearch.search(
+            graft.search.HybridSearch.Index(chunks, vectors.join(
+              chunks.select("chunk_id", "path"), Seq("chunk_id"))),
+            graft.model.SearchRequest("zanzibar protocol", "bench", topK = 3),
+            embedder)
+          hits.nonEmpty
+        } catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!found) Thread.sleep(100)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      if (found) dt else -1.0
+    } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)}}""")
     spark.stop()
   }
 }
