@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for the training-data pipeline: image/audio/video
   * travel as opaque `binary` columns with typed metadata, and per-asset
   * transforms (decode, feature-extract, resize, frame-sample) run as
-  * batched mapPartitions stages. The decode kernels are DELIBERATE STUBS —
-  * the codec libraries are not in this container — behind [[Decoder]];
-  * everything Spark-side (schema, partitioning, batch shape, null/error
-  * channels) is real and tested, so swapping a real decoder in changes one
-  * function.
+  * batched mapPartitions stages. Decode kernels sit behind [[Decoder]]:
+  * REAL byte-level decoders for the library-free formats ([[PcmWavDecoder]]
+  * for RIFF PCM audio, [[PpmDecoder]] for binary PPM images, routed by
+  * [[RoutingDecoder]]), a deterministic [[StubDecoder]] for formats whose
+  * codec libraries are not in this container. Everything Spark-side
+  * (schema, partitioning, batch shape, null/error channels) is real and
+  * tested, so swapping a codec in changes one function.
   */
 object Multimodal {
 
@@ -68,6 +70,118 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for PCM WAV (RIFF little-endian byte parsing — no codec
+    * library needed): sample rate / channels / bit depth from the fmt
+    * chunk, duration from the data chunk, and an 8-band segment-RMS
+    * feature vector over the 16-bit samples. Containers without codec
+    * libraries can still decode this format for real; compressed formats
+    * stay behind [[StubDecoder]].
+    */
+  final class PcmWavDecoder(bands: Int = 8) extends Decoder {
+    override def decode(a: Asset): AssetFeatures = {
+      def fail(msg: String) = AssetFeatures(a.asset_id, a.container_id,
+        a.media_type, 0, 0, 0L, 0, Array.empty, msg)
+      val b = a.data
+      if (b.length < 44) return fail("short wav")
+      def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return fail("not riff/wave")
+      def u16(off: Int) = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8))
+      def u32(off: Int) = ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+        ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
+      var off = 12
+      var sampleRate = 0L; var channels = 0; var bits = 0; var byteRate = 0L
+      var dataOff = -1; var dataLen = 0L
+      while (off + 8 <= b.length && (sampleRate == 0L || dataOff < 0)) {
+        val id = ascii(off, 4); val len = u32(off + 4)
+        if (id == "fmt ") {
+          channels = u16(off + 10); sampleRate = u32(off + 12)
+          byteRate = u32(off + 16); bits = u16(off + 22)
+        } else if (id == "data") { dataOff = off + 8; dataLen = math.min(len, b.length - dataOff) }
+        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+      if (sampleRate == 0L || dataOff < 0 || byteRate == 0L) return fail("missing fmt/data")
+      if (bits != 16) return fail(s"unsupported bit depth $bits")
+      val durationMs = dataLen * 1000L / byteRate
+      val nSamples = (dataLen / 2).toInt
+      val feat = new Array[Float](bands)
+      if (nSamples > 0) {
+        val per = math.max(1, nSamples / bands)
+        var band = 0
+        while (band < bands) {
+          val start = band * per
+          val end = if (band == bands - 1) nSamples else math.min(nSamples, start + per)
+          var acc = 0.0; var i = start
+          while (i < end) {
+            val s = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
+            acc += s.toDouble * s; i += 1
+          }
+          feat(band) = if (end > start) math.sqrt(acc / (end - start)).toFloat / 32768f else 0f
+          band += 1
+        }
+      }
+      AssetFeatures(a.asset_id, a.container_id, "audio",
+        channels, bits, durationMs, nSamples, feat, null)
+    }
+  }
+
+  /** REAL decoder for binary PPM (P6) images — ASCII header + raw RGB
+    * bytes, parseable with no image library: width/height from the header,
+    * mean-RGB + 5-bin luma histogram as the feature vector.
+    */
+  final class PpmDecoder extends Decoder {
+    override def decode(a: Asset): AssetFeatures = {
+      def fail(msg: String) = AssetFeatures(a.asset_id, a.container_id,
+        a.media_type, 0, 0, 0L, 0, Array.empty, msg)
+      val b = a.data
+      if (b.length < 2 || b(0) != 'P' || b(1) != '6') return fail("not p6 ppm")
+      var off = 2
+      def nextInt(): Int = {
+        while (off < b.length &&
+          (b(off).toChar.isWhitespace || b(off) == '#')) {
+          if (b(off) == '#') while (off < b.length && b(off) != '\n') off += 1
+          else off += 1
+        }
+        var v = 0
+        while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+          v = v * 10 + (b(off) - '0'); off += 1
+        }
+        v
+      }
+      val (w, h, maxVal) = (nextInt(), nextInt(), nextInt())
+      off += 1 // single whitespace after maxval
+      if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return fail("bad header")
+      val need = w.toLong * h * 3
+      if (b.length - off < need) return fail("truncated pixels")
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      val hist = new Array[Long](5)
+      var i = 0
+      while (i < need) {
+        val r = b(off + i) & 0xff; val g = b(off + i + 1) & 0xff; val bl = b(off + i + 2) & 0xff
+        sr += r; sg += g; sb += bl
+        val luma = (299 * r + 587 * g + 114 * bl) / 1000
+        hist(math.min(4, luma * 5 / 256)) += 1
+        i += 3
+      }
+      val n = (w.toLong * h).toDouble
+      val feat = Array((sr / n / 255).toFloat, (sg / n / 255).toFloat, (sb / n / 255).toFloat) ++
+        hist.map(c => (c / n).toFloat)
+      AssetFeatures(a.asset_id, a.container_id, "image", w, h, 0L, 1, feat, null)
+    }
+  }
+
+  /** Dispatch by content type: REAL parsing for the library-free formats
+    * (PCM wav, binary ppm), deterministic stub for formats whose codecs
+    * aren't in this container. */
+  final class RoutingDecoder(fallback: Decoder = new StubDecoder()) extends Decoder {
+    private val wav = new PcmWavDecoder()
+    private val ppm = new PpmDecoder()
+    override def decode(a: Asset): AssetFeatures = a.content_type match {
+      case "audio/wav" => wav.decode(a)
+      case "image/ppm" => ppm.decode(a)
+      case _ => fallback.decode(a)
+    }
+  }
+
   /** Ingest a directory of binary files as assets (S1 binaryFile scan). */
   def readAssets(spark: SparkSession, dir: String, containerId: String): Dataset[Asset] = {
     import spark.implicits._
@@ -78,7 +192,7 @@ object Multimodal {
         val name = path.substring(path.lastIndexOf('/') + 1)
         val ext = name.substring(name.lastIndexOf('.') + 1).toLowerCase
         val (media, mime) = ext match {
-          case "png" | "jpg" | "jpeg" | "gif" => ("image", s"image/$ext")
+          case "png" | "jpg" | "jpeg" | "gif" | "ppm" | "bmp" => ("image", s"image/$ext")
           case "wav" | "mp3" | "flac" => ("audio", s"audio/$ext")
           case "mp4" | "mkv" | "webm" => ("video", s"video/$ext")
           case _ => ("binary", "application/octet-stream")

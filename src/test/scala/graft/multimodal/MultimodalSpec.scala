@@ -52,6 +52,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.map(_.getAs[Long]("timestamp_ms")).toSeq == plan.map(_.getAs[Long]("timestamp_ms")).toSeq.sorted)
   }
 
+  /** Minimal valid PCM WAV: 16-bit mono 8kHz, `n` samples of a constant. */
+  private def wavBytes(n: Int, value: Short, rate: Int = 8000): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach(_ => bb.putShort(value))
+    bb.array()
+  }
+
+  test("PcmWavDecoder parses real RIFF bytes: rate, duration, segment RMS") {
+    val a = Asset("s.wav", "c1", "audio", "audio/wav",
+      wavBytes(8000, 16384), 0L, Map.empty) // 1 second at 8kHz
+    val f = new PcmWavDecoder(bands = 4).decode(a)
+    assert(f.error == null)
+    assert(f.duration_ms == 1000L)
+    assert(f.n_frames == 8000)     // samples
+    assert(f.width == 1 && f.height == 16) // channels, bit depth
+    assert(f.feature.length == 4)
+    // constant amplitude 16384/32768 = 0.5 in every band
+    f.feature.foreach(v => assert(math.abs(v - 0.5f) < 1e-3, v.toString))
+    val bad = new PcmWavDecoder().decode(a.copy(data = Array[Byte](1, 2, 3)))
+    assert(bad.error == "short wav")
+  }
+
+  test("PpmDecoder parses real P6 bytes: dimensions and channel means") {
+    val (w, h) = (4, 2)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val pixels = Array.fill(w * h)(Array[Byte](255.toByte, 0, 0)).flatten // pure red
+    val a = Asset("r.ppm", "c1", "image", "image/ppm",
+      header ++ pixels, 0L, Map.empty)
+    val f = new PpmDecoder().decode(a)
+    assert(f.error == null)
+    assert(f.width == 4 && f.height == 2 && f.n_frames == 1)
+    assert(math.abs(f.feature(0) - 1.0f) < 1e-6) // mean R
+    assert(f.feature(1) == 0.0f && f.feature(2) == 0.0f)
+    // luma of pure red = 76 -> second histogram bin holds all pixels
+    assert(f.feature(3 + 1) == 1.0f)
+    val bad = new PpmDecoder().decode(a.copy(data = "P3 ascii".getBytes))
+    assert(bad.error == "not p6 ppm")
+  }
+
+  test("RoutingDecoder sends wav/ppm to real decoders, the rest to the stub") {
+    val wav = Asset("a.wav", "c1", "audio", "audio/wav", wavBytes(100, 0), 0L, Map.empty)
+    val png = Asset("b.png", "c1", "image", "image/png", Array[Byte](1, 2, 3), 0L, Map.empty)
+    val feats = extractFeatures(Seq(wav, png).toDS(), new RoutingDecoder())
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats("a.wav").n_frames == 100)   // real parse (sample count)
+    assert(feats("b.png").error == null)     // stub path still works
+  }
+
   test("feature table partitions by container and media type") {
     val out = java.nio.file.Files.createTempDirectory("graft-mmw").toString
     val assets = Seq(
