@@ -185,6 +185,65 @@ final class KnowledgeStore(
       .as[(String, String, Int)].collect().toSeq
   }
 
+  // ---- folders (ref FolderEntity: container_id + path; the table exists
+  // solely so EMPTY folders survive — non-empty ones are implied by
+  // document paths) -------------------------------------------------------
+
+  private val foldersPath = s"$warehouse/folders"
+
+  private def foldersDf: DataFrame = tableOrEmpty(foldersPath,
+    Seq.empty[(String, String)].toDF("container_id", "path"))
+
+  /** folder create: records the path so it lists even while empty. */
+  def createFolder(containerId: String, path: String): Unit = {
+    val norm = graft.ingest.PathUtil.normalize(path).stripSuffix("/")
+    require(norm.nonEmpty, "folder path required")
+    if (!listFolders(containerId).contains(norm))
+      Seq((containerId, norm)).toDF("container_id", "path")
+        .write.mode(SaveMode.Append).parquet(foldersPath)
+  }
+
+  /** folder list: explicit (possibly empty) folders ∪ parent dirs implied
+    * by stored document paths, sorted. */
+  def listFolders(containerId: String, pathPrefix: Option[String] = None): Seq[String] = {
+    val explicit = foldersDf.filter(col("container_id") === containerId)
+      .select("path")
+    val implied = ledgerDf match {
+      case l if l.columns.contains("path") =>
+        l.filter(col("container_id") === containerId)
+          .select(expr("substring_index(path, '/', size(split(path, '/')) - 1)").as("path"))
+          .filter(col("path") =!= "")
+      case _ => explicit.limit(0)
+    }
+    val all = explicit.unionByName(implied).distinct()
+    val scoped = pathPrefix.map(p => all.filter(col("path").startsWith(p))).getOrElse(all)
+    scoped.orderBy("path").as[String].collect().toSeq
+  }
+
+  /** folder delete: removes the explicit entry and every document under the
+    * subtree (the reference cascades through the path prefix). */
+  def deleteFolder(containerId: String, path: String): Unit = {
+    val norm = graft.ingest.PathUtil.normalize(path).stripSuffix("/")
+    val docs = ledgerDf match {
+      case l if l.columns.contains("path") =>
+        l.filter(col("container_id") === containerId &&
+          col("path").startsWith(norm + "/"))
+          .select("path").as[String].collect().toSeq
+      case _ => Seq.empty
+    }
+    if (docs.nonEmpty) bulkDelete(containerId, docs)
+    val remaining = foldersDf
+      .filter(!(col("container_id") === containerId && col("path") === norm))
+      .collect()
+    val schema = foldersDf.schema
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(foldersPath), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(foldersPath), true)
+    if (remaining.nonEmpty)
+      spark.createDataFrame(spark.sparkContext.parallelize(remaining.toSeq), schema)
+        .write.mode(SaveMode.Overwrite).parquet(foldersPath)
+  }
+
   /** get_document (ref :546): reconstruct extracted text from chunks. */
   def getDocument(containerId: String, path: String): Option[String] = {
     val norm = graft.ingest.PathUtil.normalize(path)

@@ -100,6 +100,22 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     assert(store.containerStats(cid)("documents") == 2)
   }
 
+  test("folders: empty folders persist, implied folders list, delete cascades") {
+    val cid = store.listContainers().head._1
+    // explicit empty folder survives listing (ref FolderEntity semantics)
+    store.createFolder(cid, "drafts/wip")
+    assert(store.listFolders(cid).contains("/drafts/wip"))
+    // folders implied by document paths appear without explicit creation
+    assert(store.listFolders(cid).contains("/guide"))
+    // prefix scoping
+    assert(store.listFolders(cid, Some("/drafts")) == Seq("/drafts/wip"))
+    // cascade: deleting a folder removes documents under the subtree
+    store.uploadFile(cid, "drafts/wip/tmp.txt", "scratch words to be removed")
+    store.deleteFolder(cid, "drafts/wip")
+    assert(store.getDocument(cid, "drafts/wip/tmp.txt").isEmpty)
+    assert(!store.listFolders(cid).contains("/drafts/wip"))
+  }
+
   test("container_delete drops data and registry entry") {
     val cid = store.createContainer("temp")
     store.uploadFile(cid, "x.txt", "temporary words here")
