@@ -34,10 +34,14 @@ final class KnowledgeStore(
 
   private val containersPath = s"$warehouse/containers"
 
-  private def containersDf: DataFrame =
-    try spark.read.parquet(containersPath)
-    catch { case _: Throwable => Seq.empty[(String, String, String)]
-      .toDF("container_id", "name", "connector_type") }
+  private def containersDf: DataFrame = {
+    val df = try spark.read.parquet(containersPath)
+    catch { case _: Throwable => Seq.empty[(String, String, String, Boolean)]
+      .toDF("container_id", "name", "connector_type", "writable") }
+    // warehouses written before the write-guard column default to writable
+    if (df.columns.contains("writable")) df
+    else df.withColumn("writable", lit(true))
+  }
 
   private def tableOrEmpty(path: String, empty: => DataFrame): DataFrame =
     try spark.read.parquet(path) catch { case _: Throwable => empty }
@@ -51,20 +55,43 @@ final class KnowledgeStore(
 
   // ---- containers -------------------------------------------------------
 
-  /** container_create (ref McpTools.cs:17): names are unique. */
-  def createContainer(name: String, connectorType: String = "ManagedStorage"): String = {
+  /** container_create (ref McpTools.cs:17): names are unique. Write
+    * permission mirrors the reference's ContainerWriteGuard (:12-30):
+    * S3/AzureBlob connectors are ALWAYS read-only, ManagedStorage always
+    * writable, Filesystem honors the per-container flag.
+    */
+  def createContainer(
+      name: String,
+      connectorType: String = "ManagedStorage",
+      writable: Boolean = true): String = {
     require(name.nonEmpty, "container name required")
     val existing = listContainers()
     require(!existing.exists(_._2 == name), s"container '$name' exists")
     val id = java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8")).toString
-    Seq((id, name, connectorType)).toDF("container_id", "name", "connector_type")
+    val effective = connectorType match {
+      case "S3" | "AzureBlob" => false
+      case "ManagedStorage" => true
+      case _ => writable
+    }
+    Seq((id, name, connectorType, effective))
+      .toDF("container_id", "name", "connector_type", "writable")
       .write.mode(SaveMode.Append).parquet(containersPath)
     id
   }
 
   /** container_list: (id, name, connector_type). */
   def listContainers(): Seq[(String, String, String)] =
-    containersDf.as[(String, String, String)].collect().toSeq
+    containersDf.select("container_id", "name", "connector_type")
+      .as[(String, String, String)].collect().toSeq
+
+  /** Write-permission check (ref ContainerWriteGuard.cs:12-30). */
+  def isWritable(containerId: String): Boolean =
+    containersDf.filter(col("container_id") === containerId)
+      .select("writable").as[Boolean].collect().headOption.getOrElse(true)
+
+  private def requireWritable(containerId: String): Unit =
+    require(isWritable(containerId),
+      s"container $containerId is read-only (connector write guard)")
 
   /** container_delete (ref :64): drops the container's data partitions. */
   def deleteContainer(containerId: String): Unit = {
@@ -103,6 +130,7 @@ final class KnowledgeStore(
       files: Seq[(String, String)],
       base64: Boolean = false): Seq[String] = {
     require(files.length <= MaxBulk, s"bulk_upload limited to $MaxBulk files")
+    requireWritable(containerId)
     val docs = files.map { case (path, raw) =>
       val norm = graft.ingest.PathUtil.normalize(path)
       val content = if (base64) new String(
@@ -148,6 +176,7 @@ final class KnowledgeStore(
   /** bulk_delete (ref :375, <=100 ids — EXCEPT on keys). */
   def bulkDelete(containerId: String, paths: Seq[String]): Unit = {
     require(paths.length <= MaxBulk, s"bulk_delete limited to $MaxBulk")
+    requireWritable(containerId)
     val ids = paths.map(p => java.util.UUID.nameUUIDFromBytes(
       s"$containerId:${graft.ingest.PathUtil.normalize(p)}".getBytes("UTF-8")).toString).toSet
     def rewrite(path: String, partCols: Seq[String]): Unit = {
@@ -196,6 +225,7 @@ final class KnowledgeStore(
 
   /** folder create: records the path so it lists even while empty. */
   def createFolder(containerId: String, path: String): Unit = {
+    requireWritable(containerId)
     val norm = graft.ingest.PathUtil.normalize(path).stripSuffix("/")
     require(norm.nonEmpty, "folder path required")
     if (!listFolders(containerId).contains(norm))
@@ -223,6 +253,7 @@ final class KnowledgeStore(
   /** folder delete: removes the explicit entry and every document under the
     * subtree (the reference cascades through the path prefix). */
   def deleteFolder(containerId: String, path: String): Unit = {
+    requireWritable(containerId)
     val norm = graft.ingest.PathUtil.normalize(path).stripSuffix("/")
     val docs = ledgerDf match {
       case l if l.columns.contains("path") =>

@@ -116,6 +116,20 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     assert(!store.listFolders(cid).contains("/drafts/wip"))
   }
 
+  test("write guard: cloud connectors are read-only (ContainerWriteGuard)") {
+    val s3 = store.createContainer("mirror", connectorType = "S3")
+    assert(!store.isWritable(s3))
+    assertThrows[IllegalArgumentException](
+      store.uploadFile(s3, "x.txt", "must be rejected"))
+    assertThrows[IllegalArgumentException](store.createFolder(s3, "sub"))
+    val fsRo = store.createContainer("watched", connectorType = "Filesystem",
+      writable = false)
+    assert(!store.isWritable(fsRo))
+    val managed = store.listContainers().head._1
+    assert(store.isWritable(managed)) // ManagedStorage always writable
+    store.deleteContainer(s3); store.deleteContainer(fsRo)
+  }
+
   test("container_delete drops data and registry entry") {
     val cid = store.createContainer("temp")
     store.uploadFile(cid, "x.txt", "temporary words here")
