@@ -214,6 +214,19 @@ final class KnowledgeStore(
       .as[(String, String, Int)].collect().toSeq
   }
 
+  /** Model listing (ref SearchEndpoints.cs:125, A2 VectorModelDiscovery):
+    * distinct embedding models in a container with dimensions and vector
+    * counts, largest first — partition-pruned to the container. */
+  def listModels(containerId: String): Seq[(String, Int, Long)] = {
+    val v = vectorsDf
+    if (!v.columns.contains("model_id")) return Seq.empty
+    v.filter(col("container_id") === containerId)
+      .groupBy(col("model_id"), size(col("embedding")).as("dimensions"))
+      .agg(count(lit(1)).as("vectors"))
+      .orderBy(desc("vectors"), col("model_id"))
+      .as[(String, Int, Long)].collect().toSeq
+  }
+
   // ---- folders (ref FolderEntity: container_id + path; the table exists
   // solely so EMPTY folders survive — non-empty ones are implied by
   // document paths) -------------------------------------------------------

@@ -116,6 +116,14 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     assert(!store.listFolders(cid).contains("/drafts/wip"))
   }
 
+  test("model listing reports models with dimensions and counts (A2)") {
+    val cid = store.listContainers().head._1
+    val models = store.listModels(cid)
+    assert(models.nonEmpty)
+    val (mid, dims, n) = models.head
+    assert(mid.nonEmpty && dims > 0 && n > 0)
+  }
+
   test("write guard: cloud connectors are read-only (ContainerWriteGuard)") {
     val s3 = store.createContainer("mirror", connectorType = "S3")
     assert(!store.isWritable(s3))
