@@ -42,14 +42,20 @@ object AnnQueries {
       (s, d) => {
         // K1 + ANN baseline: brute-force cosine top-10 for a query batch.
         // Query side is tiny => broadcast; ranking via per-query window
-        // top-k (TakeOrdered shape per group).
+        // top-k (TakeOrdered shape per group). Norms hoisted out of the
+        // pair loop; the codegen DotProduct casts float elements to double
+        // and folds sequentially — value-identical to the HOF cosine over
+        // CAST(... AS DOUBLE[]) the oracle runs.
         val e = table(s, d, "embeddings")
-        val corpus = e.select(col("vec_id").as("nid"), expr(toDoubleSpark("embedding")).as("vn"))
+        val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("vn"),
+          sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))).as("nn"))
         val queries = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), expr(toDoubleSpark("embedding")).as("vq"))
+          .select(col("vec_id").as("qid"), col("embedding").as("vq"),
+            sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))).as("nq"))
         val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
         corpus.join(broadcast(queries), col("qid") =!= col("nid"))
-          .withColumn("sim", expr(cosSpark("vq", "vn")))
+          .withColumn("sim",
+            graft.functions.DotProduct(col("vq"), col("vn")) / (col("nq") * col("nn")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
           .select(col("qid"), col("nid"), (round(col("sim"), 6) + 0.0).as("cos_sim"), col("rank"))
