@@ -555,6 +555,33 @@ object RelationalQueries {
                CAST(floor((max(tsn) - min(tsn)) / 1000000000) AS BIGINT) AS duration_s
         FROM ses GROUP BY user_id, session_id
         ORDER BY user_id, session_id"""),
-      doc = "sessionization: gap-based session assignment + rollup")
+      doc = "sessionization: gap-based session assignment + rollup"),
+
+    QueryDef(
+      "q70_sliding_windows",
+      (s, d) =>
+        // Sliding (hopping) event-time windows: 1-hour size, 15-min slide —
+        // each event replicates into its 4 covering windows (explode is the
+        // batch twin of Structured Streaming's window(size, slide); the
+        // map-side explode + one keyed shuffle shape holds at any scale).
+        // Integer `div` on epoch-nanos keeps bucketing exact on both
+        // engines (no double rounding).
+        table(s, d, "events")
+          .withColumn("slide_idx", expr("ts div 900000000000"))
+          .withColumn("window_idx",
+            explode(expr("sequence(slide_idx - 3, slide_idx)")))
+          .groupBy("window_idx", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value"))
+          .orderBy("window_idx", "event_type"),
+      Some("""
+        SELECT window_idx, event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM (SELECT event_type, value,
+                     unnest(generate_series(epoch_ns(ts) // 900000000000 - 3,
+                                            epoch_ns(ts) // 900000000000)) AS window_idx
+              FROM events)
+        GROUP BY window_idx, event_type ORDER BY window_idx, event_type"""),
+      doc = "sliding event-time windows: hop replication + keyed aggregation")
   )
 }
