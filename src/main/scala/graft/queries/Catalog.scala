@@ -66,6 +66,18 @@ object Frag {
   def polyDuck(tok: String): String =
     s"list_reduce(list_concat([CAST(7 AS BIGINT)], list_transform(range(1, length($tok)+1), i -> CAST(unicode($tok[i]) AS BIGINT))), (a, b) -> (a * 31 + b) % $P)"
 
+  /** Avalanche round for BUCKETING uses of the poly hash: poly is affine in
+    * the final character, so consecutive integer ids produce consecutive
+    * hashes and small moduli cluster badly (measured: `poly % 1000` spanned
+    * only [74, 649] over 500 consecutive ids). One exact quadratic round
+    * scrambles the low-order residues; h < P keeps h² within BIGINT on both
+    * engines. Content-keyed hashing (fingerprints, shingles) doesn't need
+    * this — its inputs aren't consecutive. `h` must be a plain column name
+    * (it is substituted twice). */
+  def mixSpark(h: String): String = s"(($h * $h + 7919L * $h + 104729L) % $P)"
+  def mixDuck(h: String): String =
+    s"(($h * $h + 7919 * $h + 104729) % $P)"
+
   /** Word 3-gram shingles over a token-array expr (space-joined, distinct). */
   def shinglesSpark(toks: String): String =
     s"array_distinct(transform(sequence(1, size($toks) - 2), i -> concat_ws(' ', element_at($toks, i), element_at($toks, i+1), element_at($toks, i+2))))"

@@ -25,7 +25,8 @@ object ExportQueries {
         // and re-saltable for fresh splits. Narrow op: no shuffle at all.
         table(s, d, "documents")
           .withColumn("idstr", concat(lit("split-v1:"), col("doc_id").cast("string")))
-          .withColumn("bucket", (expr(polySpark("idstr")) % 100).cast("int"))
+          .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("bucket", (expr(mixSpark("h")) % 100).cast("int"))
           .withColumn("split",
             when(col("bucket") < 90, "train")
               .when(col("bucket") < 95, "val")
@@ -33,13 +34,14 @@ object ExportQueries {
           .select("doc_id", "bucket", "split")
           .orderBy("doc_id"),
       Some(s"""
-        SELECT doc_id, CAST(h % 100 AS INT) AS bucket,
-               CASE WHEN h % 100 < 90 THEN 'train'
-                    WHEN h % 100 < 95 THEN 'val'
+        SELECT doc_id, CAST(m % 100 AS INT) AS bucket,
+               CASE WHEN m % 100 < 90 THEN 'train'
+                    WHEN m % 100 < 95 THEN 'val'
                     ELSE 'test' END AS split
-        FROM (SELECT doc_id, ${polyDuck("idstr")} AS h
-              FROM (SELECT doc_id, 'split-v1:' || CAST(doc_id AS VARCHAR) AS idstr
-                    FROM documents))
+        FROM (SELECT doc_id, ${mixDuck("h")} AS m
+              FROM (SELECT doc_id, ${polyDuck("idstr")} AS h
+                    FROM (SELECT doc_id, 'split-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                          FROM documents)))
         ORDER BY doc_id"""),
       doc = "deterministic salted-hash train/val/test split"),
 
@@ -51,10 +53,11 @@ object ExportQueries {
         // ranks within each lang partition; quotas this small ride the
         // shuffle of their stratum key. For unbounded quotas at 100 TB the
         // fraction-based form (hash threshold, q62 shape) is the scale path.
-        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        val w = Window.partitionBy("lang").orderBy(col("m"), col("doc_id"))
         table(s, d, "documents")
           .withColumn("idstr", concat(lit("sample-v1:"), col("doc_id").cast("string")))
           .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("m", expr(mixSpark("h")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 20)
           .select("doc_id", "lang", "rk")
@@ -63,11 +66,12 @@ object ExportQueries {
       Some(s"""
         SELECT doc_id, lang, rk
         FROM (SELECT doc_id, lang,
-                     row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
-              FROM (SELECT doc_id, lang, ${polyDuck("idstr")} AS h
-                    FROM (SELECT doc_id, lang,
-                                 'sample-v1:' || CAST(doc_id AS VARCHAR) AS idstr
-                          FROM documents)))
+                     row_number() OVER (PARTITION BY lang ORDER BY m, doc_id) AS rk
+              FROM (SELECT doc_id, lang, ${mixDuck("h")} AS m
+                    FROM (SELECT doc_id, lang, ${polyDuck("idstr")} AS h
+                          FROM (SELECT doc_id, lang,
+                                       'sample-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                                FROM documents))))
         WHERE rk <= 20 ORDER BY lang, rk"""),
       doc = "stratified per-language sample with exact quotas"),
 
@@ -85,7 +89,8 @@ object ExportQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, d, "documents")
           .withColumn("idstr", concat(lit("pack-v1:"), col("doc_id").cast("string")))
-          .withColumn("shard", (expr(polySpark("idstr")) % 8).cast("int"))
+          .withColumn("ph", expr(polySpark("idstr")))
+          .withColumn("shard", (expr(mixSpark("ph")) % 8).cast("int"))
           .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
           // floor, not cast: DuckDB CAST(double AS BIGINT) rounds-to-nearest
           // while Spark's cast truncates — floor agrees on both engines
@@ -101,11 +106,12 @@ object ExportQueries {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            - n_tok) / 2000) AS BIGINT) AS bin
               FROM (SELECT lang, doc_id,
-                           CAST(${polyDuck("idstr")} % 8 AS INT) AS shard,
-                           len(${toksDuck("text")}) AS n_tok
-                    FROM (SELECT lang, doc_id, text,
-                                 'pack-v1:' || CAST(doc_id AS VARCHAR) AS idstr
-                          FROM documents)))
+                           CAST(${mixDuck("ph")} % 8 AS INT) AS shard, n_tok
+                    FROM (SELECT lang, doc_id, ${polyDuck("idstr")} AS ph,
+                                 len(${toksDuck("text")}) AS n_tok
+                          FROM (SELECT lang, doc_id, text,
+                                       'pack-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                                FROM documents))))
         GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""),
       doc = "token-budget sequence packing, hash-sharded for parallelism"),
 
@@ -124,9 +130,10 @@ object ExportQueries {
           .withColumn("w", when(col("srcnum") % 2 === 0, 0.6).otherwise(1.7))
           .withColumn("idstr", concat(lit("mix-v1:"), col("doc_id").cast("string")))
           .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("m", expr(mixSpark("h")))
           .withColumn("copies",
             (floor(col("w")) +
-              when(col("h") % 1000 < round(col("w") * 1000) % 1000, 1)
+              when(col("m") % 1000 < round(col("w") * 1000) % 1000, 1)
                 .otherwise(0)).cast("int"))
           .filter(col("copies") >= 1) // Spark sequence(1,0) would descend
           .select(col("doc_id"), col("source"),
@@ -136,7 +143,8 @@ object ExportQueries {
       Some(s"""
         SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
         FROM (SELECT doc_id, source,
-                     CAST(floor(w) + CASE WHEN h % 1000 < CAST(round(w * 1000) AS BIGINT) % 1000
+                     CAST(floor(w) + CASE WHEN ${mixDuck("h")} % 1000
+                                               < CAST(round(w * 1000) AS BIGINT) % 1000
                                           THEN 1 ELSE 0 END AS INT) AS copies
               FROM (SELECT doc_id, source,
                            CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0

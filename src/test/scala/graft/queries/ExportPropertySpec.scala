@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the training-export operators — properties the
+  * DuckDB hash-compare can't express (it pins values, not meaning).
+  */
+class ExportPropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.01" // 500 docs
+
+  test("train split: exhaustive, disjoint, and ~90/5/5 by hash") {
+    val rows = Catalog.queries("q62_train_split")(spark, dir)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum
+    assert(total == 500)
+    // hash buckets are uniform-ish; 90/5/5 within generous tolerance
+    assert(rows("train") > total * 0.8 && rows("train") < total * 0.97)
+    assert(rows("val") > 0 && rows("test") > 0)
+  }
+
+  test("stratified sample: exactly the quota per stratum, no duplicates") {
+    val rows = Catalog.queries("q63_stratified_sample")(spark, dir).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length == 20, s"lang=$lang got ${rs.length}")
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == rs.length)
+    }
+  }
+
+  test("sequence packing: bins respect the budget up to one document") {
+    val budget = 2000
+    val bins = Catalog.queries("q64_pack_sequences")(spark, dir).collect()
+    // every bin except possibly the shard's last stays under budget + the
+    // overflow of the doc that closed it; a bin can only exceed the budget
+    // because its LAST doc overflowed, so bin_tokens < budget + max doc.
+    val maxDoc = Catalog.table(spark, dir, "documents")
+      .select(max(size(expr(Frag.toksSpark("text"))))).head().getInt(0)
+    bins.foreach { b =>
+      val t = b.getAs[Long]("bin_tokens")
+      assert(t < budget + maxDoc,
+        s"bin ${b.getAs[Long]("bin")} tokens $t exceeds budget+maxDoc")
+      assert(b.getAs[Long]("n_docs") > 0)
+    }
+    // no document lost: bin token sums equal the corpus token total
+    val corpusTokens = Catalog.table(spark, dir, "documents")
+      .select(sum(size(expr(Frag.toksSpark("text"))))).head().getLong(0)
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == corpusTokens)
+  }
+
+  test("source mixture: per-source epoch counts realize the weights") {
+    val rows = Catalog.queries("q65_source_mixture")(spark, dir)
+      .groupBy("doc_id", "source").agg(max("epoch").as("copies"))
+      .collect()
+    rows.foreach { r =>
+      val srcnum = r.getAs[String]("source").replaceAll("[^0-9]", "").toInt
+      val copies = r.getAs[Int]("copies")
+      if (srcnum % 2 == 0) assert(copies == 1, s"w=0.6 doc got $copies copies")
+      else assert(copies == 1 || copies == 2, s"w=1.7 doc got $copies copies")
+    }
+    // fractional part realized in aggregate: mean copies near the weight
+    val bySrc = rows.groupBy(r => r.getAs[String]("source").replaceAll("[^0-9]", "").toInt % 2)
+    val meanEven = { // weight 0.6: only kept docs appear, all with 1 copy
+      val kept = bySrc(0).length
+      val totalEven = Catalog.table(spark, dir, "documents")
+        .filter(expr("CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0"))
+        .count()
+      kept.toDouble / totalEven
+    }
+    assert(meanEven > 0.4 && meanEven < 0.8, s"0.6-weight kept ratio $meanEven")
+  }
+}
