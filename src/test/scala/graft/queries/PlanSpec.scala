@@ -39,6 +39,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("hash split is narrow: no exchange below the presentation sort (q62)") {
+    val p = plan("q62_train_split")
+    // exactly one Exchange — the rangepartitioning for the final ORDER BY;
+    // the split assignment itself must stay shuffle-free
+    val exchanges = "(?i)exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, p.take(1200)) // range exchange (+AQE read) only
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+  }
+
+  test("decontamination joins the eval side broadcast (q69)") {
+    val p = plan("q69_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("sequence packing aggregates map-side after its window (q64)") {
+    val p = plan("q64_pack_sequences")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1200))
+    assert(p.contains("Window"), p.take(1200))
+  }
+
   // (codegen participation of CosineSimilarity is asserted in
   // CosineSimilaritySpec over a join, where whole-stage codegen engages)
 
