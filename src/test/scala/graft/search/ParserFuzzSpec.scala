@@ -1,0 +1,49 @@
+package graft.search
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fuzz robustness for the user-facing query parser and the rank function:
+  * arbitrary input must never throw (the reference accepts any string up to
+  * 10k chars, ref ValidationConstants.cs:6), and parse results must uphold
+  * the structural contract the legs rely on.
+  */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  private def forAllSamples[A](gen: Gen[A], n: Int = 300)(check: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(11L)
+    (1 to n).foreach { _ =>
+      check(gen.pureApply(params, seed))
+      seed = seed.next
+    }
+  }
+
+  private val queryGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("OR"), Gen.const("-"), Gen.const("\""),
+      Gen.const("\"chunk overlap\""), Gen.const("-\"bad phrase\""),
+      Gen.const("   "), Gen.const("()"), Gen.const("é中文")))
+      .map(_.mkString(" ")))
+
+  test("parse never throws and yields non-empty atoms") {
+    forAllSamples(queryGen) { q =>
+      val parsed = WebsearchParser.parse(q)
+      parsed.groups.foreach { g =>
+        assert(g.nonEmpty)
+        g.foreach(a => assert(a.simple.nonEmpty, s"empty atom for query <$q>"))
+      }
+      parsed.negated.foreach(a => assert(a.simple.nonEmpty))
+    }
+  }
+
+  test("rankChunk never throws on arbitrary queries over arbitrary tokens") {
+    val toks = Vector("chunk", "overlap", "controls", "shared", "tokens")
+    forAllSamples(queryGen) { q =>
+      val parsed = WebsearchParser.parse(q)
+      val r = KeywordSearch.rankChunk(parsed, toks, toks)
+      r.foreach(v => assert(v >= 0.0 && v < 1.0, s"rank $v for <$q>"))
+    }
+  }
+}
