@@ -1,0 +1,111 @@
+package graft.embed
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** HTTP model providers (ref §2.10 E1: OllamaEmbeddingProvider.cs:51-79,
+  * OpenAiEmbeddingProvider.cs:61-70). The request-building and
+  * response-parsing — the part with provider-specific semantics — is real
+  * and unit-tested offline; the transport is injected (this container has
+  * zero egress, and tests double it with canned responses). Batching
+  * mirrors the reference: sub-batches of `batchSize` texts per POST
+  * (EmbeddingSettings.BatchSize default 16, SettingsModels.cs:66).
+  */
+trait HttpTransport extends Serializable {
+  /** POST `body` (JSON) to `url`, return the response body (JSON). */
+  def post(url: String, body: String): String
+}
+
+/** java.net.http transport for real deployments. */
+final class JdkHttpTransport(timeoutMs: Long = 30000) extends HttpTransport {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  override def post(url: String, body: String): String = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+}
+
+/** Ollama `/api/embed` provider (ref OllamaEmbeddingProvider.cs):
+  * request `{"model": m, "input": [texts...]}`, response
+  * `{"embeddings": [[...], ...]}`.
+  */
+final class OllamaEmbedder(
+    baseUrl: String,
+    model: String,
+    override val dimensions: Int,
+    transport: HttpTransport,
+    batchSize: Int = 16) extends Embedder {
+  override val modelId: String = model
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[embed] def buildRequest(texts: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val arr = root.putArray("input")
+    texts.foreach(arr.add)
+    mapper.writeValueAsString(root)
+  }
+
+  private[embed] def parseResponse(json: String): Seq[Array[Float]] = {
+    val node = mapper.readTree(json)
+    val embs = node.get("embeddings")
+    require(embs != null && embs.isArray, s"malformed embed response: ${json.take(200)}")
+    (0 until embs.size).map { i =>
+      val v = embs.get(i)
+      require(v.size == dimensions,
+        s"model returned ${v.size} dims, expected $dimensions")
+      Array.tabulate(v.size)(j => v.get(j).floatValue)
+    }
+  }
+
+  override def embed(text: String): Array[Float] = embedBatch(Seq(text)).head
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.grouped(batchSize).flatMap { batch =>
+      parseResponse(transport.post(s"$baseUrl/api/embed", buildRequest(batch)))
+    }.toSeq
+}
+
+/** OpenAI-compatible `/v1/embeddings` provider (ref
+  * OpenAiEmbeddingProvider.cs): request `{"model": m, "input": [...]}`,
+  * response `{"data": [{"index": i, "embedding": [...]}, ...]}` — data may
+  * arrive out of order, re-sorted by index like the reference.
+  */
+final class OpenAiEmbedder(
+    baseUrl: String,
+    model: String,
+    override val dimensions: Int,
+    transport: HttpTransport,
+    batchSize: Int = 16) extends Embedder {
+  override val modelId: String = model
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[embed] def buildRequest(texts: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val arr = root.putArray("input")
+    texts.foreach(arr.add)
+    mapper.writeValueAsString(root)
+  }
+
+  private[embed] def parseResponse(json: String): Seq[Array[Float]] = {
+    val node = mapper.readTree(json)
+    val data = node.get("data")
+    require(data != null && data.isArray, s"malformed embeddings response: ${json.take(200)}")
+    (0 until data.size).map { i =>
+      val item = data.get(i)
+      val emb = item.get("embedding")
+      (item.get("index").intValue, Array.tabulate(emb.size)(j => emb.get(j).floatValue))
+    }.sortBy(_._1).map(_._2)
+  }
+
+  override def embed(text: String): Array[Float] = embedBatch(Seq(text)).head
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.grouped(batchSize).flatMap { batch =>
+      parseResponse(transport.post(s"$baseUrl/v1/embeddings", buildRequest(batch)))
+    }.toSeq
+}

@@ -29,6 +29,47 @@ final class OverlapCrossEncoder extends CrossEncoderProvider {
   }
 }
 
+/** TEI (text-embeddings-inference) `/rerank` provider (ref
+  * Reranking/Providers/TeiCrossEncoderProvider.cs): request
+  * `{"query": q, "texts": [...]}`, response
+  * `[{"index": i, "score": s}, ...]` — sparse and unordered; missing
+  * indices surface as unscored (the reranker then falls back, ref :47).
+  * Transport injected — request/response semantics unit-tested offline.
+  */
+final class TeiCrossEncoder(
+    baseUrl: String,
+    transport: graft.embed.HttpTransport) extends CrossEncoderProvider {
+  override val name = "tei"
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[search] def buildRequest(query: String, passages: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    root.put("query", query)
+    val arr = root.putArray("texts")
+    passages.foreach(arr.add)
+    mapper.writeValueAsString(root)
+  }
+
+  private[search] def parseResponse(json: String, n: Int): Option[Seq[Double]] = {
+    val node = mapper.readTree(json)
+    if (node == null || !node.isArray) return None
+    val scores = Array.fill(n)(Double.NaN)
+    (0 until node.size).foreach { i =>
+      val item = node.get(i)
+      val idx = item.get("index").intValue
+      if (idx >= 0 && idx < n) scores(idx) = item.get("score").doubleValue
+    }
+    if (scores.exists(_.isNaN)) None else Some(scores.toSeq)
+  }
+
+  override def score(query: String, passages: Seq[String]): Option[Seq[Double]] =
+    try parseResponse(
+      transport.post(s"$baseUrl/rerank", buildRequest(query, passages)),
+      passages.length)
+    catch { case _: Throwable => None } // provider failure -> fallback
+}
+
 object Reranker {
   /** Rerank the (driver-side, <=100) hit list; `topN` truncates before
     * scoring like the reference's CrossEncoderTopN (ref :63-67). */

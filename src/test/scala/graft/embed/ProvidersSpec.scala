@@ -1,0 +1,70 @@
+package graft.embed
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Offline tests of the HTTP provider layer (E1/E2): the transport is
+  * doubled with canned JSON, so request shapes, response parsing, batching,
+  * and failure behavior are pinned without network.
+  */
+class ProvidersSpec extends AnyFunSuite {
+
+  /** Records posted bodies; replies from a scripted queue. */
+  private final class FakeTransport(replies: String*) extends HttpTransport {
+    val posts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    private var i = -1
+    override def post(url: String, body: String): String = {
+      posts += ((url, body)); i += 1; replies(math.min(i, replies.length - 1))
+    }
+  }
+
+  test("Ollama embedder: request shape, response parse, 16-text batching") {
+    val reply = """{"embeddings": [[1.0, 0.0], [0.0, 1.0]]}"""
+    val t = new FakeTransport(reply)
+    val e = new OllamaEmbedder("http://ollama:11434", "nomic-embed", 2, t, batchSize = 2)
+    val vecs = e.embedBatch(Seq("alpha", "beta"))
+    assert(vecs.map(_.toSeq) == Seq(Seq(1f, 0f), Seq(0f, 1f)))
+    val (url, body) = t.posts.head
+    assert(url == "http://ollama:11434/api/embed")
+    assert(body == """{"model":"nomic-embed","input":["alpha","beta"]}""")
+    // batching: 5 texts at batchSize=2 -> 3 POSTs (ref sub-batches of 16)
+    val t2 = new FakeTransport(reply, reply, """{"embeddings": [[0.5, 0.5]]}""")
+    new OllamaEmbedder("http://x", "m", 2, t2, batchSize = 2)
+      .embedBatch(Seq("a", "b", "c", "d", "e"))
+    assert(t2.posts.length == 3)
+  }
+
+  test("Ollama embedder rejects dimension mismatches") {
+    val t = new FakeTransport("""{"embeddings": [[1.0, 0.0, 0.0]]}""")
+    val e = new OllamaEmbedder("http://x", "m", 2, t)
+    assertThrows[IllegalArgumentException](e.embed("text"))
+  }
+
+  test("OpenAI embedder re-sorts out-of-order data by index") {
+    val reply =
+      """{"data": [{"index": 1, "embedding": [0.0, 1.0]},
+        |          {"index": 0, "embedding": [1.0, 0.0]}]}""".stripMargin
+    val t = new FakeTransport(reply)
+    val e = new OpenAiEmbedder("http://api", "text-embedding-3-small", 2, t)
+    val vecs = e.embedBatch(Seq("first", "second"))
+    assert(vecs.head.toSeq == Seq(1f, 0f)) // index 0 first despite order
+    assert(t.posts.head._1 == "http://api/v1/embeddings")
+  }
+
+  test("TEI cross-encoder: sparse/unordered scores and failure fallback") {
+    import graft.search.TeiCrossEncoder
+    val t = new FakeTransport("""[{"index": 1, "score": 0.9}, {"index": 0, "score": 0.2}]""")
+    val ce = new TeiCrossEncoder("http://tei", t)
+    assert(ce.score("q", Seq("p0", "p1")) == Some(Seq(0.2, 0.9)))
+    assert(t.posts.head._1 == "http://tei/rerank")
+    assert(t.posts.head._2 == """{"query":"q","texts":["p0","p1"]}""")
+    // missing index -> unscored -> None (reranker falls back to original)
+    val sparse = new TeiCrossEncoder("http://tei",
+      new FakeTransport("""[{"index": 0, "score": 0.5}]"""))
+    assert(sparse.score("q", Seq("p0", "p1")).isEmpty)
+    // transport failure -> None
+    val failing = new TeiCrossEncoder("http://tei", new HttpTransport {
+      override def post(url: String, body: String): String = throw new RuntimeException("down")
+    })
+    assert(failing.score("q", Seq("p")).isEmpty)
+  }
+}
