@@ -11,7 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - aliases every computed column identically on both sides,
   *   - ends in a total deterministic ORDER BY (unique tie-break key),
   *   - rounds floating-point outputs (sum order differs across engines),
-  *   - avoids raw timestamp outputs (formats to 'yyyy-MM-dd' strings).
+  *   - avoids raw timestamp outputs (formats to 'yyyy-MM-dd' strings),
+  *   - wraps DuckDB integer `sum()` outputs in CAST(... AS BIGINT):
+  *     DuckDB's sum(BIGINT) returns HUGEINT (arrow decimal128), which the
+  *     driver's value hasher formats differently from Spark's int64 even
+  *     when the values are equal — this alone caused 4 of round 1's hash
+  *     mismatches (q26/q32/q59/q64). int32-vs-int64 width differences are
+  *     tolerated; decimal-vs-int is not.
   */
 final case class QueryDef(
     name: String,

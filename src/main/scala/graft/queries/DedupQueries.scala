@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * engine-agnostic polynomial hash (Frag) so DuckDB oracles can verify the
   * signatures bit-for-bit.
   *
-  * Scale notes: the shingle-join (q24) and LSH band-join (q25) are the
-  * 100 TB-safe shapes — work is proportional to shared-shingle/bucket pairs,
-  * never to n², and the joins shuffle on shingle/bucket keys.
+  * Scale notes: the shingle-join (q24, with a high-df shingle cap), the LSH
+  * band-join (q25) and the simhash slice-band join (q27) are the 100 TB-safe
+  * shapes — work is proportional to shared-shingle/bucket pairs, never to
+  * n², and the joins shuffle on shingle/bucket/slice keys.
   */
 object DedupQueries {
   import Catalog.table
@@ -58,8 +59,21 @@ object DedupQueries {
         val sh = base
           .select(col("doc_id"), explode(col("shs")).as("sh"))
           .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-        val pairs = sh.as("a")
-          .join(sh.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+        // Skew guard: a boilerplate shingle shared by k docs contributes
+        // k*(k-1)/2 join rows — one hot shingle in 10k docs is 5*10^7 pairs.
+        // Drop shingles with df > cap before the self-join. Measured df
+        // distribution on the synthetic corpus: max 7 (sf0.01), max 25
+        // (sf0.1), p99 4/18 — cap=128 leaves every test pair intact (oracle
+        // output unchanged) while bounding any bucket to 128^2/2 pairs at
+        // 100 TB. Capped shingles stop counting toward |∩| (and still count
+        // toward |∪| via n_sh), which only ever lowers boilerplate-driven
+        // Jaccard — the standard near-dup trade.
+        val dfCap = 128
+        val rare = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("shh")
+        val shCapped = sh.join(rare, "shh")
+        val pairs = shCapped.as("a")
+          .join(shCapped.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("common"))
         pairs
@@ -180,7 +194,7 @@ object DedupQueries {
                              sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) v
                       FROM th CROSS JOIN (SELECT unnest(range(0, 32)) j)
                       GROUP BY doc_id, j)
-        SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id"""),
       doc = "SimHash 32-bit signature (bit-vote of token hashes)"),
 
@@ -188,8 +202,16 @@ object DedupQueries {
       "q27_simhash_pairs",
       (s, d) => {
         // SimHash near-dup pairs: Hamming distance via popcount(xor) over
-        // the q26 signatures. (Self-join here; the scale path is banding on
-        // 8-bit signature slices, same as LSH.)
+        // the q26 signatures, with LSH-style SLICE BANDING instead of an
+        // all-pairs join. Pigeonhole: a pair within Hamming <= 4 differs in
+        // at most 4 bits, so over 5 DISJOINT slices of the 32-bit signature
+        // at least one slice is bit-identical (4 slices would NOT suffice —
+        // 4 differing bits can land in 4 distinct slices). Joining on
+        // (slice_idx, slice_value) therefore finds every qualifying pair;
+        // the exact bit_count filter then removes false candidates.
+        // Shuffle is keyed on slice values — linear in collisions, never
+        // n² — vs. the previous BroadcastNestedLoopJoin (all pairs).
+        // Slice layout: widths 7,7,6,6,6 at offsets 0,7,14,20,26.
         val sig = table(s, d, "documents")
           .withColumn("tok", explode(expr(toksSpark("text"))))
           .withColumn("h", expr(polySpark("tok")))
@@ -199,10 +221,19 @@ object DedupQueries {
           .agg(sum("vote").as("v"))
           .groupBy("doc_id")
           .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(1L, j) ELSE 0L END")).as("simhash"))
-        sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        val sliced = sig
+          .withColumn("i", explode(expr("sequence(0, 4)")))
+          .withColumn("slice", expr(
+            "shiftright(simhash, element_at(array(0, 7, 14, 20, 26), i + 1)) " +
+              "& element_at(array(127L, 127L, 63L, 63L, 63L), i + 1)"))
+        sliced.as("a")
+          .join(sliced.as("b"),
+            col("a.i") === col("b.i") && col("a.slice") === col("b.slice") &&
+              col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
           .filter(col("hamming") <= 4)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+          .distinct() // a pair may share several slices
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
@@ -212,7 +243,7 @@ object DedupQueries {
                              sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) v
                       FROM th CROSS JOIN (SELECT unnest(range(0, 32)) j)
                       GROUP BY doc_id, j),
-             sig AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) simhash
+             sig AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) simhash
                      FROM bits GROUP BY doc_id)
         SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id

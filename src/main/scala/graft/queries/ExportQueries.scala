@@ -100,7 +100,7 @@ object ExportQueries {
           .orderBy("lang", "shard", "bin")
       },
       Some(s"""
-        SELECT lang, shard, bin, count(*) AS n_docs, sum(n_tok) AS bin_tokens
+        SELECT lang, shard, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
         FROM (SELECT lang, shard, doc_id, n_tok,
                      CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -551,7 +551,7 @@ object RelationalQueries {
                               OVER (PARTITION BY user_id ORDER BY tsn, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
                      FROM g)
-        SELECT user_id, session_id, count(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
                CAST(floor((max(tsn) - min(tsn)) / 1000000000) AS BIGINT) AS duration_s
         FROM ses GROUP BY user_id, session_id
         ORDER BY user_id, session_id"""),

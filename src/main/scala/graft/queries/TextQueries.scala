@@ -188,7 +188,7 @@ object TextQueries {
             count(lit(1)).as("n_docs"))
           .orderBy("lang"),
       Some("""
-        SELECT lang, sum(n_tok) AS total_tokens,
+        SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                round(avg(CAST(n_tok AS DOUBLE)), 6) AS avg_tokens,
                count(*) AS n_docs
         FROM (SELECT lang, len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) n_tok

@@ -89,6 +89,21 @@ class PlanSpec extends AnyFunSuite {
     assert(selected.toPartitionArray.forall(_.urlEncodedPath.contains("container_id=cA")))
   }
 
+  test("simhash pair-join is banded, not all-pairs (q27)") {
+    val p = plan("q27_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // candidate generation is an equi-join on (slice idx, slice value)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("ngram-jaccard shingle join drops high-df shingles before pairing (q24)") {
+    val p = plan("q24_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("postings leg joins query terms by broadcast (K2 scale path)") {
     import spark.implicits._
     val chunks = graft.ingest.IndexBuild.chunkDocs(

@@ -43,6 +43,13 @@ def main(sf_dir, out_dir):
             exp_tbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_bad += 1; continue
+        # The driver's hasher treats DuckDB HUGEINT (arrow decimal128, from
+        # integer sum()) as != Spark int64 even for equal values; str()-based
+        # cell compare below can't see it. Flag any decimal oracle column.
+        dec = [f.name for f in exp_tbl.schema if "decimal" in str(f.type)]
+        if dec:
+            print(f"FAIL {name}: oracle emits decimal cols {dec} "
+                  f"(CAST(... AS BIGINT) in the oracle SQL)"); n_bad += 1; continue
         exp_cols, exp = table_rows(exp_tbl)
         if got_cols != exp_cols:
             print(f"FAIL {name}: cols {got_cols} != {exp_cols}"); n_bad += 1; continue
