@@ -149,7 +149,33 @@ final class KnowledgeStore(
 
   private def appendDocs(docs: Seq[IndexBuild.RawDoc]): Unit = {
     val ds = docs.toDS()
-    val chunker = graft.chunk.Chunkers.forName(chunkerName)
+    // Upsert, not blind append: re-uploading an existing path must REPLACE
+    // its chunks/vectors/ledger rows (ref IngestionPipeline.cs upsert +
+    // generation checks), or every re-upload doubles getDocument output and
+    // containerStats. Probe the ledger for the incoming ids (partition-
+    // pruned, <=MaxBulk ids) and rewrite them out of the warehouse first;
+    // the surviving generation number rides into the new ledger rows.
+    val prevGen: Map[String, Int] = {
+      val led = ledgerDf
+      if (!led.columns.contains("document_id")) Map.empty
+      else docs.groupBy(_.container_id).toSeq.flatMap { case (cid, group) =>
+        val ids = group.map(_.document_id)
+        led.filter(col("container_id") === cid && col("document_id").isin(ids: _*))
+          .select(col("document_id"),
+            (if (led.columns.contains("generation")) col("generation")
+             else lit(1)).cast("int").as("generation"))
+          .as[(String, Int)].collect().toSeq
+      }.toMap
+    }
+    docs.groupBy(_.container_id).foreach { case (cid, group) =>
+      val existing = group.map(_.document_id).filter(prevGen.contains).toSet
+      if (existing.nonEmpty) {
+        dropDocRows("chunks", cid, Nil, existing)
+        dropDocRows("vectors", cid, Seq("model_id"), existing)
+        dropDocRows("ledger", cid, Nil, existing)
+      }
+    }
+    val chunker = graft.chunk.Chunkers.forName(chunkerName, embedder)
     val newChunks = IndexBuild.chunkDocs(ds, chunker, cfg).persist()
     val vectors = IndexBuild.embedChunks(newChunks,
       Option(tableOrEmpty(s"$warehouse/embed_cache", null)), embedder)
@@ -158,11 +184,24 @@ final class KnowledgeStore(
       .parquet(s"$warehouse/chunks")
     vectors.write.mode(SaveMode.Append).partitionBy("container_id", "model_id")
       .parquet(s"$warehouse/vectors")
+    // same ledger schema as IndexBuild.build (generation + indexed_with
+    // settings stamp) so both producers can target one warehouse and
+    // Reindex.classify reads API-built ledgers
+    val stamp = Map(
+      "IndexedWith:Chunker" -> chunkerName,
+      "IndexedWith:MaxChunkSize" -> cfg.maxChunkSize.toString,
+      "IndexedWith:Overlap" -> cfg.overlap.toString,
+      "IndexedWith:Model" -> embedder.modelId)
+    val genDf = prevGen.toSeq.toDF("document_id", "prev_gen")
     val ledger = newChunks.groupBy($"document_id", $"container_id", $"path")
       .agg(count(lit(1)).cast("int").as("chunk_count"))
       .join(ds.select($"document_id", sha2($"content", 256).as("content_hash"),
         length($"content").cast("long").as("size_bytes"), $"file_name"), Seq("document_id"))
       .withColumn("status", lit("Ready"))
+      .join(broadcast(genDf), Seq("document_id"), "left")
+      .withColumn("generation", coalesce($"prev_gen" + 1, lit(1)).cast("int"))
+      .drop("prev_gen")
+      .withColumn("indexed_with", typedLit(stamp))
     ledger.write.mode(SaveMode.Append).partitionBy("container_id")
       .parquet(s"$warehouse/ledger")
     newChunks.unpersist()
@@ -179,25 +218,41 @@ final class KnowledgeStore(
     requireWritable(containerId)
     val ids = paths.map(p => java.util.UUID.nameUUIDFromBytes(
       s"$containerId:${graft.ingest.PathUtil.normalize(p)}".getBytes("UTF-8")).toString).toSet
-    def rewrite(path: String, partCols: Seq[String]): Unit = {
-      val df = tableOrEmpty(path, null)
-      if (df != null) {
-        val kept = df.filter(!col("document_id").isin(ids.toSeq: _*)).collect()
-        val schema = df.schema
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        if (kept.nonEmpty)
-          spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq), schema)
-            .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
-      }
-    }
-    // NOTE: driver-side rewrite is fine at test scale; the 100 TB path is
-    // the append-only tombstone + compaction in StreamingIngest
-    rewrite(s"$warehouse/chunks", Seq("container_id"))
-    rewrite(s"$warehouse/vectors", Seq("container_id", "model_id"))
-    rewrite(s"$warehouse/ledger", Seq("container_id"))
+    dropDocRows("chunks", containerId, Nil, ids)
+    dropDocRows("vectors", containerId, Seq("model_id"), ids)
+    dropDocRows("ledger", containerId, Nil, ids)
     invalidate()
+  }
+
+  /** Distributed, container-scoped document delete: rewrites ONLY the
+    * affected `container_id=` partition directory as a Spark job — rows
+    * never touch the driver, and unrelated containers' files are never
+    * read. The filtered partition is written to a dot-prefixed temp dir
+    * inside the table (same filesystem — Spark's listing ignores hidden
+    * dirs) and swapped in with a rename, so readers see old-or-new, not
+    * half-written. Streaming warehouses get the same effect via the
+    * append-only tombstone + `StreamingIngest.latest`/`compact` path.
+    */
+  private def dropDocRows(
+      table: String,
+      containerId: String,
+      subParts: Seq[String],
+      ids: Set[String]): Unit = {
+    if (ids.isEmpty) return
+    val tableDir = s"$warehouse/$table"
+    val partDir = s"$tableDir/container_id=$containerId"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val partPath = new org.apache.hadoop.fs.Path(partDir)
+    if (!fs.exists(partPath)) return
+    val kept = spark.read.option("basePath", tableDir).parquet(partDir)
+      .filter(!col("document_id").isin(ids.toSeq: _*))
+      .drop("container_id") // implied by the partition dir name
+    val tmp = s"$tableDir/.rewrite-${java.util.UUID.randomUUID}"
+    val w = kept.write.mode(SaveMode.Overwrite)
+    (if (subParts.nonEmpty) w.partitionBy(subParts: _*) else w).parquet(tmp)
+    fs.delete(partPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath)
   }
 
   /** list_files (ref :174) with pagination (K5). */

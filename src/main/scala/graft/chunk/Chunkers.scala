@@ -19,13 +19,23 @@ trait Chunker extends Serializable {
 }
 
 object Chunkers {
-  def forName(name: String): Chunker = name.toLowerCase match {
+  def forName(name: String): Chunker = forName(name, graft.embed.HashEmbedder())
+
+  /** Resolve a chunker, threading the PIPELINE embedder into the semantic
+    * chunker. The semantic chunker emits precomputed (mean-pooled)
+    * embeddings that IndexBuild.embedChunks stamps with the pipeline
+    * embedder's model_id/dimensions — so it must segment with that same
+    * embedder, or a real 768-dim provider would get 64-dim hash vectors
+    * labeled as its own model and cosine over the min-length prefix would
+    * be meaningless.
+    */
+  def forName(name: String, embedder: Embedder): Chunker = name.toLowerCase match {
     case "fixedsize" | "fixed" => FixedSizeChunker
     case "recursive" => RecursiveChunker
     case "documentaware" | "document_aware" => DocumentAwareChunker
     case "sentencewindow" | "sentence_window" => SentenceWindowChunker
     case "sentenceawarefixedsize" | "sentence_aware" => SentenceAwareFixedSizeChunker
-    case "semantic" => new SemanticChunker(graft.embed.HashEmbedder())
+    case "semantic" => new SemanticChunker(embedder)
     case other => throw new IllegalArgumentException(s"unknown chunker: $other")
   }
 

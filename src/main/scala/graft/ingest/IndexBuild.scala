@@ -151,7 +151,7 @@ object IndexBuild {
       cfg: ChunkingConfig = ChunkingConfig(),
       embedder: Embedder = graft.embed.HashEmbedder()): Unit = {
     import spark.implicits._
-    val chunker = Chunkers.forName(chunkerName)
+    val chunker = Chunkers.forName(chunkerName, embedder)
     val chunks = chunkDocs(docs, chunker, cfg).persist()
 
     val cachePath = s"$warehouse/embed_cache"

@@ -58,11 +58,15 @@ object WebsearchParser {
         atom(words) match {
           case None => ()
           case Some(a) =>
-            if (isNeg) negated += a
+            // any consumed atom settles a pending OR: a leading 'OR foo bar'
+            // must parse as foo AND bar (websearch_to_tsquery drops the
+            // dangling OR), and a negation absorbs it too
+            if (isNeg) { negated += a; orPending = false }
             else if (orPending && current.nonEmpty) { current :+= a; orPending = false }
             else {
               if (current.nonEmpty) groups += current
               current = Vector(a)
+              orPending = false
             }
         }
     }

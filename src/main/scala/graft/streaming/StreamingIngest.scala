@@ -55,10 +55,17 @@ object StreamingIngest {
           .as[(String, Array[Byte])]
           .map { case (path, bytes) =>
             val fileName = path.substring(path.lastIndexOf('/') + 1)
+            val normPath = path.stripPrefix("file:")
+            // id from container + FULL normalized path (same recipe as
+            // KnowledgeStore.bulkUpload): a basename-only id would collide
+            // for same-named files in different subdirectories (or different
+            // containers sharing a warehouse) and latest() would then
+            // permanently drop one file's chunks
             IndexBuild.RawDoc(
-              document_id = fileName,
+              document_id = java.util.UUID.nameUUIDFromBytes(
+                s"$containerId:$normPath".getBytes("UTF-8")).toString,
               container_id = containerId,
-              path = path.stripPrefix("file:"),
+              path = normPath,
               file_name = fileName,
               content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
           }
@@ -86,7 +93,7 @@ object StreamingIngest {
       cfg: ChunkingConfig,
       embedder: Embedder,
       generation: Long): Unit = {
-    val chunker = Chunkers.forName(chunkerName)
+    val chunker = Chunkers.forName(chunkerName, embedder)
     val newChunks = IndexBuild.chunkDocs(docs, chunker, cfg).persist()
     val newVectors = IndexBuild.embedChunks(newChunks, None, embedder)
 
@@ -106,7 +113,14 @@ object StreamingIngest {
     * each document's maximum generation (stale replays lose, T5).
     */
   def latest(df: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("document_id")
+    // key on (container_id, document_id) when the table carries containers:
+    // document ids are already container-scoped UUIDs, but a shared
+    // warehouse must never let one container's replay shadow another's rows
+    val keys =
+      if (df.columns.contains("container_id")) Seq("container_id", "document_id")
+      else Seq("document_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      keys.map(col): _*)
     df.withColumn("_maxgen", max("generation").over(w))
       .filter(col("generation") === col("_maxgen"))
       .drop("_maxgen")

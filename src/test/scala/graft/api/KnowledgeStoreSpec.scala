@@ -100,6 +100,41 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     assert(store.containerStats(cid)("documents") == 2)
   }
 
+  test("re-upload is an upsert: no duplicate chunks, generation bumps") {
+    val cid = store.listContainers().head._1
+    store.uploadFile(cid, "guide/overlap.txt",
+      "Chunk overlap controls shared tokens between chunks. Revised text.")
+    // getDocument must reflect ONLY the new content, not doubled chunks
+    val doc = store.getDocument(cid, "guide/overlap.txt")
+    assert(doc.exists(_.contains("Revised text")))
+    assert(doc.forall(!_.contains("Set overlap in settings")))
+    // document count unchanged; ledger has exactly one row at generation 2
+    assert(store.containerStats(cid)("documents") == 2)
+    val led = spark.read.parquet(s"$wh/ledger")
+    val rows = led.filter(org.apache.spark.sql.functions.col("path") === "/guide/overlap.txt")
+      .select("generation").collect()
+    assert(rows.length == 1, s"expected 1 ledger row, got ${rows.length}")
+    assert(rows.head.getInt(0) == 2)
+    // API-written ledger carries the same schema as IndexBuild.build
+    assert(led.columns.contains("generation") && led.columns.contains("indexed_with"))
+  }
+
+  test("delete rewrite is container-scoped: other containers' files untouched") {
+    val other = store.createContainer("scoped-other")
+    store.uploadFile(other, "keep/me.txt", "words that must survive the delete")
+    val cid = store.listContainers().find(_._2 == "docs").get._1
+    val otherDir = new java.io.File(s"$wh/chunks/container_id=$other")
+    val before = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    store.uploadFile(cid, "tmp/doomed.txt", "doomed words")
+    store.deleteFile(cid, "tmp/doomed.txt")
+    assert(store.getDocument(cid, "tmp/doomed.txt").isEmpty)
+    // the other container's partition dir was neither rewritten nor read
+    val after = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "unrelated container partition was rewritten")
+    assert(store.getDocument(other, "keep/me.txt").nonEmpty)
+    store.deleteContainer(other)
+  }
+
   test("folders: empty folders persist, implied folders list, delete cascades") {
     val cid = store.listContainers().head._1
     // explicit empty folder survives listing (ref FolderEntity semantics)

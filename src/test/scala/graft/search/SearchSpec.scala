@@ -36,6 +36,18 @@ class WebsearchParserSpec extends AnyFunSuite {
     val q = parse("running")
     assert(q.groups.head.head.english == Vector("run"))
   }
+  test("leading OR is dropped: 'OR foo bar' ANDs like websearch_to_tsquery") {
+    val q = parse("OR foo bar")
+    assert(q.groups.length == 2)
+    assert(q.groups.forall(_.length == 1))
+  }
+  test("negation absorbs a pending OR") {
+    val q = parse("foo OR -bar baz")
+    // OR lands on the negation, so baz starts a fresh AND group
+    assert(q.groups.length == 2)
+    assert(q.groups.forall(_.length == 1))
+    assert(q.negated.map(_.simple.head) == Vector("bar"))
+  }
 }
 
 class CoverDensityRankSpec extends AnyFunSuite {

@@ -98,10 +98,16 @@ class StreamingSpec extends AnyFunSuite {
 
     val chunks = StreamingIngest.latest(spark.read.parquet(s"$wh/chunks"))
     assert(chunks.count() > 0)
+    // document ids are container-scoped path UUIDs (same recipe as
+    // bulkUpload) so same-named files in different dirs can't collide
+    val expected = Seq("one.txt", "two.md").map { f =>
+      java.util.UUID.nameUUIDFromBytes(
+        s"cS:${root.resolve(f)}".getBytes("UTF-8")).toString
+    }.toSet
     assert(chunks.select("document_id").distinct().as[String].collect().toSet ==
-      Set("one.txt", "two.md"))
+      expected)
     // md auto-routed through DocumentAware: breadcrumb prepended
-    assert(chunks.filter($"document_id" === "two.md")
+    assert(chunks.filter($"path".endsWith("two.md"))
       .select("content").as[String].collect().exists(_.startsWith("Title")))
     val vectors = StreamingIngest.latest(spark.read.parquet(s"$wh/vectors"))
     assert(vectors.count() == chunks.count())
