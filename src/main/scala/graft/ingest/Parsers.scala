@@ -3,11 +3,12 @@ package graft.ingest
 import graft.model.ParsedDocument
 import java.nio.charset.StandardCharsets
 
-/** Document parsers (ref S5-S8). The text family is real; binary formats
-  * (PDF S6, Office S7) are deliberate deterministic stand-ins — the decode
-  * libraries are not in this container, so the parser plumbing (selection
-  * by extension, metadata, warnings) is real and tested while the byte
-  * decoding is faked (mirrors how the reference's tests mock parsers).
+/** Document parsers (ref S5-S8). The text family is real; .docx/.pptx
+  * decode for real via ZipInputStream + JDK XML ([[OfficeParser]], S7) and
+  * PDF decodes the FlateDecode common case via java.util.zip.Inflater +
+  * content-stream Tj/TJ extraction ([[PdfParser]], S6). [[parseBinaryStub]]
+  * remains only as the documented fallback for byte formats neither real
+  * parser covers.
   */
 object Parsers {
 
@@ -48,9 +49,10 @@ object Parsers {
     ParsedDocument(content, meta)
   }
 
-  /** STUB decode for binary formats: real deployments swap in PDFBox/POI
-    * here (inside the same mapPartitions); the fake emits page markers in
-    * the reference's format (ref PdfParser.cs:53-80 `--- Page N ---`).
+  /** STUB decode fallback: deterministic fake pages for binary formats the
+    * real parsers don't claim (kept for tests and for plumbing unknown
+    * future formats; page markers in the reference's format,
+    * ref PdfParser.cs:53-80 `--- Page N ---`).
     */
   def parseBinaryStub(fileName: String, bytes: Array[Byte]): ParsedDocument = {
     val ext = extension(fileName)
@@ -67,8 +69,10 @@ object Parsers {
   def parse(fileName: String, bytes: Array[Byte]): Either[String, ParsedDocument] = {
     val ext = extension(fileName)
     if (!isSupported(fileName)) Left(s"unsupported file type: .$ext")
-    else if (Set("pdf", "docx", "pptx").contains(ext))
-      Right(parseBinaryStub(fileName, bytes))
-    else Right(parseText(fileName, new String(bytes, StandardCharsets.UTF_8)))
+    else ext match {
+      case "pdf" => Right(PdfParser.parse(fileName, bytes))
+      case "docx" | "pptx" => Right(OfficeParser.parse(fileName, bytes))
+      case _ => Right(parseText(fileName, new String(bytes, StandardCharsets.UTF_8)))
+    }
   }
 }

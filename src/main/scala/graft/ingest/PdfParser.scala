@@ -1,0 +1,225 @@
+package graft.ingest
+
+import graft.model.ParsedDocument
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Real PDF text extraction for the FlateDecode common case, zero non-JDK
+  * dependencies (ref PdfParser.cs:10,53-80 — the reference wraps PdfPig;
+  * this container has no PDF library, but FlateDecode is zlib and zlib is
+  * `java.util.zip.Inflater`, so the dominant text-PDF class decodes for
+  * real).
+  *
+  * What's real: stream-object discovery, zlib/raw-deflate inflation,
+  * content-stream tokenization (literal strings with nesting + octal
+  * escapes, hex strings), the `Tj`/`TJ`/`'`/`"` show operators with
+  * `Td`/`TD`/`T*` treated as line breaks, `--- Page N ---` markers
+  * (ref :67), per-page no-text warnings (ref :73), Info-dict metadata
+  * (ref :38-51), and the never-throw contract (ref :98-102).
+  *
+  * Documented unsupported class (falls back to warnings, not wrong text):
+  * non-Flate filters (DCT/LZW/ASCII85), page content inside object streams
+  * (/ObjStm, PDF 1.5 compressed xref), and subset-embedded fonts with
+  * custom /ToUnicode cmaps, where shown bytes aren't Latin-1 — extraction
+  * then yields garbled-but-flagged text, the same failure PdfPig reports
+  * as a per-page warning.
+  */
+object PdfParser {
+
+  def parse(fileName: String, bytes: Array[Byte]): ParsedDocument = {
+    val meta = mutable.LinkedHashMap[String, String](
+      "file_name" -> fileName, "format" -> "pdf", "FileType" -> "PDF")
+    val warnings = mutable.Buffer[String]()
+    try {
+      val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+      if (!raw.startsWith("%PDF-"))
+        return ParsedDocument("", meta.toMap,
+          warnings = Seq("Error parsing PDF: missing %PDF- header"))
+
+      // page count: explicit page objects (object-stream PDFs undercount —
+      // see scope note above)
+      val pageCount = "/Type\\s*/Page[^s]".r.findAllIn(raw).length
+      if (pageCount > 0) meta("PageCount") = pageCount.toString
+      infoMetadata(raw).foreach { case (k, v) => meta(k) = v }
+
+      // walk every stream object; a decoded stream containing a BT text
+      // object is one page of content (common case: one content stream per
+      // page — multi-stream pages concatenate, matching viewer behavior)
+      val sb = new StringBuilder
+      var page = 0
+      streamObjects(bytes, raw).foreach { case (dict, data) =>
+        val decoded: Option[Array[Byte]] =
+          if (dict.contains("/FlateDecode")) inflate(data)
+          else if (!dict.contains("/Filter")) Some(data)
+          else None // non-Flate filter: skip (unsupported class)
+        decoded.map(d => new String(d, StandardCharsets.ISO_8859_1))
+          .filter(_.contains("BT")).foreach { content =>
+            page += 1
+            val text = extractText(content)
+            if (text.trim.nonEmpty) {
+              sb.append(s"--- Page $page ---").append('\n')
+              sb.append(text).append('\n').append('\n')
+            } else {
+              warnings += s"Page $page contains no extractable text (may be scanned image)"
+            }
+          }
+      }
+      val content = sb.toString
+      if (content.trim.isEmpty)
+        warnings += "PDF contains no extractable text. Consider using OCR for scanned documents."
+      ParsedDocument(content, meta.toMap, warnings = warnings.toSeq)
+    } catch {
+      case e: Exception =>
+        ParsedDocument("", meta.toMap,
+          warnings = (warnings :+ s"Error parsing PDF: ${e.getMessage}").toSeq)
+    }
+  }
+
+  /** Title/Author/Subject/Creator/CreationDate from the Info dictionary —
+    * best-effort over literal strings (hex-string metadata is skipped). */
+  private def infoMetadata(raw: String): Seq[(String, String)] =
+    Seq("Title", "Author", "Subject", "Creator", "CreationDate").flatMap { key =>
+      s"/$key\\s*\\(".r.findFirstMatchIn(raw).flatMap { m =>
+        readLiteralString(raw, m.end - 1).map { case (s, _) => key -> s }
+      }.filter(_._2.nonEmpty)
+    }
+
+  /** (dict-text, stream-bytes) for every `<< .. >> stream .. endstream`. */
+  private def streamObjects(bytes: Array[Byte], raw: String): Seq[(String, Array[Byte])] = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var from = 0
+    while ({ val i = raw.indexOf("stream", from); i >= 0 && {
+      val isWord = (i == 0 || !raw.charAt(i - 1).isLetter) // not "endstream"
+      val afterKeyword = i + "stream".length
+      if (isWord) {
+        // data starts after CRLF or LF following the keyword (spec 7.3.8.1)
+        val dataStart =
+          if (raw.startsWith("\r\n", afterKeyword)) afterKeyword + 2
+          else if (raw.startsWith("\n", afterKeyword)) afterKeyword + 1
+          else afterKeyword
+        val end = raw.indexOf("endstream", dataStart)
+        if (end >= 0) {
+          val dictStart = raw.lastIndexOf("<<", i)
+          val dict = if (dictStart >= 0) raw.substring(dictStart, i) else ""
+          // strip the EOL that precedes "endstream"
+          var dataEnd = end
+          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+          out += dict -> java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          from = end + "endstream".length
+        } else from = afterKeyword
+      } else from = afterKeyword
+      true
+    } }) ()
+    out.result()
+  }
+
+  /** FlateDecode = zlib; a few producers emit raw deflate, so fall back. */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    def tryWith(nowrap: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (n == 0 && !inf.finished()) return None // stuck
+        }
+        if (out.size == 0) None else Some(out.toByteArray)
+      } catch { case _: Exception => None } finally inf.end()
+    }
+    tryWith(false).orElse(tryWith(true))
+  }
+
+  /** Text from one content stream: strings shown by Tj / TJ / ' / ",
+    * line breaks at Td / TD / T* / ' (the next-line show operator). */
+  private[ingest] def extractText(content: String): String = {
+    val sb = new StringBuilder
+    var lineOpen = false
+    def newline(): Unit = if (lineOpen) { sb.append('\n'); lineOpen = false }
+    def show(s: String): Unit = if (s.nonEmpty) { sb.append(s); lineOpen = true }
+
+    var i = 0
+    var pending = Vector.empty[String] // strings seen since the last operator
+    while (i < content.length) {
+      content.charAt(i) match {
+        case '(' =>
+          readLiteralString(content, i) match {
+            case Some((s, next)) => pending :+= s; i = next
+            case None => i += 1
+          }
+        case '<' if i + 1 < content.length && content.charAt(i + 1) != '<' =>
+          val end = content.indexOf('>', i + 1)
+          if (end < 0) i += 1
+          else {
+            val hex = content.substring(i + 1, end).filter(c =>
+              Character.digit(c, 16) >= 0)
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            pending :+= padded.grouped(2)
+              .map(h => Integer.parseInt(h, 16).toChar).mkString
+            i = end + 1
+          }
+        case '[' | ']' => i += 1 // TJ array brackets; numbers skipped below
+        case '%' => // comment to end of line
+          val nl = content.indexOf('\n', i)
+          i = if (nl < 0) content.length else nl + 1
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          val start = i
+          while (i < content.length && !content.charAt(i).isWhitespace &&
+            !"()<>[]/%".contains(content.charAt(i))) i += 1
+          content.substring(start, i) match {
+            case "Tj" | "TJ" => pending.foreach(show); pending = Vector.empty
+            case "'" | "\"" => newline(); pending.foreach(show); pending = Vector.empty
+            case "Td" | "TD" | "T*" => newline(); pending = Vector.empty
+            case "BT" | "ET" => newline(); pending = Vector.empty
+            case _ => pending = Vector.empty // any other operator consumes operands
+          }
+        case _ => i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Literal PDF string starting at `(`: nesting, escapes, octal codes.
+    * Returns (decoded, index after the closing paren). */
+  private def readLiteralString(s: String, start: Int): Option[(String, Int)] = {
+    if (start >= s.length || s.charAt(start) != '(') return None
+    val sb = new StringBuilder
+    var depth = 1
+    var i = start + 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '(' => sb.append('('); i += 2
+            case ')' => sb.append(')'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '\n' => i += 2 // line continuation
+            case '\r' => i += (if (i + 2 < s.length && s.charAt(i + 2) == '\n') 3 else 2)
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1
+              var code = 0
+              while (j < s.length && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                code = code * 8 + (s.charAt(j) - '0'); j += 1
+              }
+              sb.append(code.toChar); i = j
+            case other => sb.append(other); i += 2
+          }
+        case '(' => depth += 1; sb.append('('); i += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb.append(')')
+          i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    if (depth == 0) Some((sb.toString, i)) else None
+  }
+}

@@ -1,0 +1,196 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+/** Golden fixtures for the REAL binary parsers (S6/S7): the fixtures are
+  * format-conformant bytes built with the JDK (a docx/pptx is a ZIP of
+  * OOXML parts; the PDF carries a genuine zlib-FlateDecode content stream
+  * and a correct xref table), so the parsers exercise the same code paths
+  * real files hit.
+  */
+class BinaryParsersSpec extends AnyFunSuite {
+
+  // ---- fixture builders ---------------------------------------------------
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val contentTypes =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+      |<Default Extension="xml" ContentType="application/xml"/>
+      |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+      |</Types>""".stripMargin
+
+  private val coreXml =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+      |<dc:title>Spec Doc</dc:title>
+      |<dc:creator>Graft Tests</dc:creator>
+      |<dc:subject>fixtures</dc:subject>
+      |<dcterms:created xsi:type="dcterms:W3CDTF">2026-01-01T00:00:00Z</dcterms:created>
+      |</cp:coreProperties>""".stripMargin
+
+  private def docxBytes: Array[Byte] = {
+    val documentXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        |<w:p><w:r><w:t>First paragraph text.</w:t></w:r></w:p>
+        |<w:p><w:r><w:t xml:space="preserve">Second </w:t></w:r><w:r><w:t>paragraph.</w:t></w:r></w:p>
+        |<w:tbl>
+        |<w:tr><w:tc><w:p><w:r><w:t>A1</w:t></w:r></w:p></w:tc><w:tc><w:p><w:r><w:t>B1</w:t></w:r></w:p></w:tc></w:tr>
+        |<w:tr><w:tc><w:p><w:r><w:t>A2</w:t></w:r></w:p></w:tc><w:tc><w:p><w:r><w:t>B2</w:t></w:r></w:p></w:tc></w:tr>
+        |</w:tbl>
+        |</w:body>
+        |</w:document>""".stripMargin
+    zip(
+      "[Content_Types].xml" -> contentTypes,
+      "_rels/.rels" -> """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"/>""",
+      "docProps/core.xml" -> coreXml,
+      "word/document.xml" -> documentXml)
+  }
+
+  private def pptxBytes: Array[Byte] = {
+    def slide(texts: String*): String =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+         |<p:cSld><p:spTree>${texts.map(t => s"<p:sp><p:txBody><a:p><a:r><a:t>$t</a:t></a:r></a:p></p:txBody></p:sp>").mkString}</p:spTree></p:cSld>
+         |</p:sld>""".stripMargin
+    zip(
+      "[Content_Types].xml" -> contentTypes,
+      "docProps/core.xml" -> coreXml,
+      // slide10 before slide2 in archive order: numeric sort must win
+      "ppt/slides/slide10.xml" -> slide("Tenth slide last"),
+      "ppt/slides/slide1.xml" -> slide("Slide one title", "Bullet text"),
+      "ppt/slides/slide2.xml" -> slide("Second slide"))
+  }
+
+  /** A real one-page PDF: catalog/pages/page objects, Helvetica font, a
+    * zlib-FlateDecode content stream, Info dict, correct xref offsets. */
+  private def pdfBytes(contentStream: String): Array[Byte] = {
+    val deflated = {
+      val d = new Deflater()
+      d.setInput(contentStream.getBytes(StandardCharsets.ISO_8859_1))
+      d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def obj(body: String): Unit = { offsets += out.size; w(body) }
+    w("%PDF-1.4\n")
+    obj("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    obj("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    obj("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /MediaBox [0 0 612 792] >> endobj\n")
+    offsets += out.size
+    w(s"4 0 obj << /Length ${deflated.length} /Filter /FlateDecode >> stream\n")
+    out.write(deflated)
+    w("\nendstream endobj\n")
+    obj("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    obj("6 0 obj << /Title (Fixture Title) /Author (Graft Tests) >> endobj\n")
+    val xrefAt = out.size
+    w("xref\n0 7\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer << /Size 7 /Root 1 0 R /Info 6 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---- docx ---------------------------------------------------------------
+
+  test("docx: paragraphs, table rows, core properties (S7)") {
+    val p = OfficeParser.parse("report.docx", docxBytes)
+    val lines = p.content.linesIterator.toVector
+    // paragraph pass includes table-cell paragraphs (ref OfficeParser.cs
+    // Descendants<Paragraph>), then rows render as `cell | cell`
+    assert(lines == Vector(
+      "First paragraph text.", "Second paragraph.",
+      "A1", "B1", "A2", "B2",
+      "A1 | B1", "A2 | B2"))
+    assert(p.metadata("FileType") == "Word Document")
+    assert(p.metadata("Title") == "Spec Doc")
+    assert(p.metadata("Author") == "Graft Tests")
+    assert(p.metadata("Subject") == "fixtures")
+    assert(p.metadata("CreationDate") == "2026-01-01T00:00:00Z")
+    assert(p.warnings.isEmpty)
+  }
+
+  test("docx: empty body warns, malformed bytes never throw") {
+    val empty = zip("word/document.xml" ->
+      """<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body/></w:document>""")
+    val p = OfficeParser.parse("empty.docx", empty)
+    assert(p.content.isEmpty)
+    assert(p.warnings.exists(_.contains("no extractable text")))
+    val bad = OfficeParser.parse("bad.docx", Array[Byte](1, 2, 3))
+    assert(bad.content.isEmpty)
+    assert(bad.warnings.exists(_.startsWith("Error parsing Office document")))
+  }
+
+  // ---- pptx ---------------------------------------------------------------
+
+  test("pptx: slides in numeric order with markers and SlideCount (S7)") {
+    val p = OfficeParser.parse("deck.pptx", pptxBytes)
+    assert(p.content ==
+      "--- Slide 1 ---\nSlide one title\nBullet text\n\n" +
+        "--- Slide 2 ---\nSecond slide\n\n" +
+        "--- Slide 3 ---\nTenth slide last\n\n")
+    assert(p.metadata("SlideCount") == "3")
+    assert(p.metadata("FileType") == "PowerPoint Presentation")
+    assert(p.metadata("Title") == "Spec Doc")
+  }
+
+  // ---- pdf ----------------------------------------------------------------
+
+  test("pdf: FlateDecode content stream extracts with page markers (S6)") {
+    val content = "BT /F1 12 Tf 72 720 Td (Hello PDF extraction) Tj T* " +
+      "(Parens \\(nested\\) and octal \\101) Tj ET"
+    val p = PdfParser.parse("doc.pdf", pdfBytes(content))
+    assert(p.content.startsWith("--- Page 1 ---\n"))
+    assert(p.content.contains("Hello PDF extraction\n"))
+    // escape handling: \( \) and octal \101 = 'A'
+    assert(p.content.contains("Parens (nested) and octal A"))
+    assert(p.metadata("PageCount") == "1")
+    assert(p.metadata("Title") == "Fixture Title")
+    assert(p.metadata("Author") == "Graft Tests")
+    assert(p.warnings.isEmpty)
+  }
+
+  test("pdf: TJ arrays and hex strings decode") {
+    val content = "BT [(Kerned ) -120 (array)] TJ T* <48657821> Tj ET"
+    val p = PdfParser.parse("doc.pdf", pdfBytes(content))
+    assert(p.content.contains("Kerned array"))
+    assert(p.content.contains("Hex!"))
+  }
+
+  test("pdf: image-only page warns; garbage never throws") {
+    val p = PdfParser.parse("scan.pdf", pdfBytes("BT ET"))
+    assert(p.content.isEmpty)
+    assert(p.warnings.exists(_.contains("no extractable text")))
+    val bad = PdfParser.parse("bad.pdf", "not a pdf at all".getBytes)
+    assert(bad.warnings.exists(_.contains("missing %PDF- header")))
+  }
+
+  test("Parsers.parse routes binaries to the real parsers") {
+    val viaDocx = Parsers.parse("r.docx", docxBytes)
+    assert(viaDocx.exists(_.content.contains("First paragraph text.")))
+    val viaPdf = Parsers.parse("r.pdf", pdfBytes("BT (routed) Tj ET"))
+    assert(viaPdf.exists(_.content.contains("routed")))
+  }
+}
