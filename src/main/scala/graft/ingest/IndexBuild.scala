@@ -205,10 +205,14 @@ object IndexBuild {
     val postings =
       try Some(spark.read.parquet(s"$warehouse/postings"))
       catch { case _: Throwable => None }
+    val termStats =
+      try Some(spark.read.parquet(s"$warehouse/term_stats"))
+      catch { case _: Throwable => None }
     graft.search.HybridSearch.Index(
       chunks,
       vectors.join(chunks.select("chunk_id", "path"), Seq("chunk_id")),
-      postings)
+      postings,
+      termStats)
   }
 
   /** Co-bucketed physical layout for index-wide equi-joins: chunks and

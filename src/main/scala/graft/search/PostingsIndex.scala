@@ -57,12 +57,28 @@ object PostingsIndex {
     * Shape: tiny lookup table of the query's (config, term, group) →
     * broadcast equi-join into postings → per-(chunk, group) position union
     * → AND check (all groups present) → cover-density rank → top-k.
+    *
+    * Two plan-level prunings:
+    *  - an explicit `term IN (...)` filter on the postings side. A
+    *    broadcast join alone cannot prune the probe scan; the literal IN
+    *    reaches parquet `PushedFilters` (dictionary/row-group skipping) on
+    *    a warehouse postings table, and pushes beneath the build
+    *    aggregation when postings are composed lazily in-plan.
+    *  - rare-term-first planning over [[termStats]] (when supplied): the
+    *    AND-group with the smallest total df bounds the candidate set, and
+    *    the other groups' postings semi-join on those chunk ids BEFORE the
+    *    position aggregation — the classic probe-the-rarest-list-first
+    *    inverted-index plan. Output is identical (chunks lacking the
+    *    rarest group could never satisfy `matched == nGroups`); only the
+    *    aggregated volume shrinks. AQE broadcasts the candidate set when
+    *    it is small, which df-of-the-rarest-term guarantees.
     */
   def leg(
       postings: DataFrame,
       chunks: DataFrame,
       query: WebsearchParser.ParsedQuery,
-      k: Int): DataFrame = {
+      k: Int,
+      termStats: Option[DataFrame] = None): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     // stopword-only groups vanish (the to_tsquery('english') behavior the
@@ -83,9 +99,27 @@ object PostingsIndex {
     }
     if (lookups.isEmpty) return spark.emptyDataFrame
 
+    val allTerms = (lookups.map(_._1) ++ negLookups.map(_._1)).distinct
+    val scoped = postings.filter(col("term").isin(allTerms: _*))
+
     val lookupDf = broadcast(lookups.toDF("term", "config", "gi"))
-    val candidates = postings
-      .join(lookupDf, Seq("term", "config"))
+    val base = scoped.join(lookupDf, Seq("term", "config"))
+    val pruned = termStats match {
+      case Some(stats) if nGroups > 1 =>
+        // df per query term (tiny collect: <= #query terms rows after the
+        // pushed-down IN), summed per OR-group; absent terms df=0
+        val dfs = stats.filter(col("term").isin(lookups.map(_._1).distinct: _*))
+          .groupBy("term").agg(sum("df").as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rarestGi = effective.indices.minBy { gi =>
+          lookups.filter(_._3 == gi).map(l => dfs.getOrElse(l._1, 0L)).sum
+        }
+        val candIds = base.filter(col("gi") === rarestGi)
+          .select("chunk_id").distinct()
+        base.join(candIds, Seq("chunk_id"), "left_semi")
+      case _ => base
+    }
+    val candidates = pruned
       .groupBy("chunk_id", "gi")
       .agg(array_sort(array_distinct(flatten(collect_list("positions")))).as("pos"))
       .groupBy("chunk_id")
@@ -96,7 +130,7 @@ object PostingsIndex {
     val filtered = if (negLookups.isEmpty) candidates else {
       val negDf = broadcast(negLookups.toDF("term", "config"))
       candidates.join(
-        postings.join(negDf, Seq("term", "config")).select("chunk_id").distinct(),
+        scoped.join(negDf, Seq("term", "config")).select("chunk_id").distinct(),
         Seq("chunk_id"), "left_anti")
     }
 

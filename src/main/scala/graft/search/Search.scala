@@ -261,7 +261,8 @@ object HybridSearch {
   final case class Index(
       chunks: DataFrame,
       vectors: DataFrame,
-      postings: Option[DataFrame] = None)
+      postings: Option[DataFrame] = None,
+      termStats: Option[DataFrame] = None)
 
   /** Build the interactive serving index from warehouse frames: hydration
     * columns are denormalized INTO the vector frame (so the vector leg is a
@@ -352,7 +353,8 @@ object HybridSearch {
           case Some(p) if PostingsIndex.supports(parsed) &&
               req.documentId.isEmpty && req.pathPrefix.isEmpty =>
             PostingsIndex.leg(p.filter(col("container_id") === req.containerId),
-              chunks, parsed, fetchK)
+              chunks, parsed, fetchK,
+              index.termStats.map(_.filter(col("container_id") === req.containerId)))
           case _ => KeywordSearch.leg(chunks, req.query, fetchK)
         }
         collectLeg(raw, "raw_k")

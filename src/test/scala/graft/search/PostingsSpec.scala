@@ -60,6 +60,24 @@ class PostingsSpec extends AnyFunSuite {
     }
   }
 
+  test("rare-term-first planning via term_stats changes nothing but the plan") {
+    val stats = PostingsIndex.termStats(postings)
+    Seq("spark shuffle", "spark shuffle -partitions", "spark OR running shuffle",
+      "spark absentterm").foreach { q =>
+      val parsed = WebsearchParser.parse(q)
+      val without = PostingsIndex.leg(postings, chunks, parsed, 10)
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      val withStats = PostingsIndex.leg(postings, chunks, parsed, 10, Some(stats))
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      assert(withStats == without, s"query '$q'")
+    }
+    // the planned leg carries the candidate semi-join
+    val plan = PostingsIndex.leg(postings, chunks,
+      WebsearchParser.parse("spark shuffle"), 10, Some(stats))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1200))
+  }
+
   test("phrase queries are routed away from postings") {
     assert(!PostingsIndex.supports(WebsearchParser.parse("\"spark shuffle\"")))
   }
