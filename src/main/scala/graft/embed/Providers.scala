@@ -13,17 +13,25 @@ import com.fasterxml.jackson.databind.ObjectMapper
 trait HttpTransport extends Serializable {
   /** POST `body` (JSON) to `url`, return the response body (JSON). */
   def post(url: String, body: String): String
+
+  /** POST with extra headers (auth). Default drops the headers — right for
+    * test doubles and header-less local endpoints; real transports
+    * override. */
+  def post(url: String, body: String, headers: Map[String, String]): String =
+    post(url, body)
 }
 
 /** java.net.http transport for real deployments. */
 final class JdkHttpTransport(timeoutMs: Long = 30000) extends HttpTransport {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-  override def post(url: String, body: String): String = {
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+  override def post(url: String, body: String): String =
+    post(url, body, Map.empty)
+  override def post(url: String, body: String, headers: Map[String, String]): String = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-      .build()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
     client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
   }
 }
@@ -107,5 +115,56 @@ final class OpenAiEmbedder(
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
     texts.grouped(batchSize).flatMap { batch =>
       parseResponse(transport.post(s"$baseUrl/v1/embeddings", buildRequest(batch)))
+    }.toSeq
+}
+
+/** Azure OpenAI embeddings (ref AzureOpenAiEmbeddingProvider.cs:15-56,
+  * which wraps the official SDK; this speaks the service's public REST
+  * shape): POST `{endpoint}/openai/deployments/{deployment}/embeddings
+  * ?api-version=...` with an `api-key` header; request `{"input": [...]}`;
+  * response is the OpenAI `data[].{index, embedding}` shape, re-sorted by
+  * index. The deployment name doubles as the model id (ref :52-55).
+  */
+final class AzureOpenAiEmbedder(
+    endpoint: String,
+    deployment: String,
+    apiKey: String,
+    override val dimensions: Int,
+    transport: HttpTransport,
+    apiVersion: String = "2024-02-01",
+    batchSize: Int = 16) extends Embedder {
+  require(endpoint.nonEmpty, "Azure OpenAI endpoint URL is required")
+  require(apiKey.nonEmpty, "Azure OpenAI API key is required")
+  override val modelId: String = deployment
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[embed] val url =
+    s"${endpoint.stripSuffix("/")}/openai/deployments/$deployment/embeddings?api-version=$apiVersion"
+
+  private[embed] def buildRequest(texts: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("input")
+    texts.foreach(arr.add)
+    mapper.writeValueAsString(root)
+  }
+
+  private[embed] def parseResponse(json: String): Seq[Array[Float]] = {
+    val node = mapper.readTree(json)
+    val data = node.get("data")
+    require(data != null && data.isArray, s"malformed embeddings response: ${json.take(200)}")
+    (0 until data.size).map { i =>
+      val item = data.get(i)
+      val emb = item.get("embedding")
+      require(emb.size == dimensions,
+        s"deployment returned ${emb.size} dims, expected $dimensions")
+      (item.get("index").intValue, Array.tabulate(emb.size)(j => emb.get(j).floatValue))
+    }.sortBy(_._1).map(_._2)
+  }
+
+  override def embed(text: String): Array[Float] = embedBatch(Seq(text)).head
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.grouped(batchSize).flatMap { batch =>
+      parseResponse(transport.post(url, buildRequest(batch), Map("api-key" -> apiKey)))
     }.toSeq
 }

@@ -1,0 +1,130 @@
+package graft.search
+
+import graft.embed.HttpTransport
+
+/** Cloud cross-encoder providers (ref Reranking/Providers/
+  * {Cohere,Jina,Voyage,AzureAIFoundry}CrossEncoderProvider.cs, 81-136 LoC
+  * each). All four speak the same snake_case rerank dialect — request
+  * `{"model": m, "query": q, "documents": [...]}` and a response array of
+  * `{index, relevance_score}` — differing only in endpoint, auth header,
+  * and the response's array field (`results` vs Voyage's `data`). The
+  * shared base captures that; transports are injected so the
+  * request/response semantics are unit-tested offline (ProvidersSpec),
+  * same pattern as the embedders.
+  *
+  * `top_n` is intentionally never sent: a truncated response leaves
+  * passages unscored and [[Reranker.rerank]] would fall back wholesale;
+  * scoring everything and truncating locally matches the reference's
+  * default (null TopN) path.
+  */
+abstract class JsonRerankProvider extends CrossEncoderProvider {
+  protected def transport: HttpTransport
+  protected def url: String
+  protected def headers: Map[String, String]
+  protected def model: String
+  /** Response field holding the scored array (`results`; Voyage: `data`). */
+  protected def resultsField: String = "results"
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[search] def buildRequest(query: String, passages: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("query", query)
+    val arr = root.putArray("documents")
+    passages.foreach(arr.add)
+    mapper.writeValueAsString(root)
+  }
+
+  /** `{results|data: [{index, relevance_score}, ...]}` -> positional
+    * scores; any missing index leaves a hole -> None -> rerank fallback. */
+  private[search] def parseResponse(json: String, n: Int): Option[Seq[Double]] = {
+    val node = mapper.readTree(json)
+    if (node == null) return None
+    val arr = node.get(resultsField)
+    if (arr == null || !arr.isArray) return None
+    val scores = Array.fill(n)(Double.NaN)
+    (0 until arr.size).foreach { i =>
+      val item = arr.get(i)
+      val idx = item.get("index").intValue
+      if (idx >= 0 && idx < n) scores(idx) = item.get("relevance_score").doubleValue
+    }
+    if (scores.exists(_.isNaN)) None else Some(scores.toSeq)
+  }
+
+  override def score(query: String, passages: Seq[String]): Option[Seq[Double]] =
+    try parseResponse(
+      transport.post(url, buildRequest(query, passages), headers),
+      passages.length)
+    catch { case _: Throwable => None } // provider failure -> fallback
+}
+
+/** Cohere `/v1/rerank` (ref CohereCrossEncoderProvider.cs:16,46,58). */
+final class CohereCrossEncoder(
+    apiKey: String,
+    override protected val transport: HttpTransport,
+    override protected val model: String = "rerank-v3.5",
+    baseUrl: String = "https://api.cohere.com") extends JsonRerankProvider {
+  override val name = "cohere"
+  override protected val url = s"${baseUrl.stripSuffix("/")}/v1/rerank"
+  override protected val headers = Map("Authorization" -> s"Bearer $apiKey")
+}
+
+/** Jina `/v1/rerank` (ref JinaCrossEncoderProvider.cs:16,46,58). */
+final class JinaCrossEncoder(
+    apiKey: String,
+    override protected val transport: HttpTransport,
+    override protected val model: String = "jina-reranker-v3",
+    baseUrl: String = "https://api.jina.ai") extends JsonRerankProvider {
+  override val name = "jina"
+  override protected val url = s"${baseUrl.stripSuffix("/")}/v1/rerank"
+  override protected val headers = Map("Authorization" -> s"Bearer $apiKey")
+}
+
+/** Voyage `/v1/rerank` — response array arrives under `data`
+  * (ref VoyageCrossEncoderProvider.cs:64-66,93). */
+final class VoyageCrossEncoder(
+    apiKey: String,
+    override protected val transport: HttpTransport,
+    override protected val model: String = "rerank-2.5-lite",
+    baseUrl: String = "https://api.voyageai.com") extends JsonRerankProvider {
+  override val name = "voyage"
+  override protected val url = s"${baseUrl.stripSuffix("/")}/v1/rerank"
+  override protected val headers = Map("Authorization" -> s"Bearer $apiKey")
+  override protected val resultsField = "data"
+}
+
+/** Azure AI Foundry rerank: `api-key` auth and a base-URL-dependent path
+  * (ref AzureAIFoundryCrossEncoderProvider.cs:30-41,100-140). */
+final class AzureFoundryCrossEncoder(
+    baseUrl: String,
+    apiKey: String,
+    override protected val transport: HttpTransport,
+    override protected val model: String = "") extends JsonRerankProvider {
+  require(baseUrl.nonEmpty, "Base URL is required for Azure AI Foundry")
+  override val name = "azure-foundry"
+  override protected val url = AzureFoundryCrossEncoder.buildRerankUrl(baseUrl, model)
+  override protected val headers = Map("api-key" -> apiKey)
+}
+
+object AzureFoundryCrossEncoder {
+  /** Ref BuildRerankUrl (:100-118): a URL already containing `/rerank` is
+    * used as-is (the Azure "Target URI" paste); the services gateway
+    * routes `/providers/{slug}/v2/rerank`; model deployments use the
+    * Cohere-native `/v1/rerank`. */
+  private[search] def buildRerankUrl(baseUrl: String, model: String): String = {
+    val trimmed = baseUrl.stripSuffix("/")
+    if (trimmed.toLowerCase.contains("/rerank")) trimmed
+    else if (trimmed.toLowerCase.contains(".services.ai.azure.com"))
+      s"$trimmed/providers/${providerSlug(model)}/v2/rerank"
+    else s"$trimmed/v1/rerank"
+  }
+
+  /** Ref InferProviderSlug (:124-140): Cohere* -> cohere, jina* -> jina,
+    * default cohere. */
+  private def providerSlug(model: String): String = {
+    val m = Option(model).getOrElse("").toLowerCase
+    if (m.startsWith("jina")) "jina" else "cohere"
+  }
+}

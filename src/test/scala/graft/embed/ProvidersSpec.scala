@@ -8,12 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ProvidersSpec extends AnyFunSuite {
 
-  /** Records posted bodies; replies from a scripted queue. */
+  /** Records posted bodies + headers; replies from a scripted queue. */
   private final class FakeTransport(replies: String*) extends HttpTransport {
     val posts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val headersSeen = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     private var i = -1
     override def post(url: String, body: String): String = {
       posts += ((url, body)); i += 1; replies(math.min(i, replies.length - 1))
+    }
+    override def post(url: String, body: String, headers: Map[String, String]): String = {
+      headersSeen += headers; post(url, body)
     }
   }
 
@@ -66,5 +70,92 @@ class ProvidersSpec extends AnyFunSuite {
       override def post(url: String, body: String): String = throw new RuntimeException("down")
     })
     assert(failing.score("q", Seq("p")).isEmpty)
+  }
+
+  test("Azure OpenAI embedder: deployment URL, api-key header, index re-sort") {
+    val reply =
+      """{"data": [{"index": 1, "embedding": [0.0, 1.0]},
+        |          {"index": 0, "embedding": [1.0, 0.0]}]}""".stripMargin
+    val t = new FakeTransport(reply)
+    val e = new AzureOpenAiEmbedder("https://res.openai.azure.com/", "embed-3-small",
+      "sekret", 2, t)
+    assert(e.modelId == "embed-3-small") // deployment doubles as model id
+    val vecs = e.embedBatch(Seq("first", "second"))
+    assert(vecs.head.toSeq == Seq(1f, 0f))
+    assert(t.posts.head._1 ==
+      "https://res.openai.azure.com/openai/deployments/embed-3-small/embeddings?api-version=2024-02-01")
+    assert(t.posts.head._2 == """{"input":["first","second"]}""")
+    assert(t.headersSeen.head == Map("api-key" -> "sekret"))
+    assertThrows[IllegalArgumentException](
+      new AzureOpenAiEmbedder("", "d", "k", 2, t))
+  }
+
+  test("Cohere/Jina rerankers: bearer auth, snake_case body, positional scores") {
+    import graft.search.{CohereCrossEncoder, JinaCrossEncoder}
+    val reply = """{"results": [{"index": 1, "relevance_score": 0.91},
+                  |             {"index": 0, "relevance_score": 0.12}]}""".stripMargin
+    val t = new FakeTransport(reply)
+    val ce = new CohereCrossEncoder("key-c", t)
+    assert(ce.score("q", Seq("p0", "p1")) == Some(Seq(0.12, 0.91)))
+    assert(t.posts.head._1 == "https://api.cohere.com/v1/rerank")
+    assert(t.posts.head._2 ==
+      """{"model":"rerank-v3.5","query":"q","documents":["p0","p1"]}""")
+    assert(t.headersSeen.head == Map("Authorization" -> "Bearer key-c"))
+    val tj = new FakeTransport(reply)
+    val jina = new JinaCrossEncoder("key-j", tj, model = "jina-reranker-v3")
+    assert(jina.score("q", Seq("a", "b")).isDefined)
+    assert(tj.posts.head._1 == "https://api.jina.ai/v1/rerank")
+    assert(tj.posts.head._2.contains(""""model":"jina-reranker-v3""""))
+  }
+
+  test("Voyage reranker reads the data field; sparse results fall back") {
+    import graft.search.VoyageCrossEncoder
+    val t = new FakeTransport(
+      """{"data": [{"index": 0, "relevance_score": 0.7}, {"index": 1, "relevance_score": 0.3}]}""")
+    val v = new VoyageCrossEncoder("key-v", t)
+    assert(v.score("q", Seq("p0", "p1")) == Some(Seq(0.7, 0.3)))
+    assert(t.posts.head._1 == "https://api.voyageai.com/v1/rerank")
+    // a truncated (top_n-style) response leaves holes -> None -> fallback
+    val sparse = new VoyageCrossEncoder("k",
+      new FakeTransport("""{"data": [{"index": 0, "relevance_score": 0.7}]}"""))
+    assert(sparse.score("q", Seq("p0", "p1")).isEmpty)
+  }
+
+  test("Azure Foundry reranker: api-key header and URL routing rules") {
+    import graft.search.AzureFoundryCrossEncoder
+    val reply = """{"results": [{"index": 0, "relevance_score": 1.0}]}"""
+    val t = new FakeTransport(reply)
+    val f = new AzureFoundryCrossEncoder(
+      "https://res.services.ai.azure.com", "fkey", t, model = "jina-reranker-v3")
+    assert(f.score("q", Seq("p")) == Some(Seq(1.0)))
+    // services gateway routes via /providers/{slug}/v2/rerank (slug from model)
+    assert(t.posts.head._1 ==
+      "https://res.services.ai.azure.com/providers/jina/v2/rerank")
+    assert(t.headersSeen.head == Map("api-key" -> "fkey"))
+    // explicit Target URI containing /rerank is used as-is
+    val t2 = new FakeTransport(reply)
+    val asIs = new AzureFoundryCrossEncoder(
+      "https://x.models.ai.azure.com/v1/rerank?api-version=1", "k", t2)
+    asIs.score("q", Seq("p"))
+    assert(t2.posts.head._1 == "https://x.models.ai.azure.com/v1/rerank?api-version=1")
+    // model deployments default to Cohere-native /v1/rerank
+    val t3 = new FakeTransport(reply)
+    new AzureFoundryCrossEncoder("https://y.models.ai.azure.com", "k", t3).score("q", Seq("p"))
+    assert(t3.posts.head._1 == "https://y.models.ai.azure.com/v1/rerank")
+    assertThrows[IllegalArgumentException](
+      new AzureFoundryCrossEncoder("", "k", t3))
+  }
+
+  test("rerank pipeline accepts the cloud providers end-to-end") {
+    import graft.search.{CohereCrossEncoder, Reranker}
+    import graft.model.SearchHit
+    val t = new FakeTransport(
+      """{"results": [{"index": 1, "relevance_score": 0.9}, {"index": 0, "relevance_score": 0.1}]}""")
+    val hits = Seq(
+      SearchHit("c1", "d1", "first passage", 0.8, Map.empty),
+      SearchHit("c2", "d2", "second passage", 0.7, Map.empty))
+    val out = Reranker.rerank(new CohereCrossEncoder("k", t), "q", hits)
+    assert(out.map(_.chunk_id) == Seq("c2", "c1")) // provider scores win
+    assert(out.head.metadata("reranker") == "cohere")
   }
 }
