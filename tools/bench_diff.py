@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON lines (or BENCH_r*.json driver records) and flag
+per-query regressions beyond the measured ±25-30% noise band.
+
+Usage: python3 tools/bench_diff.py OLD NEW [--threshold 1.35]
+OLD/NEW each: a file containing either a raw Bench JSON line, or a driver
+BENCH_r*.json record (whose 'tail' holds the truncated line).
+"""
+import json, re, sys
+
+
+def load_queries(path):
+    text = open(path).read()
+    m = re.search(r'\{"metric".*?"queries":(\{.*?\}),"sf"', text, re.S)
+    if m:
+        return json.loads(m.group(1))
+    d = json.loads(text)
+    if "queries" in d:
+        return d["queries"]
+    if "tail" in d:  # driver record; tail may be truncated at the FRONT
+        t = d["tail"]
+        qpart = t[: t.index('},"sf"') + 1]
+        if not qpart.lstrip().startswith('{"'):
+            qpart = '{"q01_' + qpart  # restore the clipped first key
+        return json.loads(qpart)
+    raise SystemExit(f"no queries found in {path}")
+
+
+def main(old_path, new_path, threshold=1.35):
+    old, new = load_queries(old_path), load_queries(new_path)
+    worse = better = 0
+    for q in sorted(old):
+        if q not in new or old[q] <= 0.15:  # sub-150ms timings are noise
+            continue
+        ratio = new[q] / old[q]
+        if ratio > threshold:
+            print(f"REGRESS {q}: {old[q]:.2f}s -> {new[q]:.2f}s ({ratio:.2f}x)")
+            worse += 1
+        elif ratio < 1 / threshold:
+            print(f"improve {q}: {old[q]:.2f}s -> {new[q]:.2f}s ({ratio:.2f}x)")
+            better += 1
+    print(f"\n{worse} regressions, {better} improvements beyond {threshold}x")
+    return 1 if worse else 0
+
+
+if __name__ == "__main__":
+    thr = 1.35
+    if "--threshold" in sys.argv:
+        i = sys.argv.index("--threshold")
+        thr = float(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
+    sys.exit(main(sys.argv[1], sys.argv[2], thr))
