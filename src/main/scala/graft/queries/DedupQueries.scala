@@ -300,6 +300,36 @@ object DedupQueries {
               FROM documents)
         WHERE cluster_size > 1
         ORDER BY dup_key, doc_id"""),
-      doc = "dedup canonical selection (best-quality survivor per cluster)")
+      doc = "dedup canonical selection (best-quality survivor per cluster)"),
+
+    QueryDef(
+      "q72_boilerplate_ngrams",
+      (s, d) =>
+        // Cross-document boilerplate mining: word-5-gram spans appearing in
+        // more than one document — the catalog a pretrain pipeline strips
+        // (headers, footers, license blurbs) before training. Explode +
+        // groupBy on the gram key: one keyed shuffle, linear in corpus
+        // size; the n_docs > 1 filter is map-side partial-agg friendly.
+        table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', " +
+              "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
+              "element_at(toks, i + 3), element_at(toks, i + 4)))")).as("gram"))
+          .groupBy("gram")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+          .filter(col("n_docs") > 1)
+          .orderBy("gram"),
+      Some(s"""
+        WITH g5 AS (SELECT doc_id,
+                           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+                    FROM (SELECT doc_id, ${toksDuck("text")} t FROM documents),
+                         unnest(range(1, len(t) - 3)) AS u(i)
+                    WHERE len(t) >= 5)
+        SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        FROM g5 GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        ORDER BY gram"""),
+      doc = "cross-document boilerplate mining: shared word-5-gram spans")
   )
 }

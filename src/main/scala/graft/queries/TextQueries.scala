@@ -340,6 +340,56 @@ object TextQueries {
                            sha256(substr(text, 1, 50)) dup_key
                     FROM (SELECT doc_id, text, ${toksDuck("text")} toks FROM documents)))
         ORDER BY doc_id"""),
-      doc = "composite pretraining filter: quality + language + dedup gates")
+      doc = "composite pretraining filter: quality + language + dedup gates"),
+
+    QueryDef(
+      "q71_repetition_signals",
+      (s, d) => {
+        // Gopher-style repetition signals over the token stream (the corpus
+        // has no line structure, so the n-gram forms apply): top-2-gram
+        // fraction (share of 2-grams taken by the most frequent one) and
+        // type-token ratio, gated at measured thresholds (top2 p90≈0.069 →
+        // 0.08; ttr p10≈0.32 → 0.33, so both keep/drop classes are
+        // populated). Narrow per-doc shape + one (doc, gram) shuffle —
+        // linear at any corpus size.
+        val toks = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+        val base = toks.filter(size(col("toks")) > 0)
+          .select(col("doc_id"), size(col("toks")).as("n_tok"),
+            (size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks"))).as("ttr_raw"))
+        val top2 = toks.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg((max("c").cast("double") / sum("c")).as("top2_raw"))
+        base.join(top2, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            round(coalesce(col("top2_raw"), lit(0.0)), 6).as("top_2gram_frac"),
+            round(col("ttr_raw"), 6).as("ttr"),
+            when(coalesce(col("top2_raw"), lit(0.0)) <= 0.08 &&
+              col("ttr_raw") >= 0.33, 1).otherwise(0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${toksDuck("text")} t FROM documents),
+             base AS (SELECT doc_id, len(t) n_tok,
+                             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ttr_raw
+                      FROM toks WHERE len(t) > 0),
+             g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] g
+                    FROM toks, unnest(range(1, len(t))) AS u(i)),
+             top2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) top2_raw
+                      FROM (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2)
+                      GROUP BY 1)
+        SELECT doc_id, n_tok,
+               round(coalesce(top2_raw, 0), 6) AS top_2gram_frac,
+               round(ttr_raw, 6) AS ttr,
+               CASE WHEN coalesce(top2_raw, 0) <= 0.08 AND ttr_raw >= 0.33
+                    THEN 1 ELSE 0 END AS keep
+        FROM base LEFT JOIN top2 USING (doc_id) ORDER BY doc_id"""),
+      doc = "Gopher-style repetition signals: top-2-gram fraction + type-token ratio")
   )
 }
