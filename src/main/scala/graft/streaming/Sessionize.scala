@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization — the Structured Streaming twin of the
+  * q59 batch operator (30-minute-gap sessions) built on
+  * `flatMapGroupsWithState` (SURVEY §2.11: custom keyed state): per-user
+  * state carries the open session; an event beyond the gap CLOSES it
+  * (emitted downstream) and opens the next. Emitted sessions match the
+  * batch operator's numbering (1-based per user) and duration semantics
+  * (floor seconds over nanos), which the spec pins by replaying the events
+  * table through both paths.
+  *
+  * Scale shape: state is O(1) per active user (one open session), keyed
+  * shuffle on user_id — the same partitioning the batch window uses. The
+  * stream emits only closed sessions; the open tail per user lives in the
+  * state store until its user goes quiet past the gap (or the query ends —
+  * flush-on-shutdown is the caller's compaction decision). Batches are
+  * assumed event-time ordered per user across triggers (the file source's
+  * per-batch iterator is sorted in-function; use a watermark to bound
+  * disorder between triggers).
+  */
+object Sessionize {
+
+  final case class Ev(user_id: Long, ts: Long, event_id: Long)
+  final case class OpenSession(
+      session_id: Long, start: Long, end: Long, n_events: Long)
+  final case class ClosedSession(
+      user_id: Long, session_id: Long, n_events: Long, duration_s: Long)
+
+  val DefaultGapNs: Long = 30L * 60 * 1000000000L
+
+  private def close(user: Long, st: OpenSession): ClosedSession =
+    ClosedSession(user, st.session_id, st.n_events,
+      (st.end - st.start) / 1000000000L) // floor over nanos, like q59
+
+  /** One group invocation: fold this batch's events (sorted by event time,
+    * ties on event_id — q59's ordering) into the carried open session,
+    * emitting every session a gap closes. */
+  private[streaming] def step(
+      user: Long,
+      events: Iterator[Ev],
+      state: GroupState[OpenSession],
+      gapNs: Long): Iterator[ClosedSession] = {
+    val sorted = events.toVector.sortBy(e => (e.ts, e.event_id))
+    var cur = state.getOption
+    val out = Vector.newBuilder[ClosedSession]
+    sorted.foreach { e =>
+      cur match {
+        case Some(st) if e.ts - st.end > gapNs =>
+          out += close(user, st)
+          cur = Some(OpenSession(st.session_id + 1, e.ts, e.ts, 1))
+        case Some(st) =>
+          cur = Some(st.copy(end = e.ts, n_events = st.n_events + 1))
+        case None =>
+          cur = Some(OpenSession(1, e.ts, e.ts, 1))
+      }
+    }
+    cur.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Closed sessions of an event stream (append mode). */
+  def sessions(
+      events: Dataset[Ev],
+      gapNs: Long = DefaultGapNs): Dataset[ClosedSession] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user, it, state: GroupState[OpenSession]) => step(user, it, state, gapNs))
+  }
+}

@@ -124,6 +124,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(vectors.count() == chunks.count())
   }
 
+  test("stateful streaming sessionization matches the q59 batch twin") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sessstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val evStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[Sessionize.Ev]
+    val q = Sessionize.sessions(evStream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+    // batch twin: q59's session assignment; the stream emits only CLOSED
+    // sessions, so drop each user's final (still-open) session
+    val batch = graft.queries.Catalog.queries("q59_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+    val lastPerUser = batch.groupBy(_._1._1).map { case (u, ss) => u -> ss.map(_._1._2).max }
+    val closedBatch = batch.filter { case ((u, sid), _) => sid != lastPerUser(u) }.toMap
+
+    assert(streamed.nonEmpty)
+    assert(streamed == closedBatch)
+  }
+
   test("object-store URI scheme ingests through the same path (S2/S3)") {
     spark.sparkContext.hadoopConfiguration.set(
       "fs.mock.impl", classOf[MockObjectStoreFs].getName)
