@@ -390,6 +390,31 @@ object TextQueries {
                CASE WHEN coalesce(top2_raw, 0) <= 0.08 AND ttr_raw >= 0.33
                     THEN 1 ELSE 0 END AS keep
         FROM base LEFT JOIN top2 USING (doc_id) ORDER BY doc_id"""),
-      doc = "Gopher-style repetition signals: top-2-gram fraction + type-token ratio")
+      doc = "Gopher-style repetition signals: top-2-gram fraction + type-token ratio"),
+
+    QueryDef(
+      "q73_bpe_tokencount",
+      (s, d) => {
+        // A7 with a REAL subword model: learn a BPE merge table ON the
+        // corpus (distributed word counting; driver merge loop over the
+        // vocab-sized frequency table — the standard trainer split), then
+        // count subword tokens per document and roll up per language.
+        // Not SQL-expressible (iterative merges) -> rows-only gate here;
+        // semantics pinned by BpeSpec (hand-derived merges, round-trip,
+        // distributed==local trainer).
+        import s.implicits._
+        val docs = table(s, d, "documents")
+        val vocab = graft.text.Bpe.learn(docs.select("text").as[String], numMerges = 128)
+        val bc = s.sparkContext.broadcast(vocab)
+        val nBpe = udf((t: String) => graft.text.Bpe.encode(t, bc.value).length)
+        docs.withColumn("n_bpe", nBpe(col("text")))
+          .groupBy("lang")
+          .agg(sum("n_bpe").cast("long").as("total_bpe_tokens"),
+            round(avg(col("n_bpe").cast("double")), 6).as("avg_bpe_tokens"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      None,
+      doc = "corpus-trained BPE tokenizer: learn merges distributed, count subwords")
   )
 }

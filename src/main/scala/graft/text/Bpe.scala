@@ -1,0 +1,150 @@
+package graft.text
+
+import org.apache.spark.sql.Dataset
+
+/** Byte-pair encoding learned ON the corpus (upgrades A7 from the regex
+  * stand-in toward the reference's real BPE counter, ref
+  * TiktokenTokenCounter.cs:10-30 — that one ships a frozen cl100k_base
+  * vocab; this one trains its merge table from the data, which is the form
+  * a training-data pipeline needs anyway for vocabulary studies).
+  *
+  * Scale split: the DATA-sized work (word frequency counting) runs as one
+  * distributed groupBy over the corpus; the VOCAB-sized work (the
+  * iterative merge loop) runs on the driver over the collected word-
+  * frequency table, bounded by `maxVocabWords` — the standard BPE-trainer
+  * architecture (count once, merge in memory). Encoding broadcasts the
+  * merge ranks and applies per-row.
+  *
+  * Determinism: pair-count argmax breaks ties lexicographically, so the
+  * merge table is a pure function of the word-frequency table.
+  */
+object Bpe {
+
+  /** End-of-word sentinel symbol (never collides with [a-z0-9] chars). */
+  val Eow = "</w>"
+
+  final case class Vocab(merges: Vector[(String, String)]) extends Serializable {
+    @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+  }
+
+  /** Pretokenizer: lowercased alnum words (the corpus token model used by
+    * the oracle battery — Frag.toks). */
+  private val WordRe = "[a-z0-9]+".r
+  def pretokenize(text: String): Vector[String] =
+    WordRe.findAllIn(text.toLowerCase).toVector
+
+  /** Distributed word counting + driver merge loop. */
+  def learn(
+      texts: Dataset[String],
+      numMerges: Int,
+      maxVocabWords: Int = 100000): Vocab = {
+    import texts.sparkSession.implicits._
+    val wordCounts = texts.flatMap(pretokenize)
+      .groupByKey(identity).count()
+      // deterministic, driver-bounded: top words by (freq desc, word); the
+      // dropped tail is rare by construction and barely moves pair counts
+      .orderBy($"count(1)".desc, $"key")
+      .limit(maxVocabWords)
+      .collect().map { case (w, c) => (w, c) }.toSeq
+    learnFromWordCounts(wordCounts, numMerges)
+  }
+
+  /** The merge loop (driver-side, vocab-sized input). */
+  def learnFromWordCounts(
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int): Vocab = {
+    var words: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ Eow, c)
+    }.toArray
+    val merges = Vector.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) =
+          pairCounts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        if (cnt < 2) exhausted = true // only singletons left: stop
+        else {
+          merges += ((a, b))
+          words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+          k += 1
+        }
+      }
+    }
+    Vocab(merges.result())
+  }
+
+  /** Replace every adjacent (a, b) with the merged symbol, left to right. */
+  private[text] def mergePair(
+      syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Standard BPE apply: repeatedly merge the LOWEST-RANK adjacent pair. */
+  def encodeWord(word: String, vocab: Vocab): Vector[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray :+ Eow
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestA = ""; var bestB = ""
+      var i = 0
+      while (i < syms.length - 1) {
+        vocab.ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        syms = mergePair(syms, bestA, bestB)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.toVector
+  }
+
+  /** Subword token stream of a text (the last symbol of each word carries
+    * the end-of-word marker). */
+  def encode(text: String, vocab: Vocab): Vector[String] =
+    pretokenize(text).flatMap(encodeWord(_, vocab))
+}
+
+/** TokenCounter over a learned BPE vocab — drop-in beside
+  * [[RegexTokenCounter]] for token-budget chunking with a real subword
+  * model. */
+final class BpeTokenCounter(vocab: Bpe.Vocab) extends TokenCounter {
+
+  override def count(text: String): Int = Bpe.encode(text, vocab).length
+
+  /** Char index whose prefix holds ~n subword tokens: walk words, spending
+    * each word's subword count at its end position (the regex counter's
+    * contract, token granularity coarser within words). */
+  override def charIndexAtTokenCount(text: String, n: Int): Int = {
+    if (n <= 0) return 0
+    var seen = 0
+    val it = "[a-z0-9]+".r.findAllMatchIn(text.toLowerCase)
+    while (it.hasNext) {
+      val m = it.next()
+      seen += Bpe.encodeWord(m.matched, vocab).length
+      if (seen >= n) return m.end
+    }
+    text.length
+  }
+}

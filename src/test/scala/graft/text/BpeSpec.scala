@@ -1,0 +1,59 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  import Bpe._
+
+  // {"low":5, "lower":2, "lowest":1} — the classic BPE teaching corpus;
+  // merge order derived by hand (ties break lexicographically)
+  private val counts = Seq(("low", 5L), ("lower", 2L), ("lowest", 1L))
+  private lazy val vocab = learnFromWordCounts(counts, numMerges = 10)
+
+  test("merge table is the hand-derived sequence, stopping when only singletons remain") {
+    assert(vocab.merges == Vector(
+      ("l", "o"), ("lo", "w"), ("low", Eow),
+      ("low", "e"), ("lowe", "r"), ("lower", Eow)))
+  }
+
+  test("encode merges greedily by rank") {
+    assert(encodeWord("low", vocab) == Vector("low" + Eow))
+    assert(encodeWord("lower", vocab) == Vector("lower" + Eow))
+    assert(encodeWord("lowest", vocab) == Vector("lowe", "s", "t", Eow))
+    assert(encodeWord("slow", vocab) == Vector("s", "low" + Eow)) // (low,</w>) still applies
+    // unseen characters stay singletons
+    assert(encodeWord("xyz", vocab) == Vector("x", "y", "z", Eow))
+  }
+
+  test("round-trip: concatenated symbols reproduce the pretokenized text") {
+    val texts = Seq("low lower lowest", "slowest glow", "Mixed CASE 42 tokens!",
+      "", "   ", "unseen vocabulary words entirely")
+    texts.foreach { t =>
+      val restored = encode(t, vocab).mkString.replace(Eow, "")
+      assert(restored == pretokenize(t).mkString, s"text '$t'")
+    }
+  }
+
+  test("BpeTokenCounter counts subwords and maps token budgets to char offsets") {
+    val c = new BpeTokenCounter(vocab)
+    assert(c.count("low lower") == 2)       // both words are single tokens
+    assert(c.count("lowest") == 4)          // lowe s t </w>
+    assert(c.charIndexAtTokenCount("low lower", 1) == 3) // ends after "low"
+    assert(c.charIndexAtTokenCount("low lower", 2) == 9)
+    assert(c.charIndexAtTokenCount("low", 0) == 0)
+    assert(c.charIndexAtTokenCount("low", 99) == 3)
+  }
+
+  test("distributed learn equals the local merge loop on the same corpus") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val texts = Seq("low low low low low lower", "lower lowest").toDS()
+    val distributed = learn(texts, numMerges = 10)
+    // same word-frequency table, counted locally
+    val local = learnFromWordCounts(
+      texts.collect().toSeq.flatMap(pretokenize)
+        .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq,
+      numMerges = 10)
+    assert(distributed.merges == local.merges)
+  }
+}
