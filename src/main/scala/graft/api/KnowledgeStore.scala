@@ -133,10 +133,21 @@ final class KnowledgeStore(
     requireWritable(containerId)
     val docs = files.map { case (path, raw) =>
       val norm = graft.ingest.PathUtil.normalize(path)
-      val content = if (base64) new String(
-        java.util.Base64.getDecoder.decode(raw), "UTF-8") else raw
       val fileName = norm.substring(norm.lastIndexOf('/') + 1)
       require(graft.ingest.Parsers.isSupported(fileName), s"unsupported type: $fileName")
+      // binary formats (pdf/docx/pptx) arrive base64 and run the REAL
+      // parsers here, so the indexed content is the extracted text (the
+      // reference's upload path, IngestionPipeline.cs parse-by-extension);
+      // text formats pass through
+      val content =
+        if (graft.ingest.Parsers.isBinary(fileName)) {
+          require(base64, s"binary upload ($fileName) requires base64 content")
+          val bytes = java.util.Base64.getDecoder.decode(raw)
+          graft.ingest.Parsers.parse(fileName, bytes)
+            .fold(err => throw new IllegalArgumentException(err), _.content)
+        } else if (base64)
+          new String(java.util.Base64.getDecoder.decode(raw), "UTF-8")
+        else raw
       IndexBuild.RawDoc(
         document_id = java.util.UUID.nameUUIDFromBytes(
           s"$containerId:$norm".getBytes("UTF-8")).toString,

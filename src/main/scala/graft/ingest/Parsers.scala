@@ -25,6 +25,13 @@ object Parsers {
   def isSupported(fileName: String): Boolean =
     allowedExtensions.contains(extension(fileName))
 
+  /** Formats whose content is bytes, not text — routed through the real
+    * binary parsers and (in the API) required to arrive base64-encoded. */
+  val binaryExtensions: Set[String] = Set("pdf", "docx", "pptx")
+
+  def isBinary(fileName: String): Boolean =
+    binaryExtensions.contains(extension(fileName))
+
   /** Sniff a CSV delimiter from the first line (ref TextParser.cs:144-187). */
   private[ingest] def sniffDelimiter(firstLine: String): Char =
     Seq(',', ';', '\t', '|').maxBy(c => firstLine.count(_ == c))

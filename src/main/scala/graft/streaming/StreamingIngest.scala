@@ -43,7 +43,7 @@ object StreamingIngest {
     val stream = spark.readStream
       .format("binaryFile")
       .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.{txt,md,markdown,csv,log,json}")
+      .option("pathGlobFilter", "*.{txt,md,markdown,csv,log,json,pdf,docx,pptx}")
       .load(rootDir)
 
     stream.writeStream
@@ -61,13 +61,20 @@ object StreamingIngest {
             // for same-named files in different subdirectories (or different
             // containers sharing a warehouse) and latest() would then
             // permanently drop one file's chunks
+            // binary formats (pdf/docx/pptx) decode through the real
+            // parsers inside the stream's map; text formats pass through
+            val content = graft.ingest.Parsers.parse(fileName, bytes) match {
+              case Right(parsed) => parsed.content
+              case Left(_) =>
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            }
             IndexBuild.RawDoc(
               document_id = java.util.UUID.nameUUIDFromBytes(
                 s"$containerId:$normPath".getBytes("UTF-8")).toString,
               container_id = containerId,
               path = normPath,
               file_name = fileName,
-              content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+              content = content)
           }
         if (!docs.isEmpty)
           upsertBatch(spark, docs, warehouse, chunkerName, cfg, embedder,

@@ -58,6 +58,24 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     assert(store.getDocument(cid, "up/enc.txt").exists(_.contains("encoded upload content")))
   }
 
+  test("binary upload routes through the real parsers (S6/S7 end-to-end)") {
+    val cid = store.listContainers().head._1
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      graft.ingest.OoxmlFixtures.docxBytes)
+    store.uploadFile(cid, "office/report.docx", b64, base64 = true)
+    val doc = store.getDocument(cid, "office/report.docx")
+    // indexed content is the EXTRACTED text, not garbled zip bytes
+    assert(doc.exists(_.contains("First paragraph text.")))
+    assert(doc.exists(_.contains("A1 | B1")))
+    val hits = store.search(graft.model.SearchRequest("paragraph text", cid, topK = 5))
+    assert(hits.exists(_.document_id ==
+      java.util.UUID.nameUUIDFromBytes(s"$cid:/office/report.docx".getBytes("UTF-8")).toString))
+    // binary uploads must be base64 (a raw string cannot carry bytes)
+    assertThrows[IllegalArgumentException](
+      store.uploadFile(cid, "office/raw.pdf", "raw-not-base64"))
+    store.deleteFile(cid, "office/report.docx")
+  }
+
   test("list_files paginates with path prefix (K5/P3)") {
     val cid = store.listContainers().head._1
     val files = store.listFiles(cid, pathPrefix = Some("/guide/"))

@@ -5,17 +5,12 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
 
-/** Golden fixtures for the REAL binary parsers (S6/S7): the fixtures are
-  * format-conformant bytes built with the JDK (a docx/pptx is a ZIP of
-  * OOXML parts; the PDF carries a genuine zlib-FlateDecode content stream
-  * and a correct xref table), so the parsers exercise the same code paths
-  * real files hit.
-  */
-class BinaryParsersSpec extends AnyFunSuite {
-
+/** Shared format-conformant fixture bytes (real ZIP/OOXML parts; real
+  * zlib-FlateDecode PDF) used by the parser, API, and streaming specs. */
+object OoxmlFixtures {
   // ---- fixture builders ---------------------------------------------------
 
-  private def zip(entries: (String, String)*): Array[Byte] = {
+  def zip(entries: (String, String)*): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
     entries.foreach { case (name, content) =>
@@ -27,14 +22,14 @@ class BinaryParsersSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
-  private val contentTypes =
+  val contentTypes =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
       |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
       |<Default Extension="xml" ContentType="application/xml"/>
       |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
       |</Types>""".stripMargin
 
-  private val coreXml =
+  val coreXml =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
       |<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
       |<dc:title>Spec Doc</dc:title>
@@ -43,7 +38,7 @@ class BinaryParsersSpec extends AnyFunSuite {
       |<dcterms:created xsi:type="dcterms:W3CDTF">2026-01-01T00:00:00Z</dcterms:created>
       |</cp:coreProperties>""".stripMargin
 
-  private def docxBytes: Array[Byte] = {
+  def docxBytes: Array[Byte] = {
     val documentXml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
@@ -63,7 +58,7 @@ class BinaryParsersSpec extends AnyFunSuite {
       "word/document.xml" -> documentXml)
   }
 
-  private def pptxBytes: Array[Byte] = {
+  def pptxBytes: Array[Byte] = {
     def slide(texts: String*): String =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
@@ -80,7 +75,7 @@ class BinaryParsersSpec extends AnyFunSuite {
 
   /** A real one-page PDF: catalog/pages/page objects, Helvetica font, a
     * zlib-FlateDecode content stream, Info dict, correct xref offsets. */
-  private def pdfBytes(contentStream: String): Array[Byte] = {
+  def pdfBytes(contentStream: String): Array[Byte] = {
     val deflated = {
       val d = new Deflater()
       d.setInput(contentStream.getBytes(StandardCharsets.ISO_8859_1))
@@ -112,6 +107,18 @@ class BinaryParsersSpec extends AnyFunSuite {
     w(s"trailer << /Size 7 /Root 1 0 R /Info 6 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
+
+}
+
+/** Golden fixtures for the REAL binary parsers (S6/S7): the fixtures are
+  * format-conformant bytes built with the JDK (a docx/pptx is a ZIP of
+  * OOXML parts; the PDF carries a genuine zlib-FlateDecode content stream
+  * and a correct xref table), so the parsers exercise the same code paths
+  * real files hit.
+  */
+class BinaryParsersSpec extends AnyFunSuite {
+  import OoxmlFixtures._
+
 
   // ---- docx ---------------------------------------------------------------
 

@@ -102,6 +102,8 @@ class StreamingSpec extends AnyFunSuite {
       "streaming ingestion works with files. " * 5)
     java.nio.file.Files.writeString(root.resolve("two.md"),
       "# Title\nsome markdown body content here\n")
+    java.nio.file.Files.write(root.resolve("three.docx"),
+      graft.ingest.OoxmlFixtures.docxBytes)
 
     val q = StreamingIngest.start(spark, root.toString, "cS", wh, cp,
       cfg, "recursive", emb, Trigger.AvailableNow())
@@ -111,7 +113,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunks.count() > 0)
     // document ids are container-scoped path UUIDs (same recipe as
     // bulkUpload) so same-named files in different dirs can't collide
-    val expected = Seq("one.txt", "two.md").map { f =>
+    val expected = Seq("one.txt", "two.md", "three.docx").map { f =>
       java.util.UUID.nameUUIDFromBytes(
         s"cS:${root.resolve(f)}".getBytes("UTF-8")).toString
     }.toSet
@@ -120,6 +122,10 @@ class StreamingSpec extends AnyFunSuite {
     // md auto-routed through DocumentAware: breadcrumb prepended
     assert(chunks.filter($"path".endsWith("two.md"))
       .select("content").as[String].collect().exists(_.startsWith("Title")))
+    // the docx decoded through the REAL Office parser inside the stream
+    assert(chunks.filter($"path".endsWith("three.docx"))
+      .select("content").as[String].collect()
+      .exists(_.contains("First paragraph text.")))
     val vectors = StreamingIngest.latest(spark.read.parquet(s"$wh/vectors"))
     assert(vectors.count() == chunks.count())
   }
