@@ -50,6 +50,23 @@ object PostingsIndex {
       .parquet(s"$warehouse/term_stats")
   }
 
+  /** Rebuild postings + term_stats from the LIVE chunk set. Postings are a
+    * derived index: streaming upserts append chunks without touching them
+    * (the ingest hot path stays write-only), so a streamed warehouse's
+    * postings go stale until this compaction-style job runs — the same
+    * offline cadence as `StreamingIngest.compact`. Until refreshed, the
+    * scan leg (which reads chunks directly) stays exact; serving stacks
+    * that load postings should refresh alongside compaction. */
+  def refresh(spark: org.apache.spark.sql.SparkSession, warehouse: String): Unit = {
+    val chunks = spark.read.parquet(s"$warehouse/chunks")
+    val live =
+      if (chunks.columns.contains("generation"))
+        graft.streaming.StreamingIngest.latest(chunks)
+          .drop("generation")
+      else chunks
+    write(live, warehouse)
+  }
+
   /** Keyword leg over postings: single-term atoms, OR-groups and negation
     * (phrase atoms need adjacent positions across terms — those queries
     * route to the scan leg; see [[supports]]).

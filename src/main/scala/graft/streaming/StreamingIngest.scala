@@ -92,7 +92,7 @@ object StreamingIngest {
     * never see missing files, and at 100 TB an upsert touches only the new
     * data (compaction is an offline job, not part of the ingest path).
     */
-  private[streaming] def upsertBatch(
+  private[graft] def upsertBatch(
       spark: SparkSession,
       docs: org.apache.spark.sql.Dataset[IndexBuild.RawDoc],
       warehouse: String,

@@ -91,6 +91,31 @@ class PostingsSpec extends AnyFunSuite {
     assert(hits.forall(_.startsWith("d1")))
   }
 
+  test("refresh rebuilds postings from the live generation set (streamed warehouse)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-post-refresh").toString
+    val cfg = ChunkingConfig(maxChunkSize = 50, overlap = 0, minChunkSize = 2)
+    val emb = graft.embed.HashEmbedder(16)
+    // generation 0: a doc that will be replaced; generation 1: its rewrite
+    graft.streaming.StreamingIngest.upsertBatch(spark,
+      Seq(IndexBuild.RawDoc("dS", "cs", "/s.txt", "s.txt",
+        "obsolete zeppelin words here")).toDS(), wh, "recursive", cfg, emb, generation = 0)
+    graft.streaming.StreamingIngest.upsertBatch(spark,
+      Seq(IndexBuild.RawDoc("dS", "cs", "/s.txt", "s.txt",
+        "fresh quasar terminology instead")).toDS(), wh, "recursive", cfg, emb, generation = 1)
+    PostingsIndex.refresh(spark, wh)
+    val postings = spark.read.parquet(s"$wh/postings")
+    // only the live generation's terms survive the rebuild
+    assert(postings.filter($"term" === "quasar").count() > 0)
+    assert(postings.filter($"term" === "zeppelin").count() == 0)
+    // and the postings leg retrieves the live content
+    val live = graft.streaming.StreamingIngest.latest(
+      spark.read.parquet(s"$wh/chunks"))
+    val hits = PostingsIndex.leg(postings, live,
+      WebsearchParser.parse("quasar"), 5)
+      .select("chunk_id").as[String].collect()
+    assert(hits.nonEmpty)
+  }
+
   test("end-to-end: built warehouse uses the postings leg") {
     val wh = java.nio.file.Files.createTempDirectory("graft-post").toString
     val docs = Seq(
