@@ -93,14 +93,30 @@ final class KnowledgeStore(
     require(isWritable(containerId),
       s"container $containerId is read-only (connector write guard)")
 
-  /** container_delete (ref :64): drops the container's data partitions. */
+  /** container_delete (ref :64): drops the container's data partitions —
+    * including the derived postings/term_stats — and its folder rows
+    * (container ids are name-derived UUIDs, so a recreated same-named
+    * container would otherwise inherit ghost folders). */
   def deleteContainer(containerId: String): Unit = {
     Seq(s"$warehouse/chunks/container_id=$containerId",
       s"$warehouse/vectors/container_id=$containerId",
-      s"$warehouse/ledger/container_id=$containerId").foreach { p =>
+      s"$warehouse/ledger/container_id=$containerId",
+      s"$warehouse/postings/container_id=$containerId",
+      s"$warehouse/term_stats/container_id=$containerId").foreach { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    // registry + folders are metadata-sized tables: driver rewrite is fine
+    val remainingFolders = foldersDf.filter(col("container_id") =!= containerId).collect()
+    val foldersSchema = foldersDf.schema
+    val ffs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(foldersPath), spark.sparkContext.hadoopConfiguration)
+    if (ffs.exists(new org.apache.hadoop.fs.Path(foldersPath))) {
+      ffs.delete(new org.apache.hadoop.fs.Path(foldersPath), true)
+      if (remainingFolders.nonEmpty)
+        spark.createDataFrame(spark.sparkContext.parallelize(remainingFolders.toSeq), foldersSchema)
+          .write.mode(SaveMode.Overwrite).parquet(foldersPath)
     }
     val remaining = containersDf.filter(col("container_id") =!= containerId)
     val rows = remaining.collect()
@@ -190,11 +206,20 @@ final class KnowledgeStore(
     val newChunks = IndexBuild.chunkDocs(ds, chunker, cfg).persist()
     val vectors = IndexBuild.embedChunks(newChunks,
       Option(tableOrEmpty(s"$warehouse/embed_cache", null)), embedder)
+      .persist() // reused by the cache write-back below without re-embedding
     newChunks.drop("precomputed").toDF()
       .write.mode(SaveMode.Append).partitionBy("container_id")
       .parquet(s"$warehouse/chunks")
     vectors.write.mode(SaveMode.Append).partitionBy("container_id", "model_id")
       .parquet(s"$warehouse/vectors")
+    // write-back: fresh embeddings join the shared content-hash cache so
+    // re-uploading identical content skips the embedder (IndexBuild.build
+    // refreshes the cache wholesale; the API path appends increments —
+    // the cache reader dropDuplicates on content_hash)
+    vectors.select("content_hash", "model_id", "dimensions", "embedding")
+      .dropDuplicates("content_hash")
+      .write.mode(SaveMode.Append).parquet(s"$warehouse/embed_cache")
+    vectors.unpersist()
     // same ledger schema as IndexBuild.build (generation + indexed_with
     // settings stamp) so both producers can target one warehouse and
     // Reindex.classify reads API-built ledgers

@@ -198,6 +198,34 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     assert(!store.listContainers().exists(_._1 == cid))
     assert(store.containerStats(cid)("documents") == 0)
   }
+
+  test("container_delete clears folders: a recreated name sees no ghosts") {
+    val cid = store.createContainer("ghosty")
+    store.createFolder(cid, "will/vanish")
+    assert(store.listFolders(cid).contains("/will/vanish"))
+    store.deleteContainer(cid)
+    // same name -> same name-derived UUID: ghost folders would resurface
+    val cid2 = store.createContainer("ghosty")
+    assert(cid2 == cid)
+    assert(!store.listFolders(cid2).contains("/will/vanish"))
+    store.deleteContainer(cid2)
+  }
+
+  test("API uploads write back to the embed cache (J4 across calls)") {
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-ks-cache").toString
+    val counting = new graft.ingest.CountingEmbedder
+    val s2 = new KnowledgeStore(spark, wh2, embedder = counting,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    val cid = s2.createContainer("cachec")
+    graft.ingest.CountingEmbedder.calls.set(0)
+    s2.uploadFile(cid, "a.txt", "identical cached words every time.")
+    assert(graft.ingest.CountingEmbedder.calls.get() > 0)
+    graft.ingest.CountingEmbedder.calls.set(0)
+    // different path, same content: embeddings must come from the cache
+    s2.uploadFile(cid, "b.txt", "identical cached words every time.")
+    assert(graft.ingest.CountingEmbedder.calls.get() == 0,
+      "second upload should hit the embed cache")
+  }
 }
 
 class ConnectorDeltaSpec extends AnyFunSuite {
