@@ -1,0 +1,113 @@
+package graft.ann
+
+import graft.functions.ByteAffineDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization for embedding columns (the FAISS SQ8 analog):
+  * per-dimension affine `x ≈ min[d] + q * scale[d]` with q in [0, 255],
+  * stored as a BINARY column — 4× smaller than float32, which at 100 TB is
+  * the difference between a vector corpus that fits executor memory/page
+  * cache and one that doesn't.
+  *
+  * Search is ASYMMETRIC (quantized corpus, full-precision query): the
+  * dequantization affine folds into per-query constants
+  * (`premul = scale ⊙ query`, `c0 = min · query`), so the scan kernel is
+  * the codegen [[ByteAffineDot]] — one byte load + one multiply-add per
+  * dimension, no dequantized array ever materialized.
+  *
+  * Training is one distributed per-dimension min/max aggregation; the
+  * reconstruction error is bounded by scale/2 per dimension, and recall
+  * against exact float cosine is pinned in QuantizeSpec.
+  */
+object Quantize {
+
+  /** Per-dimension affine parameters. */
+  final case class SqParams(mins: Array[Double], scales: Array[Double]) {
+    def dims: Int = mins.length
+  }
+
+  /** One pass over the corpus: per-dimension min/max -> affine params.
+    * Distributed explode + groupBy(dim); the collected result is
+    * dims-sized. */
+  def train(corpus: DataFrame, embCol: String = "embedding"): SqParams = {
+    val rows = corpus
+      .select(posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+      .collect()
+    val dims = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dims)
+    val scales = new Array[Double](dims)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      mins(d) = r.getDouble(1)
+      scales(d) = (r.getDouble(2) - r.getDouble(1)) / 255.0 // 0 if constant dim
+    }
+    SqParams(mins, scales)
+  }
+
+  /** Quantize an embedding column to int8 bytes (build-time batch op). */
+  def quantizeCol(params: SqParams, embCol: String = "embedding"): Column = {
+    val mins = params.mins; val scales = params.scales
+    val q = udf { (emb: Seq[Float]) =>
+      val n = math.min(emb.length, mins.length)
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val code =
+          if (scales(i) == 0.0) 0
+          else math.round((emb(i) - mins(i)) / scales(i)).toInt
+        out(i) = math.max(0, math.min(255, code)).toByte
+        i += 1
+      }
+      out
+    }
+    q(col(embCol))
+  }
+
+  /** Approximate reconstruction (for norms / inspection). */
+  def dequantize(params: SqParams, bytes: Array[Byte]): Array[Double] =
+    Array.tabulate(bytes.length)(i =>
+      params.mins(i) + (bytes(i) & 0xff) * params.scales(i))
+
+  /** Quantized corpus: id + bytes + the reconstruction's L2 norm hoisted
+    * (same norm-hoisting discipline as the float path). */
+  def index(
+      corpus: DataFrame,
+      params: SqParams,
+      idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val p = params
+    val nrm = udf { (bytes: Array[Byte]) =>
+      val x = dequantize(p, bytes)
+      math.sqrt(x.map(v => v * v).sum)
+    }
+    corpus.select(col(idCol).as("id"), quantizeCol(params, embCol).as("qbytes"))
+      .withColumn("qnrm", nrm(col("qbytes")))
+  }
+
+  /** Asymmetric cosine of the quantized column against one query vector:
+    * ByteAffineDot with the affine folded into per-query constants. */
+  def cosineCol(params: SqParams, query: Array[Float], bytesCol: Column, nrmCol: Column): Column = {
+    val qd = query.map(_.toDouble)
+    val n = math.min(qd.length, params.dims)
+    val premul = Array.tabulate(n)(i => params.scales(i) * qd(i))
+    val c0 = (0 until n).map(i => params.mins(i) * qd(i)).sum
+    val queryNorm = math.sqrt(qd.map(v => v * v).sum)
+    val dot = ByteAffineDot(bytesCol, lit(premul), lit(c0))
+    when(nrmCol === 0.0 || lit(queryNorm) === 0.0, 0.0)
+      .otherwise(dot / (nrmCol * lit(queryNorm)))
+  }
+
+  /** Brute-force top-k over the quantized index (the IVF cell-scan kernel;
+    * compose with Ivf routing for cell pruning). */
+  def search(
+      quantized: DataFrame,
+      params: SqParams,
+      query: Array[Float],
+      k: Int): DataFrame =
+    quantized
+      .withColumn("sim", cosineCol(params, query, col("qbytes"), col("qnrm")))
+      .orderBy(desc("sim"), col("id"))
+      .limit(k)
+}

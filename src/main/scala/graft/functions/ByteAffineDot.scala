@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Asymmetric quantized dot product: `c0 + Σ (bytes[i] & 0xFF) * premul[i]`
+  * over an int8-quantized vector (see `ann/Quantize`). The per-query
+  * constants fold the dequantization affine INTO the query —
+  * `premul[i] = scale[i] * query[i]`, `c0 = Σ min[i] * query[i]` — so the
+  * hot loop touches one byte and one double per dimension: the scan kernel
+  * that makes a 4×-smaller vector column scorable at full speed. Codegen
+  * (`doGenCode`), same discipline as [[DotProduct]].
+  */
+case class ByteAffineDot(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType == BinaryType &&
+      (second.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) && third.dataType == DoubleType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"byte_affine_dot expects (binary, array<double>, double), got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_affine_dot"
+
+  override def nullSafeEval(b: Any, p: Any, c: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    val premul = p.asInstanceOf[ArrayData]
+    val n = math.min(bytes.length, premul.numElements())
+    var dot = c.asInstanceOf[Double]
+    var i = 0
+    while (i < n) {
+      dot += (bytes(i) & 0xff) * premul.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p, c) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($b.length, $p.numElements());
+         |double $dot = $c;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ($b[$i] & 0xff) * $p.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object ByteAffineDot {
+  def apply(bytes: Column, premul: Column, c0: Column): Column =
+    Bridge.column(ByteAffineDot(
+      Bridge.expression(bytes), Bridge.expression(premul), Bridge.expression(c0)))
+}

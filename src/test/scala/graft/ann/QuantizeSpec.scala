@@ -1,0 +1,85 @@
+package graft.ann
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantizeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // deterministic clustered corpus: 3 centers in 8 dims + small offsets
+  private def synthetic(n: Int): Seq[(Long, Array[Float])] = {
+    val centers = Array(
+      Array.fill(8)(1.0f), Array.fill(8)(-1.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    (0 until n).map { i =>
+      val c = centers(i % 3)
+      val v = Array.tabulate(8)(d => c(d) + 0.01f * ((i * 7 + d * 3) % 11 - 5))
+      (i.toLong, v)
+    }
+  }
+
+  private lazy val corpus = synthetic(300).toDF("id", "embedding")
+  private lazy val params = Quantize.train(corpus)
+  private lazy val quantized = Quantize.index(corpus, params).persist()
+
+  test("reconstruction error is bounded by scale/2 per dimension") {
+    val rows = corpus.join(quantized, "id")
+      .select($"embedding", $"qbytes").as[(Array[Float], Array[Byte])].collect()
+    rows.foreach { case (emb, bytes) =>
+      val rec = Quantize.dequantize(params, bytes)
+      emb.indices.foreach { d =>
+        val tol = math.max(params.scales(d) / 2, 1e-9) + 1e-9
+        assert(math.abs(rec(d) - emb(d)) <= tol,
+          s"dim $d: ${emb(d)} vs ${rec(d)} (scale ${params.scales(d)})")
+      }
+    }
+  }
+
+  test("ByteAffineDot equals the dequantized dot exactly") {
+    val query = Array.tabulate(8)(i => 0.5f - 0.1f * i)
+    val got = quantized
+      .withColumn("sim", Quantize.cosineCol(params, query, col("qbytes"), col("qnrm")))
+      .select($"id", $"sim", $"qbytes").as[(Long, Double, Array[Byte])].collect()
+    val qd = query.map(_.toDouble)
+    val qn = math.sqrt(qd.map(v => v * v).sum)
+    got.foreach { case (_, sim, bytes) =>
+      val rec = Quantize.dequantize(params, bytes)
+      val dot = rec.zip(qd).map { case (a, b) => a * b }.sum
+      val nrm = math.sqrt(rec.map(v => v * v).sum)
+      val want = if (nrm == 0.0 || qn == 0.0) 0.0 else dot / (nrm * qn)
+      assert(math.abs(sim - want) < 1e-9)
+    }
+  }
+
+  test("recall@10 vs exact float cosine is >= 0.9") {
+    val query = Array.tabulate(8)(i => 1.0f + 0.01f * i) // near center 0
+    val approx = Quantize.search(quantized, params, query, 10)
+      .select("id").as[Long].collect().toSet
+    val exact = corpus
+      .withColumn("sim", graft.functions.CosineSimilarity(
+        col("embedding"), lit(query)))
+      .orderBy(desc("sim"), col("id")).limit(10)
+      .select("id").as[Long].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("the quantized scan kernel participates in whole-stage codegen") {
+    val query = Array.tabulate(8)(_ => 1.0f)
+    val plan = quantized
+      .withColumn("sim", Quantize.cosineCol(params, query, col("qbytes"), col("qnrm")))
+      .filter(col("sim") > 0.5)
+      .queryExecution.executedPlan.toString
+    // the `*(n)` operator prefix marks whole-stage-codegen participation
+    assert(plan.contains("*(1) Filter") || plan.contains("WholeStageCodegen"),
+      plan.take(1200))
+    assert(!plan.toLowerCase.contains("codegenfallback"), plan.take(1200))
+  }
+
+  test("quantized column is 4x smaller than float32") {
+    val row = quantized.select($"qbytes").as[Array[Byte]].head()
+    assert(row.length == 8) // one byte per dim vs 4 for float
+  }
+}
