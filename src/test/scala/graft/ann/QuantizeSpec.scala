@@ -82,4 +82,35 @@ class QuantizeSpec extends AnyFunSuite {
     val row = quantized.select($"qbytes").as[Array[Byte]].head()
     assert(row.length == 8) // one byte per dim vs 4 for float
   }
+
+  test("composes with IVF: quantized probed-cell scan keeps recall") {
+    val ivf = Ivf.build(corpus, nLists = 3, seed = 42L)
+    // quantize WITHIN the cell layout: cell id rides with the codes
+    val p2 = Quantize.train(ivf.assigned)
+    val qcells = ivf.assigned
+      .select(col("id"), col("list_id"),
+        Quantize.quantizeCol(p2).as("qbytes"))
+    val withNrm = {
+      val pp = p2
+      val nrm = udf { (bytes: Array[Byte]) =>
+        val x = Quantize.dequantize(pp, bytes)
+        math.sqrt(x.map(v => v * v).sum)
+      }
+      qcells.withColumn("qnrm", nrm(col("qbytes")))
+    }
+    val query = Array.tabulate(8)(i => 1.0f + 0.01f * i)
+    // route to the 2 nearest centroids, scan only those cells, quantized
+    val probed = ivf.centroids
+      .withColumn("csim", graft.functions.CosineSimilarity(lit(query), col("centroid")))
+      .orderBy(desc("csim")).limit(2)
+      .select("list_id").as[Int].collect().toSeq
+    val approx = Quantize.search(
+      withNrm.filter(col("list_id").isin(probed: _*)), p2, query, 10)
+      .select("id").as[Long].collect().toSet
+    val exact = corpus
+      .withColumn("sim", graft.functions.CosineSimilarity(col("embedding"), lit(query)))
+      .orderBy(desc("sim"), col("id")).limit(10)
+      .select("id").as[Long].collect().toSet
+    assert(approx.intersect(exact).size >= 9, s"recall ${approx.intersect(exact).size}/10")
+  }
 }
