@@ -184,6 +184,64 @@ object AnnQueries {
                      ${cosDuck("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")} sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         ORDER BY round(sim, 6) DESC, id_a, id_b LIMIT 20"""),
-      doc = "embedding near-dup closest pairs (exact all-pairs baseline)")
+      doc = "embedding near-dup closest pairs (exact all-pairs baseline)"),
+
+    QueryDef(
+      "q74_ann_quantized",
+      (s, d) => {
+        // Int8 scalar quantization, oracled end-to-end: per-dim affine
+        // params from the corpus itself (min/max aggregation), codes
+        // clamped to [0,255], then ASYMMETRIC search — full-precision
+        // queries against dequantized corpus vectors — with brute-force
+        // top-10 per query. The relational dequantize-into-array form here
+        // is the oracle-checkable twin of the production byte kernel
+        // (ann/Quantize + ByteAffineDot, pinned equal by QuantizeSpec);
+        // round() on the non-negative code argument agrees across engines
+        // (Spark HALF_UP == DuckDB away-from-zero for positives).
+        val e = table(s, d, "embeddings")
+        val exploded = e.select(col("vec_id"),
+          posexplode(expr(toDoubleSpark("embedding"))).as(Seq("pos", "v")))
+        val stats = exploded.groupBy("pos")
+          .agg(min("v").as("lo"), max("v").as("hi"))
+          .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+        val deq = exploded.join(broadcast(stats), "pos")
+          .withColumn("deq",
+            when(col("scale") === 0.0, col("lo"))
+              .otherwise(col("lo") +
+                least(lit(255), greatest(lit(0),
+                  round((col("v") - col("lo")) / col("scale")).cast("int"))) * col("scale")))
+          .groupBy("vec_id")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, deq))), x -> x.deq)")
+            .as("vdeq"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), expr(toDoubleSpark("embedding")).as("vq"))
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+        deq.join(broadcast(queries), col("qid") =!= col("vec_id"))
+          .withColumn("sim", expr(cosSpark("vq", "vdeq")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("vec_id").as("nid"),
+            (round(col("sim"), 6) + 0.0).as("cos_sim"), col("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH ew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             ex AS (SELECT vec_id, i, v[i] v FROM ew CROSS JOIN (SELECT unnest(range(1, 65)) i)),
+             stats AS (SELECT i, min(v) lo, max(v) hi, (max(v) - min(v)) / 255.0 scale
+                       FROM ex GROUP BY i),
+             deq AS (SELECT vec_id,
+                            list(CASE WHEN scale = 0 THEN lo
+                                      ELSE lo + least(255, greatest(0,
+                                             CAST(round((v - lo) / scale) AS INT))) * scale
+                                 END ORDER BY i) vdeq
+                     FROM ex JOIN stats USING (i) GROUP BY vec_id),
+             q AS (SELECT vec_id qid, v vq FROM ew WHERE vec_id < 5),
+             scored AS (SELECT qid, vec_id nid, ${cosDuck("vq", "vdeq")} sim,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY ${cosDuck("vq", "vdeq")} DESC, vec_id) rank
+                        FROM q JOIN deq ON qid <> vec_id)
+        SELECT qid, nid, round(sim, 6) + 0.0 AS cos_sim, rank
+        FROM scored WHERE rank <= 10 ORDER BY qid, rank"""),
+      doc = "int8 scalar-quantized ANN: in-query affine codes + asymmetric top-k")
   )
 }
