@@ -366,7 +366,10 @@ final class KnowledgeStore(
           .select("path").as[String].collect().toSeq
       case _ => Seq.empty
     }
-    if (docs.nonEmpty) bulkDelete(containerId, docs)
+    // the MaxBulk bound is an API-facing request limit (ref
+    // ValidationConstants); an internal cascade over a large folder chunks
+    // under it rather than failing mid-delete
+    docs.grouped(MaxBulk).foreach(group => bulkDelete(containerId, group))
     val remaining = foldersDf
       .filter(!(col("container_id") === containerId && col("path") === norm))
       .collect()

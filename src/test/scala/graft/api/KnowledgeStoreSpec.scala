@@ -191,6 +191,17 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     store.deleteContainer(s3); store.deleteContainer(fsRo)
   }
 
+  test("folder delete cascades past the per-request bulk limit") {
+    val cid = store.createContainer("bigfolder")
+    val files = (0 until 101).map(i => (s"big/f$i.txt", s"file number $i words"))
+    store.bulkUpload(cid, files.take(100))
+    store.bulkUpload(cid, files.drop(100))
+    assert(store.containerStats(cid)("documents") == 101)
+    store.deleteFolder(cid, "big") // would throw if cascaded as one bulk call
+    assert(store.containerStats(cid)("documents") == 0)
+    store.deleteContainer(cid)
+  }
+
   test("container_delete drops data and registry entry") {
     val cid = store.createContainer("temp")
     store.uploadFile(cid, "x.txt", "temporary words here")
