@@ -17,9 +17,13 @@ import scala.collection.mutable
   * (ref :67), per-page no-text warnings (ref :73), Info-dict metadata
   * (ref :38-51), and the never-throw contract (ref :98-102).
   *
+  * PDF 1.5 object streams (/ObjStm) are decoded for the METADATA scan
+  * (page dicts and the Info dict live there in compressed-xref files);
+  * page CONTENT streams are always top-level stream objects, so text
+  * extraction is unaffected by the xref style.
+  *
   * Documented unsupported class (falls back to warnings, not wrong text):
-  * non-Flate filters (DCT/LZW/ASCII85), page content inside object streams
-  * (/ObjStm, PDF 1.5 compressed xref), and subset-embedded fonts with
+  * non-Flate filters (DCT/LZW/ASCII85) and subset-embedded fonts with
   * custom /ToUnicode cmaps, where shown bytes aren't Latin-1 — extraction
   * then yields garbled-but-flagged text, the same failure PdfPig reports
   * as a per-page warning.
@@ -36,11 +40,18 @@ object PdfParser {
         return ParsedDocument("", meta.toMap,
           warnings = Seq("Error parsing PDF: missing %PDF- header"))
 
-      // page count: explicit page objects (object-stream PDFs undercount —
-      // see scope note above)
-      val pageCount = "/Type\\s*/Page[^s]".r.findAllIn(raw).length
+      // PDF 1.5 object streams (/ObjStm) hold non-stream objects (page
+      // dicts, the Info dict) Flate-compressed; content streams are always
+      // top-level, so only the metadata scan needs their decoded text
+      val objStmText = streamObjects(bytes, raw).collect {
+        case (dict, data) if dict.contains("/ObjStm") && dict.contains("/FlateDecode") =>
+          inflate(data).map(d => new String(d, StandardCharsets.ISO_8859_1))
+      }.flatten.mkString("\n")
+      val scanText = if (objStmText.isEmpty) raw else raw + "\n" + objStmText
+
+      val pageCount = "/Type\\s*/Page[^s]".r.findAllIn(scanText).length
       if (pageCount > 0) meta("PageCount") = pageCount.toString
-      infoMetadata(raw).foreach { case (k, v) => meta(k) = v }
+      infoMetadata(scanText).foreach { case (k, v) => meta(k) = v }
 
       // walk every stream object; a decoded stream containing a BT text
       // object is one page of content (common case: one content stream per
@@ -49,7 +60,8 @@ object PdfParser {
       var page = 0
       streamObjects(bytes, raw).foreach { case (dict, data) =>
         val decoded: Option[Array[Byte]] =
-          if (dict.contains("/FlateDecode")) inflate(data)
+          if (dict.contains("/ObjStm")) None // metadata container, not content
+          else if (dict.contains("/FlateDecode")) inflate(data)
           else if (!dict.contains("/Filter")) Some(data)
           else None // non-Flate filter: skip (unsupported class)
         decoded.map(d => new String(d, StandardCharsets.ISO_8859_1))

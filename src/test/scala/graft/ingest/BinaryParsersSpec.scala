@@ -194,6 +194,51 @@ class BinaryParsersSpec extends AnyFunSuite {
     assert(bad.warnings.exists(_.contains("missing %PDF- header")))
   }
 
+  test("pdf: object-stream (PDF 1.5) metadata is decoded; content unaffected") {
+    // a compressed-xref-style file: page + Info dicts live INSIDE a
+    // Flate-compressed /ObjStm; the content stream stays top-level
+    val objStmPayload =
+      "3 0 6 98 " + // (objnum offset) pairs, /First points past this header
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /MediaBox [0 0 612 792] >>\n" +
+        "<< /Title (Stashed Title) /Author (ObjStm Author) >>"
+    val deflatedObjs = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(objStmPayload.getBytes(StandardCharsets.ISO_8859_1))
+      d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val content = "BT (objstm body text) Tj ET"
+    val deflatedContent = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(content.getBytes(StandardCharsets.ISO_8859_1))
+      d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w(s"5 0 obj << /Type /ObjStm /N 2 /First 10 /Length ${deflatedObjs.length} /Filter /FlateDecode >> stream\n")
+    out.write(deflatedObjs)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${deflatedContent.length} /Filter /FlateDecode >> stream\n")
+    out.write(deflatedContent)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val p = PdfParser.parse("modern.pdf", out.toByteArray)
+    assert(p.content.contains("objstm body text"))
+    assert(p.metadata("PageCount") == "1") // page dict found inside the ObjStm
+    assert(p.metadata("Title") == "Stashed Title")
+    assert(p.metadata("Author") == "ObjStm Author")
+  }
+
   test("Parsers.parse routes binaries to the real parsers") {
     val viaDocx = Parsers.parse("r.docx", docxBytes)
     assert(viaDocx.exists(_.content.contains("First paragraph text.")))
