@@ -330,6 +330,92 @@ object DedupQueries {
         SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
         FROM g5 GROUP BY gram HAVING count(DISTINCT doc_id) > 1
         ORDER BY gram"""),
-      doc = "cross-document boilerplate mining: shared word-5-gram spans")
+      doc = "cross-document boilerplate mining: shared word-5-gram spans"),
+
+    QueryDef(
+      "q75_dedup_clusters",
+      (s, d) => {
+        // Pairs -> CLUSTERS: production dedup keeps one survivor per
+        // connected component of the near-dup graph, not per pair.
+        // Distributed connected components by hash-to-min label
+        // propagation over the q24 Jaccard edges: every node starts
+        // labeled with its own id; each round takes the min of its own and
+        // its neighbors' labels; fixpoint = component-minimum ids. The
+        // synthetic graph's components have diameter <= ~3, so this
+        // converges in a few rounds; at 100 TB the same loop runs with
+        // large-star/small-star contraction to bound rounds on long
+        // chains. localCheckpoint each round cuts the grown lineage.
+        // Oracle: recursive-CTE transitive closure, min reachable id.
+        val base = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shs", expr(shinglesSpark("toks")))
+          .select(col("doc_id"), col("shs"))
+        val counts = base.select(col("doc_id"), size(col("shs")).as("n_sh"))
+        val sh0 = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        // same high-df shingle cap as q24 (above any test df; bounds hot
+        // buckets at scale without changing test output)
+        val rare = sh0.groupBy("shh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 128).select("shh")
+        val sh = sh0.join(rare, "shh")
+        val pairs = sh.as("a")
+          .join(sh.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("common"))
+          .join(broadcast(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na")), "da")
+          .join(broadcast(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")), "db")
+          .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.1)
+          .select("da", "db")
+        val edges = pairs.unionByName(
+          pairs.select(col("db").as("da"), col("da").as("db"))).persist()
+        var labels = edges.select(col("da").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")).localCheckpoint(true)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val neighborMin = edges
+            .join(labels.withColumnRenamed("doc_id", "db").withColumnRenamed("label", "nl"), "db")
+            .groupBy("da").agg(min("nl").as("nl"))
+          val next = labels
+            .join(neighborMin.withColumnRenamed("da", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+            .localCheckpoint(true)
+          converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(col("label") =!= col("old")).isEmpty
+          labels = next
+          rounds += 1
+        }
+        edges.unpersist()
+        val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        labels
+          .join(sizes, "label")
+          .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+             sh AS (SELECT doc_id, unnest(${shinglesDuck("toks")}) sh
+                    FROM (SELECT doc_id, ${toksDuck("text")} toks FROM documents)
+                    WHERE len(toks) >= 3),
+             counts AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+             pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             e0 AS (SELECT da, db FROM pairs
+                    JOIN counts ca ON ca.doc_id = da
+                    JOIN counts cb ON cb.doc_id = db
+                    WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.1),
+             edges AS (SELECT da a, db b FROM e0 UNION SELECT db, da FROM e0),
+             reach(a, b) AS (SELECT a, b FROM edges
+                             UNION
+                             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             clusters AS (SELECT a AS doc_id, least(a, min(b)) cluster_id
+                          FROM reach GROUP BY a)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM clusters ORDER BY doc_id"""),
+      doc = "near-dup clusters: distributed connected components over Jaccard pairs")
   )
 }
