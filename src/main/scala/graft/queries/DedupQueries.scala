@@ -346,11 +346,16 @@ object DedupQueries {
         // large-star/small-star contraction to bound rounds on long
         // chains. localCheckpoint each round cuts the grown lineage.
         // Oracle: recursive-CTE transitive closure, min reachable id.
+        // persist the tokenize+shingle pass (q24's discipline): it feeds
+        // counts (twice, via both broadcast sides), both self-join sides,
+        // and the df-cap — and the pairs union would double every
+        // evaluation again (measured: 30 s uncached vs 3 s cached)
         val base = table(s, d, "documents")
           .withColumn("toks", expr(toksSpark("text")))
           .filter(size(col("toks")) >= 3)
           .withColumn("shs", expr(shinglesSpark("toks")))
           .select(col("doc_id"), col("shs"))
+          .persist()
         val counts = base.select(col("doc_id"), size(col("shs")).as("n_sh"))
         val sh0 = base.select(col("doc_id"), explode(col("shs")).as("sh"))
           .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
@@ -367,6 +372,7 @@ object DedupQueries {
           .join(broadcast(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")), "db")
           .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.1)
           .select("da", "db")
+          .localCheckpoint(true) // tiny; cuts the union below from re-running the self-join
         val edges = pairs.unionByName(
           pairs.select(col("db").as("da"), col("da").as("db"))).persist()
         var labels = edges.select(col("da").as("doc_id")).distinct()
@@ -377,10 +383,18 @@ object DedupQueries {
           val neighborMin = edges
             .join(labels.withColumnRenamed("doc_id", "db").withColumnRenamed("label", "nl"), "db")
             .groupBy("da").agg(min("nl").as("nl"))
-          val next = labels
+          val hashToMin = labels
             .join(neighborMin.withColumnRenamed("da", "doc_id"), Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          // pointer jumping: also adopt the label OF my label, so the
+          // component minimum floods in O(log diameter) rounds instead of
+          // one hop per round (long chains made the plain loop 15+ rounds)
+          val next = hashToMin
+            .join(labels.select(col("doc_id").as("label"), col("label").as("ll")),
+              Seq("label"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
             .localCheckpoint(true)
           converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
             .filter(col("label") =!= col("old")).isEmpty
@@ -388,6 +402,7 @@ object DedupQueries {
           rounds += 1
         }
         edges.unpersist()
+        base.unpersist()
         val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
         labels
           .join(sizes, "label")
