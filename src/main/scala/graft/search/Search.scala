@@ -177,22 +177,28 @@ object KeywordSearch {
     val rankUdf = udf { (simple: Seq[String], english: Seq[String]) =>
       rankChunk(parsed, simple.toIndexedSeq, english.toIndexedSeq)
     }
-    // codegen prefilter — a NECESSARY condition for any match (the first
-    // AND-group must appear in one of the two configs; phrase matches
-    // require their words in the simple stream), so the row-at-a-time rank
-    // UDF only ever sees candidate chunks. arrays_overlap stays inside
+    // codegen prefilter — a CONJUNCTIVE necessary condition for any match:
+    // a matching chunk satisfies every non-vacuous AND-group in at least
+    // one config (simpleOk needs all groups in the simple stream; englishOk
+    // needs every non-vacuous group's stems), so AND-ing the per-group
+    // overlaps is safe and far tighter than the old first-group-only form
+    // (a 3-term query's UDF now sees chunks containing ALL three terms,
+    // not any-of-one). Vacuous (all-stopword) groups are skipped — the
+    // englishOk path can match without them. arrays_overlap stays inside
     // whole-stage codegen; the UDF boundary is where scan time goes.
-    val prefiltered = parsed.groups.headOption.filter(_.nonEmpty).map { g =>
-      val simpleTerms = g.flatMap(_.simple).distinct
-      val englishTerms = g.flatMap(_.english).distinct
-      val hitSimple =
-        arrays_overlap(col("tokens_simple"), array(simpleTerms.map(lit): _*))
-      val pre =
+    val groupPre = parsed.groups
+      .filter(g => g.nonEmpty && g.exists(_.english.nonEmpty))
+      .map { g =>
+        val simpleTerms = g.flatMap(_.simple).distinct
+        val englishTerms = g.flatMap(_.english).distinct
+        val hitSimple =
+          arrays_overlap(col("tokens_simple"), array(simpleTerms.map(lit): _*))
         if (englishTerms.isEmpty) hitSimple
         else hitSimple ||
           arrays_overlap(col("tokens_english"), array(englishTerms.map(lit): _*))
-      chunks.filter(pre)
-    }.getOrElse(chunks)
+      }
+    val prefiltered =
+      if (groupPre.isEmpty) chunks else chunks.filter(groupPre.reduce(_ && _))
     prefiltered
       .withColumn("raw_k", rankUdf(col("tokens_simple"), col("tokens_english")))
       .filter(col("raw_k").isNotNull)
