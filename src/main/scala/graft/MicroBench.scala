@@ -60,6 +60,20 @@ object MicroBench {
       df.select(graft.functions.DotProduct(col("v"), qlitF).as("s"))
         .filter(col("s") > 0.9).count()
     }
+
+    // int8-quantized scan: 4x smaller column, asymmetric ByteAffineDot
+    // kernel (one byte load + one fma per dim, affine folded into the
+    // query) — the memory-bound regime's winner
+    val params = graft.ann.Quantize.train(df.withColumnRenamed("v", "embedding"))
+    val qdf = graft.ann.Quantize
+      .index(df.withColumnRenamed("v", "embedding"), params)
+      .persist()
+    qdf.count()
+    time("quantized ByteAffineDot") {
+      qdf.select(graft.ann.Quantize
+        .cosineCol(params, q, col("qbytes"), col("qnrm")).as("s"))
+        .filter(col("s") > 0.9).count()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft.text
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for the BPE trainer/encoder beyond the hand-derived
+  * golden cases: for ANY corpus and ANY text, encoding must round-trip
+  * (symbols concatenate back to the pretokenized text) and the trainer
+  * must stay deterministic.
+  */
+class BpeFuzzSpec extends AnyFunSuite {
+  import Bpe._
+
+  private def forAllSamples[A](gen: Gen[A], n: Int = 150)(check: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(37L)
+    (1 to n).foreach { _ =>
+      check(gen.pureApply(params, seed))
+      seed = seed.next
+    }
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(('a' to 'z') ++ ('0' to '9'))).map(_.mkString)
+  private val corpusGen: Gen[Seq[(String, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(wordGen, Gen.chooseNum(1L, 50L)))
+      .map(_.groupBy(_._1).map { case (w, ws) => (w, ws.map(_._2).sum) }.toSeq)
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    wordGen, Gen.const("  "), Gen.const("!?"), Gen.const("MiXeD42"),
+    Gen.const("\n"), Gen.const("é中文"))).map(_.mkString(" "))
+
+  test("round-trip holds for any vocab and any text") {
+    forAllSamples(Gen.zip(corpusGen, textGen)) { case (corpus, text) =>
+      val vocab = learnFromWordCounts(corpus, numMerges = 30)
+      val restored = encode(text, vocab).mkString.replace(Eow, "")
+      assert(restored == pretokenize(text).mkString)
+    }
+  }
+
+  test("trainer is deterministic and merges never exceed the budget") {
+    forAllSamples(corpusGen) { corpus =>
+      val a = learnFromWordCounts(corpus, numMerges = 20)
+      val b = learnFromWordCounts(corpus.reverse, numMerges = 20)
+      assert(a.merges == b.merges) // input order can't matter
+      assert(a.merges.length <= 20)
+    }
+  }
+
+  test("token counts are positive exactly when alnum content exists") {
+    forAllSamples(Gen.zip(corpusGen, textGen)) { case (corpus, text) =>
+      val counter = new BpeTokenCounter(learnFromWordCounts(corpus, 10))
+      val c = counter.count(text)
+      assert((c > 0) == pretokenize(text).nonEmpty)
+    }
+  }
+}
