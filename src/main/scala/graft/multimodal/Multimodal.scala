@@ -169,15 +169,70 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for uncompressed BMP (BITMAPINFOHEADER, 24/32-bit — the
+    * dominant uncompressed-bitmap class): little-endian header parse,
+    * 4-byte row padding, bottom-up and top-down (negative height) layouts;
+    * same mean-RGB + luma-histogram features as the PPM path. Compressed
+    * BMPs (RLE/bitfields) fall to the error channel.
+    */
+  final class BmpDecoder extends Decoder {
+    override def decode(a: Asset): AssetFeatures = {
+      def fail(msg: String) = AssetFeatures(a.asset_id, a.container_id,
+        a.media_type, 0, 0, 0L, 0, Array.empty, msg)
+      val b = a.data
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return fail("not bmp")
+      def u16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      def i32(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      val pixelOff = i32(10)
+      val w = i32(18)
+      val hRaw = i32(22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val bpp = u16(28)
+      val compression = i32(30)
+      if (compression != 0) return fail(s"unsupported bmp compression $compression")
+      if (bpp != 24 && bpp != 32) return fail(s"unsupported bmp bpp $bpp")
+      if (w <= 0 || h == 0) return fail("bad bmp dimensions")
+      val bytesPerPx = bpp / 8
+      val rowSize = ((w * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
+      if (pixelOff.toLong + rowSize.toLong * h > b.length) return fail("truncated pixels")
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      val hist = new Array[Long](5)
+      var row = 0
+      while (row < h) {
+        // bottom-up storage unless height was negative
+        val srcRow = if (topDown) row else h - 1 - row
+        val base = pixelOff + srcRow * rowSize
+        var x = 0
+        while (x < w) {
+          val p = base + x * bytesPerPx // BGR(A) order
+          val bl = b(p) & 0xff; val g = b(p + 1) & 0xff; val r = b(p + 2) & 0xff
+          sr += r; sg += g; sb += bl
+          val luma = (299 * r + 587 * g + 114 * bl) / 1000
+          hist(math.min(4, luma * 5 / 256)) += 1
+          x += 1
+        }
+        row += 1
+      }
+      val n = w.toDouble * h
+      val feat = Array((sr / n / 255).toFloat, (sg / n / 255).toFloat, (sb / n / 255).toFloat) ++
+        hist.map(c => (c / n).toFloat)
+      AssetFeatures(a.asset_id, a.container_id, "image", w, h, 0L, 1, feat, null)
+    }
+  }
+
   /** Dispatch by content type: REAL parsing for the library-free formats
-    * (PCM wav, binary ppm), deterministic stub for formats whose codecs
-    * aren't in this container. */
+    * (PCM wav, binary ppm, uncompressed bmp), deterministic stub for
+    * formats whose codecs aren't in this container. */
   final class RoutingDecoder(fallback: Decoder = new StubDecoder()) extends Decoder {
     private val wav = new PcmWavDecoder()
     private val ppm = new PpmDecoder()
+    private val bmp = new BmpDecoder()
     override def decode(a: Asset): AssetFeatures = a.content_type match {
       case "audio/wav" => wav.decode(a)
       case "image/ppm" => ppm.decode(a)
+      case "image/bmp" => bmp.decode(a)
       case _ => fallback.decode(a)
     }
   }

@@ -98,6 +98,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.error == "not p6 ppm")
   }
 
+  /** Real 24-bit uncompressed BMP bytes: 54-byte headers + padded BGR rows
+    * (bottom-up unless height negative). */
+  private def bmpBytes(w: Int, h: Int, rgb: (Int, Int, Int), topDown: Boolean = false): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until h).foreach { _ =>
+      (0 until w).foreach { _ =>
+        b.put(rgb._3.toByte).put(rgb._2.toByte).put(rgb._1.toByte) // BGR
+      }
+      (w * 3 until rowSize).foreach(_ => b.put(0.toByte)) // row padding
+    }
+    b.array()
+  }
+
+  test("BmpDecoder parses real bytes and agrees with the PPM feature space") {
+    // same pure-red 5x2 grid through both decoders -> identical features
+    val bmp = Asset("r.bmp", "c1", "image", "image/bmp",
+      bmpBytes(5, 2, (255, 0, 0)), 0L, Map.empty)
+    val ppmHeader = "P6\n5 2\n255\n".getBytes("US-ASCII")
+    val ppm = Asset("r.ppm", "c1", "image", "image/ppm",
+      ppmHeader ++ Array.fill(5 * 2)(Array[Byte](255.toByte, 0, 0)).flatten, 0L, Map.empty)
+    val fb = new BmpDecoder().decode(bmp)
+    val fp = new PpmDecoder().decode(ppm)
+    assert(fb.error == null)
+    assert(fb.width == 5 && fb.height == 2)
+    assert(fb.feature.toSeq == fp.feature.toSeq) // cross-format agreement
+    // top-down variant (negative height) decodes identically
+    val td = new BmpDecoder().decode(bmp.copy(data = bmpBytes(5, 2, (255, 0, 0), topDown = true)))
+    assert(td.error == null && td.feature.toSeq == fb.feature.toSeq)
+    // compressed/unsupported classes hit the error channel, never throw
+    val rle = bmpBytes(5, 2, (255, 0, 0))
+    rle(30) = 1 // BI_RLE8
+    assert(new BmpDecoder().decode(bmp.copy(data = rle)).error.contains("compression"))
+    assert(new BmpDecoder().decode(bmp.copy(data = Array[Byte](1))).error == "not bmp")
+  }
+
   test("RoutingDecoder sends wav/ppm to real decoders, the rest to the stub") {
     val wav = Asset("a.wav", "c1", "audio", "audio/wav", wavBytes(100, 0), 0L, Map.empty)
     val png = Asset("b.png", "c1", "image", "image/png", Array[Byte](1, 2, 3), 0L, Map.empty)
