@@ -170,7 +170,12 @@ final class KnowledgeStore(
         container_id = containerId, path = norm, file_name = fileName,
         content = content)
     }
-    appendDocs(docs)
+    // last-wins dedupe of repeated paths WITHIN the batch: duplicates share
+    // a document_id, and the upsert probe only clears pre-existing rows —
+    // two same-path entries in one call would otherwise both append and
+    // double getDocument/containerStats until the next re-upload
+    val lastWins = docs.reverse.distinctBy(_.document_id).reverse
+    appendDocs(lastWins)
     docs.map(_.document_id)
   }
 
@@ -281,14 +286,39 @@ final class KnowledgeStore(
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
     val partPath = new org.apache.hadoop.fs.Path(partDir)
     if (!fs.exists(partPath)) return
+    // a fully-deleted partition leaves a dir with only _SUCCESS markers;
+    // parquet schema inference on it throws, so treat file-less as absent
+    if (!hasDataFiles(fs, partPath)) { fs.delete(partPath, true); return }
     val kept = spark.read.option("basePath", tableDir).parquet(partDir)
       .filter(!col("document_id").isin(ids.toSeq: _*))
       .drop("container_id") // implied by the partition dir name
+    // "kept nothing" must leave NO partition dir: a plain write still emits
+    // a footer-only parquet part, and a dynamic-partitionBy write emits no
+    // footers at all (which would poison the next read of this partition)
+    if (kept.isEmpty) { fs.delete(partPath, true); return }
     val tmp = s"$tableDir/.rewrite-${java.util.UUID.randomUUID}"
     val w = kept.write.mode(SaveMode.Overwrite)
     (if (subParts.nonEmpty) w.partitionBy(subParts: _*) else w).parquet(tmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     fs.delete(partPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath)
+    // an empty rewrite (dynamic partitionBy with zero rows) emits no parquet
+    // footers — swapping it in would poison the next read of this partition;
+    // dropping the dir entirely IS the correct post-state for "kept nothing"
+    if (hasDataFiles(fs, tmpPath)) fs.rename(tmpPath, partPath)
+    else fs.delete(tmpPath, true)
+  }
+
+  /** True iff `dir` contains at least one non-hidden, non-marker file
+    * (i.e. something parquet schema inference can read). */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
   }
 
   /** list_files (ref :174) with pagination (K5). */

@@ -111,7 +111,7 @@ object PdfParser {
           else afterKeyword
         val end = raw.indexOf("endstream", dataStart)
         if (end >= 0) {
-          val dictStart = raw.lastIndexOf("<<", i)
+          val dictStart = outermostDictStart(raw, i)
           val dict = if (dictStart >= 0) raw.substring(dictStart, i) else ""
           // strip the EOL that precedes "endstream"
           var dataEnd = end
@@ -124,6 +124,28 @@ object PdfParser {
       true
     } }) ()
     out.result()
+  }
+
+  /** Start of the OUTERMOST `<<` of the dictionary preceding position `i`
+    * (the `stream` keyword). A plain `lastIndexOf("<<")` lands on the
+    * innermost nested sub-dictionary (e.g. `/DecodeParms << /Predictor 12
+    * /Columns 4 >>`), cutting `/Filter /FlateDecode` out of the captured
+    * dict text whenever it precedes the sub-dict — the stream would then be
+    * treated as raw. Walk backwards pairing `>>`/`<<` until balance closes.
+    */
+  private def outermostDictStart(raw: String, i: Int): Int = {
+    var j = i - 1
+    var depth = 0
+    while (j > 0) {
+      val c = raw.charAt(j)
+      if (c == '>' && raw.charAt(j - 1) == '>') { depth += 1; j -= 2 }
+      else if (c == '<' && raw.charAt(j - 1) == '<') {
+        depth -= 1
+        if (depth <= 0) return j - 1
+        j -= 2
+      } else j -= 1
+    }
+    raw.lastIndexOf("<<", i) // malformed dict: previous best-effort behavior
   }
 
   /** FlateDecode = zlib; a few producers emit raw deflate, so fall back. */

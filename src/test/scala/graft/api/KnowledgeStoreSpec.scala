@@ -153,6 +153,41 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     store.deleteContainer(other)
   }
 
+  test("delete APIs survive a fully-emptied container partition") {
+    // deleting the LAST document empties the partition: the rewrite emits
+    // zero parquet footers, so a naive swap leaves a dir whose next read
+    // throws AnalysisException ('Unable to infer schema') — the empty
+    // rewrite must drop the partition dir instead
+    val cid = store.createContainer("empties-out")
+    store.uploadFile(cid, "only/doc.txt", "the sole document in this container")
+    store.deleteFile(cid, "only/doc.txt")
+    val partDir = new java.io.File(s"$wh/chunks/container_id=$cid")
+    assert(!partDir.exists() ||
+      partDir.listFiles().forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "empty rewrite left unreadable partition contents")
+    // the container must remain fully usable: upload again, delete again
+    store.uploadFile(cid, "only/doc.txt", "uploaded after the container emptied")
+    assert(store.getDocument(cid, "only/doc.txt").nonEmpty)
+    store.deleteFile(cid, "only/doc.txt") // second empty-out exercises the read guard
+    assert(store.getDocument(cid, "only/doc.txt").isEmpty)
+    store.deleteContainer(cid)
+  }
+
+  test("bulk_upload dedupes repeated paths within one batch (last-wins)") {
+    val cid = store.createContainer("dupe-batch")
+    val ids = store.bulkUpload(cid, Seq(
+      "dup/a.txt" -> "first version of the duplicated path",
+      "dup/b.txt" -> "an unrelated document",
+      "dup/a.txt" -> "second version wins"))
+    assert(ids.length == 3 && ids(0) == ids(2), "same path must share a document_id")
+    // one ledger/chunk row set for the path; content is the LAST entry's
+    assert(store.containerStats(cid)("documents") == 2)
+    val doc = store.getDocument(cid, "dup/a.txt")
+    assert(doc.exists(_.contains("second version wins")))
+    assert(doc.forall(!_.contains("first version")))
+    store.deleteContainer(cid)
+  }
+
   test("folders: empty folders persist, implied folders list, delete cascades") {
     val cid = store.listContainers().head._1
     // explicit empty folder survives listing (ref FolderEntity semantics)
