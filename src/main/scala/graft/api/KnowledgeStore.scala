@@ -442,6 +442,7 @@ final class KnowledgeStore(
   private def invalidate(): Unit = synchronized {
     cachedIndex.foreach { ix =>
       ix.chunks.unpersist(); ix.vectors.unpersist()
+      ix.serving.foreach(_.unpersist())
     }
     cachedIndex = None
   }

@@ -253,22 +253,57 @@ object VectorSearch {
   }
 }
 
+/** One pre-materialized vector-leg serving row (planning-free path). */
+final case class ServingVecRow(
+    chunk_id: String, document_id: String, container_id: String,
+    path: String, content: String, metadata: Map[String, String],
+    model_id: String, embedding: Array[Float])
+
+/** One pre-materialized keyword-leg serving row. */
+final case class ServingTokRow(
+    chunk_id: String, document_id: String, container_id: String,
+    path: String, content: String, metadata: Map[String, String],
+    tokens_simple: Seq[String], tokens_english: Seq[String])
+
 /** The search orchestrator (ref HybridSearchService.cs:68-172 lifecycle
   * §3.1): two legs -> normalize -> fuse -> minScore -> autocut ->
   * sentence-window substitution -> topK.
   */
 object HybridSearch {
 
+  /** Pre-materialized row caches for the interactive serving path. The
+    * DataFrame legs pay 40-70 ms of Catalyst re-analysis PER QUERY (the
+    * query vector/terms are literals, so plans can't be reused across
+    * queries — measured in SCALE.md "Interactive serving layout"); these
+    * RDDs are planned and materialized ONCE at index-build time, and each
+    * query runs a per-partition top-k heap whose closure carries the query
+    * (closures ship with every job, so the path is cluster-correct — no
+    * driver-local state leaks into tasks). This is the SURVEY §4.2 carve-out
+    * for RDDs: genuinely imperative per-partition serving logic, while every
+    * analytical/oracled query stays on the DataFrame API.
+    */
+  final case class ServingCache(
+      vecRows: org.apache.spark.rdd.RDD[ServingVecRow],
+      tokRows: org.apache.spark.rdd.RDD[ServingTokRow]) {
+    def unpersist(): Unit = {
+      vecRows.unpersist(blocking = false)
+      tokRows.unpersist(blocking = false)
+    }
+  }
+
   /** Index handles: chunk + vector DataFrames (pre-filtered caches are the
     * caller's choice; filters here prune partitions by container/model).
     * When a postings table is present, phrase-free keyword queries use the
     * inverted-index leg instead of scanning token arrays (SURVEY §4.3).
+    * `serving`, when present, routes interactive queries to the
+    * planning-free RDD legs ([[ServingCache]]).
     */
   final case class Index(
       chunks: DataFrame,
       vectors: DataFrame,
       postings: Option[DataFrame] = None,
-      termStats: Option[DataFrame] = None)
+      termStats: Option[DataFrame] = None,
+      serving: Option[ServingCache] = None)
 
   /** Build the interactive serving index from warehouse frames: hydration
     * columns are denormalized INTO the vector frame (so the vector leg is a
@@ -283,15 +318,31 @@ object HybridSearch {
       chunks: DataFrame,
       vectors: DataFrame,
       partitions: Int = 4): Index = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = chunks.sparkSession
+    import spark.implicits._
     val hydration = Seq("path", "document_id", "content", "metadata")
       .filterNot(vectors.columns.contains)
     val denorm =
       if (hydration.isEmpty) vectors
       else vectors.join(
         chunks.select((Seq("chunk_id") ++ hydration).map(col): _*), Seq("chunk_id"))
-    Index(
-      chunks.coalesce(partitions).persist(),
-      denorm.coalesce(partitions).persist())
+    val chunksC = chunks.coalesce(partitions).persist()
+    val denormC = denorm.coalesce(partitions).persist()
+    // planning-free serving rows: decoded ONCE here (the columnar DF caches
+    // above re-materialize rows on every query; these object RDDs don't).
+    // MEMORY_AND_DISK: the serving tier should degrade to local disk, not
+    // recompute through the whole build lineage, when a corpus outgrows RAM.
+    val vecRows = denormC
+      .select($"chunk_id", $"document_id", $"container_id", $"path",
+        $"content", $"metadata", $"model_id", $"embedding")
+      .as[ServingVecRow].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val tokRows = chunksC
+      .select($"chunk_id", $"document_id", $"container_id", $"path",
+        $"content", $"metadata", $"tokens_simple", $"tokens_english")
+      .as[ServingTokRow].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    vecRows.count(); tokRows.count() // materialize: queries start warm
+    Index(chunksC, denormC, serving = Some(ServingCache(vecRows, tokRows)))
   }
 
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
@@ -317,6 +368,95 @@ object HybridSearch {
         r.getAs[Double](rawCol))
     }.toSeq
 
+  /** Per-partition bounded top-k under (raw DESC, chunk_id ASC) — the exact
+    * ordering of the DataFrame legs' `orderBy(desc(raw), chunk_id)`. The
+    * queue head is the WORST kept hit (tuple max of (-raw, chunkId)), so
+    * overflow evicts correctly. */
+  private def topKHeap(it: Iterator[LegHit], k: Int): Iterator[LegHit] = {
+    val pq = scala.collection.mutable.PriorityQueue.empty[LegHit](
+      Ordering.by((h: LegHit) => (-h.raw, h.chunkId)))
+    it.foreach { h => pq.enqueue(h); if (pq.size > k) pq.dequeue() }
+    pq.iterator
+  }
+
+  private def mergeTopK(parts: Array[LegHit], k: Int): Seq[LegHit] =
+    parts.sortBy(h => (-h.raw, h.chunkId)).take(k).toSeq
+
+  /** Vector leg over the pre-materialized serving rows: a per-partition
+    * top-k heap whose closure carries the query vector. The cosine loop is
+    * the same float->double accumulation as `CosineSimilarity.nullSafeEval`,
+    * in the same order, so scores are bit-identical to the DataFrame leg
+    * (pinned by HybridSearchE2ESpec "serving fast path"). */
+  private def vectorLegRdd(
+      cache: ServingCache, req: SearchRequest, model: String,
+      q: Array[Float], k: Int): Seq[LegHit] = {
+    val container = req.containerId
+    val docId = req.documentId
+    val prefix = req.pathPrefix
+    val parts = cache.vecRows.mapPartitions { it =>
+      val scored = it.flatMap { r =>
+        if (r.container_id != container || r.model_id != model ||
+            docId.exists(_ != r.document_id) ||
+            prefix.exists(p => !r.path.startsWith(p))) None
+        else {
+          val e = r.embedding
+          val n = math.min(e.length, q.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < n) {
+            val xa = e(i).toDouble; val xb = q(i).toDouble
+            dot += xa * xb; na += xa * xa; nb += xb * xb
+            i += 1
+          }
+          val raw =
+            if (na == 0.0 || nb == 0.0) 0.0
+            else dot / (math.sqrt(na) * math.sqrt(nb))
+          Some(LegHit(r.chunk_id, r.document_id,
+            Option(r.content).getOrElse(""),
+            Option(r.metadata).getOrElse(Map.empty), raw))
+        }
+      }
+      topKHeap(scored, k)
+    }.collect()
+    mergeTopK(parts, k)
+  }
+
+  /** Keyword leg over the serving rows: scope filter, then the imperative
+    * mirror of `KeywordSearch.leg`'s conjunctive prefilter, then the SAME
+    * `rankChunk` — scores identical to the DataFrame leg by construction. */
+  private def keywordLegRdd(
+      cache: ServingCache, req: SearchRequest, k: Int): Seq[LegHit] = {
+    val parsed = WebsearchParser.parse(req.query)
+    if (parsed.isEmpty) return Seq.empty // rankChunk = None everywhere
+    val container = req.containerId
+    val docId = req.documentId
+    val prefix = req.pathPrefix
+    val preGroups = parsed.groups
+      .filter(g => g.nonEmpty && g.exists(_.english.nonEmpty))
+      .map(g => (g.flatMap(_.simple).toSet, g.flatMap(_.english).toSet))
+    val parts = cache.tokRows.mapPartitions { it =>
+      val scored = it.flatMap { r =>
+        if (r.container_id != container || docId.exists(_ != r.document_id) ||
+            prefix.exists(p => !r.path.startsWith(p))) None
+        else {
+          val simple = r.tokens_simple
+          val english = r.tokens_english
+          val pass = preGroups.forall { case (s, e) =>
+            simple.exists(s.contains) || (e.nonEmpty && english.exists(e.contains))
+          }
+          if (!pass) None
+          else KeywordSearch
+            .rankChunk(parsed, simple.toIndexedSeq, english.toIndexedSeq)
+            .map(raw => LegHit(r.chunk_id, r.document_id,
+              Option(r.content).getOrElse(""),
+              Option(r.metadata).getOrElse(Map.empty), raw))
+        }
+      }
+      topKHeap(scored, k)
+    }.collect()
+    mergeTopK(parts, k)
+  }
+
   /** Interactive search: the two legs run as CONCURRENT Spark jobs (the
     * reference's parallel Task.Run legs, ref HybridSearchService.cs:
     * 182-200) and are fused driver-side over their <=2·topK collected rows
@@ -337,8 +477,10 @@ object HybridSearch {
       if (req0.mode == "semantic" && req0.crossModelSearch) req0.copy(mode = "hybrid")
       else req0
     val fetchK = math.max(req.topK * 2, req.topK) // legs over-fetch like the reference
-    val chunks = scope(index.chunks, req)
-    val vectors = {
+    // lazy: every Dataset transformation runs Catalyst analysis on the
+    // driver — the serving-cache path never needs these frames
+    lazy val chunks = scope(index.chunks, req)
+    lazy val vectors = {
       val v = scope(index.vectors, req)
       req.modelId.orElse(Some(embedder.modelId)) // P4: cross-model cosine is meaningless
         .map(m => v.filter(col("model_id") === m)).getOrElse(v)
@@ -346,24 +488,33 @@ object HybridSearch {
 
     val vectorF: Future[Seq[LegHit]] =
       if (req.mode == "keyword") Future.successful(Seq.empty)
-      else Future {
-        collectLeg(VectorSearch.leg(vectors, chunks, embedder.embed(req.query), fetchK), "raw_v")
+      else index.serving match {
+        case Some(c) => Future {
+          vectorLegRdd(c, req, req.modelId.getOrElse(embedder.modelId),
+            embedder.embed(req.query), fetchK)
+        }
+        case None => Future {
+          collectLeg(VectorSearch.leg(vectors, chunks, embedder.embed(req.query), fetchK), "raw_v")
+        }
       }
     val keywordF: Future[Seq[LegHit]] =
       if (req.mode == "semantic") Future.successful(Seq.empty)
-      else Future {
-        val parsed = WebsearchParser.parse(req.query)
-        // postings carry (container_id, term) only — doc/path-scoped
-        // requests and phrase queries route to the scan leg
-        val raw = index.postings match {
-          case Some(p) if PostingsIndex.supports(parsed) &&
-              req.documentId.isEmpty && req.pathPrefix.isEmpty =>
-            PostingsIndex.leg(p.filter(col("container_id") === req.containerId),
-              chunks, parsed, fetchK,
-              index.termStats.map(_.filter(col("container_id") === req.containerId)))
-          case _ => KeywordSearch.leg(chunks, req.query, fetchK)
+      else index.serving match {
+        case Some(c) => Future { keywordLegRdd(c, req, fetchK) }
+        case None => Future {
+          val parsed = WebsearchParser.parse(req.query)
+          // postings carry (container_id, term) only — doc/path-scoped
+          // requests and phrase queries route to the scan leg
+          val raw = index.postings match {
+            case Some(p) if PostingsIndex.supports(parsed) &&
+                req.documentId.isEmpty && req.pathPrefix.isEmpty =>
+              PostingsIndex.leg(p.filter(col("container_id") === req.containerId),
+                chunks, parsed, fetchK,
+                index.termStats.map(_.filter(col("container_id") === req.containerId)))
+            case _ => KeywordSearch.leg(chunks, req.query, fetchK)
+          }
+          collectLeg(raw, "raw_k")
         }
-        collectLeg(raw, "raw_k")
       }
     val vHits = Await.result(vectorF, Duration.Inf)
     val kHits = Await.result(keywordF, Duration.Inf)

@@ -171,19 +171,39 @@ class HybridSearchE2ESpec extends AnyFunSuite {
 
   test("servingIndex returns identical hits and a join-free vector leg") {
     val serving = HybridSearch.servingIndex(index.chunks, index.vectors)
-    val req = SearchRequest("chunk overlap settings", "c1", topK = 5)
-    val viaServing = HybridSearch.search(serving, req, embedder)
-    val viaNormalized = HybridSearch.search(index, req, embedder)
-    assert(viaServing.map(h => (h.chunk_id, h.score)) ==
-      viaNormalized.map(h => (h.chunk_id, h.score)))
+    assert(serving.serving.nonEmpty, "servingIndex must build the RDD row caches")
+    // the planning-free RDD legs must return EXACTLY the DataFrame legs'
+    // hits — same ids, same scores (the cosine loop and rankChunk are
+    // shared/bit-identical), same tie-breaks — across modes, scoping,
+    // phrases, negation, and both fusion methods
+    val requests = Seq(
+      SearchRequest("chunk overlap settings", "c1", topK = 5),
+      SearchRequest("chunk overlap settings", "c1", topK = 5, fusionMethod = "dbsf"),
+      SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3),
+      SearchRequest("run", "c1", mode = "keyword", topK = 10),
+      SearchRequest("\"chunk overlap\"", "c1", mode = "keyword", topK = 10),
+      SearchRequest("chunk -overlap", "c1", mode = "keyword", topK = 10),
+      SearchRequest("search legs", "c1", topK = 10, pathPrefix = Some("/docs/api/")),
+      SearchRequest("chunk overlap", "c2", topK = 10),
+      SearchRequest("overlap", "c1", topK = 10, documentId = Some("doc-overlap")),
+      SearchRequest("chunk overlap", "c1", topK = 4, autoCut = true))
+    requests.foreach { req =>
+      val viaServing = HybridSearch.search(serving, req, embedder)
+      val viaNormalized = HybridSearch.search(index, req, embedder)
+      assert(viaServing.map(h => (h.chunk_id, h.score, h.metadata.get("source"))) ==
+        viaNormalized.map(h => (h.chunk_id, h.score, h.metadata.get("source"))),
+        s"serving path diverged for $req")
+    }
     // the denormalized layout answers the vector leg in one scan: no join
     // above the cache scan (the InMemoryRelation's child plan retains the
     // one-time build join — that part never re-executes)
     val legPlan = VectorSearch.leg(serving.vectors, serving.chunks,
-      embedder.embed(req.query), 10).queryExecution.executedPlan.toString
+      embedder.embed(SearchRequest("chunk overlap settings", "c1").query), 10)
+      .queryExecution.executedPlan.toString
     val queryPart = legPlan.split("InMemoryTableScan")(0)
     assert(!queryPart.toLowerCase.contains("join"), queryPart)
     serving.chunks.unpersist(); serving.vectors.unpersist()
+    serving.serving.foreach(_.unpersist())
   }
 
   test("hybrid search finds the overlap doc inside the container") {
