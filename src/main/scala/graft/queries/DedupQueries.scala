@@ -431,6 +431,72 @@ object DedupQueries {
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM clusters ORDER BY doc_id"""),
-      doc = "near-dup clusters: distributed connected components over Jaccard pairs")
+      doc = "near-dup clusters: distributed connected components over Jaccard pairs"),
+
+    QueryDef(
+      "q76_strip_boilerplate",
+      (s, d) => {
+        // Duplicated-span REMOVAL (the C4/RefinedWeb "drop repeated lines"
+        // operator, realized at span granularity because this corpus is
+        // single-line): q72 MINES the cross-document boilerplate 5-gram
+        // catalog; this op REWRITES every document with those spans
+        // stripped — a token survives iff no corpus-duplicated 5-gram
+        // covers its position. All explode+groupBy shapes: gram count and
+        // coverage are keyed shuffles linear in corpus size; reassembly is
+        // one groupBy(doc_id) with an ordered in-group sort — no windows,
+        // no self-joins. The gram join keys on xxhash64 like q24 (smaller
+        // shuffle; identical output barring a 2^-64 collision).
+        // persist: toks feeds the gram pass AND the token-position pass;
+        // g5 feeds the hot-gram count AND the hot-start join.
+        val toks = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .select(col("doc_id"), col("toks"))
+          .persist()
+        val g5 = toks
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', " +
+              "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
+              "element_at(toks, i + 3), element_at(toks, i + 4)))")).as(Seq("p", "gram")))
+          .select(col("doc_id"), (col("p") + 1).as("i"), xxhash64(col("gram")).as("gh"))
+          .persist()
+        val hot = g5.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("gh")
+        val covered = g5.join(hot, "gh")
+          .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("pos"))
+          .distinct()
+        val tokens = toks
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+          .select(col("doc_id"), (col("p") + 1).as("pos"), col("tok"))
+        tokens
+          .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "pos"), "left")
+          .groupBy("doc_id")
+          .agg(
+            expr("array_join(transform(array_sort(" +
+              "collect_list(CASE WHEN cov IS NULL THEN struct(pos, tok) END)), " +
+              "x -> x.tok), ' ')").as("clean_text"),
+            count(when(col("cov"), 1)).as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${toksDuck("text")} t FROM documents),
+             g5 AS (SELECT doc_id, i,
+                           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+                    FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+                    WHERE len(t) >= 5),
+             hot AS (SELECT gram FROM g5 GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+             starts AS (SELECT g5.doc_id, g5.i FROM g5 JOIN hot USING (gram)),
+             covered AS (SELECT DISTINCT doc_id, i + j AS pos
+                         FROM starts, unnest(range(0, 5)) AS v(j)),
+             tok_pos AS (SELECT doc_id, i AS pos, t[i] AS tok
+                         FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+             marked AS (SELECT tp.doc_id, tp.pos, tp.tok, (c.pos IS NOT NULL) AS cov
+                        FROM tok_pos tp LEFT JOIN covered c
+                          ON c.doc_id = tp.doc_id AND c.pos = tp.pos)
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos), '') AS clean_text,
+               count(CASE WHEN cov THEN 1 END) AS n_removed
+        FROM marked GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "duplicated-span removal: strip cross-document boilerplate 5-grams from every document")
   )
 }
