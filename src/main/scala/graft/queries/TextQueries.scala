@@ -415,6 +415,64 @@ object TextQueries {
           .orderBy("lang")
       },
       None,
-      doc = "corpus-trained BPE tokenizer: learn merges distributed, count subwords")
+      doc = "corpus-trained BPE tokenizer: learn merges distributed, count subwords"),
+
+    QueryDef(
+      "q77_bigram_lm",
+      (s, d) => {
+        // CCNet-style LM quality scoring: train a Laplace-smoothed bigram
+        // model ON the corpus (the reference-corpus variant just swaps the
+        // training frame), score every document by its average bigram
+        // negative log-likelihood — the standard perplexity filter of
+        // pretraining pipelines. All counts are exact integers, so
+        // P(w2|w1) = (cb+1)/(cu+V) is an identical double on both engines;
+        // ln differs by at most 1 ulp and the per-doc avg is rounded to
+        // 6 dp (the cosine-oracle discipline).
+        // Shapes: bigram counts are one keyed shuffle; the per-occurrence
+        // count lookup joins on the (w1,w2) key — linear, no windows. The
+        // first-word table and the vocab scalar are vocab-sized ->
+        // broadcast (at 100 TB the bigram table outgrows broadcast but the
+        // shuffle join already handles it; cu stays vocab-sized).
+        // persist: toks feeds the bigram pass and the vocab count; bi
+        // feeds cb, cu, and the scoring join.
+        val toksDf = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .select(col("doc_id"), col("toks"))
+          .persist()
+        val bi = toksDf
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(" +
+              "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .persist()
+        val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val vocab = toksDf.select(explode(col("toks")).as("tok"))
+          .agg(countDistinct("tok").as("v"))
+        bi
+          .join(cb, Seq("w1", "w2"))
+          .join(broadcast(cu), Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("nlp",
+            -log((col("cb") + 1).cast("double") / (col("cu") + col("v")).cast("double")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), round(avg("nlp"), 6).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${toksDuck("text")} t FROM documents),
+             bi AS (SELECT doc_id, t[i] w1, t[i+1] w2
+                    FROM toks, unnest(range(1, len(t))) AS u(i)
+                    WHERE len(t) >= 2),
+             cb AS (SELECT w1, w2, count(*) cb FROM bi GROUP BY 1, 2),
+             cu AS (SELECT w1, count(*) cu FROM bi GROUP BY 1),
+             vocab AS (SELECT count(DISTINCT tok) v
+                       FROM (SELECT unnest(t) tok FROM toks))
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-ln((cb + 1.0) / (cu + v))), 6) AS avg_nll
+        FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "bigram-LM perplexity scoring: corpus-trained Laplace model, per-doc avg NLL")
   )
 }
