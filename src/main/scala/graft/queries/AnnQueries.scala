@@ -243,5 +243,55 @@ object AnnQueries {
         SELECT qid, nid, round(sim, 6) + 0.0 AS cos_sim, rank
         FROM scored WHERE rank <= 10 ORDER BY qid, rank"""),
       doc = "int8 scalar-quantized ANN: in-query affine codes + asymmetric top-k")
+    ,
+
+    QueryDef(
+      "q78_hard_negatives",
+      (s, d) => {
+        // Contrastive-training data mining: for each anchor, the top-3
+        // HARD negatives — vectors of a DIFFERENT label with the highest
+        // cosine to the anchor (the pairs that actually move an embedding
+        // model). Anchor batch (vec_id < 50) broadcasts against the
+        // sharded corpus — the batch-mining shape: each executor scores
+        // its corpus shard against every anchor, then the per-anchor
+        // window picks global top-3. Exact baseline like q60; at 100 TB
+        // the scoring join swaps in IVF probing (ann/Ivf routes each
+        // anchor to nProbes cells) so the scan touches a fraction of the
+        // corpus — identical downstream window.
+        // Ranking keys on the ROUNDED similarity (+ neg_id): raw doubles
+        // differ across engines at 1e-16 and would flip ranks.
+        val e = table(s, d, "embeddings").withColumn("nrm",
+          sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))))
+        val anchors = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("anchor_id"), col("label").as("la"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+        val cand = e.select(col("vec_id").as("neg_id"), col("label").as("lb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy("anchor_id")
+          .orderBy(desc("cos_sim"), col("neg_id"))
+        cand.join(broadcast(anchors), col("la") =!= col("lb"))
+          .withColumn("cos_sim",
+            round(graft.functions.DotProduct(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6) + 0.0)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("anchor_id", "neg_id", "rank", "cos_sim")
+          .orderBy("anchor_id", "rank")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT a.vec_id anchor_id, b.vec_id neg_id,
+                 round(${cosDuck("CAST(a.embedding AS DOUBLE[])",
+                                 "CAST(b.embedding AS DOUBLE[])")}, 6) + 0.0 AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.label <> b.label
+          WHERE a.vec_id < 50),
+             ranked AS (
+          SELECT anchor_id, neg_id, cos_sim,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos_sim DESC, neg_id) AS rank
+          FROM scored)
+        SELECT anchor_id, neg_id, rank, cos_sim
+        FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank"""),
+      doc = "contrastive hard-negative mining: per-anchor top-3 cross-label neighbors")
   )
 }
