@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming exact dedup — the incremental twin of the q23 batch operator
+  * (and of every pipeline's "don't index the same content twice" gate).
+  *
+  * Built on `dropDuplicatesWithinWatermark`: per-key state lives in the
+  * streaming state store, partitioned by the dedup key across executors,
+  * and is EVICTED once the watermark passes its event time — state is
+  * bounded by the horizon's key cardinality, not the stream's lifetime.
+  * That is the property that makes this shape survive an unbounded 100 TB
+  * ingest feed; a plain streaming `dropDuplicates` (no watermark) grows
+  * state forever and is the anti-pattern this helper exists to avoid.
+  *
+  * Duplicates ARRIVING WITHIN the horizon are dropped even when their
+  * event times differ (the within-watermark contract) — the right
+  * semantics for re-delivered files / connector replays, where the copy
+  * carries a later timestamp than the original.
+  */
+object StreamingDedup {
+
+  /** Drop rows whose `keys` were already seen within the watermark horizon.
+    *
+    * @param df        streaming DataFrame
+    * @param eventTime event-time column the watermark advances on
+    * @param horizon   watermark delay, e.g. "10 minutes" — also the dedup
+    *                  memory: duplicates farther apart than this can recur
+    * @param keys      dedup key columns (e.g. content_hash)
+    */
+  def dedup(df: DataFrame, eventTime: String, horizon: String, keys: String*): DataFrame =
+    df.withWatermark(eventTime, horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

@@ -94,6 +94,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops within-horizon duplicates (in-batch and cross-file)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    val staging = java.nio.file.Files.createTempDirectory("graft-dedup-stage")
+    // two files with an in-batch duplicate ("a") and a cross-file replay of
+    // "b" arriving later (replays carry LATER timestamps — the
+    // within-watermark contract must still drop them)
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val out = staging.resolve(name)
+      rows.toDF("ts_s", "content_hash").coalesce(1).write.parquet(out.toString)
+      val part = java.nio.file.Files.list(out).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, streamDir.resolve(s"$name.parquet"))
+    }
+    writeBatch("b1", Seq((100L, "a"), (110L, "b"), (120L, "a")))
+    writeBatch("b2", Seq((200L, "b"), (210L, "c")))
+    val schema = StructType(Seq(
+      StructField("ts_s", LongType), StructField("content_hash", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val q = StreamingDedup.dedup(stream, "event_time", "10 minutes", "content_hash")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("content_hash").as[String].collect()
+    assert(out.sorted.toSeq == Seq("a", "b", "c"),
+      s"expected one row per key, got ${out.toSeq}")
+  }
+
   test("file-source stream ingests a directory end-to-end (T1)") {
     val root = java.nio.file.Files.createTempDirectory("graft-st-in")
     val wh = java.nio.file.Files.createTempDirectory("graft-st-wh2").toString
