@@ -118,6 +118,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("boilerplate stripping stays explode+groupBy: no windows, no cartesian (q76)") {
+    val p = plan("q76_strip_boilerplate")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("bigram LM broadcasts the vocab-sized sides, shuffles only the bigram key (q77)") {
+    val p = plan("q77_bigram_lm")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("hard-negative mining broadcasts the anchor batch (q78)") {
+    val p = plan("q78_hard_negatives")
+    // inequality-only join: must be a nested-loop with the BOUNDED anchor
+    // side broadcast, never a cartesian of corpus x corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used
