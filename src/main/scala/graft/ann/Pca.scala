@@ -1,0 +1,88 @@
+package graft.ann
+
+import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the compression/whitening
+  * step of a large-scale embedding pipeline (store top-k projections, run
+  * coarse ANN in the reduced space, rescore survivors at full precision).
+  *
+  * Scale shape: the covariance Gramian is a treeAggregate producing a
+  * d×d matrix (d=64 → 4 KiB of doubles — CONSTANT in corpus size); the
+  * eigendecomposition runs on the driver over that d×d matrix (O(d³),
+  * corpus-independent); projection is embarrassingly parallel against the
+  * broadcast model. Nothing here scales with row count except one pass
+  * over the data — the canonical 100 TB-safe PCA split, and exactly how
+  * MLlib's RowMatrix implements it (we delegate the fit to it).
+  *
+  * Determinism: eigenvectors are sign-ambiguous, so `fit` normalizes each
+  * component to have its largest-|coefficient| entry positive (first index
+  * wins ties) — repeated fits and cluster refits produce identical models.
+  */
+object Pca {
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]], // k rows, each a d-dim unit vector
+      explainedVariance: Array[Double])
+
+  /** Fit a k-component PCA on `vecCol` (array<double>). */
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val rdd = df.select(vecCol).rdd
+      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    val mat = new RowMatrix(rdd)
+    val (pc, explained) = mat.computePrincipalComponentsAndExplainedVariance(k)
+    val d = pc.numRows
+    val comps = Array.tabulate(k) { j =>
+      val c = Array.tabulate(d)(i => pc(i, j))
+      val m = c.indices.maxBy(i => (math.abs(c(i)), -i))
+      if (c(m) < 0) c.map(x => -x) else c
+    }
+    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    PcaModel(mean, comps, explained.toArray.take(k))
+  }
+
+  /** Project `vecCol` onto the model's components (mean-centered — unlike
+    * MLlib's PCAModel.transform, which skips centering). Adds `out` as
+    * array<double> of length k.
+    */
+  def project(df: DataFrame, vecCol: String, model: PcaModel,
+      out: String = "proj"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val f = udf { (v: Seq[Double]) =>
+      val m = bc.value
+      Array.tabulate(m.components.length) { j =>
+        val c = m.components(j)
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { s += (v(i) - m.mean(i)) * c(i); i += 1 }
+        s
+      }
+    }
+    df.withColumn(out, f(col(vecCol)))
+  }
+
+  /** Reconstruct from a projection: mean + Σ proj_j · c_j. Used by the
+    * spec to pin completeness (k = d reconstructs exactly) and by rescoring
+    * paths that need an approximate vector back.
+    */
+  def reconstruct(df: DataFrame, projCol: String, model: PcaModel,
+      out: String = "recon"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val f = udf { (p: Seq[Double]) =>
+      val m = bc.value
+      val d = m.mean.length
+      val r = m.mean.clone()
+      var j = 0
+      while (j < p.length) {
+        val c = m.components(j)
+        var i = 0
+        while (i < d) { r(i) += p(j) * c(i); i += 1 }
+        j += 1
+      }
+      r
+    }
+    df.withColumn(out, f(col(projCol)))
+  }
+}

@@ -292,6 +292,91 @@ object AnnQueries {
           FROM scored)
         SELECT anchor_id, neg_id, rank, cos_sim
         FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank"""),
-      doc = "contrastive hard-negative mining: per-anchor top-3 cross-label neighbors")
+      doc = "contrastive hard-negative mining: per-anchor top-3 cross-label neighbors"),
+
+    QueryDef(
+      "q79_semdedup",
+      (s, d) => {
+        // SemDeDup-shaped semantic dedup (Abbas et al. 2023): partition the
+        // embedding space into cells, then rank intra-cell pairs by exact
+        // cosine — near-dup candidates the cross-cell quadratic never pays
+        // for. Cells here come from 8 DETERMINISTIC hyperplanes whose ±1
+        // sign vectors derive from a multiplicative integer hash, so DuckDB
+        // pins the bucketing bit-for-bit (production swaps in MLlib k-means
+        // cells via ann/Ivf — identical downstream join/rank). A polynomial
+        // sign hash does NOT work: k² + 7919k + 104729 stays below P for
+        // small k and k(k+7919) is always even, so every sign came out -1
+        // (measured: 2 buckets). k·2654435761 exceeds P for every k ≥ 1, so
+        // the mod scrambles parity (measured: 131 buckets / max 27 / 2,907
+        // intra-cell pairs at sf0.01 vs 124,750 all-pairs).
+        // Scale: the self-join shuffles on the bucket key — work ∝ Σc²
+        // per cell, never n²; ranking is TakeOrderedAndProject (no global
+        // window). Ranking keys on the ROUNDED cosine + id tie-breaks.
+        // persist: the bucketed frame feeds both self-join sides.
+        val dims = 64
+        val planes = 8
+        def signDot(p: Int): String =
+          s"aggregate(sequence(1, $dims), 0D, (acc, i) -> acc + element_at(v, i) * " +
+            s"(CASE WHEN (($p * $dims + i) * 2654435761L + 104729L) % $P % 2 = 0 " +
+            "THEN 1.0D ELSE -1.0D END))"
+        val base = table(s, d, "embeddings")
+          .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
+        val bucketed = (0 until planes)
+          .foldLeft(base) { (df, p) =>
+            df.withColumn(s"b$p", when(expr(signDot(p)) >= 0, 1 << p).otherwise(0))
+          }
+          .withColumn("bucket", (0 until planes).map(p => col(s"b$p")).reduce(_ + _))
+          .select("vec_id", "v", "bucket")
+          .persist()
+        bucketed.as("a")
+          .join(bucketed.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("a.bucket").as("bucket"),
+            (round(expr(cosSpark("a.v", "b.v")), 6) + 0.0).as("cos_sim"))
+          .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some {
+        val signsDuck = (p: Int) =>
+          s"list_transform(range(1, 65), i -> CASE WHEN (($p * 64 + i) * 2654435761 + 104729) " +
+            s"% $P % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        val bits = (0 until 8)
+          .map(p => s"(CASE WHEN list_dot_product(v, ${signsDuck(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+             pr AS (SELECT a.vec_id id_a, bb.vec_id id_b, a.bucket bucket,
+                           round(${cosDuck("a.v", "bb.v")}, 6) + 0.0 cos_sim
+                    FROM b a JOIN b bb
+                    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+        SELECT id_a, id_b, bucket, cos_sim
+        FROM pr ORDER BY cos_sim DESC, id_a, id_b LIMIT 50"""
+      },
+      doc = "SemDeDup-shaped semantic dedup: deterministic hyperplane cells + intra-cell cosine rank"),
+
+    QueryDef(
+      "q83_pca_project",
+      (s, d) => {
+        // Embedding compression for the 100 TB pipeline: distributed PCA
+        // (ann/Pca — covariance treeAggregate to a d×d matrix, driver-side
+        // eigendecomposition, broadcast projection), top-8 components.
+        // Eigendecomposition isn't SQL-expressible -> rows-only gate;
+        // the algebraic invariants (orthonormality, k=d exact
+        // reconstruction, variance ordering, determinism) are pinned by
+        // PcaSpec. Projections rounded to 6 dp: the covariance
+        // treeAggregate's summation order varies with partition layout at
+        // ~1e-12 relative — rounding makes reruns byte-stable.
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
+        val model = graft.ann.Pca.fit(e, "v", k = 8)
+        graft.ann.Pca.project(e, "v", model)
+          .select(col("vec_id"),
+            expr("transform(proj, x -> round(x, 6) + 0.0)").as("proj"))
+          .orderBy("vec_id")
+      },
+      None,
+      doc = "distributed PCA: one-pass covariance fit + top-8 projection (embedding compression)")
   )
 }

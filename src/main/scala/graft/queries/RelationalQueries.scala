@@ -582,6 +582,51 @@ object RelationalQueries {
                                             epoch_ns(ts) // 900000000000)) AS window_idx
               FROM events)
         GROUP BY window_idx, event_type ORDER BY window_idx, event_type"""),
-      doc = "sliding event-time windows: hop replication + keyed aggregation")
+      doc = "sliding event-time windows: hop replication + keyed aggregation"),
+
+    QueryDef(
+      "q82_range_join",
+      (s, d) => {
+        // Event-time RANGE JOIN, the bucketed (linear) form: for every
+        // 'error' event, how many 'click' events did the same user make in
+        // the preceding 10 minutes? A naive theta-join (user matches +
+        // time-range predicate) degenerates to per-user cartesians; the
+        // scale shape buckets both sides by a 10-minute epoch bucket and
+        // replicates the probe side into the two buckets any in-range
+        // match can occupy — an EQUI-join on (user_id, bucket) whose
+        // shuffle is linear in events, with the exact range applied after.
+        // Each (error, click) pair meets at most once: the click's two
+        // replicas land in distinct buckets. Stream-stream twin (watermark
+        // interval join) pinned in StreamingSpec.
+        val bucketNs = 600000000000L
+        val ev = table(s, d, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts").as("ets"),
+            expr(s"ts div ${bucketNs}L").as("bucket"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"),
+            explode(expr(s"array(ts div ${bucketNs}L, ts div ${bucketNs}L + 1L)")).as("bucket"))
+        errors.join(clicks, Seq("user_id", "bucket"), "left")
+          .withColumn("hit",
+            when(col("cts") >= col("ets") - lit(bucketNs) && col("cts") < col("ets"), 1L)
+              .otherwise(0L))
+          .groupBy("event_id")
+          .agg(sum("hit").as("n_clicks_10m"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH err AS (SELECT event_id, user_id, epoch_ns(ts) ets,
+                            epoch_ns(ts) // 600000000000 bucket
+                     FROM events WHERE event_type = 'error'),
+             clk AS (SELECT user_id, epoch_ns(ts) cts,
+                            unnest([epoch_ns(ts) // 600000000000,
+                                    epoch_ns(ts) // 600000000000 + 1]) bucket
+                     FROM events WHERE event_type = 'click')
+        SELECT event_id,
+               CAST(sum(CASE WHEN cts >= ets - 600000000000 AND cts < ets
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_10m
+        FROM err LEFT JOIN clk USING (user_id, bucket)
+        GROUP BY event_id ORDER BY event_id"""),
+      doc = "bucketed event-time range join: clicks within 10 min before each error")
   )
 }

@@ -473,6 +473,104 @@ object TextQueries {
                round(avg(-ln((cb + 1.0) / (cu + v))), 6) AS avg_nll
         FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab
         GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "bigram-LM perplexity scoring: corpus-trained Laplace model, per-doc avg NLL")
+      doc = "bigram-LM perplexity scoring: corpus-trained Laplace model, per-doc avg NLL"),
+
+    QueryDef(
+      "q80_tfidf_terms",
+      (s, d) => {
+        // Corpus vocabulary profiling: per-source top-5 distinguishing
+        // terms by tf-idf (idf = ln(N/df) over source-level df) — the
+        // standard what-is-in-this-slice diagnostic of corpus curation.
+        // Shapes: one (source, term) keyed shuffle for tf; df re-aggregates
+        // the SAME vocab-sized table (persisted — it feeds df and the
+        // scoring join); N is a broadcast scalar; per-source top-k is a
+        // bounded window over source-partitioned data. All linear.
+        // Ranking keys on the ROUNDED score + integer tie-breaks (tf desc,
+        // df asc, term): raw doubles differ across engines at 1 ulp, and
+        // small-integer (tf, df) combos can collide exactly (2·ln(N/x) vs
+        // ln(N/y)) where the engines' ln may disagree on which is larger.
+        val tf = table(s, d, "documents")
+          .select(col("source"), explode(expr(toksSpark("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+          .persist()
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = tf.select(countDistinct("source").as("n_sources"))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("tfidf"), desc("tf"), col("df"), col("term"))
+        tf.join(dfT, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6) + 0.0)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("source", "term", "tf", "df", "tfidf", "rank")
+          .orderBy("source", "rank")
+      },
+      Some(s"""
+        WITH tf AS (SELECT source, term, count(*) tf
+                    FROM (SELECT source, unnest(${toksDuck("text")}) term FROM documents)
+                    GROUP BY 1, 2),
+             dft AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+             n AS (SELECT count(DISTINCT source) n_sources FROM tf),
+             scored AS (SELECT source, term, tf, df,
+                               round(tf * ln(CAST(n_sources AS DOUBLE) / df), 6) + 0.0 tfidf
+                        FROM tf JOIN dft USING (term) CROSS JOIN n),
+             ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY tfidf DESC, tf DESC, df, term) rank
+                        FROM scored)
+        SELECT source, term, tf, df, tfidf, rank
+        FROM ranked WHERE rank <= 5 ORDER BY source, rank"""),
+      doc = "per-source top-k distinguishing terms by tf-idf"),
+
+    QueryDef(
+      "q81_dsir_weights",
+      (s, d) => {
+        // DSIR-style importance weights (Xie et al. 2023): unigram Laplace
+        // LMs for the TARGET distribution (lang='en' docs here — the
+        // reference-corpus variant just swaps the training frame) and the
+        // RAW corpus; each doc scores avg_w[ln p_t(w) − ln p_r(w)] — the
+        // data-selection signal that resamples a raw corpus toward a
+        // target domain. Positive weight = looks like the target.
+        // Shapes: the occurrence explode is one keyed shuffle (persisted —
+        // it feeds target counts, raw counts, the totals scalar AND the
+        // scoring join); both count tables are vocab-sized; the scoring
+        // join keys on the token — linear at any corpus size. The 6-dp
+        // round absorbs the engines' avg() summation-order difference
+        // (q77's discipline).
+        val occ = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(expr(toksSpark("text"))).as("tok"))
+          .persist()
+        val ct = occ.filter(col("lang") === "en")
+          .groupBy("tok").agg(count(lit(1)).as("ct"))
+        val cr = occ.groupBy("tok").agg(count(lit(1)).as("cr"))
+        val totals = occ.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_total"),
+          count(lit(1)).as("r_total"),
+          countDistinct("tok").as("v"))
+        occ.join(cr, Seq("tok"))
+          .join(ct, Seq("tok"), "left")
+          .crossJoin(broadcast(totals))
+          .withColumn("lr",
+            log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("t_total") + col("v")).cast("double")) -
+              log((col("cr") + 1).cast("double") /
+                (col("r_total") + col("v")).cast("double")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            (round(avg("lr"), 6) + 0.0).as("dsir_weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH occ AS (SELECT doc_id, lang, unnest(${toksDuck("text")}) tok FROM documents),
+             ct AS (SELECT tok, count(*) ct FROM occ WHERE lang = 'en' GROUP BY 1),
+             cr AS (SELECT tok, count(*) cr FROM occ GROUP BY 1),
+             tot AS (SELECT count(*) FILTER (lang = 'en') t_total, count(*) r_total,
+                            count(DISTINCT tok) v FROM occ)
+        SELECT doc_id, count(*) AS n_tok,
+               round(avg(ln((coalesce(ct, 0) + 1.0) / (t_total + v))
+                       - ln((cr + 1.0) / (r_total + v))), 6) + 0.0 AS dsir_weight
+        FROM occ JOIN cr USING (tok) LEFT JOIN ct USING (tok) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "DSIR importance weights: target-vs-raw unigram LM log-ratio per doc")
   )
 }

@@ -1,0 +1,91 @@
+package graft.ann
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PCA invariants that don't need a reference implementation: component
+  * orthonormality, variance ordering, exact reconstruction at k = d (a
+  * complete orthonormal basis loses nothing), error monotonicity in k, and
+  * model determinism across fits (the sign convention's job).
+  */
+class PcaSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dims = 64
+
+  private def embeddings = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.indices.map(i => a(i) * b(i)).sum
+
+  test("components are orthonormal") {
+    val m = Pca.fit(embeddings, "v", k = 8)
+    for (i <- m.components.indices; j <- m.components.indices) {
+      val d = dot(m.components(i), m.components(j))
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"||c$i|| = $d")
+      else assert(math.abs(d) < 1e-9, s"c$i . c$j = $d")
+    }
+  }
+
+  test("explained variance is positive, non-increasing, and sums to <= 1") {
+    val m = Pca.fit(embeddings, "v", k = 8)
+    assert(m.explainedVariance.forall(_ > 0))
+    assert(m.explainedVariance.zip(m.explainedVariance.tail).forall { case (a, b) => a >= b })
+    assert(m.explainedVariance.sum <= 1.0 + 1e-9)
+  }
+
+  test("k = d projection reconstructs the input exactly") {
+    val m = Pca.fit(embeddings, "v", k = dims)
+    val rows = Pca.reconstruct(Pca.project(embeddings, "v", m), "proj", m)
+      .select("v", "recon").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val rec = r.getSeq[Double](1)
+      val err = math.sqrt(v.indices.map(i => math.pow(v(i) - rec(i), 2)).sum)
+      assert(err < 1e-8, s"reconstruction error $err")
+    }
+  }
+
+  test("reconstruction error decreases as k grows") {
+    def mse(k: Int): Double = {
+      val m = Pca.fit(embeddings, "v", k)
+      Pca.reconstruct(Pca.project(embeddings, "v", m), "proj", m)
+        .select("v", "recon").collect()
+        .map { r =>
+          val v = r.getSeq[Double](0)
+          val rec = r.getSeq[Double](1)
+          v.indices.map(i => math.pow(v(i) - rec(i), 2)).sum
+        }.sum
+    }
+    val errs = Seq(2, 8, 32).map(mse)
+    assert(errs(0) > errs(1) && errs(1) > errs(2), errs.toString)
+  }
+
+  test("projection variance follows component order") {
+    val m = Pca.fit(embeddings, "v", k = 4)
+    val projs = Pca.project(embeddings, "v", m)
+      .select("proj").collect().map(_.getSeq[Double](0))
+    val vars = (0 until 4).map { j =>
+      val xs = projs.map(_(j))
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    assert(vars.zip(vars.tail).forall { case (a, b) => a >= b - 1e-12 }, vars.toString)
+  }
+
+  test("fit is deterministic (sign convention pins the eigenvector ambiguity)") {
+    val a = Pca.fit(embeddings, "v", k = 8)
+    val b = Pca.fit(embeddings, "v", k = 8)
+    assert(a.mean.sameElements(b.mean))
+    assert(a.components.length == b.components.length)
+    a.components.zip(b.components).foreach { case (ca, cb) =>
+      assert(ca.sameElements(cb))
+    }
+  }
+}

@@ -139,6 +139,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("semdedup pairs join on the bucket key, not all-pairs (q79)") {
+    val p = plan("q79_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    // global top-50 must be TakeOrdered, not a single-partition window/sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("tf-idf ranking windows per source and broadcasts the N scalar (q80)") {
+    val p = plan("q80_tfidf_terms")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the per-source window partitions by source — never a global window
+    assert(p.contains("partitionspec=[source") ||
+      p.contains("PartitionSpec: [source") || p.contains("[source#"), p.take(1600))
+  }
+
+  test("DSIR scoring joins on the token key with map-side partial aggs (q81)") {
+    val p = plan("q81_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(1200))
+  }
+
   test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used

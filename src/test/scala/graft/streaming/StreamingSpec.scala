@@ -94,6 +94,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the q82 batch twin") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // `ts div 1000` (integer floor) on BOTH stream and batch sides: a
+    // double-divide-then-cast micros conversion is off by 1 µs near
+    // integer boundaries, which an interval-join range predicate can see
+    def src() = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("event_time").as("err_time"))
+      .withWatermark("err_time", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val joined = errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
+        col("click_time") < col("err_time"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_pairs").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin_pairs")
+      .groupBy("err_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: q82's inner-match core in exact µs integer arithmetic
+    val ev = graft.queries.Catalog.table(spark, sf, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        expr("ts div 1000").as("ets"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("cts"))
+    val batch = err.join(clk, Seq("user_id"))
+      .filter(col("cts") >= col("ets") - lit(600000000L) && col("cts") < col("ets"))
+      .groupBy("err_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops within-horizon duplicates (in-batch and cross-file)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
