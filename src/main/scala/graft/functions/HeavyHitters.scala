@@ -1,0 +1,36 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Misra–Gries heavy-hitters summary — the candidate-generation half of the
+  * standard two-pass distributed heavy-hitters plan: per-partition capacity-k
+  * summaries (one pass, O(k) memory), union the surviving keys, then an
+  * exact recount of ONLY the candidates.
+  *
+  * Guarantee used by the plan: within one partition, any item with frequency
+  * > n_p/k survives the summary (its counter absorbs at most n_p/k
+  * decrements). Across partitions, an item with global frequency > n/k must
+  * exceed n_p/k in at least one partition (pigeonhole), so the UNION of
+  * per-partition survivors is a superset of every item with global frequency
+  * > n/k — no false negatives, and the recount makes the final answer exact
+  * (which is why q84 can be DuckDB-oracled even though a sketch is involved).
+  */
+object HeavyHitters {
+  /** One-pass capacity-k Misra–Gries over an iterator; returns surviving keys. */
+  def misraGries(items: Iterator[String], k: Int): Iterator[String] = {
+    require(k > 0)
+    val counters = mutable.HashMap.empty[String, Long]
+    items.foreach { x =>
+      counters.get(x) match {
+        case Some(c) => counters(x) = c + 1
+        case None if counters.size < k => counters(x) = 1L
+        case None =>
+          val dead = mutable.ArrayBuffer.empty[String]
+          counters.mapValuesInPlace((_, c) => c - 1)
+          counters.foreach { case (key, c) => if (c <= 0) dead += key }
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+}

@@ -114,6 +114,29 @@ object PipelineQueries {
           .toSeq.toDF("chunk_id", "document_id", "rank")
       },
       None,
-      doc = "inverted-postings keyword retrieval over a built index")
+      doc = "inverted-postings keyword retrieval over a built index"),
+
+    QueryDef(
+      "q85_quality_classifier",
+      (s, d) => {
+        // Model-based quality filtering, CCNet-style (the GPT-3/LLaMA
+        // curation step): corpus-trained bigram-LM perplexity feature +
+        // logistic regression. Self-supervised labels — originals vs
+        // deterministic token-shuffled twins (bag-of-words features
+        // survive the shuffle, so the model must learn the SEQUENCE
+        // signal); the production variant swaps in an editorial
+        // target-vs-crawl label, same pipeline. Iterative LBFGS is not
+        // SQL-expressible -> rows-only; separability (AUC), probability
+        // behavior and gate stability are pinned by
+        // QualityClassifierSpec. Probabilities rounded to 3 dp (gradient
+        // treeAggregate order varies with partition layout at ~1e-12).
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        graft.text.QualityClassifier.selfSupervised(docs)
+          .select(col("doc_id"), col("variant"), col("label").cast("int").as("label"),
+            (round(col("quality_prob"), 3) + 0.0).as("quality_prob"), col("keep"))
+          .orderBy("doc_id", "variant")
+      },
+      None,
+      doc = "CCNet-style quality classifier: LM perplexity feature + LR over self-supervised labels")
   )
 }

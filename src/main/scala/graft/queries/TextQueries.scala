@@ -571,6 +571,42 @@ object TextQueries {
                        - ln((cr + 1.0) / (r_total + v))), 6) + 0.0 AS dsir_weight
         FROM occ JOIN cr USING (tok) LEFT JOIN ct USING (tok) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "DSIR importance weights: target-vs-raw unigram LM log-ratio per doc")
+      doc = "DSIR importance weights: target-vs-raw unigram LM log-ratio per doc"),
+
+    QueryDef(
+      "q84_heavy_hitters",
+      (s, d) => {
+        // Heavy hitters (terms with > 3% of all occurrences) via the
+        // two-pass sketch plan: per-partition Misra–Gries summaries
+        // (capacity 64 — O(k) memory per task, never a vocab-sized map),
+        // union the survivors (a superset of every true heavy hitter —
+        // functions/HeavyHitters has the pigeonhole argument), then an
+        // exact recount of ONLY the candidates. The recount makes the
+        // output exact, so the sketch path is DuckDB-oracle-checkable —
+        // at 100 TB the first pass touches every token once and the
+        // recount joins against a broadcast candidate set of ≤ 64·tasks
+        // keys. Threshold compares in integer space (c·100 ≥ 3·n): no
+        // double multiply to disagree across engines.
+        import s.implicits._
+        val toks = table(s, d, "documents")
+          .select(explode(expr(toksSpark("text"))).as("term"))
+        val cands = toks.as[String]
+          .mapPartitions(it => graft.functions.HeavyHitters.misraGries(it, 64))
+          .toDF("term").distinct()
+        val total = toks.agg(count(lit(1)).as("n"))
+        toks.join(broadcast(cands), "term")
+          .groupBy("term").agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(total))
+          .filter(col("c") * 100 >= col("n") * 3)
+          .select("term", "c")
+          .orderBy(desc("c"), col("term"))
+      },
+      Some(s"""
+        WITH t AS (SELECT unnest(${toksDuck("text")}) term FROM documents),
+             n AS (SELECT count(*) n FROM t),
+             c AS (SELECT term, count(*) c FROM t GROUP BY 1)
+        SELECT term, c FROM c CROSS JOIN n
+        WHERE c * 100 >= n * 3 ORDER BY c DESC, term"""),
+      doc = "heavy hitters: Misra-Gries candidates + exact recount (two-pass sketch plan)")
   )
 }

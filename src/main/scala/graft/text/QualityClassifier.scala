@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality filter, CCNet-style: a corpus-trained
+  * bigram LM supplies a perplexity feature, a linear classifier over it
+  * (plus cheap length/diversity signals) separates "reads like the target
+  * corpus" from degenerate text. Production labels come from an editorial
+  * target-vs-crawl split; the self-supervised variant here manufactures
+  * negatives by deterministically shuffling each document's tokens —
+  * bag-of-words statistics survive the shuffle, so the classifier is
+  * forced to learn the sequence signal (the LM feature), exactly the
+  * CCNet perplexity-filter architecture.
+  *
+  * Scale shape: LM counts are keyed shuffles over bigrams (vocab²-bounded
+  * tables); feature extraction is a narrow map + one token-keyed join;
+  * LogisticRegression is MLlib's distributed LBFGS (per-iteration gradient
+  * treeAggregate; the model is feature-sized, data never leaves
+  * executors); scoring is a broadcast-model map.
+  */
+object QualityClassifier {
+  private val toksExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  /** (doc_id, toks) frame from a `text` frame, dropping docs too short to
+    * carry a bigram.
+    */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toksExpr)).filter(size(col("toks")) >= 2)
+
+  /** Deterministic token-shuffle twin of a tokenized frame: each doc's
+    * tokens reordered by a per-position hash. Unigram counts (and thus all
+    * bag-of-words features) are preserved; only sequence structure dies.
+    */
+  def shuffledNegatives(tokenized: DataFrame): DataFrame =
+    tokenized.withColumn("toks",
+      expr("transform(array_sort(transform(toks, (t, i) -> " +
+        "struct(xxhash64(t, CAST(i AS LONG)) AS h, t AS t))), x -> x.t)"))
+
+  /** Per-doc avg bigram negative log-likelihood of `score` rows under a
+    * Laplace LM trained on `train` rows (both tokenized frames keyed by
+    * `keyCols`). Mirrors q77's oracled pipeline; unseen bigrams/contexts
+    * coalesce to 0 counts (the Laplace floor).
+    */
+  def bigramNll(train: DataFrame, score: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val bigrams = (df: DataFrame) => df
+      .select(keyCols.map(col) :+ explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(" +
+          "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"): _*)
+      .select(keyCols.map(col) :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    val biTrain = bigrams(train).persist()
+    val cb = biTrain.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = biTrain.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = train.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val out = bigrams(score)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nlp",
+        -log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(avg("nlp").as("avg_nll"))
+    out
+  }
+
+  /** Assembles the `features` vector from the given columns. */
+  def assemble(df: DataFrame, cols: Seq[String]): DataFrame =
+    new VectorAssembler().setInputCols(cols.toArray).setOutputCol("features")
+      .transform(df)
+
+  /** Fits on an assembled frame with a binary `label` column (0.0/1.0). */
+  def fit(featurized: DataFrame): LogisticRegressionModel =
+    new LogisticRegression()
+      .setMaxIter(50)
+      .setRegParam(0.01)
+      .setStandardization(true)
+      .fit(featurized)
+
+  /** Scores an assembled frame: adds `quality_prob` (P(label=1)) and
+    * `keep` (threshold at 0.5).
+    */
+  def score(featurized: DataFrame, model: LogisticRegressionModel): DataFrame = {
+    val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.transform(featurized)
+      .withColumn("quality_prob", p1(col("probability")))
+      .withColumn("keep", (col("prediction") === 1.0).cast("int"))
+      .drop("rawPrediction", "probability", "prediction", "features")
+  }
+
+  /** The full self-supervised pipeline over a `doc_id`/`text` frame:
+    * originals labeled 1, shuffled twins labeled 0, LM trained on the
+    * originals, LR over [avg_nll, log_len]. Returns per-(doc, variant)
+    * scores.
+    */
+  def selfSupervised(docs: DataFrame): DataFrame = {
+    val orig = tokenized(docs).select("doc_id", "toks")
+      .withColumn("variant", lit("orig")).persist()
+    val both = orig.unionByName(
+      shuffledNegatives(orig).withColumn("variant", lit("shuffled")))
+      .withColumn("label", when(col("variant") === "orig", 1.0).otherwise(0.0))
+      .persist()
+    val nll = bigramNll(orig, both, Seq("doc_id", "variant"))
+    val feats = assemble(
+      both.join(nll, Seq("doc_id", "variant"))
+        .withColumn("log_len", log(size(col("toks")).cast("double") + 1.0)),
+      Seq("avg_nll", "log_len"))
+    val model = fit(feats)
+    score(feats, model).drop("toks")
+  }
+}

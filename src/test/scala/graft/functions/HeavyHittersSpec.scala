@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Misra–Gries guarantee the q84 plan depends on: every item with
+  * frequency > n/k survives the summary — including under adversarial
+  * orderings designed to evict popular items.
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  private def survivors(xs: Seq[String], k: Int): Set[String] =
+    HeavyHitters.misraGries(xs.iterator, k).toSet
+
+  test("exact when distinct items fit the capacity") {
+    val xs = Seq("a", "b", "a", "c", "a", "b")
+    assert(survivors(xs, 8) == Set("a", "b", "c"))
+  }
+
+  test("items above n/k always survive (front-loaded order)") {
+    val xs = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")
+    // n = 950, k = 10 -> threshold 95; hot = 500 >> 95
+    assert(survivors(xs, 10).contains("hot"))
+  }
+
+  test("items above n/k always survive (hot arrives last)") {
+    val xs = (1 to 450).map(i => s"cold$i") ++ Seq.fill(500)("hot")
+    assert(survivors(xs, 10).contains("hot"))
+  }
+
+  test("items above n/k always survive (interleaved eviction pressure)") {
+    // each hot occurrence followed by a burst of unique items that force
+    // decrements — the classic adversarial pattern
+    val xs = (0 until 200).flatMap(i => "hot" +: (0 until 3).map(j => s"u${i}_$j"))
+    // n = 800, k = 16 -> threshold 50; hot = 200 > 50
+    assert(survivors(xs, 16).contains("hot"))
+  }
+
+  test("pigeonhole across partitions: union of survivors covers global heavy hitters") {
+    // freq("hot") = 120 of n = 360 (33%) spread over 3 partitions; k = 8
+    // per partition (threshold n_p/k = 15 < 40)
+    val parts = (0 until 3).map { p =>
+      Seq.fill(40)("hot") ++ (1 to 80).map(i => s"p${p}_$i")
+    }
+    val union = parts.map(survivors(_, 8)).reduce(_ ++ _)
+    assert(union.contains("hot"))
+  }
+
+  test("survivor count never exceeds capacity") {
+    val xs = (1 to 10000).map(i => s"x${i % 997}")
+    assert(survivors(xs, 32).size <= 32)
+  }
+}

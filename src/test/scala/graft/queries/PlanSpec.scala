@@ -165,6 +165,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p.take(1200))
   }
 
+  test("heavy-hitters recount joins the broadcast candidate set (q84)") {
+    val p = plan("q84_heavy_hitters")
+    // second pass must join tokens against the SMALL sketch-survivor set,
+    // never shuffle a vocab-wide aggregation of all tokens
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(1200))
+  }
+
   test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used

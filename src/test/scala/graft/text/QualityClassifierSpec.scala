@@ -1,0 +1,106 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CCNet-style quality classifier must actually separate real text from
+  * token-shuffled degenerate text (the LM perplexity feature carries the
+  * sequence signal the bag-of-words features cannot), behave like a
+  * probability, and gate stably across refits.
+  */
+class QualityClassifierSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def docs = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+  }
+
+  test("shuffle twin preserves the bag of words but changes the order") {
+    val orig = QualityClassifier.tokenized(docs).select("doc_id", "toks")
+    val shuf = QualityClassifier.shuffledNegatives(orig)
+    val joined = orig.withColumnRenamed("toks", "a")
+      .join(shuf.withColumnRenamed("toks", "b"), "doc_id")
+      .withColumn("same_bag", expr("array_sort(a) = array_sort(b)"))
+      .withColumn("same_order", expr("a = b"))
+    val n = joined.count()
+    assert(joined.filter(col("same_bag")).count() == n)
+    // vanishingly unlikely a 20+ token doc shuffles to itself
+    assert(joined.filter(col("same_order")).count() < n / 10)
+  }
+
+  test("separates structured text from shuffled twins almost perfectly") {
+    import spark.implicits._
+    // constructed corpus with STRONG bigram chains (cyclic phrase
+    // templates): shuffling destroys the chains entirely, so the LM
+    // feature must separate near-perfectly — this pins the mechanism
+    // independent of how much sequence structure the synthetic corpus has
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val structured = (0 until 200).map { i =>
+      val toks = (0 until 48).map(j => words((i + j) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val scored = QualityClassifier.selfSupervised(structured).cache()
+    val auc = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").setRawPredictionCol("raw")
+      .evaluate(scored.withColumn("raw", col("quality_prob")))
+    assert(auc > 0.95, s"AUC $auc")
+    val acc = scored
+      .select(avg((col("keep") === col("label").cast("int")).cast("double")))
+      .head().getDouble(0)
+    assert(acc > 0.9, s"accuracy $acc")
+    scored.unpersist()
+  }
+
+  test("separates corpus originals from shuffled twins well above chance") {
+    // the driver's synthetic documents are themselves near-random token
+    // streams, so the learnable sequence signal is bounded; measured
+    // AUC 0.775 / pairwise 0.80 — assert above-chance with margin
+    val scored = QualityClassifier.selfSupervised(docs).cache()
+    val auc = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").setRawPredictionCol("raw")
+      .evaluate(scored.withColumn("raw", col("quality_prob")))
+    assert(auc > 0.7, s"AUC $auc")
+    scored.unpersist()
+  }
+
+  test("scores are probabilities and the keep gate matches the 0.5 threshold") {
+    val rows = QualityClassifier.selfSupervised(docs)
+      .select("quality_prob", "keep").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(0)
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getInt(1) == (if (p > 0.5) 1 else 0) || math.abs(p - 0.5) < 1e-9)
+    }
+  }
+
+  test("originals score lower perplexity than their own shuffled twins") {
+    val orig = QualityClassifier.tokenized(docs).select("doc_id", "toks")
+      .withColumn("variant", lit("orig"))
+    val both = orig.unionByName(
+      QualityClassifier.shuffledNegatives(orig).withColumn("variant", lit("shuffled")))
+    val nll = QualityClassifier.bigramNll(
+      orig, both, Seq("doc_id", "variant"))
+    val wide = nll.groupBy("doc_id")
+      .pivot("variant", Seq("orig", "shuffled")).agg(first("avg_nll"))
+    val better = wide.filter(col("orig") < col("shuffled")).count()
+    val total = wide.count()
+    // measured 400/500 on the near-random synthetic corpus (see the AUC
+    // test's note); assert above-chance with margin
+    assert(better.toDouble / total > 0.72, s"$better/$total")
+  }
+
+  test("refit on the same data reproduces the keep gate") {
+    val a = QualityClassifier.selfSupervised(docs)
+      .select("doc_id", "variant", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+    val b = QualityClassifier.selfSupervised(docs)
+      .select("doc_id", "variant", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(a == b)
+  }
+}
