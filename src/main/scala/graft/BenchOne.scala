@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time a subset of the battery without running all of it.
+  * Usage: runMain graft.BenchOne q75_dedup_clusters [q74_ann_quantized ...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_REPS (default 1).
+  * Same warm-then-measure protocol as Bench so numbers are comparable.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch {
+          case e: Throwable => e.printStackTrace(); -1L
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[benchone] $name rep$r: $dt%.3f s ($n rows)")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft.chunk
 
 import graft.embed.{Embedder, VectorOps}
 import graft.model.{ChunkInfo, ChunkingConfig, ParsedDocument}
-import graft.text.{MarkdownSections, RegexTokenCounter, SentenceSegmenter, TokenCounter}
+import graft.text.{MarkdownSections, SentenceSegmenter, TokenCounter, TokenCounters}
 
 /** Document -> chunks flatMap family (SURVEY §2.9, C1-C6). Pure Scala —
   * driven from Spark as `Dataset[ParsedDoc].flatMap(chunker.chunk)`, unit-
@@ -11,7 +11,10 @@ import graft.text.{MarkdownSections, RegexTokenCounter, SentenceSegmenter, Token
 trait Chunker extends Serializable {
   def name: String
   def chunk(doc: ParsedDocument, cfg: ChunkingConfig): Vector[ChunkInfo]
-  protected def counter: TokenCounter = RegexTokenCounter
+  // cl100k when the deployment supplies the vocab file, regex model
+  // otherwise (see TokenCounters.default) — chunk budgets then count the
+  // same tokens the reference's tiktoken counter does
+  protected def counter: TokenCounter = TokenCounters.default
 
   /** Re-number chunk indices densely from 0 (W6). */
   protected def reindex(chunks: Vector[ChunkInfo]): Vector[ChunkInfo] =

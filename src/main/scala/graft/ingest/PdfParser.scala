@@ -22,11 +22,19 @@ import scala.collection.mutable
   * page CONTENT streams are always top-level stream objects, so text
   * extraction is unaffected by the xref style.
   *
+  * Filters (ref PdfParser.cs:53-80 — PdfPig's supported set, minus
+  * image codecs): FlateDecode, LZWDecode (12-bit codes, clear/EOD,
+  * /EarlyChange honored), ASCII85Decode and ASCIIHexDecode, including
+  * /Filter ARRAYS applied in sequence (`[/ASCII85Decode /FlateDecode]`
+  * is the classic mail-safe wrapping). All are public-spec algorithms
+  * (ISO 32000-1 §7.4) implemented here from the spec.
+  *
   * Documented unsupported class (falls back to warnings, not wrong text):
-  * non-Flate filters (DCT/LZW/ASCII85) and subset-embedded fonts with
-  * custom /ToUnicode cmaps, where shown bytes aren't Latin-1 — extraction
-  * then yields garbled-but-flagged text, the same failure PdfPig reports
-  * as a per-page warning.
+  * image codecs (DCT/JPX/JBIG2/CCITT — raster data, no text to extract),
+  * /Predictor DecodeParms (xref/image streams, not content streams), and
+  * subset-embedded fonts with custom /ToUnicode cmaps, where shown bytes
+  * aren't Latin-1 — extraction then yields garbled-but-flagged text, the
+  * same failure PdfPig reports as a per-page warning.
   */
 object PdfParser {
 
@@ -44,8 +52,8 @@ object PdfParser {
       // dicts, the Info dict) Flate-compressed; content streams are always
       // top-level, so only the metadata scan needs their decoded text
       val objStmText = streamObjects(bytes, raw).collect {
-        case (dict, data) if dict.contains("/ObjStm") && dict.contains("/FlateDecode") =>
-          inflate(data).map(d => new String(d, StandardCharsets.ISO_8859_1))
+        case (dict, data) if dict.contains("/ObjStm") =>
+          decodeFilters(dict, data).map(d => new String(d, StandardCharsets.ISO_8859_1))
       }.flatten.mkString("\n")
       val scanText = if (objStmText.isEmpty) raw else raw + "\n" + objStmText
 
@@ -61,9 +69,7 @@ object PdfParser {
       streamObjects(bytes, raw).foreach { case (dict, data) =>
         val decoded: Option[Array[Byte]] =
           if (dict.contains("/ObjStm")) None // metadata container, not content
-          else if (dict.contains("/FlateDecode")) inflate(data)
-          else if (!dict.contains("/Filter")) Some(data)
-          else None // non-Flate filter: skip (unsupported class)
+          else decodeFilters(dict, data)
         decoded.map(d => new String(d, StandardCharsets.ISO_8859_1))
           .filter(_.contains("BT")).foreach { content =>
             page += 1
@@ -146,6 +152,140 @@ object PdfParser {
       } else j -= 1
     }
     raw.lastIndexOf("<<", i) // malformed dict: previous best-effort behavior
+  }
+
+  /** Names in the /Filter entry, in application order — a single name or
+    * an array (abbreviated inline-image names accepted for robustness). */
+  private[ingest] def filterNames(dict: String): Seq[String] =
+    "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r.findFirstMatchIn(dict)
+      .map(m => "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Run the stream through its full filter chain (ISO 32000-1 §7.4:
+    * array filters apply first-to-last). None = a stage is an image codec
+    * or failed to decode — the caller skips the stream, as before. */
+  private[ingest] def decodeFilters(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val fs = filterNames(dict)
+    if (fs.isEmpty) { if (dict.contains("/Filter")) None else Some(data) }
+    else fs.foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" | "Fl"     => inflate(d)
+          case "LZWDecode" | "LZW"      => lzwDecode(d, earlyChange(dict))
+          case "ASCII85Decode" | "A85"  => ascii85Decode(d)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case _ => None // DCT/JPX/JBIG2/CCITT/Crypt: no text to extract
+        }
+      }
+    }
+  }
+
+  /** /DecodeParms /EarlyChange (LZW code-width bump one code early;
+    * default 1 per spec). */
+  private def earlyChange(dict: String): Int =
+    "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(1)
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` is EOD,
+    * odd final digit padded with 0. */
+  private[ingest] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') i = data.length
+      else {
+        if (!c.isWhitespace) {
+          val d = Character.digit(c, 16)
+          if (d < 0) return None
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+        i += 1
+      }
+    }
+    if (hi >= 0) out.write(hi * 16) // odd digit: pad low nibble with 0
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (§7.4.3): base-85 groups of 5 chars -> 4 bytes, `z` =
+    * four zero bytes, `~>` is EOD, partial final group of n chars yields
+    * n-1 bytes (pad with 'u', drop the padding). */
+  private[ingest] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+    val group = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) group(k) else 84); k += 1 }
+      var shift = 24
+      var emitted = 0
+      while (emitted < count - 1) {
+        out.write(((v >> shift) & 0xff).toInt); shift -= 8; emitted += 1
+      }
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true // EOD marker "~>"
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') return None
+        group(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    if (n == 1) return None // a lone trailing char is malformed
+    if (n > 1) flush(n)
+    Some(out.toByteArray)
+  }
+
+  /** LZWDecode (§7.4.4, the TIFF variant): MSB-first bit stream, 9→12-bit
+    * codes, 256 = clear table, 257 = EOD, code width bumps at table sizes
+    * 511/1023/2047 (minus `earlyChange`). */
+  private[ingest] def lzwDecode(data: Array[Byte], early: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val table = new Array[Array[Byte]](4096)
+    var tableSize = 0
+    def resetTable(): Unit = {
+      var k = 0
+      while (k < 256) { table(k) = Array(k.toByte); k += 1 }
+      tableSize = 258 // 256 = clear, 257 = EOD
+    }
+    resetTable()
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    while (i < data.length || bitCnt >= width) {
+      if (bitCnt < width) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xffL); bitCnt += 8; i += 1
+      } else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 257) return Some(out.toByteArray) // EOD
+        else if (code == 256) { resetTable(); width = 9; prev = null }
+        else {
+          val entry: Array[Byte] =
+            if (code < tableSize && table(code) != null) table(code)
+            else if (code == tableSize && prev != null) prev :+ prev(0) // KwKwK
+            else return None // corrupt stream
+          out.write(entry, 0, entry.length)
+          if (prev != null && tableSize < 4096) {
+            table(tableSize) = prev :+ entry(0)
+            tableSize += 1
+          }
+          prev = entry
+          if (tableSize + early >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    Some(out.toByteArray) // missing EOD: tolerate (common in the wild)
   }
 
   /** FlateDecode = zlib; a few producers emit raw deflate, so fall back. */

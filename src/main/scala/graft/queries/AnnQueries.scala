@@ -323,26 +323,30 @@ object AnnQueries {
           .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
         val bucketed = (0 until planes)
           .foldLeft(base) { (df, p) =>
-            df.withColumn(s"b$p", when(expr(signDot(p)) >= 0, 1 << p).otherwise(0))
+            // sign taken on the ROUNDED dot (6 dp, catalog discipline): a
+            // dot within 1 ulp of zero must not flip buckets between
+            // Spark's aggregate fold and DuckDB's list_dot_product
+            df.withColumn(s"b$p",
+              when(round(expr(signDot(p)), 6) >= 0, 1 << p).otherwise(0))
           }
           .withColumn("bucket", (0 until planes).map(p => col(s"b$p")).reduce(_ + _))
           .select("vec_id", "v", "bucket")
           .persist()
-        bucketed.as("a")
+        Catalog.materializeAndRelease(bucketed.as("a")
           .join(bucketed.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
             col("a.bucket").as("bucket"),
             (round(expr(cosSpark("a.v", "b.v")), 6) + 0.0).as("cos_sim"))
           .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
-          .limit(50)
+          .limit(50), bucketed)
       },
       Some {
         val signsDuck = (p: Int) =>
           s"list_transform(range(1, 65), i -> CASE WHEN (($p * 64 + i) * 2654435761 + 104729) " +
             s"% $P % 2 = 0 THEN 1.0 ELSE -1.0 END)"
         val bits = (0 until 8)
-          .map(p => s"(CASE WHEN list_dot_product(v, ${signsDuck(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+          .map(p => s"(CASE WHEN round(list_dot_product(v, ${signsDuck(p)}), 6) >= 0 THEN ${1 << p} ELSE 0 END)")
           .mkString(" + ")
         s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -362,21 +366,78 @@ object AnnQueries {
         // Embedding compression for the 100 TB pipeline: distributed PCA
         // (ann/Pca — covariance treeAggregate to a d×d matrix, driver-side
         // eigendecomposition, broadcast projection), top-8 components.
-        // Eigendecomposition isn't SQL-expressible -> rows-only gate;
-        // the algebraic invariants (orthonormality, k=d exact
-        // reconstruction, variance ordering, determinism) are pinned by
-        // PcaSpec. Projections rounded to 6 dp: the covariance
-        // treeAggregate's summation order varies with partition layout at
-        // ~1e-12 relative — rounding makes reruns byte-stable.
+        // Eigendecomposition isn't SQL-expressible -> rows-only gate
+        // (the distributed HARD part — the covariance Gramian — is
+        // hash-oracled separately by q86); the algebraic invariants
+        // (orthonormality, k=d exact reconstruction, variance ordering,
+        // determinism) are pinned by PcaSpec. Projections rounded to 6 dp:
+        // the covariance treeAggregate's summation order varies with
+        // partition layout at ~1e-12 relative — rounding makes reruns
+        // byte-stable. Output is SCALAR rows — (vec_id, pos, value) via
+        // posexplode — because the driver's rows-only gate sorts the
+        // frame and array cells aren't sortable (r03: q83 recorded no
+        // verification at all when `proj` was an array column).
         val e = table(s, d, "embeddings")
           .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
         val model = graft.ann.Pca.fit(e, "v", k = 8)
         graft.ann.Pca.project(e, "v", model)
-          .select(col("vec_id"),
-            expr("transform(proj, x -> round(x, 6) + 0.0)").as("proj"))
-          .orderBy("vec_id")
+          .select(col("vec_id"), posexplode(
+            expr("transform(proj, x -> round(x, 6) + 0.0)")).as(Seq("pos", "value")))
+          .orderBy("vec_id", "pos")
       },
       None,
-      doc = "distributed PCA: one-pass covariance fit + top-8 projection (embedding compression)")
+      doc = "distributed PCA: one-pass covariance fit + top-8 projection (embedding compression)"),
+
+    QueryDef(
+      "q86_pca_covariance",
+      (s, d) => {
+        // The distributed half of PCA, made oracle-checkable: the sample
+        // covariance matrix of the embedding corpus as relational
+        // aggregates. Production fit (ann/Pca) computes the same matrix
+        // via RowMatrix's Gramian treeAggregate (d×d per-partition
+        // accumulators, corpus-independent result size) — PcaSpec pins
+        // the two equal to 1e-8 — but the treeAggregate's result isn't
+        // SQL, so THIS query re-expresses it as a one-pass explode of
+        // per-row upper-triangular products + groupBy sums, which DuckDB
+        // reproduces exactly. cov(i,j) = (Σ xi·xj − n·mi·mj)/(n−1),
+        // computed from raw sums on BOTH engines (not covar_samp: its
+        // incremental co-moment update is engine-private and
+        // order-sensitive beyond what rounding guarantees).
+        // Scale: 2080 product terms per row feed a 2080-group aggregate —
+        // map-side partial agg collapses each task's contribution to a
+        // constant-size state; the shuffle moves O(d²·tasks), not O(rows).
+        val dims = 64
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
+        val prods = e.select(explode(expr(
+          s"""flatten(transform(sequence(1, $dims), i ->
+                transform(sequence(i, $dims), j ->
+                  struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p))))"""))
+          .as("t"))
+          .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+        val ex = e.select(posexplode(col("v")).as(Seq("p0", "x")))
+          .select((col("p0") + 1).as("i"), col("x"))
+        val means = ex.groupBy("i").agg((sum("x") / count(lit(1))).as("m"))
+        prods.groupBy("i", "j").agg(sum("p").as("sp"), count(lit(1)).as("n"))
+          .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
+          .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+          .select(col("i"), col("j"),
+            (round((col("sp") - col("n") * col("mi") * col("mj")) / (col("n") - 1), 6) + 0.0)
+              .as("cov"))
+          .orderBy("i", "j")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             ex AS (SELECT vec_id, i, v[i] x
+                    FROM e CROSS JOIN (SELECT unnest(range(1, 65)) i)),
+             means AS (SELECT i, sum(x) / count(*) m FROM ex GROUP BY i),
+             s AS (SELECT a.i i, b.i j, sum(a.x * b.x) sp, count(*) n
+                   FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+                   GROUP BY 1, 2)
+        SELECT s.i AS i, s.j AS j,
+               round((sp - n * ma.m * mb.m) / (n - 1), 6) + 0.0 AS cov
+        FROM s JOIN means ma ON ma.i = s.i JOIN means mb ON mb.i = s.j
+        ORDER BY i, j"""),
+      doc = "PCA covariance Gramian as oracle-checkable relational aggregates")
   )
 }

@@ -39,6 +39,27 @@ object Catalog {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Library-composition hygiene for queries that persist() intermediates:
+    * eagerly materialize the (small, post-aggregation) result as a local
+    * checkpoint, release the cached intermediates, and hand the caller the
+    * materialized frame. The returned frame owns its own blocks — nothing
+    * invisible to the consumer stays in the cache (r03 verdict: seven
+    * battery queries leaked persisted partitions into any composing app).
+    * The checkpoint action runs inside the query fn, so bench timings
+    * still charge the full computation to the query.
+    */
+  def materializeAndRelease(out: DataFrame, cached: DataFrame*): DataFrame = {
+    // plan-inspection escape hatch: checkpointing collapses the plan to a
+    // Scan ExistingRDD, which would blind PlanSpec's shape pins — the spec
+    // sets this conf to look at the REAL plan (execution behavior when the
+    // flag is off is what ships)
+    if (out.sparkSession.conf.getOption("graft.plan.inspect").contains("true"))
+      return out
+    val m = out.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    m
+  }
+
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       AnnQueries.defs ++ PipelineQueries.defs ++ ExportQueries.defs

@@ -76,14 +76,14 @@ object DedupQueries {
           .join(shCapped.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("common"))
-        pairs
+        Catalog.materializeAndRelease(pairs
           .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")), "doc_a")
           .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")), "doc_b")
           .withColumn("jaccard",
             round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
           .filter(col("jaccard") >= 0.1)
           .select("doc_a", "doc_b", "common", "jaccard")
-          .orderBy("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b"), base)
       },
       Some(s"""
         WITH sh AS (SELECT doc_id, unnest(${shinglesDuck("toks")}) sh
@@ -337,14 +337,19 @@ object DedupQueries {
       (s, d) => {
         // Pairs -> CLUSTERS: production dedup keeps one survivor per
         // connected component of the near-dup graph, not per pair.
-        // Distributed connected components by hash-to-min label
-        // propagation over the q24 Jaccard edges: every node starts
-        // labeled with its own id; each round takes the min of its own and
-        // its neighbors' labels; fixpoint = component-minimum ids. The
-        // synthetic graph's components have diameter <= ~3, so this
-        // converges in a few rounds; at 100 TB the same loop runs with
-        // large-star/small-star contraction to bound rounds on long
-        // chains. localCheckpoint each round cuts the grown lineage.
+        // Distributed connected components over the q24 Jaccard edges by
+        // alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+        // "Connected Components in MapReduce and Beyond", SoCC'14):
+        //   large-star(u): m = min({u} ∪ Γ(u)); link every BIGGER
+        //     neighbor v > u to m;
+        //   small-star(u): over edges oriented big→small, link every
+        //     smaller neighbor AND u itself to the smallest.
+        // Both preserve connectivity; the fixpoint is a star per
+        // component rooted at its minimum id — O(log² n) rounds even on
+        // long chains (vs one hop per round for label propagation), and
+        // each round is ONE Spark action: the convergence signature
+        // (count + xxhash sum) rides the same job that materializes the
+        // lazily local-checkpointed edge set. Round count → stderr.
         // Oracle: recursive-CTE transitive closure, min reachable id.
         // persist the tokenize+shingle pass (q24's discipline): it feeds
         // counts (twice, via both broadcast sides), both self-join sides,
@@ -373,41 +378,62 @@ object DedupQueries {
           .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.1)
           .select("da", "db")
           .localCheckpoint(true) // tiny; cuts the union below from re-running the self-join
-        val edges = pairs.unionByName(
-          pairs.select(col("db").as("da"), col("da").as("db"))).persist()
-        var labels = edges.select(col("da").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id")).localCheckpoint(true)
+        base.unpersist()
+        var e = pairs.select(col("da").as("u"), col("db").as("v"))
+        var prev: org.apache.spark.sql.DataFrame = null
+        var sig = (-1L, -1L)
         var converged = false
         var rounds = 0
-        while (!converged && rounds < 20) {
-          val neighborMin = edges
-            .join(labels.withColumnRenamed("doc_id", "db").withColumnRenamed("label", "nl"), "db")
-            .groupBy("da").agg(min("nl").as("nl"))
-          val hashToMin = labels
-            .join(neighborMin.withColumnRenamed("da", "doc_id"), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          // pointer jumping: also adopt the label OF my label, so the
-          // component minimum floods in O(log diameter) rounds instead of
-          // one hop per round (long chains made the plain loop 15+ rounds)
-          val next = hashToMin
-            .join(labels.select(col("doc_id").as("label"), col("label").as("ll")),
-              Seq("label"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-            .localCheckpoint(true)
-          converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(col("label") =!= col("old")).isEmpty
-          labels = next
+        while (!converged && rounds < 12) {
+          // large-star: every edge both ways; per u, m = min(u, min Γ(u));
+          // bigger neighbors re-link to m
+          val nbr = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+          val mins = nbr.groupBy("u").agg(min("v").as("mn"))
+            .select(col("u"), least(col("u"), col("mn")).as("m"))
+          val ls = nbr.join(mins, "u").filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .filter(col("u") =!= col("v")).distinct()
+          // small-star: orient big→small; per u, every smaller neighbor
+          // and u itself link to the smallest neighbor
+          val nbr2 = ls.select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          val mins2 = nbr2.groupBy("u").agg(min("v").as("m"))
+          val ss = nbr2.join(mins2, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(mins2.select(col("u"), col("m").as("v")))
+            .filter(col("u") =!= col("v")).distinct()
+            .localCheckpoint(false) // lazy: materialized by the signature job
+          // bit_xor, not sum: order-independent AND overflow-free under
+          // ANSI mode (sum of xxhash64s overflows long)
+          val row = ss.agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(u, v))").as("h")).first()
+          val nsig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+          converged = nsig == sig
+          sig = nsig
+          // the signature job just materialized ss FROM the previous
+          // round's blocks — release them now
+          if (prev != null) prev.unpersist(false)
+          prev = ss
+          e = ss
           rounds += 1
         }
-        edges.unpersist()
-        base.unpersist()
+        Console.err.println(s"[q75] CC converged in $rounds large/small-star rounds")
+        // fixpoint edge set is (node → component-min root); roots have no
+        // out-edge. groupBy-min is a no-op safety net (exactly one edge
+        // per non-root at fixpoint) that also dedups defensively.
+        val nodes = pairs.select(col("da").as("doc_id"))
+          .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+        val labels = nodes
+          .join(e.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(min(coalesce(col("root"), col("doc_id"))).as("label"))
         val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-        labels
+        val out = labels
           .join(sizes, "label")
           .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
           .orderBy("doc_id")
+        Catalog.materializeAndRelease(out,
+          (if (prev != null) Seq(prev) else Nil) :+ pairs: _*)
       },
       Some(s"""
         WITH RECURSIVE
@@ -468,7 +494,7 @@ object DedupQueries {
         val tokens = toks
           .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
           .select(col("doc_id"), (col("p") + 1).as("pos"), col("tok"))
-        tokens
+        Catalog.materializeAndRelease(tokens
           .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "pos"), "left")
           .groupBy("doc_id")
           .agg(
@@ -476,7 +502,7 @@ object DedupQueries {
               "collect_list(CASE WHEN cov IS NULL THEN struct(pos, tok) END)), " +
               "x -> x.tok), ' ')").as("clean_text"),
             count(when(col("cov"), 1)).as("n_removed"))
-          .orderBy("doc_id")
+          .orderBy("doc_id"), toks, g5)
       },
       Some(s"""
         WITH toks AS (SELECT doc_id, ${toksDuck("text")} t FROM documents),

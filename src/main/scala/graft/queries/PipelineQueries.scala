@@ -95,26 +95,44 @@ object PipelineQueries {
     QueryDef(
       "q61_keyword_postings",
       (s, d) => {
-        // §4.3 inverted-index retrieval end-to-end: build postings over the
-        // corpus chunks, then answer a keyword query via the term-join leg
-        // (PostingsSpec pins its equivalence with the scan leg).
-        val chunks = IndexBuild.chunkDocs(rawDocs(s, d), Chunkers.forName("recursive"), cfg)
-          .toDF().persist()
-        val postings = graft.search.PostingsIndex.build(chunks)
+        // §4.3 inverted-index retrieval end-to-end, HASH-ORACLED: build
+        // postings with each document as one retrieval unit, then answer
+        // `spark join -error` via the term-join leg — broadcast lookup
+        // join, pushed-down term IN filter, per-group position union, AND
+        // check, negation anti-join — and emit the leg's TF projection
+        // (tf/(tf+1), q21's oracle-able rank form). DuckDB reproduces the
+        // whole thing as filters over the token arrays, so the driver
+        // pins the inverted index end-to-end (r03 left this rows-only).
+        // Chunk-granularity retrieval + cover-density ranking stay pinned
+        // by PostingsSpec's leg-equivalence tests.
+        import graft.queries.Frag.toksSpark
+        val docsC = table(s, d, "documents")
+          .select(col("doc_id").cast("string").as("chunk_id"),
+            col("doc_id").cast("string").as("document_id"),
+            col("lang").as("container_id"),
+            col("text").as("content"),
+            map(lit("source"), col("source")).as("metadata"),
+            expr(toksSpark("text")).as("tokens_simple"),
+            expr(toksSpark("text")).as("tokens_english"))
+        val postings = graft.search.PostingsIndex.build(docsC)
         val parsed = graft.search.WebsearchParser.parse("spark join -error")
-        val out = graft.search.PostingsIndex.leg(postings, chunks, parsed, 20)
-          .select(col("chunk_id"), col("document_id"),
-            round(col("raw_k"), 6).as("rank"))
-          .orderBy(desc("rank"), col("chunk_id"))
-        val rows = out.collect() // materialize before unpersist
-        chunks.unpersist()
-        val spark = s
-        import spark.implicits._
-        rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-          .toSeq.toDF("chunk_id", "document_id", "rank")
+        graft.search.PostingsIndex.leg(postings, docsC, parsed, 1000000)
+          .select(col("chunk_id").cast("long").as("doc_id"),
+            round(col("tf").cast("double") / (col("tf") + 1), 6).as("rank"))
+          .orderBy(desc("rank"), col("doc_id"))
+          .limit(20)
       },
-      None,
-      doc = "inverted-postings keyword retrieval over a built index"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${graft.queries.Frag.toksDuck("text")} toks FROM documents)
+        SELECT doc_id, round(CAST(tf AS DOUBLE) / (tf + 1), 6) AS rank
+        FROM (SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('spark', 'join'))) tf,
+                     len(list_intersect(list_distinct(toks), ['spark', 'join'])) matched,
+                     len(list_filter(toks, x -> x = 'error')) neg
+              FROM t)
+        WHERE matched = 2 AND neg = 0
+        ORDER BY rank DESC, doc_id LIMIT 20"""),
+      doc = "inverted-postings keyword retrieval over a built index (TF projection oracle)"),
 
     QueryDef(
       "q85_quality_classifier",

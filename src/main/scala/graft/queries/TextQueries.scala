@@ -450,7 +450,7 @@ object TextQueries {
         val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
         val vocab = toksDf.select(explode(col("toks")).as("tok"))
           .agg(countDistinct("tok").as("v"))
-        bi
+        Catalog.materializeAndRelease(bi
           .join(cb, Seq("w1", "w2"))
           .join(broadcast(cu), Seq("w1"))
           .crossJoin(broadcast(vocab))
@@ -458,7 +458,7 @@ object TextQueries {
             -log((col("cb") + 1).cast("double") / (col("cu") + col("v")).cast("double")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), round(avg("nlp"), 6).as("avg_nll"))
-          .orderBy("doc_id")
+          .orderBy("doc_id"), toksDf, bi)
       },
       Some(s"""
         WITH toks AS (SELECT doc_id, ${toksDuck("text")} t FROM documents),
@@ -497,14 +497,14 @@ object TextQueries {
         val n = tf.select(countDistinct("source").as("n_sources"))
         val w = Window.partitionBy("source")
           .orderBy(desc("tfidf"), desc("tf"), col("df"), col("term"))
-        tf.join(dfT, "term")
+        Catalog.materializeAndRelease(tf.join(dfT, "term")
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
             round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6) + 0.0)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select("source", "term", "tf", "df", "tfidf", "rank")
-          .orderBy("source", "rank")
+          .orderBy("source", "rank"), tf)
       },
       Some(s"""
         WITH tf AS (SELECT source, term, count(*) tf
@@ -547,7 +547,7 @@ object TextQueries {
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_total"),
           count(lit(1)).as("r_total"),
           countDistinct("tok").as("v"))
-        occ.join(cr, Seq("tok"))
+        Catalog.materializeAndRelease(occ.join(cr, Seq("tok"))
           .join(ct, Seq("tok"), "left")
           .crossJoin(broadcast(totals))
           .withColumn("lr",
@@ -558,7 +558,7 @@ object TextQueries {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tok"),
             (round(avg("lr"), 6) + 0.0).as("dsir_weight"))
-          .orderBy("doc_id")
+          .orderBy("doc_id"), occ)
       },
       Some(s"""
         WITH occ AS (SELECT doc_id, lang, unnest(${toksDuck("text")}) tok FROM documents),
@@ -576,7 +576,7 @@ object TextQueries {
     QueryDef(
       "q84_heavy_hitters",
       (s, d) => {
-        // Heavy hitters (terms with > 3% of all occurrences) via the
+        // Heavy hitters (terms with >= 3% of all occurrences) via the
         // two-pass sketch plan: per-partition Misra–Gries summaries
         // (capacity 64 — O(k) memory per task, never a vocab-sized map),
         // union the survivors (a superset of every true heavy hitter —
@@ -607,6 +607,64 @@ object TextQueries {
              c AS (SELECT term, count(*) c FROM t GROUP BY 1)
         SELECT term, c FROM c CROSS JOIN n
         WHERE c * 100 >= n * 3 ORDER BY c DESC, term"""),
-      doc = "heavy hitters: Misra-Gries candidates + exact recount (two-pass sketch plan)")
+      doc = "heavy hitters: Misra-Gries candidates + exact recount (two-pass sketch plan)"),
+
+    QueryDef(
+      "q87_quality_features",
+      (s, d) => {
+        // The feature frame q85's classifier consumes, HASH-ORACLED: the
+        // deterministic token-shuffle twins (cross-engine polynomial sort
+        // key — see QualityClassifier.shuffledNegatives) and the bigram-LM
+        // avg negative log-likelihood per (doc, variant), LM trained on
+        // the originals. The LBFGS fit itself stays rows-only in q85 (not
+        // SQL-expressible), but with this query every input the model
+        // sees is pinned bit-for-bit by DuckDB — r03's advice: "emit the
+        // feature column so it is hash-checked even when the model isn't".
+        // Shapes identical to q77 (keyed bigram shuffles, vocab-bounded
+        // count tables, token-keyed scoring join) plus the shuffle twin's
+        // narrow per-doc sort.
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        val orig = graft.text.QualityClassifier.tokenized(docs)
+          .select("doc_id", "toks").withColumn("variant", lit("orig"))
+        val both = orig.unionByName(
+          graft.text.QualityClassifier.shuffledNegatives(orig)
+            .withColumn("variant", lit("shuffled")))
+        val nll = graft.text.QualityClassifier.bigramNll(
+          orig, both, Seq("doc_id", "variant"))
+        both.select(col("doc_id"), col("variant"),
+            (size(col("toks")) - 1).cast("long").as("n_bigrams"))
+          .join(nll, Seq("doc_id", "variant"))
+          .select(col("doc_id"), col("variant"), col("n_bigrams"),
+            (round(col("avg_nll"), 6) + 0.0).as("avg_nll"))
+          .orderBy("doc_id", "variant")
+      },
+      Some(s"""
+        WITH t0 AS (SELECT doc_id, ${toksDuck("text")} toks FROM documents
+                    WHERE len(${toksDuck("text")}) >= 2),
+             pos AS (SELECT doc_id, i, toks[i] t
+                     FROM t0, unnest(range(1, len(toks) + 1)) AS u(i)),
+             keyed0 AS (SELECT doc_id, i, t,
+                               (${polyDuck("t")} * 31 + (i - 1)) % $P k FROM pos),
+             keyed AS (SELECT doc_id, i, t, ${mixDuck("k")} h FROM keyed0),
+             shuf AS (SELECT doc_id, list(t ORDER BY h, t, i) toks
+                      FROM keyed GROUP BY doc_id),
+             both_v AS (SELECT doc_id, 'orig' variant, toks FROM t0
+                        UNION ALL
+                        SELECT doc_id, 'shuffled' variant, toks FROM shuf),
+             bi_tr AS (SELECT toks[i] w1, toks[i + 1] w2
+                       FROM t0, unnest(range(1, len(toks))) AS u(i)),
+             cb AS (SELECT w1, w2, count(*) cb FROM bi_tr GROUP BY 1, 2),
+             cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) cu FROM cb GROUP BY 1),
+             vocab AS (SELECT count(DISTINCT toks[i]) v
+                       FROM t0, unnest(range(1, len(toks) + 1)) AS u(i)),
+             bi_sc AS (SELECT doc_id, variant, toks[i] w1, toks[i + 1] w2
+                       FROM both_v, unnest(range(1, len(toks))) AS u(i))
+        SELECT doc_id, variant, count(*) AS n_bigrams,
+               round(avg(-ln((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + v))), 6) + 0.0
+                 AS avg_nll
+        FROM bi_sc LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN vocab
+        GROUP BY doc_id, variant
+        ORDER BY doc_id, variant"""),
+      doc = "q85's LM feature frame hash-oracled: shuffle twins + bigram avg-NLL per variant")
   )
 }

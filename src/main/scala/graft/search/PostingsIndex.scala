@@ -159,7 +159,13 @@ object PostingsIndex {
     }
     filtered
       .withColumn("raw_k", rankUdf(col("groups")))
-      .select("chunk_id", "raw_k")
+      // tf: total matched positions across groups (positions are distinct
+      // per group and terms are distinct tokens, so this equals the scan
+      // leg's plain term-frequency count) — the oracle-checkable
+      // projection of the rank (q21's discipline; q61 pins it)
+      .withColumn("tf",
+        expr("aggregate(transform(groups, g -> size(g.pos)), 0, (a, s) -> a + s)"))
+      .select("chunk_id", "raw_k", "tf")
       .orderBy(desc("raw_k"), col("chunk_id"))
       .limit(k)
       .join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))

@@ -33,11 +33,24 @@ object QualityClassifier {
   /** Deterministic token-shuffle twin of a tokenized frame: each doc's
     * tokens reordered by a per-position hash. Unigram counts (and thus all
     * bag-of-words features) are preserved; only sequence structure dies.
+    * The sort key is the CROSS-ENGINE polynomial hash (same fold as
+    * graft.queries.Frag.polySpark — exact BIGINT arithmetic both engines
+    * evaluate identically, not xxhash64) of (token, position), pushed
+    * through the avalanche round (Frag.mixSpark's quadratic): the raw
+    * poly key is affine in the position, which would leave a token's
+    * occurrences CONSECUTIVE after the sort — tokens grouped, not
+    * shuffled (measured: AUC fell 0.92 -> 0.64). (token, position)
+    * tie-breaks keep the order total, so a SQL oracle reproduces the
+    * shuffle bit-for-bit (q87 pins it).
     */
   def shuffledNegatives(tokenized: DataFrame): DataFrame =
     tokenized.withColumn("toks",
-      expr("transform(array_sort(transform(toks, (t, i) -> " +
-        "struct(xxhash64(t, CAST(i AS LONG)) AS h, t AS t))), x -> x.t)"))
+      expr("transform(array_sort(transform(transform(toks, (t, i) -> struct(" +
+        "(aggregate(sequence(1, length(t)), 7L, " +
+        "(acc, c) -> (acc * 31 + ascii(substring(t, c, 1))) % 1000000007L) " +
+        "* 31 + i) % 1000000007L AS k, t AS t, i AS i)), " +
+        "s -> struct((s.k * s.k + 7919L * s.k + 104729L) % 1000000007L AS h, " +
+        "s.t AS t, s.i AS i))), x -> x.t)"))
 
   /** Per-doc avg bigram negative log-likelihood of `score` rows under a
     * Laplace LM trained on `train` rows (both tokenized frames keyed by
@@ -50,9 +63,13 @@ object QualityClassifier {
         "transform(sequence(1, size(toks) - 1), i -> struct(" +
           "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"): _*)
       .select(keyCols.map(col) :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
-    val biTrain = bigrams(train).persist()
+    // cu is a RE-AGGREGATION of cb (count of (w1,·) = Σ_w2 cb), so the
+    // corpus-wide bigram explode is scanned exactly once and nothing needs
+    // persisting — cheaper at scale than a second corpus shuffle, and no
+    // cached blocks leak to library callers (r03 hygiene pass)
+    val biTrain = bigrams(train)
     val cb = biTrain.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = biTrain.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
     val vocab = train.select(explode(col("toks")).as("tok"))
       .agg(countDistinct("tok").as("v"))
     val out = bigrams(score)
@@ -81,13 +98,17 @@ object QualityClassifier {
       .fit(featurized)
 
   /** Scores an assembled frame: adds `quality_prob` (P(label=1)) and
-    * `keep` (threshold at 0.5).
+    * `keep` (threshold at 0.5). The gate thresholds the probability
+    * ROUNDED to 3 dp — the same quantization the battery emits — so a
+    * document sitting within float noise of 0.5 cannot flip its gate
+    * across reruns/partition layouts while its emitted probability stays
+    * identical (r03 advice).
     */
   def score(featurized: DataFrame, model: LogisticRegressionModel): DataFrame = {
     val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     model.transform(featurized)
       .withColumn("quality_prob", p1(col("probability")))
-      .withColumn("keep", (col("prediction") === 1.0).cast("int"))
+      .withColumn("keep", (round(col("quality_prob"), 3) > 0.5).cast("int"))
       .drop("rawPrediction", "probability", "prediction", "features")
   }
 
@@ -109,6 +130,11 @@ object QualityClassifier {
         .withColumn("log_len", log(size(col("toks")).cast("double") + 1.0)),
       Seq("avg_nll", "log_len"))
     val model = fit(feats)
-    score(feats, model).drop("toks")
+    // materialize the (small, per-doc) scores, then release the cached
+    // intermediates — callers composing this operator inherit no blocks
+    val out = score(feats, model).drop("toks").localCheckpoint(true)
+    both.unpersist(false)
+    orig.unpersist(false)
+    out
   }
 }

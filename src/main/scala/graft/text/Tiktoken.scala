@@ -1,0 +1,143 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+/** tiktoken-compatible byte-level BPE (ref TiktokenTokenCounter.cs:10-30 —
+  * the reference counts chunk budgets with the frozen cl100k_base
+  * encoding). Everything here is the PUBLIC tiktoken design: the
+  * `.tiktoken` vocab file format (base64 token + space + rank per line),
+  * the cl100k_base pre-tokenizer regex, and the greedy lowest-rank
+  * byte-pair merge. The cl100k vocab FILE itself is ~1.6 MB of trained
+  * data that cannot be vendored here (no network egress in this
+  * environment and it is not derivable); the loader accepts the standard
+  * file wherever a deployment provides one (`GRAFT_TIKTOKEN_VOCAB`), and
+  * the unit tests pin loader + merge + pretokenizer behavior on a
+  * synthetic vocab in the same format.
+  *
+  * Byte-level: token keys are raw byte strings (ISO-8859-1 maps bytes
+  * 1:1 onto chars, so a String is a cheap immutable byte-key). With a
+  * complete vocab every single byte has a rank, so encoding is total;
+  * with a partial (synthetic) vocab, unknown single bytes count as one
+  * token each.
+  */
+object Tiktoken {
+
+  /** cl100k_base pre-tokenizer (public, from the tiktoken registry).
+    * Java regex supports the possessive quantifiers and lookarounds
+    * as-is.
+    */
+  val Cl100kPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    """'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+""")
+
+  final case class Encoding(ranks: Map[String, Int]) extends Serializable {
+    /** Count of BPE tokens for a text. */
+    def countTokens(text: String): Int = {
+      val m = Cl100kPattern.matcher(text)
+      var n = 0
+      while (m.find()) n += encodePiece(m.group(), this).length
+      n
+    }
+
+    /** Token ids for a text (no special-token handling — specials are a
+      * serving-layer concern; budgets count plain text). */
+    def encode(text: String): Vector[Int] = {
+      val m = Cl100kPattern.matcher(text)
+      val out = Vector.newBuilder[Int]
+      while (m.find()) out ++= encodePiece(m.group(), this)
+      out.result()
+    }
+  }
+
+  /** Parse the standard `.tiktoken` vocab format: one `<base64> <rank>`
+    * pair per line, blank lines ignored. */
+  def parseVocab(lines: Iterator[String]): Encoding = {
+    val b = Map.newBuilder[String, Int]
+    lines.foreach { line =>
+      val t = line.trim
+      if (t.nonEmpty) {
+        val sp = t.indexOf(' ')
+        require(sp > 0, s"malformed .tiktoken line: $t")
+        val bytes = Base64.getDecoder.decode(t.substring(0, sp))
+        b += new String(bytes, StandardCharsets.ISO_8859_1) -> t.substring(sp + 1).toInt
+      }
+    }
+    Encoding(b.result())
+  }
+
+  def loadVocab(path: String): Encoding = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseVocab(src.getLines()) finally src.close()
+  }
+
+  /** Greedy tiktoken merge over one pre-tokenized piece: repeatedly fuse
+    * the adjacent part pair whose concatenated bytes carry the LOWEST
+    * rank (leftmost on ties) until no adjacent concatenation is ranked.
+    * Pieces are pretokenizer-bounded (words, digit triples, punct runs),
+    * so the quadratic scan stays tiny.
+    */
+  private[text] def encodePiece(piece: String, enc: Encoding): Vector[Int] = {
+    val bytes = new String(
+      piece.getBytes(StandardCharsets.UTF_8), StandardCharsets.ISO_8859_1)
+    enc.ranks.get(bytes) match {
+      case Some(r) => return Vector(r)
+      case None =>
+    }
+    var parts = bytes.map(_.toString).toVector
+    var done = parts.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < parts.length - 1) {
+        enc.ranks.get(parts(i) + parts(i + 1)).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+        }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        parts = (parts.take(bestIdx) :+ (parts(bestIdx) + parts(bestIdx + 1))) ++
+          parts.drop(bestIdx + 2)
+        if (parts.length < 2) done = true
+      }
+    }
+    // unknown single bytes (partial vocabs only) count as one token: rank -1
+    parts.map(p => enc.ranks.getOrElse(p, -1))
+  }
+}
+
+/** TokenCounter over a tiktoken encoding — the cl100k drop-in for chunk
+  * budgets when a deployment supplies the vocab file. */
+final class TiktokenTokenCounter(enc: Tiktoken.Encoding) extends TokenCounter {
+
+  override def count(text: String): Int = enc.countTokens(text)
+
+  /** Char index whose prefix holds ~n tokens: walk pretokenizer pieces,
+    * spending each piece's token count at its end (same contract as
+    * BpeTokenCounter — budget granularity is the piece). */
+  override def charIndexAtTokenCount(text: String, n: Int): Int = {
+    if (n <= 0) return 0
+    var seen = 0
+    val m = Tiktoken.Cl100kPattern.matcher(text)
+    while (m.find()) {
+      seen += Tiktoken.encodePiece(m.group(), enc).length
+      if (seen >= n) return m.end()
+    }
+    text.length
+  }
+}
+
+/** Session default for chunk budgets: cl100k when the standard vocab file
+  * is supplied (`GRAFT_TIKTOKEN_VOCAB=/path/to/cl100k_base.tiktoken`),
+  * the deterministic regex model otherwise — golden chunker fixtures pin
+  * the regex model, real deployments get reference-parity counts.
+  */
+object TokenCounters {
+  lazy val default: TokenCounter =
+    sys.env.get("GRAFT_TIKTOKEN_VOCAB") match {
+      case Some(path) if new java.io.File(path).isFile =>
+        new TiktokenTokenCounter(Tiktoken.loadVocab(path))
+      case _ => RegexTokenCounter
+    }
+}

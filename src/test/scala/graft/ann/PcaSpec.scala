@@ -79,6 +79,24 @@ class PcaSpec extends AnyFunSuite {
     assert(vars.zip(vars.tail).forall { case (a, b) => a >= b - 1e-12 }, vars.toString)
   }
 
+  test("relational covariance (q86) equals RowMatrix's Gramian covariance") {
+    // q86 re-expresses the production treeAggregate as oracle-checkable
+    // relational aggregates; the two must be the same matrix
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val mat = new RowMatrix(embeddings.select("v").rdd
+      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray)))
+    val cov = mat.computeCovariance()
+    val rel = graft.queries.Catalog.queries("q86_pca_covariance")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rel.length == dims * (dims + 1) / 2)
+    rel.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      assert(math.abs(cov(i - 1, j - 1) - c) < 6e-7, // 6-dp rounding + fp noise
+        s"cov($i,$j): relational $c vs RowMatrix ${cov(i - 1, j - 1)}")
+    }
+  }
+
   test("fit is deterministic (sign convention pins the eigenvector ambiguity)") {
     val a = Pca.fit(embeddings, "v", k = 8)
     val b = Pca.fit(embeddings, "v", k = 8)

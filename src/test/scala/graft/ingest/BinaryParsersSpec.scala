@@ -75,6 +75,99 @@ object OoxmlFixtures {
 
   /** A real one-page PDF: catalog/pages/page objects, Helvetica font, a
     * zlib-FlateDecode content stream, Info dict, correct xref offsets. */
+  /** A one-page PDF whose content stream carries the given pre-encoded
+    * bytes and /Filter entry — fixture for the non-Flate filter paths. */
+  def pdfBytesFiltered(encoded: Array[Byte], filterSpec: String,
+      parms: String = ""): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${encoded.length} /Filter $filterSpec$parms >> stream\n")
+    out.write(encoded)
+    w("\nendstream endobj\ntrailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    val out = new ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Spec ASCII85 encoder (groups of 4 bytes -> 5 chars, z for zero
+    * groups, partial group emits n+1 chars, ~> EOD). */
+  def a85Encode(bytes: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(4, bytes.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < n) bytes(i + k) & 0xffL else 0L); k += 1 }
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** PDF-variant LZW encoder (9->12-bit codes, clear/EOD, early change) —
+    * round-trip fixture for the decoder. */
+  def lzwEncode(bytes: Array[Byte], early: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    val table = scala.collection.mutable.HashMap[collection.immutable.ArraySeq[Byte], Int]()
+    def reset(): Unit = {
+      table.clear()
+      (0 until 256).foreach(b => table(collection.immutable.ArraySeq(b.toByte)) = b)
+    }
+    reset()
+    var nextCode = 258
+    emit(256) // spec: writers begin with a clear code
+    var cur = Vector.empty[Byte]
+    bytes.foreach { b =>
+      val ext = cur :+ b
+      if (table.contains(collection.immutable.ArraySeq(ext: _*))) cur = ext
+      else {
+        emit(table(collection.immutable.ArraySeq(cur: _*)))
+        table(collection.immutable.ArraySeq(ext: _*)) = nextCode
+        nextCode += 1
+        // decoder's table lags the encoder by one entry (it learns each
+        // sequence one code later), so the width bump keys on nextCode-1
+        if (nextCode - 1 + early >= (1 << width) && width < 12) width += 1
+        if (nextCode == 4096) { emit(256); reset(); nextCode = 258; width = 9 }
+        cur = Vector(b)
+      }
+    }
+    if (cur.nonEmpty) emit(table(collection.immutable.ArraySeq(cur: _*)))
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   def pdfBytes(contentStream: String): Array[Byte] = {
     val deflated = {
       val d = new Deflater()
@@ -184,6 +277,73 @@ class BinaryParsersSpec extends AnyFunSuite {
     val p = PdfParser.parse("doc.pdf", pdfBytes(content))
     assert(p.content.contains("Kerned array"))
     assert(p.content.contains("Hex!"))
+  }
+
+  test("pdf: ASCIIHexDecode content stream extracts (S6)") {
+    val content = "BT (Hex filtered text) Tj ET"
+    val hex = content.getBytes(StandardCharsets.ISO_8859_1)
+      .map(b => f"${b & 0xff}%02X").mkString(" ") + ">"
+    val p = PdfParser.parse("hex.pdf",
+      pdfBytesFiltered(hex.getBytes(StandardCharsets.ISO_8859_1), "/ASCIIHexDecode"))
+    assert(p.content.contains("Hex filtered text"))
+  }
+
+  test("pdf: ASCII85Decode content stream extracts (S6)") {
+    val content = "BT (Base eighty five works) Tj T* (second line) Tj ET"
+    val p = PdfParser.parse("a85.pdf",
+      pdfBytesFiltered(a85Encode(content.getBytes(StandardCharsets.ISO_8859_1)),
+        "/ASCII85Decode"))
+    assert(p.content.contains("Base eighty five works"))
+    assert(p.content.contains("second line"))
+  }
+
+  test("pdf: ASCII85 z-group and partial final group round-trip") {
+    // zeros exercise the z shorthand; length 6 exercises a 2-char tail
+    val data = Array[Byte](0, 0, 0, 0, 65, 66) ++ "BT (ok) Tj ET".getBytes("ISO-8859-1")
+    val p = PdfParser.parse("a85z.pdf", pdfBytesFiltered(a85Encode(data), "/ASCII85Decode"))
+    assert(p.content.contains("ok"))
+  }
+
+  test("pdf: LZWDecode content stream extracts (S6)") {
+    // repetition forces multi-char table entries; length > 300 crosses no
+    // width boundary but exercises KwKwK-adjacent growth
+    val content = "BT " + (1 to 40).map(i => s"(lzw token $i) Tj T* ").mkString + "ET"
+    val p = PdfParser.parse("lzw.pdf",
+      pdfBytesFiltered(lzwEncode(content.getBytes(StandardCharsets.ISO_8859_1)),
+        "/LZWDecode"))
+    assert(p.content.contains("lzw token 1"))
+    assert(p.content.contains("lzw token 40"))
+  }
+
+  test("pdf: LZW 10-bit code widths and EarlyChange=0 decode") {
+    // > 253 distinct two-byte extensions pushes nextCode past 511, so the
+    // encoder/decoder must agree on the width bump — with AND without
+    // early change
+    val body = (0 until 400).map(i => ((i * 131) % 251).toChar)
+      .filter(c => c != '(' && c != ')' && c != '\\').mkString
+    val bytes = s"BT ($body) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val p1 = PdfParser.parse("lzw10.pdf", pdfBytesFiltered(lzwEncode(bytes, 1), "/LZWDecode"))
+    assert(p1.content.nonEmpty, "early-change stream should decode")
+    val p0 = PdfParser.parse("lzw10e0.pdf",
+      pdfBytesFiltered(lzwEncode(bytes, 0), "/LZWDecode",
+        " /DecodeParms << /EarlyChange 0 >>"))
+    assert(p0.content.nonEmpty, "EarlyChange=0 stream should decode")
+    assert(p1.content == p0.content)
+  }
+
+  test("pdf: filter ARRAY [/ASCII85Decode /FlateDecode] applies in sequence") {
+    val content = "BT (mail-safe wrapped deflate) Tj ET"
+    val wrapped = a85Encode(deflate(content.getBytes(StandardCharsets.ISO_8859_1)))
+    val p = PdfParser.parse("chain.pdf",
+      pdfBytesFiltered(wrapped, "[/ASCII85Decode /FlateDecode]"))
+    assert(p.content.contains("mail-safe wrapped deflate"))
+  }
+
+  test("pdf: image-codec filters are skipped, not garbled") {
+    val p = PdfParser.parse("img.pdf",
+      pdfBytesFiltered("BT (not really jpeg) Tj ET".getBytes("ISO-8859-1"), "/DCTDecode"))
+    assert(!p.content.contains("not really jpeg"))
+    assert(p.warnings.exists(_.contains("no extractable text")))
   }
 
   test("pdf: image-only page warns; garbage never throws") {

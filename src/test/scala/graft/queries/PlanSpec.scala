@@ -12,8 +12,13 @@ class PlanSpec extends AnyFunSuite {
   import TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    Catalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    // inspect the REAL plan, not the post-materialization ExistingRDD scan
+    // (see Catalog.materializeAndRelease)
+    spark.conf.set("graft.plan.inspect", "true")
+    try Catalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set("graft.plan.inspect", "false")
+  }
 
   test("filters push into the parquet scan with pruned columns (q03)") {
     val p = plan("q03_filter_project")

@@ -74,7 +74,11 @@ class QualityClassifierSpec extends AnyFunSuite {
     rows.foreach { r =>
       val p = r.getDouble(0)
       assert(p >= 0.0 && p <= 1.0)
-      assert(r.getInt(1) == (if (p > 0.5) 1 else 0) || math.abs(p - 0.5) < 1e-9)
+      // the gate thresholds the 3-dp-ROUNDED probability (layout-stable
+      // contract): keep == 1 iff round(p, 3) > 0.5
+      val rounded = math.round(p * 1000.0) / 1000.0
+      assert(r.getInt(1) == (if (rounded > 0.5) 1 else 0),
+        s"p=$p rounded=$rounded keep=${r.getInt(1)}")
     }
   }
 

@@ -1,0 +1,97 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the tiktoken-compatible machinery on a synthetic vocab in the
+  * standard `.tiktoken` format: file parsing, the greedy lowest-rank
+  * byte-pair merge, the cl100k pre-tokenizer regex (public pattern), and
+  * the TokenCounter contract. The real cl100k_base file is trained data
+  * this environment cannot fetch; any deployment that supplies it gets
+  * reference-parity counts through exactly these code paths.
+  */
+class TiktokenSpec extends AnyFunSuite {
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.ISO_8859_1))
+
+  /** Synthetic vocab: single bytes then merges, tiktoken file format. */
+  private val vocabLines: Seq[String] = Seq(
+    "h" -> 0, "e" -> 1, "l" -> 2, "o" -> 3, " " -> 4, "w" -> 5, "r" -> 6,
+    "d" -> 7, "he" -> 8, "ll" -> 9, "llo" -> 10, " w" -> 11, "or" -> 12,
+    "ld" -> 13, " wor" -> 14, " world" -> 15
+  ).map { case (tok, rank) => s"${b64(tok)} $rank" }
+
+  private val enc = Tiktoken.parseVocab(vocabLines.iterator)
+
+  private def pieces(text: String): Vector[String] = {
+    val m = Tiktoken.Cl100kPattern.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  test(".tiktoken format parses base64 tokens and ranks") {
+    assert(enc.ranks("h") == 0)
+    assert(enc.ranks(" world") == 15)
+    assert(enc.ranks.size == 16)
+  }
+
+  test("greedy merge follows rank order, not left-to-right") {
+    // "hello": he(8) before ll(9) before llo(10) -> [he, llo]
+    assert(enc.encode("hello") == Vector(8, 10))
+    // " world" is a full-piece hit -> single token
+    assert(enc.encode("hello world") == Vector(8, 10, 15))
+  }
+
+  test("unknown single bytes (partial vocab) count one token each") {
+    // 'z' has no rank in the synthetic vocab
+    assert(enc.encode("zz").length == 2)
+    assert(enc.countTokens("zz hello") == 2 + 1 + 2) // z z, ' hello'->[ ,he,llo]
+  }
+
+  test("cl100k pretokenizer: words, leading spaces, contractions") {
+    assert(pieces("Hello world") == Vector("Hello", " world"))
+    assert(pieces("don't stop") == Vector("don", "'t", " stop"))
+    assert(pieces("I'LL go") == Vector("I", "'LL", " go")) // (?i:...) on contractions
+  }
+
+  test("cl100k pretokenizer: digit triples, punctuation runs, newlines") {
+    assert(pieces("1234567") == Vector("123", "456", "7"))
+    assert(pieces("wait!!!") == Vector("wait", "!!!"))
+    assert(pieces("x\n\ny") == Vector("x", "\n\n", "y"))
+    assert(pieces("foo  bar") == Vector("foo", " ", " bar")) // \s+(?!\S) keeps one space for the word
+  }
+
+  test("multibyte UTF-8 letters stay in one piece and merge at byte level") {
+    assert(pieces("café ok") == Vector("café", " ok"))
+    // é = 2 UTF-8 bytes, none ranked -> c,a,f + 2 unknown bytes = 5 tokens
+    assert(enc.countTokens("café") == 5)
+  }
+
+  test("TiktokenTokenCounter honors the TokenCounter budget contract") {
+    val c = new TiktokenTokenCounter(enc)
+    assert(c.count("hello world") == 3)
+    assert(c.charIndexAtTokenCount("hello world", 0) == 0)
+    // 2 tokens are spent at the end of "hello" (index 5)
+    assert(c.charIndexAtTokenCount("hello world", 2) == 5)
+    // the 3rd token completes at the end of " world"
+    assert(c.charIndexAtTokenCount("hello world", 3) == "hello world".length)
+    assert(c.charIndexAtTokenCount("hello world", 99) == "hello world".length)
+  }
+
+  test("TokenCounters.default is the regex model when no vocab file is supplied") {
+    assert(TokenCounters.default == RegexTokenCounter)
+  }
+
+  test("loadVocab reads the standard file format from disk") {
+    val f = java.nio.file.Files.createTempFile("vocab", ".tiktoken")
+    java.nio.file.Files.write(f, vocabLines.mkString("\n").getBytes("UTF-8"))
+    val loaded = Tiktoken.loadVocab(f.toString)
+    assert(loaded.ranks == enc.ranks)
+    val counter = new TiktokenTokenCounter(loaded)
+    assert(counter.count("hello world") == 3)
+    java.nio.file.Files.delete(f)
+  }
+}
