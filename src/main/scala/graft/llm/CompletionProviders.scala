@@ -1,0 +1,309 @@
+package graft.llm
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.embed.HttpTransport
+
+/** LLM completion providers (ref §2.10 E3: ILlmProvider.cs:7-31 and the
+  * four implementations under Connapse.Storage/Llm/ — Ollama/OpenAI/
+  * AzureOpenAI/Anthropic). Same architecture as the embedding layer
+  * (embed/Providers): the provider-specific semantics — request shape,
+  * response parse, streaming-chunk extraction — are real and pinned by
+  * offline tests; the transport is injected (zero-egress container; tests
+  * double it with canned JSON). All wire shapes are the services' PUBLIC
+  * REST APIs.
+  *
+  * Streaming mirrors ILlmProvider.StreamAsync as a pure function over the
+  * response's line protocol: `streamChunks(lines)` maps each provider's
+  * framing (Ollama JSONL, OpenAI/Azure SSE `data:` events, Anthropic SSE
+  * `content_block_delta` events) to the text deltas — transport-agnostic
+  * and testable without sockets.
+  */
+final case class CompletionOptions(
+    temperature: Option[Double] = None,
+    maxTokens: Option[Int] = None)
+
+trait CompletionProvider extends Serializable {
+  def provider: String
+  def modelId: String
+
+  /** Non-streaming completion: full response text (ref CompleteAsync). */
+  def complete(systemPrompt: String, userPrompt: String,
+      options: CompletionOptions = CompletionOptions()): String
+
+  /** Text delta carried by one line of the provider's streaming protocol,
+    * if any (framing lines, keep-alives and stop events yield None). */
+  def streamChunk(line: String): Option[String]
+
+  /** Streaming completion over a response line iterator (ref StreamAsync
+    * yields tokens as they arrive). */
+  final def streamChunks(lines: Iterator[String]): Iterator[String] =
+    lines.flatMap(streamChunk)
+}
+
+/** Ollama `/api/chat` (ref OllamaLlmProvider.cs): request
+  * `{"model", "messages": [{role, content}...], "stream", "options":
+  * {"temperature", "num_predict"}}`; response `{"message": {"content"}}`;
+  * streaming is JSON-lines of the same shape with `"done"` on the last.
+  */
+final class OllamaCompleter(
+    baseUrl: String,
+    model: String,
+    transport: HttpTransport,
+    defaults: CompletionOptions = CompletionOptions())
+  extends CompletionProvider {
+  override val provider = "Ollama"
+  override val modelId: String = model
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[llm] def buildRequest(system: String, user: String,
+      opts: CompletionOptions, stream: Boolean): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val msgs = root.putArray("messages")
+    if (system.nonEmpty) {
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", system)
+    }
+    val u = msgs.addObject(); u.put("role", "user"); u.put("content", user)
+    root.put("stream", stream)
+    val o = root.putObject("options")
+    opts.temperature.orElse(defaults.temperature).foreach(o.put("temperature", _))
+    opts.maxTokens.orElse(defaults.maxTokens).foreach(o.put("num_predict", _))
+    mapper.writeValueAsString(root)
+  }
+
+  override def complete(system: String, user: String,
+      opts: CompletionOptions): String = {
+    val json = transport.post(s"$baseUrl/api/chat",
+      buildRequest(system, user, opts, stream = false))
+    val msg = mapper.readTree(json).path("message").path("content")
+    require(!msg.isMissingNode && !msg.isNull,
+      s"Ollama returned empty response: ${json.take(200)}") // ref :54
+    msg.asText()
+  }
+
+  override def streamChunk(line: String): Option[String] = {
+    val t = line.trim
+    if (t.isEmpty) None
+    else {
+      val n = mapper.readTree(t)
+      val c = n.path("message").path("content").asText("")
+      if (c.nonEmpty && !n.path("done").asBoolean(false)) Some(c)
+      else if (c.nonEmpty) Some(c)
+      else None
+    }
+  }
+}
+
+/** OpenAI `/v1/chat/completions` (ref OpenAiLlmProvider.cs, public REST
+  * shape of the SDK it wraps): request `{"model", "messages",
+  * "temperature", "max_tokens"}` with `Authorization: Bearer`; response
+  * `{"choices": [{"message": {"content"}}]}`; streaming is SSE `data:`
+  * events carrying `{"choices": [{"delta": {"content"}}]}` with a final
+  * `data: [DONE]`.
+  */
+final class OpenAiCompleter(
+    baseUrl: String,
+    model: String,
+    apiKey: String,
+    transport: HttpTransport,
+    defaults: CompletionOptions = CompletionOptions())
+  extends CompletionProvider {
+  override val provider = "OpenAI"
+  override val modelId: String = model
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[llm] def buildRequest(system: String, user: String,
+      opts: CompletionOptions, stream: Boolean): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val msgs = root.putArray("messages")
+    if (system.nonEmpty) {
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", system)
+    }
+    val u = msgs.addObject(); u.put("role", "user"); u.put("content", user)
+    opts.temperature.orElse(defaults.temperature).foreach(root.put("temperature", _))
+    opts.maxTokens.orElse(defaults.maxTokens).foreach(root.put("max_tokens", _))
+    if (stream) root.put("stream", true)
+    mapper.writeValueAsString(root)
+  }
+
+  override def complete(system: String, user: String,
+      opts: CompletionOptions): String = {
+    val json = transport.post(s"$baseUrl/v1/chat/completions",
+      buildRequest(system, user, opts, stream = false),
+      Map("Authorization" -> s"Bearer $apiKey"))
+    val choices = mapper.readTree(json).path("choices")
+    require(choices.isArray && choices.size > 0,
+      s"malformed chat response: ${json.take(200)}")
+    choices.get(0).path("message").path("content").asText()
+  }
+
+  override def streamChunk(line: String): Option[String] = CompletionProviders.sseDelta(mapper, line)
+}
+
+/** Azure OpenAI chat (ref AzureOpenAiLlmProvider.cs; public REST shape):
+  * POST `{endpoint}/openai/deployments/{deployment}/chat/completions
+  * ?api-version=...` with an `api-key` header; body/response are the
+  * OpenAI shapes minus the model field (the deployment IS the model).
+  */
+final class AzureOpenAiCompleter(
+    endpoint: String,
+    deployment: String,
+    apiKey: String,
+    transport: HttpTransport,
+    apiVersion: String = "2024-06-01",
+    defaults: CompletionOptions = CompletionOptions())
+  extends CompletionProvider {
+  override val provider = "AzureOpenAI"
+  override val modelId: String = deployment
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[llm] def buildRequest(system: String, user: String,
+      opts: CompletionOptions): String = {
+    val root = mapper.createObjectNode()
+    val msgs = root.putArray("messages")
+    if (system.nonEmpty) {
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", system)
+    }
+    val u = msgs.addObject(); u.put("role", "user"); u.put("content", user)
+    opts.temperature.orElse(defaults.temperature).foreach(root.put("temperature", _))
+    opts.maxTokens.orElse(defaults.maxTokens).foreach(root.put("max_tokens", _))
+    mapper.writeValueAsString(root)
+  }
+
+  override def complete(system: String, user: String,
+      opts: CompletionOptions): String = {
+    val json = transport.post(
+      s"$endpoint/openai/deployments/$deployment/chat/completions?api-version=$apiVersion",
+      buildRequest(system, user, opts),
+      Map("api-key" -> apiKey))
+    val choices = mapper.readTree(json).path("choices")
+    require(choices.isArray && choices.size > 0,
+      s"malformed chat response: ${json.take(200)}")
+    choices.get(0).path("message").path("content").asText()
+  }
+
+  override def streamChunk(line: String): Option[String] = CompletionProviders.sseDelta(mapper, line)
+}
+
+/** Anthropic `/v1/messages` (ref AnthropicLlmProvider.cs; public REST
+  * shape): request `{"model", "max_tokens", "system", "messages":
+  * [{"role": "user", "content"}], "temperature"}` with `x-api-key` +
+  * `anthropic-version` headers; response `{"content": [{"type": "text",
+  * "text"}]}`; streaming is SSE whose `content_block_delta` events carry
+  * `{"delta": {"type": "text_delta", "text"}}`.
+  */
+final class AnthropicCompleter(
+    baseUrl: String,
+    model: String,
+    apiKey: String,
+    transport: HttpTransport,
+    defaults: CompletionOptions = CompletionOptions(maxTokens = Some(1024)))
+  extends CompletionProvider {
+  override val provider = "Anthropic"
+  override val modelId: String = model
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[llm] def buildRequest(system: String, user: String,
+      opts: CompletionOptions): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    // max_tokens is REQUIRED by the API — always present, defaulted
+    root.put("max_tokens",
+      opts.maxTokens.orElse(defaults.maxTokens).getOrElse(1024))
+    if (system.nonEmpty) root.put("system", system)
+    val msgs = root.putArray("messages")
+    val u = msgs.addObject(); u.put("role", "user"); u.put("content", user)
+    opts.temperature.orElse(defaults.temperature).foreach(root.put("temperature", _))
+    mapper.writeValueAsString(root)
+  }
+
+  override def complete(system: String, user: String,
+      opts: CompletionOptions): String = {
+    val json = transport.post(s"$baseUrl/v1/messages",
+      buildRequest(system, user, opts),
+      Map("x-api-key" -> apiKey, "anthropic-version" -> "2023-06-01"))
+    val content = mapper.readTree(json).path("content")
+    require(content.isArray && content.size > 0,
+      s"malformed messages response: ${json.take(200)}")
+    (0 until content.size).iterator
+      .map(content.get)
+      .filter(_.path("type").asText() == "text")
+      .map(_.path("text").asText())
+      .mkString
+  }
+
+  override def streamChunk(line: String): Option[String] = {
+    CompletionProviders.ssePayload(line).flatMap { payload =>
+      val n = mapper.readTree(payload)
+      if (n.path("type").asText() == "content_block_delta") {
+        val d = n.path("delta")
+        if (d.path("type").asText() == "text_delta") Some(d.path("text").asText())
+        else None
+      } else None
+    }
+  }
+}
+
+object CompletionProviders {
+  /** Settings-keyed factory (ref ServiceCollectionExtensions.cs:116 —
+    * provider selected by LlmSettings.Provider). */
+  def forName(
+      provider: String,
+      baseUrl: String,
+      model: String,
+      apiKey: String,
+      transport: HttpTransport,
+      defaults: CompletionOptions = CompletionOptions()): CompletionProvider =
+    provider.toLowerCase match {
+      case "ollama" => new OllamaCompleter(baseUrl, model, transport, defaults)
+      case "openai" => new OpenAiCompleter(baseUrl, model, apiKey, transport, defaults)
+      case "azureopenai" | "azure" =>
+        new AzureOpenAiCompleter(baseUrl, model, apiKey, transport, defaults = defaults)
+      case "anthropic" => new AnthropicCompleter(baseUrl, model, apiKey, transport, defaults)
+      case other => throw new IllegalArgumentException(s"unknown LLM provider: $other")
+    }
+
+  /** Corpus annotation — the LLM-as-annotator pipeline shape (label,
+    * rewrite or summarize a text column at corpus scale): adds `outCol` =
+    * complete(systemPrompt, text). The provider is constructed ONCE per
+    * executor (transient-lazy in the closure), so connection setup
+    * doesn't repeat per row; rows flow through Spark's normal
+    * partition-parallel UDF execution, which is exactly the throughput
+    * model of a rate-limited HTTP annotator fleet.
+    */
+  def annotate(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      outCol: String,
+      systemPrompt: String,
+      mkProvider: () => CompletionProvider): org.apache.spark.sql.DataFrame = {
+    val f = new (String => String) with Serializable {
+      @transient private lazy val p = mkProvider()
+      def apply(t: String): String = p.complete(systemPrompt, t)
+    }
+    df.withColumn(outCol,
+      org.apache.spark.sql.functions.udf(f).apply(
+        org.apache.spark.sql.functions.col(textCol)))
+  }
+
+  /** `data: {json}` SSE payload, minus keep-alives and `[DONE]`. */
+  private[llm] def ssePayload(line: String): Option[String] = {
+    val t = line.trim
+    if (!t.startsWith("data:")) None
+    else {
+      val p = t.stripPrefix("data:").trim
+      if (p.isEmpty || p == "[DONE]") None else Some(p)
+    }
+  }
+
+  /** OpenAI-shape streaming delta: choices[0].delta.content. */
+  private[llm] def sseDelta(mapper: ObjectMapper, line: String): Option[String] =
+    CompletionProviders.ssePayload(line).flatMap { payload =>
+      val c = mapper.readTree(payload).path("choices")
+      if (c.isArray && c.size > 0) {
+        val d = c.get(0).path("delta").path("content").asText("")
+        if (d.nonEmpty) Some(d) else None
+      } else None
+    }
+}

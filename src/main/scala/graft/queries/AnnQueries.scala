@@ -12,6 +12,56 @@ object AnnQueries {
   import Catalog.table
   import Frag._
 
+  /** q79's pipeline, factored so q88 can run it next to the IVF variant.
+    *
+    * SemDeDup-shaped semantic dedup (Abbas et al. 2023): partition the
+    * embedding space into cells, then rank intra-cell pairs by exact
+    * cosine — near-dup candidates the cross-cell quadratic never pays
+    * for. Cells here come from 8 DETERMINISTIC hyperplanes whose ±1
+    * sign vectors derive from a multiplicative integer hash, so DuckDB
+    * pins the bucketing bit-for-bit (production swaps in MLlib k-means
+    * cells via ann/Ivf — q88 runs that swap-in and emits the overlap).
+    * A polynomial sign hash does NOT work: k² + 7919k + 104729 stays
+    * below P for small k and k(k+7919) is always even, so every sign came
+    * out -1 (measured: 2 buckets). k·2654435761 exceeds P for every
+    * k ≥ 1, so the mod scrambles parity (measured: 131 buckets / max 27 /
+    * 2,907 intra-cell pairs at sf0.01 vs 124,750 all-pairs).
+    * Scale: the self-join shuffles on the bucket key — work ∝ Σc²
+    * per cell, never n²; ranking is TakeOrderedAndProject (no global
+    * window). Ranking keys on the ROUNDED cosine + id tie-breaks.
+    * persist: the bucketed frame feeds both self-join sides.
+    */
+  private def semdedupHyperplane(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dims = 64
+    val planes = 8
+    def signDot(p: Int): String =
+      s"aggregate(sequence(1, $dims), 0D, (acc, i) -> acc + element_at(v, i) * " +
+        s"(CASE WHEN (($p * $dims + i) * 2654435761L + 104729L) % $P % 2 = 0 " +
+        "THEN 1.0D ELSE -1.0D END))"
+    val base = table(s, d, "embeddings")
+      .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
+    val bucketed = (0 until planes)
+      .foldLeft(base) { (df, p) =>
+        // sign taken on the ROUNDED dot (6 dp, catalog discipline): a
+        // dot within 1 ulp of zero must not flip buckets between
+        // Spark's aggregate fold and DuckDB's list_dot_product
+        df.withColumn(s"b$p",
+          when(round(expr(signDot(p)), 6) >= 0, 1 << p).otherwise(0))
+      }
+      .withColumn("bucket", (0 until planes).map(p => col(s"b$p")).reduce(_ + _))
+      .select("vec_id", "v", "bucket")
+      .persist()
+    Catalog.materializeAndRelease(bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.bucket").as("bucket"),
+        (round(expr(cosSpark("a.v", "b.v")), 6) + 0.0).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
+      .limit(50), bucketed)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q20_cosine_adjacent",
@@ -296,51 +346,7 @@ object AnnQueries {
 
     QueryDef(
       "q79_semdedup",
-      (s, d) => {
-        // SemDeDup-shaped semantic dedup (Abbas et al. 2023): partition the
-        // embedding space into cells, then rank intra-cell pairs by exact
-        // cosine — near-dup candidates the cross-cell quadratic never pays
-        // for. Cells here come from 8 DETERMINISTIC hyperplanes whose ±1
-        // sign vectors derive from a multiplicative integer hash, so DuckDB
-        // pins the bucketing bit-for-bit (production swaps in MLlib k-means
-        // cells via ann/Ivf — identical downstream join/rank). A polynomial
-        // sign hash does NOT work: k² + 7919k + 104729 stays below P for
-        // small k and k(k+7919) is always even, so every sign came out -1
-        // (measured: 2 buckets). k·2654435761 exceeds P for every k ≥ 1, so
-        // the mod scrambles parity (measured: 131 buckets / max 27 / 2,907
-        // intra-cell pairs at sf0.01 vs 124,750 all-pairs).
-        // Scale: the self-join shuffles on the bucket key — work ∝ Σc²
-        // per cell, never n²; ranking is TakeOrderedAndProject (no global
-        // window). Ranking keys on the ROUNDED cosine + id tie-breaks.
-        // persist: the bucketed frame feeds both self-join sides.
-        val dims = 64
-        val planes = 8
-        def signDot(p: Int): String =
-          s"aggregate(sequence(1, $dims), 0D, (acc, i) -> acc + element_at(v, i) * " +
-            s"(CASE WHEN (($p * $dims + i) * 2654435761L + 104729L) % $P % 2 = 0 " +
-            "THEN 1.0D ELSE -1.0D END))"
-        val base = table(s, d, "embeddings")
-          .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
-        val bucketed = (0 until planes)
-          .foldLeft(base) { (df, p) =>
-            // sign taken on the ROUNDED dot (6 dp, catalog discipline): a
-            // dot within 1 ulp of zero must not flip buckets between
-            // Spark's aggregate fold and DuckDB's list_dot_product
-            df.withColumn(s"b$p",
-              when(round(expr(signDot(p)), 6) >= 0, 1 << p).otherwise(0))
-          }
-          .withColumn("bucket", (0 until planes).map(p => col(s"b$p")).reduce(_ + _))
-          .select("vec_id", "v", "bucket")
-          .persist()
-        Catalog.materializeAndRelease(bucketed.as("a")
-          .join(bucketed.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            col("a.bucket").as("bucket"),
-            (round(expr(cosSpark("a.v", "b.v")), 6) + 0.0).as("cos_sim"))
-          .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
-          .limit(50), bucketed)
-      },
+      (s, d) => semdedupHyperplane(s, d),
       Some {
         val signsDuck = (p: Int) =>
           s"list_transform(range(1, 65), i -> CASE WHEN (($p * 64 + i) * 2654435761 + 104729) " +
@@ -438,6 +444,53 @@ object AnnQueries {
                round((sp - n * ma.m * mb.m) / (n - 1), 6) + 0.0 AS cov
         FROM s JOIN means ma ON ma.i = s.i JOIN means mb ON mb.i = s.j
         ORDER BY i, j"""),
-      doc = "PCA covariance Gramian as oracle-checkable relational aggregates")
+      doc = "PCA covariance Gramian as oracle-checkable relational aggregates"),
+
+    QueryDef(
+      "q88_semdedup_ivf",
+      (s, d) => {
+        // The production swap-in q79's docs promise, run FOR REAL next to
+        // the oracle-able shape: k-means cells from ann/Ivf (MLlib KMeans,
+        // fixed seed) replace the deterministic hyperplanes; downstream
+        // intra-cell join + rounded-cosine rank is IDENTICAL. Output is
+        // the union of both variants' top-50 candidate pair sets with a
+        // found_by column (both / hyperplane / ivf), so the overlap
+        // between "the shape DuckDB can check" and "the shape production
+        // runs" is driver-visible in the rows themselves (KMeans isn't
+        // SQL-expressible -> rows-only; SemdedupOverlapSpec pins the
+        // overlap fraction).
+        // Scale: identical to q79 — the self-join shuffles on the cell
+        // key, work ∝ Σc² per cell; the k-means fit is MLlib's
+        // distributed Lloyd iterations (centroid-sized driver state).
+        val hyper = semdedupHyperplane(s, d).select("id_a", "id_b", "cos_sim")
+        // cell count ~ corpus/64: enough occupancy for intra-cell pairs
+        // at test SFs; the reference sizes lists as clamp(rows/1000,1,100)
+        val n = table(s, d, "embeddings").count()
+        val idx = graft.ann.Ivf.build(
+          table(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          nLists = math.max(2, (n / 64).toInt))
+        val b = idx.assigned
+          .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"),
+            col("list_id").as("bucket"))
+          .persist()
+        val ivf = b.as("a")
+          .join(b.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            (round(expr(cosSpark("a.v", "b.v")), 6) + 0.0).as("cos_sim"))
+          .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
+          .limit(50)
+        val joined = hyper.withColumnRenamed("cos_sim", "cs_h")
+          .join(ivf.withColumnRenamed("cos_sim", "cs_i"), Seq("id_a", "id_b"), "full_outer")
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("cs_h"), col("cs_i")).as("cos_sim"),
+            when(col("cs_h").isNotNull && col("cs_i").isNotNull, "both")
+              .when(col("cs_h").isNotNull, "hyperplane")
+              .otherwise("ivf").as("found_by"))
+          .orderBy("id_a", "id_b")
+        Catalog.materializeAndRelease(joined, b)
+      },
+      None,
+      doc = "SemDeDup IVF swap-in: k-means cells vs hyperplane cells, overlap in-row")
   )
 }

@@ -1,0 +1,121 @@
+package graft.llm
+
+import graft.embed.HttpTransport
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Offline tests of the LLM completion layer (E3): canned-JSON transport
+  * doubles pin each provider's request shape, response parse, header
+  * auth, streaming-line extraction, and the corpus-annotation UDF —
+  * mirroring ProvidersSpec's treatment of the embedding layer.
+  */
+class CompletionProvidersSpec extends AnyFunSuite {
+
+  private final class FakeTransport(replies: String*) extends HttpTransport {
+    val posts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val headersSeen = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    private var i = -1
+    override def post(url: String, body: String): String = {
+      posts += ((url, body)); i += 1; replies(math.min(i, replies.length - 1))
+    }
+    override def post(url: String, body: String, headers: Map[String, String]): String = {
+      headersSeen += headers; post(url, body)
+    }
+  }
+
+  test("Ollama: request shape with options, response parse, empty rejection") {
+    val t = new FakeTransport("""{"message": {"role": "assistant", "content": "Hi there"}, "done": true}""")
+    val p = new OllamaCompleter("http://ollama:11434", "llama3", t)
+    val out = p.complete("Be brief", "Say hi",
+      CompletionOptions(temperature = Some(0.2), maxTokens = Some(64)))
+    assert(out == "Hi there")
+    val (url, body) = t.posts.head
+    assert(url == "http://ollama:11434/api/chat")
+    assert(body == """{"model":"llama3","messages":[{"role":"system","content":"Be brief"},""" +
+      """{"role":"user","content":"Say hi"}],"stream":false,""" +
+      """"options":{"temperature":0.2,"num_predict":64}}""")
+    val bad = new OllamaCompleter("http://x", "m", new FakeTransport("""{"done": true}"""))
+    assertThrows[IllegalArgumentException](bad.complete("", "hi"))
+  }
+
+  test("Ollama: JSONL stream chunks concatenate to the full text") {
+    val p = new OllamaCompleter("http://x", "m", new FakeTransport())
+    val lines = Seq(
+      """{"message": {"content": "Hel"}, "done": false}""",
+      """{"message": {"content": "lo"}, "done": false}""",
+      "",
+      """{"message": {"content": ""}, "done": true}""")
+    assert(p.streamChunks(lines.iterator).mkString == "Hello")
+  }
+
+  test("OpenAI: bearer auth, choices parse, SSE deltas") {
+    val t = new FakeTransport(
+      """{"choices": [{"message": {"role": "assistant", "content": "Answer."}}]}""")
+    val p = new OpenAiCompleter("http://api", "gpt-x", "sk-test", t)
+    assert(p.complete("sys", "user q") == "Answer.")
+    assert(t.posts.head._1 == "http://api/v1/chat/completions")
+    assert(t.headersSeen.head("Authorization") == "Bearer sk-test")
+    val stream = Seq(
+      """data: {"choices": [{"delta": {"role": "assistant"}}]}""",
+      """data: {"choices": [{"delta": {"content": "to"}}]}""",
+      """data: {"choices": [{"delta": {"content": "ken"}}]}""",
+      "",
+      "data: [DONE]")
+    assert(p.streamChunks(stream.iterator).mkString == "token")
+  }
+
+  test("Azure: deployment URL with api-version, api-key header") {
+    val t = new FakeTransport("""{"choices": [{"message": {"content": "ok"}}]}""")
+    val p = new AzureOpenAiCompleter("https://acct.openai.azure.com", "gpt4-prod", "key1", t)
+    assert(p.complete("", "q") == "ok")
+    assert(t.posts.head._1 ==
+      "https://acct.openai.azure.com/openai/deployments/gpt4-prod/chat/completions?api-version=2024-06-01")
+    assert(t.headersSeen.head("api-key") == "key1")
+    // the deployment doubles as the model id; no model field in the body
+    assert(p.modelId == "gpt4-prod")
+    assert(!t.posts.head._2.contains("\"model\""))
+  }
+
+  test("Anthropic: required max_tokens, auth headers, text-block concat, stream deltas") {
+    val t = new FakeTransport(
+      """{"content": [{"type": "text", "text": "part one"}, {"type": "tool_use", "id": "x"},
+        | {"type": "text", "text": " and two"}]}""".stripMargin)
+    val p = new AnthropicCompleter("https://api.example.com", "model-a", "k", t)
+    assert(p.complete("sys", "q") == "part one and two")
+    assert(t.posts.head._1 == "https://api.example.com/v1/messages")
+    assert(t.headersSeen.head("x-api-key") == "k")
+    assert(t.headersSeen.head.contains("anthropic-version"))
+    assert(t.posts.head._2.contains("\"max_tokens\":1024")) // required field, defaulted
+    val stream = Seq(
+      """event: message_start""",
+      """data: {"type": "message_start"}""",
+      """data: {"type": "content_block_delta", "delta": {"type": "text_delta", "text": "ab"}}""",
+      """data: {"type": "content_block_delta", "delta": {"type": "text_delta", "text": "c"}}""",
+      """data: {"type": "message_stop"}""")
+    assert(p.streamChunks(stream.iterator).mkString == "abc")
+  }
+
+  test("factory dispatches on the settings provider name") {
+    val t = new FakeTransport("{}")
+    assert(CompletionProviders.forName("ollama", "u", "m", "", t).provider == "Ollama")
+    assert(CompletionProviders.forName("OpenAI", "u", "m", "k", t).provider == "OpenAI")
+    assert(CompletionProviders.forName("azure", "u", "d", "k", t).provider == "AzureOpenAI")
+    assert(CompletionProviders.forName("Anthropic", "u", "m", "k", t).provider == "Anthropic")
+    assertThrows[IllegalArgumentException](
+      CompletionProviders.forName("mystery", "u", "m", "k", t))
+  }
+
+  test("annotate maps a corpus column through the provider on executors") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    // deterministic provider double — no transport involved
+    val out = CompletionProviders.annotate(df, "text", "label", "classify",
+      () => new CompletionProvider {
+        val provider = "fake"; val modelId = "fake"
+        def complete(s: String, u: String, o: CompletionOptions): String = s"$s:$u"
+        def streamChunk(l: String): Option[String] = None
+      })
+      .orderBy("id").collect().map(_.getString(2))
+    assert(out.toSeq == Seq("classify:alpha", "classify:beta"))
+  }
+}

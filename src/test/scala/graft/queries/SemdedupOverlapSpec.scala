@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins q88: the hyperplane cells (q79, DuckDB-oracle-able) and the
+  * k-means cells (ann/Ivf, the production swap-in) must co-locate TRUE
+  * near-duplicates — that agreement is the reason the oracle-able shape
+  * is evidence about the production shape. The driver corpus has no real
+  * near-dups (q60's docs record that), so the overlap test plants its
+  * own: pairs at cosine ~1 sit at hyperplane angle ~0 (same sign bucket
+  * with probability ≈ 1) and in the same k-means cell by construction.
+  */
+class SemdedupOverlapSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  /** embeddings.parquet-shaped temp table: 200 seeded random vectors plus
+    * 30 near-identical twins (1e-3 noise) of the first 30. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, i % 5, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val twins = (0 until 30).map { i =>
+      (1000L + i, i % 5,
+        base(i)._3.map(x => x + (rnd.nextDouble() * 2e-3 - 1e-3).toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    (base ++ twins).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("planted near-dups are found by BOTH cell schemes") {
+    val rows = Catalog.queries("q88_semdedup_ivf")(spark, plantedDir).collect()
+    val nearDup = rows.filter(_.getDouble(2) >= 0.999)
+    assert(nearDup.length >= 25, s"expected >= 25 planted pairs in the union, got ${nearDup.length}")
+    val foundByBoth = nearDup.count(_.getString(3) == "both")
+    assert(foundByBoth >= (nearDup.length * 0.8).toInt,
+      s"only $foundByBoth/${nearDup.length} near-dup pairs co-located by both schemes")
+    // and the planted twins are exactly the (i, 1000+i) pairs
+    nearDup.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 1000L,
+        s"unexpected near-dup pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("real-corpus run is structurally sound (union of two top-50 sets)") {
+    val rows = Catalog.queries("q88_semdedup_ivf")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length >= 50 && rows.length <= 100)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.000001 && c <= 1.000001)
+      assert(Set("both", "hyperplane", "ivf").contains(r.getString(3)))
+    }
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+}
