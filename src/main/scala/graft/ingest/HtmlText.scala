@@ -1,0 +1,119 @@
+package graft.ingest
+
+/** HTML → text extraction (beyond the reference: its file-type gate stops
+  * at txt/md/csv/pdf/docx/pptx, but a pretraining pipeline's dominant
+  * input is crawled HTML — this is the extraction step every
+  * CommonCrawl-derived corpus runs). Deterministic, dependency-free:
+  * drops script/style/noscript/template and comments, renders block-level
+  * boundaries as newlines, decodes the common named + numeric entities,
+  * collapses whitespace. `title` and `paragraphs` expose the pieces the
+  * quality filters consume (per-paragraph link density is the classic
+  * boilerplate signal — emitted here, thresholded by the caller).
+  */
+object HtmlText {
+
+  private val DropTags = Set("script", "style", "noscript", "template", "svg")
+  private val BlockTags = Set(
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th", "h1",
+    "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "section", "article",
+    "header", "footer", "nav", "aside", "form", "hr", "dl", "dt", "dd")
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "rsquo" -> "’", "lsquo" -> "‘",
+    "rdquo" -> "”", "ldquo" -> "“", "copy" -> "©",
+    "reg" -> "®", "trade" -> "™", "deg" -> "°",
+    "middot" -> "·", "laquo" -> "«", "raquo" -> "»")
+
+  def decodeEntities(s: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("&(#x?[0-9a-fA-F]+|[a-zA-Z]+);").matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val e = m.group(1)
+      val rep =
+        if (e.startsWith("#x") || e.startsWith("#X"))
+          try new String(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+          catch { case _: Exception => m.group() }
+        else if (e.startsWith("#"))
+          try new String(Character.toChars(e.drop(1).toInt))
+          catch { case _: Exception => m.group() }
+        else NamedEntities.getOrElse(e, m.group())
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** `<title>` content, entity-decoded and trimmed ("" if absent). */
+  def title(html: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?is)<title[^>]*>(.*?)</title>").matcher(html)
+    if (m.find()) decodeEntities(m.group(1)).trim.replaceAll("\\s+", " ") else ""
+  }
+
+  /** Visible text with block boundaries as newlines. */
+  def text(html: String): String = {
+    val noComments = html.replaceAll("(?s)<!--.*?-->", " ")
+    val noDropped = DropTags.foldLeft(noComments) { (h, t) =>
+      h.replaceAll(s"(?is)<$t\\b[^>]*>.*?</$t>", " ")
+    }
+    val sb = new StringBuilder
+    val m = java.util.regex.Pattern
+      .compile("<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>").matcher(noDropped)
+    var last = 0
+    while (m.find()) {
+      sb.append(noDropped.substring(last, m.start()))
+      if (BlockTags.contains(m.group(2).toLowerCase)) sb.append('\n')
+      else sb.append(' ')
+      last = m.end()
+    }
+    sb.append(noDropped.substring(last))
+    decodeEntities(sb.toString)
+      .split('\n')
+      .map(_.replaceAll("[ \\t\\x0B\\f\\r ]+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  final case class Paragraph(text: String, nLinks: Int, linkTextChars: Int) {
+    /** Fraction of the paragraph's characters inside <a> — the standard
+      * boilerplate signal (nav bars and footers are link-dense). */
+    def linkDensity: Double =
+      if (text.isEmpty) 0.0 else math.min(1.0, linkTextChars.toDouble / text.length)
+  }
+
+  /** Block-level paragraphs with per-paragraph link statistics. */
+  def paragraphs(html: String): Vector[Paragraph] = {
+    val noComments = html.replaceAll("(?s)<!--.*?-->", " ")
+    val noDropped = DropTags.foldLeft(noComments) { (h, t) =>
+      h.replaceAll(s"(?is)<$t\\b[^>]*>.*?</$t>", " ")
+    }
+    // anchor text measured BEFORE tags are stripped
+    val anchorRe = java.util.regex.Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a>")
+    val blocks = noDropped.split(
+      "(?i)<(?:" + BlockTags.mkString("|") + ")\\b[^>]*>|</(?:" +
+        BlockTags.mkString("|") + ")>")
+    blocks.toVector.flatMap { b =>
+      val am = anchorRe.matcher(b)
+      var nLinks = 0
+      var linkChars = 0
+      while (am.find()) {
+        nLinks += 1
+        linkChars += text(am.group(1)).length
+      }
+      val t = text(b).replaceAll("\\s+", " ").trim
+      if (t.isEmpty) None else Some(Paragraph(t, nLinks, linkChars))
+    }
+  }
+
+  /** Main-content extraction: paragraphs below the link-density threshold
+    * and above the length floor — the rule-based core of the
+    * trafilatura/jusText family. */
+  def mainText(html: String, maxLinkDensity: Double = 0.5,
+      minChars: Int = 20): String =
+    paragraphs(html)
+      .filter(p => p.linkDensity <= maxLinkDensity && p.text.length >= minChars)
+      .map(_.text).mkString("\n")
+}

@@ -1,0 +1,147 @@
+package graft.ingest
+
+import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+
+/** WARC (ISO 28500, the CommonCrawl container) record reader — beyond the
+  * reference's file-type gate, but the front door of every
+  * pretraining-scale web corpus. Parses the public format directly:
+  * `WARC/1.x` version line, CRLF-separated named headers, Content-Length
+  * octets of payload, CRLF CRLF record separator; `response` records'
+  * payloads are HTTP messages whose body follows the first blank line.
+  * Accepts plain and gzipped inputs (CC ships one gzip member per record;
+  * JDK GZIPInputStream reads concatenated members natively).
+  *
+  * Spark shape: one WARC file = one task (`spark.read.format("binaryFile")`
+  * → flatMap over `records`); a 100 TB crawl is millions of ~1 GB .warc.gz
+  * shards, so file-granular parallelism is the natural partitioning and
+  * nothing here holds more than one record in memory.
+  */
+object Warc {
+
+  final case class WarcRecord(
+      warcType: String,
+      targetUri: String,
+      date: String,
+      contentType: String,
+      payload: Array[Byte])
+
+  final case class WebDoc(
+      url: String,
+      date: String,
+      httpStatus: Int,
+      httpContentType: String,
+      body: Array[Byte])
+
+  /** All records in a (possibly gzipped) WARC byte stream. */
+  def records(bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val in: InputStream =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
+      else new ByteArrayInputStream(bytes)
+    recordIterator(new java.io.BufferedInputStream(in))
+  }
+
+  private def recordIterator(in: InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private def advance(): Unit = if (nextRec == null) {
+        var line = readLine(in)
+        // skip inter-record blank lines
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line != null && line.startsWith("WARC/")) {
+          val headers = scala.collection.mutable.Map[String, String]()
+          var h = readLine(in)
+          while (h != null && h.nonEmpty) {
+            val c = h.indexOf(':')
+            if (c > 0) headers(h.substring(0, c).trim.toLowerCase) =
+              h.substring(c + 1).trim
+            h = readLine(in)
+          }
+          val len = headers.getOrElse("content-length", "0").toInt
+          val payload = readN(in, len)
+          nextRec = WarcRecord(
+            warcType = headers.getOrElse("warc-type", ""),
+            targetUri = headers.getOrElse("warc-target-uri", "")
+              .stripPrefix("<").stripSuffix(">"),
+            date = headers.getOrElse("warc-date", ""),
+            contentType = headers.getOrElse("content-type", ""),
+            payload = payload)
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** `response` records decoded one level further: HTTP status line +
+    * headers peeled off, body exposed — the (url, html) the pipeline
+    * actually wants. Non-HTTP or malformed payloads are skipped. */
+  def responses(bytes: Array[Byte]): Iterator[WebDoc] =
+    records(bytes).filter(_.warcType == "response").flatMap { r =>
+      val p = r.payload
+      val sep = indexOfBlankLine(p)
+      if (sep < 0) None
+      else {
+        val head = new String(p, 0, sep, StandardCharsets.ISO_8859_1)
+        val lines = head.split("\r\n")
+        if (lines.isEmpty || !lines(0).startsWith("HTTP/")) None
+        else {
+          val status = lines(0).split(" ")
+            .drop(1).headOption.flatMap(_.toIntOption).getOrElse(0)
+          val ct = lines.drop(1)
+            .find(_.toLowerCase.startsWith("content-type:"))
+            .map(_.substring("content-type:".length).trim).getOrElse("")
+          val body = java.util.Arrays.copyOfRange(p, sep + 4, p.length)
+          Some(WebDoc(r.targetUri, r.date, status, ct, body))
+        }
+      }
+    }
+
+  /** (url, title, main_text) rows from one WARC file — the full CC-style
+    * extraction step, composing [[responses]] with [[HtmlText]]. */
+  def extractText(bytes: Array[Byte]): Iterator[(String, String, String)] =
+    responses(bytes)
+      .filter(d => d.httpStatus == 200 &&
+        d.httpContentType.toLowerCase.startsWith("text/html"))
+      .map { d =>
+        val html = new String(d.body, StandardCharsets.UTF_8)
+        (d.url, HtmlText.title(html), HtmlText.mainText(html))
+      }
+
+  private def indexOfBlankLine(p: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < p.length) {
+      if (p(i) == '\r' && p(i + 1) == '\n' && p(i + 2) == '\r' && p(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** CRLF- (or LF-) terminated line as ISO-8859-1; null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') {
+      if (b != '\r') buf.write(b)
+      b = in.read()
+    }
+    new String(buf.toByteArray, StandardCharsets.ISO_8859_1)
+  }
+
+  private def readN(in: InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(out, off, n - off)
+      if (r < 0) throw new EOFException(s"truncated WARC payload: $off/$n")
+      off += r
+    }
+    out
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the web-corpus front door: HTML→text extraction (entities, block
+  * layout, drop-tags, link-density boilerplate) and WARC record/response
+  * parsing on format-conformant fixtures, plain and gzipped (one member
+  * per record, the CommonCrawl layout).
+  */
+class WebIngestSpec extends AnyFunSuite {
+
+  // ---- HtmlText ------------------------------------------------------------
+
+  private val page = """<!DOCTYPE html>
+    |<html><head><title>Graft &amp; Spark — a &quot;test&quot;</title>
+    |<style>body { color: red }</style>
+    |<script>var x = "<p>not text</p>";</script></head>
+    |<body>
+    |<!-- navigation -->
+    |<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/more">More links here</a></nav>
+    |<h1>Heading One</h1>
+    |<p>First paragraph with a <b>bold</b> claim &mdash; and &#8220;numeric&#8221; entities.</p>
+    |<p>Second paragraph long enough to survive the main-content length floor easily.
+    |It even has <a href="/ref">one small link</a> inside a lot of running text.</p>
+    |<div>short</div>
+    |</body></html>""".stripMargin
+
+  test("title and entities decode") {
+    assert(HtmlText.title(page) == "Graft & Spark — a \"test\"")
+    assert(HtmlText.decodeEntities("&lt;x&gt; &#65;&#x42;") == "<x> AB")
+    assert(HtmlText.decodeEntities("&unknown; stays") == "&unknown; stays")
+  }
+
+  test("text drops script/style, keeps block structure as newlines") {
+    val t = HtmlText.text(page)
+    assert(!t.contains("not text") && !t.contains("color: red"))
+    assert(t.contains("Heading One"))
+    assert(t.contains("First paragraph with a bold claim — and “numeric” entities."))
+    // blocks are separate lines
+    assert(t.linesIterator.toSeq.count(_.contains("paragraph")) == 2)
+  }
+
+  test("paragraph link density separates nav boilerplate from content") {
+    val ps = HtmlText.paragraphs(page)
+    val nav = ps.find(_.text.startsWith("Home")).get
+    assert(nav.nLinks == 3 && nav.linkDensity > 0.8)
+    val body = ps.find(_.text.startsWith("Second paragraph")).get
+    assert(body.nLinks == 1 && body.linkDensity < 0.2)
+    val main = HtmlText.mainText(page)
+    assert(main.contains("First paragraph") && main.contains("Second paragraph"))
+    assert(!main.contains("Home") && !main.contains("short"))
+  }
+
+  // ---- Warc ----------------------------------------------------------------
+
+  private def crlf(s: String): Array[Byte] =
+    s.replace("\n", "\r\n").getBytes(StandardCharsets.ISO_8859_1)
+
+  private def record(warcType: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+    val head = crlf(
+      s"""WARC/1.0
+         |WARC-Type: $warcType
+         |WARC-Target-URI: <$uri>
+         |WARC-Date: 2024-05-01T00:00:00Z
+         |Content-Type: application/http; msgtype=response
+         |Content-Length: ${payload.length}
+         |
+         |""".stripMargin)
+    head ++ payload ++ crlf("\n\n")
+  }
+
+  private def httpResponse(status: String, contentType: String, body: String): Array[Byte] =
+    crlf(s"""HTTP/1.1 $status
+            |Content-Type: $contentType
+            |
+            |""".stripMargin) ++ body.getBytes(StandardCharsets.UTF_8)
+
+  private val goodHtml =
+    "<html><head><title>Doc A</title></head><body>" +
+      "<p>This paragraph is the extractable main content of document A.</p></body></html>"
+
+  private def warcBytes: Array[Byte] =
+    record("warcinfo", "", crlf("software: test\n")) ++
+      record("response", "https://example.com/a",
+        httpResponse("200 OK", "text/html; charset=utf-8", goodHtml)) ++
+      record("response", "https://example.com/missing",
+        httpResponse("404 Not Found", "text/html", "<html>gone</html>")) ++
+      record("request", "https://example.com/a", crlf("GET /a HTTP/1.1\n"))
+
+  test("WARC records parse: types, URIs, payload lengths") {
+    val rs = Warc.records(warcBytes).toVector
+    assert(rs.map(_.warcType) == Vector("warcinfo", "response", "response", "request"))
+    assert(rs(1).targetUri == "https://example.com/a") // <> stripped
+    assert(rs(1).date == "2024-05-01T00:00:00Z")
+  }
+
+  test("responses peel the HTTP layer; extractText keeps 200 text/html only") {
+    val docs = Warc.responses(warcBytes).toVector
+    assert(docs.map(_.httpStatus) == Vector(200, 404))
+    assert(new String(docs.head.body, "UTF-8") == goodHtml)
+    val texts = Warc.extractText(warcBytes).toVector
+    assert(texts.length == 1)
+    val (url, title, main) = texts.head
+    assert(url == "https://example.com/a" && title == "Doc A")
+    assert(main.contains("extractable main content"))
+  }
+
+  test("gzipped WARC with one member per record (the CC layout) reads natively") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val multiMember =
+      gz(record("response", "https://example.com/a",
+        httpResponse("200 OK", "text/html", goodHtml))) ++
+        gz(record("response", "https://example.com/b",
+          httpResponse("200 OK", "text/html",
+            "<html><title>B</title><p>Document B body text, long enough to keep.</p></html>")))
+    val texts = Warc.extractText(multiMember).toVector
+    assert(texts.map(_._1) == Vector("https://example.com/a", "https://example.com/b"))
+  }
+
+  test("flatMap over file bytes is the Spark shape: records stream lazily") {
+    val it = Warc.records(warcBytes)
+    assert(it.hasNext) // nothing materialized beyond one record
+    assert(it.next().warcType == "warcinfo")
+    assert(it.next().warcType == "response")
+  }
+}
