@@ -123,6 +123,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("PCA covariance is one explode + map-side-partial groupBy (q86)") {
+    val p = plan("q86_pca_covariance")
+    // the 2080-terms-per-row explode must collapse via partial aggregation
+    // before the shuffle, and the two mean joins must broadcast
+    assert(p.contains("partial_sum") || p.contains("partial_"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("quality features keep q77's shapes: keyed joins, no windows (q87)") {
+    val p = plan("q87_quality_features")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("doc-granularity postings retrieval pushes the term IN filter (q61)") {
+    val p = plan("q61_keyword_postings")
+    // the query terms reach the postings side as a literal IN filter and
+    // the lookup join broadcasts; negation is an anti join, not a filter scan
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.toLowerCase.contains("leftanti"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("boilerplate stripping stays explode+groupBy: no windows, no cartesian (q76)") {
     val p = plan("q76_strip_boilerplate")
     assert(!p.contains("Window"), p.take(1200))
