@@ -273,6 +273,59 @@ object ExportQueries {
         FROM grams t JOIN grams e ON t.g = e.g
         WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
         GROUP BY t.doc_id ORDER BY doc_id"""),
-      doc = "eval-set decontamination via 5-gram collision join")
+      doc = "eval-set decontamination via 5-gram collision join"),
+
+    QueryDef(
+      "q89_decontaminate_bloom",
+      (s, d) => {
+        // q69's semantics through the SKETCH-ACCELERATED plan (q84's
+        // Misra-Gries discipline applied to decontamination): a Bloom
+        // filter built over the eval set's 5-grams prefilters the train
+        // side BEFORE any join, then the exact collision join recheck
+        // removes the Bloom's false positives — so the output is exactly
+        // q69's and the SAME DuckDB oracle pins it. The scale win: at
+        // 100 TB the train-side gram explode never shuffles — only grams
+        // the (megabyte-scale, broadcast) Bloom admits reach the join —
+        // and Bloom filters have no false negatives, so exactness is
+        // structural, not probabilistic.
+        def grams(src: org.apache.spark.sql.DataFrame) = src
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            s"""array_distinct(transform(sequence(1, size(toks) - 4),
+                i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+                               element_at(toks, i+2), element_at(toks, i+3),
+                               element_at(toks, i+4))))""")).as("g"))
+        val docs = table(s, d, "documents")
+        val train = grams(docs.filter(col("doc_id") % 97 =!= 0))
+        val eval_ = grams(docs.filter(col("doc_id") % 97 === 0))
+          .select(col("g"), col("doc_id").as("eval_id")).persist()
+        val nEval = eval_.count()
+        val bloom = eval_.stat.bloomFilter("g", math.max(nEval, 1L), 0.01)
+        val bloomBc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((g: String) => bloomBc.value.mightContain(g))
+        val out = train.filter(mightContain(col("g")))
+          .join(broadcast(eval_), Seq("g")) // exact recheck: FPs die here
+          .groupBy("doc_id")
+          .agg(countDistinct("g").as("n_shared"),
+            countDistinct("eval_id").as("n_eval_docs"))
+          .orderBy("doc_id")
+        Catalog.materializeAndRelease(out, eval_)
+      },
+      Some(s"""
+        WITH grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4]))) AS g
+          FROM (SELECT doc_id, ${toksDuck("text")} AS toks FROM documents)
+          WHERE len(toks) >= 5)
+        SELECT t.doc_id AS doc_id,
+               count(DISTINCT t.g) AS n_shared,
+               count(DISTINCT e.doc_id) AS n_eval_docs
+        FROM grams t JOIN grams e ON t.g = e.g
+        WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+        GROUP BY t.doc_id ORDER BY doc_id"""),
+      doc = "decontamination with a Bloom prefilter + exact recheck (sketch-exact plan)")
   )
 }
