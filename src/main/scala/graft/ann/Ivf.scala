@@ -36,12 +36,25 @@ object Ivf {
       corpus: DataFrame,
       nLists: Int,
       maxIter: Int = 10,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      initMode: String = "k-means||",
+      fitSample: Double = 1.0): IvfIndex = {
+    // initMode "random" (fixed seed, still deterministic) skips the
+    // k-means|| init's extra passes — right for cell-PARTITIONING uses
+    // (semdedup, routing) where cell quality only shifts candidate sets
+    // marginally; keep the default for recall-sensitive index builds.
+    // fitSample < 1 trains centroids on a corpus sample and assigns the
+    // FULL corpus — the standard IVF-build economy at scale (centroid
+    // positions converge on a fraction of the data; assignment is the
+    // only full pass).
     val feat = corpus.withColumn("_fv", array_to_vector(normalized("embedding")))
+    val fitOn =
+      if (fitSample >= 1.0) feat
+      else feat.sample(withReplacement = false, fitSample, seed)
     val model = new KMeans()
-      .setK(nLists).setMaxIter(maxIter).setSeed(seed)
+      .setK(nLists).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
       .setFeaturesCol("_fv").setPredictionCol("list_id")
-      .fit(feat)
+      .fit(fitOn)
     // hoist each vector's norm at build time: the probed-cell scan then
     // scores with a single-accumulator DotProduct / (nrm * qnrm) — same
     // double arithmetic as CosineSimilarity at a third of the per-row
