@@ -134,7 +134,16 @@ final class TiktokenTokenCounter(enc: Tiktoken.Encoding) extends TokenCounter {
   * the regex model, real deployments get reference-parity counts.
   */
 object TokenCounters {
-  lazy val default: TokenCounter =
+  @volatile private var overrideCounter: Option[TokenCounter] = None
+
+  /** Programmatic override — embedded deployments that load a vocab
+    * without the env var, and ChunkerSpec's budget pins. */
+  def set(c: TokenCounter): Unit = overrideCounter = Some(c)
+  def reset(): Unit = overrideCounter = None
+
+  def default: TokenCounter = overrideCounter.getOrElse(fromEnv)
+
+  private lazy val fromEnv: TokenCounter =
     sys.env.get("GRAFT_TIKTOKEN_VOCAB") match {
       case Some(path) if new java.io.File(path).isFile =>
         new TiktokenTokenCounter(Tiktoken.loadVocab(path))
