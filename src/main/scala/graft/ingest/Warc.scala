@@ -45,28 +45,38 @@ object Warc {
   private def recordIterator(in: InputStream): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = null
+      // never-throw at the file boundary (Parsers' contract): a truncated
+      // or malformed tail — routine with partial crawl downloads — ends
+      // the iterator at the last complete record instead of failing the
+      // whole task
       private def advance(): Unit = if (nextRec == null) {
-        var line = readLine(in)
-        // skip inter-record blank lines
-        while (line != null && line.isEmpty) line = readLine(in)
-        if (line != null && line.startsWith("WARC/")) {
-          val headers = scala.collection.mutable.Map[String, String]()
-          var h = readLine(in)
-          while (h != null && h.nonEmpty) {
-            val c = h.indexOf(':')
-            if (c > 0) headers(h.substring(0, c).trim.toLowerCase) =
-              h.substring(c + 1).trim
-            h = readLine(in)
+        try {
+          var line = readLine(in)
+          // skip inter-record blank lines
+          while (line != null && line.isEmpty) line = readLine(in)
+          if (line != null && line.startsWith("WARC/")) {
+            val headers = scala.collection.mutable.Map[String, String]()
+            var h = readLine(in)
+            while (h != null && h.nonEmpty) {
+              val c = h.indexOf(':')
+              if (c > 0) headers(h.substring(0, c).trim.toLowerCase) =
+                h.substring(c + 1).trim
+              h = readLine(in)
+            }
+            val len = headers.getOrElse("content-length", "0").toInt
+            val payload = readN(in, len)
+            nextRec = WarcRecord(
+              warcType = headers.getOrElse("warc-type", ""),
+              targetUri = headers.getOrElse("warc-target-uri", "")
+                .stripPrefix("<").stripSuffix(">"),
+              date = headers.getOrElse("warc-date", ""),
+              contentType = headers.getOrElse("content-type", ""),
+              payload = payload)
           }
-          val len = headers.getOrElse("content-length", "0").toInt
-          val payload = readN(in, len)
-          nextRec = WarcRecord(
-            warcType = headers.getOrElse("warc-type", ""),
-            targetUri = headers.getOrElse("warc-target-uri", "")
-              .stripPrefix("<").stripSuffix(">"),
-            date = headers.getOrElse("warc-date", ""),
-            contentType = headers.getOrElse("content-type", ""),
-            payload = payload)
+        } catch {
+          case _: EOFException | _: NumberFormatException |
+               _: java.util.zip.ZipException | _: java.io.IOException =>
+            nextRec = null
         }
       }
       override def hasNext: Boolean = { advance(); nextRec != null }

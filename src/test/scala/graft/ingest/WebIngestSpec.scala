@@ -122,6 +122,28 @@ class WebIngestSpec extends AnyFunSuite {
     assert(texts.map(_._1) == Vector("https://example.com/a", "https://example.com/b"))
   }
 
+  test("truncated or malformed WARC tails end the stream, never throw") {
+    val full = warcBytes
+    // cut mid-payload of the second record: first record must survive
+    val truncated = java.util.Arrays.copyOfRange(full, 0, full.length * 2 / 5)
+    val rs = Warc.records(truncated).toVector
+    assert(rs.nonEmpty && rs.length < 4)
+    // pure garbage yields zero records, no exception
+    assert(Warc.records("not a warc at all".getBytes).isEmpty)
+    val badLen = crlf("WARC/1.0\nWARC-Type: response\nContent-Length: banana\n\n")
+    assert(Warc.records(badLen).isEmpty)
+    // corrupt gzip member after a good one: good prefix still parses
+    val gzHead = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(record("response", "https://example.com/a",
+        httpResponse("200 OK", "text/html", goodHtml))); g.close()
+      bos.toByteArray
+    }
+    val corrupt = gzHead ++ Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)
+    assert(Warc.records(corrupt).map(_.warcType).toVector == Vector("response"))
+  }
+
   test("flatMap over file bytes is the Spark shape: records stream lazily") {
     val it = Warc.records(warcBytes)
     assert(it.hasNext) // nothing materialized beyond one record
