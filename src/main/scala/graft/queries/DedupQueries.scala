@@ -16,6 +16,112 @@ object DedupQueries {
   import Catalog.table
   import Frag._
 
+  /** q75's pipeline — factored so q90 can rank survivors per cluster.
+    *
+    * Pairs -> CLUSTERS: production dedup keeps one survivor per
+    * connected component of the near-dup graph, not per pair.
+    */
+  private def dedupClusters(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+        // Distributed connected components over the q24 Jaccard edges by
+        // alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+        // "Connected Components in MapReduce and Beyond", SoCC'14):
+        //   large-star(u): m = min({u} ∪ Γ(u)); link every BIGGER
+        //     neighbor v > u to m;
+        //   small-star(u): over edges oriented big→small, link every
+        //     smaller neighbor AND u itself to the smallest.
+        // Both preserve connectivity; the fixpoint is a star per
+        // component rooted at its minimum id — O(log² n) rounds even on
+        // long chains (vs one hop per round for label propagation), and
+        // each round is ONE Spark action: the convergence signature
+        // (count + xxhash sum) rides the same job that materializes the
+        // lazily local-checkpointed edge set. Round count → stderr.
+        // Oracle: recursive-CTE transitive closure, min reachable id.
+        // persist the tokenize+shingle pass (q24's discipline): it feeds
+        // counts (twice, via both broadcast sides), both self-join sides,
+        // and the df-cap — and the pairs union would double every
+        // evaluation again (measured: 30 s uncached vs 3 s cached)
+        val base = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shs", expr(shinglesSpark("toks")))
+          .select(col("doc_id"), col("shs"))
+          .persist()
+        val counts = base.select(col("doc_id"), size(col("shs")).as("n_sh"))
+        val sh0 = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        // same high-df shingle cap as q24 (above any test df; bounds hot
+        // buckets at scale without changing test output)
+        val rare = sh0.groupBy("shh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 128).select("shh")
+        val sh = sh0.join(rare, "shh")
+        val pairs = sh.as("a")
+          .join(sh.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("common"))
+          .join(broadcast(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na")), "da")
+          .join(broadcast(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")), "db")
+          .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.1)
+          .select("da", "db")
+          .localCheckpoint(true) // tiny; cuts the union below from re-running the self-join
+        base.unpersist()
+        var e = pairs.select(col("da").as("u"), col("db").as("v"))
+        var prev: org.apache.spark.sql.DataFrame = null
+        var sig = (-1L, -1L)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 12) {
+          // large-star: every edge both ways; per u, m = min(u, min Γ(u));
+          // bigger neighbors re-link to m
+          val nbr = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+          val mins = nbr.groupBy("u").agg(min("v").as("mn"))
+            .select(col("u"), least(col("u"), col("mn")).as("m"))
+          val ls = nbr.join(mins, "u").filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .filter(col("u") =!= col("v")).distinct()
+          // small-star: orient big→small; per u, every smaller neighbor
+          // and u itself link to the smallest neighbor
+          val nbr2 = ls.select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          val mins2 = nbr2.groupBy("u").agg(min("v").as("m"))
+          val ss = nbr2.join(mins2, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(mins2.select(col("u"), col("m").as("v")))
+            .filter(col("u") =!= col("v")).distinct()
+            .localCheckpoint(false) // lazy: materialized by the signature job
+          // bit_xor, not sum: order-independent AND overflow-free under
+          // ANSI mode (sum of xxhash64s overflows long)
+          val row = ss.agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(u, v))").as("h")).first()
+          val nsig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+          converged = nsig == sig
+          sig = nsig
+          // the signature job just materialized ss FROM the previous
+          // round's blocks — release them now
+          if (prev != null) prev.unpersist(false)
+          prev = ss
+          e = ss
+          rounds += 1
+        }
+        Console.err.println(s"[q75] CC converged in $rounds large/small-star rounds")
+        // fixpoint edge set is (node → component-min root); roots have no
+        // out-edge. groupBy-min is a no-op safety net (exactly one edge
+        // per non-root at fixpoint) that also dedups defensively.
+        val nodes = pairs.select(col("da").as("doc_id"))
+          .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+        val labels = nodes
+          .join(e.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(min(coalesce(col("root"), col("doc_id"))).as("label"))
+        val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        val out = labels
+          .join(sizes, "label")
+          .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+          .orderBy("doc_id")
+        Catalog.materializeAndRelease(out,
+          (if (prev != null) Seq(prev) else Nil) :+ pairs: _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q23_dedup_exact",
@@ -334,107 +440,7 @@ object DedupQueries {
 
     QueryDef(
       "q75_dedup_clusters",
-      (s, d) => {
-        // Pairs -> CLUSTERS: production dedup keeps one survivor per
-        // connected component of the near-dup graph, not per pair.
-        // Distributed connected components over the q24 Jaccard edges by
-        // alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
-        // "Connected Components in MapReduce and Beyond", SoCC'14):
-        //   large-star(u): m = min({u} ∪ Γ(u)); link every BIGGER
-        //     neighbor v > u to m;
-        //   small-star(u): over edges oriented big→small, link every
-        //     smaller neighbor AND u itself to the smallest.
-        // Both preserve connectivity; the fixpoint is a star per
-        // component rooted at its minimum id — O(log² n) rounds even on
-        // long chains (vs one hop per round for label propagation), and
-        // each round is ONE Spark action: the convergence signature
-        // (count + xxhash sum) rides the same job that materializes the
-        // lazily local-checkpointed edge set. Round count → stderr.
-        // Oracle: recursive-CTE transitive closure, min reachable id.
-        // persist the tokenize+shingle pass (q24's discipline): it feeds
-        // counts (twice, via both broadcast sides), both self-join sides,
-        // and the df-cap — and the pairs union would double every
-        // evaluation again (measured: 30 s uncached vs 3 s cached)
-        val base = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
-          .filter(size(col("toks")) >= 3)
-          .withColumn("shs", expr(shinglesSpark("toks")))
-          .select(col("doc_id"), col("shs"))
-          .persist()
-        val counts = base.select(col("doc_id"), size(col("shs")).as("n_sh"))
-        val sh0 = base.select(col("doc_id"), explode(col("shs")).as("sh"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-        // same high-df shingle cap as q24 (above any test df; bounds hot
-        // buckets at scale without changing test output)
-        val rare = sh0.groupBy("shh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 128).select("shh")
-        val sh = sh0.join(rare, "shh")
-        val pairs = sh.as("a")
-          .join(sh.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("common"))
-          .join(broadcast(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na")), "da")
-          .join(broadcast(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")), "db")
-          .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.1)
-          .select("da", "db")
-          .localCheckpoint(true) // tiny; cuts the union below from re-running the self-join
-        base.unpersist()
-        var e = pairs.select(col("da").as("u"), col("db").as("v"))
-        var prev: org.apache.spark.sql.DataFrame = null
-        var sig = (-1L, -1L)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 12) {
-          // large-star: every edge both ways; per u, m = min(u, min Γ(u));
-          // bigger neighbors re-link to m
-          val nbr = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-          val mins = nbr.groupBy("u").agg(min("v").as("mn"))
-            .select(col("u"), least(col("u"), col("mn")).as("m"))
-          val ls = nbr.join(mins, "u").filter(col("v") > col("u"))
-            .select(col("v").as("u"), col("m").as("v"))
-            .filter(col("u") =!= col("v")).distinct()
-          // small-star: orient big→small; per u, every smaller neighbor
-          // and u itself link to the smallest neighbor
-          val nbr2 = ls.select(greatest(col("u"), col("v")).as("u"),
-            least(col("u"), col("v")).as("v"))
-          val mins2 = nbr2.groupBy("u").agg(min("v").as("m"))
-          val ss = nbr2.join(mins2, "u")
-            .select(col("v").as("u"), col("m").as("v"))
-            .unionByName(mins2.select(col("u"), col("m").as("v")))
-            .filter(col("u") =!= col("v")).distinct()
-            .localCheckpoint(false) // lazy: materialized by the signature job
-          // bit_xor, not sum: order-independent AND overflow-free under
-          // ANSI mode (sum of xxhash64s overflows long)
-          val row = ss.agg(count(lit(1)).as("n"),
-            expr("bit_xor(xxhash64(u, v))").as("h")).first()
-          val nsig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-          converged = nsig == sig
-          sig = nsig
-          // the signature job just materialized ss FROM the previous
-          // round's blocks — release them now
-          if (prev != null) prev.unpersist(false)
-          prev = ss
-          e = ss
-          rounds += 1
-        }
-        Console.err.println(s"[q75] CC converged in $rounds large/small-star rounds")
-        // fixpoint edge set is (node → component-min root); roots have no
-        // out-edge. groupBy-min is a no-op safety net (exactly one edge
-        // per non-root at fixpoint) that also dedups defensively.
-        val nodes = pairs.select(col("da").as("doc_id"))
-          .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
-        val labels = nodes
-          .join(e.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
-          .groupBy("doc_id")
-          .agg(min(coalesce(col("root"), col("doc_id"))).as("label"))
-        val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-        val out = labels
-          .join(sizes, "label")
-          .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-          .orderBy("doc_id")
-        Catalog.materializeAndRelease(out,
-          (if (prev != null) Seq(prev) else Nil) :+ pairs: _*)
-      },
+      (s, d) => dedupClusters(s, d),
       Some(s"""
         WITH RECURSIVE
              sh AS (SELECT doc_id, unnest(${shinglesDuck("toks")}) sh
@@ -523,6 +529,65 @@ object DedupQueries {
                coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos), '') AS clean_text,
                count(CASE WHEN cov THEN 1 END) AS n_removed
         FROM marked GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "duplicated-span removal: strip cross-document boilerplate 5-grams from every document")
+      doc = "duplicated-span removal: strip cross-document boilerplate 5-grams from every document"),
+
+    QueryDef(
+      "q90_dedup_survivors",
+      (s, d) => {
+        // The step after clustering (q75): pick ONE survivor per near-dup
+        // cluster, quality-aware — production dedup keeps the RICHEST
+        // representative, not an arbitrary one. Ranking key is
+        // all-integer (distinct-token count desc, doc_id asc), so no
+        // float ordering can diverge across engines; the per-cluster
+        // window partitions on cluster_id (bounded groups — near-dup
+        // clusters are small by construction, no skew risk at 100 TB).
+        val clusters = dedupClusters(s, d) // materialized star-contraction output
+        val uniq = table(s, d, "documents")
+          .select(col("doc_id"),
+            expr(s"size(array_distinct(${toksSpark("text")}))").cast("long").as("n_uniq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(desc("n_uniq"), col("doc_id"))
+        clusters.join(uniq, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+            col("cluster_size"), col("n_uniq"),
+            (col("cluster_size") - 1).as("n_dropped"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+             sh AS (SELECT doc_id, unnest(${shinglesDuck("toks")}) sh
+                    FROM (SELECT doc_id, ${toksDuck("text")} toks FROM documents)
+                    WHERE len(toks) >= 3),
+             counts AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+             pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             e0 AS (SELECT da, db FROM pairs
+                    JOIN counts ca ON ca.doc_id = da
+                    JOIN counts cb ON cb.doc_id = db
+                    WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.1),
+             edges AS (SELECT da a, db b FROM e0 UNION SELECT db, da FROM e0),
+             reach(a, b) AS (SELECT a, b FROM edges
+                             UNION
+                             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             clusters AS (SELECT a AS doc_id, least(a, min(b)) cluster_id
+                          FROM reach GROUP BY a),
+             sized AS (SELECT doc_id, cluster_id,
+                              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                       FROM clusters),
+             uniqc AS (SELECT doc_id,
+                              CAST(len(list_distinct(${toksDuck("text")})) AS BIGINT) n_uniq
+                       FROM documents),
+             ranked AS (SELECT s.cluster_id, s.doc_id, s.cluster_size, u.n_uniq,
+                               row_number() OVER (PARTITION BY s.cluster_id
+                                 ORDER BY u.n_uniq DESC, s.doc_id) rk
+                        FROM sized s JOIN uniqc u USING (doc_id))
+        SELECT cluster_id, doc_id AS survivor_id, cluster_size, n_uniq,
+               cluster_size - 1 AS n_dropped
+        FROM ranked WHERE rk = 1 ORDER BY cluster_id"""),
+      doc = "quality-aware dedup survivors: richest doc per near-dup cluster")
   )
 }
