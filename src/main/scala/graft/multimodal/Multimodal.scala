@@ -222,17 +222,76 @@ object Multimodal {
     }
   }
 
+  /** Header probe for the codec-bound image formats: DIMENSIONS are plain
+    * header bytes (no codec needed) and resolution thresholds are a
+    * standard curation filter at corpus scale — so width/height are REAL
+    * for JPEG (SOF segment walk), PNG (IHDR) and GIF (logical screen
+    * descriptor); only the pixel-derived feature vector falls back to the
+    * deterministic stub. */
+  final class ImageHeaderDecoder(pixelFallback: Decoder = new StubDecoder())
+    extends Decoder {
+
+    private def u16be(b: Array[Byte], off: Int) =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    private def u32be(b: Array[Byte], off: Int) =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    private def u16le(b: Array[Byte], off: Int) =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** (width, height) or an error string. */
+    private[multimodal] def dimensions(contentType: String,
+        b: Array[Byte]): Either[String, (Int, Int)] = contentType match {
+      case "image/png" =>
+        if (b.length < 24 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
+          Left("not a PNG signature")
+        else Right((u32be(b, 16), u32be(b, 20))) // IHDR is always first
+      case "image/gif" =>
+        if (b.length < 10 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F')
+          Left("not a GIF header")
+        else Right((u16le(b, 6), u16le(b, 8)))
+      case "image/jpeg" =>
+        if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+          Left("not a JPEG SOI")
+        else {
+          // walk marker segments to the first SOFn (C0-CF minus C4/C8/CC)
+          var i = 2
+          while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+            val m = b(i + 1) & 0xff
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+              return Right((u16be(b, i + 7), u16be(b, i + 5)))
+            if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no-length markers
+            else i += 2 + u16be(b, i + 2)
+          }
+          Left("no SOF segment found")
+        }
+      case other => Left(s"no header probe for $other")
+    }
+
+    override def decode(a: Asset): AssetFeatures =
+      dimensions(a.content_type, a.data) match {
+        case Right((w, h)) =>
+          pixelFallback.decode(a).copy(width = w, height = h, error = "")
+        case Left(err) =>
+          AssetFeatures(a.asset_id, a.container_id, a.media_type,
+            0, 0, 0L, 0, Array.empty, err)
+      }
+  }
+
   /** Dispatch by content type: REAL parsing for the library-free formats
-    * (PCM wav, binary ppm, uncompressed bmp), deterministic stub for
-    * formats whose codecs aren't in this container. */
+    * (PCM wav, binary ppm, uncompressed bmp), REAL dimensions via header
+    * probes for JPEG/PNG/GIF, deterministic stub for formats whose codecs
+    * aren't in this container. */
   final class RoutingDecoder(fallback: Decoder = new StubDecoder()) extends Decoder {
     private val wav = new PcmWavDecoder()
     private val ppm = new PpmDecoder()
     private val bmp = new BmpDecoder()
+    private val img = new ImageHeaderDecoder(fallback)
     override def decode(a: Asset): AssetFeatures = a.content_type match {
       case "audio/wav" => wav.decode(a)
       case "image/ppm" => ppm.decode(a)
       case "image/bmp" => bmp.decode(a)
+      case "image/jpeg" | "image/png" | "image/gif" => img.decode(a)
       case _ => fallback.decode(a)
     }
   }

@@ -139,13 +139,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new BmpDecoder().decode(bmp.copy(data = Array[Byte](1))).error == "not bmp")
   }
 
-  test("RoutingDecoder sends wav/ppm to real decoders, the rest to the stub") {
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def u32be(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      u32be(13) ++ "IHDR".getBytes ++ u32be(w) ++ u32be(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ u32be(0) // bit depth etc + fake crc
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def u16be(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++                       // SOI
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ u16be(6) ++
+      "JFIF".getBytes ++                                           // APP0
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ u16be(11) ++
+      Array[Byte](8) ++ u16be(h) ++ u16be(w) ++
+      Array[Byte](1, 1, 0x11, 0)                                   // SOF0
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ Array[Byte](
+      (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, 0, 0, 0)
+
+  test("image header probes read REAL dimensions for jpeg/png/gif") {
+    val d = new ImageHeaderDecoder()
+    assert(d.dimensions("image/png", pngBytes(640, 480)) == Right((640, 480)))
+    assert(d.dimensions("image/jpeg", jpegBytes(1920, 1080)) == Right((1920, 1080)))
+    assert(d.dimensions("image/gif", gifBytes(320, 200)) == Right((320, 200)))
+    assert(d.dimensions("image/png", Array[Byte](1, 2, 3)).isLeft)
+    assert(d.dimensions("image/jpeg", Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)).isLeft)
+  }
+
+  test("RoutingDecoder: wav/ppm real decoders, image headers probed, rest stubbed") {
     val wav = Asset("a.wav", "c1", "audio", "audio/wav", wavBytes(100, 0), 0L, Map.empty)
-    val png = Asset("b.png", "c1", "image", "image/png", Array[Byte](1, 2, 3), 0L, Map.empty)
-    val feats = extractFeatures(Seq(wav, png).toDS(), new RoutingDecoder())
+    val png = Asset("b.png", "c1", "image", "image/png", pngBytes(800, 600), 0L, Map.empty)
+    val mp4 = Asset("c.mp4", "c1", "video", "video/mp4", Array[Byte](1, 2, 3), 0L, Map.empty)
+    val bad = Asset("d.png", "c1", "image", "image/png", Array[Byte](9), 0L, Map.empty)
+    val feats = extractFeatures(Seq(wav, png, mp4, bad).toDS(), new RoutingDecoder())
       .collect().map(f => f.asset_id -> f).toMap
-    assert(feats("a.wav").n_frames == 100)   // real parse (sample count)
-    assert(feats("b.png").error == null)     // stub path still works
+    assert(feats("a.wav").n_frames == 100)           // real parse (sample count)
+    assert(feats("b.png").width == 800 && feats("b.png").height == 600) // real header
+    assert(feats("c.mp4").error == null)             // stub path still works
+    assert(feats("d.png").error != null && feats("d.png").error.nonEmpty)
   }
 
   test("feature table partitions by container and media type") {
