@@ -53,7 +53,7 @@ object AnnQueries {
       .select("vec_id", "v", "bucket")
       .persist()
     Catalog.materializeAndRelease(bucketed.as("a")
-      .join(bucketed.as("b"),
+      .join(bucketed.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.bucket").as("bucket"),
@@ -482,7 +482,7 @@ object AnnQueries {
             col("list_id").as("bucket"))
           .persist()
         val ivf = b.as("a")
-          .join(b.as("b"),
+          .join(b.as("b").hint("shuffle_hash"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
             (round(expr(cosSpark("a.v", "b.v")), 6) + 0.0).as("cos_sim"))
