@@ -52,6 +52,18 @@ class WebIngestSpec extends AnyFunSuite {
     assert(!main.contains("Home") && !main.contains("short"))
   }
 
+  test("HtmlText never throws on random tag soup (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    val pieces = Array("<div", ">", "</", "script>", "&", "&amp", ";", "<!--",
+      "-->", "<a href=\"", "\"", "<p>", "text ", "<", ">>", "&#", "12345",
+      "&#x", "ffff;", "<style>", "</style", "é", "\n", "<TITLE>", "]]>")
+    (1 to 200).foreach { _ =>
+      val soup = (1 to 30).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+      HtmlText.text(soup); HtmlText.title(soup)
+      HtmlText.paragraphs(soup); HtmlText.mainText(soup) // must not throw
+    }
+  }
+
   // ---- Warc ----------------------------------------------------------------
 
   private def crlf(s: String): Array[Byte] =
