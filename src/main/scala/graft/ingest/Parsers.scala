@@ -15,7 +15,7 @@ object Parsers {
   /** Extension whitelist gate (ref FileTypeValidator.cs, S8). */
   val allowedExtensions: Set[String] = Set(
     "txt", "md", "markdown", "mdx", "csv", "log", "json", "xml", "yaml",
-    "yml", "pdf", "docx", "pptx")
+    "yml", "pdf", "docx", "pptx", "html", "htm")
 
   def extension(fileName: String): String = {
     val i = fileName.lastIndexOf('.')
@@ -79,6 +79,18 @@ object Parsers {
     else ext match {
       case "pdf" => Right(PdfParser.parse(fileName, bytes))
       case "docx" | "pptx" => Right(OfficeParser.parse(fileName, bytes))
+      case "html" | "htm" =>
+        // beyond the reference's gate: index the EXTRACTED text, not the
+        // markup (HtmlText drops script/style/nav boilerplate; title and
+        // paragraph stats surface as metadata)
+        val html = new String(bytes, StandardCharsets.UTF_8)
+        val main = HtmlText.mainText(html)
+        val body = if (main.nonEmpty) main else HtmlText.text(html)
+        val meta = Map(
+          "file_name" -> fileName, "format" -> ext,
+          "line_count" -> body.linesIterator.length.toString) ++
+          (if (HtmlText.title(html).nonEmpty) Map("Title" -> HtmlText.title(html)) else Map.empty)
+        Right(ParsedDocument(body, meta))
       case _ => Right(parseText(fileName, new String(bytes, StandardCharsets.UTF_8)))
     }
   }

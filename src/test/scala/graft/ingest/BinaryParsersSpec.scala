@@ -405,4 +405,19 @@ class BinaryParsersSpec extends AnyFunSuite {
     val viaPdf = Parsers.parse("r.pdf", pdfBytes("BT (routed) Tj ET"))
     assert(viaPdf.exists(_.content.contains("routed")))
   }
+
+  test("Parsers.parse indexes extracted text for html, not markup") {
+    val html = ("<html><head><title>Page T</title><script>var x=1;</script></head>" +
+      "<body><nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/b'>More</a></nav>" +
+      "<p>The indexable body paragraph, long enough to keep as main content.</p>" +
+      "</body></html>").getBytes("UTF-8")
+    val p = Parsers.parse("page.html", html)
+    assert(p.isRight)
+    val d = p.toOption.get
+    assert(d.content.contains("indexable body paragraph"))
+    assert(!d.content.contains("<p>") && !d.content.contains("var x"))
+    assert(!d.content.contains("Home")) // nav boilerplate dropped
+    assert(d.metadata("Title") == "Page T")
+    assert(Parsers.isSupported("x.htm"))
+  }
 }
