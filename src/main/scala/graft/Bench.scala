@@ -21,15 +21,50 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () } // warm codegen
-      spark.catalog.clearCache() // warm runs must not occupy storage memory
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries that persist() intermediates would otherwise accumulate
-      // cached partitions across the suite and skew later measurements
+
+    // Materialization-honest action: count() lets Catalyst prune output
+    // columns, so a query whose cost lives in a payload column (q76's
+    // reassembly hid behind this for three rounds) times far below what a
+    // consumer pays. toRdd.count() evaluates the final physical plan's
+    // UnsafeRow projection — every output column is computed.
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      try df.queryExecution.toRdd.count() catch { case _: Throwable => -1L }
+
+    // Release ALL storage between measurements. clearCache() only empties
+    // the SQL CacheManager; localCheckpoint(true) blocks (from
+    // Catalog.materializeAndRelease) live at the RDD level and survived it,
+    // so in round 4 every query + its warm-up twin leaked blocks for the
+    // remaining 79-query suite and the late/heavy queries ran under
+    // accumulating memory pressure (q79 21 s vs ~1.5 s isolated).
+    def releaseStorage(): Unit = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try run(fn(spark, warmDir)) catch { case _: Throwable => () } // warm codegen
+      releaseStorage() // warm runs must not occupy storage memory
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gcDt = gcMillis() - gc0
+      val leftover = spark.sparkContext.getPersistentRDDs.size
+      val heapMb = {
+        val rt = Runtime.getRuntime
+        (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      }
+      // per-query telemetry so the next suite-context anomaly is diagnosable
+      // from the driver artifact (stderr — stdout stays one JSON line)
+      System.err.println(
+        f"[bench] $name%-28s ${dt}%8.3f s  gc=${gcDt}%5d ms  heap=${heapMb}%6d MB  rddBlocksLeft=$leftover")
+      releaseStorage()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -81,6 +116,7 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       (nChunks / math.max(ingestSec, 1e-9), times(times.length / 2))
     }
+    releaseStorage() // serving-index frames must not skew the streaming run
 
     // BASELINE "upload -> searchable < 30 s": wall time from dropping a
     // file into a watched dir until a hybrid search over the freshly-read

@@ -60,26 +60,32 @@ object IndexBuild {
       chunker: Chunker,
       cfg: ChunkingConfig): Dataset[BuiltChunk] = {
     import docs.sparkSession.implicits._
+    // token counter resolved HERE, on the driver, and shipped in the
+    // closure — executors must not re-read GRAFT_TIKTOKEN_VOCAB (a
+    // driver-only vocab file would silently mix budgets across the job)
+    val tc = graft.text.TokenCounters.default
     docs.flatMap { doc =>
-      val routed = Chunkers.route(doc.file_name, chunker)
-      val parsed = Parsers.parseText(doc.file_name, doc.content)
-      routed.chunk(parsed, cfg).map { c =>
-        val simple = Tokenizer.simple(c.content)
-        BuiltChunk(
-          chunk_id = s"${doc.document_id}:${c.chunkIndex}",
-          document_id = doc.document_id,
-          container_id = doc.container_id,
-          path = doc.path,
-          content = c.content,
-          chunk_index = c.chunkIndex,
-          token_count = c.tokenCount,
-          start_offset = c.startOffset,
-          end_offset = c.endOffset,
-          metadata = c.metadata,
-          tokens_simple = simple,
-          tokens_english = positionalEnglish(simple),
-          content_hash = sha256(c.content),
-          precomputed = c.precomputedEmbedding)
+      graft.text.TokenCounters.withCounter(tc) {
+        val routed = Chunkers.route(doc.file_name, chunker)
+        val parsed = Parsers.parseText(doc.file_name, doc.content)
+        routed.chunk(parsed, cfg).map { c =>
+          val simple = Tokenizer.simple(c.content)
+          BuiltChunk(
+            chunk_id = s"${doc.document_id}:${c.chunkIndex}",
+            document_id = doc.document_id,
+            container_id = doc.container_id,
+            path = doc.path,
+            content = c.content,
+            chunk_index = c.chunkIndex,
+            token_count = c.tokenCount,
+            start_offset = c.startOffset,
+            end_offset = c.endOffset,
+            metadata = c.metadata,
+            tokens_simple = simple,
+            tokens_english = positionalEnglish(simple),
+            content_hash = sha256(c.content),
+            precomputed = c.precomputedEmbedding)
+        }
       }
     }
   }

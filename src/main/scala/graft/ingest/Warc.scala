@@ -33,28 +33,65 @@ object Warc {
       httpContentType: String,
       body: Array[Byte])
 
-  /** All records in a (possibly gzipped) WARC byte stream. */
-  def records(bytes: Array[Byte]): Iterator[WarcRecord] = {
+  /** All records in a (possibly gzipped) WARC byte stream. The returned
+    * iterator is a [[WarcRecords]], exposing whether the stream ended
+    * cleanly or mid-record (silent data loss vs truncated-tail tolerance
+    * are different failure modes at crawl scale). */
+  def records(bytes: Array[Byte]): WarcRecords = {
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
       else new ByteArrayInputStream(bytes)
-    recordIterator(new java.io.BufferedInputStream(in))
+    new WarcRecords(new java.io.BufferedInputStream(in))
   }
 
-  private def recordIterator(in: InputStream): Iterator[WarcRecord] =
-    new Iterator[WarcRecord] {
-      private var nextRec: WarcRecord = null
-      // never-throw at the file boundary (Parsers' contract): a truncated
-      // or malformed tail — routine with partial crawl downloads — ends
-      // the iterator at the last complete record instead of failing the
-      // whole task
-      private def advance(): Unit = if (nextRec == null) {
+  /** Never-throw at the file boundary (Parsers' contract): a truncated or
+    * malformed tail — routine with partial crawl downloads — ends the
+    * iterator at the last complete record instead of failing the whole
+    * task. Unlike clean EOF, a mid-file failure is REPORTED: the shard may
+    * have lost every record after the bad one, so `midFileFailure` carries
+    * the reason (and a warn line is logged) for per-shard accounting
+    * rather than silent loss. Payloads a JVM array can't hold are skipped
+    * whole (`oversizeSkipped`) and iteration continues at the next record.
+    */
+  final class WarcRecords private[Warc] (in: InputStream)
+      extends Iterator[WarcRecord] {
+    private var nextRec: WarcRecord = null
+    private var done = false
+    private var recordsRead = 0L
+    private var failure: Option[String] = None
+    private var oversize = 0L
+
+    /** Some(reason) iff the stream ended mid-record rather than at a clean
+      * record boundary — only meaningful once the iterator is drained. */
+    def midFileFailure: Option[String] = failure
+    /** Complete records yielded so far. */
+    def recordCount: Long = recordsRead
+    /** Well-framed records whose payload exceeded Array[Byte] and were
+      * skipped in-stream. */
+    def oversizeSkipped: Long = oversize
+
+    private def fail(reason: String): Unit = {
+      failure = Some(s"$reason after $recordsRead records")
+      org.slf4j.LoggerFactory.getLogger(classOf[WarcRecords])
+        .warn(s"WARC shard ended mid-file: ${failure.get}")
+      done = true
+    }
+
+    @annotation.tailrec
+    private def advance(): Unit = if (nextRec == null && !done) {
+      val again: Boolean =
         try {
           var line = readLine(in)
           // skip inter-record blank lines
           while (line != null && line.isEmpty) line = readLine(in)
-          if (line != null && line.startsWith("WARC/")) {
+          if (line == null) { done = true; false } // clean EOF
+          else if (!line.startsWith("WARC/")) {
+            // garbage where a version line belongs: framing is lost and
+            // resync is not possible — everything after here is dropped
+            fail(s"expected WARC/ version line, got '${line.take(40)}'")
+            false
+          } else {
             val headers = scala.collection.mutable.Map[String, String]()
             var h = readLine(in)
             while (h != null && h.nonEmpty) {
@@ -63,29 +100,48 @@ object Warc {
                 h.substring(c + 1).trim
               h = readLine(in)
             }
-            val len = headers.getOrElse("content-length", "0").toInt
-            val payload = readN(in, len)
-            nextRec = WarcRecord(
-              warcType = headers.getOrElse("warc-type", ""),
-              targetUri = headers.getOrElse("warc-target-uri", "")
-                .stripPrefix("<").stripSuffix(">"),
-              date = headers.getOrElse("warc-date", ""),
-              contentType = headers.getOrElse("content-type", ""),
-              payload = payload)
+            // Content-Length is octets and may exceed Int.MaxValue
+            headers.getOrElse("content-length", "0").toLongOption match {
+              case None =>
+                fail(s"unparseable Content-Length " +
+                  s"'${headers.getOrElse("content-length", "")}'")
+                false
+              case Some(len) if len > Int.MaxValue - 16 =>
+                skipN(in, len) // framing intact: drop this record, keep going
+                oversize += 1
+                true
+              case Some(len) =>
+                val payload = readN(in, len.toInt)
+                nextRec = WarcRecord(
+                  warcType = headers.getOrElse("warc-type", ""),
+                  targetUri = headers.getOrElse("warc-target-uri", "")
+                    .stripPrefix("<").stripSuffix(">"),
+                  date = headers.getOrElse("warc-date", ""),
+                  contentType = headers.getOrElse("content-type", ""),
+                  payload = payload)
+                recordsRead += 1
+                false
+            }
           }
         } catch {
-          case _: EOFException | _: NumberFormatException |
-               _: java.util.zip.ZipException | _: java.io.IOException =>
-            nextRec = null
+          case e @ (_: EOFException | _: java.util.zip.ZipException |
+              _: java.io.IOException) =>
+            fail(e.getMessage match {
+              case null => e.getClass.getSimpleName
+              case m => m
+            })
+            false
         }
-      }
-      override def hasNext: Boolean = { advance(); nextRec != null }
-      override def next(): WarcRecord = {
-        advance()
-        if (nextRec == null) throw new NoSuchElementException
-        val r = nextRec; nextRec = null; r
-      }
+      if (again) advance()
     }
+
+    override def hasNext: Boolean = { advance(); nextRec != null }
+    override def next(): WarcRecord = {
+      advance()
+      if (nextRec == null) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
+  }
 
   /** `response` records decoded one level further: HTTP status line +
     * headers peeled off, body exposed — the (url, html) the pipeline
@@ -153,5 +209,15 @@ object Warc {
       off += r
     }
     out
+  }
+
+  private def skipN(in: InputStream, n: Long): Unit = {
+    var left = n
+    val buf = new Array[Byte](64 * 1024)
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (r < 0) throw new EOFException(s"truncated WARC payload: skipped ${n - left}/$n")
+      left -= r
+    }
   }
 }

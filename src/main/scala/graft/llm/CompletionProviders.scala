@@ -84,12 +84,11 @@ final class OllamaCompleter(
   override def streamChunk(line: String): Option[String] = {
     val t = line.trim
     if (t.isEmpty) None
-    else {
-      val n = mapper.readTree(t)
+    else scala.util.Try(mapper.readTree(t)).toOption.flatMap { n =>
+      // unparseable lines (error frames, truncated tails) yield None like
+      // keep-alives — one bad line must not kill the whole stream iterator
       val c = n.path("message").path("content").asText("")
-      if (c.nonEmpty && !n.path("done").asBoolean(false)) Some(c)
-      else if (c.nonEmpty) Some(c)
-      else None
+      if (c.nonEmpty) Some(c) else None
     }
   }
 }
@@ -234,14 +233,15 @@ final class AnthropicCompleter(
   }
 
   override def streamChunk(line: String): Option[String] = {
-    CompletionProviders.ssePayload(line).flatMap { payload =>
-      val n = mapper.readTree(payload)
-      if (n.path("type").asText() == "content_block_delta") {
-        val d = n.path("delta")
-        if (d.path("type").asText() == "text_delta") Some(d.path("text").asText())
-        else None
-      } else None
-    }
+    CompletionProviders.ssePayload(line)
+      .flatMap(p => scala.util.Try(mapper.readTree(p)).toOption)
+      .flatMap { n =>
+        if (n.path("type").asText() == "content_block_delta") {
+          val d = n.path("delta")
+          if (d.path("type").asText() == "text_delta") Some(d.path("text").asText())
+          else None
+        } else None
+      }
   }
 }
 
@@ -297,13 +297,17 @@ object CompletionProviders {
     }
   }
 
-  /** OpenAI-shape streaming delta: choices[0].delta.content. */
+  /** OpenAI-shape streaming delta: choices[0].delta.content. Unparseable
+    * payloads yield None (the keep-alive contract) — one malformed line
+    * must not kill the stream. */
   private[llm] def sseDelta(mapper: ObjectMapper, line: String): Option[String] =
-    CompletionProviders.ssePayload(line).flatMap { payload =>
-      val c = mapper.readTree(payload).path("choices")
-      if (c.isArray && c.size > 0) {
-        val d = c.get(0).path("delta").path("content").asText("")
-        if (d.nonEmpty) Some(d) else None
-      } else None
-    }
+    CompletionProviders.ssePayload(line)
+      .flatMap(p => scala.util.Try(mapper.readTree(p)).toOption)
+      .flatMap { n =>
+        val c = n.path("choices")
+        if (c.isArray && c.size > 0) {
+          val d = c.get(0).path("delta").path("content").asText("")
+          if (d.nonEmpty) Some(d) else None
+        } else None
+      }
 }

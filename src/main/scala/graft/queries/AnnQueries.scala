@@ -472,11 +472,13 @@ object AnnQueries {
         // — the standard IVF-build shape at scale. Measured: the fit's
         // remaining ~3 s here is fixed MLlib overhead, not per-row work
         // (BENCH_NOTES r4), disclosed like q85's in-query training.
+        val tFit = System.nanoTime()
         val idx = graft.ann.Ivf.build(
           table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
             .coalesce(8),
           nLists = math.max(2, (n / 64).toInt), maxIter = 5, initMode = "random",
           fitSample = 0.25)
+        val fitSec = (System.nanoTime() - tFit) / 1e9
         val b = idx.assigned
           .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"),
             col("list_id").as("bucket"))
@@ -496,7 +498,13 @@ object AnnQueries {
               .when(col("cs_h").isNotNull, "hyperplane")
               .otherwise("ivf").as("found_by"))
           .orderBy("id_a", "id_b")
-        Catalog.materializeAndRelease(joined, b)
+        // phase split (r4 verdict item 3): the ~3 s MLlib fit floor must not
+        // mask a scan regression — both phases land in the bench stderr tail
+        val tScan = System.nanoTime()
+        val out = Catalog.materializeAndRelease(joined, b)
+        System.err.println(
+          f"[q88] kmeans_fit=${fitSec}%.2f s scan=${(System.nanoTime() - tScan) / 1e9}%.2f s")
+        out
       },
       None,
       doc = "SemDeDup IVF swap-in: k-means cells vs hyperplane cells, overlap in-row")

@@ -240,12 +240,15 @@ final class AzureBlobClient(
     .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.US)
     .withZone(ZoneOffset.UTC)
 
-  /** The documented SharedKey canonical string. Exposed for the spec. */
+  /** The documented SharedKey canonical string. Exposed for the spec.
+    * CanonicalizedHeaders must cover EVERY x-ms-* header the request sends
+    * (not a fixed date+version pair): a PUT also carries x-ms-blob-type,
+    * and omitting it from the signature makes real Azure/Azurite reject
+    * the request with 403 while offline pins stay green. */
   private[sources] def canonicalString(method: String, blobPath: String,
-      query: Seq[(String, String)], date: String, contentLength: Long,
-      contentType: String): String = {
-    val xmsHeaders = Seq(
-      "x-ms-date" -> date, "x-ms-version" -> ApiVersion).sortBy(_._1)
+      query: Seq[(String, String)], xms: Seq[(String, String)],
+      contentLength: Long, contentType: String): String = {
+    val xmsHeaders = xms.map { case (k, v) => (k.toLowerCase, v) }.sortBy(_._1)
       .map { case (k, v) => s"$k:$v" }.mkString("\n")
     val resource = s"/$account/$container" +
       (if (blobPath.isEmpty) "" else s"/$blobPath") +
@@ -268,20 +271,24 @@ final class AzureBlobClient(
       query: Seq[(String, String)], body: Array[Byte],
       contentType: String): StoreResponse = {
     val date = Rfc1123.format(clock())
-    val canonical = canonicalString(method, blobPath, query, date,
+    // the full x-ms-* set this request will carry — the signature and the
+    // wire headers must be built from the SAME sequence
+    val xms = Seq("x-ms-date" -> date, "x-ms-version" -> ApiVersion) ++
+      (if (method == "PUT") Seq("x-ms-blob-type" -> "BlockBlob") else Nil)
+    val canonical = canonicalString(method, blobPath, query, xms,
       body.length.toLong, contentType)
     val sig = java.util.Base64.getEncoder.encodeToString(SigV4.hmac(
       java.util.Base64.getDecoder.decode(accountKeyBase64), canonical))
-    val headers = Map(
-      "x-ms-date" -> date,
-      "x-ms-version" -> ApiVersion,
-      "Authorization" -> s"SharedKey $account:$sig") ++
-      (if (contentType.nonEmpty) Map("Content-Type" -> contentType) else Map.empty) ++
-      (if (method == "PUT") Map("x-ms-blob-type" -> "BlockBlob") else Map.empty)
+    val headers = xms.toMap ++
+      Map("Authorization" -> s"SharedKey $account:$sig") ++
+      (if (contentType.nonEmpty) Map("Content-Type" -> contentType) else Map.empty)
     val qs = if (query.isEmpty) ""
       else "?" + query.map { case (k, v) =>
         s"${SigV4.uriEncode(k)}=${SigV4.uriEncode(v)}" }.mkString("&")
-    val path = s"/$container" + (if (blobPath.isEmpty) "" else s"/$blobPath")
+    // URL path is percent-encoded (slashes kept); the canonicalized
+    // resource keeps the decoded name, matching the service's rules
+    val path = s"/$container" +
+      (if (blobPath.isEmpty) "" else s"/${SigV4.uriEncode(blobPath, keepSlash = true)}")
     exchange.send(method, s"$endpoint$path$qs", headers, body)
   }
 

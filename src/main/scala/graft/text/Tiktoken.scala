@@ -141,7 +141,23 @@ object TokenCounters {
   def set(c: TokenCounter): Unit = overrideCounter = Some(c)
   def reset(): Unit = overrideCounter = None
 
-  def default: TokenCounter = overrideCounter.getOrElse(fromEnv)
+  // Cluster contract: the counter must be resolved ONCE on the driver and
+  // shipped inside the job closure ([[withCounter]] from
+  // IndexBuild.chunkDocs). If executors re-read the environment instead, a
+  // vocab file that exists only on the driver silently mixes cl100k and
+  // regex token budgets within one chunking job.
+  private val shipped = new ThreadLocal[TokenCounter]
+
+  /** Run `f` with `tc` as the task-scoped counter — `tc` came over the
+    * wire in the closure, so every executor counts with the DRIVER's
+    * resolution. */
+  def withCounter[A](tc: TokenCounter)(f: => A): A = {
+    shipped.set(tc)
+    try f finally shipped.remove()
+  }
+
+  def default: TokenCounter =
+    Option(shipped.get).orElse(overrideCounter).getOrElse(fromEnv)
 
   private lazy val fromEnv: TokenCounter =
     sys.env.get("GRAFT_TIKTOKEN_VOCAB") match {

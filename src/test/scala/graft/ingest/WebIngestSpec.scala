@@ -156,6 +156,35 @@ class WebIngestSpec extends AnyFunSuite {
     assert(Warc.records(corrupt).map(_.warcType).toVector == Vector("response"))
   }
 
+  test("mid-file failures are REPORTED, clean EOF is not (shard accounting)") {
+    // clean end-of-file: no failure recorded
+    val clean = Warc.records(warcBytes)
+    assert(clean.toVector.length == 4)
+    assert(clean.midFileFailure.isEmpty && clean.recordCount == 4)
+    // truncated mid-payload: prior records survive AND the loss is visible
+    val truncated = java.util.Arrays.copyOfRange(warcBytes, 0, warcBytes.length * 2 / 5)
+    val t = Warc.records(truncated)
+    assert(t.toVector.nonEmpty)
+    assert(t.midFileFailure.exists(_.contains("truncated")))
+    // unparseable Content-Length mid-file: framing lost -> reported, not silent
+    val badLen = Warc.records(
+      record("warcinfo", "", crlf("software: test\n")) ++
+        crlf("WARC/1.0\nWARC-Type: response\nContent-Length: banana\n\n"))
+    assert(badLen.toVector.length == 1)
+    assert(badLen.midFileFailure.exists(_.contains("Content-Length")))
+    // garbage where a version line belongs: resync impossible -> reported
+    val garbage = Warc.records(
+      record("warcinfo", "", crlf("software: test\n")) ++ "XXXX not a record".getBytes)
+    assert(garbage.toVector.length == 1)
+    assert(garbage.midFileFailure.exists(_.contains("version line")))
+    // Content-Length parses as Long beyond Int.MaxValue (octet counts can):
+    // the skip hits EOF here, but the 2^31 overflow no longer kills framing
+    val big = Warc.records(
+      crlf(s"WARC/1.0\nWARC-Type: response\nContent-Length: ${3L * 1024 * 1024 * 1024}\n\n"))
+    assert(big.toVector.isEmpty)
+    assert(big.midFileFailure.exists(_.contains("truncated")))
+  }
+
   test("flatMap over file bytes is the Spark shape: records stream lazily") {
     val it = Warc.records(warcBytes)
     assert(it.hasNext) // nothing materialized beyond one record

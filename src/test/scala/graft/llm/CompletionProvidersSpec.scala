@@ -94,6 +94,27 @@ class CompletionProvidersSpec extends AnyFunSuite {
     assert(p.streamChunks(stream.iterator).mkString == "abc")
   }
 
+  test("malformed stream lines yield None, never kill the iterator") {
+    // one truncated/garbage line mid-stream must not lose the rest of the
+    // response — the keep-alive contract extends to unparseable payloads
+    val ollama = new OllamaCompleter("http://x", "m", new FakeTransport())
+    assert(ollama.streamChunks(Seq(
+      """{"message": {"content": "a"}}""",
+      """{"error": "model blew up""", // truncated JSON
+      """{"message": {"content": "b"}}""").iterator).mkString == "ab")
+    val openai = new OpenAiCompleter("http://api", "gpt-x", "k", new FakeTransport())
+    assert(openai.streamChunks(Seq(
+      """data: {"choices": [{"delta": {"content": "a"}}]}""",
+      """data: {not json at all""",
+      """data: {"choices": [{"delta": {"content": "b"}}]}""").iterator).mkString == "ab")
+    val anthropic = new AnthropicCompleter("http://api", "m", "k", new FakeTransport())
+    assert(anthropic.streamChunks(Seq(
+      """data: {"type": "content_block_delta", "delta": {"type": "text_delta", "text": "a"}}""",
+      """data: ]]garbage[[""",
+      """data: {"type": "content_block_delta", "delta": {"type": "text_delta", "text": "b"}}""").iterator)
+      .mkString == "ab")
+  }
+
   test("factory dispatches on the settings provider name") {
     val t = new FakeTransport("{}")
     assert(CompletionProviders.forName("ollama", "u", "m", "", t).provider == "Ollama")

@@ -144,13 +144,39 @@ class ObjectStoreSpec extends AnyFunSuite {
       clock = () => Instant.parse("2024-03-01T00:00:00Z"))
     val canonical = c.canonicalString("GET", "",
       Seq("restype" -> "container", "comp" -> "list", "prefix" -> "data/"),
-      "Fri, 01 Mar 2024 00:00:00 GMT", 0L, "")
+      Seq("x-ms-date" -> "Fri, 01 Mar 2024 00:00:00 GMT",
+        "x-ms-version" -> "2021-08-06"), 0L, "")
     assert(canonical ==
       "GET\n\n\n\n\n\n\n\n\n\n\n\n" +
         "x-ms-date:Fri, 01 Mar 2024 00:00:00 GMT\nx-ms-version:2021-08-06\n" +
         "/acct/corpus\ncomp:list\nprefix:data/\nrestype:container")
     // zero Content-Length canonicalizes as EMPTY (2015-02-21+ rule)
     assert(!canonical.contains("\n0\n"))
+  }
+
+  test("Azure PUT signs x-ms-blob-type and percent-encodes the blob URL") {
+    val x = new ScriptedExchange(ok(""))
+    val key = java.util.Base64.getEncoder.encodeToString("secret".getBytes)
+    val c = new AzureBlobClient("https://acct.blob.core.windows.net",
+      "acct", "corpus", key, x,
+      clock = () => Instant.parse("2024-03-01T00:00:00Z"))
+    c.put("dir/my file+v1.txt", "payload".getBytes, "text/plain")
+    val (m, url, h, body) = x.requests.head
+    assert(m == "PUT" && new String(body) == "payload")
+    // reserved chars percent-encoded, slash kept, so URI.create succeeds
+    assert(url == "https://acct.blob.core.windows.net/corpus/dir/my%20file%2Bv1.txt")
+    assert(h("x-ms-blob-type") == "BlockBlob")
+    // the signature covers the FULL x-ms-* set actually sent: recompute it
+    // from a canonical string that includes x-ms-blob-type (sorted first)
+    // and the decoded resource name, as real Azure will server-side
+    val expectedCanonical =
+      "PUT\n\n\n7\n\ntext/plain\n\n\n\n\n\n\n" +
+        "x-ms-blob-type:BlockBlob\n" +
+        "x-ms-date:Fri, 01 Mar 2024 00:00:00 GMT\nx-ms-version:2021-08-06\n" +
+        "/acct/corpus/dir/my file+v1.txt"
+    val expectedSig = java.util.Base64.getEncoder.encodeToString(SigV4.hmac(
+      java.util.Base64.getDecoder.decode(key), expectedCanonical))
+    assert(h("Authorization") == s"SharedKey acct:$expectedSig")
   }
 
   private val azPage1 = """<?xml version="1.0" encoding="utf-8"?>
