@@ -167,6 +167,25 @@ object Warc {
       }
     }
 
+  /** The writer half: serialize one `response` record (ISO 28500 layout —
+    * version line, named headers, Content-Length octets, CRLF CRLF
+    * separator) wrapping an HTTP 200 message. Fixture builders and
+    * corpus re-sharding jobs concatenate these into shard files that
+    * [[records]] reads back. */
+  def responseRecord(url: String, date: String, httpContentType: String,
+      body: Array[Byte]): Array[Byte] = {
+    val http =
+      s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n\r\n"
+        .getBytes(StandardCharsets.ISO_8859_1) ++ body
+    val head =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$url>\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    head ++ http ++ "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+  }
+
   /** (url, title, main_text) rows from one WARC file — the full CC-style
     * extraction step, composing [[responses]] with [[HtmlText]]. */
   def extractText(bytes: Array[Byte]): Iterator[(String, String, String)] =

@@ -18,6 +18,32 @@ object PipelineQueries {
 
   private val cfg = ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
 
+  /** q50's oracle: the RecursiveChunker is deterministic pure Scala, so its
+    * expected rows for the driver's sf0.01 corpus are FROZEN as a golden
+    * resource (regenerate with `Test/runMain graft.tools.GenChunkGolden`;
+    * ChunkGoldenDriftSpec fails first if chunker and resource disagree).
+    * The oracle is a VALUES table — valid ONLY at the driver's gate scale
+    * (sf0.01), which is the only scale the correctness harness runs.
+    */
+  private lazy val q50GoldenOracle: Option[String] = {
+    val in = getClass.getResourceAsStream("/golden/q50_chunks_sf001.csv")
+    if (in == null) None
+    else {
+      val rows = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || l.isEmpty)
+        .map { l =>
+          val f = l.split(",")
+          s"('${f(0)}',${f(1)},${f(2)},${f(3)},${f(4)},'${f(5)}')"
+        }.mkString(",")
+      Some(
+        "SELECT document_id, chunk_index, token_count, start_offset, " +
+          "end_offset, chunk_hash FROM (VALUES " + rows +
+          ") AS t(document_id, chunk_index, token_count, start_offset, " +
+          "end_offset, chunk_hash) " +
+          "ORDER BY CAST(document_id AS BIGINT), chunk_index")
+    }
+  }
+
   private def rawDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     table(s, d, "documents")
@@ -39,8 +65,8 @@ object PipelineQueries {
             col("start_offset"), col("end_offset"), sha2(col("content"), 256).as("chunk_hash"))
           .orderBy(col("document_id").cast("long"), col("chunk_index"))
       },
-      None,
-      doc = "C2 recursive chunking flatMap over the corpus"),
+      q50GoldenOracle,
+      doc = "C2 recursive chunking flatMap over the corpus, golden-oracled at sf0.01"),
 
     QueryDef(
       "q51_chunk_sentence_window",
@@ -155,6 +181,71 @@ object PipelineQueries {
           .orderBy("doc_id", "variant")
       },
       None,
-      doc = "CCNet-style quality classifier: LM perplexity feature + LR over self-supervised labels")
+      doc = "CCNet-style quality classifier: LM perplexity feature + LR over self-supervised labels"),
+
+    QueryDef(
+      "q91_warc_pipeline",
+      (s, d) => {
+        // Web-corpus ingestion end-to-end, HASH-ORACLED (r4 verdict item
+        // 6): wrap every document in HTML, envelope the corpus into
+        // sharded WARC files with the writer half, read them back through
+        // the REAL modules (Warc.records -> HTTP peel -> HtmlText
+        // main-content extraction), and emit per-doc quality metrics from
+        // the EXTRACTED text. The oracle computes the same metrics
+        // directly from `documents` — hash equality proves the whole
+        // envelope + HTTP + entity-escape + extraction path round-trips
+        // byte-exactly. Scale shape: one shard = one task (the CC
+        // layout); the only shuffle is the shard groupByKey, and real
+        // deployments skip it (shards arrive as files).
+        import s.implicits._
+        val docs = table(s, d, "documents")
+          .select(col("doc_id").cast("string"), col("text"))
+          .as[(String, String)]
+        val shards = docs
+          .groupByKey { case (id, _) => id.toLong % 32 }
+          .mapGroups { (_, it) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            it.toSeq.sortBy(_._1.toLong).foreach { case (id, text) =>
+              val escaped = text.replace("&", "&amp;")
+                .replace("<", "&lt;").replace(">", "&gt;")
+              val html = s"<html><head><title>doc $id</title></head>" +
+                s"<body><p>$escaped</p></body></html>"
+              bos.write(graft.ingest.Warc.responseRecord(
+                s"https://corpus.example/$id", "2024-05-01T00:00:00Z",
+                "text/html; charset=utf-8", html.getBytes("UTF-8")))
+            }
+            bos.toByteArray
+          }
+        val extracted = shards.flatMap { bytes =>
+          graft.ingest.Warc.extractText(bytes).map { case (url, title, main) =>
+            (url.substring(url.lastIndexOf('/') + 1), title, main)
+          }
+        }.toDF("doc_id", "title", "main_text")
+        extracted
+          .select(col("doc_id"), col("title"),
+            length(col("main_text")).cast("long").as("n_chars"),
+            size(expr(Frag.toksSpark("main_text"))).cast("long").as("n_words"),
+            sha2(col("main_text"), 256).as("extracted_hash"),
+            when(size(expr(Frag.toksSpark("main_text"))).between(5, 100000), 1)
+              .otherwise(0).as("kept"))
+          .orderBy(col("doc_id").cast("long"))
+      },
+      Some(s"""
+        WITH norm AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               'doc ' || doc_id AS title,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST(len(${Frag.toksDuck("t")}) AS BIGINT) AS n_words,
+               sha256(t) AS extracted_hash,
+               CASE WHEN len(${Frag.toksDuck("t")}) BETWEEN 5 AND 100000
+                    THEN 1 ELSE 0 END AS kept
+        FROM norm
+        WHERE length(t) >= 20
+        ORDER BY CAST(doc_id AS BIGINT)"""),
+      doc = "WARC write -> read -> HTML extract -> quality metrics, round-trip hash-oracled")
   )
 }

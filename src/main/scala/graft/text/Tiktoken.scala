@@ -70,6 +70,28 @@ object Tiktoken {
     try parseVocab(src.getLines()) finally src.close()
   }
 
+  /** Render a corpus-trained [[Bpe.Vocab]] as standard `.tiktoken` lines:
+    * every single byte ranks 0-255 (encoding stays total), then each
+    * merge's fused symbol at 256+ in merge order — rank order IS merge
+    * priority, the same construction as the published encodings. Merges
+    * touching Bpe's end-of-word sentinel have no byte representation and
+    * are skipped. Lets a deployment train a domain vocab with the
+    * distributed trainer and ship it through `GRAFT_TIKTOKEN_VOCAB`. */
+  def toTiktokenLines(vocab: Bpe.Vocab): Seq[String] = {
+    val singles = (0 until 256).map { b =>
+      s"${Base64.getEncoder.encodeToString(Array(b.toByte))} $b"
+    }
+    val merged = vocab.merges.iterator
+      .map { case (a, b) => a + b }
+      .filterNot(_.contains(Bpe.Eow))
+      .zipWithIndex
+      .map { case (sym, i) =>
+        val bytes = sym.getBytes(StandardCharsets.ISO_8859_1)
+        s"${Base64.getEncoder.encodeToString(bytes)} ${256 + i}"
+      }.toSeq
+    singles ++ merged
+  }
+
   /** Greedy tiktoken merge over one pre-tokenized piece: repeatedly fuse
     * the adjacent part pair whose concatenated bytes carry the LOWEST
     * rank (leftmost on ties) until no adjacent concatenation is ranked.
@@ -159,10 +181,15 @@ object TokenCounters {
   def default: TokenCounter =
     Option(shipped.get).orElse(overrideCounter).getOrElse(fromEnv)
 
-  private lazy val fromEnv: TokenCounter =
-    sys.env.get("GRAFT_TIKTOKEN_VOCAB") match {
+  /** The deploy-path resolution rule, with the environment injected so the
+    * full env-var -> loader -> counter path is testable (the JVM can't
+    * mutate its own sys.env). */
+  private[text] def resolveFromEnv(env: Map[String, String]): TokenCounter =
+    env.get("GRAFT_TIKTOKEN_VOCAB") match {
       case Some(path) if new java.io.File(path).isFile =>
         new TiktokenTokenCounter(Tiktoken.loadVocab(path))
       case _ => RegexTokenCounter
     }
+
+  private lazy val fromEnv: TokenCounter = resolveFromEnv(sys.env)
 }

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the q50 golden oracle: the frozen resource rows
+  * (golden/q50_chunks_sf001.csv) must equal what the CURRENT
+  * RecursiveChunker produces over the driver's sf0.01 corpus. A chunker
+  * semantics change (or regenerated testdata) fails HERE, in `sbt test`,
+  * before the driver's DuckDB compare can go red — regenerate with
+  * `Test/runMain graft.tools.GenChunkGolden` after intentional changes.
+  */
+class ChunkGoldenDriftSpec extends AnyFunSuite {
+
+  test("frozen q50 golden rows match a fresh chunker run at sf0.01") {
+    val spark = graft.TestSpark.spark
+    val golden = scala.io.Source
+      .fromInputStream(
+        getClass.getResourceAsStream("/golden/q50_chunks_sf001.csv"), "UTF-8")
+      .getLines().filterNot(l => l.startsWith("#") || l.isEmpty).toVector
+    assert(golden.nonEmpty)
+    val fresh = Catalog.queries("q50_chunk_recursive")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => s"${r.getString(0)},${r.getInt(1)},${r.getInt(2)}," +
+        s"${r.getInt(3)},${r.getInt(4)},${r.getString(5)}")
+      .toVector
+    assert(fresh.length == golden.length,
+      s"row count drifted: golden ${golden.length}, fresh ${fresh.length}")
+    val mismatches = golden.zip(fresh).zipWithIndex.collect {
+      case ((g, f), i) if g != f => s"row $i: golden=$g fresh=$f"
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("\n"))
+  }
+
+  test("the q50 oracle SQL is generated from the golden resource") {
+    val sql = Catalog.oracleSql("q50_chunk_recursive")
+    assert(sql.contains("VALUES") && sql.contains("chunk_hash"))
+    // row count in the SQL equals the resource row count
+    assert(sql.sliding(2).count(_ == "('") >= 694)
+  }
+}

@@ -111,6 +111,60 @@ class TiktokenSpec extends AnyFunSuite {
     } finally TokenCounters.reset()
   }
 
+  test("deploy path end-to-end: corpus-trained vocab file -> env resolution -> chunk budgets") {
+    // r4 verdict item 5: exercise the FULL env-var -> loader -> budget
+    // path against a real-format vocab trained by the corpus BPE trainer,
+    // not just the parser on synthetic lines.
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").as[String]
+    val vocab = Bpe.learn(texts, numMerges = 800)
+    val lines = Tiktoken.toTiktokenLines(vocab)
+    // the synthetic corpus has only 31 distinct words, so the trainer
+    // exhausts its merge space below numMerges; 256 byte ranks + every
+    // trainable in-word merge is still a few hundred entries
+    assert(lines.length > 256 + 30, s"expected a few hundred entries, got ${lines.length}")
+    val f = java.nio.file.Files.createTempFile("corpus", ".tiktoken")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    try {
+      // the deploy-path rule itself, with the env injected (a JVM cannot
+      // mutate sys.env): file present -> tiktoken counter; absent -> regex
+      val resolved = TokenCounters.resolveFromEnv(
+        Map("GRAFT_TIKTOKEN_VOCAB" -> f.toString))
+      assert(resolved.isInstanceOf[TiktokenTokenCounter])
+      assert(TokenCounters.resolveFromEnv(Map.empty) == RegexTokenCounter)
+      assert(TokenCounters.resolveFromEnv(
+        Map("GRAFT_TIKTOKEN_VOCAB" -> "/nonexistent")) == RegexTokenCounter)
+      // trained merges are live: the corpus's most frequent long word
+      // costs fewer tokens than its byte count
+      val word = texts.flatMap(Bpe.pretokenize).filter(_.length >= 5)
+        .groupByKey(identity).count().orderBy($"count(1)".desc).head()._1
+      assert(resolved.count(word) < word.length,
+        s"'$word' still costs ${resolved.count(word)} tokens")
+      // budgets through the REAL distributed chunk path — chunkDocs
+      // resolves the counter on the driver and ships it in the closure
+      TokenCounters.set(resolved)
+      try {
+        val docs = spark.createDataset(Seq(
+          graft.ingest.IndexBuild.RawDoc("d1", "c", "/t/d1.txt", "d1.txt",
+            texts.head())))
+        val cfg = graft.model.ChunkingConfig(
+          maxChunkSize = 32, overlap = 0, minChunkSize = 4)
+        val chunks = graft.ingest.IndexBuild
+          .chunkDocs(docs, graft.chunk.RecursiveChunker, cfg).collect()
+        assert(chunks.nonEmpty)
+        chunks.foreach { c =>
+          assert(c.token_count == resolved.count(c.content),
+            s"chunk token_count ${c.token_count} != vocab count ${resolved.count(c.content)}")
+        }
+        // and they are NOT the regex model's counts — the vocab priced them
+        assert(chunks.exists(c =>
+          c.token_count != RegexTokenCounter.count(c.content)))
+      } finally TokenCounters.reset()
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("loadVocab reads the standard file format from disk") {
     val f = java.nio.file.Files.createTempFile("vocab", ".tiktoken")
     java.nio.file.Files.write(f, vocabLines.mkString("\n").getBytes("UTF-8"))

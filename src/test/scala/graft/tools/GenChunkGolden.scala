@@ -1,0 +1,39 @@
+package graft.tools
+
+/** Regenerates the q50 golden chunk table (src/main/resources/golden/
+  * q50_chunks_sf001.csv) from the CURRENT RecursiveChunker over the
+  * driver's sf0.01 corpus. Run after any intentional chunker-semantics
+  * change:
+  *
+  *   sbt "Test/runMain graft.tools.GenChunkGolden"
+  *
+  * The resource backs q50's DuckDB oracle (PipelineQueries builds a
+  * VALUES query from it), so the driver hash-checks the chunker
+  * end-to-end; ChunkGoldenDriftSpec fails `sbt test` if the chunker and
+  * the frozen rows ever disagree.
+  */
+object GenChunkGolden {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.queries.Catalog.queries("q50_chunk_recursive")(
+      spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    val out = new StringBuilder
+    out ++= "# document_id,chunk_index,token_count,start_offset,end_offset,chunk_hash\n"
+    out ++= "# frozen q50 output over /root/testdata/sf0.01 — regenerate with GenChunkGolden\n"
+    rows.foreach { r =>
+      out ++= s"${r.getString(0)},${r.getInt(1)},${r.getInt(2)},${r.getInt(3)},${r.getInt(4)},${r.getString(5)}\n"
+    }
+    val path = java.nio.file.Paths.get(
+      "src/main/resources/golden/q50_chunks_sf001.csv")
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.write(path, out.toString.getBytes("UTF-8"))
+    println(s"[gen] wrote ${rows.length} rows to $path")
+    spark.stop()
+  }
+}
