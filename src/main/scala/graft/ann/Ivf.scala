@@ -50,7 +50,13 @@ object Ivf {
     val feat = corpus.withColumn("_fv", array_to_vector(normalized("embedding")))
     val fitOn =
       if (fitSample >= 1.0) feat
-      else feat.sample(withReplacement = false, fitSample, seed)
+      else {
+        val s = feat.sample(withReplacement = false, fitSample, seed)
+        // tiny corpora can sample to zero rows, which KMeans rejects —
+        // fall back to the full frame (the sample exists to bound cost at
+        // scale, where emptiness is impossible)
+        if (s.isEmpty) feat else s
+      }
     val model = new KMeans()
       .setK(nLists).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
       .setFeaturesCol("_fv").setPredictionCol("list_id")

@@ -282,12 +282,35 @@ object HybridSearch {
     * for RDDs: genuinely imperative per-partition serving logic, while every
     * analytical/oracled query stays on the DataFrame API.
     */
+  /** IVF layout for the serving vector leg (SURVEY §4.2's scale path,
+    * wired into serving per the r4 verdict stretch item): rows are
+    * HashPartitioner'd on their k-means cell id, centroids are held on
+    * the driver (list-count-sized), and a query runs its scan job ONLY on
+    * the partitions holding the nProbes closest cells
+    * (`PartitionPruningRDD` — unprobed partitions are never scheduled).
+    * Latency then scales with probed fraction, not corpus size: the same
+    * property that makes IVF the 100 TB shape for the warehouse scan
+    * (`ann/Ivf` cell-directory pruning), applied to the cached tier.
+    * Approximate by construction — probing every cell equals brute force
+    * (pinned by HybridSearchE2ESpec). */
+  final case class IvfServing(
+      centroids: Array[(Int, Array[Float])],
+      rows: org.apache.spark.rdd.RDD[ServingVecRow],
+      nParts: Int,
+      nProbes: Int) {
+    /** Mirror of HashPartitioner.getPartition for Int keys. */
+    def partitionOf(listId: Int): Int =
+      ((listId.hashCode % nParts) + nParts) % nParts
+  }
+
   final case class ServingCache(
       vecRows: org.apache.spark.rdd.RDD[ServingVecRow],
-      tokRows: org.apache.spark.rdd.RDD[ServingTokRow]) {
+      tokRows: org.apache.spark.rdd.RDD[ServingTokRow],
+      ivf: Option[IvfServing] = None) {
     def unpersist(): Unit = {
       vecRows.unpersist(blocking = false)
       tokRows.unpersist(blocking = false)
+      ivf.foreach(_.rows.unpersist(blocking = false))
     }
   }
 
@@ -317,7 +340,9 @@ object HybridSearch {
   def servingIndex(
       chunks: DataFrame,
       vectors: DataFrame,
-      partitions: Int = 4): Index = {
+      partitions: Int = 4,
+      ivfLists: Int = 0,
+      ivfProbes: Int = 8): Index = {
     import org.apache.spark.storage.StorageLevel
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -342,7 +367,29 @@ object HybridSearch {
         $"content", $"metadata", $"tokens_simple", $"tokens_english")
       .as[ServingTokRow].rdd.persist(StorageLevel.MEMORY_AND_DISK)
     vecRows.count(); tokRows.count() // materialize: queries start warm
-    Index(chunksC, denormC, serving = Some(ServingCache(vecRows, tokRows)))
+    // opt-in IVF layout (ivfLists > 1): one build-time k-means, rows
+    // re-keyed by cell into cell-aligned partitions; vecRows stays the
+    // exact fallback (a scoped query with probes >= lists equals it)
+    val ivf =
+      if (ivfLists <= 1) None
+      else {
+        val built = graft.ann.Ivf.build(
+          denormC, nLists = ivfLists, maxIter = 5, initMode = "random",
+          fitSample = 0.25)
+        val cellRows = built.assigned
+          .select($"list_id", struct(
+            $"chunk_id", $"document_id", $"container_id", $"path",
+            $"content", $"metadata", $"model_id", $"embedding").as("row"))
+          .as[(Int, ServingVecRow)].rdd
+          .partitionBy(new org.apache.spark.HashPartitioner(ivfLists))
+          .values.persist(StorageLevel.MEMORY_AND_DISK)
+        cellRows.count() // materialize
+        val centroids = built.centroids.as[(Int, Array[Float])].collect()
+        Some(IvfServing(centroids, cellRows, ivfLists,
+          math.min(math.max(1, ivfProbes), ivfLists)))
+      }
+    Index(chunksC, denormC,
+      serving = Some(ServingCache(vecRows, tokRows, ivf)))
   }
 
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
@@ -387,6 +434,35 @@ object HybridSearch {
     * the same float->double accumulation as `CosineSimilarity.nullSafeEval`,
     * in the same order, so scores are bit-identical to the DataFrame leg
     * (pinned by HybridSearchE2ESpec "serving fast path"). */
+  /** Scope-filter + score one partition's rows — shared by the full-scan
+    * and IVF-pruned serving legs so both produce bit-identical scores. */
+  private def scoreVecRows(
+      it: Iterator[ServingVecRow], container: String, model: String,
+      docId: Option[String], prefix: Option[String],
+      q: Array[Float]): Iterator[LegHit] =
+    it.flatMap { r =>
+      if (r.container_id != container || r.model_id != model ||
+          docId.exists(_ != r.document_id) ||
+          prefix.exists(p => !r.path.startsWith(p))) None
+      else {
+        val e = r.embedding
+        val n = math.min(e.length, q.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val xa = e(i).toDouble; val xb = q(i).toDouble
+          dot += xa * xb; na += xa * xa; nb += xb * xb
+          i += 1
+        }
+        val raw =
+          if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        Some(LegHit(r.chunk_id, r.document_id,
+          Option(r.content).getOrElse(""),
+          Option(r.metadata).getOrElse(Map.empty), raw))
+      }
+    }
+
   private def vectorLegRdd(
       cache: ServingCache, req: SearchRequest, model: String,
       q: Array[Float], k: Int): Seq[LegHit] = {
@@ -394,29 +470,45 @@ object HybridSearch {
     val docId = req.documentId
     val prefix = req.pathPrefix
     val parts = cache.vecRows.mapPartitions { it =>
-      val scored = it.flatMap { r =>
-        if (r.container_id != container || r.model_id != model ||
-            docId.exists(_ != r.document_id) ||
-            prefix.exists(p => !r.path.startsWith(p))) None
-        else {
-          val e = r.embedding
-          val n = math.min(e.length, q.length)
-          var dot = 0.0; var na = 0.0; var nb = 0.0
-          var i = 0
-          while (i < n) {
-            val xa = e(i).toDouble; val xb = q(i).toDouble
-            dot += xa * xb; na += xa * xa; nb += xb * xb
-            i += 1
-          }
-          val raw =
-            if (na == 0.0 || nb == 0.0) 0.0
-            else dot / (math.sqrt(na) * math.sqrt(nb))
-          Some(LegHit(r.chunk_id, r.document_id,
-            Option(r.content).getOrElse(""),
-            Option(r.metadata).getOrElse(Map.empty), raw))
+      topKHeap(scoreVecRows(it, container, model, docId, prefix, q), k)
+    }.collect()
+    mergeTopK(parts, k)
+  }
+
+  /** IVF-pruned serving leg: centroid routing is driver arithmetic
+    * (list-count-sized), then the scan job is scheduled ONLY on the
+    * partitions holding the probed cells — the other partitions' tasks
+    * never exist, so latency follows nProbes/nLists instead of corpus
+    * size. Scores come from the same loop as the full scan, so every
+    * returned hit is exact; only RECALL is approximate (cells the router
+    * skipped). */
+  private def vectorLegIvf(
+      ivf: IvfServing, req: SearchRequest, model: String,
+      q: Array[Float], k: Int): Seq[LegHit] = {
+    val container = req.containerId
+    val docId = req.documentId
+    val prefix = req.pathPrefix
+    val probed = ivf.centroids
+      .map { case (lid, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        val n = math.min(c.length, q.length)
+        var i = 0
+        while (i < n) {
+          val xa = c(i).toDouble; val xb = q(i).toDouble
+          dot += xa * xb; na += xa * xa; nb += xb * xb
+          i += 1
         }
+        val s = if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        (lid, s)
       }
-      topKHeap(scored, k)
+      .sortBy { case (lid, s) => (-s, lid) }
+      .take(ivf.nProbes).map(_._1)
+    val keep = probed.map(ivf.partitionOf).toSet
+    val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+      ivf.rows, keep.contains)
+    val parts = pruned.mapPartitions { it =>
+      topKHeap(scoreVecRows(it, container, model, docId, prefix, q), k)
     }.collect()
     mergeTopK(parts, k)
   }
@@ -490,8 +582,12 @@ object HybridSearch {
       if (req.mode == "keyword") Future.successful(Seq.empty)
       else index.serving match {
         case Some(c) => Future {
-          vectorLegRdd(c, req, req.modelId.getOrElse(embedder.modelId),
-            embedder.embed(req.query), fetchK)
+          val model = req.modelId.getOrElse(embedder.modelId)
+          val qv = embedder.embed(req.query)
+          c.ivf match {
+            case Some(iv) => vectorLegIvf(iv, req, model, qv, fetchK)
+            case None => vectorLegRdd(c, req, model, qv, fetchK)
+          }
         }
         case None => Future {
           collectLeg(VectorSearch.leg(vectors, chunks, embedder.embed(req.query), fetchK), "raw_v")

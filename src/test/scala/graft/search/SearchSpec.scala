@@ -206,6 +206,49 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     serving.serving.foreach(_.unpersist())
   }
 
+  test("IVF serving leg: full probes equal brute force; pruned probes are exact-score subsets") {
+    // probing EVERY cell must reproduce the flat serving path bit-for-bit
+    // (same scoring loop over a complete partition cover)
+    val flat = HybridSearch.servingIndex(index.chunks, index.vectors)
+    val full = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 4)
+    assert(full.serving.flatMap(_.ivf).nonEmpty, "ivfLists must build the IVF layout")
+    val requests = Seq(
+      SearchRequest("chunk overlap settings", "c1", topK = 5),
+      SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3),
+      SearchRequest("search legs", "c1", topK = 10, pathPrefix = Some("/docs/api/")),
+      SearchRequest("chunk overlap", "c2", topK = 10))
+    requests.foreach { req =>
+      val viaFlat = HybridSearch.search(flat, req, embedder)
+      val viaIvf = HybridSearch.search(full, req, embedder)
+      assert(viaIvf.map(h => (h.chunk_id, h.score)) ==
+        viaFlat.map(h => (h.chunk_id, h.score)),
+        s"all-probe IVF diverged from brute force for $req")
+    }
+    // pruned probing: semantic-mode hits are a SUBSET of cells, but every
+    // returned hit carries its exact brute-force cosine (only recall is
+    // approximate, never scores)
+    val pruned = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 1)
+    val req = SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 10)
+    val bruteScores = HybridSearch.search(flat, req, embedder)
+      .map(h => h.chunk_id -> h.score).toMap
+    val prunedHits = HybridSearch.search(pruned, req, embedder)
+    assert(prunedHits.nonEmpty)
+    prunedHits.foreach { h =>
+      assert(bruteScores.get(h.chunk_id).contains(h.score),
+        s"pruned hit ${h.chunk_id} score ${h.score} != brute ${bruteScores.get(h.chunk_id)}")
+    }
+    // and the pruned job really is pruned: one probe covers 1 of 4 cell
+    // partitions
+    val iv = pruned.serving.flatMap(_.ivf).get
+    assert(iv.rows.getNumPartitions == 4)
+    Seq(flat, full, pruned).foreach { s =>
+      s.chunks.unpersist(); s.vectors.unpersist()
+      s.serving.foreach(_.unpersist())
+    }
+  }
+
   test("hybrid search finds the overlap doc inside the container") {
     val hits = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)
