@@ -1,0 +1,48 @@
+package graft.queries
+
+/** Golden-resource oracles for DETERMINISTIC operators whose semantics are
+  * not ANSI-SQL-expressible (pure-Scala chunkers, the corpus BPE trainer):
+  * their expected rows over the driver's sf0.01 gate corpus are frozen as
+  * classpath CSVs and rendered into DuckDB VALUES queries, so the driver
+  * hash-verifies them like any relational query instead of recording a
+  * weaker rows-only check.
+  *
+  * Honesty contract: the frozen rows are produced BY the implementation
+  * (`Test/runMain graft.tools.GenGolden`), so a golden oracle pins
+  * determinism + stability, not independent semantics — those stay pinned
+  * by the unit suites (ChunkerSpec, BpeSpec). GoldenDriftSpec fails
+  * `sbt test` if implementation and frozen rows ever disagree, so a
+  * semantics change is caught locally before the driver's compare goes
+  * red. Valid ONLY at the gate scale (sf0.01) — the only scale the
+  * correctness harness runs.
+  *
+  * CSV layout: `# ` comment lines, then a header `name:type,...` with
+  * type in {str,int,long,double}, then data rows (generator asserts
+  * values are delimiter-free).
+  */
+object Golden {
+
+  def oracle(resource: String, orderBySql: String): Option[String] = {
+    val in = getClass.getResourceAsStream(s"/golden/$resource")
+    if (in == null) return None
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(l => l.startsWith("#") || l.isEmpty).toVector
+    val header = lines.head.split(",").map { h =>
+      val Array(n, t) = h.split(":"); (n, t)
+    }
+    val selectItems = header.map {
+      case (n, "long") => s"CAST($n AS BIGINT) AS $n"
+      case (n, "double") => s"CAST($n AS DOUBLE) AS $n" // VALUES decimals hash differently
+      case (n, _) => n
+    }
+    val rows = lines.tail.map { l =>
+      val f = l.split(",", -1)
+      header.zip(f).map {
+        case ((_, "str"), v) => s"'${v.replace("'", "''")}'"
+        case (_, v) => v
+      }.mkString("(", ",", ")")
+    }.mkString(",")
+    Some(s"SELECT ${selectItems.mkString(", ")} FROM (VALUES $rows) " +
+      s"AS t(${header.map(_._1).mkString(", ")}) ORDER BY $orderBySql")
+  }
+}

@@ -18,31 +18,6 @@ object PipelineQueries {
 
   private val cfg = ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
 
-  /** q50's oracle: the RecursiveChunker is deterministic pure Scala, so its
-    * expected rows for the driver's sf0.01 corpus are FROZEN as a golden
-    * resource (regenerate with `Test/runMain graft.tools.GenChunkGolden`;
-    * ChunkGoldenDriftSpec fails first if chunker and resource disagree).
-    * The oracle is a VALUES table — valid ONLY at the driver's gate scale
-    * (sf0.01), which is the only scale the correctness harness runs.
-    */
-  private lazy val q50GoldenOracle: Option[String] = {
-    val in = getClass.getResourceAsStream("/golden/q50_chunks_sf001.csv")
-    if (in == null) None
-    else {
-      val rows = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filterNot(l => l.startsWith("#") || l.isEmpty)
-        .map { l =>
-          val f = l.split(",")
-          s"('${f(0)}',${f(1)},${f(2)},${f(3)},${f(4)},'${f(5)}')"
-        }.mkString(",")
-      Some(
-        "SELECT document_id, chunk_index, token_count, start_offset, " +
-          "end_offset, chunk_hash FROM (VALUES " + rows +
-          ") AS t(document_id, chunk_index, token_count, start_offset, " +
-          "end_offset, chunk_hash) " +
-          "ORDER BY CAST(document_id AS BIGINT), chunk_index")
-    }
-  }
 
   private def rawDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
@@ -65,20 +40,27 @@ object PipelineQueries {
             col("start_offset"), col("end_offset"), sha2(col("content"), 256).as("chunk_hash"))
           .orderBy(col("document_id").cast("long"), col("chunk_index"))
       },
-      q50GoldenOracle,
+      // deterministic pure Scala -> golden VALUES oracle (queries/Golden)
+      Golden.oracle("q50_chunks_sf001.csv",
+        "CAST(document_id AS BIGINT), chunk_index"),
       doc = "C2 recursive chunking flatMap over the corpus, golden-oracled at sf0.01"),
 
     QueryDef(
       "q51_chunk_sentence_window",
       (s, d) =>
-        // C5: per-sentence chunks with ±N window metadata (W4).
+        // C5: per-sentence chunks with ±N window metadata (W4). The window
+        // text itself is bulky and unsortable by the driver harness, so
+        // the output carries its length + sha256 — same information for a
+        // hash compare, scalar columns for the gate.
         IndexBuild.chunkDocs(rawDocs(s, d), Chunkers.forName("sentencewindow"), cfg)
           .toDF()
           .select(col("document_id"), col("chunk_index"),
-            col("metadata").getItem("window").as("window"))
+            length(col("metadata").getItem("window")).as("window_len"),
+            sha2(col("metadata").getItem("window"), 256).as("window_hash"))
           .orderBy(col("document_id").cast("long"), col("chunk_index")),
-      None,
-      doc = "C5 sentence-window chunking with window metadata"),
+      Golden.oracle("q51_windows_sf001.csv",
+        "CAST(document_id AS BIGINT), chunk_index"),
+      doc = "C5 sentence-window chunking, window text pinned by hash, golden-oracled"),
 
     QueryDef(
       "q52_hybrid_search_e2e",
@@ -115,8 +97,9 @@ object PipelineQueries {
           .groupBy("document_id")
           .agg(count(lit(1)).as("n_chunks"), sum("token_count").as("total_tokens"))
           .orderBy(col("document_id").cast("long")),
-      None,
-      doc = "C3 semantic chunking (adaptive breakpoints + mean-pool)"),
+      // HashEmbedder is deterministic, so the whole W1/W2/A6 pipeline is
+      Golden.oracle("q53_semantic_sf001.csv", "CAST(document_id AS BIGINT)"),
+      doc = "C3 semantic chunking (adaptive breakpoints + mean-pool), golden-oracled"),
 
     QueryDef(
       "q61_keyword_postings",

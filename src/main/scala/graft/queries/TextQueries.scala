@@ -422,8 +422,10 @@ object TextQueries {
             count(lit(1)).as("n_docs"))
           .orderBy("lang")
       },
-      None,
-      doc = "corpus-trained BPE tokenizer: learn merges distributed, count subwords"),
+      // trainer + encoder are deterministic (total orders everywhere), so
+      // the per-language rollup golden-oracles like the chunkers
+      Golden.oracle("q73_bpe_sf001.csv", "lang"),
+      doc = "corpus-trained BPE tokenizer: learn merges distributed, count subwords; golden-oracled"),
 
     QueryDef(
       "q77_bigram_lm",

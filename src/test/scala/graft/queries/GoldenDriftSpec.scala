@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards every golden oracle (queries/Golden): the frozen resource rows
+  * must equal what the CURRENT implementation produces over the driver's
+  * sf0.01 corpus. A semantics change (or regenerated testdata) fails
+  * HERE, in `sbt test`, before the driver's DuckDB compare can go red —
+  * regenerate with `Test/runMain graft.tools.GenGolden` after intentional
+  * changes.
+  */
+class GoldenDriftSpec extends AnyFunSuite {
+
+  graft.tools.GenGolden.targets.foreach { case (query, resource) =>
+    test(s"frozen $resource matches a fresh $query run at sf0.01") {
+      val spark = graft.TestSpark.spark
+      val goldenIn = getClass.getResourceAsStream(s"/golden/$resource")
+      assert(goldenIn != null, s"missing golden resource $resource")
+      val golden = scala.io.Source.fromInputStream(goldenIn, "UTF-8")
+        .getLines().filterNot(l => l.startsWith("#") || l.isEmpty).toVector
+      val df = Catalog.queries(query)(spark, "/root/testdata/sf0.01")
+      val fresh = graft.tools.GenGolden.render(df, query).linesIterator
+        .filterNot(l => l.startsWith("#") || l.isEmpty).toVector
+      assert(fresh.length == golden.length,
+        s"$query row count drifted: golden ${golden.length}, fresh ${fresh.length}")
+      val mismatches = golden.zip(fresh).zipWithIndex.collect {
+        case ((g, f), i) if g != f => s"line $i: golden=$g fresh=$f"
+      }
+      assert(mismatches.isEmpty, mismatches.take(5).mkString("\n"))
+    }
+  }
+
+  test("every golden target's oracle SQL is generated from its resource") {
+    graft.tools.GenGolden.targets.foreach { case (query, _) =>
+      val sql = Catalog.oracleSql(query)
+      assert(sql.contains("VALUES"), s"$query oracle missing")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/** Regenerates the golden CSV resources under src/main/resources/golden/
+  * that back the VALUES oracles for deterministic non-SQL-expressible
+  * queries (see `queries/Golden`). Run after any INTENTIONAL semantics
+  * change to a chunker / the BPE trainer:
+  *
+  *   sbt "Test/runMain graft.tools.GenGolden"
+  *
+  * GoldenDriftSpec fails `sbt test` first if an implementation and its
+  * frozen rows ever disagree.
+  */
+object GenGolden {
+
+  /** (query, resource file, header comment) triples to freeze. */
+  val targets: Seq[(String, String)] = Seq(
+    "q50_chunk_recursive" -> "q50_chunks_sf001.csv",
+    "q51_chunk_sentence_window" -> "q51_windows_sf001.csv",
+    "q53_chunk_semantic" -> "q53_semantic_sf001.csv",
+    "q73_bpe_tokencount" -> "q73_bpe_sf001.csv")
+
+  private def typeOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.StringType => "str"
+    case org.apache.spark.sql.types.IntegerType => "int"
+    case org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case other => sys.error(s"golden CSVs only carry scalar columns, got $other")
+  }
+
+  def render(df: DataFrame, query: String): String = {
+    val header = df.schema.fields
+      .map(f => s"${f.name}:${typeOf(f.dataType)}").mkString(",")
+    val out = new StringBuilder
+    out ++= s"# frozen $query output over /root/testdata/sf0.01 — regenerate with GenGolden\n"
+    out ++= header += '\n'
+    df.collect().foreach { r =>
+      val cells = r.toSeq.map { v =>
+        val s = String.valueOf(v)
+        require(!s.contains(",") && !s.contains("\n"),
+          s"golden cell needs quoting, refusing: $s")
+        s
+      }
+      out ++= cells.mkString(",") += '\n'
+    }
+    out.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    targets.foreach { case (query, resource) =>
+      val df = graft.queries.Catalog.queries(query)(spark, "/root/testdata/sf0.01")
+      val path = java.nio.file.Paths.get(s"src/main/resources/golden/$resource")
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path, render(df, query).getBytes("UTF-8"))
+      println(s"[gen] wrote $path")
+    }
+    spark.stop()
+  }
+}
