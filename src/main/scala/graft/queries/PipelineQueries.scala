@@ -83,8 +83,11 @@ object PipelineQueries {
           h.metadata("source")))
           .toDF("chunk_id", "document_id", "score", "source")
       },
-      None,
-      doc = "full hybrid search over a freshly built index"),
+      // chunk -> embed (HashEmbedder) -> two legs -> fusion is
+      // deterministic end to end (per-row math + total tie-break orders),
+      // so even the e2e search pipeline golden-oracles
+      Golden.oracle("q52_hybrid_sf001.csv", "chunk_id"),
+      doc = "full hybrid search over a freshly built index, golden-oracled"),
 
     QueryDef(
       "q53_chunk_semantic",

@@ -18,6 +18,7 @@ object GenGolden {
   val targets: Seq[(String, String)] = Seq(
     "q50_chunk_recursive" -> "q50_chunks_sf001.csv",
     "q51_chunk_sentence_window" -> "q51_windows_sf001.csv",
+    "q52_hybrid_search_e2e" -> "q52_hybrid_sf001.csv",
     "q53_chunk_semantic" -> "q53_semantic_sf001.csv",
     "q73_bpe_tokencount" -> "q73_bpe_sf001.csv")
 
