@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst form of the battery's engine-agnostic polynomial
+  * rolling hash (`Frag.polySpark` / `polyDuck`): fold
+  * `acc = (acc * 31 + codePoint) % 1000000007` over a string's code
+  * points, seed 7. The HOF form evaluates an interpreted
+  * `aggregate(sequence(1, length), ...)` lambda chain PER VALUE — this
+  * expression is one fused loop that participates in whole-stage codegen,
+  * and it is the hot inner operation of the entire dedup/fingerprint
+  * family (shingle hashes, simhash token hashes, split/sample/packing id
+  * hashes). Values are bit-identical to the HOF form for all non-empty
+  * inputs (empty strings return the bare seed, matching `polyDuck`'s
+  * empty-range fold; no battery site feeds empties — they come from
+  * regexp token extraction).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_hash expects a string arg, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(s: Any): Any =
+    PolyHash.hash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  /** Largest 31-bit prime — same modulus as `Frag.P`. */
+  val P = 1000000007L
+
+  /** The fold, over Unicode code points (matches DuckDB's `unicode()` and
+    * Spark's `ascii(substring(s, i, 1))` per-character probes). Static so
+    * generated code calls it directly inside whole-stage codegen. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 7L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Column form. */
+  def apply(c: Column): Column = Bridge.column(PolyHash(Bridge.expression(c)))
+}

@@ -87,7 +87,12 @@ object Frag {
   def toksDuck(col: String): String =
     s"regexp_extract_all(lower($col), '[a-z0-9]+')"
 
-  /** Polynomial hash of a string expr: fold(31*acc + codepoint) mod P, seed 7. */
+  /** Polynomial hash of a string expr: fold(31*acc + codepoint) mod P,
+    * seed 7 — the pure-Catalyst REFERENCE form. Battery queries use the
+    * native `graft.functions.PolyHash` expression (same values, one
+    * codegen loop; this HOF chain interprets its lambda per character and
+    * its substring probe is O(i), quadratic over long inputs).
+    * PolyHashSpec pins expression == this form. */
   def polySpark(tok: String): String =
     s"aggregate(sequence(1, length($tok)), 7L, (acc, i) -> (acc * 31 + ascii(substring($tok, i, 1))) % $P)"
   def polyDuck(tok: String): String =

@@ -231,7 +231,7 @@ object DedupQueries {
           .withColumn("toks", expr(toksSpark("text")))
           .filter(size(col("toks")) >= 3)
           .withColumn("sh", explode(expr(shinglesSpark("toks"))))
-          .select(col("doc_id"), expr(polySpark("sh")).as("h"))
+          .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
         // NOT persisted: sig feeds three consumers, but its groupBy
         // exchange is identical in all of them, so ReuseExchange computes
         // the shingle poly-hash pass once anyway — an explicit persist
@@ -291,7 +291,7 @@ object DedupQueries {
         // weighted polynomial hashes, sign -> bit.
         table(s, d, "documents")
           .withColumn("tok", explode(expr(toksSpark("text"))))
-          .withColumn("h", expr(polySpark("tok")))
+          .withColumn("h", graft.functions.PolyHash(col("tok")))
           .withColumn("j", explode(expr("sequence(0, 31)")))
           .withColumn("vote", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
           .groupBy("doc_id", "j")
@@ -336,7 +336,7 @@ object DedupQueries {
         // candidate set collapses toward the true pairs.
         val sig = table(s, d, "documents")
           .withColumn("tok", explode(expr(toksSpark("text"))))
-          .withColumn("h", expr(polySpark("tok")))
+          .withColumn("h", graft.functions.PolyHash(col("tok")))
           .withColumn("j", explode(expr("sequence(0, 31)")))
           .withColumn("vote", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
           .groupBy("doc_id", "j")

@@ -25,7 +25,7 @@ object ExportQueries {
         // and re-saltable for fresh splits. Narrow op: no shuffle at all.
         table(s, d, "documents")
           .withColumn("idstr", concat(lit("split-v1:"), col("doc_id").cast("string")))
-          .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("h", graft.functions.PolyHash(col("idstr")))
           .withColumn("bucket", (expr(mixSpark("h")) % 100).cast("int"))
           .withColumn("split",
             when(col("bucket") < 90, "train")
@@ -56,7 +56,7 @@ object ExportQueries {
         val w = Window.partitionBy("lang").orderBy(col("m"), col("doc_id"))
         table(s, d, "documents")
           .withColumn("idstr", concat(lit("sample-v1:"), col("doc_id").cast("string")))
-          .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("h", graft.functions.PolyHash(col("idstr")))
           .withColumn("m", expr(mixSpark("h")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 20)
@@ -89,7 +89,7 @@ object ExportQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, d, "documents")
           .withColumn("idstr", concat(lit("pack-v1:"), col("doc_id").cast("string")))
-          .withColumn("ph", expr(polySpark("idstr")))
+          .withColumn("ph", graft.functions.PolyHash(col("idstr")))
           .withColumn("shard", (expr(mixSpark("ph")) % 8).cast("int"))
           .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
           // floor, not cast: DuckDB CAST(double AS BIGINT) rounds-to-nearest
@@ -129,7 +129,7 @@ object ExportQueries {
             regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"))
           .withColumn("w", when(col("srcnum") % 2 === 0, 0.6).otherwise(1.7))
           .withColumn("idstr", concat(lit("mix-v1:"), col("doc_id").cast("string")))
-          .withColumn("h", expr(polySpark("idstr")))
+          .withColumn("h", graft.functions.PolyHash(col("idstr")))
           .withColumn("m", expr(mixSpark("h")))
           .withColumn("copies",
             (floor(col("w")) +

@@ -200,18 +200,17 @@ object TextQueries {
       "q33_fingerprint",
       (s, d) =>
         // Document fingerprinting: polynomial rolling hash of the normalized
-        // token stream — engine-agnostic exact arithmetic (Frag.polySpark's
-        // values). Folded over split(norm, '') rather than polySpark's
-        // substring(norm, i, 1) probe: substring is an O(i) UTF-8 scan, so
-        // the sequence fold is quadratic in document length — fine for the
-        // short tokens every other poly-hash site feeds it, ruinous over
-        // whole documents (this query was 3.5 s at sf0.1; the split fold is
-        // linear and computes the identical value).
+        // token stream — engine-agnostic exact arithmetic (Frag.polyDuck's
+        // values), computed by the native PolyHash expression: one codegen
+        // loop over code points. The HOF forms both lose: polySpark's
+        // substring(norm, i, 1) probe is an O(i) UTF-8 scan (quadratic over
+        // documents — 3.5 s at sf0.1), and even the linear split-fold pays
+        // interpreted-lambda cost per character (1.1 s); PolyHash measured
+        // 0.6 s.
         table(s, d, "documents")
           .withColumn("norm", expr(s"concat_ws(' ', ${toksSpark("text")})"))
           .select(col("doc_id"),
-            expr(s"aggregate(split(norm, ''), 7L, (acc, ch) -> (acc * 31 + ascii(ch)) % ${Frag.P})")
-              .as("fingerprint"))
+            graft.functions.PolyHash(col("norm")).as("fingerprint"))
           .orderBy("doc_id"),
       Some(s"""
         SELECT doc_id, ${polyDuck("norm")} AS fingerprint

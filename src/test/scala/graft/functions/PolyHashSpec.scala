@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native PolyHash expression against the pure-Catalyst HOF
+  * reference form (`Frag.polySpark`) the oracles were built on, plus
+  * codegen participation and null handling. */
+class PolyHashSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("expression equals the HOF reference form on varied non-empty strings") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789 .,-_"
+    val samples =
+      (1 to 200).map(_ => (1 to (1 + rnd.nextInt(40)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString) ++
+        Seq("a", "spark join window", "Zürich", "naïve café", "日本語テキスト",
+          "emoji 😀 tail", "x" * 5000)
+    val df = samples.toDF("s")
+      .withColumn("native", PolyHash(col("s")))
+      .withColumn("hof", expr(graft.queries.Frag.polySpark("s")))
+    val diff = df.filter(col("native") =!= col("hof")).collect()
+    assert(diff.isEmpty, diff.take(3).mkString("\n"))
+    // and the registered SQL name resolves to the same expression
+    CosineSimilarity.register(spark) // ensure registry infra loaded
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
+    val viaSql = samples.toDF("s").selectExpr("poly_hash(s) AS h")
+      .as[Long].collect().toSeq
+    val viaCol = samples.toDF("s").select(PolyHash(col("s")))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("empty string returns the bare seed (polyDuck's empty-range fold)") {
+    assert(PolyHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString("")) == 7L)
+  }
+
+  test("null propagates") {
+    val out = Seq(Some("x"), None).toDF("s")
+      .select(PolyHash(col("s")).as("h")).collect()
+    assert(out(0).getLong(0) == (7L * 31 + 'x') % PolyHash.P)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("participates in whole-stage codegen (no CodegenFallback)") {
+    // spark.range is a codegen source (a local Seq constant-folds away)
+    val plan = spark.range(100)
+      .withColumn("s", concat(lit("doc-"), col("id").cast("string")))
+      .withColumn("h", PolyHash(col("s")))
+      .filter(col("h") > 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter") || plan.contains("WholeStageCodegen"),
+      plan.take(1200))
+    assert(!plan.toLowerCase.contains("codegenfallback"), plan.take(1200))
+  }
+}

@@ -204,16 +204,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p.take(1200))
   }
 
+  test("WARC pipeline shuffles once for sharding, then stays narrow (q91)") {
+    val p = plan("q91_warc_pipeline")
+    // one hash Exchange builds the shard files (real deployments skip it —
+    // shards arrive as files); extraction + metrics must add NO shuffle
+    // besides the final presentation sort
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.toLowerCase.contains("sortmergejoin"),
+      p.take(1500))
+  }
+
   test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used
     // by the extension directly
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.DotProduct.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => graft.functions.PolyHash(exprs(0)), "built-in")
     import spark.implicits._
-    Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b").createOrReplaceTempView("ext_v")
-    val r = spark.sql("SELECT cosine_sim(a, b) s, dot_product(a, b) d FROM ext_v").head()
+    Seq((Array(1f, 0f), Array(1f, 0f), "x")).toDF("a", "b", "s")
+      .createOrReplaceTempView("ext_v")
+    val r = spark.sql(
+      "SELECT cosine_sim(a, b) s, dot_product(a, b) d, poly_hash(s) h FROM ext_v").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) == 1.0)
+    assert(r.getLong(2) == (7L * 31 + 'x') % graft.functions.PolyHash.P)
   }
 }
