@@ -1,0 +1,119 @@
+package graft.multimodal
+
+/** Dependency-free DSP kernel for the audio feature path: an iterative
+  * radix-2 FFT plus the spectral reductions an audio-dedup fingerprint
+  * needs (per-frame power spectrum, geometric log-bands, spectral
+  * centroid). Pure Scala so the REAL frequency-domain feature extraction
+  * runs in this codec-less container; per-frame work is O(n log n) on a
+  * fixed frame size, embarrassingly parallel across assets
+  * (mapPartitions), which is the 100 TB shape.
+  */
+object Dsp {
+
+  /** In-place iterative radix-2 Cooley-Tukey. Length must be a power of
+    * two. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"fft size must be a power of two, got $n")
+    require(im.length == n, "re/im length mismatch")
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        val half = len >> 1
+        while (k < half) {
+          val ur = re(base + k); val ui = im(base + k)
+          val xr = re(base + k + half); val xi = im(base + k + half)
+          val vr = xr * cr - xi * ci
+          val vi = xr * ci + xi * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + half) = ur - vr; im(base + k + half) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Hann-windowed power spectrum of one frame: bins 0..n/2 (inclusive
+    * Nyquist), |X_k|^2. */
+  def powerSpectrum(frame: Array[Double]): Array[Double] = {
+    val n = frame.length
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val w = 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1)))
+      re(i) = frame(i) * w
+      i += 1
+    }
+    fft(re, im)
+    val out = new Array[Double](n / 2 + 1)
+    i = 0
+    while (i <= n / 2) {
+      out(i) = re(i) * re(i) + im(i) * im(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Sum the power spectrum into `nBands` geometrically spaced bands from
+    * `fLo` Hz to Nyquist — the log-frequency pooling (mel-like) every
+    * audio fingerprint uses. Bin 0 (DC) is excluded. */
+  def logBands(power: Array[Double], sampleRate: Double, nBands: Int,
+      fLo: Double = 100.0): Array[Double] = {
+    val nyquist = sampleRate / 2.0
+    val nBins = power.length - 1 // excluding DC slot convention below
+    val out = new Array[Double](nBands)
+    val ratio = math.pow(nyquist / fLo, 1.0 / nBands)
+    var k = 1
+    while (k < power.length) {
+      val f = k * nyquist / nBins
+      if (f >= fLo) {
+        var band = (math.log(f / fLo) / math.log(ratio)).toInt
+        if (band >= nBands) band = nBands - 1
+        out(band) += power(k)
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Power-weighted mean frequency in Hz (DC excluded). 0 for silence. */
+  def spectralCentroid(power: Array[Double], sampleRate: Double): Double = {
+    val nyquist = sampleRate / 2.0
+    val nBins = power.length - 1
+    var num = 0.0
+    var den = 0.0
+    var k = 1
+    while (k < power.length) {
+      val f = k * nyquist / nBins
+      num += f * power(k)
+      den += power(k)
+      k += 1
+    }
+    if (den == 0.0) 0.0 else num / den
+  }
+}

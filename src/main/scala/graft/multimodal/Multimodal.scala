@@ -70,57 +70,134 @@ object Multimodal {
     }
   }
 
-  /** REAL decoder for PCM WAV (RIFF little-endian byte parsing — no codec
-    * library needed): sample rate / channels / bit depth from the fmt
-    * chunk, duration from the data chunk, and an 8-band segment-RMS
-    * feature vector over the 16-bit samples. Containers without codec
-    * libraries can still decode this format for real; compressed formats
-    * stay behind [[StubDecoder]].
+  /** Parsed 16-bit PCM payload shared by the WAV decoders. */
+  private[multimodal] final case class Pcm(
+      channels: Int, sampleRate: Long, bits: Int,
+      durationMs: Long, samples: Array[Short])
+
+  /** RIFF little-endian WAV parse — no codec library needed. */
+  private[multimodal] def parseWav(b: Array[Byte]): Either[String, Pcm] = {
+    if (b.length < 44) return Left("short wav")
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return Left("not riff/wave")
+    def u16(off: Int) = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8))
+    def u32(off: Int) = ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+      ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
+    var off = 12
+    var sampleRate = 0L; var channels = 0; var bits = 0; var byteRate = 0L
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= b.length && (sampleRate == 0L || dataOff < 0)) {
+      val id = ascii(off, 4); val len = u32(off + 4)
+      if (id == "fmt ") {
+        channels = u16(off + 10); sampleRate = u32(off + 12)
+        byteRate = u32(off + 16); bits = u16(off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = math.min(len, b.length - dataOff) }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (sampleRate == 0L || dataOff < 0 || byteRate == 0L) return Left("missing fmt/data")
+    if (bits != 16) return Left(s"unsupported bit depth $bits")
+    val durationMs = dataLen * 1000L / byteRate
+    val nSamples = (dataLen / 2).toInt
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Right(Pcm(channels, sampleRate, bits, durationMs, samples))
+  }
+
+  /** REAL decoder for PCM WAV: sample rate / channels / bit depth from
+    * the fmt chunk, duration from the data chunk, and an 8-band
+    * segment-RMS feature vector over the 16-bit samples. Containers
+    * without codec libraries can still decode this format for real;
+    * compressed formats stay behind [[StubDecoder]].
     */
   final class PcmWavDecoder(bands: Int = 8) extends Decoder {
-    override def decode(a: Asset): AssetFeatures = {
-      def fail(msg: String) = AssetFeatures(a.asset_id, a.container_id,
+    override def decode(a: Asset): AssetFeatures = parseWav(a.data) match {
+      case Left(msg) => AssetFeatures(a.asset_id, a.container_id,
         a.media_type, 0, 0, 0L, 0, Array.empty, msg)
-      val b = a.data
-      if (b.length < 44) return fail("short wav")
-      def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
-      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return fail("not riff/wave")
-      def u16(off: Int) = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8))
-      def u32(off: Int) = ((b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
-        ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24))
-      var off = 12
-      var sampleRate = 0L; var channels = 0; var bits = 0; var byteRate = 0L
-      var dataOff = -1; var dataLen = 0L
-      while (off + 8 <= b.length && (sampleRate == 0L || dataOff < 0)) {
-        val id = ascii(off, 4); val len = u32(off + 4)
-        if (id == "fmt ") {
-          channels = u16(off + 10); sampleRate = u32(off + 12)
-          byteRate = u32(off + 16); bits = u16(off + 22)
-        } else if (id == "data") { dataOff = off + 8; dataLen = math.min(len, b.length - dataOff) }
-        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
-      }
-      if (sampleRate == 0L || dataOff < 0 || byteRate == 0L) return fail("missing fmt/data")
-      if (bits != 16) return fail(s"unsupported bit depth $bits")
-      val durationMs = dataLen * 1000L / byteRate
-      val nSamples = (dataLen / 2).toInt
-      val feat = new Array[Float](bands)
-      if (nSamples > 0) {
-        val per = math.max(1, nSamples / bands)
-        var band = 0
-        while (band < bands) {
-          val start = band * per
-          val end = if (band == bands - 1) nSamples else math.min(nSamples, start + per)
-          var acc = 0.0; var i = start
-          while (i < end) {
-            val s = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
-            acc += s.toDouble * s; i += 1
+      case Right(pcm) =>
+        val nSamples = pcm.samples.length
+        val feat = new Array[Float](bands)
+        if (nSamples > 0) {
+          val per = math.max(1, nSamples / bands)
+          var band = 0
+          while (band < bands) {
+            val start = band * per
+            val end = if (band == bands - 1) nSamples else math.min(nSamples, start + per)
+            var acc = 0.0; var i = start
+            while (i < end) {
+              val s = pcm.samples(i)
+              acc += s.toDouble * s; i += 1
+            }
+            feat(band) = if (end > start) math.sqrt(acc / (end - start)).toFloat / 32768f else 0f
+            band += 1
           }
-          feat(band) = if (end > start) math.sqrt(acc / (end - start)).toFloat / 32768f else 0f
-          band += 1
         }
-      }
-      AssetFeatures(a.asset_id, a.container_id, "audio",
-        channels, bits, durationMs, nSamples, feat, null)
+        AssetFeatures(a.asset_id, a.container_id, "audio",
+          pcm.channels, pcm.bits, pcm.durationMs, nSamples, feat, null)
+    }
+  }
+
+  /** REAL frequency-domain audio fingerprint (Dsp FFT — still no codec
+    * library): channel-mixed PCM is cut into `frameSize`-sample frames,
+    * each Hann-windowed power spectrum is pooled into `nBands` geometric
+    * log-bands, frames are averaged and L2-normalized, and the spectral
+    * centroid (as a fraction of Nyquist) rides in the last slot. Two
+    * encodings of the same recording land near each other in cosine
+    * space while different content separates — the audio analog of the
+    * embedding near-dup path, and the feature the ANN/dedup operators
+    * consume directly.
+    */
+  final class SpectralWavDecoder(nBands: Int = 16, frameSize: Int = 1024)
+      extends Decoder {
+    require((frameSize & (frameSize - 1)) == 0, "frameSize must be a power of two")
+
+    override def decode(a: Asset): AssetFeatures = parseWav(a.data) match {
+      case Left(msg) => AssetFeatures(a.asset_id, a.container_id,
+        a.media_type, 0, 0, 0L, 0, Array.empty, msg)
+      case Right(pcm) =>
+        // mix interleaved channels to mono
+        val ch = math.max(1, pcm.channels)
+        val n = pcm.samples.length / ch
+        val mono = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var c = 0; var acc = 0.0
+          while (c < ch) { acc += pcm.samples(i * ch + c); c += 1 }
+          mono(i) = acc / (ch * 32768.0)
+          i += 1
+        }
+        val nFrames = n / frameSize
+        val bands = new Array[Double](nBands)
+        var centroid = 0.0
+        var f = 0
+        while (f < nFrames) {
+          val frame = java.util.Arrays.copyOfRange(mono, f * frameSize, (f + 1) * frameSize)
+          val power = Dsp.powerSpectrum(frame)
+          val pb = Dsp.logBands(power, pcm.sampleRate.toDouble, nBands)
+          var k = 0
+          while (k < nBands) { bands(k) += pb(k); k += 1 }
+          centroid += Dsp.spectralCentroid(power, pcm.sampleRate.toDouble)
+          f += 1
+        }
+        val feat = new Array[Float](nBands + 1)
+        if (nFrames > 0) {
+          var norm = 0.0
+          var k = 0
+          while (k < nBands) { norm += bands(k) * bands(k); k += 1 }
+          norm = math.sqrt(norm)
+          k = 0
+          while (k < nBands) {
+            feat(k) = if (norm == 0.0) 0f else (bands(k) / norm).toFloat
+            k += 1
+          }
+          feat(nBands) =
+            (centroid / nFrames / (pcm.sampleRate / 2.0)).toFloat
+        }
+        AssetFeatures(a.asset_id, a.container_id, "audio",
+          pcm.channels, pcm.bits, pcm.durationMs, nFrames, feat, null)
     }
   }
 

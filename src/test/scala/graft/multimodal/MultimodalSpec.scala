@@ -81,6 +81,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.error == "short wav")
   }
 
+  /** 16-bit mono WAV of a pure sine at `hz`. */
+  private def sineWav(hz: Double, n: Int, rate: Int = 8000,
+      amp: Double = 0.5): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach { i =>
+      bb.putShort((amp * 32767 * math.sin(2 * math.Pi * hz * i / rate)).toShort)
+    }
+    bb.array()
+  }
+
+  test("Dsp.fft: impulse is flat, a bin-aligned sine peaks at its bin") {
+    val n = 64
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    re(0) = 1.0
+    Dsp.fft(re, im)
+    (0 until n).foreach { k =>
+      assert(math.abs(math.hypot(re(k), im(k)) - 1.0) < 1e-9)
+    }
+    // sine exactly on bin 5: spectrum concentrates there
+    val sig = Array.tabulate(n)(i => math.sin(2 * math.Pi * 5 * i / n))
+    val re2 = sig.clone(); val im2 = new Array[Double](n)
+    Dsp.fft(re2, im2)
+    val mags = (0 until n / 2 + 1).map(k => math.hypot(re2(k), im2(k)))
+    assert(mags.indexOf(mags.max) == 5)
+  }
+
+  test("SpectralWavDecoder: centroid tracks pitch, fingerprint separates content") {
+    def fp(hz: Double) = new SpectralWavDecoder(nBands = 16, frameSize = 1024)
+      .decode(Asset(s"$hz.wav", "c1", "audio", "audio/wav",
+        sineWav(hz, 8192), 0L, Map.empty))
+    val low = fp(500); val high = fp(3000)
+    assert(low.error == null && high.error == null)
+    assert(low.n_frames == 8 && low.feature.length == 17)
+    // centroid (fraction of the 4 kHz Nyquist) orders with pitch
+    val (cLow, cHigh) = (low.feature.last, high.feature.last)
+    assert(cLow < cHigh, s"$cLow !< $cHigh")
+    assert(math.abs(cLow - 500.0 / 4000) < 0.1, cLow.toString)
+    assert(math.abs(cHigh - 3000.0 / 4000) < 0.1, cHigh.toString)
+    // the fingerprint is amplitude-invariant (L2-normalized bands): the
+    // same content at a different level is near-identical...
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val quiet = new SpectralWavDecoder(16, 1024).decode(Asset("q.wav", "c1",
+      "audio", "audio/wav", sineWav(500, 8192, amp = 0.1), 0L, Map.empty))
+    assert(cos(low.feature.dropRight(1), quiet.feature.dropRight(1)) > 0.999)
+    // ...while different content separates in cosine space
+    assert(cos(low.feature.dropRight(1), high.feature.dropRight(1)) < 0.5)
+  }
+
   test("PpmDecoder parses real P6 bytes: dimensions and channel means") {
     val (w, h) = (4, 2)
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
