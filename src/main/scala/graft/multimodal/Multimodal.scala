@@ -70,6 +70,28 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a 16-bit mono PCM WAV of a pure sine — fixture builder
+    * for the audio pipeline (specs, the q92 driver query, smoke data). */
+  def synthSineWav(hz: Double, nSamples: Int, sampleRate: Int = 8000,
+      amplitude: Double = 0.5): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((amplitude * 32767 *
+        math.sin(2 * math.Pi * hz * i / sampleRate)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Parsed 16-bit PCM payload shared by the WAV decoders. */
   private[multimodal] final case class Pcm(
       channels: Int, sampleRate: Long, bits: Int,

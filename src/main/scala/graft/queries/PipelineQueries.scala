@@ -232,6 +232,48 @@ object PipelineQueries {
         FROM norm
         WHERE length(t) >= 20
         ORDER BY CAST(doc_id AS BIGINT)"""),
-      doc = "WARC write -> read -> HTML extract -> quality metrics, round-trip hash-oracled")
+      doc = "WARC write -> read -> HTML extract -> quality metrics, round-trip hash-oracled"),
+
+    QueryDef(
+      "q92_audio_neardup",
+      (s, d) => {
+        // Audio near-dup over REAL frequency-domain fingerprints, with an
+        // INDEPENDENT oracle: each doc synthesizes a sine whose pitch
+        // class is doc_id % 10 (classes a constant ratio 1.35 apart —
+        // wider than the 16-band log spacing, so classes can't share a
+        // band) at a doc-varying amplitude; SpectralWavDecoder's
+        // L2-normalized FFT fingerprints must then pair same-class docs
+        // (cosine ~1 despite amplitude differences) and separate the
+        // rest. DuckDB predicts the exact pair set from doc_id arithmetic
+        // alone — the audio DSP path has to EARN hash equality. Scale:
+        // fingerprints are embeddings; past the exact-join demo size the
+        // ANN/LSH operators consume them unchanged (q60's labeled exact
+        // baseline is the same shape).
+        import s.implicits._
+        val fps = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+          .as[Long]
+          .map { id =>
+            val hz = 150.0 * math.pow(1.35, (id % 10).toDouble)
+            val amp = 0.2 + (id % 7) * 0.1
+            val wav = graft.multimodal.Multimodal.synthSineWav(hz, 4096, 8000, amp)
+            val feat = new graft.multimodal.Multimodal.SpectralWavDecoder(16, 1024)
+              .decode(graft.multimodal.Multimodal.Asset(
+                id.toString, "c", "audio", "audio/wav", wav, 0L, Map.empty))
+              .feature.dropRight(1) // bands only; centroid slot excluded
+            (id, feat)
+          }.toDF("doc_id", "fp")
+        fps.as("a").join(fps.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .filter(graft.functions.CosineSimilarity(col("a.fp"), col("b.fp")) > 0.95)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 100)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 10 = b.id % 10
+        ORDER BY id_a, id_b"""),
+      doc = "audio near-dup over FFT fingerprints; oracle predicts pairs from construction")
   )
 }
