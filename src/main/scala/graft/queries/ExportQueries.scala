@@ -163,19 +163,37 @@ object ExportQueries {
         // Corpus statistics the way they run at 100 TB: HLL++ distinct
         // sketches and quantile sketches — mergeable partial aggregates, one
         // shuffle of sketch buffers instead of a distinct/sort of the corpus.
-        // Sketch internals are engine-private, so the driver gate is
-        // rows-only; CorpusSketchSpec pins the error bounds vs exact.
+        // Sketch INTERNALS are engine-private, so the driver can't compare
+        // estimates — instead the query verifies its own sketches against
+        // exact twins computed in the same aggregation and emits the
+        // verdicts as columns: the oracle independently checks n_docs and
+        // pins every verdict flag to 1, so a regressed sketch (estimate
+        // outside 3·rsd, disordered quantiles) flips a flag and fails the
+        // hash compare. The exact twins exist only in this self-verifying
+        // demo shape; production keeps the sketch side alone (that's the
+        // point of sketches). CorpusSketchSpec pins the tighter bounds.
         table(s, d, "documents")
           .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
           .groupBy("lang")
           .agg(
-            approx_count_distinct(col("text"), rsd = 0.02).as("approx_distinct_docs"),
-            percentile_approx(col("n_tok"), lit(0.5), lit(1000)).as("p50_tokens"),
-            percentile_approx(col("n_tok"), lit(0.95), lit(1000)).as("p95_tokens"),
-            count(lit(1)).as("n_docs"))
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("exact_distinct"),
+            approx_count_distinct(col("text"), rsd = 0.02).as("hll"),
+            percentile_approx(col("n_tok"), lit(0.5), lit(1000)).as("p50"),
+            percentile_approx(col("n_tok"), lit(0.95), lit(1000)).as("p95"),
+            min(col("n_tok")).as("mn"), max(col("n_tok")).as("mx"))
+          .select(col("lang"), col("n_docs"),
+            when(abs(col("hll") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.06, 1).otherwise(0).as("hll_within_3rsd"),
+            when(col("p50").between(col("mn"), col("mx")) &&
+              col("p95").between(col("mn"), col("mx")) &&
+              col("p50") <= col("p95"), 1).otherwise(0).as("quantiles_ordered"))
           .orderBy("lang"),
-      None,
-      doc = "sketch-based corpus stats: HLL distinct + quantile sketches"),
+      Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               1 AS hll_within_3rsd, 1 AS quantiles_ordered
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      doc = "sketch-based corpus stats, self-verified against exact twins; verdicts oracled"),
 
     QueryDef(
       "q67_token_histogram",
