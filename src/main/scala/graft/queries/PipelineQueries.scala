@@ -274,6 +274,110 @@ object PipelineQueries {
         SELECT a.id AS id_a, b.id AS id_b
         FROM ids a JOIN ids b ON a.id < b.id AND a.id % 10 = b.id % 10
         ORDER BY id_a, id_b"""),
-      doc = "audio near-dup over FFT fingerprints; oracle predicts pairs from construction")
+      doc = "audio near-dup over FFT fingerprints; oracle predicts pairs from construction"),
+
+    QueryDef(
+      "q93_classifier_verdict",
+      (s, d) => {
+        // q85's iterative LR is not SQL-expressible, but its BEHAVIOR is
+        // checkable: the q66 verdict pattern applied to the classifier.
+        // Mann-Whitney AUC (tie-averaged ranks over the 3-dp-rounded,
+        // layout-stable probabilities), unit-interval and gate-consistency
+        // checks — all reduced to flags the oracle pins to 1 next to the
+        // exact row count. A diverged fit, leaked probability or
+        // inconsistent keep gate flips a flag and fails the hash compare.
+        // AUC bound is 0.7 — the driver's synthetic documents are
+        // near-random token streams, so the learnable sequence signal is
+        // bounded (measured ~0.78; QualityClassifierSpec shows >0.95 on a
+        // corpus with real structure) — above-chance-with-margin is the
+        // honest pin here.
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, d, "documents").select("doc_id", "text")
+        val scored = graft.text.QualityClassifier.selfSupervised(docs)
+          .select(col("label").cast("int").as("label"),
+            col("quality_prob"),
+            (round(col("quality_prob"), 3) + 0.0).as("p"),
+            col("keep"))
+        // tie-averaged ranks: rank each row, then average within equal p
+        // (the verdict frame is 2 rows/doc — driver-small, single window)
+        val ranked = scored
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("p"), col("label"))))
+        val tieAvg = ranked.groupBy("p").agg(avg("rk").as("ark"))
+        val j = ranked.join(tieAvg, "p")
+        val agg = j.agg(
+          count(lit(1)).as("n_scored"),
+          sum(when(col("label") === 1, col("ark"))).as("posRankSum"),
+          sum(col("label")).as("nPos"),
+          sum(lit(1) - col("label")).as("nNeg"),
+          min("quality_prob").as("pMin"), max("quality_prob").as("pMax"),
+          sum(when(col("keep") =!= (col("p") > 0.5).cast("int"), 1)
+            .otherwise(0)).as("gateViolations"))
+        agg.select(
+          col("n_scored"),
+          when((col("posRankSum") - col("nPos") * (col("nPos") + 1) / 2.0) /
+            (col("nPos") * col("nNeg")) >= 0.7, 1).otherwise(0)
+            .as("auc_above_0p7"),
+          when(col("pMin") >= 0.0 && col("pMax") <= 1.0, 1).otherwise(0)
+            .as("probs_in_unit"),
+          when(col("gateViolations") === 0, 1).otherwise(0)
+            .as("gate_consistent"))
+      },
+      Some("""
+        SELECT CAST(2 * count(*) AS BIGINT) AS n_scored,
+               1 AS auc_above_0p7, 1 AS probs_in_unit, 1 AS gate_consistent
+        FROM documents"""),
+      doc = "q85's LR reduced to oracle-pinned verdict flags: AUC, prob range, gate consistency"),
+
+    QueryDef(
+      "q94_pca_verdict",
+      (s, d) => {
+        // The q66/q93 verdict pattern for q83's eigendecomposition (the
+        // one half of PCA no oracle can reproduce; q86 already
+        // hash-oracles the covariance Gramian). Model-level algebra is
+        // checked on the driver (components k×d — tiny): orthonormality
+        // and non-increasing explained variance. The distributed
+        // projection is checked row-by-row with Bessel's inequality
+        // (orthonormal projections can't exceed the centered input's
+        // energy — a wrong mean, unnormalized component or projection bug
+        // breaks it). All reduced to flags the oracle pins to 1 beside
+        // the exact row count.
+        import graft.queries.Frag.toDoubleSpark
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
+        val model = graft.ann.Pca.fit(e, "v", k = 8)
+        val comps = model.components
+        val orthonormal = comps.indices.forall { i =>
+          comps.indices.forall { j =>
+            val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+            math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6
+          }
+        }
+        val varOrdered = model.explainedVariance.forall(_ >= 0.0) &&
+          model.explainedVariance.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+        val meanLit = array(model.mean.map(lit(_)): _*)
+        val projected = graft.ann.Pca.project(e, "v", model)
+          .withColumn("projE",
+            expr("aggregate(proj, 0D, (a, x) -> a + x * x)"))
+          .withColumn("centeredE",
+            aggregate(zip_with(col("v"), meanLit, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x))
+        projected.agg(
+          count(lit(1)).as("n_vectors"),
+          sum(when(col("projE") <= col("centeredE") * (1 + 1e-9) + 1e-9, 0)
+            .otherwise(1)).as("besselViolations"))
+          .select(
+            col("n_vectors"),
+            lit(if (orthonormal) 1 else 0).as("components_orthonormal"),
+            lit(if (varOrdered) 1 else 0).as("variance_ordered"),
+            when(col("besselViolations") === 0, 1).otherwise(0)
+              .as("bessel_bound_holds"))
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               1 AS components_orthonormal, 1 AS variance_ordered,
+               1 AS bessel_bound_holds
+        FROM embeddings"""),
+      doc = "q83's eig half reduced to oracle-pinned verdicts: orthonormality, variance order, Bessel bound")
   )
 }
