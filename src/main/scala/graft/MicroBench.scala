@@ -74,6 +74,31 @@ object MicroBench {
         .cosineCol(params, q, col("qbytes"), col("qnrm")).as("s"))
         .filter(col("s") > 0.9).count()
     }
+
+    // ---- shingle-pipeline stage split (the q24/q25/q27/q75/q90 prelude):
+    // where does the banded-dedup family's shared prefix actually spend?
+    {
+      import graft.queries.Frag._
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text").persist()
+      docs.count()
+      def run(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.count()
+      time("tokenize only") {
+        run(docs.select(expr(toksSpark("text")).as("toks")))
+      }
+      time("tokenize + shingle HOF") {
+        run(docs.withColumn("toks", expr(toksSpark("text")))
+          .select(expr(shinglesSpark("toks")).as("sh")))
+      }
+      time("tok + shingle + explode + hash") {
+        run(docs.withColumn("toks", expr(toksSpark("text")))
+          .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+          .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h")))
+      }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -43,7 +43,8 @@ object StreamingIngest {
     val stream = spark.readStream
       .format("binaryFile")
       .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.{txt,md,markdown,csv,log,json,pdf,docx,pptx}")
+      .option("pathGlobFilter",
+        "*.{txt,md,markdown,csv,log,json,pdf,docx,pptx,warc,warc.gz}")
       .load(rootDir)
 
     stream.writeStream
@@ -53,28 +54,46 @@ object StreamingIngest {
         val docs = batch
           .select(col("path"), col("content"))
           .as[(String, Array[Byte])]
-          .map { case (path, bytes) =>
+          .flatMap { case (path, bytes) =>
             val fileName = path.substring(path.lastIndexOf('/') + 1)
             val normPath = path.stripPrefix("file:")
-            // id from container + FULL normalized path (same recipe as
-            // KnowledgeStore.bulkUpload): a basename-only id would collide
-            // for same-named files in different subdirectories (or different
-            // containers sharing a warehouse) and latest() would then
-            // permanently drop one file's chunks
-            // binary formats (pdf/docx/pptx) decode through the real
-            // parsers inside the stream's map; text formats pass through
-            val content = graft.ingest.Parsers.parse(fileName, bytes) match {
-              case Right(parsed) => parsed.content
-              case Left(_) =>
-                new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            if (fileName.endsWith(".warc") || fileName.endsWith(".warc.gz")) {
+              // a crawl shard is MANY documents: WARC → HTTP peel → HTML
+              // main-content extraction, one RawDoc per archived page,
+              // id from container + target URL (re-crawls of the same URL
+              // upsert via latest(), exactly like re-uploaded files)
+              graft.ingest.Warc.extractText(bytes).map { case (url, title, main) =>
+                IndexBuild.RawDoc(
+                  document_id = java.util.UUID.nameUUIDFromBytes(
+                    s"$containerId:$url".getBytes("UTF-8")).toString,
+                  container_id = containerId,
+                  path = url,
+                  file_name =
+                    if (title.nonEmpty) title
+                    else url.substring(url.lastIndexOf('/') + 1),
+                  content = main)
+              }
+            } else {
+              // id from container + FULL normalized path (same recipe as
+              // KnowledgeStore.bulkUpload): a basename-only id would collide
+              // for same-named files in different subdirectories (or
+              // different containers sharing a warehouse) and latest() would
+              // then permanently drop one file's chunks
+              // binary formats (pdf/docx/pptx) decode through the real
+              // parsers inside the stream's map; text formats pass through
+              val content = graft.ingest.Parsers.parse(fileName, bytes) match {
+                case Right(parsed) => parsed.content
+                case Left(_) =>
+                  new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              }
+              Iterator.single(IndexBuild.RawDoc(
+                document_id = java.util.UUID.nameUUIDFromBytes(
+                  s"$containerId:$normPath".getBytes("UTF-8")).toString,
+                container_id = containerId,
+                path = normPath,
+                file_name = fileName,
+                content = content))
             }
-            IndexBuild.RawDoc(
-              document_id = java.util.UUID.nameUUIDFromBytes(
-                s"$containerId:$normPath".getBytes("UTF-8")).toString,
-              container_id = containerId,
-              path = normPath,
-              file_name = fileName,
-              content = content)
           }
         if (!docs.isEmpty)
           upsertBatch(spark, docs, warehouse, chunkerName, cfg, embedder,

@@ -210,6 +210,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(vectors.count() == chunks.count())
   }
 
+  test("a WARC crawl shard streams in as one document per archived page") {
+    val root = java.nio.file.Files.createTempDirectory("graft-warc-in")
+    val wh = java.nio.file.Files.createTempDirectory("graft-warc-wh").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-warc-cp").toString
+    def html(title: String, body: String) =
+      s"<html><head><title>$title</title></head><body><p>$body</p></body></html>"
+    def resp(url: String, h: String) = graft.ingest.Warc.responseRecord(
+      url, "2024-05-01T00:00:00Z", "text/html; charset=utf-8", h.getBytes("UTF-8"))
+    val shard =
+      resp("https://site.example/a", html("Page A",
+        "alpha page body content long enough to keep and chunk properly.")) ++
+        resp("https://site.example/b", html("Page B",
+          "beta page body content long enough to keep and chunk properly."))
+    java.nio.file.Files.write(root.resolve("crawl-00001.warc"), shard)
+    // a plain text file alongside: both routes share one stream
+    java.nio.file.Files.writeString(root.resolve("note.txt"),
+      "plain text note beside the crawl shard. " * 3)
+
+    val q = StreamingIngest.start(spark, root.toString, "cW", wh, cp,
+      cfg, "recursive", emb, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val chunks = StreamingIngest.latest(spark.read.parquet(s"$wh/chunks"))
+    // one document per URL, ids keyed by container + URL (re-crawls upsert)
+    val urls = Seq("https://site.example/a", "https://site.example/b")
+    val expectedWarcIds = urls.map(u => java.util.UUID.nameUUIDFromBytes(
+      s"cW:$u".getBytes("UTF-8")).toString).toSet
+    val ids = chunks.select("document_id").distinct().as[String].collect().toSet
+    assert(expectedWarcIds.subsetOf(ids), s"got $ids")
+    assert(ids.size == 3) // 2 pages + the text file
+    // extracted MAIN text was chunked — boilerplate (title tag) dropped
+    val aChunks = chunks.filter($"path" === "https://site.example/a")
+      .select("content").as[String].collect()
+    assert(aChunks.exists(_.contains("alpha page body")))
+    assert(!aChunks.exists(_.contains("<p>")))
+    val vectors = StreamingIngest.latest(spark.read.parquet(s"$wh/vectors"))
+    assert(vectors.count() == chunks.count())
+  }
+
   test("stateful streaming sessionization matches the q59 batch twin") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
