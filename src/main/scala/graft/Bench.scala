@@ -47,7 +47,13 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset runs (A/B a query rework without the full battery):
+    // SPARK_GRAFT_BENCH_ONLY=q25,q26 — unset for the driver's full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () } // warm codegen
       releaseStorage() // warm runs must not occupy storage memory
       val gc0 = gcMillis()

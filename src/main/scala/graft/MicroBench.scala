@@ -97,6 +97,47 @@ object MicroBench {
           .withColumn("sh", explode(expr(shinglesSpark("toks"))))
           .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h")))
       }
+
+      // ---- signature-build shape: explode(sequence(0, N-1)) + groupBy
+      // (doc_id, k) vs N aggregate columns in ONE groupBy(doc_id) pass.
+      // The explode form inflates every hashed row N× before the partial
+      // aggregate; the wide form keeps row count flat and evaluates the N
+      // cheap per-row expressions inside the same hash-aggregate update.
+      val shingleHash = docs
+        .withColumn("toks", expr(toksSpark("text")))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+        .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
+      time("minhash explode x16 form") {
+        run(shingleHash
+          .withColumn("k", explode(expr("sequence(0, 15)")))
+          .withColumn("ph", expr(s"((2*k + 1) * h + 104729L * k) % $P"))
+          .groupBy("doc_id", "k").agg(min("ph").as("mh")))
+      }
+      time("minhash 16-agg-col form") {
+        val aggs = (0 until 16).map(k =>
+          min(expr(s"((2*$k + 1) * h + 104729L * $k) % $P")).as(s"mh$k"))
+        run(shingleHash.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
+      }
+      val tokHash = docs
+        .withColumn("tok", explode(expr(toksSpark("text"))))
+        .select(col("doc_id"), graft.functions.PolyHash(col("tok")).as("h"))
+      time("simhash explode x32 form") {
+        run(tokHash
+          .withColumn("j", explode(expr("sequence(0, 31)")))
+          .withColumn("vote", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "j").agg(sum("vote").as("v"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(1L, j) ELSE 0L END")).as("simhash")))
+      }
+      time("simhash 32-agg-col form") {
+        val votes = (0 until 32).map(j =>
+          sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$j"))
+        run(tokHash.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), expr((0 until 32)
+            .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j}L ELSE 0L END")
+            .mkString(" + ")).as("simhash")))
+      }
       docs.unpersist()
     }
     spark.stop()

@@ -16,6 +16,27 @@ object DedupQueries {
   import Catalog.table
   import Frag._
 
+  /** Per-doc 32-bit SimHash signatures (shared by q26/q27): bit j is the
+    * sign of the vote sum over token poly-hashes. Built as 32 aggregate
+    * COLUMNS in one groupBy(doc_id) pass — the explode(sequence(0,31))
+    * row form pushes tokens×32 rows through the partial aggregate and
+    * measured 2.3× slower at sf0.1 (MicroBench: 643 vs 276 ms). At 100 TB
+    * the difference is 32× fewer aggregate-input rows on every scan.
+    */
+  private def simhashSig(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val votes = (0 until 32).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$j"))
+    table(s, d, "documents")
+      .withColumn("tok", explode(expr(toksSpark("text"))))
+      .select(col("doc_id"), graft.functions.PolyHash(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr((0 until 32)
+        .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j}L ELSE 0L END")
+        .mkString(" + ")).as("simhash"))
+  }
+
   /** q75's pipeline — factored so q90 can rank survivors per cluster.
     *
     * Pairs -> CLUSTERS: production dedup keeps one survivor per
@@ -222,42 +243,49 @@ object DedupQueries {
         // pairs = docs sharing a band bucket; est. Jaccard = matching
         // signature fraction. Band-join shuffles on (band, band_hash) —
         // the linear-scale LSH shape.
-        // Row-oriented signature build: hash each shingle ONCE, then apply
-        // the 16 cheap permutations as exploded rows and min-aggregate.
-        // (A nested transform(seq16, k -> ... transform(hs, ...)) lambda
-        // form re-evaluates the shingle hashes 16x per row after Catalyst
-        // project-collapsing — 30x slower at sf0.1.)
+        // Signature build: hash each shingle ONCE, then take the 16
+        // permutation minima as 16 aggregate COLUMNS in one
+        // groupBy(doc_id) pass over the shingle rows. Two rejected forms,
+        // both measured at sf0.1: a nested transform(seq16, k -> ...
+        // transform(hs, ...)) lambda re-evaluates the shingle hashes 16x
+        // after Catalyst project-collapsing (30x slower); the
+        // explode(sequence(0,15)) row form pushes shingles×16 rows
+        // through the partial aggregate (1.3x slower here, 16x more
+        // aggregate-input rows at any scale).
         val shingleHash = table(s, d, "documents")
           .withColumn("toks", expr(toksSpark("text")))
           .filter(size(col("toks")) >= 3)
           .withColumn("sh", explode(expr(shinglesSpark("toks"))))
           .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
-        // NOT persisted: sig feeds three consumers, but its groupBy
-        // exchange is identical in all of them, so ReuseExchange computes
-        // the shingle poly-hash pass once anyway — an explicit persist
-        // measured ~1.6x SLOWER (cache write + GenericArrayData reads
-        // replace whole-stage codegen over the reused shuffle files)
+        val minAggs = (0 until 16).map(k =>
+          min(expr(s"((2*$k + 1) * h + 104729L * $k) % $P")).as(s"mh$k"))
+        // One row per doc, signature as a 16-element array: band hashes
+        // fold over in-row slices (no second aggregation) and the match
+        // fraction is a zip_with over the two arrays (no k-exploded
+        // joins) — the signature rides the row at every scale.
         val sig = shingleHash
-          .withColumn("k", explode(expr("sequence(0, 15)")))
-          .withColumn("ph", expr(s"((2*k + 1) * h + 104729L * k) % $P"))
-          .groupBy("doc_id", "k")
-          .agg(min("ph").as("mh"))
-        val bands = sig
-          .withColumn("band", (col("k") / 4).cast("int"))
-          .groupBy("doc_id", "band")
-          .agg(expr(s"aggregate(transform(sort_array(collect_list(struct(k, mh))), x -> x.mh), cast(band + 7 as bigint), (a, b) -> (a * 31 + b) % $P)")
-            .as("band_hash"))
+          .groupBy("doc_id")
+          .agg(minAggs.head, minAggs.tail: _*)
+          .select(col("doc_id"),
+            array((0 until 16).map(k => col(s"mh$k")): _*).as("sig"))
+        val bands = sig.select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, 3), b -> struct(cast(b as int) as band,
+              aggregate(slice(sig, b * 4 + 1, 4), cast(b + 7 as bigint),
+                        (a, x) -> (a * 31 + x) % $P) as band_hash))"""))
+          .as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.band_hash").as("band_hash"))
         val cand = bands.as("a")
           .join(bands.as("b").hint("shuffle_hash"),
             col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
         cand
-          .join(sig.select(col("doc_id").as("doc_a"), col("k"), col("mh").as("mh_a")), Seq("doc_a"))
-          .join(sig.select(col("doc_id").as("doc_b"), col("k"), col("mh").as("mh_b")), Seq("doc_b", "k"))
-          .groupBy("doc_a", "doc_b")
-          .agg(round(sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).cast("double") / 16, 6)
-            .as("est_jaccard"))
+          .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (s, v) -> s + v)")
+              .cast("double") / 16, 6).as("est_jaccard"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
@@ -288,17 +316,9 @@ object DedupQueries {
       "q26_simhash",
       (s, d) =>
         // SimHash: 32-bit signature — per-bit vote of token-frequency-
-        // weighted polynomial hashes, sign -> bit.
-        table(s, d, "documents")
-          .withColumn("tok", explode(expr(toksSpark("text"))))
-          .withColumn("h", graft.functions.PolyHash(col("tok")))
-          .withColumn("j", explode(expr("sequence(0, 31)")))
-          .withColumn("vote", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
-          .groupBy("doc_id", "j")
-          .agg(sum("vote").as("v"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(1L, j) ELSE 0L END")).as("simhash"))
-          .orderBy("doc_id"),
+        // weighted polynomial hashes, sign -> bit (wide-agg build, see
+        // simhashSig).
+        simhashSig(s, d).orderBy("doc_id"),
       Some(s"""
         WITH th AS (SELECT doc_id, ${polyDuck("tok")} h
                     FROM (SELECT doc_id, unnest(${toksDuck("text")}) tok FROM documents)),
@@ -334,15 +354,7 @@ object DedupQueries {
         // pairs fall within Hamming <= 4), so candidate pruning is weak
         // HERE by construction; on a discriminative real corpus the
         // candidate set collapses toward the true pairs.
-        val sig = table(s, d, "documents")
-          .withColumn("tok", explode(expr(toksSpark("text"))))
-          .withColumn("h", graft.functions.PolyHash(col("tok")))
-          .withColumn("j", explode(expr("sequence(0, 31)")))
-          .withColumn("vote", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
-          .groupBy("doc_id", "j")
-          .agg(sum("vote").as("v"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(1L, j) ELSE 0L END")).as("simhash"))
+        val sig = simhashSig(s, d)
         val sliced = sig.select("simhash").distinct()
           .withColumn("i", explode(expr("sequence(0, 4)")))
           .withColumn("slice", expr(
