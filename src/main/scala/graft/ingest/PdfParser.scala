@@ -29,12 +29,22 @@ import scala.collection.mutable
   * is the classic mail-safe wrapping). All are public-spec algorithms
   * (ISO 32000-1 §7.4) implemented here from the spec.
   *
+  * Subset-embedded fonts (ISO 32000-1 §9.10.3): when a font carries a
+  * /ToUnicode CMap, show-strings are decoded through it — the object
+  * graph (`N G obj` wrappers, ObjStm-packed font dicts via the scan
+  * text) links `/Font << /F1 N 0 R >>` resource names to their CMap
+  * streams, and `Tf` tracks the active font during extraction. bfchar,
+  * both bfrange forms, and 1- or 2-byte code widths are handled; names
+  * whose bindings conflict across pages fall back undecoded (per-page
+  * resource scoping is not modeled — wrong-map decoding would be worse
+  * than the flagged fallback).
+  *
   * Documented unsupported class (falls back to warnings, not wrong text):
   * image codecs (DCT/JPX/JBIG2/CCITT — raster data, no text to extract),
   * /Predictor DecodeParms (xref/image streams, not content streams), and
-  * subset-embedded fonts with custom /ToUnicode cmaps, where shown bytes
-  * aren't Latin-1 — extraction then yields garbled-but-flagged text, the
-  * same failure PdfPig reports as a per-page warning.
+  * subset fonts WITHOUT a /ToUnicode map (glyph-id-only), where
+  * extraction yields garbled-but-flagged text, the same failure PdfPig
+  * reports as a per-page warning.
   */
 object PdfParser {
 
@@ -51,8 +61,9 @@ object PdfParser {
       // PDF 1.5 object streams (/ObjStm) hold non-stream objects (page
       // dicts, the Info dict) Flate-compressed; content streams are always
       // top-level, so only the metadata scan needs their decoded text
-      val objStmText = streamObjects(bytes, raw).collect {
-        case (dict, data) if dict.contains("/ObjStm") =>
+      val streams = streamObjects(bytes, raw)
+      val objStmText = streams.collect {
+        case (_, dict, data) if dict.contains("/ObjStm") =>
           decodeFilters(dict, data).map(d => new String(d, StandardCharsets.ISO_8859_1))
       }.flatten.mkString("\n")
       val scanText = if (objStmText.isEmpty) raw else raw + "\n" + objStmText
@@ -61,19 +72,23 @@ object PdfParser {
       if (pageCount > 0) meta("PageCount") = pageCount.toString
       infoMetadata(scanText).foreach { case (k, v) => meta(k) = v }
 
+      // font resource name -> /ToUnicode CMap, for decoding show-strings
+      // of subset-embedded fonts whose bytes aren't character codes
+      val fonts = fontCMaps(scanText, streams)
+
       // walk every stream object; a decoded stream containing a BT text
       // object is one page of content (common case: one content stream per
       // page — multi-stream pages concatenate, matching viewer behavior)
       val sb = new StringBuilder
       var page = 0
-      streamObjects(bytes, raw).foreach { case (dict, data) =>
+      streams.foreach { case (_, dict, data) =>
         val decoded: Option[Array[Byte]] =
           if (dict.contains("/ObjStm")) None // metadata container, not content
           else decodeFilters(dict, data)
         decoded.map(d => new String(d, StandardCharsets.ISO_8859_1))
           .filter(_.contains("BT")).foreach { content =>
             page += 1
-            val text = extractText(content)
+            val text = extractText(content, fonts)
             if (text.trim.nonEmpty) {
               sb.append(s"--- Page $page ---").append('\n')
               sb.append(text).append('\n').append('\n')
@@ -102,9 +117,11 @@ object PdfParser {
       }.filter(_._2.nonEmpty)
     }
 
-  /** (dict-text, stream-bytes) for every `<< .. >> stream .. endstream`. */
-  private def streamObjects(bytes: Array[Byte], raw: String): Seq[(String, Array[Byte])] = {
-    val out = Vector.newBuilder[(String, Array[Byte])]
+  /** (obj-num, dict-text, stream-bytes) for every
+    * `N G obj << .. >> stream .. endstream` (objNum -1 if the wrapper is
+    * malformed — text extraction doesn't need it, font resolution does). */
+  private def streamObjects(bytes: Array[Byte], raw: String): Seq[(Int, String, Array[Byte])] = {
+    val out = Vector.newBuilder[(Int, String, Array[Byte])]
     var from = 0
     while ({ val i = raw.indexOf("stream", from); i >= 0 && {
       val isWord = (i == 0 || !raw.charAt(i - 1).isLetter) // not "endstream"
@@ -119,11 +136,16 @@ object PdfParser {
         if (end >= 0) {
           val dictStart = outermostDictStart(raw, i)
           val dict = if (dictStart >= 0) raw.substring(dictStart, i) else ""
+          val objNum =
+            if (dictStart <= 0) -1
+            else "(\\d+)\\s+\\d+\\s+obj\\s*$".r
+              .findFirstMatchIn(raw.substring(math.max(0, dictStart - 48), dictStart))
+              .map(_.group(1).toInt).getOrElse(-1)
           // strip the EOL that precedes "endstream"
           var dataEnd = end
           if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
           if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-          out += dict -> java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          out += ((objNum, dict, java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
           from = end + "endstream".length
         } else from = afterKeyword
       } else from = afterKeyword
@@ -309,11 +331,158 @@ object PdfParser {
 
   /** Text from one content stream: strings shown by Tj / TJ / ' / ",
     * line breaks at Td / TD / T* / ' (the next-line show operator). */
-  private[ingest] def extractText(content: String): String = {
+  /** A parsed /ToUnicode CMap (ISO 32000-1 §9.10.3): fixed code width in
+    * bytes (from the codespace range) and code -> Unicode text. Show-string
+    * bytes that miss the map pass through unchanged (partial subset maps). */
+  private[ingest] final case class ToUnicodeCMap(codeBytes: Int, map: Map[Int, String]) {
+    def decode(rawBytes: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < rawBytes.length) {
+        if (i + codeBytes <= rawBytes.length) {
+          var code = 0
+          var j = 0
+          while (j < codeBytes) { code = (code << 8) | (rawBytes.charAt(i + j) & 0xff); j += 1 }
+          map.get(code) match {
+            case Some(s) => out.append(s)
+            // unmapped: pass through (substring — scala StringBuilder has
+            // no (CharSequence, from, to) overload and would auto-tuple)
+            case None => out.append(rawBytes.substring(i, i + codeBytes))
+          }
+          i += codeBytes
+        } else { out.append(rawBytes.charAt(i)); i += 1 } // trailing partial code
+      }
+      out.toString
+    }
+  }
+
+  private val HexPair = "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>".r
+  private def hexToUtf16(hex: String): String =
+    // dst values are UTF-16BE; lenient on a 2-digit (single-byte) dst
+    if (hex.length % 4 == 0) hex.grouped(4).map(Integer.parseInt(_, 16).toChar).mkString
+    else hex.grouped(2).map(Integer.parseInt(_, 16).toChar).mkString
+
+  /** Parse a ToUnicode CMap stream's text: codespace width, `bfchar`
+    * pairs, `bfrange` runs (incrementing and array forms). */
+  private[ingest] def parseToUnicode(cmap: String): Option[ToUnicodeCMap] = {
+    val m = mutable.Map[Int, String]()
+    def section(begin: String, end: String): Iterator[String] = {
+      var from = 0
+      Iterator.continually {
+        val b = cmap.indexOf(begin, from)
+        if (b < 0) None
+        else {
+          val e = cmap.indexOf(end, b)
+          if (e < 0) None
+          else { from = e + end.length; Some(cmap.substring(b + begin.length, e)) }
+        }
+      }.takeWhile(_.isDefined).flatten
+    }
+    val codeBytes = section("begincodespacerange", "endcodespacerange")
+      .flatMap(s => "<([0-9a-fA-F]+)>".r.findFirstMatchIn(s).map(_.group(1).length / 2))
+      .toSeq.headOption
+    section("beginbfchar", "endbfchar").foreach { body =>
+      HexPair.findAllMatchIn(body).foreach { p =>
+        m(Integer.parseInt(p.group(1), 16)) = hexToUtf16(p.group(2))
+      }
+    }
+    section("beginbfrange", "endbfrange").foreach { body =>
+      val entry = ("<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s*" +
+        "(<[0-9a-fA-F]+>|\\[[^\\]]*\\])").r
+      entry.findAllMatchIn(body).foreach { e =>
+        val lo = Integer.parseInt(e.group(1), 16)
+        val hi = Integer.parseInt(e.group(2), 16)
+        val dst = e.group(3)
+        if (dst.startsWith("[")) {
+          // [ <d1> <d2> ... ] — one dst per code
+          val ds = "<([0-9a-fA-F]+)>".r.findAllMatchIn(dst).map(_.group(1)).toSeq
+          ds.zipWithIndex.foreach { case (d, k) =>
+            if (lo + k <= hi) m(lo + k) = hexToUtf16(d)
+          }
+        } else {
+          // <dstStart> — increment the LAST UTF-16 code unit (§9.10.3)
+          val base = hexToUtf16(dst.stripPrefix("<").stripSuffix(">"))
+          var c = lo
+          while (c <= hi && c - lo <= 0xffff) {
+            m(c) =
+              if (base.isEmpty) ""
+              else base.dropRight(1) + (base.last + (c - lo)).toChar
+            c += 1
+          }
+        }
+      }
+    }
+    if (m.isEmpty) None
+    else {
+      val width = codeBytes.getOrElse {
+        // no codespace range: infer from the widest source code seen
+        if (m.keys.max > 0xff) 2 else 1
+      }
+      Some(ToUnicodeCMap(width, m.toMap))
+    }
+  }
+
+  /** Font resource name (the `/F1` of `/F1 12 Tf`) -> ToUnicode CMap.
+    * Resolution walks `/Font << /Name N 0 R .. >>` resource dicts in the
+    * scan text (top-level AND ObjStm-decoded), then each font object's
+    * `/ToUnicode M 0 R`, then the CMap stream with object number M. Only
+    * UNAMBIGUOUS names are kept: a name bound to different CMaps on
+    * different pages can't be resolved without per-page resource scoping,
+    * and decoding with the wrong map is worse than the flagged fallback.
+    */
+  private def fontCMaps(scanText: String,
+      streams: Seq[(Int, String, Array[Byte])]): Map[String, ToUnicodeCMap] = {
+    // font object body by number: "N G obj <<..>>" wrappers in the scan text
+    val fontObjs = mutable.Map[Int, String]()
+    "(\\d+)\\s+\\d+\\s+obj\\b".r.findAllMatchIn(scanText).foreach { om =>
+      val end = scanText.indexOf("endobj", om.end)
+      val body = scanText.substring(om.end, if (end < 0) math.min(om.end + 2048, scanText.length) else end)
+      if (body.contains("/Font") || body.contains("/ToUnicode"))
+        fontObjs(om.group(1).toInt) = body
+    }
+    // ToUnicode CMap streams by object number
+    lazy val cmapByObj: Map[Int, Option[ToUnicodeCMap]] =
+      streams.collect { case (n, dict, data) if n >= 0 && !dict.contains("/ObjStm") =>
+        n -> (dict, data)
+      }.toMap.map { case (n, (dict, data)) =>
+        n -> decodeFilters(dict, data)
+          .map(d => new String(d, StandardCharsets.ISO_8859_1))
+          .filter(s => s.contains("bfchar") || s.contains("bfrange"))
+          .flatMap(parseToUnicode)
+      }
+    val toUnicodeRef = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+    def cmapOfFontObj(fontNum: Int): Option[ToUnicodeCMap] =
+      fontObjs.get(fontNum)
+        .flatMap(b => toUnicodeRef.findFirstMatchIn(b))
+        .flatMap(r => cmapByObj.getOrElse(r.group(1).toInt, None))
+    // every /Font resource dict binds names to font object refs
+    val bindings = mutable.Map[String, mutable.Set[Int]]()
+    "/Font\\s*<<([^>]*)>>".r.findAllMatchIn(scanText).foreach { fm =>
+      "/([#A-Za-z0-9_.+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fm.group(1))
+        .foreach { b =>
+          bindings.getOrElseUpdate(b.group(1), mutable.Set()) += b.group(2).toInt
+        }
+    }
+    bindings.flatMap { case (name, refs) =>
+      val cmaps = refs.toSeq.map(cmapOfFontObj).distinct
+      cmaps match {
+        case Seq(Some(c)) => Some(name -> c) // unambiguous
+        case _ => None // no CMap, or conflicting bindings across pages
+      }
+    }.toMap
+  }
+
+  private[ingest] def extractText(content: String,
+      fonts: Map[String, ToUnicodeCMap] = Map.empty): String = {
     val sb = new StringBuilder
     var lineOpen = false
+    var lastName: String = ""   // most recent /Name token (Tf operand)
+    var cmap: Option[ToUnicodeCMap] = None // active font's ToUnicode map
     def newline(): Unit = if (lineOpen) { sb.append('\n'); lineOpen = false }
-    def show(s: String): Unit = if (s.nonEmpty) { sb.append(s); lineOpen = true }
+    def show(s: String): Unit = {
+      val t = cmap.map(_.decode(s)).getOrElse(s)
+      if (t.nonEmpty) { sb.append(t); lineOpen = true }
+    }
 
     var i = 0
     var pending = Vector.empty[String] // strings seen since the last operator
@@ -339,6 +508,12 @@ object PdfParser {
         case '%' => // comment to end of line
           val nl = content.indexOf('\n', i)
           i = if (nl < 0) content.length else nl + 1
+        case '/' => // name token — remembered as the potential Tf operand
+          val start = i + 1
+          i = start
+          while (i < content.length && !content.charAt(i).isWhitespace &&
+            !"()<>[]/%".contains(content.charAt(i))) i += 1
+          lastName = content.substring(start, i)
         case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
           val start = i
           while (i < content.length && !content.charAt(i).isWhitespace &&
@@ -348,6 +523,7 @@ object PdfParser {
             case "'" | "\"" => newline(); pending.foreach(show); pending = Vector.empty
             case "Td" | "TD" | "T*" => newline(); pending = Vector.empty
             case "BT" | "ET" => newline(); pending = Vector.empty
+            case "Tf" => cmap = fonts.get(lastName); pending = Vector.empty
             case _ => pending = Vector.empty // any other operator consumes operands
           }
         case _ => i += 1

@@ -354,6 +354,115 @@ class BinaryParsersSpec extends AnyFunSuite {
     assert(bad.warnings.exists(_.contains("missing %PDF- header")))
   }
 
+  // ---- /ToUnicode CMaps (subset-embedded fonts, ISO 32000-1 §9.10.3) -----
+
+  /** Minimal conformant PDF: one page whose /F1 is a Type0 font with a
+    * /ToUnicode CMap (obj 7). Content stream uncompressed for clarity. */
+  def pdfWithCMap(content: String, cmap: String,
+      secondFontCMap: Option[String] = None): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /ABCDE+Subset " +
+      "/ToUnicode 7 0 R >> endobj\n")
+    w(s"7 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n")
+    secondFontCMap.foreach { c2 =>
+      // a SECOND page binds the same /F1 name to a different font+CMap
+      w("8 0 obj << /Type /Page /Parent 2 0 R /Contents 9 0 R " +
+        "/Resources << /Font << /F1 10 0 R >> >> >> endobj\n")
+      w("10 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 11 0 R >> endobj\n")
+      w(s"11 0 obj << /Length ${c2.length} >> stream\n$c2\nendstream endobj\n")
+    }
+    w("trailer << /Size 12 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  val helloCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0001> <0048>
+      |<0002> <0065>
+      |endbfchar
+      |2 beginbfrange
+      |<0003> <0004> <006C>
+      |<0010> <0012> [<006F> <0021> <00410042>]
+      |endbfrange
+      |endcmap""".stripMargin
+
+  test("pdf: Type0 /ToUnicode CMap decodes 2-byte hex show strings (S6)") {
+    // codes 1,2 via bfchar; 3,3 via incrementing bfrange; 0x10 via the
+    // array bfrange form -> "Hello"
+    val p = PdfParser.parse("t0.pdf", pdfWithCMap(
+      "BT /F1 12 Tf <00010002000300030010> Tj ET", helloCMap))
+    assert(p.content.contains("Hello"), p.content)
+  }
+
+  test("pdf: bfrange array form, multi-unit dst, unmapped pass-through") {
+    // 0x11 -> "!", 0x12 -> "AB" (two UTF-16 units); 0x0099 unmapped ->
+    // its raw bytes pass through untouched
+    val p = PdfParser.parse("t0.pdf", pdfWithCMap(
+      "BT /F1 12 Tf <001100120099> Tj ET", helloCMap))
+    assert(p.content.contains("!AB"), p.content)
+    assert(p.content.contains(" "), p.content.map(_.toInt).mkString(","))
+  }
+
+  test("pdf: literal strings decode through 1-byte CMaps; Tf switches maps") {
+    val oneByte =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<41> <005A>
+        |endbfchar
+        |endcmap""".stripMargin
+    // 'A' (0x41) remaps to 'Z'; 'b' unmapped passes through
+    val p = PdfParser.parse("t1.pdf", pdfWithCMap(
+      "BT /F1 12 Tf (Ab) Tj ET", oneByte))
+    assert(p.content.contains("Zb"), p.content)
+  }
+
+  test("pdf: conflicting /F1 bindings across pages fall back undecoded") {
+    val otherCMap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<0001> <0058>
+        |endbfchar
+        |endcmap""".stripMargin
+    // /F1 -> obj 5 (hello map) on page 1 but /F1 -> obj 10 (other map) on
+    // page 2: ambiguous, so the raw undecoded bytes must come through
+    val p = PdfParser.parse("amb.pdf", pdfWithCMap(
+      "BT /F1 12 Tf <0001> Tj (plain) Tj ET", helloCMap,
+      secondFontCMap = Some(otherCMap)))
+    assert(p.content.contains("plain"), p.content)
+    assert(!p.content.contains("H") && !p.content.contains("X"),
+      p.content.map(_.toInt).mkString(","))
+  }
+
+  test("pdf: parseToUnicode unit — widths, ranges, empty") {
+    val c = PdfParser.parseToUnicode(helloCMap).get
+    assert(c.codeBytes == 2)
+    assert(c.map(0x0001) == "H" && c.map(0x0004) == "m")
+    assert(c.map(0x0012) == "AB")
+    assert(PdfParser.parseToUnicode("begincmap endcmap").isEmpty)
+    // no codespace range: width inferred from the widest source code
+    val inferred = PdfParser.parseToUnicode(
+      "1 beginbfchar <41> <005A> endbfchar").get
+    assert(inferred.codeBytes == 1)
+  }
+
   test("pdf: object-stream (PDF 1.5) metadata is decoded; content unaffected") {
     // a compressed-xref-style file: page + Info dicts live INSIDE a
     // Flate-compressed /ObjStm; the content stream stays top-level
