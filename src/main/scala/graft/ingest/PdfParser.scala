@@ -39,10 +39,13 @@ import scala.collection.mutable
   * resource scoping is not modeled — wrong-map decoding would be worse
   * than the flagged fallback).
   *
+  * /DecodeParms /Predictor (PNG row predictors 10-15 incl. the
+  * Predictor-12 Up filter compressed-xref streams use, and TIFF
+  * horizontal differencing) is undone after Flate/LZW (§7.4.4.4).
+  *
   * Documented unsupported class (falls back to warnings, not wrong text):
-  * image codecs (DCT/JPX/JBIG2/CCITT — raster data, no text to extract),
-  * /Predictor DecodeParms (xref/image streams, not content streams), and
-  * subset fonts WITHOUT a /ToUnicode map (glyph-id-only), where
+  * image codecs (DCT/JPX/JBIG2/CCITT — raster data, no text to extract)
+  * and subset fonts WITHOUT a /ToUnicode map (glyph-id-only), where
   * extraction yields garbled-but-flagged text, the same failure PdfPig
   * reports as a per-page warning.
   */
@@ -112,9 +115,12 @@ object PdfParser {
     * best-effort over literal strings (hex-string metadata is skipped). */
   private def infoMetadata(raw: String): Seq[(String, String)] =
     Seq("Title", "Author", "Subject", "Creator", "CreationDate").flatMap { key =>
-      s"/$key\\s*\\(".r.findFirstMatchIn(raw).flatMap { m =>
-        readLiteralString(raw, m.end - 1).map { case (s, _) => key -> s }
-      }.filter(_._2.nonEmpty)
+      // first match whose literal string PARSES non-empty — compressed
+      // stream bytes can contain a spurious `/Key (` pattern that would
+      // shadow the real Info entry if only the first match were tried
+      s"/$key\\s*\\(".r.findAllMatchIn(raw)
+        .flatMap(m => readLiteralString(raw, m.end - 1).map(_._1))
+        .find(_.nonEmpty).map(key -> _)
     }
 
   /** (obj-num, dict-text, stream-bytes) for every
@@ -192,8 +198,8 @@ object PdfParser {
     else fs.foldLeft(Option(data)) { (acc, f) =>
       acc.flatMap { d =>
         f match {
-          case "FlateDecode" | "Fl"     => inflate(d)
-          case "LZWDecode" | "LZW"      => lzwDecode(d, earlyChange(dict))
+          case "FlateDecode" | "Fl"     => inflate(d).flatMap(unpredict(dict, _))
+          case "LZWDecode" | "LZW"      => lzwDecode(d, earlyChange(dict)).flatMap(unpredict(dict, _))
           case "ASCII85Decode" | "A85"  => ascii85Decode(d)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
           case _ => None // DCT/JPX/JBIG2/CCITT/Crypt: no text to extract
@@ -207,6 +213,67 @@ object PdfParser {
   private def earlyChange(dict: String): Int =
     "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
       .map(_.group(1).toInt).getOrElse(1)
+
+  private def parmInt(dict: String, name: String, dflt: Int): Int =
+    s"/$name\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(dflt)
+
+  /** Undo a /DecodeParms /Predictor after Flate/LZW (ISO 32000-1 §7.4.4.4).
+    * PNG predictors (10-15) carry a per-row filter tag byte and are what
+    * compressed-xref ObjStm/XRef streams actually use (Predictor 12 = Up);
+    * TIFF predictor 2 is horizontal differencing. Predictor 1/absent is
+    * identity. */
+  private[ingest] def unpredict(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val predictor = parmInt(dict, "Predictor", 1)
+    if (predictor <= 1) return Some(data)
+    val colors = parmInt(dict, "Colors", 1)
+    val bpc = parmInt(dict, "BitsPerComponent", 8)
+    val columns = parmInt(dict, "Columns", 1)
+    val bpp = math.max(1, colors * bpc / 8)       // bytes per pixel
+    val rowLen = (columns * colors * bpc + 7) / 8 // bytes per row (post-filter)
+    if (predictor == 2) { // TIFF horizontal differencing (8-bit components)
+      if (bpc != 8) return None
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      return Some(out)
+    }
+    // PNG predictors: each row is 1 tag byte + rowLen filtered bytes
+    val stride = rowLen + 1
+    val rows = data.length / stride
+    if (rows == 0) return None
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val tag = data(r * stride) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val x = data(r * stride + 1 + i) & 0xff
+        val left = if (i >= bpp) out(r * rowLen + i - bpp) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out((r - 1) * rowLen + i - bpp) & 0xff else 0
+        val v = tag match {
+          case 0 => x                           // None
+          case 1 => x + left                    // Sub
+          case 2 => x + up                      // Up (Predictor 12)
+          case 3 => x + (left + up) / 2         // Average
+          case 4 =>                             // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None                 // unknown tag: corrupt row
+        }
+        out(r * rowLen + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
 
   /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` is EOD,
     * odd final digit padded with 0. */

@@ -354,6 +354,75 @@ class BinaryParsersSpec extends AnyFunSuite {
     assert(bad.warnings.exists(_.contains("missing %PDF- header")))
   }
 
+  // ---- /Predictor DecodeParms (ISO 32000-1 §7.4.4.4) ----------------------
+
+  /** Apply a PNG row filter (the ENCODE direction) so the decoder's
+    * inverse can be round-trip-tested. One tag byte per row. */
+  def pngPredict(data: Array[Byte], columns: Int, tag: Int, bpp: Int = 1): Array[Byte] = {
+    val rows = data.length / columns
+    val out = new ByteArrayOutputStream()
+    for (r <- 0 until rows) {
+      out.write(tag)
+      for (i <- 0 until columns) {
+        val x = data(r * columns + i) & 0xff
+        val left = if (i >= bpp) data(r * columns + i - bpp) & 0xff else 0
+        val up = if (r > 0) data((r - 1) * columns + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) data((r - 1) * columns + i - bpp) & 0xff else 0
+        val v = tag match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            x - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        out.write(v & 0xff)
+      }
+    }
+    out.toByteArray
+  }
+
+  test("pdf: PNG predictors round-trip through unpredict (all five filters)") {
+    val payload = "row one padded..row two padded..row3 more bytes."
+      .getBytes(StandardCharsets.ISO_8859_1) // 48 bytes = 3 rows of 16
+    for (tag <- 0 to 4) {
+      val dict = "<< /DecodeParms << /Predictor 12 /Columns 16 >> >>"
+      val got = PdfParser.unpredict(dict, pngPredict(payload, 16, tag))
+      assert(got.exists(java.util.Arrays.equals(_, payload)), s"tag $tag")
+    }
+    // TIFF predictor 2: horizontal differencing
+    val diffed = payload.clone()
+    for (r <- 0 until 3; i <- 15 to 1 by -1)
+      diffed(r * 16 + i) = (diffed(r * 16 + i) - diffed(r * 16 + i - 1)).toByte
+    val tiff = PdfParser.unpredict("<< /DecodeParms << /Predictor 2 /Columns 16 >> >>", diffed)
+    assert(tiff.exists(java.util.Arrays.equals(_, payload)))
+    // Predictor 1 / absent: identity
+    assert(PdfParser.unpredict("<< >>", payload).exists(java.util.Arrays.equals(_, payload)))
+  }
+
+  test("pdf: Predictor-12 Flate ObjStm metadata decodes end-to-end") {
+    // the compressed-xref layout: Info dict inside an ObjStm whose Flate
+    // stream is ALSO run through the PNG Up predictor (as xref-style
+    // streams are in the wild)
+    val objStmPayload = "6 0 " +
+      "<< /Title (Predicted Title) /Author (Up Filter) >>"
+    val padded = objStmPayload + (" " * ((16 - objStmPayload.length % 16) % 16))
+    val filtered = pngPredict(padded.getBytes(StandardCharsets.ISO_8859_1), 16, 2)
+    val deflated = deflate(filtered)
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w(s"5 0 obj << /Type /ObjStm /N 1 /First 4 /Length ${deflated.length} " +
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >> >> stream\n")
+    out.write(deflated)
+    w("\nendstream endobj\n%%EOF\n")
+    val p = PdfParser.parse("pred.pdf", out.toByteArray)
+    assert(p.metadata.get("Title").contains("Predicted Title"), p.metadata)
+  }
+
   // ---- /ToUnicode CMaps (subset-embedded fonts, ISO 32000-1 §9.10.3) -----
 
   /** Minimal conformant PDF: one page whose /F1 is a Type0 font with a
