@@ -344,6 +344,50 @@ object ExportQueries {
         FROM grams t JOIN grams e ON t.g = e.g
         WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
         GROUP BY t.doc_id ORDER BY doc_id"""),
-      doc = "decontamination with a Bloom prefilter + exact recheck (sketch-exact plan)")
+      doc = "decontamination with a Bloom prefilter + exact recheck (sketch-exact plan)"),
+
+    QueryDef(
+      "q95_tar_export",
+      (s, d) => {
+        // WebDataset-style tar-shard export, HASH-ORACLED end-to-end:
+        // every document becomes a two-entry tar sample (payload .txt +
+        // metadata .json), the corpus is written as fixed-count ustar
+        // shards through the real Hadoop-FS writer, read back through the
+        // checksum-validating streaming reader, and per-doc metrics are
+        // computed from the ROUND-TRIPPED bytes. The oracle reproduces
+        // the metrics straight from `documents` — hash equality proves
+        // the shard write + read path is byte-lossless. Scale shape: one
+        // shard = one task in both directions; the only shuffles are the
+        // shard-assignment repartition and the read-side regroup (which
+        // stays within shard-local keys).
+        import s.implicits._
+        val samples = table(s, d, "documents")
+          .select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
+          .as[(Long, String, String, String)]
+          .map { case (id, text, lang, source) =>
+            graft.ingest.TarShards.Sample(f"$id%08d", Map(
+              "txt" -> text.getBytes("UTF-8"),
+              "json" -> s"""{"lang":"$lang","source":"$source"}""".getBytes("UTF-8")))
+          }
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft_q95_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+        graft.ingest.TarShards.write(samples, dir, numShards = 8)
+        graft.ingest.TarShards.readSamples(s, dir)
+          .map(sm => (sm.key.toLong,
+            new String(sm.files("txt"), "UTF-8"),
+            new String(sm.files("json"), "UTF-8")))
+          .toDF("doc_id", "text", "meta")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            sha2(col("text"), 256).as("text_hash"), col("meta"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               sha256(text) AS text_hash,
+               '{"lang":"' || lang || '","source":"' || source || '"}' AS meta
+        FROM documents ORDER BY doc_id"""),
+      doc = "WebDataset tar-shard export: write -> read -> metrics, round-trip hash-oracled")
   )
 }

@@ -1,0 +1,114 @@
+package graft.ingest
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+
+/** WebDataset-style tar sharding: ustar conformance, round-trips, shard
+  * sizing, determinism, corrupt-shard loudness. */
+class TarShardsSpec extends AnyFunSuite {
+  import TarShards._
+  import TestSpark.spark
+
+  private def sample(i: Int): Sample = Sample(
+    f"$i%06d",
+    Map(
+      "txt" -> s"document number $i body text".getBytes(StandardCharsets.UTF_8),
+      "cls" -> s"${i % 3}".getBytes(StandardCharsets.UTF_8)))
+
+  test("ustar header: checksum and fields parse back (format conformance)") {
+    val h = ustarHeader("000001.txt", 1234)
+    assert(h.length == 512)
+    assert(new String(h, 257, 5, StandardCharsets.US_ASCII) == "ustar")
+    // GNU/BSD tar read rule: sum bytes with chksum field as spaces
+    var sum = 0L
+    for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) ' '.toInt else h(i) & 0xff)
+    val stored = java.lang.Long.parseLong(
+      new String(h, 148, 8, StandardCharsets.US_ASCII).takeWhile(_.isDigit), 8)
+    assert(stored == sum)
+    assert(java.lang.Long.parseLong(
+      new String(h, 124, 12, StandardCharsets.US_ASCII).trim.takeWhile(_ != 0), 8) == 1234)
+    assertThrows[IllegalArgumentException](ustarHeader("x" * 101, 1))
+  }
+
+  test("archive round-trips through the entry iterator; mtime-free bytes are content-deterministic") {
+    val bos = new java.io.ByteArrayOutputStream()
+    appendEntry(bos, "a.txt", "hello".getBytes)
+    appendEntry(bos, "a.bin", Array[Byte](0, 1, 2, -1))
+    finishArchive(bos)
+    val bytes = bos.toByteArray
+    assert(bytes.length % 512 == 0)
+    val entries = tarEntries(new ByteArrayInputStream(bytes)).toList
+    assert(entries.map(_._1) == List("a.txt", "a.bin"))
+    assert(new String(entries.head._2) == "hello")
+    assert(entries(1)._2.toSeq == Seq[Byte](0, 1, 2, -1))
+    // identical content => identical archive bytes (task-retry contract)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    appendEntry(bos2, "a.txt", "hello".getBytes)
+    appendEntry(bos2, "a.bin", Array[Byte](0, 1, 2, -1))
+    finishArchive(bos2)
+    assert(java.util.Arrays.equals(bytes, bos2.toByteArray))
+  }
+
+  test("corrupt shard is loud: checksum mismatch and truncation raise") {
+    val bos = new java.io.ByteArrayOutputStream()
+    appendEntry(bos, "a.txt", "hello".getBytes)
+    finishArchive(bos)
+    val corrupted = bos.toByteArray.clone()
+    corrupted(0) = 'z'.toByte // flips the name, breaks the checksum
+    assertThrows[java.io.IOException](
+      tarEntries(new ByteArrayInputStream(corrupted)).toList)
+    val truncated = bos.toByteArray.take(700) // mid-payload-padding cut
+    assertThrows[java.io.EOFException](
+      tarEntries(new ByteArrayInputStream(truncated)).toList)
+  }
+
+  test("write/read round-trip across multiple shards (S9/export)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tarshards").toString
+    val samples = (0 until 40).map(sample)
+    // ~50 B payload + 768 B overhead per entry, 2 entries/sample -> force
+    // several shards
+    val infos = write(samples.toDS(), dir, targetShardBytes = 8192)
+    assert(infos.size > 1, infos)
+    assert(infos.map(_.samples).sum == 40)
+    val back = readSamples(spark, dir).collect()
+    assert(back.length == 40)
+    val byKey = back.map(s => s.key -> s).toMap
+    samples.foreach { s =>
+      val b = byKey(s.key)
+      assert(b.files.keySet == s.files.keySet, s.key)
+      s.files.foreach { case (ext, data) =>
+        assert(java.util.Arrays.equals(b.files(ext), data), s"${s.key}.$ext")
+      }
+    }
+    // a sample's entries are consecutive in their shard (WebDataset's
+    // sequential-read contract)
+    val keysInOrder = read(spark, dir).collect()
+      .groupBy(_.shard).values.flatMap(_.map(_.key))
+    // within each shard the key sequence must be sorted non-interleaved
+    read(spark, dir).collect().groupBy(_.shard).foreach { case (sh, es) =>
+      val ks = es.map(_.key).toSeq
+      assert(ks == ks.sorted, s"$sh entries not grouped+sorted: $ks")
+    }
+    assert(keysInOrder.toSet.size == 40)
+  }
+
+  test("numShards pins the layout; shard re-emit is byte-identical") {
+    import spark.implicits._
+    val dir1 = java.nio.file.Files.createTempDirectory("tarshards1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("tarshards2").toString
+    val ds = (0 until 12).map(sample).toDS()
+    val i1 = write(ds, dir1, numShards = 3)
+    val i2 = write(ds, dir2, numShards = 3)
+    assert(i1.map(_.shard) == Seq("shard-000000.tar", "shard-000001.tar", "shard-000002.tar"))
+    i1.zip(i2).foreach { case (a, b) =>
+      val f1 = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir1, a.shard))
+      val f2 = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir2, b.shard))
+      assert(java.util.Arrays.equals(f1, f2), a.shard)
+    }
+  }
+}
