@@ -31,7 +31,10 @@ object AnnQueries {
     * window). Ranking keys on the ROUNDED cosine + id tie-breaks.
     * persist: the bucketed frame feeds both self-join sides.
     */
-  private def semdedupHyperplane(
+  /** (vec_id, v, bucket): deterministic 8-hyperplane cell assignment —
+    * the DuckDB-reproducible stand-in for k-means cells, shared by q79
+    * (semantic dedup) and q96 (cluster-balanced sampling). */
+  private def hyperplaneBuckets(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val dims = 64
     val planes = 8
@@ -41,7 +44,7 @@ object AnnQueries {
         "THEN 1.0D ELSE -1.0D END))"
     val base = table(s, d, "embeddings")
       .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
-    val bucketed = (0 until planes)
+    (0 until planes)
       .foldLeft(base) { (df, p) =>
         // sign taken on the ROUNDED dot (6 dp, catalog discipline): a
         // dot within 1 ulp of zero must not flip buckets between
@@ -51,7 +54,11 @@ object AnnQueries {
       }
       .withColumn("bucket", (0 until planes).map(p => col(s"b$p")).reduce(_ + _))
       .select("vec_id", "v", "bucket")
-      .persist()
+  }
+
+  private def semdedupHyperplane(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val bucketed = hyperplaneBuckets(s, d).persist()
     Catalog.materializeAndRelease(bucketed.as("a")
       .join(bucketed.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -507,6 +514,53 @@ object AnnQueries {
         out
       },
       None,
-      doc = "SemDeDup IVF swap-in: k-means cells vs hyperplane cells, overlap in-row")
+      doc = "SemDeDup IVF swap-in: k-means cells vs hyperplane cells, overlap in-row"),
+
+    QueryDef(
+      "q96_cluster_sample",
+      (s, d) => {
+        // Cluster-balanced subsampling (the DataComp/SemDeDup curation
+        // step after dedup): cap each SEMANTIC cell at a fixed quota so
+        // over-represented content modes can't dominate the training mix
+        // — uniform sampling keeps duplicates' neighborhoods, per-cell
+        // quotas flatten them. Cells are the deterministic hyperplane
+        // buckets (oracle-reproducible; ann/Ivf k-means is the deployed
+        // swap-in, same plan shape). Selection order inside a cell is the
+        // avalanche-mixed id hash — reproducible under reshuffles, no
+        // engine RNG. One keyed shuffle (window over bucket); quotas
+        // bound every cell's output, and cells are balanced by
+        // construction, so no salting is needed at 100 TB.
+        val quota = 8
+        val w = Window.partitionBy("bucket")
+          .orderBy(col("pick"), col("vec_id"))
+        hyperplaneBuckets(s, d)
+          .withColumn("pick", expr(mixSpark("vec_id")))
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("cell_size", count(lit(1)).over(Window.partitionBy("bucket")))
+          .filter(col("rnk") <= quota)
+          .select(col("bucket"), col("cell_size").cast("long").as("cell_size"),
+            col("rnk").cast("long").as("rnk"), col("vec_id"))
+          .orderBy("bucket", "rnk")
+      },
+      Some {
+        val signsDuck = (p: Int) =>
+          s"list_transform(range(1, 65), i -> CASE WHEN (($p * 64 + i) * 2654435761 + 104729) " +
+            s"% $P % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        val bits = (0 until 8)
+          .map(p => s"(CASE WHEN round(list_dot_product(v, ${signsDuck(p)}), 6) >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             b AS (SELECT vec_id, $bits AS bucket FROM e),
+             r AS (SELECT bucket, vec_id,
+                          row_number() OVER (PARTITION BY bucket
+                            ORDER BY ${mixDuck("vec_id")}, vec_id) rnk,
+                          count(*) OVER (PARTITION BY bucket) cell_size
+                   FROM b)
+        SELECT bucket, CAST(cell_size AS BIGINT) AS cell_size,
+               CAST(rnk AS BIGINT) AS rnk, vec_id
+        FROM r WHERE rnk <= 8 ORDER BY bucket, rnk"""
+      },
+      doc = "cluster-balanced sampling: per-semantic-cell quotas by deterministic hash order")
   )
 }
