@@ -561,6 +561,74 @@ object AnnQueries {
                CAST(rnk AS BIGINT) AS rnk, vec_id
         FROM r WHERE rnk <= 8 ORDER BY bucket, rnk"""
       },
-      doc = "cluster-balanced sampling: per-semantic-cell quotas by deterministic hash order")
+      doc = "cluster-balanced sampling: per-semantic-cell quotas by deterministic hash order"),
+
+    QueryDef(
+      "q97_semantic_decontam",
+      (s, d) => {
+        // SEMANTIC decontamination report — the embedding-space
+        // complement of q69/q89's exact n-gram overlap (paraphrased or
+        // reformatted eval items share no 5-grams but sit next to their
+        // source in embedding space). For every eval vector (held-out
+        // slice), find its nearest TRAIN vector within its semantic cell
+        // and report the measured max similarity plus a flag against the
+        // 0.9 release gate; evals whose cell holds no train candidate
+        // keep a row (n_candidates = 0) — an audit must enumerate every
+        // eval item, not just the hits. Scale shape: both sides bucket
+        // by cell, the join is a cell-keyed equi-join (never eval ×
+        // train), and the per-eval top-1 is a bounded window.
+        val b = hyperplaneBuckets(s, d)
+        val eval_ = b.filter(col("vec_id") % 23 === 0)
+          .select(col("vec_id").as("eval_id"), col("v").as("ve"), col("bucket"))
+        val train = b.filter(col("vec_id") % 23 =!= 0)
+          .select(col("vec_id").as("train_id"), col("v").as("vt"), col("bucket"))
+        val w = Window.partitionBy("eval_id")
+          .orderBy(desc("sim"), col("train_id"))
+        val hits = eval_.join(train.hint("shuffle_hash"), Seq("bucket"))
+          .withColumn("sim", round(expr(cosSpark("ve", "vt")), 6) + 0.0)
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy("eval_id")))
+          .filter(col("rnk") === 1)
+          .select(col("eval_id"), col("train_id").as("nearest_train_id"),
+            col("sim").as("max_sim"), col("n_candidates"))
+        eval_.select(col("eval_id")).join(hits, Seq("eval_id"), "left_outer")
+          .select(col("eval_id"),
+            coalesce(col("nearest_train_id"), lit(-1L)).as("nearest_train_id"),
+            (coalesce(col("max_sim"), lit(-1.0)) + 0.0).as("max_sim"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            when(coalesce(col("max_sim"), lit(-1.0)) >= 0.9, 1).otherwise(0)
+              .as("contaminated"))
+          .orderBy("eval_id")
+      },
+      Some {
+        val signsDuck = (p: Int) =>
+          s"list_transform(range(1, 65), i -> CASE WHEN (($p * 64 + i) * 2654435761 + 104729) " +
+            s"% $P % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        val bits = (0 until 8)
+          .map(p => s"(CASE WHEN round(list_dot_product(v, ${signsDuck(p)}), 6) >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+             b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+             hits AS (SELECT ev.vec_id eval_id, t.vec_id train_id,
+                             round(${cosDuck("ev.v", "t.v")}, 6) + 0.0 sim
+                      FROM b ev JOIN b t
+                        ON ev.bucket = t.bucket
+                       AND ev.vec_id % 23 = 0 AND t.vec_id % 23 <> 0),
+             top1 AS (SELECT eval_id, train_id, sim,
+                             row_number() OVER (PARTITION BY eval_id
+                               ORDER BY sim DESC, train_id) rnk,
+                             count(*) OVER (PARTITION BY eval_id) n_candidates
+                      FROM hits)
+        SELECT ev.vec_id AS eval_id,
+               coalesce(t.train_id, -1) AS nearest_train_id,
+               coalesce(t.sim, -1.0) + 0.0 AS max_sim,
+               CAST(coalesce(t.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CASE WHEN coalesce(t.sim, -1.0) >= 0.9 THEN 1 ELSE 0 END AS contaminated
+        FROM (SELECT vec_id FROM e WHERE vec_id % 23 = 0) ev
+        LEFT JOIN (SELECT * FROM top1 WHERE rnk = 1) t ON t.eval_id = ev.vec_id
+        ORDER BY eval_id"""
+      },
+      doc = "semantic decontamination: per-eval nearest in-cell train neighbor + gate flag")
   )
 }
