@@ -1,0 +1,153 @@
+package graft.multimodal
+
+/** Perceptual image hashing for near-duplicate detection over decoded
+  * pixels — the image twin of [[Multimodal.SpectralWavDecoder]]'s audio
+  * fingerprints.
+  *
+  * dHash (difference hash) is the standard public technique (Krawetz,
+  * "Kind of Like That", 2013): box-downsample the luma plane to a 9×8
+  * grid and emit one bit per horizontally-adjacent cell pair — set when
+  * the right cell is brighter. Because every bit is the SIGN of a
+  * brightness difference, any monotone affine tone change (brightness
+  * shift, contrast scale) that doesn't clip leaves the hash bit-for-bit
+  * identical, while structurally different images diverge — exactly the
+  * invariance class a crawl-dedup pass needs for re-encoded/re-graded
+  * copies of one image. The reference stores image assets as opaque
+  * binaries with typed metadata (see
+  * /root/reference/src/Connapse.Storage/Documents/FileRecord.cs); hashing
+  * happens per-row on decoded pixels, so at 100 TB this runs as a plain
+  * map over the asset scan followed by an equi-join on the 64-bit hash —
+  * no pairwise work outside hash buckets, the same shape as exact dedup.
+  */
+object PerceptualHash {
+
+  /** Decode a binary (P6) PPM into its luma plane, using the same header
+    * rules and luma weights as [[Multimodal.PpmDecoder]] (ITU-R BT.601
+    * integer weights 299/587/114). Returns (width, height, row-major luma
+    * in [0,255]).
+    */
+  def decodeP6Luma(b: Array[Byte]): Either[String, (Int, Int, Array[Double])] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return Left("not p6 ppm")
+    var off = 2
+    def nextInt(): Int = {
+      while (off < b.length &&
+        (b(off).toChar.isWhitespace || b(off) == '#')) {
+        if (b(off) == '#') while (off < b.length && b(off) != '\n') off += 1
+        else off += 1
+      }
+      var v = 0
+      while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+        v = v * 10 + (b(off) - '0'); off += 1
+      }
+      v
+    }
+    val (w, h, maxVal) = (nextInt(), nextInt(), nextInt())
+    off += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return Left("bad header")
+    val need = w.toLong * h * 3
+    if (b.length - off < need) return Left("truncated pixels")
+    val luma = new Array[Double](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = b(off + i * 3) & 0xff
+      val g = b(off + i * 3 + 1) & 0xff
+      val bl = b(off + i * 3 + 2) & 0xff
+      luma(i) = (299 * r + 587 * g + 114 * bl) / 1000.0
+      i += 1
+    }
+    Right((w, h, luma))
+  }
+
+  /** Box-filter downsample a row-major plane to tw×th cell means. Cell
+    * (cx, cy) averages source pixels [cx·w/tw, (cx+1)·w/tw) ×
+    * [cy·h/th, (cy+1)·h/th) — every source pixel lands in exactly one
+    * cell, so the reduction is a partition mean (deterministic, no
+    * resampling kernel to disagree about).
+    */
+  def boxDownsample(luma: Array[Double], w: Int, h: Int,
+      tw: Int, th: Int): Array[Double] = {
+    require(w >= tw && h >= th, s"cannot downsample ${w}x$h to ${tw}x$th")
+    val out = new Array[Double](tw * th)
+    var cy = 0
+    while (cy < th) {
+      val y0 = cy * h / th; val y1 = (cy + 1) * h / th
+      var cx = 0
+      while (cx < tw) {
+        val x0 = cx * w / tw; val x1 = (cx + 1) * w / tw
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(y * w + x); x += 1 }
+          y += 1
+        }
+        out(cy * tw + cx) = s / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit dHash from a 9×8 cell grid: bit (row·8 + x) is set when
+    * cell(x+1, row) is strictly brighter than cell(x, row).
+    */
+  def dHash64FromCells(cells: Array[Double]): Long = {
+    require(cells.length == 9 * 8, s"need 9x8 cells, got ${cells.length}")
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (cells(y * 9 + x + 1) > cells(y * 9 + x))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** dHash of a P6 PPM byte array; Left(reason) on undecodable input —
+    * the same never-throw error channel as the multimodal decoders.
+    */
+  def dHashPpm(b: Array[Byte]): Either[String, Long] =
+    decodeP6Luma(b).map { case (w, h, luma) =>
+      dHash64FromCells(boxDownsample(luma, w, h, 9, 8))
+    }
+
+  /** Deterministic grayscale test pattern as a P6 PPM: a separable 2D
+    * sinusoid whose spatial frequencies depend on `classId` (the
+    * perceptual "scene"), under a tone map `pixel = brightness +
+    * contrast·v` (no clipping for the documented ranges: contrast ≤ 0.98,
+    * brightness ≤ 0.12 keeps values inside (0, 1)). Two images of the
+    * same class at different brightness/contrast are perceptual
+    * duplicates — dHash must map them to the SAME 64 bits; different
+    * classes differ in adjacent-cell difference signs, so their hashes
+    * diverge. 108×96 divides the 9×8 grid exactly (12×12-pixel cells).
+    */
+  def synthPatternPpm(classId: Int, contrast: Double, brightness: Double,
+      w: Int = 108, h: Int = 96): Array[Byte] = {
+    val fx = (classId % 4) + 1 // 1..4 horizontal periods
+    val fy = (classId / 4) % 2 + 1 // 1..2 vertical periods
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 0.5 + 0.35 *
+          math.sin(2 * math.Pi * fx * (x + 0.5) / w) *
+          math.cos(2 * math.Pi * fy * (y + 0.5) / h)
+        val px = math.round(255.0 * (brightness + contrast * v)).toInt
+        val clamped = math.max(0, math.min(255, px)).toByte
+        val o = header.length + (y * w + x) * 3
+        out(o) = clamped; out(o + 1) = clamped; out(o + 2) = clamped
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

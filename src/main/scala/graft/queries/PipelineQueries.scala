@@ -397,6 +397,48 @@ object PipelineQueries {
                1 AS components_orthonormal, 1 AS variance_ordered,
                1 AS bessel_bound_holds
         FROM embeddings"""),
-      doc = "q83's eig half reduced to oracle-pinned verdicts: orthonormality, variance order, Bessel bound")
+      doc = "q83's eig half reduced to oracle-pinned verdicts: orthonormality, variance order, Bessel bound"),
+
+    QueryDef(
+      "q98_image_neardup",
+      (s, d) => {
+        // Image near-dup over REAL decoded pixels — q92's construction
+        // applied to vision: each doc renders a P6 PPM whose perceptual
+        // scene class is doc_id % 8 (distinct sinusoid frequencies) under
+        // a doc-varying brightness/contrast tone map (raw bytes all
+        // differ). PerceptualHash.dHashPpm must then collapse same-class
+        // images to one 64-bit hash (dHash bits are difference SIGNS, so
+        // unclipped monotone tone maps are invisible) and separate the 8
+        // classes (PerceptualHashSpec pins both). DuckDB predicts the
+        // exact pair set from doc_id arithmetic alone — decode +
+        // downsample + hash have to EARN hash equality. Scale shape: one
+        // map over the asset scan, then pairs only WITHIN 64-bit hash
+        // buckets via equi-join — identical to exact dedup, no pairwise
+        // work across buckets (vs q92's labeled exact cosine join).
+        import s.implicits._
+        val hashes = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+          .as[Long]
+          .map { id =>
+            val contrast = 0.5 + (id % 7) * 0.08
+            val brightness = (id % 5) * 0.03
+            val ppm = graft.multimodal.PerceptualHash.synthPatternPpm(
+              (id % 8).toInt, contrast, brightness)
+            val h = graft.multimodal.PerceptualHash.dHashPpm(ppm)
+              .getOrElse(sys.error("undecodable synth ppm"))
+            (id, h)
+          }.toDF("doc_id", "dhash")
+        hashes.as("a").join(hashes.as("b"),
+            col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 100)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
+        ORDER BY id_a, id_b"""),
+      doc = "image near-dup via dHash over real PPM decode; oracle predicts pairs from construction")
   )
 }

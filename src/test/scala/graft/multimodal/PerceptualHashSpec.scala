@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PerceptualHashSpec extends AnyFunSuite {
+  import PerceptualHash._
+
+  // the (contrast, brightness) grid q98 exercises: id%7 / id%5 variants
+  private val toneGrid =
+    for (a <- 0 until 7; b <- 0 until 5)
+      yield (0.5 + a * 0.08, b * 0.03)
+
+  test("dHash of a horizontal luma ramp is all ones; vertical ramp all zeros") {
+    // strictly increasing left-to-right: every right cell brighter
+    val w = 18; val h = 16
+    val ramp = Array.tabulate(w * h)(i => (i % w).toDouble)
+    assert(dHash64FromCells(boxDownsample(ramp, w, h, 9, 8)) == -1L)
+    // varies only vertically: every horizontal comparison ties -> no bits
+    val vert = Array.tabulate(w * h)(i => (i / w).toDouble)
+    assert(dHash64FromCells(boxDownsample(vert, w, h, 9, 8)) == 0L)
+  }
+
+  test("boxDownsample covers every pixel exactly once (mean of means)") {
+    val w = 108; val h = 96
+    val luma = Array.tabulate(w * h)(i => (i % 251).toDouble)
+    val cells = boxDownsample(luma, w, h, 9, 8)
+    // cells are 12x12 here, so the global mean is the mean of cell means
+    assert(math.abs(cells.sum / cells.length - luma.sum / luma.length) < 1e-9)
+  }
+
+  test("ppm round-trip: synth decodes to the declared dimensions and gray luma") {
+    val bytes = synthPatternPpm(3, 0.8, 0.06)
+    val Right((w, h, luma)) = decodeP6Luma(bytes)
+    assert(w == 108 && h == 96 && luma.length == w * h)
+    // synth is grayscale (r=g=b) and BT.601 weights sum to 1000/1000,
+    // so luma equals the byte value exactly
+    assert(luma.forall(v => v == math.rint(v)))
+  }
+
+  test("decode error channel: truncated and non-ppm inputs yield Left") {
+    assert(decodeP6Luma(Array[Byte]('P', '5')).isLeft)
+    val good = synthPatternPpm(0, 0.8, 0.0)
+    assert(decodeP6Luma(good.take(good.length - 7)).isLeft)
+  }
+
+  test("dHash is invariant under the full brightness/contrast tone grid") {
+    for (cls <- 0 until 8) {
+      val hashes = toneGrid.map { case (a, b) =>
+        dHashPpm(synthPatternPpm(cls, a, b)).toOption.get
+      }
+      assert(hashes.distinct.size == 1,
+        s"class $cls produced ${hashes.distinct.size} distinct hashes across tone grid")
+    }
+  }
+
+  test("the 8 pattern classes map to 8 distinct hashes") {
+    val hashes = (0 until 8).map(c => dHashPpm(synthPatternPpm(c, 0.8, 0.06)).toOption.get)
+    assert(hashes.distinct.size == 8, s"collisions: ${hashes.mkString(",")}")
+  }
+}
