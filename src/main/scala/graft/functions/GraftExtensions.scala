@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.text.NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.text.NfcNormalize(exprs(0))))
     // opt-in ANN rewrite (spark.graft.ann.lshRewrite=true): brute-force
     // cosine top-k over an LSH-bucketed table -> bucket-prefiltered plan
     ext.injectOptimizerRule(session => AnnTopKRewrite(session))

@@ -674,6 +674,69 @@ object TextQueries {
         FROM bi_sc LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN vocab
         GROUP BY doc_id, variant
         ORDER BY doc_id, variant"""),
-      doc = "q85's LM feature frame hash-oracled: shuffle twins + bigram avg-NLL per variant")
+      doc = "q85's LM feature frame hash-oracled: shuffle twins + bigram avg-NLL per variant"),
+
+    QueryDef(
+      "q99_text_normalize",
+      (s, d) => {
+        // Unicode hygiene pass a crawl pipeline runs BEFORE dedup/token
+        // counting: NFC canonical normalization (so "e"+U+0301 and "é"
+        // dedup/shingle identically) via the native codegen
+        // text.NfcNormalize expression, plus ftfy-style mojibake repair
+        // (utf8→cp1252 round-trip undo) proven per-row. The input gets a
+        // per-doc suffix cycling decomposed/precomposed/none forms so the
+        // transform has real work; DuckDB's own nfc_normalize recomputes
+        // the normalized CONTENT independently (a content oracle, not a
+        // flag), and the `changed` column is derived on both sides from
+        // raw != nfc. Mojibake repair round-trips a per-doc corrupted
+        // string on executors — its verdict flag must come back 1 for
+        // every row (TextNormalizeSpec pins the repair itself; DuckDB has
+        // no charset machinery to replay it). Scale: both are per-row
+        // scalar passes riding the scan — no shuffle, NFC inside
+        // whole-stage codegen with an isNormalized fast path.
+        import s.implicits._
+        val mojiOriginals = Seq("café résumé", "‘curly’ quotes — dash", "€99 straße")
+        val base = table(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .filter(col("doc_id") < 200)
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val orig = mojiOriginals((id % 3).toInt)
+            val repaired = graft.text.TextNormalize.fixMojibake(
+              graft.text.TextNormalize.corrupt(orig))
+            (id, text, if (repaired == orig) 1 else 0)
+          }.toDF("doc_id", "text", "moji_fixed")
+        // explicit escapes: cases 0/2 are DECOMPOSED (base + combining
+        // mark), case 1 precomposed — literal chars in source would be at
+        // the mercy of editor/tooling normalization
+        val suffix = when(col("doc_id") % 4 === 0, lit("e\u0301"))
+          .when(col("doc_id") % 4 === 1, lit("\u00e9"))
+          .when(col("doc_id") % 4 === 2, lit("A\u030A"))
+          .otherwise(lit(""))
+        base
+          .withColumn("raw", concat(col("text"), lit(" "), suffix))
+          .withColumn("nfc_text", graft.text.NfcNormalize(col("raw")))
+          .select(
+            col("doc_id"),
+            col("nfc_text"),
+            when(col("raw") === col("nfc_text"), 0).otherwise(1).as("changed"),
+            col("moji_fixed"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH raws AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 text || ' ' ||
+                 CASE CAST(doc_id AS BIGINT) % 4
+                   WHEN 0 THEN 'e' || chr(769)
+                   WHEN 1 THEN chr(233)
+                   WHEN 2 THEN 'A' || chr(778)
+                   ELSE '' END AS raw
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+               CASE WHEN raw = nfc_normalize(raw) THEN 0 ELSE 1 END AS changed,
+               1 AS moji_fixed
+        FROM raws ORDER BY doc_id"""),
+      doc = "NFC normalization (content-oracled vs DuckDB's nfc_normalize) + per-row mojibake-repair verdict")
   )
 }

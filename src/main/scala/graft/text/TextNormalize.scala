@@ -1,0 +1,166 @@
+package graft.text
+
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode hygiene for crawl-scale text: NFC canonical normalization and
+  * mojibake repair. Both are per-row scalar passes — at 100 TB they ride
+  * the document scan with no shuffle, which is why NFC is a native
+  * codegen Expression (stays inside whole-stage codegen like PolyHash)
+  * rather than a UDF.
+  *
+  * Why it matters for dedup/quality: the same logical text arrives from
+  * the web as precomposed ("é" U+00E9) or decomposed ("e"+U+0301) code
+  * point sequences — byte-level dedup, shingle hashes and token counts
+  * all see those as DIFFERENT text unless normalization runs first.
+  * Canonical (NFC) is the safe pipeline default: it never changes what a
+  * renderer shows, unlike NFKC which folds ligatures/widths and is a
+  * modeling decision.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"nfc_normalize expects a string arg, got $other")
+    }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    TextNormalize.nfcUtf8(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextNormalize.nfcUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def apply(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
+}
+
+object TextNormalize {
+
+  /** NFC normalization; the static entry point generated code calls.
+    * Fast path: `Normalizer.isNormalized` is O(n) with no allocation for
+    * already-NFC text (the overwhelming majority of a real crawl), so the
+    * scan only pays the transform on rows that need it.
+    */
+  def nfcUtf8(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  def nfc(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFC)
+
+  /** Mojibake repair: undo UTF-8 text that was mis-decoded as Latin-1 /
+    * Windows-1252 and re-saved (the classic "Ã©" for "é", "â€™" for "’").
+    * Mechanism: map chars back to the bytes a 1252/Latin-1 decode would
+    * have produced them from; if those bytes are COMPLETELY valid UTF-8,
+    * the text had been through the corrupting round-trip, so return the
+    * UTF-8 decode (repeat, for doubly-encoded text, up to `maxRounds`).
+    * An all-ASCII or genuinely-Latin-1 string is returned unchanged:
+    * ASCII maps to itself, and real Latin-1 prose is essentially never
+    * byte-wise valid multi-byte UTF-8 (every 0x80-0xFF char would need to
+    * sit in an exact continuation pattern). Never throws; never repairs
+    * to replacement chars.
+    */
+  def fixMojibake(s: String, maxRounds: Int = 2): String = {
+    var cur = s
+    var rounds = 0
+    while (rounds < maxRounds) {
+      if (cur.forall(_ < 0x80)) return cur // pure ASCII: nothing to undo
+      toWindows1252Bytes(cur) match {
+        case None => return cur // not representable: was never a 1252 mis-decode
+        case Some(bytes) =>
+          strictUtf8Decode(bytes) match {
+            case Some(decoded) if decoded != cur => cur = decoded
+            case _ => return cur
+          }
+      }
+      rounds += 1
+    }
+    cur
+  }
+
+  /** Inverse of a Windows-1252 (superset-of-Latin-1) decode: the byte
+    * each char came from, or None if some char has no 1252 encoding.
+    * 0x80-0x9F use 1252's printable mappings (€ 0x80, ’ 0x92, ″TM″ 0x99
+    * ...) because real-world mojibake goes through 1252, not strict
+    * ISO-8859-1; chars in U+0080-U+009F (raw C1 controls — a strict
+    * Latin-1 mis-decode) map to their own code point.
+    */
+  private def toWindows1252Bytes(s: String): Option[Array[Byte]] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val b =
+        if (c < 0x80) c.toInt
+        else if (c >= 0xA0 && c <= 0xFF) c.toInt
+        else if (c >= 0x80 && c <= 0x9F) c.toInt // Latin-1-style C1 passthrough
+        else cp1252Inverse.getOrElse(c, -1)
+      if (b < 0) return None
+      out(i) = b.toByte
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** The 27 printable Windows-1252 codepoints in the 0x80-0x9F range
+    * (public code page layout; 0x81/0x8D/0x8F/0x90/0x9D are undefined). */
+  private val cp1252Inverse: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** Strict UTF-8 decode: None unless every byte participates in a valid
+    * sequence (MalformedInput/UnmappableCharacter both REPORT). A pure
+    * single-byte result is rejected as "not evidence of mojibake" — a
+    * valid repair must consume at least one multi-byte sequence.
+    */
+  private def strictUtf8Decode(bytes: Array[Byte]): Option[String] = {
+    if (!bytes.exists(b => (b & 0x80) != 0)) return None
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: CharacterCodingException => None }
+  }
+
+  /** Simulate the corrupting round-trip (for tests and the q99
+    * construction): encode as UTF-8, mis-decode as Windows-1252/Latin-1.
+    */
+  def corrupt(s: String): String = {
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val sb = new StringBuilder(bytes.length)
+    bytes.foreach { b =>
+      val u = b & 0xff
+      val c =
+        if (u < 0x80 || u >= 0xA0) u.toChar
+        else cp1252Forward.getOrElse(u, u.toChar)
+      sb.append(c)
+    }
+    sb.toString
+  }
+
+  private val cp1252Forward: Map[Int, Char] =
+    cp1252Inverse.map { case (c, b) => b -> c }
+}

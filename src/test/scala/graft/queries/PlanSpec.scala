@@ -223,13 +223,16 @@ class PlanSpec extends AnyFunSuite {
     graft.functions.DotProduct.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => graft.functions.PolyHash(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => graft.text.NfcNormalize(exprs(0)), "built-in")
     import spark.implicits._
-    Seq((Array(1f, 0f), Array(1f, 0f), "x")).toDF("a", "b", "s")
+    Seq((Array(1f, 0f), Array(1f, 0f), "x", "é")).toDF("a", "b", "s", "dec")
       .createOrReplaceTempView("ext_v")
     val r = spark.sql(
-      "SELECT cosine_sim(a, b) s, dot_product(a, b) d, poly_hash(s) h FROM ext_v").head()
+      "SELECT cosine_sim(a, b) s, dot_product(a, b) d, poly_hash(s) h, nfc_normalize(dec) n FROM ext_v").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) == 1.0)
     assert(r.getLong(2) == (7L * 31 + 'x') % graft.functions.PolyHash.P)
+    assert(r.getString(3) == "\u00e9")
   }
 }
