@@ -388,6 +388,87 @@ object ExportQueries {
                sha256(text) AS text_hash,
                '{"lang":"' || lang || '","source":"' || source || '"}' AS meta
         FROM documents ORDER BY doc_id"""),
-      doc = "WebDataset tar-shard export: write -> read -> metrics, round-trip hash-oracled")
+      doc = "WebDataset tar-shard export: write -> read -> metrics, round-trip hash-oracled"),
+
+    QueryDef(
+      "q100_corpus_pipeline",
+      (s, d) => {
+        // The capstone COMPOSITION — the corpus build a reference user
+        // actually runs, end-to-end in ONE plan, hash-oracled at every
+        // stage through its output: NFC normalize (q99's expression) →
+        // quality gates (q57's length/diversity/language rules on the
+        // NORMALIZED text) → exact-dedup survivors (full-content sha256,
+        // richest-doc-wins like q90) → token-budget packing (q64's
+        // hash-sharded running sums) over exactly the surviving docs.
+        // The oracle replays the entire chain in DuckDB, so a drift in
+        // ANY stage (normalization bytes, a gate threshold, survivor
+        // choice, bin arithmetic) breaks the hash compare. Scale: the
+        // whole pipeline is scan → one window shuffle on content_key →
+        // one window shuffle on (lang, shard) → groupBy, all keyed and
+        // bounded; stages add NO extra passes over the corpus because
+        // Catalyst pipelines the scalar stages into the scan.
+        val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+        val stopList = stop.map(t => s"'$t'").mkString("(", ", ", ")")
+        val budget = 2000
+        val wDup = Window.partitionBy("content_key")
+          .orderBy(desc("n_tok"), col("doc_id"))
+        val wPack = Window.partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "documents")
+          .withColumn("nfc", graft.text.NfcNormalize(col("text")))
+          .withColumn("toks", expr(toksSpark("nfc")))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("uniq_ratio",
+            expr("size(array_distinct(toks))").cast("double") /
+              greatest(col("n_tok"), lit(1)))
+          .withColumn("stop_ratio",
+            expr(s"size(filter(toks, t -> t IN $stopList))").cast("double") /
+              greatest(col("n_tok"), lit(1)))
+          .filter(col("n_tok") >= 20 && col("n_tok") <= 2000 &&
+            col("uniq_ratio") >= 0.3 && col("stop_ratio") >= 0.02)
+          .withColumn("content_key", sha2(col("nfc"), 256))
+          .withColumn("dup_rank", row_number().over(wDup))
+          .filter(col("dup_rank") === 1)
+          .withColumn("idstr", concat(lit("pack-v1:"), col("doc_id").cast("string")))
+          .withColumn("ph", graft.functions.PolyHash(col("idstr")))
+          .withColumn("shard", (expr(mixSpark("ph")) % 8).cast("int"))
+          .withColumn("bin", floor((sum("n_tok").over(wPack) - col("n_tok")) / budget))
+          .groupBy("lang", "shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+          .orderBy("lang", "shard", "bin")
+      },
+      Some(s"""
+        WITH gated AS (
+          SELECT lang, doc_id, nfc, n_tok,
+                 row_number() OVER (PARTITION BY sha256(nfc)
+                   ORDER BY n_tok DESC, doc_id) AS dup_rank
+          FROM (SELECT lang, doc_id, nfc,
+                       len(toks) AS n_tok,
+                       CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / greatest(len(toks), 1) AS uniq_ratio,
+                       CAST(len(list_filter(toks, t -> t IN
+                         ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on'))) AS DOUBLE)
+                         / greatest(len(toks), 1) AS stop_ratio
+                FROM (SELECT lang, doc_id, nfc_normalize(text) AS nfc,
+                             ${toksDuck("nfc_normalize(text)")} AS toks
+                      FROM documents))
+          WHERE n_tok BETWEEN 20 AND 2000
+            AND uniq_ratio >= 0.3 AND stop_ratio >= 0.02),
+        survivors AS (
+          SELECT lang, doc_id, n_tok,
+                 CAST(${mixDuck("ph")} % 8 AS INT) AS shard
+          FROM (SELECT lang, doc_id, n_tok, ${polyDuck("idstr")} AS ph
+                FROM (SELECT lang, doc_id, n_tok,
+                             'pack-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                      FROM gated WHERE dup_rank = 1)))
+        SELECT lang, shard, bin, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        FROM (SELECT lang, shard, doc_id, n_tok,
+                     CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok) / 2000) AS BIGINT) AS bin
+              FROM survivors)
+        GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""),
+      doc = "capstone corpus build: normalize -> quality gates -> exact-dedup survivors -> packing, one oracled plan")
   )
 }

@@ -215,6 +215,18 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("corpus pipeline composes without extra passes: keyed shuffles only (q100)") {
+    val p = plan("q100_corpus_pipeline")
+    // the 4 stages must fuse into one plan: scalar stages (NFC, gates,
+    // hashes) pipeline into the scan; the only shuffles are the two
+    // keyed windows (content_key dedup, lang/shard packing), the final
+    // groupBy, and the presentation sort — never a cartesian/nested-loop
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).length <= 3, p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1500))
+  }
+
   test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property invariants for mojibake repair and NFC over generated text.
+  *
+  * The repair round-trip property is scoped to an alphabet of real prose
+  * characters (ASCII + Latin-1 letters + CJK + typographic punctuation)
+  * that is not ITSELF mojibake-shaped: for a string that already looks
+  * like a utf8→1252 mis-decode (e.g. a user literally typing "Ã©"),
+  * collapsing it IS the documented repair behavior, not a round-trip
+  * violation.
+  */
+class TextNormalizeFuzzSpec extends AnyFunSuite {
+  import TextNormalize._
+
+  private def forAllSamples[A](gen: Gen[A], n: Int = 300)(check: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(11L)
+    (1 to n).foreach { _ =>
+      check(gen.pureApply(params, seed))
+      seed = seed.next
+    }
+  }
+
+  private val proseChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', ' ', '.', ',', '!', '?', '-', '\n'),
+    2 -> Gen.oneOf("àâäçèéêëîïôöùûüÿñÀÉÈÖÜßæœÆŒ".toSeq),
+    1 -> Gen.oneOf("日本語中文한국어".toSeq),
+    1 -> Gen.oneOf("‘’“”–—…€™•".toSeq))
+
+  private val proseGen: Gen[String] =
+    Gen.listOf(proseChar).map(_.mkString)
+
+  // Precondition: s must be a repair FIXED POINT. A generated string can
+  // itself be mojibake-shaped by chance (e.g. "É’" = bytes C9 92 = valid
+  // UTF-8 for ɒ) — for those, peeling the extra layer IS the correct
+  // repair (the ambiguity is inherent to the problem, same as ftfy), so
+  // they are out of scope for the inversion property, not a failure.
+  test("corrupt is inverted by fixMojibake for clean generated prose") {
+    var checked = 0
+    forAllSamples(proseGen) { s =>
+      if (fixMojibake(s) == s) {
+        checked += 1
+        assert(fixMojibake(corrupt(s)) == s, s"round-trip failed for: $s")
+      }
+    }
+    assert(checked > 250, s"generator produced too few clean samples: $checked")
+  }
+
+  test("double corruption is also inverted for clean prose") {
+    var checked = 0
+    forAllSamples(proseGen, n = 150) { s =>
+      if (fixMojibake(s) == s) {
+        checked += 1
+        assert(fixMojibake(corrupt(corrupt(s))) == s, s"double round-trip failed for: $s")
+      }
+    }
+    assert(checked > 120, s"generator produced too few clean samples: $checked")
+  }
+
+  test("repair is idempotent and never throws on arbitrary unicode") {
+    val anyString = Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString)
+    forAllSamples(anyString) { s =>
+      val once = fixMojibake(s)
+      assert(fixMojibake(once) == once, s"not idempotent for: ${s.take(40)}")
+    }
+  }
+
+  test("nfc is idempotent and length-bounded for generated prose") {
+    forAllSamples(proseGen) { s =>
+      val n = nfc(s)
+      assert(nfc(n) == n)
+      assert(n.length <= s.length) // NFC only composes, never expands prose
+    }
+  }
+}
