@@ -116,6 +116,26 @@ object PerceptualHash {
       dHash64FromCells(boxDownsample(luma, w, h, 9, 8))
     }
 
+  /** Banding keys for Hamming-TOLERANT matching at scale: split the 64-bit
+    * hash into `bands` contiguous slices and emit (bandIndex, sliceValue)
+    * keys. Two hashes within Hamming distance d share at least one
+    * unchanged band whenever d < bands (pigeonhole — d flipped bits can
+    * touch at most d bands), so a radius-(bands-1) candidate search is an
+    * equi-join on band keys followed by an exact popcount recheck: the
+    * same shape (and the same argument) as the SimHash 5-slice banding in
+    * q26/q27, transferred to image hashes. No bit-flip enumeration, no
+    * pairwise work outside band buckets.
+    */
+  def bandKeys(hash: Long, bands: Int = 4): Seq[(Int, Long)] = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    (0 until bands).map(b => (b, (hash >>> (b * width)) & mask))
+  }
+
+  /** Exact Hamming distance for the recheck after a band-key join. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
   /** Deterministic grayscale test pattern as a P6 PPM: a separable 2D
     * sinusoid whose spatial frequencies depend on `classId` (the
     * perceptual "scene"), under a tone map `pixel = brightness +

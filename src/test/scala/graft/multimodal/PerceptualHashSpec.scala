@@ -57,4 +57,27 @@ class PerceptualHashSpec extends AnyFunSuite {
     val hashes = (0 until 8).map(c => dHashPpm(synthPatternPpm(c, 0.8, 0.06)).toOption.get)
     assert(hashes.distinct.size == 8, s"collisions: ${hashes.mkString(",")}")
   }
+
+  test("band keys guarantee a shared band within Hamming radius bands-1") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val h = rnd.nextLong()
+      val bands = 4
+      // flip up to bands-1 distinct bits: pigeonhole guarantees a match
+      val nFlips = 1 + rnd.nextInt(bands - 1)
+      val flipped = (1 to nFlips).foldLeft(h) { (acc, _) => acc ^ (1L << rnd.nextInt(64)) }
+      assert(hamming(h, flipped) <= nFlips)
+      val shared = bandKeys(h, bands).toSet intersect bandKeys(flipped, bands).toSet
+      assert(shared.nonEmpty, f"no shared band: $h%016x vs $flipped%016x")
+    }
+  }
+
+  test("band keys reassemble to the original hash") {
+    val h = 0x123456789abcdef0L
+    Seq(1, 2, 4, 8).foreach { bands =>
+      val width = 64 / bands
+      val back = bandKeys(h, bands).foldLeft(0L) { case (acc, (b, v)) => acc | (v << (b * width)) }
+      assert(back == h, s"bands=$bands")
+    }
+  }
 }
