@@ -147,9 +147,18 @@ object PerceptualHash {
     * diverge. 108×96 divides the 9×8 grid exactly (12×12-pixel cells).
     */
   def synthPatternPpm(classId: Int, contrast: Double, brightness: Double,
-      w: Int = 108, h: Int = 96): Array[Byte] = {
+      w: Int = 108, h: Int = 96, patch: Option[(Int, Int, Int)] = None): Array[Byte] = {
     val fx = (classId % 4) + 1 // 1..4 horizontal periods
     val fy = (classId / 4) % 2 + 1 // 1..2 vertical periods
+    // optional localized damage (q101's Hamming-tolerant construction):
+    // bump every pixel of dHash cell (patchCx, patchCy) by patchDelta
+    // luma levels. Because boxDownsample cells are exact partitions, this
+    // moves ONE cell mean, which can flip AT MOST the two horizontal
+    // comparisons that cell participates in — a provable ≤2-bit Hamming
+    // perturbation regardless of tone map or clipping.
+    val (pcx, pcy, pdelta) = patch.getOrElse((-1, -1, 0))
+    val (px0, px1) = if (pcx >= 0) (pcx * w / 9, (pcx + 1) * w / 9) else (0, 0)
+    val (py0, py1) = if (pcy >= 0) (pcy * h / 8, (pcy + 1) * h / 8) else (0, 0)
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + w * h * 3)
     System.arraycopy(header, 0, out, 0, header.length)
@@ -160,7 +169,9 @@ object PerceptualHash {
         val v = 0.5 + 0.35 *
           math.sin(2 * math.Pi * fx * (x + 0.5) / w) *
           math.cos(2 * math.Pi * fy * (y + 0.5) / h)
-        val px = math.round(255.0 * (brightness + contrast * v)).toInt
+        val inPatch = x >= px0 && x < px1 && y >= py0 && y < py1
+        val px = math.round(255.0 * (brightness + contrast * v)).toInt +
+          (if (inPatch) pdelta else 0)
         val clamped = math.max(0, math.min(255, px)).toByte
         val o = header.length + (y * w + x) * 3
         out(o) = clamped; out(o + 1) = clamped; out(o + 2) = clamped

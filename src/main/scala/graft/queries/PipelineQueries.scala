@@ -439,6 +439,56 @@ object PipelineQueries {
         SELECT a.id AS id_a, b.id AS id_b
         FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
         ORDER BY id_a, id_b"""),
-      doc = "image near-dup via dHash over real PPM decode; oracle predicts pairs from construction")
+      doc = "image near-dup via dHash over real PPM decode; oracle predicts pairs from construction"),
+
+    QueryDef(
+      "q101_image_neardup_banded",
+      (s, d) => {
+        // q98 under DAMAGE: each image additionally takes a localized
+        // brightness patch in one dHash cell (position/intensity varying
+        // per doc), so same-class hashes are no longer EQUAL — only
+        // Hamming-close (provably ≤2 bits per doc from the single-cell
+        // patch, so ≤4 per pair; classes stay ≥30 bits apart —
+        // PerceptualHashSpec pins both margins). Candidates come from
+        // PerceptualHash.bandKeys (8 bands of 8 bits: pigeonhole
+        // guarantees any pair within Hamming 7 shares a band), then an
+        // exact popcount recheck at ≤5 — built-in bit_count, no UDF.
+        // DuckDB again predicts the exact pair set from doc_id
+        // arithmetic: decode + hash + banding + recheck must EARN it.
+        // Scale: band explode is 8 rows/doc, candidates only within
+        // band-value buckets — the SimHash q27 shape on image hashes.
+        import s.implicits._
+        val bandRows = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+          .as[Long]
+          .flatMap { id =>
+            val contrast = 0.5 + (id % 7) * 0.08
+            val brightness = (id % 5) * 0.03
+            val patch = (1 + (id * 3 % 7).toInt, (id * 5 % 8).toInt,
+              6 + (id % 3).toInt * 4)
+            val ppm = graft.multimodal.PerceptualHash.synthPatternPpm(
+              (id % 8).toInt, contrast, brightness, patch = Some(patch))
+            val h = graft.multimodal.PerceptualHash.dHashPpm(ppm)
+              .getOrElse(sys.error("undecodable synth ppm"))
+            graft.multimodal.PerceptualHash.bandKeys(h, bands = 8)
+              .map { case (b, v) => (b, v, id, h) }
+          }.toDF("band", "bval", "doc_id", "dhash")
+        bandRows.as("a").join(bandRows.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+          .filter(expr("bit_count(ha ^ hb) <= 5"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 100)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
+        ORDER BY id_a, id_b"""),
+      doc = "Hamming-tolerant image near-dup: band-key candidates + popcount recheck under per-doc damage")
   )
 }

@@ -58,6 +58,27 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(hashes.distinct.size == 8, s"collisions: ${hashes.mkString(",")}")
   }
 
+  test("single-cell damage moves at most 2 bits; classes stay >= 30 apart") {
+    // the q101 construction: patch cell (cx, cy) by delta luma levels —
+    // only that cell's mean moves, so only its two horizontal
+    // comparisons can flip. Verified over q101's full parameter grid.
+    val canon = (0 until 8).map(c => dHashPpm(synthPatternPpm(c, 0.8, 0.06)).toOption.get)
+    for {
+      cls <- 0 until 8
+      (a, b) <- toneGrid.take(10)
+      i <- 0 until 6
+    } {
+      val patch = (1 + (i * 3) % 7, (i * 5) % 8, 6 + (i % 3) * 4)
+      val h = dHashPpm(synthPatternPpm(cls, a, b, patch = Some(patch))).toOption.get
+      val flips = java.lang.Long.bitCount(h ^ canon(cls))
+      assert(flips <= 2, s"class $cls tone ($a,$b) patch $patch flipped $flips bits")
+    }
+    // cross-class margin: recheck threshold 5 sits far below 30 - 2*2
+    for (i <- 0 until 8; j <- (i + 1) until 8)
+      assert(java.lang.Long.bitCount(canon(i) ^ canon(j)) >= 30,
+        s"classes $i/$j too close: ${java.lang.Long.bitCount(canon(i) ^ canon(j))}")
+  }
+
   test("band keys guarantee a shared band within Hamming radius bands-1") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>
