@@ -109,11 +109,14 @@ object PerceptualHash {
   }
 
   /** dHash of a P6 PPM byte array; Left(reason) on undecodable input —
-    * the same never-throw error channel as the multimodal decoders.
+    * the same never-throw error channel as the multimodal decoders
+    * (including images smaller than the 9×8 grid, which have no
+    * meaningful difference hash).
     */
   def dHashPpm(b: Array[Byte]): Either[String, Long] =
-    decodeP6Luma(b).map { case (w, h, luma) =>
-      dHash64FromCells(boxDownsample(luma, w, h, 9, 8))
+    decodeP6Luma(b).flatMap { case (w, h, luma) =>
+      if (w < 9 || h < 8) Left(s"image ${w}x$h smaller than dhash grid")
+      else Right(dHash64FromCells(boxDownsample(luma, w, h, 9, 8)))
     }
 
   /** Banding keys for Hamming-TOLERANT matching at scale: split the 64-bit

@@ -37,10 +37,13 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(luma.forall(v => v == math.rint(v)))
   }
 
-  test("decode error channel: truncated and non-ppm inputs yield Left") {
+  test("decode error channel: truncated, non-ppm, and sub-grid inputs yield Left") {
     assert(decodeP6Luma(Array[Byte]('P', '5')).isLeft)
     val good = synthPatternPpm(0, 0.8, 0.0)
     assert(decodeP6Luma(good.take(good.length - 7)).isLeft)
+    // a 4x4 image has no meaningful 9x8 difference hash: Left, not throw
+    val tiny = ("P6\n4 4\n255\n" + "x" * 48).getBytes("US-ASCII")
+    assert(dHashPpm(tiny).isLeft)
   }
 
   test("dHash is invariant under the full brightness/contrast tone grid") {
