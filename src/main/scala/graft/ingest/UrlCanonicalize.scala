@@ -1,0 +1,65 @@
+package graft.ingest
+
+/** URL canonicalization — the dedup key for crawl-scale corpora. Two
+  * crawls of one page rarely share a byte-identical URL (host case,
+  * default ports, tracking params, param order, fragments, dot
+  * segments); canonicalization collapses them to one key so exact URL
+  * dedup and frontier dedup work at all. Rules are the standard public
+  * set (RFC 3986 §6 normalization + the tracking-param strip every
+  * pipeline applies):
+  *
+  *   - scheme and host lowercase
+  *   - default ports removed (http:80, https:443)
+  *   - dot-segments resolved ("/a/./b/../c" → "/a/c")
+  *   - fragment dropped
+  *   - tracking params dropped (utm_*, fbclid, gclid, msclkid, ref_src)
+  *   - remaining query params sorted by name (stable for equal names),
+  *     preserving each param's raw bytes
+  *   - empty query/path normalized ("" path → "/")
+  *
+  * Never throws: an unparseable URL canonicalizes to itself (trimmed) —
+  * at 100 TB a malformed frontier row must not kill a task, and an
+  * un-canonicalized key only costs a missed dedup, never a wrong one.
+  * Per-row scalar pass: rides the scan, no shuffle.
+  */
+object UrlCanonicalize {
+
+  private val trackingExact = Set("fbclid", "gclid", "msclkid", "ref_src", "igshid")
+
+  private def isTracking(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.startsWith("utm_") || trackingExact.contains(n)
+  }
+
+  def canonicalize(url: String): String = {
+    val trimmed = url.trim
+    try {
+      val u = new java.net.URI(trimmed)
+      if (u.getScheme == null || u.getHost == null) return trimmed
+      val scheme = u.getScheme.toLowerCase
+      val host = u.getHost.toLowerCase
+      val port = u.getPort match {
+        case -1 => ""
+        case 80 if scheme == "http" => ""
+        case 443 if scheme == "https" => ""
+        case p => s":$p"
+      }
+      // resolve dot segments on the RAW path (normalize() keeps escapes)
+      val path0 = Option(u.normalize().getRawPath).getOrElse("")
+      val path = if (path0.isEmpty) "/" else path0
+      val query = Option(u.getRawQuery) match {
+        case None | Some("") => ""
+        case Some(q) =>
+          val kept = q.split("&", -1).filter(_.nonEmpty)
+            .filter(p => !isTracking(p.takeWhile(_ != '=')))
+          if (kept.isEmpty) ""
+          else "?" + kept.sortBy(p => p.takeWhile(_ != '='))(Ordering.String)
+            .mkString("&")
+      }
+      s"$scheme://$host$port$path$query"
+    } catch {
+      case _: java.net.URISyntaxException => trimmed
+      case _: NullPointerException => trimmed
+    }
+  }
+}

@@ -489,6 +489,66 @@ object PipelineQueries {
         SELECT a.id AS id_a, b.id AS id_b
         FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
         ORDER BY id_a, id_b"""),
-      doc = "Hamming-tolerant image near-dup: band-key candidates + popcount recheck under per-doc damage")
+      doc = "Hamming-tolerant image near-dup: band-key candidates + popcount recheck under per-doc damage"),
+
+    QueryDef(
+      "q102_url_canonicalize",
+      (s, d) => {
+        // URL canonicalization — the dedup key a crawl frontier needs
+        // (q92/q98's construction pattern applied to URLs): each doc
+        // builds a MESSY url from doc_id arithmetic (uppercase
+        // scheme/host, default port on id%3==0, dot segments, shuffled
+        // params + utm_source/fbclid noise, fragment), then
+        // ingest/UrlCanonicalize applies the RFC 3986 §6 rule set.
+        // DuckDB predicts the canonical string directly from the same
+        // arithmetic — the parser/normalizer must EARN string equality
+        // on every row. Per-row scalar pass riding the scan; the
+        // canonical key then feeds exact dedup (q23) unchanged at 100 TB.
+        import s.implicits._
+        table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 200)
+          .as[Long]
+          .map { id =>
+            val site = id % 7
+            val page = id % 5
+            val scheme = if (id % 2 == 0) "HTTPS" else "https"
+            val host = if (id % 2 == 0) s"ExAmple$site.COM" else s"example$site.com"
+            val port = if (id % 3 == 0) ":443" else ""
+            val params =
+              if (id % 2 == 0) s"utm_source=feed&id=$id&b=2&a=1&fbclid=xyz"
+              else s"b=2&a=1&id=$id&utm_medium=social"
+            val messy =
+              s"$scheme://$host$port/docs/./p$page/../page$page?$params#sec$id"
+            (id, messy, graft.ingest.UrlCanonicalize.canonicalize(messy))
+          }.toDF("doc_id", "raw_url", "canon_url")
+          .select(col("doc_id"), col("canon_url"),
+            (length(col("raw_url")) - length(col("canon_url"))).as("n_stripped"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 200),
+        built AS (
+          SELECT id,
+                 CASE WHEN id % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+                 || '://'
+                 || CASE WHEN id % 2 = 0
+                      THEN 'ExAmple' || CAST(id % 7 AS VARCHAR) || '.COM'
+                      ELSE 'example' || CAST(id % 7 AS VARCHAR) || '.com' END
+                 || CASE WHEN id % 3 = 0 THEN ':443' ELSE '' END
+                 || '/docs/./p' || CAST(id % 5 AS VARCHAR) || '/../page' || CAST(id % 5 AS VARCHAR)
+                 || '?'
+                 || CASE WHEN id % 2 = 0
+                      THEN 'utm_source=feed&id=' || CAST(id AS VARCHAR) || '&b=2&a=1&fbclid=xyz'
+                      ELSE 'b=2&a=1&id=' || CAST(id AS VARCHAR) || '&utm_medium=social' END
+                 || '#sec' || CAST(id AS VARCHAR) AS raw_url,
+                 'https://example' || CAST(id % 7 AS VARCHAR) || '.com/docs/page'
+                 || CAST(id % 5 AS VARCHAR)
+                 || '?a=1&b=2&id=' || CAST(id AS VARCHAR) AS canon_url
+          FROM ids)
+        SELECT id AS doc_id, canon_url,
+               CAST(length(raw_url) - length(canon_url) AS BIGINT) AS n_stripped
+        FROM built ORDER BY doc_id"""),
+      doc = "crawl-frontier URL canonicalization; oracle predicts the canonical string from construction")
   )
 }

@@ -1,0 +1,53 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlCanonicalizeSpec extends AnyFunSuite {
+  import UrlCanonicalize.canonicalize
+
+  test("the full rule set composes on a messy real-world shape") {
+    val messy = "HTTPS://ExAmple.COM:443/docs/./guide/../page?utm_source=x&b=2&a=1&fbclid=abc#section-3"
+    assert(canonicalize(messy) == "https://example.com/docs/page?a=1&b=2")
+  }
+
+  test("canonicalization is idempotent") {
+    val urls = Seq(
+      "https://example.com/",
+      "http://Example.com:80/a?z=1&a=2",
+      "https://example.com/a/b/../c?utm_campaign=x",
+      "not a url at all",
+      "mailto:someone@example.com")
+    urls.foreach { u =>
+      val once = canonicalize(u)
+      assert(canonicalize(once) == once, s"not idempotent: $u -> $once")
+    }
+  }
+
+  test("default ports are scheme-aware") {
+    assert(canonicalize("http://a.com:80/x") == "http://a.com/x")
+    assert(canonicalize("https://a.com:443/x") == "https://a.com/x")
+    // a NON-default port must survive
+    assert(canonicalize("http://a.com:443/x") == "http://a.com:443/x")
+    assert(canonicalize("https://a.com:8443/x") == "https://a.com:8443/x")
+  }
+
+  test("tracking params are stripped, the rest sorted stably") {
+    assert(canonicalize("https://a.com/p?utm_source=s&utm_medium=m&gclid=1&q=spark") ==
+      "https://a.com/p?q=spark")
+    // all-tracking query disappears entirely (no dangling '?')
+    assert(canonicalize("https://a.com/p?utm_source=s") == "https://a.com/p")
+    // duplicate names keep their relative order (stable sort)
+    assert(canonicalize("https://a.com/p?b=2&a=z&a=y") == "https://a.com/p?a=z&a=y&b=2")
+  }
+
+  test("empty path normalizes to /; fragment always drops") {
+    assert(canonicalize("https://a.com") == "https://a.com/")
+    assert(canonicalize("https://a.com#frag") == "https://a.com/")
+  }
+
+  test("unparseable and non-hierarchical urls pass through trimmed, never throw") {
+    assert(canonicalize("  ht!tp://[bad  ") == "ht!tp://[bad")
+    assert(canonicalize("data:text/plain;base64,xyz") == "data:text/plain;base64,xyz")
+    assert(canonicalize("") == "")
+  }
+}
