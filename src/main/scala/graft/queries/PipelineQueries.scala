@@ -549,6 +549,85 @@ object PipelineQueries {
         SELECT id AS doc_id, canon_url,
                CAST(length(raw_url) - length(canon_url) AS BIGINT) AS n_stripped
         FROM built ORDER BY doc_id"""),
-      doc = "crawl-frontier URL canonicalization; oracle predicts the canonical string from construction")
+      doc = "crawl-frontier URL canonicalization; oracle predicts the canonical string from construction"),
+
+    QueryDef(
+      "q103_pagerank_quality",
+      (s, d) => {
+        // Link-based quality for crawl corpora (the Common-Crawl-style
+        // centrality signal used to weight pretraining data): PageRank,
+        // damping 0.85, EXACTLY 10 synchronous power iterations over a
+        // deterministic 500-node web graph built from doc_id arithmetic
+        // (every node has out-degree exactly 2, no self-loops, no
+        // dangling mass — the residuals stay in the rank equation, not
+        // in special cases). The oracle UNROLLS the same 10 iterations
+        // as chained CTEs, so every join/aggregate round must agree to
+        // 6 dp. Scale shape: each iteration is ONE keyed shuffle
+        // (groupBy dst) against an edge table partitioned the same way —
+        // the classic iterative-dataflow plan; at 100 TB you persist the
+        // current ranks and checkpoint every few rounds exactly like
+        // q75's connected components (SCALE.md "Dedup sketches").
+        val n = 500
+        val ids = table(s, d, "documents")
+          .select(col("doc_id").cast("long").as("id")).filter(col("id") < n)
+        val edges = ids
+          .select(col("id").as("src"),
+            explode(array((col("id") * 7 + 1) % n, (col("id") * 13 + 2) % n)).as("dst"))
+          .persist()
+        var ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
+        val midCheckpointIds = scala.collection.mutable.Set[Int]()
+        for (k <- 1 to 10) {
+          // rename-join (not attribute equality) — ids/edges/ranks share
+          // lineage, and 10 chained self-referencing joins would otherwise
+          // hit ambiguous-attribute resolution
+          val contrib = edges
+            .join(ranks.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
+            .groupBy("dst").agg(sum(col("rank") / 2.0).as("m"))
+          ranks = ids.join(contrib.withColumnRenamed("dst", "dst_id"),
+              col("id") === col("dst_id"), "left")
+            .select(col("id"),
+              (lit(0.15 / n) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("rank"))
+          // truncate lineage mid-loop — without this the optimizer re-plans
+          // a k-deep join chain every iteration (quadratic planning ~2× the
+          // runtime here, and at real scale a lineage/stack blowup: the q75
+          // CC lesson applied to power iteration). The intermediate
+          // checkpoint's blocks are released below once the result is
+          // materialized — they must not outlive the query (r03 hygiene).
+          if (k % 5 == 0 && k < 10) {
+            val before = s.sparkContext.getPersistentRDDs.keySet
+            ranks = ranks.localCheckpoint(true)
+            midCheckpointIds ++= (s.sparkContext.getPersistentRDDs.keySet -- before)
+          }
+        }
+        val out = ranks
+          .select(col("id").as("doc_id"), (round(col("rank") * 1e6) / 1e6 + 0.0).as("pagerank"))
+          .orderBy("doc_id")
+        val res = graft.queries.Catalog.materializeAndRelease(out, edges)
+        midCheckpointIds.foreach(id =>
+          s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        res
+      },
+      Some {
+        val n = 500
+        val base = s"""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < $n),
+        edges AS (SELECT id AS src, (id * 7 + 1) % $n AS dst FROM ids
+                  UNION ALL
+                  SELECT id AS src, (id * 13 + 2) % $n AS dst FROM ids),
+        r0 AS (SELECT id, 1.0 / $n AS rank FROM ids)"""
+        val iters = (1 to 10).map { k =>
+          s"""
+        r$k AS (SELECT ids.id,
+                       0.15 / $n + 0.85 * coalesce(sum(r${k - 1}.rank / 2.0), 0.0) AS rank
+                FROM ids LEFT JOIN edges ON edges.dst = ids.id
+                         LEFT JOIN r${k - 1} ON r${k - 1}.id = edges.src
+                GROUP BY ids.id)"""
+        }.mkString(",")
+        base + "," + iters + s"""
+        SELECT id AS doc_id, round(rank * 1e6) / 1e6 + 0.0 AS pagerank
+        FROM r10 ORDER BY doc_id"""
+      },
+      doc = "PageRank link-quality over a constructed web graph; oracle unrolls the same 10 power iterations")
   )
 }
