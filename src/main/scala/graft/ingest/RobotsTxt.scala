@@ -1,0 +1,123 @@
+package graft.ingest
+
+/** robots.txt parsing and URL evaluation per RFC 9309 (the public
+  * Robots Exclusion Protocol) — the crawl-politeness / opt-out filter a
+  * responsible corpus pipeline applies to its frontier, next to
+  * [[UrlCanonicalize]]. The evaluation rules that matter (all from the
+  * RFC, all pinned in RobotsTxtSpec):
+  *
+  *   - groups are selected by the LONGEST user-agent token matching the
+  *     crawler's product token (case-insensitive); "*" is the fallback
+  *   - within the group, the rule with the longest matching pattern
+  *     wins; on a length tie, Allow wins
+  *   - patterns are byte-prefix matches with "*" wildcards and an
+  *     optional "$" end anchor; an empty Disallow allows everything
+  *   - no matching rule → allowed; no robots.txt → allowed (callers
+  *     pass empty text)
+  *
+  * Per-row scalar evaluation: parse once per host (robots files are
+  * KB-sized — a broadcast map at scale), evaluate per URL on the scan.
+  */
+object RobotsTxt {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Seq[String], rules: Seq[Rule])
+
+  /** Parse robots.txt text into agent groups. Unknown directives are
+    * ignored; user-agent lines stack onto the following rule block (RFC
+    * §2.2.1); parsing never throws.
+    */
+  def parse(txt: String): Seq[Group] = {
+    val groups = scala.collection.mutable.ListBuffer[Group]()
+    var agents = scala.collection.mutable.ListBuffer[String]()
+    var rules = scala.collection.mutable.ListBuffer[Rule]()
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq)
+      agents = scala.collection.mutable.ListBuffer[String]()
+      rules = scala.collection.mutable.ListBuffer[Rule]()
+      inRules = false
+    }
+    txt.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush() // a UA line after rules starts a new group
+            agents += value.toLowerCase
+          case "allow" if agents.nonEmpty =>
+            inRules = true; rules += Rule(allow = true, value)
+          case "disallow" if agents.nonEmpty =>
+            inRules = true; rules += Rule(allow = false, value)
+          case _ => // crawl-delay, sitemap, unknown: ignored for matching
+        }
+      }
+    }
+    flush()
+    groups.toSeq
+  }
+
+  /** Does `pattern` match `path` per RFC 9309? Prefix semantics, "*"
+    * matches any run (including empty), trailing "$" anchors the end.
+    */
+  private[ingest] def matches(pattern: String, path: String): Boolean = {
+    val (pat, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    val parts = pat.split("\\*", -1)
+    // greedy left-to-right segment placement; prefix-match overall
+    var pos = 0
+    var i = 0
+    while (i < parts.length) {
+      val seg = parts(i)
+      if (i == 0) {
+        if (!path.startsWith(seg, pos)) return false
+        pos += seg.length
+      } else {
+        val at = path.indexOf(seg, pos)
+        if (at < 0) return false
+        pos = at + seg.length
+      }
+      i += 1
+    }
+    // the last segment must reach the path end when anchored; without an
+    // anchor any prefix match suffices (a trailing "*" already consumed)
+    if (anchored) {
+      if (pat.endsWith("*")) true
+      else pos == path.length || (parts.last.nonEmpty && path.endsWith(parts.last))
+    } else true
+  }
+
+  /** Group selection: longest user-agent token contained in the
+    * crawler's product token (RFC: most specific match); "*" fallback.
+    */
+  private def selectGroup(groups: Seq[Group], userAgent: String): Option[Group] = {
+    val ua = userAgent.toLowerCase
+    val named = groups.flatMap(g =>
+      g.agents.filter(a => a != "*" && ua.contains(a)).map(a => (a.length, g)))
+    if (named.nonEmpty) Some(named.maxBy(_._1)._2)
+    else groups.find(_.agents.contains("*"))
+  }
+
+  /** RFC 9309 verdict for one path. */
+  def isAllowed(groups: Seq[Group], userAgent: String, path: String): Boolean =
+    selectGroup(groups, userAgent) match {
+      case None => true
+      case Some(g) =>
+        val applicable = g.rules
+          .filter(r => r.pattern.nonEmpty && matches(r.pattern, path))
+        if (applicable.isEmpty) true
+        else {
+          // longest pattern wins; tie → Allow wins (RFC §2.2.2)
+          val best = applicable.map(r => (r.pattern.length, r.allow))
+            .sortBy { case (len, allow) => (-len, !allow) }.head
+          best._2
+        }
+    }
+
+  /** One-call convenience over raw robots text. */
+  def isAllowed(robotsTxt: String, userAgent: String, path: String): Boolean =
+    isAllowed(parse(robotsTxt), userAgent, path)
+}

@@ -628,6 +628,54 @@ object PipelineQueries {
         SELECT id AS doc_id, round(rank * 1e6) / 1e6 + 0.0 AS pagerank
         FROM r10 ORDER BY doc_id"""
       },
-      doc = "PageRank link-quality over a constructed web graph; oracle unrolls the same 10 power iterations")
+      doc = "PageRank link-quality over a constructed web graph; oracle unrolls the same 10 power iterations"),
+
+    QueryDef(
+      "q104_robots_filter",
+      (s, d) => {
+        // Crawl-politeness / opt-out filtering for the frontier (RFC 9309
+        // via ingest/RobotsTxt, next to q102's canonicalizer): each doc
+        // derives a frontier path from doc_id arithmetic; the REAL parser
+        // + longest-match evaluator decides allowed/denied against a
+        // policy exercising group selection, Allow-under-Disallow,
+        // wildcard and $-anchor rules. DuckDB predicts each verdict from
+        // the id arithmetic alone — the RFC semantics must EARN row
+        // equality. Scale: robots files are per-host KB blobs → parse
+        // once per host into a broadcast map, evaluate per-URL on the
+        // scan (here: parse once on the driver, ship the groups).
+        import s.implicits._
+        val robots = """User-agent: graftbot
+          |Disallow: /private/
+          |Allow: /private/public/
+          |Disallow: /*.pdf$
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+        val groups = graft.ingest.RobotsTxt.parse(robots)
+        table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 200)
+          .as[Long]
+          .map { id =>
+            val path = (id % 4) match {
+              case 0 => s"/docs/page$id"
+              case 1 => s"/private/note$id"
+              case 2 => s"/private/public/report$id"
+              case _ => s"/files/doc$id.pdf"
+            }
+            val ok = graft.ingest.RobotsTxt.isAllowed(groups, "graftbot/1.0", path)
+            (id, path, if (ok) 1 else 0)
+          }.toDF("doc_id", "path", "allowed")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE CAST(doc_id AS BIGINT) % 4
+                 WHEN 0 THEN '/docs/page' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                 WHEN 1 THEN '/private/note' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                 WHEN 2 THEN '/private/public/report' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                 ELSE '/files/doc' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '.pdf' END AS path,
+               CASE WHEN CAST(doc_id AS BIGINT) % 4 IN (0, 2) THEN 1 ELSE 0 END AS allowed
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "RFC 9309 robots filtering of a crawl frontier; oracle predicts each verdict from construction")
   )
 }

@@ -1,0 +1,89 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsTxtSpec extends AnyFunSuite {
+  import RobotsTxt._
+
+  private val robots = """
+    |# corpus crawler policy
+    |User-agent: graftbot
+    |Disallow: /private/
+    |Allow: /private/public/
+    |Disallow: /*.pdf$
+    |
+    |User-agent: *
+    |Disallow: /
+    |""".stripMargin
+
+  test("group selection: named group beats the * fallback, longest token wins") {
+    assert(isAllowed(robots, "graftbot/1.0", "/docs/x"))
+    // an unknown crawler falls to the * group: everything disallowed
+    assert(!isAllowed(robots, "otherbot", "/docs/x"))
+    // longest agent-token match is the most specific group
+    val two = """
+      |User-agent: graft
+      |Disallow: /
+      |User-agent: graftbot
+      |Allow: /
+      |""".stripMargin
+    assert(isAllowed(two, "graftbot/2.0", "/anything"))
+  }
+
+  test("longest-match precedence: Allow under a disallowed prefix") {
+    assert(!isAllowed(robots, "graftbot", "/private/secret"))
+    assert(isAllowed(robots, "graftbot", "/private/public/report"))
+  }
+
+  test("wildcard and end-anchor patterns") {
+    assert(!isAllowed(robots, "graftbot", "/files/doc.pdf"))
+    // $ anchors: .pdf mid-path is NOT a match
+    assert(isAllowed(robots, "graftbot", "/files/doc.pdf.html"))
+    assert(matches("/a*b$", "/aXXb"))
+    assert(!matches("/a*b$", "/aXXbc"))
+    assert(matches("/a*", "/a"))
+    assert(matches("*", "/anything"))
+  }
+
+  test("tie on pattern length: Allow wins (RFC 9309 §2.2.2)") {
+    val tied = """
+      |User-agent: bot
+      |Disallow: /page
+      |Allow: /page
+      |""".stripMargin
+    assert(isAllowed(tied, "bot", "/page/x"))
+  }
+
+  test("empty disallow allows everything; no matching rule allows; no groups allow") {
+    val open = "User-agent: *\nDisallow:"
+    assert(isAllowed(open, "anybot", "/anywhere"))
+    assert(isAllowed(robots, "graftbot", "/open/path"))
+    assert(isAllowed("", "anybot", "/x"))
+  }
+
+  test("comments, unknown directives, and malformed lines never throw") {
+    val messy = """
+      |Sitemap: https://a.com/sitemap.xml
+      |Crawl-delay: 10
+      |User-agent: bot # trailing comment
+      |Disallow: /x # comment
+      |nonsense line without colon
+      |: empty key
+      |""".stripMargin
+    assert(!isAllowed(messy, "bot", "/x/1"))
+    assert(isAllowed(messy, "bot", "/y"))
+  }
+
+  test("stacked user-agent lines share one rule block; a later UA starts a new group") {
+    val stacked = """
+      |User-agent: a
+      |User-agent: b
+      |Disallow: /shared
+      |User-agent: c
+      |Allow: /
+      |""".stripMargin
+    assert(!isAllowed(stacked, "a", "/shared/x"))
+    assert(!isAllowed(stacked, "b", "/shared/x"))
+    assert(isAllowed(stacked, "c", "/shared/x"))
+  }
+}
