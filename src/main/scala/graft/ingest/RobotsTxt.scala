@@ -86,7 +86,16 @@ object RobotsTxt {
     // anchor any prefix match suffices (a trailing "*" already consumed)
     if (anchored) {
       if (pat.endsWith("*")) true
-      else pos == path.length || (parts.last.nonEmpty && path.endsWith(parts.last))
+      else if (pos == path.length) true
+      else {
+        // re-placing the last segment at the very end is only legal when a
+        // "*" precedes it (the gap absorbs the middle); it cannot overlap
+        // the previous segment because the end placement starts at or
+        // after the (minimal) greedy placement. A wildcard-free pattern
+        // must have consumed the whole path already — "/$" matches ONLY
+        // "/" (property-test-caught).
+        parts.length > 1 && parts.last.nonEmpty && path.endsWith(parts.last)
+      }
     } else true
   }
 

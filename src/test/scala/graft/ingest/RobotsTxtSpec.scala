@@ -74,6 +74,30 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(isAllowed(messy, "bot", "/y"))
   }
 
+  test("matcher agrees with an independent regex translation on generated inputs") {
+    // reference semantics: '*' -> '.*', optional trailing '$' anchor,
+    // otherwise any-prefix — a completely different evaluation strategy
+    // than the greedy segment placement in RobotsTxt.matches
+    def regexMatch(pattern: String, path: String): Boolean = {
+      val (pat, anchored) =
+        if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+      val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+      path.matches(rx + (if (anchored) "" else ".*"))
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab/."
+    def randStr(max: Int) =
+      (0 until rnd.nextInt(max + 1)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 2000).foreach { _ =>
+      val pattern = "/" + randStr(6) +
+        (if (rnd.nextBoolean()) "*" + randStr(4) else "") +
+        (if (rnd.nextInt(3) == 0) "$" else "")
+      val path = "/" + randStr(8)
+      assert(matches(pattern, path) == regexMatch(pattern, path),
+        s"divergence: pattern=$pattern path=$path greedy=${matches(pattern, path)}")
+    }
+  }
+
   test("stacked user-agent lines share one rule block; a later UA starts a new group") {
     val stacked = """
       |User-agent: a
