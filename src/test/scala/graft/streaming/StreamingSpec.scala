@@ -306,4 +306,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunks.select("content").as[String].collect()
       .exists(_.contains("non-file uri scheme")))
   }
+
+  test("corpus gates stream==batch: NFC unification + quality gate + exact dedup") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // q100's gate stages in the incremental regime: the SAME scalar
+    // exprs (NfcNormalize + token gate + content key) applied to a file
+    // stream with StreamingDedup must keep exactly the batch key set.
+    // The interesting row pair: one decomposed, one precomposed spelling
+    // of the SAME text arriving in DIFFERENT batches — only NFC-before-
+    // hashing makes them one key, and only watermark state makes the
+    // cross-batch copy drop.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-gate-stream")
+    val staging = java.nio.file.Files.createTempDirectory("graft-gate-stage")
+    def writeBatch(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val out = staging.resolve(name)
+      rows.toDF("ts_s", "doc_id", "text").coalesce(1).write.parquet(out.toString)
+      val part = java.nio.file.Files.list(out)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, streamDir.resolve(s"$name.parquet"))
+    }
+    val prose = "these are enough tokens to pass the quality gate for sure"
+    writeBatch("b1", Seq(
+      (100L, 1L, s"$prose café"), // precomposed é
+      (110L, 2L, "too short"), // fails the token gate
+      (120L, 3L, s"$prose unique one")))
+    writeBatch("b2", Seq(
+      (200L, 4L, s"$prose café"), // decomposed twin of doc 1 — NFC unifies
+      (210L, 5L, s"$prose unique two")))
+
+    def gates(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("nfc", graft.text.NfcNormalize(col("text")))
+        .filter(size(split(col("nfc"), "\\s+")) >= 5)
+        .withColumn("content_key", sha2(col("nfc"), 256))
+
+    val schema = StructType(Seq(StructField("ts_s", LongType),
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = gates(spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("event_time", timestamp_seconds(col("ts_s"))))
+    val q = StreamingDedup.dedup(stream, "event_time", "10 minutes", "content_key")
+      .writeStream.outputMode("append").format("memory").queryName("gate_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamKept = spark.table("gate_out").select("content_key")
+      .as[String].collect().toSet
+    val batchKept = gates(spark.read.parquet(streamDir.toString))
+      .dropDuplicates("content_key").select("content_key").as[String].collect().toSet
+    assert(streamKept == batchKept)
+    assert(streamKept.size == 3) // doc2 gated out; docs 1+4 unified by NFC
+    // the NFC merge really happened: without normalization the two café
+    // spellings would be distinct keys
+    val unnormalizedKeys = spark.read.parquet(streamDir.toString)
+      .withColumn("k", sha2(col("text"), 256))
+      .filter(size(split(col("text"), "\\s+")) >= 5)
+      .select("k").as[String].collect().toSet
+    assert(unnormalizedKeys.size == 4)
+  }
 }
