@@ -469,6 +469,50 @@ object ExportQueries {
                            - n_tok) / 2000) AS BIGINT) AS bin
               FROM survivors)
         GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""),
-      doc = "capstone corpus build: normalize -> quality gates -> exact-dedup survivors -> packing, one oracled plan")
+      doc = "capstone corpus build: normalize -> quality gates -> exact-dedup survivors -> packing, one oracled plan"),
+
+    QueryDef(
+      "q105_corpus_manifest",
+      (s, d) => {
+        // Dataset-versioning manifest: a bit-stable per-source fingerprint
+        // of corpus CONTENT (next to StreamingIngest.asOf's generation
+        // pinning — the manifest is what you record next to the training
+        // run so "same data" is checkable later). The rollup is a
+        // COMMUTATIVE sum of per-doc content hashes mod P: order- and
+        // partitioning-independent by construction, so it needs no global
+        // sort and scales as a plain partial-aggregated groupBy — the
+        // hierarchical-manifest property (combine shard manifests by
+        // adding them) falls out of commutativity for free. Per-doc hash
+        // = poly_hash of the sha256 hex (poly is engine-agnostic, sha256
+        // pins the actual bytes). Two-level rollup: shard partials are
+        // re-modded before the final sum, so the int64 sum can NEVER
+        // overflow (1024 shards × P ≈ 1e12) at any corpus size — a
+        // single-stage sum would wrap silently past ~1e10 docs, and
+        // Spark's non-ANSI wrap disagrees with DuckDB's HUGEINT.
+        table(s, d, "documents")
+          .withColumn("doc_hash", graft.functions.PolyHash(sha2(col("text"), 256)))
+          .withColumn("shard", (col("doc_id") % 1024).cast("int"))
+          .groupBy("source", "shard")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).as("chars"),
+            (sum(col("doc_hash")) % lit(Frag.P)).as("partial"))
+          .groupBy("source")
+          .agg(
+            sum(col("n")).as("n_docs"),
+            sum(col("chars")).as("total_chars"),
+            (sum(col("partial")) % lit(Frag.P)).as("manifest"))
+          .orderBy("source")
+      },
+      Some(s"""
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               CAST(sum(partial) % ${Frag.P} AS BIGINT) AS manifest
+        FROM (SELECT source, doc_id % 1024 AS shard, count(*) AS n,
+                     sum(length(text)) AS chars,
+                     sum(${polyDuck("sha256(text)")}) % ${Frag.P} AS partial
+              FROM documents GROUP BY source, doc_id % 1024)
+        GROUP BY source ORDER BY source"""),
+      doc = "per-source corpus manifest: commutative content-hash rollup for dataset versioning")
   )
 }

@@ -152,6 +152,18 @@ object StreamingIngest {
       .drop("_maxgen")
   }
 
+  /** Time travel over the append-only table: the last-writer-wins view AS
+    * OF `generation` — exactly the rows [[latest]] would have returned
+    * right after that batch committed. Because upserts only ever append
+    * generation-stamped rows (nothing is rewritten in place), pinning a
+    * training corpus to a generation is a pure FILTER + the same
+    * max-generation window: a reproducible dataset version with no extra
+    * storage. Invalid once [[compact]] has rewritten history away —
+    * compaction is the explicit retention decision.
+    */
+  def asOf(df: DataFrame, generation: Long): DataFrame =
+    latest(df.filter(col("generation") <= generation))
+
   /** Compaction: rewrite the append-only table down to its latest
     * generations (run offline, never concurrent with the ingest stream).
     */

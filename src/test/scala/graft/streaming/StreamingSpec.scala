@@ -51,6 +51,17 @@ class StreamingSpec extends AnyFunSuite {
       .contains("second version"))
     assert(chunks.filter($"document_id" === "d2").count() == d2count)
 
+    // time travel: asOf(g) reproduces the historical latest-view exactly —
+    // the dataset-versioning contract (pin a training corpus to the
+    // generation it was built from, zero extra storage)
+    val raw = spark.read.parquet(s"$wh/chunks")
+    assert(StreamingIngest.asOf(raw, 1).filter($"document_id" === "d1")
+      .select("content").as[String].head().contains("first version"))
+    assert(StreamingIngest.asOf(raw, 0).filter($"document_id" === "d2").count() == 0)
+    assert(StreamingIngest.asOf(raw, 1).filter($"document_id" === "d2").count() == d2count)
+    // asOf at the current frontier == latest
+    assert(StreamingIngest.asOf(raw, 2).count() == chunks.count())
+
     // raw table keeps history (append-only); compaction shrinks to latest
     val latestCount = chunks.count() // materialize BEFORE compact rewrites files
     assert(spark.read.parquet(s"$wh/chunks").count() > latestCount)
