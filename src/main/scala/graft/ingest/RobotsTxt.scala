@@ -101,13 +101,24 @@ object RobotsTxt {
 
   /** Group selection: longest user-agent token contained in the
     * crawler's product token (RFC: most specific match); "*" fallback.
+    * RFC 9309 §2.2.1: when more than one group matches the selected
+    * user-agent, their rules MUST be combined into one group — a
+    * robots.txt with two separate `User-agent: graftbot` blocks (or two
+    * `*` blocks) applies the union of both blocks' rules.
     */
   private def selectGroup(groups: Seq[Group], userAgent: String): Option[Group] = {
     val ua = userAgent.toLowerCase
     val named = groups.flatMap(g =>
       g.agents.filter(a => a != "*" && ua.contains(a)).map(a => (a.length, g)))
-    if (named.nonEmpty) Some(named.maxBy(_._1)._2)
-    else groups.find(_.agents.contains("*"))
+    if (named.nonEmpty) {
+      val bestLen = named.map(_._1).max
+      val winners = named.collect { case (len, g) if len == bestLen => g }.distinct
+      Some(Group(winners.flatMap(_.agents), winners.flatMap(_.rules)))
+    } else {
+      val stars = groups.filter(_.agents.contains("*"))
+      if (stars.isEmpty) None
+      else Some(Group(Seq("*"), stars.flatMap(_.rules)))
+    }
   }
 
   /** RFC 9309 verdict for one path. */

@@ -247,7 +247,10 @@ object Multimodal {
         v
       }
       val (w, h, maxVal) = (nextInt(), nextInt(), nextInt())
-      off += 1 // single whitespace after maxval
+      // exactly ONE whitespace byte after maxval (PPM spec) — verify, so a
+      // \r\n or comment here yields a loud error instead of shifted pixels
+      if (off >= b.length || !b(off).toChar.isWhitespace) return fail("bad header")
+      off += 1
       if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return fail("bad header")
       val need = w.toLong * h * 3
       if (b.length - off < need) return fail("truncated pixels")

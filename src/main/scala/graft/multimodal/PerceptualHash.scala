@@ -42,7 +42,11 @@ object PerceptualHash {
       v
     }
     val (w, h, maxVal) = (nextInt(), nextInt(), nextInt())
-    off += 1 // single whitespace after maxval
+    // exactly ONE whitespace byte separates maxval from pixel data (PPM
+    // spec); a \r\n or comment here would silently shift the pixel read,
+    // so verify rather than assume — never-wrong beats usually-right
+    if (off >= b.length || !b(off).toChar.isWhitespace) return Left("bad header")
+    off += 1
     if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return Left("bad header")
     val need = w.toLong * h * 3
     if (b.length - off < need) return Left("truncated pixels")

@@ -110,4 +110,40 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(!isAllowed(stacked, "b", "/shared/x"))
     assert(isAllowed(stacked, "c", "/shared/x"))
   }
+
+  test("RFC 9309 §2.2.1: rules from ALL groups matching the selected agent merge") {
+    // two separate `User-agent: graftbot` blocks — common in real files;
+    // the second block's Disallow must not be silently ignored
+    val split = """
+      |User-agent: graftbot
+      |Disallow: /a
+      |
+      |User-agent: other
+      |Disallow: /
+      |
+      |User-agent: graftbot
+      |Disallow: /b
+      |""".stripMargin
+    assert(!isAllowed(split, "graftbot", "/a/x"))
+    assert(!isAllowed(split, "graftbot", "/b/x"))
+    assert(isAllowed(split, "graftbot", "/c"))
+    // same for multiple `*` fallback groups
+    val stars = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    assert(!isAllowed(stars, "anybot", "/a"))
+    assert(!isAllowed(stars, "anybot", "/b"))
+    assert(isAllowed(stars, "anybot", "/c"))
+    // merged rules still resolve by longest-match across block boundaries
+    val crossed = """
+      |User-agent: graftbot
+      |Disallow: /p
+      |User-agent: graftbot
+      |Allow: /p/ok
+      |""".stripMargin
+    assert(!isAllowed(crossed, "graftbot", "/p/no"))
+    assert(isAllowed(crossed, "graftbot", "/p/ok/1"))
+    // a less-specific named group does NOT merge with the most specific one
+    val mixed = "User-agent: graft\nDisallow: /g\n\nUser-agent: graftbot\nDisallow: /h\n"
+    assert(isAllowed(mixed, "graftbot", "/g"))
+    assert(!isAllowed(mixed, "graftbot", "/h"))
+  }
 }

@@ -29,6 +29,9 @@ class TarShardsSpec extends AnyFunSuite {
     assert(stored == sum)
     assert(java.lang.Long.parseLong(
       new String(h, 124, 12, StandardCharsets.US_ASCII).trim.takeWhile(_ != 0), 8) == 1234)
+    // strict POSIX chksum field termination: six octal digits, NUL, space
+    assert((148 until 154).forall(i => h(i) >= '0' && h(i) <= '7'))
+    assert(h(154) == 0 && h(155) == ' '.toByte)
     assertThrows[IllegalArgumentException](ustarHeader("x" * 101, 1))
   }
 
@@ -110,5 +113,10 @@ class TarShardsSpec extends AnyFunSuite {
         java.nio.file.Paths.get(dir2, b.shard))
       assert(java.util.Arrays.equals(f1, f2), a.shard)
     }
+    // commit protocol leaves only committed shards behind — no attempt
+    // temps (dot-prefixed, so they'd also be invisible to read()'s glob)
+    val leftovers = new java.io.File(dir1).listFiles().map(_.getName)
+      .filterNot(n => n.matches("shard-\\d{6}\\.tar") || n.endsWith(".crc"))
+    assert(leftovers.isEmpty, leftovers.toSeq)
   }
 }

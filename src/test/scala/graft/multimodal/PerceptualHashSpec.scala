@@ -44,6 +44,12 @@ class PerceptualHashSpec extends AnyFunSuite {
     // a 4x4 image has no meaningful 9x8 difference hash: Left, not throw
     val tiny = ("P6\n4 4\n255\n" + "x" * 48).getBytes("US-ASCII")
     assert(dHashPpm(tiny).isLeft)
+    // non-whitespace after maxval (e.g. a comment) must be a loud Left,
+    // not a one-byte-shifted (silently wrong) luma plane
+    val comment = ("P6\n4 4\n255# note\n" + "x" * 48).getBytes("US-ASCII")
+    assert(decodeP6Luma(comment) == Left("bad header"))
+    // stream ending exactly at maxval: Left, not index error
+    assert(decodeP6Luma("P6\n4 4\n255".getBytes("US-ASCII")).isLeft)
   }
 
   test("dHash is invariant under the full brightness/contrast tone grid") {
