@@ -379,9 +379,10 @@ object AnnQueries {
         // Embedding compression for the 100 TB pipeline: distributed PCA
         // (ann/Pca — covariance treeAggregate to a d×d matrix, driver-side
         // eigendecomposition, broadcast projection), top-8 components.
-        // Eigendecomposition isn't SQL-expressible -> rows-only gate
-        // (the distributed HARD part — the covariance Gramian — is
-        // hash-oracled separately by q86); the algebraic invariants
+        // Eigendecomposition isn't SQL-expressible -> golden-resource
+        // oracle (frozen rows, deterministic across partition layouts;
+        // the distributed HARD part — the covariance Gramian — is
+        // hash-oracled independently by q86); the algebraic invariants
         // (orthonormality, k=d exact reconstruction, variance ordering,
         // determinism) are pinned by PcaSpec. Projections rounded to 6 dp:
         // the covariance treeAggregate's summation order varies with
@@ -398,7 +399,7 @@ object AnnQueries {
             expr("transform(proj, x -> round(x, 6) + 0.0)")).as(Seq("pos", "value")))
           .orderBy("vec_id", "pos")
       },
-      None,
+      Golden.oracle("q83_pca_sf001.csv", "CAST(vec_id AS BIGINT), pos"),
       doc = "distributed PCA: one-pass covariance fit + top-8 projection (embedding compression)"),
 
     QueryDef(
@@ -513,7 +514,11 @@ object AnnQueries {
           f"[q88] kmeans_fit=${fitSec}%.2f s scan=${(System.nanoTime() - tScan) / 1e9}%.2f s")
         out
       },
-      None,
+      // golden-resource oracle: the fixed-seed fit + coalesced scan +
+      // 6-dp rounding make the union deterministic across partition
+      // layouts (DetCheck); the overlap SEMANTICS stay pinned by
+      // SemdedupOverlapSpec's planted-twin fixture
+      Golden.oracle("q88_semdedup_sf001.csv", "id_a, id_b"),
       doc = "SemDeDup IVF swap-in: k-means cells vs hyperplane cells, overlap in-row"),
 
     QueryDef(

@@ -156,17 +156,20 @@ object PipelineQueries {
         // survive the shuffle, so the model must learn the SEQUENCE
         // signal); the production variant swaps in an editorial
         // target-vs-crawl label, same pipeline. Iterative LBFGS is not
-        // SQL-expressible -> rows-only; separability (AUC), probability
-        // behavior and gate stability are pinned by
-        // QualityClassifierSpec. Probabilities rounded to 3 dp (gradient
-        // treeAggregate order varies with partition layout at ~1e-12).
+        // SQL-expressible -> golden-resource oracle (3-dp-rounded
+        // probabilities are layout-stable: gradient treeAggregate order
+        // varies at ~1e-12, far below the rounding; DetCheck verified
+        // local[32]/32 == local[8]/8); separability (AUC), probability
+        // behavior and gate stability stay pinned by
+        // QualityClassifierSpec + the q93 verdict flags.
         val docs = table(s, d, "documents").select("doc_id", "text")
         graft.text.QualityClassifier.selfSupervised(docs)
           .select(col("doc_id"), col("variant"), col("label").cast("int").as("label"),
-            (round(col("quality_prob"), 3) + 0.0).as("quality_prob"), col("keep"))
+            (round(col("quality_prob"), 3) + 0.0).as("quality_prob"),
+            col("keep").cast("int").as("keep"))
           .orderBy("doc_id", "variant")
       },
-      None,
+      Golden.oracle("q85_quality_sf001.csv", "CAST(doc_id AS BIGINT), variant"),
       doc = "CCNet-style quality classifier: LM perplexity feature + LR over self-supervised labels"),
 
     QueryDef(

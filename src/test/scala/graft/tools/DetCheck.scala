@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch determinism probe: runs queries under two different
+  * master/partition layouts and compares row-set hashes — the
+  * precondition for freezing a golden oracle (see queries/Golden).
+  *
+  *   sbt 'Test/runMain graft.tools.DetCheck q83_pca_project ...'
+  */
+object DetCheck {
+  private def hashOf(spark: SparkSession, q: String): String = {
+    val df = graft.queries.Catalog.queries(q)(spark, "/root/testdata/sf0.01")
+    val rows = df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q83_pca_project", "q85_quality_classifier", "q88_semdedup_ivf")
+    def session(master: String, parts: String): SparkSession = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val s1 = session("local[32]", "32")
+    s1.sparkContext.setLogLevel("ERROR")
+    val h1 = qs.map(q => q -> hashOf(s1, q)).toMap
+    s1.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = session("local[8]", "8")
+    s2.sparkContext.setLogLevel("ERROR")
+    val h2 = qs.map(q => q -> hashOf(s2, q)).toMap
+    s2.stop()
+    qs.foreach(q => println(s"[det] $q ${h1(q)} ${h2(q)} match=${h1(q) == h2(q)}"))
+  }
+}

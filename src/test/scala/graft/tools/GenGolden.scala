@@ -20,7 +20,16 @@ object GenGolden {
     "q51_chunk_sentence_window" -> "q51_windows_sf001.csv",
     "q52_hybrid_search_e2e" -> "q52_hybrid_sf001.csv",
     "q53_chunk_semantic" -> "q53_semantic_sf001.csv",
-    "q73_bpe_tokencount" -> "q73_bpe_sf001.csv")
+    "q73_bpe_tokencount" -> "q73_bpe_sf001.csv",
+    // the round-5 rows-only trio: deterministic across partition layouts
+    // (DetCheck: local[32]/32 == local[8]/8 row-set hashes) because their
+    // outputs round away the treeAggregate summation-order noise; their
+    // SEMANTICS stay pinned by the hash-green companions (q86/q94 for
+    // PCA, q87/q93 for the classifier, SemdedupOverlapSpec for the cell
+    // overlap) — the goldens add regression pinning for the raw outputs.
+    "q83_pca_project" -> "q83_pca_sf001.csv",
+    "q85_quality_classifier" -> "q85_quality_sf001.csv",
+    "q88_semdedup_ivf" -> "q88_semdedup_sf001.csv")
 
   private def typeOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case org.apache.spark.sql.types.StringType => "str"
