@@ -187,9 +187,9 @@ object Bench {
       while (!found && System.nanoTime() < deadline) {
         found = try {
           val chunks = graft.streaming.StreamingIngest.latest(
-            spark.read.parquet(s"$wh/chunks"))
+            graft.streaming.StreamingIngest.table(spark, wh.toString, "chunks"))
           val vectors = graft.streaming.StreamingIngest.latest(
-            spark.read.parquet(s"$wh/vectors"))
+            graft.streaming.StreamingIngest.table(spark, wh.toString, "vectors"))
           val hits = graft.search.HybridSearch.search(
             graft.search.HybridSearch.Index(chunks, vectors.join(
               chunks.select("chunk_id", "path"), Seq("chunk_id"))),

@@ -165,18 +165,34 @@ object IndexBuild {
       try Some(spark.read.parquet(cachePath)) catch { case _: Throwable => None }
     val vectors = embedChunks(chunks, cache, embedder)
 
-    chunks.drop("precomputed")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("container_id")
-      .parquet(s"$warehouse/chunks")
+    // a full rebuild of a TxLog-managed warehouse must truncate THROUGH
+    // the log (one commit: remove every live file, add the rebuild's) or
+    // log-aware readers would keep resolving the stale snapshot; log-less
+    // warehouses keep the plain overwrite
+    if (graft.store.TxLog.exists(spark, warehouse)) {
+      val snap = graft.store.TxLog.snapshot(spark, warehouse)
+      val adds =
+        graft.store.TxLog.stageWrite(chunks.drop("precomputed").toDF(),
+          warehouse, "chunks", Seq("container_id"), snap.version + 1) ++
+        graft.store.TxLog.stageWrite(vectors.toDF(),
+          warehouse, "vectors", Seq("container_id", "model_id"), snap.version + 1)
+      val removes = Seq("chunks", "vectors").flatMap(t =>
+        snap.files(t).map { case (rel, _) => graft.store.TxLog.Remove(t, rel) })
+      graft.store.TxLog.commit(spark, warehouse, adds, removes)
+      graft.store.TxLog.vacuum(spark, warehouse, retentionMs = 0L)
+    } else {
+      chunks.drop("precomputed")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("container_id")
+        .parquet(s"$warehouse/chunks")
+      vectors.write.mode(SaveMode.Overwrite)
+        .partitionBy("container_id", "model_id")
+        .parquet(s"$warehouse/vectors")
+    }
 
     // inverted postings + term stats (the GIN analog, SURVEY §4.3)
     graft.search.PostingsIndex.write(
-      spark.read.parquet(s"$warehouse/chunks"), warehouse)
-
-    vectors.write.mode(SaveMode.Overwrite)
-      .partitionBy("container_id", "model_id")
-      .parquet(s"$warehouse/vectors")
+      graft.store.TxLog.read(spark, warehouse, "chunks"), warehouse)
 
     // refresh the embedding cache (memoization table, §4.1)
     spark.read.parquet(s"$warehouse/vectors")
@@ -206,8 +222,8 @@ object IndexBuild {
   /** Load the warehouse as a search index (vectors hydrated with path for
     * P3 scoping; postings attached when present). */
   def loadIndex(spark: SparkSession, warehouse: String): graft.search.HybridSearch.Index = {
-    val chunks = spark.read.parquet(s"$warehouse/chunks")
-    val vectors = spark.read.parquet(s"$warehouse/vectors")
+    val chunks = graft.store.TxLog.read(spark, warehouse, "chunks")
+    val vectors = graft.store.TxLog.read(spark, warehouse, "vectors")
     val postings =
       try Some(spark.read.parquet(s"$warehouse/postings"))
       catch { case _: Throwable => None }

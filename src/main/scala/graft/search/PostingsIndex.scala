@@ -58,7 +58,7 @@ object PostingsIndex {
     * scan leg (which reads chunks directly) stays exact; serving stacks
     * that load postings should refresh alongside compaction. */
   def refresh(spark: org.apache.spark.sql.SparkSession, warehouse: String): Unit = {
-    val chunks = spark.read.parquet(s"$warehouse/chunks")
+    val chunks = graft.store.TxLog.read(spark, warehouse, "chunks")
     val live =
       if (chunks.columns.contains("generation"))
         graft.streaming.StreamingIngest.latest(chunks)

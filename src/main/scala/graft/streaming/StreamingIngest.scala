@@ -103,13 +103,18 @@ object StreamingIngest {
       .start()
   }
 
-  /** Idempotent per-document upsert, APPEND-ONLY: each batch appends its
-    * chunks/vectors stamped with a monotonically increasing `generation`
-    * (the streaming batch id — the reference's Document.Generation
-    * counter, T5). Readers resolve last-writer-wins via [[latest]]; nothing
-    * is ever rewritten in place, so replays are safe, concurrent readers
-    * never see missing files, and at 100 TB an upsert touches only the new
-    * data (compaction is an offline job, not part of the ingest path).
+  /** Idempotent per-document upsert, APPEND-ONLY and TRANSACTIONAL: each
+    * batch stages its chunks/vectors as new parquet files stamped with a
+    * monotonically increasing `generation` (the streaming batch id — the
+    * reference's Document.Generation counter, T5), then registers BOTH
+    * tables' files in one [[graft.store.TxLog]] commit — the chunk+vector
+    * single transaction the reference gets from Postgres
+    * (ref PgVectorStore.cs:144-184). A log-aware reader never sees a
+    * batch's chunks without its vectors or a half-written parquet job; a
+    * writer crash pre-commit leaves only unreferenced files for vacuum.
+    * Readers resolve last-writer-wins via [[latest]]; nothing is rewritten
+    * in place, so replays are safe and at 100 TB an upsert touches only
+    * the new data ([[compact]] is an offline job, not the ingest path).
     */
   private[graft] def upsertBatch(
       spark: SparkSession,
@@ -123,17 +128,24 @@ object StreamingIngest {
     val newChunks = IndexBuild.chunkDocs(docs, chunker, cfg).persist()
     val newVectors = IndexBuild.embedChunks(newChunks, None, embedder)
 
-    newChunks.drop("precomputed").toDF()
-      .withColumn("generation", lit(generation))
-      .write.mode("append").partitionBy("container_id")
-      .parquet(s"$warehouse/chunks")
-    newVectors
-      .withColumn("generation", lit(generation))
-      .write.mode("append").partitionBy("container_id", "model_id")
-      .parquet(s"$warehouse/vectors")
+    val chunkAdds = graft.store.TxLog.stageWrite(
+      newChunks.drop("precomputed").toDF()
+        .withColumn("generation", lit(generation)),
+      warehouse, "chunks", Seq("container_id"), generation)
+    val vectorAdds = graft.store.TxLog.stageWrite(
+      newVectors.withColumn("generation", lit(generation)),
+      warehouse, "vectors", Seq("container_id", "model_id"), generation)
+    graft.store.TxLog.commit(spark, warehouse, chunkAdds ++ vectorAdds)
     newChunks.unpersist()
     ()
   }
+
+  /** Log-aware table reader: the transactional snapshot when the
+    * warehouse has a commit log, a plain parquet read otherwise (legacy
+    * layouts and batch-built warehouses).
+    */
+  def table(spark: SparkSession, warehouse: String, name: String): DataFrame =
+    graft.store.TxLog.read(spark, warehouse, name)
 
   /** Last-writer-wins view over an append-only table: keep only rows from
     * each document's maximum generation (stale replays lose, T5).
@@ -165,18 +177,33 @@ object StreamingIngest {
     latest(df.filter(col("generation") <= generation))
 
   /** Compaction: rewrite the append-only table down to its latest
-    * generations (run offline, never concurrent with the ingest stream).
+    * generations. With a commit log this is the managed path: one atomic
+    * commit swaps old files for rewritten ones (readers racing it see the
+    * pre- or post-compaction snapshot, never a missing table), then
+    * vacuum physically deletes the unreferenced history. `retentionMs`
+    * is the grace window for in-flight readers; the default 0 keeps the
+    * offline-compaction contract (never concurrent with queries). Legacy
+    * log-less tables keep the old whole-directory rewrite.
     */
-  def compact(spark: SparkSession, path: String, partCols: Seq[String]): Unit = {
-    val tmp = path + "_compact"
-    latest(spark.read.parquet(path))
-      .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    spark.catalog.refreshByPath(path)
-    org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+  def compact(spark: SparkSession, path: String, partCols: Seq[String],
+      retentionMs: Long = 0L): Unit = {
+    val slash = path.lastIndexOf('/')
+    val (warehouse, tableName) = (path.take(slash), path.drop(slash + 1))
+    if (graft.store.TxLog.exists(spark, warehouse)) {
+      graft.store.TxLog.compact(spark, warehouse, tableName, partCols, latest)
+      graft.store.TxLog.vacuum(spark, warehouse, retentionMs)
+      ()
+    } else {
+      val tmp = path + "_compact"
+      latest(spark.read.parquet(path))
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(path)
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      spark.catalog.refreshByPath(path)
+      org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+    }
   }
 }

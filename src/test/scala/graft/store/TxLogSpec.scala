@@ -1,0 +1,87 @@
+package graft.store
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The commit log's transactional contract: multi-table atomicity,
+  * crash-pre-commit invisibility, single-commit compaction swap, vacuum,
+  * and the legacy (log-less) fallback. Generation SEMANTICS (latest/asOf)
+  * stay covered by StreamingSpec — this spec is about file visibility.
+  */
+class TxLogSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshWh(): String =
+    java.nio.file.Files.createTempDirectory("graft-txlog").toString
+
+  private def df(ids: Seq[Long], gen: Long) =
+    ids.map(i => (i, s"c${i % 2}", gen)).toDF("id", "container_id", "generation")
+
+  test("one commit spans tables: both visible after, neither before") {
+    val wh = freshWh()
+    graft.store.TxLog.commit(spark, wh, Nil) // create the log (version 0)
+    val chunkAdds = TxLog.stageWrite(df(0L to 9L, 1), wh, "chunks", Seq("container_id"), 1)
+    val vectorAdds = TxLog.stageWrite(df(0L to 9L, 1), wh, "vectors", Seq("container_id"), 1)
+    // staged but uncommitted: log-aware reads see NO live files for either
+    // table (raw parquet would — that's the documented flat-layout tradeoff)
+    val snap0 = TxLog.snapshot(spark, wh)
+    assert(snap0.files("chunks").isEmpty && snap0.files("vectors").isEmpty)
+    assertThrows[org.apache.spark.sql.AnalysisException](TxLog.read(spark, wh, "chunks"))
+    TxLog.commit(spark, wh, chunkAdds ++ vectorAdds)
+    assert(TxLog.read(spark, wh, "chunks").count() == 10)
+    assert(TxLog.read(spark, wh, "vectors").count() == 10)
+    // partition-directory column survives the file-list read
+    assert(TxLog.read(spark, wh, "chunks").select("container_id").distinct().count() == 2)
+  }
+
+  test("crashed writer's files are invisible and vacuumable") {
+    val wh = freshWh()
+    val adds = TxLog.stageWrite(df(0L to 4L, 1), wh, "chunks", Seq("container_id"), 1)
+    TxLog.commit(spark, wh, adds)
+    // a second writer stages files but "crashes" before commit
+    TxLog.stageWrite(df(5L to 9L, 2), wh, "chunks", Seq("container_id"), 2)
+    assert(TxLog.read(spark, wh, "chunks").count() == 5)
+    val removed = TxLog.vacuum(spark, wh, retentionMs = 0L)
+    assert(removed >= 1, s"vacuum should delete the orphaned files, removed=$removed")
+    assert(TxLog.read(spark, wh, "chunks").count() == 5) // live data untouched
+  }
+
+  test("compaction is one atomic swap; vacuum reclaims history") {
+    val wh = freshWh()
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 9L, 1), wh, "chunks", Seq("container_id"), 1))
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 9L, 2), wh, "chunks", Seq("container_id"), 2))
+    assert(TxLog.read(spark, wh, "chunks").count() == 20) // both generations live
+    val keepMax = (d: org.apache.spark.sql.DataFrame) =>
+      graft.streaming.StreamingIngest.latest(
+        d.withColumnRenamed("id", "document_id")).withColumnRenamed("document_id", "id")
+    TxLog.compact(spark, wh, "chunks", Seq("container_id"), keepMax)
+    assert(TxLog.read(spark, wh, "chunks").count() == 10)
+    assert(TxLog.read(spark, wh, "chunks").agg(org.apache.spark.sql.functions.min("generation"))
+      .head().getLong(0) == 2)
+    // pre-vacuum: old files still on disk (reader grace); post-vacuum: gone
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    spark.catalog.refreshByPath(s"$wh/chunks")
+    org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+    assert(spark.read.parquet(s"$wh/chunks").count() == 10) // raw view agrees now
+  }
+
+  test("commit versions are sequential and snapshots fold in order") {
+    val wh = freshWh()
+    val v0 = TxLog.commit(spark, wh, TxLog.stageWrite(df(Seq(1L), 1), wh, "t", Nil, 1))
+    val v1 = TxLog.commit(spark, wh, TxLog.stageWrite(df(Seq(2L), 2), wh, "t", Nil, 2))
+    assert(v0 == 0 && v1 == 1)
+    val snap = TxLog.snapshot(spark, wh)
+    assert(snap.version == 1 && snap.files("t").size == 2)
+    assert(snap.maxGeneration("t") == 2)
+  }
+
+  test("log-less warehouse falls back to a plain parquet read") {
+    val wh = freshWh()
+    df(0L to 4L, 1).write.partitionBy("container_id").parquet(s"$wh/chunks")
+    assert(!TxLog.exists(spark, wh))
+    assert(TxLog.read(spark, wh, "chunks").count() == 5)
+  }
+}
