@@ -1,0 +1,603 @@
+package graft.multimodal
+
+/** Baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public spec) — decode
+  * for the formats real crawls contain, encode for deterministic
+  * fixtures. This closes the "JPEG is header-probe only" gap: perceptual
+  * hashing ([[PerceptualHash]]) previously ran on PPM/BMP while
+  * [[Multimodal]] only probed JPEG headers; real crawl images are JPEG.
+  * The reference stores image assets as opaque binaries
+  * (ref src/Connapse.Storage/Documents/FileRecord.cs) and leans on
+  * real-format parsers elsewhere (PdfPig/OpenXML); this meets that bar
+  * for images.
+  *
+  * Decoder scope (disclosed): baseline sequential DCT (SOF0/SOF1),
+  * 8-bit precision, 1 or 3 components, any sampling factors (4:4:4,
+  * 4:2:2, 4:2:0, ...), restart intervals, 16-bit quant tables. Returns
+  * the LUMA plane only — JFIF Y is already BT.601 luma, which is all
+  * dHash needs; no chroma upsampling or colorspace math on the decode
+  * path. Progressive (SOF2), arithmetic coding, hierarchical and 12-bit
+  * streams return Left — the never-throw error channel shared with the
+  * other multimodal decoders.
+  *
+  * Encoder scope: baseline grayscale, Annex K example tables (quant
+  * scaled by the libjpeg quality formula, the standard DC/AC luminance
+  * Huffman tables). Deterministic bytes for a given (pixels, quality) —
+  * fixtures for oracled queries must be reproducible on every executor.
+  *
+  * At 100 TB this is per-row scalar work: one decode per asset inside a
+  * map over the asset scan, no shuffle — identical shape to the PPM/BMP
+  * path it extends.
+  */
+object Jpeg {
+
+  // ---------------------------------------------------------------- decode
+
+  private final class BitReader(b: Array[Byte], var off: Int) {
+    private var bits = 0
+    private var nbits = 0
+    var sawEoi = false
+    /** Next marker encountered mid-entropy-data (RSTn handled by caller). */
+    var pendingMarker = -1
+
+    def align(): Unit = { bits = 0; nbits = 0 }
+
+    /** Pull one bit; 0 past end-of-data (T.81 F.2.2.5 allows padding). */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pendingMarker >= 0 || off >= b.length) return 0
+        var v = b(off) & 0xff
+        off += 1
+        if (v == 0xff) {
+          val next = if (off < b.length) b(off) & 0xff else 0xd9
+          if (next == 0x00) { off += 1 } // stuffed 0xFF data byte
+          else { pendingMarker = next; if (next == 0xd9) sawEoi = true; return 0 }
+        }
+        bits = v; nbits = 8
+      }
+      nbits -= 1
+      (bits >> nbits) & 1
+    }
+
+    def bitsN(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Canonical Huffman table in the T.81 F.2.2.3 mincode/maxcode form. */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Decode one symbol; -1 on invalid code. */
+    def decode(r: BitReader): Int = {
+      var code = r.bit(); var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | r.bit(); l += 1
+      }
+      if (l > 16) -1
+      else symbols(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map an S-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Zigzag index -> natural (row-major) index. */
+  private val ZigzagToNatural: Array[Int] = {
+    val zz = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    zz
+  }
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Separable 8×8 inverse DCT (T.81 A.3.3), `in` natural order. */
+  private def idct8x8(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: sum over u
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += CosTable(x * 8 + u) * in(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // cols: sum over v
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += CosTable(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+        out(yy * 8 + x) = s / 4.0
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Decode a baseline JPEG to (width, height, row-major luma in
+    * [0,255]). Left(reason) for anything outside the disclosed scope or
+    * malformed streams — never throws.
+    */
+  def decodeLuma(b: Array[Byte]): Either[String, (Int, Int, Array[Double])] = {
+    try decodeLumaImpl(b)
+    catch { case e: RuntimeException => Left(s"jpeg: ${e.getMessage}") }
+  }
+
+  private def decodeLumaImpl(b: Array[Byte]): Either[String, (Int, Int, Array[Double])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return Left("not a jpeg (no SOI)")
+    var off = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return Left("expected marker")
+      var marker = b(off + 1) & 0xff
+      while (marker == 0xff && off + 2 < b.length) { off += 1; marker = b(off + 1) & 0xff }
+      off += 2
+      marker match {
+        case 0xd9 => return Left("EOI before SOS") // no scan data seen
+        case 0xc2 => return Left("progressive jpeg not supported")
+        case m if m == 0xc3 || (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf && m != 0xcc) =>
+          return Left(f"unsupported SOF marker 0x$m%02x")
+        case 0xdb => // DQT
+          val len = u16(off); val end = off + len; var p = off + 2
+          while (p < end) {
+            val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+            if (tq > 3) return Left("bad DQT id")
+            p += 1
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(ZigzagToNatural(k)) =
+                if (pq == 0) { val v = b(p) & 0xff; p += 1; v }
+                else { val v = u16(p); p += 2; v }
+              k += 1
+            }
+            quant(tq) = t
+          }
+          off = end
+        case 0xc4 => // DHT
+          val len = u16(off); val end = off + len; var p = off + 2
+          while (p < end) {
+            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return Left("bad DHT id")
+            p += 1
+            val counts = new Array[Int](16)
+            var total = 0
+            var i = 0
+            while (i < 16) { counts(i) = b(p + i) & 0xff; total += counts(i); i += 1 }
+            p += 16
+            if (p + total > end) return Left("truncated DHT")
+            val syms = new Array[Int](total)
+            i = 0
+            while (i < total) { syms(i) = b(p + i) & 0xff; i += 1 }
+            p += total
+            val h = new Huff(counts, syms)
+            if (tc == 0) dcTables(th) = h else acTables(th) = h
+          }
+          off = end
+        case 0xc0 | 0xc1 => // SOF0 / SOF1 (both baseline-decodable)
+          val len = u16(off)
+          val prec = b(off + 2) & 0xff
+          if (prec != 8) return Left(s"unsupported precision $prec")
+          height = u16(off + 3); width = u16(off + 5)
+          val n = b(off + 7) & 0xff
+          if (n != 1 && n != 3) return Left(s"unsupported component count $n")
+          comps = Array.tabulate(n) { i =>
+            val p = off + 8 + i * 3
+            Component(b(p) & 0xff, (b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f, b(p + 2) & 0xff)
+          }
+          if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4))
+            return Left("bad sampling factors")
+          // single-component streams are non-interleaved: sampling
+          // factors do not apply (T.81 A.2.2), one MCU = one block
+          if (comps.length == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+          off += len
+        case 0xdd => // DRI
+          restartInterval = u16(off + 2); off += u16(off)
+        case 0xda => // SOS — decode the scan
+          if (comps == null) return Left("SOS before SOF")
+          val len = u16(off)
+          val ns = b(off + 2) & 0xff
+          val scanComps = Array.tabulate(ns) { i =>
+            val p = off + 3 + i * 2
+            val cid = b(p) & 0xff
+            val ci = comps.indexWhere(_.id == cid)
+            if (ci < 0) sys.error(s"scan references unknown component $cid")
+            (ci, (b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f) // (compIdx, dcT, acT)
+          }
+          if (ns != comps.length)
+            return Left("partial-interleave scans not supported")
+          off += len
+          return decodeScan(b, off, width, height, comps, scanComps,
+            quant, dcTables, acTables, restartInterval)
+        case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside scan
+          ()
+        case 0x01 => ()
+        case _ => // APPn, COM, anything else: length-skip
+          off += u16(off)
+      }
+    }
+    Left("no SOS marker")
+  }
+
+  private def decodeScan(b: Array[Byte], dataOff: Int, width: Int, height: Int,
+      comps: Array[Component], scanComps: Array[(Int, Int, Int)],
+      quant: Array[Array[Int]], dcTables: Array[Huff], acTables: Array[Huff],
+      restartInterval: Int): Either[String, (Int, Int, Array[Double])] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component padded plane (blocks rounded up to the MCU grid)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(i => new Array[Double](planeW(i) * planeH(i))).toArray
+    for (c <- comps) if (quant(c.tq) == null) return Left(s"missing quant table ${c.tq}")
+    for ((_, dcT, acT) <- scanComps)
+      if (dcTables(dcT) == null || acTables(acT) == null)
+        return Left("missing huffman table")
+
+    val r = new BitReader(b, dataOff)
+    val dcPred = new Array[Int](comps.length)
+    val coef = new Array[Double](64)
+    val pix = new Array[Double](64)
+
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    var rstExpect = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.align()
+        // the marker may already be pending (bit reads ran into it) or
+        // still unconsumed at r.off — accept either
+        if (r.pendingMarker < 0 && r.off + 1 < b.length &&
+          (b(r.off) & 0xff) == 0xff) {
+          r.pendingMarker = b(r.off + 1) & 0xff
+          r.off += 1 // consume the 0xFF; marker code consumed below
+        }
+        if (r.pendingMarker >= 0xd0 && r.pendingMarker <= 0xd7) {
+          if ((r.pendingMarker & 7) != rstExpect) return Left("restart marker out of sequence")
+          r.pendingMarker = -1
+          r.off += 1 // past the marker code byte
+          rstExpect = (rstExpect + 1) & 7
+          java.util.Arrays.fill(dcPred, 0)
+        } else return Left("missing restart marker")
+      }
+      val mcuX = mcu % mcusX; val mcuY = mcu / mcusX
+      var sc = 0
+      while (sc < scanComps.length) {
+        val (ci, dcT, acT) = scanComps(sc)
+        val c = comps(ci)
+        val q = quant(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // --- one 8x8 block
+            java.util.Arrays.fill(coef, 0.0)
+            val s = dcTables(dcT).decode(r)
+            if (s < 0 || s > 15) return Left("bad DC code")
+            val diff = extend(r.bitsN(s), s)
+            dcPred(ci) += diff
+            coef(0) = dcPred(ci).toDouble * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acTables(acT).decode(r)
+              if (rs < 0) return Left("bad AC code")
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else eob = true // EOB
+              } else {
+                k += run
+                if (k > 63) return Left("AC run overflows block")
+                val nat = ZigzagToNatural(k)
+                coef(nat) = extend(r.bitsN(size), size).toDouble * q(nat)
+                k += 1
+              }
+            }
+            idct8x8(coef, pix)
+            val px0 = (mcuX * c.h + bx) * 8
+            val py0 = (mcuY * c.v + by) * 8
+            val pw = planeW(ci)
+            val plane = planes(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              val rowBase = (py0 + yy) * pw + px0
+              while (xx < 8) {
+                val v = pix(yy * 8 + xx) + 128.0
+                plane(rowBase + xx) = if (v < 0) 0.0 else if (v > 255) 255.0 else v
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        sc += 1
+      }
+      mcu += 1
+    }
+    // luma = component 0 (Y), upsampled to full res if subsampled
+    // (nearest; Y at max sampling in practice, so usually a direct crop)
+    val c0 = comps(0)
+    val sx = hMax / c0.h; val sy = vMax / c0.v
+    val out = new Array[Double](width * height)
+    val pw = planeW(0); val plane = planes(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val srcRow = (y / sy) * pw
+      val dstRow = y * width
+      while (x < width) {
+        out(dstRow + x) = plane(srcRow + x / sx)
+        x += 1
+      }
+      y += 1
+    }
+    Right((width, height, out))
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** Annex K Table K.1 — example luminance quantization, natural order. */
+  private val LumaQuantBase: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K Table K.3 — luminance DC: (counts per length, symbols). */
+  private val DcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcSymbols = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K Table K.5 — luminance AC. */
+  private val AcCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcSymbols = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** (code, length) per symbol from a (counts, symbols) spec. */
+  private def canonicalCodes(counts: Array[Int], symbols: Array[Int]): Array[(Int, Int)] = {
+    val codes = new Array[(Int, Int)](256)
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l - 1)) {
+        codes(symbols(k)) = (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    codes
+  }
+
+  private final class BitWriter {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+    private var acc = 0; private var nacc = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nacc += 1
+        if (nacc == 8) {
+          buf += acc.toByte
+          if ((acc & 0xff) == 0xff) buf += 0x00.toByte // byte stuffing
+          acc = 0; nacc = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nacc > 0) { val r = 8 - nacc; put((1 << r) - 1, r) } // pad with 1s
+    def bytes: Array[Byte] = buf.toArray
+  }
+
+  /** libjpeg quality scaling of a base quant table (public formula). */
+  private def scaledQuant(quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    LumaQuantBase.map { v =>
+      val s = (v * scale + 50) / 100
+      math.max(1, math.min(255, s))
+    }
+  }
+
+  private def fdct8x8(in: Array[Double], out: Array[Double]): Unit = {
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += in(y * 8 + x) * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = s / 4.0
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Encode an 8-bit grayscale image (row-major, values 0..255) as a
+    * baseline JFIF JPEG at `quality` (1..100). Deterministic bytes.
+    * `restartInterval` > 0 emits a DRI segment and RSTn markers every
+    * that many MCUs (one MCU = one block for grayscale) — real streams
+    * from camera pipelines carry these, and the decoder's restart path
+    * needs a deterministic producer to be pinned against.
+    */
+  def encodeGray(luma: Array[Int], w: Int, h: Int, quality: Int,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && luma.length == w * h, "bad dimensions")
+    val q = scaledQuant(quality)
+    val dcCodes = canonicalCodes(DcCounts, DcSymbols)
+    val acCodes = canonicalCodes(AcCounts, AcSymbols)
+    val entropyOut = new java.io.ByteArrayOutputStream()
+    var bw = new BitWriter
+    val block = new Array[Double](64)
+    val freq = new Array[Double](64)
+    val zz = new Array[Int](64)
+    var dcPred = 0
+    var mcu = 0
+    var rstN = 0
+    val blocksY = (h + 7) / 8; val blocksX = (w + 7) / 8
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          entropyOut.write(bw.bytes)
+          entropyOut.write(0xff); entropyOut.write(0xd0 + rstN)
+          rstN = (rstN + 1) & 7
+          bw = new BitWriter
+          dcPred = 0
+        }
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            // edge-replicate padding for partial boundary blocks
+            val sy = math.min(h - 1, by * 8 + y)
+            val sx = math.min(w - 1, bx * 8 + x)
+            block(y * 8 + x) = luma(sy * w + sx) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        fdct8x8(block, freq)
+        var k = 0
+        while (k < 64) {
+          val nat = ZigzagToNatural(k)
+          val v = math.round(freq(nat) / q(nat)).toInt
+          // AC magnitudes cap at size-10 codes in the Annex K table
+          zz(k) = if (k == 0) v else math.max(-1023, math.min(1023, v))
+          k += 1
+        }
+        // DC
+        val diff = zz(0) - dcPred
+        dcPred = zz(0)
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (dcCode, dcLen) = dcCodes(s)
+        bw.put(dcCode, dcLen)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        // AC with RLE
+        var run = 0
+        k = 1
+        while (k < 64) {
+          if (zz(k) == 0) run += 1
+          else {
+            while (run >= 16) { val (c, l) = acCodes(0xf0); bw.put(c, l); run -= 16 }
+            val v = zz(k)
+            val size = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+            val (c, l) = acCodes((run << 4) | size)
+            bw.put(c, l)
+            bw.put(if (v < 0) v + (1 << size) - 1 else v, size)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    entropyOut.write(bw.bytes)
+    val entropy = entropyOut.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + 1 + 64) // DQT
+    u8(0)
+    for (k <- 0 until 64) u8(q(ZigzagToNatural(k)))
+    marker(0xc0); u16(2 + 6 + 3) // SOF0, 1 component
+    u8(8); u16(h); u16(w); u8(1)
+    u8(1); u8(0x11); u8(0)
+    marker(0xc4); u16(2 + 1 + 16 + DcSymbols.length) // DHT DC
+    u8(0x00); DcCounts.foreach(u8); DcSymbols.foreach(u8)
+    marker(0xc4); u16(2 + 1 + 16 + AcSymbols.length) // DHT AC
+    u8(0x10); AcCounts.foreach(u8); AcSymbols.foreach(u8)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) } // DRI
+    marker(0xda); u16(2 + 1 + 2 + 3) // SOS
+    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    out.write(entropy)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -155,6 +155,26 @@ object PerceptualHash {
     */
   def synthPatternPpm(classId: Int, contrast: Double, brightness: Double,
       w: Int = 108, h: Int = 96, patch: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val luma = synthPatternLuma(classId, contrast, brightness, w, h, patch)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) {
+      val o = header.length + i * 3
+      val v = luma(i).toByte
+      out(o) = v; out(o + 1) = v; out(o + 2) = v
+      i += 1
+    }
+    out
+  }
+
+  /** The raw luma plane of [[synthPatternPpm]]'s pattern — the shared
+    * renderer for the PPM (q98/q101) and JPEG (q106) fixture paths, so
+    * the two formats hash the SAME underlying image.
+    */
+  def synthPatternLuma(classId: Int, contrast: Double, brightness: Double,
+      w: Int = 108, h: Int = 96, patch: Option[(Int, Int, Int)] = None): Array[Int] = {
     val fx = (classId % 4) + 1 // 1..4 horizontal periods
     val fy = (classId / 4) % 2 + 1 // 1..2 vertical periods
     // optional localized damage (q101's Hamming-tolerant construction):
@@ -166,9 +186,7 @@ object PerceptualHash {
     val (pcx, pcy, pdelta) = patch.getOrElse((-1, -1, 0))
     val (px0, px1) = if (pcx >= 0) (pcx * w / 9, (pcx + 1) * w / 9) else (0, 0)
     val (py0, py1) = if (pcy >= 0) (pcy * h / 8, (pcy + 1) * h / 8) else (0, 0)
-    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
-    val out = new Array[Byte](header.length + w * h * 3)
-    System.arraycopy(header, 0, out, 0, header.length)
+    val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -179,13 +197,21 @@ object PerceptualHash {
         val inPatch = x >= px0 && x < px1 && y >= py0 && y < py1
         val px = math.round(255.0 * (brightness + contrast * v)).toInt +
           (if (inPatch) pdelta else 0)
-        val clamped = math.max(0, math.min(255, px)).toByte
-        val o = header.length + (y * w + x) * 3
-        out(o) = clamped; out(o + 1) = clamped; out(o + 2) = clamped
+        out(y * w + x) = math.max(0, math.min(255, px))
         x += 1
       }
       y += 1
     }
     out
   }
+
+  /** dHash of a baseline JPEG byte array — [[dHashPpm]]'s contract on
+    * the format real crawls contain ([[Jpeg.decodeLuma]] does the
+    * decode; same never-throw error channel).
+    */
+  def dHashJpeg(b: Array[Byte]): Either[String, Long] =
+    Jpeg.decodeLuma(b).flatMap { case (w, h, luma) =>
+      if (w < 9 || h < 8) Left(s"image ${w}x$h smaller than dhash grid")
+      else Right(dHash64FromCells(boxDownsample(luma, w, h, 9, 8)))
+    }
 }

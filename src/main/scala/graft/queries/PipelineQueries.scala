@@ -495,6 +495,59 @@ object PipelineQueries {
       doc = "Hamming-tolerant image near-dup: band-key candidates + popcount recheck under per-doc damage"),
 
     QueryDef(
+      "q106_jpeg_neardup",
+      (s, d) => {
+        // q101's banded near-dup on REAL JPEG bytes — the format crawls
+        // actually contain. Each doc renders the q101 scene (class =
+        // doc_id % 8, doc-varying tone map + single-cell damage patch),
+        // then round-trips it through baseline JPEG at quality 88
+        // (multimodal/Jpeg: our own T.81 encoder AND decoder — ImageIO
+        // cross-validates both in JpegSpec) before hashing. dHash must
+        // survive the lossy transform: quantization noise rides on top
+        // of the ≤2-bit patch perturbation, and the measured margins
+        // (same-class ≤2 bits, cross-class ≥30 at these parameters —
+        // pinned in JpegSpec) leave the q101 thresholds untouched:
+        // 8-band pigeonhole candidates, exact popcount recheck ≤5.
+        // DuckDB predicts the pair set from doc_id arithmetic alone, so
+        // encode + Huffman/DCT decode + hash + banding must EARN it.
+        // Scale shape identical to q101: per-row scalar decode riding
+        // the scan, candidates only within band-value buckets.
+        import s.implicits._
+        val bandRows = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+          .as[Long]
+          .flatMap { id =>
+            val contrast = 0.5 + (id % 7) * 0.08
+            val brightness = (id % 5) * 0.03
+            val patch = (1 + (id * 3 % 7).toInt, (id * 5 % 8).toInt,
+              6 + (id % 3).toInt * 4)
+            val luma = graft.multimodal.PerceptualHash.synthPatternLuma(
+              (id % 8).toInt, contrast, brightness, patch = Some(patch))
+            val jpeg = graft.multimodal.Jpeg.encodeGray(luma, 108, 96, quality = 88)
+            val h = graft.multimodal.PerceptualHash.dHashJpeg(jpeg)
+              .getOrElse(sys.error("undecodable synth jpeg"))
+            graft.multimodal.PerceptualHash.bandKeys(h, bands = 8)
+              .map { case (b, v) => (b, v, id, h) }
+          }.toDF("band", "bval", "doc_id", "dhash")
+        bandRows.as("a").join(bandRows.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+          .filter(expr("bit_count(ha ^ hb) <= 5"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 100)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
+        ORDER BY id_a, id_b"""),
+      doc = "q101 on real JPEG bytes: T.81 encode+decode round-trip must preserve the dHash class structure"),
+
+    QueryDef(
       "q102_url_canonicalize",
       (s, d) => {
         // URL canonicalization — the dedup key a crawl frontier needs

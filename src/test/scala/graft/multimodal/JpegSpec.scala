@@ -1,0 +1,205 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the baseline JPEG codec two independent ways:
+  *   1. round-trip through OUR encoder+decoder stays within the
+  *      quantization error budget of the chosen quality;
+  *   2. cross-validation against `javax.imageio` (the JDK's libjpeg-born
+  *      codec, a third-party implementation of the same public spec):
+  *      our decoder must agree with ImageIO on ImageIO-ENCODED color
+  *      images (exercising 3-component + chroma subsampling paths), and
+  *      ImageIO must be able to decode OUR encoder's output back to the
+  *      same pixels our decoder sees.
+  * Then the dHash contract: JPEG compression at q85+ must not move any
+  * perceptual hash far enough to break the q98/q101 class structure.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  /** Deterministic grayscale test image (same sinusoid family as
+    * PerceptualHash.synthPatternPpm renders).
+    */
+  private def synthLuma(classId: Int, w: Int, h: Int,
+      contrast: Double = 0.9, brightness: Double = 0.02): Array[Int] = {
+    val fx = (classId % 4) + 1
+    val fy = (classId / 4) % 2 + 1
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val v = 0.5 + 0.35 *
+        math.sin(2 * math.Pi * fx * (x + 0.5) / w) *
+        math.cos(2 * math.Pi * fy * (y + 0.5) / h)
+      math.max(0, math.min(255, math.round(255.0 * (brightness + contrast * v)).toInt))
+    }
+  }
+
+  private def meanAbsErr(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length)
+    a.zip(b).map { case (x, y) => math.abs(x - y) }.sum / a.length
+  }
+
+  test("encode/decode round-trip: q90 within quantization budget") {
+    val (w, h) = (108, 96)
+    val luma = synthLuma(3, w, h)
+    val jpeg = Jpeg.encodeGray(luma, w, h, quality = 90)
+    val Right((dw, dh, dec)) = Jpeg.decodeLuma(jpeg): @unchecked
+    assert(dw == w && dh == h)
+    val mae = meanAbsErr(dec, luma.map(_.toDouble))
+    assert(mae < 3.0, s"mean abs err $mae too high for q90")
+    assert(dec.zip(luma).map { case (d, o) => math.abs(d - o) }.max < 25.0)
+  }
+
+  test("round-trip survives non-multiple-of-8 dimensions (edge padding)") {
+    val (w, h) = (75, 53)
+    val luma = synthLuma(5, w, h)
+    val jpeg = Jpeg.encodeGray(luma, w, h, quality = 85)
+    val Right((dw, dh, dec)) = Jpeg.decodeLuma(jpeg): @unchecked
+    assert(dw == w && dh == h)
+    assert(meanAbsErr(dec, luma.map(_.toDouble)) < 4.0)
+  }
+
+  test("encoder output is deterministic bytes") {
+    val luma = synthLuma(1, 64, 64)
+    val a = Jpeg.encodeGray(luma, 64, 64, 80)
+    val b = Jpeg.encodeGray(luma, 64, 64, 80)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("ImageIO decodes our encoder's output to the same pixels our decoder sees") {
+    val (w, h) = (96, 88)
+    val luma = synthLuma(6, w, h)
+    val jpeg = Jpeg.encodeGray(luma, w, h, quality = 92)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null, "ImageIO rejected our JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val ours = Jpeg.decodeLuma(jpeg).toOption.get._3
+    val raster = img.getRaster
+    var worst = 0.0
+    var sum = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      // grayscale JPEG: ImageIO returns the Y sample directly
+      val theirs = raster.getSample(x, y, 0).toDouble
+      val d = math.abs(theirs - ours(y * w + x))
+      worst = math.max(worst, d); sum += d
+    }
+    // two independent IDCTs of the same coefficients: tiny rounding skew
+    assert(sum / (w * h) < 1.0, s"mean IDCT disagreement ${sum / (w * h)}")
+    assert(worst <= 2.0, s"worst IDCT disagreement $worst")
+  }
+
+  test("our decoder matches ImageIO on ImageIO-encoded COLOR jpeg (4:2:0 path)") {
+    val (w, h) = (120, 80)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (math.sin(2 * math.Pi * x / w) * 100 + 128).toInt
+      val g = (math.cos(2 * math.Pi * y / h) * 100 + 128).toInt
+      val b = ((x + y) * 255 / (w + h))
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    val Right((dw, dh, ours)) = Jpeg.decodeLuma(jpeg): @unchecked
+    assert(dw == w && dh == h)
+    // reference luma: ImageIO's decoded RGB converted back with BT.601 —
+    // ImageIO does full YCbCr->RGB; inverting it reintroduces rounding,
+    // so the budget is wider than the grayscale case but still tight
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var sum = 0.0; var worst = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      val theirs = 0.299 * r + 0.587 * g + 0.114 * b
+      val d = math.abs(theirs - ours(y * w + x))
+      sum += d; worst = math.max(worst, d)
+    }
+    assert(sum / (w * h) < 2.0, s"mean luma disagreement ${sum / (w * h)}")
+    assert(worst < 16.0, s"worst luma disagreement $worst (RGB clamp corners)")
+  }
+
+  test("restart markers: DRI stream decodes identically to the plain stream") {
+    val (w, h) = (72, 64) // 9x8 blocks = 72 MCUs, interval 5 -> 14 RSTs
+    val luma = synthLuma(2, w, h)
+    val plain = Jpeg.encodeGray(luma, w, h, 85)
+    val dri = Jpeg.encodeGray(luma, w, h, 85, restartInterval = 5)
+    assert(dri.length > plain.length, "DRI stream should carry RST markers")
+    // the DRI segment must be present
+    assert(dri.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xdd))
+    val Right((_, _, a)) = Jpeg.decodeLuma(plain): @unchecked
+    val Right((_, _, b)) = Jpeg.decodeLuma(dri): @unchecked
+    assert(a.sameElements(b), "restart path must reproduce the plain decode")
+    // third-party agreement: ImageIO decodes the DRI stream to the same Y
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(dri))
+    assert(img != null)
+    val r = img.getRaster
+    val worst = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(r.getSample(x, y, 0) - b(y * w + x))).max
+    assert(worst <= 2.0, s"ImageIO disagrees on DRI stream by $worst")
+  }
+
+  test("error channel: progressive, truncated, and non-jpeg inputs → Left") {
+    assert(Jpeg.decodeLuma(Array[Byte](1, 2, 3)).isLeft)
+    assert(Jpeg.decodeLuma("P6\n2 2\n255\n".getBytes ++ new Array[Byte](12)).isLeft)
+    val good = Jpeg.encodeGray(synthLuma(0, 32, 32), 32, 32, 80)
+    // flip SOF0 (FFC0) to SOF2 (FFC2): must report progressive, not throw
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeLuma(prog) == Left("progressive jpeg not supported"))
+    // truncate mid-entropy-data: decoder pads with zero bits (T.81
+    // F.2.2.5) or reports an error — it must not throw
+    val trunc = good.take(good.length / 2)
+    Jpeg.decodeLuma(trunc) match {
+      case Left(_) => ()
+      case Right((w, h, l)) => assert(w == 32 && h == 32 && l.length == 32 * 32)
+    }
+  }
+
+  test("q106 margins: same-class ≤2 bits, cross-class ≥30 over the full fixture") {
+    // exactly the q106_jpeg_neardup construction: 100 docs, class =
+    // id % 8, doc-varying tone map + single-cell damage patch, JPEG q88
+    // round-trip. The query's band/recheck thresholds (8 bands, ≤5)
+    // are sound iff these margins hold.
+    def hash(id: Long): Long = {
+      val contrast = 0.5 + (id % 7) * 0.08
+      val brightness = (id % 5) * 0.03
+      val patch = (1 + (id * 3 % 7).toInt, (id * 5 % 8).toInt, 6 + (id % 3).toInt * 4)
+      val luma = PerceptualHash.synthPatternLuma(
+        (id % 8).toInt, contrast, brightness, patch = Some(patch))
+      val jpeg = Jpeg.encodeGray(luma, 108, 96, quality = 88)
+      PerceptualHash.dHashJpeg(jpeg).getOrElse(sys.error("undecodable"))
+    }
+    val hs = (0L until 100L).map(id => (id, hash(id)))
+    val same = for { (a, ha) <- hs; (b, hb) <- hs if a < b && a % 8 == b % 8 }
+      yield PerceptualHash.hamming(ha, hb)
+    val cross = for { (a, ha) <- hs; (b, hb) <- hs if a < b && a % 8 != b % 8 }
+      yield PerceptualHash.hamming(ha, hb)
+    assert(same.max <= 2, s"same-class max ${same.max} exceeds the patch bound")
+    assert(cross.min >= 30, s"cross-class min ${cross.min} eroded the band margin")
+  }
+
+  test("dHash contract: JPEG q88 keeps same-class hashes close, classes far") {
+    // the q98 construction pushed through JPEG: same class under two
+    // tone maps must stay Hamming-close after lossy encode+decode;
+    // different classes must stay far — the margins that make banded
+    // near-dup joins sound on real crawl formats
+    def hashOf(classId: Int, contrast: Double, brightness: Double): Long = {
+      val (w, h) = (108, 96)
+      val luma = synthLuma(classId, w, h, contrast, brightness)
+      val jpeg = Jpeg.encodeGray(luma, w, h, quality = 88)
+      val Right((dw, dh, dec)) = Jpeg.decodeLuma(jpeg): @unchecked
+      PerceptualHash.dHash64FromCells(
+        PerceptualHash.boxDownsample(dec, dw, dh, 9, 8))
+    }
+    val sameClass = for (c <- 0 until 8) yield
+      PerceptualHash.hamming(hashOf(c, 0.9, 0.02), hashOf(c, 0.62, 0.1))
+    assert(sameClass.max <= 2,
+      s"same-class JPEG hashes drifted: $sameClass")
+    val crossClass = for {
+      a <- 0 until 8; b <- 0 until 8 if a < b
+    } yield PerceptualHash.hamming(hashOf(a, 0.9, 0.02), hashOf(b, 0.9, 0.02))
+    assert(crossClass.min >= 12,
+      s"cross-class JPEG hashes too close: min ${crossClass.min}")
+  }
+}
