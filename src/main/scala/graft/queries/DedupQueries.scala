@@ -606,6 +606,37 @@ object DedupQueries {
         SELECT cluster_id, doc_id AS survivor_id, cluster_size, n_uniq,
                cluster_size - 1 AS n_dropped
         FROM ranked WHERE rk = 1 ORDER BY cluster_id"""),
-      doc = "quality-aware dedup survivors: richest doc per near-dup cluster")
+      doc = "quality-aware dedup survivors: richest doc per near-dup cluster"),
+
+    QueryDef(
+      "q107_salted_token_counts",
+      (s, d) => {
+        // Corpus token-frequency table through the SALTED two-phase
+        // aggregate (functions/Skew.saltedSum) — the known-hot-key path
+        // SCALE.md documents. Unigrams are the canonical skewed domain:
+        // stopwords ("the", "of") appear orders of magnitude more often
+        // than the tail, so a naive groupBy(token) sends every "the" row
+        // to ONE reducer — the straggler that kills the stage at 100 TB.
+        // saltedSum spreads each token over 16 deterministic salt
+        // buckets (hash(doc_id) % 16 — no RNG, replay-safe) for the
+        // partial count, then merges the ≤16 partials per token in a
+        // second, skew-free pass. Equivalence with the unsalted groupBy
+        // is pinned twice: SkewSpec (property) and this DuckDB oracle
+        // (end-to-end counts). PlanSpec asserts the plan really carries
+        // the two keyed aggregates (salted partial, final merge).
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), explode(expr(toksSpark("text"))).as("tok"))
+          .withColumn("one", lit(1L))
+        graft.functions.Skew.saltedSum(toks, "tok", "one", 16, col("doc_id"))
+          .filter(col("sum_one") >= 50)
+          .select(col("tok"), col("sum_one").cast("long").as("n_occurrences"))
+          .orderBy("tok")
+      },
+      Some(s"""
+        SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT doc_id, unnest(${toksDuck("text")}) AS tok FROM documents)
+        GROUP BY tok HAVING count(*) >= 50
+        ORDER BY tok"""),
+      doc = "token frequencies via the salted two-phase aggregate: hot stopword keys spread over 16 buckets")
   )
 }

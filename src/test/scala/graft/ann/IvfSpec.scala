@@ -45,6 +45,63 @@ class IvfSpec extends AnyFunSuite {
     corp.unpersist()
   }
 
+  /** Zipf-imbalanced planted clusters: cluster c's share ∝ 1/(c+1), so
+    * cluster 0 holds ~41% of the corpus and cluster 5 ~7% — the shape
+    * real embedding spaces have (one dominant mode + tail). ids are
+    * interleaved across clusters so query picks span all of them.
+    */
+  private def skewedCorpus(n: Int) = {
+    val weights = (0 until nClusters).map(c => 1.0 / (c + 1))
+    val total = weights.sum
+    val bounds = weights.map(_ / total).scanLeft(0.0)(_ + _).tail
+    def clusterOf(id: Int): Int = {
+      val u = ((id * 2654435761L) % n).toDouble / n // golden-ratio scatter
+      bounds.indexWhere(u < _) match { case -1 => nClusters - 1; case c => c }
+    }
+    def noise(id: Int, i: Int): Float = {
+      var z = id.toLong * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      ((z >>> 40).toInt % 1000) / 10000.0f // ±0.1-ish
+    }
+    (0 until n).map { id =>
+      val c = clusterOf(id)
+      val v = Array.tabulate(dims)(i => (if (i == c) 1.0f else 0.1f) + noise(id, i))
+      (id.toLong, c, v)
+    }.toDF("id", "cluster", "embedding")
+  }
+
+  test("recall@10 >= 0.9 on IMBALANCED cells with probes << lists") {
+    // 12 lists over 6 zipf-weighted clusters: k-means MUST split the fat
+    // cluster into several cells (the imbalance a uniform fixture never
+    // exercises), and neighbors of a fat-cluster query then straddle
+    // sibling cells — the recall-eroding case. 4 probes of 12 lists
+    // (1/3 of cells, amortized scan ~1/3 of the corpus at equal sizes,
+    // less here since probed cells chase the query's mode).
+    val corp = skewedCorpus(600).persist()
+    val sizes = corp.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes(0) > 3L * sizes(nClusters - 1),
+      s"fixture lost its imbalance: $sizes")
+    val queries = corp.filter(col("id") < 12) // golden-ratio scatter: all clusters hit
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val index = Ivf.build(corp.select("id", "embedding"), nLists = 12)
+
+    // the fat cluster really is split across several cells
+    val cellsOfFat = index.assigned.filter(col("id").isin(
+        corp.filter(col("cluster") === 0).select("id")
+          .as[Long].collect().map(java.lang.Long.valueOf): _*))
+      .select("list_id").distinct().count()
+    assert(cellsOfFat >= 2, s"k-means kept the fat cluster in $cellsOfFat cell")
+
+    val exact = BruteForceKnn.topK(corp.select("id", "embedding"), queries, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.search(index, queries, 10, nProbes = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall on imbalanced cells")
+    corp.unpersist()
+  }
+
   test("probed search scans only nProbes cells of the corpus") {
     val corp = corpus(300)
     val index = Ivf.build(corp, nLists = nClusters, maxIter = 5)

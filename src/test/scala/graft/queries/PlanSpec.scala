@@ -227,6 +227,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1500))
   }
 
+  test("salted two-phase aggregate really salts (q107)") {
+    val p = plan("q107_salted_token_counts")
+    // phase 1 keys on (tok, _salt): the hot-key spread must survive into
+    // the physical plan, not get optimized back into a single-key agg
+    assert(p.contains("_salt"), p.take(1500))
+    // two keyed shuffles: (tok,_salt) partial merge + (tok) final merge
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).length >= 2, p.take(1500))
+    // both phases keep map-side partial aggregation
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
   test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used

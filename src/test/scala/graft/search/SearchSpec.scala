@@ -243,6 +243,33 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     // partitions
     val iv = pruned.serving.flatMap(_.ivf).get
     assert(iv.rows.getNumPartitions == 4)
+
+    // latency ∝ probes, asserted at the scheduler: a 1-probe semantic
+    // query must submit its scan stage with exactly ONE task — the other
+    // 3 cell partitions' tasks never exist (PartitionPruningRDD), which
+    // is the claim that makes serving latency follow probes/lists
+    // instead of corpus size
+    val stageTasks = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageTasks.add(s.stageInfo.numTasks)
+    }
+    TestSpark.spark.sparkContext.addSparkListener(listener)
+    try {
+      HybridSearch.search(pruned,
+        SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 5),
+        embedder)
+      val deadline = System.currentTimeMillis() + 5000
+      while (stageTasks.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!stageTasks.isEmpty, "no stage observed for the pruned search")
+      Thread.sleep(200) // drain any trailing stage events
+      val tasks = stageTasks.toArray(new Array[Integer](0)).map(_.toInt)
+      assert(tasks.forall(_ == 1),
+        s"1-probe search scheduled stages with tasks ${tasks.toSeq} — pruning leaked")
+    } finally TestSpark.spark.sparkContext.removeSparkListener(listener)
+
     Seq(flat, full, pruned).foreach { s =>
       s.chunks.unpersist(); s.vectors.unpersist()
       s.serving.foreach(_.unpersist())
