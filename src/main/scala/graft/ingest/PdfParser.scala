@@ -45,9 +45,10 @@ import scala.collection.mutable
   *
   * Documented unsupported class (falls back to warnings, not wrong text):
   * image codecs (DCT/JPX/JBIG2/CCITT — raster data, no text to extract)
-  * and subset fonts WITHOUT a /ToUnicode map (glyph-id-only), where
-  * extraction yields garbled-but-flagged text, the same failure PdfPig
-  * reports as a per-page warning.
+  * and subset fonts WITHOUT a /ToUnicode map (glyph-id-only), whose
+  * show-runs are DROPPED — never emitted as mojibake — with a per-page
+  * warning counting what was lost per font, the same per-page warning
+  * channel the reference surfaces (ref PdfParser.cs:53-80).
   */
 object PdfParser {
 
@@ -76,8 +77,10 @@ object PdfParser {
       infoMetadata(scanText).foreach { case (k, v) => meta(k) = v }
 
       // font resource name -> /ToUnicode CMap, for decoding show-strings
-      // of subset-embedded fonts whose bytes aren't character codes
-      val fonts = fontCMaps(scanText, streams)
+      // of subset-embedded fonts whose bytes aren't character codes; plus
+      // the glyph-id-only fonts (subset-embedded, NO /ToUnicode) whose
+      // show-strings carry glyph indices no map can decode
+      val FontInfo(fonts, glyphOnly) = fontCMaps(scanText, streams)
 
       // walk every stream object; a decoded stream containing a BT text
       // object is one page of content (common case: one content stream per
@@ -91,11 +94,19 @@ object PdfParser {
         decoded.map(d => new String(d, StandardCharsets.ISO_8859_1))
           .filter(_.contains("BT")).foreach { content =>
             page += 1
-            val text = extractText(content, fonts)
-            if (text.trim.nonEmpty) {
+            val ex = extractText(content, fonts, glyphOnly)
+            // glyph-id-only runs are DROPPED, not emitted as mojibake —
+            // and each page reports what it lost (the reference surfaces
+            // per-page extraction warnings the same way,
+            // ref src/Connapse.Ingestion/Parsers/PdfParser.cs:53-80)
+            ex.glyphSkips.toSeq.sortBy(_._1).foreach { case (font, runs) =>
+              warnings += s"Page $page: $runs text run(s) in glyph-id-only font " +
+                s"$font skipped (subset font without /ToUnicode map)"
+            }
+            if (ex.text.trim.nonEmpty) {
               sb.append(s"--- Page $page ---").append('\n')
-              sb.append(text).append('\n').append('\n')
-            } else {
+              sb.append(ex.text).append('\n').append('\n')
+            } else if (ex.glyphSkips.isEmpty) {
               warnings += s"Page $page contains no extractable text (may be scanned image)"
             }
           }
@@ -489,6 +500,15 @@ object PdfParser {
     }
   }
 
+  /** CMap-decodable fonts plus the glyph-id-only set: resource name ->
+    * display name for subset-embedded fonts with NO /ToUnicode, whose
+    * show-strings are glyph indices (undecodable without the font
+    * program's cmap table — out of scope, reported per page).
+    */
+  private[ingest] final case class FontInfo(
+      cmaps: Map[String, ToUnicodeCMap],
+      glyphOnly: Map[String, String])
+
   /** Font resource name (the `/F1` of `/F1 12 Tf`) -> ToUnicode CMap.
     * Resolution walks `/Font << /Name N 0 R .. >>` resource dicts in the
     * scan text (top-level AND ObjStm-decoded), then each font object's
@@ -496,9 +516,16 @@ object PdfParser {
     * UNAMBIGUOUS names are kept: a name bound to different CMaps on
     * different pages can't be resolved without per-page resource scoping,
     * and decoding with the wrong map is worse than the flagged fallback.
+    *
+    * A binding with no resolvable CMap is classified glyph-id-only when
+    * every font object it references looks subset-embedded: a
+    * `/BaseFont /ABCDEF+Name` subset tag (ISO 32000-1 §9.6.4) or an
+    * `/Encoding /Identity-H` CID font (§9.7.5.2, raw CID bytes). Plain
+    * unembedded fonts (e.g. /Helvetica, WinAnsi) stay out of the set —
+    * their show-string bytes ARE the text.
     */
-  private def fontCMaps(scanText: String,
-      streams: Seq[(Int, String, Array[Byte])]): Map[String, ToUnicodeCMap] = {
+  private[ingest] def fontCMaps(scanText: String,
+      streams: Seq[(Int, String, Array[Byte])]): FontInfo = {
     // font object body by number: "N G obj <<..>>" wrappers in the scan text
     val fontObjs = mutable.Map[Int, String]()
     "(\\d+)\\s+\\d+\\s+obj\\b".r.findAllMatchIn(scanText).foreach { om =>
@@ -530,25 +557,53 @@ object PdfParser {
           bindings.getOrElseUpdate(b.group(1), mutable.Set()) += b.group(2).toInt
         }
     }
-    bindings.flatMap { case (name, refs) =>
-      val cmaps = refs.toSeq.map(cmapOfFontObj).distinct
-      cmaps match {
-        case Seq(Some(c)) => Some(name -> c) // unambiguous
-        case _ => None // no CMap, or conflicting bindings across pages
+    val subsetTag = "/BaseFont\\s*/([A-Z]{6}\\+[^\\s/<>\\[\\]()]+)".r
+    val identityH = "/Encoding\\s*/Identity-H".r
+    val decodable = mutable.Map[String, ToUnicodeCMap]()
+    val glyphOnly = mutable.Map[String, String]()
+    bindings.foreach { case (name, refs) =>
+      refs.toSeq.map(cmapOfFontObj).distinct match {
+        case Seq(Some(c)) => decodable(name) = c // unambiguous
+        case Seq(None) =>
+          // no CMap anywhere this name binds: glyph-id-only iff every
+          // referenced font object is subset-embedded or Identity-H
+          val bodies = refs.toSeq.flatMap(fontObjs.get)
+          if (bodies.nonEmpty && bodies.forall(b =>
+            subsetTag.findFirstIn(b).isDefined || identityH.findFirstIn(b).isDefined)) {
+            val display = bodies.iterator
+              .flatMap(b => subsetTag.findFirstMatchIn(b).map(_.group(1)))
+              .nextOption().getOrElse("Identity-H CID font")
+            glyphOnly(name) = s"/$name ($display)"
+          }
+        case _ => () // conflicting bindings across pages: flagged fallback
       }
-    }.toMap
+    }
+    FontInfo(decodable.toMap, glyphOnly.toMap)
   }
 
+  /** One page's extraction: the text, plus per-font counts of show-runs
+    * dropped because the active font was glyph-id-only. */
+  private[ingest] final case class ExtractResult(
+      text: String, glyphSkips: Map[String, Int])
+
   private[ingest] def extractText(content: String,
-      fonts: Map[String, ToUnicodeCMap] = Map.empty): String = {
+      fonts: Map[String, ToUnicodeCMap] = Map.empty,
+      glyphOnly: Map[String, String] = Map.empty): ExtractResult = {
     val sb = new StringBuilder
     var lineOpen = false
     var lastName: String = ""   // most recent /Name token (Tf operand)
     var cmap: Option[ToUnicodeCMap] = None // active font's ToUnicode map
+    var glyphFont: Option[String] = None // active font is glyph-id-only
+    val glyphSkips = mutable.Map[String, Int]()
     def newline(): Unit = if (lineOpen) { sb.append('\n'); lineOpen = false }
-    def show(s: String): Unit = {
-      val t = cmap.map(_.decode(s)).getOrElse(s)
-      if (t.nonEmpty) { sb.append(t); lineOpen = true }
+    def show(s: String): Unit = glyphFont match {
+      case Some(display) =>
+        // glyph indices, not character codes — emitting them would be
+        // mojibake; drop the run and account for it
+        if (s.nonEmpty) glyphSkips(display) = glyphSkips.getOrElse(display, 0) + 1
+      case None =>
+        val t = cmap.map(_.decode(s)).getOrElse(s)
+        if (t.nonEmpty) { sb.append(t); lineOpen = true }
     }
 
     var i = 0
@@ -590,13 +645,16 @@ object PdfParser {
             case "'" | "\"" => newline(); pending.foreach(show); pending = Vector.empty
             case "Td" | "TD" | "T*" => newline(); pending = Vector.empty
             case "BT" | "ET" => newline(); pending = Vector.empty
-            case "Tf" => cmap = fonts.get(lastName); pending = Vector.empty
+            case "Tf" =>
+              cmap = fonts.get(lastName)
+              glyphFont = glyphOnly.get(lastName)
+              pending = Vector.empty
             case _ => pending = Vector.empty // any other operator consumes operands
           }
         case _ => i += 1
       }
     }
-    sb.toString
+    ExtractResult(sb.toString, glyphSkips.toMap)
   }
 
   /** Literal PDF string starting at `(`: nesting, escapes, octal codes.

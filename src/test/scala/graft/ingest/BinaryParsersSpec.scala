@@ -520,6 +520,66 @@ class BinaryParsersSpec extends AnyFunSuite {
       p.content.map(_.toInt).mkString(","))
   }
 
+  /** One page, two fonts: /F1 an embedded SUBSET font with NO /ToUnicode
+    * (glyph-id-only show strings) and /F2 a plain unembedded standard
+    * font (bytes ARE the text). */
+  private def pdfGlyphOnly(content: String,
+      subsetFontDict: String = "/Type /Font /Subtype /TrueType " +
+        "/BaseFont /GHIJKL+Phantom /FontDescriptor 8 0 R"): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w(s"5 0 obj << $subsetFontDict >> endobj\n")
+    w("6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    w("8 0 obj << /Type /FontDescriptor /FontName /GHIJKL+Phantom " +
+      "/FontFile2 9 0 R >> endobj\n")
+    w("trailer << /Size 10 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("pdf: glyph-id-only subset font: runs dropped, per-page warning counts them") {
+    // two /F1 show-runs carry glyph indices (no /ToUnicode anywhere);
+    // /F2's literal string is real text — it must survive while the
+    // glyph runs are dropped, never emitted as mojibake
+    // (ref src/Connapse.Ingestion/Parsers/PdfParser.cs:53-80 per-page
+    // warning channel)
+    val p = PdfParser.parse("glyph.pdf", pdfGlyphOnly(
+      "BT /F1 10 Tf <00070003> Tj <000B> Tj T* /F2 12 Tf (visible) Tj ET"))
+    assert(p.content.contains("visible"), p.content)
+    assert(!p.content.contains(0x0007.toChar), "glyph bytes leaked as mojibake")
+    val glyphWarns = p.warnings.filter(_.contains("glyph-id-only"))
+    assert(glyphWarns.size == 1, p.warnings.mkString("; "))
+    assert(glyphWarns.head ==
+      "Page 1: 2 text run(s) in glyph-id-only font /F1 (GHIJKL+Phantom) " +
+        "skipped (subset font without /ToUnicode map)", glyphWarns.head)
+  }
+
+  test("pdf: Identity-H CID font without /ToUnicode is glyph-only too") {
+    val p = PdfParser.parse("cid.pdf", pdfGlyphOnly(
+      "BT /F1 10 Tf <00480065> Tj ET",
+      subsetFontDict = "/Type /Font /Subtype /Type0 /BaseFont /NoTag " +
+        "/Encoding /Identity-H"))
+    assert(p.warnings.exists(_.contains("glyph-id-only font /F1 (Identity-H CID font)")),
+      p.warnings.mkString("; "))
+    // a page that loses ALL its runs still reports the loss, not the
+    // misleading "no extractable text (may be scanned image)"
+    assert(!p.warnings.exists(_.contains("scanned image")), p.warnings.mkString("; "))
+  }
+
+  test("pdf: plain unembedded font without /ToUnicode still passes bytes through") {
+    // /Helvetica has no subset tag and no Identity-H: its show-string
+    // bytes are the text — must NOT be classified glyph-only
+    val p = PdfParser.parse("plain.pdf", pdfGlyphOnly(
+      "BT /F2 12 Tf (standard fonts keep working) Tj ET"))
+    assert(p.content.contains("standard fonts keep working"), p.content)
+    assert(!p.warnings.exists(_.contains("glyph-id-only")), p.warnings.mkString("; "))
+  }
+
   test("pdf: parseToUnicode unit — widths, ranges, empty") {
     val c = PdfParser.parseToUnicode(helloCMap).get
     assert(c.codeBytes == 2)
