@@ -634,6 +634,65 @@ object AnnQueries {
         LEFT JOIN (SELECT * FROM top1 WHERE rnk = 1) t ON t.eval_id = ev.vec_id
         ORDER BY eval_id"""
       },
-      doc = "semantic decontamination: per-eval nearest in-cell train neighbor + gate flag")
+      doc = "semantic decontamination: per-eval nearest in-cell train neighbor + gate flag"),
+
+    QueryDef(
+      "q108_hnsw_serving",
+      (s, d) => {
+        // HNSW graph ANN (ann/Hnsw, Malkov & Yashunin 2016) over the
+        // embeddings table, oracled via the q83/q94 verdict-flag
+        // pattern: the graph walk is engine-private math, so the query
+        // computes its own invariants in-query and DuckDB pins the
+        // verdicts. Per query vector: (a) EXHAUSTIVE per-partition beams
+        // must equal the exact cosine top-10 bit-for-bit (every point
+        // sits in exactly one partition graph, each partition's beam
+        // covers it fully, the driver merges ≤k rows/partition — the
+        // serving-leg merge contract); (b) a MODEST beam (ef=60) must
+        // reach recall@10 >= 0.9 against the same exact set. Scale
+        // shape: graphs are partition-local (no shuffle after the
+        // initial hash partitioning, no global index), query cost is
+        // walks in probed partitions + a bounded driver merge; HNSW
+        // composes with IVF routing (walk only probed cells' graphs).
+        import s.implicits._
+        val e = table(s, d, "embeddings")
+        val corpus = e.select(col("vec_id").cast("long").as("id"), col("embedding"))
+        val part = graft.ann.Hnsw.buildPartitioned(
+          corpus.repartition(8, col("id")), m = 8, efConstruction = 60)
+        val pts = corpus.as[(Long, Array[Float])].collect()
+        val byId = pts.toMap
+        val exhaustiveEf = pts.length // >= any partition's size: exact
+        val rows = (0L until 5L).map { qid =>
+          val q = byId(qid)
+          def cos(a: Array[Float], b: Array[Float]): Double = {
+            var dp = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < a.length) {
+              dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+              nb += b(i).toDouble * b(i); i += 1
+            }
+            if (na == 0 || nb == 0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
+          }
+          val exact = pts.filter(_._1 != qid)
+            .map { case (id, v) => (id, cos(q, v)) }
+            .sortBy { case (id, sim) => (-sim, id) }.take(10).map(_._1).toSeq
+          def top10(ef: Int) = part.searchAll(q, 11, ef)
+            .collect { case (id, _) if id != qid => id }.take(10)
+          val exhaustive = top10(exhaustiveEf)
+          val recall = (exact.toSet intersect top10(60).toSet).size / 10.0
+          (qid, 10L,
+            if (exhaustive == exact) 1 else 0,
+            if (recall >= 0.9) 1 else 0)
+        }
+        part.unpersist()
+        s.createDataset(rows)
+          .toDF("qid", "n_results", "exhaustive_exact", "recall_ok")
+          .orderBy("qid")
+      },
+      Some("""
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(10 AS BIGINT) AS n_results,
+               1 AS exhaustive_exact, 1 AS recall_ok
+        FROM (SELECT unnest(range(0, 5)) AS qid)
+        ORDER BY qid"""),
+      doc = "HNSW partition-local graph ANN: exhaustive beams == exact top-k; modest beams recall >= 0.9")
   )
 }
