@@ -1,0 +1,180 @@
+package graft.multimodal
+
+/** Baseline PNG decoder (RFC 2083 / ISO 15948, public spec) — the
+  * second real crawl image format after [[Jpeg]]. Scope: 8-bit
+  * greyscale (0), truecolor (2), palette (3), greyscale+alpha (4) and
+  * RGBA (6), non-interlaced, all five row filters. Interlaced (Adam7),
+  * 16-bit and sub-8-bit depths return Left — never-throw error channel
+  * like every other multimodal decoder. Inflate comes from the JDK's
+  * zlib (`java.util.zip.Inflater`, same as the PDF FlateDecode path).
+  *
+  * Returns the BT.601 luma plane (integer weights 299/587/114, the
+  * same convention as [[PerceptualHash.decodeP6Luma]]); alpha is
+  * ignored — dHash needs brightness structure, not compositing.
+  *
+  * At 100 TB: per-row scalar decode inside a map over the asset scan,
+  * no shuffle — identical shape to the JPEG/PPM/BMP paths.
+  */
+object Png {
+
+  private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def decodeLuma(b: Array[Byte]): Either[String, (Int, Int, Array[Double])] = {
+    try decodeImpl(b)
+    catch { case e: RuntimeException => Left(s"png: ${e.getMessage}") }
+  }
+
+  private def decodeImpl(b: Array[Byte]): Either[String, (Int, Int, Array[Double])] = {
+    if (b.length < 8 || !b.take(8).sameElements(Signature)) return Left("not a png")
+    var off = 8
+    def u32(p: Int): Long = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+    var width = 0; var height = 0
+    var bitDepth = 0; var colorType = -1
+    var palette: Array[Int] = null // packed 0xRRGGBB
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+
+    while (off + 8 <= b.length && !sawEnd) {
+      val len = u32(off).toInt
+      if (len < 0 || off + 12 + len > b.length) return Left("truncated chunk")
+      val ctype = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val dataOff = off + 8
+      ctype match {
+        case "IHDR" =>
+          if (len < 13) return Left("short IHDR")
+          width = u32(dataOff).toInt; height = u32(dataOff + 4).toInt
+          bitDepth = b(dataOff + 8) & 0xff
+          colorType = b(dataOff + 9) & 0xff
+          val interlace = b(dataOff + 12) & 0xff
+          if (width <= 0 || height <= 0) return Left("bad dimensions")
+          if (interlace != 0) return Left("interlaced png not supported")
+          if (bitDepth != 8) return Left(s"bit depth $bitDepth not supported")
+          if (!Set(0, 2, 3, 4, 6).contains(colorType))
+            return Left(s"color type $colorType not supported")
+        case "PLTE" =>
+          palette = (0 until len / 3).map { i =>
+            ((b(dataOff + i * 3) & 0xff) << 16) |
+              ((b(dataOff + i * 3 + 1) & 0xff) << 8) | (b(dataOff + i * 3 + 2) & 0xff)
+          }.toArray
+        case "IDAT" => idat.write(b, dataOff, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunk
+      }
+      off = dataOff + len + 4 // skip CRC
+    }
+    if (colorType < 0) return Left("no IHDR")
+    if (idat.size == 0) return Left("no IDAT")
+    if (colorType == 3 && palette == null) return Left("palette image without PLTE")
+
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return Left("truncated IDAT stream")
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return Left("corrupt zlib stream") }
+    finally inf.end()
+    if (got < raw.length) return Left("short pixel data")
+
+    // undo the five row filters (spec §6): each row is [filter byte][data]
+    val bpp = channels // 8-bit: bytes per pixel == channels
+    val img = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val left = if (x >= bpp) img(rowOut + x - bpp) & 0xff else 0
+        val up = if (y > 0) img(rowOut - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) img(rowOut - stride + x - bpp) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case other => return Left(s"bad filter type $other")
+        }
+        img(rowOut + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    val luma = new Array[Double](width * height)
+    var i = 0
+    while (i < width * height) {
+      val p = i * channels
+      val (r, g, bl) = colorType match {
+        case 0 | 4 => val v = img(p) & 0xff; (v, v, v)
+        case 2 | 6 => (img(p) & 0xff, img(p + 1) & 0xff, img(p + 2) & 0xff)
+        case 3 =>
+          val idx = img(p) & 0xff
+          if (idx >= palette.length) return Left("palette index out of range")
+          val c = palette(idx); ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+      }
+      luma(i) = (299 * r + 587 * g + 114 * bl) / 1000.0
+      i += 1
+    }
+    Right((width, height, luma))
+  }
+
+  /** Encode an 8-bit grayscale image as a minimal conformant PNG
+    * (color type 0, filter 0 rows, one zlib IDAT). Deterministic bytes
+    * for a fixed input — oracled queries fixture real PNGs with it, the
+    * same role [[Jpeg.encodeGray]] plays for JPEG.
+    */
+  def encodeGray(luma: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && luma.length == w * h, "bad dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def u32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(u32(data.length))
+      val tagged = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(u32(crc.getValue))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(0.toByte) // depth 8, gray
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr.array())
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = 0 // filter type 0
+      var x = 0
+      while (x < w) { raw(y * (w + 1) + 1 + x) = luma(y * w + x).toByte; x += 1 }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+}

@@ -548,6 +548,44 @@ object PipelineQueries {
       doc = "q101 on real JPEG bytes: T.81 encode+decode round-trip must preserve the dHash class structure"),
 
     QueryDef(
+      "q109_png_neardup",
+      (s, d) => {
+        // q98's exact-bucket near-dup on REAL PNG bytes (multimodal/Png:
+        // zlib IDAT inflate + all-five row unfilters + luma). PNG is
+        // LOSSLESS, so unlike q106 there is no tolerance anywhere: the
+        // decoded plane must equal the rendered one bit-for-bit, the
+        // dHash must equal the PPM path's hash (PngSpec pins the
+        // cross-format identity), and same-class images collapse to
+        // HASH-EQUAL buckets — candidates from a plain equi-join on the
+        // 64-bit hash, the exact-dedup shape, no banding needed.
+        import s.implicits._
+        val hashes = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+          .as[Long]
+          .map { id =>
+            val contrast = 0.5 + (id % 7) * 0.08
+            val brightness = (id % 5) * 0.03
+            val luma = graft.multimodal.PerceptualHash.synthPatternLuma(
+              (id % 8).toInt, contrast, brightness)
+            val png = graft.multimodal.Png.encodeGray(luma, 108, 96)
+            val h = graft.multimodal.PerceptualHash.dHashPng(png)
+              .getOrElse(sys.error("undecodable synth png"))
+            (id, h)
+          }.toDF("doc_id", "dhash")
+        hashes.as("a").join(hashes.as("b"),
+            col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 100)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
+        ORDER BY id_a, id_b"""),
+      doc = "q98 on real PNG bytes: lossless decode must reproduce hash-equal class buckets exactly"),
+
+    QueryDef(
       "q102_url_canonicalize",
       (s, d) => {
         // URL canonicalization — the dedup key a crawl frontier needs

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PNG decoder pins: ImageIO-encoded fixtures (the JDK writer emits
+  * real filtered, zlib-compressed streams) must decode to ImageIO's own
+  * pixels; error channel for everything out of scope; and the dHash
+  * cross-FORMAT contract — the same image through PNG (lossless) and
+  * PPM must hash identically.
+  */
+class PngSpec extends AnyFunSuite {
+
+  private def imageioBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  private def pattern(w: Int, h: Int, typ: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, typ)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (math.sin(2 * math.Pi * x / w) * 100 + 128).toInt
+      val g = (math.cos(2 * math.Pi * y / h) * 100 + 128).toInt
+      val b = (x + y) * 255 / (w + h)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  test("truecolor PNG: our luma equals ImageIO's RGB-derived luma exactly") {
+    val (w, h) = (97, 61) // odd dims: stride/filter edge cases
+    val img = pattern(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val png = imageioBytes(img)
+    val Right((dw, dh, luma)) = Png.decodeLuma(png): @unchecked
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val expect = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000.0
+      assert(math.abs(expect - luma(y * w + x)) < 1e-9,
+        s"pixel ($x,$y): $expect vs ${luma(y * w + x)}")
+    }
+  }
+
+  test("grayscale and RGBA PNGs decode (1- and 4-channel paths)") {
+    val (w, h) = (40, 30)
+    val gray = pattern(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val Right((_, _, g)) = Png.decodeLuma(imageioBytes(gray)): @unchecked
+    // gray image: luma == the single channel
+    val raster = gray.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs(raster.getSample(x, y, 0) - g(y * w + x)) < 1e-9)
+    val rgba = pattern(w, h, java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+    val Right((dw, dh, _)) = Png.decodeLuma(imageioBytes(rgba)): @unchecked
+    assert(dw == w && dh == h)
+  }
+
+  test("error channel: truncation, corruption, unsupported shapes -> Left") {
+    val png = imageioBytes(pattern(32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR))
+    assert(Png.decodeLuma("nope".getBytes).isLeft)
+    assert(Png.decodeLuma(png.take(20)).isLeft)
+    assert(Png.decodeLuma(png.take(png.length / 2)).isLeft)
+    // flip the interlace byte (IHDR data offset: 8 sig + 8 hdr + 12th)
+    val inter = png.clone(); inter(8 + 8 + 12) = 1
+    assert(Png.decodeLuma(inter) == Left("interlaced png not supported"))
+  }
+
+  test("cross-format dHash: PNG and PPM of the same image hash identically") {
+    // PNG is lossless, so unlike JPEG the hash must match BIT-FOR-BIT
+    // with the PPM path on the same pixels — pinning that both decoders
+    // and both luma conversions agree end to end
+    for (cls <- 0 until 8) {
+      val luma = PerceptualHash.synthPatternLuma(cls, 0.9, 0.02)
+      val ppmHash = PerceptualHash.dHashPpm(
+        PerceptualHash.synthPatternPpm(cls, 0.9, 0.02)).toOption.get
+      val img = new java.awt.image.BufferedImage(108, 96,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 96; x <- 0 until 108) {
+        val v = luma(y * 108 + x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val pngHash = PerceptualHash.dHashPng(imageioBytes(img)).toOption.get
+      assert(pngHash == ppmHash, s"class $cls: png $pngHash != ppm $ppmHash")
+    }
+  }
+}
