@@ -111,12 +111,19 @@ object TxLog {
     version
   }
 
-  /** Fold the log into the current live file set. */
-  def snapshot(spark: SparkSession, warehouse: String): Snapshot = {
+  /** Fold the log into the current live file set; `atVersion` pins the
+    * fold to commits <= that version — Delta-style time travel (the
+    * file-level twin of `StreamingIngest.asOf`'s row-level generation
+    * pinning: asOf answers "the table as of batch G" on live data,
+    * atVersion answers it on the physical file history, including files
+    * a later compaction removed but vacuum hasn't deleted yet).
+    */
+  def snapshot(spark: SparkSession, warehouse: String,
+      atVersion: Long = Long.MaxValue): Snapshot = {
     val f = fs(spark, warehouse)
     val live = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
     var version = -1L
-    listVersions(f, warehouse).foreach { v =>
+    listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
       val in = f.open(commitFile(warehouse, v))
       val text = try {
@@ -143,10 +150,11 @@ object TxLog {
     * log-written table; the log view additionally excludes uncommitted
     * or logically-removed files.
     */
-  def read(spark: SparkSession, warehouse: String, table: String): DataFrame = {
+  def read(spark: SparkSession, warehouse: String, table: String,
+      atVersion: Long = Long.MaxValue): DataFrame = {
     if (!exists(spark, warehouse))
       return spark.read.parquet(s"$warehouse/$table")
-    val snap = snapshot(spark, warehouse)
+    val snap = snapshot(spark, warehouse, atVersion)
     val files = snap.files(table).map { case (rel, _) => s"$warehouse/$table/$rel" }
     if (files.isEmpty)
       throw new org.apache.spark.sql.AnalysisException(

@@ -78,6 +78,27 @@ class TxLogSpec extends AnyFunSuite {
     assert(snap.maxGeneration("t") == 2)
   }
 
+  test("time travel: atVersion reads the file history, even past a compaction") {
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(df(Seq(1L, 2L), 1), wh, "t", Nil, 1)) // v0
+    TxLog.commit(spark, wh, TxLog.stageWrite(df(Seq(3L), 2), wh, "t", Nil, 2)) // v1
+    TxLog.compact(spark, wh, "t", Nil) // v2: swaps both files for one
+    assert(TxLog.read(spark, wh, "t").count() == 3)
+    // pre-compaction snapshots still resolve (vacuum hasn't run)
+    assert(TxLog.read(spark, wh, "t", atVersion = 0L).count() == 2)
+    assert(TxLog.read(spark, wh, "t", atVersion = 1L).count() == 3)
+    assert(TxLog.snapshot(spark, wh, atVersion = 0L).version == 0L)
+    // after vacuum(0) the history's files are gone — time travel is
+    // bounded by the retention window, exactly Delta's contract
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    val oldSnap = TxLog.snapshot(spark, wh, atVersion = 0L)
+    assert(oldSnap.files("t").nonEmpty) // log remembers...
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!oldSnap.files("t").forall { case (rel, _) =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$wh/t/$rel")) }) // ...files don't
+  }
+
   test("log-less warehouse falls back to a plain parquet read") {
     val wh = freshWh()
     df(0L to 4L, 1).write.partitionBy("container_id").parquet(s"$wh/chunks")
