@@ -481,7 +481,7 @@ class BinaryParsersSpec extends AnyFunSuite {
     val p = PdfParser.parse("t0.pdf", pdfWithCMap(
       "BT /F1 12 Tf <001100120099> Tj ET", helloCMap))
     assert(p.content.contains("!AB"), p.content)
-    assert(p.content.contains(" "), p.content.map(_.toInt).mkString(","))
+    assert(p.content.contains("\u0000\u0099"), p.content.map(_.toInt).mkString(","))
   }
 
   test("pdf: literal strings decode through 1-byte CMaps; Tf switches maps") {
