@@ -1,0 +1,235 @@
+package graft.multimodal
+
+/** GIF decoder (GIF87a/89a, public spec) — completes the crawl-image
+  * trio with [[Jpeg]] and [[Png]]. Scope: first image frame (for
+  * animations this is the frame-sample an asset pipeline hashes),
+  * global and local color tables, interlacing, GIF's LZW variant
+  * (LSB-first bit packing, variable 3..12-bit codes, clear/EOD — note
+  * this is NOT the PDF LZW in `ingest/PdfParser`, which packs MSB-first
+  * and starts at 9 bits). Malformed input returns Left — the shared
+  * never-throw multimodal error channel.
+  *
+  * Returns the BT.601 luma plane like the other decoders; at 100 TB
+  * this is per-row scalar work riding the asset scan.
+  */
+object Gif {
+
+  def decodeLuma(b: Array[Byte]): Either[String, (Int, Int, Array[Double])] = {
+    try decodeImpl(b)
+    catch {
+      case e: ArrayIndexOutOfBoundsException => Left("gif: truncated data")
+      case e: RuntimeException => Left(s"gif: ${e.getMessage}")
+    }
+  }
+
+  private def decodeImpl(b: Array[Byte]): Either[String, (Int, Int, Array[Double])] = {
+    if (b.length < 13) return Left("not a gif (too short)")
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return Left("not a gif (bad signature)")
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+
+    val packed = b(10) & 0xff
+    var off = 13
+    val globalTable: Array[Int] =
+      if ((packed & 0x80) != 0) {
+        val size = 2 << (packed & 7)
+        val t = readColorTable(b, off, size)
+        off += size * 3
+        t
+      } else null
+
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          off += 2
+          while (off < b.length && (b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+          off += 1
+        case 0x3b => return Left("gif: no image data before trailer")
+        case 0x2c => // image descriptor — decode this frame and return
+          val w = u16(off + 5); val h = u16(off + 7)
+          val flags = b(off + 9) & 0xff
+          off += 10
+          val localTable =
+            if ((flags & 0x80) != 0) {
+              val size = 2 << (flags & 7)
+              val t = readColorTable(b, off, size)
+              off += size * 3
+              t
+            } else globalTable
+          if (localTable == null) return Left("gif: no color table")
+          if (w <= 0 || h <= 0) return Left("gif: bad frame dimensions")
+          val interlaced = (flags & 0x40) != 0
+          val minCode = b(off) & 0xff
+          off += 1
+          if (minCode < 2 || minCode > 8) return Left(s"gif: bad LZW min code $minCode")
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (off < b.length && (b(off) & 0xff) != 0) {
+            val n = b(off) & 0xff
+            if (off + 1 + n > b.length) return Left("gif: truncated sub-block")
+            data.write(b, off + 1, n)
+            off += 1 + n
+          }
+          return lzwDecode(data.toByteArray, minCode, w * h).flatMap { idx =>
+            val luma = new Array[Double](w * h)
+            var i = 0
+            while (i < w * h) {
+              val c = idx(i)
+              if (c >= localTable.length) return Left("gif: palette index out of range")
+              val rgb = localTable(c)
+              luma(i) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000.0
+              i += 1
+            }
+            Right((w, h, if (interlaced) deinterlace(luma, w, h) else luma))
+          }
+        case other => return Left(f"gif: unknown block 0x$other%02x")
+      }
+    }
+    Left("gif: no image data")
+  }
+
+  private def readColorTable(b: Array[Byte], off: Int, size: Int): Array[Int] = {
+    require(off + size * 3 <= b.length, "truncated color table")
+    Array.tabulate(size)(i =>
+      ((b(off + i * 3) & 0xff) << 16) | ((b(off + i * 3 + 1) & 0xff) << 8) |
+        (b(off + i * 3 + 2) & 0xff))
+  }
+
+  /** GIF LZW: LSB-first packing, width grows from minCode+1 up to 12,
+    * clear = 1<<minCode, eod = clear+1. Emits exactly `expect` pixels. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      expect: Int): Either[String, Array[Int]] = {
+    val clear = 1 << minCode
+    val eod = clear + 1
+    val out = new Array[Int](expect)
+    var outLen = 0
+    // dictionary as (prefix, lastByte) pairs
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eod + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+
+    def emit(code: Int): Either[String, Int] = { // returns first byte of the expansion
+      val stack = new scala.collection.mutable.ArrayBuffer[Int](32)
+      var c = code
+      while (c >= clear) { // composite code: walk prefixes
+        if (c >= next) return Left("gif: corrupt LZW code")
+        stack += suffix(c); c = prefix(c)
+      }
+      stack += c
+      var i = stack.length - 1
+      while (i >= 0) {
+        if (outLen < expect) { out(outLen) = stack(i); outLen += 1 }
+        i -= 1
+      }
+      Right(c)
+    }
+
+    while (outLen < expect) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return Left("gif: LZW stream exhausted early")
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+
+      if (code == clear) {
+        next = eod + 1; width = minCode + 1; prev = -1
+      } else if (code == eod) {
+        return if (outLen == expect) Right(out) else Left("gif: EOD before all pixels")
+      } else if (prev < 0) {
+        if (code >= clear) return Left("gif: first code not literal")
+        emit(code) match { case Left(e) => return Left(e); case _ => () }
+        prev = code
+      } else {
+        val isNew = code == next
+        if (code > next) return Left("gif: code beyond table")
+        // KwKwK case: code == next uses prev + firstByte(prev)
+        val first = emit(if (isNew) prev else code) match {
+          case Left(e) => return Left(e); case Right(f) => f
+        }
+        if (isNew && outLen < expect) { out(outLen) = first; outLen += 1 }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Right(out)
+  }
+
+  /** Adam-free GIF interlace: 4 passes at row strides 8/8/4/2 with
+    * offsets 0/4/2/1 (spec appendix E). */
+  private def deinterlace(luma: Array[Double], w: Int, h: Int): Array[Double] = {
+    val out = new Array[Double](luma.length)
+    val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+    var src = 0
+    passes.foreach { case (start, step) =>
+      var y = start
+      while (y < h) {
+        System.arraycopy(luma, src * w, out, y * w, w)
+        src += 1; y += step
+      }
+    }
+    out
+  }
+
+  /** Minimal conformant GIF89a encoder for an 8-bit grayscale image:
+    * 256-entry gray global table, one frame, LZW with 8-bit min code
+    * size emitting literal codes with periodic clear codes (the
+    * standard no-table "uncompressed GIF" technique — valid LZW any
+    * decoder accepts). Deterministic bytes; fixture role like
+    * [[Jpeg.encodeGray]]/[[Png.encodeGray]].
+    */
+  def encodeGray(luma: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && luma.length == w * h, "bad dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u16(w); u16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background, aspect
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) } // gray GCT
+    out.write(0x2c); u16(0); u16(0); u16(w); u16(h); out.write(0) // descriptor
+    out.write(8) // LZW min code size
+    // literal codes at width 9, clear every 254 codes so the width never grows
+    val body = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def putCode(c: Int): Unit = {
+      bitBuf |= c.toLong << bitCnt; bitCnt += 9
+      while (bitCnt >= 8) { body.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    putCode(256) // initial clear
+    var i = 0
+    var sinceClear = 0
+    while (i < luma.length) {
+      putCode(luma(i) & 0xff)
+      sinceClear += 1
+      // table grows by one per emitted literal after the first; clear
+      // before the decoder's width would bump past 9 bits (at 511 - 258
+      // + safety zone: every 250 literals)
+      if (sinceClear == 250) { putCode(256); sinceClear = 0 }
+      i += 1
+    }
+    putCode(257) // EOD
+    if (bitCnt > 0) body.write((bitBuf & 0xff).toInt)
+    val bytes = body.toByteArray
+    var o = 0
+    while (o < bytes.length) { // 255-byte sub-blocks
+      val n = math.min(255, bytes.length - o)
+      out.write(n); out.write(bytes, o, n)
+      o += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}

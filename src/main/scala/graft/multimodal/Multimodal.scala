@@ -382,19 +382,59 @@ object Multimodal {
 
   /** Dispatch by content type: REAL parsing for the library-free formats
     * (PCM wav, binary ppm, uncompressed bmp), REAL dimensions via header
-    * probes for JPEG/PNG/GIF, deterministic stub for formats whose codecs
-    * aren't in this container. */
+    * real codec decodes for JPEG/PNG/GIF ([[CodecImageDecoder]]),
+    * deterministic stub for formats whose codecs aren't implemented. */
   final class RoutingDecoder(fallback: Decoder = new StubDecoder()) extends Decoder {
     private val wav = new PcmWavDecoder()
     private val ppm = new PpmDecoder()
     private val bmp = new BmpDecoder()
-    private val img = new ImageHeaderDecoder(fallback)
+    private val codec = new CodecImageDecoder(fallback)
     override def decode(a: Asset): AssetFeatures = a.content_type match {
       case "audio/wav" => wav.decode(a)
       case "image/ppm" => ppm.decode(a)
       case "image/bmp" => bmp.decode(a)
-      case "image/jpeg" | "image/png" | "image/gif" => img.decode(a)
+      case "image/jpeg" | "image/png" | "image/gif" => codec.decode(a)
       case _ => fallback.decode(a)
+    }
+  }
+
+  /** REAL pixel decode for the codec-bound crawl formats (since round 6
+    * — previously header-probe-only): [[Jpeg]] baseline, [[Png]], [[Gif]]
+    * to the luma plane, with mean-luma + 5-bin luma histogram features
+    * (the luma half of the PPM/BMP feature contract — those decoders see
+    * RGB; these see Y, which is what dedup hashing consumes). Decode
+    * failures (progressive JPEG, 16-bit PNG, ...) fall back to the
+    * header DIMENSION probe so resolution filtering still works, with
+    * the decode error preserved in the features' error channel.
+    */
+  final class CodecImageDecoder(fallback: Decoder = new StubDecoder()) extends Decoder {
+    private val header = new ImageHeaderDecoder(fallback)
+    override def decode(a: Asset): AssetFeatures = {
+      val decoded = a.content_type match {
+        case "image/jpeg" => Jpeg.decodeLuma(a.data)
+        case "image/png" => Png.decodeLuma(a.data)
+        case "image/gif" => Gif.decodeLuma(a.data)
+        case other => Left(s"no codec for $other")
+      }
+      decoded match {
+        case Right((w, h, luma)) =>
+          var sum = 0.0
+          val hist = new Array[Long](5)
+          var i = 0
+          while (i < luma.length) {
+            sum += luma(i)
+            hist(math.min(4, (luma(i).toInt * 5) / 256)) += 1
+            i += 1
+          }
+          val n = luma.length.toDouble
+          val mean = (sum / n / 255).toFloat
+          AssetFeatures(a.asset_id, a.container_id, "image", w, h, 0L, 1,
+            Array(mean, mean, mean) ++ hist.map(c => (c / n).toFloat), null)
+        case Left(err) =>
+          val probed = header.decode(a)
+          if (probed.error == null) probed.copy(error = s"pixel decode failed: $err")
+          else probed
+      }
     }
   }
 

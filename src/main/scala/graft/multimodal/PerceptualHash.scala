@@ -221,4 +221,11 @@ object PerceptualHash {
       if (w < 9 || h < 8) Left(s"image ${w}x$h smaller than dhash grid")
       else Right(dHash64FromCells(boxDownsample(luma, w, h, 9, 8)))
     }
+
+  /** dHash of a GIF byte array ([[Gif.decodeLuma]], first frame). */
+  def dHashGif(b: Array[Byte]): Either[String, Long] =
+    Gif.decodeLuma(b).flatMap { case (w, h, luma) =>
+      if (w < 9 || h < 8) Left(s"image ${w}x$h smaller than dhash grid")
+      else Right(dHash64FromCells(boxDownsample(luma, w, h, 9, 8)))
+    }
 }

@@ -586,6 +586,42 @@ object PipelineQueries {
       doc = "q98 on real PNG bytes: lossless decode must reproduce hash-equal class buckets exactly"),
 
     QueryDef(
+      "q110_gif_neardup",
+      (s, d) => {
+        // q109's lossless construction on GIF (multimodal/Gif: LSB-first
+        // variable-width LZW — a DIFFERENT coder from PDF's MSB-first
+        // LZW — palette indirection, first frame). Gray palette GIF is
+        // lossless for 8-bit luma, so hash-equal buckets again, no
+        // tolerance. The three formats (q106 JPEG, q109 PNG, q110 GIF)
+        // prove the SAME pair set through three independent codecs.
+        import s.implicits._
+        val hashes = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+          .as[Long]
+          .map { id =>
+            val contrast = 0.5 + (id % 7) * 0.08
+            val brightness = (id % 5) * 0.03
+            val luma = graft.multimodal.PerceptualHash.synthPatternLuma(
+              (id % 8).toInt, contrast, brightness)
+            val gif = graft.multimodal.Gif.encodeGray(luma, 108, 96)
+            val h = graft.multimodal.PerceptualHash.dHashGif(gif)
+              .getOrElse(sys.error("undecodable synth gif"))
+            (id, h)
+          }.toDF("doc_id", "dhash")
+        hashes.as("a").join(hashes.as("b"),
+            col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 100)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
+        ORDER BY id_a, id_b"""),
+      doc = "q98 on real GIF bytes: LSB-first LZW decode must reproduce hash-equal class buckets"),
+
+    QueryDef(
       "q102_url_canonicalize",
       (s, d) => {
         // URL canonicalization — the dedup key a crawl frontier needs

@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GIF pins: lossless round-trip through our encoder+decoder, third-party
+  * agreement both directions via ImageIO, interlace reordering, and the
+  * LZW table-growth path (ImageIO's writer emits real growing-width
+  * streams, unlike our clear-code encoder).
+  */
+class GifSpec extends AnyFunSuite {
+
+  private def synthLuma(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.max(0, math.min(255,
+        (128 + 100 * math.sin(2 * math.Pi * x / w) * math.cos(2 * math.Pi * y / h)).toInt))
+    }
+
+  test("our encoder -> our decoder round-trips losslessly") {
+    val (w, h) = (61, 47)
+    val luma = synthLuma(w, h)
+    val gif = Gif.encodeGray(luma, w, h)
+    val Right((dw, dh, dec)) = Gif.decodeLuma(gif): @unchecked
+    assert(dw == w && dh == h)
+    for (i <- luma.indices)
+      assert(math.abs(dec(i) - luma(i)) < 1e-9, s"pixel $i: ${dec(i)} vs ${luma(i)}")
+  }
+
+  test("ImageIO decodes our GIF to the same gray pixels") {
+    val (w, h) = (80, 50)
+    val luma = synthLuma(w, h)
+    val gif = Gif.encodeGray(luma, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO rejected our GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == luma(y * w + x),
+        s"pixel ($x,$y): ${(rgb >> 16) & 0xff} vs ${luma(y * w + x)}")
+    }
+  }
+
+  test("our decoder matches ImageIO on an ImageIO-written GIF (growing-width LZW)") {
+    val (w, h) = (90, 60)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED) // palette image -> real GIF LZW
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = synthLuma(w, h)(y * w + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val gif = bos.toByteArray
+    val Right((dw, dh, ours)) = Gif.decodeLuma(gif): @unchecked
+    assert(dw == w && dh == h)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = theirs.getRGB(x, y)
+      val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000.0
+      assert(math.abs(lum - ours(y * w + x)) < 1e-9, s"pixel ($x,$y)")
+    }
+  }
+
+  test("interlaced frames deinterlace to the original row order") {
+    val (w, h) = (24, 16)
+    val luma = synthLuma(w, h)
+    // build an interlaced variant: rows stored in pass order, flag set
+    val plain = Gif.encodeGray(luma, w, h)
+    val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+    val passOrder = passes.flatMap { case (s0, st) => s0 until h by st }
+    val reordered = new Array[Int](w * h)
+    passOrder.zipWithIndex.foreach { case (srcRow, dstRow) =>
+      System.arraycopy(luma, srcRow * w, reordered, dstRow * w, w)
+    }
+    val inter = Gif.encodeGray(reordered, w, h)
+    // image descriptor flags byte: 6 sig + 7 screen + 768 GCT + 9 into descriptor
+    val flagsAt = 6 + 7 + 768 + 9
+    assert((plain(flagsAt) & 0xff) == 0)
+    inter(flagsAt) = 0x40.toByte // set interlace bit
+    val Right((_, _, dec)) = Gif.decodeLuma(inter): @unchecked
+    for (i <- luma.indices) assert(math.abs(dec(i) - luma(i)) < 1e-9, s"pixel $i")
+  }
+
+  test("error channel: garbage, truncation, missing frame -> Left, never throw") {
+    assert(Gif.decodeLuma("not a gif".getBytes).isLeft)
+    val good = Gif.encodeGray(synthLuma(30, 20), 30, 20)
+    assert(Gif.decodeLuma(good.take(good.length / 3)).isLeft)
+    assert(Gif.decodeLuma(good.take(13)).isLeft)
+    // trailer immediately after header: no image data
+    val sig = good.take(6 + 7 + 768) ++ Array(0x3b.toByte)
+    assert(Gif.decodeLuma(sig).isLeft)
+  }
+
+  test("dHash cross-format: GIF (lossless gray) equals the PPM hash") {
+    for (cls <- 0 until 4) {
+      val luma = PerceptualHash.synthPatternLuma(cls, 0.9, 0.02)
+      val ppm = PerceptualHash.dHashPpm(
+        PerceptualHash.synthPatternPpm(cls, 0.9, 0.02)).toOption.get
+      val gifHash = Gif.decodeLuma(Gif.encodeGray(luma, 108, 96)).toOption.map {
+        case (w, h, l) => PerceptualHash.dHash64FromCells(
+          PerceptualHash.boxDownsample(l, w, h, 9, 8))
+      }.get
+      assert(gifHash == ppm, s"class $cls")
+    }
+  }
+}

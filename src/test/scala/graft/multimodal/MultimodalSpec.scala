@@ -243,6 +243,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats("d.png").error != null && feats("d.png").error.nonEmpty)
   }
 
+  test("RoutingDecoder: real JPEG/PNG/GIF assets decode PIXELS, not just headers") {
+    val luma = PerceptualHash.synthPatternLuma(3, 0.9, 0.02)
+    val jpg = Asset("a.jpg", "c1", "image", "image/jpeg",
+      Jpeg.encodeGray(luma, 108, 96, quality = 92), 0L, Map.empty)
+    val png = Asset("b.png", "c1", "image", "image/png",
+      Png.encodeGray(luma, 108, 96), 0L, Map.empty)
+    val gif = Asset("c.gif", "c1", "image", "image/gif",
+      Gif.encodeGray(luma, 108, 96), 0L, Map.empty)
+    val feats = extractFeatures(Seq(jpg, png, gif).toDS(), new RoutingDecoder())
+      .collect().map(f => f.asset_id -> f).toMap
+    feats.values.foreach { f =>
+      assert(f.error == null, s"${f.asset_id}: ${f.error}")
+      assert(f.width == 108 && f.height == 96)
+      assert(f.feature.length == 8) // mean x3 + 5-bin luma hist
+      assert(f.feature.drop(3).sum > 0.99f) // histogram sums to ~1
+    }
+    // lossless formats agree exactly; JPEG within quantization error
+    val pngF = feats("b.png").feature; val gifF = feats("c.gif").feature
+    assert(pngF.sameElements(gifF), "png/gif features must be identical (lossless)")
+    val jpgF = feats("a.jpg").feature
+    assert(math.abs(jpgF(0) - pngF(0)) < 0.01, "jpeg mean luma within budget")
+  }
+
   test("feature table partitions by container and media type") {
     val out = java.nio.file.Files.createTempDirectory("graft-mmw").toString
     val assets = Seq(
