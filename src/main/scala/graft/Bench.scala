@@ -53,35 +53,54 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
-    // Min-of-two measured passes per query: this box's per-query times
-    // drift 2-3x across boots with zero code change (BENCH_NOTES.md), and
-    // in rounds 4-5 single-pass driver artifacts showed 5-12x outliers
-    // (q79/q87) that no isolated or suite re-run could reproduce. The min
-    // of two back-to-back passes is robust to a one-off stall (GC burst,
-    // page-cache miss, competing process) while still honest about
-    // systematic cost — a genuinely slow query is slow in both passes.
-    val results = selected.map { case (name, fn) =>
-      try run(fn(spark, warmDir)) catch { case _: Throwable => () } // warm codegen
-      releaseStorage() // warm runs must not occupy storage memory
-      val passes = (1 to 2).map { p =>
-        val gc0 = gcMillis()
-        val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val gcDt = gcMillis() - gc0
-        val leftover = spark.sparkContext.getPersistentRDDs.size
-        val heapMb = {
-          val rt = Runtime.getRuntime
-          (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-        }
-        // per-pass telemetry so the next suite-context anomaly is diagnosable
-        // from the driver artifact (stderr — stdout stays one JSON line)
-        System.err.println(
-          f"[bench] $name%-28s p$p ${dt}%8.3f s  gc=${gcDt}%5d ms  heap=${heapMb}%6d MB  rddBlocksLeft=$leftover")
-        releaseStorage()
-        dt
+    // A query that throws (analysis error, runtime failure) must surface as
+    // an ERROR in the artifact, not as a fast time: in round 6 the four
+    // timestamp-drift-broken queries were recorded at analysis-failure
+    // latency, and q82's 0.072 s read as a 25x speed-up. `measure` returns
+    // -1 for a failed pass and records the name; the JSON gains an
+    // "errors":[...] field that the driver/judge treats like rc!=0.
+    val errored = scala.collection.mutable.LinkedHashSet[String]()
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        p: Int): Double = {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      val ok = try run(fn(spark, sfDir)) >= 0 catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gcDt = gcMillis() - gc0
+      val leftover = spark.sparkContext.getPersistentRDDs.size
+      val heapMb = {
+        val rt = Runtime.getRuntime
+        (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       }
-      (name, passes.min, passes.max)
+      // per-pass telemetry so the next suite-context anomaly is diagnosable
+      // from the driver artifact (stderr — stdout stays one JSON line)
+      System.err.println(
+        f"[bench] $name%-28s p$p ${dt}%8.3f s  gc=${gcDt}%5d ms  heap=${heapMb}%6d MB  rddBlocksLeft=$leftover" +
+          (if (ok) "" else "  FAILED"))
+      releaseStorage()
+      if (!ok) { errored += name; -1.0 } else dt
+    }
+
+    // Warm every query once at sf0.001 (codegen + JIT are JVM-global, so
+    // warmth survives the suite), then run the two measured passes
+    // INTERLEAVED ACROSS THE SUITE: pass A over all queries, then pass B.
+    // Min-of-two is robust to a one-off stall (GC burst, page-cache miss,
+    // competing process — this box drifts 2-26x across boots with zero code
+    // change, BENCH_NOTES.md), and suite-interleaving means one sustained
+    // contention burst lands on DIFFERENT queries in the two passes instead
+    // of poisoning both passes of the same query back-to-back — a
+    // regression that survives the min is real.
+    selected.foreach { case (_, fn) =>
+      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+      releaseStorage() // warm runs must not occupy storage memory
+    }
+    val passA = selected.map { case (n, fn) => n -> measure(n, fn, 1) }.toMap
+    val passB = selected.map { case (n, fn) => n -> measure(n, fn, 2) }.toMap
+    val results = selected.map { case (n, _) =>
+      val (a, b) = (passA(n), passB(n))
+      if (a < 0 || b < 0) (n, -1.0, -1.0)
+      else (n, math.min(a, b), math.max(a, b))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -91,13 +110,17 @@ object Bench {
       case (k, lo, hi) if lo > 0 && hi / lo > 1.5 =>
         "\"" + k + "\":" + f"[$lo%.3f,$hi%.3f]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errors = errored.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (errored.nonEmpty)
+      System.err.println(
+        s"[bench] ERRORS: ${errored.size} queries failed: ${errored.mkString(", ")}")
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     // BASELINE-comparable derived metrics: index-build throughput (chunks/s,
     // reference bottleneck ~100 ms/chunk => ~10 chunks/s/worker) and
     // steady-state hybrid-search latency over cached index frames
     // (reference: <100 ms with both legs + fusion).
-    val (chunksPerSec, hybridMs, hybridIvfMs) = {
+    val (chunksPerSec, hybridMs, hybridIvfMs, hybridHnswMs) = {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
       val embedder = graft.embed.HashEmbedder(64)
@@ -149,6 +172,14 @@ object Bench {
         chunks.toDF(), vectors, ivfLists = nLists, ivfProbes = nProbes)
       graft.search.HybridSearch.search(ivfIndex, req, embedder) // warm
       val ivfMs = medianMs(ivfIndex)
+      // HNSW-walked serving leg composed with the same IVF routing: the
+      // probed cells are walked, not scanned (the reference's published
+      // scale-up serving path, ref docs/deployment.md:985-996)
+      val hnswIndex = graft.search.HybridSearch.servingIndex(
+        chunks.toDF(), vectors, ivfLists = nLists, ivfProbes = nProbes,
+        hnswM = 16)
+      graft.search.HybridSearch.search(hnswIndex, req, embedder) // warm
+      val hnswMs = medianMs(hnswIndex)
       val scannedRows = ivfIndex.serving.flatMap(_.ivf).map { iv =>
         val probedParts = iv.centroids.map { case (lid, c) =>
           (lid, graft.embed.VectorOps.cosine(c, embedder.embed(req.query)))
@@ -160,10 +191,12 @@ object Bench {
       System.err.println(
         f"[hybrid] brute=${bruteMs}%.1f ms (scans $nChunks rows) " +
           f"ivf(nLists=$nLists,probes=$nProbes)=${ivfMs}%.1f ms " +
-          f"(scans $scannedRows rows, ${100.0 * scannedRows / nChunks}%.0f%%)")
+          f"(scans $scannedRows rows, ${100.0 * scannedRows / nChunks}%.0f%%) " +
+          f"hnsw(m=16,same routing)=${hnswMs}%.1f ms")
+      hnswIndex.serving.foreach(_.unpersist())
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      (nChunks / math.max(ingestSec, 1e-9), bruteMs, ivfMs)
+      (nChunks / math.max(ingestSec, 1e-9), bruteMs, ivfMs, hnswMs)
     }
     releaseStorage() // serving-index frames must not skew the streaming run
 
@@ -259,7 +292,7 @@ object Bench {
       if (found) (System.nanoTime() - t0) / 1e9 else -1.0
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
     spark.stop()
   }
 }

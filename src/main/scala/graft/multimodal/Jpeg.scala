@@ -10,16 +10,19 @@ package graft.multimodal
   * real-format parsers elsewhere (PdfPig/OpenXML); this meets that bar
   * for images.
   *
-  * Decoder scope (disclosed): baseline sequential DCT (SOF0/SOF1),
-  * 8-bit precision, 1 or 3 components, any sampling factors (4:4:4,
-  * 4:2:2, 4:2:0, ...), restart intervals, 16-bit quant tables. Returns
-  * the LUMA plane only — JFIF Y is already BT.601 luma, which is all
-  * dHash needs; no chroma upsampling or colorspace math on the decode
-  * path. Progressive (SOF2), arithmetic coding, hierarchical and 12-bit
-  * streams return Left — the never-throw error channel shared with the
-  * other multimodal decoders.
+  * Decoder scope (disclosed): baseline sequential DCT (SOF0/SOF1) AND
+  * progressive DCT (SOF2, T.81 Annex G: spectral selection + successive
+  * approximation, DC/AC first and refinement scans, interleaved DC
+  * scans, EOB runs), 8-bit precision, 1 or 3 components, any sampling
+  * factors (4:4:4, 4:2:2, 4:2:0, ...), restart intervals, 16-bit quant
+  * tables. Returns the LUMA plane only — JFIF Y is already BT.601 luma,
+  * which is all dHash needs; no chroma upsampling or colorspace math on
+  * the decode path. Arithmetic coding, hierarchical and 12-bit streams
+  * return Left — the never-throw error channel shared with the other
+  * multimodal decoders.
   *
-  * Encoder scope: baseline grayscale, Annex K example tables (quant
+  * Encoder scope: baseline grayscale ([[encodeGray]]) and progressive
+  * grayscale ([[encodeGrayProgressive]]), Annex K example tables (quant
   * scaled by the libjpeg quality formula, the standard DC/AC luminance
   * Huffman tables). Deterministic bytes for a given (pixels, quality) —
   * fixtures for oracled queries must be reproducible on every executor.
@@ -169,6 +172,11 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    // progressive state: per-component quantized-coefficient store in the
+    // MCU-padded block grid, accumulated across scans, IDCT'd at EOI
+    var progressive = false
+    var sawScan = false
+    var coefs: Array[Array[Int]] = null
 
     def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
 
@@ -178,8 +186,10 @@ object Jpeg {
       while (marker == 0xff && off + 2 < b.length) { off += 1; marker = b(off + 1) & 0xff }
       off += 2
       marker match {
-        case 0xd9 => return Left("EOI before SOS") // no scan data seen
-        case 0xc2 => return Left("progressive jpeg not supported")
+        case 0xd9 => // EOI: progressive streams finish here
+          return if (progressive && sawScan)
+            finishProgressive(width, height, comps, quant, coefs)
+          else Left("EOI before SOS")
         case m if m == 0xc3 || (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf && m != 0xcc) =>
           return Left(f"unsupported SOF marker 0x$m%02x")
         case 0xdb => // DQT
@@ -219,7 +229,8 @@ object Jpeg {
             if (tc == 0) dcTables(th) = h else acTables(th) = h
           }
           off = end
-        case 0xc0 | 0xc1 => // SOF0 / SOF1 (both baseline-decodable)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 baseline, SOF2 progressive
+          progressive = marker == 0xc2
           val len = u16(off)
           val prec = b(off + 2) & 0xff
           if (prec != 8) return Left(s"unsupported precision $prec")
@@ -235,6 +246,12 @@ object Jpeg {
           // single-component streams are non-interleaved: sampling
           // factors do not apply (T.81 A.2.2), one MCU = one block
           if (comps.length == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+          if (progressive) {
+            val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+            val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            coefs = comps.map(c => new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+          }
           off += len
         case 0xdd => // DRI
           restartInterval = u16(off + 2); off += u16(off)
@@ -249,11 +266,24 @@ object Jpeg {
             if (ci < 0) sys.error(s"scan references unknown component $cid")
             (ci, (b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f) // (compIdx, dcT, acT)
           }
-          if (ns != comps.length)
-            return Left("partial-interleave scans not supported")
-          off += len
-          return decodeScan(b, off, width, height, comps, scanComps,
-            quant, dcTables, acTables, restartInterval)
+          if (!progressive) {
+            if (ns != comps.length)
+              return Left("partial-interleave scans not supported")
+            off += len
+            return decodeScan(b, off, width, height, comps, scanComps,
+              quant, dcTables, acTables, restartInterval)
+          } else {
+            val ss = b(off + 3 + ns * 2) & 0xff
+            val se = b(off + 4 + ns * 2) & 0xff
+            val ahal = b(off + 5 + ns * 2) & 0xff
+            off += len
+            decodeProgScan(b, off, width, height, comps, scanComps, coefs,
+              dcTables, acTables, restartInterval,
+              ss, se, ahal >> 4, ahal & 0x0f) match {
+              case Left(e) => return Left(e)
+              case Right(nextOff) => sawScan = true; off = nextOff
+            }
+          }
         case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside scan
           ()
         case 0x01 => ()
@@ -261,7 +291,273 @@ object Jpeg {
           off += u16(off)
       }
     }
-    Left("no SOS marker")
+    // truncated progressive streams still render from the scans received —
+    // the format's defining property, and what a crawl pipeline wants from
+    // a cut-off fetch
+    if (progressive && sawScan) finishProgressive(width, height, comps, quant, coefs)
+    else Left("no SOS marker")
+  }
+
+  /** One progressive scan (T.81 Annex G): DC first/refinement (interleaved
+    * or single-component), AC first/refinement (single-component only, per
+    * G.1.1.1.1), spectral band [ss, se], successive-approximation bit
+    * positions ah (prior) / al (this scan), EOB runs, restart markers.
+    * Mutates `coefs` in place; returns the offset of the next marker so
+    * the caller's marker loop resumes (multi-scan streams interleave
+    * DHT/DRI segments between scans).
+    */
+  private def decodeProgScan(b: Array[Byte], dataOff: Int, width: Int, height: Int,
+      comps: Array[Component], scanComps: Array[(Int, Int, Int)],
+      coefs: Array[Array[Int]], dcTables: Array[Huff], acTables: Array[Huff],
+      restartInterval: Int, ss: Int, se: Int, ah: Int, al: Int): Either[String, Int] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val bW = comps.map(c => mcusX * c.h)
+    if (ss > se || se > 63) return Left("bad spectral band")
+    val isDC = ss == 0
+    if (isDC && se != 0) return Left("DC scan must have Se=0")
+    if (!isDC && scanComps.length != 1) return Left("AC scan must be single-component")
+    if (isDC && ah == 0)
+      for ((_, dcT, _) <- scanComps)
+        if (dcTables(dcT) == null) return Left("missing huffman table")
+    if (!isDC)
+      for ((_, _, acT) <- scanComps)
+        if (acTables(acT) == null) return Left("missing huffman table")
+
+    val r = new BitReader(b, dataOff)
+    val dcPred = new Array[Int](comps.length)
+    var eobrun = 0
+    val p1 = 1 << al
+
+    // G.1.2.3: a correction bit appends this scan's bit to an
+    // already-nonzero coefficient's magnitude (sign never changes)
+    def refineNonzero(cf: Array[Int], idx: Int): Unit =
+      if (r.bit() == 1 && (cf(idx) & p1) == 0)
+        cf(idx) += (if (cf(idx) >= 0) p1 else -p1)
+
+    def decodeDcBlock(ci: Int, dcT: Int, base: Int): String = {
+      val cf = coefs(ci)
+      if (ah == 0) {
+        val s = dcTables(dcT).decode(r)
+        if (s < 0 || s > 15) return "bad DC code"
+        dcPred(ci) += extend(r.bitsN(s), s)
+        cf(base) = dcPred(ci) << al
+      } else if (r.bit() == 1) cf(base) |= p1
+      null
+    }
+
+    def decodeAcFirstBlock(acT: Int, cf: Array[Int], base: Int): String = {
+      if (eobrun > 0) { eobrun -= 1; return null }
+      var k = ss
+      while (k <= se) {
+        val rs = acTables(acT).decode(r)
+        if (rs < 0) return "bad AC code"
+        val run = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) {
+          if (run < 15) { eobrun = (1 << run) - 1 + r.bitsN(run); k = 64 }
+          else k += 16 // ZRL
+        } else {
+          k += run
+          if (k > se) return "AC run overflows band"
+          cf(base + ZigzagToNatural(k)) = extend(r.bitsN(sz), sz) << al
+          k += 1
+        }
+      }
+      null
+    }
+
+    def decodeAcRefineBlock(acT: Int, cf: Array[Int], base: Int): String = {
+      var k = ss
+      if (eobrun == 0) {
+        var broke = false
+        while (k <= se && !broke) {
+          val rs = acTables(acT).decode(r)
+          if (rs < 0) return "bad AC code"
+          var run = rs >> 4; val sz = rs & 0x0f
+          var newVal = 0
+          if (sz == 0) {
+            // NB: unlike the first-scan EOB (which ends the block outright,
+            // so the current block is deducted at set time), a refinement
+            // EOB run still owes correction bits for the REST of this
+            // block's band — the tail below consumes them and decrements,
+            // so the count here includes this block
+            if (run < 15) { eobrun = (1 << run) + r.bitsN(run); broke = true }
+            // run == 15: ZRL — pass 16 zero-history coefficients below
+          } else {
+            if (sz != 1) return "bad AC refinement size"
+            newVal = if (r.bit() == 1) p1 else -p1
+          }
+          if (!broke) {
+            // advance past `run` zero-history coefficients, emitting
+            // correction bits for every nonzero-history one on the way
+            var advancing = true
+            while (k <= se && advancing) {
+              val idx = base + ZigzagToNatural(k)
+              if (cf(idx) != 0) { refineNonzero(cf, idx); k += 1 }
+              else {
+                run -= 1
+                if (run < 0) advancing = false else k += 1
+              }
+            }
+            if (newVal != 0 && k <= se) cf(base + ZigzagToNatural(k)) = newVal
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run only correction bits occur
+        while (k <= se) {
+          val idx = base + ZigzagToNatural(k)
+          if (cf(idx) != 0) refineNonzero(cf, idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+      null
+    }
+
+    var rstExpect = 0
+    def restart(): String = {
+      r.align()
+      if (r.pendingMarker < 0 && r.off + 1 < b.length &&
+        (b(r.off) & 0xff) == 0xff) {
+        r.pendingMarker = b(r.off + 1) & 0xff
+        r.off += 1
+      }
+      if (r.pendingMarker >= 0xd0 && r.pendingMarker <= 0xd7) {
+        if ((r.pendingMarker & 7) != rstExpect) return "restart marker out of sequence"
+        r.pendingMarker = -1
+        r.off += 1
+        rstExpect = (rstExpect + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+        null
+      } else "missing restart marker"
+    }
+
+    if (scanComps.length > 1) {
+      // interleaved (DC-only) scan: MCU order, all components
+      val totalMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          val e = restart(); if (e != null) return Left(e)
+        }
+        val mcuX = mcu % mcusX; val mcuY = mcu / mcusX
+        var sc = 0
+        while (sc < scanComps.length) {
+          val (ci, dcT, _) = scanComps(sc)
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val base = ((mcuY * c.v + by) * bW(ci) + (mcuX * c.h + bx)) * 64
+              val e = decodeDcBlock(ci, dcT, base); if (e != null) return Left(e)
+              bx += 1
+            }
+            by += 1
+          }
+          sc += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: the component's own block grid (T.81 A.2.2 —
+      // ceil(comp dims / 8), NOT the MCU-padded grid)
+      val (ci, dcT, acT) = scanComps(0)
+      val c = comps(ci)
+      val compW = (width * c.h + hMax - 1) / hMax
+      val compH = (height * c.v + vMax - 1) / vMax
+      val nbx = (compW + 7) / 8
+      val nby = (compH + 7) / 8
+      val cf = coefs(ci)
+      var blk = 0
+      val total = nbx * nby
+      while (blk < total) {
+        if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+          val e = restart(); if (e != null) return Left(e)
+        }
+        val base = ((blk / nbx) * bW(ci) + (blk % nbx)) * 64
+        val e =
+          if (isDC) decodeDcBlock(ci, dcT, base)
+          else if (ah == 0) decodeAcFirstBlock(acT, cf, base)
+          else decodeAcRefineBlock(acT, cf, base)
+        if (e != null) return Left(e)
+        blk += 1
+      }
+    }
+    // hand the marker loop the next marker's 0xFF position
+    val next =
+      if (r.pendingMarker >= 0) r.off - 1
+      else {
+        var p = r.off
+        while (p + 1 < b.length &&
+          !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0x00)) p += 1
+        p
+      }
+    Right(next)
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients. Only
+    * component 0 (Y) is transformed — the decode contract is luma-only,
+    * and chroma entropy data has already been consumed scan-by-scan.
+    */
+  private def finishProgressive(width: Int, height: Int, comps: Array[Component],
+      quant: Array[Array[Int]],
+      coefs: Array[Array[Int]]): Either[String, (Int, Int, Array[Double])] = {
+    val c0 = comps(0)
+    if (quant(c0.tq) == null) return Left(s"missing quant table ${c0.tq}")
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val bw0 = mcusX * c0.h; val bh0 = mcusY * c0.v
+    val pw = bw0 * 8
+    val plane = new Array[Double](pw * bh0 * 8)
+    val q = quant(c0.tq)
+    val cf = coefs(0)
+    val coefD = new Array[Double](64)
+    val pix = new Array[Double](64)
+    var by = 0
+    while (by < bh0) {
+      var bx = 0
+      while (bx < bw0) {
+        val base = (by * bw0 + bx) * 64
+        var j = 0
+        while (j < 64) { coefD(j) = cf(base + j).toDouble * q(j); j += 1 }
+        idct8x8(coefD, pix)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          val rowBase = (by * 8 + yy) * pw + bx * 8
+          while (xx < 8) {
+            val v = pix(yy * 8 + xx) + 128.0
+            plane(rowBase + xx) = if (v < 0) 0.0 else if (v > 255) 255.0 else v
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val sx = hMax / c0.h; val sy = vMax / c0.v
+    val out = new Array[Double](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val srcRow = (y / sy) * pw
+      val dstRow = y * width
+      while (x < width) {
+        out(dstRow + x) = plane(srcRow + x / sx)
+        x += 1
+      }
+      y += 1
+    }
+    Right((width, height, out))
   }
 
   private def decodeScan(b: Array[Byte], dataOff: Int, width: Int, height: Int,
@@ -597,6 +893,153 @@ object Jpeg {
     marker(0xda); u16(2 + 1 + 2 + 3) // SOS
     u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
     out.write(entropy)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit grayscale image as a PROGRESSIVE (SOF2) JFIF JPEG.
+    * Deterministic bytes — the executor-side fixture generator for the
+    * progressive decode path (q111), mirroring [[encodeGray]].
+    *
+    * Scan script: DC first at Al=1, AC spectral bands 1-5 and 6-63 at
+    * Al=0, DC refinement last — exercises interleavable DC successive
+    * approximation plus spectral selection with EOB coding. AC scans
+    * reuse the baseline Annex K luminance table, which contains no EOBn
+    * symbols for n>0, so the encoder flushes EOB per block (run length 1
+    * = the plain 0x00 symbol) instead of accumulating cross-block EOB
+    * runs — valid T.81, marginally less compressed. AC successive
+    * approximation is decode-only here; JpegSpec pins that path against
+    * ImageIO-written progressive streams (its default script uses it).
+    *
+    * Coefficient fidelity: DC = (v >> 1) from the first scan plus the
+    * low bit from the refinement scan reassembles v exactly (two's-
+    * complement OR), and AC scans carry full precision, so decoding this
+    * stream yields bit-identical luma to decoding [[encodeGray]]'s
+    * baseline stream of the same (pixels, quality) — asserted in
+    * JpegSpec.
+    */
+  def encodeGrayProgressive(luma: Array[Int], w: Int, h: Int, quality: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && luma.length == w * h, "bad dimensions")
+    val q = scaledQuant(quality)
+    val dcCodes = canonicalCodes(DcCounts, DcSymbols)
+    val acCodes = canonicalCodes(AcCounts, AcSymbols)
+    val blocksY = (h + 7) / 8; val blocksX = (w + 7) / 8
+    val nBlocks = blocksX * blocksY
+    // quantize every block once (same fdct + quant as the baseline path);
+    // zzAll holds zigzag-order coefficients per block
+    val zzAll = new Array[Int](nBlocks * 64)
+    val block = new Array[Double](64)
+    val freq = new Array[Double](64)
+    var bi = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sy = math.min(h - 1, by * 8 + y)
+            val sx = math.min(w - 1, bx * 8 + x)
+            block(y * 8 + x) = luma(sy * w + sx) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        fdct8x8(block, freq)
+        var k = 0
+        while (k < 64) {
+          val nat = ZigzagToNatural(k)
+          val v = math.round(freq(nat) / q(nat)).toInt
+          zzAll(bi * 64 + k) = if (k == 0) v else math.max(-1023, math.min(1023, v))
+          k += 1
+        }
+        bi += 1
+        bx += 1
+      }
+      by += 1
+    }
+
+    def sizeOf(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    def dcFirstScan(al: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var pred = 0
+      var i = 0
+      while (i < nBlocks) {
+        val v = zzAll(i * 64) >> al // arithmetic shift = T.81 DC point transform
+        val diff = v - pred; pred = v
+        val s = sizeOf(diff)
+        val (c, l) = dcCodes(s); bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        i += 1
+      }
+      bw.flush(); bw.bytes
+    }
+
+    def dcRefineScan(al: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var i = 0
+      while (i < nBlocks) { bw.put((zzAll(i * 64) >> al) & 1, 1); i += 1 }
+      bw.flush(); bw.bytes
+    }
+
+    def acFirstScan(ss: Int, se: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var i = 0
+      while (i < nBlocks) {
+        val base = i * 64
+        var last = se
+        while (last >= ss && zzAll(base + last) == 0) last -= 1
+        var run = 0
+        var k = ss
+        while (k <= last) {
+          val v = zzAll(base + k)
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { val (c, l) = acCodes(0xf0); bw.put(c, l); run -= 16 }
+            val s = sizeOf(v)
+            val (c, l) = acCodes((run << 4) | s); bw.put(c, l)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (last < se) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB (run of 1)
+        i += 1
+      }
+      bw.flush(); bw.bytes
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + 1 + 64) // DQT
+    u8(0)
+    for (k <- 0 until 64) u8(q(ZigzagToNatural(k)))
+    marker(0xc2); u16(2 + 6 + 3) // SOF2 progressive, 1 component
+    u8(8); u16(h); u16(w); u8(1)
+    u8(1); u8(0x11); u8(0)
+    marker(0xc4); u16(2 + 1 + 16 + DcSymbols.length) // DHT DC
+    u8(0x00); DcCounts.foreach(u8); DcSymbols.foreach(u8)
+    marker(0xc4); u16(2 + 1 + 16 + AcSymbols.length) // DHT AC
+    u8(0x10); AcCounts.foreach(u8); AcSymbols.foreach(u8)
+    def sos(ss: Int, se: Int, ah: Int, al: Int, body: Array[Byte]): Unit = {
+      marker(0xda); u16(2 + 1 + 2 + 3)
+      u8(1); u8(1); u8(0x00)
+      u8(ss); u8(se); u8((ah << 4) | al)
+      out.write(body)
+    }
+    sos(0, 0, 0, 1, dcFirstScan(1))
+    sos(1, 5, 0, 0, acFirstScan(1, 5))
+    sos(6, 63, 0, 0, acFirstScan(6, 63))
+    sos(0, 0, 1, 0, dcRefineScan(0))
     marker(0xd9) // EOI
     out.toByteArray
   }

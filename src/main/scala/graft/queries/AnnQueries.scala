@@ -391,12 +391,47 @@ object AnnQueries {
         // posexplode — because the driver's rows-only gate sorts the
         // frame and array cells aren't sortable (r03: q83 recorded no
         // verification at all when `proj` was an array column).
+        // In-query verdict flags (the q108/q93 pattern, r6 advice): the
+        // golden rows pin determinism/drift; these flags make the oracle
+        // check SEMANTICS the frozen rows alone cannot —
+        //   ortho_ok: the fitted basis is orthonormal (max |CᵢᵀCⱼ − δᵢⱼ|
+        //     ≤ 1e-9, driver arithmetic over the k×d model);
+        //   recon_ok: the corpus-wide reconstruction-error RATIO equals
+        //     the unexplained-variance ratio the eigendecomposition
+        //     claims (Σ‖x−x̂‖² / Σ‖x−μ‖² = 1 − Σ explainedVariance, the
+        //     defining identity of PCA, checked to 1e-6 over a second
+        //     distributed pass).
+        // Both must come back 1 on every row or the hash compare fails.
         val e = table(s, d, "embeddings")
           .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
         val model = graft.ann.Pca.fit(e, "v", k = 8)
-        graft.ann.Pca.project(e, "v", model)
+        val k = model.components.length
+        val maxOrtho = (for (i <- 0 until k; j <- i until k) yield {
+          var dotv = 0.0
+          var t = 0
+          while (t < model.components(i).length) {
+            dotv += model.components(i)(t) * model.components(j)(t); t += 1
+          }
+          math.abs(dotv - (if (i == j) 1.0 else 0.0))
+        }).max
+        val orthoOk = if (maxOrtho <= 1e-9) 1 else 0
+        val projected = graft.ann.Pca.project(e, "v", model)
+        val recon = graft.ann.Pca.reconstruct(projected, "proj", model)
+        val sq = "aggregate(zip_with(v, recon, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
+        val n2 = "aggregate(v, 0D, (acc, x) -> acc + x * x)"
+        val st = recon.agg(
+          sum(expr(sq)).as("sse"), sum(expr(n2)).as("ss"),
+          count(lit(1)).as("n")).collect()(0)
+        val meanSq = model.mean.map(m => m * m).sum
+        val tss = st.getDouble(1) - st.getLong(2) * meanSq
+        val residRatio = st.getDouble(0) / tss
+        val claimed = 1.0 - model.explainedVariance.sum
+        val reconOk = if (math.abs(residRatio - claimed) <= 1e-6) 1 else 0
+        projected
           .select(col("vec_id"), posexplode(
             expr("transform(proj, x -> round(x, 6) + 0.0)")).as(Seq("pos", "value")))
+          .withColumn("ortho_ok", lit(orthoOk))
+          .withColumn("recon_ok", lit(reconOk))
           .orderBy("vec_id", "pos")
       },
       Golden.oracle("q83_pca_sf001.csv", "CAST(vec_id AS BIGINT), pos"),
@@ -480,10 +515,17 @@ object AnnQueries {
         // — the standard IVF-build shape at scale. Measured: the fit's
         // remaining ~3 s here is fixed MLlib overhead, not per-row work
         // (BENCH_NOTES r4), disclosed like q85's in-query training.
+        // Determinism boundary: KMeans' seeded sample + random init depend
+        // on the input's partition layout, so normalize it — but with a
+        // key-hash repartition + in-partition sort (layout is a pure
+        // function of the data, independent of source file splits), NOT
+        // the r6 coalesce(8), whose narrow dependency capped the scan AND
+        // the full-corpus assignment at 8 tasks and cost 5.7 s at sf0.1
+        // (BENCH_r06 q88 12.7 s vs 7.0 s in r5).
         val tFit = System.nanoTime()
         val idx = graft.ann.Ivf.build(
           table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-            .coalesce(8),
+            .repartition(32, col("vec_id")).sortWithinPartitions("vec_id"),
           nLists = math.max(2, (n / 64).toInt), maxIter = 5, initMode = "random",
           fitSample = 0.25)
         val fitSec = (System.nanoTime() - tFit) / 1e9
@@ -514,9 +556,9 @@ object AnnQueries {
           f"[q88] kmeans_fit=${fitSec}%.2f s scan=${(System.nanoTime() - tScan) / 1e9}%.2f s")
         out
       },
-      // golden-resource oracle: the fixed-seed fit + coalesced scan +
-      // 6-dp rounding make the union deterministic across partition
-      // layouts (DetCheck); the overlap SEMANTICS stay pinned by
+      // golden-resource oracle: the fixed-seed fit + key-hash-normalized
+      // layout + 6-dp rounding make the union deterministic across source
+      // partition layouts (DetCheck); the overlap SEMANTICS stay pinned by
       // SemdedupOverlapSpec's planted-twin fixture
       Golden.oracle("q88_semdedup_sf001.csv", "id_a, id_b"),
       doc = "SemDeDup IVF swap-in: k-means cells vs hyperplane cells, overlap in-row"),

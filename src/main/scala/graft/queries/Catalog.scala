@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One verifiable operator: a Spark DataFrame pipeline plus (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
@@ -30,14 +32,37 @@ object Catalog {
     * scale-factor dir. Plain parquet scans so Catalyst pushes filters and
     * prunes columns into the file scan.
     *
-    * `events.ts` is TIMESTAMP(NANOS), which Spark's parquet reader rejects
-    * unless nanos are surfaced as long (we only ever use `ts` as a sort key,
-    * so epoch-nanos ordering is equivalent).
+    * `events.ts` has drifted across driver testdata generations —
+    * TIMESTAMP(NANOS) (rounds 1-5, surfaced as long via `nanosAsLong`),
+    * then parquet timestamp[us] (round 6, surfaced as TIMESTAMP_NTZ, which
+    * silently broke every query doing raw epoch-nanos arithmetic). The
+    * engine's contract is stable regardless of the writer's encoding:
+    * `ts` is ALWAYS epoch-nanos BIGINT after `table()`. `tsNanos` dispatches
+    * on the surfaced type so either layout (or a future timestamp[ms/us]
+    * with UTC adjustment) normalizes identically. DuckDB oracles use
+    * `epoch_ns(ts)`, which is encoding-independent on that side.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") tsNanos(raw) else raw
   }
+
+  /** Normalize a `ts` column to epoch-nanos BIGINT, whatever the reader
+    * surfaced: long passthrough (TIMESTAMP(NANOS) + nanosAsLong),
+    * TIMESTAMP_NTZ -> cast to TIMESTAMP (identity instant under the UTC
+    * session timezone every graft entrypoint sets) -> unix_micros * 1000,
+    * TIMESTAMP -> unix_micros * 1000. Works on batch and streaming frames.
+    */
+  def tsNanos(df: DataFrame, name: String = "ts"): DataFrame =
+    df.schema.find(_.name == name).map(_.dataType) match {
+      case Some(LongType) => df
+      case Some(TimestampNTZType) =>
+        df.withColumn(name, expr(s"unix_micros(cast($name as timestamp)) * 1000L"))
+      case Some(TimestampType) =>
+        df.withColumn(name, expr(s"unix_micros($name) * 1000L"))
+      case _ => df
+    }
 
   /** Library-composition hygiene for queries that persist() intermediates:
     * eagerly materialize the (small, post-aggregation) result as a local

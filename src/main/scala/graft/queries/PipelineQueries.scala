@@ -162,11 +162,36 @@ object PipelineQueries {
         // local[32]/32 == local[8]/8); separability (AUC), probability
         // behavior and gate stability stay pinned by
         // QualityClassifierSpec + the q93 verdict flags.
+        // In-query verdict flags (the q108/q93 pattern, r6 advice):
+        //   feat_ok: the avg_nll feature the CLASSIFIER actually consumed
+        //     equals the independently-assembled q87 feature path
+        //     (tokenize -> shuffle twins -> bigram LM), per row at 6 dp —
+        //     q87 hash-pins that path against DuckDB, so this flag chains
+        //     the model's input to an engine-independent oracle and
+        //     catches the two assemblies drifting apart in code;
+        //   gate_ok: keep is exactly the 3-dp-rounded probability
+        //     thresholded at 0.5 (the disclosed gate quantization).
+        // Both must come back 1 on every row or the hash compare fails.
         val docs = table(s, d, "documents").select("doc_id", "text")
-        graft.text.QualityClassifier.selfSupervised(docs)
+        val scored = graft.text.QualityClassifier.selfSupervised(docs)
+        val orig87 = graft.text.QualityClassifier.tokenized(docs)
+          .select("doc_id", "toks").withColumn("variant", lit("orig"))
+        val both87 = orig87.unionByName(
+          graft.text.QualityClassifier.shuffledNegatives(orig87)
+            .withColumn("variant", lit("shuffled")))
+        val nll87 = graft.text.QualityClassifier.bigramNll(
+          orig87, both87, Seq("doc_id", "variant"))
+          .select(col("doc_id"), col("variant"), col("avg_nll").as("avg_nll_87"))
+        scored
+          .join(nll87, Seq("doc_id", "variant"))
           .select(col("doc_id"), col("variant"), col("label").cast("int").as("label"),
             (round(col("quality_prob"), 3) + 0.0).as("quality_prob"),
-            col("keep").cast("int").as("keep"))
+            col("keep").cast("int").as("keep"),
+            (round(col("avg_nll"), 6) === round(col("avg_nll_87"), 6))
+              .cast("int").as("feat_ok"),
+            (col("keep").cast("int") ===
+              (round(col("quality_prob"), 3) > 0.5).cast("int"))
+              .cast("int").as("gate_ok"))
           .orderBy("doc_id", "variant")
       },
       Golden.oracle("q85_quality_sf001.csv", "CAST(doc_id AS BIGINT), variant"),
@@ -546,6 +571,56 @@ object PipelineQueries {
         FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
         ORDER BY id_a, id_b"""),
       doc = "q101 on real JPEG bytes: T.81 encode+decode round-trip must preserve the dHash class structure"),
+
+    QueryDef(
+      "q111_jpeg_progressive_neardup",
+      (s, d) => {
+        // q106 with PROGRESSIVE (SOF2) fixtures — the encoding a large
+        // share of real crawl JPEGs actually use. Each doc renders the
+        // same scene, then round-trips through encodeGrayProgressive
+        // (T.81 Annex G: DC successive approximation + spectral-selection
+        // AC bands; decode reassembles coefficients across 4 scans before
+        // the IDCT) instead of the baseline encoder. The oracle's pair
+        // set is predicted from doc_id arithmetic alone, so the entire
+        // multi-scan decode path must EARN it per row; JpegSpec pins the
+        // progressive decoder against ImageIO-written streams (including
+        // AC refinement, which this deterministic encoder doesn't emit).
+        // Scale shape identical to q106: per-row scalar decode riding the
+        // scan, candidates only within band-value buckets.
+        import s.implicits._
+        val bandRows = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+          .as[Long]
+          .flatMap { id =>
+            val contrast = 0.5 + (id % 7) * 0.08
+            val brightness = (id % 5) * 0.03
+            val patch = (1 + (id * 3 % 7).toInt, (id * 5 % 8).toInt,
+              6 + (id % 3).toInt * 4)
+            val luma = graft.multimodal.PerceptualHash.synthPatternLuma(
+              (id % 8).toInt, contrast, brightness, patch = Some(patch))
+            val jpeg = graft.multimodal.Jpeg.encodeGrayProgressive(luma, 108, 96, quality = 88)
+            val h = graft.multimodal.PerceptualHash.dHashJpeg(jpeg)
+              .getOrElse(sys.error("undecodable synth progressive jpeg"))
+            graft.multimodal.PerceptualHash.bandKeys(h, bands = 8)
+              .map { case (b, v) => (b, v, id, h) }
+          }.toDF("band", "bval", "doc_id", "dhash")
+        bandRows.as("a").join(bandRows.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+          .filter(expr("bit_count(ha ^ hb) <= 5"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 100)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
+        ORDER BY id_a, id_b"""),
+      doc = "q106 with progressive (SOF2) fixtures: the multi-scan Annex G decode must preserve the dHash class structure"),
 
     QueryDef(
       "q109_png_neardup",

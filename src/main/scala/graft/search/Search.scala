@@ -303,14 +303,44 @@ object HybridSearch {
       ((listId.hashCode % nParts) + nParts) % nParts
   }
 
+  /** One partition's HNSW graph plus the serving rows it indexes (graph
+    * node ids are indices into `rows`). */
+  final case class HnswPart(graph: graft.ann.Hnsw.Graph, rows: Array[ServingVecRow])
+
+  /** Graph-index layout for the serving vector leg (the reference's
+    * published scale-up serving path is an HNSW index,
+    * ref docs/deployment.md:985-996): partition-local small-world graphs
+    * ([[graft.ann.Hnsw]]) replace the intra-partition linear scan with a
+    * logarithmic walk, and COMPOSE with IVF routing — when `centroids` is
+    * non-empty the rows are cell-partitioned and a query walks only the
+    * probed cells' graphs (PartitionPruningRDD), so latency follows
+    * probes × log(cell), not corpus size. The walk yields a candidate
+    * set; candidates are re-scored with the exact serving-leg cosine, so
+    * every returned score is bit-identical to the brute leg and only
+    * RECALL is approximate (walk beam + skipped cells). At `ef` ≥ cell
+    * size the walk visits the whole connected graph and results equal
+    * the brute leg exactly (pinned in HybridSearchE2ESpec).
+    */
+  final case class HnswServing(
+      centroids: Array[(Int, Array[Float])],
+      parts: org.apache.spark.rdd.RDD[HnswPart],
+      nParts: Int,
+      nProbes: Int,
+      ef: Int) {
+    def partitionOf(listId: Int): Int =
+      ((listId.hashCode % nParts) + nParts) % nParts
+  }
+
   final case class ServingCache(
       vecRows: org.apache.spark.rdd.RDD[ServingVecRow],
       tokRows: org.apache.spark.rdd.RDD[ServingTokRow],
-      ivf: Option[IvfServing] = None) {
+      ivf: Option[IvfServing] = None,
+      hnsw: Option[HnswServing] = None) {
     def unpersist(): Unit = {
       vecRows.unpersist(blocking = false)
       tokRows.unpersist(blocking = false)
       ivf.foreach(_.rows.unpersist(blocking = false))
+      hnsw.foreach(_.parts.unpersist(blocking = false))
     }
   }
 
@@ -342,7 +372,9 @@ object HybridSearch {
       vectors: DataFrame,
       partitions: Int = 4,
       ivfLists: Int = 0,
-      ivfProbes: Int = 8): Index = {
+      ivfProbes: Int = 8,
+      hnswM: Int = 0,
+      hnswEf: Int = 60): Index = {
     import org.apache.spark.storage.StorageLevel
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -388,8 +420,34 @@ object HybridSearch {
         Some(IvfServing(centroids, cellRows, ivfLists,
           math.min(math.max(1, ivfProbes), ivfLists)))
       }
+    // opt-in HNSW layout (hnswM > 0): one partition-local graph per cached
+    // partition, composed with IVF cell routing when that layout exists —
+    // the query walks only the probed cells' graphs. Rows are sorted by
+    // chunk_id inside each partition so graph construction (and therefore
+    // the candidate walk) is a pure function of the partition's contents.
+    val hnsw =
+      if (hnswM <= 0) None
+      else {
+        val baseRows = ivf.map(_.rows).getOrElse(vecRows)
+        val graphParts = baseRows.mapPartitions { it =>
+          val rows = it.toArray.sortBy(_.chunk_id)
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val pts = rows.indices.map(i => (i.toLong, rows(i).embedding))
+            Iterator.single(HnswPart(
+              graft.ann.Hnsw.build(pts, m = hnswM, efConstruction = 100), rows))
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        graphParts.count() // materialize: build cost paid at index time
+        Some(HnswServing(
+          ivf.map(_.centroids).getOrElse(Array.empty),
+          graphParts,
+          ivf.map(_.nParts).getOrElse(partitions),
+          ivf.map(_.nProbes).getOrElse(1),
+          hnswEf))
+      }
     Index(chunksC, denormC,
-      serving = Some(ServingCache(vecRows, tokRows, ivf)))
+      serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw)))
   }
 
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
@@ -436,6 +494,23 @@ object HybridSearch {
     * (pinned by HybridSearchE2ESpec "serving fast path"). */
   /** Scope-filter + score one partition's rows — shared by the full-scan
     * and IVF-pruned serving legs so both produce bit-identical scores. */
+  /** The serving-leg cosine: float->double accumulation in scan order,
+    * identical to `CosineSimilarity.nullSafeEval` — every serving path
+    * (brute, IVF-pruned, HNSW-walked) scores with THIS loop, so scores
+    * are bit-identical across legs and to the DataFrame leg. */
+  private def rawCosine(e: Array[Float], q: Array[Float]): Double = {
+    val n = math.min(e.length, q.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = e(i).toDouble; val xb = q(i).toDouble
+      dot += xa * xb; na += xa * xa; nb += xb * xb
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private def scoreVecRows(
       it: Iterator[ServingVecRow], container: String, model: String,
       docId: Option[String], prefix: Option[String],
@@ -444,23 +519,10 @@ object HybridSearch {
       if (r.container_id != container || r.model_id != model ||
           docId.exists(_ != r.document_id) ||
           prefix.exists(p => !r.path.startsWith(p))) None
-      else {
-        val e = r.embedding
-        val n = math.min(e.length, q.length)
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < n) {
-          val xa = e(i).toDouble; val xb = q(i).toDouble
-          dot += xa * xb; na += xa * xa; nb += xb * xb
-          i += 1
-        }
-        val raw =
-          if (na == 0.0 || nb == 0.0) 0.0
-          else dot / (math.sqrt(na) * math.sqrt(nb))
+      else
         Some(LegHit(r.chunk_id, r.document_id,
           Option(r.content).getOrElse(""),
-          Option(r.metadata).getOrElse(Map.empty), raw))
-      }
+          Option(r.metadata).getOrElse(Map.empty), rawCosine(r.embedding, q)))
     }
 
   private def vectorLegRdd(
@@ -509,6 +571,56 @@ object HybridSearch {
       ivf.rows, keep.contains)
     val parts = pruned.mapPartitions { it =>
       topKHeap(scoreVecRows(it, container, model, docId, prefix, q), k)
+    }.collect()
+    mergeTopK(parts, k)
+  }
+
+  /** HNSW-walked serving leg: IVF centroid routing (when cells exist)
+    * prunes WHICH partitions run, then each probed partition walks its
+    * small-world graph instead of scanning linearly — the candidate set is
+    * the walk's ef-beam, re-scored with the exact `rawCosine` and reduced
+    * to a per-partition top-k. Exactness: scores are bit-identical to the
+    * brute leg for every RETURNED hit; recall is approximate (beam width
+    * + skipped cells), reaching 1.0 when ef covers the cell and all cells
+    * probe (HybridSearchE2ESpec pins results == brute there). Scoped
+    * queries (docId/path-prefix) filter AFTER the walk, so the beam is
+    * widened by 4× topK to keep scoped recall usable — a heavily-scoped
+    * interactive query should prefer the exact legs (the dispatcher's
+    * fallback order does this).
+    */
+  private def vectorLegHnsw(
+      hs: HnswServing, req: SearchRequest, model: String,
+      q: Array[Float], k: Int): Seq[LegHit] = {
+    val container = req.containerId
+    val docId = req.documentId
+    val prefix = req.pathPrefix
+    val efq = math.max(hs.ef, 4 * k)
+    val pruned =
+      if (hs.centroids.isEmpty) hs.parts
+      else {
+        val probed = hs.centroids
+          .map { case (lid, c) => (lid, rawCosine(c, q)) }
+          .sortBy { case (lid, s) => (-s, lid) }
+          .take(hs.nProbes).map(_._1)
+        val keep = probed.map(hs.partitionOf).toSet
+        org.apache.spark.rdd.PartitionPruningRDD.create(hs.parts, keep.contains)
+      }
+    val parts = pruned.mapPartitions { it =>
+      it.flatMap { p =>
+        val cand = graft.ann.Hnsw.search(p.graph, q, efq, efq)
+        topKHeap(
+          cand.iterator.flatMap { case (idx, _) =>
+            val r = p.rows(idx.toInt)
+            if (r.container_id != container || r.model_id != model ||
+                docId.exists(_ != r.document_id) ||
+                prefix.exists(pp => !r.path.startsWith(pp))) None
+            else
+              Some(LegHit(r.chunk_id, r.document_id,
+                Option(r.content).getOrElse(""),
+                Option(r.metadata).getOrElse(Map.empty),
+                rawCosine(r.embedding, q)))
+          }, k)
+      }
     }.collect()
     mergeTopK(parts, k)
   }
@@ -584,9 +696,12 @@ object HybridSearch {
         case Some(c) => Future {
           val model = req.modelId.getOrElse(embedder.modelId)
           val qv = embedder.embed(req.query)
-          c.ivf match {
-            case Some(iv) => vectorLegIvf(iv, req, model, qv, fetchK)
-            case None => vectorLegRdd(c, req, model, qv, fetchK)
+          c.hnsw match {
+            case Some(hs) => vectorLegHnsw(hs, req, model, qv, fetchK)
+            case None => c.ivf match {
+              case Some(iv) => vectorLegIvf(iv, req, model, qv, fetchK)
+              case None => vectorLegRdd(c, req, model, qv, fetchK)
+            }
           }
         }
         case None => Future {

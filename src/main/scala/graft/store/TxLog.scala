@@ -33,23 +33,70 @@ import java.nio.charset.StandardCharsets
   *     unreferenced and vacuumed; they are never silently adopted
   *
   * Concurrency model (disclosed, same family as Delta's LogStore rules):
-  * commit claims version N by create-no-overwrite of the commit file,
-  * guarded by a JVM-wide lock per warehouse. On HDFS the claim is atomic
-  * across JVMs (namenode create semantics); on local fs it is atomic
-  * within one JVM — the local[*] deployment. S3-class stores need a
-  * coordinating log store for multi-writer (exactly Delta's documented
-  * constraint); single-writer-per-warehouse (one streaming query) is safe
-  * everywhere. Readers take no locks: they list the log, fold actions in
-  * version order, and read a consistent file set.
+  * commit claims version N through the pluggable [[LogStore]] SPI —
+  * `putIfAbsent(version file)` must be all-or-nothing and mutually
+  * exclusive across writers. The default [[HadoopLogStore]] stages to a
+  * temp file and renames into the claimed version (atomic across JVMs on
+  * HDFS via namenode rename semantics; on local fs the per-warehouse JVM
+  * lock serializes writers — the local[*] deployment). An S3-class
+  * deployment plugs in a conditional-put store (`If-None-Match: *` PUT,
+  * the primitive S3 has offered publicly since 2024 — exactly how Delta's
+  * S3DynamoDBLogStore predates it with an external claim table). A losing
+  * writer gets a clean [[TxConflictException]] with the log fully intact
+  * (its staged temp is deleted, the winner's commit is untouched) — retry
+  * by recomputing the snapshot; blind appends can retry immediately,
+  * remove-bearing commits (compaction) must re-derive their remove set.
+  * Readers take no locks: they list the log, fold actions in version
+  * order, and read a consistent file set.
   *
   * At 100 TB: a commit is O(files touched) metadata, never a data
   * rewrite; snapshot resolution reads the (KB-sized) log, not the table;
   * compaction is the only data-sized job and runs offline per table.
   */
+/** Another writer claimed the commit version first. The log is intact;
+  * the caller retries against a fresh snapshot. */
+final class TxConflictException(msg: String) extends java.io.IOException(msg)
+
+/** Commit-claim SPI: publish `content` at `target` iff nothing exists
+  * there, all-or-nothing and mutually exclusive across writers. `dir` is
+  * the log directory (for staging temp files). Returns false when the
+  * target was already claimed. Implementations: [[HadoopLogStore]]
+  * (default, HDFS/local), or a conditional-put object-store client for
+  * S3-class backends.
+  */
+trait LogStore {
+  def putIfAbsent(f: FileSystem, dir: Path, target: Path, content: Array[Byte]): Boolean
+}
+
+/** Default claim protocol: write a uniquely-named temp file, then rename
+  * onto the version path. HDFS rename refuses an existing destination
+  * atomically at the namenode; on local fs the TxLog JVM lock serializes
+  * same-process writers and the pre-rename existence check narrows (but
+  * cannot close — disclosed) the cross-process window.
+  */
+object HadoopLogStore extends LogStore {
+  def putIfAbsent(f: FileSystem, dir: Path, target: Path, content: Array[Byte]): Boolean = {
+    if (f.exists(target)) return false
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(content) finally out.close()
+    val ok =
+      try !f.exists(target) && f.rename(tmp, target)
+      catch { case _: java.io.IOException => false }
+    if (!ok) f.delete(tmp, false)
+    ok
+  }
+}
+
 object TxLog {
 
   final case class Add(table: String, relPath: String, generation: Long)
   final case class Remove(table: String, relPath: String)
+
+  /** Pluggable commit-claim store (see [[LogStore]]); tests and S3-class
+    * deployments swap it. Volatile: flips are rare (deploy-time), reads
+    * are per-commit. */
+  @volatile var store: LogStore = HadoopLogStore
 
   final case class Snapshot(version: Long, live: Map[String, Seq[(String, Long)]]) {
     /** Live (path, generation) pairs for one table. */
@@ -85,8 +132,10 @@ object TxLog {
   }
 
   /** Atomically append one commit (any mix of adds/removes across tables).
-    * Returns the committed version. Never partially visible: content is
-    * written to a temp file and renamed to the claimed version.
+    * Returns the committed version. Never partially visible: the
+    * [[LogStore]] publishes the full body or nothing. A racing writer's
+    * claim surfaces as [[TxConflictException]] — the log is intact, the
+    * caller retries against a fresh snapshot.
     */
   def commit(spark: SparkSession, warehouse: String,
       adds: Seq[Add], removes: Seq[Remove] = Nil): Long = lockFor(warehouse).synchronized {
@@ -95,19 +144,14 @@ object TxLog {
     f.mkdirs(dir)
     val version = listVersions(f, warehouse).lastOption.getOrElse(-1L) + 1L
     val target = commitFile(warehouse, version)
-    if (f.exists(target)) // cross-JVM writer raced us: caller retries
-      throw new java.io.IOException(s"txlog version $version already claimed")
     val body = new StringBuilder
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
     adds.foreach(a => body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n")
     removes.foreach(r => body ++= s"remove\t${r.table}\t${r.relPath}\n")
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(body.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(s"txlog commit rename failed for version $version")
-    }
+    if (!store.putIfAbsent(f, dir, target, body.toString.getBytes(StandardCharsets.UTF_8)))
+      throw new TxConflictException(
+        s"txlog version $version already claimed by another writer " +
+          s"(warehouse $warehouse) — recompute the snapshot and retry")
     version
   }
 

@@ -137,22 +137,142 @@ class JpegSpec extends AnyFunSuite {
     assert(worst <= 2.0, s"ImageIO disagrees on DRI stream by $worst")
   }
 
-  test("error channel: progressive, truncated, and non-jpeg inputs → Left") {
+  test("error channel: malformed, truncated, and non-jpeg inputs → Left") {
     assert(Jpeg.decodeLuma(Array[Byte](1, 2, 3)).isLeft)
     assert(Jpeg.decodeLuma("P6\n2 2\n255\n".getBytes ++ new Array[Byte](12)).isLeft)
     val good = Jpeg.encodeGray(synthLuma(0, 32, 32), 32, 32, 80)
-    // flip SOF0 (FFC0) to SOF2 (FFC2): must report progressive, not throw
+    // flip SOF0 (FFC0) to SOF2 (FFC2): the baseline Ss=0,Se=63 scan header
+    // is ILLEGAL under progressive rules (a DC scan must have Se=0) — the
+    // decoder must reject it cleanly, not mis-decode or throw
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
-    assert(Jpeg.decodeLuma(prog) == Left("progressive jpeg not supported"))
+    assert(Jpeg.decodeLuma(prog).isLeft)
     // truncate mid-entropy-data: decoder pads with zero bits (T.81
     // F.2.2.5) or reports an error — it must not throw
     val trunc = good.take(good.length / 2)
     Jpeg.decodeLuma(trunc) match {
       case Left(_) => ()
       case Right((w, h, l)) => assert(w == 32 && h == 32 && l.length == 32 * 32)
+    }
+  }
+
+  test("progressive: our SOF2 stream decodes bit-identically to the baseline stream") {
+    val (w, h) = (108, 96)
+    for (cls <- Seq(0, 3, 6); quality <- Seq(75, 88)) {
+      val luma = synthLuma(cls, w, h)
+      val base = Jpeg.encodeGray(luma, w, h, quality)
+      val prog = Jpeg.encodeGrayProgressive(luma, w, h, quality)
+      // really progressive: SOF2 present, 4 SOS markers
+      assert(prog.sliding(2).exists(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2))
+      assert(prog.sliding(2).count(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xda) == 4)
+      val Right((_, _, a)) = Jpeg.decodeLuma(base): @unchecked
+      val Right((bw2, bh2, b)) = Jpeg.decodeLuma(prog): @unchecked
+      assert(bw2 == w && bh2 == h)
+      // same quant table, same coefficients (DC low bit reassembled by the
+      // refinement scan), same IDCT -> identical doubles
+      assert(a.sameElements(b), s"progressive decode differs (cls=$cls q=$quality)")
+    }
+  }
+
+  test("progressive: ImageIO decodes our SOF2 output to the pixels our decoder sees") {
+    val (w, h) = (96, 88)
+    val luma = synthLuma(4, w, h)
+    val prog = Jpeg.encodeGrayProgressive(luma, w, h, quality = 90)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    assert(img != null, "ImageIO rejected our progressive JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val ours = Jpeg.decodeLuma(prog).toOption.get._3
+    val raster = img.getRaster
+    var worst = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs(raster.getSample(x, y, 0).toDouble - ours(y * w + x))
+      worst = math.max(worst, d)
+    }
+    assert(worst <= 2.0, s"ImageIO disagrees on our progressive stream by $worst")
+  }
+
+  test("progressive: our decoder matches ImageIO on ImageIO-written progressive streams") {
+    // ImageIO's progressive writer uses the libjpeg default scan script —
+    // successive approximation on DC AND AC plus spectral selection — so
+    // this pins the AC-refinement decode path against a third-party
+    // implementation of the same public spec, on both grayscale and
+    // color (interleaved-DC + 4:2:0) streams.
+    def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def sof2(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2)
+
+    // grayscale
+    val (w, h) = (120, 80)
+    val luma = synthLuma(2, w, h)
+    val gimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, luma(y * w + x))
+    val gbytes = writeProgressive(gimg)
+    assert(sof2(gbytes), "ImageIO did not emit SOF2 for MODE_DEFAULT")
+    val Right((gw, gh, gours)) = Jpeg.decodeLuma(gbytes): @unchecked
+    assert(gw == w && gh == h)
+    val gback = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    val gworst = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(gback.getRaster.getSample(x, y, 0) - gours(y * w + x))).max
+    assert(gworst <= 2.0, s"grayscale progressive disagreement $gworst")
+
+    // color 3-component (interleaved DC scans, subsampled chroma)
+    val cimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (math.sin(2 * math.Pi * x / w) * 100 + 128).toInt
+      val g = (math.cos(2 * math.Pi * y / h) * 100 + 128).toInt
+      val b = ((x + y) * 255 / (w + h))
+      cimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val cbytes = writeProgressive(cimg)
+    assert(sof2(cbytes), "ImageIO did not emit SOF2 for color MODE_DEFAULT")
+    val Right((cw, ch, cours)) = Jpeg.decodeLuma(cbytes): @unchecked
+    assert(cw == w && ch == h)
+    val cback = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    var csum = 0.0; var cworst = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = cback.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      val theirs = 0.299 * r + 0.587 * g + 0.114 * b
+      val d = math.abs(theirs - cours(y * w + x))
+      csum += d; cworst = math.max(cworst, d)
+    }
+    assert(csum / (w * h) < 2.0, s"mean luma disagreement ${csum / (w * h)}")
+    assert(cworst < 16.0, s"worst luma disagreement $cworst (RGB clamp corners)")
+  }
+
+  test("progressive: truncated stream renders from the scans received") {
+    val (w, h) = (64, 64)
+    val luma = synthLuma(7, w, h)
+    val prog = Jpeg.encodeGrayProgressive(luma, w, h, quality = 85)
+    // cut after the second SOS body (drop the 6-63 AC band + DC refine):
+    // low-frequency content must survive — that is progressive's point
+    val sosOffsets = prog.indices.filter(i =>
+      i + 1 < prog.length && (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
+    assert(sosOffsets.length == 4)
+    val cut = prog.take(sosOffsets(2))
+    Jpeg.decodeLuma(cut) match {
+      case Right((dw, dh, dec)) =>
+        assert(dw == w && dh == h)
+        // DC + first AC band approximate the image coarsely but usably
+        assert(meanAbsErr(dec, luma.map(_.toDouble)) < 30.0)
+      case Left(e) => fail(s"truncated progressive must render, got Left($e)")
     }
   }
 

@@ -276,6 +276,64 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("HNSW serving leg: exhaustive ef equals brute force; walked hits carry exact scores") {
+    val flat = HybridSearch.servingIndex(index.chunks, index.vectors)
+    // exhaustive regime: every cell probed AND ef far beyond any cell
+    // size — the walk reaches the whole graph, so results must equal the
+    // brute serving leg bit-for-bit (ids, scores, tie-breaks), including
+    // scoped requests (post-walk filtering loses nothing when the walk
+    // saw everything)
+    val exhaustive = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 4, hnswM = 8, hnswEf = 100000)
+    assert(exhaustive.serving.flatMap(_.hnsw).nonEmpty,
+      "hnswM must build the graph layout")
+    // and the graph layout composed with IVF: cell-partitioned parts
+    assert(exhaustive.serving.flatMap(_.hnsw).get.centroids.nonEmpty)
+    val requests = Seq(
+      SearchRequest("chunk overlap settings", "c1", topK = 5),
+      SearchRequest("chunk overlap settings", "c1", topK = 5, fusionMethod = "dbsf"),
+      SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3),
+      SearchRequest("search legs", "c1", topK = 10, pathPrefix = Some("/docs/api/")),
+      SearchRequest("overlap", "c1", topK = 10, documentId = Some("doc-overlap")),
+      SearchRequest("chunk overlap", "c2", topK = 10))
+    requests.foreach { req =>
+      val viaFlat = HybridSearch.search(flat, req, embedder)
+      val viaHnsw = HybridSearch.search(exhaustive, req, embedder)
+      assert(viaHnsw.map(h => (h.chunk_id, h.score, h.metadata.get("source"))) ==
+        viaFlat.map(h => (h.chunk_id, h.score, h.metadata.get("source"))),
+        s"exhaustive HNSW diverged from brute force for $req")
+    }
+    // default beam + pruned probes: the walk only selects CANDIDATES —
+    // raw ranking still comes from the shared exact-cosine loop, so the
+    // walked hits must be a subset of the brute hits IN BRUTE ORDER
+    // (post-fusion scores are min-max normalized within each leg's own
+    // candidate set, so the comparable invariant is order, not value)
+    val walked = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 2, hnswM = 8)
+    val req = SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 10)
+    val bruteOrder = HybridSearch.search(flat, req, embedder).map(_.chunk_id)
+    val walkedHits = HybridSearch.search(walked, req, embedder)
+    assert(walkedHits.nonEmpty)
+    val walkedIds = walkedHits.map(_.chunk_id)
+    assert(walkedIds.toSet.subsetOf(bruteOrder.toSet),
+      s"walked hits $walkedIds not a subset of brute $bruteOrder")
+    assert(bruteOrder.filter(walkedIds.toSet) == walkedIds,
+      s"walked order $walkedIds inconsistent with brute order $bruteOrder")
+    // no-IVF composition: graphs over the flat cached partitions, no
+    // routing (centroids empty) — still exact at exhaustive ef
+    val flatGraphs = HybridSearch.servingIndex(index.chunks, index.vectors,
+      hnswM = 8, hnswEf = 100000)
+    assert(flatGraphs.serving.flatMap(_.hnsw).get.centroids.isEmpty)
+    val req2 = SearchRequest("chunk overlap settings", "c1", topK = 5)
+    assert(
+      HybridSearch.search(flatGraphs, req2, embedder).map(h => (h.chunk_id, h.score)) ==
+        HybridSearch.search(flat, req2, embedder).map(h => (h.chunk_id, h.score)))
+    Seq(flat, exhaustive, walked, flatGraphs).foreach { s =>
+      s.chunks.unpersist(); s.vectors.unpersist()
+      s.serving.foreach(_.unpersist())
+    }
+  }
+
   test("hybrid search finds the overlap doc inside the container") {
     val hits = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)

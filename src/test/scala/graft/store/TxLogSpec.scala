@@ -99,6 +99,73 @@ class TxLogSpec extends AnyFunSuite {
       fs.exists(new org.apache.hadoop.fs.Path(s"$wh/t/$rel")) }) // ...files don't
   }
 
+  test("same-JVM concurrent committers all land, serialized to distinct versions") {
+    val wh = freshWh()
+    TxLog.commit(spark, wh, Nil) // version 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = TxLog.commit(spark, wh,
+            Seq(TxLog.Add("chunks", s"writer-$i.parquet", i.toLong)))
+        })
+      }
+      val versions = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      // every commit claimed its own version; none lost, none duplicated
+      assert(versions.toSet.size == 16)
+      assert(versions.toSet == (1L to 16L).toSet)
+      val snap = TxLog.snapshot(spark, wh)
+      assert(snap.files("chunks").map(_._1).toSet ==
+        (0 until 16).map(i => s"writer-$i.parquet").toSet)
+    } finally pool.shutdownNow()
+  }
+
+  test("a cross-process racing writer surfaces as a clean conflict, log intact") {
+    // simulate another JVM claiming the version BETWEEN this writer's
+    // list-versions and its publish: a LogStore wrapper injects the
+    // winner's commit file just before delegating, so the local
+    // putIfAbsent loses the race exactly as an S3 conditional put (412)
+    // or an HDFS rename-onto-existing would
+    val wh = freshWh()
+    TxLog.commit(spark, wh, Nil) // version 0
+    val winnerBody =
+      ("commit\t1\t0\n" + "add\tchunks\twinner.parquet\t7\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val racing = new graft.store.LogStore {
+      var injected = false
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          dir: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
+          content: Array[Byte]): Boolean = {
+        if (!injected) {
+          injected = true
+          assert(graft.store.HadoopLogStore.putIfAbsent(f, dir, target, winnerBody))
+        }
+        graft.store.HadoopLogStore.putIfAbsent(f, dir, target, content)
+      }
+    }
+    TxLog.store = racing
+    try {
+      val e = intercept[graft.store.TxConflictException] {
+        TxLog.commit(spark, wh, Seq(TxLog.Add("chunks", "loser.parquet", 1)))
+      }
+      assert(e.getMessage.contains("already claimed"))
+      // the log is NOT corrupted: the winner's commit folds cleanly and
+      // the loser's content is nowhere
+      val snap = TxLog.snapshot(spark, wh)
+      assert(snap.version == 1L)
+      assert(snap.files("chunks") == Seq(("winner.parquet", 7L)))
+      // no stray temp files left behind by the losing claim
+      val logDir = new java.io.File(s"$wh/_txlog")
+      assert(!logDir.listFiles().exists(_.getName.startsWith(".tmp-")),
+        logDir.listFiles().map(_.getName).mkString(","))
+      // retry against the fresh snapshot succeeds at the next version
+      val v = TxLog.commit(spark, wh, Seq(TxLog.Add("chunks", "loser.parquet", 1)))
+      assert(v == 2L)
+      assert(TxLog.snapshot(spark, wh).files("chunks").map(_._1).toSet ==
+        Set("winner.parquet", "loser.parquet"))
+    } finally TxLog.store = graft.store.HadoopLogStore
+  }
+
   test("log-less warehouse falls back to a plain parquet read") {
     val wh = freshWh()
     df(0L to 4L, 1).write.partitionBy("container_id").parquet(s"$wh/chunks")

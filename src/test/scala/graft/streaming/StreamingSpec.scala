@@ -75,16 +75,16 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = "/root/testdata/sf0.001"
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // infer the writer's actual schema (ts has drifted nanos->micros across
+    // testdata generations) and normalize ts to epoch-nanos long, exactly
+    // as Catalog.table does for the batch twin
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
     // the streaming file source wants a directory, not one file
     val streamDir = java.nio.file.Files.createTempDirectory("graft-evstream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
+    val stream = graft.queries.Catalog.tsNanos(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -110,17 +110,15 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = "/root/testdata/sf0.001"
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
     // `ts div 1000` (integer floor) on BOTH stream and batch sides: a
     // double-divide-then-cast micros conversion is off by 1 µs near
     // integer boundaries, which an interval-join range predicate can see
-    def src() = spark.readStream.schema(schema).parquet(streamDir.toString)
+    def src() = graft.queries.Catalog.tsNanos(
+        spark.readStream.schema(schema).parquet(streamDir.toString))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
     val errors = src().filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
@@ -265,15 +263,13 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = "/root/testdata/sf0.001"
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sessstream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    val evStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val evStream = graft.queries.Catalog.tsNanos(
+        spark.readStream.schema(schema).parquet(streamDir.toString))
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[Sessionize.Ev]
     val q = Sessionize.sessions(evStream)
