@@ -399,13 +399,14 @@ object Multimodal {
   }
 
   /** REAL pixel decode for the codec-bound crawl formats (since round 6
-    * — previously header-probe-only): [[Jpeg]] baseline, [[Png]], [[Gif]]
-    * to the luma plane, with mean-luma + 5-bin luma histogram features
-    * (the luma half of the PPM/BMP feature contract — those decoders see
-    * RGB; these see Y, which is what dedup hashing consumes). Decode
-    * failures (progressive JPEG, 16-bit PNG, ...) fall back to the
-    * header DIMENSION probe so resolution filtering still works, with
-    * the decode error preserved in the features' error channel.
+    * — previously header-probe-only): [[Jpeg]] baseline AND progressive,
+    * [[Png]], [[Gif]] to the luma plane, with mean-luma + 5-bin luma
+    * histogram features (the luma half of the PPM/BMP feature contract —
+    * those decoders see RGB; these see Y, which is what dedup hashing
+    * consumes). Decode failures (arithmetic-coded JPEG, 16-bit PNG, ...)
+    * fall back to the header DIMENSION probe so resolution filtering
+    * still works, with the decode error preserved in the features' error
+    * channel.
     */
   final class CodecImageDecoder(fallback: Decoder = new StubDecoder()) extends Decoder {
     private val header = new ImageHeaderDecoder(fallback)

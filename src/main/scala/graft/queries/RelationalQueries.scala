@@ -627,6 +627,51 @@ object RelationalQueries {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_10m
         FROM err LEFT JOIN clk USING (user_id, bucket)
         GROUP BY event_id ORDER BY event_id"""),
-      doc = "bucketed event-time range join: clicks within 10 min before each error")
+      doc = "bucketed event-time range join: clicks within 10 min before each error"),
+
+    QueryDef(
+      "q112_asof_join",
+      (s, d) => {
+        // Event-time AS-OF JOIN: every 'purchase' matched to the same
+        // user's most recent 'click' AT OR BEFORE its timestamp — the
+        // trade-matching / feature-lookup operator (kdb asof, pandas
+        // merge_asof, Flink temporal join). The naive plan is a per-user
+        // theta join (quadratic in a user's events); the scale shape is
+        // UNION both sides and run ONE keyed window — sort by (ts, kind)
+        // with clicks before purchases at equal ts (<= semantics), then
+        // last(click_ts, ignoreNulls) carries the running most-recent
+        // click to each purchase row. One linear shuffle on user_id, no
+        // join at all. Emitting the matched TIME (not a click id) keeps
+        // the result well-defined when several clicks share the max ts.
+        // DuckDB's native ASOF LEFT JOIN is the independent oracle.
+        val ev = table(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            lit(1).as("is_p"), lit(null).cast("long").as("cts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(lit(null).cast("long").as("event_id"), col("user_id"),
+            col("ts"), lit(0).as("is_p"), col("ts").as("cts"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        purchases.unionByName(clicks)
+          .withColumn("last_cts", last("cts", ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(col("event_id"), col("user_id"),
+            when(col("last_cts").isNull, -1L)
+              .otherwise(expr("(ts - last_cts) div 1000000000L")).as("click_gap_s"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, epoch_ns(ts) pts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, epoch_ns(ts) cts
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               CAST(CASE WHEN c.cts IS NULL THEN -1
+                         ELSE (p.pts - c.cts) // 1000000000 END AS BIGINT) AS click_gap_s
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
+        ORDER BY event_id"""),
+      doc = "as-of join via one keyed window (no theta join): latest click at-or-before each purchase")
   )
 }

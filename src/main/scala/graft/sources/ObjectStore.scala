@@ -162,12 +162,14 @@ final class S3Client(
     java.net.URI.create(endpoint).getAuthority
 
   private def request(method: String, key: String, query: Seq[(String, String)],
-      body: Array[Byte], contentType: Option[String]): StoreResponse = {
+      body: Array[Byte], contentType: Option[String],
+      extraHeaders: Map[String, String] = Map.empty): StoreResponse = {
     val uriPath = "/" + bucket + (if (key.isEmpty) "" else "/" + key)
     val amzDate = SigV4.AmzDateFormat.format(clock())
     val payloadHash =
       if (body.isEmpty) SigV4.EmptyPayloadHash else SigV4.sha256Hex(body)
-    val base = Map("host" -> host) ++ contentType.map("content-type" -> _)
+    val base = Map("host" -> host) ++ contentType.map("content-type" -> _) ++
+      extraHeaders
     val headers = SigV4.signedHeaders(method, uriPath, query, base,
       payloadHash, amzDate, region, "s3", accessKey, secretKey)
     val qs = if (query.isEmpty) ""
@@ -214,6 +216,24 @@ final class S3Client(
 
   override def put(path: String, bytes: Array[Byte], contentType: String): Unit =
     require2xx(request("PUT", path, Nil, bytes, Some(contentType)), s"PutObject $path")
+
+  /** PutObject with `If-None-Match: *` — S3's conditional write (a
+    * public API since late 2024; MinIO and most S3-compatibles honor
+    * it): the PUT succeeds iff NO object exists at `path`, atomically at
+    * the store. 412 Precondition Failed (or 409 from a concurrent-write
+    * race) means another writer won — returned as false, every other
+    * non-2xx is an error. The header is SigV4-SIGNED (part of the
+    * canonical request), so a proxy cannot strip it undetected. This is
+    * the primitive that makes [[graft.store.S3ConditionalLogStore]]
+    * multi-writer-safe without an external lock table.
+    */
+  def putIfAbsent(path: String, bytes: Array[Byte],
+      contentType: String = "application/octet-stream"): Boolean = {
+    val r = request("PUT", path, Nil, bytes, Some(contentType),
+      extraHeaders = Map("if-none-match" -> "*"))
+    if (r.status == 412 || r.status == 409) false
+    else { require2xx(r, s"PutObject(If-None-Match) $path"); true }
+  }
 
   override def delete(path: String): Unit =
     require2xx(request("DELETE", path, Nil, Array.empty, None), s"DeleteObject $path")

@@ -88,6 +88,23 @@ object HadoopLogStore extends LogStore {
   }
 }
 
+/** S3-class commit claims via conditional PUT (`If-None-Match: *`,
+  * [[graft.sources.S3Client.putIfAbsent]]): the store itself arbitrates
+  * the race — no JVM lock, no external claim table (Delta's
+  * S3DynamoDBLogStore predates the S3 API; with native conditional
+  * writes the coordination collapses into one signed request). Deploy
+  * with the warehouse on the same bucket (readers list/read through the
+  * filesystem as usual — only the CLAIM must be conditional); `keyFor`
+  * maps the commit-file path to its bucket key.
+  */
+final class S3ConditionalLogStore(
+    client: graft.sources.S3Client,
+    keyFor: Path => String) extends LogStore {
+  override def putIfAbsent(f: FileSystem, dir: Path, target: Path,
+      content: Array[Byte]): Boolean =
+    client.putIfAbsent(keyFor(target), content, "application/octet-stream")
+}
+
 object TxLog {
 
   final case class Add(table: String, relPath: String, generation: Long)

@@ -135,6 +135,27 @@ class ObjectStoreSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](s3Client(failing).get("data/a.txt"))
   }
 
+  test("S3 conditional put: If-None-Match is sent AND signed; 412/409 -> lost claim") {
+    val x = new ScriptedExchange(
+      StoreResponse(200, Map.empty, Array.empty),
+      StoreResponse(412, Map.empty, Array.empty),
+      StoreResponse(409, Map.empty, Array.empty),
+      StoreResponse(500, Map.empty, Array.empty))
+    val c = s3Client(x)
+    assert(c.putIfAbsent("log/0001.commit", "v1".getBytes))
+    assert(!c.putIfAbsent("log/0001.commit", "v2".getBytes)) // 412: claimed
+    assert(!c.putIfAbsent("log/0001.commit", "v3".getBytes)) // 409: racing upload
+    assertThrows[IllegalArgumentException]( // any other failure is LOUD
+      c.putIfAbsent("log/0001.commit", "v4".getBytes))
+    val (m, url, h, body) = x.requests.head
+    assert(m == "PUT" && url == "http://minio:9000/corpus/log/0001.commit")
+    assert(h("if-none-match") == "*")
+    // the header participates in the canonical request — a proxy cannot
+    // strip the precondition without invalidating the signature
+    assert(h("Authorization").contains("if-none-match"))
+    assert(new String(body) == "v1")
+  }
+
   // ---- Azure ---------------------------------------------------------------
 
   test("Azure SharedKey canonical string follows the documented layout") {

@@ -166,6 +166,70 @@ class TxLogSpec extends AnyFunSuite {
     } finally TxLog.store = graft.store.HadoopLogStore
   }
 
+  test("S3 conditional-put log store: the bucket arbitrates multi-writer commits") {
+    // fake S3 whose conditional PUTs land as REAL files under the local
+    // warehouse (so TxLog's list/snapshot reads see them through the
+    // filesystem, exactly the deployment contract: only the CLAIM goes
+    // through the object API); an existing key answers 412 like the
+    // store-side atomic If-None-Match
+    val wh = freshWh()
+    val exchange = new graft.sources.HttpExchange {
+      override def send(method: String, url: String,
+          headers: Map[String, String], body: Array[Byte]): graft.sources.StoreResponse = {
+        assert(method == "PUT", s"unexpected $method")
+        assert(headers("if-none-match") == "*")
+        assert(headers("Authorization").contains("if-none-match")) // signed
+        val key = java.net.URLDecoder.decode(
+          url.stripPrefix("http://bucket.local/corpus/"), "UTF-8")
+        val f = java.nio.file.Paths.get(wh, key)
+        java.nio.file.Files.createDirectories(f.getParent)
+        try {
+          java.nio.file.Files.write(f, body,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          graft.sources.StoreResponse(200, Map.empty, Array.empty)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            graft.sources.StoreResponse(412, Map.empty, Array.empty)
+        }
+      }
+    }
+    val client = new graft.sources.S3Client(
+      "http://bucket.local", "us-east-1", "corpus", "ak", "sk", exchange)
+    val whUri = new org.apache.hadoop.fs.Path(wh).toUri.getPath
+    val s3store = new graft.store.S3ConditionalLogStore(client,
+      keyFor = p => p.toUri.getPath.stripPrefix(whUri).stripPrefix("/"))
+    var raced = false
+    TxLog.store = new graft.store.LogStore {
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          dir: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
+          content: Array[Byte]): Boolean = {
+        if (!raced && target.getName.startsWith("00000000000000000001")) {
+          raced = true // a second JVM claims v1 between list and publish
+          assert(s3store.putIfAbsent(f, dir, target,
+            "commit\t1\t0\nadd\tchunks\twinner.parquet\t9\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        s3store.putIfAbsent(f, dir, target, content)
+      }
+    }
+    try {
+      assert(TxLog.commit(spark, wh,
+        Seq(TxLog.Add("chunks", "a.parquet", 0))) == 0L) // claim via cond-PUT
+      val e = intercept[graft.store.TxConflictException] {
+        TxLog.commit(spark, wh, Seq(TxLog.Add("chunks", "loser.parquet", 1)))
+      }
+      assert(e.getMessage.contains("already claimed"))
+      // the bucket's arbitration left a clean log: v0 + the winner's v1
+      val snap = TxLog.snapshot(spark, wh)
+      assert(snap.version == 1L)
+      assert(snap.files("chunks").toSet == Set(("a.parquet", 0L), ("winner.parquet", 9L)))
+      // retry lands at v2 through the same conditional-PUT path
+      assert(TxLog.commit(spark, wh, Seq(TxLog.Add("chunks", "loser.parquet", 1))) == 2L)
+      assert(TxLog.snapshot(spark, wh).files("chunks").map(_._1).toSet ==
+        Set("a.parquet", "winner.parquet", "loser.parquet"))
+    } finally TxLog.store = graft.store.HadoopLogStore
+  }
+
   test("log-less warehouse falls back to a plain parquet read") {
     val wh = freshWh()
     df(0L to 4L, 1).write.partitionBy("container_id").parquet(s"$wh/chunks")

@@ -32,6 +32,24 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(joined.filter(col("same_order")).count() < n / 10)
   }
 
+  test("q85's emitted avg_nll equals q87's hash-oracled feature, row for row") {
+    // the cross-link that makes q85's golden a SEMANTIC pin without
+    // re-running the feature chain in-query: q85 emits the avg_nll the
+    // classifier consumed (frozen in the golden), q87 emits the same
+    // tuples from the standalone assembly (hash-checked by DuckDB) — this
+    // asserts the two paths agree bit-for-bit at 6 dp, so either one
+    // drifting breaks a gate
+    val sf = "/root/testdata/sf0.001"
+    def keyed(q: String) = graft.queries.Catalog.queries(q)(spark, sf)
+      .select("doc_id", "variant", "avg_nll")
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1)) -> r.getDouble(2)).toMap
+    val q85 = keyed("q85_quality_classifier")
+    val q87 = keyed("q87_quality_features")
+    assert(q85.nonEmpty)
+    assert(q85.keySet == q87.keySet)
+    q85.foreach { case (k, v) => assert(v == q87(k), s"avg_nll diverges at $k") }
+  }
+
   test("separates structured text from shuffled twins almost perfectly") {
     import spark.implicits._
     // constructed corpus with STRONG bigram chains (cyclic phrase
