@@ -292,6 +292,31 @@ object Hnsw {
     def unpersist(): Unit = { graphs.unpersist(blocking = false); () }
   }
 
+  /** Warehouse persistence for the partition-local graphs: each graph is
+    * written keyed by its partition index and restored onto the SAME
+    * index (HashPartitioner on Int i maps back to partition i), so a
+    * routing scheme aligned to partitions — the IVF `partitionOf(cell)`
+    * composition — survives a save/load round-trip. A restart therefore
+    * reloads graphs instead of re-running construction over the corpus
+    * (build is the expensive half: O(n·ef·m) distance evaluations per
+    * partition vs a sequential object read). Files are one serialized
+    * graph per partition — KB-to-MB-sized metadata next to the corpus
+    * parquet, the same economics as `Ivf.save`'s centroids.
+    */
+  def save(p: Partitioned, path: String): Unit =
+    p.graphs.mapPartitionsWithIndex((i, it) => it.map(g => (i, g)))
+      .saveAsObjectFile(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      nParts: Int): Partitioned = {
+    val rdd = spark.sparkContext.objectFile[(Int, Graph)](path)
+      .partitionBy(new org.apache.spark.HashPartitioner(nParts))
+      .values
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize: queries start warm, like buildPartitioned
+    Partitioned(rdd)
+  }
+
   /** Build partition-local graphs. The caller picks the partitioning
     * (hash for uniform load; IVF cells to compose with probe routing). */
   def buildPartitioned(corpus: org.apache.spark.sql.DataFrame,

@@ -1,18 +1,29 @@
 package graft.ann
 
 import graft.functions.{CosineSimilarity, DotProduct}
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** IVF (inverted-file) ANN index: MLlib k-means partitions the corpus into
+/** IVF (inverted-file) ANN index: k-means partitions the corpus into
   * `nLists` cells; a query routes to its `nProbes` nearest centroids and
   * scans only those cells — scan cost drops by ~nProbes/nLists while recall
   * stays high for clustered embedding spaces (the pgvector IVFFlat analog,
   * ref VectorColumnManager.cs:95-107; q29_ann_ivf pins the routing math
   * against the DuckDB oracle with fixed label cells).
+  *
+  * The fit is a NATIVE deterministic Lloyd (round 7; replaced MLlib
+  * KMeans, whose per-iteration instrumentation and conversions were a
+  * measured ~3 s fixed floor at every scale — q88's phase telemetry):
+  * k-means++ initialization on the driver over a bounded `takeSample`
+  * (seeded, ≤4096 vectors — constant driver work at any corpus size),
+  * then one `treeAggregate` job per Lloyd iteration carrying k×(d+1)
+  * doubles of state — the map-side-combine shape whose shuffle is
+  * centroid-sized, never corpus-sized. Deterministic end to end under a
+  * fixed seed AND a fixed input layout: sampling is seeded, the ++
+  * selection stream is splitmix-derived (no RNG object), ties in
+  * assignment break to the lowest cell id, and empty cells keep their
+  * previous centroid.
   *
   * Clustering runs on L2-normalized vectors so Euclidean k-means agrees
   * with the cosine geometry used for routing and scoring.
@@ -28,51 +39,158 @@ object Ivf {
     transform(d, x => x / nrm)
   }
 
+  /** Splitmix64 step — the deterministic pseudo-uniform stream for the
+    * k-means++ selections (no RNG object, no call-order dependence). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def unit(z: Long): Double = (mix(z) >>> 11).toDouble / (1L << 53).toDouble
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Driver-side deterministic k-means++ over the init pool. */
+  private def kppInit(pool: Array[Array[Double]], k: Int, seed: Long): Array[Array[Double]] = {
+    val n = pool.length
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    chosen += pool(math.min(n - 1, (unit(seed) * n).toInt))
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var step = 1
+    while (chosen.size < k) {
+      val last = chosen.last
+      var i = 0
+      while (i < n) { d2(i) = math.min(d2(i), sqDist(pool(i), last)); i += 1 }
+      val total = d2.sum
+      if (total <= 0) chosen += pool(step % n) // pool exhausted of distinct points
+      else {
+        val r = unit(seed + step) * total
+        var acc = 0.0; var idx = 0
+        while (idx < n - 1 && acc + d2(idx) < r) { acc += d2(idx); idx += 1 }
+        chosen += pool(idx)
+      }
+      step += 1
+    }
+    chosen.toArray
+  }
+
+  /** Nearest cell by Euclidean distance on the normalized vector —
+    * ||x−c||² = ‖x‖² − 2x·c + ‖c‖² with ‖x‖ fixed, so compare
+    * ‖c‖² − 2x·c; ties break to the lowest cell id. The SAME formula
+    * runs in the fit's assignment step and the final full-corpus
+    * assignment, so the two can never disagree. */
+  private def nearestCell(cs: Array[Array[Double]], cNorm2: Array[Double],
+      x: Array[Double]): Int = {
+    var best = 0; var bestScore = Double.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      var dot = 0.0; var i = 0
+      val n = math.min(c.length, x.length)
+      while (i < n) { dot += c(i) * x(i); i += 1 }
+      val score = cNorm2(j) - 2.0 * dot
+      if (score < bestScore) { bestScore = score; best = j }
+      j += 1
+    }
+    best
+  }
+
   /** Cluster `corpus(id, embedding)` into nLists cells. The reference sizes
     * lists as clamp(rows/1000, 1, 100) (VectorColumnManager.cs:98) — pass
-    * that or tune per corpus. Deterministic under a fixed seed.
+    * that or tune per corpus. Deterministic under a fixed seed and input
+    * layout. fitSample < 1 trains centroids on a corpus sample and assigns
+    * the FULL corpus — the standard IVF-build economy at scale (centroid
+    * positions converge on a fraction of the data; assignment is the only
+    * full pass).
     */
   def build(
       corpus: DataFrame,
       nLists: Int,
       maxIter: Int = 10,
       seed: Long = 42L,
-      initMode: String = "k-means||",
       fitSample: Double = 1.0): IvfIndex = {
-    // initMode "random" (fixed seed, still deterministic) skips the
-    // k-means|| init's extra passes — right for cell-PARTITIONING uses
-    // (semdedup, routing) where cell quality only shifts candidate sets
-    // marginally; keep the default for recall-sensitive index builds.
-    // fitSample < 1 trains centroids on a corpus sample and assigns the
-    // FULL corpus — the standard IVF-build economy at scale (centroid
-    // positions converge on a fraction of the data; assignment is the
-    // only full pass).
-    val feat = corpus.withColumn("_fv", array_to_vector(normalized("embedding")))
+    require(nLists >= 1, "nLists must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val withNorm = corpus.withColumn("_nv", normalized("embedding"))
     val fitOn =
-      if (fitSample >= 1.0) feat
+      if (fitSample >= 1.0) withNorm
       else {
-        val s = feat.sample(withReplacement = false, fitSample, seed)
-        // tiny corpora can sample to zero rows, which KMeans rejects —
-        // fall back to the full frame (the sample exists to bound cost at
-        // scale, where emptiness is impossible)
-        if (s.isEmpty) feat else s
+        val s = withNorm.sample(withReplacement = false, fitSample, seed)
+        // tiny corpora can sample to zero rows — fall back to the full
+        // frame (the sample exists to bound cost at scale, where
+        // emptiness is impossible)
+        if (s.isEmpty) withNorm else s
       }
-    val model = new KMeans()
-      .setK(nLists).setMaxIter(maxIter).setSeed(seed).setInitMode(initMode)
-      .setFeaturesCol("_fv").setPredictionCol("list_id")
-      .fit(fitOn)
+    val fitVecs = fitOn.select(col("_nv")).as[Array[Double]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init pool: seeded takeSample, bounded so driver work is constant at
+    // any corpus size (k-means++ is O(pool × k) distance evaluations)
+    val pool = fitVecs.takeSample(withReplacement = false,
+      num = math.max(nLists, math.min(4096, nLists * 64)), seed = seed)
+    require(pool.nonEmpty, "ivf: empty corpus")
+    var centroids = kppInit(pool, nLists, seed)
+    val d = centroids(0).length
+    var iter = 0
+    while (iter < maxIter) {
+      val cNorm2 = centroids.map(c => c.map(x => x * x).sum)
+      val bc = sc.broadcast((centroids, cNorm2))
+      // one job per iteration: k×(d+1) doubles of state per task, merged
+      // treewise — the shuffle is centroid-sized, never corpus-sized
+      val agg = fitVecs.treeAggregate(Array.ofDim[Double](nLists, d + 1))(
+        (acc, v) => {
+          val (cs, cn2) = bc.value
+          val j = nearestCell(cs, cn2, v)
+          val row = acc(j)
+          var i = 0
+          val n = math.min(d, v.length)
+          while (i < n) { row(i) += v(i); i += 1 }
+          row(d) += 1.0
+          acc
+        },
+        (a, b) => {
+          var j = 0
+          while (j < nLists) {
+            var i = 0
+            while (i <= d) { a(j)(i) += b(j)(i); i += 1 }
+            j += 1
+          }
+          a
+        })
+      bc.destroy()
+      centroids = Array.tabulate(nLists) { j =>
+        val cnt = agg(j)(d)
+        if (cnt == 0.0) centroids(j) // empty cell keeps its centroid
+        else Array.tabulate(d)(i => agg(j)(i) / cnt)
+      }
+      iter += 1
+    }
+    fitVecs.unpersist(blocking = false)
+    val cNorm2 = centroids.map(c => c.map(x => x * x).sum)
+    val bcFinal = sc.broadcast((centroids, cNorm2))
+    val assignUdf = udf { (nv: Seq[Double]) =>
+      val (cs, cn2) = bcFinal.value
+      nearestCell(cs, cn2, nv.toArray)
+    }
     // hoist each vector's norm at build time: the probed-cell scan then
     // scores with a single-accumulator DotProduct / (nrm * qnrm) — same
     // double arithmetic as CosineSimilarity at a third of the per-row
     // flops (see SCALE.md "Vector search / ANN")
-    val assigned = model.transform(feat).drop("_fv")
+    val assigned = withNorm
+      .withColumn("list_id", assignUdf(col("_nv")))
+      .drop("_nv")
       .withColumn("nrm", sqrt(DotProduct(col("embedding"), col("embedding"))))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val centroidsDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }
       .toSeq.toDF("list_id", "centroid")
-    IvfIndex(centroids, assigned)
+    IvfIndex(centroidsDf, assigned)
   }
 
   /** Top-k per query over the probed cells only. Centroids and queries are

@@ -19,7 +19,7 @@ object AnnQueries {
     * cosine — near-dup candidates the cross-cell quadratic never pays
     * for. Cells here come from 8 DETERMINISTIC hyperplanes whose ±1
     * sign vectors derive from a multiplicative integer hash, so DuckDB
-    * pins the bucketing bit-for-bit (production swaps in MLlib k-means
+    * pins the bucketing bit-for-bit (production swaps in k-means
     * cells via ann/Ivf — q88 runs that swap-in and emits the overlap).
     * A polynomial sign hash does NOT work: k² + 7919k + 104729 stays
     * below P for small k and k(k+7919) is always even, so every sign came
@@ -493,8 +493,8 @@ object AnnQueries {
       "q88_semdedup_ivf",
       (s, d) => {
         // The production swap-in q79's docs promise, run FOR REAL next to
-        // the oracle-able shape: k-means cells from ann/Ivf (MLlib KMeans,
-        // fixed seed) replace the deterministic hyperplanes; downstream
+        // the oracle-able shape: k-means cells from ann/Ivf (native
+        // deterministic Lloyd, fixed seed) replace the deterministic hyperplanes; downstream
         // intra-cell join + rounded-cosine rank is IDENTICAL. Output is
         // the union of both variants' top-50 candidate pair sets with a
         // found_by column (both / hyperplane / ivf), so the overlap
@@ -503,8 +503,10 @@ object AnnQueries {
         // SQL-expressible -> rows-only; SemdedupOverlapSpec pins the
         // overlap fraction).
         // Scale: identical to q79 — the self-join shuffles on the cell
-        // key, work ∝ Σc² per cell; the k-means fit is MLlib's
-        // distributed Lloyd iterations (centroid-sized driver state).
+        // key, work ∝ Σc² per cell; the k-means fit is ann/Ivf's
+        // native Lloyd (one treeAggregate job per iteration,
+        // centroid-sized state; driver-side k-means++ init over a
+        // bounded seeded sample).
         val hyper = semdedupHyperplane(s, d).select("id_a", "id_b", "cos_sim")
         // cell count ~ corpus/64: enough occupancy for intra-cell pairs
         // at test SFs; the reference sizes lists as clamp(rows/1000,1,100)
@@ -512,9 +514,9 @@ object AnnQueries {
         // cell-PARTITIONING economy, not a recall-sensitive index: random
         // init (deterministic under the seed), 5 Lloyd iterations, and
         // centroids trained on a 25% sample with the FULL corpus assigned
-        // — the standard IVF-build shape at scale. Measured: the fit's
-        // remaining ~3 s here is fixed MLlib overhead, not per-row work
-        // (BENCH_NOTES r4), disclosed like q85's in-query training.
+        // — the standard IVF-build shape at scale. The r4-r6 fit floor
+        // (~3 s of fixed MLlib overhead) is gone with the native Lloyd —
+        // measured 1.1-1.5 s at both gate SFs, now mostly real work.
         // Determinism boundary: KMeans' seeded sample + random init depend
         // on the input's partition layout, so normalize it — but with a
         // key-hash repartition + in-partition sort (layout is a pure
@@ -526,7 +528,7 @@ object AnnQueries {
         val idx = graft.ann.Ivf.build(
           table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
             .repartition(32, col("vec_id")).sortWithinPartitions("vec_id"),
-          nLists = math.max(2, (n / 64).toInt), maxIter = 5, initMode = "random",
+          nLists = math.max(2, (n / 64).toInt), maxIter = 5,
           fitSample = 0.25)
         val fitSec = (System.nanoTime() - tFit) / 1e9
         val b = idx.assigned
@@ -548,7 +550,7 @@ object AnnQueries {
               .when(col("cs_h").isNotNull, "hyperplane")
               .otherwise("ivf").as("found_by"))
           .orderBy("id_a", "id_b")
-        // phase split (r4 verdict item 3): the ~3 s MLlib fit floor must not
+        // phase split (r4 verdict item 3): the fit cost must not
         // mask a scan regression — both phases land in the bench stderr tail
         val tScan = System.nanoTime()
         val out = Catalog.materializeAndRelease(joined, b)

@@ -406,7 +406,7 @@ object HybridSearch {
       if (ivfLists <= 1) None
       else {
         val built = graft.ann.Ivf.build(
-          denormC, nLists = ivfLists, maxIter = 5, initMode = "random",
+          denormC, nLists = ivfLists, maxIter = 5,
           fitSample = 0.25)
         val cellRows = built.assigned
           .select($"list_id", struct(

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming AS-OF join — the Structured Streaming twin of the
+  * q112 batch operator (latest same-user 'click' at-or-before each
+  * 'purchase'), built on `flatMapGroupsWithState` like [[Sessionize]]:
+  * per-user state carries the most recent click timestamp; each purchase
+  * emits immediately with its gap to that click (-1 when none yet).
+  *
+  * Semantics match q112's `<=` contract: a click AT a purchase's exact
+  * timestamp matches it, so within one batch events sort by
+  * (ts, kind, event_id) with clicks before purchases at equal ts — the
+  * same tie order the batch window uses.
+  *
+  * Scale shape: state is O(1) per user (one long), keyed shuffle on
+  * user_id — identical partitioning to the batch window; the stream emits
+  * one row per purchase, no retraction. Batches are assumed event-time
+  * ordered per user ACROSS triggers (in-batch disorder is sorted away
+  * in-function; use a watermark to bound cross-trigger disorder, exactly
+  * the Sessionize caveat).
+  */
+object AsOfJoin {
+
+  /** kind: 0 = the side that advances state (click), 1 = the probe side
+    * that emits (purchase). */
+  final case class Ev(user_id: Long, ts: Long, event_id: Long, kind: Int)
+  final case class Matched(user_id: Long, event_id: Long, click_gap_s: Long)
+
+  private[streaming] def step(
+      user: Long,
+      events: Iterator[Ev],
+      state: GroupState[Long]): Iterator[Matched] = {
+    // clicks sort before purchases at equal ts: <= match semantics
+    val sorted = events.toVector.sortBy(e => (e.ts, e.kind, e.event_id))
+    var lastClick = state.getOption.getOrElse(Long.MinValue)
+    val out = Vector.newBuilder[Matched]
+    sorted.foreach { e =>
+      if (e.kind == 0) lastClick = math.max(lastClick, e.ts)
+      else out += Matched(user, e.event_id,
+        if (lastClick == Long.MinValue) -1L
+        else (e.ts - lastClick) / 1000000000L)
+    }
+    if (lastClick != Long.MinValue) state.update(lastClick)
+    out.result().iterator
+  }
+
+  /** Matched probe rows of an event stream (append mode). */
+  def matches(events: Dataset[Ev]): Dataset[Matched] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[Matched]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user, it, state: GroupState[Long]) => step(user, it, state))
+  }
+}

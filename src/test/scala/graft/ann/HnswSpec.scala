@@ -99,4 +99,32 @@ class HnswSpec extends AnyFunSuite {
     assert((exact.toSet intersect approx).size >= 9, s"partitioned recall dropped: $approx")
     part.unpersist()
   }
+
+  test("save/load round-trips graphs onto the SAME partition indices") {
+    import spark.implicits._
+    val pts = corpus(300)
+    val df = spark.createDataset(pts).toDF("id", "embedding").repartition(4)
+    val part = Hnsw.buildPartitioned(df, m = 8, efConstruction = 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-save")
+      .resolve("graphs").toString
+    Hnsw.save(part, dir)
+    val loaded = Hnsw.load(spark, dir, nParts = 4)
+    // identical results at both exhaustive and modest beams
+    for (ef <- Seq(300, 40); qi <- Seq(1, 7, 42)) {
+      val q = pts(qi)._2
+      assert(loaded.searchAll(q, 10, ef) == part.searchAll(q, 10, ef),
+        s"loaded graphs diverge at ef=$ef qi=$qi")
+    }
+    // partition ALIGNMENT survives: graph i landed back on partition i —
+    // the property IVF cell routing (partitionOf) depends on after a
+    // restart
+    val placed = part.graphs
+      .mapPartitionsWithIndex((i, it) => it.map(g => (i, g.ids.min)))
+      .collect().toMap
+    val placedLoaded = loaded.graphs
+      .mapPartitionsWithIndex((i, it) => it.map(g => (i, g.ids.min)))
+      .collect().toMap
+    assert(placedLoaded == placed, s"partition layout moved: $placedLoaded vs $placed")
+    part.unpersist(); loaded.unpersist()
+  }
 }

@@ -258,6 +258,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(vectors.count() == chunks.count())
   }
 
+  test("stateful streaming as-of join matches the q112 batch twin") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-asofstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val evStream = graft.queries.Catalog.tsNanos(
+        spark.readStream.schema(schema).parquet(streamDir.toString))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      .as[AsOfJoin.Ev]
+    val q = AsOfJoin.matches(evStream)
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_out")
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2))).toMap
+    val batch = graft.queries.Catalog.queries("q112_asof_join")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful streaming sessionization matches the q59 batch twin") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
