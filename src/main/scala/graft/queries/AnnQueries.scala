@@ -129,6 +129,93 @@ object AnnQueries {
       doc = "ANN baseline: brute-force cosine top-k per query"),
 
     QueryDef(
+      "q113_retrieval_metrics",
+      (s, d) => {
+        // Retrieval-quality EVALUATION as a relational operator — the
+        // harness every search deployment runs over its own index:
+        // recall@10, MRR and nDCG@10 per query, ground truth = shared
+        // `label` (binary relevance), candidates = exact cosine top-10
+        // (q28's ranking shape). The nDCG discounts 1/log2(rank+1) and
+        // their prefix sums are EXACT double literals embedded in both
+        // engines' queries: log2 is not IEEE-correctly-rounded, so
+        // computing it live could differ in the last ulp across libms —
+        // with literal weights both sides sum identical doubles and the
+        // 6-dp rounding only has to absorb summation order.
+        // Scale: queries broadcast, corpus never re-partitions; metrics
+        // are a per-qid groupBy over 10 rows each.
+        val wLit = "array(1.0D, 0.6309297535714575D, 0.5D, 0.43067655807339306D, " +
+          "0.38685280723454163D, 0.3562071871080222D, 0.3333333333333333D, " +
+          "0.31546487678572877D, 0.3010299956639812D, 0.2890648263178879D)"
+        val cumLit = "array(1.0D, 1.6309297535714575D, 2.1309297535714578D, " +
+          "2.5616063116448506D, 2.9484591188793923D, 3.3046663059874146D, " +
+          "3.637999639320748D, 3.953464516106477D, 4.254494511770458D, " +
+          "4.543559338088346D)"
+        val e = table(s, d, "embeddings")
+        val corpus = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+          col("embedding").as("vn"),
+          sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))).as("nn"))
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("vq"),
+            sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))).as("nq"))
+        // relevant-set size per query label (excluding the query itself)
+        val labelSizes = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
+        val ranked = corpus.join(broadcast(queries), col("qid") =!= col("nid"))
+          .withColumn("sim",
+            graft.functions.DotProduct(col("vq"), col("vn")) / (col("nq") * col("nn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .withColumn("rel", (col("nlabel") === col("qlabel")).cast("int"))
+        ranked
+          .groupBy("qid", "qlabel")
+          .agg(
+            sum("rel").cast("long").as("hits10"),
+            max(when(col("rel") === 1, lit(1.0) / col("rank")).otherwise(0.0)).as("mrr"),
+            sum(col("rel") * expr(s"element_at($wLit, rank)")).as("dcg"))
+          .join(broadcast(labelSizes), col("qlabel") === col("label"))
+          .withColumn("n_rel", (col("n_label") - 1).cast("long"))
+          .select(col("qid"), col("n_rel"),
+            (round(col("hits10") / least(col("n_rel"), lit(10L)), 6) + 0.0).as("recall10"),
+            (round(col("mrr"), 6) + 0.0).as("mrr"),
+            (round(col("dcg") / expr(s"element_at($cumLit, cast(least(n_rel, 10L) as int))"), 6) + 0.0)
+              .as("ndcg10"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH wts AS (SELECT [1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+                             0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+                             0.31546487678572877, 0.3010299956639812, 0.2890648263178879] w,
+                            [1.0, 1.6309297535714575, 2.1309297535714578,
+                             2.5616063116448506, 2.9484591188793923, 3.3046663059874146,
+                             3.637999639320748, 3.953464516106477, 4.254494511770458,
+                             4.543559338088346] cum),
+             q AS (SELECT vec_id qid, label qlabel, CAST(embedding AS DOUBLE[]) vq
+                   FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id nid, label nlabel, CAST(embedding AS DOUBLE[]) vn
+                   FROM embeddings),
+             ls AS (SELECT label, count(*) n_label FROM embeddings GROUP BY 1),
+             scored AS (SELECT qid, qlabel, nid, nlabel,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY ${cosDuck("vq", "vn")} DESC, nid) rank
+                        FROM q JOIN c ON qid <> nid),
+             top10 AS (SELECT qid, qlabel,
+                              CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END rel, rank
+                       FROM scored WHERE rank <= 10),
+             m AS (SELECT qid, qlabel,
+                          CAST(sum(rel) AS BIGINT) hits10,
+                          max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0.0 END) mrr,
+                          sum(rel * wts.w[rank]) dcg
+                   FROM top10, wts GROUP BY qid, qlabel)
+        SELECT qid, CAST(ls.n_label - 1 AS BIGINT) AS n_rel,
+               round(hits10 / least(ls.n_label - 1, 10), 6) + 0.0 AS recall10,
+               round(mrr, 6) + 0.0 AS mrr,
+               round(dcg / wts.cum[CAST(least(ls.n_label - 1, 10) AS INT)], 6) + 0.0 AS ndcg10
+        FROM m JOIN ls ON m.qlabel = ls.label, wts
+        ORDER BY qid"""),
+      doc = "retrieval evaluation: recall@10 / MRR / nDCG@10 of exact cosine top-k vs label ground truth"),
+
+    QueryDef(
       "q29_ann_ivf",
       (s, d) => {
         // IVF-style pruned search: elementwise-mean centroid per label

@@ -238,6 +238,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(1500))
   }
 
+  test("as-of join plans as ONE keyed window — no join operator at all (q112)") {
+    val p = plan("q112_asof_join")
+    // the operator's whole claim: latest-click-at-or-before is a union +
+    // running window, so the physical plan must contain a Window and NO
+    // join of any kind (a theta/as-of join would be quadratic per user)
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.toLowerCase.contains("join"), p.take(1500))
+    // one keyed shuffle on user_id feeds the window
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
   test("SparkSessionExtensions registers cosine_sim + dot_product for SQL users") {
     new graft.functions.GraftExtensions()
     // function injection is builder-time; validate the registry path used
