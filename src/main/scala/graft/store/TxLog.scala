@@ -107,7 +107,14 @@ final class S3ConditionalLogStore(
 
 object TxLog {
 
-  final case class Add(table: String, relPath: String, generation: Long)
+  /** Per-file column statistic recorded in the commit log (tpe is one of
+    * long/double/string); min/max BOUND the file's values — parquet may
+    * store truncated-but-bounding string stats, which keeps pruning
+    * conservative. */
+  final case class ColStat(tpe: String, min: String, max: String)
+
+  final case class Add(table: String, relPath: String, generation: Long,
+      stats: Map[String, ColStat] = Map.empty)
   final case class Remove(table: String, relPath: String)
 
   /** Pluggable commit-claim store (see [[LogStore]]); tests and S3-class
@@ -115,11 +122,14 @@ object TxLog {
     * are per-commit. */
   @volatile var store: LogStore = HadoopLogStore
 
-  final case class Snapshot(version: Long, live: Map[String, Seq[(String, Long)]]) {
+  final case class Snapshot(version: Long, live: Map[String, Seq[(String, Long)]],
+      stats: Map[(String, String), Map[String, ColStat]] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
       files(table).map(_._2).foldLeft(-1L)(math.max)
+    def statsOf(table: String, rel: String): Map[String, ColStat] =
+      stats.getOrElse((table, rel), Map.empty)
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -163,7 +173,12 @@ object TxLog {
     val target = commitFile(warehouse, version)
     val body = new StringBuilder
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
-    adds.foreach(a => body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n")
+    adds.foreach { a =>
+      body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n"
+      a.stats.toSeq.sortBy(_._1).foreach { case (c, st) =>
+        body ++= s"stat\t${a.table}\t${a.relPath}\t${esc(c)}\t${st.tpe}\t${esc(st.min)}\t${esc(st.max)}\n"
+      }
+    }
     removes.foreach(r => body ++= s"remove\t${r.table}\t${r.relPath}\n")
     if (!store.putIfAbsent(f, dir, target, body.toString.getBytes(StandardCharsets.UTF_8)))
       throw new TxConflictException(
@@ -179,10 +194,41 @@ object TxLog {
     * atVersion answers it on the physical file history, including files
     * a later compaction removed but vacuum hasn't deleted yet).
     */
+  /** Escape a value for the tab-separated log line (strings can carry
+    * tabs/newlines/backslashes). */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+  private def unesc(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '\\' => out += '\\'
+          case 't' => out += '\t'
+          case 'n' => out += '\n'
+          case 'r' => out += '\r'
+          case o => out += '\\' += o
+        }
+        i += 2
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   def snapshot(spark: SparkSession, warehouse: String,
       atVersion: Long = Long.MaxValue): Snapshot = {
     val f = fs(spark, warehouse)
     val live = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+    val fileStats =
+      scala.collection.mutable.LinkedHashMap[(String, String), Map[String, ColStat]]()
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
@@ -195,14 +241,19 @@ object TxLog {
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         line.split('\t') match {
           case Array("add", table, rel, gen) => live((table, rel)) = gen.toLong
-          case Array("remove", table, rel) => live.remove((table, rel))
+          case Array("stat", table, rel, c, tpe, mn, mx) =>
+            fileStats((table, rel)) = fileStats.getOrElse((table, rel), Map.empty) +
+              (unesc(c) -> ColStat(tpe, unesc(mn), unesc(mx)))
+          case Array("remove", table, rel) =>
+            live.remove((table, rel)); fileStats.remove((table, rel))
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
       }
     }
     Snapshot(version, live.toSeq.groupBy(_._1._1)
-      .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } })
+      .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
+      fileStats.toMap)
   }
 
   /** Read one table at the log's current snapshot. Falls back to a plain
@@ -233,9 +284,11 @@ object TxLog {
     * later), never a torn table.
     */
   def stageWrite(df: DataFrame, warehouse: String, table: String,
-      partitionBy: Seq[String], generation: Long): Seq[Add] = {
+      partitionBy: Seq[String], generation: Long,
+      statsCols: Seq[String] = Nil): Seq[Add] = {
     val spark = df.sparkSession
     val f = fs(spark, warehouse)
+    val conf = spark.sparkContext.hadoopConfiguration
     val stagingRoot = new Path(warehouse, s".staging/${java.util.UUID.randomUUID()}")
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -252,14 +305,103 @@ object TxLog {
           .stripPrefix(stagingRoot.toUri.getPath).stripPrefix("/")
         val dst = new Path(tableDir, rel)
         f.mkdirs(dst.getParent)
+        // footer read BEFORE the rename: the staged file is complete, and
+        // a crash between here and the commit leaves no stat anywhere
+        val stats =
+          if (statsCols.isEmpty) Map.empty[String, ColStat]
+          else footerStats(conf, st.getPath, statsCols.toSet)
         if (!f.rename(st.getPath, dst))
           sys.error(s"txlog: staging rename failed: ${st.getPath} -> $dst")
-        staged += Add(table, rel, generation)
+        staged += Add(table, rel, generation, stats)
       }
     }
     walk(stagingRoot)
     f.delete(stagingRoot, true)
     staged.toSeq
+  }
+
+  /** Per-file min/max from the parquet FOOTER (already written by the
+    * parquet writer — no data re-read), merged across row groups. A
+    * column whose stats any row group lacks is omitted — the file is
+    * then never pruned on that column (conservative). Supported: int32/
+    * int64 -> long, float/double -> double, UTF-8 binary -> string.
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, cols: Set[String]): Map[String, ColStat] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map[String, ColStat]()
+      val bad = scala.collection.mutable.Set[String]()
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (cols.contains(name) && !bad.contains(name)) {
+            val st = c.getStatistics
+            val tname = c.getPrimitiveType.getPrimitiveTypeName.toString
+            val tpe = tname match {
+              case "INT32" | "INT64" => "long"
+              case "FLOAT" | "DOUBLE" => "double"
+              case "BINARY" => "string"
+              case _ => null
+            }
+            if (st == null || !st.hasNonNullValue || tpe == null) bad += name
+            else {
+              val (mn, mx) = tpe match {
+                case "string" =>
+                  (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
+              }
+              acc.get(name) match {
+                case None => acc(name) = ColStat(tpe, mn, mx)
+                case Some(prev) =>
+                  acc(name) = ColStat(tpe,
+                    if (statLt(tpe, mn, prev.min)) mn else prev.min,
+                    if (statLt(tpe, prev.max, mx)) mx else prev.max)
+              }
+            }
+          }
+        }
+      }
+      bad.foreach(acc.remove)
+      acc.toMap
+    } finally reader.close()
+  }
+
+  private def statLt(tpe: String, a: String, b: String): Boolean = tpe match {
+    case "long" => a.toLong < b.toLong
+    case "double" => a.toDouble < b.toDouble
+    case _ => a < b
+  }
+
+  /** FILE-LEVEL DATA SKIPPING (the Delta/Iceberg statistics read path):
+    * read `table` keeping only files whose logged [min, max] for `column`
+    * intersects [lo, hi] — files a 100 TB scan never opens, touches, or
+    * even lists into the Spark job. Files without logged stats for the
+    * column are always kept (conservative), and the exact predicate is
+    * re-applied on the surviving rows, so results equal the unpruned
+    * read + filter regardless of stats coverage. This composes with —
+    * and reaches where it can't — partition pruning: it skips by VALUE
+    * RANGES inside a partition, no directory layout required.
+    */
+  def readWhereBetween(spark: SparkSession, warehouse: String, table: String,
+      column: String, lo: Any, hi: Any,
+      atVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, warehouse, atVersion)
+    val kept = snap.files(table).collect {
+      case (rel, _) if snap.statsOf(table, rel).get(column).forall { cs =>
+        !statLt(cs.tpe, String.valueOf(hi), cs.min) &&
+          !statLt(cs.tpe, cs.max, String.valueOf(lo))
+      } => s"$warehouse/$table/$rel"
+    }
+    if (kept.isEmpty)
+      return read(spark, warehouse, table, atVersion)
+        .filter(col(column).between(lit(lo), lit(hi))).limit(0)
+    spark.read.option("basePath", s"$warehouse/$table").parquet(kept: _*)
+      .filter(col(column).between(lit(lo), lit(hi)))
   }
 
   /** Rewrite `table` down to `view(currentData)` in ONE commit: add the
@@ -269,13 +411,14 @@ object TxLog {
     * separate — run [[vacuum]] after in-flight readers drain.
     */
   def compact(spark: SparkSession, warehouse: String, table: String,
-      partitionBy: Seq[String], view: DataFrame => DataFrame = identity): Long = {
+      partitionBy: Seq[String], view: DataFrame => DataFrame = identity,
+      statsCols: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, warehouse)
     val old = snap.files(table)
     require(old.nonEmpty, s"txlog: nothing to compact for $table")
     val data = view(read(spark, warehouse, table))
     val adds = stageWrite(data, warehouse, table, partitionBy,
-      generation = snap.maxGeneration(table))
+      generation = snap.maxGeneration(table), statsCols = statsCols)
     val v = commit(spark, warehouse, adds, old.map { case (rel, _) => Remove(table, rel) })
     spark.catalog.refreshByPath(s"$warehouse/$table")
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()

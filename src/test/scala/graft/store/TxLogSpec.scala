@@ -99,6 +99,41 @@ class TxLogSpec extends AnyFunSuite {
       fs.exists(new org.apache.hadoop.fs.Path(s"$wh/t/$rel")) }) // ...files don't
   }
 
+  test("file-level data skipping: logged min/max prunes files a range read never opens") {
+    val wh = freshWh()
+    // three commits with disjoint id ranges -> three file sets whose
+    // footer stats the log records at commit time
+    for ((lo, gen) <- Seq((0L, 1L), (100L, 2L), (200L, 3L))) {
+      val adds = TxLog.stageWrite(
+        (lo until lo + 50L).map(i => (i, s"c${i % 2}", gen)).toDF("id", "container_id", "generation")
+          .coalesce(1),
+        wh, "chunks", Seq("container_id"), gen, statsCols = Seq("id"))
+      assert(adds.forall(_.stats.contains("id")), adds.map(_.stats).mkString(","))
+      TxLog.commit(spark, wh, adds)
+    }
+    val snap = TxLog.snapshot(spark, wh)
+    assert(snap.files("chunks").size == 6) // 2 partition dirs x 3 commits
+    // stats round-tripped through the log as long-typed bounds
+    val st = snap.statsOf("chunks", snap.files("chunks").head._1)("id")
+    assert(st.tpe == "long")
+
+    // a range read inside the middle commit touches ONLY its files
+    val pruned = TxLog.readWhereBetween(spark, wh, "chunks", "id", 120L, 130L)
+    assert(pruned.inputFiles.length == 2, pruned.inputFiles.mkString(","))
+    assert(pruned.count() == 11)
+    // results equal the unpruned read + exact filter
+    val full = TxLog.read(spark, wh, "chunks")
+      .filter(org.apache.spark.sql.functions.col("id").between(120L, 130L))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      full.select("id").as[Long].collect().sorted.toSeq)
+    // out-of-range probe prunes everything but still answers (empty)
+    assert(TxLog.readWhereBetween(spark, wh, "chunks", "id", 900L, 999L).count() == 0)
+    // a column with no logged stats keeps every file (conservative)
+    val unstatted = TxLog.readWhereBetween(spark, wh, "chunks", "generation", 2L, 2L)
+    assert(unstatted.inputFiles.length == 6)
+    assert(unstatted.count() == 50)
+  }
+
   test("same-JVM concurrent committers all land, serialized to distinct versions") {
     val wh = freshWh()
     TxLog.commit(spark, wh, Nil) // version 0
