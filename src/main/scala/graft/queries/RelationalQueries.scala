@@ -672,6 +672,48 @@ object RelationalQueries {
                          ELSE (p.pts - c.cts) // 1000000000 END AS BIGINT) AS click_gap_s
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
         ORDER BY event_id"""),
-      doc = "as-of join via one keyed window (no theta join): latest click at-or-before each purchase")
+      doc = "as-of join via one keyed window (no theta join): latest click at-or-before each purchase"),
+
+    QueryDef(
+      "q114_zorder_key",
+      (s, d) => {
+        // Z-order (Morton) key computation — the layout primitive behind
+        // multi-column file skipping (store/Zorder + TxLog stats; the
+        // published Delta OPTIMIZE ZORDER design). The SAME bit-op SQL
+        // fragment runs on both engines, so DuckDB pins the interleave
+        // bit-for-bit; the in-query roundtrip flag (de-interleave both
+        // dims and compare to the masked inputs) must come back 1 on
+        // every row or the hash compare fails. Pure per-row arithmetic
+        // riding the scan — the layout decision this key feeds is
+        // exercised at the storage layer (ZorderSkipSpec: both columns
+        // of a z-laid table prune files; a linear sort prunes only one).
+        val bits = 16
+        val mask = (1L << bits) - 1
+        val x = s"(user_id & ${mask}L)"
+        val y = s"(event_id & ${mask}L)"
+        val z = graft.store.Zorder.zExpr(x, y, bits)
+        table(s, d, "events")
+          .withColumn("zval", expr(z))
+          .select(col("event_id"), col("user_id"), col("zval"),
+            ((expr(graft.store.Zorder.unzExpr("zval", 0, bits)) === expr(x)) &&
+              (expr(graft.store.Zorder.unzExpr("zval", 1, bits)) === expr(y)))
+              .cast("int").as("roundtrip_ok"))
+          .orderBy("event_id")
+      },
+      Some {
+        val bits = 16
+        val mask = (1L << bits) - 1
+        val x = s"(user_id & $mask)"
+        val y = s"(event_id & $mask)"
+        val z = graft.store.Zorder.zExpr(x, y, bits)
+        val ux = graft.store.Zorder.unzExpr("zval", 0, bits)
+        val uy = graft.store.Zorder.unzExpr("zval", 1, bits)
+        s"""
+        WITH zed AS (SELECT event_id, user_id, $z AS zval FROM events)
+        SELECT event_id, user_id, zval,
+               CASE WHEN $ux = $x AND $uy = $y THEN 1 ELSE 0 END AS roundtrip_ok
+        FROM zed ORDER BY event_id"""
+      },
+      doc = "Morton z-order key + in-query de-interleave roundtrip flag (multi-column skipping layout)")
   )
 }

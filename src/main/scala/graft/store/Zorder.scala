@@ -1,0 +1,57 @@
+package graft.store
+
+/** Z-order (Morton) interleaving for multi-column data skipping — the
+  * published Delta OPTIMIZE ZORDER / Iceberg sort-order design: laying
+  * files out by the bit-interleaved key makes file min/max ranges tight
+  * on EVERY interleaved column at once, so [[TxLog.readWhereBetween]]
+  * prunes on any of them (a linear sort gives one tight column and
+  * leaves the others spread across every file).
+  *
+  * The interleave is emitted as a plain SQL fragment over long bit-ops —
+  * identical text runs on Spark and DuckDB (both use `>>`/`<<`/`&` with
+  * the same semantics for non-negative longs), so the q114 oracle pins
+  * the math engine-independently; inside Spark it rides whole-stage
+  * codegen like any arithmetic, no UDF.
+  *
+  * At 100 TB: z-ordering is a one-time layout decision at write/compact
+  * time (`repartitionByRange` + `sortWithinPartitions` on the z-value);
+  * reads pay nothing — they just prune better. Bits per column bound the
+  * value domain (values are masked into range first), 2×21 bits fits a
+  * BIGINT with room to spare.
+  */
+object Zorder {
+
+  /** SQL fragment: interleave the low `bits` of two non-negative long
+    * exprs — x occupies even bit positions, y odd. Runs identically on
+    * Spark SQL and DuckDB. */
+  def zExpr(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, "bits per column must be 1..31")
+    (0 until bits).map { b =>
+      s"((((($x) >> $b) & 1) << ${2 * b}) + (((($y) >> $b) & 1) << ${2 * b + 1}))"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** SQL fragment: recover the even-position (dim 0) or odd-position
+    * (dim 1) component from a z-value. */
+  def unzExpr(z: String, dim: Int, bits: Int): String = {
+    require(dim == 0 || dim == 1)
+    (0 until bits).map { b =>
+      s"((((($z) >> ${2 * b + dim}) & 1) << $b))"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Lay `df` out for 2-D skipping: range-partition + sort by the
+    * z-value of (xCol, yCol), masked into `bits` bits each. Write the
+    * result through [[TxLog.stageWrite]] with `statsCols = Seq(xCol,
+    * yCol)` and both columns prune. */
+  def layout(df: org.apache.spark.sql.DataFrame, xCol: String, yCol: String,
+      bits: Int, nFiles: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val mask = (1L << bits) - 1
+    val z = zExpr(s"(($xCol) & ${mask}L)", s"(($yCol) & ${mask}L)", bits)
+    df.withColumn("_z", expr(z))
+      .repartitionByRange(nFiles, expr("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+}

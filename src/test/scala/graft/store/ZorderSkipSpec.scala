@@ -1,0 +1,91 @@
+package graft.store
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multi-column skipping claim, measured at the storage layer: a
+  * z-ordered layout gives TIGHT per-file [min, max] on BOTH interleaved
+  * columns, so `TxLog.readWhereBetween` prunes files probing either one;
+  * a linear sort keeps one column tight and spreads the other across
+  * every file. Results stay exactly equal to the unpruned read + filter
+  * either way (pruning is only ever about which files open).
+  */
+class ZorderSkipSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val nFiles = 16
+  private val n = 20000
+
+  /** Uniform 2-D grid data: a and b independent in [0, 1024). */
+  private def grid = {
+    def h(i: Long, salt: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L + salt
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 1023L
+    }
+    (0L until n).map(i => (i, h(i, 1), h(i, 2))).toDF("id", "a", "b")
+  }
+
+  private def writeLayout(layout: org.apache.spark.sql.DataFrame): String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val adds = TxLog.stageWrite(layout, wh, "t", Nil, generation = 0L,
+      statsCols = Seq("a", "b"))
+    TxLog.commit(spark, wh, adds)
+    assert(TxLog.snapshot(spark, wh).files("t").size == nFiles)
+    wh
+  }
+
+  test("z-order layout prunes on BOTH columns; linear sort only on its own") {
+    val linear = writeLayout(
+      grid.repartitionByRange(nFiles, $"a").sortWithinPartitions("a"))
+    val zed = writeLayout(Zorder.layout(grid, "a", "b", bits = 10, nFiles = nFiles))
+
+    def filesTouched(wh: String, col: String): Int =
+      TxLog.readWhereBetween(spark, wh, "t", col, 100L, 160L).inputFiles.length
+
+    // the linear-by-a layout: tight on a, blind on b
+    assert(filesTouched(linear, "a") <= 3,
+      s"linear layout should prune its own sort column, got ${filesTouched(linear, "a")}")
+    assert(filesTouched(linear, "b") == nFiles,
+      "a linear sort cannot prune the other column")
+    // the z layout prunes BOTH well below the full file count
+    val za = filesTouched(zed, "a")
+    val zb = filesTouched(zed, "b")
+    assert(za <= nFiles / 2, s"z layout a-probe touched $za of $nFiles files")
+    assert(zb <= nFiles / 2, s"z layout b-probe touched $zb of $nFiles files")
+
+    // pruning never changes results: both layouts equal the exact filter
+    for (wh <- Seq(linear, zed); c <- Seq("a", "b")) {
+      val pruned = TxLog.readWhereBetween(spark, wh, "t", c, 100L, 160L)
+        .select("id").as[Long].collect().sorted.toSeq
+      val full = TxLog.read(spark, wh, "t")
+        .filter(org.apache.spark.sql.functions.col(c).between(100L, 160L))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(pruned == full, s"pruned read diverged for $wh/$c")
+    }
+  }
+
+  test("zExpr/unzExpr roundtrip and ordering are the textbook Morton curve") {
+    // tiny exhaustive check: 6-bit interleave of all 64x64 points
+    val df = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))
+      .toDF("x", "y")
+      .selectExpr("x", "y", s"${Zorder.zExpr("x", "y", 6)} AS z")
+      .selectExpr("x", "y", "z",
+        s"${Zorder.unzExpr("z", 0, 6)} AS x2", s"${Zorder.unzExpr("z", 1, 6)} AS y2")
+    val rows = df.collect()
+    assert(rows.length == 64 * 64)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(1))
+    }
+    // z-values are a bijection onto [0, 4096)
+    assert(rows.map(_.getLong(2)).toSet == (0L until 4096L).toSet)
+    // known anchors of the Morton curve
+    val zOf = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zOf((0L, 0L)) == 0L)
+    assert(zOf((1L, 0L)) == 1L)
+    assert(zOf((0L, 1L)) == 2L)
+    assert(zOf((1L, 1L)) == 3L)
+    assert(zOf((2L, 0L)) == 4L)
+  }
+}
