@@ -114,7 +114,8 @@ object TxLog {
   final case class ColStat(tpe: String, min: String, max: String)
 
   final case class Add(table: String, relPath: String, generation: Long,
-      stats: Map[String, ColStat] = Map.empty)
+      stats: Map[String, ColStat] = Map.empty,
+      blooms: Map[String, String] = Map.empty) // col -> base64 sketch
   final case class Remove(table: String, relPath: String)
 
   /** Pluggable commit-claim store (see [[LogStore]]); tests and S3-class
@@ -123,13 +124,16 @@ object TxLog {
   @volatile var store: LogStore = HadoopLogStore
 
   final case class Snapshot(version: Long, live: Map[String, Seq[(String, Long)]],
-      stats: Map[(String, String), Map[String, ColStat]] = Map.empty) {
+      stats: Map[(String, String), Map[String, ColStat]] = Map.empty,
+      blooms: Map[(String, String), Map[String, String]] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
       files(table).map(_._2).foldLeft(-1L)(math.max)
     def statsOf(table: String, rel: String): Map[String, ColStat] =
       stats.getOrElse((table, rel), Map.empty)
+    def bloomsOf(table: String, rel: String): Map[String, String] =
+      blooms.getOrElse((table, rel), Map.empty)
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -177,6 +181,9 @@ object TxLog {
       body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n"
       a.stats.toSeq.sortBy(_._1).foreach { case (c, st) =>
         body ++= s"stat\t${a.table}\t${a.relPath}\t${esc(c)}\t${st.tpe}\t${esc(st.min)}\t${esc(st.max)}\n"
+      }
+      a.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) =>
+        body ++= s"bloom\t${a.table}\t${a.relPath}\t${esc(c)}\t$b64\n"
       }
     }
     removes.foreach(r => body ++= s"remove\t${r.table}\t${r.relPath}\n")
@@ -229,6 +236,8 @@ object TxLog {
     val live = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
     val fileStats =
       scala.collection.mutable.LinkedHashMap[(String, String), Map[String, ColStat]]()
+    val fileBlooms =
+      scala.collection.mutable.LinkedHashMap[(String, String), Map[String, String]]()
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
@@ -244,8 +253,12 @@ object TxLog {
           case Array("stat", table, rel, c, tpe, mn, mx) =>
             fileStats((table, rel)) = fileStats.getOrElse((table, rel), Map.empty) +
               (unesc(c) -> ColStat(tpe, unesc(mn), unesc(mx)))
+          case Array("bloom", table, rel, c, b64) =>
+            fileBlooms((table, rel)) = fileBlooms.getOrElse((table, rel), Map.empty) +
+              (unesc(c) -> b64)
           case Array("remove", table, rel) =>
             live.remove((table, rel)); fileStats.remove((table, rel))
+            fileBlooms.remove((table, rel))
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -253,7 +266,7 @@ object TxLog {
     }
     Snapshot(version, live.toSeq.groupBy(_._1._1)
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
-      fileStats.toMap)
+      fileStats.toMap, fileBlooms.toMap)
   }
 
   /** Read one table at the log's current snapshot. Falls back to a plain
@@ -285,7 +298,8 @@ object TxLog {
     */
   def stageWrite(df: DataFrame, warehouse: String, table: String,
       partitionBy: Seq[String], generation: Long,
-      statsCols: Seq[String] = Nil): Seq[Add] = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Seq[Add] = {
     val spark = df.sparkSession
     val f = fs(spark, warehouse)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -310,9 +324,26 @@ object TxLog {
         val stats =
           if (statsCols.isEmpty) Map.empty[String, ColStat]
           else footerStats(conf, st.getPath, statsCols.toSet)
+        // per-file Bloom sketches (equality skipping where min/max is
+        // weak — high-cardinality string keys): one column-pruned scan of
+        // the staged file per column. Pay this on compaction / batch
+        // index builds, not hot streaming appends (the stat path is free;
+        // this one reads the column back).
+        val blooms =
+          if (bloomCols.isEmpty) Map.empty[String, String]
+          else {
+            val fileDf = spark.read.parquet(st.getPath.toString)
+            val rows = math.max(1L, rowCount(conf, st.getPath))
+            bloomCols.filter(fileDf.columns.contains).map { c =>
+              val bf = fileDf.na.drop(Seq(c)).stat.bloomFilter(c, rows, 0.01)
+              val bos = new java.io.ByteArrayOutputStream()
+              bf.writeTo(bos)
+              c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+            }.toMap
+          }
         if (!f.rename(st.getPath, dst))
           sys.error(s"txlog: staging rename failed: ${st.getPath} -> $dst")
-        staged += Add(table, rel, generation, stats)
+        staged += Add(table, rel, generation, stats, blooms)
       }
     }
     walk(stagingRoot)
@@ -374,6 +405,50 @@ object TxLog {
     case "long" => a.toLong < b.toLong
     case "double" => a.toDouble < b.toDouble
     case _ => a < b
+  }
+
+  private def rowCount(conf: org.apache.hadoop.conf.Configuration, file: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  /** Equality-probe read with BOTH skipping tiers: range stats (equality
+    * must fall inside [min, max]) and the per-file Bloom sketch (no
+    * false negatives, so a negative answer safely drops the file; ~1%
+    * false positives only cost an extra file open). Files lacking either
+    * structure for the column are kept, and the exact predicate is
+    * re-applied — results always equal the unpruned read + filter. This
+    * is the lookup shape min/max cannot serve: high-cardinality string
+    * keys whose per-file ranges all overlap (document ids, URL hashes).
+    */
+  def readWhereEquals(spark: SparkSession, warehouse: String, table: String,
+      column: String, value: Any,
+      atVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, warehouse, atVersion)
+    val v = String.valueOf(value)
+    val kept = snap.files(table).collect {
+      case (rel, _) if {
+        val rangeOk = snap.statsOf(table, rel).get(column).forall { cs =>
+          !statLt(cs.tpe, v, cs.min) && !statLt(cs.tpe, cs.max, v)
+        }
+        lazy val bloomOk = snap.bloomsOf(table, rel).get(column).forall { b64 =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64)))
+            .mightContain(value)
+        }
+        rangeOk && bloomOk
+      } => s"$warehouse/$table/$rel"
+    }
+    if (kept.isEmpty)
+      return read(spark, warehouse, table, atVersion)
+        .filter(col(column) === lit(value)).limit(0)
+    spark.read.option("basePath", s"$warehouse/$table").parquet(kept: _*)
+      .filter(col(column) === lit(value))
   }
 
   /** FILE-LEVEL DATA SKIPPING (the Delta/Iceberg statistics read path):

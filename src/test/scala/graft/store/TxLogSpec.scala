@@ -134,6 +134,43 @@ class TxLogSpec extends AnyFunSuite {
     assert(unstatted.count() == 50)
   }
 
+  test("bloom skipping: equality probes prune files whose min/max ranges all overlap") {
+    val wh = freshWh()
+    // three files of INTERLEAVED string keys: every file spans the whole
+    // alphabet (doc-000.. to doc-299..), so [min, max] pruning keeps all
+    // of them — exactly the high-cardinality-key case blooms exist for
+    for (fileNo <- 0 until 3) {
+      val adds = TxLog.stageWrite(
+        (0 until 100).map { i => (f"doc-${i * 3 + fileNo}%03d", fileNo.toLong) }
+          .toDF("name", "file_no").coalesce(1),
+        wh, "t", Nil, generation = fileNo.toLong,
+        statsCols = Seq("name"), bloomCols = Seq("name"))
+      assert(adds.head.blooms.contains("name"))
+      TxLog.commit(spark, wh, adds)
+    }
+    // range stats alone cannot prune: the probe is inside every file's span
+    val probe = "doc-155" // lives in file 155 % 3 == 2 only
+    val snap = TxLog.snapshot(spark, wh)
+    assert(snap.files("t").forall { case (rel, _) =>
+      val cs = snap.statsOf("t", rel)("name")
+      cs.min <= probe && probe <= cs.max
+    }, "fixture broken: ranges should all cover the probe")
+    // the bloom tier prunes to the single owning file (deterministic:
+    // fixed contents + fixed probe -> fixed sketch answers)
+    val pruned = TxLog.readWhereEquals(spark, wh, "t", "name", probe)
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.mkString(","))
+    assert(pruned.select("file_no").as[Long].collect().toSeq == Seq(2L))
+    // absent key: no false negatives means correctness holds regardless
+    // of which files survive; here none do
+    val absent = TxLog.readWhereEquals(spark, wh, "t", "name", "doc-999")
+    assert(absent.count() == 0)
+    // results equal the unpruned read + exact filter
+    val full = TxLog.read(spark, wh, "t")
+      .filter(org.apache.spark.sql.functions.col("name") === probe)
+    assert(pruned.collect().map(_.toString).sorted.toSeq ==
+      full.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("same-JVM concurrent committers all land, serialized to distinct versions") {
     val wh = freshWh()
     TxLog.commit(spark, wh, Nil) // version 0
