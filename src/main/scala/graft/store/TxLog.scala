@@ -487,13 +487,14 @@ object TxLog {
     */
   def compact(spark: SparkSession, warehouse: String, table: String,
       partitionBy: Seq[String], view: DataFrame => DataFrame = identity,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, warehouse)
     val old = snap.files(table)
     require(old.nonEmpty, s"txlog: nothing to compact for $table")
     val data = view(read(spark, warehouse, table))
     val adds = stageWrite(data, warehouse, table, partitionBy,
-      generation = snap.maxGeneration(table), statsCols = statsCols)
+      generation = snap.maxGeneration(table), statsCols = statsCols,
+      bloomCols = bloomCols)
     val v = commit(spark, warehouse, adds, old.map { case (rel, _) => Remove(table, rel) })
     spark.catalog.refreshByPath(s"$warehouse/$table")
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()

@@ -190,7 +190,17 @@ object StreamingIngest {
     val slash = path.lastIndexOf('/')
     val (warehouse, tableName) = (path.take(slash), path.drop(slash + 1))
     if (graft.store.TxLog.exists(spark, warehouse)) {
-      graft.store.TxLog.compact(spark, warehouse, tableName, partCols, latest)
+      // compaction is the right moment to harvest skipping structures
+      // (the bloom pass re-reads its column — free-ish here, never on
+      // the hot append path): document_id gets range stats + a Bloom
+      // sketch, so post-compaction point lookups (reindex delta checks,
+      // CRUD reads) prune to the owning files
+      val skipCols =
+        if (spark.read.parquet(path).columns.contains("document_id"))
+          Seq("document_id")
+        else Nil
+      graft.store.TxLog.compact(spark, warehouse, tableName, partCols, latest,
+        statsCols = skipCols, bloomCols = skipCols)
       graft.store.TxLog.vacuum(spark, warehouse, retentionMs)
       ()
     } else {

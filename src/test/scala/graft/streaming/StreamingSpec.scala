@@ -68,6 +68,19 @@ class StreamingSpec extends AnyFunSuite {
     StreamingIngest.compact(spark, s"$wh/chunks", Seq("container_id"))
     val compacted = spark.read.parquet(s"$wh/chunks")
     assert(compacted.count() == latestCount)
+
+    // compaction harvested skipping structures for document_id: a point
+    // lookup prunes through BOTH tiers (range stats + bloom) and equals
+    // the plain filtered read
+    val snap = graft.store.TxLog.snapshot(spark, wh)
+    assert(snap.files("chunks").nonEmpty)
+    assert(snap.files("chunks").forall { case (rel, _) =>
+      snap.statsOf("chunks", rel).contains("document_id") &&
+        snap.bloomsOf("chunks", rel).contains("document_id")
+    }, "compaction must log document_id stats + blooms")
+    val viaSkip = graft.store.TxLog.readWhereEquals(
+      spark, wh, "chunks", "document_id", "d2")
+    assert(viaSkip.count() == d2count)
   }
 
   test("windowed stream aggregation with watermark matches the batch twin (q58)") {
