@@ -326,7 +326,8 @@ object HybridSearch {
       parts: org.apache.spark.rdd.RDD[HnswPart],
       nParts: Int,
       nProbes: Int,
-      ef: Int) {
+      ef: Int,
+      m: Int = 16) {
     def partitionOf(listId: Int): Int =
       ((listId.hashCode % nParts) + nParts) % nParts
   }
@@ -444,10 +445,104 @@ object HybridSearch {
           graphParts,
           ivf.map(_.nParts).getOrElse(partitions),
           ivf.map(_.nProbes).getOrElse(1),
-          hnswEf))
+          hnswEf,
+          hnswM))
       }
     Index(chunksC, denormC,
       serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw)))
+  }
+
+  /** Absorb a micro-batch of new chunks/vectors into a serving cache
+    * WITHOUT a full rebuild — the streaming-upsert path for a long-lived
+    * serving tier. Every layout the cache holds is extended in place:
+    *   - flat row caches: union + re-materialize (O(batch) new blocks);
+    *   - IVF cells: each new vector routes to its cell under the EXISTING
+    *     centroids ([[graft.ann.Ivf.assignTo]] — the batch assignment's
+    *     scalar twin) and appends to that cell's partition;
+    *   - HNSW graphs: each probed cell's graph grows by the paper's
+    *     incremental insertion ([[graft.ann.Hnsw.insertAll]], O(batch·ef·m)),
+    *     never a rebuild.
+    * Centroids themselves are NOT refit — cells drift as the corpus
+    * grows, which only erodes recall, never scores (exact re-scoring);
+    * a periodic `servingIndex` rebuild is the refresh, exactly pgvector's
+    * reindex guidance. The returned Index owns newly-persisted RDDs; the
+    * caller should `unpersist()` the old cache when in-flight queries
+    * drain. The columnar `chunks`/`vectors` frames remain the build-time
+    * snapshot (the serving legs never read them).
+    */
+  def upsertServing(index: Index, newChunks: DataFrame, newVectors: DataFrame): Index = {
+    import org.apache.spark.storage.StorageLevel
+    val cache = index.serving.getOrElse(
+      return servingIndex(newChunks, newVectors))
+    val spark = newChunks.sparkSession
+    import spark.implicits._
+    val hydration = Seq("path", "document_id", "content", "metadata")
+      .filterNot(newVectors.columns.contains)
+    val denorm =
+      if (hydration.isEmpty) newVectors
+      else newVectors.join(
+        newChunks.select((Seq("chunk_id") ++ hydration).map(col): _*), Seq("chunk_id"))
+    val newVecRows = denorm
+      .select($"chunk_id", $"document_id", $"container_id", $"path",
+        $"content", $"metadata", $"model_id", $"embedding")
+      .as[ServingVecRow].rdd
+    val newTokRows = newChunks
+      .select($"chunk_id", $"document_id", $"container_id", $"path",
+        $"content", $"metadata", $"tokens_simple", $"tokens_english")
+      .as[ServingTokRow].rdd
+    val vecRows2 = cache.vecRows.union(newVecRows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokRows2 = cache.tokRows.union(newTokRows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vecRows2.count(); tokRows2.count()
+
+    // route new rows once; both the IVF cells and the cell-aligned HNSW
+    // graphs consume the same cell-partitioned RDD
+    def routed(centroids: Array[(Int, Array[Float])], nParts: Int) =
+      newVecRows
+        .map(r => (graft.ann.Ivf.assignTo(centroids, r.embedding), r))
+        .partitionBy(new org.apache.spark.HashPartitioner(nParts))
+        .values
+
+    val ivf2 = cache.ivf.map { iv =>
+      val merged = iv.rows
+        .zipPartitions(routed(iv.centroids, iv.nParts), preservesPartitioning = true)(
+          (a, b) => a ++ b)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      merged.count()
+      iv.copy(rows = merged)
+    }
+    val hnsw2 = cache.hnsw.map { hs =>
+      val newByPart =
+        if (hs.centroids.nonEmpty) routed(hs.centroids, hs.nParts)
+        else newVecRows
+          .map(r => (r.chunk_id.hashCode, r))
+          .partitionBy(new org.apache.spark.HashPartitioner(hs.nParts))
+          .values
+      val hm = hs.m
+      val grown = hs.parts.zipPartitions(newByPart, preservesPartitioning = true) {
+        (git, rit) =>
+          val rows = rit.toArray.sortBy(_.chunk_id)
+          val existing = git.toSeq
+          (existing, rows) match {
+            case (Seq(p), rs) if rs.nonEmpty =>
+              val all = p.rows ++ rs
+              val g2 = graft.ann.Hnsw.insertAll(p.graph,
+                rs.indices.map(i => ((p.rows.length + i).toLong, rs(i).embedding)),
+                m = hm)
+              Iterator.single(HnswPart(g2, all))
+            case (Seq(p), _) => Iterator.single(p)
+            case (Seq(), rs) if rs.nonEmpty =>
+              Iterator.single(HnswPart(
+                graft.ann.Hnsw.build(
+                  rs.indices.map(i => (i.toLong, rs(i).embedding)), m = hm), rs))
+            case _ => Iterator.empty
+          }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      grown.count()
+      hs.copy(parts = grown)
+    }
+    index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2)))
   }
 
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {

@@ -334,6 +334,51 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("upsertServing absorbs a micro-batch into every cache layout without rebuild") {
+    // a second warehouse supplies the new docs through the SAME build path
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-wh2").toString
+    val newDocs = Seq(
+      IndexBuild.RawDoc("doc-late", "c1", "/docs/guide/quokka.txt", "quokka.txt",
+        "The quokka sentinel paragraph talks about chunk overlap too. " +
+          "Late-arriving documents must be searchable without an index rebuild."))
+      .toDS()
+    IndexBuild.build(spark, newDocs, wh2,
+      cfg = ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      embedder = embedder)
+    val late = IndexBuild.loadIndex(spark, wh2)
+
+    // full-stack cache: flat rows + IVF cells + cell-aligned HNSW graphs,
+    // exhaustive regime so results are provably exact
+    val serving = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 4, hnswM = 8, hnswEf = 100000)
+    val updated = HybridSearch.upsertServing(serving, late.chunks, late.vectors)
+
+    // ground truth: a brute serving index over the UNION of both corpora
+    val union = HybridSearch.servingIndex(
+      index.chunks.unionByName(late.chunks),
+      index.vectors.unionByName(late.vectors))
+    val requests = Seq(
+      SearchRequest("quokka sentinel", "c1", topK = 5),
+      SearchRequest("chunk overlap settings", "c1", topK = 5),
+      SearchRequest("quokka rebuild", "c1", mode = "semantic", topK = 3),
+      SearchRequest("searchable", "c1", mode = "keyword", topK = 5))
+    requests.foreach { req =>
+      val viaUpserted = HybridSearch.search(updated, req, embedder)
+      val viaRebuilt = HybridSearch.search(union, req, embedder)
+      assert(viaUpserted.map(h => (h.chunk_id, h.score)) ==
+        viaRebuilt.map(h => (h.chunk_id, h.score)),
+        s"upserted cache diverged from rebuilt for $req")
+    }
+    // the new doc is actually the winner for its own phrase
+    assert(HybridSearch.search(updated,
+      SearchRequest("quokka sentinel", "c1", topK = 3), embedder)
+      .head.document_id == "doc-late")
+    Seq(serving, updated, union).foreach { s =>
+      s.chunks.unpersist(); s.vectors.unpersist()
+      s.serving.foreach(_.unpersist())
+    }
+  }
+
   test("hybrid search finds the overlap doc inside the container") {
     val hits = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)
