@@ -637,6 +637,81 @@ object DedupQueries {
         FROM (SELECT doc_id, unnest(${toksDuck("text")}) AS tok FROM documents)
         GROUP BY tok HAVING count(*) >= 50
         ORDER BY tok"""),
-      doc = "token frequencies via the salted two-phase aggregate: hot stopword keys spread over 16 buckets")
+      doc = "token frequencies via the salted two-phase aggregate: hot stopword keys spread over 16 buckets"),
+
+    QueryDef(
+      "q115_dup_spans",
+      (s, d) => {
+        // Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+        // Training Data Makes Language Models Better"): find every MAXIMAL
+        // token span covered by a 6-gram that repeats ANYWHERE in the
+        // corpus — across documents OR within one (q72/q76 only see
+        // cross-document grams; suffix-style dedup also kills the
+        // within-doc copy-paste loops that LMs memorize). The suffix-array
+        // the paper builds is a single-machine structure; the
+        // shuffle-native equivalent is: gram occurrence table (map-side
+        // explode) -> count>=2 keyed aggregate -> left-semi join back
+        // (linear in corpus, never in pairs: positions attach to their
+        // gram's verdict, the grams themselves are never paired) -> ONE
+        // window per doc_id merging overlapping [i, i+5] intervals into
+        // maximal spans (gaps-and-islands; starts are sorted ascending so
+        // interval ends are too, and lag(i)+k is the running coverage
+        // frontier). Hot boilerplate grams cost one combiner-friendly
+        // count, not a hot join build side. Output is the span INVENTORY
+        // (start/end/width per doc) — the rewrite consuming it is q76's
+        // reassembly shape.
+        val k = 6
+        val grams = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= k)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', " +
+              (0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ") +
+              "))")).as(Seq("p", "gram")))
+          .select(col("doc_id"), (col("p") + 1).as("i"), xxhash64(col("gram")).as("gh"))
+          .persist()
+        val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("gh")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        val spans = grams.join(dup, Seq("gh"), "left_semi")
+          .select("doc_id", "i")
+          .withColumn("newi",
+            when(col("i") > lag("i", 1).over(w) + k, 1)
+              .when(lag("i", 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("island",
+            sum("newi").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "island")
+          .agg(min("i").cast("long").as("span_start"),
+            (max("i") + k - 1).cast("long").as("span_end"))
+        Catalog.materializeAndRelease(spans
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"))
+          .orderBy("doc_id", "span_start"), grams)
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${toksDuck("text")} t FROM documents),
+             g AS (SELECT doc_id, i,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] AS gram
+                   FROM toks, unnest(range(1, len(t) - 4)) AS u(i)
+                   WHERE len(t) >= 6),
+             dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             starts AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+             isl AS (SELECT doc_id, i,
+                            CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                                  OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 6
+                                 THEN 1 ELSE 0 END AS newi
+                     FROM starts),
+             num AS (SELECT doc_id, i,
+                            sum(newi) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                     FROM isl)
+        SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) + 5 AS BIGINT) AS span_end,
+               CAST(max(i) + 5 - min(i) + 1 AS BIGINT) AS span_tokens
+        FROM num GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""),
+      doc = "span-level exact-substring dedup: maximal corpus-repeated 6-gram spans per document")
   )
 }
