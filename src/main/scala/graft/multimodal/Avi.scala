@@ -1,0 +1,162 @@
+package graft.multimodal
+
+/** RIFF AVI container codec for MJPEG video — the simplest real video
+  * format a crawl contains whose frames our own [[Jpeg]] codec can decode
+  * (every frame is an independent baseline JPEG; no inter-frame
+  * prediction). Written from the public AVI RIFF 1.0 layout (Microsoft
+  * "AVI RIFF File Reference"): RIFF('AVI ' LIST('hdrl' avih LIST('strl'
+  * strh strf)) LIST('movi' 00dc...) idx1). Same dependency-free
+  * chunk-walking idiom as the WAV parser ([[Multimodal.parseWav]]).
+  *
+  * Scale shape: a video is ONE binary cell riding the scan — parse,
+  * frame-sample, per-frame decode and hash are per-row scalar work, and
+  * the near-dup machinery downstream (band keys, exact recheck) is the
+  * image path's (q101/q106) keyed on (frame_idx, band, value). No
+  * pairwise work, no codec library in the container.
+  */
+object Avi {
+
+  /** Parsed MJPEG video: header geometry + the raw JPEG bytes of every
+    * frame in stream order. `microSecPerFrame` comes from avih (40000 =
+    * 25 fps); `frames` holds '00dc'/'00db' payloads verbatim, so a frame
+    * decodes with [[Jpeg.decodeLuma]] exactly as a standalone file would.
+    */
+  final case class Mjpeg(
+      width: Int, height: Int, microSecPerFrame: Int,
+      frames: Vector[Array[Byte]]) {
+    def durationMs: Long = frames.length.toLong * microSecPerFrame / 1000L
+  }
+
+  /** Evenly spaced frame indices for `n`-frame sampling (the training-data
+    * "frame sample" op): midpoints of `n` equal time slices, so sampling
+    * is stable under frame-count changes and never duplicates while
+    * n <= total. n >= total degenerates to all frames.
+    */
+  def sampleIndices(total: Int, n: Int): Seq[Int] =
+    if (total <= 0 || n <= 0) Seq.empty
+    else if (n >= total) 0 until total
+    else (0 until n).map(i => ((2 * i + 1) * total - 1) / (2 * n))
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xff).toLong | ((b(off + 1) & 0xff).toLong << 8) |
+      ((b(off + 2) & 0xff).toLong << 16) | ((b(off + 3) & 0xff).toLong << 24)
+
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Parse an AVI byte array into [[Mjpeg]]. Tolerates the common layout
+    * variants: 'rec ' grouping LISTs inside movi (frames one level down),
+    * a missing idx1 (index is advisory), and a truncated final chunk
+    * (dropped, like the WARC reader's mid-file tolerance). Frame chunks
+    * are `NNdc`/`NNdb` of stream 0; other streams (audio `NNwb`) skip.
+    */
+  def parse(b: Array[Byte]): Either[String, Mjpeg] = {
+    if (b.length < 24) return Left("short avi")
+    if (fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "AVI ")
+      return Left("not riff/avi")
+    var width = 0; var height = 0; var uspf = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    // walk one LIST body [off, end): returns unit, recursing into movi/rec
+    def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = fourCC(b, off)
+        val len = u32(b, off + 4).toInt
+        val body = off + 8
+        if (len < 0 || body + len > end) return // truncated tail: drop
+        if (id == "LIST" && len >= 4) {
+          val listType = fourCC(b, body)
+          walk(body + 4, body + len,
+            inMovi || listType == "movi" || listType == "rec ")
+        } else if (id == "avih" && len >= 40) {
+          uspf = u32(b, body).toInt
+          width = u32(b, body + 32).toInt
+          height = u32(b, body + 36).toInt
+        } else if (inMovi && id.length == 4 && id.startsWith("00") &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          frames += java.util.Arrays.copyOfRange(b, body, body + len)
+        }
+        off = body + len + (len & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    val fs = frames.result()
+    if (width <= 0 || height <= 0) Left("missing avih header")
+    else if (fs.isEmpty) Left("no video frames")
+    else Right(Mjpeg(width, height, uspf, fs))
+  }
+
+  /** Assemble an MJPEG AVI from per-frame JPEG bytes — fixture builder
+    * for specs and the q116 driver query (the write side of S5-style
+    * round-trip testing; also what a video EXPORT sink would emit).
+    * Emits the canonical single-stream layout incl. the idx1 index that
+    * seek-capable players expect.
+    */
+  def encodeMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int,
+      microSecPerFrame: Int = 40000): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val padded = frames.map(f => f.length + (f.length & 1))
+    val moviBody = padded.map(_ + 8).sum // each frame chunk: hdr + data
+    val maxFrame = frames.map(_.length).max
+    def bb(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // strl = strh(56) + strf(BITMAPINFOHEADER, 40)
+    val strl = bb(8 + 4 + 8 + 56 + 8 + 40)
+    strl.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56 + 8 + 40)
+      .put("strl".getBytes("US-ASCII"))
+      .put("strh".getBytes("US-ASCII")).putInt(56)
+      .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0) // flags
+      .putShort(0).putShort(0) // priority, language
+      .putInt(0) // initial frames
+      .putInt(microSecPerFrame).putInt(1000000) // scale/rate = fps
+      .putInt(0).putInt(frames.length) // start, length
+      .putInt(maxFrame) // suggested buffer
+      .putInt(-1).putInt(0) // quality, sample size
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    strl.put("strf".getBytes("US-ASCII")).putInt(40)
+      .putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+      .putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII"))
+      .putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrlLen = 4 + 8 + 56 + strl.capacity() // 'hdrl' + avih + strl
+    val idx1Len = frames.length * 16
+    val riffLen = 4 + 8 + hdrlLen + 8 + 4 + moviBody + 8 + idx1Len
+    val out = bb(8 + riffLen)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("AVI ".getBytes("US-ASCII"))
+    // hdrl
+    out.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+      .put("hdrl".getBytes("US-ASCII"))
+      .put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(microSecPerFrame)
+      .putInt((maxFrame.toLong * 1000000L / math.max(1, microSecPerFrame)).toInt)
+      .putInt(0) // padding granularity
+      .putInt(0x10) // AVIF_HASINDEX
+      .putInt(frames.length)
+      .putInt(0) // initial frames
+      .putInt(1) // streams
+      .putInt(maxFrame)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+      .put(strl.array())
+    // movi
+    out.put("LIST".getBytes("US-ASCII")).putInt(4 + moviBody)
+      .put("movi".getBytes("US-ASCII"))
+    val offsets = new Array[Int](frames.length)
+    var rel = 4 // chunk offsets in idx1 are relative to the 'movi' fourCC
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = rel
+      out.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) out.put(0.toByte)
+      rel += 8 + f.length + (f.length & 1)
+    }
+    // idx1: every frame a keyframe (MJPEG has no inter frames)
+    out.put("idx1".getBytes("US-ASCII")).putInt(idx1Len)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      out.put("00dc".getBytes("US-ASCII")).putInt(0x10) // AVIIF_KEYFRAME
+        .putInt(offsets(i)).putInt(f.length)
+    }
+    out.array()
+  }
+}

@@ -872,6 +872,80 @@ object PipelineQueries {
                  ELSE '/files/doc' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '.pdf' END AS path,
                CASE WHEN CAST(doc_id AS BIGINT) % 4 IN (0, 2) THEN 1 ELSE 0 END AS allowed
         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
-      doc = "RFC 9309 robots filtering of a crawl frontier; oracle predicts each verdict from construction")
+      doc = "RFC 9309 robots filtering of a crawl frontier; oracle predicts each verdict from construction"),
+
+    QueryDef(
+      "q116_video_neardup",
+      (s, d) => {
+        // VIDEO near-dup over real MJPEG-AVI bytes: each doc synthesizes a
+        // 6-frame video (frame j's scene class = (id%5 + 2j) % 8, under a
+        // doc-varying tone map + per-frame damage patch), JPEG-encodes
+        // every frame and wraps them in a RIFF AVI container
+        // (multimodal/Avi). The QUERY then does what a crawl pipeline
+        // does: parse the container, SAMPLE 4 of 6 frames
+        // (Avi.sampleIndices — decode cost at scale is per sampled frame,
+        // not per stored frame), dHash each sampled frame, and match
+        // videos frame-index-aligned through q101's band-key machinery —
+        // candidates only where a (frame, band, value) bucket collides,
+        // exact popcount recheck <= 5, then a videos-level vote: >= 3 of
+        // 4 sampled frames must match. Same-class videos share the scene
+        // sequence (tone/patch/JPEG noise must be survived); cross-class
+        // videos agree on NO frame index ((a+2j)%8 == (b+2j)%8 iff a==b
+        // for a,b < 5), so DuckDB predicts the exact pair set from doc_id
+        // arithmetic — container round-trip, frame sampling, T.81
+        // decode, hashing, banding and the vote must all EARN it. Scale
+        // shape: per-row scalar decode rides the scan; the shuffle keys
+        // on (frame, band, value) buckets; no pairwise work outside
+        // colliding buckets.
+        import s.implicits._
+        val frameRows = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 60)
+          .as[Long]
+          .flatMap { id =>
+            val cls = (id % 5).toInt
+            val contrast = 0.5 + (id % 7) * 0.08
+            val brightness = (id % 5) * 0.03
+            val frames = (0 until 6).map { j =>
+              val patch = (1 + ((id * 3 + j) % 7).toInt,
+                ((id * 5 + 2 * j) % 8).toInt, 6 + ((id + j) % 3).toInt * 4)
+              val luma = graft.multimodal.PerceptualHash.synthPatternLuma(
+                (cls + 2 * j) % 8, contrast, brightness, patch = Some(patch))
+              graft.multimodal.Jpeg.encodeGray(luma, 108, 96, quality = 88)
+            }
+            val avi = graft.multimodal.Avi.encodeMjpeg(frames, 108, 96)
+            val video = graft.multimodal.Avi.parse(avi)
+              .getOrElse(sys.error("unparseable synth avi"))
+            graft.multimodal.Avi.sampleIndices(video.frames.length, 4)
+              .flatMap { fi =>
+                val h = graft.multimodal.PerceptualHash
+                  .dHashJpeg(video.frames(fi))
+                  .getOrElse(sys.error("undecodable avi frame"))
+                graft.multimodal.PerceptualHash.bandKeys(h, bands = 8)
+                  .map { case (b, v) => (fi, b, v, id, h) }
+              }
+          }.toDF("frame", "band", "bval", "doc_id", "dhash")
+        frameRows.as("a").join(frameRows.as("b"),
+            col("a.frame") === col("b.frame") &&
+              col("a.band") === col("b.band") &&
+              col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.frame").as("frame"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+          .filter(expr("bit_count(ha ^ hb) <= 5"))
+          .groupBy("id_a", "id_b")
+          .agg(countDistinct("frame").as("n_frames"))
+          .filter(col("n_frames") >= 3)
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 60)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 5 = b.id % 5
+        ORDER BY id_a, id_b"""),
+      doc = "MJPEG-AVI video near-dup: container parse + frame sample + per-frame dHash + majority vote")
   )
 }

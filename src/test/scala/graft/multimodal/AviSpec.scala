@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AviSpec extends AnyFunSuite {
+
+  private def frame(cls: Int): Array[Byte] = {
+    val luma = PerceptualHash.synthPatternLuma(cls, 0.8, 0.05)
+    Jpeg.encodeGray(luma, 108, 96, quality = 88)
+  }
+
+  test("MJPEG round-trip: frames, geometry, and timing survive the container") {
+    val frames = (0 until 5).map(frame)
+    val avi = Avi.encodeMjpeg(frames, 108, 96, microSecPerFrame = 40000)
+    val v = Avi.parse(avi).fold(e => fail(s"parse failed: $e"), identity)
+    assert(v.width == 108 && v.height == 96)
+    assert(v.microSecPerFrame == 40000)
+    assert(v.frames.length == 5)
+    v.frames.zip(frames).foreach { case (got, exp) =>
+      assert(java.util.Arrays.equals(got, exp), "frame bytes must be verbatim")
+    }
+    assert(v.durationMs == 200L)
+    // every frame decodes standalone with our JPEG codec
+    v.frames.foreach(f => assert(Jpeg.decodeLuma(f).isRight))
+  }
+
+  test("odd-length frames are word-aligned without corrupting successors") {
+    // force odd payloads: append a trailing comment-free byte is invalid
+    // JPEG, so use raw odd-sized opaque chunks — the container layer is
+    // agnostic to payload contents
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7, 8))
+    val avi = Avi.encodeMjpeg(frames, 8, 8)
+    val v = Avi.parse(avi).fold(e => fail(s"parse failed: $e"), identity)
+    assert(v.frames.length == 2)
+    assert(v.frames(0).toSeq == Seq[Byte](1, 2, 3))
+    assert(v.frames(1).toSeq == Seq[Byte](4, 5, 6, 7, 8))
+  }
+
+  test("frames inside 'rec ' grouping LISTs are found") {
+    // hand-build: RIFF(AVI  LIST(hdrl avih) LIST(movi LIST(rec  00dc)))
+    val payload = Array[Byte](9, 9, 9, 9)
+    def bb(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val avih = bb(8 + 56)
+    avih.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(40000).putInt(0).putInt(0).putInt(0).putInt(1).putInt(0)
+      .putInt(1).putInt(0).putInt(16).putInt(8)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = bb(12 + avih.capacity())
+    hdrl.put("LIST".getBytes("US-ASCII")).putInt(4 + avih.capacity())
+      .put("hdrl".getBytes("US-ASCII")).put(avih.array())
+    val rec = bb(12 + 8 + payload.length)
+    rec.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + payload.length)
+      .put("rec ".getBytes("US-ASCII"))
+      .put("00dc".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    val movi = bb(12 + rec.capacity())
+    movi.put("LIST".getBytes("US-ASCII")).putInt(4 + rec.capacity())
+      .put("movi".getBytes("US-ASCII")).put(rec.array())
+    val body = hdrl.capacity() + movi.capacity()
+    val out = bb(12 + body)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put(hdrl.array()).put(movi.array())
+    val v = Avi.parse(out.array()).fold(e => fail(s"parse failed: $e"), identity)
+    assert(v.width == 16 && v.height == 8)
+    assert(v.frames.length == 1 && v.frames(0).toSeq == payload.toSeq)
+  }
+
+  test("truncated tail drops the partial chunk, keeps complete frames") {
+    val frames = Seq(Array[Byte](1, 2, 3, 4), Array[Byte](5, 6, 7, 8))
+    val avi = Avi.encodeMjpeg(frames, 8, 8)
+    // cut into the idx1 region: all frames still intact
+    val cut = java.util.Arrays.copyOf(avi, avi.length - 10)
+    val v = Avi.parse(cut).fold(e => fail(s"parse failed: $e"), identity)
+    assert(v.frames.length == 2)
+  }
+
+  test("non-avi bytes are a clean Left") {
+    assert(Avi.parse(Array[Byte](1, 2, 3)).isLeft)
+    assert(Avi.parse("RIFFxxxxWAVEdata".getBytes("US-ASCII")).isLeft)
+    val noFrames = Avi.encodeMjpeg(Seq(Array[Byte](1)), 8, 8)
+    assert(Avi.parse(noFrames).isRight) // sanity: builder output parses
+  }
+
+  test("sampleIndices: evenly spaced midpoints, degenerate cases") {
+    assert(Avi.sampleIndices(6, 4) == Seq(0, 2, 3, 5))
+    assert(Avi.sampleIndices(10, 2) == Seq(2, 7))
+    assert(Avi.sampleIndices(3, 5) == Seq(0, 1, 2)) // n >= total: all
+    assert(Avi.sampleIndices(0, 3).isEmpty)
+    assert(Avi.sampleIndices(5, 0).isEmpty)
+    // never duplicates while n <= total
+    for (total <- 1 to 30; n <- 1 to total) {
+      val s = Avi.sampleIndices(total, n)
+      assert(s.distinct.length == s.length, s"dup at total=$total n=$n")
+      assert(s.forall(i => i >= 0 && i < total))
+    }
+  }
+
+  test("same scene sequence under different tone maps: frame dHashes agree") {
+    // the q116 construction in miniature: two videos of the same class
+    // differ only in tone map; per-frame dHashes must be within 2 bits
+    def video(contrast: Double, bright: Double): Avi.Mjpeg = {
+      val fs = (0 until 4).map { j =>
+        val luma = PerceptualHash.synthPatternLuma((1 + 2 * j) % 8, contrast, bright)
+        Jpeg.encodeGray(luma, 108, 96, quality = 88)
+      }
+      Avi.parse(Avi.encodeMjpeg(fs, 108, 96)).toOption.get
+    }
+    val a = video(0.78, 0.02)
+    val b = video(0.62, 0.09)
+    a.frames.zip(b.frames).foreach { case (fa, fb) =>
+      val ha = PerceptualHash.dHashJpeg(fa).toOption.get
+      val hb = PerceptualHash.dHashJpeg(fb).toOption.get
+      assert(PerceptualHash.hamming(ha, hb) <= 2)
+    }
+  }
+}
