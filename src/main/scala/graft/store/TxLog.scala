@@ -230,6 +230,15 @@ object TxLog {
     out.toString
   }
 
+  private def readCommitText(f: FileSystem, warehouse: String, v: Long): String = {
+    val in = f.open(commitFile(warehouse, v))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   def snapshot(spark: SparkSession, warehouse: String,
       atVersion: Long = Long.MaxValue): Snapshot = {
     val f = fs(spark, warehouse)
@@ -241,12 +250,7 @@ object TxLog {
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
-      val in = f.open(commitFile(warehouse, v))
-      val text = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-        new String(bos.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
+      val text = readCommitText(f, warehouse, v)
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         line.split('\t') match {
           case Array("add", table, rel, gen) => live((table, rel)) = gen.toLong
@@ -287,6 +291,56 @@ object TxLog {
         messageParameters = Map("path" -> s"$warehouse/$table (txlog: no live files)"))
     // basePath keeps partition-directory columns (container_id=...) in play
     spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+  }
+
+  /** CHANGE DATA FEED (the published Delta `table_changes` read shape,
+    * realized file-level): rows appended to `table` by commits in
+    * (fromVersion, toVersion], stamped `_commit_version`. In this log a
+    * LOGICAL change is exactly an appended file — upserts are
+    * generation-stamped appends (readers resolve last-writer-wins), and a
+    * commit that also REMOVES files of the table is a rewrite
+    * (compaction): its adds carry no new data and are excluded from the
+    * feed. An incremental consumer checkpoints `snapshot(...).version`
+    * and reads forward — O(new data) per poll, never a table rescan, and
+    * the commit boundaries are the writers' own (a chunk+vector
+    * transaction surfaces in both feeds at the SAME version, so a
+    * downstream index never processes one table's half). Feed history
+    * obeys the vacuum retention window, like time travel: a change whose
+    * files a later compaction removed stays readable until vacuum
+    * reclaims them.
+    */
+  def readChanges(spark: SparkSession, warehouse: String, table: String,
+      fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(spark, warehouse)
+    val batches = listVersions(f, warehouse)
+      .filter(v => v > fromVersion && v <= toVersion)
+      .flatMap { v =>
+        val adds = scala.collection.mutable.ArrayBuffer[String]()
+        var rewrite = false
+        readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
+          line.split('\t') match {
+            case Array("add", t, rel, _) if t == table => adds += rel
+            case Array("remove", t, _) if t == table => rewrite = true
+            case _ => ()
+          }
+        }
+        if (rewrite || adds.isEmpty) None
+        else Some(v -> adds.toSeq.map(rel => s"$warehouse/$table/$rel"))
+      }
+    if (batches.isEmpty) {
+      val base =
+        try read(spark, warehouse, table, toVersion)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            return spark.emptyDataFrame.withColumn("_commit_version", lit(0L))
+        }
+      return base.limit(0).withColumn("_commit_version", lit(0L))
+    }
+    batches.map { case (v, files) =>
+      spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_))
   }
 
   /** Write `df` as new files of `table` and return the Add actions —

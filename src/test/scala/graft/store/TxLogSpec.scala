@@ -308,4 +308,50 @@ class TxLogSpec extends AnyFunSuite {
     assert(!TxLog.exists(spark, wh))
     assert(TxLog.read(spark, wh, "chunks").count() == 5)
   }
+
+  test("change feed: appended rows per commit, compaction rewrites excluded") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val v0 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 4L, 1), wh, "chunks", Seq("container_id"), 1))
+    val v1 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(5L to 9L, 2), wh, "chunks", Seq("container_id"), 2))
+    // full feed from the beginning: both appends, stamped with their version
+    val all = TxLog.readChanges(spark, wh, "chunks", fromVersion = -1L)
+    assert(all.count() == 10)
+    assert(all.filter(col("_commit_version") === v0).count() == 5)
+    assert(all.filter(col("_commit_version") === v1).count() == 5)
+    // incremental consumer: checkpoint v0, read forward -> exactly batch 2
+    val delta = TxLog.readChanges(spark, wh, "chunks", fromVersion = v0)
+    assert(delta.select("id").as[Long].collect().sorted.toSeq == (5L to 9L))
+    // compaction rewrites every row but changes nothing logically
+    TxLog.compact(spark, wh, "chunks", Seq("container_id"))
+    val afterCompact = TxLog.readChanges(spark, wh, "chunks", fromVersion = v1)
+    assert(afterCompact.count() == 0, "a rewrite commit must not re-feed rows")
+    // a post-compaction append feeds normally
+    val v3 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(Seq(100L), 3), wh, "chunks", Seq("container_id"), 3))
+    val tail = TxLog.readChanges(spark, wh, "chunks", fromVersion = v1)
+    assert(tail.select("id").as[Long].collect().toSeq == Seq(100L))
+    assert(tail.head().getAs[Long]("_commit_version") == v3)
+    // a bounded window replays history deterministically
+    assert(TxLog.readChanges(spark, wh, "chunks", fromVersion = -1L, toVersion = v0)
+      .count() == 5)
+  }
+
+  test("change feed: multi-table transaction surfaces at one version in both feeds") {
+    val wh = freshWh()
+    val adds = TxLog.stageWrite(df(0L to 2L, 1), wh, "chunks", Seq("container_id"), 1) ++
+      TxLog.stageWrite(df(0L to 2L, 1), wh, "vectors", Seq("container_id"), 1)
+    val v = TxLog.commit(spark, wh, adds)
+    val cv = TxLog.readChanges(spark, wh, "chunks", -1L)
+      .select("_commit_version").distinct().as[Long].collect().toSeq
+    val vv = TxLog.readChanges(spark, wh, "vectors", -1L)
+      .select("_commit_version").distinct().as[Long].collect().toSeq
+    assert(cv == Seq(v) && vv == Seq(v))
+    // empty feed keeps the schema and adds the version column
+    val empty = TxLog.readChanges(spark, wh, "chunks", fromVersion = v)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("_commit_version") && empty.columns.contains("id"))
+  }
 }
