@@ -714,6 +714,82 @@ object RelationalQueries {
                CASE WHEN $ux = $x AND $uy = $y THEN 1 ELSE 0 END AS roundtrip_ok
         FROM zed ORDER BY event_id"""
       },
-      doc = "Morton z-order key + in-query de-interleave roundtrip flag (multi-column skipping layout)")
+      doc = "Morton z-order key + in-query de-interleave roundtrip flag (multi-column skipping layout)"),
+
+    QueryDef(
+      "q117_cube_rollup",
+      (s, d) =>
+        // OLAP grouping sets: one pass computing every (source, lang)
+        // subtotal combination — CUBE expands each input row into its 4
+        // grouping sets map-side and ONE keyed aggregate does the rest
+        // (no self-union of 4 scans; Spark's Expand keeps it a single
+        // shuffle whose partial aggs combine per set). grouping() bits
+        // disambiguate a subtotal NULL from a genuine NULL value — the
+        // standard SQL contract, and the tie-break key that keeps the
+        // ordering total. At 100 TB this is the one-scan replacement for
+        // 4 separate rollup jobs over the same corpus.
+        table(s, d, "documents")
+          .cube(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(length(col("text"))), 4).as("avg_len"),
+            round(sum(length(col("text"))).cast("double") / 1024.0, 4).as("kb"),
+            (grouping(col("source")) * 2 + grouping(col("lang"))).cast("long").as("gid"))
+          .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first),
+      Some("""
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(length(text)), 4) AS avg_len,
+               round(CAST(sum(length(text)) AS DOUBLE) / 1024.0, 4) AS kb,
+               CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+        FROM documents
+        GROUP BY CUBE (source, lang)
+        ORDER BY gid, source ASC NULLS FIRST, lang ASC NULLS FIRST"""),
+      doc = "OLAP CUBE grouping sets: all subtotal combinations in one scan + one keyed aggregate"),
+
+    QueryDef(
+      "q118_quantiles",
+      (s, d) => {
+        // Distribution profiling: EXACT interpolated percentiles per key
+        // (Spark `percentile` == DuckDB `quantile_cont`, same
+        // rank = p*(n-1) linear interpolation) next to the SKETCH the
+        // 100 TB path uses — approx_percentile (KLL-style, bounded
+        // memory per task, mergeable across partitions; the exact form
+        // needs the full sorted group). The sketch's answer is verified
+        // IN-QUERY: each approx value must land inside the exact
+        // [p-0.02, p+0.02] quantile envelope (rank-error contract at
+        // accuracy 10000 is far tighter) — the flag rides the row and
+        // the DuckDB oracle pins it to 1, so a sketch regression fails
+        // the hash compare, not just a latency graph.
+        val ps = Seq(0.25, 0.5, 0.9, 0.99)
+        val pArr = ps.mkString("array(", ", ", ")")
+        val loArr = ps.map(p => math.max(0.0, p - 0.02)).mkString("array(", ", ", ")")
+        val hiArr = ps.map(p => math.min(1.0, p + 0.02)).mkString("array(", ", ", ")")
+        table(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            expr(s"percentile(value, $pArr)").as("exact"),
+            expr(s"approx_percentile(value, $pArr, 10000)").as("approx"),
+            expr(s"percentile(value, $loArr)").as("lo"),
+            expr(s"percentile(value, $hiArr)").as("hi"))
+          .select(col("event_type"), col("n"),
+            round(element_at(col("exact"), 1), 4).as("p25"),
+            round(element_at(col("exact"), 2), 4).as("p50"),
+            round(element_at(col("exact"), 3), 4).as("p90"),
+            round(element_at(col("exact"), 4), 4).as("p99"),
+            expr("CAST(forall(sequence(1, 4), i -> " +
+              "element_at(approx, i) >= element_at(lo, i) AND " +
+              "element_at(approx, i) <= element_at(hi, i)) AS INT)").cast("long")
+              .as("sketch_ok"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.90), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               CAST(1 AS BIGINT) AS sketch_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "exact per-key percentiles + approx_percentile sketch verified in-query against the exact envelope")
   )
 }

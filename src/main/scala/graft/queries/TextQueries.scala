@@ -737,6 +737,66 @@ object TextQueries {
                CASE WHEN raw = nfc_normalize(raw) THEN 0 ELSE 1 END AS changed,
                1 AS moji_fixed
         FROM raws ORDER BY doc_id"""),
-      doc = "NFC normalization (content-oracled vs DuckDB's nfc_normalize) + per-row mojibake-repair verdict")
+      doc = "NFC normalization (content-oracled vs DuckDB's nfc_normalize) + per-row mojibake-repair verdict"),
+
+    QueryDef(
+      "q119_bpe_merges",
+      (s, d) => {
+        // The BPE trainer's MERGE TABLE as a first-class output, with the
+        // strongest oracle the battery has for an iterative fit: DuckDB
+        // REPLAYS the whole training loop — 10 unrolled CTE iterations,
+        // each re-deriving the corpus pair counts, picking the same
+        // (count desc, left, right) argmax, and applying the merge with a
+        // left-to-right non-overlapping string replace (the double-space
+        // symbol encoding makes `replace` == BPE's greedy mergePair; both
+        // engines' replace() scans left to right past each replacement).
+        // q73 consumes the same trainer downstream under a golden oracle;
+        // this pins the LEARNING itself step by step, cross-engine, with
+        // zero frozen fixtures. Scale split is the trainer's documented
+        // one: corpus-sized word counting is one distributed groupBy; the
+        // merge loop is vocab-sized driver work.
+        import s.implicits._
+        val merges = graft.text.Bpe.learnWithCounts(
+          table(s, d, "documents").select("text").as[String],
+          numMerges = 10, maxVocabWords = Int.MaxValue)
+        merges.zipWithIndex.map { case ((l, r, c), i) =>
+          (i + 1, l, r, l + r, c)
+        }.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+          .orderBy("step")
+      },
+      Some(bpeReplayOracle(10)),
+      doc = "BPE vocabulary training oracled end-to-end: DuckDB replays all 10 merge iterations")
   )
+
+  /** Oracle generator for q119: unrolled BPE training replay. Words are
+    * encoded as double-space-joined symbol strings padded with double
+    * spaces ('  a  b  </w>  '), so `replace(w, ' a  b ', ' ab ')` is
+    * EXACTLY the greedy left-to-right non-overlapping pair merge: every
+    * occurrence keeps one boundary space on each side, consecutive
+    * matches can't share one, and the replacement restores the double
+    * spacing. Pair counting re-splits on '  ' each round. Eow ('</w>')
+    * contains no spaces, so it is just another symbol.
+    */
+  private def bpeReplayOracle(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+        WITH w0 AS (SELECT '  ' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '  ') || '  </w>  ' AS w,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM (SELECT unnest(${toksDuck("text")}) AS word FROM documents)
+                    GROUP BY word)"""
+    for (i <- 1 to steps) {
+      sb ++= s""",
+        p$i AS (SELECT s[j] AS l, s[j + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+                FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM w${i - 1}),
+                     unnest(range(1, len(s))) AS u(j)
+                GROUP BY 1, 2),
+        m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        w$i AS (SELECT replace(w, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS w, cnt
+                FROM w${i - 1}, m$i AS m)"""
+    }
+    sb ++= (1 to steps)
+      .map(i => s"SELECT $i AS step, l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_count FROM m$i")
+      .mkString("\n        SELECT * FROM (", " UNION ALL ", ")\n        ORDER BY step")
+    sb.toString
+  }
 }

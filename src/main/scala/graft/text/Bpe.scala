@@ -37,7 +37,17 @@ object Bpe {
   def learn(
       texts: Dataset[String],
       numMerges: Int,
-      maxVocabWords: Int = 100000): Vocab = {
+      maxVocabWords: Int = 100000): Vocab =
+    Vocab(learnWithCounts(texts, numMerges, maxVocabWords)
+      .map { case (a, b, _) => (a, b) })
+
+  /** [[learn]] keeping each winning pair's corpus count — the merge-table
+    * view vocabulary studies consume, and what the q119 DuckDB-replay
+    * oracle pins step by step. */
+  def learnWithCounts(
+      texts: Dataset[String],
+      numMerges: Int,
+      maxVocabWords: Int = 100000): Vector[(String, String, Long)] = {
     import texts.sparkSession.implicits._
     val wordCounts = texts.flatMap(pretokenize)
       .groupByKey(identity).count()
@@ -46,17 +56,22 @@ object Bpe {
       .orderBy($"count(1)".desc, $"key")
       .limit(maxVocabWords)
       .collect().map { case (w, c) => (w, c) }.toSeq
-    learnFromWordCounts(wordCounts, numMerges)
+    mergeLoop(wordCounts, numMerges)
   }
 
   /** The merge loop (driver-side, vocab-sized input). */
   def learnFromWordCounts(
       wordCounts: Seq[(String, Long)],
-      numMerges: Int): Vocab = {
+      numMerges: Int): Vocab =
+    Vocab(mergeLoop(wordCounts, numMerges).map { case (a, b, _) => (a, b) })
+
+  private def mergeLoop(
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int): Vector[(String, String, Long)] = {
     var words: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
       (w.map(_.toString).toArray :+ Eow, c)
     }.toArray
-    val merges = Vector.newBuilder[(String, String)]
+    val merges = Vector.newBuilder[(String, String, Long)]
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
@@ -75,13 +90,13 @@ object Bpe {
           pairCounts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
         if (cnt < 2) exhausted = true // only singletons left: stop
         else {
-          merges += ((a, b))
+          merges += ((a, b, cnt))
           words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
           k += 1
         }
       }
     }
-    Vocab(merges.result())
+    merges.result()
   }
 
   /** Replace every adjacent (a, b) with the merged symbol, left to right. */
