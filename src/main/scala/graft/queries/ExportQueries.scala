@@ -513,6 +513,52 @@ object ExportQueries {
                      sum(${polyDuck("sha256(text)")}) % ${Frag.P} AS partial
               FROM documents GROUP BY source, doc_id % 1024)
         GROUP BY source ORDER BY source"""),
-      doc = "per-source corpus manifest: commutative content-hash rollup for dataset versioning")
+      doc = "per-source corpus manifest: commutative content-hash rollup for dataset versioning"),
+
+    QueryDef(
+      "q120_weighted_sample",
+      (s, d) => {
+        // WEIGHTED sampling without replacement, per source: keep 20 docs
+        // where a doc's selection odds scale with its token mass — the
+        // corpus-subsampling op mixture tuning uses when "sample by
+        // documents" over-represents short docs. Efraimidis–Spirakis
+        // (2006): draw u ~ U(0,1) per item, rank by u^(1/w) descending,
+        // take the top k — provably equivalent to sequential weighted
+        // draws, but expressed as a PER-GROUP TOP-K: one keyed shuffle,
+        // embarrassingly parallel, where the textbook reservoir is a
+        // sequential scan. u comes from the engine-agnostic salted hash
+        // (replay-safe, no RNG); the E-S key is floored to 1e9 grid with
+        // a doc_id tie-break, so ordering never hangs on the last float
+        // ulp of pow() (the q90 integer-ranking discipline).
+        val w = Window.partitionBy("source").orderBy(desc("key"), col("doc_id"))
+        table(s, d, "documents")
+          .withColumn("idstr", concat(lit("wsample-v1:"), col("doc_id").cast("string")))
+          .withColumn("h", graft.functions.PolyHash(col("idstr")))
+          .withColumn("u",
+            (expr(mixSpark("h")) + 1).cast("double") / lit((P + 1).toDouble))
+          .withColumn("wt", expr(s"size(${toksSpark("text")})").cast("double"))
+          .withColumn("key", floor(pow(col("u"), lit(1.0) / col("wt")) * lit(1e9)).cast("long"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("source"), col("doc_id"), col("wt").cast("long").as("n_tokens"),
+            col("key"), col("rk"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""
+        SELECT source, doc_id, n_tokens, key, rk
+        FROM (SELECT source, doc_id, n_tokens, key,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY key DESC, doc_id) AS rk
+              FROM (SELECT source, doc_id, CAST(wt AS BIGINT) AS n_tokens,
+                           CAST(floor(pow(u, 1.0 / wt) * 1e9) AS BIGINT) AS key
+                    FROM (SELECT source, doc_id,
+                                 CAST(${mixDuck("h")} + 1 AS DOUBLE) / ${(P + 1).toDouble} AS u,
+                                 CAST(len(${toksDuck("text")}) AS DOUBLE) AS wt
+                          FROM (SELECT source, doc_id, text, ${polyDuck("idstr")} AS h
+                                FROM (SELECT source, doc_id, text,
+                                             'wsample-v1:' || CAST(doc_id AS VARCHAR) AS idstr
+                                      FROM documents)))))
+        WHERE rk <= 20 ORDER BY source, rk"""),
+      doc = "Efraimidis-Spirakis weighted sampling without replacement as a per-group top-k")
   )
 }
