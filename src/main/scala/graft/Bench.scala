@@ -120,7 +120,7 @@ object Bench {
     // reference bottleneck ~100 ms/chunk => ~10 chunks/s/worker) and
     // steady-state hybrid-search latency over cached index frames
     // (reference: <100 ms with both legs + fusion).
-    val (chunksPerSec, hybridMs, hybridIvfMs, hybridHnswMs) = {
+    val (chunksPerSec, hybridMs, hybridIvfMs, hybridHnswMs, hybridPqMs) = {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
       val embedder = graft.embed.HashEmbedder(64)
@@ -180,6 +180,14 @@ object Bench {
         hnswM = 16)
       graft.search.HybridSearch.search(hnswIndex, req, embedder) // warm
       val hnswMs = medianMs(hnswIndex)
+      // PQ-ADC serving leg with the same IVF routing: probed cells scan
+      // m-byte codes (32x smaller than the float rows) and only the
+      // refine budget reaches the exact re-rank — the memory-bound shape
+      val pqIndex = graft.search.HybridSearch.servingIndex(
+        chunks.toDF(), vectors, ivfLists = nLists, ivfProbes = nProbes,
+        pqM = 8, pqRefine = 64)
+      graft.search.HybridSearch.search(pqIndex, req, embedder) // warm
+      val pqMs = medianMs(pqIndex)
       val scannedRows = ivfIndex.serving.flatMap(_.ivf).map { iv =>
         val probedParts = iv.centroids.map { case (lid, c) =>
           (lid, graft.embed.VectorOps.cosine(c, embedder.embed(req.query)))
@@ -192,11 +200,13 @@ object Bench {
         f"[hybrid] brute=${bruteMs}%.1f ms (scans $nChunks rows) " +
           f"ivf(nLists=$nLists,probes=$nProbes)=${ivfMs}%.1f ms " +
           f"(scans $scannedRows rows, ${100.0 * scannedRows / nChunks}%.0f%%) " +
-          f"hnsw(m=16,same routing)=${hnswMs}%.1f ms")
+          f"hnsw(m=16,same routing)=${hnswMs}%.1f ms " +
+          f"pq(m=8,refine=64,same routing)=${pqMs}%.1f ms")
       hnswIndex.serving.foreach(_.unpersist())
+      pqIndex.serving.foreach(_.unpersist())
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      (nChunks / math.max(ingestSec, 1e-9), bruteMs, ivfMs, hnswMs)
+      (nChunks / math.max(ingestSec, 1e-9), bruteMs, ivfMs, hnswMs, pqMs)
     }
     releaseStorage() // serving-index frames must not skew the streaming run
 
@@ -292,7 +302,7 @@ object Bench {
       if (found) (System.nanoTime() - t0) / 1e9 else -1.0
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
     spark.stop()
   }
 }

@@ -41,15 +41,15 @@ object Ivf {
 
   /** Splitmix64 step — the deterministic pseudo-uniform stream for the
     * k-means++ selections (no RNG object, no call-order dependence). */
-  private def mix(z0: Long): Long = {
+  private[ann] def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-  private def unit(z: Long): Double = (mix(z) >>> 11).toDouble / (1L << 53).toDouble
+  private[ann] def unit(z: Long): Double = (mix(z) >>> 11).toDouble / (1L << 53).toDouble
 
-  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  private[ann] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -57,7 +57,7 @@ object Ivf {
   }
 
   /** Driver-side deterministic k-means++ over the init pool. */
-  private def kppInit(pool: Array[Array[Double]], k: Int, seed: Long): Array[Array[Double]] = {
+  private[ann] def kppInit(pool: Array[Array[Double]], k: Int, seed: Long): Array[Array[Double]] = {
     val n = pool.length
     val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     chosen += pool(math.min(n - 1, (unit(seed) * n).toInt))

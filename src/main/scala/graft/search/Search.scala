@@ -332,16 +332,48 @@ object HybridSearch {
       ((listId.hashCode % nParts) + nParts) % nParts
   }
 
+  /** One partition's PQ codes plus the serving rows they quantize
+    * (codes(i) encodes rows(i).embedding). */
+  final case class PqPart(codes: Array[Array[Byte]], rows: Array[ServingVecRow])
+
+  /** Product-quantization layout for the serving vector leg
+    * ([[graft.ann.Pq]], Jégou et al. 2011): each cached row carries an
+    * m-byte code, and a query's partition scan becomes m table lookups
+    * per row (ADC) instead of a d-dim cosine — the MEMORY-BOUND serving
+    * shape (the code array is 32× smaller than the float32 embeddings,
+    * so the hot scan fits cache tiers the raw vectors overflow).
+    * Composes with IVF routing exactly like [[HnswServing]]: when
+    * `centroids` is non-empty only probed cells' partitions are
+    * scheduled. The ADC pass selects `refine` candidates per partition;
+    * candidates are re-scored with the exact serving-leg cosine, so
+    * every returned score is bit-identical to the brute leg and only
+    * RECALL is approximate (code distortion + skipped cells). At
+    * `refine` ≥ cell size every row survives to the exact re-rank and
+    * results equal the brute leg exactly (pinned in
+    * HybridSearchE2ESpec). */
+  final case class PqServing(
+      centroids: Array[(Int, Array[Float])],
+      model: graft.ann.Pq.PqModel,
+      parts: org.apache.spark.rdd.RDD[PqPart],
+      nParts: Int,
+      nProbes: Int,
+      refine: Int) {
+    def partitionOf(listId: Int): Int =
+      ((listId.hashCode % nParts) + nParts) % nParts
+  }
+
   final case class ServingCache(
       vecRows: org.apache.spark.rdd.RDD[ServingVecRow],
       tokRows: org.apache.spark.rdd.RDD[ServingTokRow],
       ivf: Option[IvfServing] = None,
-      hnsw: Option[HnswServing] = None) {
+      hnsw: Option[HnswServing] = None,
+      pq: Option[PqServing] = None) {
     def unpersist(): Unit = {
       vecRows.unpersist(blocking = false)
       tokRows.unpersist(blocking = false)
       ivf.foreach(_.rows.unpersist(blocking = false))
       hnsw.foreach(_.parts.unpersist(blocking = false))
+      pq.foreach(_.parts.unpersist(blocking = false))
     }
   }
 
@@ -375,7 +407,9 @@ object HybridSearch {
       ivfLists: Int = 0,
       ivfProbes: Int = 8,
       hnswM: Int = 0,
-      hnswEf: Int = 60): Index = {
+      hnswEf: Int = 60,
+      pqM: Int = 0,
+      pqRefine: Int = 64): Index = {
     import org.apache.spark.storage.StorageLevel
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -448,8 +482,33 @@ object HybridSearch {
           hnswEf,
           hnswM))
       }
+    // opt-in PQ layout (pqM > 0): one build-time codebook fit, then each
+    // cached partition stores its rows' m-byte codes next to the rows —
+    // the ADC scan array. Shares the cell partitioning when IVF exists.
+    val pq =
+      if (pqM <= 0) None
+      else {
+        val model = graft.ann.Pq.fit(
+          denormC.select($"embedding"), "embedding", m = pqM,
+          ksub = 256, maxIter = 5, fitSample = 0.25)
+        val baseRows = ivf.map(_.rows).getOrElse(vecRows)
+        val codeParts = baseRows.mapPartitions { it =>
+          val rows = it.toArray.sortBy(_.chunk_id)
+          if (rows.isEmpty) Iterator.empty
+          else Iterator.single(PqPart(
+            rows.map(r => graft.ann.Pq.encodeOne(model, r.embedding)), rows))
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        codeParts.count() // materialize: encode cost paid at index time
+        Some(PqServing(
+          ivf.map(_.centroids).getOrElse(Array.empty),
+          model,
+          codeParts,
+          ivf.map(_.nParts).getOrElse(partitions),
+          ivf.map(_.nProbes).getOrElse(1),
+          pqRefine))
+      }
     Index(chunksC, denormC,
-      serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw)))
+      serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw, pq)))
   }
 
   /** Absorb a micro-batch of new chunks/vectors into a serving cache
@@ -542,7 +601,37 @@ object HybridSearch {
       grown.count()
       hs.copy(parts = grown)
     }
-    index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2)))
+    val pq2 = cache.pq.map { ps =>
+      val newByPart =
+        if (ps.centroids.nonEmpty) routed(ps.centroids, ps.nParts)
+        else newVecRows
+          .map(r => (r.chunk_id.hashCode, r))
+          .partitionBy(new org.apache.spark.HashPartitioner(ps.nParts))
+          .values
+      val mdl = ps.model
+      // new rows encode under the EXISTING codebooks (like the frozen
+      // centroids above: quantizer drift erodes only recall — the exact
+      // re-rank keeps returned scores exact; periodic rebuild refreshes)
+      val grown = ps.parts.zipPartitions(newByPart, preservesPartitioning = true) {
+        (pit, rit) =>
+          val rows = rit.toArray.sortBy(_.chunk_id)
+          val existing = pit.toSeq
+          (existing, rows) match {
+            case (Seq(p), rs) if rs.nonEmpty =>
+              Iterator.single(PqPart(
+                p.codes ++ rs.map(r => graft.ann.Pq.encodeOne(mdl, r.embedding)),
+                p.rows ++ rs))
+            case (Seq(p), _) => Iterator.single(p)
+            case (Seq(), rs) if rs.nonEmpty =>
+              Iterator.single(PqPart(
+                rs.map(r => graft.ann.Pq.encodeOne(mdl, r.embedding)), rs))
+            case _ => Iterator.empty
+          }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      grown.count()
+      ps.copy(parts = grown)
+    }
+    index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2, pq2)))
   }
 
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
@@ -720,6 +809,68 @@ object HybridSearch {
     mergeTopK(parts, k)
   }
 
+  /** PQ-ADC serving leg: IVF centroid routing (when cells exist) prunes
+    * WHICH partitions run, then each probed partition scans its m-byte
+    * CODE array with query lookup tables (ADC — m adds per row instead
+    * of a d-dim cosine over the float rows), keeps the `refine` best
+    * candidates, and re-scores ONLY those with the exact `rawCosine`.
+    * Exactness: returned scores are bit-identical to the brute leg;
+    * recall is approximate (code distortion + skipped cells), reaching
+    * 1.0 when refine covers the cell and all cells probe
+    * (HybridSearchE2ESpec pins results == brute there). Scoped queries
+    * filter at the exact re-rank, so the ADC budget is widened by 4×
+    * topK like the HNSW beam. */
+  private def vectorLegPq(
+      ps: PqServing, req: SearchRequest, model: String,
+      q: Array[Float], k: Int): Seq[LegHit] = {
+    val container = req.containerId
+    val docId = req.documentId
+    val prefix = req.pathPrefix
+    val budget = math.max(ps.refine, 4 * k)
+    val qNorm = graft.ann.Pq.l2norm(q.map(_.toDouble))
+    val pruned =
+      if (ps.centroids.isEmpty) ps.parts
+      else {
+        val probed = ps.centroids
+          .map { case (lid, c) => (lid, rawCosine(c, q)) }
+          .sortBy { case (lid, s) => (-s, lid) }
+          .take(ps.nProbes).map(_._1)
+        val keep = probed.map(ps.partitionOf).toSet
+        org.apache.spark.rdd.PartitionPruningRDD.create(ps.parts, keep.contains)
+      }
+    val mdl = ps.model
+    val parts = pruned.mapPartitions { it =>
+      it.flatMap { p =>
+        val lut = mdl.lut(qNorm)
+        // bounded ADC heap: keep the `budget` smallest distances; head is
+        // the WORST kept candidate so overflow evicts correctly. Ties
+        // break on row index for a deterministic candidate set.
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+          Ordering.by { case (d, i) => (d, i) })
+        var i = 0
+        while (i < p.codes.length) {
+          val d = mdl.adc(lut, p.codes(i))
+          heap.enqueue((d, i))
+          if (heap.size > budget) heap.dequeue()
+          i += 1
+        }
+        topKHeap(
+          heap.iterator.flatMap { case (_, idx) =>
+            val r = p.rows(idx)
+            if (r.container_id != container || r.model_id != model ||
+                docId.exists(_ != r.document_id) ||
+                prefix.exists(pp => !r.path.startsWith(pp))) None
+            else
+              Some(LegHit(r.chunk_id, r.document_id,
+                Option(r.content).getOrElse(""),
+                Option(r.metadata).getOrElse(Map.empty),
+                rawCosine(r.embedding, q)))
+          }, k)
+      }
+    }.collect()
+    mergeTopK(parts, k)
+  }
+
   /** Keyword leg over the serving rows: scope filter, then the imperative
     * mirror of `KeywordSearch.leg`'s conjunctive prefilter, then the SAME
     * `rankChunk` — scores identical to the DataFrame leg by construction. */
@@ -793,9 +944,12 @@ object HybridSearch {
           val qv = embedder.embed(req.query)
           c.hnsw match {
             case Some(hs) => vectorLegHnsw(hs, req, model, qv, fetchK)
-            case None => c.ivf match {
-              case Some(iv) => vectorLegIvf(iv, req, model, qv, fetchK)
-              case None => vectorLegRdd(c, req, model, qv, fetchK)
+            case None => c.pq match {
+              case Some(ps) => vectorLegPq(ps, req, model, qv, fetchK)
+              case None => c.ivf match {
+                case Some(iv) => vectorLegIvf(iv, req, model, qv, fetchK)
+                case None => vectorLegRdd(c, req, model, qv, fetchK)
+              }
             }
           }
         }

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming MinHash+LSH NEAR-dup detection — the incremental twin of the
+  * q25 batch operator, for catching near-duplicate documents AT INGEST
+  * TIME instead of in a nightly batch sweep (the reference re-checks
+  * content hashes on every upload, ref DocumentService.cs upload path;
+  * this is the same gate with near-dup semantics).
+  *
+  * Shape: each arriving document computes its 16-hash MinHash signature
+  * (scalar twin of q25's aggregate form — bit-identical math: poly-hashed
+  * 3-gram shingles, permutations ((2k+1)h + 104729k) mod P, 4 bands of 4
+  * folded with seed b+7), explodes into its 4 LSH band keys, and joins the
+  * keyed state store at (band, band_hash): every resident of the bucket is
+  * a candidate, scored immediately by signature-match fraction. A pair
+  * sharing multiple bands emits from each (same est_jaccard every time);
+  * consumers take `.distinct()` exactly like the batch operator's
+  * candidate stage.
+  *
+  * Scale shape: state is partitioned across executors by band key (the
+  * SAME key the batch band-join shuffles on), each document touches 4
+  * buckets, and state is EVICTED by event-time timeout once a bucket has
+  * been quiet past the watermark horizon — memory is bounded by the
+  * horizon's document flow, not the stream's lifetime. The spec pins
+  * stream-distinct == q25-batch on a replayed documents table.
+  */
+object StreamingNearDup {
+
+  val P: Long = 1000000007L
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  final case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  final case class BandedDoc(
+      band: Int, band_hash: Long, doc_id: Long, sig: Seq[Long],
+      ts: java.sql.Timestamp)
+  final case class Member(doc_id: Long, sig: Seq[Long])
+  final case class Bucket(members: Seq[Member])
+  final case class DupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Lowercased alnum tokens — scalar twin of `Frag.toksSpark`. */
+  private[streaming] def tokens(text: String): Array[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+
+  /** MinHash signature, or None when the document has no 3-gram shingle
+    * (q25 filters `size(toks) >= 3`). Uses the SAME PolyHash fold as the
+    * batch expression, over distinct space-joined word 3-grams. */
+  def signature(text: String): Option[Array[Long]] = {
+    val toks = tokens(text)
+    if (toks.length < 3) return None
+    val shingles = (0 until toks.length - 2)
+      .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+    val hs = shingles.map(sh =>
+      graft.functions.PolyHash.hash(UTF8String.fromString(sh)))
+    Some(Array.tabulate(NumHashes) { k =>
+      var mn = Long.MaxValue
+      hs.foreach { h =>
+        val p = ((2 * k + 1) * h + 104729L * k) % P
+        if (p < mn) mn = p
+      }
+      mn
+    })
+  }
+
+  /** Band hash: fold band b's 4 signature rows with seed b+7 (q25's
+    * in-row slice fold). */
+  def bandHash(sig: Array[Long], b: Int): Long = {
+    var acc = b + 7L
+    var i = b * RowsPerBand
+    while (i < (b + 1) * RowsPerBand) { acc = (acc * 31 + sig(i)) % P; i += 1 }
+    acc
+  }
+
+  /** Signature-match fraction rounded like the batch operator. */
+  private def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < NumHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+    BigDecimal(eq.toDouble / NumHashes)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** One bucket invocation: score each arriving doc against every resident
+    * (and earlier arrivals in the same batch, ordered by doc_id so a batch
+    * replay is deterministic), then extend the bucket. On event-time
+    * timeout the whole bucket evicts — it has been quiet past the horizon,
+    * so nothing new can pair with it inside the dedup memory. */
+  private[streaming] def step(
+      docs: Iterator[BandedDoc],
+      state: GroupState[Bucket],
+      horizonMs: Long): Iterator[DupPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val arriving = docs.toVector.sortBy(_.doc_id)
+    if (arriving.isEmpty) return Iterator.empty
+    var members = state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
+    val seen = scala.collection.mutable.Set(members.map(_.doc_id): _*)
+    val out = Vector.newBuilder[DupPair]
+    arriving.foreach { d =>
+      if (!seen(d.doc_id)) { // re-delivery of a resident: no self-pairs
+        members.foreach { m =>
+          val (a, b) = if (m.doc_id < d.doc_id) (m.doc_id, d.doc_id) else (d.doc_id, m.doc_id)
+          out += DupPair(a, b, estJaccard(m.sig, d.sig))
+        }
+        members :+= Member(d.doc_id, d.sig)
+        seen += d.doc_id
+      }
+    }
+    state.update(Bucket(members))
+    if (horizonMs > 0) {
+      val maxTs = arriving.map(_.ts.getTime).max
+      state.setTimeoutTimestamp(maxTs + horizonMs)
+    }
+    out.result().iterator
+  }
+
+  /** Candidate near-dup pairs of a document stream (append mode). Pairs
+    * repeat once per shared band; `.distinct()` downstream for the
+    * batch-identical set. `horizon` bounds state ("10 minutes"); pass
+    * null/empty for unbounded state (replay/backfill runs). */
+  def pairs(docs: Dataset[Doc], horizon: String = "10 minutes"): Dataset[DupPair] = {
+    implicit val bandedEnc = Encoders.product[BandedDoc]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.product[Bucket]
+    implicit val outEnc = Encoders.product[DupPair]
+    val bounded = horizon != null && horizon.nonEmpty
+    val horizonMs =
+      if (!bounded) 0L
+      else {
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(UTF8String.fromString(horizon))
+        // calendar months have no fixed ms length; 30 days is the same
+        // approximation the state-store eviction needs (an upper bound
+        // keeps residents AT LEAST the horizon, which is the contract)
+        iv.months.toLong * 30L * 86400000L + iv.days.toLong * 86400000L +
+          iv.microseconds / 1000L
+      }
+    val banded = docs.flatMap { d =>
+      signature(d.text) match {
+        case Some(sig) =>
+          (0 until Bands).map(b => BandedDoc(b, bandHash(sig, b), d.doc_id, sig.toSeq, d.ts))
+        case None => Seq.empty[BandedDoc]
+      }
+    }
+    val withWm = if (bounded) banded.withWatermark("ts", horizon) else banded
+    val timeout =
+      if (bounded) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    withWm
+      .groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (_: (Int, Long), it: Iterator[BandedDoc], state: GroupState[Bucket]) =>
+          step(it, state, if (bounded) horizonMs else 0L))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ann
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: the ADC identity (table-lookup distance equals
+  * exact distance to the decoded vector), refine-all == brute force,
+  * recall on clustered data, compression shape, and determinism.
+  */
+class PqSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val dims = 16
+
+  private def corpus(n: Int, nClusters: Int = 4) = {
+    def noise(id: Int, i: Int): Float = {
+      var z = id.toLong * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      ((z >>> 40).toInt % 1000) / 10000.0f
+    }
+    (0 until n).map { id =>
+      val c = id % nClusters
+      val v = Array.tabulate(dims)(i => (if (i == c) 1.0f else 0.1f) + noise(id, i))
+      (id.toLong, v)
+    }.toDF("id", "embedding")
+  }
+
+  test("ADC distance == exact squared distance to the decoded vector") {
+    val corp = corpus(120)
+    val model = Pq.fit(corp, "embedding", m = 4, ksub = 16, maxIter = 5)
+    val encoded = Pq.encode(corp, "embedding", model)
+      .select("id", "embedding", "code").collect()
+    val q = Pq.l2norm(Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.1))
+    val lut = model.lut(q)
+    encoded.foreach { r =>
+      val code = r.getAs[Array[Byte]]("code")
+      val rec = model.decode(code)
+      var exact = 0.0
+      var i = 0
+      while (i < dims) { val d = q(i) - rec(i); exact += d * d; i += 1 }
+      val adc = model.adc(lut, code)
+      assert(math.abs(adc - exact) < 1e-9,
+        s"id=${r.getLong(0)} adc=$adc exact=$exact")
+    }
+  }
+
+  test("refine-all equals the brute-force top-k bit-for-bit") {
+    val corp = corpus(200).persist()
+    val queries = corp.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val model = Pq.fit(corp, "embedding", m = 4, ksub = 8, maxIter = 5)
+    val encoded = Pq.encode(corp, "embedding", model)
+      .withColumnRenamed("id", "id0").withColumnRenamed("embedding", "e0")
+      .select(col("id0").as("id"), col("e0").as("embedding"), col("code"))
+
+    val exact = BruteForceKnn.topK(corp, queries, 10)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val refined = Pq.search(encoded, "embedding", queries, model, 10, refine = 200)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(refined == exact)
+    corp.unpersist()
+  }
+
+  test("raw ADC recall@10 >= 0.8 on clustered data; modest refine reaches 1.0") {
+    val corp = corpus(300).persist()
+    val queries = corp.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("embedding").as("qemb"))
+    val model = Pq.fit(corp, "embedding", m = 8, ksub = 32, maxIter = 8)
+    val encoded = Pq.encode(corp, "embedding", model)
+
+    val exact = BruteForceKnn.topK(corp, queries, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val raw = Pq.search(encoded, "embedding", queries, model, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val rawRecall = (exact intersect raw).size.toDouble / exact.size
+    assert(rawRecall >= 0.8, s"raw ADC recall $rawRecall")
+
+    val ref = Pq.search(encoded, "embedding", queries, model, 10, refine = 50)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val refRecall = (exact intersect ref).size.toDouble / exact.size
+    assert(refRecall == 1.0, s"refine-50 recall $refRecall")
+    corp.unpersist()
+  }
+
+  test("codes are m bytes (32x smaller than float32) and fit is deterministic") {
+    val corp = corpus(150)
+    val m1 = Pq.fit(corp, "embedding", m = 4, ksub = 16, maxIter = 5, seed = 7L)
+    val m2 = Pq.fit(corp, "embedding", m = 4, ksub = 16, maxIter = 5, seed = 7L)
+    assert(m1.books.flatten.flatten.toSeq == m2.books.flatten.flatten.toSeq)
+
+    val codes = Pq.encode(corp, "embedding", m1).select("code")
+      .as[Array[Byte]].collect()
+    assert(codes.forall(_.length == 4)) // 4 B vs 16 floats = 64 B
+    // distinct clusters map to distinct codes (quantizer isn't collapsed)
+    assert(codes.map(_.toSeq).distinct.length > 1)
+  }
+
+  test("finer quantization reconstructs better: m=8 beats m=2 on mean error") {
+    val corp = corpus(200)
+    def meanErr(m: Int): Double = {
+      val model = Pq.fit(corp, "embedding", m = m, ksub = 16, maxIter = 5)
+      val rows = Pq.encode(corp, "embedding", model)
+        .select("embedding", "code").collect()
+      rows.map { r =>
+        val v = Pq.l2norm(r.getSeq[Float](0).toArray.map(_.toDouble))
+        val rec = model.decode(r.getAs[Array[Byte]]("code"))
+        var s = 0.0
+        var i = 0
+        while (i < dims) { val d = v(i) - rec(i); s += d * d; i += 1 }
+        s
+      }.sum / rows.length
+    }
+    val coarse = meanErr(2)
+    val fine = meanErr(8)
+    assert(fine < coarse, s"m=8 err $fine !< m=2 err $coarse")
+  }
+}

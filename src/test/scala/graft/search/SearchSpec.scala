@@ -334,6 +334,65 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("PQ serving leg: exhaustive refine equals brute force; ADC hits carry exact scores") {
+    val flat = HybridSearch.servingIndex(index.chunks, index.vectors)
+    // exhaustive regime: every cell probed AND the refine budget far
+    // beyond any cell size — every row survives the ADC pass into the
+    // exact re-rank, so results must equal the brute serving leg
+    // bit-for-bit (ids, scores, tie-breaks), including scoped requests
+    val exhaustive = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 4, pqM = 8, pqRefine = 100000)
+    assert(exhaustive.serving.flatMap(_.pq).nonEmpty,
+      "pqM must build the code layout")
+    assert(exhaustive.serving.flatMap(_.pq).get.centroids.nonEmpty,
+      "PQ must compose with the IVF cell partitioning")
+    val requests = Seq(
+      SearchRequest("chunk overlap settings", "c1", topK = 5),
+      SearchRequest("chunk overlap settings", "c1", topK = 5, fusionMethod = "dbsf"),
+      SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3),
+      SearchRequest("search legs", "c1", topK = 10, pathPrefix = Some("/docs/api/")),
+      SearchRequest("overlap", "c1", topK = 10, documentId = Some("doc-overlap")),
+      SearchRequest("chunk overlap", "c2", topK = 10))
+    requests.foreach { req =>
+      val viaFlat = HybridSearch.search(flat, req, embedder)
+      val viaPq = HybridSearch.search(exhaustive, req, embedder)
+      assert(viaPq.map(h => (h.chunk_id, h.score, h.metadata.get("source"))) ==
+        viaFlat.map(h => (h.chunk_id, h.score, h.metadata.get("source"))),
+        s"exhaustive PQ diverged from brute force for $req")
+    }
+    // bounded refine + pruned probes: ADC only selects CANDIDATES — raw
+    // ranking still comes from the shared exact-cosine loop, so returned
+    // hits must be a subset of the brute hits IN BRUTE ORDER
+    val adc = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 2, pqM = 8, pqRefine = 4)
+    val req = SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 10)
+    val bruteOrder = HybridSearch.search(flat, req, embedder).map(_.chunk_id)
+    val adcHits = HybridSearch.search(adc, req, embedder)
+    assert(adcHits.nonEmpty)
+    val adcIds = adcHits.map(_.chunk_id)
+    assert(adcIds.toSet.subsetOf(bruteOrder.toSet),
+      s"ADC hits $adcIds not a subset of brute $bruteOrder")
+    assert(bruteOrder.filter(adcIds.toSet) == adcIds,
+      s"ADC order $adcIds inconsistent with brute order $bruteOrder")
+    // no-IVF composition: codes over the flat cached partitions, no
+    // routing (centroids empty) — still exact at exhaustive refine
+    val flatCodes = HybridSearch.servingIndex(index.chunks, index.vectors,
+      pqM = 8, pqRefine = 100000)
+    assert(flatCodes.serving.flatMap(_.pq).get.centroids.isEmpty)
+    val req2 = SearchRequest("chunk overlap settings", "c1", topK = 5)
+    assert(
+      HybridSearch.search(flatCodes, req2, embedder).map(h => (h.chunk_id, h.score)) ==
+        HybridSearch.search(flat, req2, embedder).map(h => (h.chunk_id, h.score)))
+    // the codes really are the 32x-smaller scan array: m bytes per row
+    val part = flatCodes.serving.flatMap(_.pq).get.parts.collect().head
+    assert(part.codes.forall(_.length == 8))
+    assert(part.codes.length == part.rows.length)
+    Seq(flat, exhaustive, adc, flatCodes).foreach { s =>
+      s.chunks.unpersist(); s.vectors.unpersist()
+      s.serving.foreach(_.unpersist())
+    }
+  }
+
   test("upsertServing absorbs a micro-batch into every cache layout without rebuild") {
     // a second warehouse supplies the new docs through the SAME build path
     val wh2 = java.nio.file.Files.createTempDirectory("graft-wh2").toString
@@ -347,11 +406,17 @@ class HybridSearchE2ESpec extends AnyFunSuite {
       embedder = embedder)
     val late = IndexBuild.loadIndex(spark, wh2)
 
-    // full-stack cache: flat rows + IVF cells + cell-aligned HNSW graphs,
-    // exhaustive regime so results are provably exact
+    // full-stack cache: flat rows + IVF cells + cell-aligned HNSW graphs
+    // + PQ codes, exhaustive regime so results are provably exact
     val serving = HybridSearch.servingIndex(index.chunks, index.vectors,
-      ivfLists = 4, ivfProbes = 4, hnswM = 8, hnswEf = 100000)
+      ivfLists = 4, ivfProbes = 4, hnswM = 8, hnswEf = 100000,
+      pqM = 8, pqRefine = 100000)
     val updated = HybridSearch.upsertServing(serving, late.chunks, late.vectors)
+    // the PQ layout grew with the batch (codes stay row-aligned)
+    val pqParts = updated.serving.flatMap(_.pq).get.parts.collect()
+    assert(pqParts.map(_.rows.length).sum ==
+      serving.serving.flatMap(_.pq).get.parts.collect().map(_.rows.length).sum + 1)
+    assert(pqParts.forall(p => p.codes.length == p.rows.length))
 
     // ground truth: a brute serving index over the UNION of both corpora
     val union = HybridSearch.servingIndex(
@@ -362,12 +427,21 @@ class HybridSearchE2ESpec extends AnyFunSuite {
       SearchRequest("chunk overlap settings", "c1", topK = 5),
       SearchRequest("quokka rebuild", "c1", mode = "semantic", topK = 3),
       SearchRequest("searchable", "c1", mode = "keyword", topK = 5))
+    // dispatch prefers the HNSW leg; a hnsw-stripped view of the SAME
+    // upserted cache routes through the grown PQ codes instead, so both
+    // layouts' post-upsert results are query-verified against the rebuild
+    val updatedPqView = updated.copy(
+      serving = updated.serving.map(_.copy(hnsw = None)))
     requests.foreach { req =>
-      val viaUpserted = HybridSearch.search(updated, req, embedder)
       val viaRebuilt = HybridSearch.search(union, req, embedder)
+      val viaUpserted = HybridSearch.search(updated, req, embedder)
       assert(viaUpserted.map(h => (h.chunk_id, h.score)) ==
         viaRebuilt.map(h => (h.chunk_id, h.score)),
         s"upserted cache diverged from rebuilt for $req")
+      val viaUpsertedPq = HybridSearch.search(updatedPqView, req, embedder)
+      assert(viaUpsertedPq.map(h => (h.chunk_id, h.score)) ==
+        viaRebuilt.map(h => (h.chunk_id, h.score)),
+        s"upserted PQ leg diverged from rebuilt for $req")
     }
     // the new doc is actually the winner for its own phrase
     assert(HybridSearch.search(updated,

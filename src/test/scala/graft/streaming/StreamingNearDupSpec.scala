@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.TestGroupState
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming MinHash near-dup: the stream's distinct pair set must equal
+  * the q25 batch operator on a replayed documents table, and bucket state
+  * must evict on event-time timeout.
+  */
+class StreamingNearDupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("streamed distinct pairs == q25 batch pairs on the documents table") {
+    val sf = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-neardup")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+
+    val docStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(lit(0L) + col("doc_id")).as("ts"))
+      .as[StreamingNearDup.Doc]
+    val q = StreamingNearDup.pairs(docStream, horizon = null)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_out").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+
+    val batch = graft.queries.Catalog.queries("q25_minhash_lsh")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("scalar signature matches the batch aggregate form on a known text") {
+    // same doc through the scalar path and q25's DataFrame signature stage
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val scalar = StreamingNearDup.signature(text).get.toSeq
+
+    import graft.queries.Frag._
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("toks", expr(toksSpark("text")))
+      .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+      .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
+    val minAggs = (0 until 16).map(k =>
+      min(expr(s"((2*$k + 1) * h + 104729L * $k) % $P")).as(s"mh$k"))
+    val batch = df.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .drop("doc_id").collect()(0).toSeq.map(_.asInstanceOf[Long])
+    assert(scalar == batch)
+  }
+
+  test("short texts (no 3-gram shingle) produce no signature, like q25's filter") {
+    assert(StreamingNearDup.signature("one two").isEmpty)
+    assert(StreamingNearDup.signature("").isEmpty)
+    assert(StreamingNearDup.signature("one two three").isDefined)
+  }
+
+  test("bucket state evicts on event-time timeout and re-delivery is ignored") {
+    val sig = Seq.fill(16)(42L)
+    def banded(id: Long, tsMs: Long) = StreamingNearDup.BandedDoc(
+      0, 7L, id, sig, new java.sql.Timestamp(tsMs))
+
+    // first batch: two docs share the bucket -> one pair, timeout armed
+    val st1 = TestGroupState.create[StreamingNearDup.Bucket](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out1 = StreamingNearDup.step(
+      Iterator(banded(1, 1000), banded(2, 2000)), st1, horizonMs = 60000).toSeq
+    assert(out1 == Seq(StreamingNearDup.DupPair(1, 2, 1.0)))
+    assert(st1.getTimeoutTimestampMs.get() == 62000)
+
+    // re-delivery of a resident: no self-pair, no growth
+    val out2 = StreamingNearDup.step(Iterator(banded(2, 3000)), st1, 60000).toSeq
+    assert(out2.isEmpty)
+    assert(st1.get.members.map(_.doc_id) == Seq(1L, 2L))
+
+    // timed-out invocation: state clears, nothing emits
+    val st2 = TestGroupState.create[StreamingNearDup.Bucket](
+      optionalState = org.apache.spark.api.java.Optional.of(st1.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 100000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L),
+      hasTimedOut = true)
+    val out3 = StreamingNearDup.step(Iterator.empty, st2, 60000).toSeq
+    assert(out3.isEmpty)
+    assert(st2.isRemoved)
+  }
+}
