@@ -1,0 +1,162 @@
+package graft.ingest
+
+import graft.model.ParsedDocument
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+import scala.collection.mutable
+
+/** Real .epub text extraction with zero non-JDK dependencies — the same
+  * ZIP + JDK-DOM machinery as [[OfficeParser]] applied to the IDPF EPUB
+  * container (public spec; EPUB 2 OPF 2.0.1 / EPUB 3 share this core):
+  *
+  *  - `mimetype` entry must read `application/epub+zip` (warned, not
+  *    fatal — real-world files sometimes deflate or omit it);
+  *  - `META-INF/container.xml` names the OPF package document via
+  *    `<rootfile full-path=.../>`;
+  *  - the OPF's `<manifest>` maps item ids to hrefs (resolved relative
+  *    to the OPF's own directory) and `<spine>` fixes the READING ORDER
+  *    (`<itemref idref=.../>`); chapters are extracted in spine order,
+  *    never archive order;
+  *  - each spine item is XHTML, reduced to text through [[HtmlText]]
+  *    (entity decode + block structure), prefixed `--- Chapter N ---`
+  *    like the pptx slide markers;
+  *  - Dublin Core `<dc:metadata>` surfaces as Title/Author/Language/
+  *    Identifier/Date metadata;
+  *  - failure never throws (the [[OfficeParser]] contract): malformed
+  *    archives yield empty content + an `Error parsing EPUB: ...`
+  *    warning; individually missing spine items warn and are skipped.
+  *
+  * The reference gates uploads purely by extension and parses books
+  * through its generic document pipeline (ref IngestionPipeline.cs:
+  * 456-477); this parser makes .epub a first-class text source the same
+  * way docx/pptx are.
+  */
+object EpubParser {
+
+  def parse(fileName: String, bytes: Array[Byte]): ParsedDocument = {
+    try {
+      val parts = readAll(bytes)
+      val meta = mutable.LinkedHashMap[String, String](
+        "file_name" -> fileName, "format" -> "epub", "FileType" -> "EPUB Book")
+      val warnings = mutable.Buffer[String]()
+
+      parts.get("mimetype").map(new String(_, StandardCharsets.US_ASCII).trim) match {
+        case Some("application/epub+zip") => ()
+        case Some(other) => warnings += s"unexpected mimetype entry: $other"
+        case None => warnings += "missing mimetype entry"
+      }
+
+      val opfPath = parts.get("META-INF/container.xml")
+        .flatMap { xml =>
+          byLocalName(parseXml(xml), "rootfile")
+            .flatMap(e => Option(e.getAttribute("full-path")).filter(_.nonEmpty))
+            .headOption
+        }
+        .getOrElse(throw new IllegalArgumentException(
+          "META-INF/container.xml missing or names no rootfile"))
+      val opf = parts.getOrElse(opfPath,
+        throw new IllegalArgumentException(s"OPF package document missing: $opfPath"))
+      val opfDir = opfPath.lastIndexOf('/') match {
+        case -1 => ""
+        case i => opfPath.substring(0, i + 1)
+      }
+      val doc = parseXml(opf)
+
+      // Dublin Core metadata
+      def dc(local: String): Option[String] =
+        byLocalName(doc, local).headOption
+          .map(_.getTextContent.trim).filter(_.nonEmpty)
+      Seq("title" -> "Title", "creator" -> "Author", "language" -> "Language",
+        "identifier" -> "Identifier", "date" -> "Date").foreach {
+        case (local, key) => dc(local).foreach(meta(key) = _)
+      }
+
+      // manifest: id -> resolved href
+      val manifest = byLocalName(doc, "item").flatMap { e =>
+        val id = e.getAttribute("id")
+        val href = e.getAttribute("href")
+        if (id.nonEmpty && href.nonEmpty) Some(id -> resolve(opfDir, href)) else None
+      }.toMap
+      // spine: reading order of manifest ids
+      val spine = byLocalName(doc, "itemref")
+        .map(_.getAttribute("idref")).filter(_.nonEmpty)
+      if (spine.isEmpty) warnings += "spine is empty"
+
+      val sb = new StringBuilder
+      var n = 0
+      spine.foreach { idref =>
+        manifest.get(idref).flatMap(parts.get) match {
+          case Some(xhtml) =>
+            n += 1
+            val html = new String(xhtml, StandardCharsets.UTF_8)
+            sb.append(s"--- Chapter $n ---").append('\n')
+            val title = HtmlText.title(html)
+            if (title.nonEmpty) sb.append(title).append('\n')
+            sb.append(HtmlText.text(html)).append('\n').append('\n')
+          case None =>
+            warnings += s"spine item '$idref' missing from manifest or archive"
+        }
+      }
+      meta("ChapterCount") = n.toString
+      val content = sb.toString
+      if (content.replaceAll("--- Chapter [0-9]+ ---", "").trim.isEmpty)
+        warnings += "Book contains no extractable text"
+      ParsedDocument(content, meta.toMap, warnings = warnings.toSeq)
+    } catch {
+      case e: Exception =>
+        ParsedDocument("",
+          Map("file_name" -> fileName, "format" -> "epub", "FileType" -> "EPUB Book"),
+          warnings = Seq(s"Error parsing EPUB: ${e.getMessage}"))
+    }
+  }
+
+  /** Resolve an OPF-relative href (normalizing `../` like a path join). */
+  private[ingest] def resolve(opfDir: String, href: String): String = {
+    val joined = (opfDir + href).split('/').toSeq
+    val out = mutable.Stack[String]()
+    joined.foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.pop()
+      case seg => out.push(seg)
+    }
+    out.reverseIterator.mkString("/")
+  }
+
+  private def readAll(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map[String, Array[Byte]]()
+    var entry = zin.getNextEntry
+    while (entry != null) {
+      if (!entry.isDirectory) out(entry.getName) = zin.readAllBytes()
+      entry = zin.getNextEntry
+    }
+    zin.close()
+    if (out.isEmpty) throw new IllegalArgumentException("not an EPUB archive (no entries)")
+    out.toMap
+  }
+
+  private def parseXml(bytes: Array[Byte]): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+  }
+
+  private def byLocalName(node: org.w3c.dom.Node, local: String): Seq[org.w3c.dom.Element] = {
+    val out = Vector.newBuilder[org.w3c.dom.Element]
+    def walk(n: org.w3c.dom.Node): Unit = {
+      if (n.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
+        val e = n.asInstanceOf[org.w3c.dom.Element]
+        val name = Option(e.getLocalName).getOrElse(e.getTagName)
+        if (name == local) out += e
+      }
+      var c = n.getFirstChild
+      while (c != null) { walk(c); c = c.getNextSibling }
+    }
+    walk(node)
+    out.result()
+  }
+}

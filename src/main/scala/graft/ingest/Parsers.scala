@@ -15,7 +15,7 @@ object Parsers {
   /** Extension whitelist gate (ref FileTypeValidator.cs, S8). */
   val allowedExtensions: Set[String] = Set(
     "txt", "md", "markdown", "mdx", "csv", "log", "json", "xml", "yaml",
-    "yml", "pdf", "docx", "pptx", "html", "htm")
+    "yml", "pdf", "docx", "pptx", "epub", "html", "htm")
 
   def extension(fileName: String): String = {
     val i = fileName.lastIndexOf('.')
@@ -27,7 +27,7 @@ object Parsers {
 
   /** Formats whose content is bytes, not text — routed through the real
     * binary parsers and (in the API) required to arrive base64-encoded. */
-  val binaryExtensions: Set[String] = Set("pdf", "docx", "pptx")
+  val binaryExtensions: Set[String] = Set("pdf", "docx", "pptx", "epub")
 
   def isBinary(fileName: String): Boolean =
     binaryExtensions.contains(extension(fileName))
@@ -79,6 +79,7 @@ object Parsers {
     else ext match {
       case "pdf" => Right(PdfParser.parse(fileName, bytes))
       case "docx" | "pptx" => Right(OfficeParser.parse(fileName, bytes))
+      case "epub" => Right(EpubParser.parse(fileName, bytes))
       case "html" | "htm" =>
         // beyond the reference's gate: index the EXTRACTED text, not the
         // markup (HtmlText drops script/style/nav boilerplate; title and

@@ -1,0 +1,117 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EPUB container parsing: spine-ordered chapter extraction, Dublin Core
+  * metadata, OPF-relative href resolution, and the never-throws error
+  * channel — over format-conformant fixture archives built in-test.
+  */
+class EpubParserSpec extends AnyFunSuite {
+  import OoxmlFixtures.zip
+
+  private val containerXml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+      |<rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/></rootfiles>
+      |</container>""".stripMargin
+
+  private def opf(spineIds: String*) =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<package xmlns="http://www.idpf.org/2007/opf" xmlns:dc="http://purl.org/dc/elements/1.1/" version="3.0" unique-identifier="id">
+       |<metadata>
+       |<dc:title>Voyage Extraordinaire</dc:title>
+       |<dc:creator>Jules Testeur</dc:creator>
+       |<dc:language>fr</dc:language>
+       |<dc:identifier id="id">urn:uuid:00000000-0000-0000-0000-000000000001</dc:identifier>
+       |<dc:date>2026-01-01</dc:date>
+       |</metadata>
+       |<manifest>
+       |<item id="ch1" href="text/ch1.xhtml" media-type="application/xhtml+xml"/>
+       |<item id="ch2" href="text/ch2.xhtml" media-type="application/xhtml+xml"/>
+       |<item id="css" href="style.css" media-type="text/css"/>
+       |</manifest>
+       |<spine>${spineIds.map(id => s"""<itemref idref="$id"/>""").mkString}</spine>
+       |</package>""".stripMargin
+
+  private def xhtml(title: String, body: String) =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<html xmlns="http://www.w3.org/1999/xhtml"><head><title>$title</title></head>
+       |<body><p>$body</p></body></html>""".stripMargin
+
+  private def book(spineIds: String*): Array[Byte] = zip(
+    "mimetype" -> "application/epub+zip",
+    "META-INF/container.xml" -> containerXml,
+    "OEBPS/content.opf" -> opf(spineIds: _*),
+    // archive order deliberately REVERSED vs the spine: ch2 before ch1
+    "OEBPS/text/ch2.xhtml" -> xhtml("Second", "The voyage continued &amp; ended."),
+    "OEBPS/text/ch1.xhtml" -> xhtml("First", "The voyage began at dawn."))
+
+  test("chapters extract in SPINE order, not archive order, with entities decoded") {
+    val doc = EpubParser.parse("book.epub", book("ch1", "ch2"))
+    assert(doc.warnings.isEmpty, doc.warnings.mkString("; "))
+    val i1 = doc.content.indexOf("began at dawn")
+    val i2 = doc.content.indexOf("continued & ended")
+    assert(i1 >= 0 && i2 >= 0 && i1 < i2, doc.content)
+    assert(doc.content.contains("--- Chapter 1 ---"))
+    assert(doc.content.contains("--- Chapter 2 ---"))
+    assert(doc.metadata("ChapterCount") == "2")
+    // spine order honored even when reversed
+    val rev = EpubParser.parse("book.epub", book("ch2", "ch1"))
+    val j1 = rev.content.indexOf("continued & ended")
+    val j2 = rev.content.indexOf("began at dawn")
+    assert(j1 >= 0 && j2 >= 0 && j1 < j2, rev.content)
+  }
+
+  test("Dublin Core metadata surfaces as Title/Author/Language/Identifier/Date") {
+    val doc = EpubParser.parse("book.epub", book("ch1", "ch2"))
+    assert(doc.metadata("Title") == "Voyage Extraordinaire")
+    assert(doc.metadata("Author") == "Jules Testeur")
+    assert(doc.metadata("Language") == "fr")
+    assert(doc.metadata("Identifier").startsWith("urn:uuid:"))
+    assert(doc.metadata("Date") == "2026-01-01")
+    assert(doc.metadata("FileType") == "EPUB Book")
+  }
+
+  test("OPF-relative hrefs resolve against the OPF directory (incl. ../)") {
+    assert(EpubParser.resolve("OEBPS/", "text/ch1.xhtml") == "OEBPS/text/ch1.xhtml")
+    assert(EpubParser.resolve("", "ch1.xhtml") == "ch1.xhtml")
+    assert(EpubParser.resolve("OEBPS/sub/", "../ch1.xhtml") == "OEBPS/ch1.xhtml")
+    assert(EpubParser.resolve("OEBPS/", "./a/./b.xhtml") == "OEBPS/a/b.xhtml")
+  }
+
+  test("missing spine items warn and are skipped; extraction continues") {
+    val doc = EpubParser.parse("book.epub", book("ch1", "ghost", "ch2"))
+    assert(doc.warnings.exists(_.contains("ghost")))
+    assert(doc.metadata("ChapterCount") == "2")
+    assert(doc.content.contains("began at dawn"))
+    assert(doc.content.contains("continued & ended"))
+  }
+
+  test("wrong or missing mimetype entry warns but does not fail") {
+    val noMime = zip(
+      "META-INF/container.xml" -> containerXml,
+      "OEBPS/content.opf" -> opf("ch1"),
+      "OEBPS/text/ch1.xhtml" -> xhtml("First", "content survives"))
+    val doc = EpubParser.parse("book.epub", noMime)
+    assert(doc.warnings.exists(_.contains("missing mimetype")))
+    assert(doc.content.contains("content survives"))
+  }
+
+  test("error channel: garbage bytes and containerless archives never throw") {
+    val garbage = EpubParser.parse("bad.epub", Array[Byte](1, 2, 3, 4))
+    assert(garbage.content.isEmpty)
+    assert(garbage.warnings.exists(_.startsWith("Error parsing EPUB")))
+    val noContainer = EpubParser.parse("bad.epub",
+      zip("mimetype" -> "application/epub+zip", "stray.txt" -> "x"))
+    assert(noContainer.content.isEmpty)
+    assert(noContainer.warnings.exists(_.contains("container.xml")))
+  }
+
+  test("Parsers gate and dispatch route .epub through the binary path") {
+    assert(Parsers.isSupported("a/book.epub"))
+    assert(Parsers.isBinary("a/book.epub"))
+    val parsed = Parsers.parse("book.epub", book("ch1", "ch2"))
+    assert(parsed.isRight)
+    assert(parsed.toOption.get.content.contains("began at dawn"))
+  }
+}
