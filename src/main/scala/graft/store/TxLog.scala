@@ -125,7 +125,8 @@ object TxLog {
 
   final case class Snapshot(version: Long, live: Map[String, Seq[(String, Long)]],
       stats: Map[(String, String), Map[String, ColStat]] = Map.empty,
-      blooms: Map[(String, String), Map[String, String]] = Map.empty) {
+      blooms: Map[(String, String), Map[String, String]] = Map.empty,
+      schemas: Map[String, String] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
@@ -134,6 +135,13 @@ object TxLog {
       stats.getOrElse((table, rel), Map.empty)
     def bloomsOf(table: String, rel: String): Map[String, String] =
       blooms.getOrElse((table, rel), Map.empty)
+    /** The table's logged schema (latest `schema` action <= this version),
+      * when the log records one — the SCHEMA EVOLUTION read contract:
+      * files written before a column existed surface it as null. */
+    def schemaOf(table: String): Option[org.apache.spark.sql.types.StructType] =
+      schemas.get(table).map(js =>
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -169,14 +177,45 @@ object TxLog {
     * caller retries against a fresh snapshot.
     */
   def commit(spark: SparkSession, warehouse: String,
-      adds: Seq[Add], removes: Seq[Remove] = Nil): Long = lockFor(warehouse).synchronized {
+      adds: Seq[Add], removes: Seq[Remove] = Nil,
+      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Long =
+    lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
     f.mkdirs(dir)
+    // SCHEMA EVOLUTION guard (the published Delta write contract): a new
+    // schema may only ADD columns — every column the log already records
+    // must survive with an identical type, so files written under the old
+    // schema stay readable (missing columns surface as null; nothing is
+    // silently narrowed or dropped). Validated BEFORE the claim so a
+    // rejected evolution burns no version.
+    if (schemas.nonEmpty) {
+      val prev = snapshot(spark, warehouse)
+      schemas.foreach { case (table, next) =>
+        prev.schemaOf(table).foreach { old =>
+          val nextByName = next.fields.map(fld => fld.name -> fld.dataType).toMap
+          old.fields.foreach { fld =>
+            nextByName.get(fld.name) match {
+              case Some(t) if t == fld.dataType => ()
+              case Some(t) => throw new IllegalArgumentException(
+                s"txlog: schema evolution for '$table' changes column " +
+                  s"'${fld.name}' from ${fld.dataType.simpleString} to " +
+                  s"${t.simpleString} — only additive evolution is supported")
+              case None => throw new IllegalArgumentException(
+                s"txlog: schema evolution for '$table' drops column " +
+                  s"'${fld.name}' — only additive evolution is supported")
+            }
+          }
+        }
+      }
+    }
     val version = listVersions(f, warehouse).lastOption.getOrElse(-1L) + 1L
     val target = commitFile(warehouse, version)
     val body = new StringBuilder
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
+    schemas.toSeq.sortBy(_._1).foreach { case (table, st) =>
+      body ++= s"schema\t$table\t${esc(st.json)}\n"
+    }
     adds.foreach { a =>
       body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n"
       a.stats.toSeq.sortBy(_._1).foreach { case (c, st) =>
@@ -247,6 +286,7 @@ object TxLog {
       scala.collection.mutable.LinkedHashMap[(String, String), Map[String, ColStat]]()
     val fileBlooms =
       scala.collection.mutable.LinkedHashMap[(String, String), Map[String, String]]()
+    val tableSchemas = scala.collection.mutable.LinkedHashMap[String, String]()
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
@@ -263,6 +303,7 @@ object TxLog {
           case Array("remove", table, rel) =>
             live.remove((table, rel)); fileStats.remove((table, rel))
             fileBlooms.remove((table, rel))
+          case Array("schema", table, js) => tableSchemas(table) = unesc(js)
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -270,7 +311,7 @@ object TxLog {
     }
     Snapshot(version, live.toSeq.groupBy(_._1._1)
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
-      fileStats.toMap, fileBlooms.toMap)
+      fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap)
   }
 
   /** Read one table at the log's current snapshot. Falls back to a plain
@@ -289,8 +330,17 @@ object TxLog {
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "PATH_NOT_FOUND",
         messageParameters = Map("path" -> s"$warehouse/$table (txlog: no live files)"))
-    // basePath keeps partition-directory columns (container_id=...) in play
-    spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+    // basePath keeps partition-directory columns (container_id=...) in play.
+    // A logged schema (evolution) is applied explicitly: files written
+    // before a column existed surface it as null, and NO per-file footer
+    // merge runs at read time (the log already knows the answer — the
+    // 100 TB advantage over option("mergeSchema")). As-of reads resolve
+    // the schema AS OF that version, so time travel sees the old shape.
+    val reader = snap.schemaOf(table) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    reader.option("basePath", s"$warehouse/$table").parquet(files: _*)
   }
 
   /** CHANGE DATA FEED (the published Delta `table_changes` read shape,
@@ -340,7 +390,9 @@ object TxLog {
     batches.map { case (v, files) =>
       spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
         .withColumn("_commit_version", lit(v))
-    }.reduce(_.unionByName(_))
+    // allowMissingColumns: a feed spanning a schema evolution unions
+    // pre- and post-evolution batches — older rows null-fill new columns
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Write `df` as new files of `table` and return the Add actions —

@@ -354,4 +354,59 @@ class TxLogSpec extends AnyFunSuite {
     assert(empty.count() == 0)
     assert(empty.columns.contains("_commit_version") && empty.columns.contains("id"))
   }
+
+  test("schema evolution: added column null-fills old files; time travel sees the old shape") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val old = df(0L to 4L, 1)
+    val v1 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(old, wh, "chunks", Seq("container_id"), 1),
+      schemas = Map("chunks" -> old.schema))
+    // evolved batch adds a `lang` column; the commit records the schema
+    val evolved = (5L to 9L).map(i => (i, s"c${i % 2}", 2L, "en"))
+      .toDF("id", "container_id", "generation", "lang")
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(evolved, wh, "chunks", Seq("container_id"), 2),
+      schemas = Map("chunks" -> evolved.schema))
+
+    val read = TxLog.read(spark, wh, "chunks")
+    assert(read.columns.contains("lang"))
+    assert(read.count() == 10)
+    // old files surface the new column as null, new files carry values
+    assert(read.filter(col("lang").isNull).count() == 5)
+    assert(read.filter(col("lang") === "en").count() == 5)
+    // time travel resolves the schema AS OF the pinned version
+    val asOf = TxLog.read(spark, wh, "chunks", atVersion = v1)
+    assert(!asOf.columns.contains("lang"))
+    assert(asOf.count() == 5)
+    // the change feed spans the evolution: pre-evolution batches null-fill
+    val feed = TxLog.readChanges(spark, wh, "chunks", fromVersion = -1L)
+    assert(feed.count() == 10)
+    assert(feed.filter(col("lang").isNull).count() == 5)
+  }
+
+  test("schema evolution is additive only: drops and type changes are rejected, no version burned") {
+    val wh = freshWh()
+    val base = df(0L to 4L, 1)
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(base, wh, "chunks", Seq("container_id"), 1),
+      schemas = Map("chunks" -> base.schema))
+    val before = TxLog.snapshot(spark, wh).version
+    // dropping a column is rejected
+    val dropped = (0L to 1L).map(i => (i, s"c$i")).toDF("id", "container_id")
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.commit(spark, wh, Nil, schemas = Map("chunks" -> dropped.schema))
+    }
+    assert(e1.getMessage.contains("drops column"))
+    // narrowing a type is rejected
+    val narrowed = (0L to 1L).map(i => (i.toInt, s"c$i", 1L))
+      .toDF("id", "container_id", "generation")
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.commit(spark, wh, Nil, schemas = Map("chunks" -> narrowed.schema))
+    }
+    assert(e2.getMessage.contains("changes column"))
+    // the rejected evolutions claimed no version and left the log intact
+    assert(TxLog.snapshot(spark, wh).version == before)
+    assert(TxLog.read(spark, wh, "chunks").count() == 5)
+  }
 }
