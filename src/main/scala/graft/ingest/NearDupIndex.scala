@@ -1,0 +1,116 @@
+package graft.ingest
+
+import graft.store.TxLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL corpus near-dup index — the persisted form of the q25
+  * MinHash+LSH sweep, for the operation every growing training corpus
+  * actually runs: "does this BATCH near-duplicate anything in the
+  * EXISTING corpus?" A fresh batch costs O(batch + collisions) — its
+  * band keys equi-join the stored band table — instead of the O(corpus)
+  * re-sweep the batch-only operator implies. Signature/band math is
+  * bit-identical to q25 (same Frag poly-hash, permutations, band folds),
+  * so the incremental pair set provably matches the batch operator's
+  * (NearDupIndexSpec pins check(batch) == q25(full) − q25(old)).
+  *
+  * Storage: two flat TxLog tables under the warehouse —
+  * `neardup_sigs(doc_id, sig)` and `neardup_bands(doc_id, band,
+  * band_hash)` — committed TOGETHER (one transaction per batch, like the
+  * chunk+vector upsert), so a reader never sees a doc's bands without
+  * its signature. At 100 TB the band table is the join target: it
+  * shuffles on (band, band_hash) — the SAME key q25's self-join uses —
+  * and a batch probe touches only colliding buckets.
+  */
+object NearDupIndex {
+
+  import graft.queries.Frag._
+
+  val SigTable = "neardup_sigs"
+  val BandTable = "neardup_bands"
+
+  /** q25's signature stage over (doc_id, text): 16 permutation minima as
+    * one array column, docs with < 3 tokens dropped. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val shingleHash = docs
+      .withColumn("toks", expr(toksSpark("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+      .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
+    val minAggs = (0 until 16).map(k =>
+      min(expr(s"((2*$k + 1) * h + 104729L * $k) % $P")).as(s"mh$k"))
+    shingleHash
+      .groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(k => col(s"mh$k")): _*).as("sig"))
+  }
+
+  /** q25's banding stage: 4 bands of 4, folded with seed b+7. */
+  def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, 3), b -> struct(cast(b as int) as band,
+          aggregate(slice(sig, b * 4 + 1, 4), cast(b + 7 as bigint),
+                    (a, x) -> (a * 31 + x) % $P) as band_hash))"""))
+      .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
+
+  /** Register a batch's signatures + bands in ONE commit (generation =
+    * the batch's own marker). Works for the initial build and every
+    * subsequent append — the index IS its own incremental state. */
+  def append(spark: SparkSession, warehouse: String, docs: DataFrame,
+      generation: Long = 0L): Long = {
+    val sigs = signatures(docs.select(col("doc_id"), col("text")))
+    val adds =
+      TxLog.stageWrite(sigs, warehouse, SigTable, Nil, generation) ++
+        TxLog.stageWrite(bands(sigs), warehouse, BandTable, Nil, generation)
+    TxLog.commit(spark, warehouse, adds)
+  }
+
+  /** Near-dup pairs a new batch introduces against the indexed corpus AND
+    * within itself — `(doc_a, doc_b, est_jaccard)` with doc_a < doc_b,
+    * the q25 row shape restricted to pairs touching the batch. The batch
+    * is NOT yet indexed ([[append]] afterwards if accepted — the
+    * gate-then-admit ingest order).
+    *
+    * Scale shape: batch bands join stored bands on (band, band_hash) —
+    * shuffle ∝ batch + colliding buckets; the intra-batch self-join is
+    * batch-sized; signatures hydrate the (small) candidate set.
+    */
+  def checkBatch(spark: SparkSession, warehouse: String, docs: DataFrame): DataFrame = {
+    val batchSigs = signatures(docs.select(col("doc_id"), col("text"))).persist()
+    val batchBands = bands(batchSigs)
+    // an unbuilt index gates the FIRST batch too: intra-batch pairs only
+    def orEmpty(table: String, like: DataFrame) =
+      try TxLog.read(spark, warehouse, table)
+      catch { case _: org.apache.spark.sql.AnalysisException => like.limit(0) }
+    val stored = orEmpty(BandTable, batchBands)
+    val storedSigs = orEmpty(SigTable, batchSigs)
+    // batch × corpus candidates (either orientation) + batch × batch
+    val vsCorpus = batchBands.as("n")
+      .join(stored.as("o").hint("shuffle_hash"),
+        col("n.band") === col("o.band") && col("n.band_hash") === col("o.band_hash") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val intra = batchBands.as("a")
+      .join(batchBands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = vsCorpus.unionByName(intra).distinct()
+    val allSigs = storedSigs.unionByName(batchSigs)
+      // a doc present in both (re-submitted batch) keeps one signature —
+      // the math is content-deterministic, so either copy is identical
+      .groupBy("doc_id").agg(first("sig").as("sig"))
+    val out = cand
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (s, v) -> s + v)")
+          .cast("double") / 16, 6).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+    graft.queries.Catalog.materializeAndRelease(out, batchSigs)
+  }
+}

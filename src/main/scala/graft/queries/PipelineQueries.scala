@@ -946,6 +946,82 @@ object PipelineQueries {
         SELECT a.id AS id_a, b.id AS id_b
         FROM ids a JOIN ids b ON a.id < b.id AND a.id % 5 = b.id % 5
         ORDER BY id_a, id_b"""),
-      doc = "MJPEG-AVI video near-dup: container parse + frame sample + per-frame dHash + majority vote")
+      doc = "MJPEG-AVI video near-dup: container parse + frame sample + per-frame dHash + majority vote"),
+
+    QueryDef(
+      "q122_drift_psi",
+      (s, d) => {
+        // Corpus drift detection: Population Stability Index between two
+        // corpus snapshots (here the deterministic doc_id-parity split —
+        // in production, yesterday's corpus vs today's), the standard
+        // monitoring op for a training-data pipeline: a new crawl batch
+        // whose length/language mix shifts past a PSI threshold gets
+        // quarantined before it skews a training run. Two features per
+        // doc: n_chars binned to fixed 100-char buckets (capped at 9 —
+        // fixed edges, so bins are comparable across snapshots) and the
+        // lang code. Laplace smoothing (+0.5 per bin over the feature's
+        // FULL bin set) keeps empty bins finite and both engines
+        // rational-exact up to the final ln (rounded 6 dp).
+        // Scale shape: two keyed aggregations (feature×bin×slice counts,
+        // feature×slice totals) + a broadcast join of bin-set sizes —
+        // everything after the scan is bin-cardinality-sized.
+        val feats = table(s, d, "documents")
+          .withColumn("slice", (col("doc_id") % 2).cast("int"))
+          .select(col("slice"), expr(
+            """stack(2,
+               'n_chars', cast(least(cast(n_chars div 100 as int), 9) as string),
+               'lang', lang) as (feature, bin)"""))
+        val counts = feats.groupBy("feature", "bin", "slice").count()
+        val binSets = feats.select("feature", "bin").distinct()
+          .groupBy("feature").agg(count(lit(1)).as("n_bins"))
+        val totals = feats.groupBy("feature", "slice").count()
+          .withColumnRenamed("count", "total")
+        val full = feats.select("feature", "bin").distinct()
+          .join(feats.select("slice").distinct())
+          .join(counts, Seq("feature", "bin", "slice"), "left")
+          .na.fill(0L, Seq("count"))
+          .join(totals, Seq("feature", "slice"))
+          .join(broadcast(binSets), Seq("feature"))
+          .withColumn("p", (col("count") + lit(0.5)) /
+            (col("total") + lit(0.5) * col("n_bins")))
+        val ref = full.filter(col("slice") === 0)
+          .select(col("feature"), col("bin"), col("p").as("p_ref"))
+        val cand = full.filter(col("slice") === 1)
+          .select(col("feature"), col("bin"), col("p").as("p_cand"))
+        ref.join(cand, Seq("feature", "bin"))
+          .select(col("feature"), col("bin"),
+            round(col("p_ref"), 6).as("p_ref"),
+            round(col("p_cand"), 6).as("p_cand"),
+            round((col("p_cand") - col("p_ref")) *
+              log(col("p_cand") / col("p_ref")), 6).as("psi_contrib"))
+          .orderBy("feature", "bin")
+      },
+      Some("""
+        WITH feats AS (
+          SELECT CAST(doc_id % 2 AS INT) AS slice, f.feature, f.bin
+          FROM documents,
+               LATERAL (VALUES ('n_chars', CAST(least(CAST(n_chars // 100 AS INT), 9) AS VARCHAR)),
+                               ('lang', lang)) AS f(feature, bin)),
+             counts AS (SELECT feature, bin, slice, count(*) AS cnt
+                        FROM feats GROUP BY 1, 2, 3),
+             bins AS (SELECT DISTINCT feature, bin FROM feats),
+             binsets AS (SELECT feature, count(*) AS n_bins FROM bins GROUP BY 1),
+             totals AS (SELECT feature, slice, count(*) AS total
+                        FROM feats GROUP BY 1, 2),
+             probs AS (
+               SELECT b.feature, b.bin, s.slice,
+                      (coalesce(c.cnt, 0) + 0.5) / (t.total + 0.5 * bs.n_bins) AS p
+               FROM bins b
+               CROSS JOIN (SELECT DISTINCT slice FROM feats) s
+               LEFT JOIN counts c ON c.feature = b.feature AND c.bin = b.bin AND c.slice = s.slice
+               JOIN totals t ON t.feature = b.feature AND t.slice = s.slice
+               JOIN binsets bs ON bs.feature = b.feature)
+        SELECT r.feature AS feature, r.bin AS bin,
+               round(r.p, 6) AS p_ref, round(c.p, 6) AS p_cand,
+               round((c.p - r.p) * ln(c.p / r.p), 6) AS psi_contrib
+        FROM probs r JOIN probs c ON r.feature = c.feature AND r.bin = c.bin
+        WHERE r.slice = 0 AND c.slice = 1
+        ORDER BY r.feature, r.bin"""),
+      doc = "corpus drift: per-bin PSI contributions between two snapshot slices (length + language mix)")
   )
 }

@@ -1,0 +1,77 @@
+package graft.ingest
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental near-dup index: a batch check against the persisted index
+  * must produce exactly the q25 batch operator's pairs restricted to the
+  * batch, the index must accumulate across appends, and each append must
+  * be one atomic commit spanning both tables.
+  */
+class NearDupIndexSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("checkBatch == q25 pairs touching the batch; index accumulates across appends") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    val old = docsDf.filter(col("doc_id") < 300)
+    val batch = docsDf.filter(col("doc_id") >= 300)
+    // index the old corpus in TWO appends — accumulation is part of the pin
+    NearDupIndex.append(spark, wh, old.filter(col("doc_id") < 150), generation = 0)
+    NearDupIndex.append(spark, wh, old.filter(col("doc_id") >= 150), generation = 1)
+
+    val got = NearDupIndex.checkBatch(spark, wh, batch)
+      .as[(Long, Long, Double)].collect().toSet
+
+    // ground truth: the full-corpus batch operator, restricted to pairs
+    // with at least one endpoint in the new batch
+    val full = graft.queries.Catalog.queries("q25_minhash_lsh")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter { case (a, b, _) => a >= 300 || b >= 300 }
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"diff: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    // and none of the old-only pairs leaked in
+    assert(!got.exists { case (a, b, _) => a < 300 && b < 300 })
+  }
+
+  test("first batch against an unbuilt index yields intra-batch pairs only") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ndidx0").toString
+    val batch = docsDf.filter(col("doc_id") < 100)
+    val got = NearDupIndex.checkBatch(spark, wh, batch)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.queries.Catalog.queries("q25_minhash_lsh")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter { case (a, b, _) => a < 100 && b < 100 }
+    assert(got == expected)
+  }
+
+  test("re-submitted documents pair with the corpus but never with themselves") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ndidx2").toString
+    val corpus = docsDf.filter(col("doc_id") < 200)
+    NearDupIndex.append(spark, wh, corpus)
+    // re-submit an indexed slice verbatim: identical ids, identical text
+    val resubmit = docsDf.filter(col("doc_id") < 50)
+    val got = NearDupIndex.checkBatch(spark, wh, resubmit)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!got.exists { case (a, b, _) => a == b }, "self-pairs must not appear")
+    // every reported pair touches the re-submitted slice
+    assert(got.forall { case (a, b, _) => a < 50 || b < 50 })
+  }
+
+  test("append is one atomic commit: both tables land at the same version") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ndidx3").toString
+    val v = NearDupIndex.append(spark, wh, docsDf.filter(col("doc_id") < 50))
+    val sigFeed = graft.store.TxLog.readChanges(spark, wh, NearDupIndex.SigTable, -1L)
+      .select("_commit_version").distinct().as[Long].collect().toSeq
+    val bandFeed = graft.store.TxLog.readChanges(spark, wh, NearDupIndex.BandTable, -1L)
+      .select("_commit_version").distinct().as[Long].collect().toSeq
+    assert(sigFeed == Seq(v) && bandFeed == Seq(v))
+  }
+}
