@@ -126,7 +126,8 @@ object TxLog {
   final case class Snapshot(version: Long, live: Map[String, Seq[(String, Long)]],
       stats: Map[(String, String), Map[String, ColStat]] = Map.empty,
       blooms: Map[(String, String), Map[String, String]] = Map.empty,
-      schemas: Map[String, String] = Map.empty) {
+      schemas: Map[String, String] = Map.empty,
+      tagged: Map[String, Long] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
@@ -178,7 +179,8 @@ object TxLog {
     */
   def commit(spark: SparkSession, warehouse: String,
       adds: Seq[Add], removes: Seq[Remove] = Nil,
-      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Long =
+      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
+      tags: Map[String, Long] = Map.empty): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
@@ -215,6 +217,9 @@ object TxLog {
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
     schemas.toSeq.sortBy(_._1).foreach { case (table, st) =>
       body ++= s"schema\t$table\t${esc(st.json)}\n"
+    }
+    tags.toSeq.sortBy(_._1).foreach { case (name, v) =>
+      body ++= s"tag\t${esc(name)}\t$v\n"
     }
     adds.foreach { a =>
       body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n"
@@ -287,6 +292,7 @@ object TxLog {
     val fileBlooms =
       scala.collection.mutable.LinkedHashMap[(String, String), Map[String, String]]()
     val tableSchemas = scala.collection.mutable.LinkedHashMap[String, String]()
+    val tagMap = scala.collection.mutable.LinkedHashMap[String, Long]()
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
@@ -304,6 +310,7 @@ object TxLog {
             live.remove((table, rel)); fileStats.remove((table, rel))
             fileBlooms.remove((table, rel))
           case Array("schema", table, js) => tableSchemas(table) = unesc(js)
+          case Array("tag", name, tv) => tagMap(unesc(name)) = tv.toLong
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -311,7 +318,7 @@ object TxLog {
     }
     Snapshot(version, live.toSeq.groupBy(_._1._1)
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
-      fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap)
+      fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap)
   }
 
   /** Read one table at the log's current snapshot. Falls back to a plain
@@ -583,6 +590,65 @@ object TxLog {
         .filter(col(column).between(lit(lo), lit(hi))).limit(0)
     spark.read.option("basePath", s"$warehouse/$table").parquet(kept: _*)
       .filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):
+    * roll the whole warehouse's live file set back to what `toVersion`
+    * saw, AS A NEW COMMIT — history is never rewritten, so the botched
+    * versions stay inspectable (and re-restorable) until vacuum. Adds
+    * re-register the old snapshot's files (with their logged generation/
+    * stats/blooms), removes drop everything the old snapshot didn't
+    * know. Fails cleanly — before claiming a version — if vacuum already
+    * reclaimed any file the target snapshot needs. The logged SCHEMA is
+    * NOT rolled back: evolution is additive-only, so the old files read
+    * fine under the latest schema (new columns null-fill), and rolling
+    * schema back would be a drop the evolution guard exists to prevent.
+    */
+  def restore(spark: SparkSession, warehouse: String, toVersion: Long): Long = {
+    val f = fs(spark, warehouse)
+    val cur = snapshot(spark, warehouse)
+    val old = snapshot(spark, warehouse, toVersion)
+    require(old.version == toVersion,
+      s"txlog: version $toVersion does not exist (log is at ${cur.version})")
+    val missing = old.live.toSeq.flatMap { case (table, files) =>
+      files.collect { case (rel, _)
+        if !f.exists(new Path(new Path(warehouse, table), rel)) => s"$table/$rel" }
+    }
+    require(missing.isEmpty,
+      s"txlog: cannot restore to $toVersion — vacuum already reclaimed: " +
+        missing.mkString(", "))
+    val oldSet = old.live.toSeq.flatMap { case (t, fsq) => fsq.map { case (r, g) => ((t, r), g) } }.toMap
+    val curSet = cur.live.toSeq.flatMap { case (t, fsq) => fsq.map { case (r, _) => (t, r) } }.toSet
+    val adds = oldSet.collect { case ((t, r), g) if !curSet.contains((t, r)) =>
+      Add(t, r, g, old.statsOf(t, r), old.bloomsOf(t, r))
+    }.toSeq
+    val removes = curSet.collect { case (t, r) if !oldSet.contains((t, r)) =>
+      Remove(t, r)
+    }.toSeq
+    val v = commit(spark, warehouse, adds, removes)
+    old.live.keys.foreach(t => spark.catalog.refreshByPath(s"$warehouse/$t"))
+    org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+    v
+  }
+
+  /** Name a version (the Iceberg tag/ref model, as a log action): tags
+    * ride commits, so creating one bumps the version and replays with
+    * the log. `readTagged` resolves the name at read time. Re-tagging a
+    * name moves it (last writer wins in version order). */
+  def tag(spark: SparkSession, warehouse: String, name: String, version: Long): Long = {
+    require(!name.contains('\t') && !name.contains('\n'), "txlog: tag name must be flat")
+    commit(spark, warehouse, Nil, Nil, tags = Map(name -> version))
+  }
+
+  def tags(spark: SparkSession, warehouse: String): Map[String, Long] =
+    snapshot(spark, warehouse).tagged
+
+  def readTagged(spark: SparkSession, warehouse: String, table: String,
+      tagName: String): DataFrame = {
+    val t = tags(spark, warehouse)
+    require(t.contains(tagName),
+      s"txlog: no tag '$tagName' (have: ${t.keys.toSeq.sorted.mkString(", ")})")
+    read(spark, warehouse, table, atVersion = t(tagName))
   }
 
   /** Rewrite `table` down to `view(currentData)` in ONE commit: add the

@@ -355,6 +355,48 @@ class TxLogSpec extends AnyFunSuite {
     assert(empty.columns.contains("_commit_version") && empty.columns.contains("id"))
   }
 
+  test("restore rolls the live set back as a NEW commit; history stays readable") {
+    val wh = freshWh()
+    val v1 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 4L, 1), wh, "chunks", Seq("container_id"), 1))
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(5L to 9L, 2), wh, "chunks", Seq("container_id"), 2))
+    assert(TxLog.read(spark, wh, "chunks").count() == 10)
+    val vr = TxLog.restore(spark, wh, v1)
+    // live set is back to v1's five rows...
+    assert(TxLog.read(spark, wh, "chunks").count() == 5)
+    // ...via a NEW version: history is intact, the bad version inspectable
+    assert(vr > v1 + 1)
+    assert(TxLog.read(spark, wh, "chunks", atVersion = v1 + 1).count() == 10)
+    // restore of a restore: roll forward again
+    TxLog.restore(spark, wh, v1 + 1)
+    assert(TxLog.read(spark, wh, "chunks").count() == 10)
+    // restoring to a version vacuum reclaimed fails cleanly, no version burned
+    TxLog.compact(spark, wh, "chunks", Seq("container_id"))
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    val before = TxLog.snapshot(spark, wh).version
+    val e = intercept[IllegalArgumentException](TxLog.restore(spark, wh, v1))
+    assert(e.getMessage.contains("vacuum already reclaimed"))
+    assert(TxLog.snapshot(spark, wh).version == before)
+  }
+
+  test("tags name versions; reads resolve through them; re-tagging moves the name") {
+    val wh = freshWh()
+    val v1 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 4L, 1), wh, "chunks", Seq("container_id"), 1))
+    TxLog.tag(spark, wh, "baseline-corpus", v1)
+    val v2 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(5L to 9L, 2), wh, "chunks", Seq("container_id"), 2))
+    assert(TxLog.readTagged(spark, wh, "chunks", "baseline-corpus").count() == 5)
+    assert(TxLog.read(spark, wh, "chunks").count() == 10)
+    TxLog.tag(spark, wh, "baseline-corpus", v2) // move the name
+    assert(TxLog.readTagged(spark, wh, "chunks", "baseline-corpus").count() == 10)
+    assert(TxLog.tags(spark, wh) == Map("baseline-corpus" -> v2))
+    val e = intercept[IllegalArgumentException](
+      TxLog.readTagged(spark, wh, "chunks", "nope"))
+    assert(e.getMessage.contains("no tag"))
+  }
+
   test("schema evolution: added column null-fills old files; time travel sees the old shape") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
