@@ -1,0 +1,138 @@
+package graft.multimodal
+
+/** Constellation audio fingerprinting (Wang 2003, "An Industrial-Strength
+  * Audio Search Algorithm" — the published Shazam design): spectrogram
+  * PEAKS become (f1, f2, Δt) landmark hashes, and two clips match when
+  * many landmark hashes agree at a CONSISTENT time offset. This is the
+  * capability the whole-clip fingerprint (q92's `SpectralWavDecoder`)
+  * cannot provide: a clip embedded at a different position in its file
+  * (re-cut, padded, concatenated — the normal state of crawled audio)
+  * keeps its landmarks and their relative times, so the offset-aligned
+  * vote recovers the match while whole-clip features disagree.
+  *
+  * Determinism: peaks are per-band argmaxes gated on a fraction of the
+  * clip's global spectral maximum (no RNG, no adaptive state), landmark
+  * pairing is a fixed fanout over the time-ordered peak list, and the
+  * hash packs (f1, f2, Δt) into a long — identical audio bytes produce
+  * identical landmark multisets on every executor.
+  *
+  * 100 TB shape: landmark extraction is a per-row scalar riding the
+  * asset scan (O(frames·log frameSize) each); matching is an EQUI-JOIN
+  * on the landmark hash — the LSH band-join shape, work ∝ colliding
+  * hashes, never clip-pairs — followed by a keyed count per
+  * (a, b, offset) and a max-per-pair, all linear shuffles.
+  */
+object Constellation {
+
+  /** @param frameSize FFT frame (power of two)
+    * @param hop       frame advance in samples
+    * @param nBands    per-frame peak bands (one candidate peak per band)
+    * @param fanout    landmarks per anchor peak
+    * @param maxDt     pairing window in frames
+    * @param gate      peak must exceed gate × the clip's max bin power */
+  final case class Params(
+      frameSize: Int = 512, hop: Int = 256, nBands: Int = 4,
+      fanout: Int = 5, maxDt: Int = 16, gate: Double = 1e-4)
+
+  /** One spectrogram peak: frame index + frequency bin. */
+  final case class Peak(t: Int, bin: Int, power: Double)
+
+  /** One landmark: packed (f1, f2, Δt) hash + its anchor frame. */
+  final case class Landmark(hash: Long, t: Int)
+
+  /** Spectrogram peaks: per frame, the argmax bin of each of `nBands`
+    * equal bin ranges (DC excluded), kept when it clears the global
+    * gate. Scale-invariant by construction — scaling every sample by c
+    * scales every bin power by c², leaving argmaxes and the RELATIVE
+    * gate untouched. */
+  def peaks(samples: Array[Double], p: Params = Params()): Vector[Peak] = {
+    if (samples.length < p.frameSize) return Vector.empty
+    val nFrames = (samples.length - p.frameSize) / p.hop + 1
+    val spectra = new Array[Array[Double]](nFrames)
+    var globalMax = 0.0
+    var t = 0
+    while (t < nFrames) {
+      val frame = java.util.Arrays.copyOfRange(
+        samples, t * p.hop, t * p.hop + p.frameSize)
+      val pow = Dsp.powerSpectrum(frame)
+      spectra(t) = pow
+      var k = 1
+      while (k < pow.length) { if (pow(k) > globalMax) globalMax = pow(k); k += 1 }
+      t += 1
+    }
+    if (globalMax <= 0.0) return Vector.empty
+    val out = Vector.newBuilder[Peak]
+    val nBins = p.frameSize / 2 // usable bins 1..nBins
+    val bandWidth = math.max(1, nBins / p.nBands)
+    t = 0
+    while (t < nFrames) {
+      val pow = spectra(t)
+      var b = 0
+      while (b < p.nBands) {
+        val lo = 1 + b * bandWidth
+        val hi = if (b == p.nBands - 1) nBins else math.min(nBins, lo + bandWidth - 1)
+        var best = lo; var bestP = 0.0
+        var k = lo
+        while (k <= hi) {
+          if (pow(k) > bestP) { bestP = pow(k); best = k }
+          k += 1
+        }
+        if (bestP > p.gate * globalMax) out += Peak(t, best, bestP)
+        b += 1
+      }
+      t += 1
+    }
+    out.result()
+  }
+
+  /** Pack (f1, f2, Δt) — bins < 2^12, Δt < 2^12 for any sane Params. */
+  def packHash(f1: Int, f2: Int, dt: Int): Long =
+    (f1.toLong << 24) | (f2.toLong << 12) | dt.toLong
+
+  /** Landmarks: each peak anchors pairs with the next `fanout` peaks
+    * within `maxDt` frames (time-ordered, ties by bin — deterministic). */
+  def landmarks(samples: Array[Double], p: Params = Params()): Vector[Landmark] = {
+    val ps = peaks(samples, p).sortBy(pk => (pk.t, pk.bin))
+    val out = Vector.newBuilder[Landmark]
+    var i = 0
+    while (i < ps.length) {
+      val a = ps(i)
+      var paired = 0
+      var j = i + 1
+      while (j < ps.length && paired < p.fanout && ps(j).t - a.t <= p.maxDt) {
+        val b = ps(j)
+        if (b.t > a.t) { // same-frame peaks are not landmarks
+          out += Landmark(packHash(a.bin, b.bin, b.t - a.t), a.t)
+          paired += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Landmarks straight from WAV bytes (16-bit PCM mono path), via the
+    * same RIFF parser the other audio features use. */
+  def wavLandmarks(bytes: Array[Byte], p: Params = Params()): Either[String, Vector[Landmark]] =
+    Multimodal.parseWav(bytes).map { pcm =>
+      landmarks(pcm.samples.map(_.toDouble / 32768.0), p)
+    }
+
+  /** Offset-aligned match score between two landmark sets: the size of
+    * the largest group of shared hashes agreeing on ONE anchor-time
+    * offset (the Wang histogram peak). Scalar twin of the Spark join —
+    * used by specs and small-N paths; the distributed form is an
+    * equi-join on hash + count by (pair, offset) + max. */
+  def matchScore(a: Seq[Landmark], b: Seq[Landmark]): Int = {
+    val byHash = b.groupBy(_.hash)
+    val votes = scala.collection.mutable.Map[Int, Int]()
+    a.foreach { la =>
+      byHash.get(la.hash).foreach(_.foreach { lb =>
+        val off = la.t - lb.t
+        votes(off) = votes.getOrElse(off, 0) + 1
+      })
+    }
+    if (votes.isEmpty) 0 else votes.values.max
+  }
+}

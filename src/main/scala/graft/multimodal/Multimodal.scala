@@ -92,6 +92,36 @@ object Multimodal {
     bb.array()
   }
 
+  /** Synthesize a WAV of concatenated tones (`freqs` Hz, `toneSamples`
+    * each) after `padSamples` of leading silence — the time-structured
+    * fixture the constellation fingerprint needs (a pure sine has one
+    * eternal peak; a melody has a constellation). */
+  def synthMelodyWav(freqs: Seq[Double], toneSamples: Int,
+      sampleRate: Int = 8000, amplitude: Double = 0.5,
+      padSamples: Int = 0): Array[Byte] = {
+    val n = padSamples + freqs.length * toneSamples
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < padSamples) { bb.putShort(0); i += 1 }
+    freqs.foreach { hz =>
+      var j = 0
+      while (j < toneSamples) {
+        bb.putShort((amplitude * 32767 *
+          math.sin(2 * math.Pi * hz * j / sampleRate)).toShort)
+        j += 1
+      }
+    }
+    bb.array()
+  }
+
   /** Parsed 16-bit PCM payload shared by the WAV decoders. */
   private[multimodal] final case class Pcm(
       channels: Int, sampleRate: Long, bits: Int,

@@ -1022,6 +1022,66 @@ object PipelineQueries {
         FROM probs r JOIN probs c ON r.feature = c.feature AND r.bin = c.bin
         WHERE r.slice = 0 AND c.slice = 1
         ORDER BY r.feature, r.bin"""),
-      doc = "corpus drift: per-bin PSI contributions between two snapshot slices (length + language mix)")
+      doc = "corpus drift: per-bin PSI contributions between two snapshot slices (length + language mix)"),
+
+    QueryDef(
+      "q123_audio_constellation",
+      (s, d) => {
+        // TIME-SHIFT-ROBUST audio near-dup via constellation landmarks
+        // (multimodal/Constellation, the published Shazam design) — the
+        // case q92's whole-clip fingerprints cannot catch: each doc
+        // synthesizes its class melody (class = doc_id % 8, 8 tones)
+        // embedded after (doc_id div 8) × 512 samples of leading
+        // silence at a doc-varying amplitude, so same-class docs are
+        // SHIFTED copies, never byte-identical. Landmarks (f1, f2, Δt
+        // packed) survive the shift with anchors displaced by a
+        // constant; the match is an equi-join on the landmark hash +
+        // a count per (pair, anchor offset) + max-per-pair >= 60 — the
+        // offset-aligned vote (measured: same-class aligned votes >= 149,
+        // cross-class <= 11 at gate 0.01 — the gate keeps Hann sidelobe /
+        // tone-boundary-click pseudo-peaks out of the constellation; the
+        // melody uses a QUADRATIC tone formula because any linear-step
+        // modular melody makes every pitch shift a time shift of one
+        // shared cyclic orbit, which a shift-robust matcher correctly —
+        // and fatally for the oracle — matches across classes). DuckDB predicts the exact pair set from
+        // doc_id arithmetic; the whole DSP + join pipeline must earn
+        // hash equality. Scale: landmark extraction rides the scan,
+        // the join shuffles on the hash (work ∝ colliding landmarks,
+        // never clip-pairs), votes are keyed aggregations.
+        import s.implicits._
+        val lms = table(s, d, "documents")
+          .select(col("doc_id").cast("long")).filter(col("doc_id") < 80)
+          .as[Long]
+          .flatMap { id =>
+            val cls = (id % 8).toInt
+            val freqs = (0 until 8).map(j =>
+              250.0 * math.pow(1.17, ((cls * 31 + j * 17 + j * j * 5) % 13).toDouble))
+            val amp = 0.2 + (id % 5) * 0.15
+            val wav = graft.multimodal.Multimodal.synthMelodyWav(
+              freqs, 1024, 8000, amp, padSamples = ((id / 8) % 10).toInt * 512)
+            graft.multimodal.Constellation.wavLandmarks(wav,
+                graft.multimodal.Constellation.Params(gate = 0.01))
+              .getOrElse(Vector.empty)
+              .map(lm => (id, lm.hash, lm.t))
+          }.toDF("doc_id", "hash", "t")
+        lms.as("a")
+          .join(lms.as("b").hint("shuffle_hash"),
+            col("a.hash") === col("b.hash") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            (col("a.t") - col("b.t")).as("off"))
+          .agg(count(lit(1)).as("votes"))
+          .groupBy("id_a", "id_b")
+          .agg(max("votes").as("aligned"))
+          .filter(col("aligned") >= 60)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+                     FROM documents WHERE doc_id < 80)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
+        ORDER BY id_a, id_b"""),
+      doc = "constellation audio matching: shifted-clip near-dup via offset-aligned landmark votes")
   )
 }

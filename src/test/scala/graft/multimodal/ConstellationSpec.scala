@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Constellation fingerprints: time-shift invariance (the property the
+  * whole-clip fingerprint lacks), amplitude invariance, melody
+  * separation, determinism, and the WAV error channel.
+  */
+class ConstellationSpec extends AnyFunSuite {
+
+  private val rate = 8000
+  private val tone = 1024
+
+  private def melody(seed: Int): Seq[Double] =
+    (0 until 8).map(j => 250.0 * math.pow(1.17, ((seed * 5 + j * 3) % 13).toDouble))
+
+  private def lms(seed: Int, pad: Int, amp: Double = 0.5) =
+    Constellation.wavLandmarks(
+      Multimodal.synthMelodyWav(melody(seed), tone, rate, amp, pad)).toOption.get
+
+  test("same melody at different offsets matches far above cross-melody noise") {
+    val a = lms(1, 0)
+    val b = lms(1, 2560) // 10 hops later
+    val c = lms(2, 0)
+    val same = Constellation.matchScore(a, b)
+    val cross = math.max(Constellation.matchScore(a, c), Constellation.matchScore(b, c))
+    assert(same >= 20, s"shifted twin score $same")
+    assert(same >= 4 * math.max(1, cross), s"same=$same cross=$cross — no margin")
+  }
+
+  test("matching is amplitude-invariant (peaks are argmaxes under a relative gate)") {
+    val a = lms(3, 0, amp = 0.9)
+    val b = lms(3, 1280, amp = 0.1)
+    assert(Constellation.matchScore(a, b) >= 20)
+  }
+
+  test("landmark extraction is deterministic and shift moves anchors, not hashes") {
+    val a1 = lms(4, 0)
+    val a2 = lms(4, 0)
+    assert(a1 == a2)
+    val shifted = lms(4, 2560)
+    // the shifted clip shares most hash values; anchor times differ
+    val shared = a1.map(_.hash).toSet intersect shifted.map(_.hash).toSet
+    assert(shared.size >= 15, s"only ${shared.size} shared hashes")
+  }
+
+  test("silence yields no peaks; garbage bytes surface on the error channel") {
+    assert(Constellation.peaks(Array.fill(4096)(0.0)).isEmpty)
+    assert(Constellation.wavLandmarks(Array[Byte](1, 2, 3)).isLeft)
+  }
+
+  test("pack/unpack hash stays within the documented field widths") {
+    val h = Constellation.packHash(256, 255, 16)
+    assert(h == ((256L << 24) | (255L << 12) | 16L))
+    // distinct triples -> distinct hashes inside the field bounds
+    assert(Constellation.packHash(1, 2, 3) != Constellation.packHash(1, 3, 2))
+  }
+}
