@@ -765,7 +765,46 @@ object TextQueries {
           .orderBy("step")
       },
       Some(bpeReplayOracle(10)),
-      doc = "BPE vocabulary training oracled end-to-end: DuckDB replays all 10 merge iterations")
+      doc = "BPE vocabulary training oracled end-to-end: DuckDB replays all 10 merge iterations"),
+
+    QueryDef(
+      "q124_bm25",
+      (s, d) =>
+        // Okapi BM25 (search/Bm25, Robertson & Zaragoza 2009; Lucene +1
+        // idf floor) over the documents table for a 2-term query — the
+        // probabilistic rank next to q21's cover-density (proximity)
+        // rank. Fully SQL-expressible, so DuckDB recomputes the whole
+        // formula (idf, tf saturation, length normalization) from the
+        // same tokenization. Two terms keep the per-doc sum a single
+        // commutative addition (engine-order-proof); 6 dp rounding
+        // absorbs ln() ulp differences. Scale: explode + keyed (doc,
+        // term) count with the IN filter pushed into the map side, a
+        // term-sized df aggregate, ONE broadcast stats row — no window,
+        // no self-join.
+        graft.search.Bm25.scores(
+          table(s, d, "documents")
+            .withColumn("toks", expr(toksSpark("text"))),
+          "doc_id", "toks", Seq("spark", "join"))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(25),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${toksDuck("text")} toks FROM documents),
+             base AS (SELECT doc_id, len(toks) dl, toks FROM t),
+             stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(dl) avgdl FROM base),
+             tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) tf
+                    FROM (SELECT doc_id, dl, unnest(toks) term FROM base)
+                    WHERE term IN ('spark', 'join')
+                    GROUP BY doc_id, dl, term),
+             df AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY term)
+        SELECT tf.doc_id AS doc_id,
+               round(sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 /
+                         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6) AS score
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id LIMIT 25"""),
+      doc = "Okapi BM25 ranking (idf + tf saturation + length norm), fully DuckDB-recomputed")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are

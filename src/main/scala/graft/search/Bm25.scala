@@ -1,0 +1,59 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking (Robertson & Zaragoza 2009, the published Okapi form with
+  * the Lucene +1 idf floor) as a reusable DataFrame operator — the
+  * probabilistic complement to the engine's cover-density rank (F5):
+  * cover-density rewards term PROXIMITY inside a chunk (the reference's
+  * web-search semantics, ref TextSearchService.cs); BM25 rewards term
+  * RARITY and saturating frequency with length normalization — the
+  * default ranking of every mainstream full-text engine and the standard
+  * retrieval baseline in data-pipeline evaluation (e.g. retrieval-
+  * augmented dedup / decontamination scoring).
+  *
+  * Scale shape: one explode + keyed (doc, term) count with the term IN
+  * filter pushed beneath it (only query-term rows survive the map side),
+  * a term-cardinality-sized df aggregate, and ONE broadcast row of
+  * corpus stats (N, avgdl) — the broadcast-stats pattern the fusion
+  * normalizers use; no per-doc window, no self-join. Work past the scan
+  * is proportional to query-term postings, exactly like the postings
+  * leg.
+  */
+object Bm25 {
+
+  /** Per-document BM25 scores of `terms` over `docs(idCol, tokensCol)`.
+    * Documents matching no term are absent (score 0 by convention).
+    * Returns (idCol, score). */
+  def scores(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty term set")
+    val base = docs.select(col(idCol), col(tokensCol).as("_toks"))
+      .withColumn("_dl", size(col("_toks")))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(col("_dl")).as("_avgdl"))
+    val tf = base
+      .select(col(idCol), col("_dl"), explode(col("_toks")).as("_term"))
+      .filter(col("_term").isin(terms: _*))
+      .groupBy(col(idCol), col("_dl"), col("_term"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val df = tf.groupBy("_term").agg(count(lit(1)).cast("double").as("_df"))
+    tf.join(broadcast(df), "_term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s",
+        col("_idf") * col("_tf") * (lit(k1) + 1.0) /
+          (col("_tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum("_s").as("score"))
+  }
+}

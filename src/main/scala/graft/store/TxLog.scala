@@ -673,6 +673,36 @@ object TxLog {
     v
   }
 
+  /** Small-file policy (the "optimize when fragmented" trigger every
+    * streaming-append table needs): compact `table` only when its live
+    * file count exceeds `maxFiles`. Streaming upserts write a few files
+    * per micro-batch; left alone, a month of batches is tens of
+    * thousands of tiny files and every scan pays per-file open cost —
+    * the classic small-file problem. Calling this on the compaction
+    * cadence (or after every N batches) keeps the file count bounded
+    * while skipping the data-sized rewrite when the table is healthy.
+    * Returns the commit version when compaction ran, None when the
+    * table was under budget (no version burned, no data touched).
+    */
+  def compactIfFragmented(spark: SparkSession, warehouse: String, table: String,
+      partitionBy: Seq[String], maxFiles: Int,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Option[Long] = {
+    val n = snapshot(spark, warehouse).files(table).size
+    if (n <= maxFiles) None
+    else {
+      // consolidating view: cluster the rewrite by the partition columns
+      // (one task -> one file per partition value) instead of inheriting
+      // the fragmented input's task layout — without this the rewrite
+      // can emit as many files as it read
+      import org.apache.spark.sql.functions.col
+      val consolidate: DataFrame => DataFrame =
+        if (partitionBy.isEmpty) _.coalesce(1)
+        else _.repartition(partitionBy.map(col): _*)
+      Some(compact(spark, warehouse, table, partitionBy, view = consolidate,
+        statsCols = statsCols, bloomCols = bloomCols))
+    }
+  }
+
   /** Physically delete files under the warehouse's table dirs that the
     * current snapshot does not reference (compaction leftovers, crashed
     * writers' staging output) and are older than `retentionMs`. The

@@ -1,0 +1,59 @@
+package graft.search
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 ranking properties (the oracle pins the exact numbers; this pins
+  * the semantics a reader expects of the formula).
+  */
+class Bm25Spec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, Seq[String])*) =
+    rows.toSeq.toDF("doc_id", "toks")
+
+  private def scoresOf(df: org.apache.spark.sql.DataFrame, terms: String*) =
+    Bm25.scores(df, "doc_id", "toks", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("rare terms outweigh common terms at equal tf and length") {
+    val df = corpus(
+      (1L, Seq("rare", "x", "y", "z")),
+      (2L, Seq("common", "x", "y", "z")),
+      (3L, Seq("common", "a", "b", "c")),
+      (4L, Seq("common", "d", "e", "f")))
+    val s = scoresOf(df, "rare", "common")
+    assert(s(1L) > s(2L), s"rare ${s(1L)} should beat common ${s(2L)}")
+  }
+
+  test("term frequency saturates: doubling tf adds less than the first occurrence") {
+    val df = corpus(
+      (1L, Seq("t", "x", "y", "z", "u", "v")),
+      (2L, Seq("t", "t", "x", "y", "z", "u")),
+      (3L, Seq("t", "t", "t", "t", "x", "y")),
+      (4L, Seq("a", "b", "c", "d", "e", "f")))
+    val s = scoresOf(df, "t")
+    assert(s(2L) > s(1L) && s(3L) > s(2L))
+    assert(s(2L) - s(1L) < s(1L), "second occurrence must add less than the first")
+  }
+
+  test("length normalization: same tf in a shorter doc scores higher") {
+    val df = corpus(
+      (1L, Seq("t", "x")),
+      (2L, Seq("t") ++ (1 to 20).map(i => s"w$i")),
+      (3L, Seq("a", "b", "c")))
+    val s = scoresOf(df, "t")
+    assert(s(1L) > s(2L))
+  }
+
+  test("docs matching no term are absent; multi-term scores add") {
+    val df = corpus(
+      (1L, Seq("t", "u")),
+      (2L, Seq("t", "x")),
+      (3L, Seq("a", "b")))
+    val s = scoresOf(df, "t", "u")
+    assert(!s.contains(3L))
+    assert(s(1L) > s(2L), "matching both terms must beat matching one")
+  }
+}

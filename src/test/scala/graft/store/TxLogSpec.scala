@@ -355,6 +355,28 @@ class TxLogSpec extends AnyFunSuite {
     assert(empty.columns.contains("_commit_version") && empty.columns.contains("id"))
   }
 
+  test("compactIfFragmented: no-op under budget, one-commit rewrite over it") {
+    val wh = freshWh()
+    (1 to 4).foreach { g =>
+      TxLog.commit(spark, wh,
+        TxLog.stageWrite(df(Seq(g.toLong), g.toLong).coalesce(1), wh, "chunks",
+          Seq("container_id"), g))
+    }
+    val nFiles = TxLog.snapshot(spark, wh).files("chunks").size
+    assert(nFiles >= 4)
+    val before = TxLog.snapshot(spark, wh).version
+    // under budget: nothing happens, no version burned
+    assert(TxLog.compactIfFragmented(spark, wh, "chunks",
+      Seq("container_id"), maxFiles = nFiles).isEmpty)
+    assert(TxLog.snapshot(spark, wh).version == before)
+    // over budget: one commit, fewer files, same rows
+    val v = TxLog.compactIfFragmented(spark, wh, "chunks",
+      Seq("container_id"), maxFiles = nFiles - 1)
+    assert(v.nonEmpty && v.get == before + 1)
+    assert(TxLog.snapshot(spark, wh).files("chunks").size < nFiles)
+    assert(TxLog.read(spark, wh, "chunks").count() == 4)
+  }
+
   test("restore rolls the live set back as a NEW commit; history stays readable") {
     val wh = freshWh()
     val v1 = TxLog.commit(spark, wh,
