@@ -361,6 +361,50 @@ object RelationalQueries {
         ORDER BY score DESC, user_id LIMIT 50"""),
       doc = "J3 hybrid fusion: normalize legs, full-outer merge, convex combine"),
 
+    QueryDef(
+      "q125_fusion_rrf",
+      (s, d) => {
+        // Reciprocal-rank fusion (Cormack et al. 2009 — the third fusion
+        // method next to q05's min-max and q11's DBSF, and the
+        // pgvector/Elasticsearch hybrid default): each leg's top-k is
+        // RRF-scored 1/(60 + rank) through the ACTUAL library operator
+        // (Fusion.normalizeRrf), then full-outer merged and summed.
+        // Rank-based scores are exact rationals, so the oracle is
+        // bit-stable. Scale: ranking happens AFTER each leg's top-k
+        // (TakeOrderedAndProject), so the rank window only ever sees
+        // k rows — the shape the scaladoc prescribes.
+        val e = table(s, d, "events")
+        def leg(tpe: String, out: String) = {
+          val top = e.filter(col("event_type") === tpe)
+            .groupBy(col("user_id")).agg(avg("value").as("raw"))
+            .orderBy(desc("raw"), col("user_id")).limit(25)
+            .withColumnRenamed("user_id", "chunk_id")
+          graft.search.Fusion.normalizeRrf(top, "raw", out)
+        }
+        leg("click", "nv").join(leg("view", "nk"), Seq("chunk_id"), "full_outer")
+          .select(col("chunk_id").as("user_id"),
+            round(coalesce(col("nv"), lit(0.0)) + coalesce(col("nk"), lit(0.0)), 6)
+              .as("score"),
+            when(col("nv").isNotNull && col("nk").isNotNull, "both")
+              .when(col("nv").isNotNull, "vector").otherwise("keyword").as("source"))
+          .orderBy(desc("score"), col("user_id"))
+          .limit(30)
+      },
+      Some("""
+        WITH v0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'click'
+                    GROUP BY 1 ORDER BY raw DESC, user_id LIMIT 25),
+             k0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'view'
+                    GROUP BY 1 ORDER BY raw DESC, user_id LIMIT 25),
+             v AS (SELECT user_id, 1.0 / (60 + row_number() OVER (ORDER BY raw DESC, user_id)) nv FROM v0),
+             k AS (SELECT user_id, 1.0 / (60 + row_number() OVER (ORDER BY raw DESC, user_id)) nk FROM k0)
+        SELECT coalesce(v.user_id, k.user_id) AS user_id,
+               round(coalesce(nv, 0.0) + coalesce(nk, 0.0), 6) AS score,
+               CASE WHEN nv IS NOT NULL AND nk IS NOT NULL THEN 'both'
+                    WHEN nv IS NOT NULL THEN 'vector' ELSE 'keyword' END AS source
+        FROM v FULL OUTER JOIN k ON v.user_id = k.user_id
+        ORDER BY score DESC, user_id LIMIT 30"""),
+      doc = "reciprocal-rank fusion: per-leg top-k ranks -> 1/(60+rank) -> full-outer sum"),
+
     // ---- W: window-function operators ------------------------------------
     QueryDef(
       "q13_window_lead",

@@ -40,9 +40,28 @@ object Fusion {
             lit(0.0)), lit(1.0))))
       .drop("_mu", "_sd", in)
 
+  /** Reciprocal-rank fusion normalization (Cormack, Clarke & Buettcher
+    * 2009 — the pgvector/Elasticsearch hybrid default): score =
+    * 1/(k + rank) with the standard k = 60, rank 1-based under
+    * (raw DESC, chunk_id ASC) — the legs' own ordering, so the scalar
+    * twin ranks by position. Rank is inherently a total order: the
+    * window is fine for the ≤2·topK fusion legs this normalizes; a
+    * full-table ranking should top-k FIRST (TakeOrderedAndProject),
+    * then fuse — which is how every battery/serving caller arrives
+    * here. */
+  val RrfK = 60.0
+
+  def normalizeRrf(df: DataFrame, in: String, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc(in), col("chunk_id"))
+    df.withColumn(out, lit(1.0) / (lit(RrfK) + row_number().over(w)))
+      .drop(in)
+  }
+
   def normalize(df: DataFrame, method: String, in: String, out: String): DataFrame =
     method.toLowerCase match {
       case "dbsf" => normalizeDbsf(df, in, out)
+      case "rrf" => normalizeRrf(df, in, out)
       case _ => normalizeMinMax(df, in, out)
     }
 
@@ -71,6 +90,10 @@ object Fusion {
     * path where legs are collected (<=200 rows) before fusion. */
   def normalizeSeq(scores: Seq[Double], method: String): Seq[Double] =
     method.toLowerCase match {
+      case "rrf" =>
+        // callers pass leg-sorted scores ((raw DESC, chunk_id) — the
+        // mergeTopK order), so rank is the 1-based position
+        scores.indices.map(i => 1.0 / (RrfK + i + 1))
       case "dbsf" =>
         val n = scores.length
         if (n == 0) return scores
@@ -979,9 +1002,15 @@ object HybridSearch {
     val vHits = Await.result(vectorF, Duration.Inf)
     val kHits = Await.result(keywordF, Duration.Inf)
 
-    // driver-side fusion (J3/A4/A5 on <=200 rows)
-    val nv = vHits.map(_.chunkId).zip(Fusion.normalizeSeq(vHits.map(_.raw), req.fusionMethod)).toMap
-    val nk = kHits.map(_.chunkId).zip(Fusion.normalizeSeq(kHits.map(_.raw), req.fusionMethod)).toMap
+    // driver-side fusion (J3/A4/A5 on <=200 rows). Legs are re-sorted to
+    // the canonical (raw DESC, chunk_id) order HERE: a DataFrame leg's
+    // orderBy().limit() does not guarantee collect() order, which the
+    // value-based normalizers never see but the rank-based one (RRF)
+    // would — ranks must come from the order, not the arrival.
+    val vSorted = vHits.sortBy(h => (-h.raw, h.chunkId))
+    val kSorted = kHits.sortBy(h => (-h.raw, h.chunkId))
+    val nv = vSorted.map(_.chunkId).zip(Fusion.normalizeSeq(vSorted.map(_.raw), req.fusionMethod)).toMap
+    val nk = kSorted.map(_.chunkId).zip(Fusion.normalizeSeq(kSorted.map(_.raw), req.fusionMethod)).toMap
     val byId = (vHits ++ kHits).map(h => h.chunkId -> h).toMap
     val collected = byId.values.map { h =>
       val v = nv.get(h.chunkId)

@@ -179,6 +179,7 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     val requests = Seq(
       SearchRequest("chunk overlap settings", "c1", topK = 5),
       SearchRequest("chunk overlap settings", "c1", topK = 5, fusionMethod = "dbsf"),
+      SearchRequest("chunk overlap settings", "c1", topK = 5, fusionMethod = "rrf"),
       SearchRequest("embedding dimension model", "c1", mode = "semantic", topK = 3),
       SearchRequest("run", "c1", mode = "keyword", topK = 10),
       SearchRequest("\"chunk overlap\"", "c1", mode = "keyword", topK = 10),

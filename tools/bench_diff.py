@@ -21,7 +21,15 @@ def load_queries(path):
         t = d["tail"]
         qpart = t[: t.index('},"sf"') + 1]
         if not qpart.lstrip().startswith('{"'):
-            qpart = '{"q01_' + qpart  # restore the clipped first key
+            # the FRONT clip can land anywhere — inside a key OR a value;
+            # drop everything up to the first complete `"key":value` pair,
+            # and stop at the queries object's own closing brace (newer
+            # artifacts carry "drift"/"errors" maps after it)
+            first = re.search(r'"q\d+[^"]*":', qpart)
+            if not first:
+                raise SystemExit(f"tail too truncated to recover in {path}")
+            qpart = "{" + qpart[first.start():]
+            qpart = qpart[: qpart.index("}") + 1] if "}" in qpart else qpart + "}"
         return json.loads(qpart)
     raise SystemExit(f"no queries found in {path}")
 
