@@ -1,0 +1,108 @@
+package graft.ingest
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+
+/** sitemaps.org XML parsing — the crawl frontier's SEED side, companion
+  * to [[RobotsTxt]]'s gate side (robots.txt's `Sitemap:` lines point
+  * here; the protocol at sitemaps.org/protocol.html is public and
+  * stable). Handles both document kinds:
+  *
+  *  - `<urlset>` — leaf sitemaps: per-URL `loc` (required), optional
+  *    `lastmod` (W3C datetime, parsed to epoch millis where valid),
+  *    `changefreq`, `priority` (clamped to [0,1] like the spec's range);
+  *  - `<sitemapindex>` — recursion: child sitemap `loc`s for the caller
+  *    to fetch (the 50k-URL/50MB caps in the protocol force large sites
+  *    into index files, so a frontier MUST walk them);
+  *  - gzip payloads (`.xml.gz` — the protocol's compressed form);
+  *  - the never-throws error channel of the other parsers: malformed XML
+  *    returns Left, per-entry defects (missing/blank loc, bad lastmod,
+  *    out-of-range priority) degrade that ENTRY, not the document.
+  *
+  * 100 TB shape: one sitemap = one task (same as WARC); entries feed the
+  * frontier as rows joining [[UrlCanonicalize]] + [[RobotsTxt]] exactly
+  * like discovered links — lastmod is the recrawl-scheduling signal
+  * (skip URLs whose lastmod predates the stored snapshot, the
+  * ConnectorDelta idea applied to the open web).
+  */
+object Sitemap {
+
+  final case class Entry(
+      loc: String,
+      lastmodMs: Option[Long],
+      changefreq: Option[String],
+      priority: Option[Double])
+
+  /** Leaf entries + child-sitemap locs (one of the two lists is empty
+    * for a well-formed document; both parse tolerantly). */
+  final case class Parsed(urls: Vector[Entry], childSitemaps: Vector[String])
+
+  private val ValidFreqs = Set(
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+  def parse(bytes: Array[Byte]): Either[String, Parsed] = {
+    val payload =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        try {
+          val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
+          try in.readAllBytes() finally in.close()
+        } catch { case e: Exception => return Left(s"gzip: ${e.getMessage}") }
+      else bytes
+    val doc =
+      try {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+        f.setXIncludeAware(false)
+        f.setExpandEntityReferences(false)
+        f.newDocumentBuilder().parse(new ByteArrayInputStream(payload))
+      } catch { case e: Exception => return Left(s"xml: ${e.getMessage}") }
+
+    def byLocal(n: org.w3c.dom.Node, local: String): Seq[org.w3c.dom.Element] = {
+      val out = Vector.newBuilder[org.w3c.dom.Element]
+      def walk(x: org.w3c.dom.Node): Unit = {
+        if (x.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
+          val e = x.asInstanceOf[org.w3c.dom.Element]
+          if (Option(e.getLocalName).getOrElse(e.getTagName) == local) out += e
+        }
+        var c = x.getFirstChild
+        while (c != null) { walk(c); c = c.getNextSibling }
+      }
+      walk(n)
+      out.result()
+    }
+    def childText(e: org.w3c.dom.Element, local: String): Option[String] =
+      byLocal(e, local).headOption.map(_.getTextContent.trim).filter(_.nonEmpty)
+
+    val root = doc.getDocumentElement
+    val rootName = Option(root.getLocalName).getOrElse(root.getTagName)
+    rootName match {
+      case "sitemapindex" =>
+        val kids = byLocal(root, "sitemap").flatMap(childText(_, "loc")).toVector
+        Right(Parsed(Vector.empty, kids))
+      case "urlset" =>
+        val urls = byLocal(root, "url").flatMap { u =>
+          childText(u, "loc").map { loc =>
+            Entry(loc,
+              childText(u, "lastmod").flatMap(parseW3cDatetime),
+              childText(u, "changefreq").map(_.toLowerCase).filter(ValidFreqs),
+              childText(u, "priority").flatMap(p =>
+                p.toDoubleOption.map(v => math.min(1.0, math.max(0.0, v)))))
+          }
+        }.toVector
+        Right(Parsed(urls, Vector.empty))
+      case other => Left(s"unexpected root element <$other>")
+    }
+  }
+
+  /** W3C datetime (the subset the protocol allows): YYYY-MM-DD or full
+    * ISO-8601 with offset. Invalid values become None, never a throw. */
+  private[ingest] def parseW3cDatetime(s: String): Option[Long] =
+    try {
+      if (s.length == 10) // date-only
+        Some(java.time.LocalDate.parse(s)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+      else
+        Some(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+}

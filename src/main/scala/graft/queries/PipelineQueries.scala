@@ -1082,6 +1082,77 @@ object PipelineQueries {
         SELECT a.id AS id_a, b.id AS id_b
         FROM ids a JOIN ids b ON a.id < b.id AND a.id % 8 = b.id % 8
         ORDER BY id_a, id_b"""),
-      doc = "constellation audio matching: shifted-clip near-dup via offset-aligned landmark votes")
+      doc = "constellation audio matching: shifted-clip near-dup via offset-aligned landmark votes"),
+
+    QueryDef(
+      "q127_sitemap_frontier",
+      (s, d) => {
+        // Crawl-frontier SEED pass, q91-style construct->parse round
+        // trip: each source builds a REAL sitemaps.org urlset (doc URLs
+        // + W3C lastmod dates derived from doc_id arithmetic), the real
+        // XML parser (ingest/Sitemap) must recover every entry, each
+        // URL passes the real RFC 9309 gate (ingest/RobotsTxt, one
+        // robots.txt per site disallowing /sec0/), and lastmod drives
+        // the RECRAWL decision against a stored-snapshot table (fetch
+        // when never crawled or modified since — ConnectorDelta's idea
+        // applied to the open web). DuckDB predicts every output column
+        // from the same doc_id arithmetic, so the XML envelope, the
+        // datetime parse, the robots match and the join must all earn
+        // hash equality. Scale: one sitemap = one task (mapGroups per
+        // site); the snapshot join is a keyed equi-join; robots is a
+        // per-row scalar against a broadcast-sized policy.
+        import s.implicits._
+        val robots = "User-agent: *\nDisallow: /sec0/\n"
+        val parsed = table(s, d, "documents")
+          .select(col("doc_id").cast("long"), col("source"))
+          .filter(col("doc_id") < 200)
+          .as[(Long, String)]
+          .groupByKey(_._2)
+          .flatMapGroups { (src, it) =>
+            val ids = it.map(_._1).toVector.sorted
+            val xml = new StringBuilder
+            xml ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+            xml ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+            ids.foreach { id =>
+              xml ++= s"<url><loc>https://$src.example/sec${id % 5}/doc$id</loc>"
+              xml ++= f"<lastmod>2026-01-${1 + id % 28}%02d</lastmod></url>\n"
+            }
+            xml ++= "</urlset>"
+            graft.ingest.Sitemap.parse(
+                xml.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .toOption.get.urls.map { e =>
+                val id = e.loc.split("/doc")(1).toLong
+                val path = e.loc.substring(e.loc.indexOf("/sec"))
+                (id, e.loc, e.lastmodMs.get,
+                  graft.ingest.RobotsTxt.isAllowed(robots, "graftbot", path))
+              }
+          }
+          .toDF("doc_id", "url", "lastmod_ms", "allowed")
+        // stored snapshot: even ids were crawled on day 1 + (id*3) % 28
+        val snapshot = table(s, d, "documents")
+          .select(col("doc_id").cast("long"))
+          .filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)
+          .withColumn("crawled_ms",
+            unix_timestamp(
+              concat(lit("2026-01-"),
+                lpad((lit(1) + (col("doc_id") * 3) % 28).cast("string"), 2, "0")),
+              "yyyy-MM-dd") * 1000)
+        parsed.join(snapshot, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("url"),
+            col("allowed").cast("int").as("allowed"),
+            (col("allowed") &&
+              (col("crawled_ms").isNull || col("lastmod_ms") > col("crawled_ms")))
+              .cast("int").as("fetch_due"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'https://' || source || '.example/sec' || (doc_id % 5) || '/doc' || doc_id AS url,
+               CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS allowed,
+               CASE WHEN doc_id % 5 <> 0 AND
+                         (doc_id % 2 = 1 OR doc_id % 28 > (doc_id * 3) % 28)
+                    THEN 1 ELSE 0 END AS fetch_due
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "crawl seed pass: real sitemap XML round-trip + robots gate + lastmod-vs-snapshot recrawl")
   )
 }

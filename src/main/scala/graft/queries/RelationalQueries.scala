@@ -405,6 +405,76 @@ object RelationalQueries {
         ORDER BY score DESC, user_id LIMIT 30"""),
       doc = "reciprocal-rank fusion: per-leg top-k ranks -> 1/(60+rank) -> full-outer sum"),
 
+    QueryDef(
+      "q126_table_profile",
+      (s, d) => {
+        // ANALYZE-style table profile — per-column null count, distinct
+        // count, and min/max in ONE scan (the warehouse-stats op every
+        // optimizer and data-quality gate consumes). The 100 TB path is
+        // approx_count_distinct (HLL: bounded memory, mergeable across
+        // partitions); the exact count-distincts here are the
+        // verification harness, and the q118 verdict pattern pins the
+        // sketch IN-QUERY: each approx must land within 5% of exact
+        // (HLL's default rsd is 5%; the oracle pins the flag to 1, so a
+        // sketch regression fails the hash compare). Numeric and string
+        // min/max ride separate typed columns — profiling never
+        // stringifies numerics (lexicographic "10" < "9" bugs).
+        val e = table(s, d, "events")
+        val prof = e.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("user_id").isNull.cast("long")).as("nn_user"),
+          countDistinct(col("user_id")).as("nd_user"),
+          approx_count_distinct(col("user_id")).as("ad_user"),
+          min("user_id").as("mn_user"), max("user_id").as("mx_user"),
+          sum(col("event_type").isNull.cast("long")).as("nn_type"),
+          countDistinct(col("event_type")).as("nd_type"),
+          approx_count_distinct(col("event_type")).as("ad_type"),
+          min("event_type").as("mn_type"), max("event_type").as("mx_type"),
+          sum(col("value").isNull.cast("long")).as("nn_value"),
+          countDistinct(col("value")).as("nd_value"),
+          approx_count_distinct(col("value")).as("ad_value"),
+          min("value").as("mn_value"), max("value").as("mx_value"))
+        prof.select(expr(
+          """stack(3,
+             'user_id', n_rows, nn_user, nd_user,
+               CASE WHEN abs(ad_user - nd_user) <= 0.05 * nd_user THEN 1 ELSE 0 END,
+               cast(mn_user as double), cast(mx_user as double),
+               cast(null as string), cast(null as string),
+             'event_type', n_rows, nn_type, nd_type,
+               CASE WHEN abs(ad_type - nd_type) <= 0.05 * nd_type THEN 1 ELSE 0 END,
+               cast(null as double), cast(null as double), mn_type, mx_type,
+             'value', n_rows, nn_value, nd_value,
+               CASE WHEN abs(ad_value - nd_value) <= 0.05 * nd_value THEN 1 ELSE 0 END,
+               round(mn_value, 6), round(mx_value, 6),
+               cast(null as string), cast(null as string))
+             as (column_name, n_rows, n_null, n_distinct, approx_ok,
+                 min_num, max_num, min_str, max_str)"""))
+          .orderBy("column_name")
+      },
+      Some("""
+        WITH p AS (SELECT count(*) n_rows,
+                          CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) nn_user,
+                          CAST(count(DISTINCT user_id) AS BIGINT) nd_user,
+                          min(user_id) mn_user, max(user_id) mx_user,
+                          CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) nn_type,
+                          CAST(count(DISTINCT event_type) AS BIGINT) nd_type,
+                          min(event_type) mn_type, max(event_type) mx_type,
+                          CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) nn_value,
+                          CAST(count(DISTINCT value) AS BIGINT) nd_value,
+                          min(value) mn_value, max(value) mx_value
+                   FROM events)
+        SELECT c.column_name, p.n_rows,
+               CASE c.column_name WHEN 'user_id' THEN nn_user WHEN 'event_type' THEN nn_type ELSE nn_value END AS n_null,
+               CASE c.column_name WHEN 'user_id' THEN nd_user WHEN 'event_type' THEN nd_type ELSE nd_value END AS n_distinct,
+               1 AS approx_ok,
+               CASE c.column_name WHEN 'user_id' THEN CAST(mn_user AS DOUBLE) WHEN 'value' THEN round(mn_value, 6) END AS min_num,
+               CASE c.column_name WHEN 'user_id' THEN CAST(mx_user AS DOUBLE) WHEN 'value' THEN round(mx_value, 6) END AS max_num,
+               CASE c.column_name WHEN 'event_type' THEN mn_type END AS min_str,
+               CASE c.column_name WHEN 'event_type' THEN mx_type END AS max_str
+        FROM p, (VALUES ('event_type'), ('user_id'), ('value')) c(column_name)
+        ORDER BY c.column_name"""),
+      doc = "ANALYZE-style one-scan column profile: nulls, distincts (exact + HLL verdict), typed min/max"),
+
     // ---- W: window-function operators ------------------------------------
     QueryDef(
       "q13_window_lead",

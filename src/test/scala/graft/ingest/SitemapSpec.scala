@@ -1,0 +1,66 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** sitemaps.org parsing: urlset entries with the optional fields, index
+  * recursion, gzip payloads, per-entry tolerance, and the error channel.
+  */
+class SitemapSpec extends AnyFunSuite {
+
+  private val urlset =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |<url><loc>https://example.com/</loc><lastmod>2026-01-15</lastmod>
+      |     <changefreq>daily</changefreq><priority>0.8</priority></url>
+      |<url><loc>https://example.com/a</loc>
+      |     <lastmod>2026-01-15T10:30:00+02:00</lastmod></url>
+      |<url><loc>https://example.com/b</loc><lastmod>not-a-date</lastmod>
+      |     <changefreq>sometimes</changefreq><priority>7</priority></url>
+      |<url><priority>0.5</priority></url>
+      |</urlset>""".stripMargin.getBytes(StandardCharsets.UTF_8)
+
+  test("urlset: entries parse; bad lastmod/changefreq/priority degrade per entry") {
+    val p = Sitemap.parse(urlset).toOption.get
+    assert(p.childSitemaps.isEmpty)
+    assert(p.urls.map(_.loc) ==
+      Vector("https://example.com/", "https://example.com/a", "https://example.com/b"))
+    val Vector(a, b, c) = p.urls
+    assert(a.lastmodMs.contains(
+      java.time.LocalDate.parse("2026-01-15")
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
+    assert(a.changefreq.contains("daily") && a.priority.contains(0.8))
+    // full ISO with offset: 10:30+02:00 == 08:30Z
+    assert(b.lastmodMs.contains(
+      java.time.OffsetDateTime.parse("2026-01-15T10:30:00+02:00").toInstant.toEpochMilli))
+    // invalid values degrade the FIELD, keep the entry; priority clamps to [0,1]
+    assert(c.lastmodMs.isEmpty && c.changefreq.isEmpty && c.priority.contains(1.0))
+  }
+
+  test("sitemapindex: child locs surface for the frontier walk") {
+    val idx =
+      """<?xml version="1.0"?>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sitemap><loc>https://example.com/sitemap-1.xml.gz</loc></sitemap>
+        |<sitemap><loc>https://example.com/sitemap-2.xml.gz</loc></sitemap>
+        |</sitemapindex>""".stripMargin.getBytes(StandardCharsets.UTF_8)
+    val p = Sitemap.parse(idx).toOption.get
+    assert(p.urls.isEmpty)
+    assert(p.childSitemaps ==
+      Vector("https://example.com/sitemap-1.xml.gz", "https://example.com/sitemap-2.xml.gz"))
+  }
+
+  test("gzip payloads decompress transparently (the .xml.gz protocol form)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(urlset); gz.close()
+    val p = Sitemap.parse(bos.toByteArray).toOption.get
+    assert(p.urls.size == 3)
+  }
+
+  test("error channel: garbage, truncated gzip, and foreign roots return Left") {
+    assert(Sitemap.parse("not xml at all".getBytes).isLeft)
+    assert(Sitemap.parse(Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3)).isLeft)
+    assert(Sitemap.parse("<rss/>".getBytes).swap.toOption.get.contains("rss"))
+  }
+}
