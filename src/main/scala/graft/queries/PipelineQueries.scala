@@ -1153,6 +1153,63 @@ object PipelineQueries {
                          (doc_id % 2 = 1 OR doc_id % 28 > (doc_id * 3) % 28)
                     THEN 1 ELSE 0 END AS fetch_due
         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
-      doc = "crawl seed pass: real sitemap XML round-trip + robots gate + lastmod-vs-snapshot recrawl")
+      doc = "crawl seed pass: real sitemap XML round-trip + robots gate + lastmod-vs-snapshot recrawl"),
+
+    QueryDef(
+      "q128_compression_signal",
+      (s, d) => {
+        // Compression-ratio quality signal (text/CompressionSignal, the
+        // Dolma/Gopher deflate-ratio gate), oracled via the q93/q108
+        // verdict-flag pattern — zlib output is engine-private, so each
+        // doc computes its own invariants in-query:
+        //   beats_loop:  the doc's ratio strictly exceeds the ratio of a
+        //                same-length single-repeated-sentence loop built
+        //                from its own first 40 chars (redundancy of ANY
+        //                period compresses below prose);
+        //   below_junk:  the doc's ratio sits below the ratio of an
+        //                equal-BYTE-length iterated-sha256 stream (true
+        //                8-bit-entropy junk is incompressible; a hex
+        //                rendering would not be — hex is 4 bits/char and
+        //                deflates to ~0.55, which dense CJK prose can
+        //                exceed);
+        //   in_band:     0 < ratio <= 1.2 (deflate overhead bound).
+        // DuckDB pins every flag to 1 over the same doc set. Scale:
+        // three per-row scalar kernels riding one scan — no shuffle at
+        // all until the final sort.
+        import s.implicits._
+        table(s, d, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .filter(col("doc_id") < 300 && length(col("text")) >= 80)
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            import graft.text.CompressionSignal.deflateRatio
+            val r = deflateRatio(text)
+            val seed = text.take(40)
+            val loop = (seed * (text.length / seed.length + 1)).take(text.length)
+            val junk = {
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+              val bos = new java.io.ByteArrayOutputStream(n + 32)
+              var block = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              while (bos.size < n) {
+                block = md.digest(block)
+                bos.write(block, 0, block.length)
+              }
+              java.util.Arrays.copyOf(bos.toByteArray, n)
+            }
+            (id,
+              if (r > deflateRatio(loop)) 1 else 0,
+              if (r < graft.text.CompressionSignal.deflateRatioBytes(junk)) 1 else 0,
+              if (r > 0.0 && r <= 1.2) 1 else 0)
+          }
+          .toDF("doc_id", "beats_loop", "below_junk", "in_band")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               1 AS beats_loop, 1 AS below_junk, 1 AS in_band
+        FROM documents WHERE doc_id < 300 AND length(text) >= 80
+        ORDER BY doc_id"""),
+      doc = "deflate-ratio quality signal: prose between a repetition loop and hex junk, per-doc verdict flags")
   )
 }

@@ -1,0 +1,41 @@
+package graft.text
+
+/** Compression-ratio quality signal — the cheap redundancy detector the
+  * published web-corpus pipelines gate on (Dolma's and Gopher's quality
+  * suites both use zlib/deflate ratio): heavily repetitive or templated
+  * text compresses far below prose, and machine-generated spam sits at
+  * the extremes on both sides (too compressible = boilerplate loops,
+  * incompressible = encoded junk). Complements the EXPLICIT repetition
+  * features (q71's top-2-gram fraction, q72's boilerplate spans): the
+  * deflate ratio catches redundancy of ANY period length in one pass
+  * without choosing an n-gram size.
+  *
+  * Deterministic: fixed Deflater level + strategy, no concurrency in the
+  * kernel — the same bytes give the same ratio on every executor (JDK
+  * zlib is the bundled madler zlib; level 6 output is stable within a
+  * JVM major, and the signal consumers threshold on wide bands, never
+  * exact bytes). Scale: per-row scalar riding the scan, like the other
+  * quality features.
+  */
+object CompressionSignal {
+
+  /** deflate(text).length / utf8(text).length — lower = more redundant.
+    * Empty text ratios 1.0 (no evidence). */
+  def deflateRatio(text: String): Double = {
+    if (text == null || text.isEmpty) return 1.0
+    deflateRatioBytes(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def deflateRatioBytes(raw: Array[Byte]): Double = {
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+}

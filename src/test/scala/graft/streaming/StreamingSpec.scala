@@ -166,6 +166,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("LEFT OUTER stream-stream interval join emits unmatched errors after the watermark") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssljoin")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // a LEFT OUTER's unmatched rows only flush once the WATERMARK passes
+    // their join window — a finite stream's tail would otherwise sit in
+    // state forever, so a far-future sentinel error advances it past all
+    // real data (the sentinel itself stays open and is excluded below)
+    val maxTs = graft.queries.Catalog.tsNanos(spark.read.parquet(s"$sf/events.parquet"))
+      .agg(max(col("ts"))).collect()(0).getLong(0)
+    val sentinelId = -1L
+    // sentinels land AFTER the first drain (below): state eviction for
+    // outer rows runs in a batch AFTER the watermark advances, and the
+    // watermark is the MIN across both inputs — so a later batch with a
+    // far-future event on EACH side forces the flush of every real
+    // unmatched error
+    def writeSentinels(n: Int): Unit = {
+      // stage + move the part-file FLAT into the watched dir — a nested
+      // `foo.parquet/` DIRECTORY is invisible to the file stream source
+      val staging = java.nio.file.Files.createTempDirectory(s"graft-ssloj-st$n")
+      spark.range(1).select(
+          explode(array(lit("error"), lit("click"))).as("event_type"),
+          lit(sentinelId).as("event_id"), lit(-999L).as("user_id"),
+          timestamp_micros(lit((maxTs + n * 10L * 86400 * 1000000000L) / 1000)).as("ts"),
+          lit(0.0).as("value"))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(staging.resolve("out").toString)
+      val part = java.nio.file.Files.list(staging.resolve("out"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, streamDir.resolve(s"sentinel$n.parquet"))
+    }
+
+    val schema2 = spark.read.parquet(s"$sf/events.parquet").schema
+    def src() = graft.queries.Catalog.tsNanos(
+        spark.readStream.schema(schema2).parquet(streamDir.toString))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("event_time").as("err_time"))
+      .withWatermark("err_time", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val joined = errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("click_time") >= col("err_time") - expr("INTERVAL 10 MINUTES") &&
+        col("click_time") < col("err_time"),
+      "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssljoin_rows").start()
+    q.processAllAvailable()
+    writeSentinels(1) // advance both watermarks past all real data
+    q.processAllAvailable()
+    writeSentinels(2) // one more batch so the advanced watermark EVICTS
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssljoin_rows")
+      .filter(col("err_id") =!= sentinelId)
+      .groupBy("err_id")
+      .agg(sum(when(col("c_user").isNull, 0L).otherwise(1L)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch twin: q82's LEFT-join semantics in exact µs arithmetic —
+    // every error appears, unmatched ones with n = 0
+    val ev = graft.queries.Catalog.table(spark, sf, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        expr("ts div 1000").as("ets"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("cts"))
+    val batch = err.join(clk, Seq("user_id"), "left")
+      .withColumn("hit",
+        when(col("cts") >= col("ets") - lit(600000000L) && col("cts") < col("ets"), 1L)
+          .otherwise(0L))
+      .groupBy("err_id").agg(sum("hit").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.values.exists(_ == 0L),
+      "twin must exercise the unmatched-row emission, not just inner matches")
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops within-horizon duplicates (in-batch and cross-file)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
