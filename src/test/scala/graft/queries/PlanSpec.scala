@@ -249,6 +249,38 @@ class PlanSpec extends AnyFunSuite {
     assert("(?i)exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
   }
 
+  test("BM25 plans with broadcast stats — no window, no self-join (q124)") {
+    val p = plan("q124_bm25")
+    // the scale claim: idf/avgdl come from ONE broadcast stats row and
+    // a term-sized df aggregate; ranking never windows the corpus and
+    // never self-joins it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the term IN filter runs map-side, beneath the (doc, term) aggregate
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("constellation matching joins on the landmark hash, not clip-pairs (q123)") {
+    val p = plan("q123_audio_constellation")
+    // the Wang-histogram claim: candidates come from an equi-join on the
+    // packed hash (work ~ colliding landmarks); a cartesian/broadcast
+    // nested loop over clips would be the quadratic anti-shape
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // offset votes + per-pair max are map-side partial aggregates
+    assert(p.contains("partial_count") || p.contains("partial_max"), p.take(1500))
+  }
+
+  test("PSI drift is bin-sized after the scan: keyed aggs + broadcast bin sets (q122)") {
+    val p = plan("q122_drift_psi")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // SCALE.md's skew story has two tiers: the KNOWN-hot-key path salts
     // deterministically (q107), and UNKNOWN skew is left to AQE's runtime
