@@ -1007,7 +1007,64 @@ object AnnQueries {
                1 AS exhaustive_exact, 1 AS scores_exact, 1 AS recall_ok
         FROM (SELECT unnest(range(0, 5)) AS qid)
         ORDER BY qid"""),
-      doc = "IVF+PQ composed (FAISS-IVFPQ shape): exhaustive == exact; re-ranked scores exact; pruned recall floor")
+      doc = "IVF+PQ composed (FAISS-IVFPQ shape): exhaustive == exact; re-ranked scores exact; pruned recall floor"),
+
+    QueryDef(
+      "q130_mrl_truncation",
+      (s, d) => {
+        // Matryoshka-style dimension truncation (Kusupati et al. 2022):
+        // serve the PREFIX of each embedding (here 32 of 64 dims) and
+        // re-rank survivors at full precision — the third
+        // representation-shrinking lever next to SQ8 (q74) and PQ
+        // (q121): no codebook, no model, just fewer dims on the hot
+        // scan. Fully SQL-expressible (slice + the Frag cosine), so
+        // DuckDB recomputes BOTH rankings and the oracle pins the
+        // whole funnel: per query, the truncated top-20 candidates
+        // re-ranked by FULL-dim cosine, with the truncated-similarity
+        // column exposing what the cheap pass actually saw. Scale:
+        // slice rides the scan (half the bytes through the hot loop),
+        // candidate re-rank touches 20 rows per query.
+        val e = table(s, d, "embeddings")
+        val base = e.select(col("vec_id").cast("long").as("id"),
+          expr(toDoubleSpark("embedding")).as("v"))
+          .withColumn("v32", expr("slice(v, 1, 32)"))
+        val queries = base.filter(col("id") < 3)
+          .select(col("id").as("qid"), col("v").as("qv"), col("v32").as("qv32"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("tsim"), col("id"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("fsim"), col("id"))
+        base.crossJoin(broadcast(queries))
+          .filter(col("id") =!= col("qid"))
+          .withColumn("tsim", expr(cosSpark("v32", "qv32")))
+          .withColumn("trank", row_number().over(w))
+          .filter(col("trank") <= 20)
+          .withColumn("fsim", expr(cosSpark("v", "qv")))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("id"),
+            round(col("fsim"), 6).as("full_sim"),
+            round(col("tsim"), 6).as("trunc_sim"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH base AS (SELECT CAST(vec_id AS BIGINT) id,
+                             ${toDoubleDuck("embedding")} v,
+                             CAST(embedding[1:32] AS DOUBLE[]) v32
+                      FROM embeddings),
+             q AS (SELECT id qid, v qv, v32 qv32 FROM base WHERE id < 3),
+             t AS (SELECT q.qid, b.id, ${cosDuck("b.v32", "q.qv32")} tsim,
+                          ${cosDuck("b.v", "q.qv")} fsim
+                   FROM base b CROSS JOIN q WHERE b.id <> q.qid),
+             c AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY tsim DESC, id) trank
+                   FROM t)
+        SELECT qid,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY fsim DESC, id) AS INT) AS rank,
+               id, round(fsim, 6) AS full_sim, round(tsim, 6) AS trunc_sim
+        FROM c WHERE trank <= 20
+        QUALIFY rank <= 5
+        ORDER BY qid, rank"""),
+      doc = "Matryoshka prefix-dim candidate pass + full-dim re-rank, both rankings DuckDB-recomputed")
   )
 
   /** Exact cosine between query `qid`'s vector and row `id` — the

@@ -804,7 +804,71 @@ object TextQueries {
         FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s
         GROUP BY tf.doc_id
         ORDER BY score DESC, doc_id LIMIT 25"""),
-      doc = "Okapi BM25 ranking (idf + tf saturation + length norm), fully DuckDB-recomputed")
+      doc = "Okapi BM25 ranking (idf + tf saturation + length norm), fully DuckDB-recomputed"),
+
+    QueryDef(
+      "q131_token_budget",
+      (s, d) => {
+        // Training-mixture TOKEN-BUDGET allocation by water-filling — the
+        // curation step after q64's proportional mixture: a run has a
+        // token budget B and per-domain availability caps; small domains
+        // contribute everything they have, and the budget they cannot
+        // absorb redistributes to larger domains up to a common WATER
+        // LEVEL L (the uniform-weight closed form: sort caps ascending,
+        // k* = the longest prefix whose caps fit under their fair share
+        // of the remaining budget, L = remaining/(n - k*)). One
+        // aggregation + one n-domain window — closed form, no iteration,
+        // both engines compute it from identical prefix sums. B = half
+        // the corpus's tokens, so the level genuinely binds.
+        import org.apache.spark.sql.expressions.Window
+        val caps = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .groupBy("source")
+          .agg(sum(size(col("toks"))).cast("double").as("cap"))
+        val stats = caps.agg(sum("cap").as("total"), count(lit(1)).as("n"))
+        val w = Window.orderBy(col("cap"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wi = Window.orderBy(col("cap"), col("source"))
+        val ranked = caps.crossJoin(broadcast(stats))
+          .withColumn("budget", col("total") * 0.5)
+          .withColumn("prefix", coalesce(sum("cap").over(w), lit(0.0)))
+          .withColumn("i", row_number().over(wi))
+          .withColumn("fits",
+            col("cap") <= (col("budget") - col("prefix")) / (col("n") - col("i") + 1))
+        val lvl = ranked.agg(
+          sum(when(col("fits"), col("cap")).otherwise(0.0)).as("fit_sum"),
+          sum(col("fits").cast("long")).as("k"),
+          first("budget").as("b"), first("n").as("nn"))
+          .select(
+            when(col("k") === col("nn"), lit(Double.MaxValue))
+              .otherwise((col("b") - col("fit_sum")) / (col("nn") - col("k"))).as("level"))
+        ranked.crossJoin(broadcast(lvl))
+          .select(col("source"), col("cap").cast("long").as("cap_tokens"),
+            round(least(col("cap"), col("level")), 4).as("allocated"),
+            col("fits").cast("int").as("fully_taken"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH caps AS (SELECT source, CAST(sum(len(${toksDuck("text")})) AS DOUBLE) cap
+                      FROM documents GROUP BY source),
+             st AS (SELECT sum(cap) total, count(*) n FROM caps),
+             ranked AS (SELECT source, cap, total * 0.5 AS budget, n,
+                               coalesce(sum(cap) OVER (ORDER BY cap, source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) prefix,
+                               row_number() OVER (ORDER BY cap, source) i
+                        FROM caps, st),
+             flagged AS (SELECT *, cap <= (budget - prefix) / (n - i + 1) AS fits FROM ranked),
+             lvl AS (SELECT CASE WHEN sum(CASE WHEN fits THEN 1 ELSE 0 END) = max(n)
+                                 THEN 1e308
+                                 ELSE (max(budget) - sum(CASE WHEN fits THEN cap ELSE 0 END))
+                                      / (max(n) - sum(CASE WHEN fits THEN 1 ELSE 0 END)) END AS wlevel
+                     FROM flagged)
+        SELECT source, CAST(cap AS BIGINT) AS cap_tokens,
+               round(least(cap, wlevel), 4) AS allocated,
+               CASE WHEN fits THEN 1 ELSE 0 END AS fully_taken
+        FROM flagged, lvl
+        ORDER BY source"""),
+      doc = "water-filling token-budget allocation across domains: closed form via sorted prefix sums")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are
