@@ -1064,8 +1064,78 @@ object AnnQueries {
         FROM c WHERE trank <= 20
         QUALIFY rank <= 5
         ORDER BY qid, rank"""),
-      doc = "Matryoshka prefix-dim candidate pass + full-dim re-rank, both rankings DuckDB-recomputed")
+      doc = "Matryoshka prefix-dim candidate pass + full-dim re-rank, both rankings DuckDB-recomputed"),
+
+    QueryDef(
+      "q132_mmr_diversify",
+      (s, d) => {
+        // MMR diversification (search/Mmr, Carbonell & Goldstein 1998)
+        // over the vector leg's candidate set, oracled END-TO-END by an
+        // UNROLLED DuckDB replay (the q119 BPE pattern): the oracle
+        // re-executes every greedy step — λ·rel − (1−λ)·max-sim-to-
+        // selected, ties to the lower id — so the selection ORDER, not
+        // just the set, must match. Candidates come from a distributed
+        // brute top-10 whose cosines use the Frag sequential-fold kernel
+        // (bit-identical to list_dot_product), which is what makes the
+        // replay exact. Scale: MMR is a candidate-set operator by
+        // construction — the corpus work is the top-k leg; the greedy
+        // O(k²·d) runs driver-side like the Reranker contract.
+        import s.implicits._
+        val base = table(s, d, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            expr(toDoubleSpark("embedding")).as("v"))
+        val q0 = base.filter(col("id") === 0).select(col("v").as("qv"))
+        val cands = base.filter(col("id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .withColumn("rel", expr(cosSpark("v", "qv")))
+          .orderBy(desc("rel"), col("id"))
+          .limit(10)
+          .select("id", "rel", "v")
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            r.getSeq[Double](2).toArray))
+        val picks = graft.search.Mmr.rerank(cands.toSeq, k = 5, lambda = 0.7)
+        picks.zipWithIndex
+          .map { case ((id, obj), i) =>
+            (i + 1, id, BigDecimal(obj).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          .toSeq.toDF("step", "vec_id", "objective")
+          .orderBy("step")
+      },
+      Some(mmrReplayOracle(5, 0.7)),
+      doc = "MMR diversification: every greedy step replayed by the DuckDB oracle (order-exact)")
   )
+
+  /** Unrolled MMR replay oracle (the q119 pattern): s1..sK CTEs each
+    * pick the argmax of 0.7·rel − 0.3·max(sim to prior picks) with
+    * lower-id ties, over the SAME top-10 candidate set. */
+  private def mmrReplayOracle(k: Int, lambda: Double): String = {
+    import Frag.{cosDuck, toDoubleDuck}
+    val sb = new StringBuilder
+    sb ++= s"""
+        WITH base AS (SELECT CAST(vec_id AS BIGINT) id, ${toDoubleDuck("embedding")} v
+                      FROM embeddings),
+             q AS (SELECT v qv FROM base WHERE id = 0),
+             cand AS (SELECT b.id, b.v, ${cosDuck("b.v", "q.qv")} rel
+                      FROM base b CROSS JOIN q WHERE b.id <> 0
+                      ORDER BY rel DESC, id LIMIT 10),
+             s1 AS (SELECT id, $lambda * rel AS obj FROM cand
+                    ORDER BY obj DESC, id LIMIT 1)"""
+    for (i <- 2 to k) {
+      val prior = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+      sb ++= s""",
+             sel$i AS ($prior),
+             s$i AS (SELECT c.id,
+                            $lambda * c.rel - ${1 - lambda} *
+                              (SELECT max(${cosDuck("c.v", "p.v")})
+                               FROM cand p WHERE p.id IN (SELECT id FROM sel$i)) AS obj
+                     FROM cand c WHERE c.id NOT IN (SELECT id FROM sel$i)
+                     ORDER BY obj DESC, c.id LIMIT 1)"""
+    }
+    sb ++= (1 to k)
+      .map(i => s"SELECT $i AS step, id AS vec_id, round(obj, 6) AS objective FROM s$i")
+      .mkString("\n        SELECT * FROM (", " UNION ALL ", ")\n        ORDER BY step")
+    sb.toString
+  }
 
   /** Exact cosine between query `qid`'s vector and row `id` — the
     * independent check q129's scores_exact flag uses for hits OUTSIDE

@@ -1,0 +1,62 @@
+package graft.search
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+  * the standard diversification pass over a retrieval candidate set:
+  * greedily pick argmax of λ·relevance − (1−λ)·max-similarity-to-already-
+  * selected, so near-duplicate hits stop crowding the top-k (the search
+  * surface's answer to the corpus-side near-dup operators).
+  *
+  * Scale shape: MMR is BY CONSTRUCTION a candidate-set operator — it
+  * runs over the top-k of a leg (tens of rows), after the distributed
+  * top-k reduced the corpus; the greedy loop is O(k²·d) driver
+  * arithmetic, exactly like [[Fusion]]'s driver-side merge and the
+  * [[Reranker]] contract. Determinism: ties break on the lower id at
+  * every step; the cosine is the engine-wide sequential-fold double
+  * kernel (bit-identical to `Frag.cosSpark`/`cosDuck`, which is what
+  * lets q132's DuckDB oracle replay the whole greedy selection).
+  */
+object Mmr {
+
+  /** Sequential-fold cosine over doubles — same accumulation order as
+    * the Frag SQL forms, so both engines see identical values. */
+  private[search] def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Greedy MMR over `cands` (id, relevance, vector): `k` picks, each
+    * maximizing λ·rel − (1−λ)·max(sim to selected) (empty-set penalty
+    * 0, so pick 1 is λ·rel), ties to the lower id. Returns picks in
+    * selection order with the objective value at pick time. */
+  def rerank(
+      cands: Seq[(Long, Double, Array[Double])],
+      k: Int,
+      lambda: Double): Seq[(Long, Double)] = {
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    while (out.length < k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestObj = Double.NegativeInfinity
+      remaining.valuesIterator.foreach { case (id, rel, v) =>
+        // TRUE max (can be negative) — clamping at 0 would diverge from
+        // the oracle's plain max() on anti-correlated candidates
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(v, s._2)).max
+        val obj = lambda * rel - (1 - lambda) * pen
+        if (obj > bestObj || (obj == bestObj && id < bestId)) {
+          bestObj = obj; bestId = id
+        }
+      }
+      val (_, _, bv) = remaining.remove(bestId).get
+      selected += ((bestId, bv))
+      out += ((bestId, bestObj))
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,48 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MMR greedy semantics: λ=1 degenerates to relevance top-k, near-dup
+  * candidates get displaced by diverse ones, and selection is
+  * deterministic with lower-id ties.
+  */
+class MmrSpec extends AnyFunSuite {
+
+  private def v(xs: Double*): Array[Double] = xs.toArray
+
+  test("lambda = 1 is plain relevance order") {
+    val cands = Seq(
+      (1L, 0.9, v(1, 0, 0)), (2L, 0.8, v(0, 1, 0)), (3L, 0.7, v(0, 0, 1)))
+    assert(Mmr.rerank(cands, 3, lambda = 1.0).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("near-duplicate of the top hit is displaced by a diverse candidate") {
+    val cands = Seq(
+      (1L, 0.90, v(1.0, 0.0, 0.0)),
+      (2L, 0.89, v(0.999, 0.01, 0.0)), // near-dup of 1: high rel, no diversity
+      (3L, 0.60, v(0.0, 1.0, 0.0)))
+    val picks = Mmr.rerank(cands, 2, lambda = 0.5).map(_._1)
+    assert(picks == Seq(1L, 3L), s"got $picks")
+    // relevance alone would have picked the near-dup
+    assert(Mmr.rerank(cands, 2, lambda = 1.0).map(_._1) == Seq(1L, 2L))
+  }
+
+  test("objective values decrease-or-tie down the pick order for identical rels") {
+    val cands = Seq(
+      (1L, 0.5, v(1, 0, 0, 0)), (2L, 0.5, v(0, 1, 0, 0)),
+      (3L, 0.5, v(0, 0, 1, 0)), (4L, 0.5, v(0.9, 0.1, 0, 0)))
+    val picks = Mmr.rerank(cands, 4, lambda = 0.7)
+    // orthogonal candidates first (penalty 0), correlated one last
+    assert(picks.map(_._1).last == 4L)
+    assert(picks.map(_._2) == picks.map(_._2).sorted.reverse)
+  }
+
+  test("ties break to the lower id and reruns are identical") {
+    val cands = Seq(
+      (7L, 0.5, v(1, 0)), (3L, 0.5, v(0, 1)), (9L, 0.5, v(0, -1)))
+    val a = Mmr.rerank(cands, 3, lambda = 0.7)
+    val b = Mmr.rerank(cands, 3, lambda = 0.7)
+    assert(a == b)
+    assert(a.head._1 == 3L) // equal objective: lowest id wins
+  }
+}
