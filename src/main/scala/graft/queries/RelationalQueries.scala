@@ -475,6 +475,36 @@ object RelationalQueries {
         ORDER BY c.column_name"""),
       doc = "ANALYZE-style one-scan column profile: nulls, distincts (exact + HLL verdict), typed min/max"),
 
+    QueryDef(
+      "q133_json_extract",
+      (s, d) =>
+        // Semi-structured extraction — the log-analytics op the schema
+        // never models: `events.props` is a JSON STRING column, parsed
+        // with an EXPLICIT schema (`from_json` — the 100 TB shape:
+        // schema-on-read with a declared contract participates in
+        // codegen and never runs the two-pass schema_of_json inference;
+        // malformed rows null out instead of failing the scan), then
+        // aggregated like any typed column. DuckDB mirrors with
+        // json_extract. Decile-bucketed k with per-bucket stats.
+        table(s, d, "events")
+          .withColumn("k",
+            from_json(col("props"), lit("struct<k:int>")).getField("k"))
+          .filter(col("k").isNotNull)
+          .groupBy((col("k") / 10).cast("int").as("k_decile"))
+          .agg(count(lit(1)).as("n_events"),
+            round(avg("value"), 4).as("avg_value"),
+            min("k").as("k_min"), max("k").as("k_max"))
+          .orderBy("k_decile"),
+      Some("""
+        SELECT CAST(k // 10 AS INT) AS k_decile, count(*) AS n_events,
+               round(avg(value), 4) AS avg_value,
+               CAST(min(k) AS INT) AS k_min, CAST(max(k) AS INT) AS k_max
+        FROM (SELECT CAST(json_extract(props, '$.k') AS INT) AS k, value
+              FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY 1 ORDER BY k_decile"""),
+      doc = "JSON column extraction (schema-on-read with declared contract) + typed aggregation"),
+
     // ---- W: window-function operators ------------------------------------
     QueryDef(
       "q13_window_lead",
