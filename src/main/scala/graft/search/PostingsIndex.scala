@@ -67,9 +67,13 @@ object PostingsIndex {
     write(live, warehouse)
   }
 
-  /** Keyword leg over postings: single-term atoms, OR-groups and negation
-    * (phrase atoms need adjacent positions across terms — those queries
-    * route to the scan leg; see [[supports]]).
+  /** Keyword leg over postings: single-term atoms, OR-groups, negation,
+    * AND phrase atoms — adjacency is computed FROM the stored position
+    * lists (phrase start positions = positions(w1) ∩ (positions(w2)−1)
+    * ∩ … on the simple config, the same consecutive-simple-positions
+    * rule as the scan leg's `atomPositions`), so phrase queries no
+    * longer fall back to scanning the corpus: a phrase costs its words'
+    * posting lists plus a per-chunk intersection.
     *
     * Shape: tiny lookup table of the query's (config, term, group) →
     * broadcast equi-join into postings → per-(chunk, group) position union
@@ -110,25 +114,72 @@ object PostingsIndex {
           a.english.headOption.map(t => (t, "english", gi))
       }
     }
+    // phrase atoms: one lookup row per word, tagged with a phrase id and
+    // the word's offset inside the phrase
+    val phrases = effective.zipWithIndex.flatMap { case (g, gi) =>
+      g.filter(_.isPhrase).zipWithIndex.map { case (a, pi) =>
+        (gi, s"$gi:$pi", a.simple)
+      }
+    }
+    val negPhrases = query.negated.filter(_.isPhrase).zipWithIndex
+      .map { case (a, pi) => (s"n:$pi", a.simple) }
+    val phraseLookups = phrases.flatMap { case (gi, pid, words) =>
+      words.zipWithIndex.map { case (w, j) => (w, "simple", gi, pid, j, words.length) }
+    } ++ negPhrases.flatMap { case (pid, words) =>
+      words.zipWithIndex.map { case (w, j) => (w, "simple", -1, pid, j, words.length) }
+    }
     val negLookups = query.negated.flatMap { a =>
       if (a.isPhrase) Seq.empty
       else Seq((a.simple.head, "simple")) ++ a.english.headOption.map((_, "english"))
     }
-    if (lookups.isEmpty) return spark.emptyDataFrame
+    if (lookups.isEmpty && phrases.isEmpty) return spark.emptyDataFrame
 
-    val allTerms = (lookups.map(_._1) ++ negLookups.map(_._1)).distinct
+    val allTerms = (lookups.map(_._1) ++ negLookups.map(_._1) ++
+      phraseLookups.map(_._1)).distinct
     val scoped = postings.filter(col("term").isin(allTerms: _*))
+
+    // phrase start positions per (chunk, gi, pid): intersect each word's
+    // positions shifted by its offset; chunks missing any word drop at
+    // the matched-word count
+    val phraseRows: Option[DataFrame] =
+      if (phraseLookups.isEmpty) None
+      else {
+        val plDf = broadcast(phraseLookups
+          .toDF("term", "config", "gi", "pid", "widx", "nwords"))
+        val intersectUdf = udf { (words: Seq[org.apache.spark.sql.Row]) =>
+          // rows of (widx, positions); same adjacency rule as the scan
+          // leg's atomPositions: start p matches iff word j sits at p+j
+          val byIdx = words.map(r => r.getInt(0) -> r.getSeq[Int](1).toSet).toMap
+          val first = byIdx(0)
+          first.filter(p => byIdx.forall { case (j, ps) => ps.contains(p + j) })
+            .toSeq.sorted
+        }
+        Some(scoped.join(plDf, Seq("term", "config"))
+          .groupBy("chunk_id", "gi", "pid")
+          .agg(
+            countDistinct("widx").as("mw"),
+            first(col("nwords")).as("nw"),
+            collect_list(struct(col("widx"), col("positions"))).as("wordpos"))
+          .filter(col("mw") === col("nw"))
+          .withColumn("pos", intersectUdf(col("wordpos")))
+          .filter(size(col("pos")) > 0)
+          .select("chunk_id", "gi", "pid", "pos"))
+      }
 
     val lookupDf = broadcast(lookups.toDF("term", "config", "gi"))
     val base = scoped.join(lookupDf, Seq("term", "config"))
     val pruned = termStats match {
-      case Some(stats) if nGroups > 1 =>
+      case Some(stats) if nGroups > 1 && lookups.nonEmpty =>
         // df per query term (tiny collect: <= #query terms rows after the
-        // pushed-down IN), summed per OR-group; absent terms df=0
+        // pushed-down IN), summed per OR-group; absent terms df=0.
+        // Rarest-first pruning only considers groups with TERM lookups —
+        // a phrase-only group's candidates come from the phrase rows and
+        // must not masquerade as an (empty) rarest term group.
         val dfs = stats.filter(col("term").isin(lookups.map(_._1).distinct: _*))
           .groupBy("term").agg(sum("df").as("df"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val rarestGi = effective.indices.minBy { gi =>
+        val termGis = lookups.map(_._3).distinct
+        val rarestGi = termGis.minBy { gi =>
           lookups.filter(_._3 == gi).map(l => dfs.getOrElse(l._1, 0L)).sum
         }
         val candIds = base.filter(col("gi") === rarestGi)
@@ -136,7 +187,16 @@ object PostingsIndex {
         base.join(candIds, Seq("chunk_id"), "left_semi")
       case _ => base
     }
-    val candidates = pruned
+    // phrase groups join the same per-(chunk, group) position union: a
+    // phrase's START positions behave exactly like a term's positions
+    val groupRows = phraseRows match {
+      case Some(pr) =>
+        pruned.select(col("chunk_id"), col("gi"), col("positions"))
+          .unionByName(pr.filter(col("gi") >= 0)
+            .select(col("chunk_id"), col("gi"), col("pos").as("positions")))
+      case None => pruned.select(col("chunk_id"), col("gi"), col("positions"))
+    }
+    val candidates = groupRows
       .groupBy("chunk_id", "gi")
       .agg(array_sort(array_distinct(flatten(collect_list("positions")))).as("pos"))
       .groupBy("chunk_id")
@@ -144,12 +204,19 @@ object PostingsIndex {
         countDistinct("gi").as("matched"))
       .filter(col("matched") === nGroups)
 
-    val filtered = if (negLookups.isEmpty) candidates else {
-      val negDf = broadcast(negLookups.toDF("term", "config"))
-      candidates.join(
-        scoped.join(negDf, Seq("term", "config")).select("chunk_id").distinct(),
+    val negChunkSets = Seq(
+      if (negLookups.isEmpty) None
+      else Some(scoped
+        .join(broadcast(negLookups.toDF("term", "config")), Seq("term", "config"))
+        .select("chunk_id")),
+      phraseRows.filter(_ => negPhrases.nonEmpty)
+        .map(_.filter(col("gi") === -1).select("chunk_id"))
+    ).flatten
+    val filtered =
+      if (negChunkSets.isEmpty) candidates
+      else candidates.join(
+        negChunkSets.reduce(_.unionByName(_)).distinct(),
         Seq("chunk_id"), "left_anti")
-    }
 
     val rankUdf = udf { groups: Seq[org.apache.spark.sql.Row] =>
       val positions = groups
@@ -171,8 +238,8 @@ object PostingsIndex {
       .join(chunks.select("chunk_id", "document_id", "content", "metadata"), Seq("chunk_id"))
   }
 
-  /** Postings can serve this query iff it has no phrase atoms (adjacency
-    * needs the full position streams, which the scan leg has). */
-  def supports(query: WebsearchParser.ParsedQuery): Boolean =
-    query.groups.forall(_.forall(!_.isPhrase)) && query.negated.forall(!_.isPhrase)
+  /** Postings serve every websearch query shape — phrase adjacency is
+    * reconstructed from the stored position lists (round 7; previously
+    * phrases routed to the scan leg). */
+  def supports(query: WebsearchParser.ParsedQuery): Boolean = true
 }

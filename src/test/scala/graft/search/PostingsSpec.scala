@@ -78,8 +78,35 @@ class PostingsSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan.take(1200))
   }
 
-  test("phrase queries are routed away from postings") {
-    assert(!PostingsIndex.supports(WebsearchParser.parse("\"spark shuffle\"")))
+  test("phrase queries run on postings and agree with the scan leg (round 7)") {
+    assert(PostingsIndex.supports(WebsearchParser.parse("\"spark shuffle\"")))
+    val stats = PostingsIndex.termStats(postings)
+    Seq(
+      "\"spark shuffle\"",          // matching phrase
+      "\"shuffle spark\"",          // reversed: adjacency must fail
+      "\"spark partitions\"",       // non-adjacent words: no match
+      "\"shuffle services\" running", // phrase AND term
+      "spark -\"shuffle services\"",  // negated phrase excludes d2... and others
+      "\"spark shuffle\" OR running").foreach { q =>
+      val parsed = WebsearchParser.parse(q)
+      val viaPostings = PostingsIndex.leg(postings, chunks, parsed, 10)
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      val viaStats = PostingsIndex.leg(postings, chunks, parsed, 10, Some(stats))
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      val viaScan = KeywordSearch.leg(chunks, q, 10)
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      assert(viaPostings.keySet == viaScan.keySet, s"query '$q'")
+      viaPostings.foreach { case (id, r) =>
+        assert(math.abs(r - viaScan(id)) < 1e-12, s"query '$q' chunk $id")
+      }
+      assert(viaStats == viaPostings, s"rare-term planning changed results for '$q'")
+    }
+    // sanity on the fixture: the matching phrase finds d1, the reversal none
+    assert(PostingsIndex.leg(postings, chunks,
+        WebsearchParser.parse("\"spark shuffle\""), 10)
+      .select("chunk_id").as[String].collect().forall(_.startsWith("d")))
+    assert(PostingsIndex.leg(postings, chunks,
+        WebsearchParser.parse("\"shuffle spark\""), 10).count() == 0)
   }
 
   test("container scoping via partition column") {
