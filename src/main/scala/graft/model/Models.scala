@@ -96,4 +96,9 @@ final case class SearchRequest(
     /** Semantic requests upgrade to Hybrid so the keyword leg recalls
       * chunks whose vectors belong to other models
       * (ref HybridSearchService.cs:89-96 EnableCrossModelSearch). */
-    crossModelSearch: Boolean = false)
+    crossModelSearch: Boolean = false,
+    /** MMR diversification strength: Some(lambda) reorders the fused
+      * top candidates greedily by lambda*score - (1-lambda)*max content
+      * Jaccard to already-picked hits (search/Mmr) — near-duplicate
+      * chunks stop crowding the top-k. None = relevance order. */
+    mmrLambda: Option[Double] = None)

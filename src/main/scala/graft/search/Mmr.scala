@@ -27,6 +27,53 @@ object Mmr {
     dp / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Greedy MMR over arbitrary items under a caller-supplied similarity
+    * (the API's hybrid path diversifies on CONTENT shingle Jaccard —
+    * hits from either leg carry text, not necessarily vectors). Ties
+    * break to the earlier input position, so a relevance-sorted input
+    * keeps relevance as the tiebreak. Returns selected INDICES in pick
+    * order. */
+  def rerankBy[T](
+      items: IndexedSeq[T],
+      rel: Int => Double,
+      sim: (T, T) => Double,
+      k: Int,
+      lambda: Double): Seq[Int] = {
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    val remaining = scala.collection.mutable.LinkedHashSet(items.indices: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestObj = Double.NegativeInfinity
+      remaining.foreach { i =>
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(j => sim(items(i), items(j))).max
+        val obj = lambda * rel(i) - (1 - lambda) * pen
+        if (obj > bestObj || (obj == bestObj && i < bestIdx)) {
+          bestObj = obj; bestIdx = i
+        }
+      }
+      remaining.remove(bestIdx)
+      selected += bestIdx
+    }
+    selected.toSeq
+  }
+
+  /** Word-3-gram Jaccard — the content-similarity the API's diversify
+    * pass uses (same shingle definition as the q25 dedup family). */
+  def shingles(text: String): Set[String] = {
+    val toks = "[a-z0-9]+".r.findAllIn(Option(text).getOrElse("").toLowerCase).toArray
+    if (toks.length < 3) toks.toSet
+    else (0 until toks.length - 2)
+      .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    val inter = (a intersect b).size
+    inter.toDouble / (a.size + b.size - inter)
+  }
+
   /** Greedy MMR over `cands` (id, relevance, vector): `k` picks, each
     * maximizing λ·rel − (1−λ)·max(sim to selected) (empty-set penalty
     * 0, so pick 1 is λ·rel), ties to the lower id. Returns picks in

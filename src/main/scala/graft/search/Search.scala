@@ -1031,6 +1031,22 @@ object HybridSearch {
       .take(100)
 
     val cut = if (req.autoCut) Fusion.autocutIndex(collected.map(_.score)) else collected.length
-    collected.take(cut).take(req.topK).map(Fusion.substituteWindow)
+    val kept = collected.take(cut)
+    // MMR diversification (opt-in): greedy reorder of the kept candidates
+    // under content-shingle Jaccard — near-duplicate chunks stop crowding
+    // the top-k. Scores stay the fused scores (MMR is an ORDERING); the
+    // candidate set is <=100 rows, so the O(k^2) pass is driver noise.
+    val ordered = req.mmrLambda match {
+      case Some(lambda) if kept.length > 1 =>
+        val sh = kept.map(h => Mmr.shingles(h.content)).toIndexedSeq
+        val picks = Mmr.rerankBy[Int](
+          kept.indices.toIndexedSeq,
+          i => kept(i).score,
+          (a, b) => Mmr.jaccard(sh(a), sh(b)),
+          math.min(req.topK, kept.length), lambda)
+        picks.map(kept(_))
+      case _ => kept
+    }
+    ordered.take(req.topK).map(Fusion.substituteWindow)
   }
 }

@@ -454,6 +454,34 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("mmrLambda diversifies: a verbatim duplicate is demoted below a distinct hit") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-mmr").toString
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      IndexBuild.RawDoc("d-dup1", "c1", "/m/a.txt", "a.txt", dupText),
+      IndexBuild.RawDoc("d-dup2", "c1", "/m/b.txt", "b.txt", dupText),
+      IndexBuild.RawDoc("d-other", "c1", "/m/c.txt", "c.txt",
+        "alpha beta gamma discussed from an entirely different angle with new words"))
+      .toDS()
+    IndexBuild.build(spark, docs, wh,
+      cfg = ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      embedder = embedder)
+    val idx = IndexBuild.loadIndex(spark, wh)
+    val req = SearchRequest("alpha beta gamma", "c1", topK = 3)
+    val plain = HybridSearch.search(idx, req, embedder)
+    // the two verbatim duplicates crowd the top without diversification
+    assert(plain.take(2).map(_.document_id).toSet == Set("d-dup1", "d-dup2"),
+      plain.map(h => (h.document_id, h.score)).toString)
+    val diverse = HybridSearch.search(idx, req.copy(mmrLambda = Some(0.5)), embedder)
+    assert(diverse.head.document_id == plain.head.document_id,
+      "pick 1 is still the most relevant hit")
+    assert(diverse(1).document_id == "d-other",
+      s"duplicate should be demoted: ${diverse.map(_.document_id)}")
+    // same candidate set, no duplicates introduced — MMR is a reordering
+    assert(diverse.map(_.chunk_id).toSet.subsetOf(plain.map(_.chunk_id).toSet))
+    assert(diverse.map(_.chunk_id).distinct.length == diverse.length)
+  }
+
   test("hybrid search finds the overlap doc inside the container") {
     val hits = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)
