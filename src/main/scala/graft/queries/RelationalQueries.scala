@@ -505,6 +505,83 @@ object RelationalQueries {
         GROUP BY 1 ORDER BY k_decile"""),
       doc = "JSON column extraction (schema-on-read with declared contract) + typed aggregation"),
 
+    QueryDef(
+      "q134_funnel",
+      (s, d) =>
+        // Ordered funnel analysis (view -> click -> purchase by FIRST
+        // occurrence per user) — the event-analytics op every product
+        // pipeline runs. One keyed aggregation computes each user's
+        // first timestamp per stage as conditional MIN columns (no
+        // per-stage join, no window), then stage membership is ordinal
+        // comparison: a user reaches stage i iff every prior stage's
+        // first occurrence exists and strictly precedes it. A second
+        // tiny aggregation rolls users into funnel counts. Scale: one
+        // shuffle on user_id, stage logic entirely map-side after it.
+        table(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+          .select(
+            col("t_view").isNotNull.as("s1"),
+            (col("t_view").isNotNull && col("t_click").isNotNull &&
+              col("t_click") > col("t_view")).as("s2"),
+            (col("t_view").isNotNull && col("t_click").isNotNull &&
+              col("t_purchase").isNotNull && col("t_click") > col("t_view") &&
+              col("t_purchase") > col("t_click")).as("s3"))
+          .agg(
+            sum(col("s1").cast("long")).as("n_view"),
+            sum(col("s2").cast("long")).as("n_view_click"),
+            sum(col("s3").cast("long")).as("n_view_click_purchase")),
+      Some("""
+        WITH f AS (SELECT user_id,
+                          min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) tv,
+                          min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) tc,
+                          min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) tp
+                   FROM events GROUP BY user_id)
+        SELECT CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tc > tv
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+               CAST(sum(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+                              AND tc > tv AND tp > tc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+        FROM f"""),
+      doc = "ordered funnel (first view -> click -> purchase): conditional-min stages, two keyed aggs"),
+
+    QueryDef(
+      "q135_kanon_release",
+      (s, d) => {
+        // k-anonymity suppression for aggregate release — the
+        // data-governance gate on any published corpus statistic:
+        // (source, lang) cells with fewer than k=5 documents are
+        // collapsed into one 'suppressed' bucket instead of being
+        // released (small cells identify individuals/sources). Two
+        // keyed aggregations; the suppressed rollup preserves the
+        // released total (sum invariance is part of the contract and
+        // the oracle checks every row).
+        val cells = table(s, d, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        cells
+          .withColumn("rsource", when(col("n") >= 5, col("source")).otherwise(lit("suppressed")))
+          .withColumn("rlang", when(col("n") >= 5, col("lang")).otherwise(lit("*")))
+          .groupBy(col("rsource").as("source"), col("rlang").as("lang"))
+          .agg(sum("n").as("n_docs"), sum("chars").as("n_chars"),
+            count(lit(1)).as("n_cells"))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH cells AS (SELECT source, lang, count(*) n, sum(n_chars) chars
+                       FROM documents GROUP BY 1, 2)
+        SELECT CASE WHEN n >= 5 THEN source ELSE 'suppressed' END AS source,
+               CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               count(*) AS n_cells
+        FROM cells GROUP BY 1, 2 ORDER BY source, lang"""),
+      doc = "k-anonymity release gate: cells under k collapse into a suppressed bucket, totals preserved"),
+
     // ---- W: window-function operators ------------------------------------
     QueryDef(
       "q13_window_lead",
