@@ -582,6 +582,39 @@ object RelationalQueries {
         FROM cells GROUP BY 1, 2 ORDER BY source, lang"""),
       doc = "k-anonymity release gate: cells under k collapse into a suppressed bucket, totals preserved"),
 
+    QueryDef(
+      "q136_retention_cohorts",
+      (s, d) =>
+        // Cohort retention — the second classic event-analytics op next
+        // to q134's funnel: users cohorted by FIRST-activity week, each
+        // later week counting how many still act. Two keyed
+        // aggregations (user -> first week; then cohort × week counts
+        // from the distinct user-week pairs) — no window, no self-join;
+        // the retention matrix is cohort-cardinality-sized. Weeks are
+        // integer epoch-week buckets (604800e9 ns) on both engines.
+        {
+          val wk = 604800000000000L
+          val e = table(s, d, "events")
+            .select(col("user_id"), (col("ts") / lit(wk)).cast("long").as("week"))
+          val firstWeek = e.groupBy("user_id").agg(min("week").as("cohort"))
+          e.distinct()
+            .join(firstWeek, Seq("user_id"))
+            .withColumn("weeks_since", col("week") - col("cohort"))
+            .groupBy("cohort", "weeks_since")
+            .agg(countDistinct("user_id").as("n_users"))
+            .orderBy("cohort", "weeks_since")
+        },
+      Some("""
+        WITH e AS (SELECT DISTINCT user_id,
+                          CAST(floor(epoch_ns(ts) / 604800000000000) AS BIGINT) wk
+                   FROM events),
+             fw AS (SELECT user_id, min(wk) cohort FROM e GROUP BY user_id)
+        SELECT fw.cohort, e.wk - fw.cohort AS weeks_since,
+               count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN fw ON e.user_id = fw.user_id
+        GROUP BY 1, 2 ORDER BY cohort, weeks_since"""),
+      doc = "cohort retention matrix: first-activity-week cohorts x weeks-since activity counts"),
+
     // ---- W: window-function operators ------------------------------------
     QueryDef(
       "q13_window_lead",

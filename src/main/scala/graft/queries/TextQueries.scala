@@ -868,7 +868,53 @@ object TextQueries {
                CASE WHEN fits THEN 1 ELSE 0 END AS fully_taken
         FROM flagged, lvl
         ORDER BY source"""),
-      doc = "water-filling token-budget allocation across domains: closed form via sorted prefix sums")
+      doc = "water-filling token-budget allocation across domains: closed form via sorted prefix sums"),
+
+    QueryDef(
+      "q137_readability",
+      (s, d) =>
+        // Readability scoring (Flesch reading ease) — a standard
+        // text-quality feature next to q31's surface stats: 206.835 −
+        // 1.015·(words/sentences) − 84.6·(syllables/words), with the
+        // usual vowel-GROUP syllable heuristic (runs of [aeiouy] in a
+        // lowercased token count once) computed IDENTICALLY by both
+        // engines as a regexp count per token. Sentences = the
+        // [.!?]+ splits with non-blank content. Per-row scalar riding
+        // the scan; English docs only (the formula is calibrated for
+        // en, like real pipelines gate it).
+        table(s, d, "documents")
+          .filter(col("lang") === "en" && col("doc_id") < 400)
+          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("n_words", greatest(size(col("toks")), lit(1)))
+          .withColumn("n_sentences", greatest(
+            size(expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)")),
+            lit(1)))
+          .withColumn("n_syllables", expr(
+            "aggregate(transform(toks, t -> greatest(size(regexp_extract_all(t, '[aeiouy]+', 0)), 1)), 0, (a, x) -> a + x)"))
+          .select(col("doc_id"),
+            col("n_words").cast("long").as("n_words"),
+            col("n_sentences").cast("long").as("n_sentences"),
+            col("n_syllables").cast("long").as("n_syllables"),
+            round(lit(206.835)
+              - lit(1.015) * col("n_words") / col("n_sentences")
+              - lit(84.6) * col("n_syllables") / col("n_words"), 4).as("flesch"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(206.835 - 1.015 * n_words / n_sentences
+                     - 84.6 * n_syllables / n_words, 4) AS flesch
+        FROM (SELECT doc_id,
+                     greatest(len(${toksDuck("text")}), 1) AS n_words,
+                     greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                              x -> length(trim(x)) > 0)), 1) AS n_sentences,
+                     list_sum(list_transform(${toksDuck("text")},
+                       t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS n_syllables
+              FROM documents WHERE lang = 'en' AND doc_id < 400)
+        ORDER BY doc_id"""),
+      doc = "Flesch reading ease: vowel-group syllable heuristic + sentence splits, both engines identical")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are
