@@ -914,7 +914,58 @@ object TextQueries {
                        t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS n_syllables
               FROM documents WHERE lang = 'en' AND doc_id < 400)
         ORDER BY doc_id"""),
-      doc = "Flesch reading ease: vowel-group syllable heuristic + sentence splits, both engines identical")
+      doc = "Flesch reading ease: vowel-group syllable heuristic + sentence splits, both engines identical"),
+
+    QueryDef(
+      "q138_snippets",
+      (s, d) =>
+        // Snippet extraction — the best-passage op every search UI needs
+        // (the reference returns whole chunk content; a snippet is the
+        // W-token window with the most query-term hits). Candidate
+        // windows anchor at term positions (the optimal window starts at
+        // a hit), score = hits inside [p, p+12), ties to the EARLIEST
+        // window. Everything is array arithmetic over the shared
+        // tokenization, so DuckDB recomputes the exact window choice and
+        // the snippet text itself (space-joined window tokens). Scale:
+        // per-row HOFs riding the scan — no shuffle until the sort; at
+        // serving time the same logic runs over the top-k hits only.
+        {
+          val q = termsSqlList
+          table(s, d, "documents")
+            .withColumn("toks", expr(toksSpark("text")))
+            .withColumn("hits", expr(
+              s"filter(transform(toks, (t, i) -> CASE WHEN t IN $q THEN i ELSE -1 END), x -> x >= 0)"))
+            .filter(size(col("hits")) > 0)
+            .withColumn("scores", expr(
+              "transform(hits, p -> size(filter(hits, h -> h >= p AND h < p + 12)))"))
+            .withColumn("best", expr(
+              """hits[array_position(scores, array_max(scores)) - 1]"""))
+            .select(col("doc_id"),
+              size(col("hits")).cast("long").as("n_hits"),
+              expr("array_max(scores)").cast("long").as("window_hits"),
+              col("best").cast("long").as("window_start"),
+              expr("concat_ws(' ', slice(toks, best + 1, 12))").as("snippet"))
+            .orderBy(desc("window_hits"), col("doc_id"))
+            .limit(25)
+        },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${toksDuck("text")} toks FROM documents),
+             h AS (SELECT doc_id, toks,
+                          [i - 1 FOR i IN range(1, len(toks) + 1) IF toks[i] IN $termsSqlList] hits
+                   FROM t),
+             scored AS (SELECT doc_id, toks, hits,
+                               list_transform(hits,
+                                 p -> len(list_filter(hits, x -> x >= p AND x < p + 12))) scores
+                        FROM h WHERE len(hits) > 0)
+        SELECT doc_id,
+               CAST(len(hits) AS BIGINT) AS n_hits,
+               CAST(list_max(scores) AS BIGINT) AS window_hits,
+               CAST(hits[list_position(scores, list_max(scores))] AS BIGINT) AS window_start,
+               array_to_string(toks[hits[list_position(scores, list_max(scores))] + 1 :
+                                    hits[list_position(scores, list_max(scores))] + 12], ' ') AS snippet
+        FROM scored
+        ORDER BY window_hits DESC, doc_id LIMIT 25"""),
+      doc = "best-window snippet extraction: hit-anchored 12-token windows, earliest-max tie-break, text recomputed")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are
