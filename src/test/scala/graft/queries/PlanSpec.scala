@@ -281,6 +281,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(1500))
   }
 
+  test("funnel stages are conditional-min columns: one keyed agg, no joins, no window (q134)") {
+    val p = plan("q134_funnel")
+    assert(!p.toLowerCase.contains("join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_min"), p.take(1500))
+  }
+
+  test("cohort retention is two keyed aggs + one equi-join — no window, no cartesian (q136)") {
+    val p = plan("q136_retention_cohorts")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(1500))
+  }
+
+  test("snippet extraction rides the scan: no shuffle before the top-k (q138)") {
+    val p = plan("q138_snippets")
+    // per-row HOF arithmetic ending in TakeOrderedAndProject — the only
+    // exchange allowed is the top-k's own singlePartition gather. (The
+    // check targets join OPERATORS: the literal query term "join" sits
+    // inside the plan's IN-list, so a substring probe would self-trip.)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct", "BroadcastNestedLoopJoin").foreach(op =>
+      assert(!p.contains(op), s"unexpected $op\n" + p.take(1500)))
+    assert("(?i)exchange hashpartitioning".r.findAllIn(p).isEmpty, p.take(1500))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // SCALE.md's skew story has two tiers: the KNOWN-hot-key path salts
     // deterministically (q107), and UNKNOWN skew is left to AQE's runtime
