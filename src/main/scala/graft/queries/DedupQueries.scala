@@ -149,6 +149,46 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q139_novelty",
+      (s, d) =>
+        // N-gram NOVELTY scoring — the inverse lens on the dedup
+        // machinery: instead of finding the copies, weight each doc by
+        // how much of it exists NOWHERE else (novelty = fraction of its
+        // distinct 3-gram shingles with corpus df == 1; the
+        // diversity-weighting signal next to q81's DSIR and q57's
+        // filter gates). Same explode + shingle-key shuffle as q24/q25:
+        // per-shingle df is one keyed aggregation, the novelty ratio a
+        // second — work ∝ shingles, never doc-pairs.
+        {
+          val sh = table(s, d, "documents")
+            .withColumn("toks", expr(toksSpark("text")))
+            .filter(size(col("toks")) >= 3)
+            .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+            .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
+          val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          sh.join(df, Seq("h"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_shingles"),
+              sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+            .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+              round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
+            .orderBy("doc_id")
+        },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, ${polyDuck("sh")} h
+                    FROM (SELECT doc_id, unnest(${shinglesDuck("toks")}) sh
+                          FROM (SELECT doc_id, ${toksDuck("text")} toks FROM documents)
+                          WHERE len(toks) >= 3)),
+             dfs AS (SELECT h, count(*) df FROM sh GROUP BY h)
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               round(CAST(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        FROM sh JOIN dfs ON sh.h = dfs.h
+        GROUP BY sh.doc_id ORDER BY doc_id"""),
+      doc = "n-gram novelty: fraction of a doc's distinct shingles unique in the corpus (diversity weight)"),
+
+    QueryDef(
       "q23_dedup_exact",
       (s, d) =>
         // Exact dedup by content-prefix hash: hash -> groupBy -> keep-min
