@@ -100,10 +100,12 @@ object NearDupIndex {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand = vsCorpus.unionByName(intra).distinct()
-    val allSigs = storedSigs.unionByName(batchSigs)
-      // a doc present in both (re-submitted batch) keeps one signature —
-      // the math is content-deterministic, so either copy is identical
-      .groupBy("doc_id").agg(first("sig").as("sig"))
+    // a doc_id present in both keeps the BATCH signature deterministically
+    // (anti-join, not an unordered first()): a re-submission that EDITED
+    // the text must be gated on its new content, not an arbitrary copy
+    val allSigs = storedSigs
+      .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batchSigs)
     val out = cand
       .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))

@@ -34,14 +34,19 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty term set")
+    // repeated query terms must not double-count their per-doc
+    // contribution; a null tokens array is an empty document (size()
+    // would otherwise yield null/-1 and corrupt _dl and avgdl)
+    val qTerms = terms.distinct
     val base = docs.select(col(idCol), col(tokensCol).as("_toks"))
-      .withColumn("_dl", size(col("_toks")))
+      .withColumn("_dl",
+        when(col("_toks").isNotNull, size(col("_toks"))).otherwise(lit(0)))
     val stats = base.agg(
       count(lit(1)).cast("double").as("_n"),
       avg(col("_dl")).as("_avgdl"))
     val tf = base
       .select(col(idCol), col("_dl"), explode(col("_toks")).as("_term"))
-      .filter(col("_term").isin(terms: _*))
+      .filter(col("_term").isin(qTerms: _*))
       .groupBy(col(idCol), col("_dl"), col("_term"))
       .agg(count(lit(1)).cast("double").as("_tf"))
     val df = tf.groupBy("_term").agg(count(lit(1)).cast("double").as("_df"))

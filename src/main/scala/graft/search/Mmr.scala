@@ -24,7 +24,11 @@ object Mmr {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dp / (math.sqrt(na) * math.sqrt(nb))
+    // zero-magnitude vectors score 0, not NaN (engine-wide convention —
+    // matches CosineSimilarity's codegen kernel); a NaN here would poison
+    // the greedy argmax (NaN never beats -Inf) and strand bestId at -1
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dp / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Greedy MMR over arbitrary items under a caller-supplied similarity
@@ -53,6 +57,7 @@ object Mmr {
           bestObj = obj; bestIdx = i
         }
       }
+      if (bestIdx == -1) bestIdx = remaining.head // all-NaN objectives
       remaining.remove(bestIdx)
       selected += bestIdx
     }
@@ -100,6 +105,9 @@ object Mmr {
           bestObj = obj; bestId = id
         }
       }
+      // NaN relevance (caller-supplied) can leave no candidate beating
+      // -Inf; fall back to the first remaining id rather than crash
+      if (bestId == -1L) bestId = remaining.keysIterator.next()
       val (_, _, bv) = remaining.remove(bestId).get
       selected += ((bestId, bv))
       out += ((bestId, bestObj))

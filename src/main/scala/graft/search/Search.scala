@@ -44,17 +44,23 @@ object Fusion {
     * 2009 — the pgvector/Elasticsearch hybrid default): score =
     * 1/(k + rank) with the standard k = 60, rank 1-based under
     * (raw DESC, chunk_id ASC) — the legs' own ordering, so the scalar
-    * twin ranks by position. Rank is inherently a total order: the
-    * window is fine for the ≤2·topK fusion legs this normalizes; a
-    * full-table ranking should top-k FIRST (TakeOrderedAndProject),
-    * then fuse — which is how every battery/serving caller arrives
-    * here. */
+    * twin ranks by position. Rank is inherently a total order, so the
+    * ranking window has no partition key — which would be a
+    * single-partition sort of the WHOLE input if a caller handed it a
+    * full table. The operator therefore bounds its own input: a
+    * distributed top-`bound` (TakeOrderedAndProject on the same
+    * (raw DESC, chunk_id) key) runs first, so the unpartitioned window
+    * only ever sees ≤ `bound` rows. For any input already ≤ `bound`
+    * (every fusion leg: ≤ 2·topK) this is a no-op; beyond it, dropped
+    * rows would have scored ≤ 1/(60+bound) — fusion-irrelevant. */
   val RrfK = 60.0
 
-  def normalizeRrf(df: DataFrame, in: String, out: String): DataFrame = {
+  def normalizeRrf(df: DataFrame, in: String, out: String,
+      bound: Int = 10000): DataFrame = {
+    val topped = df.orderBy(desc(in), col("chunk_id")).limit(bound)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc(in), col("chunk_id"))
-    df.withColumn(out, lit(1.0) / (lit(RrfK) + row_number().over(w)))
+    topped.withColumn(out, lit(1.0) / (lit(RrfK) + row_number().over(w)))
       .drop(in)
   }
 
@@ -841,8 +847,9 @@ object HybridSearch {
     * recall is approximate (code distortion + skipped cells), reaching
     * 1.0 when refine covers the cell and all cells probe
     * (HybridSearchE2ESpec pins results == brute there). Scoped queries
-    * filter at the exact re-rank, so the ADC budget is widened by 4×
-    * topK like the HNSW beam. */
+    * filter BEFORE the ADC heap (codes and rows are index-aligned), so a
+    * narrow documentId/pathPrefix scope spends the whole budget on
+    * in-scope rows and scoped recall matches the brute leg's. */
   private def vectorLegPq(
       ps: PqServing, req: SearchRequest, model: String,
       q: Array[Float], k: Int): Seq[LegHit] = {
@@ -868,26 +875,33 @@ object HybridSearch {
         // bounded ADC heap: keep the `budget` smallest distances; head is
         // the WORST kept candidate so overflow evicts correctly. Ties
         // break on row index for a deterministic candidate set.
+        // Scope predicates run BEFORE the heap (codes and rows are
+        // index-aligned, so the test is a cheap row lookup) — otherwise a
+        // narrowly scoped request (documentId / pathPrefix) over a large
+        // partition would spend its whole ADC budget on out-of-scope rows
+        // and return fewer than k hits even though in-scope rows exist.
         val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
           Ordering.by { case (d, i) => (d, i) })
         var i = 0
         while (i < p.codes.length) {
-          val d = mdl.adc(lut, p.codes(i))
-          heap.enqueue((d, i))
-          if (heap.size > budget) heap.dequeue()
+          val r = p.rows(i)
+          val inScope = r.container_id == container && r.model_id == model &&
+            docId.forall(_ == r.document_id) &&
+            prefix.forall(pp => r.path.startsWith(pp))
+          if (inScope) {
+            val d = mdl.adc(lut, p.codes(i))
+            heap.enqueue((d, i))
+            if (heap.size > budget) heap.dequeue()
+          }
           i += 1
         }
         topKHeap(
-          heap.iterator.flatMap { case (_, idx) =>
+          heap.iterator.map { case (_, idx) =>
             val r = p.rows(idx)
-            if (r.container_id != container || r.model_id != model ||
-                docId.exists(_ != r.document_id) ||
-                prefix.exists(pp => !r.path.startsWith(pp))) None
-            else
-              Some(LegHit(r.chunk_id, r.document_id,
-                Option(r.content).getOrElse(""),
-                Option(r.metadata).getOrElse(Map.empty),
-                rawCosine(r.embedding, q)))
+            LegHit(r.chunk_id, r.document_id,
+              Option(r.content).getOrElse(""),
+              Option(r.metadata).getOrElse(Map.empty),
+              rawCosine(r.embedding, q))
           }, k)
       }
     }.collect()

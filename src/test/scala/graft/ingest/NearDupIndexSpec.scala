@@ -65,6 +65,25 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, _) => a < 50 || b < 50 })
   }
 
+  test("edited re-submission is gated on its NEW content, not an arbitrary stored copy") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ndidx4").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely unrelated text about spark catalyst optimizer internals rules"),
+      (3L, "another document with distinct content nothing shared with the rest here"))
+      .toDF("doc_id", "text")
+    NearDupIndex.append(spark, wh, corpus)
+    // doc 3 is RE-submitted with text edited to near-duplicate doc 1; with
+    // the old unordered first("sig") pick the stored (unrelated) signature
+    // could win and the edit silently passed the gate
+    val edited = Seq((3L, base + " extra")).toDF("doc_id", "text")
+    val got = NearDupIndex.checkBatch(spark, wh, edited)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.5 },
+      s"edited doc 3 must surface as a near-dup of doc 1 on NEW content; got $got")
+  }
+
   test("append is one atomic commit: both tables land at the same version") {
     val wh = java.nio.file.Files.createTempDirectory("graft-ndidx3").toString
     val v = NearDupIndex.append(spark, wh, docsDf.filter(col("doc_id") < 50))

@@ -47,6 +47,33 @@ class Bm25Spec extends AnyFunSuite {
     assert(s(1L) > s(2L))
   }
 
+  test("repeated query terms do not double-count") {
+    val df = corpus(
+      (1L, Seq("t", "x", "y")),
+      (2L, Seq("u", "x", "y")),
+      (3L, Seq("a", "b", "c")))
+    val once = scoresOf(df, "t")
+    val thrice = scoresOf(df, "t", "t", "t")
+    assert(once == thrice, "duplicate terms must be deduped before scoring")
+  }
+
+  test("null token arrays are empty docs: no corrupt lengths, avgdl unaffected by -1") {
+    import org.apache.spark.sql.functions._
+    val df = corpus(
+      (1L, Seq("t", "x")),
+      (2L, Seq("t", "x")),
+      (3L, Seq("a", "b")))
+      .unionByName(Seq(9L).toDF("doc_id")
+        .withColumn("toks", lit(null).cast("array<string>")))
+    val clean = scoresOf(corpus((1L, Seq("t", "x")), (2L, Seq("t", "x")), (3L, Seq("a", "b"))), "t")
+    val withNull = scoresOf(df, "t")
+    assert(!withNull.contains(9L))
+    // the null doc raises N from 3 to 4 (idf shifts) but must not poison
+    // avgdl with a negative length: scores stay finite and positive
+    assert(withNull.values.forall(s => s > 0 && !s.isNaN && !s.isInfinite))
+    assert(clean.keySet == withNull.keySet)
+  }
+
   test("docs matching no term are absent; multi-term scores add") {
     val df = corpus(
       (1L, Seq("t", "u")),

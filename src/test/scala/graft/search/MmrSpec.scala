@@ -37,6 +37,25 @@ class MmrSpec extends AnyFunSuite {
     assert(picks.map(_._2) == picks.map(_._2).sorted.reverse)
   }
 
+  test("zero-magnitude candidate vectors score cos 0, never NaN, and never crash") {
+    // a zero vector used to make cos() return NaN (0/0); NaN never beats
+    // -Inf so the greedy argmax stranded bestId at -1 and rerank threw
+    val cands = Seq(
+      (1L, 0.9, v(0, 0, 0)), (2L, 0.8, v(0, 0, 0)), (3L, 0.7, v(1, 0, 0)))
+    val picks = Mmr.rerank(cands, 3, lambda = 0.5)
+    assert(picks.map(_._1) == Seq(1L, 2L, 3L)) // penalty 0 for zero vecs -> rel order
+    assert(picks.forall(p => !p._2.isNaN))
+  }
+
+  test("all-NaN relevance falls back to input order instead of crashing") {
+    val cands = Seq(
+      (5L, Double.NaN, v(1, 0)), (2L, Double.NaN, v(0, 1)))
+    val picks = Mmr.rerank(cands, 2, lambda = 1.0)
+    assert(picks.map(_._1) == Seq(5L, 2L))
+    val idx = Mmr.rerankBy[Int](IndexedSeq(10, 20), _ => Double.NaN, (_, _) => 0.0, 2, 0.5)
+    assert(idx == Seq(0, 1))
+  }
+
   test("ties break to the lower id and reruns are identical") {
     val cands = Seq(
       (7L, 0.5, v(1, 0)), (3L, 0.5, v(0, 1)), (9L, 0.5, v(0, -1)))
