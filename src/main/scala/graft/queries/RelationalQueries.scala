@@ -1044,6 +1044,63 @@ object RelationalQueries {
                round(quantile_cont(value, 0.99), 4) AS p99,
                CAST(1 AS BIGINT) AS sketch_ok
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      doc = "exact per-key percentiles + approx_percentile sketch verified in-query against the exact envelope")
+      doc = "exact per-key percentiles + approx_percentile sketch verified in-query against the exact envelope"),
+
+    QueryDef(
+      "q140_delete_where",
+      (s, d) => {
+        // Row-level DELETE (store/TxLog.deleteWhere — the reference's
+        // ExecuteDeleteAsync / bulk_delete, ref IngestionPipeline.cs:
+        // 211-218, McpTools.cs:375; Delta's copy-on-write DELETE shape):
+        // stage documents as a range-partitioned TxLog table (8 files
+        // with disjoint doc_id stats), run TWO deletes — a stats-prunable
+        // id range (GDPR erasure by key range: only owner files are
+        // opened or rewritten) then a content predicate — and emit the
+        // survivor set. Two in-query audit flags ride the rows: the
+        // change feed's delete pre-image count must equal the operators'
+        // reported deletedRows (CDF contract), and a probe into the
+        // deleted id range must open ZERO files (the rewritten survivors
+        // carry fresh stats). Both are pinned by the DuckDB oracle's
+        // constant 1 — a regression fails the hash compare.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q140").toString
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+        T.commit(s, wh, T.stageWrite(
+          docs.repartitionByRange(8, col("doc_id")), wh, "documents", Nil, 1L,
+          statsCols = Seq("doc_id", "n_chars")))
+        val r1 = T.deleteWhere(s, wh, "documents",
+          col("doc_id").between(100L, 199L), statsCols = Seq("doc_id", "n_chars"))
+        val r2 = T.deleteWhere(s, wh, "documents",
+          col("source") === "src7" && col("n_chars") < 500L,
+          statsCols = Seq("doc_id", "n_chars"))
+        val deleted = Seq(r1, r2).flatten.map(_.deletedRows).sum
+        val feedDeleted = T.readChanges(s, wh, "documents", fromVersion = -1L)
+          .filter(col("_change_type") === "delete").count()
+        val prunedProbe =
+          T.readWhereBetween(s, wh, "documents", "doc_id", 120L, 180L).count()
+        T.read(s, wh, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("deleted_rows", lit(deleted))
+          .withColumn("audit_ok",
+            lit(if (feedDeleted == deleted && prunedProbe == 0L) 1L else 0L))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH d1 AS (SELECT count(*) AS c FROM documents
+                    WHERE doc_id BETWEEN 100 AND 199),
+             d2 AS (SELECT count(*) AS c FROM documents
+                    WHERE source = 'src7' AND n_chars < 500
+                      AND doc_id NOT BETWEEN 100 AND 199)
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST((SELECT c FROM d1) + (SELECT c FROM d2) AS BIGINT) AS deleted_rows,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM documents
+        WHERE doc_id NOT BETWEEN 100 AND 199
+          AND NOT (source = 'src7' AND n_chars < 500)
+        GROUP BY source, lang ORDER BY source, lang"""),
+      doc = "row-level deleteWhere: stats-pruned copy-on-write rewrite, CDF pre-image + skipping audits in-query")
   )
 }

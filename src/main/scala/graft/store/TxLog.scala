@@ -180,7 +180,8 @@ object TxLog {
   def commit(spark: SparkSession, warehouse: String,
       adds: Seq[Add], removes: Seq[Remove] = Nil,
       schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
-      tags: Map[String, Long] = Map.empty): Long =
+      tags: Map[String, Long] = Map.empty,
+      deletes: Map[String, String] = Map.empty): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
@@ -220,6 +221,12 @@ object TxLog {
     }
     tags.toSeq.sortBy(_._1).foreach { case (name, v) =>
       body ++= s"tag\t${esc(name)}\t$v\n"
+    }
+    // a `delete` action marks this remove-bearing commit as a ROW-LEVEL
+    // DELETE (vs a compaction rewrite) and records the predicate, so the
+    // change feed can replay the pre-image rows (see readChanges)
+    deletes.toSeq.sortBy(_._1).foreach { case (table, predSql) =>
+      body ++= s"delete\t$table\t${esc(predSql)}\n"
     }
     adds.foreach { a =>
       body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n"
@@ -311,6 +318,7 @@ object TxLog {
             fileBlooms.remove((table, rel))
           case Array("schema", table, js) => tableSchemas(table) = unesc(js)
           case Array("tag", name, tv) => tagMap(unesc(name)) = tv.toLong
+          case Array("delete", _, _) => () // informational; adds/removes carry the fold
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -351,13 +359,17 @@ object TxLog {
   }
 
   /** CHANGE DATA FEED (the published Delta `table_changes` read shape,
-    * realized file-level): rows appended to `table` by commits in
-    * (fromVersion, toVersion], stamped `_commit_version`. In this log a
-    * LOGICAL change is exactly an appended file — upserts are
-    * generation-stamped appends (readers resolve last-writer-wins), and a
-    * commit that also REMOVES files of the table is a rewrite
-    * (compaction): its adds carry no new data and are excluded from the
-    * feed. An incremental consumer checkpoints `snapshot(...).version`
+    * realized file-level): rows changed in `table` by commits in
+    * (fromVersion, toVersion], stamped `_commit_version` and
+    * `_change_type` ("insert" | "delete"). In this log a LOGICAL change
+    * is an appended file — upserts are generation-stamped appends
+    * (readers resolve last-writer-wins) — or a [[deleteWhere]] commit,
+    * whose change rows are the deleted PRE-IMAGES (the removed files'
+    * rows replayed through the logged predicate; its survivor-rewrite
+    * adds carry no new data and are excluded). A commit that removes
+    * files WITHOUT a delete action is a rewrite (compaction/restore):
+    * nothing logical changed, nothing feeds.
+    * An incremental consumer checkpoints `snapshot(...).version`
     * and reads forward — O(new data) per poll, never a table rescan, and
     * the commit boundaries are the writers' own (a chunk+vector
     * transaction surfaces in both feeds at the SAME version, so a
@@ -368,35 +380,57 @@ object TxLog {
     */
   def readChanges(spark: SparkSession, warehouse: String, table: String,
       fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{expr, lit}
     val f = fs(spark, warehouse)
+    // per-version change batch: (version, files to read, change type,
+    // optional delete predicate to replay over the pre-image files)
     val batches = listVersions(f, warehouse)
       .filter(v => v > fromVersion && v <= toVersion)
       .flatMap { v =>
         val adds = scala.collection.mutable.ArrayBuffer[String]()
-        var rewrite = false
+        val removes = scala.collection.mutable.ArrayBuffer[String]()
+        var deletePred: Option[String] = None
         readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
           line.split('\t') match {
             case Array("add", t, rel, _) if t == table => adds += rel
-            case Array("remove", t, _) if t == table => rewrite = true
+            case Array("remove", t, rel) if t == table => removes += rel
+            case Array("delete", t, pred) if t == table => deletePred = Some(unesc(pred))
             case _ => ()
           }
         }
-        if (rewrite || adds.isEmpty) None
-        else Some(v -> adds.toSeq.map(rel => s"$warehouse/$table/$rel"))
+        deletePred match {
+          // ROW-LEVEL DELETE commit: the change rows are the PRE-IMAGES —
+          // the removed files' rows matching the logged predicate (the
+          // files stay on disk until vacuum, like time travel; the
+          // survivor-rewrite adds carry no new data and are excluded)
+          case Some(pred) if removes.nonEmpty =>
+            Some((v, removes.toSeq.map(rel => s"$warehouse/$table/$rel"),
+              "delete", Some(pred)))
+          // compaction/restore rewrite: logically nothing changed
+          case _ if removes.nonEmpty || adds.isEmpty => None
+          case _ =>
+            Some((v, adds.toSeq.map(rel => s"$warehouse/$table/$rel"),
+              "insert", None))
+        }
       }
     if (batches.isEmpty) {
       val base =
         try read(spark, warehouse, table, toVersion)
         catch {
           case _: org.apache.spark.sql.AnalysisException =>
-            return spark.emptyDataFrame.withColumn("_commit_version", lit(0L))
+            return spark.emptyDataFrame
+              .withColumn("_commit_version", lit(0L))
+              .withColumn("_change_type", lit("insert"))
         }
-      return base.limit(0).withColumn("_commit_version", lit(0L))
+      return base.limit(0)
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_change_type", lit("insert"))
     }
-    batches.map { case (v, files) =>
-      spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+    batches.map { case (v, files, change, pred) =>
+      val df = spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+      pred.fold(df)(p => df.filter(expr(p)))
         .withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit(change))
     // allowMissingColumns: a feed spanning a schema evolution unions
     // pre- and post-evolution batches — older rows null-fill new columns
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -590,6 +624,212 @@ object TxLog {
         .filter(col(column).between(lit(lo), lit(hi))).limit(0)
     spark.read.option("basePath", s"$warehouse/$table").parquet(kept: _*)
       .filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Conjunctive column-vs-literal constraints extracted from a DELETE
+    * predicate for log-level file pruning — the published Delta/Iceberg
+    * data-skipping move applied to the delete path: `x = 5 AND p > 2`
+    * yields [(x,eq,5), (p,gt,2)]; shapes the walk can't decompose (OR,
+    * UDFs, nested functions) yield nothing and pruning falls back to the
+    * scan tier (parquet row-group pushdown), never to wrong answers. */
+  private def extractConstraints(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def nameOf(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literals AND foldable wrappers around them — the analyzer inserts
+    // casts for literal/column type mismatches (id > 5 on a bigint column
+    // becomes id > CAST(5 AS BIGINT)); evaluating the foldable side keeps
+    // those prunable
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v, dt) => Some(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt))
+      case e if e.foldable && e.deterministic =>
+        scala.util.Try(
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(e.eval(), e.dataType)).toOption
+      case _ => None
+    }
+    def cmp(op: String, l: Expression, r: Expression): Seq[(String, String, Any)] =
+      (nameOf(l), litOf(r)) match {
+        case (Some(n), Some(v)) => Seq((n, op, v))
+        case _ => (nameOf(r), litOf(l)) match { // flipped: 5 = x
+          case (Some(n), Some(v)) =>
+            val flip = Map("lt" -> "gt", "le" -> "ge", "gt" -> "lt", "ge" -> "le")
+            Seq((n, flip.getOrElse(op, op), v))
+          case _ => Nil
+        }
+      }
+    e match {
+      case And(l, r) => extractConstraints(l) ++ extractConstraints(r)
+      case EqualTo(l, r) => cmp("eq", l, r)
+      case LessThan(l, r) => cmp("lt", l, r)
+      case LessThanOrEqual(l, r) => cmp("le", l, r)
+      case GreaterThan(l, r) => cmp("gt", l, r)
+      case GreaterThanOrEqual(l, r) => cmp("ge", l, r)
+      case In(v, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        nameOf(v).map(n => (n, "in",
+          list.flatMap(litOf): Any)).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** Can `rel`'s logged stats/bloom admit a row satisfying every
+    * constraint? Missing stats, unparsable values, or undecomposable
+    * predicates answer true (conservative — the file is scanned). */
+  private def fileMayMatch(snap: Snapshot, table: String, rel: String,
+      constraints: Seq[(String, String, Any)]): Boolean =
+    constraints.forall { case (colName, op, value) =>
+      def rangeAdmits(v: Any): Boolean =
+        snap.statsOf(table, rel).get(colName).forall { cs =>
+          val s = String.valueOf(v)
+          scala.util.Try(op match {
+            case "eq" => !statLt(cs.tpe, s, cs.min) && !statLt(cs.tpe, cs.max, s)
+            case "lt" => statLt(cs.tpe, cs.min, s) // some row < v needs min < v
+            case "le" => !statLt(cs.tpe, s, cs.min)
+            case "gt" => statLt(cs.tpe, s, cs.max)
+            case "ge" => !statLt(cs.tpe, cs.max, s)
+            case _ => true
+          }).getOrElse(true)
+        }
+      def bloomAdmits(v: Any): Boolean =
+        snap.bloomsOf(table, rel).get(colName).forall { b64 =>
+          scala.util.Try(org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64)))
+            .mightContain(v)).getOrElse(true)
+        }
+      op match {
+        case "in" => value.asInstanceOf[Seq[Any]]
+          .exists(v => rangeAdmits(v) && bloomAdmits(v))
+        case "eq" => rangeAdmits(value) && bloomAdmits(value)
+        case _ => rangeAdmits(value)
+      }
+    }
+
+  final case class DeleteResult(version: Long, removedFiles: Int,
+      rewrittenFiles: Int, deletedRows: Long)
+
+  /** ROW-LEVEL DELETE (the reference's `ExecuteDeleteAsync` / bulk_delete,
+    * ref `IngestionPipeline.cs:211-218`, `McpTools.cs:375`; the published
+    * Delta `DELETE FROM ... WHERE` copy-on-write shape): remove every row
+    * satisfying `predicate` in ONE commit — rewrite only the OWNER files,
+    * leave the rest of the table untouched. The GDPR-erasure op a 100 TB
+    * corpus eventually needs: cost is proportional to files CONTAINING
+    * matches, not table size.
+    *
+    * Three pruning tiers find the owners:
+    *   1. log-level: the predicate's conjunctive column-vs-literal
+    *      constraints run against the logged per-file min/max stats and
+    *      Bloom sketches — non-candidate files are never opened or listed
+    *      into a job;
+    *   2. scan-level: one column-pruned job over the candidates finds
+    *      files actually holding matches (`_metadata.file_path`), with
+    *      parquet row-group stats skipping beneath it;
+    *   3. rewrite: only true owners are read again, survivors
+    *      (`NOT coalesce(predicate, false)` — SQL DELETE semantics: a
+    *      null predicate KEEPS the row) staged as new files.
+    * One commit then publishes adds(survivors) + removes(owners) + a
+    * `delete` action carrying the predicate's SQL, so the change feed
+    * replays the deleted pre-images ([[readChanges]] `_change_type =
+    * "delete"`). Time travel to a pre-delete version still reads the
+    * deleted rows until [[vacuum]] reclaims the removed files.
+    *
+    * Concurrency: write-serializable like Delta — a concurrent APPEND
+    * commits fine before or after (appended rows are not covered by this
+    * delete's snapshot); a concurrent REWRITE of an owner file surfaces
+    * as [[TxConflictException]] at the version claim, the log intact —
+    * re-derive from a fresh snapshot and retry (staged survivors from the
+    * failed attempt are unreferenced and vacuumed).
+    *
+    * The predicate must be SQL-expressible (validated up front by
+    * round-tripping through the parser) so the feed can replay it; the
+    * Column DSL and `expr(...)` forms all qualify.
+    *
+    * Returns None — no version burned, no files touched — when nothing
+    * matches. `partitionBy`/`statsCols`/`bloomCols` mirror [[compact]]:
+    * pass the table's layout so rewritten survivors keep it.
+    */
+  def deleteWhere(spark: SparkSession, warehouse: String, table: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[DeleteResult] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val snap = snapshot(spark, warehouse)
+    val files = snap.files(table)
+    require(files.nonEmpty, s"txlog: no live files for $table")
+    val base = s"$warehouse/$table"
+    def reader = snap.schemaOf(table) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    // resolve the predicate against a SCHEMA-ONLY empty relation (never
+    // the live file list — tier-1 pruning means excluded files are not
+    // even LISTED, and the parquet reader checks path existence at
+    // construction): Spark 4's Column DSL builds connect-style nodes, so
+    // the CLASSIC Catalyst tree (And/comparison/AttributeReference/
+    // Literal — what the constraint walk reads) only exists after
+    // analysis. The analyzed condition also yields the SQL the feed
+    // replays.
+    val dataSchema = snap.schemaOf(table).getOrElse(
+      spark.read.parquet(s"$base/${files.head._1}").schema)
+    val partCols = files.head._1.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    val probeSchema = partCols.filterNot(dataSchema.fieldNames.contains)
+      .foldLeft(dataSchema)((st, c) =>
+        st.add(c, org.apache.spark.sql.types.StringType))
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), probeSchema)
+    val predExpr = probe.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(sys.error("txlog: filter did not analyze to a Filter node"))
+    val predSql = predExpr.sql
+    // fail BEFORE touching anything if the feed could not replay it:
+    // parse AND analyze (a scala-closure UDF's sql form parses as an
+    // unknown function — it must be rejected here, not in the feed)
+    try probe.filter(expr(predSql)).queryExecution.analyzed
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"txlog: delete predicate is not SQL-replayable ($predSql): ${e.getMessage}")
+    }
+    // tier 1: log-level pruning from the predicate's own conjuncts
+    val constraints = extractConstraints(predExpr)
+    val candidates = files.filter { case (rel, _) =>
+      fileMayMatch(snap, table, rel, constraints) }
+    if (candidates.isEmpty) return None
+    // tier 2: exact owner files + matched-row counts in one pruned scan
+    val tablePath = new Path(warehouse, table).toUri.getPath
+    val owners = reader.option("basePath", base)
+      .parquet(candidates.map(c => s"$base/${c._1}"): _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("_f"))
+      .groupBy("_f").count()
+      .collect()
+      .map { r =>
+        val rel = new Path(r.getString(0)).toUri.getPath
+          .stripPrefix(tablePath).stripPrefix("/")
+        rel -> r.getLong(1)
+      }.toMap
+    if (owners.isEmpty) return None
+    val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
+    // tier 3: rewrite ONLY the owners down to their survivors
+    val survivors = reader.option("basePath", base)
+      .parquet(ownerFiles.map(c => s"$base/${c._1}"): _*)
+      .filter(not(coalesce(predicate, lit(false))))
+    val adds = stageWrite(survivors, warehouse, table, partitionBy,
+      generation = ownerFiles.map(_._2).max,
+      statsCols = statsCols, bloomCols = bloomCols)
+    val v = commit(spark, warehouse, adds,
+      ownerFiles.map { case (rel, _) => Remove(table, rel) },
+      deletes = Map(table -> predSql))
+    spark.catalog.refreshByPath(base)
+    org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+    Some(DeleteResult(v, ownerFiles.size, adds.size, owners.values.sum))
   }
 
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):

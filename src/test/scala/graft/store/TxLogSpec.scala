@@ -473,4 +473,195 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, wh).version == before)
     assert(TxLog.read(spark, wh, "chunks").count() == 5)
   }
+
+  // ---- row-level deletes (deleteWhere) ----------------------------------
+
+  test("deleteWhere rewrites ONLY owner files; survivors exact; no-match burns no version") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // three single-file commits with disjoint id ranges + logged stats
+    for ((lo, gen) <- Seq((0L, 1L), (100L, 2L), (200L, 3L)))
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        (lo until lo + 50L).map(i => (i, s"c${i % 2}", gen))
+          .toDF("id", "container_id", "generation").coalesce(1),
+        wh, "chunks", Nil, gen, statsCols = Seq("id")))
+    val before = TxLog.snapshot(spark, wh)
+    val untouched = before.files("chunks")
+      .filterNot { case (rel, _) =>
+        val cs = before.statsOf("chunks", rel)("id")
+        cs.min.toLong <= 110L && 110L <= cs.max.toLong }
+    val r = TxLog.deleteWhere(spark, wh, "chunks",
+      col("id").between(110L, 119L), statsCols = Seq("id")).get
+    assert(r.removedFiles == 1 && r.deletedRows == 10)
+    val after = TxLog.snapshot(spark, wh)
+    // non-owner files keep their EXACT rel paths — never rewritten
+    assert(untouched.toSet.subsetOf(after.files("chunks").toSet))
+    assert(after.files("chunks").size == untouched.size + r.rewrittenFiles)
+    // survivor set is exact
+    assert(TxLog.read(spark, wh, "chunks").count() == 140)
+    assert(TxLog.read(spark, wh, "chunks")
+      .filter(col("id").between(110L, 119L)).count() == 0)
+    // rewritten survivors carry fresh stats: a probe into the deleted
+    // range opens NO files at all
+    assert(TxLog.readWhereBetween(spark, wh, "chunks", "id", 112L, 115L).count() == 0)
+    // a predicate matching nothing: None, no version burned, no files touched
+    val v = TxLog.snapshot(spark, wh).version
+    assert(TxLog.deleteWhere(spark, wh, "chunks", col("id") === 99999L).isEmpty)
+    assert(TxLog.snapshot(spark, wh).version == v)
+  }
+
+  test("deleteWhere log-level pruning: files whose stats exclude the predicate are never opened") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    for ((lo, gen) <- Seq((0L, 1L), (100L, 2L), (200L, 3L)))
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        (lo until lo + 50L).map(i => (i, gen)).toDF("id", "generation").coalesce(1),
+        wh, "chunks", Nil, gen, statsCols = Seq("id")))
+    // sabotage: physically remove the THIRD commit's file, bypassing the
+    // log — if the delete's candidate scan opened it, the job would fail
+    // with FileNotFound; stats pruning must keep it out of the job entirely
+    val snap = TxLog.snapshot(spark, wh)
+    val hfs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = snap.files("chunks").find { case (rel, _) =>
+      snap.statsOf("chunks", rel)("id").min.toLong == 200L }.get._1
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$wh/chunks/$victim"), false))
+    val r = TxLog.deleteWhere(spark, wh, "chunks",
+      col("id").between(100L, 109L), statsCols = Seq("id")).get
+    assert(r.deletedRows == 10 && r.removedFiles == 1)
+  }
+
+  test("deleteWhere bloom pruning: equality delete on overlapping-range string keys") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // interleaved keys: every file spans the whole range (bloom's case);
+    // the schema is LOGGED so the delete's predicate resolution never
+    // needs a footer read (the stats-pruning test covers the footer path)
+    for (fileNo <- 0 until 3) {
+      val d = (0 until 100).map(i => (f"doc-${i * 3 + fileNo}%03d", fileNo.toLong))
+        .toDF("name", "file_no").coalesce(1)
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        d, wh, "t", Nil, fileNo.toLong, bloomCols = Seq("name")),
+        schemas = Map("t" -> d.schema))
+    }
+    // same sabotage proof: remove a NON-owning file from disk; the bloom
+    // tier must exclude it before any scan job lists it
+    val snap = TxLog.snapshot(spark, wh)
+    val hfs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probe = "doc-155" // owner is file 155 % 3 == 2
+    val nonOwner = snap.files("t").find { case (rel, _) =>
+      !org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(
+          snap.bloomsOf("t", rel)("name")))).mightContain(probe) }.get._1
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$wh/t/$nonOwner"), false))
+    val r = TxLog.deleteWhere(spark, wh, "t", col("name") === probe,
+      bloomCols = Seq("name")).get
+    assert(r.deletedRows == 1 && r.removedFiles == 1)
+  }
+
+  test("deleteWhere: SQL null semantics — a null predicate KEEPS the row") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val data = Seq((1L, "en"), (2L, null), (3L, "de"))
+      .toDF("id", "lang")
+    TxLog.commit(spark, wh, TxLog.stageWrite(data, wh, "t", Nil, 1))
+    val r = TxLog.deleteWhere(spark, wh, "t", col("lang") === "en").get
+    assert(r.deletedRows == 1)
+    // null lang evaluates the predicate to null -> row survives (DELETE
+    // only removes rows where the predicate is TRUE)
+    assert(TxLog.read(spark, wh, "t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+  }
+
+  test("deleteWhere change-feed: pre-images surface as _change_type=delete; rewrites don't re-feed") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val v0 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 9L, 1), wh, "chunks", Seq("container_id"), 1))
+    val r = TxLog.deleteWhere(spark, wh, "chunks", col("id") >= 8L,
+      partitionBy = Seq("container_id")).get
+    val feed = TxLog.readChanges(spark, wh, "chunks", fromVersion = -1L)
+    // the original insert batch feeds as inserts...
+    assert(feed.filter(col("_change_type") === "insert").count() == 10)
+    // ...and the delete feeds EXACTLY its pre-images at the delete version
+    val dels = feed.filter(col("_change_type") === "delete")
+    assert(dels.select("id").as[Long].collect().sorted.toSeq == Seq(8L, 9L))
+    assert(dels.select("_commit_version").distinct().as[Long].collect().toSeq
+      == Seq(r.version))
+    // an incremental consumer checkpointed at v0 sees ONLY the deletes —
+    // the survivor-rewrite adds carry no new data and never feed
+    val delta = TxLog.readChanges(spark, wh, "chunks", fromVersion = v0)
+    assert(delta.count() == 2)
+    assert(delta.select("_change_type").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("delete"))
+    // a compaction after the delete still feeds nothing
+    TxLog.compact(spark, wh, "chunks", Seq("container_id"))
+    assert(TxLog.readChanges(spark, wh, "chunks", fromVersion = r.version).count() == 0)
+  }
+
+  test("deleteWhere vacuum interplay: time travel reads pre-delete rows until retention expires") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val v0 = TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 9L, 1).coalesce(1), wh, "chunks", Nil, 1))
+    TxLog.deleteWhere(spark, wh, "chunks", col("id") < 5L).get
+    assert(TxLog.read(spark, wh, "chunks").count() == 5)
+    // pre-delete version still reads the deleted rows (GDPR caveat: data
+    // is logically gone but physically present until vacuum)
+    assert(TxLog.read(spark, wh, "chunks", atVersion = v0).count() == 10)
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    // live data untouched; the pre-delete file is physically gone
+    assert(TxLog.read(spark, wh, "chunks").count() == 5)
+    val hfs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldSnap = TxLog.snapshot(spark, wh, atVersion = v0)
+    assert(!oldSnap.files("chunks").forall { case (rel, _) =>
+      hfs.exists(new org.apache.hadoop.fs.Path(s"$wh/chunks/$rel")) })
+  }
+
+  test("deleteWhere conflict: losing the claim is clean; retry applies; orphans vacuum") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 9L, 1).coalesce(1), wh, "chunks", Nil, 1))
+    val flaky = new graft.store.LogStore {
+      var failed = false
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          dir: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
+          content: Array[Byte]): Boolean =
+        if (!failed) { failed = true; false } // another writer won this claim
+        else graft.store.HadoopLogStore.putIfAbsent(f, dir, target, content)
+    }
+    TxLog.store = flaky
+    try {
+      intercept[graft.store.TxConflictException] {
+        TxLog.deleteWhere(spark, wh, "chunks", col("id") < 3L)
+      }
+      // log intact: the table is unchanged
+      assert(TxLog.read(spark, wh, "chunks").count() == 10)
+      // retry from a fresh snapshot applies cleanly
+      assert(TxLog.deleteWhere(spark, wh, "chunks", col("id") < 3L).get.deletedRows == 3)
+      assert(TxLog.read(spark, wh, "chunks").count() == 7)
+    } finally TxLog.store = graft.store.HadoopLogStore
+    // the failed attempt's staged survivors + the replaced original are
+    // unreferenced -> vacuumed; live data untouched
+    assert(TxLog.vacuum(spark, wh, retentionMs = 0L) >= 2)
+    assert(TxLog.read(spark, wh, "chunks").count() == 7)
+  }
+
+  test("deleteWhere rejects a predicate the change feed could not replay") {
+    val wh = freshWh()
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 4L, 1).coalesce(1), wh, "chunks", Nil, 1))
+    val before = TxLog.snapshot(spark, wh).version
+    // a scala-closure UDF has no SQL form
+    val udf = org.apache.spark.sql.functions.udf((id: Long) => id % 2 == 0)
+    intercept[Exception] {
+      TxLog.deleteWhere(spark, wh, "chunks",
+        udf(org.apache.spark.sql.functions.col("id")))
+    }
+    assert(TxLog.snapshot(spark, wh).version == before)
+    assert(TxLog.read(spark, wh, "chunks").count() == 5)
+  }
 }
