@@ -101,4 +101,12 @@ final case class SearchRequest(
       * top candidates greedily by lambda*score - (1-lambda)*max content
       * Jaccard to already-picked hits (search/Mmr) — near-duplicate
       * chunks stop crowding the top-k. None = relevance order. */
-    mmrLambda: Option[Double] = None)
+    mmrLambda: Option[Double] = None,
+    /** Some(w): each returned hit carries metadata("snippet") — the
+      * best w-token window of its content (most query-term occurrences,
+      * hit-anchored, earliest-max tie-break; the q138 operator run over
+      * the top-k only, driver-side like MMR/autocut). Hits whose content
+      * contains no query term carry no snippet, matching the batch
+      * operator's semantics. None = whole content only (the reference's
+      * behavior, ref SearchModels.cs:15-20). */
+    snippetTokens: Option[Int] = None)

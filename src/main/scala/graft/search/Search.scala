@@ -1061,6 +1061,17 @@ object HybridSearch {
         picks.map(kept(_))
       case _ => kept
     }
-    ordered.take(req.topK).map(Fusion.substituteWindow)
+    val finalHits = ordered.take(req.topK).map(Fusion.substituteWindow)
+    // snippet annotation (opt-in): the q138 best-window operator over the
+    // top-k ONLY — terms come from the query under the shared
+    // tokenization (operators/quotes strip to their terms), windows run
+    // AFTER sentence-window substitution so the snippet reflects what the
+    // hit actually surfaces as content
+    req.snippetTokens match {
+      case Some(w) =>
+        val terms = Snippets.toks(req.query).toSet
+        finalHits.map(Snippets.annotate(_, terms, w))
+      case None => finalHits
+    }
   }
 }

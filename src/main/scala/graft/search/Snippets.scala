@@ -1,0 +1,48 @@
+package graft.search
+
+import graft.model.SearchHit
+
+/** Best-window snippet extraction over a hit's content — the serving twin
+  * of the q138 batch operator (queries/TextQueries "q138_snippets"), with
+  * identical semantics so the E2E spec can pin API == batch on the same
+  * rows: candidate windows anchor at query-term positions (the optimal
+  * window starts at a hit), score = term occurrences inside [p, p+w),
+  * ties break to the EARLIEST window, and the snippet is the space-joined
+  * window tokens of the SHARED tokenization (lowercased `[a-z0-9]+` — the
+  * Frag.toks form both engines compute).
+  *
+  * Scale shape: this is a candidate-set operator by construction — it
+  * runs driver-side over the top-k hits ONLY (tens of rows, each a chunk
+  * of bounded length), after the distributed legs reduced the corpus;
+  * exactly the MMR/autocut/rerank contract. The corpus-wide form stays
+  * q138 (per-row HOFs riding the scan).
+  */
+object Snippets {
+
+  /** The engine's shared tokenization (Frag.toksSpark / toksDuck twin). */
+  def toks(text: String): Array[String] =
+    "[a-z0-9]+".r.findAllIn(Option(text).getOrElse("").toLowerCase).toArray
+
+  /** Best w-token window of `text` for `terms`:
+    * (window_start, window_hits, snippet), or None when no term occurs
+    * (q138 drops hitless rows; the API leaves such hits un-annotated). */
+  def bestWindow(text: String, terms: Set[String], w: Int): Option[(Int, Int, String)] = {
+    if (terms.isEmpty || w <= 0) return None
+    val t = toks(text)
+    val hits = t.indices.filter(i => terms.contains(t(i)))
+    if (hits.isEmpty) None
+    else {
+      val scores = hits.map(p => hits.count(h => h >= p && h < p + w))
+      val mx = scores.max
+      val best = hits(scores.indexOf(mx)) // earliest max — q138's array_position
+      Some((best, mx, t.slice(best, best + w).mkString(" ")))
+    }
+  }
+
+  /** Annotate a hit with metadata("snippet") when any query term occurs
+    * in its content; pass it through untouched otherwise. */
+  def annotate(hit: SearchHit, terms: Set[String], w: Int): SearchHit =
+    bestWindow(hit.content, terms, w).fold(hit) { case (_, _, snip) =>
+      hit.copy(metadata = hit.metadata + ("snippet" -> snip))
+    }
+}

@@ -482,6 +482,50 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     assert(diverse.map(_.chunk_id).distinct.length == diverse.length)
   }
 
+  test("snippetTokens: each hit carries the q138 best-window snippet of its own content") {
+    import org.apache.spark.sql.functions.{col, expr, size}
+    val w = 5
+    val req = SearchRequest("chunk overlap settings", "c1", topK = 5,
+      snippetTokens = Some(w))
+    val hits = HybridSearch.search(index, req, embedder)
+    assert(hits.nonEmpty)
+    // replay the BATCH operator's exact Catalyst HOF chain (q138:
+    // hit-anchored windows, earliest-max tie-break, shared tokenization)
+    // over the returned hits' contents — an independent computation the
+    // API's driver-side annotation must match row for row
+    val q = "('chunk', 'overlap', 'settings')"
+    val expected = hits.map(h => (h.chunk_id, h.content)).toDF("chunk_id", "content")
+      .withColumn("toks", expr("regexp_extract_all(lower(content), '[a-z0-9]+', 0)"))
+      .withColumn("hits", expr(
+        s"filter(transform(toks, (t, i) -> CASE WHEN t IN $q THEN i ELSE -1 END), x -> x >= 0)"))
+      .filter(size(col("hits")) > 0)
+      .withColumn("scores", expr(
+        s"transform(hits, p -> size(filter(hits, h -> h >= p AND h < p + $w)))"))
+      .withColumn("best", expr("hits[array_position(scores, array_max(scores)) - 1]"))
+      .select(col("chunk_id"), expr(s"concat_ws(' ', slice(toks, best + 1, $w))").as("snippet"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hits.foreach { h =>
+      expected.get(h.chunk_id) match {
+        case Some(s) => assert(h.metadata.get("snippet").contains(s),
+          s"${h.chunk_id}: api=${h.metadata.get("snippet")} batch=$s")
+        case None => assert(!h.metadata.contains("snippet"),
+          s"${h.chunk_id} has no query term — must carry no snippet")
+      }
+    }
+    assert(hits.exists(_.metadata.contains("snippet")), "vacuous fixture")
+    // ranking/scores are untouched by annotation, and None leaves hits bare
+    val plain = HybridSearch.search(index, req.copy(snippetTokens = None), embedder)
+    assert(plain.map(h => (h.chunk_id, h.score)) == hits.map(h => (h.chunk_id, h.score)))
+    assert(plain.forall(h => !h.metadata.contains("snippet")))
+    // the serving fast path annotates identically
+    val serving = HybridSearch.servingIndex(index.chunks, index.vectors)
+    val viaServing = HybridSearch.search(serving, req, embedder)
+    assert(viaServing.map(h => (h.chunk_id, h.metadata.get("snippet"))) ==
+      hits.map(h => (h.chunk_id, h.metadata.get("snippet"))))
+    serving.chunks.unpersist(); serving.vectors.unpersist()
+    serving.serving.foreach(_.unpersist())
+  }
+
   test("hybrid search finds the overlap doc inside the container") {
     val hits = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)
