@@ -1101,6 +1101,49 @@ object RelationalQueries {
         WHERE doc_id NOT BETWEEN 100 AND 199
           AND NOT (source = 'src7' AND n_chars < 500)
         GROUP BY source, lang ORDER BY source, lang"""),
-      doc = "row-level deleteWhere: stats-pruned copy-on-write rewrite, CDF pre-image + skipping audits in-query")
+      doc = "row-level deleteWhere: stats-pruned copy-on-write rewrite, CDF pre-image + skipping audits in-query"),
+
+    QueryDef(
+      "q141_json_typed",
+      (s, d) => {
+        // Schema-on-WRITE twin of q133 (ingest/JsonMaterialize): parse
+        // `events.props` ONCE at build time into a typed, range-clustered
+        // TxLog table with logged per-field stats, then run q133's exact
+        // aggregation over the TYPED column — no JSON anywhere in the
+        // query path. Same oracle as q133 by construction (the two twins
+        // must agree), plus an in-query skipping audit: a narrow k-range
+        // probe must open strictly fewer files than the table holds
+        // (range clustering makes the logged min/max actually prune).
+        // This is the r7 verdict's fix for the artifact's heaviest query:
+        // at 100 TB an always-queried JSON field pays its parse once per
+        // CORPUS BUILD, not once per query.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q141").toString
+        val T = graft.store.TxLog
+        graft.ingest.JsonMaterialize.buildTable(s, wh, "events_typed",
+          table(s, d, "events").select(col("value"), col("props")),
+          jsonCol = "props", ddl = "k int", dropRaw = true)
+        val typed = T.read(s, wh, "events_typed")
+        val nFiles = typed.inputFiles.length
+        val probed = T.readWhereBetween(s, wh, "events_typed", "k", 0, 9)
+          .inputFiles.length
+        typed
+          .filter(col("k").isNotNull)
+          .groupBy((col("k") / 10).cast("int").as("k_decile"))
+          .agg(count(lit(1)).as("n_events"),
+            round(avg("value"), 4).as("avg_value"),
+            min("k").as("k_min"), max("k").as("k_max"))
+          .withColumn("skip_ok", lit(if (probed < nFiles) 1L else 0L))
+          .orderBy("k_decile")
+      },
+      Some("""
+        SELECT CAST(k // 10 AS INT) AS k_decile, count(*) AS n_events,
+               round(avg(value), 4) AS avg_value,
+               CAST(min(k) AS INT) AS k_min, CAST(max(k) AS INT) AS k_max,
+               CAST(1 AS BIGINT) AS skip_ok
+        FROM (SELECT CAST(json_extract(props, '$.k') AS INT) AS k, value
+              FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY 1 ORDER BY k_decile"""),
+      doc = "schema-on-write twin of q133: props parsed once at build, typed range-clustered table, stats-skipping audit")
   )
 }
