@@ -326,7 +326,12 @@ object HybridSearch {
       centroids: Array[(Int, Array[Float])],
       rows: org.apache.spark.rdd.RDD[ServingVecRow],
       nParts: Int,
-      nProbes: Int) {
+      nProbes: Int,
+      /** Mean assignment distance (1 − cos to the assigned centroid)
+        * measured at FIT time — the baseline [[HybridSearch.servingDrift]]
+        * compares against to decide when frozen centroids have drifted
+        * enough to warrant a re-fit. */
+      fitMeanDist: Double = 0.0) {
     /** Mirror of HashPartitioner.getPartition for Int keys. */
     def partitionOf(listId: Int): Int =
       ((listId.hashCode % nParts) + nParts) % nParts
@@ -482,7 +487,8 @@ object HybridSearch {
         cellRows.count() // materialize
         val centroids = built.centroids.as[(Int, Array[Float])].collect()
         Some(IvfServing(centroids, cellRows, ivfLists,
-          math.min(math.max(1, ivfProbes), ivfLists)))
+          math.min(math.max(1, ivfProbes), ivfLists),
+          fitMeanDist = meanAssignDist(cellRows, centroids)))
       }
     // opt-in HNSW layout (hnswM > 0): one partition-local graph per cached
     // partition, composed with IVF cell routing when that layout exists —
@@ -551,9 +557,10 @@ object HybridSearch {
     *     incremental insertion ([[graft.ann.Hnsw.insertAll]], O(batch·ef·m)),
     *     never a rebuild.
     * Centroids themselves are NOT refit — cells drift as the corpus
-    * grows, which only erodes recall, never scores (exact re-scoring);
-    * a periodic `servingIndex` rebuild is the refresh, exactly pgvector's
-    * reindex guidance. The returned Index owns newly-persisted RDDs; the
+    * grows, which only erodes recall, never scores (exact re-scoring).
+    * [[servingDrift]] MEASURES that drift (cell skew + assignment-
+    * distance growth) and [[maintainServing]] re-fits when a threshold
+    * trips — run it on the upsert cadence. The returned Index owns newly-persisted RDDs; the
     * caller should `unpersist()` the old cache when in-flight queries
     * drain. The columnar `chunks`/`vectors` frames remain the build-time
     * snapshot (the serving legs never read them).
@@ -662,6 +669,88 @@ object HybridSearch {
     }
     index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2, pq2)))
   }
+
+  /** Mean cosine distance (1 − cos) of serving rows to their assigned
+    * centroid — one pass, partial sums per partition. The centroid array
+    * is list-count-sized (KBs) and rides the task closure. */
+  private def meanAssignDist(rows: org.apache.spark.rdd.RDD[ServingVecRow],
+      centroids: Array[(Int, Array[Float])]): Double = {
+    if (centroids.isEmpty) return 0.0
+    val byId = centroids.toMap
+    val (s, n) = rows.mapPartitions { it =>
+      var sum = 0.0; var cnt = 0L
+      it.foreach { r =>
+        val lid = graft.ann.Ivf.assignTo(centroids, r.embedding)
+        sum += 1.0 - rawCosine(r.embedding, byId(lid)); cnt += 1L
+      }
+      Iterator.single((sum, cnt))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    if (n == 0) 0.0 else s / n
+  }
+
+  /** Measured drift of a cell-partitioned serving cache under frozen
+    * centroids. `cellSkew` = largest partition / mean partition size
+    * (upserts concentrating in few cells destroy the latency contract:
+    * a probe's cost is its cell's size); `distGrowth` = current mean
+    * assignment distance / fit-time baseline (new content far from every
+    * centroid routes arbitrarily and erodes recall). Both are O(corpus)
+    * single passes over the cached rows — run on the maintenance cadence,
+    * not per query. */
+  final case class DriftStats(
+      nRows: Long, cellSkew: Double, meanAssignDist: Double, fitMeanDist: Double) {
+    def distGrowth: Double =
+      if (fitMeanDist <= 1e-12) { if (meanAssignDist <= 1e-12) 1.0 else Double.PositiveInfinity }
+      else meanAssignDist / fitMeanDist
+  }
+
+  def servingDrift(index: Index): Option[DriftStats] =
+    index.serving.flatMap(_.ivf).map { iv =>
+      val sizes = iv.rows
+        .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+      val n = sizes.sum
+      val skew =
+        if (n == 0 || sizes.isEmpty) 1.0
+        else sizes.max / (n.toDouble / sizes.length)
+      DriftStats(n, skew, meanAssignDist(iv.rows, iv.centroids), iv.fitMeanDist)
+    }
+
+  /** Re-fit the serving cache from its CURRENT rows (the build-time
+    * frames don't know about upserted batches — the cached rows are the
+    * truth): fresh k-means centroids, fresh HNSW graphs, fresh PQ
+    * codebooks, same layout parameters. The returned Index owns new
+    * persisted RDDs; unpersist the old cache once in-flight queries
+    * drain (the upsertServing contract). */
+  def refitServing(index: Index): Index = {
+    val cache = index.serving.getOrElse(return index)
+    val spark = index.chunks.sparkSession
+    import spark.implicits._
+    servingIndex(
+      spark.createDataset(cache.tokRows).toDF(),
+      spark.createDataset(cache.vecRows).toDF(),
+      partitions = math.max(1, cache.vecRows.getNumPartitions),
+      ivfLists = cache.ivf.map(_.nParts).getOrElse(0),
+      ivfProbes = cache.ivf.map(_.nProbes).getOrElse(8),
+      hnswM = cache.hnsw.map(_.m).getOrElse(0),
+      hnswEf = cache.hnsw.map(_.ef).getOrElse(60),
+      pqM = cache.pq.map(_.model.m).getOrElse(0),
+      pqRefine = cache.pq.map(_.refine).getOrElse(64))
+  }
+
+  /** Maintenance policy for a long-lived upserted serving tier: measure
+    * drift, re-fit when either trigger fires. Thresholds: `maxCellSkew`
+    * (default 3× — one cell holding 3× its share of rows) and
+    * `maxDistGrowth` (default 1.5× the fit-time mean assignment
+    * distance). Returns the (possibly re-fit) index and the stats that
+    * triggered, or None when the cache is healthy (index returned
+    * untouched — no work done). Run after every N upsert batches, the
+    * pgvector "reindex when it degrades" guidance made measurable. */
+  def maintainServing(index: Index, maxCellSkew: Double = 3.0,
+      maxDistGrowth: Double = 1.5): (Index, Option[DriftStats]) =
+    servingDrift(index) match {
+      case Some(d) if d.cellSkew > maxCellSkew || d.distGrowth > maxDistGrowth =>
+        (refitServing(index), Some(d))
+      case _ => (index, None)
+    }
 
   private def scope(df: DataFrame, req: SearchRequest): DataFrame = {
     var out = df.filter(col("container_id") === req.containerId) // P1

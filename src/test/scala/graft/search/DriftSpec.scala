@@ -1,0 +1,120 @@
+package graft.search
+
+import graft.TestSpark
+import graft.embed.Embedder
+import graft.model.SearchRequest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Centroid-drift maintenance for the upserted serving tier: frozen
+  * centroids erode RECALL as off-distribution content streams in;
+  * servingDrift must MEASURE it (assignment-distance growth), and
+  * maintainServing's re-fit must RECOVER it — recall@10 >= 0.9 after 10
+  * micro-batch upserts with re-fit, vs a pinned degradation without.
+  *
+  * Geometry (deterministic): the initial corpus is 4 tight clusters on
+  * ±e0/±e1; ten upsert batches land a NEW cluster on e2 whose points
+  * carry a one-dimension ±0.06 nuisance component that scatters them
+  * across all 4 frozen cells (each point's nearest old centroid is the
+  * one matching its nuisance direction). A pure-e2 query probes ONE
+  * stale cell and can only see ~1/4 of the new cluster; after re-fit
+  * k-means gives the (largest) new cluster its own centroid and the same
+  * probe sees all of it.
+  */
+class DriftSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val d = 8
+
+  private def e(i: Int, mag: Float = 1f): Array[Float] = {
+    val a = new Array[Float](d); a(i) = mag; a
+  }
+
+  // initial clusters: 25 points each on +e0, -e0, +e1, -e1 (magnitude
+  // jitter only, so each cluster's centroid stays exactly on its axis)
+  private val initial: Seq[(String, Array[Float])] = for {
+    (dim, sign, tag) <- Seq((0, 1f, "p0"), (0, -1f, "n0"), (1, 1f, "p1"), (1, -1f, "n1"))
+    j <- 0 until 25
+  } yield (f"a-$tag-$j%03d", e(dim, sign * (1f + 0.001f * j)))
+
+  // new cluster on e2; nuisance dim/sign cycles i % 4 so assignment under
+  // the FROZEN centroids scatters evenly across the 4 old cells
+  private def ePoint(i: Int): Array[Float] = {
+    val a = new Array[Float](d); a(2) = 1f
+    val p = i % 4
+    a(p / 2) = if (p % 2 == 0) 0.06f else -0.06f
+    a
+  }
+  private val upserted: Seq[(String, Array[Float])] =
+    (0 until 200).map(i => (f"e-$i%03d", ePoint(i)))
+
+  private def vecDf(rows: Seq[(String, Array[Float])]) =
+    rows.map { case (id, emb) =>
+      (id, s"doc-$id", "c1", s"/p/$id", s"content $id",
+        Map.empty[String, String], "m1", emb)
+    }.toDF("chunk_id", "document_id", "container_id", "path", "content",
+      "metadata", "model_id", "embedding")
+
+  private def tokDf(rows: Seq[(String, Array[Float])]) =
+    rows.map { case (id, _) =>
+      (id, s"doc-$id", "c1", s"/p/$id", s"content $id",
+        Map.empty[String, String], Seq("content"), Seq("content"))
+    }.toDF("chunk_id", "document_id", "container_id", "path", "content",
+      "metadata", "tokens_simple", "tokens_english")
+
+  /** Embedder serving fixed query vectors (the rows carry their own). */
+  private object QueryEmbedder extends Embedder {
+    val modelId = "m1"
+    val dimensions = d
+    def embed(text: String): Array[Float] =
+      if (text == "qnew") e(2) else new Array[Float](d)
+  }
+
+  private val req = SearchRequest("qnew", "c1", mode = "semantic", topK = 10)
+
+  private def recallAgainst(truth: Seq[String], got: Seq[String]): Double =
+    truth.toSet.intersect(got.toSet).size.toDouble / truth.size
+
+  test("drift is measured, recall degrades frozen and recovers after maintainServing re-fit") {
+    // ground truth: exact flat serving over the FULL corpus
+    val flat = HybridSearch.servingIndex(
+      tokDf(initial ++ upserted), vecDf(initial ++ upserted), partitions = 4)
+    val truth = HybridSearch.search(flat, req, QueryEmbedder).map(_.chunk_id)
+    assert(truth.forall(_.startsWith("e-")), s"fixture: new cluster must dominate, got $truth")
+
+    // IVF index fit on the INITIAL corpus only, then 10 micro-batch upserts
+    var idx = HybridSearch.servingIndex(
+      tokDf(initial), vecDf(initial), partitions = 4, ivfLists = 4, ivfProbes = 1)
+    val fit = HybridSearch.servingDrift(idx).get
+    assert(fit.distGrowth < 1.1, s"fresh fit must sit at its baseline: $fit")
+    for (b <- 0 until 10) {
+      val batch = upserted.slice(b * 20, (b + 1) * 20)
+      idx = HybridSearch.upsertServing(idx, tokDf(batch), vecDf(batch))
+    }
+
+    // measured drift: the new cluster sits ~1 cosine away from every
+    // frozen centroid, so mean assignment distance explodes vs baseline
+    val drifted = HybridSearch.servingDrift(idx).get
+    assert(drifted.nRows == 300)
+    assert(drifted.distGrowth > 1.5, s"drift must trip the threshold: $drifted")
+
+    // pinned degradation: one stale probe sees ~1/4 of the new cluster
+    val withoutRefit = recallAgainst(truth,
+      HybridSearch.search(idx, req, QueryEmbedder).map(_.chunk_id))
+    assert(withoutRefit <= 0.5, s"expected degraded recall, got $withoutRefit")
+
+    // maintenance: the drift trigger fires, the re-fit recovers recall
+    val (refit, stats) = HybridSearch.maintainServing(idx)
+    assert(stats.nonEmpty, "maintainServing must report the triggering stats")
+    val withRefit = recallAgainst(truth,
+      HybridSearch.search(refit, req, QueryEmbedder).map(_.chunk_id))
+    assert(withRefit >= 0.9, s"re-fit must recover recall@10: $withRefit")
+
+    // post-refit the cache is healthy: maintenance is a measured no-op
+    // (skew bound loosened: cluster sizes are legitimately uneven here)
+    val (same, none) = HybridSearch.maintainServing(refit, maxCellSkew = 5.0)
+    assert(none.isEmpty && (same eq refit))
+
+    Seq(flat, idx, refit).foreach(_.serving.foreach(_.unpersist()))
+  }
+}
