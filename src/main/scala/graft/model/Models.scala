@@ -102,6 +102,15 @@ final case class SearchRequest(
       * Jaccard to already-picked hits (search/Mmr) — near-duplicate
       * chunks stop crowding the top-k. None = relevance order. */
     mmrLambda: Option[Double] = None,
+    /** Keyword-leg ranking function: "cover_density" (default — the
+      * reference's proximity semantics, ref TextSearchService.cs) or
+      * "bm25" (rarity + saturating tf with length normalization,
+      * search/Bm25 — q124's operator). MATCH semantics (websearch
+      * AND/OR/negation/phrases) are identical under both; only the
+      * score changes. BM25 scores use the scoped chunk corpus's stats
+      * and the query's simple-config terms; chunks matching only via
+      * stemmed forms score 0 (still returned when matched). */
+    rankFn: String = "cover_density",
     /** Some(w): each returned hit carries metadata("snippet") — the
       * best w-token window of its content (most query-term occurrences,
       * hit-anchored, earliest-max tie-break; the q138 operator run over

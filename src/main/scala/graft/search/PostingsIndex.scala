@@ -99,7 +99,8 @@ object PostingsIndex {
       chunks: DataFrame,
       query: WebsearchParser.ParsedQuery,
       k: Int,
-      termStats: Option[DataFrame] = None): DataFrame = {
+      termStats: Option[DataFrame] = None,
+      rankFn: String = "cover_density"): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     // stopword-only groups vanish (the to_tsquery('english') behavior the
@@ -224,7 +225,7 @@ object PostingsIndex {
         .filter(_.nonEmpty)
       CoverDensityRank.rank32(positions.toVector)
     }
-    filtered
+    val covered = filtered
       .withColumn("raw_k", rankUdf(col("groups")))
       // tf: total matched positions across groups (positions are distinct
       // per group and terms are distinct tokens, so this equals the scan
@@ -232,6 +233,14 @@ object PostingsIndex {
       // projection of the rank (q21's discipline; q61 pins it)
       .withColumn("tf",
         expr("aggregate(transform(groups, g -> size(g.pos)), 0, (a, s) -> a + s)"))
+    // rankFn="bm25": the MATCH pipeline above is untouched (candidates,
+    // negation, phrase adjacency); only the score column is replaced by
+    // the shared BM25 computed over the same scoped chunks frame as the
+    // scan leg — leg scores stay bit-identical (PostingsSpec pins it)
+    val ranked =
+      if (rankFn == "bm25") KeywordSearch.bm25Rank(covered, chunks, query, "raw_k")
+      else covered
+    ranked
       .select("chunk_id", "raw_k", "tf")
       .orderBy(desc("raw_k"), col("chunk_id"))
       .limit(k)

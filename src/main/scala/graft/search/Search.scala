@@ -198,10 +198,33 @@ object KeywordSearch {
     }
   }
 
+  /** The query's distinct simple-config terms (phrase words included as
+    * individual terms — BM25 is positionless). Shared by both keyword
+    * legs so their BM25 scores are computed from the SAME term set. */
+  def bm25Terms(parsed: WebsearchParser.ParsedQuery): Seq[String] =
+    parsed.groups.flatten.flatMap(_.simple).distinct
+
+  /** Replace a matched leg's rank column with BM25 scores over the scoped
+    * corpus (q124's operator, search/Bm25): stats (N, avgdl, df) come
+    * from the FULL scoped chunks frame — identical in every leg, so the
+    * scan and postings legs produce bit-identical scores. Matched chunks
+    * without any simple-term occurrence (stemmed-only matches) score 0. */
+  private[search] def bm25Rank(matched: DataFrame, chunks: DataFrame,
+      parsed: WebsearchParser.ParsedQuery, rankCol: String): DataFrame = {
+    val terms = bm25Terms(parsed)
+    if (terms.isEmpty) return matched.withColumn(rankCol, lit(0.0))
+    val scores = Bm25.scores(chunks, "chunk_id", "tokens_simple", terms)
+      .withColumnRenamed("score", rankCol)
+    matched.drop(rankCol).join(scores, Seq("chunk_id"), "left")
+      .na.fill(0.0, Seq(rankCol))
+  }
+
   /** The leg as a DataFrame op: filter+rank via UDF, top-k. `chunks` needs
     * (chunk_id, document_id, content, metadata, tokens_simple,
-    * tokens_english). */
-  def leg(chunks: DataFrame, query: String, k: Int): DataFrame = {
+    * tokens_english). `rankFn`: "cover_density" | "bm25" — matching is
+    * identical, only the score changes (see SearchRequest.rankFn). */
+  def leg(chunks: DataFrame, query: String, k: Int,
+      rankFn: String = "cover_density"): DataFrame = {
     val parsed = WebsearchParser.parse(query)
     val rankUdf = udf { (simple: Seq[String], english: Seq[String]) =>
       rankChunk(parsed, simple.toIndexedSeq, english.toIndexedSeq)
@@ -228,9 +251,13 @@ object KeywordSearch {
       }
     val prefiltered =
       if (groupPre.isEmpty) chunks else chunks.filter(groupPre.reduce(_ && _))
-    prefiltered
+    val matched = prefiltered
       .withColumn("raw_k", rankUdf(col("tokens_simple"), col("tokens_english")))
       .filter(col("raw_k").isNotNull)
+    val ranked =
+      if (rankFn == "bm25") bm25Rank(matched, chunks, parsed, "raw_k")
+      else matched
+    ranked
       .select(col("chunk_id"), col("document_id"), col("content"), col("metadata"), col("raw_k"))
       .orderBy(desc("raw_k"), col("chunk_id"))
       .limit(k)
@@ -1085,9 +1112,13 @@ object HybridSearch {
       }
     val keywordF: Future[Seq[LegHit]] =
       if (req.mode == "semantic") Future.successful(Seq.empty)
+      // the planning-free RDD leg scores cover-density imperatively; a
+      // bm25 request needs corpus stats (N, avgdl, df) and routes to the
+      // DataFrame leg — same results, one aggregate of extra latency
       else index.serving match {
-        case Some(c) => Future { keywordLegRdd(c, req, fetchK) }
-        case None => Future {
+        case Some(c) if req.rankFn == "cover_density" =>
+          Future { keywordLegRdd(c, req, fetchK) }
+        case _ => Future {
           val parsed = WebsearchParser.parse(req.query)
           // postings carry (container_id, term) only — doc/path-scoped
           // requests and phrase queries route to the scan leg
@@ -1096,8 +1127,9 @@ object HybridSearch {
                 req.documentId.isEmpty && req.pathPrefix.isEmpty =>
               PostingsIndex.leg(p.filter(col("container_id") === req.containerId),
                 chunks, parsed, fetchK,
-                index.termStats.map(_.filter(col("container_id") === req.containerId)))
-            case _ => KeywordSearch.leg(chunks, req.query, fetchK)
+                index.termStats.map(_.filter(col("container_id") === req.containerId)),
+                rankFn = req.rankFn)
+            case _ => KeywordSearch.leg(chunks, req.query, fetchK, rankFn = req.rankFn)
           }
           collectLeg(raw, "raw_k")
         }

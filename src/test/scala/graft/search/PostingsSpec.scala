@@ -60,6 +60,28 @@ class PostingsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 rankFn: postings leg == scan leg bit-for-bit; match set unchanged") {
+    Seq("spark shuffle", "shuffle", "running", "spark -partitions",
+      "spark OR running", "\"spark shuffle\"").foreach { q =>
+      val parsed = WebsearchParser.parse(q)
+      val viaPostings = PostingsIndex.leg(postings, chunks, parsed, 10, rankFn = "bm25")
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      val viaScan = KeywordSearch.leg(chunks, q, 10, rankFn = "bm25")
+        .select("chunk_id", "raw_k").as[(String, Double)].collect().toMap
+      assert(viaPostings.keySet == viaScan.keySet, s"query '$q'")
+      viaPostings.foreach { case (id, r) =>
+        assert(math.abs(r - viaScan(id)) < 1e-12, s"query '$q' chunk $id")
+      }
+      // the rank function changes SCORES only — the websearch match set
+      // (AND/OR/negation/phrases) is identical under both
+      val cd = KeywordSearch.leg(chunks, q, 10)
+        .select("chunk_id").as[String].collect().toSet
+      assert(viaScan.keySet == cd, s"query '$q': match set drifted")
+      // matched chunks containing a query term carry a positive BM25 score
+      assert(viaScan.values.forall(_ >= 0.0), s"query '$q'")
+    }
+  }
+
   test("rare-term-first planning via term_stats changes nothing but the plan") {
     val stats = PostingsIndex.termStats(postings)
     Seq("spark shuffle", "spark shuffle -partitions", "spark OR running shuffle",

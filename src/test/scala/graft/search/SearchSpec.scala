@@ -526,6 +526,26 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     serving.serving.foreach(_.unpersist())
   }
 
+  test("rankFn=bm25 through the API: same match set, serving path routes to the DataFrame leg") {
+    val req = SearchRequest("chunk overlap", "c1", mode = "keyword", topK = 10,
+      rankFn = "bm25")
+    val viaBm25 = HybridSearch.search(index, req, embedder)
+    assert(viaBm25.nonEmpty)
+    val viaCd = HybridSearch.search(index, req.copy(rankFn = "cover_density"), embedder)
+    // rank function changes scores/order only, never membership
+    assert(viaBm25.map(_.chunk_id).toSet == viaCd.map(_.chunk_id).toSet)
+    // the serving cache has no corpus stats for bm25 — it must fall back
+    // to the DataFrame leg and produce identical results
+    val serving = HybridSearch.servingIndex(index.chunks, index.vectors)
+    val viaServing = HybridSearch.search(serving, req, embedder)
+    assert(viaServing.map(h => (h.chunk_id, h.score)) ==
+      viaBm25.map(h => (h.chunk_id, h.score)))
+    // and cover-density on the serving cache still uses the RDD fast path
+    // (results equal either way — pinned by the serving-equivalence test)
+    serving.chunks.unpersist(); serving.vectors.unpersist()
+    serving.serving.foreach(_.unpersist())
+  }
+
   test("hybrid search finds the overlap doc inside the container") {
     val hits = HybridSearch.search(index,
       SearchRequest("chunk overlap settings", "c1", topK = 5), embedder)
