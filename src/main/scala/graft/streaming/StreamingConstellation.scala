@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.multimodal.Constellation
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, count, lit, max}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming constellation matching — the incremental twin of the q123
+  * batch operator (the [[StreamingNearDup]] pattern applied to audio):
+  * catch RE-CUT clips at ingest time. Each arriving clip extracts its
+  * landmark set (multimodal/Constellation — the published Shazam design,
+  * Wang 2003) and each landmark probes the keyed state store at its
+  * (f1, f2, Δt) HASH: every resident occurrence of the same hash from
+  * another clip yields one offset VOTE (id_a, id_b, t_a − t_b with
+  * id_a < id_b — exactly the batch self-join's vote row). Over a full
+  * replay the streamed vote multiset equals the batch equi-join's,
+  * because every unordered pair of colliding landmark occurrences votes
+  * exactly once: one of the two arrives second (or later in the same
+  * deterministic in-batch order) and finds the other resident.
+  *
+  * The DECISION (count votes per (pair, offset), max per pair ≥
+  * threshold — the Wang histogram peak) is a rollup over the accumulated
+  * vote log ([[matches]]): run it in `foreachBatch` against the sink
+  * table on the ingest cadence. Splitting vote emission from the rollup
+  * keeps the stateful stage single-keyed (hash) — the same shape the
+  * near-dup gate uses (emit candidates, decide downstream).
+  *
+  * Scale shape: state is partitioned by landmark hash (the batch join's
+  * shuffle key); a clip touches O(landmarks) buckets; event-time timeout
+  * evicts buckets quiet past the watermark horizon, so memory is bounded
+  * by the horizon's landmark flow, not the stream's lifetime. Deliver
+  * each clip once (dedupe upstream by clip_id): re-deliveries would
+  * re-vote.
+  */
+object StreamingConstellation {
+
+  final case class Clip(clip_id: Long, wav: Array[Byte], ts: java.sql.Timestamp)
+  final case class KeyedLandmark(
+      hash: Long, clip_id: Long, t: Int, ts: java.sql.Timestamp)
+  /** One resident landmark occurrence in a hash bucket. */
+  final case class Entry(clip_id: Long, t: Int)
+  final case class Bucket(members: Seq[Entry])
+  /** One offset vote: clips id_a < id_b share a landmark hash with
+    * anchor-time difference `off` (a's anchor − b's anchor). */
+  final case class Vote(id_a: Long, id_b: Long, off: Int)
+
+  /** One bucket invocation: each arriving landmark votes against every
+    * resident occurrence from OTHER clips, then joins the bucket.
+    * Arrivals are processed in (clip_id, t) order so a batch replay is
+    * deterministic and intra-batch collisions vote exactly once. On
+    * event-time timeout the bucket evicts. */
+  private[streaming] def step(
+      it: Iterator[KeyedLandmark],
+      state: GroupState[Bucket],
+      horizonMs: Long): Iterator[Vote] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val arriving = it.toVector.sortBy(l => (l.clip_id, l.t))
+    if (arriving.isEmpty) return Iterator.empty
+    var members = state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
+    val out = Vector.newBuilder[Vote]
+    arriving.foreach { lm =>
+      members.foreach { m =>
+        if (m.clip_id != lm.clip_id) {
+          if (m.clip_id < lm.clip_id) out += Vote(m.clip_id, lm.clip_id, m.t - lm.t)
+          else out += Vote(lm.clip_id, m.clip_id, lm.t - m.t)
+        }
+      }
+      members :+= Entry(lm.clip_id, lm.t)
+    }
+    state.update(Bucket(members))
+    if (horizonMs > 0)
+      state.setTimeoutTimestamp(arriving.map(_.ts.getTime).max + horizonMs)
+    out.result().iterator
+  }
+
+  /** Offset votes of a clip stream (append mode). `horizon` bounds state
+    * ("10 minutes"); null/empty = unbounded (replay/backfill runs). */
+  def votes(
+      clips: Dataset[Clip],
+      p: Constellation.Params = Constellation.Params(),
+      horizon: String = "10 minutes"): Dataset[Vote] = {
+    implicit val lmEnc = Encoders.product[KeyedLandmark]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[Bucket]
+    implicit val outEnc = Encoders.product[Vote]
+    val bounded = horizon != null && horizon.nonEmpty
+    val horizonMs =
+      if (!bounded) 0L
+      else {
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(UTF8String.fromString(horizon))
+        // 30-day month approximation — an upper bound keeps residents AT
+        // LEAST the horizon (the StreamingNearDup contract)
+        iv.months.toLong * 30L * 86400000L + iv.days.toLong * 86400000L +
+          iv.microseconds / 1000L
+      }
+    val landmarks = clips.flatMap { c =>
+      Constellation.wavLandmarks(c.wav, p) match {
+        case Right(lms) => lms.map(lm => KeyedLandmark(lm.hash, c.clip_id, lm.t, c.ts))
+        case Left(_) => Seq.empty[KeyedLandmark] // undecodable clip: skip
+      }
+    }
+    val withWm = if (bounded) landmarks.withWatermark("ts", horizon) else landmarks
+    val timeout =
+      if (bounded) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    withWm
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (_: Long, it: Iterator[KeyedLandmark], state: GroupState[Bucket]) =>
+          step(it, state, if (bounded) horizonMs else 0L))
+  }
+
+  /** Decision rollup over an accumulated vote log (the q123 vote →
+    * histogram → threshold tail): pairs whose best offset-aligned vote
+    * count reaches `minAligned`. Run against the sink table, not one
+    * micro-batch — votes for a pair span batches. */
+  def matches(votes: DataFrame, minAligned: Long = 60L): DataFrame =
+    votes.groupBy("id_a", "id_b", "off")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("id_a", "id_b")
+      .agg(max("votes").as("aligned"))
+      .filter(col("aligned") >= minAligned)
+      .select("id_a", "id_b")
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.TestGroupState
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming constellation matching: the streamed vote log, rolled up,
+  * must equal the q123 batch operator's pair set on a replayed clip
+  * stream (shifted same-class melodies match, cross-class don't), and
+  * bucket state must evict on event-time timeout.
+  */
+class StreamingConstellationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** The q123 fixture clip: class melody (id % 8) embedded after
+    * (id / 8) × 512 samples of silence at a doc-varying amplitude —
+    * same-class clips are SHIFTED copies, never byte-identical. */
+  private def clipWav(id: Long): Array[Byte] = {
+    val cls = (id % 8).toInt
+    val freqs = (0 until 8).map(j =>
+      250.0 * math.pow(1.17, ((cls * 31 + j * 17 + j * j * 5) % 13).toDouble))
+    val amp = 0.2 + (id % 5) * 0.15
+    graft.multimodal.Multimodal.synthMelodyWav(
+      freqs, 1024, 8000, amp, padSamples = ((id / 8) % 10).toInt * 512)
+  }
+
+  test("streamed votes rolled up == batch constellation pairs across micro-batches") {
+    val ids = 0L until 32L
+    val dir = java.nio.file.Files.createTempDirectory("graft-constel")
+    // two files -> two micro-batches (maxFilesPerTrigger=1): same-class
+    // pairs SPAN batches, so the state store must carry residents across
+    def write(part: Seq[Long], name: String): Unit =
+      part.map(id => (id, clipWav(id), new java.sql.Timestamp(id)))
+        .toDF("clip_id", "wav", "ts")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    write(ids.filter(_ < 16), "p1")
+    write(ids.filter(_ >= 16), "p2")
+    val schema = spark.read.parquet(s"$dir/p1").schema
+    val clips = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/{p1,p2}")
+      .as[StreamingConstellation.Clip]
+    val q = StreamingConstellation.votes(clips,
+        p = graft.multimodal.Constellation.Params(gate = 0.01), horizon = null)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("constel_votes").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = StreamingConstellation.matches(
+      spark.table("constel_votes"), minAligned = 60L)
+      .as[(Long, Long)].collect().toSet
+    // the batch operator's pinned outcome (q123's oracle): same-class
+    // pairs and nothing else
+    val expected = (for {
+      a <- ids; b <- ids if a < b && a % 8 == b % 8
+    } yield (a, b)).toSet
+    assert(streamed == expected,
+      s"extra=${(streamed -- expected).take(5)} missing=${(expected -- streamed).take(5)}")
+  }
+
+  test("bucket step: votes against other clips' residents only; event-time eviction") {
+    def lm(id: Long, t: Int, tsMs: Long) = StreamingConstellation.KeyedLandmark(
+      99L, id, t, new java.sql.Timestamp(tsMs))
+
+    val st1 = TestGroupState.create[StreamingConstellation.Bucket](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    // clip 1 twice at t=3,5 (repeated hash), clip 2 once at t=4: intra-batch
+    // votes pair ACROSS clips only, once per occurrence pair, offsets signed
+    // lower-id-minus-higher-id
+    val out1 = StreamingConstellation.step(
+      Iterator(lm(2, 4, 2000), lm(1, 3, 1000), lm(1, 5, 1000)), st1, 60000).toSeq
+    assert(out1.toSet == Set(
+      StreamingConstellation.Vote(1, 2, -1), // t=3 vs t=4
+      StreamingConstellation.Vote(1, 2, 1))) // t=5 vs t=4
+    assert(st1.get.members.length == 3)
+    assert(st1.getTimeoutTimestampMs.get() == 62000)
+
+    // a later arrival votes against all three residents of the other clips
+    val out2 = StreamingConstellation.step(Iterator(lm(3, 10, 3000)), st1, 60000).toSeq
+    assert(out2.toSet == Set(
+      StreamingConstellation.Vote(1, 3, -7), StreamingConstellation.Vote(1, 3, -5),
+      StreamingConstellation.Vote(2, 3, -6)))
+
+    // timed-out invocation: bucket evicts, nothing emits
+    val st2 = TestGroupState.create[StreamingConstellation.Bucket](
+      optionalState = org.apache.spark.api.java.Optional.of(st1.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 100000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L),
+      hasTimedOut = true)
+    assert(StreamingConstellation.step(Iterator.empty, st2, 60000).isEmpty)
+    assert(st2.isRemoved)
+  }
+}
