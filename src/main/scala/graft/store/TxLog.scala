@@ -127,7 +127,8 @@ object TxLog {
       stats: Map[(String, String), Map[String, ColStat]] = Map.empty,
       blooms: Map[(String, String), Map[String, String]] = Map.empty,
       schemas: Map[String, String] = Map.empty,
-      tagged: Map[String, Long] = Map.empty) {
+      tagged: Map[String, Long] = Map.empty,
+      partSpecs: Map[String, Seq[String]] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
@@ -143,6 +144,11 @@ object TxLog {
       schemas.get(table).map(js =>
         org.apache.spark.sql.types.DataType.fromJson(js)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
+    /** The table's CURRENT partition spec (latest `partspec` action <=
+      * this version) — the Iceberg-style layout contract: writers stage
+      * new data under this spec, while files written under PREVIOUS
+      * specs stay live and readable (the grouped mixed-layout read). */
+    def partitionSpecOf(table: String): Option[Seq[String]] = partSpecs.get(table)
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -181,7 +187,8 @@ object TxLog {
       adds: Seq[Add], removes: Seq[Remove] = Nil,
       schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
       tags: Map[String, Long] = Map.empty,
-      deletes: Map[String, String] = Map.empty): Long =
+      deletes: Map[String, String] = Map.empty,
+      partitionSpecs: Map[String, Seq[String]] = Map.empty): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
@@ -227,6 +234,14 @@ object TxLog {
     // change feed can replay the pre-image rows (see readChanges)
     deletes.toSeq.sortBy(_._1).foreach { case (table, predSql) =>
       body ++= s"delete\t$table\t${esc(predSql)}\n"
+    }
+    // PARTITION EVOLUTION (the Iceberg partition-spec model as a log
+    // action): the spec is metadata — changing it never rewrites data;
+    // files written under old specs stay live, and reads group by layout
+    partitionSpecs.toSeq.sortBy(_._1).foreach { case (table, cols) =>
+      require(cols.forall(c => !c.contains('\t') && !c.contains(',')),
+        "txlog: partition column names must be flat")
+      body ++= s"partspec\t$table\t${esc(cols.mkString(","))}\n"
     }
     adds.foreach { a =>
       body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n"
@@ -300,6 +315,7 @@ object TxLog {
       scala.collection.mutable.LinkedHashMap[(String, String), Map[String, String]]()
     val tableSchemas = scala.collection.mutable.LinkedHashMap[String, String]()
     val tagMap = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val partSpecMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
@@ -319,6 +335,9 @@ object TxLog {
           case Array("schema", table, js) => tableSchemas(table) = unesc(js)
           case Array("tag", name, tv) => tagMap(unesc(name)) = tv.toLong
           case Array("delete", _, _) => () // informational; adds/removes carry the fold
+          case Array("partspec", table, cols) =>
+            partSpecMap(table) = unesc(cols).split(',').filter(_.nonEmpty).toSeq
+          case Array("partspec", table) => partSpecMap(table) = Nil // unpartitioned
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -326,7 +345,41 @@ object TxLog {
     }
     Snapshot(version, live.toSeq.groupBy(_._1._1)
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
-      fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap)
+      fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap,
+      partSpecMap.toMap)
+  }
+
+  /** The partition-directory column names a rel path encodes
+    * ("container_id=c1/part-x.parquet" -> Seq(container_id)) — the file's
+    * LAYOUT SHAPE. Files written under different partition specs have
+    * different shapes and must be read in separate groups. */
+  private def layoutShape(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+
+  /** Read an explicit live-file set, grouping by layout shape: a table
+    * whose partition spec EVOLVED (Iceberg-style — the spec is a log
+    * action, never a rewrite barrier) holds files under several directory
+    * patterns; one parquet() call over mixed depths fails partition
+    * discovery, so each shape group reads with its own consistent
+    * discovery and the groups union by name. Columns that are
+    * partition-borne in one layout are data-borne in the other (the
+    * writer materialized them pre-spec), so the union is loss-free;
+    * genuinely absent columns null-fill (schema evolution's contract).
+    * Single-layout tables take the one-group fast path — the plan is
+    * identical to the pre-evolution reader. */
+  private def readFileSet(spark: SparkSession, warehouse: String, table: String,
+      snap: Snapshot, rels: Seq[String]): DataFrame = {
+    val reader = snap.schemaOf(table) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    val base = s"$warehouse/$table"
+    rels.groupBy(layoutShape).toSeq.sortBy(_._1.mkString(","))
+      .map { case (_, fs) =>
+        reader.option("basePath", base).parquet(fs.map(r => s"$base/$r"): _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read one table at the log's current snapshot. Falls back to a plain
@@ -340,8 +393,8 @@ object TxLog {
     if (!exists(spark, warehouse))
       return spark.read.parquet(s"$warehouse/$table")
     val snap = snapshot(spark, warehouse, atVersion)
-    val files = snap.files(table).map { case (rel, _) => s"$warehouse/$table/$rel" }
-    if (files.isEmpty)
+    val rels = snap.files(table).map(_._1)
+    if (rels.isEmpty)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "PATH_NOT_FOUND",
         messageParameters = Map("path" -> s"$warehouse/$table (txlog: no live files)"))
@@ -351,11 +404,8 @@ object TxLog {
     // merge runs at read time (the log already knows the answer — the
     // 100 TB advantage over option("mergeSchema")). As-of reads resolve
     // the schema AS OF that version, so time travel sees the old shape.
-    val reader = snap.schemaOf(table) match {
-      case Some(st) => spark.read.schema(st)
-      case None => spark.read
-    }
-    reader.option("basePath", s"$warehouse/$table").parquet(files: _*)
+    // Mixed partition layouts (spec evolution) read per shape group.
+    readFileSet(spark, warehouse, table, snap, rels)
   }
 
   /** CHANGE DATA FEED (the published Delta `table_changes` read shape,
@@ -589,12 +639,12 @@ object TxLog {
             .mightContain(value)
         }
         rangeOk && bloomOk
-      } => s"$warehouse/$table/$rel"
+      } => rel
     }
     if (kept.isEmpty)
       return read(spark, warehouse, table, atVersion)
         .filter(col(column) === lit(value)).limit(0)
-    spark.read.option("basePath", s"$warehouse/$table").parquet(kept: _*)
+    readFileSet(spark, warehouse, table, snap, kept)
       .filter(col(column) === lit(value))
   }
 
@@ -617,12 +667,12 @@ object TxLog {
       case (rel, _) if snap.statsOf(table, rel).get(column).forall { cs =>
         !statLt(cs.tpe, String.valueOf(hi), cs.min) &&
           !statLt(cs.tpe, cs.max, String.valueOf(lo))
-      } => s"$warehouse/$table/$rel"
+      } => rel
     }
     if (kept.isEmpty)
       return read(spark, warehouse, table, atVersion)
         .filter(col(column).between(lit(lo), lit(hi))).limit(0)
-    spark.read.option("basePath", s"$warehouse/$table").parquet(kept: _*)
+    readFileSet(spark, warehouse, table, snap, kept)
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
@@ -778,8 +828,9 @@ object TxLog {
     // replays.
     val dataSchema = snap.schemaOf(table).getOrElse(
       spark.read.parquet(s"$base/${files.head._1}").schema)
-    val partCols = files.head._1.split('/').dropRight(1)
-      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    // partition columns from EVERY live layout (spec evolution can leave
+    // different shapes live at once)
+    val partCols = files.map(_._1).flatMap(layoutShape).distinct
     val probeSchema = partCols.filterNot(dataSchema.fieldNames.contains)
       .foldLeft(dataSchema)((st, c) =>
         st.add(c, org.apache.spark.sql.types.StringType))
@@ -802,24 +853,29 @@ object TxLog {
     val candidates = files.filter { case (rel, _) =>
       fileMayMatch(snap, table, rel, constraints) }
     if (candidates.isEmpty) return None
-    // tier 2: exact owner files + matched-row counts in one pruned scan
+    // tier 2: exact owner files + matched-row counts in one pruned scan.
+    // `_metadata.file_path` is a per-relation pseudo-column that cannot
+    // cross a union, so mixed partition layouts (spec evolution) scan
+    // per shape group — one group in the common case.
     val tablePath = new Path(warehouse, table).toUri.getPath
-    val owners = reader.option("basePath", base)
-      .parquet(candidates.map(c => s"$base/${c._1}"): _*)
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("_f"))
-      .groupBy("_f").count()
-      .collect()
-      .map { r =>
-        val rel = new Path(r.getString(0)).toUri.getPath
-          .stripPrefix(tablePath).stripPrefix("/")
-        rel -> r.getLong(1)
+    val owners = candidates.map(_._1).groupBy(layoutShape).toSeq
+      .sortBy(_._1.mkString(",")).flatMap { case (_, rels) =>
+        reader.option("basePath", base)
+          .parquet(rels.map(r => s"$base/$r"): _*)
+          .filter(predicate)
+          .select(col("_metadata.file_path").as("_f"))
+          .groupBy("_f").count()
+          .collect()
+          .map { r =>
+            val rel = new Path(r.getString(0)).toUri.getPath
+              .stripPrefix(tablePath).stripPrefix("/")
+            rel -> r.getLong(1)
+          }
       }.toMap
     if (owners.isEmpty) return None
     val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
     // tier 3: rewrite ONLY the owners down to their survivors
-    val survivors = reader.option("basePath", base)
-      .parquet(ownerFiles.map(c => s"$base/${c._1}"): _*)
+    val survivors = readFileSet(spark, warehouse, table, snap, ownerFiles.map(_._1))
       .filter(not(coalesce(predicate, lit(false))))
     val adds = stageWrite(survivors, warehouse, table, partitionBy,
       generation = ownerFiles.map(_._2).max,

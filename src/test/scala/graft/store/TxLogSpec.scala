@@ -650,6 +650,75 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, wh, "chunks").count() == 7)
   }
 
+  // ---- partition evolution (partspec log action) ------------------------
+
+  test("partition evolution: old flat + new partitioned layouts coexist under one read") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // era 1: unpartitioned layout, container_id data-borne
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(df(0L to 4L, 1).coalesce(1), wh, "chunks", Nil, 1),
+      partitionSpecs = Map("chunks" -> Nil))
+    val v1 = TxLog.snapshot(spark, wh).version
+    // evolve the spec — pure metadata, no rewrite barrier
+    val v2 = TxLog.commit(spark, wh, Nil,
+      partitionSpecs = Map("chunks" -> Seq("container_id")))
+    assert(TxLog.snapshot(spark, wh).partitionSpecOf("chunks")
+      == Some(Seq("container_id")))
+    assert(TxLog.snapshot(spark, wh, atVersion = v1).partitionSpecOf("chunks")
+      == Some(Nil))
+    // era 2: writes follow the new spec; era-1 files stay live untouched
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df(5L to 9L, 2), wh, "chunks",
+      TxLog.snapshot(spark, wh).partitionSpecOf("chunks").get, 2))
+    val read = TxLog.read(spark, wh, "chunks")
+    assert(read.count() == 10)
+    // the column is data-borne in era 1, directory-borne in era 2 — the
+    // grouped read surfaces it for every row
+    assert(read.filter(col("container_id").isin("c0", "c1")).count() == 10)
+    assert(read.filter(col("container_id") === "c1")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+    // time travel before the evolution reads the single-layout era
+    assert(TxLog.read(spark, wh, "chunks", atVersion = v2).count() == 5)
+  }
+
+  test("partition evolution: stats pruning and deleteWhere work across mixed layouts") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // era 1 flat (ids 0-49), era 2 partitioned (ids 100-149); stats both
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 50L).map(i => (i, s"c${i % 2}", 1L))
+        .toDF("id", "container_id", "generation").coalesce(1),
+      wh, "chunks", Nil, 1, statsCols = Seq("id")),
+      partitionSpecs = Map("chunks" -> Nil))
+    TxLog.commit(spark, wh, Nil,
+      partitionSpecs = Map("chunks" -> Seq("container_id")))
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (100L until 150L).map(i => (i, s"c${i % 2}", 2L))
+        .toDF("id", "container_id", "generation")
+        .repartition(1, col("container_id")),
+      wh, "chunks", Seq("container_id"), 2, statsCols = Seq("id")))
+    // a probe inside era 1 opens only its file; inside era 2 only those
+    val p1 = TxLog.readWhereBetween(spark, wh, "chunks", "id", 10L, 19L)
+    assert(p1.count() == 10)
+    assert(p1.inputFiles.forall(!_.contains("container_id=")), p1.inputFiles.toSeq)
+    val p2 = TxLog.readWhereBetween(spark, wh, "chunks", "id", 110L, 119L)
+    assert(p2.count() == 10)
+    assert(p2.inputFiles.forall(_.contains("container_id=")), p2.inputFiles.toSeq)
+    // a spanning probe unions both layouts and stays exact
+    assert(TxLog.readWhereBetween(spark, wh, "chunks", "id", 40L, 110L).count() == 21)
+    // deleteWhere spans both layouts in ONE commit; survivors follow the
+    // CURRENT spec
+    val r = TxLog.deleteWhere(spark, wh, "chunks",
+      col("id").between(45L, 104L),
+      partitionBy = TxLog.snapshot(spark, wh).partitionSpecOf("chunks").get,
+      statsCols = Seq("id")).get
+    assert(r.deletedRows == 10)
+    assert(TxLog.read(spark, wh, "chunks").count() == 90)
+    assert(TxLog.read(spark, wh, "chunks")
+      .filter(col("id").between(45L, 104L)).count() == 0)
+  }
+
   test("deleteWhere rejects a predicate the change feed could not replay") {
     val wh = freshWh()
     TxLog.commit(spark, wh,
