@@ -24,7 +24,10 @@ final class KnowledgeStore(
     warehouse: String,
     embedder: Embedder = graft.embed.HashEmbedder(),
     cfg: ChunkingConfig = ChunkingConfig(),
-    chunkerName: String = "recursive") {
+    chunkerName: String = "recursive",
+    /** Ingestion progress sink (ref IngestionProgressBroadcaster): the
+      * upload path emits one event per phase per job. Default: none. */
+    progress: graft.ingest.ProgressListener = graft.ingest.ProgressListener.Noop) {
   import spark.implicits._
 
   /** Validation bounds (ref ValidationConstants.cs:6-8). */
@@ -180,6 +183,15 @@ final class KnowledgeStore(
   }
 
   private def appendDocs(docs: Seq[IndexBuild.RawDoc]): Unit = {
+    // phase-grained progress (the reference's per-phase broadcast,
+    // IngestionPipeline.cs:412-446): one jobId per upsert batch, events
+    // at each phase boundary; counts come from already-persisted frames
+    // so progress never adds a recompute
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val total = docs.length.toLong
+    def emit(phase: String, current: Long, detail: String = ""): Unit =
+      progress.onProgress(graft.ingest.ProgressEvent(jobId, phase, current, total, detail))
+    emit("received", 0L)
     val ds = docs.toDS()
     // Upsert, not blind append: re-uploading an existing path must REPLACE
     // its chunks/vectors/ledger rows (ref IngestionPipeline.cs upsert +
@@ -207,6 +219,7 @@ final class KnowledgeStore(
         dropDocRows("ledger", cid, Nil, existing)
       }
     }
+    emit("upsert_probe", 0L, s"replaced=${prevGen.size}")
     val chunker = graft.chunk.Chunkers.forName(chunkerName, embedder)
     val newChunks = IndexBuild.chunkDocs(ds, chunker, cfg).persist()
     val vectors = IndexBuild.embedChunks(newChunks,
@@ -215,8 +228,10 @@ final class KnowledgeStore(
     newChunks.drop("precomputed").toDF()
       .write.mode(SaveMode.Append).partitionBy("container_id")
       .parquet(s"$warehouse/chunks")
+    emit("chunked", total, s"chunks=${newChunks.count()}")
     vectors.write.mode(SaveMode.Append).partitionBy("container_id", "model_id")
       .parquet(s"$warehouse/vectors")
+    emit("embedded", total, s"vectors=${vectors.count()}")
     // write-back: fresh embeddings join the shared content-hash cache so
     // re-uploading identical content skips the embedder (IndexBuild.build
     // refreshes the cache wholesale; the API path appends increments —
@@ -247,6 +262,7 @@ final class KnowledgeStore(
       .parquet(s"$warehouse/ledger")
     newChunks.unpersist()
     invalidate()
+    emit("ready", total)
   }
 
   /** delete_file (ref :321): drop one document's rows. */

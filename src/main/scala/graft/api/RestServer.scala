@@ -1,0 +1,240 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.model.SearchRequest
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Thin REST serving surface over [[KnowledgeStore]] — the reference's
+  * HTTP endpoints mirrored (ref `SearchEndpoints.cs:19`,
+  * `McpTools.cs:17-670`: container create/list/delete, search_knowledge,
+  * upload/bulk_upload, delete/bulk_delete, get_document, list_files,
+  * container_stats, model listing, folders). Built on the JDK's
+  * `com.sun.net.httpserver` + the Jackson that ships with Spark — zero
+  * added dependencies, so the library stays a single artifact.
+  *
+  * This is a SERVING layer, not an engine layer: every route delegates to
+  * the KnowledgeStore method that already owns the semantics (bounds,
+  * write guard, upsert, cache invalidation); the server only translates
+  * HTTP/JSON. Search requests expose the full SearchRequest surface,
+  * including the round-8 additions (`rank_fn`, `snippet_tokens`,
+  * `mmr_lambda`).
+  *
+  * Scale shape: the server is driver-side glue in front of the cached
+  * serving index — a production deployment puts N replicas of this JVM
+  * behind a balancer, each owning its own serving cache (the reference's
+  * scale-out guidance, ref docs/deployment.md); the WAREHOUSE stays the
+  * shared source of truth. Request handling runs on a small fixed pool:
+  * concurrent searches become concurrent Spark jobs, exactly like the
+  * interactive path.
+  *
+  * Error contract: IllegalArgumentException → 400 `{"error": msg}`
+  * (every KnowledgeStore `require`), missing resources → 404, unknown
+  * routes → 404, anything else → 500.
+  */
+final class RestServer(store: KnowledgeStore, port: Int = 0,
+    /** Progress feed to serve at `GET /progress` (pass the SAME
+      * [[graft.ingest.ProgressLog]] the store was constructed with) —
+      * the poll-model twin of the reference's SignalR hub. */
+    progressLog: Option[graft.ingest.ProgressLog] = None) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Start serving; returns the bound port (ephemeral when `port` = 0). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  // ---- routing ----------------------------------------------------------
+
+  private val Containers = "/containers".r
+  private val Container = "/containers/([^/]+)".r
+  private val Sub = "/containers/([^/]+)/([a-z_]+)".r
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    try {
+      (method, path) match {
+        case ("GET", "/health") => ok(ex, obj("status" -> "ok"))
+        case ("GET", "/progress") => progressLog match {
+          case Some(log) =>
+            ok(ex, arr(log.events(query(ex).get("job_id")).map(e =>
+              obj("job_id" -> e.jobId, "phase" -> e.phase,
+                "current" -> e.current, "total" -> e.total,
+                "detail" -> e.detail, "ts_ms" -> e.tsMs))))
+          case None => err(ex, 404, "no progress log configured")
+        }
+        case ("POST", "/search") => search(ex)
+        case ("POST", Containers()) => createContainer(ex)
+        case ("GET", Containers()) =>
+          ok(ex, arr(store.listContainers().map { case (id, name, ct) =>
+            obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
+          }))
+        case ("DELETE", Container(id)) =>
+          store.deleteContainer(id); noContent(ex)
+        case ("GET", Sub(id, "stats")) =>
+          ok(ex, obj(store.containerStats(id).toSeq.sortBy(_._1): _*))
+        case ("GET", Sub(id, "models")) =>
+          ok(ex, arr(store.listModels(id).map { case (m, d, n) =>
+            obj("model_id" -> m, "dimensions" -> d, "vectors" -> n)
+          }))
+        case ("GET", Sub(id, "files")) =>
+          val q = query(ex)
+          ok(ex, arr(store.listFiles(id, q.get("prefix"),
+            q.get("offset").map(_.toInt).getOrElse(0),
+            q.get("limit").map(_.toInt).getOrElse(50)).map {
+            case (doc, p, n) =>
+              obj("document_id" -> doc, "path" -> p, "chunk_count" -> n)
+          }))
+        case ("POST", Sub(id, "files")) =>
+          val b = body(ex)
+          val doc = store.uploadFile(id, str(b, "path"), str(b, "content"),
+            base64 = bool(b, "base64", default = false))
+          ok(ex, obj("document_id" -> doc), status = 201)
+        case ("DELETE", Sub(id, "files")) =>
+          store.deleteFile(id, query(ex)("path")); noContent(ex)
+        case ("POST", Sub(id, "bulk_upload")) =>
+          val b = body(ex)
+          val files = node(b, "files").elements()
+          val pairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          while (files.hasNext) {
+            val f = files.next()
+            pairs += ((str(f, "path"), str(f, "content")))
+          }
+          val ids = store.bulkUpload(id, pairs.toSeq,
+            base64 = bool(b, "base64", default = false))
+          ok(ex, obj("document_ids" -> ids), status = 201)
+        case ("POST", Sub(id, "bulk_delete")) =>
+          val paths = node(body(ex), "paths").elements()
+          val ps = scala.collection.mutable.ArrayBuffer[String]()
+          while (paths.hasNext) ps += paths.next().asText()
+          store.bulkDelete(id, ps.toSeq); noContent(ex)
+        case ("GET", Sub(id, "document")) =>
+          store.getDocument(id, query(ex)("path")) match {
+            case Some(content) => ok(ex, obj("content" -> content))
+            case None => err(ex, 404, "document not found")
+          }
+        case ("GET", Sub(id, "folders")) =>
+          ok(ex, arr(store.listFolders(id, query(ex).get("prefix")).map(p => p: Any)))
+        case ("POST", Sub(id, "folders")) =>
+          store.createFolder(id, str(body(ex), "path")); ok(ex, obj(), status = 201)
+        case ("DELETE", Sub(id, "folders")) =>
+          store.deleteFolder(id, query(ex)("path")); noContent(ex)
+        case _ => err(ex, 404, s"no route: $method $path")
+      }
+    } catch {
+      case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
+      case e: NoSuchElementException => err(ex, 400, s"missing field: ${e.getMessage}")
+      case e: Throwable => err(ex, 500, String.valueOf(e.getMessage))
+    }
+  }
+
+  /** POST /search — the full SearchRequest surface as snake_case JSON. */
+  private def search(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    val req = SearchRequest(
+      query = str(b, "query"),
+      containerId = str(b, "container_id"),
+      mode = optStr(b, "mode").getOrElse("hybrid"),
+      topK = optInt(b, "top_k").getOrElse(10),
+      minScore = optDouble(b, "min_score").getOrElse(0.0),
+      alpha = optDouble(b, "alpha").getOrElse(0.5),
+      fusionMethod = optStr(b, "fusion_method").getOrElse("minmax"),
+      autoCut = bool(b, "auto_cut", default = false),
+      pathPrefix = optStr(b, "path_prefix"),
+      documentId = optStr(b, "document_id"),
+      modelId = optStr(b, "model_id"),
+      crossModelSearch = bool(b, "cross_model_search", default = false),
+      mmrLambda = optDouble(b, "mmr_lambda"),
+      rankFn = optStr(b, "rank_fn").getOrElse("cover_density"),
+      snippetTokens = optInt(b, "snippet_tokens"))
+    val hits = store.search(req)
+    ok(ex, obj("hits" -> hits.map(h => obj(
+      "chunk_id" -> h.chunk_id, "document_id" -> h.document_id,
+      "content" -> h.content, "score" -> h.score,
+      "metadata" -> h.metadata.toSeq.sortBy(_._1)))))
+  }
+
+  private def createContainer(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    val id = store.createContainer(
+      name = str(b, "name"),
+      connectorType = optStr(b, "connector_type").getOrElse("ManagedStorage"),
+      writable = bool(b, "writable", default = true))
+    ok(ex, obj("container_id" -> id), status = 201)
+  }
+
+  // ---- JSON plumbing ----------------------------------------------------
+
+  private def body(ex: HttpExchange): JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  private def node(b: JsonNode, field: String): JsonNode = {
+    val n = b.get(field)
+    if (n == null || n.isNull) throw new NoSuchElementException(field)
+    n
+  }
+  private def str(b: JsonNode, field: String): String = node(b, field).asText()
+  private def optStr(b: JsonNode, field: String): Option[String] =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asText())
+  private def optInt(b: JsonNode, field: String): Option[Int] =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asInt())
+  private def optDouble(b: JsonNode, field: String): Option[Double] =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asDouble())
+  private def bool(b: JsonNode, field: String, default: Boolean): Boolean =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asBoolean()).getOrElse(default)
+
+  /** Scala value -> Jackson tree (strings, numbers, booleans, Seq, pairs). */
+  private def toNode(v: Any): JsonNode = v match {
+    case n: JsonNode => n
+    case s: String => mapper.getNodeFactory.textNode(s)
+    case i: Int => mapper.getNodeFactory.numberNode(i)
+    case l: Long => mapper.getNodeFactory.numberNode(l)
+    case d: Double => mapper.getNodeFactory.numberNode(d)
+    case b: Boolean => mapper.getNodeFactory.booleanNode(b)
+    case xs: Seq[_] if xs.forall(_.isInstanceOf[(_, _)]) && xs.nonEmpty =>
+      obj(xs.map { case (k, v2) => (String.valueOf(k), v2) }: _*)
+    case xs: Seq[_] => arr(xs.map(x => x: Any))
+    case null => mapper.getNodeFactory.nullNode()
+    case other => mapper.getNodeFactory.textNode(String.valueOf(other))
+  }
+  private def obj(fields: (String, Any)*): JsonNode = {
+    val o = mapper.createObjectNode()
+    fields.foreach { case (k, v) => o.set[JsonNode](k, toNode(v)) }
+    o
+  }
+  private def arr(items: Seq[Any]): JsonNode = {
+    val a = mapper.createArrayNode()
+    items.foreach(i => a.add(toNode(i)))
+    a
+  }
+
+  private def ok(ex: HttpExchange, payload: JsonNode, status: Int = 200): Unit =
+    respond(ex, status, mapper.writeValueAsString(payload))
+  private def noContent(ex: HttpExchange): Unit = {
+    ex.sendResponseHeaders(204, -1); ex.close()
+  }
+  private def err(ex: HttpExchange, status: Int, msg: String): Unit =
+    respond(ex, status, mapper.writeValueAsString(obj("error" -> msg)))
+  private def respond(ex: HttpExchange, status: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.contains('='))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+}

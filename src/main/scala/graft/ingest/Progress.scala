@@ -1,0 +1,54 @@
+package graft.ingest
+
+/** Ingestion progress events — the analytic equivalent of the reference's
+  * per-phase SignalR broadcast (`IngestionPipeline.cs:412-446`,
+  * `IngestionProgressBroadcaster`). The pipeline emits one event per
+  * phase boundary per ingest job; a listener is anything that wants to
+  * watch (the bounded [[ProgressLog]] feeds the REST surface's
+  * `/progress`; a streaming deployment would publish to its bus).
+  *
+  * Events are driver-side and phase-grained (a batch engine's truthful
+  * granularity — per-row progress would require executor→driver chatter
+  * the hot path shouldn't pay). `current`/`total` count documents in the
+  * job; `detail` carries phase-specific facts (chunk/vector counts,
+  * replaced-document counts).
+  */
+final case class ProgressEvent(
+    jobId: String,
+    phase: String,
+    current: Long,
+    total: Long,
+    detail: String = "",
+    tsMs: Long = System.currentTimeMillis())
+
+trait ProgressListener {
+  def onProgress(e: ProgressEvent): Unit
+}
+
+object ProgressListener {
+  /** Default: ingestion pays zero progress cost. */
+  object Noop extends ProgressListener {
+    override def onProgress(e: ProgressEvent): Unit = ()
+  }
+}
+
+/** Bounded in-memory progress feed: keeps the most recent `capacity`
+  * events (oldest evicted), thread-safe, queryable by job. This is the
+  * poll-model replacement for the reference's push hub — a REST client
+  * polls `/progress` instead of holding a socket; the ring bound keeps a
+  * long-lived server's memory flat regardless of ingest volume. */
+final class ProgressLog(capacity: Int = 1024) extends ProgressListener {
+  private val buf = new java.util.ArrayDeque[ProgressEvent]()
+
+  override def onProgress(e: ProgressEvent): Unit = synchronized {
+    buf.addLast(e)
+    while (buf.size > capacity) buf.removeFirst()
+  }
+
+  /** Events in arrival order, optionally filtered to one job. */
+  def events(jobId: Option[String] = None): Seq[ProgressEvent] = synchronized {
+    import scala.jdk.CollectionConverters._
+    val all = buf.iterator.asScala.toSeq
+    jobId.fold(all)(id => all.filter(_.jobId == id))
+  }
+}

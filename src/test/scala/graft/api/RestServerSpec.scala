@@ -1,0 +1,124 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REST serving surface end-to-end over real HTTP: a JDK HttpClient
+  * drives the full container → upload → search → document → delete
+  * lifecycle against a live server on an ephemeral port, including the
+  * round-8 search options (bm25 rank function, snippets) and the error
+  * contract (400 on violated bounds, 404 on missing resources).
+  */
+class RestServerSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-rest").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+  private lazy val (server, base) = {
+    val s = new RestServer(store)
+    val port = s.start()
+    (s, s"http://127.0.0.1:$port")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def send(method: String, path: String, body: String = null)
+      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m,
+        java.net.http.HttpRequest.BodyPublishers.ofString(Option(body).getOrElse("{}")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+      else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  test("full lifecycle over HTTP: create, upload, search, document, stats, delete") {
+    assert(send("GET", "/health")._2.get("status").asText() == "ok")
+
+    // create a container
+    val (cSt, cB) = send("POST", "/containers", """{"name": "docs"}""")
+    assert(cSt == 201)
+    val cid = cB.get("container_id").asText()
+    assert(send("GET", "/containers")._2.size() == 1)
+
+    // upload two files (one nested), a folder, then list
+    val up1 = send("POST", s"/containers/$cid/files",
+      """{"path": "/guide/chunking.txt", "content": "Chunk overlap controls how many tokens adjacent chunks share. Overlap must stay below the chunk size."}""")
+    assert(up1._1 == 201 && up1._2.get("document_id").asText().nonEmpty)
+    val up2 = send("POST", s"/containers/$cid/bulk_upload",
+      """{"files": [{"path": "/api/search.txt", "content": "Search runs a vector leg and a keyword leg fused with a convex combination."}]}""")
+    assert(up2._1 == 201 && up2._2.get("document_ids").size() == 1)
+    val files = send("GET", s"/containers/$cid/files")._2
+    assert(files.size() == 2)
+    assert(send("GET", s"/containers/$cid/files?prefix=/api/")._2.size() == 1)
+
+    // search with the round-8 options: bm25 ranking + snippets
+    val (sSt, sB) = send("POST", "/search",
+      s"""{"query": "chunk overlap", "container_id": "$cid", "mode": "keyword",
+           "rank_fn": "bm25", "snippet_tokens": 5, "top_k": 5}""")
+    assert(sSt == 200)
+    val hits = sB.get("hits")
+    assert(hits.size() > 0)
+    val first = hits.get(0)
+    assert(first.get("content").asText().toLowerCase.contains("overlap"))
+    assert(first.get("metadata").get("snippet") != null,
+      "snippet_tokens must surface metadata.snippet")
+
+    // document reconstruction + stats + models
+    val doc = send("GET", s"/containers/$cid/document?path=/guide/chunking.txt")
+    assert(doc._1 == 200 && doc._2.get("content").asText().contains("Chunk overlap"))
+    val stats = send("GET", s"/containers/$cid/stats")._2
+    assert(stats.get("documents").asLong() == 2)
+    assert(send("GET", s"/containers/$cid/models")._2.size() == 1)
+
+    // folders: explicit + implied
+    assert(send("POST", s"/containers/$cid/folders", """{"path": "/empty"}""")._1 == 201)
+    val folders = send("GET", s"/containers/$cid/folders")._2
+    val names = (0 until folders.size()).map(folders.get(_).asText())
+    assert(names.contains("/empty") && names.contains("/guide"))
+
+    // delete one file; the other survives
+    assert(send("POST", s"/containers/$cid/bulk_delete",
+      """{"paths": ["/api/search.txt"]}""")._1 == 204)
+    assert(send("GET", s"/containers/$cid/files")._2.size() == 1)
+
+    // error contract
+    assert(send("GET", s"/containers/$cid/document?path=/nope.txt")._1 == 404)
+    assert(send("POST", "/search",
+      s"""{"query": "x", "container_id": "$cid", "top_k": 9999}""")._1 == 400)
+    assert(send("POST", "/search", """{"query": "x"}""")._1 == 400) // missing container_id
+    assert(send("GET", "/no/such/route")._1 == 404)
+
+    // container delete clears everything
+    assert(send("DELETE", s"/containers/$cid")._1 == 204)
+    assert(send("GET", "/containers")._2.size() == 0)
+    server.stop()
+  }
+
+  test("write guard surfaces as 400: S3-connector containers reject uploads") {
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-rest2").toString
+    val s2 = new RestServer(new KnowledgeStore(spark, wh2))
+    val port = s2.start()
+    val base2 = s"http://127.0.0.1:$port"
+    def send2(method: String, path: String, body: String) = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base2$path"))
+        .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+    val cid = mapper.readTree(send2("POST", "/containers",
+      """{"name": "mirror", "connector_type": "S3"}""").body())
+      .get("container_id").asText()
+    val resp = send2("POST", s"/containers/$cid/files",
+      """{"path": "/a.txt", "content": "hi"}""")
+    assert(resp.statusCode() == 400)
+    assert(mapper.readTree(resp.body()).get("error").asText().contains("read-only"))
+    s2.stop()
+  }
+}

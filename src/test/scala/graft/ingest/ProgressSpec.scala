@@ -1,0 +1,62 @@
+package graft.ingest
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingestion progress feed: the upload path emits ordered phase events
+  * with truthful counts, the ring bound holds, and the REST surface
+  * serves the same feed at /progress.
+  */
+class ProgressSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+
+  test("upload emits ordered phases with counts; re-upload reports replacements") {
+    val log = new ProgressLog()
+    val wh = java.nio.file.Files.createTempDirectory("graft-prog").toString
+    val store = new graft.api.KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      progress = log)
+    val cid = store.createContainer("docs")
+    store.bulkUpload(cid, Seq(
+      ("/a.txt", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("/b.txt", "one two three four five six seven eight nine ten")))
+    val ev = log.events()
+    assert(ev.map(_.phase) == Seq("received", "upsert_probe", "chunked", "embedded", "ready"))
+    // one job id spans the batch; totals are the document count
+    assert(ev.map(_.jobId).distinct.length == 1)
+    assert(ev.forall(_.total == 2))
+    assert(ev.find(_.phase == "upsert_probe").get.detail == "replaced=0")
+    val nChunks = ev.find(_.phase == "chunked").get.detail.stripPrefix("chunks=").toLong
+    assert(nChunks >= 2, s"chunk count must be real: $nChunks")
+    assert(ev.last.phase == "ready" && ev.last.current == 2)
+
+    // re-upload one path: a NEW job whose probe reports the replacement
+    store.uploadFile(cid, "/a.txt", "alpha beta gamma delta epsilon zeta eta replaced")
+    val jobs = log.events().map(_.jobId).distinct
+    assert(jobs.length == 2)
+    val second = log.events(Some(jobs.last))
+    assert(second.find(_.phase == "upsert_probe").get.detail == "replaced=1")
+    assert(second.last.phase == "ready")
+  }
+
+  test("ring bound evicts oldest; REST serves the feed") {
+    val log = new ProgressLog(capacity = 3)
+    (1 to 5).foreach(i => log.onProgress(ProgressEvent(s"j$i", "p", i, 5)))
+    assert(log.events().map(_.jobId) == Seq("j3", "j4", "j5"))
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-prog2").toString
+    val store = new graft.api.KnowledgeStore(spark, wh, progress = log)
+    val server = new graft.api.RestServer(store, progressLog = Some(log))
+    val port = server.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/progress?job_id=j4")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+    assert(node.size() == 1 && node.get(0).get("job_id").asText() == "j4")
+    assert(node.get(0).get("current").asLong() == 4)
+    server.stop()
+  }
+}
