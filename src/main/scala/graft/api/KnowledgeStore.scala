@@ -27,8 +27,25 @@ final class KnowledgeStore(
     chunkerName: String = "recursive",
     /** Ingestion progress sink (ref IngestionProgressBroadcaster): the
       * upload path emits one event per phase per job. Default: none. */
-    progress: graft.ingest.ProgressListener = graft.ingest.ProgressListener.Noop) {
+    progress: graft.ingest.ProgressListener = graft.ingest.ProgressListener.Noop,
+    /** Transactional warehouse mode: chunks/vectors/ledger live under the
+      * `store/TxLog` commit log — an UPSERT (replace + append across all
+      * three tables) is ONE atomic commit (the reference's Postgres
+      * transaction, ref PgVectorStore.cs:144-184), bulk deletes are
+      * stats-pruned copy-on-write `deleteWhere` commits, and readers get
+      * snapshot isolation + the change feed + time travel. Auto-detected
+      * when the warehouse already has a log (a StreamingIngest or
+      * IndexBuild.build TxLog warehouse); `true` initializes one.
+      * Registry tables (containers/folders) and the embed cache stay
+      * plain parquet — driver-rewritten metadata / optimization tables. */
+    transactional: Boolean = false) {
   import spark.implicits._
+
+  private val txMode: Boolean = {
+    if (transactional && !graft.store.TxLog.exists(spark, warehouse))
+      graft.store.TxLog.commit(spark, warehouse, Nil)
+    transactional || graft.store.TxLog.exists(spark, warehouse)
+  }
 
   /** Validation bounds (ref ValidationConstants.cs:6-8). */
   val MaxTopK = 100
@@ -49,12 +66,18 @@ final class KnowledgeStore(
   private def tableOrEmpty(path: String, empty: => DataFrame): DataFrame =
     try spark.read.parquet(path) catch { case _: Throwable => empty }
 
-  private def chunksDf: DataFrame = tableOrEmpty(s"$warehouse/chunks",
-    spark.emptyDataFrame)
-  private def vectorsDf: DataFrame = tableOrEmpty(s"$warehouse/vectors",
-    spark.emptyDataFrame)
-  private def ledgerDf: DataFrame = tableOrEmpty(s"$warehouse/ledger",
-    spark.emptyDataFrame)
+  /** Data-table reader: log-aware in txMode (snapshot isolation — staged
+    * or logically-removed files are invisible), plain parquet otherwise;
+    * missing tables read as empty either way. */
+  private def managed(table: String): DataFrame =
+    if (!txMode) tableOrEmpty(s"$warehouse/$table", spark.emptyDataFrame)
+    else try graft.store.TxLog.read(spark, warehouse, table)
+      // only "no live files" reads as empty; real failures propagate
+      catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
+
+  private def chunksDf: DataFrame = managed("chunks")
+  private def vectorsDf: DataFrame = managed("vectors")
+  private def ledgerDf: DataFrame = managed("ledger")
 
   // ---- containers -------------------------------------------------------
 
@@ -101,6 +124,19 @@ final class KnowledgeStore(
     * (container ids are name-derived UUIDs, so a recreated same-named
     * container would otherwise inherit ghost folders). */
   def deleteContainer(containerId: String): Unit = {
+    // txMode: logically remove the container's live files FIRST (one
+    // metadata commit — readers flip atomically), then reclaim physically
+    if (txMode) {
+      val T = graft.store.TxLog
+      val snap = T.snapshot(spark, warehouse)
+      val removes = Seq("chunks", "vectors", "ledger").flatMap { t =>
+        snap.files(t).collect {
+          case (rel, _) if rel.startsWith(s"container_id=$containerId/") =>
+            T.Remove(t, rel)
+        }
+      }
+      if (removes.nonEmpty) T.commit(spark, warehouse, Nil, removes)
+    }
     Seq(s"$warehouse/chunks/container_id=$containerId",
       s"$warehouse/vectors/container_id=$containerId",
       s"$warehouse/ledger/container_id=$containerId",
@@ -211,7 +247,10 @@ final class KnowledgeStore(
           .as[(String, Int)].collect().toSeq
       }.toMap
     }
-    docs.groupBy(_.container_id).foreach { case (cid, group) =>
+    // plain mode replaces existing docs by partition rewrite up front;
+    // txMode folds the replacement into the SAME commit as the append
+    // (stageDelete below) — the reference's single-transaction upsert
+    if (!txMode) docs.groupBy(_.container_id).foreach { case (cid, group) =>
       val existing = group.map(_.document_id).filter(prevGen.contains).toSet
       if (existing.nonEmpty) {
         dropDocRows("chunks", cid, Nil, existing)
@@ -225,21 +264,6 @@ final class KnowledgeStore(
     val vectors = IndexBuild.embedChunks(newChunks,
       Option(tableOrEmpty(s"$warehouse/embed_cache", null)), embedder)
       .persist() // reused by the cache write-back below without re-embedding
-    newChunks.drop("precomputed").toDF()
-      .write.mode(SaveMode.Append).partitionBy("container_id")
-      .parquet(s"$warehouse/chunks")
-    emit("chunked", total, s"chunks=${newChunks.count()}")
-    vectors.write.mode(SaveMode.Append).partitionBy("container_id", "model_id")
-      .parquet(s"$warehouse/vectors")
-    emit("embedded", total, s"vectors=${vectors.count()}")
-    // write-back: fresh embeddings join the shared content-hash cache so
-    // re-uploading identical content skips the embedder (IndexBuild.build
-    // refreshes the cache wholesale; the API path appends increments —
-    // the cache reader dropDuplicates on content_hash)
-    vectors.select("content_hash", "model_id", "dimensions", "embedding")
-      .dropDuplicates("content_hash")
-      .write.mode(SaveMode.Append).parquet(s"$warehouse/embed_cache")
-    vectors.unpersist()
     // same ledger schema as IndexBuild.build (generation + indexed_with
     // settings stamp) so both producers can target one warehouse and
     // Reindex.classify reads API-built ledgers
@@ -258,8 +282,57 @@ final class KnowledgeStore(
       .withColumn("generation", coalesce($"prev_gen" + 1, lit(1)).cast("int"))
       .drop("prev_gen")
       .withColumn("indexed_with", typedLit(stamp))
-    ledger.write.mode(SaveMode.Append).partitionBy("container_id")
-      .parquet(s"$warehouse/ledger")
+    if (txMode) {
+      // ONE commit: replaced docs' survivor rewrites + all three tables'
+      // fresh files — a reader sees the whole upsert or none of it, and
+      // the change feed reads as Delta CDF (delete pre-images + insert
+      // post-images at one version)
+      val T = graft.store.TxLog
+      val gen = T.snapshot(spark, warehouse).maxGeneration("chunks") + 1L
+      val existingIds = prevGen.keys.toSeq
+      val staged =
+        if (existingIds.isEmpty) Nil
+        else Seq(
+          ("chunks", Seq("container_id")),
+          ("vectors", Seq("container_id", "model_id")),
+          ("ledger", Seq("container_id"))).flatMap { case (t, pb) =>
+          T.stageDelete(spark, warehouse, t,
+            col("document_id").isin(existingIds: _*), pb).map(t -> _)
+        }
+      val adds =
+        T.stageWrite(newChunks.drop("precomputed").toDF(), warehouse,
+          "chunks", Seq("container_id"), gen) ++
+        T.stageWrite(vectors.toDF(), warehouse,
+          "vectors", Seq("container_id", "model_id"), gen) ++
+        T.stageWrite(ledger.toDF(), warehouse, "ledger", Seq("container_id"), gen)
+      T.commit(spark, warehouse,
+        staged.flatMap(_._2.adds) ++ adds,
+        staged.flatMap(_._2.removes),
+        deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap)
+      spark.catalog.refreshByPath(s"$warehouse/chunks")
+      org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+      emit("chunked", total, s"chunks=${newChunks.count()}")
+      emit("embedded", total, s"vectors=${vectors.count()}")
+    } else {
+      newChunks.drop("precomputed").toDF()
+        .write.mode(SaveMode.Append).partitionBy("container_id")
+        .parquet(s"$warehouse/chunks")
+      emit("chunked", total, s"chunks=${newChunks.count()}")
+      vectors.write.mode(SaveMode.Append).partitionBy("container_id", "model_id")
+        .parquet(s"$warehouse/vectors")
+      emit("embedded", total, s"vectors=${vectors.count()}")
+      ledger.write.mode(SaveMode.Append).partitionBy("container_id")
+        .parquet(s"$warehouse/ledger")
+    }
+    // write-back: fresh embeddings join the shared content-hash cache so
+    // re-uploading identical content skips the embedder (IndexBuild.build
+    // refreshes the cache wholesale; the API path appends increments —
+    // the cache reader dropDuplicates on content_hash). The cache is an
+    // optimization table: plain parquet in both modes.
+    vectors.select("content_hash", "model_id", "dimensions", "embedding")
+      .dropDuplicates("content_hash")
+      .write.mode(SaveMode.Append).parquet(s"$warehouse/embed_cache")
+    vectors.unpersist()
     newChunks.unpersist()
     invalidate()
     emit("ready", total)
@@ -269,15 +342,38 @@ final class KnowledgeStore(
   def deleteFile(containerId: String, path: String): Unit =
     bulkDelete(containerId, Seq(path))
 
-  /** bulk_delete (ref :375, <=100 ids — EXCEPT on keys). */
+  /** bulk_delete (ref :375, <=100 ids — EXCEPT on keys). txMode: the
+    * three tables' row-level deletes land in ONE `deleteWhere`-staged
+    * commit (log-level partition + stats pruning picks the owner files;
+    * pre-images surface in the change feed); plain mode rewrites the
+    * container partition dirs. */
   def bulkDelete(containerId: String, paths: Seq[String]): Unit = {
     require(paths.length <= MaxBulk, s"bulk_delete limited to $MaxBulk")
     requireWritable(containerId)
     val ids = paths.map(p => java.util.UUID.nameUUIDFromBytes(
       s"$containerId:${graft.ingest.PathUtil.normalize(p)}".getBytes("UTF-8")).toString).toSet
-    dropDocRows("chunks", containerId, Nil, ids)
-    dropDocRows("vectors", containerId, Seq("model_id"), ids)
-    dropDocRows("ledger", containerId, Nil, ids)
+    if (txMode) {
+      val T = graft.store.TxLog
+      val pred = col("container_id") === containerId &&
+        col("document_id").isin(ids.toSeq: _*)
+      val staged = Seq(
+        ("chunks", Seq("container_id")),
+        ("vectors", Seq("container_id", "model_id")),
+        ("ledger", Seq("container_id"))).flatMap { case (t, pb) =>
+        T.stageDelete(spark, warehouse, t, pred, pb).map(t -> _)
+      }
+      if (staged.nonEmpty) {
+        T.commit(spark, warehouse,
+          staged.flatMap(_._2.adds), staged.flatMap(_._2.removes),
+          deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap)
+        spark.catalog.refreshByPath(s"$warehouse/chunks")
+        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+      }
+    } else {
+      dropDocRows("chunks", containerId, Nil, ids)
+      dropDocRows("vectors", containerId, Seq("model_id"), ids)
+      dropDocRows("ledger", containerId, Nil, ids)
+    }
     invalidate()
   }
 

@@ -115,7 +115,13 @@ object TxLog {
 
   final case class Add(table: String, relPath: String, generation: Long,
       stats: Map[String, ColStat] = Map.empty,
-      blooms: Map[String, String] = Map.empty) // col -> base64 sketch
+      blooms: Map[String, String] = Map.empty, // col -> base64 sketch
+      /** True for SURVIVOR-REWRITE adds (deleteWhere/upsert): the file
+        * carries no logically-new rows, so the change feed skips it.
+        * Plain adds in the same commit still feed as inserts — which is
+        * what makes a transactional UPSERT's feed read as Delta's CDF
+        * does: delete pre-images + insert post-images at one version. */
+      rewrite: Boolean = false)
   final case class Remove(table: String, relPath: String)
 
   /** Pluggable commit-claim store (see [[LogStore]]); tests and S3-class
@@ -244,7 +250,8 @@ object TxLog {
       body ++= s"partspec\t$table\t${esc(cols.mkString(","))}\n"
     }
     adds.foreach { a =>
-      body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}\n"
+      body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}" +
+        (if (a.rewrite) "\tr\n" else "\n")
       a.stats.toSeq.sortBy(_._1).foreach { case (c, st) =>
         body ++= s"stat\t${a.table}\t${a.relPath}\t${esc(c)}\t${st.tpe}\t${esc(st.min)}\t${esc(st.max)}\n"
       }
@@ -323,6 +330,7 @@ object TxLog {
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         line.split('\t') match {
           case Array("add", table, rel, gen) => live((table, rel)) = gen.toLong
+          case Array("add", table, rel, gen, _) => live((table, rel)) = gen.toLong
           case Array("stat", table, rel, c, tpe, mn, mx) =>
             fileStats((table, rel)) = fileStats.getOrElse((table, rel), Map.empty) +
               (unesc(c) -> ColStat(tpe, unesc(mn), unesc(mx)))
@@ -437,32 +445,42 @@ object TxLog {
     val batches = listVersions(f, warehouse)
       .filter(v => v > fromVersion && v <= toVersion)
       .flatMap { v =>
-        val adds = scala.collection.mutable.ArrayBuffer[String]()
+        val newAdds = scala.collection.mutable.ArrayBuffer[String]()
+        val rewriteAdds = scala.collection.mutable.ArrayBuffer[String]()
         val removes = scala.collection.mutable.ArrayBuffer[String]()
         var deletePred: Option[String] = None
         readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
           line.split('\t') match {
-            case Array("add", t, rel, _) if t == table => adds += rel
+            case Array("add", t, rel, _) if t == table => newAdds += rel
+            case Array("add", t, rel, _, _) if t == table => rewriteAdds += rel
             case Array("remove", t, rel) if t == table => removes += rel
             case Array("delete", t, pred) if t == table => deletePred = Some(unesc(pred))
             case _ => ()
           }
         }
         deletePred match {
-          // ROW-LEVEL DELETE commit: the change rows are the PRE-IMAGES —
-          // the removed files' rows matching the logged predicate (the
-          // files stay on disk until vacuum, like time travel; the
-          // survivor-rewrite adds carry no new data and are excluded)
+          // ROW-LEVEL DELETE / transactional UPSERT commit: the delete's
+          // change rows are the PRE-IMAGES — the removed files' rows
+          // matching the logged predicate (files stay on disk until
+          // vacuum, like time travel). Survivor-rewrite adds (flagged in
+          // the log) carry no new data and are excluded; PLAIN adds in
+          // the same commit are the upsert's post-images and feed as
+          // inserts at the same version.
           case Some(pred) if removes.nonEmpty =>
-            Some((v, removes.toSeq.map(rel => s"$warehouse/$table/$rel"),
-              "delete", Some(pred)))
+            Some(Seq(
+              Some((v, removes.toSeq.map(rel => s"$warehouse/$table/$rel"),
+                "delete", Some(pred))),
+              if (newAdds.isEmpty) None
+              else Some((v, newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"),
+                "insert", None))).flatten)
           // compaction/restore rewrite: logically nothing changed
-          case _ if removes.nonEmpty || adds.isEmpty => None
+          case _ if removes.nonEmpty || (newAdds.isEmpty && rewriteAdds.isEmpty) => None
+          case _ if newAdds.isEmpty => None // rewrite-only commit
           case _ =>
-            Some((v, adds.toSeq.map(rel => s"$warehouse/$table/$rel"),
-              "insert", None))
+            Some(Seq((v, newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"),
+              "insert", None)))
         }
-      }
+      }.flatten
     if (batches.isEmpty) {
       val base =
         try read(spark, warehouse, table, toVersion)
@@ -728,12 +746,22 @@ object TxLog {
     }
   }
 
-  /** Can `rel`'s logged stats/bloom admit a row satisfying every
-    * constraint? Missing stats, unparsable values, or undecomposable
-    * predicates answer true (conservative — the file is scanned). */
+  /** Can `rel`'s logged stats/bloom/partition-dirs admit a row satisfying
+    * every constraint? Missing stats, unparsable values, or
+    * undecomposable predicates answer true (conservative — the file is
+    * scanned). Equality constraints additionally prune on the PARTITION
+    * DIRECTORY value when the column is layout-borne (`container_id=c1/`)
+    * — classic Hive/Iceberg partition pruning applied at the log level,
+    * so a container-scoped delete never lists other containers' files. */
   private def fileMayMatch(snap: Snapshot, table: String, rel: String,
       constraints: Seq[(String, String, Any)]): Boolean =
     constraints.forall { case (colName, op, value) =>
+      def partAdmits(v: Any): Boolean =
+        rel.split('/').dropRight(1)
+          .find(_.startsWith(colName + "=")) match {
+          case Some(seg) => seg.drop(colName.length + 1) == String.valueOf(v)
+          case None => true
+        }
       def rangeAdmits(v: Any): Boolean =
         snap.statsOf(table, rel).get(colName).forall { cs =>
           val s = String.valueOf(v)
@@ -755,14 +783,22 @@ object TxLog {
         }
       op match {
         case "in" => value.asInstanceOf[Seq[Any]]
-          .exists(v => rangeAdmits(v) && bloomAdmits(v))
-        case "eq" => rangeAdmits(value) && bloomAdmits(value)
+          .exists(v => partAdmits(v) && rangeAdmits(v) && bloomAdmits(v))
+        case "eq" => partAdmits(value) && rangeAdmits(value) && bloomAdmits(value)
         case _ => rangeAdmits(value)
       }
     }
 
   final case class DeleteResult(version: Long, removedFiles: Int,
       rewrittenFiles: Int, deletedRows: Long)
+
+  /** A staged-but-uncommitted row-level delete: survivor adds (flagged
+    * rewrite), owner removes, the replayable predicate SQL, and the
+    * matched-row count. A caller groups this with OTHER staged work into
+    * one commit — the transactional UPSERT shape (delete the old rows +
+    * add the new batch, atomically; `KnowledgeStore.appendDocs`). */
+  final case class StagedDelete(adds: Seq[Add], removes: Seq[Remove],
+      predSql: String, deletedRows: Long)
 
   /** ROW-LEVEL DELETE (the reference's `ExecuteDeleteAsync` / bulk_delete,
     * ref `IngestionPipeline.cs:211-218`, `McpTools.cs:375`; the published
@@ -808,11 +844,30 @@ object TxLog {
       predicate: org.apache.spark.sql.Column,
       partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Option[DeleteResult] = {
+      bloomCols: Seq[String] = Nil): Option[DeleteResult] =
+    stageDelete(spark, warehouse, table, predicate, partitionBy,
+        statsCols, bloomCols).map { sd =>
+      val v = commit(spark, warehouse, sd.adds, sd.removes,
+        deletes = Map(table -> sd.predSql))
+      spark.catalog.refreshByPath(s"$warehouse/$table")
+      org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+      DeleteResult(v, sd.removes.size, sd.adds.size, sd.deletedRows)
+    }
+
+  /** The staging core of [[deleteWhere]]: find owners (all three pruning
+    * tiers), write survivors, return the actions WITHOUT committing —
+    * so a transactional caller can bundle several tables' deletes and
+    * fresh appends into ONE commit. Staged survivor files are
+    * unreferenced (vacuumable) if the caller never commits. */
+  def stageDelete(spark: SparkSession, warehouse: String, table: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[StagedDelete] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val snap = snapshot(spark, warehouse)
     val files = snap.files(table)
-    require(files.nonEmpty, s"txlog: no live files for $table")
+    if (files.isEmpty) return None
     val base = s"$warehouse/$table"
     def reader = snap.schemaOf(table) match {
       case Some(st) => spark.read.schema(st)
@@ -880,12 +935,10 @@ object TxLog {
     val adds = stageWrite(survivors, warehouse, table, partitionBy,
       generation = ownerFiles.map(_._2).max,
       statsCols = statsCols, bloomCols = bloomCols)
-    val v = commit(spark, warehouse, adds,
+      .map(_.copy(rewrite = true)) // survivors carry no logically-new rows
+    Some(StagedDelete(adds,
       ownerFiles.map { case (rel, _) => Remove(table, rel) },
-      deletes = Map(table -> predSql))
-    spark.catalog.refreshByPath(base)
-    org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
-    Some(DeleteResult(v, ownerFiles.size, adds.size, owners.values.sum))
+      predSql, owners.values.sum))
   }
 
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):

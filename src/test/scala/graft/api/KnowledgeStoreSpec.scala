@@ -23,13 +23,20 @@ class PathUtilSpec extends AnyFunSuite {
   }
 }
 
-/** §2.12: the 11-tool query surface end-to-end over a temp warehouse. */
+/** §2.12: the 11-tool query surface end-to-end over a temp warehouse.
+  * Runs TWICE — plain-parquet mode here and TxLog-transactional mode in
+  * [[KnowledgeStoreTxSpec]] — every behavior must hold under both
+  * storage engines. */
 class KnowledgeStoreSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  /** Overridden by the transactional twin. */
+  protected def transactional: Boolean = false
+
   private val wh = java.nio.file.Files.createTempDirectory("graft-ks").toString
   private lazy val store = new KnowledgeStore(spark, wh,
-    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+    transactional = transactional)
 
   test("container create/list enforces unique names") {
     val id = store.createContainer("docs")
@@ -128,7 +135,10 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     assert(doc.forall(!_.contains("Set overlap in settings")))
     // document count unchanged; ledger has exactly one row at generation 2
     assert(store.containerStats(cid)("documents") == 2)
-    val led = spark.read.parquet(s"$wh/ledger")
+    // log-aware read: identical to the raw read in plain mode, and the
+    // snapshot view in txMode (the replaced file stays on disk until
+    // vacuum but must be invisible)
+    val led = graft.store.TxLog.read(spark, wh, "ledger")
     val rows = led.filter(org.apache.spark.sql.functions.col("path") === "/guide/overlap.txt")
       .select("generation").collect()
     assert(rows.length == 1, s"expected 1 ledger row, got ${rows.length}")
@@ -162,6 +172,9 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     store.uploadFile(cid, "only/doc.txt", "the sole document in this container")
     store.deleteFile(cid, "only/doc.txt")
     val partDir = new java.io.File(s"$wh/chunks/container_id=$cid")
+    // txMode removes the rows LOGICALLY first (files stay until vacuum);
+    // plain mode must physically drop the emptied partition dir
+    if (transactional) graft.store.TxLog.vacuum(spark, wh, retentionMs = 0L)
     assert(!partDir.exists() ||
       partDir.listFiles().forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
       "empty rewrite left unreadable partition contents")
@@ -299,5 +312,66 @@ class ConnectorDeltaSpec extends AnyFunSuite {
     val snap2 = ConnectorDelta.listDirectory(spark, dir.toString)
     val events = ConnectorDelta.events(snap1, snap2).collect()
     assert(events.length == 1 && events.head.getString(1) == ConnectorDelta.Created)
+  }
+}
+
+/** The whole §2.12 suite again, on a TxLog-transactional warehouse: every
+  * API behavior must be storage-engine-independent, plus the guarantees
+  * only the log can give — one-commit upserts whose change feed reads as
+  * delete pre-images + insert post-images, and snapshot-isolated deletes.
+  */
+class KnowledgeStoreTxSpec extends KnowledgeStoreSpec {
+  import TestSpark.spark
+  import spark.implicits._
+
+  override protected def transactional: Boolean = true
+
+  test("tx: upsert is ONE commit; CDF shows pre-images and post-images at one version") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kstx").toString
+    val s = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      transactional = true)
+    val cid = s.createContainer("tx-docs")
+    s.uploadFile(cid, "/a.txt", "alpha beta gamma delta epsilon zeta")
+    val v1 = graft.store.TxLog.snapshot(spark, wh).version
+    // re-upload the same path: REPLACE must be one commit
+    s.uploadFile(cid, "/a.txt", "alpha beta gamma delta epsilon replaced")
+    val v2 = graft.store.TxLog.snapshot(spark, wh).version
+    assert(v2 == v1 + 1, s"upsert must claim exactly one version ($v1 -> $v2)")
+    // the ledger feed at the upsert version: old row out, new row in
+    val feed = graft.store.TxLog.readChanges(spark, wh, "ledger", fromVersion = v1)
+      .select("_change_type", "content_hash").as[(String, String)].collect().toSeq
+    assert(feed.count(_._1 == "delete") == 1, s"pre-image missing: $feed")
+    assert(feed.count(_._1 == "insert") == 1, s"post-image missing: $feed")
+    assert(feed.map(_._2).distinct.length == 2, "hashes must differ across the upsert")
+    // reads resolve the replacement exactly once
+    assert(s.getDocument(cid, "/a.txt").get.contains("replaced"))
+    assert(s.containerStats(cid)("documents") == 1)
+    // time travel: the pre-upsert snapshot still reads the old content
+    val oldLedger = graft.store.TxLog.read(spark, wh, "ledger", atVersion = v1)
+    assert(oldLedger.count() == 1)
+  }
+
+  test("tx: bulk delete is a logged deleteWhere — pre-images feed, vacuum reclaims") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kstx2").toString
+    val s = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      transactional = true)
+    val cid = s.createContainer("tx-del")
+    s.bulkUpload(cid, Seq(
+      ("/a.txt", "alpha beta gamma delta epsilon zeta"),
+      ("/b.txt", "one two three four five six seven")))
+    val before = graft.store.TxLog.snapshot(spark, wh).version
+    s.bulkDelete(cid, Seq("/a.txt"))
+    // one commit covered all three tables
+    assert(graft.store.TxLog.snapshot(spark, wh).version == before + 1)
+    val dels = graft.store.TxLog.readChanges(spark, wh, "chunks", fromVersion = before)
+      .filter($"_change_type" === "delete")
+    assert(dels.count() > 0, "chunk pre-images must feed")
+    assert(s.listFiles(cid).map(_._2) == Seq("/b.txt"))
+    assert(s.getDocument(cid, "/a.txt").isEmpty)
+    // physical reclamation is vacuum's job, and live data survives it
+    graft.store.TxLog.vacuum(spark, wh, retentionMs = 0L)
+    assert(s.getDocument(cid, "/b.txt").nonEmpty)
   }
 }
