@@ -965,7 +965,146 @@ object TextQueries {
                                     hits[list_position(scores, list_max(scores))] + 12], ' ') AS snippet
         FROM scored
         ORDER BY window_hits DESC, doc_id LIMIT 25"""),
-      doc = "best-window snippet extraction: hit-anchored 12-token windows, earliest-max tie-break, text recomputed")
+      doc = "best-window snippet extraction: hit-anchored 12-token windows, earliest-max tie-break, text recomputed"),
+
+    QueryDef(
+      "q142_pii_redact",
+      (s, d) => {
+        // PII detection + redaction (text/Pii) — the privacy pass every
+        // RELEASED training corpus runs (C4/RefinedWeb/Dolma all strip
+        // emails/phones/IPs; GDPR makes it mandatory). Deterministic PII
+        // is synthesized from doc_id arithmetic (emails for every doc,
+        // phones always, SSNs on doc_id%3==0, IPs on doc_id%2==0) so
+        // DuckDB re-runs the SAME RE2-safe regex detectors over the SAME
+        // constructed text and must agree on every count AND on the
+        // redacted tail string (order matters: SSN before phone — both
+        // are digit-dash shapes). Scale: pure per-row regexp columns
+        // riding the scan, no UDF, no shuffle before the sort.
+        val docs = table(s, d, "documents").filter(col("doc_id") < 300)
+          .withColumn("aug", concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.com call 210-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            when(pmod(col("doc_id"), lit(3)) === 0, concat(lit(" ssn 123-45-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(2)) === 0, concat(lit(" ip 10."),
+              pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")))
+              .otherwise(lit(""))))
+        val redacted = graft.text.Pii.redact(docs, "aug")
+        redacted.select(col("doc_id"),
+          col("n_email"), col("n_phone"), col("n_ssn"), col("n_ip"),
+          length(col("aug_redacted")).cast("long").as("red_len"),
+          expr("substring(aug_redacted, greatest(1, length(aug_redacted) - 59), 60)")
+            .as("red_tail"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+                 '.example.com call 210-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 2 = 0
+                      THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                      ELSE '' END AS aug
+          FROM documents WHERE doc_id < 300),
+        red AS (
+          SELECT doc_id, aug,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(aug, '${graft.text.Pii.Ssn}', '[SSN]', 'g'),
+                       '${graft.text.Pii.Phone}', '[PHONE]', 'g'),
+                     '${graft.text.Pii.Email}', '[EMAIL]', 'g'),
+                   '${graft.text.Pii.Ipv4}', '[IP]', 'g') AS redacted
+          FROM aug)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '${graft.text.Pii.Email}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(aug, '${graft.text.Pii.Phone}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(aug, '${graft.text.Pii.Ssn}')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(aug, '${graft.text.Pii.Ipv4}')) AS BIGINT) AS n_ip,
+               CAST(length(redacted) AS BIGINT) AS red_len,
+               substring(redacted, greatest(1, length(redacted) - 59), 60) AS red_tail
+        FROM red ORDER BY doc_id"""),
+      doc = "PII detect + redact: RE2-safe regex detectors (email/phone/SSN/IP) in a fixed order, counts + redacted tail pinned"),
+
+    QueryDef(
+      "q143_boilerplate",
+      (s, d) => {
+        // Line-frequency boilerplate removal — the C4/RefinedWeb rule:
+        // a line appearing in >= half of a SOURCE's documents is
+        // boilerplate (headers, copyright footers) and is stripped from
+        // every document of that source. Boilerplate is planted
+        // deterministically (same copyright/footer lines around every
+        // doc of a source), detection is a (source, line) keyed count
+        // joined against per-source doc counts, and documents are
+        // reassembled from their surviving lines in original order.
+        // Scale: one explode + two keyed aggregates + an anti-join —
+        // all linear shuffles on (source, line); reassembly is a per-doc
+        // sort_array over its own lines.
+        val docs = table(s, d, "documents").filter(col("doc_id") < 300)
+          .withColumn("aug", concat_ws("\n",
+            concat(lit("copyright "), col("source"), lit(" corp")),
+            col("text"),
+            concat(lit("all rights reserved by "), col("source"))))
+        val lines = docs.select(col("doc_id"), col("source"),
+          posexplode(split(col("aug"), "\n")).as(Seq("idx", "line")))
+        val docCounts = docs.groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"))
+        val boiler = lines.groupBy("source", "line")
+          .agg(countDistinct("doc_id").as("nd"))
+          .join(docCounts, "source")
+          .filter(col("nd") * 2 >= col("n_docs") && col("nd") >= 2)
+          .select("source", "line")
+        val kept = lines.join(boiler, Seq("source", "line"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            sort_array(collect_list(struct(col("idx"), col("line")))).as("ls"))
+          .select(col("doc_id"), col("n_kept"),
+            expr("array_join(transform(ls, x -> x.line), '\n')").as("cleaned"))
+        docs.select(col("doc_id"),
+          size(split(col("aug"), "\n")).cast("long").as("n_lines"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_lines"),
+            (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+            coalesce(length(col("cleaned")), lit(0)).cast("long").as("cleaned_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 'copyright ' || source || ' corp' || chr(10) || text ||
+                 chr(10) || 'all rights reserved by ' || source AS aug
+          FROM documents WHERE doc_id < 300),
+        ls AS (SELECT doc_id, source, string_split(aug, chr(10)) AS parts FROM aug),
+        lines AS (SELECT doc_id, source, unnest(parts) AS line,
+                         unnest(range(1, len(parts) + 1)) AS idx
+                  FROM ls),
+        counts AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM aug GROUP BY source),
+        boiler AS (SELECT f.source, f.line
+                   FROM (SELECT source, line, count(DISTINCT doc_id) AS nd
+                         FROM lines GROUP BY source, line) f
+                   JOIN counts c ON f.source = c.source
+                   WHERE f.nd * 2 >= c.n_docs AND f.nd >= 2),
+        kept AS (SELECT l.doc_id, l.idx, l.line
+                 FROM lines l ANTI JOIN boiler b
+                   ON l.source = b.source AND l.line = b.line),
+        outk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                        string_agg(line, chr(10) ORDER BY idx) AS cleaned
+                 FROM kept GROUP BY doc_id)
+        SELECT a.doc_id,
+               CAST(len(string_split(a.aug, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(string_split(a.aug, chr(10))) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
+               CAST(coalesce(length(o.cleaned), 0) AS BIGINT) AS cleaned_len
+        FROM aug a LEFT JOIN outk o ON a.doc_id = o.doc_id
+        ORDER BY a.doc_id"""),
+      doc = "C4-style boilerplate removal: per-source line-frequency detection, anti-join strip, ordered reassembly")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction — the privacy pass every released training
+  * corpus runs (the public C4/RefinedWeb/Dolma pipelines all strip
+  * emails/phones/IPs before release; GDPR/CCPA make it non-optional).
+  * Detectors are REGEX over public formats, chosen to stay inside the
+  * RE2-compatible subset (no lookbehind) so the engine's Java-regex
+  * evaluation and a DuckDB/RE2 oracle compute identical matches — the
+  * q142 contract. Credit-card candidates additionally pass a LUHN check
+  * (the public mod-10 algorithm), which kills most false positives that
+  * a digit-run regex alone would redact.
+  *
+  * Scale shape: pure per-row regexp columns riding the scan (codegen'd
+  * `regexp_replace`/`regexp_extract_all`, no UDF in the standard types'
+  * path); the Luhn pass is the one scalar function (UDF) and is opt-in.
+  */
+object Pii {
+
+  /** Public-format detectors (RE2-safe, identical semantics in Java
+    * regex and DuckDB). Keys are the redaction tag names. */
+  val Email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Detector map in a FIXED application order — SSN before phone (both
+    * are digit-dash shapes; SSN's is more specific and must win), then
+    * email, then IP. Order matters for redaction: a pattern must not see
+    * another's replacement tokens. */
+  val Detectors: Seq[(String, String)] =
+    Seq("ssn" -> Ssn, "phone" -> Phone, "email" -> Email, "ip" -> Ipv4)
+
+  /** Per-type match count columns for `textCol`: n_ssn, n_phone,
+    * n_email, n_ip. */
+  def countColumns(textCol: Column): Seq[(String, Column)] =
+    Detectors.map { case (name, pat) =>
+      s"n_$name" -> size(regexp_extract_all(textCol, lit(pat), lit(0))).cast("long")
+    }
+
+  /** Redact every detector type in order: matches become `[TYPE]`. */
+  def redactColumn(textCol: Column): Column =
+    Detectors.foldLeft(textCol) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Detect + redact over a DataFrame: adds per-type counts and a
+    * `<textCol>_redacted` column. */
+  def redact(df: DataFrame, textCol: String): DataFrame = {
+    val withCounts = countColumns(col(textCol)).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    withCounts.withColumn(s"${textCol}_redacted", redactColumn(col(textCol)))
+  }
+
+  /** Luhn mod-10 check over a digit string (the public card-number
+    * checksum): doubles every second digit from the right, sums digits,
+    * valid iff sum % 10 == 0. */
+  def luhnValid(digits: String): Boolean = {
+    if (digits.length < 12 || !digits.forall(_.isDigit)) return false
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  private val CardCandidate = "\\b(?:\\d[ -]?){12,18}\\d\\b".r
+
+  /** Redact card-number candidates that PASS Luhn (digit runs of 13-19
+    * with optional space/dash grouping); non-Luhn candidates are left
+    * alone — an order id or timestamp is not a card. Scalar (the one
+    * non-regex detector); register as a UDF for DataFrame use. */
+  def redactCards(text: String): String =
+    CardCandidate.replaceAllIn(Option(text).getOrElse(""), m => {
+      val digits = m.matched.filter(_.isDigit)
+      if (luhnValid(digits)) "[CARD]"
+      else scala.util.matching.Regex.quoteReplacement(m.matched)
+    })
+}

@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PII detectors: the q142 oracle pins the regex types cross-engine;
+  * this pins the scalar Luhn/card path and the semantics a reader
+  * expects (application order, false-positive behavior).
+  */
+class PiiSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("luhn validates real checksums and rejects off-by-one") {
+    // publicly documented test numbers (Visa/Amex format examples)
+    assert(Pii.luhnValid("4111111111111111"))
+    assert(Pii.luhnValid("378282246310005"))
+    assert(!Pii.luhnValid("4111111111111112"))
+    assert(!Pii.luhnValid("1234567890123456"))
+    assert(!Pii.luhnValid("41111")) // too short
+    assert(!Pii.luhnValid("4111a11111111111"))
+  }
+
+  test("card redaction: Luhn-valid runs redact, invalid digit runs survive") {
+    val t = Pii.redactCards(
+      "pay 4111 1111 1111 1111 now, order 1234567890123456 unchanged, " +
+        "also 4111-1111-1111-1111 dashed")
+    assert(t == "pay [CARD] now, order 1234567890123456 unchanged, also [CARD] dashed")
+    // null-safe, non-digit text untouched
+    assert(Pii.redactCards(null) == "")
+    assert(Pii.redactCards("no numbers here") == "no numbers here")
+  }
+
+  test("redaction order: SSN wins over phone on the shared digit-dash shape") {
+    val df = Seq((1L, "ssn 123-45-6789 phone 210-555-0142 x@y.com 10.0.0.1"))
+      .toDF("id", "t")
+    val out = Pii.redact(df, "t").select("t_redacted").as[String].head()
+    assert(out == "ssn [SSN] phone [PHONE] [EMAIL] [IP]")
+    val counts = Pii.redact(df, "t")
+      .select("n_ssn", "n_phone", "n_email", "n_ip")
+      .as[(Long, Long, Long, Long)].head()
+    assert(counts == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("no PII -> zero counts and identity text") {
+    val df = Seq((1L, "plain words without any identifiers")).toDF("id", "t")
+    val r = Pii.redact(df, "t")
+    assert(r.select("t_redacted").as[String].head() ==
+      "plain words without any identifiers")
+    assert(r.select("n_email").as[Long].head() == 0L)
+    assert(r.filter(col("n_ssn") > 0 || col("n_phone") > 0 || col("n_ip") > 0).isEmpty)
+  }
+}
