@@ -134,7 +134,12 @@ object TxLog {
       blooms: Map[(String, String), Map[String, String]] = Map.empty,
       schemas: Map[String, String] = Map.empty,
       tagged: Map[String, Long] = Map.empty,
-      partSpecs: Map[String, Seq[String]] = Map.empty) {
+      partSpecs: Map[String, Seq[String]] = Map.empty,
+      /** Live DELETION-VECTOR dirs per table (merge-on-read deletes —
+        * the Delta DV design): each dir holds (fname, row_index) rows
+        * that every log-aware read anti-joins away. Cleared by
+        * compaction (which materializes the deletes). */
+      dvs: Map[String, Seq[String]] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
@@ -155,6 +160,7 @@ object TxLog {
       * new data under this spec, while files written under PREVIOUS
       * specs stay live and readable (the grouped mixed-layout read). */
     def partitionSpecOf(table: String): Option[Seq[String]] = partSpecs.get(table)
+    def dvsOf(table: String): Seq[String] = dvs.getOrElse(table, Nil)
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -194,7 +200,9 @@ object TxLog {
       schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
       tags: Map[String, Long] = Map.empty,
       deletes: Map[String, String] = Map.empty,
-      partitionSpecs: Map[String, Seq[String]] = Map.empty): Long =
+      partitionSpecs: Map[String, Seq[String]] = Map.empty,
+      dvAdds: Seq[(String, String, String)] = Nil, // (table, dvRel, predSql)
+      dvClears: Seq[String] = Nil): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
@@ -249,6 +257,14 @@ object TxLog {
         "txlog: partition column names must be flat")
       body ++= s"partspec\t$table\t${esc(cols.mkString(","))}\n"
     }
+    // DELETION VECTORS: a `dv` action registers a (fname, row_index)
+    // mask dir readers anti-join away (merge-on-read delete — no data
+    // rewrite at delete time); `dvclear` drops a table's masks (emitted
+    // by compaction, which materializes them into the rewrite)
+    dvAdds.foreach { case (table, dvRel, predSql) =>
+      body ++= s"dv\t$table\t${esc(dvRel)}\t${esc(predSql)}\n"
+    }
+    dvClears.distinct.sorted.foreach(t => body ++= s"dvclear\t$t\n")
     adds.foreach { a =>
       body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}" +
         (if (a.rewrite) "\tr\n" else "\n")
@@ -323,6 +339,7 @@ object TxLog {
     val tableSchemas = scala.collection.mutable.LinkedHashMap[String, String]()
     val tagMap = scala.collection.mutable.LinkedHashMap[String, Long]()
     val partSpecMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    val dvMap = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
@@ -346,6 +363,9 @@ object TxLog {
           case Array("partspec", table, cols) =>
             partSpecMap(table) = unesc(cols).split(',').filter(_.nonEmpty).toSeq
           case Array("partspec", table) => partSpecMap(table) = Nil // unpartitioned
+          case Array("dv", table, dvRel, _) =>
+            dvMap(table) = dvMap.getOrElse(table, Vector.empty) :+ unesc(dvRel)
+          case Array("dvclear", table) => dvMap.remove(table)
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -354,7 +374,7 @@ object TxLog {
     Snapshot(version, live.toSeq.groupBy(_._1._1)
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
       fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap,
-      partSpecMap.toMap)
+      partSpecMap.toMap, dvMap.toMap.map { case (k, v) => k -> (v: Seq[String]) })
   }
 
   /** The partition-directory column names a rel path encodes
@@ -378,16 +398,44 @@ object TxLog {
     * identical to the pre-evolution reader. */
   private def readFileSet(spark: SparkSession, warehouse: String, table: String,
       snap: Snapshot, rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
     val reader = snap.schemaOf(table) match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
     val base = s"$warehouse/$table"
+    // live deletion vectors: one small (fname, row_index) frame, anti-
+    // joined per GROUP — `_metadata` is a per-relation pseudo-column that
+    // cannot cross a union, so the mask applies before groups combine.
+    // Part-file names are job-UUID-unique, so fname alone keys a file.
+    val dv = dvFrame(spark, warehouse, table, snap)
     rels.groupBy(layoutShape).toSeq.sortBy(_._1.mkString(","))
       .map { case (_, fs) =>
-        reader.option("basePath", base).parquet(fs.map(r => s"$base/$r"): _*)
+        val df = reader.option("basePath", base).parquet(fs.map(r => s"$base/$r"): _*)
+        dv match {
+          case Some(mask) =>
+            val cols = df.columns.map(col)
+            df.withColumn("__dv_fname",
+                element_at(split(col("_metadata.file_path"), "/"), -1))
+              .withColumn("__dv_row", col("_metadata.row_index"))
+              .join(mask,
+                col("__dv_fname") === mask("fname") &&
+                  col("__dv_row") === mask("row_index"), "left_anti")
+              .select(cols: _*)
+          case None => df
+        }
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The table's live deletion-vector mask as one (fname, row_index)
+    * frame, or None when no DVs are registered. */
+  private def dvFrame(spark: SparkSession, warehouse: String, table: String,
+      snap: Snapshot): Option[DataFrame] = {
+    val dirs = snap.dvsOf(table)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(r => s"$warehouse/$table/$r"): _*)
+      .select("fname", "row_index"))
   }
 
   /** Read one table at the log's current snapshot. Falls back to a plain
@@ -449,12 +497,14 @@ object TxLog {
         val rewriteAdds = scala.collection.mutable.ArrayBuffer[String]()
         val removes = scala.collection.mutable.ArrayBuffer[String]()
         var deletePred: Option[String] = None
+        var dvPred: Option[String] = None
         readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
           line.split('\t') match {
             case Array("add", t, rel, _) if t == table => newAdds += rel
             case Array("add", t, rel, _, _) if t == table => rewriteAdds += rel
             case Array("remove", t, rel) if t == table => removes += rel
             case Array("delete", t, pred) if t == table => deletePred = Some(unesc(pred))
+            case Array("dv", t, _, pred) if t == table => dvPred = Some(unesc(pred))
             case _ => ()
           }
         }
@@ -473,6 +523,15 @@ object TxLog {
               if (newAdds.isEmpty) None
               else Some((v, newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"),
                 "insert", None))).flatten)
+          // MERGE-ON-READ delete (deletion vector): pre-images are the
+          // pre-delete snapshot's rows matching the logged predicate —
+          // signalled by an EMPTY file list (the map below replays
+          // against read(atVersion = v-1), which applies every EARLIER
+          // mask, so rows deleted twice never feed twice). A restore/
+          // rewrite commit re-registering masks has removes and stays
+          // excluded above.
+          case None if dvPred.isDefined && removes.isEmpty && v > 0 =>
+            Some(Seq((v, Seq.empty[String], "delete", dvPred)))
           // compaction/restore rewrite: logically nothing changed
           case _ if removes.nonEmpty || (newAdds.isEmpty && rewriteAdds.isEmpty) => None
           case _ if newAdds.isEmpty => None // rewrite-only commit
@@ -495,7 +554,11 @@ object TxLog {
         .withColumn("_change_type", lit("insert"))
     }
     batches.map { case (v, files, change, pred) =>
-      val df = spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+      val df =
+        if (files.nonEmpty)
+          spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+        else // deletion-vector delete: replay over the pre-delete snapshot
+          read(spark, warehouse, table, atVersion = v - 1)
       pred.fold(df)(p => df.filter(expr(p)))
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(change))
@@ -859,13 +922,14 @@ object TxLog {
     * so a transactional caller can bundle several tables' deletes and
     * fresh appends into ONE commit. Staged survivor files are
     * unreferenced (vacuumable) if the caller never commits. */
-  def stageDelete(spark: SparkSession, warehouse: String, table: String,
-      predicate: org.apache.spark.sql.Column,
-      partitionBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Option[StagedDelete] = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
-    val snap = snapshot(spark, warehouse)
+  /** Shared tiers 1-2 of a row-level delete: resolve + validate the
+    * predicate, prune candidates from the log, scan candidates (DV-aware,
+    * per layout group) for the files actually holding LIVE matches.
+    * Returns None when nothing matches. */
+  private def planDelete(spark: SparkSession, warehouse: String, table: String,
+      snap: Snapshot, predicate: org.apache.spark.sql.Column)
+      : Option[(String, Seq[(String, Long)], Map[String, Long])] = {
+    import org.apache.spark.sql.functions.{col, element_at, expr, split}
     val files = snap.files(table)
     if (files.isEmpty) return None
     val base = s"$warehouse/$table"
@@ -908,16 +972,23 @@ object TxLog {
     val candidates = files.filter { case (rel, _) =>
       fileMayMatch(snap, table, rel, constraints) }
     if (candidates.isEmpty) return None
-    // tier 2: exact owner files + matched-row counts in one pruned scan.
-    // `_metadata.file_path` is a per-relation pseudo-column that cannot
-    // cross a union, so mixed partition layouts (spec evolution) scan
-    // per shape group — one group in the common case.
+    // tier 2: exact owner files + LIVE matched-row counts in one pruned
+    // scan. `_metadata` is per-relation (cannot cross a union), so mixed
+    // partition layouts scan per shape group; existing deletion vectors
+    // are anti-joined so already-deleted rows neither count nor resurrect.
     val tablePath = new Path(warehouse, table).toUri.getPath
+    val dv = dvFrame(spark, warehouse, table, snap)
     val owners = candidates.map(_._1).groupBy(layoutShape).toSeq
       .sortBy(_._1.mkString(",")).flatMap { case (_, rels) =>
-        reader.option("basePath", base)
+        val scan0 = reader.option("basePath", base)
           .parquet(rels.map(r => s"$base/$r"): _*)
-          .filter(predicate)
+          .withColumn("__dv_fname",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__dv_row", col("_metadata.row_index"))
+        val scan = dv.fold(scan0)(mask => scan0.join(mask,
+          col("__dv_fname") === mask("fname") &&
+            col("__dv_row") === mask("row_index"), "left_anti"))
+        scan.filter(predicate)
           .select(col("_metadata.file_path").as("_f"))
           .groupBy("_f").count()
           .collect()
@@ -927,18 +998,84 @@ object TxLog {
             rel -> r.getLong(1)
           }
       }.toMap
-    if (owners.isEmpty) return None
-    val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
-    // tier 3: rewrite ONLY the owners down to their survivors
-    val survivors = readFileSet(spark, warehouse, table, snap, ownerFiles.map(_._1))
-      .filter(not(coalesce(predicate, lit(false))))
-    val adds = stageWrite(survivors, warehouse, table, partitionBy,
-      generation = ownerFiles.map(_._2).max,
-      statsCols = statsCols, bloomCols = bloomCols)
-      .map(_.copy(rewrite = true)) // survivors carry no logically-new rows
-    Some(StagedDelete(adds,
-      ownerFiles.map { case (rel, _) => Remove(table, rel) },
-      predSql, owners.values.sum))
+    if (owners.isEmpty) None else Some((predSql, candidates, owners))
+  }
+
+  def stageDelete(spark: SparkSession, warehouse: String, table: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[StagedDelete] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val snap = snapshot(spark, warehouse)
+    planDelete(spark, warehouse, table, snap, predicate).map {
+      case (predSql, candidates, owners) =>
+        val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
+        // tier 3: rewrite ONLY the owners down to their survivors (the
+        // DV-aware read also materializes any existing deletion vectors
+        // covering these files into the rewrite)
+        val survivors = readFileSet(spark, warehouse, table, snap, ownerFiles.map(_._1))
+          .filter(not(coalesce(predicate, lit(false))))
+        val adds = stageWrite(survivors, warehouse, table, partitionBy,
+          generation = ownerFiles.map(_._2).max,
+          statsCols = statsCols, bloomCols = bloomCols)
+          .map(_.copy(rewrite = true)) // survivors carry no logically-new rows
+        StagedDelete(adds,
+          ownerFiles.map { case (rel, _) => Remove(table, rel) },
+          predSql, owners.values.sum)
+    }
+  }
+
+  /** MERGE-ON-READ row-level delete (the deletion-vector half of the
+    * published Delta design; [[deleteWhere]] is the copy-on-write half):
+    * instead of rewriting owner files, write their matching rows'
+    * (fname, row_index) pairs as a DELETION VECTOR and register it in
+    * the log — every log-aware read anti-joins the mask away. Delete
+    * cost is O(matches) metadata + one pruned scan, NO data rewrite —
+    * the shape for frequent small deletes over huge files; reads pay the
+    * anti-join until [[compact]] materializes the mask (its rewrite runs
+    * through the DV-aware read) and clears it via a `dvclear` action.
+    * Same pruning tiers, null semantics, predicate validation, and CDF
+    * pre-images (`_change_type = "delete"`, replayed over the pre-delete
+    * snapshot) as deleteWhere; time travel to a pre-delete version still
+    * sees the rows (the mask is versioned with the log).
+    */
+  def deleteWhereDV(spark: SparkSession, warehouse: String, table: String,
+      predicate: org.apache.spark.sql.Column): Option[DeleteResult] = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val snap = snapshot(spark, warehouse)
+    planDelete(spark, warehouse, table, snap, predicate).map {
+      case (predSql, candidates, owners) =>
+        val base = s"$warehouse/$table"
+        def reader = snap.schemaOf(table) match {
+          case Some(st) => spark.read.schema(st)
+          case None => spark.read
+        }
+        val ownerRels = candidates.map(_._1).filter(owners.contains)
+        val dv = dvFrame(spark, warehouse, table, snap)
+        // one more pruned scan projects ONLY the mask columns (the owner
+        // scan above could not collect row indices without shipping them
+        // through the driver count) — still owner-files-only
+        val masks = ownerRels.groupBy(layoutShape).toSeq
+          .sortBy(_._1.mkString(",")).map { case (_, rels) =>
+            val scan0 = reader.option("basePath", base)
+              .parquet(rels.map(r => s"$base/$r"): _*)
+              .withColumn("fname",
+                element_at(split(col("_metadata.file_path"), "/"), -1))
+              .withColumn("row_index", col("_metadata.row_index"))
+            val scan = dv.fold(scan0)(mask => scan0.join(mask,
+              scan0("fname") === mask("fname") &&
+                scan0("row_index") === mask("row_index"), "left_anti"))
+            scan.filter(predicate).select(scan0("fname"), scan0("row_index"))
+          }.reduce(_.unionByName(_))
+        val dvRel = s".dv/${java.util.UUID.randomUUID()}"
+        masks.coalesce(1).write.parquet(s"$base/$dvRel")
+        val v = commit(spark, warehouse, Nil, Nil,
+          dvAdds = Seq((table, dvRel, predSql)))
+        spark.catalog.refreshByPath(base)
+        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+        DeleteResult(v, 0, 0, owners.values.sum)
+    }
   }
 
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):
@@ -1016,7 +1153,12 @@ object TxLog {
     val adds = stageWrite(data, warehouse, table, partitionBy,
       generation = snap.maxGeneration(table), statsCols = statsCols,
       bloomCols = bloomCols)
-    val v = commit(spark, warehouse, adds, old.map { case (rel, _) => Remove(table, rel) })
+    // deletion vectors are MATERIALIZED by this rewrite (read() is
+    // DV-aware), so the same commit clears them — post-compaction reads
+    // pay no anti-join and vacuum reclaims the mask dirs
+    val v = commit(spark, warehouse, adds,
+      old.map { case (rel, _) => Remove(table, rel) },
+      dvClears = if (snap.dvsOf(table).nonEmpty) Seq(table) else Nil)
     spark.catalog.refreshByPath(s"$warehouse/$table")
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
     v
@@ -1071,6 +1213,9 @@ object TxLog {
     }
     snap.live.keys.foreach { table =>
       val liveSet = snap.files(table).map(_._1).toSet
+      // live deletion-vector dirs are log-referenced storage: protected
+      // like data files; cleared masks reclaim by age like anything else
+      val dvLive = snap.dvsOf(table).map(_ + "/")
       val tableDir = new Path(warehouse, table)
       def walk(p: Path): Unit = if (f.exists(p)) f.listStatus(p).foreach { st =>
         if (st.isDirectory) walk(st.getPath)
@@ -1078,6 +1223,7 @@ object TxLog {
           val rel = st.getPath.toUri.getPath
             .stripPrefix(tableDir.toUri.getPath).stripPrefix("/")
           if (st.getPath.getName.endsWith(".parquet") && !liveSet.contains(rel) &&
+            !dvLive.exists(rel.startsWith) &&
             st.getModificationTime < cutoff) {
             f.delete(st.getPath, false)
             deleted += 1

@@ -719,6 +719,87 @@ class TxLogSpec extends AnyFunSuite {
       .filter(col("id").between(45L, 104L)).count() == 0)
   }
 
+  // ---- deletion vectors (merge-on-read deletes) -------------------------
+
+  test("deleteWhereDV masks rows without touching data files; every read path honors it") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    for ((lo, gen) <- Seq((0L, 1L), (100L, 2L)))
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        (lo until lo + 50L).map(i => (i, s"c${i % 2}", gen))
+          .toDF("id", "container_id", "generation").coalesce(1),
+        wh, "chunks", Nil, gen, statsCols = Seq("id")))
+    val filesBefore = TxLog.snapshot(spark, wh).files("chunks").toSet
+    val v0 = TxLog.snapshot(spark, wh).version
+    val r = TxLog.deleteWhereDV(spark, wh, "chunks", col("id").between(10L, 19L)).get
+    assert(r.deletedRows == 10 && r.removedFiles == 0 && r.rewrittenFiles == 0)
+    // the DATA file set is untouched — the delete was metadata + one mask
+    assert(TxLog.snapshot(spark, wh).files("chunks").toSet == filesBefore)
+    assert(TxLog.snapshot(spark, wh).dvsOf("chunks").length == 1)
+    // plain read, stats-pruned read, and equality probe all apply the mask
+    assert(TxLog.read(spark, wh, "chunks").count() == 90)
+    assert(TxLog.read(spark, wh, "chunks")
+      .filter(col("id").between(10L, 19L)).count() == 0)
+    assert(TxLog.readWhereBetween(spark, wh, "chunks", "id", 5L, 25L).count() == 11)
+    // time travel to the pre-delete version still sees the rows
+    assert(TxLog.read(spark, wh, "chunks", atVersion = v0).count() == 100)
+    // overlapping second DV delete counts only NEWLY-live matches
+    val r2 = TxLog.deleteWhereDV(spark, wh, "chunks", col("id") < 15L).get
+    assert(r2.deletedRows == 10, s"ids 0-9 and 10-14 minus masked 10-14: $r2")
+    assert(TxLog.read(spark, wh, "chunks").count() == 80)
+    // a predicate matching only masked rows is a no-op: no version burned
+    val v = TxLog.snapshot(spark, wh).version
+    assert(TxLog.deleteWhereDV(spark, wh, "chunks", col("id") === 12L).isEmpty)
+    assert(TxLog.snapshot(spark, wh).version == v)
+  }
+
+  test("deletion vectors and copy-on-write compose: no resurrection, exact CDF") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 40L).map(i => (i, 1L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id")))
+    val vDv = TxLog.deleteWhereDV(spark, wh, "t", col("id") < 10L).get.version
+    // copy-on-write delete of OTHER rows: its survivor rewrite must not
+    // resurrect the masked rows (the rewrite reads through the mask)
+    TxLog.deleteWhere(spark, wh, "t", col("id").between(30L, 39L)).get
+    assert(TxLog.read(spark, wh, "t").count() == 20)
+    assert(TxLog.read(spark, wh, "t")
+      .select(org.apache.spark.sql.functions.min("id")).head().getLong(0) == 10L)
+    // CDF: the DV delete feeds its pre-images at its version
+    val dvFeed = TxLog.readChanges(spark, wh, "t", fromVersion = vDv - 1, toVersion = vDv)
+    assert(dvFeed.filter(col("_change_type") === "delete").count() == 10)
+    assert(dvFeed.select("id").as[Long].collect().sorted.toSeq == (0L until 10L))
+  }
+
+  test("compact materializes deletion vectors and clears them; vacuum lifecycle") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 30L).map(i => (i, s"c${i % 2}", 1L))
+        .toDF("id", "container_id", "generation").coalesce(1),
+      wh, "chunks", Nil, 1))
+    TxLog.deleteWhereDV(spark, wh, "chunks", col("id") < 5L).get
+    // a LIVE mask survives vacuum(0) — it is log-referenced storage
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    assert(TxLog.read(spark, wh, "chunks").count() == 25)
+    val hfs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRel = TxLog.snapshot(spark, wh).dvsOf("chunks").head
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$wh/chunks/$dvRel")))
+    // compaction materializes the mask into the rewrite and clears it
+    TxLog.compact(spark, wh, "chunks", Nil)
+    assert(TxLog.snapshot(spark, wh).dvsOf("chunks").isEmpty)
+    assert(TxLog.read(spark, wh, "chunks").count() == 25)
+    // post-clear the mask dir is reclaimable
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    val remaining = hfs.exists(new org.apache.hadoop.fs.Path(s"$wh/chunks/$dvRel")) &&
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/chunks/$dvRel"))
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    assert(!remaining, "cleared mask files must vacuum")
+    assert(TxLog.read(spark, wh, "chunks").count() == 25)
+  }
+
   test("deleteWhere rejects a predicate the change feed could not replay") {
     val wh = freshWh()
     TxLog.commit(spark, wh,
