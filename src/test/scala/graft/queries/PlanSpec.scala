@@ -308,6 +308,37 @@ class PlanSpec extends AnyFunSuite {
     assert("(?i)exchange hashpartitioning".r.findAllIn(p).isEmpty, p.take(1500))
   }
 
+  test("PII redaction is pure per-row regexp riding the scan: no UDF, no shuffle before the sort (q142)") {
+    val p = plan("q142_pii_redact")
+    // detectors must stay codegen'd regexp columns — a UDF here would
+    // break whole-stage codegen on every corpus row at 100 TB
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(1500))
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct").foreach(op =>
+      assert(!p.contains(op), s"unexpected $op\n" + p.take(1500)))
+    // only the presentation sort's range exchange
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
+  test("boilerplate removal is keyed aggs + anti-join — no window, no cartesian (q143)") {
+    val p = plan("q143_boilerplate")
+    // the strip is a LeftAnti equi-join on (source, line); detection is
+    // keyed aggregation — nothing quadratic, no per-doc window
+    assert(p.contains("LeftAnti"), p.take(1500))
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window").foreach(op =>
+      assert(!p.contains(op), s"unexpected $op\n" + p.take(1500)))
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(1500))
+  }
+
+  test("typed twin scans parquet with NO JSON in the query path (q141 vs q133)") {
+    // q133 (schema-on-read) carries from_json per row; the typed twin
+    // must not — the parse happened once at build time
+    val p133 = plan("q133_json_extract")
+    assert(p133.contains("from_json"), p133.take(800))
+    val p141 = plan("q141_json_typed")
+    assert(!p141.contains("from_json"), p141.take(1500))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // SCALE.md's skew story has two tiers: the KNOWN-hot-key path salts
     // deterministically (q107), and UNKNOWN skew is left to AQE's runtime
