@@ -1144,6 +1144,61 @@ object RelationalQueries {
               FROM events)
         WHERE k IS NOT NULL
         GROUP BY 1 ORDER BY k_decile"""),
-      doc = "schema-on-write twin of q133: props parsed once at build, typed range-clustered table, stats-skipping audit")
+      doc = "schema-on-write twin of q133: props parsed once at build, typed range-clustered table, stats-skipping audit"),
+
+    QueryDef(
+      "q144_delete_vectors",
+      (s, d) => {
+        // MERGE-ON-READ deletes (store/TxLog.deleteWhereDV — the deletion-
+        // vector half of the published Delta design; q140 is the
+        // copy-on-write half): two DV deletes mask rows with NO data
+        // rewrite (audited in-query: the live data-file set must be
+        // byte-identical after both), reads compose the masks, then
+        // compaction MATERIALIZES them (audited: masks cleared, same
+        // visible rows). The survivor aggregate runs twice — through the
+        // masks and after materialization — and both must match the
+        // oracle, so the anti-join read path and the materializing
+        // rewrite must agree exactly.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q144").toString
+        val T = graft.store.TxLog
+        T.commit(s, wh, T.stageWrite(
+          table(s, d, "documents").repartitionByRange(8, col("doc_id")),
+          wh, "documents", Nil, 1L, statsCols = Seq("doc_id", "n_chars")))
+        val filesBefore = T.snapshot(s, wh).files("documents").map(_._1).toSet
+        val r1 = T.deleteWhereDV(s, wh, "documents", col("doc_id").between(50L, 149L))
+        val r2 = T.deleteWhereDV(s, wh, "documents",
+          col("source") === "src3" && col("n_chars") >= 600L)
+        val deleted = Seq(r1, r2).flatten.map(_.deletedRows).sum
+        val filesAfter = T.snapshot(s, wh).files("documents").map(_._1).toSet
+        def summary = T.read(s, wh, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+        val masked = summary.collect().toSeq
+        T.compact(s, wh, "documents", Nil)
+        val materialized = summary.collect().toSeq
+        val auditOk = filesBefore == filesAfter && // DV deletes rewrote nothing
+          masked.toSet == materialized.toSet && // compaction changed nothing visible
+          T.snapshot(s, wh).dvsOf("documents").isEmpty // and cleared the masks
+        summary
+          .withColumn("deleted_rows", lit(deleted))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("source")
+      },
+      Some("""
+        WITH d1 AS (SELECT count(*) AS c FROM documents
+                    WHERE doc_id BETWEEN 50 AND 149),
+             d2 AS (SELECT count(*) AS c FROM documents
+                    WHERE source = 'src3' AND n_chars >= 600
+                      AND doc_id NOT BETWEEN 50 AND 149)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST((SELECT c FROM d1) + (SELECT c FROM d2) AS BIGINT) AS deleted_rows,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM documents
+        WHERE doc_id NOT BETWEEN 50 AND 149
+          AND NOT (source = 'src3' AND n_chars >= 600)
+        GROUP BY source ORDER BY source"""),
+      doc = "deletion vectors end-to-end: mask-only deletes (no rewrite, audited), composed reads, compaction materializes+clears")
   )
 }

@@ -1,0 +1,126 @@
+package graft.store
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based storage fuzz: a seeded random sequence of appends,
+  * copy-on-write deletes, deletion-vector deletes, compactions, and
+  * vacuums runs against BOTH the TxLog table and a driver-side reference
+  * multiset; after EVERY operation the log-aware read must equal the
+  * model exactly. This is the storage-layer equivalent of the parser
+  * fuzz suites — the bugs it hunts (resurrected rows after a rewrite
+  * over masks, masks leaking across compactions, vacuum eating live
+  * state, pruning dropping a matching file) are exactly the ones
+  * example-based tests miss because they need a particular HISTORY to
+  * manifest, not a particular input.
+  */
+class TxLogModelSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def runSeed(seed: Int, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-model$seed").toString
+    var model = Vector.empty[(Long, Long)] // (id, v) multiset
+    var nextId = 0L
+    var deletedIds = Vector.empty[Long]
+
+    def append(): String = {
+      val n = 5 + rnd.nextInt(20)
+      // 1-in-4 appended batches REUSE previously-deleted ids — the
+      // resurrection-adjacent case (no keys in a log table: re-adding is
+      // legal and must surface exactly once)
+      val reused =
+        if (deletedIds.nonEmpty && rnd.nextInt(4) == 0)
+          Seq(deletedIds(rnd.nextInt(deletedIds.length)))
+        else Seq.empty
+      val fresh = (0 until n).map(_ => { nextId += 1; nextId })
+      val batch = (reused ++ fresh).map(id => (id, rnd.nextInt(10).toLong))
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        batch.toDF("id", "v").repartition(1 + rnd.nextInt(3)),
+        wh, "t", Nil, generation = nextId, statsCols = Seq("id")))
+      model ++= batch
+      s"append(${batch.length})"
+    }
+
+    def predicate(): (org.apache.spark.sql.Column, ((Long, Long)) => Boolean, String) =
+      if (rnd.nextBoolean()) {
+        val lo = rnd.nextLong(math.max(1L, nextId + 1))
+        val hi = lo + rnd.nextInt(15)
+        (col("id").between(lo, hi), r => r._1 >= lo && r._1 <= hi, s"id in [$lo,$hi]")
+      } else {
+        val v = rnd.nextInt(10).toLong
+        (col("v") === v, r => r._2 == v, s"v = $v")
+      }
+
+    def deleteCow(): String = {
+      val (p, mp, desc) = predicate()
+      val r = TxLog.deleteWhere(spark, wh, "t", p, statsCols = Seq("id"))
+      val expected = model.count(mp)
+      assert(r.map(_.deletedRows).getOrElse(0L) == expected,
+        s"deleteWhere($desc) reported ${r.map(_.deletedRows)} expected $expected")
+      deletedIds ++= model.filter(mp).map(_._1)
+      model = model.filterNot(mp)
+      s"deleteCow($desc)"
+    }
+
+    def deleteDv(): String = {
+      val (p, mp, desc) = predicate()
+      val r = TxLog.deleteWhereDV(spark, wh, "t", p)
+      val expected = model.count(mp)
+      assert(r.map(_.deletedRows).getOrElse(0L) == expected,
+        s"deleteWhereDV($desc) reported ${r.map(_.deletedRows)} expected $expected")
+      deletedIds ++= model.filter(mp).map(_._1)
+      model = model.filterNot(mp)
+      s"deleteDv($desc)"
+    }
+
+    def check(op: String): Unit = {
+      val got =
+        if (model.isEmpty)
+          try TxLog.read(spark, wh, "t").select("id", "v").as[(Long, Long)]
+            .collect().toVector
+          catch { // a fully-emptied table legally reads as "no live files"
+            case _: org.apache.spark.sql.AnalysisException => Vector.empty[(Long, Long)]
+          }
+        else TxLog.read(spark, wh, "t").select("id", "v").as[(Long, Long)]
+          .collect().toVector
+      assert(got.sorted == model.sorted,
+        s"[$seed] after $op: table=${got.length} rows, model=${model.length}; " +
+          s"extra=${(got.diff(model)).take(5)} missing=${(model.diff(got)).take(5)}")
+      // the stats-pruned range read must agree with the model too
+      if (model.nonEmpty && nextId > 0) {
+        val lo = rnd.nextLong(nextId + 1); val hi = lo + 20
+        val pruned = TxLog.readWhereBetween(spark, wh, "t", "id", lo, hi)
+          .select("id", "v").as[(Long, Long)].collect().toVector.sorted
+        val expect = model.filter(r => r._1 >= lo && r._1 <= hi).sorted
+        assert(pruned == expect, s"[$seed] after $op: pruned range [$lo,$hi] diverged")
+      }
+    }
+
+    append(); check("initial append")
+    for (i <- 0 until nOps) {
+      val op = rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => append()
+        case 4 | 5 => if (model.nonEmpty) deleteCow() else append()
+        case 6 | 7 => if (model.nonEmpty) deleteDv() else append()
+        case 8 =>
+          if (TxLog.snapshot(spark, wh).files("t").nonEmpty) {
+            TxLog.compact(spark, wh, "t", Nil,
+              view = _.repartition(2), statsCols = Seq("id")); "compact"
+          } else append()
+        case 9 => s"vacuum(${TxLog.vacuum(spark, wh, retentionMs = 0L)})"
+      }
+      check(s"op#$i $op")
+    }
+  }
+
+  test("random append/deleteCow/deleteDV/compact/vacuum histories match the model (seed 42)") {
+    runSeed(42, nOps = 24)
+  }
+
+  test("random histories match the model (seed 7)") {
+    runSeed(7, nOps = 24)
+  }
+}
