@@ -38,7 +38,15 @@ final class KnowledgeStore(
       * IndexBuild.build TxLog warehouse); `true` initializes one.
       * Registry tables (containers/folders) and the embed cache stay
       * plain parquet — driver-rewritten metadata / optimization tables. */
-    transactional: Boolean = false) {
+    transactional: Boolean = false,
+    /** Delete flavor for txMode bulk deletes: "copy_on_write" (owner
+      * files rewritten to survivors — reads stay join-free) or
+      * "merge_on_read" (deletion-vector masks, no data rewrite — the
+      * shape for frequent small deletes; reads pay an anti-join until
+      * the compaction cadence materializes). Upsert replacement always
+      * uses copy-on-write (the replaced rows' files are being rewritten
+      * anyway). */
+    deleteMode: String = "copy_on_write") {
   import spark.implicits._
 
   private val txMode: Boolean = {
@@ -356,18 +364,29 @@ final class KnowledgeStore(
       val T = graft.store.TxLog
       val pred = col("container_id") === containerId &&
         col("document_id").isin(ids.toSeq: _*)
-      val staged = Seq(
-        ("chunks", Seq("container_id")),
-        ("vectors", Seq("container_id", "model_id")),
-        ("ledger", Seq("container_id"))).flatMap { case (t, pb) =>
-        T.stageDelete(spark, warehouse, t, pred, pb).map(t -> _)
-      }
-      if (staged.nonEmpty) {
-        T.commit(spark, warehouse,
-          staged.flatMap(_._2.adds), staged.flatMap(_._2.removes),
-          deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap)
-        spark.catalog.refreshByPath(s"$warehouse/chunks")
-        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+      if (deleteMode == "merge_on_read") {
+        // deletion-vector flavor: three masks, ONE commit, zero rewrite
+        val staged = Seq("chunks", "vectors", "ledger")
+          .flatMap(t => T.stageDeleteDV(spark, warehouse, t, pred))
+        if (staged.nonEmpty) {
+          T.commit(spark, warehouse, Nil, Nil, dvAdds = staged.map(_._1))
+          spark.catalog.refreshByPath(s"$warehouse/chunks")
+          org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+        }
+      } else {
+        val staged = Seq(
+          ("chunks", Seq("container_id")),
+          ("vectors", Seq("container_id", "model_id")),
+          ("ledger", Seq("container_id"))).flatMap { case (t, pb) =>
+          T.stageDelete(spark, warehouse, t, pred, pb).map(t -> _)
+        }
+        if (staged.nonEmpty) {
+          T.commit(spark, warehouse,
+            staged.flatMap(_._2.adds), staged.flatMap(_._2.removes),
+            deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap)
+          spark.catalog.refreshByPath(s"$warehouse/chunks")
+          org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+        }
       }
     } else {
       dropDocRows("chunks", containerId, Nil, ids)

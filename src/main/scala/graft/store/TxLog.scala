@@ -1041,7 +1041,24 @@ object TxLog {
     * sees the rows (the mask is versioned with the log).
     */
   def deleteWhereDV(spark: SparkSession, warehouse: String, table: String,
-      predicate: org.apache.spark.sql.Column): Option[DeleteResult] = {
+      predicate: org.apache.spark.sql.Column): Option[DeleteResult] =
+    stageDeleteDV(spark, warehouse, table, predicate).map {
+      case (dvAdd, deletedRows) =>
+        val v = commit(spark, warehouse, Nil, Nil, dvAdds = Seq(dvAdd))
+        spark.catalog.refreshByPath(s"$warehouse/$table")
+        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+        DeleteResult(v, 0, 0, deletedRows)
+    }
+
+  /** The staging core of [[deleteWhereDV]]: write the mask, return the
+    * `dvAdds` action tuple WITHOUT committing — so a transactional
+    * caller bundles several tables' mask deletes into ONE commit (the
+    * multi-table bulk-delete shape). The mask dir is unreferenced
+    * (vacuumable) if never committed. Returns ((table, dvRel, predSql),
+    * deletedRows), or None when nothing matches. */
+  def stageDeleteDV(spark: SparkSession, warehouse: String, table: String,
+      predicate: org.apache.spark.sql.Column)
+      : Option[((String, String, String), Long)] = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     val snap = snapshot(spark, warehouse)
     planDelete(spark, warehouse, table, snap, predicate).map {
@@ -1070,11 +1087,7 @@ object TxLog {
           }.reduce(_.unionByName(_))
         val dvRel = s".dv/${java.util.UUID.randomUUID()}"
         masks.coalesce(1).write.parquet(s"$base/$dvRel")
-        val v = commit(spark, warehouse, Nil, Nil,
-          dvAdds = Seq((table, dvRel, predSql)))
-        spark.catalog.refreshByPath(base)
-        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
-        DeleteResult(v, 0, 0, owners.values.sum)
+        ((table, dvRel, predSql), owners.values.sum)
     }
   }
 

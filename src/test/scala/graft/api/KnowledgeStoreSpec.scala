@@ -352,6 +352,40 @@ class KnowledgeStoreTxSpec extends KnowledgeStoreSpec {
     assert(oldLedger.count() == 1)
   }
 
+  test("tx: merge_on_read delete mode masks rows in one commit, zero rewrite; compact materializes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kstxdv").toString
+    val s = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      transactional = true, deleteMode = "merge_on_read")
+    val cid = s.createContainer("tx-dv")
+    s.bulkUpload(cid, Seq(
+      ("/a.txt", "alpha beta gamma delta epsilon zeta"),
+      ("/b.txt", "one two three four five six seven")))
+    val T = graft.store.TxLog
+    val filesBefore = T.snapshot(spark, wh).files("chunks").map(_._1).toSet
+    val vBefore = T.snapshot(spark, wh).version
+    s.bulkDelete(cid, Seq("/a.txt"))
+    // one commit, NO data rewrite — all three tables' deletes are masks
+    assert(T.snapshot(spark, wh).version == vBefore + 1)
+    assert(T.snapshot(spark, wh).files("chunks").map(_._1).toSet == filesBefore)
+    assert(T.snapshot(spark, wh).dvsOf("chunks").nonEmpty)
+    assert(T.snapshot(spark, wh).dvsOf("ledger").nonEmpty)
+    // the API surface sees the delete everywhere
+    assert(s.getDocument(cid, "/a.txt").isEmpty)
+    assert(s.getDocument(cid, "/b.txt").nonEmpty)
+    assert(s.listFiles(cid).map(_._2) == Seq("/b.txt"))
+    assert(s.containerStats(cid)("documents") == 1)
+    // search never returns masked chunks
+    val hits = s.search(graft.model.SearchRequest("alpha beta", cid, topK = 5))
+    assert(!hits.exists(_.document_id == java.util.UUID.nameUUIDFromBytes(
+      s"$cid:/a.txt".getBytes("UTF-8")).toString))
+    // the compaction cadence materializes the masks
+    T.compact(spark, wh, "chunks", Seq("container_id"))
+    assert(T.snapshot(spark, wh).dvsOf("chunks").isEmpty)
+    assert(s.getDocument(cid, "/a.txt").isEmpty)
+    assert(s.getDocument(cid, "/b.txt").nonEmpty)
+  }
+
   test("tx: bulk delete is a logged deleteWhere — pre-images feed, vacuum reclaims") {
     val wh = java.nio.file.Files.createTempDirectory("graft-kstx2").toString
     val s = new KnowledgeStore(spark, wh,
