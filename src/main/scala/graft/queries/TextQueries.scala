@@ -1104,7 +1104,96 @@ object TextQueries {
                CAST(coalesce(length(o.cleaned), 0) AS BIGINT) AS cleaned_len
         FROM aug a LEFT JOIN outk o ON a.doc_id = o.doc_id
         ORDER BY a.doc_id"""),
-      doc = "C4-style boilerplate removal: per-source line-frequency detection, anti-join strip, ordered reassembly")
+      doc = "C4-style boilerplate removal: per-source line-frequency detection, anti-join strip, ordered reassembly"),
+
+    QueryDef(
+      "q145_gopher_rules",
+      (s, d) => {
+        // The published Gopher quality-filter rule set (Rae et al. 2021
+        // §A.1.1 — the de-facto standard corpus gate, reused by
+        // MassiveText/RefinedWeb/Dolma): per-document word-count bounds,
+        // mean-word-length band [3,10], symbol-to-word ratio (# and
+        // ellipsis), alphabetic-word fraction > 0.8, and >= 2 hits from
+        // the 8-word stop list. Every rule is per-row HOF arithmetic over
+        // one whitespace tokenization riding the scan (codegen, no
+        // shuffle before the sort) and DuckDB recomputes every ratio and
+        // the final verdict bit-for-bit. Complements the LEARNED quality
+        // classifier (q85): rules are cheap, auditable, and run first at
+        // 100 TB; the classifier refines what survives.
+        // the synthetic corpus is stopword-poor (its vocabulary barely
+        // intersects the published list), which would make the verdict
+        // bit vacuous (everything fails); EVEN docs get a deterministic
+        // prose suffix (repeated 1 + doc_id % 3 times) so the gate
+        // discriminates and both outcomes are exercised — the oracle
+        // constructs the same augmentation
+        val stops = "('the','be','to','of','and','that','have','with')"
+        val prose = " and that the data be of good use to have with care"
+        table(s, d, "documents")
+          .filter(col("doc_id") < 400)
+          .withColumn("text", when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(col("text"),
+              expr(s"repeat('$prose', 1 + cast(doc_id % 3 as int))")))
+            .otherwise(col("text")))
+          .withColumn("ws", expr("filter(split(trim(text), '\\\\s+'), w -> w != '')"))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("mean_wlen",
+            round(expr("aggregate(ws, 0L, (a, w) -> a + length(w))").cast("double") /
+              greatest(col("n_words"), lit(1L)), 6))
+          .withColumn("alpha_frac",
+            round(expr("size(filter(ws, w -> w rlike '[a-zA-Z]'))").cast("double") /
+              greatest(col("n_words"), lit(1L)), 6))
+          .withColumn("symbol_ratio",
+            round(((length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double") +
+              (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3.0) /
+              greatest(col("n_words"), lit(1L)), 6))
+          .withColumn("stop_hits",
+            expr(s"size(filter(array$stops, sw -> array_contains(transform(ws, w -> lower(w)), sw)))")
+              .cast("long"))
+          .withColumn("pass",
+            (col("n_words").between(50L, 100000L) &&
+              col("mean_wlen").between(3.0, 10.0) &&
+              col("symbol_ratio") < 0.1 &&
+              col("alpha_frac") > 0.8 &&
+              col("stop_hits") >= 2L).cast("long"))
+          .select("doc_id", "n_words", "mean_wlen", "alpha_frac",
+            "symbol_ratio", "stop_hits", "pass")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN text || repeat(' and that the data be of good use to have with care',
+                                          1 + CAST(doc_id % 3 AS INT))
+                      ELSE text END AS text
+          FROM documents WHERE doc_id < 400),
+        w AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x != '') AS ws
+          FROM base),
+        m AS (
+          SELECT doc_id, text, ws,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / greatest(len(ws), 1), 6) AS mean_wlen,
+                 round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                       / greatest(len(ws), 1), 6) AS alpha_frac,
+                 round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+                        (length(text) - length(replace(text, '...', ''))) / 3.0)
+                       / greatest(len(ws), 1), 6) AS symbol_ratio,
+                 CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                          sw -> list_contains(list_transform(ws, x -> lower(x)), sw))) AS BIGINT)
+                   AS stop_hits
+          FROM w)
+        SELECT doc_id, n_words, mean_wlen, alpha_frac, symbol_ratio, stop_hits,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mean_wlen BETWEEN 3.0 AND 10.0
+                          AND symbol_ratio < 0.1
+                          AND alpha_frac > 0.8
+                          AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        FROM m ORDER BY doc_id"""),
+      doc = "the published Gopher corpus-quality rules: word/length/symbol/alpha/stopword gates, ratios + verdict all cross-checked")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are
