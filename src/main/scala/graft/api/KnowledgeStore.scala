@@ -132,8 +132,12 @@ final class KnowledgeStore(
     * (container ids are name-derived UUIDs, so a recreated same-named
     * container would otherwise inherit ghost folders). */
   def deleteContainer(containerId: String): Unit = {
-    // txMode: logically remove the container's live files FIRST (one
-    // metadata commit — readers flip atomically), then reclaim physically
+    // txMode: logically remove the container's live files in one
+    // metadata commit — readers flip atomically, in-flight snapshot and
+    // time-travel reads keep working, and VACUUM reclaims the bytes on
+    // its retention cadence (immediate physical deletion would bypass
+    // the retention window this mode promises). Plain mode deletes
+    // physically; derived postings/term_stats are unlogged either way.
     if (txMode) {
       val T = graft.store.TxLog
       val snap = T.snapshot(spark, warehouse)
@@ -145,11 +149,14 @@ final class KnowledgeStore(
       }
       if (removes.nonEmpty) T.commit(spark, warehouse, Nil, removes)
     }
-    Seq(s"$warehouse/chunks/container_id=$containerId",
-      s"$warehouse/vectors/container_id=$containerId",
-      s"$warehouse/ledger/container_id=$containerId",
-      s"$warehouse/postings/container_id=$containerId",
-      s"$warehouse/term_stats/container_id=$containerId").foreach { p =>
+    val physical =
+      (if (txMode) Seq.empty[String]
+       else Seq(s"$warehouse/chunks/container_id=$containerId",
+         s"$warehouse/vectors/container_id=$containerId",
+         s"$warehouse/ledger/container_id=$containerId")) ++
+        Seq(s"$warehouse/postings/container_id=$containerId",
+          s"$warehouse/term_stats/container_id=$containerId")
+    physical.foreach { p =>
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(p), true)

@@ -41,11 +41,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Start serving; returns the bound port (ephemeral when `port` = 0). */
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---- routing ----------------------------------------------------------
 
@@ -130,6 +131,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     } catch {
       case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
       case e: NoSuchElementException => err(ex, 400, s"missing field: ${e.getMessage}")
+      // client-shaped failures are 400s, not server faults: malformed /
+      // empty JSON bodies and non-numeric query-string parameters
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
+      case e: NumberFormatException =>
+        err(ex, 400, s"not a number: ${e.getMessage}")
       case e: Throwable => err(ex, 500, String.valueOf(e.getMessage))
     }
   }

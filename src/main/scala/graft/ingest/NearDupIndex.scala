@@ -58,14 +58,30 @@ object NearDupIndex {
 
   /** Register a batch's signatures + bands in ONE commit (generation =
     * the batch's own marker). Works for the initial build and every
-    * subsequent append — the index IS its own incremental state. */
+    * subsequent append — the index IS its own incremental state.
+    * UPSERT semantics on doc_id: a re-submitted (possibly edited) doc's
+    * stored rows are row-level-deleted in the SAME commit, so the index
+    * holds exactly one signature and one band set per doc — without
+    * this, an accepted edited re-submission would leave two conflicting
+    * signatures and later batches would emit duplicate pairs hydrated
+    * from the stale one. */
   def append(spark: SparkSession, warehouse: String, docs: DataFrame,
       generation: Long = 0L): Long = {
     val sigs = signatures(docs.select(col("doc_id"), col("text")))
+    val batchIds = sigs.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val staged = Seq(SigTable, BandTable).flatMap { t =>
+      if (batchIds.isEmpty) None
+      else TxLog.stageDelete(spark, warehouse, t,
+        col("doc_id").isin(batchIds: _*)).map(t -> _)
+    }
     val adds =
       TxLog.stageWrite(sigs, warehouse, SigTable, Nil, generation) ++
         TxLog.stageWrite(bands(sigs), warehouse, BandTable, Nil, generation)
-    TxLog.commit(spark, warehouse, adds)
+    TxLog.commit(spark, warehouse,
+      staged.flatMap(_._2.adds) ++ adds,
+      staged.flatMap(_._2.removes),
+      deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap)
   }
 
   /** Near-dup pairs a new batch introduces against the indexed corpus AND

@@ -1074,6 +1074,12 @@ object HybridSearch {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
 
+    // unknown rank functions must fail loudly, not silently serve the
+    // default (every other bad parameter does — "BM25"/"bm-25" would
+    // otherwise return cover-density scores with a 200)
+    require(Set("cover_density", "bm25").contains(req0.rankFn),
+      s"unknown rankFn '${req0.rankFn}' (supported: cover_density, bm25)")
+
     // cross-model override: Semantic -> Hybrid so the keyword leg reaches
     // chunks embedded under other models (ref :89-96)
     val req =
@@ -1184,13 +1190,18 @@ object HybridSearch {
     }
     val finalHits = ordered.take(req.topK).map(Fusion.substituteWindow)
     // snippet annotation (opt-in): the q138 best-window operator over the
-    // top-k ONLY — terms come from the query under the shared
-    // tokenization (operators/quotes strip to their terms), windows run
-    // AFTER sentence-window substitution so the snippet reflects what the
-    // hit actually surfaces as content
+    // top-k ONLY — terms are the PARSED query's positive simple terms
+    // (operator tokens like OR and negated terms must not anchor a
+    // window); a parse with no positive terms falls back to the raw
+    // tokenization (pure-semantic queries). Windows run AFTER
+    // sentence-window substitution so the snippet reflects what the hit
+    // actually surfaces as content.
     req.snippetTokens match {
       case Some(w) =>
-        val terms = Snippets.toks(req.query).toSet
+        val positive = KeywordSearch.bm25Terms(WebsearchParser.parse(req.query))
+        val terms =
+          if (positive.nonEmpty) positive.toSet
+          else Snippets.toks(req.query).toSet
         finalHits.map(Snippets.annotate(_, terms, w))
       case None => finalHits
     }

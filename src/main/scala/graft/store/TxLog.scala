@@ -135,11 +135,13 @@ object TxLog {
       schemas: Map[String, String] = Map.empty,
       tagged: Map[String, Long] = Map.empty,
       partSpecs: Map[String, Seq[String]] = Map.empty,
-      /** Live DELETION-VECTOR dirs per table (merge-on-read deletes —
-        * the Delta DV design): each dir holds (fname, row_index) rows
-        * that every log-aware read anti-joins away. Cleared by
-        * compaction (which materializes the deletes). */
-      dvs: Map[String, Seq[String]] = Map.empty) {
+      /** Live DELETION-VECTOR (dir, predicateSql) entries per table
+        * (merge-on-read deletes — the Delta DV design): each dir holds
+        * (fname, row_index) rows that every log-aware read anti-joins
+        * away; the predicate rides along so RESTORE can re-register a
+        * mask at full fidelity. Cleared by compaction (which
+        * materializes the deletes). */
+      dvs: Map[String, Seq[(String, String)]] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
@@ -160,7 +162,8 @@ object TxLog {
       * new data under this spec, while files written under PREVIOUS
       * specs stay live and readable (the grouped mixed-layout read). */
     def partitionSpecOf(table: String): Option[Seq[String]] = partSpecs.get(table)
-    def dvsOf(table: String): Seq[String] = dvs.getOrElse(table, Nil)
+    def dvsOf(table: String): Seq[String] = dvs.getOrElse(table, Nil).map(_._1)
+    def dvEntriesOf(table: String): Seq[(String, String)] = dvs.getOrElse(table, Nil)
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -260,11 +263,13 @@ object TxLog {
     // DELETION VECTORS: a `dv` action registers a (fname, row_index)
     // mask dir readers anti-join away (merge-on-read delete — no data
     // rewrite at delete time); `dvclear` drops a table's masks (emitted
-    // by compaction, which materializes them into the rewrite)
+    // by compaction, which materializes them into the rewrite).
+    // CLEARS serialize BEFORE adds: a commit that clears AND re-registers
+    // a table's masks (restore) must fold to the re-registered set.
+    dvClears.distinct.sorted.foreach(t => body ++= s"dvclear\t$t\n")
     dvAdds.foreach { case (table, dvRel, predSql) =>
       body ++= s"dv\t$table\t${esc(dvRel)}\t${esc(predSql)}\n"
     }
-    dvClears.distinct.sorted.foreach(t => body ++= s"dvclear\t$t\n")
     adds.foreach { a =>
       body ++= s"add\t${a.table}\t${a.relPath}\t${a.generation}" +
         (if (a.rewrite) "\tr\n" else "\n")
@@ -339,7 +344,7 @@ object TxLog {
     val tableSchemas = scala.collection.mutable.LinkedHashMap[String, String]()
     val tagMap = scala.collection.mutable.LinkedHashMap[String, Long]()
     val partSpecMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
-    val dvMap = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    val dvMap = scala.collection.mutable.LinkedHashMap[String, Vector[(String, String)]]()
     var version = -1L
     listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
       version = v
@@ -363,8 +368,9 @@ object TxLog {
           case Array("partspec", table, cols) =>
             partSpecMap(table) = unesc(cols).split(',').filter(_.nonEmpty).toSeq
           case Array("partspec", table) => partSpecMap(table) = Nil // unpartitioned
-          case Array("dv", table, dvRel, _) =>
-            dvMap(table) = dvMap.getOrElse(table, Vector.empty) :+ unesc(dvRel)
+          case Array("dv", table, dvRel, pred) =>
+            dvMap(table) = dvMap.getOrElse(table, Vector.empty) :+
+              ((unesc(dvRel), unesc(pred)))
           case Array("dvclear", table) => dvMap.remove(table)
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
@@ -374,7 +380,8 @@ object TxLog {
     Snapshot(version, live.toSeq.groupBy(_._1._1)
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
       fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap,
-      partSpecMap.toMap, dvMap.toMap.map { case (k, v) => k -> (v: Seq[String]) })
+      partSpecMap.toMap,
+      dvMap.toMap.map { case (k, v) => k -> (v: Seq[(String, String)]) })
   }
 
   /** The partition-directory column names a rel path encodes
@@ -508,36 +515,46 @@ object TxLog {
             case _ => ()
           }
         }
+        // the insert batch common to delete/dv/plain commits
+        def inserts: Option[(Long, () => DataFrame, String)] =
+          if (newAdds.isEmpty) None
+          else Some((v, () => spark.read
+            .option("basePath", s"$warehouse/$table")
+            .parquet(newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"): _*),
+            "insert"))
         deletePred match {
           // ROW-LEVEL DELETE / transactional UPSERT commit: the delete's
           // change rows are the PRE-IMAGES — the removed files' rows
-          // matching the logged predicate (files stay on disk until
-          // vacuum, like time travel). Survivor-rewrite adds (flagged in
-          // the log) carry no new data and are excluded; PLAIN adds in
-          // the same commit are the upsert's post-images and feed as
-          // inserts at the same version.
+          // matching the logged predicate, read AS OF the pre-delete
+          // snapshot (layout-grouped and with that version's deletion
+          // vectors applied, so rows an earlier mask already deleted
+          // never feed twice). Files stay on disk until vacuum, like
+          // time travel. Survivor-rewrite adds (flagged in the log)
+          // carry no new data and are excluded; PLAIN adds in the same
+          // commit are the upsert's post-images and feed as inserts at
+          // the same version.
           case Some(pred) if removes.nonEmpty =>
+            val rels = removes.toSeq
             Some(Seq(
-              Some((v, removes.toSeq.map(rel => s"$warehouse/$table/$rel"),
-                "delete", Some(pred))),
-              if (newAdds.isEmpty) None
-              else Some((v, newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"),
-                "insert", None))).flatten)
+              Some((v, () => readFileSet(spark, warehouse, table,
+                snapshot(spark, warehouse, atVersion = v - 1), rels)
+                .filter(expr(pred)), "delete")),
+              inserts).flatten)
           // MERGE-ON-READ delete (deletion vector): pre-images are the
-          // pre-delete snapshot's rows matching the logged predicate —
-          // signalled by an EMPTY file list (the map below replays
-          // against read(atVersion = v-1), which applies every EARLIER
-          // mask, so rows deleted twice never feed twice). A restore/
-          // rewrite commit re-registering masks has removes and stays
-          // excluded above.
+          // pre-delete snapshot's rows matching the logged predicate
+          // (earlier masks applied — nothing feeds twice). Bundled plain
+          // adds (the stageDeleteDV transactional shape) feed as
+          // inserts. A restore/rewrite commit re-registering masks has
+          // removes and stays excluded below.
           case None if dvPred.isDefined && removes.isEmpty && v > 0 =>
-            Some(Seq((v, Seq.empty[String], "delete", dvPred)))
+            Some(Seq(
+              Some((v, () => read(spark, warehouse, table, atVersion = v - 1)
+                .filter(expr(dvPred.get)), "delete")),
+              inserts).flatten)
           // compaction/restore rewrite: logically nothing changed
           case _ if removes.nonEmpty || (newAdds.isEmpty && rewriteAdds.isEmpty) => None
           case _ if newAdds.isEmpty => None // rewrite-only commit
-          case _ =>
-            Some(Seq((v, newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"),
-              "insert", None)))
+          case _ => Some(inserts.toSeq)
         }
       }.flatten
     if (batches.isEmpty) {
@@ -553,13 +570,8 @@ object TxLog {
         .withColumn("_commit_version", lit(0L))
         .withColumn("_change_type", lit("insert"))
     }
-    batches.map { case (v, files, change, pred) =>
-      val df =
-        if (files.nonEmpty)
-          spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
-        else // deletion-vector delete: replay over the pre-delete snapshot
-          read(spark, warehouse, table, atVersion = v - 1)
-      pred.fold(df)(p => df.filter(expr(p)))
+    batches.map { case (v, mkDf, change) =>
+      mkDf()
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(change))
     // allowMissingColumns: a feed spanning a schema evolution unions
@@ -819,10 +831,16 @@ object TxLog {
   private def fileMayMatch(snap: Snapshot, table: String, rel: String,
       constraints: Seq[(String, String, Any)]): Boolean =
     constraints.forall { case (colName, op, value) =>
+      // directory segments are Hive-ESCAPED (Spark writes 'a:b' as
+      // 'a%3Ab'); compare both the raw and decoded forms so special
+      // characters never cause a wrong prune (admit-on-doubt)
       def partAdmits(v: Any): Boolean =
         rel.split('/').dropRight(1)
           .find(_.startsWith(colName + "=")) match {
-          case Some(seg) => seg.drop(colName.length + 1) == String.valueOf(v)
+          case Some(seg) =>
+            val dirVal = seg.drop(colName.length + 1)
+            val want = String.valueOf(v)
+            dirVal == want || unescapePathValue(dirVal) == want
           case None => true
         }
       def rangeAdmits(v: Any): Boolean =
@@ -851,6 +869,14 @@ object TxLog {
         case _ => rangeAdmits(value)
       }
     }
+
+  /** Decode Hive partition-dir escaping (%XX hex per escaped char —
+    * Spark's escapePathName). Unparseable sequences pass through. */
+  private def unescapePathValue(s: String): String =
+    if (!s.contains('%')) s
+    else "%[0-9A-Fa-f]{2}".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        Integer.parseInt(m.matched.substring(1), 16).toChar.toString))
 
   final case class DeleteResult(version: Long, removedFiles: Int,
       rewrittenFiles: Int, deletedRows: Long)
@@ -1112,6 +1138,9 @@ object TxLog {
     val missing = old.live.toSeq.flatMap { case (table, files) =>
       files.collect { case (rel, _)
         if !f.exists(new Path(new Path(warehouse, table), rel)) => s"$table/$rel" }
+    } ++ old.dvs.toSeq.flatMap { case (table, entries) =>
+      entries.collect { case (rel, _)
+        if !f.exists(new Path(new Path(warehouse, table), rel)) => s"$table/$rel" }
     }
     require(missing.isEmpty,
       s"txlog: cannot restore to $toVersion — vacuum already reclaimed: " +
@@ -1124,7 +1153,16 @@ object TxLog {
     val removes = curSet.collect { case (t, r) if !oldSet.contains((t, r)) =>
       Remove(t, r)
     }.toSeq
-    val v = commit(spark, warehouse, adds, removes)
+    // DELETION-VECTOR state rolls back with the file set: a restored
+    // table must read exactly what the pinned version read, so tables
+    // whose mask set differs clear their CURRENT masks and re-register
+    // the target version's (the log retains each mask's dir + predicate)
+    val dvTables = (cur.dvs.keySet ++ old.dvs.keySet)
+      .filter(t => cur.dvEntriesOf(t) != old.dvEntriesOf(t))
+    val v = commit(spark, warehouse, adds, removes,
+      dvAdds = dvTables.toSeq.sorted.flatMap(t =>
+        old.dvEntriesOf(t).map { case (rel, pred) => (t, rel, pred) }),
+      dvClears = dvTables.toSeq.sorted)
     old.live.keys.foreach(t => spark.catalog.refreshByPath(s"$warehouse/$t"))
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
     v

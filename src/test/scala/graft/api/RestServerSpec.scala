@@ -95,6 +95,12 @@ class RestServerSpec extends AnyFunSuite {
       s"""{"query": "x", "container_id": "$cid", "top_k": 9999}""")._1 == 400)
     assert(send("POST", "/search", """{"query": "x"}""")._1 == 400) // missing container_id
     assert(send("GET", "/no/such/route")._1 == 404)
+    // client-shaped failures are 400s, never 500s: malformed body,
+    // non-numeric query params, unknown rank function
+    assert(send("POST", "/search", "not json at all")._1 == 400)
+    assert(send("GET", s"/containers/$cid/files?offset=abc")._1 == 400)
+    assert(send("POST", "/search",
+      s"""{"query": "x", "container_id": "$cid", "rank_fn": "BM25"}""")._1 == 400)
 
     // container delete clears everything
     assert(send("DELETE", s"/containers/$cid")._1 == 204)

@@ -84,6 +84,31 @@ class NearDupIndexSpec extends AnyFunSuite {
       s"edited doc 3 must surface as a near-dup of doc 1 on NEW content; got $got")
   }
 
+  test("append upserts on doc_id: an accepted edited re-submission leaves ONE signature") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ndidx5").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    NearDupIndex.append(spark, wh, Seq(
+      (1L, base),
+      (2L, "completely unrelated text about spark catalyst optimizer internals rules"))
+      .toDF("doc_id", "text"))
+    // doc 2 is re-submitted EDITED and accepted (gate-then-admit): the
+    // index must hold exactly one signature and one band set for it
+    NearDupIndex.append(spark, wh, Seq((2L, base + " tail")).toDF("doc_id", "text"))
+    val sigs = graft.store.TxLog.read(spark, wh, NearDupIndex.SigTable)
+    assert(sigs.groupBy("doc_id").count()
+      .filter(col("count") > 1).isEmpty, "duplicate stored signatures")
+    // a later batch pairs against the CURRENT signature exactly once:
+    // doc 3 carries the EXACT edited text, so every band collides and
+    // est_jaccard must be 1.0 — hydration from the stale pre-edit
+    // signature would both duplicate the pair and score below 1
+    val got = NearDupIndex.checkBatch(spark, wh,
+      Seq((3L, base + " tail")).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect()
+    val pairs23 = got.filter(r => r._1 == 2L && r._2 == 3L)
+    assert(pairs23.length == 1, s"expected ONE (2,3) pair, got ${pairs23.toSeq}")
+    assert(pairs23.head._3 == 1.0, "pair must hydrate from the EDITED signature")
+  }
+
   test("append is one atomic commit: both tables land at the same version") {
     val wh = java.nio.file.Files.createTempDirectory("graft-ndidx3").toString
     val v = NearDupIndex.append(spark, wh, docsDf.filter(col("doc_id") < 50))

@@ -513,6 +513,17 @@ class HybridSearchE2ESpec extends AnyFunSuite {
       }
     }
     assert(hits.exists(_.metadata.contains("snippet")), "vacuous fixture")
+    // operator tokens and NEGATED terms never anchor a window: the OR
+    // keyword and the negated term must not surface as snippet anchors
+    val opReq = SearchRequest("chunk OR overlap -settings", "c1", topK = 5,
+      snippetTokens = Some(3))
+    HybridSearch.search(index, opReq, embedder).foreach { h =>
+      h.metadata.get("snippet").foreach { s =>
+        val ws = s.split(" ")
+        assert(ws.head != "or" && ws.head != "settings",
+          s"snippet anchored on an operator/negated token: '$s'")
+      }
+    }
     // ranking/scores are untouched by annotation, and None leaves hits bare
     val plain = HybridSearch.search(index, req.copy(snippetTokens = None), embedder)
     assert(plain.map(h => (h.chunk_id, h.score)) == hits.map(h => (h.chunk_id, h.score)))

@@ -800,6 +800,66 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, wh, "chunks").count() == 25)
   }
 
+  test("CDF never double-feeds: CoW delete overlapping an earlier mask feeds only live rows") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 40L).map(i => (i, 1L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 1))
+    TxLog.deleteWhereDV(spark, wh, "t", col("id") < 10L).get
+    // overlapping copy-on-write delete: rows 0-9 are ALREADY deleted —
+    // only 10-19 are live matches, and only they may feed as pre-images
+    val v2 = TxLog.deleteWhere(spark, wh, "t", col("id") < 20L).get
+    assert(v2.deletedRows == 10)
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v2.version - 1)
+      .filter(col("_change_type") === "delete")
+    assert(feed.select("id").as[Long].collect().sorted.toSeq == (10L until 20L),
+      "pre-images must be the LIVE matches only — masked rows already fed at their own version")
+  }
+
+  test("restore rolls deletion-vector state back with the file set") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 30L).map(i => (i, 1L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 1))
+    val vData = TxLog.snapshot(spark, wh).version
+    TxLog.deleteWhereDV(spark, wh, "t", col("id") < 10L).get
+    val vMasked = TxLog.snapshot(spark, wh).version
+    assert(TxLog.read(spark, wh, "t").count() == 20)
+    // restore to the PRE-delete version: the mask must clear — the
+    // restored table reads exactly what vData read
+    TxLog.restore(spark, wh, vData)
+    assert(TxLog.snapshot(spark, wh).dvsOf("t").isEmpty)
+    assert(TxLog.read(spark, wh, "t").count() == 30)
+    // roll forward to the masked version: the mask re-registers
+    TxLog.restore(spark, wh, vMasked)
+    assert(TxLog.snapshot(spark, wh).dvsOf("t").nonEmpty)
+    assert(TxLog.read(spark, wh, "t").count() == 20)
+  }
+
+  test("a commit bundling a DV mask with fresh adds feeds both delete pre-images and inserts") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 10L).map(i => (i, 1L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 1))
+    // the stageDeleteDV transactional shape: mask + new batch, ONE commit
+    val (dvAdd, n) = TxLog.stageDeleteDV(spark, wh, "t", col("id") < 3L).get
+    assert(n == 3)
+    val adds = TxLog.stageWrite(
+      (100L until 105L).map(i => (i, 2L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 2)
+    val v = TxLog.commit(spark, wh, adds, Nil, dvAdds = Seq(dvAdd))
+    assert(TxLog.read(spark, wh, "t").count() == 12) // 10 - 3 + 5
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v - 1)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq == (100L until 105L),
+      "bundled fresh adds must feed as inserts, not vanish")
+  }
+
   test("deleteWhere rejects a predicate the change feed could not replay") {
     val wh = freshWh()
     TxLog.commit(spark, wh,
