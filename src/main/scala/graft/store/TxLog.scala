@@ -192,6 +192,19 @@ object TxLog {
       .sorted
   }
 
+  private def checkpointFile(warehouse: String, version: Long): Path =
+    new Path(logPath(warehouse), f"$version%020d.checkpoint")
+
+  private def listCheckpoints(f: FileSystem, warehouse: String): Seq[Long] = {
+    val dir = logPath(warehouse)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .sorted
+  }
+
   /** Atomically append one commit (any mix of adds/removes across tables).
     * Returns the committed version. Never partially visible: the
     * [[LogStore]] publishes the full body or nothing. A racing writer's
@@ -236,7 +249,11 @@ object TxLog {
         }
       }
     }
-    val version = listVersions(f, warehouse).lastOption.getOrElse(-1L) + 1L
+    // the next version follows the newest commit OR checkpoint — after
+    // expireLog drops every commit at the horizon, numbering must
+    // continue from the checkpoint, never restart at 0
+    val version = (listVersions(f, warehouse) ++ listCheckpoints(f, warehouse))
+      .maxOption.getOrElse(-1L) + 1L
     val target = commitFile(warehouse, version)
     val body = new StringBuilder
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
@@ -324,14 +341,17 @@ object TxLog {
     out.toString
   }
 
-  private def readCommitText(f: FileSystem, warehouse: String, v: Long): String = {
-    val in = f.open(commitFile(warehouse, v))
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
       new String(bos.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
   }
+
+  private def readCommitText(f: FileSystem, warehouse: String, v: Long): String =
+    readText(f, commitFile(warehouse, v))
 
   def snapshot(spark: SparkSession, warehouse: String,
       atVersion: Long = Long.MaxValue): Snapshot = {
@@ -346,9 +366,7 @@ object TxLog {
     val partSpecMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val dvMap = scala.collection.mutable.LinkedHashMap[String, Vector[(String, String)]]()
     var version = -1L
-    listVersions(f, warehouse).takeWhile(_ <= atVersion).foreach { v =>
-      version = v
-      val text = readCommitText(f, warehouse, v)
+    def foldText(text: String, v: Long): Unit =
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         line.split('\t') match {
           case Array("add", table, rel, gen) => live((table, rel)) = gen.toLong
@@ -376,6 +394,26 @@ object TxLog {
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
       }
+    // CHECKPOINT fast path (the published Delta checkpoint design): seed
+    // the fold from the newest checkpoint at or before `atVersion` —
+    // same line grammar as a commit, the whole state in one file — then
+    // fold only the commits AFTER it. A long-lived warehouse's snapshot
+    // cost becomes O(commits since last checkpoint), not O(history).
+    val commits = listVersions(f, warehouse)
+    val ck = listCheckpoints(f, warehouse).filter(_ <= atVersion).lastOption
+    ck.foreach { cv =>
+      version = cv
+      foldText(readText(f, checkpointFile(warehouse, cv)), cv)
+    }
+    // an expired log (expireLog dropped commits the checkpoint covers)
+    // cannot serve versions before its horizon — fail loudly, never
+    // return a silently partial snapshot
+    if (ck.isEmpty && commits.headOption.exists(_ > 0))
+      sys.error(s"txlog: version $atVersion predates the truncated log " +
+        s"horizon (earliest commit ${commits.head})")
+    commits.filter(v => v > ck.getOrElse(-1L) && v <= atVersion).foreach { v =>
+      version = v
+      foldText(readCommitText(f, warehouse, v), v)
     }
     Snapshot(version, live.toSeq.groupBy(_._1._1)
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
@@ -495,9 +533,16 @@ object TxLog {
       fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit}
     val f = fs(spark, warehouse)
+    // an expired log cannot serve feed history before its horizon — a
+    // silently partial feed is worse than an error
+    val available = listVersions(f, warehouse)
+    if (available.headOption.exists(first =>
+        fromVersion < first - 1 && listCheckpoints(f, warehouse).nonEmpty))
+      sys.error(s"txlog: change feed from $fromVersion predates the " +
+        s"truncated log horizon (earliest commit ${available.head})")
     // per-version change batch: (version, files to read, change type,
     // optional delete predicate to replay over the pre-image files)
-    val batches = listVersions(f, warehouse)
+    val batches = available
       .filter(v => v > fromVersion && v <= toVersion)
       .flatMap { v =>
         val newAdds = scala.collection.mutable.ArrayBuffer[String]()
@@ -1243,6 +1288,69 @@ object TxLog {
       Some(compact(spark, warehouse, table, partitionBy, view = consolidate,
         statsCols = statsCols, bloomCols = bloomCols))
     }
+  }
+
+  /** Write a CHECKPOINT of the current snapshot (the published Delta
+    * checkpoint design): one log file holding the ENTIRE folded state —
+    * live adds with their stats/blooms, schemas, tags, partition specs,
+    * deletion vectors — in the commit-line grammar, named for the
+    * version it covers. `snapshot()` then seeds its fold from the newest
+    * checkpoint and replays only later commits: resolution cost becomes
+    * O(commits since checkpoint) instead of O(history) — the difference
+    * between a KB-sized read and thousands of file opens on a
+    * year-old 100 TB warehouse. Run on the compaction cadence.
+    * Idempotent: re-checkpointing an already-covered version is a no-op.
+    * Returns the covered version (-1 on an empty log). */
+  def checkpoint(spark: SparkSession, warehouse: String): Long = {
+    val f = fs(spark, warehouse)
+    val snap = snapshot(spark, warehouse)
+    if (snap.version < 0) return -1L
+    val target = checkpointFile(warehouse, snap.version)
+    if (f.exists(target)) return snap.version
+    val body = new StringBuilder
+    body ++= s"commit\t${snap.version}\t${System.currentTimeMillis()}\n"
+    snap.schemas.toSeq.sortBy(_._1).foreach { case (t, js) =>
+      body ++= s"schema\t$t\t${esc(js)}\n" }
+    snap.tagged.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      body ++= s"tag\t${esc(n)}\t$v\n" }
+    snap.partSpecs.toSeq.sortBy(_._1).foreach { case (t, cols) =>
+      body ++= s"partspec\t$t\t${esc(cols.mkString(","))}\n" }
+    snap.dvs.toSeq.sortBy(_._1).foreach { case (t, entries) =>
+      entries.foreach { case (rel, pred) =>
+        body ++= s"dv\t$t\t${esc(rel)}\t${esc(pred)}\n" } }
+    snap.live.toSeq.sortBy(_._1).foreach { case (t, files) =>
+      files.sortBy(_._1).foreach { case (rel, gen) =>
+        body ++= s"add\t$t\t$rel\t$gen\n"
+        snap.statsOf(t, rel).toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          body ++= s"stat\t$t\t$rel\t${esc(c)}\t${cs.tpe}\t${esc(cs.min)}\t${esc(cs.max)}\n" }
+        snap.bloomsOf(t, rel).toSeq.sortBy(_._1).foreach { case (c, b64) =>
+          body ++= s"bloom\t$t\t$rel\t${esc(c)}\t$b64\n" }
+      }
+    }
+    store.putIfAbsent(f, logPath(warehouse), target,
+      body.toString.getBytes(StandardCharsets.UTF_8))
+    snap.version
+  }
+
+  /** Drop commit files AT OR BEFORE the newest checkpoint — the log's
+    * vacuum. After expiry, snapshot/time-travel/CDF reads before the
+    * checkpoint horizon fail LOUDLY (never a silently partial answer);
+    * everything at or after the horizon is untouched. Returns the number
+    * of commit files removed. Run well behind [[checkpoint]] on the
+    * retention cadence, exactly like data-file vacuum. */
+  def expireLog(spark: SparkSession, warehouse: String): Long = {
+    val f = fs(spark, warehouse)
+    val cks = listCheckpoints(f, warehouse)
+    require(cks.nonEmpty, "txlog: expireLog needs a checkpoint first")
+    val horizon = cks.max
+    var removed = 0L
+    listVersions(f, warehouse).filter(_ <= horizon).foreach { v =>
+      if (f.delete(commitFile(warehouse, v), false)) removed += 1
+    }
+    // older checkpoints are superseded by the horizon checkpoint
+    cks.filter(_ < horizon).foreach(v =>
+      f.delete(checkpointFile(warehouse, v), false))
+    removed
   }
 
   /** Physically delete files under the warehouse's table dirs that the

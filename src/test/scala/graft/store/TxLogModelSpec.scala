@@ -101,7 +101,7 @@ class TxLogModelSpec extends AnyFunSuite {
 
     append(); check("initial append")
     for (i <- 0 until nOps) {
-      val op = rnd.nextInt(10) match {
+      val op = rnd.nextInt(11) match {
         case 0 | 1 | 2 | 3 => append()
         case 4 | 5 => if (model.nonEmpty) deleteCow() else append()
         case 6 | 7 => if (model.nonEmpty) deleteDv() else append()
@@ -111,6 +111,7 @@ class TxLogModelSpec extends AnyFunSuite {
               view = _.repartition(2), statsCols = Seq("id")); "compact"
           } else append()
         case 9 => s"vacuum(${TxLog.vacuum(spark, wh, retentionMs = 0L)})"
+        case 10 => s"checkpoint(${TxLog.checkpoint(spark, wh)})"
       }
       check(s"op#$i $op")
     }

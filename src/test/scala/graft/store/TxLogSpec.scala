@@ -860,6 +860,81 @@ class TxLogSpec extends AnyFunSuite {
       "bundled fresh adds must feed as inserts, not vanish")
   }
 
+  // ---- checkpoints + log expiry -----------------------------------------
+
+  test("checkpoint seeds the fold: snapshots and reads equal the full fold, state intact") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val d0 = (0L until 40L).map(i => (i, s"c${i % 2}", 1L))
+      .toDF("id", "container_id", "generation")
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(d0.coalesce(1), wh, "chunks", Nil, 1, statsCols = Seq("id")),
+      schemas = Map("chunks" -> d0.schema),
+      partitionSpecs = Map("chunks" -> Nil))
+    TxLog.tag(spark, wh, "baseline", 0L)
+    TxLog.deleteWhere(spark, wh, "chunks", col("id") < 5L,
+      statsCols = Seq("id")).get
+    TxLog.deleteWhereDV(spark, wh, "chunks", col("id").between(10L, 14L)).get
+    def canon(s: TxLog.Snapshot) = (s.version,
+      s.live.map { case (t, fs2) => t -> fs2.sorted }, s.stats, s.blooms,
+      s.schemas, s.tagged, s.partSpecs, s.dvs)
+    val full = canon(TxLog.snapshot(spark, wh))
+    val ckv = TxLog.checkpoint(spark, wh)
+    assert(ckv == TxLog.snapshot(spark, wh).version)
+    assert(TxLog.checkpoint(spark, wh) == ckv) // idempotent
+    // the checkpoint-seeded snapshot carries EVERYTHING: live set, stats,
+    // schema, tags, partition spec, deletion vectors
+    assert(canon(TxLog.snapshot(spark, wh)) == full)
+    assert(TxLog.read(spark, wh, "chunks").count() == 30)
+    // post-checkpoint commits fold on top of the seed
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (100L until 110L).map(i => (i, s"c${i % 2}", 2L))
+        .toDF("id", "container_id", "generation").coalesce(1),
+      wh, "chunks", Nil, 2, statsCols = Seq("id")))
+    assert(TxLog.read(spark, wh, "chunks").count() == 40)
+    // stats pruning still works from the checkpointed stats (the live
+    // deletion-vector mask rides along in inputFiles — count data files)
+    assert(TxLog.readWhereBetween(spark, wh, "chunks", "id", 100L, 104L)
+      .inputFiles.count(!_.contains("/.dv/")) == 1)
+    // the masked rows stay masked through the checkpoint
+    assert(TxLog.read(spark, wh, "chunks")
+      .filter(col("id").between(10L, 14L)).count() == 0)
+  }
+
+  test("expireLog truncates history behind the checkpoint; loud errors, live reads intact") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    for (g <- 1L to 3L)
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        (g * 100 until g * 100 + 10).map(i => (i, g)).toDF("id", "generation").coalesce(1),
+        wh, "t", Nil, g))
+    val horizon = TxLog.checkpoint(spark, wh)
+    val v3 = TxLog.commit(spark, wh, TxLog.stageWrite(
+      (900L until 905L).map(i => (i, 9L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 9))
+    val removed = TxLog.expireLog(spark, wh)
+    assert(removed == 3, s"three pre-horizon commits should expire, got $removed")
+    // current reads and post-horizon feeds are untouched
+    assert(TxLog.read(spark, wh, "t").count() == 35)
+    assert(TxLog.readChanges(spark, wh, "t", fromVersion = horizon).count() == 5)
+    // pre-horizon time travel and feeds fail LOUDLY, never partially
+    assert(intercept[RuntimeException](
+      TxLog.read(spark, wh, "t", atVersion = 0L))
+      .getMessage.contains("truncated"))
+    assert(intercept[RuntimeException](
+      TxLog.readChanges(spark, wh, "t", fromVersion = -1L))
+      .getMessage.contains("truncated"))
+    // version numbering continues past the horizon — never restarts
+    val v4 = TxLog.commit(spark, wh, TxLog.stageWrite(
+      (950L until 955L).map(i => (i, 10L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 10))
+    assert(v4 == v3 + 1)
+    assert(TxLog.read(spark, wh, "t").count() == 40)
+    // vacuum still runs off the checkpoint-seeded snapshot
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    assert(TxLog.read(spark, wh, "t").count() == 40)
+  }
+
   test("deleteWhere rejects a predicate the change feed could not replay") {
     val wh = freshWh()
     TxLog.commit(spark, wh,
