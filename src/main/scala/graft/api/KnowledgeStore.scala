@@ -573,6 +573,56 @@ final class KnowledgeStore(
       "bytes" -> row.getLong(2), "ready" -> row.getLong(3))
   }
 
+  // ---- maintenance ------------------------------------------------------
+
+  /** The warehouse's NIGHTLY JOB in one call (the reference runs these as
+    * periodic background services — compaction-style cleanup, index
+    * refresh; ref IngestionPipeline periodic rescan). In txMode, per
+    * table: compact when fragmented past `maxFilesPerTable` OR when
+    * deletion vectors are pending (compaction materializes the masks);
+    * then refresh the derived postings/term_stats from the live chunk
+    * set, CHECKPOINT the log (snapshot fold stays O(recent)), vacuum
+    * data files past `vacuumRetentionMs`, and optionally expire the
+    * checkpoint-covered log history. Plain-parquet warehouses refresh
+    * postings only. Returns an action report for the operator's log
+    * line. Serving caches invalidate at the end — the next query
+    * rebuilds over the compacted layout. */
+  def maintain(
+      maxFilesPerTable: Int = 64,
+      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000,
+      expireLogHistory: Boolean = false): Map[String, String] = {
+    val T = graft.store.TxLog
+    val report = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (txMode) {
+      val tables = Seq(
+        ("chunks", Seq("container_id")),
+        ("vectors", Seq("container_id", "model_id")),
+        ("ledger", Seq("container_id")))
+      tables.foreach { case (t, pb) =>
+        val snap = T.snapshot(spark, warehouse)
+        if (snap.files(t).nonEmpty &&
+          (snap.files(t).size > maxFilesPerTable || snap.dvsOf(t).nonEmpty)) {
+          val v = T.compact(spark, warehouse, t, pb,
+            view = _.repartition(pb.map(col): _*))
+          report += s"compact_$t" -> s"v$v"
+        }
+      }
+    }
+    // derived-index refresh (PostingsIndex.refresh handles generation
+    // resolution); a warehouse with no chunks yet skips quietly
+    if (scala.util.Try(graft.search.PostingsIndex
+        .refresh(spark, warehouse)).isSuccess)
+      report += "postings" -> "refreshed"
+    if (txMode) {
+      report += "checkpoint" -> s"v${T.checkpoint(spark, warehouse)}"
+      report += "vacuum" -> s"${T.vacuum(spark, warehouse, vacuumRetentionMs)} files"
+      if (expireLogHistory)
+        report += "expire_log" -> s"${T.expireLog(spark, warehouse)} commits"
+    }
+    invalidate()
+    report.toMap
+  }
+
   // ---- search -----------------------------------------------------------
 
   @volatile private var cachedIndex: Option[HybridSearch.Index] = None

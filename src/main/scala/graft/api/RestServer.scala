@@ -71,6 +71,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           case None => err(ex, 404, "no progress log configured")
         }
         case ("POST", "/search") => search(ex)
+        case ("POST", "/maintain") =>
+          val b = body(ex)
+          val r = store.maintain(
+            maxFilesPerTable = optInt(b, "max_files_per_table").getOrElse(64),
+            vacuumRetentionMs = optLong(b, "vacuum_retention_ms")
+              .getOrElse(7L * 24 * 3600 * 1000),
+            expireLogHistory = bool(b, "expire_log", default = false))
+          ok(ex, obj(r.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*))
         case ("POST", Containers()) => createContainer(ex)
         case ("GET", Containers()) =>
           ok(ex, arr(store.listContainers().map { case (id, name, ct) =>
@@ -191,6 +199,8 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     Option(b.get(field)).filterNot(_.isNull).map(_.asText())
   private def optInt(b: JsonNode, field: String): Option[Int] =
     Option(b.get(field)).filterNot(_.isNull).map(_.asInt())
+  private def optLong(b: JsonNode, field: String): Option[Long] =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asLong())
   private def optDouble(b: JsonNode, field: String): Option[Double] =
     Option(b.get(field)).filterNot(_.isNull).map(_.asDouble())
   private def bool(b: JsonNode, field: String, default: Boolean): Boolean =

@@ -386,6 +386,37 @@ class KnowledgeStoreTxSpec extends KnowledgeStoreSpec {
     assert(s.getDocument(cid, "/b.txt").nonEmpty)
   }
 
+  test("tx: maintain() compacts fragmented tables, materializes masks, checkpoints, vacuums") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kstxm").toString
+    val s = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      transactional = true, deleteMode = "merge_on_read")
+    val cid = s.createContainer("tx-maint")
+    // several upsert batches fragment the tables; a mask delete is pending
+    for (i <- 1 to 4)
+      s.uploadFile(cid, s"/d$i.txt", s"alpha beta gamma delta content number $i words")
+    s.bulkDelete(cid, Seq("/d4.txt"))
+    val T = graft.store.TxLog
+    assert(T.snapshot(spark, wh).dvsOf("chunks").nonEmpty)
+    val nFilesBefore = T.snapshot(spark, wh).files("chunks").size
+
+    val report = s.maintain(maxFilesPerTable = 2, vacuumRetentionMs = 0L)
+    // compaction materialized the masks and bounded the file count
+    assert(report.contains("compact_chunks"), report.toString)
+    assert(T.snapshot(spark, wh).dvsOf("chunks").isEmpty)
+    assert(T.snapshot(spark, wh).files("chunks").size < nFilesBefore)
+    // checkpoint + vacuum + postings all ran
+    assert(report.get("postings").contains("refreshed"))
+    assert(report.contains("checkpoint") && report.contains("vacuum"))
+    // the surface is intact: the deleted doc stays gone, the rest serve
+    assert(s.getDocument(cid, "/d4.txt").isEmpty)
+    assert(s.containerStats(cid)("documents") == 3)
+    assert(s.search(graft.model.SearchRequest("alpha beta", cid, topK = 5)).nonEmpty)
+    // a second maintenance pass on a healthy warehouse does no compaction
+    val report2 = s.maintain(maxFilesPerTable = 64)
+    assert(!report2.contains("compact_chunks"), report2.toString)
+  }
+
   test("tx: bulk delete is a logged deleteWhere — pre-images feed, vacuum reclaims") {
     val wh = java.nio.file.Files.createTempDirectory("graft-kstx2").toString
     val s = new KnowledgeStore(spark, wh,

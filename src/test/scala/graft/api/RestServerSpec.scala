@@ -102,6 +102,10 @@ class RestServerSpec extends AnyFunSuite {
     assert(send("POST", "/search",
       s"""{"query": "x", "container_id": "$cid", "rank_fn": "BM25"}""")._1 == 400)
 
+    // maintenance runs over HTTP (plain-parquet warehouse: postings only)
+    val (mSt, mB) = send("POST", "/maintain", "{}")
+    assert(mSt == 200 && mB.get("postings").asText() == "refreshed")
+
     // container delete clears everything
     assert(send("DELETE", s"/containers/$cid")._1 == 204)
     assert(send("GET", "/containers")._2.size() == 0)
