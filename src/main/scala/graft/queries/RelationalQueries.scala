@@ -1199,6 +1199,55 @@ object RelationalQueries {
         WHERE doc_id NOT BETWEEN 50 AND 149
           AND NOT (source = 'src3' AND n_chars >= 600)
         GROUP BY source ORDER BY source"""),
-      doc = "deletion vectors end-to-end: mask-only deletes (no rewrite, audited), composed reads, compaction materializes+clears")
+      doc = "deletion vectors end-to-end: mask-only deletes (no rewrite, audited), composed reads, compaction materializes+clears"),
+
+    QueryDef(
+      "q146_incremental_view",
+      (s, d) => {
+        // Incrementally-maintained materialized aggregate
+        // (store/IncrementalView) — the change feed's flagship consumer:
+        // the per-source (count, sum) view refreshes by DELTAS after an
+        // initial load, a copy-on-write delete, and a deletion-vector
+        // delete (insert rows add, delete pre-images subtract), never
+        // rescanning the source. The oracle recomputes the final
+        // aggregate from scratch, so every delta application must land
+        // exactly; the in-query audit additionally pins view == full
+        // recompute and that refreshes consumed the feed (version
+        // advanced). At 100 TB this is the nightly-groupBy → minute-
+        // scale-delta trade.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q146").toString
+        val T = graft.store.TxLog
+        val V = graft.store.IncrementalView
+        T.commit(s, wh, T.stageWrite(
+          table(s, d, "documents").repartitionByRange(8, col("doc_id")),
+          wh, "documents", Nil, 1L, statsCols = Seq("doc_id", "n_chars")))
+        V.refresh(s, wh, "documents", "agg", Seq("source"), Seq("n_chars"))
+        T.deleteWhere(s, wh, "documents", col("doc_id").between(100L, 199L),
+          statsCols = Seq("doc_id", "n_chars"))
+        V.refresh(s, wh, "documents", "agg", Seq("source"), Seq("n_chars"))
+        T.deleteWhereDV(s, wh, "documents",
+          col("source") === "src5" && col("n_chars") < 500L)
+        val consumed =
+          V.refresh(s, wh, "documents", "agg", Seq("source"), Seq("n_chars"))
+        val view = T.read(s, wh, "agg")
+        val full = T.read(s, wh, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_n_chars"))
+        val auditOk = consumed > 0 &&
+          view.select("source", "n", "sum_n_chars").collect().toSet ==
+            full.select("source", "n", "sum_n_chars").collect().toSet
+        view.select(col("source"), col("n").cast("long").as("n"),
+            col("sum_n_chars").cast("long").as("sum_n_chars"))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM documents
+        WHERE doc_id NOT BETWEEN 100 AND 199
+          AND NOT (source = 'src5' AND n_chars < 500)
+        GROUP BY source ORDER BY source"""),
+      doc = "incremental materialized view over the change feed: delta-applied through CoW and DV deletes, audited vs full recompute")
   )
 }

@@ -1,0 +1,78 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MATERIALIZED VIEW over a TxLog table's change feed — the
+  * consumer the CHANGE DATA FEED exists for: a keyed additive aggregate
+  * (count + sums) maintained by DELTAS, never by rescanning the source.
+  * Each refresh reads only the commits since the last one (insert rows
+  * add, delete pre-images subtract — the CDF's `_change_type` is exactly
+  * the sign), merges the per-key deltas into the stored aggregate, and
+  * publishes the new view files PLUS the consumed-version tag in ONE
+  * commit — a crash between refreshes replays from the tag, and a
+  * reader never sees a view claiming a version it doesn't contain.
+  *
+  * This composes with every delete flavor the log supports: a
+  * copy-on-write delete feeds its live pre-images, a deletion-vector
+  * delete feeds the masked rows, a transactional upsert feeds delete +
+  * insert at one version — so the view stays exact through all of them
+  * (the spec drives a random-ish history and pins view == full
+  * recompute after every refresh).
+  *
+  * At 100 TB: refresh cost is O(changed rows) + a view-sized merge join
+  * — the difference between a nightly full groupBy over the corpus and
+  * a minute-scale delta apply. Only ADDITIVE aggregates qualify
+  * (count/sum; avg derives as sum/count downstream); min/max cannot be
+  * maintained by subtraction and need the full recompute path.
+  */
+object IncrementalView {
+
+  private def tagName(view: String) = s"view:$view"
+
+  /** The view's last consumed source version (-1 = never refreshed). */
+  def consumedVersion(spark: SparkSession, warehouse: String, view: String): Long =
+    TxLog.tags(spark, warehouse).getOrElse(tagName(view), -1L)
+
+  /** Refresh `view` (grouped by `keyCols`, maintaining `n` plus
+    * `sum_<c>` for each of `sumCols`) from `source`'s changes since the
+    * last refresh. Returns the consumed source version. No-op (no
+    * version burned) when the view is already current. */
+  def refresh(spark: SparkSession, warehouse: String, source: String,
+      view: String, keyCols: Seq[String], sumCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "incremental view needs grouping keys")
+    val from = consumedVersion(spark, warehouse, view)
+    val snap = TxLog.snapshot(spark, warehouse)
+    val cur = snap.version
+    if (cur == from) return cur
+    val changes = TxLog.readChanges(spark, warehouse, source,
+      fromVersion = from, toVersion = cur)
+    // nothing logical changed in the source (view-own commits, other
+    // tables' commits, compactions): no merge, no commit, no version
+    // burned — the tag stays at the last version that carried source
+    // changes, which keeps a polling refresher convergent
+    if (changes.isEmpty) return from
+    val sign = when(col("_change_type") === "delete", -1L).otherwise(1L)
+    val delta = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).as("n"),
+        sumCols.map(c => sum(col(c) * sign).as(s"sum_$c")): _*)
+    val prev =
+      try TxLog.read(spark, warehouse, view)
+      catch { case _: org.apache.spark.sql.AnalysisException => delta.limit(0) }
+    val valCols = "n" +: sumCols.map(c => s"sum_$c")
+    // merge: full-outer on keys, columnwise add, drop keys whose rows all
+    // left (n == 0) — the standard additive-delta apply
+    val merged = prev.as("p")
+      .join(delta.as("d"), keyCols, "full_outer")
+      .select(keyCols.map(col) ++ valCols.map(c =>
+        (coalesce(col(s"p.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c)): _*)
+      .filter(col("n") > 0)
+    val adds = TxLog.stageWrite(merged, warehouse, view, Nil,
+      generation = cur)
+    TxLog.commit(spark, warehouse, adds,
+      snap.files(view).map { case (rel, _) => TxLog.Remove(view, rel) },
+      tags = Map(tagName(view) -> cur))
+    cur
+  }
+}

@@ -1,0 +1,89 @@
+package graft.store
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The change feed's flagship consumer: an incrementally-maintained
+  * keyed aggregate must equal a full recompute after EVERY kind of
+  * source commit — appends, copy-on-write deletes, deletion-vector
+  * deletes, transactional upserts, and compactions (which must feed
+  * nothing) — and each refresh must consume only the new commits.
+  */
+class IncrementalViewSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("id", "k", "v")
+
+  test("view == full recompute through every commit kind; refreshes are delta-sized") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-iview").toString
+
+    def recompute(): Map[String, (Long, Long)] =
+      TxLog.read(spark, wh, "t")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("v").as("sum_v"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    def viewState(): Map[String, (Long, Long)] =
+      TxLog.read(spark, wh, "agg")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    def refreshAndPin(tag: String): Unit = {
+      IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+      assert(viewState() == recompute(), s"view diverged after $tag")
+    }
+
+    // 1: initial append
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df((0L until 20L).map(i => (i, s"k${i % 3}", i))).coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id")))
+    refreshAndPin("initial append")
+    // 2: second append
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df((100L until 110L).map(i => (i, s"k${i % 3}", i))).coalesce(1),
+      wh, "t", Nil, 2, statsCols = Seq("id")))
+    refreshAndPin("append")
+    // 3: copy-on-write delete
+    TxLog.deleteWhere(spark, wh, "t", col("id") < 5L, statsCols = Seq("id")).get
+    refreshAndPin("copy-on-write delete")
+    // 4: deletion-vector delete
+    TxLog.deleteWhereDV(spark, wh, "t", col("id").between(100L, 103L)).get
+    refreshAndPin("DV delete")
+    // 5: transactional upsert (delete + add at ONE version)
+    val sd = TxLog.stageDelete(spark, wh, "t", col("id") === 10L).get
+    val adds = TxLog.stageWrite(df(Seq((10L, "k9", 999L))).coalesce(1), wh, "t", Nil, 3)
+    TxLog.commit(spark, wh, sd.adds ++ adds, sd.removes,
+      deletes = Map("t" -> sd.predSql))
+    refreshAndPin("transactional upsert")
+    // a brand-new key from the upsert and full-drained keys both resolve
+    assert(viewState().contains("k9"))
+    // 6: compaction — logically nothing changed, the refresh must see
+    //    zero deltas and simply advance the consumed version
+    TxLog.compact(spark, wh, "t", Nil)
+    val before = viewState()
+    refreshAndPin("compaction")
+    assert(viewState() == before)
+    // 7: idempotent refresh — already current, no version burned
+    val v = TxLog.snapshot(spark, wh).version
+    assert(IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v")) ==
+      IncrementalView.consumedVersion(spark, wh, "agg"))
+    assert(TxLog.snapshot(spark, wh).version == v)
+    // consumed-version bookkeeping survived the whole history
+    assert(IncrementalView.consumedVersion(spark, wh, "agg") >= 5L)
+  }
+
+  test("a key whose rows all leave disappears from the view") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-iview2").toString
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df(Seq((1L, "gone", 5L), (2L, "stays", 7L))).coalesce(1), wh, "t", Nil, 1))
+    IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+    TxLog.deleteWhere(spark, wh, "t", col("k") === "gone").get
+    IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+    val state = TxLog.read(spark, wh, "agg")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(state == Seq(("stays", 1L, 7L)))
+  }
+}
