@@ -61,12 +61,17 @@ object IncrementalView {
       try TxLog.read(spark, warehouse, view)
       catch { case _: org.apache.spark.sql.AnalysisException => delta.limit(0) }
     val valCols = "n" +: sumCols.map(c => s"sum_$c")
-    // merge: full-outer on keys, columnwise add, drop keys whose rows all
-    // left (n == 0) — the standard additive-delta apply
-    val merged = prev.as("p")
-      .join(delta.as("d"), keyCols, "full_outer")
-      .select(keyCols.map(col) ++ valCols.map(c =>
-        (coalesce(col(s"p.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c)): _*)
+    // merge: full-outer on NULL-SAFE key equality (a null grouping key is
+    // a legal group — plain using-columns joins would never match it and
+    // the view would accrete duplicate null-key rows), columnwise add,
+    // drop keys whose rows all left (n == 0)
+    val p = prev.as("p")
+    val dAl = delta.as("d")
+    val cond = keyCols.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val merged = p.join(dAl, cond, "full_outer")
+      .select(keyCols.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) ++
+        valCols.map(c =>
+          (coalesce(col(s"p.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c)): _*)
       .filter(col("n") > 0)
     val adds = TxLog.stageWrite(merged, warehouse, view, Nil,
       generation = cur)

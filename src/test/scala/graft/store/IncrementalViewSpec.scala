@@ -75,6 +75,24 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(IncrementalView.consumedVersion(spark, wh, "agg") >= 5L)
   }
 
+  test("null grouping keys are one group: deltas merge null-safely, never accrete") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-iview3").toString
+    val rows1 = Seq((1L, null.asInstanceOf[String], 5L), (2L, "k1", 7L))
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      rows1.toDF("id", "k", "v").coalesce(1), wh, "t", Nil, 1))
+    IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+    // a second batch adds to the null group: the merge must FIND the
+    // stored null-key row (using-columns joins would not)
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((3L, null.asInstanceOf[String], 11L)).toDF("id", "k", "v").coalesce(1),
+      wh, "t", Nil, 2))
+    IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+    val state = TxLog.read(spark, wh, "agg")
+      .as[(Option[String], Long, Long)].collect().sortBy(_._1)
+    assert(state.toSeq == Seq((None, 2L, 16L), (Some("k1"), 1L, 7L)),
+      s"null key must merge as one group: ${state.toSeq}")
+  }
+
   test("a key whose rows all leave disappears from the view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-iview2").toString
     TxLog.commit(spark, wh, TxLog.stageWrite(
