@@ -1248,6 +1248,145 @@ object RelationalQueries {
         WHERE doc_id NOT BETWEEN 100 AND 199
           AND NOT (source = 'src5' AND n_chars < 500)
         GROUP BY source ORDER BY source"""),
-      doc = "incremental materialized view over the change feed: delta-applied through CoW and DV deletes, audited vs full recompute")
+      doc = "incremental materialized view over the change feed: delta-applied through CoW and DV deletes, audited vs full recompute"),
+
+    QueryDef(
+      "q147_merge_upsert",
+      (s, d) => {
+        // MERGE INTO (store/TxLog.merge — the published Delta keyed-
+        // upsert statement, both flavors): stage documents as a range-
+        // clustered TxLog table, then apply ONE delta batch carrying
+        // updates (doc_id%10==3: re-sourced, n_chars bumped), tombstones
+        // (doc_id%10==7: whenMatchedDelete drops the target row and the
+        // sentinel source row never lands), and inserts (fresh ids at
+        // +1,000,000 for doc_id%10==1) — the every-delta-load shape of a
+        // 100 TB warehouse, cost ∝ owner files + source. The same batch
+        // runs through copy-on-write `merge` and merge-on-read `mergeDV`
+        // on twin warehouses; in-query audits pin (a) the change feed's
+        // delete pre-images == reported matched rows, (b) both flavors'
+        // matched/written counts agree, and (c) the two final tables are
+        // row-identical — all folded into audit_ok, which the oracle's
+        // constant 1 hash-pins.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q147").toString
+        val whDv = java.nio.file.Files.createTempDirectory("graft-q147dv").toString
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+        Seq(wh, whDv).foreach { w =>
+          T.commit(s, w, T.stageWrite(
+            docs.repartitionByRange(8, col("doc_id")), w, "documents", Nil, 1L,
+            statsCols = Seq("doc_id")))
+        }
+        val updates = docs.filter(col("doc_id") % 10 === 3)
+          .withColumn("source", lit("merged"))
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val tombs = docs.filter(col("doc_id") % 10 === 7)
+          .withColumn("n_chars", lit(-1L))
+        val inserts = docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("merged-new"))
+        val src = updates.unionByName(tombs).unionByName(inserts)
+        val rCow = T.merge(s, wh, "documents", src, Seq("doc_id"),
+          statsCols = Seq("doc_id"),
+          whenMatchedDelete = Some(col("n_chars") < 0L))
+        val rDv = T.mergeDV(s, whDv, "documents", src, Seq("doc_id"),
+          whenMatchedDelete = Some(col("n_chars") < 0L))
+        val feedDel = T.readChanges(s, wh, "documents", fromVersion = 0L)
+          .filter(col("_change_type") === "delete").count()
+        val cow = T.read(s, wh, "documents")
+        val mor = T.read(s, whDv, "documents")
+        val flavorsAgree = cow.exceptAll(mor).isEmpty && mor.exceptAll(cow).isEmpty
+        val auditOk = feedDel == rCow.matchedRows &&
+          rCow.matchedRows == rDv.matchedRows &&
+          rCow.writtenRows == rDv.writtenRows && flavorsAgree
+        cow.groupBy("source", "lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("matched_rows", lit(rCow.matchedRows))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH merged AS (
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id % 10 NOT IN (3, 7)
+          UNION ALL
+          SELECT doc_id, lang, 'merged', n_chars + 1000 FROM documents
+          WHERE doc_id % 10 = 3
+          UNION ALL
+          SELECT doc_id + 1000000, lang, 'merged-new', n_chars FROM documents
+          WHERE doc_id % 10 = 1
+        )
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST((SELECT count(*) FROM documents
+                     WHERE doc_id % 10 IN (3, 7)) AS BIGINT) AS matched_rows,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM merged
+        GROUP BY source, lang ORDER BY source, lang"""),
+      doc = "MERGE INTO keyed upsert: one delta batch of updates+tombstones+inserts through CoW and DV flavors, CDF + flavor-equivalence audits in-query"),
+
+    QueryDef(
+      "q148_update_where",
+      (s, d) => {
+        // UPDATE ... SET ... WHERE (store/TxLog.updateWhere — Delta's
+        // copy-on-write UPDATE, completing the DML triad next to q140's
+        // DELETE and q147's MERGE): two statements — a stats-prunable
+        // id-range redaction (SET source='redacted', n_chars=0: the
+        // GDPR-rectification shape, only owner files opened or
+        // rewritten), then a content-predicate halving — applied in
+        // order, so the second statement sees the first's post-images.
+        // In-query audits pin the CDF contract (pre-image deletes ==
+        // post-image inserts == reported updated rows, pairs at one
+        // version per statement); the oracle replays both statements as
+        // ordered CASE branches over the raw table.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q148").toString
+        val T = graft.store.TxLog
+        T.commit(s, wh, T.stageWrite(
+          table(s, d, "documents").repartitionByRange(8, col("doc_id")),
+          wh, "documents", Nil, 1L, statsCols = Seq("doc_id", "n_chars")))
+        val r1 = T.updateWhere(s, wh, "documents",
+          col("doc_id").between(100L, 199L),
+          Map("source" -> lit("redacted"), "n_chars" -> lit(0L)),
+          statsCols = Seq("doc_id", "n_chars")).get
+        val r2 = T.updateWhere(s, wh, "documents",
+          col("source") === "src7" && col("n_chars") > 300L,
+          Map("n_chars" -> (col("n_chars") / 2).cast("long")),
+          statsCols = Seq("doc_id", "n_chars")).get
+        val updated = r1.updatedRows + r2.updatedRows
+        val feed = T.readChanges(s, wh, "documents", fromVersion = 0L)
+        val feedDel = feed.filter(col("_change_type") === "delete").count()
+        val feedIns = feed.filter(col("_change_type") === "insert").count()
+        T.read(s, wh, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("updated_rows", lit(updated))
+          .withColumn("audit_ok",
+            lit(if (feedDel == updated && feedIns == updated) 1L else 0L))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id BETWEEN 100 AND 199 THEN 'redacted'
+                      ELSE source END AS source,
+                 CASE WHEN doc_id BETWEEN 100 AND 199 THEN 0
+                      WHEN source = 'src7' AND n_chars > 300 THEN n_chars // 2
+                      ELSE n_chars END AS n_chars
+          FROM documents
+        ),
+        cnt AS (
+          SELECT count(*) FILTER (doc_id BETWEEN 100 AND 199)
+               + count(*) FILTER (source = 'src7' AND n_chars > 300
+                                  AND doc_id NOT BETWEEN 100 AND 199) AS c
+          FROM documents
+        )
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST((SELECT c FROM cnt) AS BIGINT) AS updated_rows,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM u
+        GROUP BY source, lang ORDER BY source, lang"""),
+      doc = "UPDATE ... SET copy-on-write: two ordered statements, stats-pruned owner rewrite, CDF pre/post-image pairing audited in-query")
   )
 }

@@ -1,0 +1,74 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Late-interaction multi-vector retrieval (the published ColBERT design,
+  * Khattab & Zaharia 2020): a document is a BAG of token vectors, and the
+  * query-document score is MaxSim — for each query token, the maximum
+  * cosine against the document's tokens, summed over query tokens:
+  *
+  *   score(q, d) = Σ_{i ∈ q} max_{j ∈ d} cos(q_i, d_j)
+  *
+  * This sits between the single-vector leg (one dot per doc, cheapest,
+  * least precise) and cross-encoder reranking (one forward pass per
+  * pair, most precise, most expensive) — token-level interaction at
+  * dot-product cost. The reference serves single-vector + cross-encoder
+  * (ref `src/Connapse.Storage/Search/HybridSearchService.cs`,
+  * `RerankerService.cs`); MaxSim is the published middle tier.
+  *
+  * Execution shape, chosen for 100 TB: the QUERY side is tiny (a handful
+  * of queries × ~32 tokens) and broadcasts; the corpus token table is
+  * scanned ONCE, never re-partitioned. The per-(query, doc, query-token)
+  * max and per-(query, doc) sum are ordinary hash aggregates with
+  * map-side partials, so the shuffle carries one row per (query, doc,
+  * query-token) candidate — not per token pair. At serving scale the
+  * candidate set comes from the single-vector ANN index per query token
+  * (probe, union, hydrate tokens, then MaxSim over candidates only);
+  * this operator scores whatever candidate token table it is given, so
+  * both the exhaustive and the pruned pipelines reuse it.
+  *
+  * Inputs carry (id, vec) columns; norms are hoisted to scalar columns
+  * before the join (the SCALE.md ANN lesson: array-producing HOFs fall
+  * out of codegen — the dot itself is the codegen'd
+  * [[graft.functions.DotProduct]]).
+  */
+object MaxSim {
+
+  /** Score every (query, candidate-doc) pair present after the token
+    * join and return the top-`k` docs per query by MaxSim.
+    *
+    * @param queryTokens (qid, qtok, qvec) — token vectors per query;
+    *                    small (broadcast)
+    * @param docTokens   (did, dvec) — token vectors per corpus doc
+    * @param k           docs returned per query
+    * @param exclude     optional predicate over (qid, did) dropping
+    *                    pairs (e.g. the query doc itself)
+    * @return (qid, did, maxsim, rank) — rank 1..k per qid, determinstic
+    *         tie-break on did
+    */
+  def topK(queryTokens: DataFrame, docTokens: DataFrame, k: Int,
+      exclude: Option[Column] = None): DataFrame = {
+    val q = queryTokens.select(col("qid"), col("qtok"), col("qvec"),
+      sqrt(graft.functions.DotProduct(col("qvec"), col("qvec"))).as("qn"))
+    val d = docTokens.select(col("did"), col("dvec"),
+      sqrt(graft.functions.DotProduct(col("dvec"), col("dvec"))).as("dn"))
+    val joined = d.join(broadcast(q),
+      exclude.getOrElse(col("qid").isNotNull))
+    // zero-magnitude tokens score 0, not NaN (engine-wide convention)
+    val sim = when(col("qn") === 0.0 || col("dn") === 0.0, lit(0.0))
+      .otherwise(graft.functions.DotProduct(col("qvec"), col("dvec")) /
+        (col("qn") * col("dn")))
+    val perQueryToken = joined
+      .withColumn("sim", sim)
+      .groupBy("qid", "did", "qtok")
+      .agg(max("sim").as("tok_max"))
+    val w = Window.partitionBy("qid").orderBy(desc("maxsim"), col("did"))
+    perQueryToken
+      .groupBy("qid", "did")
+      .agg(sum("tok_max").as("maxsim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -218,7 +218,8 @@ object TxLog {
       deletes: Map[String, String] = Map.empty,
       partitionSpecs: Map[String, Seq[String]] = Map.empty,
       dvAdds: Seq[(String, String, String)] = Nil, // (table, dvRel, predSql)
-      dvClears: Seq[String] = Nil): Long =
+      dvClears: Seq[String] = Nil,
+      merges: Map[String, (String, Seq[String])] = Map.empty): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
@@ -268,6 +269,15 @@ object TxLog {
     // change feed can replay the pre-image rows (see readChanges)
     deletes.toSeq.sortBy(_._1).foreach { case (table, predSql) =>
       body ++= s"delete\t$table\t${esc(predSql)}\n"
+    }
+    // a `merge` action marks this commit as a KEYED UPSERT and records
+    // the staged matched-keys sidecar (an exact, bounded key set — an
+    // IN-list predicate would not scale to a large matched set), so the
+    // change feed can replay the pre-image rows by key semi-join
+    merges.toSeq.sortBy(_._1).foreach { case (table, (keysRel, keyCols)) =>
+      require(keyCols.forall(c => !c.contains('\t') && !c.contains(',')),
+        "txlog: merge key column names must be flat")
+      body ++= s"merge\t$table\t${esc(keysRel)}\t${esc(keyCols.mkString(","))}\n"
     }
     // PARTITION EVOLUTION (the Iceberg partition-spec model as a log
     // action): the spec is metadata — changing it never rewrites data;
@@ -383,6 +393,7 @@ object TxLog {
           case Array("schema", table, js) => tableSchemas(table) = unesc(js)
           case Array("tag", name, tv) => tagMap(unesc(name)) = tv.toLong
           case Array("delete", _, _) => () // informational; adds/removes carry the fold
+          case Array("merge", _, _, _) => () // informational; adds/removes/dvs carry the fold
           case Array("partspec", table, cols) =>
             partSpecMap(table) = unesc(cols).split(',').filter(_.nonEmpty).toSeq
           case Array("partspec", table) => partSpecMap(table) = Nil // unpartitioned
@@ -550,13 +561,21 @@ object TxLog {
         val removes = scala.collection.mutable.ArrayBuffer[String]()
         var deletePred: Option[String] = None
         var dvPred: Option[String] = None
+        var mergeKeys: Option[(String, Seq[String])] = None
         readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
           line.split('\t') match {
             case Array("add", t, rel, _) if t == table => newAdds += rel
             case Array("add", t, rel, _, _) if t == table => rewriteAdds += rel
             case Array("remove", t, rel) if t == table => removes += rel
             case Array("delete", t, pred) if t == table => deletePred = Some(unesc(pred))
-            case Array("dv", t, _, pred) if t == table => dvPred = Some(unesc(pred))
+            // a merge commit's dv pred is an informational marker, not
+            // replayable SQL — the merge action below carries the exact
+            // pre-image key set; never hand the marker to expr()
+            case Array("dv", t, _, pred) if t == table && !unesc(pred).startsWith("__merge") =>
+              dvPred = Some(unesc(pred))
+            case Array("merge", t, keysRel, cols) if t == table =>
+              mergeKeys = Some((unesc(keysRel),
+                unesc(cols).split(',').filter(_.nonEmpty).toSeq))
             case _ => ()
           }
         }
@@ -567,6 +586,31 @@ object TxLog {
             .option("basePath", s"$warehouse/$table")
             .parquet(newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"): _*),
             "insert"))
+        mergeKeys match {
+          // KEYED UPSERT (merge): pre-images are the matched target rows
+          // — replayed by semi-joining the staged keys sidecar against
+          // the PRE-merge snapshot (the removed owner files for the
+          // copy-on-write flavor; the whole v-1 table for merge-on-read,
+          // where the mask registered at v is naturally absent from the
+          // v-1 read). Post-images are the commit's plain adds, feeding
+          // as inserts at the same version — delete+insert at one
+          // version, the same downstream-equivalent shape the
+          // transactional-upsert branch below produces. Survivor
+          // rewrites stay excluded. The sidecar obeys vacuum retention
+          // like the data files it describes.
+          case Some((keysRel, kcols)) =>
+            def keysDf = spark.read.parquet(s"$warehouse/$table/$keysRel")
+            val pre: () => DataFrame =
+              if (removes.nonEmpty) { () =>
+                readFileSet(spark, warehouse, table,
+                  snapshot(spark, warehouse, atVersion = v - 1), removes.toSeq)
+                  .join(keysDf, kcols, "left_semi")
+              } else { () =>
+                read(spark, warehouse, table, atVersion = v - 1)
+                  .join(keysDf, kcols, "left_semi")
+              }
+            Some(Seq(Some((v, pre, "delete")), inserts).flatten)
+          case None =>
         deletePred match {
           // ROW-LEVEL DELETE / transactional UPSERT commit: the delete's
           // change rows are the PRE-IMAGES — the removed files' rows
@@ -600,6 +644,7 @@ object TxLog {
           case _ if removes.nonEmpty || (newAdds.isEmpty && rewriteAdds.isEmpty) => None
           case _ if newAdds.isEmpty => None // rewrite-only commit
           case _ => Some(inserts.toSeq)
+        }
         }
       }.flatten
     if (batches.isEmpty) {
@@ -1161,6 +1206,302 @@ object TxLog {
         ((table, dvRel, predSql), owners.values.sum)
     }
   }
+
+  final case class UpdateResult(version: Long, updatedRows: Long,
+      removedFiles: Int, rewrittenFiles: Int)
+
+  /** UPDATE (the published Delta `UPDATE ... SET ... WHERE` copy-on-write
+    * shape): rewrite every row satisfying `predicate` with the `set`
+    * column assignments, in ONE commit — completing the DML triad next to
+    * [[deleteWhere]] and [[merge]]. Owner files are found by the same
+    * three pruning tiers as deleteWhere (cost ∝ files CONTAINING matches,
+    * never table size); unmatched rows in owner files are rewritten
+    * untouched as survivor adds, and matched rows are written WITH the
+    * assignments applied as plain adds — so the change feed replays the
+    * statement as delete pre-images + insert post-images at one version
+    * (Delta's update_preimage/update_postimage pairs, in this log's
+    * two-type grammar). `set` expressions must reference existing
+    * columns; assignments to columns the logged schema does not know are
+    * rejected (evolve the schema first). SQL null semantics: a null
+    * predicate leaves the row unchanged. Returns None — no version
+    * burned — when nothing matches.
+    */
+  def updateWhere(spark: SparkSession, warehouse: String, table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[UpdateResult] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(set.nonEmpty, "txlog: updateWhere needs at least one SET assignment")
+    val snap = snapshot(spark, warehouse)
+    snap.schemaOf(table).foreach { st =>
+      val known = st.fieldNames.toSet ++
+        snap.files(table).map(_._1).flatMap(layoutShape)
+      val unknown = set.keys.filterNot(known.contains)
+      require(unknown.isEmpty,
+        s"txlog: updateWhere assigns column(s) ${unknown.mkString(", ")} the " +
+          "logged schema does not know — commit the schema evolution first")
+    }
+    planDelete(spark, warehouse, table, snap, predicate).map {
+      case (predSql, candidates, owners) =>
+        val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
+        val ownerRels = ownerFiles.map(_._1)
+        val ownerGen = ownerFiles.map(_._2).max
+        val ownerRows = readFileSet(spark, warehouse, table, snap, ownerRels)
+        // survivors: rows the predicate does NOT match, byte-identical
+        val survivorAdds = stageWrite(
+          ownerRows.filter(not(coalesce(predicate, lit(false)))),
+          warehouse, table, partitionBy, generation = ownerGen,
+          statsCols = statsCols, bloomCols = bloomCols)
+          .map(_.copy(rewrite = true))
+        // post-images: matched rows with the assignments applied, staged
+        // as PLAIN adds so the feed sees them as inserts
+        val postImages = set.foldLeft(
+          ownerRows.filter(coalesce(predicate, lit(false)))) {
+            case (df, (c, e)) => df.withColumn(c, e) }
+          .select(ownerRows.columns.map(col).toIndexedSeq: _*)
+        val postAdds = stageWrite(postImages, warehouse, table, partitionBy,
+          generation = snap.maxGeneration(table) + 1,
+          statsCols = statsCols, bloomCols = bloomCols)
+        val v = commit(spark, warehouse, survivorAdds ++ postAdds,
+          ownerFiles.map { case (rel, _) => Remove(table, rel) },
+          deletes = Map(table -> predSql))
+        spark.catalog.refreshByPath(s"$warehouse/$table")
+        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+        UpdateResult(v, owners.values.sum,
+          ownerFiles.size, survivorAdds.size)
+    }
+  }
+
+  final case class MergeResult(version: Long, matchedRows: Long,
+      writtenRows: Long, removedFiles: Int, rewrittenFiles: Int)
+
+  /** MERGE (the published Delta `MERGE INTO ... USING ... ON keys` upsert,
+    * copy-on-write flavor): for every source row whose key matches a live
+    * target row, REPLACE the target row with the source row (or DELETE it
+    * when `whenMatchedDelete` holds on the source row); source rows with
+    * no match INSERT. One commit, atomically — the statement-level twin of
+    * the generation-stamped append upsert (which relies on readers
+    * resolving last-writer-wins; merge physically converges the table).
+    * This is the batch-upsert shape a 100 TB warehouse runs on every
+    * delta load: cost ∝ files CONTAINING matches + source size, never a
+    * table rewrite.
+    *
+    * Owner files are found by the same three pruning tiers as
+    * [[deleteWhere]], driven from the SOURCE KEY SET instead of a
+    * predicate: (1) log-level — the source keys' bounding box runs
+    * against per-file min/max stats, and (for key sets up to a bounded
+    * driver budget) the distinct key values probe partition dirs and
+    * Bloom sketches; (2) scan-level — one column-pruned, DV-aware
+    * semi-join over the candidates finds files actually holding matches;
+    * (3) only true owners are rewritten down to their non-matched
+    * survivors. The source must be key-unique (two source rows matching
+    * one target row would make the result order-dependent — rejected up
+    * front, the Delta contract); rows with a null key never match (SQL
+    * equality) and always insert.
+    *
+    * CHANGE FEED: the commit carries a `merge` action pointing at a
+    * staged MATCHED-KEYS sidecar (exact and bounded — an IN-list
+    * predicate cannot scale to a large matched set), so [[readChanges]]
+    * replays matched pre-images as `delete` rows and the commit's plain
+    * adds as `insert` post-images at one version — downstream-equivalent
+    * to Delta's update_preimage/update_postimage pairs. Concurrency,
+    * time travel, and vacuum behave exactly as [[deleteWhere]] documents.
+    *
+    * Returns the committed version with matched/written row counts; a
+    * source with no matching keys degrades to a plain append (no
+    * rewrite, no sidecar).
+    */
+  def merge(spark: SparkSession, warehouse: String, table: String,
+      source: DataFrame, keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): MergeResult =
+    mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
+      statsCols, bloomCols, whenMatchedDelete, copyOnWrite = true)
+
+  /** MERGE-ON-READ flavor of [[merge]] (the deletion-vector half, like
+    * [[deleteWhereDV]] vs [[deleteWhere]]): matched target rows are
+    * masked by a deletion vector instead of rewritten — merge cost is
+    * O(matches) metadata + the source append, NO data rewrite; reads pay
+    * the mask anti-join until [[compact]] materializes it. The shape for
+    * frequent small delta loads over huge files. Feed/time-travel/vacuum
+    * semantics identical to [[merge]].
+    */
+  def mergeDV(spark: SparkSession, warehouse: String, table: String,
+      source: DataFrame, keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): MergeResult =
+    mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
+      statsCols, bloomCols, whenMatchedDelete, copyOnWrite = false)
+
+  /** Driver budget for shipping distinct source-key values into
+    * partition-dir and Bloom probes (tier 1). Beyond it the equality
+    * tiers are skipped and pruning falls back to the bounding box —
+    * never an error, just coarser pruning. */
+  private val MergeProbeCap = 10000
+
+  private def mergeImpl(spark: SparkSession, warehouse: String, table: String,
+      source: DataFrame, keyCols: Seq[String],
+      partitionBy: Seq[String], statsCols: Seq[String], bloomCols: Seq[String],
+      whenMatchedDelete: Option[org.apache.spark.sql.Column],
+      copyOnWrite: Boolean): MergeResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, max, min, split}
+    require(keyCols.nonEmpty, "txlog: merge needs at least one key column")
+    val missingKeys = keyCols.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"txlog: merge source lacks key column(s) ${missingKeys.mkString(", ")}")
+    val base = s"$warehouse/$table"
+    // materialize the source once: it is read by several jobs below, and
+    // a nondeterministic source re-evaluated per job could match one key
+    // set and insert another
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcRows = src.count()
+      if (srcRows == 0) return MergeResult(-1L, 0L, 0L, 0, 0) // no version burned
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      if (srcKeys.count() != srcRows)
+        throw new IllegalArgumentException(
+          s"txlog: merge source has duplicate keys on (${keyCols.mkString(", ")}) " +
+            "— two source rows matching one target row would make the result " +
+            "order-dependent; de-duplicate the source first")
+      val snap = snapshot(spark, warehouse)
+      val files = snap.files(table)
+      // the logged schema (when present) pins the table's columns: a
+      // source carrying columns the log does not know would silently
+      // vanish under the schema-applied read — evolve the schema first
+      snap.schemaOf(table).foreach { st =>
+        val known = st.fieldNames.toSet ++
+          files.map(_._1).flatMap(layoutShape)
+        val extra = src.columns.filterNot(known.contains)
+        require(extra.isEmpty,
+          s"txlog: merge source carries column(s) ${extra.mkString(", ")} the " +
+            "logged schema does not know — commit the schema evolution first")
+      }
+      val nextGen = snap.maxGeneration(table) + 1
+      def finish(adds: Seq[Add], removes: Seq[Remove],
+          dvAdds: Seq[(String, String, String)],
+          merges: Map[String, (String, Seq[String])],
+          matched: Long, written: Long): MergeResult = {
+        val v = commit(spark, warehouse, adds, removes,
+          dvAdds = dvAdds, merges = merges)
+        spark.catalog.refreshByPath(base)
+        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+        MergeResult(v, matched, written,
+          removes.size, adds.count(_.rewrite))
+      }
+      def pureInsert(): MergeResult =
+        finish(stageWrite(src, warehouse, table, partitionBy, nextGen,
+          statsCols, bloomCols), Nil, Nil, Map.empty, 0L, srcRows)
+      if (files.isEmpty) return pureInsert()
+      // ---- tier 1: log-level pruning from the source key set ----
+      val boundAggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+      val boundsRow = src.agg(boundAggs.head, boundAggs.tail: _*).head()
+      val rangeConstraints = keyCols.zipWithIndex.flatMap { case (k, i) =>
+        val mn = boundsRow.get(2 * i); val mx = boundsRow.get(2 * i + 1)
+        if (mn == null || mx == null) Nil // all-null key col: nothing matches on it
+        else Seq((k, "ge", mn), (k, "le", mx))
+      }
+      val probeConstraints = keyCols.flatMap { k =>
+        val vals = srcKeys.select(col(k)).na.drop()
+          .distinct().limit(MergeProbeCap + 1).collect().map(_.get(0)).toSeq
+        if (vals.nonEmpty && vals.size <= MergeProbeCap) Some((k, "in", vals)) else None
+      }
+      val candidates = files.filter { case (rel, _) =>
+        fileMayMatch(snap, table, rel, rangeConstraints ++ probeConstraints) }
+      if (candidates.isEmpty) return pureInsert()
+      // ---- tier 2: owner files + matched-row counts (DV-aware) ----
+      def reader = snap.schemaOf(table) match {
+        case Some(st) => spark.read.schema(st)
+        case None => spark.read
+      }
+      val tablePath = new Path(warehouse, table).toUri.getPath
+      val dv = dvFrame(spark, warehouse, table, snap)
+      def ownerScan(rels: Seq[String]): DataFrame = {
+        // materialize the metadata columns as visible columns BEFORE any
+        // join: `_metadata` is a per-relation pseudo-column and must not
+        // be relied on to survive join resolution
+        val scan0 = reader.option("basePath", base)
+          .parquet(rels.map(r => s"$base/$r"): _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__dv_fname",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__dv_row", col("_metadata.row_index"))
+        dv.fold(scan0)(mask => scan0.join(mask,
+          col("__dv_fname") === mask("fname") &&
+            col("__dv_row") === mask("row_index"), "left_anti"))
+      }
+      val layoutGroups = candidates.map(_._1).groupBy(layoutShape).toSeq
+        .sortBy(_._1.mkString(","))
+      val owners: Map[String, Long] = layoutGroups.flatMap { case (_, rels) =>
+        ownerScan(rels).join(srcKeys, keyCols, "left_semi")
+          .groupBy(col("__file").as("_f")).count()
+          .collect()
+          .map { r =>
+            val rel = new Path(r.getString(0)).toUri.getPath
+              .stripPrefix(tablePath).stripPrefix("/")
+            rel -> r.getLong(1)
+          }
+      }.toMap
+      if (owners.isEmpty) return pureInsert()
+      val matchedRows = owners.values.sum
+      val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
+      val ownerRels = ownerFiles.map(_._1)
+      // ---- matched-keys sidecar: the exact pre-image key set ----
+      val matchedKeys = readFileSet(spark, warehouse, table, snap, ownerRels)
+        .join(srcKeys, keyCols, "left_semi")
+        .select(keyCols.map(col): _*).distinct()
+      val keysRel = s".merge/${java.util.UUID.randomUUID()}"
+      matchedKeys.coalesce(1).write.parquet(s"$base/$keysRel")
+      val matchedKeysDf = spark.read.parquet(s"$base/$keysRel")
+      // ---- source split: matched rows under whenMatchedDelete drop ----
+      val sourceOut = whenMatchedDelete match {
+        case Some(cond) =>
+          val deleteKeys = src.join(matchedKeysDf, keyCols, "left_semi")
+            .filter(coalesce(cond, lit(false)))
+            .select(keyCols.map(col): _*)
+          src.join(deleteKeys, keyCols, "left_anti")
+        case None => src
+      }
+      val outAdds = stageWrite(sourceOut, warehouse, table, partitionBy,
+        nextGen, statsCols, bloomCols)
+      val writtenRows = outAdds.map(a => fileRowCount(spark, base, a.relPath)).sum
+      if (copyOnWrite) {
+        // ---- tier 3: rewrite owners down to non-matched survivors ----
+        val survivors = readFileSet(spark, warehouse, table, snap, ownerRels)
+          .join(srcKeys, keyCols, "left_anti")
+        val survivorAdds = stageWrite(survivors, warehouse, table, partitionBy,
+          generation = ownerFiles.map(_._2).max,
+          statsCols = statsCols, bloomCols = bloomCols)
+          .map(_.copy(rewrite = true))
+        finish(survivorAdds ++ outAdds,
+          ownerFiles.map { case (rel, _) => Remove(table, rel) },
+          Nil, Map(table -> ((keysRel, keyCols))), matchedRows, writtenRows)
+      } else {
+        // ---- merge-on-read: mask the matched rows, rewrite nothing ----
+        val masks = layoutGroups
+          .map { case (_, rels) => rels.filter(owners.contains) }
+          .filter(_.nonEmpty)
+          .map { rels =>
+            ownerScan(rels).join(srcKeys, keyCols, "left_semi")
+              .select(col("__dv_fname").as("fname"), col("__dv_row").as("row_index"))
+          }.reduce(_.unionByName(_))
+        val dvRel = s".dv/${java.util.UUID.randomUUID()}"
+        masks.coalesce(1).write.parquet(s"$base/$dvRel")
+        finish(outAdds, Nil,
+          Seq((table, dvRel, s"__merge keys=$keysRel on ${keyCols.mkString(",")}")),
+          Map(table -> ((keysRel, keyCols))), matchedRows, writtenRows)
+      }
+    } finally src.unpersist()
+  }
+
+  /** Row count of one staged file from its parquet footer (metadata-only). */
+  private def fileRowCount(spark: SparkSession, base: String, rel: String): Long =
+    rowCount(spark.sparkContext.hadoopConfiguration, new Path(s"$base/$rel"))
 
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):
     * roll the whole warehouse's live file set back to what `toVersion`

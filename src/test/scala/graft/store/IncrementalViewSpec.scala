@@ -75,6 +75,40 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(IncrementalView.consumedVersion(spark, wh, "agg") >= 5L)
   }
 
+  test("view == full recompute through merge (both flavors) and updateWhere commits") {
+    import org.apache.spark.sql.functions.lit
+    val wh = java.nio.file.Files.createTempDirectory("graft-iview-dml").toString
+    def recompute() = TxLog.read(spark, wh, "t").groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+    def viewState() = TxLog.read(spark, wh, "agg")
+      .as[(String, Long, Long)].collect().toSet
+    def refreshAndPin(tag: String): Unit = {
+      IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+      assert(viewState() == recompute(), s"view diverged after $tag")
+    }
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df((0L until 20L).map(i => (i, s"k${i % 3}", i))).coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id")))
+    refreshAndPin("initial append")
+    // copy-on-write merge: update id=1 (k flips group), tombstone id=2, insert id=50
+    TxLog.merge(spark, wh, "t",
+      df(Seq((1L, "k9", 500L), (2L, "k0", -1L), (50L, "k9", 50L))),
+      Seq("id"), statsCols = Seq("id"),
+      whenMatchedDelete = Some(col("v") < 0L))
+    refreshAndPin("CoW merge")
+    assert(viewState().exists(_._1 == "k9"))
+    // merge-on-read flavor
+    TxLog.mergeDV(spark, wh, "t",
+      df(Seq((3L, "k9", 300L), (51L, "k9", 51L))), Seq("id"))
+    refreshAndPin("MoR merge")
+    // updateWhere: post-images re-feed under the new values
+    TxLog.updateWhere(spark, wh, "t", col("k") === "k9",
+      Map("v" -> (col("v") + 1000L)), statsCols = Seq("id")).get
+    refreshAndPin("updateWhere")
+  }
+
   test("null grouping keys are one group: deltas merge null-safely, never accrete") {
     val wh = java.nio.file.Files.createTempDirectory("graft-iview3").toString
     val rows1 = Seq((1L, null.asInstanceOf[String], 5L), (2L, "k1", 7L))

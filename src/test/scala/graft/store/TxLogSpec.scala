@@ -949,4 +949,209 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, wh).version == before)
     assert(TxLog.read(spark, wh, "chunks").count() == 5)
   }
+
+  // ---- UPDATE (updateWhere) ---------------------------------------------
+
+  test("updateWhere rewrites only owners; set applied; feed = pre-image delete + post-image insert") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val wh = freshWh()
+    // two files with disjoint id stats: the high file must never be touched
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L to 9L).map(i => (i, s"b$i")).toDF("id", "body").coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id")))
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (100L to 109L).map(i => (i, s"b$i")).toDF("id", "body").coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id")))
+    val v0 = TxLog.snapshot(spark, wh).version
+    val r = TxLog.updateWhere(spark, wh, "t", col("id") < 3L,
+      Map("body" -> concat(lit("upd-"), col("body"))),
+      statsCols = Seq("id")).get
+    assert(r.updatedRows == 3 && r.removedFiles == 1)
+    val after = TxLog.read(spark, wh, "t")
+    assert(after.count() == 20)
+    assert(after.filter(col("id") === 1L).head.getString(1) == "upd-b1")
+    assert(after.filter(col("id") === 5L).head.getString(1) == "b5")
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("id", "body").collect()
+    assert(dels.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(dels.forall(_.getString(1).startsWith("b")), "pre-images carry OLD values")
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("id", "body").collect()
+    assert(ins.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(ins.forall(_.getString(1).startsWith("upd-")), "post-images carry NEW values")
+    // no match: no version burned
+    assert(TxLog.updateWhere(spark, wh, "t", col("id") === 999L,
+      Map("body" -> lit("x"))).isEmpty)
+  }
+
+  test("updateWhere rejects assignments to columns the logged schema does not know") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = freshWh()
+    val d0 = (0L to 4L).map(i => (i, s"b$i")).toDF("id", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(d0, wh, "t", Nil, 1),
+      schemas = Map("t" -> d0.schema))
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, wh, "t", col("id") < 2L,
+        Map("brand_new" -> lit("x")))
+    }
+    assert(TxLog.read(spark, wh, "t").count() == 5)
+  }
+
+  // ---- MERGE (keyed upsert) ---------------------------------------------
+
+  private def kv(rows: Seq[(Long, String)], gen: Long) =
+    rows.map { case (id, t) => (id, t, gen) }.toDF("id", "body", "generation")
+
+  test("merge updates matched, inserts unmatched, rewrites ONLY owner files") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // two files with disjoint id ranges: stats prune the high file
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 9L).map(i => i -> s"old$i"), 1).coalesce(1), wh, "t", Nil, 1,
+      statsCols = Seq("id")))
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((100L to 109L).map(i => i -> s"old$i"), 1).coalesce(1), wh, "t", Nil, 1,
+      statsCols = Seq("id")))
+    val untouched = TxLog.snapshot(spark, wh).files("t")
+      .map(_._1).filter(_ => true).toSet
+    val src = kv(Seq(3L -> "new3", 7L -> "new7", 200L -> "new200"), 2)
+    val r = TxLog.merge(spark, wh, "t", src, Seq("id"), statsCols = Seq("id"))
+    assert(r.matchedRows == 2 && r.writtenRows == 3)
+    assert(r.removedFiles == 1, "only the low-range owner file is rewritten")
+    val after = TxLog.read(spark, wh, "t")
+    assert(after.count() == 21)
+    assert(after.filter(col("id") === 3L).select("body").head.getString(0) == "new3")
+    assert(after.filter(col("id") === 200L).count() == 1)
+    // the pruned high-range file is still live, byte-identical
+    val liveAfter = TxLog.snapshot(spark, wh).files("t").map(_._1).toSet
+    assert(untouched.intersect(liveAfter).size == 1)
+  }
+
+  test("merge with no matching keys degrades to a plain append; empty source burns no version") {
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 4L).map(i => i -> s"v$i"), 1), wh, "t", Nil, 1, statsCols = Seq("id")))
+    val before = TxLog.snapshot(spark, wh)
+    val r = TxLog.merge(spark, wh, "t",
+      kv(Seq(50L -> "x", 51L -> "y"), 2), Seq("id"), statsCols = Seq("id"))
+    assert(r.matchedRows == 0 && r.writtenRows == 2 && r.removedFiles == 0)
+    assert(TxLog.read(spark, wh, "t").count() == 7)
+    assert(before.files("t").toSet.subsetOf(
+      TxLog.snapshot(spark, wh).files("t").toSet), "no rewrite happened")
+    val rEmpty = TxLog.merge(spark, wh, "t", kv(Nil, 3), Seq("id"))
+    assert(rEmpty.version == -1L)
+    assert(TxLog.snapshot(spark, wh).version == r.version)
+  }
+
+  test("merge change feed: matched pre-images delete + post-image inserts at ONE version") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 9L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    val v0 = TxLog.snapshot(spark, wh).version
+    val r = TxLog.merge(spark, wh, "t",
+      kv(Seq(2L -> "new2", 5L -> "new5", 77L -> "new77"), 2), Seq("id"))
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("id", "body", "_commit_version").collect()
+    assert(dels.map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
+    assert(dels.forall(_.getString(1).startsWith("old")), "pre-images carry OLD values")
+    assert(dels.forall(_.getLong(2) == r.version))
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("id", "body", "_commit_version").collect()
+    assert(ins.map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L, 77L))
+    assert(ins.forall(_.getString(1).startsWith("new")), "post-images carry NEW values")
+    assert(ins.forall(_.getLong(2) == r.version), "delete+insert at one version")
+    // survivor rewrites never feed
+    assert(feed.count() == 5)
+  }
+
+  test("mergeDV rewrites nothing: masked reads, same result and feed as copy-on-write") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 9L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    val liveBefore = TxLog.snapshot(spark, wh).files("t").map(_._1).toSet
+    val v0 = TxLog.snapshot(spark, wh).version
+    val r = TxLog.mergeDV(spark, wh, "t",
+      kv(Seq(2L -> "new2", 77L -> "new77"), 2), Seq("id"))
+    assert(r.matchedRows == 1 && r.removedFiles == 0 && r.rewrittenFiles == 0)
+    // original data files all still live (mask + appended file only)
+    assert(liveBefore.subsetOf(TxLog.snapshot(spark, wh).files("t").map(_._1).toSet))
+    assert(TxLog.snapshot(spark, wh).dvsOf("t").nonEmpty)
+    val after = TxLog.read(spark, wh, "t")
+    assert(after.count() == 11)
+    assert(after.filter(col("id") === 2L).collect().map(_.getString(1)).toSeq == Seq("new2"))
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+    assert(feed.filter(col("_change_type") === "delete")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "old2")))
+    assert(feed.filter(col("_change_type") === "insert").count() == 2)
+  }
+
+  test("merge whenMatchedDelete: flagged matches vanish — not updated, not reinserted") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 9L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    // source: id=1 tombstone, id=2 update, id=50 insert
+    val src = Seq((1L, "", true, 2L), (2L, "new2", false, 2L), (50L, "new50", false, 2L))
+      .toDF("id", "body", "_tombstone", "generation")
+    val r = TxLog.merge(spark, wh, "t", src, Seq("id"),
+      whenMatchedDelete = Some(col("_tombstone")))
+    assert(r.matchedRows == 2 && r.writtenRows == 2)
+    val after = TxLog.read(spark, wh, "t")
+    assert(after.count() == 10) // 10 - 1 tombstoned - 1 replaced + 2 written
+    assert(after.filter(col("id") === 1L).count() == 0)
+    assert(after.filter(col("id") === 2L).select("body").head.getString(0) == "new2")
+    // an UNMATCHED tombstone row inserts (whenMatchedDelete is matched-only)
+    assert(after.filter(col("id") === 50L).count() == 1)
+  }
+
+  test("merge rejects a source with duplicate keys; composite keys and null keys behave") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "a", "x1"), (1L, "b", "x2"), (2L, "a", "x3"))
+      .toDF("k1", "k2", "v")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1))
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, wh, "t",
+        Seq((1L, "a", "p"), (1L, "a", "q")).toDF("k1", "k2", "v"),
+        Seq("k1", "k2"))
+    }
+    // composite key: only (1,a) matches; null-keyed source row inserts
+    val src = Seq((java.lang.Long.valueOf(1L), "a", "upd"),
+      (null.asInstanceOf[java.lang.Long], "z", "nullkey"))
+      .toDF("k1", "k2", "v")
+    val r = TxLog.merge(spark, wh, "t", src, Seq("k1", "k2"))
+    assert(r.matchedRows == 1 && r.writtenRows == 2)
+    val after = TxLog.read(spark, wh, "t")
+    assert(after.count() == 4)
+    assert(after.filter(col("k1") === 1L && col("k2") === "a")
+      .select("v").head.getString(0) == "upd")
+    assert(after.filter(col("k1").isNull).count() == 1)
+  }
+
+  test("merge vacuum interplay: time travel and feed replay survive until retention expires") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 9L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    val v0 = TxLog.snapshot(spark, wh).version
+    TxLog.merge(spark, wh, "t", kv(Seq(3L -> "new3"), 2), Seq("id"))
+    // pre-merge time travel still reads the old row; feed replays
+    assert(TxLog.read(spark, wh, "t", atVersion = v0)
+      .filter(col("id") === 3L).head.getString(1) == "old3")
+    assert(TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      .filter(col("_change_type") === "delete").count() == 1)
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    // removed owner file and the keys sidecar are reclaimed: historical
+    // replay now fails LOUDLY rather than returning a partial answer
+    intercept[Exception] {
+      TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+        .filter(col("_change_type") === "delete").count()
+    }
+    // the live table is untouched
+    assert(TxLog.read(spark, wh, "t").count() == 10)
+  }
 }
