@@ -1102,7 +1102,108 @@ object AnnQueries {
           .orderBy("step")
       },
       Some(mmrReplayOracle(5, 0.7)),
-      doc = "MMR diversification: every greedy step replayed by the DuckDB oracle (order-exact)")
+      doc = "MMR diversification: every greedy step replayed by the DuckDB oracle (order-exact)"),
+
+    QueryDef(
+      "q149_maxsim_colbert",
+      (s, d) => {
+        // Late-interaction multi-vector retrieval (search/MaxSim, the
+        // published ColBERT design — Khattab & Zaharia 2020): documents
+        // are BAGS of token vectors, score(q,d) = Σ_i max_j cos(q_i,d_j).
+        // The harness derives a multi-vector corpus from the embeddings
+        // table (5 consecutive vec_ids = one doc's tokens) and runs the
+        // exhaustive MaxSim top-5 for 3 queries. Scale shape: query
+        // tokens broadcast, ONE corpus token scan, per-(q,doc,qtok) max
+        // and per-(q,doc) sum as partial-agg hash aggregates — the
+        // shuffle carries candidates, never token pairs; at serving
+        // scale candidates come from the ANN index per query token and
+        // the operator scores only those. Ranking uses the 6-dp-rounded
+        // score (float sum order is nondeterministic across partials);
+        // the cosine kernel is the codegen DotProduct, bit-identical to
+        // DuckDB's list_dot_product fold, which makes the replay exact.
+        val t = table(s, d, "embeddings")
+          .select((col("vec_id") / 5).cast("long").as("did"),
+            (col("vec_id") % 5).cast("long").as("tok"),
+            col("embedding").as("v"))
+        val qTok = t.filter(col("did") < 3)
+          .select(col("did").as("qid"), col("tok").as("qtok"), col("v").as("qvec"))
+        val dTok = t.select(col("did"), col("v").as("dvec"))
+        graft.search.MaxSim.topK(qTok, dTok, k = 5,
+            exclude = Some(col("qid") =!= col("did")), roundTo = Some(6))
+          .select(col("qid"), col("did"),
+            (round(col("maxsim"), 6) + 0.0).as("maxsim"), col("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH t AS (SELECT vec_id // 5 AS did, vec_id % 5 AS tok,
+                          CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+             q AS (SELECT did qid, tok qtok, v qv FROM t WHERE did < 3),
+             tokmax AS (SELECT qid, d.did, qtok,
+                               max(${cosDuck("qv", "d.v")}) m
+                        FROM q JOIN t d ON d.did <> qid
+                        GROUP BY qid, d.did, qtok),
+             score AS (SELECT qid, did, sum(m) AS raw
+                       FROM tokmax GROUP BY qid, did),
+             ranked AS (SELECT qid, did, round(raw, 6) + 0.0 AS maxsim,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY round(raw, 6) DESC, did) rank
+                        FROM score)
+        SELECT qid, did, maxsim, rank
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "ColBERT MaxSim late interaction: multi-vector top-k, token-max + doc-sum partial aggregates, DuckDB-replayed exactly"),
+
+    QueryDef(
+      "q150_hard_negatives",
+      (s, d) => {
+        // Hard-negative MINING for contrastive dense-retriever training
+        // (the published DPR/ANCE recipe — Karpukhin 2020, Xiong 2021):
+        // for each query vector, the hardest negatives are its nearest
+        // neighbors with a DIFFERENT label (same-label neighbors are
+        // positives and must be excluded, or training collapses). Emits
+        // (query, negative, sim, rank) triples — the training-pair
+        // manifest a 100 TB pipeline materializes before every retriever
+        // fine-tune. Shape = q28's broadcast-queries top-k with a label
+        // anti-predicate pushed into the join; at scale the candidate
+        // set comes from the ANN index (over-fetch k, filter labels,
+        // keep k) and the mining is the same ranking over candidates.
+        val e = table(s, d, "embeddings")
+        val corpus = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+          col("embedding").as("vn"),
+          sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))).as("nn"))
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("vq"),
+            sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))).as("nq"))
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
+        corpus.join(broadcast(queries),
+            col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
+          .withColumn("sim",
+            graft.functions.DotProduct(col("vq"), col("vn")) / (col("nq") * col("nn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+            col("nid"), col("nlabel").cast("long").as("nlabel"),
+            (round(col("sim"), 6) + 0.0).as("hard_neg_sim"), col("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id qid, label qlabel,
+                          CAST(embedding AS DOUBLE[]) vq
+                   FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id nid, label nlabel,
+                          CAST(embedding AS DOUBLE[]) vn
+                   FROM embeddings),
+             scored AS (SELECT qid, qlabel, nid, nlabel,
+                               ${cosDuck("vq", "vn")} sim,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY ${cosDuck("vq", "vn")} DESC, nid) rank
+                        FROM q JOIN c ON qid <> nid AND qlabel <> nlabel)
+        SELECT qid, CAST(qlabel AS BIGINT) AS qlabel, nid,
+               CAST(nlabel AS BIGINT) AS nlabel,
+               round(sim, 6) + 0.0 AS hard_neg_sim, rank
+        FROM scored WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "hard-negative mining: per-query top-k nearest wrong-label neighbors, the contrastive-training manifest op")
   )
 
   /** Unrolled MMR replay oracle (the q119 pattern): s1..sK CTEs each

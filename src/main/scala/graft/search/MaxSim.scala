@@ -45,11 +45,17 @@ object MaxSim {
     * @param k           docs returned per query
     * @param exclude     optional predicate over (qid, did) dropping
     *                    pairs (e.g. the query doc itself)
-    * @return (qid, did, maxsim, rank) — rank 1..k per qid, determinstic
+    * @param roundTo     rank on the score ROUNDED to this many decimals
+    *                    (the per-doc sum's float addition order is
+    *                    nondeterministic across partial aggregates, so a
+    *                    reproducible ranking must absorb the last-ulp
+    *                    drift; None ranks on the raw score)
+    * @return (qid, did, maxsim, rank) — rank 1..k per qid, deterministic
     *         tie-break on did
     */
   def topK(queryTokens: DataFrame, docTokens: DataFrame, k: Int,
-      exclude: Option[Column] = None): DataFrame = {
+      exclude: Option[Column] = None,
+      roundTo: Option[Int] = None): DataFrame = {
     val q = queryTokens.select(col("qid"), col("qtok"), col("qvec"),
       sqrt(graft.functions.DotProduct(col("qvec"), col("qvec"))).as("qn"))
     val d = docTokens.select(col("did"), col("dvec"),
@@ -64,7 +70,8 @@ object MaxSim {
       .withColumn("sim", sim)
       .groupBy("qid", "did", "qtok")
       .agg(max("sim").as("tok_max"))
-    val w = Window.partitionBy("qid").orderBy(desc("maxsim"), col("did"))
+    val rankKey = roundTo.fold(col("maxsim"))(p => round(col("maxsim"), p))
+    val w = Window.partitionBy("qid").orderBy(rankKey.desc, col("did"))
     perQueryToken
       .groupBy("qid", "did")
       .agg(sum("tok_max").as("maxsim"))

@@ -1,0 +1,49 @@
+package graft.search
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MaxSim late-interaction contract: the score is Σ over query tokens of
+  * the max cosine against the doc's tokens — pinned against a hand
+  * computation on vectors chosen so every cosine is exact in floating
+  * point (axis-aligned and 45° vectors).
+  */
+class MaxSimSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val s2 = (1.0f / math.sqrt(2.0).toFloat)
+
+  test("maxsim == sum of per-query-token maxes; exclusion and ranking hold") {
+    // query q0: tokens e_x and e_y
+    val q = Seq((0L, 0L, Array(1f, 0f)), (0L, 1L, Array(0f, 1f)))
+      .toDF("qid", "qtok", "qvec")
+    // doc 1: e_x and e_y  -> 1 + 1 = 2
+    // doc 2: (s2,s2) only -> s2 + s2 = sqrt(2)
+    // doc 3: e_x only     -> 1 + 0 = 1
+    val docs = Seq(
+      (1L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(s2, s2)),
+      (3L, Array(1f, 0f)), (3L, Array(0f, -1f))
+    ).toDF("did", "dvec")
+    val out = MaxSim.topK(q, docs, k = 3).orderBy("rank")
+      .select("did", "maxsim").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out(0)._2 - 2.0) < 1e-9)
+    assert(math.abs(out(1)._2 - math.sqrt(2.0)) < 1e-6)
+    assert(math.abs(out(2)._2 - 1.0) < 1e-9)
+    // exclusion drops the pair entirely
+    val excl = MaxSim.topK(q, docs, k = 3,
+      exclude = Some(col("did") =!= 1L)).select("did")
+      .as[Long].collect().toSet
+    assert(excl == Set(2L, 3L))
+  }
+
+  test("zero-magnitude tokens score 0, never NaN") {
+    val q = Seq((0L, 0L, Array(0f, 0f))).toDF("qid", "qtok", "qvec")
+    val docs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 0f))).toDF("did", "dvec")
+    val out = MaxSim.topK(q, docs, k = 2).select("maxsim").as[Double].collect()
+    assert(out.forall(_ == 0.0))
+  }
+}
