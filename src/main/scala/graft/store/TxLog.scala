@@ -1318,9 +1318,25 @@ object TxLog {
       partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): MergeResult =
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      /** Tags riding the merge's OWN commit — the atomic transaction
+        * marker [[graft.streaming.TxLogSink]] needs for exactly-once
+        * streaming upserts (a separate tag commit would leave a crash
+        * window where a replayed batch double-applies its tombstones). */
+      txnTags: Map[String, Long] = Map.empty,
+      /** Delta's `whenNotMatchedInsert` CONDITION: an unmatched source
+        * row inserts only when this evaluates strictly true (null drops
+        * it). None = insert every unmatched row. A CDC-apply sink passes
+        * NOT(tombstone) here so a delete event whose target is already
+        * gone is a no-op instead of an insert. */
+      insertUnmatched: Option[org.apache.spark.sql.Column] = None,
+      /** Control columns (e.g. a CDC tombstone flag) consumed by the
+        * conditions above but DROPPED from the written rows — they never
+        * land in the table. */
+      dropCols: Seq[String] = Nil): MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
-      statsCols, bloomCols, whenMatchedDelete, copyOnWrite = true)
+      statsCols, bloomCols, whenMatchedDelete, copyOnWrite = true, txnTags,
+      insertUnmatched, dropCols)
 
   /** MERGE-ON-READ flavor of [[merge]] (the deletion-vector half, like
     * [[deleteWhereDV]] vs [[deleteWhere]]): matched target rows are
@@ -1335,9 +1351,13 @@ object TxLog {
       partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): MergeResult =
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      txnTags: Map[String, Long] = Map.empty,
+      insertUnmatched: Option[org.apache.spark.sql.Column] = None,
+      dropCols: Seq[String] = Nil): MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
-      statsCols, bloomCols, whenMatchedDelete, copyOnWrite = false)
+      statsCols, bloomCols, whenMatchedDelete, copyOnWrite = false, txnTags,
+      insertUnmatched, dropCols)
 
   /** Driver budget for shipping distinct source-key values into
     * partition-dir and Bloom probes (tier 1). Beyond it the equality
@@ -1349,9 +1369,14 @@ object TxLog {
       source: DataFrame, keyCols: Seq[String],
       partitionBy: Seq[String], statsCols: Seq[String], bloomCols: Seq[String],
       whenMatchedDelete: Option[org.apache.spark.sql.Column],
-      copyOnWrite: Boolean): MergeResult = {
-    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, max, min, split}
+      copyOnWrite: Boolean,
+      txnTags: Map[String, Long] = Map.empty,
+      insertUnmatched: Option[org.apache.spark.sql.Column] = None,
+      dropCols: Seq[String] = Nil): MergeResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, max, min, not, split}
     require(keyCols.nonEmpty, "txlog: merge needs at least one key column")
+    require(dropCols.intersect(keyCols).isEmpty,
+      "txlog: merge cannot drop a key column from the output")
     val missingKeys = keyCols.filterNot(source.columns.contains)
     require(missingKeys.isEmpty,
       s"txlog: merge source lacks key column(s) ${missingKeys.mkString(", ")}")
@@ -1378,6 +1403,7 @@ object TxLog {
         val known = st.fieldNames.toSet ++
           files.map(_._1).flatMap(layoutShape)
         val extra = src.columns.filterNot(known.contains)
+          .filterNot(dropCols.contains)
         require(extra.isEmpty,
           s"txlog: merge source carries column(s) ${extra.mkString(", ")} the " +
             "logged schema does not know — commit the schema evolution first")
@@ -1388,15 +1414,21 @@ object TxLog {
           merges: Map[String, (String, Seq[String])],
           matched: Long, written: Long): MergeResult = {
         val v = commit(spark, warehouse, adds, removes,
-          dvAdds = dvAdds, merges = merges)
+          tags = txnTags, dvAdds = dvAdds, merges = merges)
         spark.catalog.refreshByPath(base)
         org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
         MergeResult(v, matched, written,
           removes.size, adds.count(_.rewrite))
       }
-      def pureInsert(): MergeResult =
-        finish(stageWrite(src, warehouse, table, partitionBy, nextGen,
-          statsCols, bloomCols), Nil, Nil, Map.empty, 0L, srcRows)
+      def pureInsert(): MergeResult = {
+        // everything is unmatched here: the insert gate decides alone
+        val out = insertUnmatched.fold(src)(g => src.filter(coalesce(g, lit(false))))
+          .drop(dropCols: _*)
+        val outRows = if (insertUnmatched.isEmpty) srcRows else out.count()
+        if (outRows == 0) return MergeResult(-1L, 0L, 0L, 0, 0)
+        finish(stageWrite(out, warehouse, table, partitionBy, nextGen,
+          statsCols, bloomCols), Nil, Nil, Map.empty, 0L, outRows)
+      }
       if (files.isEmpty) return pureInsert()
       // ---- tier 1: log-level pruning from the source key set ----
       val boundAggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
@@ -1458,15 +1490,15 @@ object TxLog {
       val keysRel = s".merge/${java.util.UUID.randomUUID()}"
       matchedKeys.coalesce(1).write.parquet(s"$base/$keysRel")
       val matchedKeysDf = spark.read.parquet(s"$base/$keysRel")
-      // ---- source split: matched rows under whenMatchedDelete drop ----
-      val sourceOut = whenMatchedDelete match {
-        case Some(cond) =>
-          val deleteKeys = src.join(matchedKeysDf, keyCols, "left_semi")
-            .filter(coalesce(cond, lit(false)))
-            .select(keyCols.map(col): _*)
-          src.join(deleteKeys, keyCols, "left_anti")
-        case None => src
-      }
+      // ---- source split: matched rows under whenMatchedDelete drop;
+      //      unmatched rows insert only through the insertUnmatched gate
+      val matchedSrc = src.join(matchedKeysDf, keyCols, "left_semi")
+      val unmatchedSrc = src.join(matchedKeysDf, keyCols, "left_anti")
+      val keptMatched = whenMatchedDelete.fold(matchedSrc)(c =>
+        matchedSrc.filter(not(coalesce(c, lit(false)))))
+      val keptUnmatched = insertUnmatched.fold(unmatchedSrc)(g =>
+        unmatchedSrc.filter(coalesce(g, lit(false))))
+      val sourceOut = keptMatched.unionByName(keptUnmatched).drop(dropCols: _*)
       val outAdds = stageWrite(sourceOut, warehouse, table, partitionBy,
         nextGen, statsCols, bloomCols)
       val writtenRows = outAdds.map(a => fileRowCount(spark, base, a.relPath)).sum

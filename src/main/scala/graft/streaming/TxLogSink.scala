@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** EXACTLY-ONCE streaming upserts into a [[graft.store.TxLog]] table —
+  * the published Delta "idempotent foreachBatch writes" design
+  * (txnAppId/txnVersion): each micro-batch MERGEs by key, and the merge
+  * commit atomically carries a `txn:<appId>` tag holding the batch id.
+  * On failure-recovery Structured Streaming REPLAYS the last
+  * un-checkpointed batch; the sink sees `batchId <= lastCommitted` and
+  * skips it, so the table converges to exactly-once even though the
+  * stream's delivery is at-least-once.
+  *
+  * Why plain replay isn't enough: a pure upsert batch IS naturally
+  * idempotent under merge (re-applying replaces rows with identical
+  * rows) — but a batch with TOMBSTONES is not. Replaying `whenMatchedDelete`
+  * rows after their targets are gone makes them UNMATCHED, and
+  * merge-semantics would re-INSERT them. The transaction marker must
+  * therefore be atomic with the data commit — a separate tag commit
+  * would leave a crash window between the two — which is why
+  * [[graft.store.TxLog.merge]] takes `txnTags` on its own commit.
+  *
+  * The appId names the PRODUCER, not the query run: keep it stable
+  * across restarts (it is the dedup key). Several producers with
+  * distinct appIds can upsert the same table; each tracks its own
+  * high-water batch id. `txn:` tags share the log's tag namespace but
+  * hold batch ids, not warehouse versions — never resolve them through
+  * `readTagged`.
+  *
+  * At 100 TB this is the CDC-apply topology: a change stream lands in
+  * micro-batches, each batch is one stats-pruned merge (cost ∝ owner
+  * files + batch), and the commit log arbitrates concurrent writers.
+  */
+object TxLogSink {
+
+  /** The last batch id this `appId` committed into `warehouse`, or -1. */
+  def lastCommitted(spark: SparkSession, warehouse: String, appId: String): Long =
+    if (!graft.store.TxLog.exists(spark, warehouse)) -1L
+    else graft.store.TxLog.tags(spark, warehouse).getOrElse(s"txn:$appId", -1L)
+
+  /** Start an exactly-once keyed-upsert sink for `stream`. Rows replace
+    * live rows sharing `keyCols`; rows where `tombstoneCol` (when set)
+    * is true DELETE their match instead. `merge=false` uses the
+    * merge-on-read flavor (deletion vectors — the high-frequency
+    * small-batch shape). */
+  def upsert(stream: DataFrame, warehouse: String, table: String,
+      keyCols: Seq[String], appId: String,
+      checkpointDir: String,
+      tombstoneCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      copyOnWrite: Boolean = true): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, batchId, warehouse, table, keyCols, appId,
+          tombstoneCol, partitionBy, statsCols, copyOnWrite)
+        ()
+      }
+      .start()
+
+  /** One batch of the sink, exposed for tests and for callers driving
+    * their own foreachBatch. Returns true when the batch applied, false
+    * when it was a recognized replay (skipped). */
+  private[graft] def upsertBatch(batch: DataFrame, batchId: Long,
+      warehouse: String, table: String, keyCols: Seq[String], appId: String,
+      tombstoneCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      copyOnWrite: Boolean = true): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val spark = batch.sparkSession
+    if (batchId <= lastCommitted(spark, warehouse, appId)) return false
+    val tags = Map(s"txn:$appId" -> batchId)
+    val cond = tombstoneCol.map(col)
+    // an UNMATCHED tombstone (delete event whose target is already gone
+    // — an out-of-order or upstream-compacted CDC delete) must be a
+    // no-op, never an insert: gate unmatched inserts on NOT(tombstone)
+    val gate = tombstoneCol.map(t => not(coalesce(col(t), lit(false))))
+    val r =
+      if (copyOnWrite)
+        graft.store.TxLog.merge(spark, warehouse, table, batch, keyCols,
+          partitionBy = partitionBy, statsCols = statsCols,
+          whenMatchedDelete = cond, txnTags = tags, insertUnmatched = gate,
+          dropCols = tombstoneCol.toSeq)
+      else
+        graft.store.TxLog.mergeDV(spark, warehouse, table, batch, keyCols,
+          partitionBy = partitionBy, statsCols = statsCols,
+          whenMatchedDelete = cond, txnTags = tags, insertUnmatched = gate,
+          dropCols = tombstoneCol.toSeq)
+    // an empty batch never commits (merge burns no version) — the
+    // high-water mark simply stays put, and replaying it is a no-op
+    r.version >= 0
+  }
+}

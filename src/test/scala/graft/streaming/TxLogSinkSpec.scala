@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.store.TxLog
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactly-once contract of the merge-based streaming sink: batches
+  * apply once, recognized replays skip, and the failure case that
+  * motivates the atomic txn tag — a REPLAYED TOMBSTONE batch — neither
+  * resurrects nor re-inserts deleted rows.
+  */
+class TxLogSinkSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshWh(): String =
+    java.nio.file.Files.createTempDirectory("graft-sink").toString
+
+  private def batchDf(rows: Seq[(Long, String, Boolean)]) =
+    rows.toDF("id", "body", "_tombstone")
+
+  test("batches apply once; replays skip; tombstone replay neither resurrects nor re-inserts") {
+    val wh = freshWh()
+    def apply(rows: Seq[(Long, String, Boolean)], batchId: Long): Boolean =
+      TxLogSink.upsertBatch(batchDf(rows), batchId, wh, "t", Seq("id"),
+        appId = "cdc-1", tombstoneCol = Some("_tombstone"),
+        statsCols = Seq("id"))
+
+    // batch 0: initial load
+    assert(apply((0L to 9L).map(i => (i, s"v$i", false)), 0L))
+    assert(TxLog.read(spark, wh, "t").count() == 10)
+    // the control column never lands in the table
+    assert(!TxLog.read(spark, wh, "t").columns.contains("_tombstone"))
+    // batch 1: update id=1, delete id=2, insert id=50
+    assert(apply(Seq((1L, "v1b", false), (2L, "", true), (50L, "v50", false)), 1L))
+    val t1 = TxLog.read(spark, wh, "t")
+    assert(t1.count() == 10) // 10 - 1 deleted + 1 inserted
+    assert(t1.filter(col("id") === 2L).count() == 0)
+    assert(t1.filter(col("id") === 1L).head.getString(1) == "v1b")
+    assert(TxLogSink.lastCommitted(spark, wh, "cdc-1") == 1L)
+
+    // REPLAY batch 1 (crash-recovery): must skip — without the skip, the
+    // unmatched tombstone for id=2 would re-insert and id=1 would
+    // re-apply; the table must be byte-identical
+    val before = TxLog.snapshot(spark, wh).version
+    assert(!apply(Seq((1L, "v1b", false), (2L, "", true), (50L, "v50", false)), 1L))
+    assert(TxLog.snapshot(spark, wh).version == before)
+    assert(TxLog.read(spark, wh, "t").count() == 10)
+
+    // even a FRESH batch carrying an unmatched tombstone (out-of-order
+    // CDC delete) is a no-op for that row, not an insert
+    assert(apply(Seq((2L, "", true), (60L, "v60", false)), 2L))
+    val t2 = TxLog.read(spark, wh, "t")
+    assert(t2.count() == 11)
+    assert(t2.filter(col("id") === 2L).count() == 0)
+
+    // a second producer tracks its own high-water mark
+    assert(TxLogSink.lastCommitted(spark, wh, "cdc-other") == -1L)
+  }
+
+  test("writeStream end-to-end: the foreachBatch sink converges the table") {
+    val wh = freshWh()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString
+    val schema = batchDf(Nil).schema
+    // two source files; maxFilesPerTrigger=1 forces two micro-batches
+    batchDf((0L to 4L).map(i => (i, s"a$i", false)))
+      .coalesce(1).write.parquet(s"$dir/f0")
+    batchDf(Seq((1L, "b1", false), (3L, "", true), (9L, "b9", false)))
+      .coalesce(1).write.parquet(s"$dir/f1")
+    val q = TxLogSink.upsert(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*"),
+      wh, "t", Seq("id"), appId = "e2e", checkpointDir = ckpt,
+      tombstoneCol = Some("_tombstone"), statsCols = Seq("id"))
+    q.processAllAvailable()
+    q.stop()
+    val t = TxLog.read(spark, wh, "t").select("id", "body")
+      .as[(Long, String)].collect().toMap
+    // FileStreamSource orders equal-timestamp files by path, so f0
+    // applies before f1: final state is the f1-over-f0 merge
+    assert(t == Map(0L -> "a0", 1L -> "b1", 2L -> "a2", 4L -> "a4", 9L -> "b9"))
+    assert(TxLogSink.lastCommitted(spark, wh, "e2e") >= 1L)
+  }
+}
