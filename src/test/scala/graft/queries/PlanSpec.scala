@@ -339,6 +339,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p141.contains("from_json"), p141.take(1500))
   }
 
+  test("MaxSim is broadcast tokens + partial max/sum aggregates — corpus never re-partitions (q149)") {
+    val p = plan("q149_maxsim_colbert")
+    // the query-token side broadcasts (the non-equi exclusion makes it a
+    // broadcast nested-loop — intentional: that side is a handful of
+    // rows); the token-max and doc-sum fold as partial hash aggregates,
+    // so the shuffle carries candidates, never token pairs
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    assert(p.contains("partial_max"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    Seq("SortMergeJoin", "CartesianProduct").foreach(op =>
+      assert(!p.contains(op), s"unexpected $op\n" + p.take(1500)))
+  }
+
+  test("hard-negative mining broadcasts queries with the label anti-predicate in the join (q150)") {
+    val p = plan("q150_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    Seq("SortMergeJoin", "CartesianProduct").foreach(op =>
+      assert(!p.contains(op), s"unexpected $op\n" + p.take(1500)))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // SCALE.md's skew story has two tiers: the KNOWN-hot-key path salts
     // deterministically (q107), and UNKNOWN skew is left to AQE's runtime
