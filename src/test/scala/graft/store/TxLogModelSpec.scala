@@ -76,6 +76,49 @@ class TxLogModelSpec extends AnyFunSuite {
       s"deleteDv($desc)"
     }
 
+    def mergeOp(cow: Boolean): String = {
+      val liveIds = rnd.shuffle(model.map(_._1))
+      val updIds = liveIds.take(rnd.nextInt(6))
+      val tombIds = liveIds.drop(updIds.length).take(rnd.nextInt(3))
+      val fresh = (0 until rnd.nextInt(5)).map(_ => { nextId += 1; nextId })
+      // an UNMATCHED tombstone (an id deleted earlier and not re-added):
+      // must be a no-op under the insert gate, never an insert
+      val ghost = deletedIds.filterNot(model.map(_._1).contains)
+        .take(if (rnd.nextBoolean()) 1 else 0)
+      val updRows = updIds.map(id => (id, rnd.nextInt(10).toLong, false))
+      val rows = updRows ++ tombIds.map(id => (id, 0L, true)) ++
+        ghost.map(id => (id, 0L, true)) ++
+        fresh.map(id => (id, rnd.nextInt(10).toLong, false))
+      if (rows.isEmpty) return append()
+      val src = rows.toDF("id", "v", "_t")
+      val r =
+        if (cow) TxLog.merge(spark, wh, "t", src, Seq("id"),
+          statsCols = Seq("id"), whenMatchedDelete = Some(col("_t")),
+          insertUnmatched = Some(!col("_t")), dropCols = Seq("_t"))
+        else TxLog.mergeDV(spark, wh, "t", src, Seq("id"),
+          statsCols = Seq("id"), whenMatchedDelete = Some(col("_t")),
+          insertUnmatched = Some(!col("_t")), dropCols = Seq("_t"))
+      assert(r.matchedRows == updIds.length + tombIds.length,
+        s"merge matched ${r.matchedRows}, expected ${updIds.length + tombIds.length}")
+      val updMap = updRows.map(u => u._1 -> u._2).toMap
+      model = model.filterNot(t => updMap.contains(t._1) || tombIds.contains(t._1)) ++
+        updMap.toVector ++ fresh.map(id => id -> rows.find(_._1 == id).get._2)
+      deletedIds ++= tombIds
+      s"merge(cow=$cow, upd=${updIds.length}, tomb=${tombIds.length}, " +
+        s"ghost=${ghost.length}, ins=${fresh.length})"
+    }
+
+    def updateOp(): String = {
+      val (p, mp, desc) = predicate()
+      val r = TxLog.updateWhere(spark, wh, "t", p,
+        Map("v" -> ((col("v") + 1) % 10)), statsCols = Seq("id"))
+      val expected = model.count(mp)
+      assert(r.map(_.updatedRows).getOrElse(0L) == expected,
+        s"updateWhere($desc) reported ${r.map(_.updatedRows)} expected $expected")
+      model = model.map(t => if (mp(t)) (t._1, (t._2 + 1) % 10) else t)
+      s"update($desc)"
+    }
+
     def check(op: String): Unit = {
       val got =
         if (model.isEmpty)
@@ -101,17 +144,20 @@ class TxLogModelSpec extends AnyFunSuite {
 
     append(); check("initial append")
     for (i <- 0 until nOps) {
-      val op = rnd.nextInt(11) match {
-        case 0 | 1 | 2 | 3 => append()
-        case 4 | 5 => if (model.nonEmpty) deleteCow() else append()
-        case 6 | 7 => if (model.nonEmpty) deleteDv() else append()
-        case 8 =>
+      val op = rnd.nextInt(14) match {
+        case 0 | 1 | 2 => append()
+        case 3 | 4 => if (model.nonEmpty) deleteCow() else append()
+        case 5 | 6 => if (model.nonEmpty) deleteDv() else append()
+        case 7 =>
           if (TxLog.snapshot(spark, wh).files("t").nonEmpty) {
             TxLog.compact(spark, wh, "t", Nil,
               view = _.repartition(2), statsCols = Seq("id")); "compact"
           } else append()
-        case 9 => s"vacuum(${TxLog.vacuum(spark, wh, retentionMs = 0L)})"
-        case 10 => s"checkpoint(${TxLog.checkpoint(spark, wh)})"
+        case 8 => s"vacuum(${TxLog.vacuum(spark, wh, retentionMs = 0L)})"
+        case 9 => s"checkpoint(${TxLog.checkpoint(spark, wh)})"
+        case 10 | 11 => if (model.nonEmpty) mergeOp(cow = true) else append()
+        case 12 => if (model.nonEmpty) mergeOp(cow = false) else append()
+        case 13 => if (model.nonEmpty) updateOp() else append()
       }
       check(s"op#$i $op")
     }
