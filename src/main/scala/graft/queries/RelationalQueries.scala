@@ -1221,34 +1221,41 @@ object RelationalQueries {
         T.commit(s, wh, T.stageWrite(
           table(s, d, "documents").repartitionByRange(8, col("doc_id")),
           wh, "documents", Nil, 1L, statsCols = Seq("doc_id", "n_chars")))
-        V.refresh(s, wh, "documents", "agg", Seq("source"), Seq("n_chars"))
+        def refresh() = V.refresh(s, wh, "documents", "agg",
+          Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+        refresh()
         T.deleteWhere(s, wh, "documents", col("doc_id").between(100L, 199L),
           statsCols = Seq("doc_id", "n_chars"))
-        V.refresh(s, wh, "documents", "agg", Seq("source"), Seq("n_chars"))
+        refresh()
         T.deleteWhereDV(s, wh, "documents",
           col("source") === "src5" && col("n_chars") < 500L)
-        val consumed =
-          V.refresh(s, wh, "documents", "agg", Seq("source"), Seq("n_chars"))
+        val consumed = refresh()
         val view = T.read(s, wh, "agg")
         val full = T.read(s, wh, "documents").groupBy("source")
-          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_n_chars"))
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_n_chars"),
+            min("n_chars").as("min_n_chars"), max("n_chars").as("max_n_chars"))
+        val cols = Seq("source", "n", "sum_n_chars", "min_n_chars", "max_n_chars")
         val auditOk = consumed > 0 &&
-          view.select("source", "n", "sum_n_chars").collect().toSet ==
-            full.select("source", "n", "sum_n_chars").collect().toSet
+          view.select(cols.map(col): _*).collect().toSet ==
+            full.select(cols.map(col): _*).collect().toSet
         view.select(col("source"), col("n").cast("long").as("n"),
-            col("sum_n_chars").cast("long").as("sum_n_chars"))
+            col("sum_n_chars").cast("long").as("sum_n_chars"),
+            col("min_n_chars").cast("long").as("min_n_chars"),
+            col("max_n_chars").cast("long").as("max_n_chars"))
           .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
           .orderBy("source")
       },
       Some("""
         SELECT source, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_n_chars,
                CAST(1 AS BIGINT) AS audit_ok
         FROM documents
         WHERE doc_id NOT BETWEEN 100 AND 199
           AND NOT (source = 'src5' AND n_chars < 500)
         GROUP BY source ORDER BY source"""),
-      doc = "incremental materialized view over the change feed: delta-applied through CoW and DV deletes, audited vs full recompute"),
+      doc = "incremental materialized view over the change feed: count/sum by pure deltas, min/max by dirty-group recompute, audited vs full recompute"),
 
     QueryDef(
       "q147_merge_upsert",

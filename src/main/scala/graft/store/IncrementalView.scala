@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: refresh cost is O(changed rows) + a view-sized merge join
   * — the difference between a nightly full groupBy over the corpus and
-  * a minute-scale delta apply. Only ADDITIVE aggregates qualify
-  * (count/sum; avg derives as sum/count downstream); min/max cannot be
-  * maintained by subtraction and need the full recompute path.
+  * a minute-scale delta apply. ADDITIVE aggregates (count/sum; avg
+  * derives as sum/count downstream) maintain by pure delta arithmetic.
+  * MIN/MAX are not invertible — a delete may remove the extreme — so
+  * they maintain by the published DIRTY-GROUP rule: groups that saw
+  * only inserts merge monotonically (least/greatest of stored and
+  * batch values), and only groups that received a DELETE recompute,
+  * from the source but restricted to those groups by a key semi-join —
+  * cost ∝ data of CHANGED groups, still never a table rescan.
   */
 object IncrementalView {
 
@@ -34,12 +39,16 @@ object IncrementalView {
   def consumedVersion(spark: SparkSession, warehouse: String, view: String): Long =
     TxLog.tags(spark, warehouse).getOrElse(tagName(view), -1L)
 
-  /** Refresh `view` (grouped by `keyCols`, maintaining `n` plus
-    * `sum_<c>` for each of `sumCols`) from `source`'s changes since the
-    * last refresh. Returns the consumed source version. No-op (no
-    * version burned) when the view is already current. */
+  /** Refresh `view` (grouped by `keyCols`, maintaining `n`, `sum_<c>`
+    * for each of `sumCols`, and `min_<c>`/`max_<c>` for each of
+    * `minMaxCols` — the latter by the dirty-group rule above) from
+    * `source`'s changes since the last refresh. Returns the consumed
+    * source version. No-op (no version burned) when the view is already
+    * current. Keep the column signature stable across refreshes of one
+    * view (the stored schema is the contract). */
   def refresh(spark: SparkSession, warehouse: String, source: String,
-      view: String, keyCols: Seq[String], sumCols: Seq[String]): Long = {
+      view: String, keyCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "incremental view needs grouping keys")
     val from = consumedVersion(spark, warehouse, view)
     val snap = TxLog.snapshot(spark, warehouse)
@@ -53,14 +62,38 @@ object IncrementalView {
     // changes, which keeps a polling refresher convergent
     if (changes.isEmpty) return from
     val sign = when(col("_change_type") === "delete", -1L).otherwise(1L)
+    val mmAggs = minMaxCols.flatMap(c => Seq(
+      min(when(col("_change_type") =!= "delete", col(c))).as(s"min_$c"),
+      max(when(col("_change_type") =!= "delete", col(c))).as(s"max_$c")))
     val delta = changes
       .groupBy(keyCols.map(col): _*)
       .agg(sum(sign).as("n"),
-        sumCols.map(c => sum(col(c) * sign).as(s"sum_$c")): _*)
+        (sumCols.map(c => sum(col(c) * sign).as(s"sum_$c")) ++ mmAggs ++
+          Seq(max(when(col("_change_type") === "delete", lit(1L))
+            .otherwise(lit(0L))).as("__dirty"))): _*)
     val prev =
       try TxLog.read(spark, warehouse, view)
-      catch { case _: org.apache.spark.sql.AnalysisException => delta.limit(0) }
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        delta.drop("__dirty").limit(0) }
     val valCols = "n" +: sumCols.map(c => s"sum_$c")
+    // dirty-group recompute for the non-invertible aggregates: ONLY the
+    // groups that received a delete re-derive their min/max, from the
+    // current source snapshot restricted by a null-safe key semi-join
+    val recomp: Option[DataFrame] =
+      if (minMaxCols.isEmpty) None
+      else {
+        val dirtyKeys = delta.filter(col("__dirty") === 1L)
+          .select(keyCols.map(col): _*)
+        val srcA = TxLog.read(spark, warehouse, source).as("s")
+        val dk = dirtyKeys.as("k")
+        val semiCond = keyCols.map(k => col(s"s.$k") <=> col(s"k.$k")).reduce(_ && _)
+        Some(srcA.join(dk, semiCond, "left_semi")
+          .groupBy(keyCols.map(col): _*)
+          .agg(minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).head,
+            minMaxCols.flatMap(c => Seq(
+              min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).tail: _*))
+      }
     // merge: full-outer on NULL-SAFE key equality (a null grouping key is
     // a legal group — plain using-columns joins would never match it and
     // the view would accrete duplicate null-key rows), columnwise add,
@@ -68,11 +101,29 @@ object IncrementalView {
     val p = prev.as("p")
     val dAl = delta.as("d")
     val cond = keyCols.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _)
-    val merged = p.join(dAl, cond, "full_outer")
+    val mergedBase = p.join(dAl, cond, "full_outer")
       .select(keyCols.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) ++
         valCols.map(c =>
-          (coalesce(col(s"p.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c)): _*)
+          (coalesce(col(s"p.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c)) ++
+        minMaxCols.flatMap(c => Seq(
+          least(col(s"p.min_$c"), col(s"d.min_$c")).as(s"min_$c"),
+          greatest(col(s"p.max_$c"), col(s"d.max_$c")).as(s"max_$c"))) ++
+        Seq(coalesce(col("d.__dirty"), lit(0L)).as("__dirty")): _*)
       .filter(col("n") > 0)
+    val merged = recomp match {
+      case None => mergedBase.drop("__dirty")
+      case Some(rc) =>
+        val m = mergedBase.as("m"); val r = rc.as("r")
+        val jc = keyCols.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _)
+        m.join(r, jc, "left_outer")
+          .select(keyCols.map(k => col(s"m.$k").as(k)) ++
+            valCols.map(c => col(s"m.$c").as(c)) ++
+            minMaxCols.flatMap(c => Seq(
+              when(col("m.__dirty") === 1L, col(s"r.min_$c"))
+                .otherwise(col(s"m.min_$c")).as(s"min_$c"),
+              when(col("m.__dirty") === 1L, col(s"r.max_$c"))
+                .otherwise(col(s"m.max_$c")).as(s"max_$c"))): _*)
+    }
     val adds = TxLog.stageWrite(merged, warehouse, view, Nil,
       generation = cur)
     TxLog.commit(spark, warehouse, adds,

@@ -20,19 +20,24 @@ class IncrementalViewSpec extends AnyFunSuite {
   test("view == full recompute through every commit kind; refreshes are delta-sized") {
     val wh = java.nio.file.Files.createTempDirectory("graft-iview").toString
 
-    def recompute(): Map[String, (Long, Long)] =
+    import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+    def recompute(): Map[String, (Long, Long, Long, Long)] =
       TxLog.read(spark, wh, "t")
         .groupBy("k")
-        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
-          org.apache.spark.sql.functions.sum("v").as("sum_v"))
-        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
 
-    def viewState(): Map[String, (Long, Long)] =
+    def viewState(): Map[String, (Long, Long, Long, Long)] =
       TxLog.read(spark, wh, "agg")
-        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        .select("k", "n", "sum_v", "min_v", "max_v")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
 
     def refreshAndPin(tag: String): Unit = {
-      IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+      IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"),
+        minMaxCols = Seq("v"))
       assert(viewState() == recompute(), s"view diverged after $tag")
     }
 
@@ -68,7 +73,8 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewState() == before)
     // 7: idempotent refresh — already current, no version burned
     val v = TxLog.snapshot(spark, wh).version
-    assert(IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v")) ==
+    assert(IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"),
+      minMaxCols = Seq("v")) ==
       IncrementalView.consumedVersion(spark, wh, "agg"))
     assert(TxLog.snapshot(spark, wh).version == v)
     // consumed-version bookkeeping survived the whole history
