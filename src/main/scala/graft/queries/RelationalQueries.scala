@@ -1301,7 +1301,9 @@ object RelationalQueries {
           .filter(col("_change_type") === "delete").count()
         val cow = T.read(s, wh, "documents")
         val mor = T.read(s, whDv, "documents")
-        val flavorsAgree = cow.exceptAll(mor).isEmpty && mor.exceptAll(cow).isEmpty
+        // multiset equality in one direction + cardinality: |A|==|B| and
+        // A\B == ∅ imply A==B for multisets (cheaper than two exceptAlls)
+        val flavorsAgree = cow.count() == mor.count() && cow.exceptAll(mor).isEmpty
         val auditOk = feedDel == rCow.matchedRows &&
           rCow.matchedRows == rDv.matchedRows &&
           rCow.writtenRows == rDv.writtenRows && flavorsAgree
