@@ -60,8 +60,7 @@ object MaxSim {
       sqrt(graft.functions.DotProduct(col("qvec"), col("qvec"))).as("qn"))
     val d = docTokens.select(col("did"), col("dvec"),
       sqrt(graft.functions.DotProduct(col("dvec"), col("dvec"))).as("dn"))
-    val joined = d.join(broadcast(q),
-      exclude.getOrElse(col("qid").isNotNull))
+    val joined = d.join(broadcast(q), exclude.getOrElse(lit(true)))
     // zero-magnitude tokens score 0, not NaN (engine-wide convention)
     val sim = when(col("qn") === 0.0 || col("dn") === 0.0, lit(0.0))
       .otherwise(graft.functions.DotProduct(col("qvec"), col("dvec")) /

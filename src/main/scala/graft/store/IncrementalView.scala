@@ -27,11 +27,20 @@ import org.apache.spark.sql.functions._
   * MIN/MAX are not invertible — a delete may remove the extreme — so
   * they maintain by the published DIRTY-GROUP rule: groups that saw
   * only inserts merge monotonically (least/greatest of stored and
-  * batch values), and only groups that received a DELETE recompute,
-  * from the source but restricted to those groups by a key semi-join —
-  * cost ∝ data of CHANGED groups, still never a table rescan.
+  * batch values), and only groups that received a DELETE recompute —
+  * from a read FILE-PRUNED to the dirty keys (partition dirs, logged
+  * min/max stats, Bloom sketches via [[TxLog.readWhereKeyIn]], under a
+  * bounded driver key budget), with the exact restriction applied by a
+  * null-safe key semi-join. Recompute I/O follows the files HOLDING
+  * changed groups when the key columns are statted or partition-borne;
+  * with an unstatted key or a dirty set past the budget it degrades to
+  * one source scan whose aggregate work is still group-bounded.
   */
 object IncrementalView {
+
+  /** Driver budget for shipping dirty keys into the recompute read's
+    * file pruning; past it the read is unpruned (never an error). */
+  private val DirtyKeyBudget = 10000
 
   private def tagName(view: String) = s"view:$view"
 
@@ -84,7 +93,18 @@ object IncrementalView {
       else {
         val dirtyKeys = delta.filter(col("__dirty") === 1L)
           .select(keyCols.map(col): _*)
-        val srcA = TxLog.read(spark, warehouse, source).as("s")
+        // file-prune the recompute read by the dirty key set when it is
+        // driver-small; the semi-join below stays the EXACT restriction
+        // either way. Pinned to the CONSUMED version: a concurrent
+        // writer may commit cur+1 mid-refresh, and min/max leaking from
+        // it would diverge from the n/sum deltas and the tag this
+        // refresh publishes.
+        val dirtyVals = dirtyKeys.limit(DirtyKeyBudget + 1).collect()
+        val srcA = (if (dirtyVals.length <= DirtyKeyBudget)
+          TxLog.readWhereKeyIn(spark, warehouse, source, keyCols,
+            dirtyVals.toSeq.map(r => keyCols.indices.map(r.get)),
+            atVersion = cur)
+        else TxLog.read(spark, warehouse, source, atVersion = cur)).as("s")
         val dk = dirtyKeys.as("k")
         val semiCond = keyCols.map(k => col(s"s.$k") <=> col(s"k.$k")).reduce(_ && _)
         Some(srcA.join(dk, semiCond, "left_semi")

@@ -494,6 +494,34 @@ object TxLog {
       .select("fname", "row_index"))
   }
 
+  /** DV-aware scan of an explicit file set (ONE layout group per call)
+    * with the metadata columns materialized as visible columns before
+    * any join — `_metadata` is a per-relation pseudo-column and must not
+    * be relied on to survive join resolution. Emits `__file` (full
+    * path), `__dv_fname`, `__dv_row` next to the data columns; rows
+    * covered by a live deletion vector are already anti-joined away.
+    * The shared tier-2 primitive under planDelete, stageDeleteDV, and
+    * merge's owner discovery. */
+  private def metaScan(spark: SparkSession, warehouse: String, table: String,
+      snap: Snapshot, rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val base = s"$warehouse/$table"
+    val reader = snap.schemaOf(table) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    val scan0 = reader.option("basePath", base)
+      .parquet(rels.map(r => s"$base/$r"): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__dv_fname",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_row", col("_metadata.row_index"))
+    dvFrame(spark, warehouse, table, snap).fold(scan0)(mask =>
+      scan0.join(mask,
+        col("__dv_fname") === mask("fname") &&
+          col("__dv_row") === mask("row_index"), "left_anti"))
+  }
+
   /** Read one table at the log's current snapshot. Falls back to a plain
     * parquet read when the warehouse has no log (legacy layout) — data
     * files are flat either way, so the two views agree on a healthy
@@ -570,8 +598,14 @@ object TxLog {
             case Array("delete", t, pred) if t == table => deletePred = Some(unesc(pred))
             // a merge commit's dv pred is an informational marker, not
             // replayable SQL — the merge action below carries the exact
-            // pre-image key set; never hand the marker to expr()
-            case Array("dv", t, _, pred) if t == table && !unesc(pred).startsWith("__merge") =>
+            // pre-image key set; never hand the marker to expr(). The
+            // skip matches the EXACT marker format mergeImpl writes
+            // ("__merge keys=..."): no Catalyst-rendered predicate can
+            // produce that text (identifiers cannot hold spaces or '='
+            // unquoted; literals render parenthesized), so a user column
+            // that happens to start with __merge still feeds normally.
+            case Array("dv", t, _, pred)
+                if t == table && !unesc(pred).startsWith("__merge keys=") =>
               dvPred = Some(unesc(pred))
             case Array("merge", t, keysRel, cols) if t == table =>
               mergeKeys = Some((unesc(keysRel),
@@ -960,6 +994,31 @@ object TxLog {
       }
     }
 
+  /** Log-pruned read of rows whose key tuple MAY be in `keys` (a small
+    * driver-side set): files are pruned by per-column "in" probes
+    * against partition-dir values, logged min/max stats, and Bloom
+    * sketches — pruning only ever ADMITS a possible match, so the
+    * caller re-applies the exact key predicate (typically a semi-join)
+    * on the result. The read path for "touch only the files holding
+    * these keys" consumers (dirty-group view recompute). */
+  def readWhereKeyIn(spark: SparkSession, warehouse: String, table: String,
+      keyCols: Seq[String], keys: Seq[Seq[Any]],
+      atVersion: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(spark, warehouse, atVersion)
+    val files = snap.files(table).map(_._1)
+    if (files.isEmpty)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> s"$warehouse/$table (txlog: no live files)"))
+    val constraints = keyCols.zipWithIndex.map { case (k, i) =>
+      (k, "in", keys.map(_(i)).filter(_ != null).distinct)
+    }.filter(_._3.nonEmpty)
+    val rels = files.filter(rel => fileMayMatch(snap, table, rel, constraints))
+    if (rels.isEmpty)
+      readFileSet(spark, warehouse, table, snap, Seq(files.head)).limit(0)
+    else readFileSet(spark, warehouse, table, snap, rels)
+  }
+
   /** Decode Hive partition-dir escaping (%XX hex per escaped char —
     * Spark's escapePathName). Unparseable sequences pass through. */
   private def unescapePathValue(s: String): String =
@@ -1093,20 +1152,11 @@ object TxLog {
     // partition layouts scan per shape group; existing deletion vectors
     // are anti-joined so already-deleted rows neither count nor resurrect.
     val tablePath = new Path(warehouse, table).toUri.getPath
-    val dv = dvFrame(spark, warehouse, table, snap)
     val owners = candidates.map(_._1).groupBy(layoutShape).toSeq
       .sortBy(_._1.mkString(",")).flatMap { case (_, rels) =>
-        val scan0 = reader.option("basePath", base)
-          .parquet(rels.map(r => s"$base/$r"): _*)
-          .withColumn("__dv_fname",
-            element_at(split(col("_metadata.file_path"), "/"), -1))
-          .withColumn("__dv_row", col("_metadata.row_index"))
-        val scan = dv.fold(scan0)(mask => scan0.join(mask,
-          col("__dv_fname") === mask("fname") &&
-            col("__dv_row") === mask("row_index"), "left_anti"))
-        scan.filter(predicate)
-          .select(col("_metadata.file_path").as("_f"))
-          .groupBy("_f").count()
+        metaScan(spark, warehouse, table, snap, rels)
+          .filter(predicate)
+          .groupBy(col("__file").as("_f")).count()
           .collect()
           .map { r =>
             val rel = new Path(r.getString(0)).toUri.getPath
@@ -1180,26 +1230,16 @@ object TxLog {
     planDelete(spark, warehouse, table, snap, predicate).map {
       case (predSql, candidates, owners) =>
         val base = s"$warehouse/$table"
-        def reader = snap.schemaOf(table) match {
-          case Some(st) => spark.read.schema(st)
-          case None => spark.read
-        }
         val ownerRels = candidates.map(_._1).filter(owners.contains)
-        val dv = dvFrame(spark, warehouse, table, snap)
         // one more pruned scan projects ONLY the mask columns (the owner
         // scan above could not collect row indices without shipping them
         // through the driver count) — still owner-files-only
         val masks = ownerRels.groupBy(layoutShape).toSeq
           .sortBy(_._1.mkString(",")).map { case (_, rels) =>
-            val scan0 = reader.option("basePath", base)
-              .parquet(rels.map(r => s"$base/$r"): _*)
-              .withColumn("fname",
-                element_at(split(col("_metadata.file_path"), "/"), -1))
-              .withColumn("row_index", col("_metadata.row_index"))
-            val scan = dv.fold(scan0)(mask => scan0.join(mask,
-              scan0("fname") === mask("fname") &&
-                scan0("row_index") === mask("row_index"), "left_anti"))
-            scan.filter(predicate).select(scan0("fname"), scan0("row_index"))
+            metaScan(spark, warehouse, table, snap, rels)
+              .filter(predicate)
+              .select(col("__dv_fname").as("fname"),
+                col("__dv_row").as("row_index"))
           }.reduce(_.unionByName(_))
         val dvRel = s".dv/${java.util.UUID.randomUUID()}"
         masks.coalesce(1).write.parquet(s"$base/$dvRel")
@@ -1261,6 +1301,21 @@ object TxLog {
           ownerRows.filter(coalesce(predicate, lit(false)))) {
             case (df, (c, e)) => df.withColumn(c, e) }
           .select(ownerRows.columns.map(col).toIndexedSeq: _*)
+        // assignments must keep each column's LOGGED type — a mistyped
+        // SET would commit files the schema-applied read cannot decode
+        // (checked on the analyzed plan, before anything is written)
+        snap.schemaOf(table).foreach { st =>
+          val logged = st.fields.map(f => f.name -> f.dataType).toMap
+          val mistyped = postImages.schema.fields.collect {
+            case f if logged.get(f.name).exists(_ != f.dataType) =>
+              s"${f.name} (assigned ${f.dataType.simpleString} vs logged " +
+                s"${logged(f.name).simpleString})"
+          }
+          if (mistyped.nonEmpty) throw new IllegalArgumentException(
+            s"txlog: updateWhere assignment changes column type(s): " +
+              s"${mistyped.mkString(", ")} — only additive schema " +
+              "evolution is supported")
+        }
         val postAdds = stageWrite(postImages, warehouse, table, partitionBy,
           generation = snap.maxGeneration(table) + 1,
           statsCols = statsCols, bloomCols = bloomCols)
@@ -1388,8 +1443,13 @@ object TxLog {
     try {
       val srcRows = src.count()
       if (srcRows == 0) return MergeResult(-1L, 0L, 0L, 0, 0) // no version burned
-      val srcKeys = src.select(keyCols.map(col): _*).distinct()
-      if (srcKeys.count() != srcRows)
+      // uniqueness is only meaningful over fully NON-NULL keys: null-key
+      // rows can never match a target (SQL equality) and always insert,
+      // so several of them in one batch cause no order-dependence
+      val keyedNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+      val keyedRows = src.filter(keyedNonNull)
+      val srcKeys = keyedRows.select(keyCols.map(col): _*).distinct()
+      if (srcKeys.count() != keyedRows.count())
         throw new IllegalArgumentException(
           s"txlog: merge source has duplicate keys on (${keyCols.mkString(", ")}) " +
             "— two source rows matching one target row would make the result " +
@@ -1407,6 +1467,18 @@ object TxLog {
         require(extra.isEmpty,
           s"txlog: merge source carries column(s) ${extra.mkString(", ")} the " +
             "logged schema does not know — commit the schema evolution first")
+        // and TYPES must agree, not just names: a mistyped source column
+        // would commit files the schema-applied read cannot decode — the
+        // table would be left readable-in-name only
+        val logged = st.fields.map(f => f.name -> f.dataType).toMap
+        val mistyped = src.schema.fields.collect {
+          case f if logged.get(f.name).exists(_ != f.dataType) =>
+            s"${f.name} (source ${f.dataType.simpleString} vs logged " +
+              s"${logged(f.name).simpleString})"
+        }
+        require(mistyped.isEmpty,
+          s"txlog: merge source column type(s) differ from the logged " +
+            s"schema: ${mistyped.mkString(", ")}")
       }
       val nextGen = snap.maxGeneration(table) + 1
       def finish(adds: Seq[Add], removes: Seq[Remove],
@@ -1447,26 +1519,9 @@ object TxLog {
         fileMayMatch(snap, table, rel, rangeConstraints ++ probeConstraints) }
       if (candidates.isEmpty) return pureInsert()
       // ---- tier 2: owner files + matched-row counts (DV-aware) ----
-      def reader = snap.schemaOf(table) match {
-        case Some(st) => spark.read.schema(st)
-        case None => spark.read
-      }
       val tablePath = new Path(warehouse, table).toUri.getPath
-      val dv = dvFrame(spark, warehouse, table, snap)
-      def ownerScan(rels: Seq[String]): DataFrame = {
-        // materialize the metadata columns as visible columns BEFORE any
-        // join: `_metadata` is a per-relation pseudo-column and must not
-        // be relied on to survive join resolution
-        val scan0 = reader.option("basePath", base)
-          .parquet(rels.map(r => s"$base/$r"): _*)
-          .withColumn("__file", col("_metadata.file_path"))
-          .withColumn("__dv_fname",
-            element_at(split(col("_metadata.file_path"), "/"), -1))
-          .withColumn("__dv_row", col("_metadata.row_index"))
-        dv.fold(scan0)(mask => scan0.join(mask,
-          col("__dv_fname") === mask("fname") &&
-            col("__dv_row") === mask("row_index"), "left_anti"))
-      }
+      def ownerScan(rels: Seq[String]): DataFrame =
+        metaScan(spark, warehouse, table, snap, rels)
       val layoutGroups = candidates.map(_._1).groupBy(layoutShape).toSeq
         .sortBy(_._1.mkString(","))
       val owners: Map[String, Long] = layoutGroups.flatMap { case (_, rels) =>
@@ -1483,8 +1538,12 @@ object TxLog {
       val matchedRows = owners.values.sum
       val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
       val ownerRels = ownerFiles.map(_._1)
+      // the owner rows feed both the keys sidecar and the survivor
+      // rewrite: cache once instead of re-reading the owner files
+      val ownerRows = readFileSet(spark, warehouse, table, snap, ownerRels)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ---- matched-keys sidecar: the exact pre-image key set ----
-      val matchedKeys = readFileSet(spark, warehouse, table, snap, ownerRels)
+      val matchedKeys = ownerRows
         .join(srcKeys, keyCols, "left_semi")
         .select(keyCols.map(col): _*).distinct()
       val keysRel = s".merge/${java.util.UUID.randomUUID()}"
@@ -1504,12 +1563,12 @@ object TxLog {
       val writtenRows = outAdds.map(a => fileRowCount(spark, base, a.relPath)).sum
       if (copyOnWrite) {
         // ---- tier 3: rewrite owners down to non-matched survivors ----
-        val survivors = readFileSet(spark, warehouse, table, snap, ownerRels)
-          .join(srcKeys, keyCols, "left_anti")
+        val survivors = ownerRows.join(srcKeys, keyCols, "left_anti")
         val survivorAdds = stageWrite(survivors, warehouse, table, partitionBy,
           generation = ownerFiles.map(_._2).max,
           statsCols = statsCols, bloomCols = bloomCols)
           .map(_.copy(rewrite = true))
+        ownerRows.unpersist()
         finish(survivorAdds ++ outAdds,
           ownerFiles.map { case (rel, _) => Remove(table, rel) },
           Nil, Map(table -> ((keysRel, keyCols))), matchedRows, writtenRows)
@@ -1524,8 +1583,9 @@ object TxLog {
           }.reduce(_.unionByName(_))
         val dvRel = s".dv/${java.util.UUID.randomUUID()}"
         masks.coalesce(1).write.parquet(s"$base/$dvRel")
+        ownerRows.unpersist()
         finish(outAdds, Nil,
-          Seq((table, dvRel, s"__merge keys=$keysRel on ${keyCols.mkString(",")}")),
+          Seq((table, dvRel, s"__merge keys=$keysRel on=${keyCols.mkString(",")}")),
           Map(table -> ((keysRel, keyCols))), matchedRows, writtenRows)
       }
     } finally src.unpersist()

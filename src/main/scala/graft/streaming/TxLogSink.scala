@@ -41,7 +41,7 @@ object TxLogSink {
 
   /** Start an exactly-once keyed-upsert sink for `stream`. Rows replace
     * live rows sharing `keyCols`; rows where `tombstoneCol` (when set)
-    * is true DELETE their match instead. `merge=false` uses the
+    * is true DELETE their match instead. `copyOnWrite=false` uses the
     * merge-on-read flavor (deletion vectors — the high-frequency
     * small-batch shape). */
   def upsert(stream: DataFrame, warehouse: String, table: String,

@@ -1132,6 +1132,64 @@ class TxLogSpec extends AnyFunSuite {
     assert(after.filter(col("k1").isNull).count() == 1)
   }
 
+  test("merge accepts several null-key rows (all insert); rejects a TYPE-mistyped source") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("id", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    // two null-key rows are NOT duplicates of each other: neither can
+    // match a target, both insert
+    val src = Seq((java.lang.Long.valueOf(1L), "upd"),
+      (null.asInstanceOf[java.lang.Long], "n1"),
+      (null.asInstanceOf[java.lang.Long], "n2")).toDF("id", "body")
+    val r = TxLog.merge(spark, wh, "t", src, Seq("id"))
+    assert(r.matchedRows == 1 && r.writtenRows == 3)
+    assert(TxLog.read(spark, wh, "t").filter(col("id").isNull).count() == 2)
+    // a source whose column TYPE differs from the logged schema would
+    // commit files the schema-applied read cannot decode: rejected
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, wh, "t",
+        Seq((9L, 123)).toDF("id", "body"), Seq("id"))
+    }
+    // 2 originals - 1 replaced + 3 written = 4; the rejected merge
+    // changed nothing
+    assert(TxLog.read(spark, wh, "t").count() == 4)
+  }
+
+  test("updateWhere rejects a SET that changes the logged column type") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = freshWh()
+    val t0 = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    val before = TxLog.snapshot(spark, wh).version
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, wh, "t", col("id") === 1L,
+        Map("v" -> lit("oops")))
+    }
+    assert(TxLog.snapshot(spark, wh).version == before)
+    assert(TxLog.read(spark, wh, "t").select("v").as[Long].collect().sorted
+      .toSeq == Seq(10L, 20L))
+  }
+
+  test("a DV delete on a column named __merge_pending still feeds (marker skip is exact)") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((1L, false), (2L, true), (3L, true)).toDF("id", "__merge_pending"),
+      wh, "t", Nil, 1))
+    val v0 = TxLog.snapshot(spark, wh).version
+    val r = TxLog.deleteWhereDV(spark, wh, "t", col("__merge_pending")).get
+    assert(r.deletedRows == 2)
+    // the feed must replay BOTH pre-images — the merge-marker skip only
+    // matches the exact "__merge keys=" format, never a user predicate
+    val dels = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(dels.toSeq == Seq(2L, 3L))
+  }
+
   test("merge vacuum interplay: time travel and feed replay survive until retention expires") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
