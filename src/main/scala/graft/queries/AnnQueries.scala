@@ -1203,7 +1203,83 @@ object AnnQueries {
                CAST(nlabel AS BIGINT) AS nlabel,
                round(sim, 6) + 0.0 AS hard_neg_sim, rank
         FROM scored WHERE rank <= 5 ORDER BY qid, rank"""),
-      doc = "hard-negative mining: per-query top-k nearest wrong-label neighbors, the contrastive-training manifest op")
+      doc = "hard-negative mining: per-query top-k nearest wrong-label neighbors, the contrastive-training manifest op"),
+
+    QueryDef(
+      "q151_maxsim_pruned",
+      (s, d) => {
+        // The PRUNED MaxSim pipeline — the serving path q149's scaladoc
+        // promises: per-query-TOKEN ANN probes (deterministic IVF over
+        // the token vectors) union into a (query, doc) candidate set,
+        // and MaxSim scores ONLY those pairs (`MaxSim.topKCandidates`:
+        // two equi-joins, scored volume ∝ candidates × tokens,
+        // independent of corpus size). Scores for surviving pairs are
+        // EXACT (identical kernel); only recall is approximate, decided
+        // by the probe budget. In-query audits: per-query recall@5 vs
+        // the exhaustive run, and that pruning actually pruned (the
+        // candidate set is a strict subset of the corpus). The oracle
+        // replays the EXHAUSTIVE top-1 (DuckDB can compute that) and
+        // pins both flags to 1.
+        val t = table(s, d, "embeddings")
+          .select((col("vec_id") / 5).cast("long").as("did"),
+            (col("vec_id") % 5).cast("long").as("tok"),
+            col("vec_id").cast("long").as("tid"),
+            col("embedding"))
+        val qTok = t.filter(col("did") < 3)
+          .select(col("did").as("qid"), col("tok").as("qtok"),
+            col("embedding").as("qvec"))
+        val dTok = t.select(col("did"), col("embedding").as("dvec"))
+        val exact = graft.search.MaxSim.topK(qTok, dTok, k = 5,
+          exclude = Some(col("qid") =!= col("did")), roundTo = Some(6))
+        val ivf = graft.ann.Ivf.build(
+          t.select(col("tid").as("id"), col("embedding")), nLists = 16)
+        val probes = graft.ann.Ivf.search(ivf,
+          t.filter(col("did") < 3)
+            .select(col("tid").as("qid"), col("embedding").as("qemb")),
+          k = 40, nProbes = 3)
+        val cand = probes
+          .select((col("qid") / 5).cast("long").as("qid"),
+            (col("id") / 5).cast("long").as("did"))
+          .filter(col("qid") =!= col("did")).distinct()
+        val pruned = graft.search.MaxSim.topKCandidates(qTok, dTok, cand,
+          k = 5, roundTo = Some(6))
+        val exactHits = exact.select("qid", "did").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val prunedHits = pruned.select("qid", "did").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val nDocs = dTok.select("did").distinct().count()
+        val candPerQ = cand.groupBy("qid").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val qids = exactHits.map(_._1)
+        val recallOk = qids.forall { q =>
+          exactHits.count(h => h._1 == q && prunedHits.contains(h)) >= 3 } // recall@5 >= 0.6
+        val prunedOk = qids.forall(q => candPerQ.getOrElse(q, 0L) < nDocs - 1)
+        exact.filter(col("rank") === 1)
+          .select(col("qid"), col("did"),
+            (round(col("maxsim"), 6) + 0.0).as("top1_maxsim"))
+          .withColumn("recall_ok", lit(if (recallOk) 1L else 0L))
+          .withColumn("pruned_ok", lit(if (prunedOk) 1L else 0L))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH t AS (SELECT vec_id // 5 AS did, vec_id % 5 AS tok,
+                          CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+             q AS (SELECT did qid, tok qtok, v qv FROM t WHERE did < 3),
+             tokmax AS (SELECT qid, d.did, qtok,
+                               max(${cosDuck("qv", "d.v")}) m
+                        FROM q JOIN t d ON d.did <> qid
+                        GROUP BY qid, d.did, qtok),
+             score AS (SELECT qid, did, sum(m) AS raw
+                       FROM tokmax GROUP BY qid, did),
+             ranked AS (SELECT qid, did, round(raw, 6) + 0.0 AS top1_maxsim,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY round(raw, 6) DESC, did) rank
+                        FROM score)
+        SELECT qid, did, top1_maxsim,
+               CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS pruned_ok
+        FROM ranked WHERE rank = 1 ORDER BY qid"""),
+      doc = "pruned MaxSim serving pipeline: per-token IVF probes -> candidate pairs -> exact-score MaxSim; recall@5 and strict-pruning flags pinned")
   )
 
   /** Unrolled MMR replay oracle (the q119 pattern): s1..sK CTEs each

@@ -56,11 +56,36 @@ object MaxSim {
   def topK(queryTokens: DataFrame, docTokens: DataFrame, k: Int,
       exclude: Option[Column] = None,
       roundTo: Option[Int] = None): DataFrame = {
-    val q = queryTokens.select(col("qid"), col("qtok"), col("qvec"),
+    val q = withQNorm(queryTokens)
+    val d = withDNorm(docTokens)
+    score(d.join(broadcast(q), exclude.getOrElse(lit(true))), k, roundTo)
+  }
+
+  /** The PRUNED serving shape: score only the (qid, did) pairs in
+    * `candidates` — typically the union of per-query-token ANN probes.
+    * The pair restriction turns the token product into two equi-joins
+    * (docs ⋈ candidates on did, then ⋈ query tokens on qid), so the
+    * scored volume is candidates × tokens, independent of corpus size;
+    * exactness of the returned SCORES is unchanged (only recall is
+    * approximate, decided by whoever built the candidate set). */
+  def topKCandidates(queryTokens: DataFrame, docTokens: DataFrame,
+      candidates: DataFrame, k: Int,
+      roundTo: Option[Int] = None): DataFrame = {
+    val q = withQNorm(queryTokens)
+    val d = withDNorm(docTokens)
+    score(d.join(candidates.select("qid", "did").distinct(), Seq("did"))
+      .join(broadcast(q), Seq("qid")), k, roundTo)
+  }
+
+  private def withQNorm(queryTokens: DataFrame): DataFrame =
+    queryTokens.select(col("qid"), col("qtok"), col("qvec"),
       sqrt(graft.functions.DotProduct(col("qvec"), col("qvec"))).as("qn"))
-    val d = docTokens.select(col("did"), col("dvec"),
+
+  private def withDNorm(docTokens: DataFrame): DataFrame =
+    docTokens.select(col("did"), col("dvec"),
       sqrt(graft.functions.DotProduct(col("dvec"), col("dvec"))).as("dn"))
-    val joined = d.join(broadcast(q), exclude.getOrElse(lit(true)))
+
+  private def score(joined: DataFrame, k: Int, roundTo: Option[Int]): DataFrame = {
     // zero-magnitude tokens score 0, not NaN (engine-wide convention)
     val sim = when(col("qn") === 0.0 || col("dn") === 0.0, lit(0.0))
       .otherwise(graft.functions.DotProduct(col("qvec"), col("dvec")) /

@@ -40,6 +40,26 @@ class MaxSimSpec extends AnyFunSuite {
     assert(excl == Set(2L, 3L))
   }
 
+  test("topKCandidates scores candidate pairs identically to the exhaustive path and nothing else") {
+    val q = Seq((0L, 0L, Array(1f, 0f)), (0L, 1L, Array(0f, 1f)))
+      .toDF("qid", "qtok", "qvec")
+    val docs = Seq(
+      (1L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(s2, s2)),
+      (3L, Array(1f, 0f))
+    ).toDF("did", "dvec")
+    val cand = Seq((0L, 1L), (0L, 3L)).toDF("qid", "did")
+    val out = MaxSim.topKCandidates(q, docs, cand, k = 5)
+      .orderBy("rank").select("did", "maxsim").as[(Long, Double)].collect()
+    // doc 2 is not a candidate: absent even though it would outrank doc 3
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    val exhaustive = MaxSim.topK(q, docs, k = 5).select("did", "maxsim")
+      .as[(Long, Double)].collect().toMap
+    out.foreach { case (did, score) =>
+      assert(score == exhaustive(did), s"candidate-path score differs for doc $did")
+    }
+  }
+
   test("zero-magnitude tokens score 0, never NaN") {
     val q = Seq((0L, 0L, Array(0f, 0f))).toDF("qid", "qtok", "qvec")
     val docs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 0f))).toDF("did", "dvec")
