@@ -967,10 +967,10 @@ object TxLog {
             dirVal == want || unescapePathValue(dirVal) == want
           case None => true
         }
-      def rangeAdmits(v: Any): Boolean =
+      def rangeAdmitsOp(cmpOp: String, v: Any): Boolean =
         snap.statsOf(table, rel).get(colName).forall { cs =>
           val s = String.valueOf(v)
-          scala.util.Try(op match {
+          scala.util.Try(cmpOp match {
             case "eq" => !statLt(cs.tpe, s, cs.min) && !statLt(cs.tpe, cs.max, s)
             case "lt" => statLt(cs.tpe, cs.min, s) // some row < v needs min < v
             case "le" => !statLt(cs.tpe, s, cs.min)
@@ -979,6 +979,7 @@ object TxLog {
             case _ => true
           }).getOrElse(true)
         }
+      def rangeAdmits(v: Any): Boolean = rangeAdmitsOp(op, v)
       def bloomAdmits(v: Any): Boolean =
         snap.bloomsOf(table, rel).get(colName).forall { b64 =>
           scala.util.Try(org.apache.spark.util.sketch.BloomFilter
@@ -987,8 +988,11 @@ object TxLog {
             .mightContain(v)).getOrElse(true)
         }
       op match {
+        // each candidate value probes as an EQUALITY against all three
+        // tiers — the per-value range check is what lets a bounded
+        // IN-set prune on min/max stats alone (no blooms needed)
         case "in" => value.asInstanceOf[Seq[Any]]
-          .exists(v => partAdmits(v) && rangeAdmits(v) && bloomAdmits(v))
+          .exists(v => partAdmits(v) && rangeAdmitsOp("eq", v) && bloomAdmits(v))
         case "eq" => partAdmits(value) && rangeAdmits(value) && bloomAdmits(value)
         case _ => rangeAdmits(value)
       }

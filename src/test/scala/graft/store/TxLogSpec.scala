@@ -950,6 +950,69 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, wh, "chunks").count() == 5)
   }
 
+  test("merge losing a racing claim is a clean conflict; retry applies; staged files vacuum") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L to 9L).map(i => (i, s"v$i")).toDF("id", "body"), wh, "t", Nil, 1))
+    // inject a winner commit between merge's snapshot and its claim
+    val winnerBody = ("commit\t1\t0\n" + "add\tother\twinner.parquet\t7\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val racing = new graft.store.LogStore {
+      var injected = false
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          dir: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
+          content: Array[Byte]): Boolean = {
+        if (!injected) {
+          injected = true
+          assert(graft.store.HadoopLogStore.putIfAbsent(f, dir, target, winnerBody))
+        }
+        graft.store.HadoopLogStore.putIfAbsent(f, dir, target, content)
+      }
+    }
+    TxLog.store = racing
+    try {
+      val src = Seq((3L, "new3"), (99L, "new99")).toDF("id", "body")
+      intercept[graft.store.TxConflictException] {
+        TxLog.merge(spark, wh, "t", src, Seq("id"))
+      }
+      // the table is untouched by the failed attempt
+      assert(TxLog.read(spark, wh, "t").filter(col("id") === 3L)
+        .head.getString(1) == "v3")
+      // retry against the fresh snapshot applies cleanly
+      val r = TxLog.merge(spark, wh, "t", src, Seq("id"))
+      assert(r.matchedRows == 1)
+      assert(TxLog.read(spark, wh, "t").filter(col("id") === 3L)
+        .head.getString(1) == "new3")
+      // the losing attempt's staged survivors/sidecar are unreferenced
+      // and reclaimed by vacuum; the live table survives it
+      TxLog.vacuum(spark, wh, retentionMs = 0L)
+      assert(TxLog.read(spark, wh, "t").count() == 11)
+    } finally TxLog.store = graft.store.HadoopLogStore
+  }
+
+  test("readWhereKeyIn prunes to the files that may hold the keys; exact via semi-join") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // 4 files with disjoint id ranges and stats
+    (0 until 4).foreach { i =>
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        (i * 100L until i * 100L + 10L).map(id => (id, s"v$id"))
+          .toDF("id", "body").coalesce(1),
+        wh, "t", Nil, 1, statsCols = Seq("id")))
+    }
+    val pruned = TxLog.readWhereKeyIn(spark, wh, "t", Seq("id"),
+      Seq(Seq(105L), Seq(302L)))
+    assert(pruned.inputFiles.length == 2,
+      s"expected 2 of 4 files, got ${pruned.inputFiles.length}")
+    val keys = Seq((105L, ""), (302L, "")).toDF("id", "k2").select("id")
+    assert(pruned.join(keys, Seq("id"), "left_semi")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(105L, 302L))
+    // a key set matching nothing reads zero rows without erroring
+    assert(TxLog.readWhereKeyIn(spark, wh, "t", Seq("id"),
+      Seq(Seq(9999L))).count() == 0)
+  }
+
   // ---- UPDATE (updateWhere) ---------------------------------------------
 
   test("updateWhere rewrites only owners; set applied; feed = pre-image delete + post-image insert") {
