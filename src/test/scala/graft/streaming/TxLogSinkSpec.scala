@@ -59,6 +59,32 @@ class TxLogSinkSpec extends AnyFunSuite {
     assert(TxLogSink.lastCommitted(spark, wh, "cdc-other") == -1L)
   }
 
+  test("merge-on-read flavor: no data-file rewrite per batch, same exactly-once contract") {
+    val wh = freshWh()
+    def apply(rows: Seq[(Long, String, Boolean)], batchId: Long): Boolean =
+      TxLogSink.upsertBatch(batchDf(rows), batchId, wh, "t", Seq("id"),
+        appId = "cdc-mor", tombstoneCol = Some("_tombstone"),
+        statsCols = Seq("id"), copyOnWrite = false)
+    assert(apply((0L to 9L).map(i => (i, s"v$i", false)), 0L))
+    val liveAfterLoad = TxLog.snapshot(spark, wh).files("t").map(_._1).toSet
+    assert(apply(Seq((1L, "v1b", false), (2L, "", true)), 1L))
+    // the initial files are all still live (mask + append only)
+    assert(liveAfterLoad.subsetOf(
+      TxLog.snapshot(spark, wh).files("t").map(_._1).toSet))
+    assert(TxLog.snapshot(spark, wh).dvsOf("t").nonEmpty)
+    val t1 = TxLog.read(spark, wh, "t")
+    assert(t1.count() == 9)
+    assert(t1.filter(col("id") === 1L).head.getString(1) == "v1b")
+    assert(t1.filter(col("id") === 2L).count() == 0)
+    // replay skips; maintenance compaction materializes the masks and
+    // the table reads identically after
+    assert(!apply(Seq((1L, "v1b", false), (2L, "", true)), 1L))
+    TxLog.compact(spark, wh, "t", Nil)
+    assert(TxLog.snapshot(spark, wh).dvsOf("t").isEmpty)
+    assert(TxLog.read(spark, wh, "t").count() == 9)
+    assert(TxLogSink.lastCommitted(spark, wh, "cdc-mor") == 1L)
+  }
+
   test("writeStream end-to-end: the foreachBatch sink converges the table") {
     val wh = freshWh()
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-src")

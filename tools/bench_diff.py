@@ -19,17 +19,20 @@ def load_queries(path):
         return d["queries"]
     if "tail" in d:  # driver record; tail may be truncated at the FRONT
         t = d["tail"]
-        qpart = t[: t.index('},"sf"') + 1]
+        # the queries object ends at the earliest of the fields that
+        # follow it across artifact generations
+        ends = [t.index(s) for s in ('},"drift"', '},"errors"', '},"sf"')
+                if s in t]
+        if not ends:
+            raise SystemExit(f"no queries terminator in {path}")
+        qpart = t[: min(ends) + 1]
         if not qpart.lstrip().startswith('{"'):
             # the FRONT clip can land anywhere — inside a key OR a value;
-            # drop everything up to the first complete `"key":value` pair,
-            # and stop at the queries object's own closing brace (newer
-            # artifacts carry "drift"/"errors" maps after it)
+            # drop everything up to the first complete `"key":value` pair
             first = re.search(r'"q\d+[^"]*":', qpart)
             if not first:
                 raise SystemExit(f"tail too truncated to recover in {path}")
             qpart = "{" + qpart[first.start():]
-            qpart = qpart[: qpart.index("}") + 1] if "}" in qpart else qpart + "}"
         return json.loads(qpart)
     raise SystemExit(f"no queries found in {path}")
 
