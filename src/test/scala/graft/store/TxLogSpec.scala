@@ -1253,6 +1253,29 @@ class TxLogSpec extends AnyFunSuite {
     assert(dels.toSeq == Seq(2L, 3L))
   }
 
+  test("merge composes with schema evolution: evolved source updates, survivors null-fill") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0.coalesce(1), wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    // additive evolution: new nullable column recorded in the log
+    val evolved = t0.schema.add("lang", org.apache.spark.sql.types.StringType)
+    TxLog.commit(spark, wh, Nil, schemas = Map("t" -> evolved))
+    // a post-evolution source carries the new column; pre-evolution
+    // survivor rows must null-fill it, matched rows take the new value
+    val src = Seq((2L, "b2", "en"), (9L, "i9", "de")).toDF("id", "body", "lang")
+    val r = TxLog.merge(spark, wh, "t", src, Seq("id"))
+    assert(r.matchedRows == 1 && r.writtenRows == 2)
+    val rows = TxLog.read(spark, wh, "t")
+      .select("id", "body", "lang").as[(Long, String, Option[String])]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b2", Some("en")),
+      (3L, "c", None), (9L, "i9", Some("de"))))
+    // time travel to the pre-merge version still shows the old shape's data
+    assert(TxLog.read(spark, wh, "t", atVersion = 0L).count() == 3)
+  }
+
   test("merge vacuum interplay: time travel and feed replay survive until retention expires") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
