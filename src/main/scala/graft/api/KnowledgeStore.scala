@@ -50,8 +50,17 @@ final class KnowledgeStore(
   import spark.implicits._
 
   private val txMode: Boolean = {
-    if (transactional && !graft.store.TxLog.exists(spark, warehouse))
-      graft.store.TxLog.commit(spark, warehouse, Nil)
+    if (transactional && !graft.store.TxLog.exists(spark, warehouse)) {
+      // a populated plain-parquet warehouse must MIGRATE, not vanish:
+      // initializing an empty log over existing chunks/vectors/ledger
+      // would flip every read to the (empty) snapshot and silently hide
+      // all pre-existing documents. Adopt registers the existing files
+      // as the initial commit (CONVERT-style); an actually-empty
+      // warehouse initializes with a plain empty commit.
+      if (graft.store.TxLog.adopt(spark, warehouse,
+          Seq("chunks", "vectors", "ledger")) < 0)
+        graft.store.TxLog.commit(spark, warehouse, Nil)
+    }
     transactional || graft.store.TxLog.exists(spark, warehouse)
   }
 
@@ -147,7 +156,15 @@ final class KnowledgeStore(
             T.Remove(t, rel)
         }
       }
-      if (removes.nonEmpty) T.commit(spark, warehouse, Nil, removes)
+      // the removes carry a `delete` action per touched table: without
+      // it readChanges classifies a remove-only commit as a rewrite and
+      // CDC consumers (IncrementalView) silently miss the container's
+      // deletion. The predicate replays the pre-images exactly — every
+      // row in these files belongs to the container (partition dirs).
+      if (removes.nonEmpty)
+        T.commit(spark, warehouse, Nil, removes,
+          deletes = removes.map(_.table).distinct
+            .map(_ -> s"(container_id = '$containerId')").toMap)
     }
     val physical =
       (if (txMode) Seq.empty[String]
@@ -609,10 +626,17 @@ final class KnowledgeStore(
       }
     }
     // derived-index refresh (PostingsIndex.refresh handles generation
-    // resolution); a warehouse with no chunks yet skips quietly
-    if (scala.util.Try(graft.search.PostingsIndex
-        .refresh(spark, warehouse)).isSuccess)
+    // resolution); ONLY the empty/missing-table read skips quietly — a
+    // genuine refresh failure (corrupt table, schema drift) lands in the
+    // report so the nightly job never claims success over a stale index
+    try {
+      graft.search.PostingsIndex.refresh(spark, warehouse)
       report += "postings" -> "refreshed"
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => () // no chunks yet
+      case e: Exception =>
+        report += "postings" -> s"failed: ${e.getMessage}"
+    }
     if (txMode) {
       report += "checkpoint" -> s"v${T.checkpoint(spark, warehouse)}"
       report += "vacuum" -> s"${T.vacuum(spark, warehouse, vacuumRetentionMs)} files"

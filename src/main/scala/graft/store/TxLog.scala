@@ -179,6 +179,39 @@ object TxLog {
   def exists(spark: SparkSession, warehouse: String): Boolean =
     fs(spark, warehouse).exists(logPath(warehouse))
 
+  /** MIGRATION: register a plain-parquet warehouse's existing data files
+    * as the log's INITIAL commit (Delta's CONVERT TO DELTA shape) — the
+    * guard against initializing an empty log over a populated table,
+    * which would silently hide every pre-existing row behind snapshot
+    * isolation while the orphaned files sat on disk. Walks each table
+    * dir for parquet parts (partition subdirs included — the rel path
+    * keeps the layout) and commits them at generation 0; a table dir
+    * that does not exist contributes nothing. Refuses to run on a
+    * warehouse that already has a log. Returns the committed version
+    * (-1 when there was nothing to adopt — the empty-warehouse case
+    * initializes with a plain empty commit instead). */
+  def adopt(spark: SparkSession, warehouse: String, tables: Seq[String]): Long = {
+    require(!exists(spark, warehouse),
+      s"txlog: $warehouse already has a log — adopt is for plain warehouses")
+    val f = fs(spark, warehouse)
+    val adds = tables.flatMap { table =>
+      val tableDir = new Path(warehouse, table)
+      val found = scala.collection.mutable.ArrayBuffer[Add]()
+      def walk(p: Path): Unit = if (f.exists(p)) f.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (!st.getPath.getName.startsWith(".")) walk(st.getPath)
+        } else if (st.getPath.getName.endsWith(".parquet")) {
+          val rel = st.getPath.toUri.getPath
+            .stripPrefix(tableDir.toUri.getPath).stripPrefix("/")
+          found += Add(table, rel, generation = 0L)
+        }
+      }
+      walk(tableDir)
+      found
+    }
+    if (adds.isEmpty) -1L else commit(spark, warehouse, adds)
+  }
+
   private def commitFile(warehouse: String, version: Long): Path =
     new Path(logPath(warehouse), f"$version%020d.commit")
 
@@ -253,9 +286,9 @@ object TxLog {
     // the next version follows the newest commit OR checkpoint — after
     // expireLog drops every commit at the horizon, numbering must
     // continue from the checkpoint, never restart at 0
-    val version = (listVersions(f, warehouse) ++ listCheckpoints(f, warehouse))
+    def nextVersion(): Long = (listVersions(f, warehouse) ++ listCheckpoints(f, warehouse))
       .maxOption.getOrElse(-1L) + 1L
-    val target = commitFile(warehouse, version)
+    def bodyFor(version: Long): String = {
     val body = new StringBuilder
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
     schemas.toSeq.sortBy(_._1).foreach { case (table, st) =>
@@ -308,10 +341,56 @@ object TxLog {
       }
     }
     removes.foreach(r => body ++= s"remove\t${r.table}\t${r.relPath}\n")
-    if (!store.putIfAbsent(f, dir, target, body.toString.getBytes(StandardCharsets.UTF_8)))
-      throw new TxConflictException(
-        s"txlog version $version already claimed by another writer " +
-          s"(warehouse $warehouse) — recompute the snapshot and retry")
+    body.toString
+    }
+    // OCC with DISJOINT-COMMIT auto-retry (the published Delta conflict-
+    // checking shape, table-granular): when another writer claims our
+    // version first, re-read the interleaved commits — if none touches a
+    // table (or tag name) this commit touches, the two transactions
+    // commute and we re-claim the next version without bothering the
+    // caller; any overlap surfaces as TxConflictException exactly as
+    // before (the caller's snapshot-derived adds/removes may be stale).
+    val touchedTables: Set[String] =
+      adds.map(_.table).toSet ++ removes.map(_.table) ++ schemas.keys ++
+        deletes.keys ++ partitionSpecs.keys ++ dvAdds.map(_._1) ++
+        dvClears ++ merges.keys
+    val touchedTags = tags.keySet
+    def interleavedOverlap(from: Long): Option[String] =
+      listVersions(f, warehouse).filter(_ >= from).iterator.flatMap { v =>
+        readCommitText(f, warehouse, v).linesIterator.flatMap(_.split('\t') match {
+          case Array("add", t, _, _) => Some(t)
+          case Array("add", t, _, _, _) => Some(t)
+          case Array("remove", t, _) => Some(t)
+          case Array("stat", t, _, _, _, _, _) => Some(t)
+          case Array("bloom", t, _, _, _) => Some(t)
+          case Array("schema", t, _) => Some(t)
+          case Array("delete", t, _) => Some(t)
+          case Array("merge", t, _, _) => Some(t)
+          case Array("partspec", t, _) => Some(t)
+          case Array("partspec", t) => Some(t)
+          case Array("dv", t, _, _) => Some(t)
+          case Array("dvclear", t) => Some(t)
+          case Array("tag", n, _) if touchedTags.contains(unesc(n)) =>
+            Some(s"tag:${unesc(n)}")
+          case _ => None
+        })
+      }.find(t => t.startsWith("tag:") || touchedTables.contains(t))
+    var version = nextVersion()
+    var attempts = 0
+    while (!store.putIfAbsent(f, dir, commitFile(warehouse, version),
+        bodyFor(version).getBytes(StandardCharsets.UTF_8))) {
+      attempts += 1
+      interleavedOverlap(version) match {
+        case Some(what) => throw new TxConflictException(
+          s"txlog version $version already claimed by another writer " +
+            s"touching '$what' (warehouse $warehouse) — recompute the " +
+            "snapshot and retry")
+        case None if attempts >= 20 => throw new TxConflictException(
+          s"txlog: lost the version claim $attempts times in a row " +
+            s"(warehouse $warehouse) — giving up; retry the commit")
+        case None => version = nextVersion() // disjoint: commute past it
+      }
+    }
     version
   }
 
@@ -573,12 +652,21 @@ object TxLog {
     import org.apache.spark.sql.functions.{expr, lit}
     val f = fs(spark, warehouse)
     // an expired log cannot serve feed history before its horizon — a
-    // silently partial feed is worse than an error
+    // silently partial feed is worse than an error. The guard fires on
+    // ACTUAL truncation only: a version inside the requested range that
+    // once existed (versions run 0..maxKnown) but whose commit file is
+    // gone (expireLog dropped it; checkpoints fold state and cannot
+    // replay a feed). A checkpointed-but-never-expired log, or a
+    // fromVersion below -1 on a full log, passes clean.
     val available = listVersions(f, warehouse)
-    if (available.headOption.exists(first =>
-        fromVersion < first - 1 && listCheckpoints(f, warehouse).nonEmpty))
+    val maxKnown = (available ++ listCheckpoints(f, warehouse)).maxOption.getOrElse(-1L)
+    val availableSet = available.toSet
+    val missing = (math.max(fromVersion + 1, 0L) to math.min(toVersion, maxKnown))
+      .filterNot(availableSet.contains)
+    if (missing.nonEmpty)
       sys.error(s"txlog: change feed from $fromVersion predates the " +
-        s"truncated log horizon (earliest commit ${available.head})")
+        s"truncated log horizon (missing commit ${missing.head}; earliest " +
+        s"present ${available.headOption.getOrElse(-1L)})")
     // per-version change batch: (version, files to read, change type,
     // optional delete predicate to replay over the pre-image files)
     val batches = available
@@ -1246,7 +1334,7 @@ object TxLog {
                 col("__dv_row").as("row_index"))
           }.reduce(_.unionByName(_))
         val dvRel = s".dv/${java.util.UUID.randomUUID()}"
-        masks.coalesce(1).write.parquet(s"$base/$dvRel")
+        writeSidecar(masks, s"$base/$dvRel", owners.values.sum)
         ((table, dvRel, predSql), owners.values.sum)
     }
   }
@@ -1392,10 +1480,21 @@ object TxLog {
       /** Control columns (e.g. a CDC tombstone flag) consumed by the
         * conditions above but DROPPED from the written rows — they never
         * land in the table. */
-      dropCols: Seq[String] = Nil): MergeResult =
+      dropCols: Seq[String] = Nil,
+      /** Delta's `whenMatchedUpdate(set)` clause: when present, a matched
+        * target row is NOT replaced by its source row — it is rewritten
+        * with these SET assignments, evaluated over the matched
+        * (target ⋈ source) pair. Reference target columns as `t.<col>`
+        * and source columns as `s.<col>` (key columns are unqualified);
+        * unassigned columns KEEP the target value (SQL UPDATE
+        * semantics). `whenMatchedDelete` still evaluates on the source
+        * row and wins over the update. Unmatched source rows insert
+        * with their source shape, exactly as without the clause. */
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None)
+      : MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
       statsCols, bloomCols, whenMatchedDelete, copyOnWrite = true, txnTags,
-      insertUnmatched, dropCols)
+      insertUnmatched, dropCols, whenMatchedUpdate)
 
   /** MERGE-ON-READ flavor of [[merge]] (the deletion-vector half, like
     * [[deleteWhereDV]] vs [[deleteWhere]]): matched target rows are
@@ -1413,10 +1512,12 @@ object TxLog {
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       txnTags: Map[String, Long] = Map.empty,
       insertUnmatched: Option[org.apache.spark.sql.Column] = None,
-      dropCols: Seq[String] = Nil): MergeResult =
+      dropCols: Seq[String] = Nil,
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None)
+      : MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
       statsCols, bloomCols, whenMatchedDelete, copyOnWrite = false, txnTags,
-      insertUnmatched, dropCols)
+      insertUnmatched, dropCols, whenMatchedUpdate)
 
   /** Driver budget for shipping distinct source-key values into
     * partition-dir and Bloom probes (tier 1). Beyond it the equality
@@ -1431,7 +1532,9 @@ object TxLog {
       copyOnWrite: Boolean,
       txnTags: Map[String, Long] = Map.empty,
       insertUnmatched: Option[org.apache.spark.sql.Column] = None,
-      dropCols: Seq[String] = Nil): MergeResult = {
+      dropCols: Seq[String] = Nil,
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None)
+      : MergeResult = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, max, min, not, split}
     require(keyCols.nonEmpty, "txlog: merge needs at least one key column")
     require(dropCols.intersect(keyCols).isEmpty,
@@ -1551,7 +1654,7 @@ object TxLog {
         .join(srcKeys, keyCols, "left_semi")
         .select(keyCols.map(col): _*).distinct()
       val keysRel = s".merge/${java.util.UUID.randomUUID()}"
-      matchedKeys.coalesce(1).write.parquet(s"$base/$keysRel")
+      writeSidecar(matchedKeys, s"$base/$keysRel", matchedRows)
       val matchedKeysDf = spark.read.parquet(s"$base/$keysRel")
       // ---- source split: matched rows under whenMatchedDelete drop;
       //      unmatched rows insert only through the insertUnmatched gate
@@ -1561,7 +1664,46 @@ object TxLog {
         matchedSrc.filter(not(coalesce(c, lit(false)))))
       val keptUnmatched = insertUnmatched.fold(unmatchedSrc)(g =>
         unmatchedSrc.filter(coalesce(g, lit(false))))
-      val sourceOut = keptMatched.unionByName(keptUnmatched).drop(dropCols: _*)
+      // matched post-images: full source-row replacement by default, or
+      // the whenMatchedUpdate SET assignments over the (target ⋈ source)
+      // pair — unassigned columns keep the target value (UPDATE
+      // semantics). Cost shape is unchanged: the pair join touches only
+      // owner-file rows ⋈ matched source rows.
+      val matchedOut = whenMatchedUpdate match {
+        case None => keptMatched.drop(dropCols: _*)
+        case Some(set) =>
+          require(set.nonEmpty, "txlog: whenMatchedUpdate needs assignments")
+          val targetCols = ownerRows.columns.toSeq
+          val badAssign = set.keys.filterNot(targetCols.contains)
+          require(badAssign.isEmpty,
+            s"txlog: whenMatchedUpdate assigns column(s) " +
+              s"${badAssign.mkString(", ")} the target does not have")
+          require(set.keys.forall(k => !keyCols.contains(k)),
+            "txlog: whenMatchedUpdate cannot reassign a merge key column")
+          val pre = ownerRows.join(srcKeys, keyCols, "left_semi").as("t")
+          val updated = pre.join(keptMatched.as("s"), keyCols)
+            .select(targetCols.map { c =>
+              if (keyCols.contains(c)) col(c).as(c)
+              else set.get(c).map(_.as(c)).getOrElse(col(s"t.$c").as(c))
+            }: _*)
+          // assignments must keep each column's LOGGED type (same guard
+          // as updateWhere — a mistyped SET would commit files the
+          // schema-applied read cannot decode)
+          snap.schemaOf(table).foreach { st =>
+            val logged = st.fields.map(fl => fl.name -> fl.dataType).toMap
+            val mistyped = updated.schema.fields.collect {
+              case fl if logged.get(fl.name).exists(_ != fl.dataType) =>
+                s"${fl.name} (assigned ${fl.dataType.simpleString} vs " +
+                  s"logged ${logged(fl.name).simpleString})"
+            }
+            require(mistyped.isEmpty,
+              s"txlog: whenMatchedUpdate changes column type(s): " +
+                mistyped.mkString(", "))
+          }
+          updated
+      }
+      val sourceOut = matchedOut.unionByName(
+        keptUnmatched.drop(dropCols: _*), allowMissingColumns = true)
       val outAdds = stageWrite(sourceOut, warehouse, table, partitionBy,
         nextGen, statsCols, bloomCols)
       val writtenRows = outAdds.map(a => fileRowCount(spark, base, a.relPath)).sum
@@ -1586,7 +1728,7 @@ object TxLog {
               .select(col("__dv_fname").as("fname"), col("__dv_row").as("row_index"))
           }.reduce(_.unionByName(_))
         val dvRel = s".dv/${java.util.UUID.randomUUID()}"
-        masks.coalesce(1).write.parquet(s"$base/$dvRel")
+        writeSidecar(masks, s"$base/$dvRel", matchedRows)
         ownerRows.unpersist()
         finish(outAdds, Nil,
           Seq((table, dvRel, s"__merge keys=$keysRel on=${keyCols.mkString(",")}")),
@@ -1598,6 +1740,20 @@ object TxLog {
   /** Row count of one staged file from its parquet footer (metadata-only). */
   private def fileRowCount(spark: SparkSession, base: String, rel: String): Long =
     rowCount(spark.sparkContext.hadoopConfiguration, new Path(s"$base/$rel"))
+
+  /** Rows per sidecar / deletion-vector part file. CDC-sized batches stay
+    * one file; a corpus-scale backfill merge matching 10^8+ keys shards
+    * so the write is a distributed job, never a driver-of-one-task
+    * bottleneck (the read side is a plain multi-file parquet() already). */
+  private[graft] var SidecarRowsPerFile = 4L * 1000 * 1000
+
+  /** Write a sidecar/mask frame sharded by its expected row count. */
+  private def writeSidecar(df: DataFrame, dest: String, rows: Long): Unit = {
+    val parts = math.max(1L,
+      (rows + SidecarRowsPerFile - 1) / SidecarRowsPerFile).toInt
+    (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+      .write.parquet(dest)
+  }
 
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):
     * roll the whole warehouse's live file set back to what `toVersion`
@@ -1807,11 +1963,25 @@ object TxLog {
     if (f.exists(stagingRoot)) f.listStatus(stagingRoot).foreach { st =>
       if (st.getModificationTime < cutoff) { f.delete(st.getPath, true); deleted += 1 }
     }
+    // merge matched-keys sidecars referenced by UN-EXPIRED merge commits
+    // are feed metadata, not data files: readChanges replays a
+    // merge-on-read version's pre-images from still-LIVE data + the
+    // sidecar, so the sidecar must outlive age-based reclamation as long
+    // as its commit is replayable. expireLog dropping the commit is what
+    // releases it (the next vacuum then reclaims by age as usual).
+    val protectedSidecars: Map[String, Seq[String]] =
+      listVersions(f, warehouse).flatMap { v =>
+        readCommitText(f, warehouse, v).linesIterator.flatMap(_.split('\t') match {
+          case Array("merge", table, keysRel, _) => Some(table -> unesc(keysRel))
+          case _ => None
+        })
+      }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
     snap.live.keys.foreach { table =>
       val liveSet = snap.files(table).map(_._1).toSet
       // live deletion-vector dirs are log-referenced storage: protected
       // like data files; cleared masks reclaim by age like anything else
-      val dvLive = snap.dvsOf(table).map(_ + "/")
+      val dvLive = snap.dvsOf(table).map(_ + "/") ++
+        protectedSidecars.getOrElse(table, Nil).map(_ + "/")
       val tableDir = new Path(warehouse, table)
       def walk(p: Path): Unit = if (f.exists(p)) f.listStatus(p).foreach { st =>
         if (st.isDirectory) walk(st.getPath)

@@ -439,4 +439,57 @@ class KnowledgeStoreTxSpec extends KnowledgeStoreSpec {
     graft.store.TxLog.vacuum(spark, wh, retentionMs = 0L)
     assert(s.getDocument(cid, "/b.txt").nonEmpty)
   }
+
+  test("tx: container deletion feeds delete pre-images — CDC consumers see it") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kstxcd").toString
+    val s = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      transactional = true)
+    val cid = s.createContainer("tx-cdel")
+    val keep = s.createContainer("tx-keep")
+    s.uploadFile(cid, "/a.txt", "alpha beta gamma delta epsilon zeta")
+    s.uploadFile(keep, "/k.txt", "kappa lambda mu nu xi omicron")
+    val v0 = graft.store.TxLog.snapshot(spark, wh).version
+    s.deleteContainer(cid)
+    // the remove-bearing commit carries a delete action: the feed
+    // replays the dropped container's rows as pre-images (an
+    // IncrementalView over the ledger stays exact through it)
+    val feed = graft.store.TxLog.readChanges(spark, wh, "ledger", fromVersion = v0)
+    val dels = feed.filter($"_change_type" === "delete")
+      .select("container_id").as[String].collect()
+    assert(dels.toSeq == Seq(cid), s"container delete must feed pre-images, got ${dels.toSeq}")
+    assert(feed.filter($"_change_type" === "insert").isEmpty)
+    // chunks feed too, and only for the deleted container
+    val chunkDels = graft.store.TxLog.readChanges(spark, wh, "chunks", fromVersion = v0)
+      .filter($"_change_type" === "delete").select("container_id").as[String].collect()
+    assert(chunkDels.nonEmpty && chunkDels.forall(_ == cid))
+    // surviving container intact
+    assert(s.getDocument(keep, "/k.txt").nonEmpty)
+  }
+
+  test("tx: transactional=true over a populated plain warehouse ADOPTS the data") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kstxad").toString
+    // a plain-parquet warehouse accumulates documents first
+    val plain = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    val cid = plain.createContainer("adopt-me")
+    plain.bulkUpload(cid, Seq(
+      ("/a.txt", "alpha beta gamma delta epsilon zeta"),
+      ("/b.txt", "one two three four five six seven")))
+    assert(!graft.store.TxLog.exists(spark, wh))
+    // flipping to transactional must NOT hide the existing documents
+    // behind an empty initial commit — the files are adopted into it
+    val tx = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      transactional = true)
+    assert(graft.store.TxLog.exists(spark, wh))
+    assert(tx.listFiles(cid).map(_._2).sorted == Seq("/a.txt", "/b.txt"))
+    assert(tx.getDocument(cid, "/a.txt").nonEmpty)
+    assert(tx.containerStats(cid)("documents") == 2)
+    // and the adopted warehouse keeps working transactionally: an upsert
+    // replaces through the log
+    tx.uploadFile(cid, "/a.txt", "alpha beta gamma delta epsilon replaced")
+    assert(tx.getDocument(cid, "/a.txt").get.contains("replaced"))
+    assert(tx.containerStats(cid)("documents") == 2)
+  }
 }

@@ -625,13 +625,22 @@ class TxLogSpec extends AnyFunSuite {
     val wh = freshWh()
     TxLog.commit(spark, wh,
       TxLog.stageWrite(df(0L to 9L, 1).coalesce(1), wh, "chunks", Nil, 1))
+    // the winner REWRITES a chunks file (same table -> genuine overlap:
+    // our delete's snapshot-derived owner set may be stale, so the
+    // conflict must surface instead of auto-commuting)
+    val winnerBody = ("commit\t1\t0\n" + "remove\tchunks\tghost.parquet\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val flaky = new graft.store.LogStore {
       var failed = false
       override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
           dir: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
-          content: Array[Byte]): Boolean =
-        if (!failed) { failed = true; false } // another writer won this claim
-        else graft.store.HadoopLogStore.putIfAbsent(f, dir, target, content)
+          content: Array[Byte]): Boolean = {
+        if (!failed) {
+          failed = true
+          assert(graft.store.HadoopLogStore.putIfAbsent(f, dir, target, winnerBody))
+        }
+        graft.store.HadoopLogStore.putIfAbsent(f, dir, target, content)
+      }
     }
     TxLog.store = flaky
     try {
@@ -950,12 +959,14 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, wh, "chunks").count() == 5)
   }
 
-  test("merge losing a racing claim is a clean conflict; retry applies; staged files vacuum") {
+  test("merge losing a claim to a DISJOINT-table writer commutes: no caller retry needed") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
     TxLog.commit(spark, wh, TxLog.stageWrite(
       (0L to 9L).map(i => (i, s"v$i")).toDF("id", "body"), wh, "t", Nil, 1))
-    // inject a winner commit between merge's snapshot and its claim
+    // inject a winner commit between merge's snapshot and its claim —
+    // touching a DIFFERENT table, so the two transactions commute and
+    // the merge must land on its own (Delta-style conflict checking)
     val winnerBody = ("commit\t1\t0\n" + "add\tother\twinner.parquet\t7\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val racing = new graft.store.LogStore {
@@ -973,21 +984,45 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.store = racing
     try {
       val src = Seq((3L, "new3"), (99L, "new99")).toDF("id", "body")
-      intercept[graft.store.TxConflictException] {
-        TxLog.merge(spark, wh, "t", src, Seq("id"))
-      }
-      // the table is untouched by the failed attempt
-      assert(TxLog.read(spark, wh, "t").filter(col("id") === 3L)
-        .head.getString(1) == "v3")
-      // retry against the fresh snapshot applies cleanly
       val r = TxLog.merge(spark, wh, "t", src, Seq("id"))
       assert(r.matchedRows == 1)
+      assert(r.version == 2L, s"merge should land AFTER the winner, got ${r.version}")
+      // both transactions applied: the winner's add and the merge
+      val snap = TxLog.snapshot(spark, wh)
+      assert(snap.files("other") == Seq(("winner.parquet", 7L)))
       assert(TxLog.read(spark, wh, "t").filter(col("id") === 3L)
         .head.getString(1) == "new3")
-      // the losing attempt's staged survivors/sidecar are unreferenced
-      // and reclaimed by vacuum; the live table survives it
-      TxLog.vacuum(spark, wh, retentionMs = 0L)
       assert(TxLog.read(spark, wh, "t").count() == 11)
+    } finally TxLog.store = graft.store.HadoopLogStore
+  }
+
+  test("disjoint commits commute; overlapping tag names still conflict") {
+    val wh = freshWh()
+    TxLog.commit(spark, wh, Nil) // version 0
+    def loseOnceTo(body: String): graft.store.LogStore = new graft.store.LogStore {
+      var injected = false
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          dir: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
+          content: Array[Byte]): Boolean = {
+        if (!injected) {
+          injected = true
+          assert(graft.store.HadoopLogStore.putIfAbsent(f, dir, target,
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        graft.store.HadoopLogStore.putIfAbsent(f, dir, target, content)
+      }
+    }
+    // a tag commit losing to a writer re-tagging the SAME name conflicts
+    TxLog.store = loseOnceTo("commit\t1\t0\ntag\tview:x\t0\n")
+    try intercept[graft.store.TxConflictException] {
+      TxLog.commit(spark, wh, Nil, tags = Map("view:x" -> 0L))
+    } finally TxLog.store = graft.store.HadoopLogStore
+    // ...but a DIFFERENT tag name commutes
+    TxLog.store = loseOnceTo("commit\t2\t0\ntag\tview:y\t0\n")
+    try {
+      val v = TxLog.commit(spark, wh, Nil, tags = Map("view:z" -> 0L))
+      assert(v == 3L)
+      assert(TxLog.tags(spark, wh).keySet == Set("view:x", "view:y", "view:z"))
     } finally TxLog.store = graft.store.HadoopLogStore
   }
 
@@ -1297,5 +1332,142 @@ class TxLogSpec extends AnyFunSuite {
     }
     // the live table is untouched
     assert(TxLog.read(spark, wh, "t").count() == 10)
+  }
+
+  test("whenMatchedUpdate: SET over the (target ⋈ source) pair; unassigned keep target; flavors agree") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    def build(wh: String): Unit =
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        Seq((1L, 10L, "a", "keep1"), (2L, 20L, "b", "keep2"), (3L, 30L, "c", "keep3"))
+          .toDF("id", "cnt", "body", "tag"), wh, "t", Nil, 1))
+    val src = Seq((2L, 5L, "B"), (9L, 9L, "I")).toDF("id", "cnt", "body")
+    val set = Map(
+      "cnt" -> (col("t.cnt") + col("s.cnt")),
+      "body" -> concat(col("t.body"), lit("+"), col("s.body")))
+    def check(wh: String, merge: () => TxLog.MergeResult): Unit = {
+      val v0 = TxLog.snapshot(spark, wh).version
+      val r = merge()
+      assert(r.matchedRows == 1)
+      val rows = TxLog.read(spark, wh, "t")
+        .select("id", "cnt", "body", "tag")
+        .as[(Long, Long, String, Option[String])].collect().sortBy(_._1)
+      // matched row 2: cnt accumulated, body concatenated, tag KEPT from
+      // the target (UPDATE semantics); unmatched row 9 inserts source-
+      // shaped (tag null-fills)
+      assert(rows.toSeq == Seq(
+        (1L, 10L, "a", Some("keep1")),
+        (2L, 25L, "b+B", Some("keep2")),
+        (3L, 30L, "c", Some("keep3")),
+        (9L, 9L, "I", None)))
+      // CDF: pre-image delete of the OLD matched row + post-image inserts
+      val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      assert(feed.filter(col("_change_type") === "delete")
+        .select("id", "cnt").as[(Long, Long)].collect().toSeq == Seq((2L, 20L)))
+      assert(feed.filter(col("_change_type") === "insert")
+        .select("id", "cnt").as[(Long, Long)].collect().sorted.toSeq ==
+        Seq((2L, 25L), (9L, 9L)))
+    }
+    val whCow = freshWh(); build(whCow)
+    check(whCow, () => TxLog.merge(spark, whCow, "t", src, Seq("id"),
+      whenMatchedUpdate = Some(set)))
+    val whMor = freshWh(); build(whMor)
+    check(whMor, () => TxLog.mergeDV(spark, whMor, "t", src, Seq("id"),
+      whenMatchedUpdate = Some(set)))
+    // bad assignments are rejected before anything is written
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, whCow, "t", src, Seq("id"),
+        whenMatchedUpdate = Some(Map("nope" -> lit(1L))))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, whCow, "t", src, Seq("id"),
+        whenMatchedUpdate = Some(Map("id" -> lit(1L))))
+    }
+  }
+
+  test("whenMatchedUpdate composes with whenMatchedDelete: delete wins, others update") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 4L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    val src = Seq((1L, "new1", false), (2L, "new2", true), (9L, "new9", false))
+      .toDF("id", "body", "gone")
+    val r = TxLog.merge(spark, wh, "t", src, Seq("id"),
+      whenMatchedDelete = Some(col("gone")),
+      whenMatchedUpdate = Some(Map("body" -> col("s.body"))),
+      dropCols = Seq("gone"))
+    assert(r.matchedRows == 2)
+    val rows = TxLog.read(spark, wh, "t")
+      .select("id", "body").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, "old0"), (1L, "new1"), (3L, "old3"),
+      (4L, "old4"), (9L, "new9")))
+  }
+
+  test("merge sidecar shards past the row budget; CDF replay stays exact") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 19L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    val v0 = TxLog.snapshot(spark, wh).version
+    val saved = TxLog.SidecarRowsPerFile
+    TxLog.SidecarRowsPerFile = 3L // force multi-file sidecars
+    try {
+      val src = kv((5L to 14L).map(i => i -> s"new$i"), 2)
+      assert(TxLog.merge(spark, wh, "t", src, Seq("id")).matchedRows == 10)
+    } finally TxLog.SidecarRowsPerFile = saved
+    // the sidecar dir actually sharded
+    val mergeDir = new java.io.File(s"$wh/t/.merge")
+    val parts = mergeDir.listFiles().head.listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts > 1, s"expected a sharded sidecar, got $parts part files")
+    // feed replay over the multi-file sidecar is exact
+    val dels = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(dels.toSeq == (5L to 14L))
+  }
+
+  test("vacuum protects merge sidecars of un-expired commits; expiry releases them") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 9L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    val v0 = TxLog.snapshot(spark, wh).version
+    // MERGE-ON-READ: pre-image replay reads still-live data + the keys
+    // sidecar, so the feed must survive an aggressive vacuum while the
+    // merge commit is replayable
+    TxLog.mergeDV(spark, wh, "t", kv(Seq(3L -> "new3", 4L -> "new4"), 2), Seq("id"))
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    val dels = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(dels.toSeq == Seq(3L, 4L), "feed replay must survive vacuum")
+    // expireLog drops the merge commit -> the NEXT vacuum reclaims the
+    // sidecar by age as usual
+    TxLog.checkpoint(spark, wh)
+    TxLog.expireLog(spark, wh)
+    TxLog.vacuum(spark, wh, retentionMs = 0L)
+    val mergeDir = new java.io.File(s"$wh/t/.merge")
+    val leftover = if (!mergeDir.exists()) 0
+      else mergeDir.listFiles().flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(_.getName.endsWith(".parquet"))
+    assert(leftover == 0, s"expired sidecar should be reclaimed, found $leftover")
+  }
+
+  test("feed truncation guard: fires on ACTUAL truncation only") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(1L -> "a"), 1), wh, "t", Nil, 1))
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(2L -> "b"), 2), wh, "t", Nil, 2))
+    // checkpointed but NEVER expired: full history present, no error —
+    // including a fromVersion below -1
+    TxLog.checkpoint(spark, wh)
+    assert(TxLog.readChanges(spark, wh, "t", fromVersion = -1L).count() == 2)
+    assert(TxLog.readChanges(spark, wh, "t", fromVersion = -5L).count() == 2)
+    // expiry actually truncates: pre-horizon feeds error loudly, at- and
+    // post-horizon feeds keep working
+    TxLog.expireLog(spark, wh)
+    val horizon = TxLog.snapshot(spark, wh).version
+    intercept[Exception] { TxLog.readChanges(spark, wh, "t", fromVersion = -1L) }
+    assert(TxLog.readChanges(spark, wh, "t", fromVersion = horizon).isEmpty)
   }
 }
