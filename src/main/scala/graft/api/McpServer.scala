@@ -1,0 +1,434 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.model.SearchRequest
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** MCP protocol server over [[KnowledgeStore]] — the reference's PRIMARY
+  * agent interface (ref `src/Connapse.Web/Mcp/McpTools.cs:14-670`: 11
+  * `[McpServerTool]`s; lifecycle pinned by
+  * `tests/Connapse.Integration.Tests/McpDiscoveryTests.cs`). Implements
+  * the published MCP Streamable-HTTP transport shape: JSON-RPC 2.0 over
+  * a single POST endpoint — `initialize` (returns `Mcp-Session-Id`),
+  * `notifications/initialized` (202, no body), `ping`, `tools/list`
+  * (name + description + JSON-Schema input per tool), and `tools/call`
+  * (result = `{content: [{type: "text", text}], isError}`). Built like
+  * [[RestServer]] on the JDK http server + Spark's Jackson — zero new
+  * dependencies.
+  *
+  * The ELEVEN TOOLS mirror the reference 1:1 — container_create /
+  * container_list / container_delete / search_knowledge / list_files /
+  * upload_file / delete_file / bulk_delete / bulk_upload / get_document /
+  * container_stats — and every one delegates to the KnowledgeStore
+  * method that already owns the semantics (bounds, write guard, upsert,
+  * cache invalidation); this layer only translates JSON-RPC and renders
+  * agent-readable text. Containers resolve by ID or by name, files by
+  * document ID or virtual path, exactly as the reference tools accept.
+  *
+  * AUTH mirrors the reference's `Mcp:AllowAnonymousDiscovery` contract
+  * (McpDiscoveryTests): with an `apiKey` configured and anonymous
+  * discovery OFF (default), every unauthenticated request is HTTP 401;
+  * with discovery ON, `initialize`/`tools/list`/`ping` answer anonymously
+  * but `tools/call` returns an IN-BAND tool error ("Authentication
+  * required", `isError: true`) — the MCP SDK shape, HTTP stays 200.
+  * Bearer comparison is constant-time. No `apiKey` = open (dev mode).
+  *
+  * Scale shape: same as RestServer — driver-side glue over the cached
+  * serving index; N replicas behind a balancer share the warehouse.
+  */
+final class McpServer(store: KnowledgeStore, port: Int = 0,
+    apiKey: Option[String] = None,
+    allowAnonymousDiscovery: Boolean = false) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  private val sessions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  server.setExecutor(pool)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  /** The protocol revision this server speaks (the MCP spec's
+    * date-versioning scheme). */
+  val ProtocolVersion = "2025-06-18"
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  // ---- JSON-RPC plumbing -------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      if (ex.getRequestMethod != "POST") { httpErr(ex, 405, "POST only"); return }
+      val body =
+        try mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8))
+        catch { case _: Exception =>
+          rpcErr(ex, null, -32700, "parse error"); return }
+      val id = Option(body.get("id")).filterNot(_.isNull)
+      val method = Option(body.get("method")).map(_.asText()).getOrElse("")
+      val params = Option(body.get("params")).getOrElse(mapper.createObjectNode())
+      val authed = apiKey.forall(bearerMatches(ex, _))
+      method match {
+        case "initialize" =>
+          if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
+          val sid = java.util.UUID.randomUUID().toString
+          sessions.add(sid)
+          ex.getResponseHeaders.set("Mcp-Session-Id", sid)
+          rpcOk(ex, id, obj(
+            "protocolVersion" -> ProtocolVersion,
+            "capabilities" -> obj("tools" -> obj("listChanged" -> false)),
+            "serverInfo" -> obj("name" -> "graft-knowledge", "version" -> "1.0.0")))
+        case "notifications/initialized" | "notifications/cancelled" =>
+          ex.sendResponseHeaders(202, -1); ex.close() // notifications have no response
+        case "ping" =>
+          if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
+          rpcOk(ex, id, obj())
+        case "tools/list" =>
+          if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
+          rpcOk(ex, id, obj("tools" -> arr(toolSchemas.map(identity))))
+        case "tools/call" =>
+          // the reference's CallToolFilter shape: an unauthenticated call
+          // on an anon-discovery server fails IN-BAND, not at HTTP level
+          if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
+          if (!authed) { rpcOk(ex, id, toolResult("Authentication required to call tools.", isError = true)); return }
+          val name = Option(params.get("name")).map(_.asText()).getOrElse("")
+          val args = Option(params.get("arguments")).getOrElse(mapper.createObjectNode())
+          val result =
+            try toolResult(callTool(name, args), isError = false)
+            catch {
+              case e: IllegalArgumentException =>
+                toolResult(s"Error: ${e.getMessage}", isError = true)
+              case e: NoSuchElementException =>
+                toolResult(s"Error: missing required argument '${e.getMessage}'", isError = true)
+              case e: Exception =>
+                toolResult(s"Error: ${String.valueOf(e.getMessage)}", isError = true)
+            }
+          rpcOk(ex, id, result)
+        case other =>
+          rpcErr(ex, id.orNull, -32601, s"method not found: $other")
+      }
+    } catch {
+      case e: Exception => try httpErr(ex, 500, String.valueOf(e.getMessage))
+        catch { case _: Exception => () }
+    }
+  }
+
+  private def bearerMatches(ex: HttpExchange, key: String): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .exists(h => java.security.MessageDigest.isEqual(
+        h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
+        key.getBytes(StandardCharsets.UTF_8)))
+
+  private def toolResult(text: String, isError: Boolean): JsonNode =
+    obj("content" -> arr(Seq(obj("type" -> "text", "text" -> text))),
+      "isError" -> isError)
+
+  // ---- the 11 tools ------------------------------------------------------
+
+  /** (name, description, required args, optional args with descriptions) */
+  private val toolDefs: Seq[(String, String, Seq[(String, String)], Seq[(String, String)])] = Seq(
+    ("container_create",
+      "Create a new container for organizing documents. Use when setting up a new knowledge domain or project.",
+      Seq("name" -> "Container name (lowercase alphanumeric and hyphens, 2-128 chars)"),
+      Seq("description" -> "Optional description for the container")),
+    ("container_list",
+      "List all containers with document counts. Use to discover available knowledge bases before searching.",
+      Nil, Nil),
+    ("container_delete",
+      "Delete a container. Cloud-connector files are not deleted — only the index is removed.",
+      Seq("containerId" -> "Container ID or name"), Nil),
+    ("search_knowledge",
+      "Search a container using semantic, keyword, or hybrid mode. Returns ranked document chunks with scores. Use when answering questions from stored knowledge.",
+      Seq("query" -> "The search query text",
+        "containerId" -> "Container ID or name to search within"),
+      Seq("mode" -> "Search mode: Semantic (vector), Keyword (full-text), or Hybrid (both). Default: Hybrid",
+        "topK" -> "Number of results to return. Default: 10",
+        "path" -> "Optional: Filter results to a folder subtree (e.g., '/docs/')",
+        "minScore" -> "Minimum similarity score floor (0.0-1.0). Defaults to 0.05.")),
+    ("list_files",
+      "List files and folders at a path within a container. Use to browse container contents before retrieving documents.",
+      Seq("containerId" -> "Container ID or name"),
+      Seq("path" -> "Folder path to list (default: root '/')")),
+    ("upload_file",
+      "Upload a file to be parsed, chunked, embedded, and made searchable. Provide either 'content' (base64) or 'textContent' (raw text), not both.",
+      Seq("containerId" -> "Container ID or name",
+        "fileName" -> "Original file name with extension"),
+      Seq("content" -> "Base64-encoded file content. For binary files (PDF, DOCX). Mutually exclusive with textContent.",
+        "textContent" -> "Raw text content for text-based files (Markdown, TXT, CSV, JSON, etc.). Mutually exclusive with content.",
+        "path" -> "Destination folder path (e.g., '/docs/2026/')")),
+    ("delete_file",
+      "Delete a file and all its chunks and vectors. To update a file, delete it first then re-upload with upload_file.",
+      Seq("containerId" -> "Container ID or name",
+        "fileId" -> "File (document) ID or virtual path to delete"), Nil),
+    ("bulk_delete",
+      "Delete up to 100 files in one call. Returns per-file success/failure results.",
+      Seq("containerId" -> "Container ID or name",
+        "fileIds" -> "JSON array of file (document) IDs or paths, e.g. [\"id1\",\"/a.txt\"]. Max 100."), Nil),
+    ("bulk_upload",
+      "Upload up to 100 files in one call. Each file is parsed, chunked, and embedded. Returns per-file results.",
+      Seq("containerId" -> "Container ID or name",
+        "files" -> "JSON array of file objects. Each object: {\"filename\":\"name.txt\", \"content\":\"...\", \"encoding\":\"text|base64\", \"folderPath\":\"/optional/\"}. Max 100."), Nil),
+    ("get_document",
+      "Retrieve a document's full text by ID or path. Returns extracted text for binary formats (PDF, DOCX, PPTX).",
+      Seq("containerId" -> "Container ID or name",
+        "fileId" -> "Document ID (UUID) or virtual path (e.g., '/docs/readme.md')"), Nil),
+    ("container_stats",
+      "Get container statistics: document counts, chunk count, storage size, and embedding model info.",
+      Seq("containerId" -> "Container ID or name"), Nil))
+
+  private def toolSchemas: Seq[JsonNode] = toolDefs.map {
+    case (name, desc, required, optional) =>
+      val props = (required ++ optional).map { case (arg, d) =>
+        arg -> (obj("type" -> "string", "description" -> d): Any)
+      }
+      obj("name" -> name, "description" -> desc,
+        "inputSchema" -> obj(
+          "type" -> "object",
+          "properties" -> obj(props: _*),
+          "required" -> arr(required.map(_._1: Any))))
+  }
+
+  /** Resolve a container argument by ID or (unique) name. */
+  private def resolveContainer(idOrName: String): Option[String] = {
+    val cs = store.listContainers()
+    cs.collectFirst { case (id, _, _) if id == idOrName => id }
+      .orElse(cs.collectFirst { case (id, n, _) if n == idOrName => id })
+  }
+
+  /** Resolve a file argument to a stored path: a virtual path is
+    * normalized and verified against the ledger; a document ID looks its
+    * path up (both metadata-sized, prefix-pruned listings). None = the
+    * file does not exist — tools answer "not found" per file. */
+  private def resolvePath(cid: String, fileId: String): Option[String] =
+    if (fileId.startsWith("/")) {
+      val p = graft.ingest.PathUtil.normalize(fileId)
+      if (store.listFiles(cid, Some(p), 0, Int.MaxValue).exists(_._2 == p))
+        Some(p)
+      else None
+    } else store.listFiles(cid, None, 0, Int.MaxValue)
+      .collectFirst { case (doc, p, _) if doc == fileId => p }
+
+  private def withContainer(args: JsonNode)(f: String => String): String = {
+    val idOrName = reqStr(args, "containerId")
+    resolveContainer(idOrName) match {
+      case Some(cid) => f(cid)
+      case None => s"Error: Container '$idOrName' not found."
+    }
+  }
+
+  private def callTool(name: String, args: JsonNode): String = name match {
+    case "container_create" =>
+      val n = reqStr(args, "name")
+      require(n.matches("[a-z0-9][a-z0-9-]{1,127}"),
+        "Container name must be lowercase alphanumeric and hyphens, 2-128 chars")
+      val id = store.createContainer(n)
+      s"Created container '$n' with ID: $id"
+    case "container_list" =>
+      val cs = store.listContainers()
+      if (cs.isEmpty) "No containers found."
+      else cs.map { case (id, n, ct) =>
+        val docs = store.containerStats(id).getOrElse("documents", 0L)
+        s"- $n (ID: $id, type: $ct, documents: $docs)"
+      }.mkString(s"Containers (${cs.size}):\n", "\n", "")
+    case "container_delete" => withContainer(args) { cid =>
+      store.deleteContainer(cid); s"Deleted container $cid."
+    }
+    case "search_knowledge" => withContainer(args) { cid =>
+      val query = reqStr(args, "query")
+      val t0 = System.nanoTime()
+      val hits = store.search(SearchRequest(
+        query = query, containerId = cid,
+        mode = optStr(args, "mode").map(_.toLowerCase).getOrElse("hybrid"),
+        topK = optInt(args, "topK").getOrElse(10),
+        minScore = optDouble(args, "minScore").getOrElse(0.05),
+        pathPrefix = optStr(args, "path")))
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (hits.isEmpty) "No results found."
+      else {
+        val sb = new StringBuilder(
+          f"Found ${hits.size} result(s) in $ms%.0f ms:%n%n")
+        hits.zipWithIndex.foreach { case (h, i) =>
+          sb ++= s"--- Result ${i + 1} ---\n"
+          sb ++= f"Score: ${h.score}%.3f%n"
+          sb ++= s"Path: ${h.metadata.getOrElse("path", "/")}\n"
+          sb ++= s"DocumentId: ${h.document_id}\n"
+          sb ++= s"Content:\n${h.content}\n\n"
+        }
+        sb.toString.stripTrailing()
+      }
+    }
+    case "list_files" => withContainer(args) { cid =>
+      val path = optStr(args, "path").getOrElse("/")
+      val norm = if (path.endsWith("/")) path else path + "/"
+      val folders = store.listFolders(cid,
+        Some(norm.stripSuffix("/")).filter(_.nonEmpty))
+      val docs = store.listFiles(cid, Some(norm).filter(_ != "/"),
+        0, Int.MaxValue)
+      if (norm != "/" && folders.isEmpty && docs.isEmpty)
+        s"Error: Folder '$norm' not found in this container."
+      else {
+        // direct children only: subfolder names + files whose parent is
+        // exactly the listed path (the reference's [DIR]/[FILE] render)
+        val subdirs = (folders.filter(fp => fp.startsWith(norm) || norm == "/")
+          .map(fp => if (norm == "/") fp.stripPrefix("/") else fp.stripPrefix(norm))
+          .filter(_.nonEmpty).map(_.split('/').head) ++
+          docs.map(_._2).filter(p => norm == "/" || p.startsWith(norm))
+            .map(p => if (norm == "/") p.stripPrefix("/") else p.stripPrefix(norm))
+            .filter(_.contains('/')).map(_.split('/').head)).distinct.sorted
+        val files = docs.filter { case (_, p, _) =>
+          graft.ingest.PathUtil.parent(p) == norm.stripSuffix("/") ||
+            (norm == "/" && !p.stripPrefix("/").contains('/')) }
+        val sb = new StringBuilder(s"Contents of $norm:\n\n")
+        subdirs.foreach(d => sb ++= s"[DIR]  $d/\n")
+        files.foreach { case (doc, p, n) =>
+          sb ++= s"[FILE] ${p.substring(p.lastIndexOf('/') + 1)} ($n chunks) ID: $doc\n" }
+        if (subdirs.isEmpty && files.isEmpty) sb ++= "(empty)\n"
+        sb.toString.stripTrailing()
+      }
+    }
+    case "upload_file" => withContainer(args) { cid =>
+      val fileName = reqStr(args, "fileName")
+      val folder = optStr(args, "path").getOrElse("/")
+      val full = (if (folder.endsWith("/")) folder else folder + "/") + fileName
+      (optStr(args, "content"), optStr(args, "textContent")) match {
+        case (Some(_), Some(_)) =>
+          "Error: Provide either 'content' or 'textContent', not both."
+        case (None, None) =>
+          "Error: Provide 'content' (base64) or 'textContent' (raw text)."
+        case (Some(b64), None) =>
+          val id = store.uploadFile(cid, full, b64, base64 = true)
+          s"Uploaded '$full' (ID: $id). It is parsed, chunked, embedded, and searchable."
+        case (None, Some(text)) =>
+          val id = store.uploadFile(cid, full, text)
+          s"Uploaded '$full' (ID: $id). It is chunked, embedded, and searchable."
+      }
+    }
+    case "delete_file" => withContainer(args) { cid =>
+      val fid = reqStr(args, "fileId")
+      resolvePath(cid, fid) match {
+        case Some(p) => store.deleteFile(cid, p); s"Deleted '$p' and all its chunks and vectors."
+        case None => s"Error: File '$fid' not found."
+      }
+    }
+    case "bulk_delete" => withContainer(args) { cid =>
+      val ids = parseStringArray(reqStr(args, "fileIds"))
+      require(ids.length <= store.MaxBulk, s"bulk_delete limited to ${store.MaxBulk} files")
+      val results = ids.map { fid =>
+        resolvePath(cid, fid) match {
+          case Some(p) =>
+            try { store.deleteFile(cid, p); s"OK    $fid" }
+            catch { case e: Exception => s"FAIL  $fid: ${e.getMessage}" }
+          case None => s"FAIL  $fid: not found"
+        }
+      }
+      s"Deleted ${results.count(_.startsWith("OK"))} of ${ids.length} file(s):\n" +
+        results.mkString("\n")
+    }
+    case "bulk_upload" => withContainer(args) { cid =>
+      val files = mapper.readTree(reqStr(args, "files"))
+      require(files.isArray, "files must be a JSON array")
+      require(files.size <= store.MaxBulk, s"bulk_upload limited to ${store.MaxBulk} files")
+      val results = (0 until files.size).map { i =>
+        val f = files.get(i)
+        val fn = Option(f.get("filename")).map(_.asText()).getOrElse("")
+        try {
+          val folder = Option(f.get("folderPath")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse("/")
+          val full = (if (folder.endsWith("/")) folder else folder + "/") + fn
+          val b64 = Option(f.get("encoding")).exists(_.asText() == "base64")
+          val id = store.uploadFile(cid, full, f.get("content").asText(), base64 = b64)
+          s"OK    $fn (ID: $id)"
+        } catch { case e: Exception => s"FAIL  $fn: ${e.getMessage}" }
+      }
+      s"Uploaded ${results.count(_.startsWith("OK"))} of ${files.size} file(s):\n" +
+        results.mkString("\n")
+    }
+    case "get_document" => withContainer(args) { cid =>
+      val fid = reqStr(args, "fileId")
+      resolvePath(cid, fid).flatMap(p => store.getDocument(cid, p).map(p -> _)) match {
+        case Some((p, content)) => s"Document '$p':\n\n$content"
+        case None => s"Error: Document '$fid' not found."
+      }
+    }
+    case "container_stats" => withContainer(args) { cid =>
+      val st = store.containerStats(cid)
+      val models = store.listModels(cid)
+      val modelLines =
+        if (models.isEmpty) "  (no vectors)"
+        else models.map { case (m, d, n) => s"  $m (${d}d): $n vectors" }.mkString("\n")
+      s"""Container $cid:
+         |Documents: ${st.getOrElse("documents", 0L)} (${st.getOrElse("ready", 0L)} ready)
+         |Chunks: ${st.getOrElse("chunks", 0L)}
+         |Bytes: ${st.getOrElse("bytes", 0L)}
+         |Models:
+         |$modelLines""".stripMargin
+    }
+    case other => throw new IllegalArgumentException(s"unknown tool: $other")
+  }
+
+  // ---- JSON helpers (same conventions as RestServer) ---------------------
+
+  private def reqStr(b: JsonNode, field: String): String =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asText())
+      .getOrElse(throw new NoSuchElementException(field))
+  private def optStr(b: JsonNode, field: String): Option[String] =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asText())
+  private def optInt(b: JsonNode, field: String): Option[Int] =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asInt())
+  private def optDouble(b: JsonNode, field: String): Option[Double] =
+    Option(b.get(field)).filterNot(_.isNull).map(_.asDouble())
+
+  private def parseStringArray(json: String): Seq[String] = {
+    val n = mapper.readTree(json)
+    require(n.isArray, "expected a JSON array")
+    (0 until n.size).map(n.get(_).asText())
+  }
+
+  private def toNode(v: Any): JsonNode = v match {
+    case n: JsonNode => n
+    case s: String => mapper.getNodeFactory.textNode(s)
+    case i: Int => mapper.getNodeFactory.numberNode(i)
+    case l: Long => mapper.getNodeFactory.numberNode(l)
+    case d: Double => mapper.getNodeFactory.numberNode(d)
+    case b: Boolean => mapper.getNodeFactory.booleanNode(b)
+    case null => mapper.getNodeFactory.nullNode()
+    case other => mapper.getNodeFactory.textNode(String.valueOf(other))
+  }
+  private def obj(fields: (String, Any)*): JsonNode = {
+    val o = mapper.createObjectNode()
+    fields.foreach { case (k, v) => o.set[JsonNode](k, toNode(v)) }
+    o
+  }
+  private def arr(items: Seq[Any]): JsonNode = {
+    val a = mapper.createArrayNode()
+    items.foreach(i => a.add(toNode(i)))
+    a
+  }
+
+  private def rpcOk(ex: HttpExchange, id: Option[JsonNode], result: JsonNode): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("jsonrpc", "2.0")
+    o.set[JsonNode]("id", id.getOrElse(mapper.getNodeFactory.nullNode()))
+    o.set[JsonNode]("result", result)
+    respond(ex, 200, mapper.writeValueAsString(o))
+  }
+  private def rpcErr(ex: HttpExchange, id: JsonNode, code: Int, msg: String): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("jsonrpc", "2.0")
+    o.set[JsonNode]("id", Option(id).getOrElse(mapper.getNodeFactory.nullNode()))
+    o.set[JsonNode]("error", obj("code" -> code, "message" -> msg))
+    respond(ex, 200, mapper.writeValueAsString(o))
+  }
+  private def httpErr(ex: HttpExchange, status: Int, msg: String): Unit =
+    respond(ex, status, mapper.writeValueAsString(obj("error" -> msg)))
+  private def respond(ex: HttpExchange, status: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

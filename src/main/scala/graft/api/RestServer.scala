@@ -37,7 +37,13 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     /** Progress feed to serve at `GET /progress` (pass the SAME
       * [[graft.ingest.ProgressLog]] the store was constructed with) —
       * the poll-model twin of the reference's SignalR hub. */
-    progressLog: Option[graft.ingest.ProgressLog] = None) {
+    progressLog: Option[graft.ingest.ProgressLog] = None,
+    /** Bearer-token guard (the reference ships a whole Identity project;
+      * this is the minimal deployment-facing slice): when set, every
+      * route except `GET /health` requires `Authorization: Bearer <key>`
+      * — 401 otherwise. Comparison is constant-time
+      * (`MessageDigest.isEqual`). None = open (dev mode, the default). */
+    apiKey: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -60,6 +66,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
     try {
+      if (path != "/health" && !apiKey.forall(key =>
+          Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .filter(_.startsWith("Bearer "))
+            .exists(h => java.security.MessageDigest.isEqual(
+              h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
+              key.getBytes(StandardCharsets.UTF_8))))) {
+        err(ex, 401, "unauthorized"); return
+      }
       (method, path) match {
         case ("GET", "/health") => ok(ex, obj("status" -> "ok"))
         case ("GET", "/progress") => progressLog match {

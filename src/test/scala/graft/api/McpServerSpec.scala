@@ -1,0 +1,220 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MCP protocol surface end-to-end over real HTTP: JSON-RPC
+  * initialize → tools/list → tools/call for every one of the 11 tools
+  * (the reference's McpDiscoveryTests + per-tool test classes), plus the
+  * AllowAnonymousDiscovery auth matrix. Tool responses are checked
+  * against the SAME KnowledgeStore calls the REST surface pins, so both
+  * serving layers answer from one engine.
+  */
+class McpServerSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-mcp").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+  private lazy val (server, base) = {
+    val s = new McpServer(store)
+    val port = s.start()
+    (s, s"http://127.0.0.1:$port")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private var rpcId = 0
+  private def rpc(url: String, method: String, params: String = "{}",
+      bearer: Option[String] = None, session: Option[String] = None)
+      : (Int, JsonNode, Option[String]) = {
+    rpcId += 1
+    val idField = if (method.startsWith("notifications/")) ""
+      else s""", "id": "$rpcId""""
+    val body = s"""{"jsonrpc": "2.0", "method": "$method", "params": $params$idField}"""
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    bearer.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+    session.foreach(sid => b = b.header("Mcp-Session-Id", sid))
+    val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+      else mapper.readTree(resp.body())
+    (resp.statusCode(), json,
+      Option(resp.headers().firstValue("Mcp-Session-Id").orElse(null)))
+  }
+
+  /** tools/call helper: returns (isError, concatenated text). */
+  private def call(url: String, tool: String, args: String,
+      bearer: Option[String] = None): (Boolean, String) = {
+    val (st, j, _) = rpc(url, "tools/call",
+      s"""{"name": "$tool", "arguments": $args}""", bearer)
+    assert(st == 200, s"tools/call $tool HTTP $st: $j")
+    val r = j.get("result")
+    assert(r != null, s"no result in $j")
+    (r.get("isError").asBoolean(), r.get("content").get(0).get("text").asText())
+  }
+
+  test("MCP lifecycle: initialize returns a session; tools/list exposes all 11 tools") {
+    val (st, j, sid) = rpc(base, "initialize",
+      """{"protocolVersion": "2025-06-18", "capabilities": {},
+          "clientInfo": {"name": "spec", "version": "1.0"}}""")
+    assert(st == 200)
+    assert(j.get("jsonrpc").asText() == "2.0")
+    val result = j.get("result")
+    assert(result.get("protocolVersion").asText().nonEmpty)
+    assert(result.get("serverInfo").get("name").asText() == "graft-knowledge")
+    assert(result.get("capabilities").has("tools"))
+    assert(sid.nonEmpty, "initialize must return an Mcp-Session-Id header")
+
+    // notifications get 202 and no body
+    val (nSt, _, _) = rpc(base, "notifications/initialized", session = sid)
+    assert(nSt == 202)
+    // ping answers
+    assert(rpc(base, "ping")._1 == 200)
+
+    val (lSt, lJ, _) = rpc(base, "tools/list", session = sid)
+    assert(lSt == 200)
+    val tools = lJ.get("result").get("tools")
+    val names = (0 until tools.size).map(tools.get(_).get("name").asText()).toSet
+    assert(names == Set("container_create", "container_list", "container_delete",
+      "search_knowledge", "list_files", "upload_file", "delete_file",
+      "bulk_delete", "bulk_upload", "get_document", "container_stats"),
+      s"tool set mismatch: $names")
+    // every tool carries a JSON-Schema input with required args
+    (0 until tools.size).foreach { i =>
+      val t = tools.get(i)
+      assert(t.get("description").asText().nonEmpty)
+      assert(t.get("inputSchema").get("type").asText() == "object")
+    }
+    // unknown method -> JSON-RPC -32601
+    val (_, uJ, _) = rpc(base, "no/such/method")
+    assert(uJ.get("error").get("code").asInt() == -32601)
+  }
+
+  test("all 11 tools over the wire; responses match the KnowledgeStore engine") {
+    // container_create (+ name validation in-band)
+    val (e0, bad) = call(base, "container_create", """{"name": "Bad Name!"}""")
+    assert(e0 && bad.toLowerCase.contains("name"))
+    val (e1, created) = call(base, "container_create", """{"name": "mcp-docs"}""")
+    assert(!e1 && created.contains("mcp-docs"))
+    val cid = store.listContainers().collectFirst {
+      case (id, "mcp-docs", _) => id }.get
+    assert(created.contains(cid))
+
+    // upload_file text + base64 + the XOR contract; resolve container BY NAME
+    val (e2, up) = call(base, "upload_file",
+      """{"containerId": "mcp-docs", "fileName": "chunking.txt", "path": "/guide/",
+          "textContent": "Chunk overlap controls how many tokens adjacent chunks share. Overlap stays below chunk size."}""")
+    assert(!e2 && up.contains("/guide/chunking.txt"))
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "The fusion stage blends vector and keyword scores.".getBytes("UTF-8"))
+    val (e3, _) = call(base, "upload_file",
+      s"""{"containerId": "$cid", "fileName": "fusion.txt", "content": "$b64"}""")
+    assert(!e3)
+    val (eX, xor) = call(base, "upload_file",
+      s"""{"containerId": "$cid", "fileName": "x.txt", "content": "$b64", "textContent": "y"}""")
+    assert(xor.contains("not both"))
+
+    // bulk_upload with per-file results (one bad file type fails alone)
+    val (e4, bulk) = call(base, "bulk_upload",
+      s"""{"containerId": "$cid", "files": "[{\\"filename\\":\\"a.txt\\",\\"content\\":\\"alpha beta gamma delta\\",\\"encoding\\":\\"text\\",\\"folderPath\\":\\"/bulk/\\"},{\\"filename\\":\\"bad.xyz\\",\\"content\\":\\"zz\\",\\"encoding\\":\\"text\\"}]"}""")
+    assert(!e4 && bulk.contains("Uploaded 1 of 2"), bulk)
+    assert(bulk.contains("OK    a.txt") && bulk.contains("FAIL  bad.xyz"))
+
+    // list_files: DIR/FILE render, browsing root then a subtree
+    val (e5, ls) = call(base, "list_files", s"""{"containerId": "$cid"}""")
+    assert(!e5 && ls.contains("[DIR]  guide/") && ls.contains("[DIR]  bulk/"), ls)
+    val (e6, lsG) = call(base, "list_files",
+      s"""{"containerId": "$cid", "path": "/guide/"}""")
+    assert(!e6 && lsG.contains("[FILE] chunking.txt"), lsG)
+
+    // search_knowledge matches the engine's own hits
+    val engineHits = store.search(graft.model.SearchRequest(
+      "chunk overlap", cid, topK = 5, minScore = 0.05))
+    val (e7, sr) = call(base, "search_knowledge",
+      s"""{"containerId": "$cid", "query": "chunk overlap", "topK": "5"}""")
+    assert(!e7 && sr.contains("--- Result 1 ---"), sr)
+    assert(sr.contains(engineHits.head.document_id),
+      "MCP search must surface the same top hit as the engine")
+
+    // get_document by path AND by document id — equal to the engine read
+    val docId = store.listFiles(cid, Some("/guide/")).head._1
+    val engineDoc = store.getDocument(cid, "/guide/chunking.txt").get
+    val (e8, byPath) = call(base, "get_document",
+      s"""{"containerId": "$cid", "fileId": "/guide/chunking.txt"}""")
+    val (e9, byId) = call(base, "get_document",
+      s"""{"containerId": "$cid", "fileId": "$docId"}""")
+    assert(!e8 && !e9)
+    assert(byPath.contains(engineDoc) && byId.contains(engineDoc))
+
+    // container_stats mirrors containerStats + listModels
+    val stats = store.containerStats(cid)
+    val (e10, stTxt) = call(base, "container_stats", s"""{"containerId": "$cid"}""")
+    assert(!e10 && stTxt.contains(s"Documents: ${stats("documents")}"), stTxt)
+    assert(stTxt.contains(s"Chunks: ${stats("chunks")}"))
+
+    // container_list includes the doc count
+    val (e11, cl) = call(base, "container_list", "{}")
+    assert(!e11 && cl.contains("mcp-docs") &&
+      cl.contains(s"documents: ${stats("documents")}"), cl)
+
+    // delete_file by id; bulk_delete by mixed id/path with per-file report
+    val (e12, del) = call(base, "delete_file",
+      s"""{"containerId": "$cid", "fileId": "$docId"}""")
+    assert(!e12 && del.contains("Deleted"))
+    assert(store.getDocument(cid, "/guide/chunking.txt").isEmpty)
+    val (e13, bdel) = call(base, "bulk_delete",
+      s"""{"containerId": "$cid", "fileIds": "[\\"/bulk/a.txt\\", \\"/nope.txt\\"]"}""")
+    assert(!e13 && bdel.contains("Deleted 1 of 2"), bdel)
+    assert(bdel.contains("FAIL  /nope.txt"))
+
+    // container_delete; unknown container answers the reference's text
+    val (e14, cdel) = call(base, "container_delete", """{"containerId": "mcp-docs"}""")
+    assert(!e14 && cdel.contains("Deleted"))
+    val (_, gone) = call(base, "container_stats", """{"containerId": "mcp-docs"}""")
+    assert(gone.contains("not found"))
+  }
+
+  test("auth matrix: AllowAnonymousDiscovery gates discovery vs tools/call (ref McpDiscoveryTests)") {
+    // default config (discovery OFF) + apiKey: unauthenticated initialize -> 401
+    val locked = new McpServer(store, apiKey = Some("sekret"))
+    val lockedUrl = s"http://127.0.0.1:${locked.start()}"
+    try {
+      assert(rpc(lockedUrl, "initialize")._1 == 401)
+      assert(rpc(lockedUrl, "tools/list")._1 == 401)
+      // authenticated requests pass
+      assert(rpc(lockedUrl, "initialize", bearer = Some("sekret"))._1 == 200)
+      // wrong token is still 401 (constant-time compare, same path)
+      assert(rpc(lockedUrl, "tools/list", bearer = Some("wrong"))._1 == 401)
+    } finally locked.stop()
+
+    // anon discovery ON: initialize + tools/list answer, tools/call fails
+    // IN-BAND with isError (HTTP 200 — the MCP SDK contract)
+    val anon = new McpServer(store, apiKey = Some("sekret"),
+      allowAnonymousDiscovery = true)
+    val anonUrl = s"http://127.0.0.1:${anon.start()}"
+    try {
+      assert(rpc(anonUrl, "initialize")._1 == 200)
+      val (lSt, lJ, _) = rpc(anonUrl, "tools/list")
+      assert(lSt == 200 && lJ.get("result").get("tools").size == 11)
+      val (isErr, txt) = call(anonUrl, "container_list", "{}")
+      assert(isErr && txt.contains("Authentication required"), txt)
+      // the authenticated agent succeeds
+      val (okErr, okTxt) = call(anonUrl, "container_list", "{}", bearer = Some("sekret"))
+      assert(!okErr, okTxt)
+    } finally anon.stop()
+  }
+
+  test("protocol edges: malformed JSON -> -32700; GET -> 405") {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{nope"))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(mapper.readTree(resp.body()).get("error").get("code").asInt() == -32700)
+    val get = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base)).GET().build()
+    assert(client.send(get, java.net.http.HttpResponse.BodyHandlers.ofString())
+      .statusCode() == 405)
+  }
+}

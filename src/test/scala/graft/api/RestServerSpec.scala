@@ -131,4 +131,30 @@ class RestServerSpec extends AnyFunSuite {
     assert(mapper.readTree(resp.body()).get("error").asText().contains("read-only"))
     s2.stop()
   }
+
+  test("bearer guard: 401 without/with-wrong token, 200 with it; /health stays open") {
+    val wh3 = java.nio.file.Files.createTempDirectory("graft-rest3").toString
+    val s3 = new RestServer(new KnowledgeStore(spark, wh3), apiKey = Some("hunter2"))
+    val port = s3.start()
+    val base3 = s"http://127.0.0.1:$port"
+    def send3(path: String, bearer: Option[String]) = {
+      var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base3$path")).GET()
+      bearer.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // liveness probing never needs a credential
+      assert(send3("/health", None).statusCode() == 200)
+      // everything else does — read AND write paths
+      assert(send3("/containers", None).statusCode() == 401)
+      assert(send3("/containers", Some("wrong")).statusCode() == 401)
+      assert(send3("/containers", Some("hunter2")).statusCode() == 200)
+      val post = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base3/containers"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("""{"name": "x"}"""))
+        .build()
+      assert(client.send(post,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
+    } finally s3.stop()
+  }
 }
