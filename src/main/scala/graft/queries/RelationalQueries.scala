@@ -1396,6 +1396,146 @@ object RelationalQueries {
                CAST(1 AS BIGINT) AS audit_ok
         FROM u
         GROUP BY source, lang ORDER BY source, lang"""),
-      doc = "UPDATE ... SET copy-on-write: two ordered statements, stats-pruned owner rewrite, CDF pre/post-image pairing audited in-query")
+      doc = "UPDATE ... SET copy-on-write: two ordered statements, stats-pruned owner rewrite, CDF pre/post-image pairing audited in-query"),
+
+    QueryDef(
+      "q152_merge_update",
+      (s, d) => {
+        // MERGE with PER-CLAUSE UPDATE EXPRESSIONS (TxLog.merge
+        // whenMatchedUpdate — Delta's `WHEN MATCHED THEN UPDATE SET`,
+        // closing q147's replace-only gap): matched target rows are
+        // rewritten by SET assignments over the (target ⋈ source) pair —
+        // here an ACCUMULATE (n_chars += source delta) plus a column
+        // overwrite (source := s.source) — while unassigned columns KEEP
+        // the target value. The source rows deliberately carry lang='xx':
+        // replacement semantics would leak it into the table, UPDATE
+        // semantics must not — the audit pins that no 'xx' survives,
+        // and the oracle's GROUP BY lang hash-pins it again. Tombstones
+        // (whenMatchedDelete) and inserts ride the same batch; both
+        // flavors run on twin warehouses and must agree row-for-row.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q152").toString
+        val whDv = java.nio.file.Files.createTempDirectory("graft-q152dv").toString
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+        Seq(wh, whDv).foreach { w =>
+          T.commit(s, w, T.stageWrite(
+            docs.repartitionByRange(8, col("doc_id")), w, "documents", Nil, 1L,
+            statsCols = Seq("doc_id")))
+        }
+        val updates = docs.filter(col("doc_id") % 10 === 4)
+          .withColumn("source", lit("delta"))
+          .withColumn("lang", lit("xx")) // must NOT land (target-keep)
+          .withColumn("n_chars", col("doc_id") % 97 + 1L)
+        val tombs = docs.filter(col("doc_id") % 10 === 8)
+          .withColumn("n_chars", lit(-1L))
+        val inserts = docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("source", lit("delta-new"))
+        val src = updates.unionByName(tombs).unionByName(inserts)
+        val set = Map(
+          "n_chars" -> (col("t.n_chars") + col("s.n_chars")),
+          "source" -> col("s.source"))
+        val rCow = T.merge(s, wh, "documents", src, Seq("doc_id"),
+          statsCols = Seq("doc_id"),
+          whenMatchedDelete = Some(col("n_chars") < 0L),
+          whenMatchedUpdate = Some(set))
+        val rDv = T.mergeDV(s, whDv, "documents", src, Seq("doc_id"),
+          whenMatchedDelete = Some(col("n_chars") < 0L),
+          whenMatchedUpdate = Some(set))
+        val feedDel = T.readChanges(s, wh, "documents", fromVersion = 0L)
+          .filter(col("_change_type") === "delete").count()
+        val cow = T.read(s, wh, "documents")
+        val mor = T.read(s, whDv, "documents")
+        val flavorsAgree = cow.count() == mor.count() && cow.exceptAll(mor).isEmpty
+        val noLeak = cow.filter(col("lang") === "xx").isEmpty
+        val auditOk = feedDel == rCow.matchedRows &&
+          rCow.matchedRows == rDv.matchedRows &&
+          rCow.writtenRows == rDv.writtenRows && flavorsAgree && noLeak
+        cow.groupBy("source", "lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("matched_rows", lit(rCow.matchedRows))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH merged AS (
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id % 10 NOT IN (4, 8)
+          UNION ALL
+          SELECT doc_id, lang, 'delta', n_chars + (doc_id % 97 + 1)
+          FROM documents WHERE doc_id % 10 = 4
+          UNION ALL
+          SELECT doc_id + 2000000, lang, 'delta-new', n_chars FROM documents
+          WHERE doc_id % 10 = 2
+        )
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST((SELECT count(*) FROM documents
+                     WHERE doc_id % 10 IN (4, 8)) AS BIGINT) AS matched_rows,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM merged
+        GROUP BY source, lang ORDER BY source, lang"""),
+      doc = "MERGE whenMatchedUpdate(set): accumulate + overwrite over the target⋈source pair, unassigned columns keep target values (no-leak audited), both flavors agree"),
+
+    QueryDef(
+      "q153_view_hll",
+      (s, d) => {
+        // Incremental view with MERGEABLE DISTINCT SKETCHES
+        // (IncrementalView hllCols — DataSketches HLL union): the
+        // distinct-count state follows the min/max dirty-group rule —
+        // insert-only refreshes UNION the delta's sketch into the stored
+        // one, groups that saw a delete re-derive theirs from the pruned
+        // source read (a sketch cannot subtract). Driven through the
+        // same DML gauntlet as q146 (append, copy-on-write delete,
+        // deletion-vector delete); the oracle recomputes n/sum exactly
+        // and the sketch estimate is verdict-flagged against the exact
+        // distinct computed over the SAME final state (the q66 pattern —
+        // sketch internals are engine-private). At 100 TB: per-key
+        // distinct counts maintained without ever re-scanning the
+        // corpus OR holding distinct values in view state.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q153").toString
+        val T = graft.store.TxLog
+        val V = graft.store.IncrementalView
+        T.commit(s, wh, T.stageWrite(
+          table(s, d, "documents").repartitionByRange(8, col("doc_id")),
+          wh, "documents", Nil, 1L, statsCols = Seq("doc_id", "n_chars")))
+        def refresh() = V.refresh(s, wh, "documents", "agg",
+          Seq("source"), Seq("n_chars"), hllCols = Seq("text"))
+        refresh()
+        T.deleteWhere(s, wh, "documents", col("doc_id").between(150L, 249L),
+          statsCols = Seq("doc_id", "n_chars"))
+        refresh()
+        T.deleteWhereDV(s, wh, "documents",
+          col("source") === "src2" && col("n_chars") < 400L)
+        val consumed = refresh()
+        val view = T.read(s, wh, "agg")
+          .withColumn("est", hll_sketch_estimate(col("hll_text")))
+        val exact = T.read(s, wh, "documents").groupBy("source")
+          .agg(count(lit(1)).as("xn"), sum("n_chars").as("xsum"),
+            countDistinct(col("text")).as("xdist"))
+        val joined = view.join(exact, Seq("source"))
+        val auditOk = consumed > 0 &&
+          joined.filter(col("n") =!= col("xn") ||
+            col("sum_n_chars") =!= col("xsum")).isEmpty
+        joined.select(col("source"), col("n").cast("long").as("n"),
+            col("sum_n_chars").cast("long").as("sum_n_chars"),
+            when(abs(col("est") - col("xdist")) <= col("xdist") * 0.06, 1L)
+              .otherwise(0L).as("hll_within"),
+            lit(if (auditOk) 1L else 0L).as("audit_ok"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH live AS (
+          SELECT * FROM documents
+          WHERE doc_id NOT BETWEEN 150 AND 249
+            AND NOT (source = 'src2' AND n_chars < 400)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(1 AS BIGINT) AS hll_within,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM live GROUP BY source ORDER BY source"""),
+      doc = "incremental view with HLL distinct sketches: union on insert, dirty-group re-derive on delete, estimate verdict-flagged vs the exact twin")
   )
 }

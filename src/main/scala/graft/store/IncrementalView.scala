@@ -49,15 +49,22 @@ object IncrementalView {
     TxLog.tags(spark, warehouse).getOrElse(tagName(view), -1L)
 
   /** Refresh `view` (grouped by `keyCols`, maintaining `n`, `sum_<c>`
-    * for each of `sumCols`, and `min_<c>`/`max_<c>` for each of
-    * `minMaxCols` — the latter by the dirty-group rule above) from
-    * `source`'s changes since the last refresh. Returns the consumed
+    * for each of `sumCols`, `min_<c>`/`max_<c>` for each of
+    * `minMaxCols`, and `hll_<c>` MERGEABLE DISTINCT SKETCHES for each of
+    * `hllCols` — Apache DataSketches HLL via Spark's `hll_sketch_agg` /
+    * `hll_union`; read the estimate with `hll_sketch_estimate`) from
+    * `source`'s changes since the last refresh. Min/max AND sketches
+    * follow the same dirty-group rule: inserts merge monotonically
+    * (least/greatest; sketch union), and only groups that received a
+    * DELETE recompute from the pruned source read — a sketch cannot
+    * subtract, exactly like an extreme cannot. Returns the consumed
     * source version. No-op (no version burned) when the view is already
     * current. Keep the column signature stable across refreshes of one
     * view (the stored schema is the contract). */
   def refresh(spark: SparkSession, warehouse: String, source: String,
       view: String, keyCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil): Long = {
+      minMaxCols: Seq[String] = Nil,
+      hllCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "incremental view needs grouping keys")
     val from = consumedVersion(spark, warehouse, view)
     val snap = TxLog.snapshot(spark, warehouse)
@@ -74,10 +81,14 @@ object IncrementalView {
     val mmAggs = minMaxCols.flatMap(c => Seq(
       min(when(col("_change_type") =!= "delete", col(c))).as(s"min_$c"),
       max(when(col("_change_type") =!= "delete", col(c))).as(s"max_$c")))
+    val hllAggs = hllCols.map(c =>
+      hll_sketch_agg(when(col("_change_type") =!= "delete", col(c)))
+        .as(s"hll_$c"))
     val delta = changes
       .groupBy(keyCols.map(col): _*)
       .agg(sum(sign).as("n"),
         (sumCols.map(c => sum(col(c) * sign).as(s"sum_$c")) ++ mmAggs ++
+          hllAggs ++
           Seq(max(when(col("_change_type") === "delete", lit(1L))
             .otherwise(lit(0L))).as("__dirty"))): _*)
     val prev =
@@ -89,7 +100,7 @@ object IncrementalView {
     // groups that received a delete re-derive their min/max, from the
     // current source snapshot restricted by a null-safe key semi-join
     val recomp: Option[DataFrame] =
-      if (minMaxCols.isEmpty) None
+      if (minMaxCols.isEmpty && hllCols.isEmpty) None
       else {
         val dirtyKeys = delta.filter(col("__dirty") === 1L)
           .select(keyCols.map(col): _*)
@@ -107,12 +118,12 @@ object IncrementalView {
         else TxLog.read(spark, warehouse, source, atVersion = cur)).as("s")
         val dk = dirtyKeys.as("k")
         val semiCond = keyCols.map(k => col(s"s.$k") <=> col(s"k.$k")).reduce(_ && _)
+        val rcAggs = minMaxCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+          hllCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
         Some(srcA.join(dk, semiCond, "left_semi")
           .groupBy(keyCols.map(col): _*)
-          .agg(minMaxCols.flatMap(c => Seq(
-            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).head,
-            minMaxCols.flatMap(c => Seq(
-              min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).tail: _*))
+          .agg(rcAggs.head, rcAggs.tail: _*))
       }
     // merge: full-outer on NULL-SAFE key equality (a null grouping key is
     // a legal group — plain using-columns joins would never match it and
@@ -121,6 +132,10 @@ object IncrementalView {
     val p = prev.as("p")
     val dAl = delta.as("d")
     val cond = keyCols.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _)
+    // sketch union is the monotone merge for distinct-count state —
+    // null-safe because a group may exist on only one side
+    def hllMerge(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      when(a.isNull, b).when(b.isNull, a).otherwise(hll_union(a, b))
     val mergedBase = p.join(dAl, cond, "full_outer")
       .select(keyCols.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) ++
         valCols.map(c =>
@@ -128,6 +143,8 @@ object IncrementalView {
         minMaxCols.flatMap(c => Seq(
           least(col(s"p.min_$c"), col(s"d.min_$c")).as(s"min_$c"),
           greatest(col(s"p.max_$c"), col(s"d.max_$c")).as(s"max_$c"))) ++
+        hllCols.map(c =>
+          hllMerge(col(s"p.hll_$c"), col(s"d.hll_$c")).as(s"hll_$c")) ++
         Seq(coalesce(col("d.__dirty"), lit(0L)).as("__dirty")): _*)
       .filter(col("n") > 0)
     val merged = recomp match {
@@ -142,7 +159,10 @@ object IncrementalView {
               when(col("m.__dirty") === 1L, col(s"r.min_$c"))
                 .otherwise(col(s"m.min_$c")).as(s"min_$c"),
               when(col("m.__dirty") === 1L, col(s"r.max_$c"))
-                .otherwise(col(s"m.max_$c")).as(s"max_$c"))): _*)
+                .otherwise(col(s"m.max_$c")).as(s"max_$c"))) ++
+            hllCols.map(c =>
+              when(col("m.__dirty") === 1L, col(s"r.hll_$c"))
+                .otherwise(col(s"m.hll_$c")).as(s"hll_$c")): _*)
     }
     val adds = TxLog.stageWrite(merged, warehouse, view, Nil,
       generation = cur)

@@ -133,6 +133,49 @@ class IncrementalViewSpec extends AnyFunSuite {
       s"null key must merge as one group: ${state.toSeq}")
   }
 
+  test("HLL distinct sketches: union on insert, dirty-group re-derive on delete, all DML flavors") {
+    import org.apache.spark.sql.functions.{countDistinct, hll_sketch_estimate, lit}
+    val wh = java.nio.file.Files.createTempDirectory("graft-iview-hll").toString
+    // values repeat within and across batches, so distinct != count and
+    // a delete actually removes SOME distinct values from the dirty group
+    def mk(ids: Seq[Long]) = df(ids.map(i => (i, s"k${i % 2}", i % 7)))
+    // the estimate must track the EXACT distinct per group: at these
+    // cardinalities (< lgK buckets) DataSketches HLL is exact, so the
+    // spec pins equality — the q153 oracle covers the tolerance regime
+    def pin(tag: String): Unit = {
+      IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"),
+        hllCols = Seq("v"))
+      val got = TxLog.read(spark, wh, "agg")
+        .select(col("k"), hll_sketch_estimate(col("hll_v")).as("est"))
+        .as[(String, Long)].collect().toMap
+      val want = TxLog.read(spark, wh, "t").groupBy("k")
+        .agg(countDistinct(col("v")).as("d"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"sketch estimates diverged after $tag: got $got want $want")
+    }
+    TxLog.commit(spark, wh, TxLog.stageWrite(mk(0L until 30L).coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id")))
+    pin("initial append")
+    // insert-only refresh: stored sketch UNIONS the delta sketch
+    TxLog.commit(spark, wh, TxLog.stageWrite(mk(100L until 120L).coalesce(1),
+      wh, "t", Nil, 2, statsCols = Seq("id")))
+    pin("append (sketch union)")
+    // copy-on-write delete: the dirty group re-derives its sketch
+    TxLog.deleteWhere(spark, wh, "t", col("id") % 7 === 3L, statsCols = Seq("id"))
+    pin("CoW delete (dirty re-derive)")
+    // deletion-vector delete
+    TxLog.deleteWhereDV(spark, wh, "t", col("id").between(100L, 109L))
+    pin("DV delete")
+    // merge: update + insert at one version
+    TxLog.merge(spark, wh, "t", df(Seq((5L, "k1", 6L), (200L, "k0", 6L))),
+      Seq("id"), statsCols = Seq("id"))
+    pin("merge")
+    // updateWhere changes sketch inputs in place
+    TxLog.updateWhere(spark, wh, "t", col("id") === 8L,
+      Map("v" -> lit(99L)), statsCols = Seq("id"))
+    pin("updateWhere")
+  }
+
   test("a key whose rows all leave disappears from the view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-iview2").toString
     TxLog.commit(spark, wh, TxLog.stageWrite(
