@@ -120,7 +120,8 @@ object Bench {
     // reference bottleneck ~100 ms/chunk => ~10 chunks/s/worker) and
     // steady-state hybrid-search latency over cached index frames
     // (reference: <100 ms with both legs + fusion).
-    val (chunksPerSec, hybridMs, hybridIvfMs, hybridHnswMs, hybridPqMs) = {
+    val (chunksPerSec, hybridMs, hybridIvfMs, hybridHnswMs, hybridPqMs,
+         hybridMaxsimMs, chunkMs, embedMs, writeMs) = {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
       val embedder = graft.embed.HashEmbedder(64)
@@ -131,12 +132,32 @@ object Bench {
           graft.ingest.IndexBuild.RawDoc(id, lang, s"/$source/$id.txt", s"$id.txt", text)
         }
       val cfg = graft.model.ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
+      // PER-PHASE ingest telemetry (round-8 verdict item 5: the official
+      // artifact's chunks/s moved outside the noise band with no code
+      // change — the artifact must explain its own number). Each phase
+      // materializes before the clock stops; the headline chunks/s stays
+      // chunk+embed (the r7/r8-comparable definition), with the write
+      // phase measured separately.
       val t0 = System.nanoTime()
       val chunks = graft.ingest.IndexBuild
         .chunkDocs(docs, graft.chunk.RecursiveChunker, cfg).persist()
+      chunks.count()
+      val tChunk = System.nanoTime()
       val vectors = graft.ingest.IndexBuild.embedChunks(chunks, None, embedder).persist()
       val nChunks = vectors.count()
-      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val tEmbed = System.nanoTime()
+      val ingestSec = (tEmbed - t0) / 1e9
+      val writeDir = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
+      vectors.write.mode("overwrite").parquet(s"$writeDir/vectors")
+      chunks.toDF().drop("precomputed").write.mode("overwrite")
+        .parquet(s"$writeDir/chunks")
+      val tWrite = System.nanoTime()
+      val phaseChunkMs = (tChunk - t0) / 1e6
+      val phaseEmbedMs = (tEmbed - tChunk) / 1e6
+      val phaseWriteMs = (tWrite - tEmbed) / 1e6
+      System.err.println(
+        f"[ingest] chunk=${phaseChunkMs}%.0f ms embed=${phaseEmbedMs}%.0f ms " +
+          f"write=${phaseWriteMs}%.0f ms  ($nChunks chunks)")
       // interactive-serving config: few cached partitions, AQE off — tiny
       // per-query jobs pay per-task overhead, not data cost (SCALE.md).
       // The serving layout a deployment builds at index time (denormalized
@@ -188,6 +209,19 @@ object Bench {
         pqM = 8, pqRefine = 64)
       graft.search.HybridSearch.search(pqIndex, req, embedder) // warm
       val pqMs = medianMs(pqIndex)
+      // MaxSim rerank tier riding the brute layout (SearchRequest
+      // maxsimTokens — the late-interaction serving slot): the delta vs
+      // bruteMs is the tier's driver-side token-scoring cost
+      val msReq = req.copy(maxsimTokens = Some(8))
+      graft.search.HybridSearch.search(index, msReq, embedder) // warm
+      val maxsimMs = {
+        val ts = (1 to 11).map { _ =>
+          val s0 = System.nanoTime()
+          graft.search.HybridSearch.search(index, msReq, embedder)
+          (System.nanoTime() - s0) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }
       val scannedRows = ivfIndex.serving.flatMap(_.ivf).map { iv =>
         val probedParts = iv.centroids.map { case (lid, c) =>
           (lid, graft.embed.VectorOps.cosine(c, embedder.embed(req.query)))
@@ -206,7 +240,8 @@ object Bench {
       pqIndex.serving.foreach(_.unpersist())
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      (nChunks / math.max(ingestSec, 1e-9), bruteMs, ivfMs, hnswMs, pqMs)
+      (nChunks / math.max(ingestSec, 1e-9), bruteMs, ivfMs, hnswMs, pqMs,
+        maxsimMs, phaseChunkMs, phaseEmbedMs, phaseWriteMs)
     }
     releaseStorage() // serving-index frames must not skew the streaming run
 
@@ -302,7 +337,7 @@ object Bench {
       if (found) (System.nanoTime() - t0) / 1e9 else -1.0
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"ingest_phase_ms":{"chunk":${"%.0f".format(chunkMs)},"embed":${"%.0f".format(embedMs)},"write":${"%.0f".format(writeMs)}},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"hybrid_query_ms_maxsim":${"%.1f".format(hybridMaxsimMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
     spark.stop()
   }
 }

@@ -131,9 +131,22 @@ object Ivf {
     best
   }
 
-  /** Cluster `corpus(id, embedding)` into nLists cells. The reference sizes
-    * lists as clamp(rows/1000, 1, 100) (VectorColumnManager.cs:98) — pass
-    * that or tune per corpus. Deterministic under a fixed seed and input
+  /** Default list count for a corpus of `rows` vectors: cells target
+    * `rowsPerCell` members, clamped to [1, maxLists] — the reference's
+    * `lists = clamp(rows/1000, 1, 100)` (VectorColumnManager.cs:98)
+    * generalized: its cap of 100 fits a single-node Postgres; here the
+    * cap defaults to 4096 (the k-means++ init-pool bound) so the
+    * nLists ∝ corpus contract the serving docs promise holds through
+    * far larger corpora before cell size starts growing linearly
+    * (disclosed: past ~4M rows at the default, probe cost grows with
+    * the corpus again — raise maxLists with the fleet size). */
+  def autoLists(rows: Long, rowsPerCell: Long = 1000L, maxLists: Int = 4096): Int =
+    math.max(1L, math.min(maxLists.toLong, rows / rowsPerCell)).toInt
+
+  /** Cluster `corpus(id, embedding)` into nLists cells. `nLists <= 0`
+    * derives the count from the corpus row count via [[autoLists]] (the
+    * reference's auto-sizing contract); explicit values tune per corpus.
+    * Deterministic under a fixed seed and input
     * layout. fitSample < 1 trains centroids on a corpus sample and assigns
     * the FULL corpus — the standard IVF-build economy at scale (centroid
     * positions converge on a fraction of the data; assignment is the only
@@ -145,7 +158,8 @@ object Ivf {
       maxIter: Int = 10,
       seed: Long = 42L,
       fitSample: Double = 1.0): IvfIndex = {
-    require(nLists >= 1, "nLists must be >= 1")
+    if (nLists <= 0)
+      return build(corpus, autoLists(corpus.count()), maxIter, seed, fitSample)
     val spark = corpus.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext

@@ -181,7 +181,8 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       crossModelSearch = bool(b, "cross_model_search", default = false),
       mmrLambda = optDouble(b, "mmr_lambda"),
       rankFn = optStr(b, "rank_fn").getOrElse("cover_density"),
-      snippetTokens = optInt(b, "snippet_tokens"))
+      snippetTokens = optInt(b, "snippet_tokens"),
+      maxsimTokens = optInt(b, "maxsim_tokens"))
     val hits = store.search(req)
     ok(ex, obj("hits" -> hits.map(h => obj(
       "chunk_id" -> h.chunk_id, "document_id" -> h.document_id,

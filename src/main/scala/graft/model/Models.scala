@@ -118,4 +118,14 @@ final case class SearchRequest(
       * contains no query term carry no snippet, matching the batch
       * operator's semantics. None = whole content only (the reference's
       * behavior, ref SearchModels.cs:15-20). */
-    snippetTokens: Option[Int] = None)
+    snippetTokens: Option[Int] = None,
+    /** Some(m): LATE-INTERACTION rerank tier (ColBERT MaxSim, the q151
+      * pipeline served) — the fused candidates are re-scored by
+      * Σ_{query token} max_{doc token} cosine over per-token embeddings
+      * (first m tokens per side), and the hits re-rank by that score
+      * (stamped as the hit score; the fused score survives in
+      * metadata("fused_score")). Sits between the single-vector legs
+      * and cross-encoder reranking: token-level interaction at
+      * dot-product cost, over the <=100 already-pruned candidates —
+      * driver arithmetic, no extra Spark job. None = fused order. */
+    maxsimTokens: Option[Int] = None)

@@ -77,6 +77,31 @@ object MaxSim {
       .join(broadcast(q), Seq("qid")), k, roundTo)
   }
 
+  /** SERVING-TIER kernel: the same MaxSim sum-of-token-maxes computed
+    * driver-side over one (query, doc) pair — the rerank tier
+    * `SearchRequest(maxsimTokens)` runs over the <=100 fused candidates
+    * (like MMR/snippets, candidate-set work is driver arithmetic, not a
+    * Spark job). Exactly the kernel [[topKCandidates]] executes
+    * distributed: zero-magnitude tokens score 0, not NaN. */
+  def scoreTokens(qVecs: Seq[Array[Float]], dVecs: Seq[Array[Float]]): Double =
+    if (dVecs.isEmpty) 0.0
+    else qVecs.iterator.map { q =>
+      var best = Double.MinValue
+      dVecs.foreach { dv =>
+        val s = graft.embed.VectorOps.cosine(q, dv)
+        if (s > best) best = s
+      }
+      best
+    }.sum
+
+  /** Per-token embedding of `text`'s first `m` word tokens (the
+    * serving stand-in for a token-level encoder — same convention as
+    * the engine's embedder seam everywhere else: the pipeline shape is
+    * real, the model pluggable). */
+  def tokenVectors(text: String, m: Int,
+      embedder: graft.embed.Embedder): Seq[Array[Float]] =
+    Snippets.toks(text).take(m).map(embedder.embed)
+
   private def withQNorm(queryTokens: DataFrame): DataFrame =
     queryTokens.select(col("qid"), col("qtok"), col("qvec"),
       sqrt(graft.functions.DotProduct(col("qvec"), col("qvec"))).as("qn"))

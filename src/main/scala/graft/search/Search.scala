@@ -495,26 +495,33 @@ object HybridSearch {
         $"content", $"metadata", $"tokens_simple", $"tokens_english")
       .as[ServingTokRow].rdd.persist(StorageLevel.MEMORY_AND_DISK)
     vecRows.count(); tokRows.count() // materialize: queries start warm
-    // opt-in IVF layout (ivfLists > 1): one build-time k-means, rows
-    // re-keyed by cell into cell-aligned partitions; vecRows stays the
-    // exact fallback (a scoped query with probes >= lists equals it)
+    // opt-in IVF layout (ivfLists > 1, or ivfLists < 0 for the
+    // reference's AUTO-SIZING contract — Ivf.autoLists derives the cell
+    // count from the corpus so upserting into a growing warehouse keeps
+    // cells ~constant-sized instead of letting a caller constant decay):
+    // one build-time k-means, rows re-keyed by cell into cell-aligned
+    // partitions; vecRows stays the exact fallback (a scoped query with
+    // probes >= lists equals it)
+    val resolvedLists =
+      if (ivfLists >= 0) ivfLists
+      else graft.ann.Ivf.autoLists(denormC.count())
     val ivf =
-      if (ivfLists <= 1) None
+      if (resolvedLists <= 1) None
       else {
         val built = graft.ann.Ivf.build(
-          denormC, nLists = ivfLists, maxIter = 5,
+          denormC, nLists = resolvedLists, maxIter = 5,
           fitSample = 0.25)
         val cellRows = built.assigned
           .select($"list_id", struct(
             $"chunk_id", $"document_id", $"container_id", $"path",
             $"content", $"metadata", $"model_id", $"embedding").as("row"))
           .as[(Int, ServingVecRow)].rdd
-          .partitionBy(new org.apache.spark.HashPartitioner(ivfLists))
+          .partitionBy(new org.apache.spark.HashPartitioner(resolvedLists))
           .values.persist(StorageLevel.MEMORY_AND_DISK)
         cellRows.count() // materialize
         val centroids = built.centroids.as[(Int, Array[Float])].collect()
-        Some(IvfServing(centroids, cellRows, ivfLists,
-          math.min(math.max(1, ivfProbes), ivfLists),
+        Some(IvfServing(centroids, cellRows, resolvedLists,
+          math.min(math.max(1, ivfProbes), resolvedLists),
           fitMeanDist = meanAssignDist(cellRows, centroids)))
       }
     // opt-in HNSW layout (hnswM > 0): one partition-local graph per cached
@@ -1172,7 +1179,26 @@ object HybridSearch {
       .take(100)
 
     val cut = if (req.autoCut) Fusion.autocutIndex(collected.map(_.score)) else collected.length
-    val kept = collected.take(cut)
+    val keptFused = collected.take(cut)
+    // MaxSim rerank tier (opt-in — the q151 pruned pipeline SERVED): the
+    // fused candidates ARE the candidate set (the legs already pruned
+    // the corpus), and each (query, candidate) pair re-scores by the
+    // late-interaction kernel over per-token embeddings. <=100 pairs ×
+    // m tokens/side = driver arithmetic, like MMR below; the published
+    // role is exactly this slot — after the single-vector legs, before
+    // any cross-encoder. minScore stays a FUSED-score gate (it already
+    // applied above; MaxSim scores live on a different scale).
+    val kept = req.maxsimTokens match {
+      case Some(m) if keptFused.nonEmpty =>
+        val qVecs = MaxSim.tokenVectors(req.query, m, embedder)
+        if (qVecs.isEmpty) keptFused
+        else keptFused.map { h =>
+          val s = MaxSim.scoreTokens(qVecs, MaxSim.tokenVectors(h.content, m, embedder))
+          h.copy(score = s,
+            metadata = h.metadata + ("fused_score" -> h.score.toString))
+        }.sortBy(h => (-h.score, h.chunk_id))
+      case _ => keptFused
+    }
     // MMR diversification (opt-in): greedy reorder of the kept candidates
     // under content-shingle Jaccard — near-duplicate chunks stop crowding
     // the top-k. Scores stay the fused scores (MMR is an ORDERING); the

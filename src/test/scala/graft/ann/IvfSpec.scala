@@ -29,6 +29,37 @@ class IvfSpec extends AnyFunSuite {
     }.toDF("id", "embedding")
   }
 
+  test("autoLists derives nLists from the corpus; cell sizes stay bounded at two scales") {
+    // the reference's clamp(rows/1000, 1, 100) contract, generalized:
+    // target ~1000 rows/cell up to the cap, floor of 1 below it
+    assert(Ivf.autoLists(0L) == 1)
+    assert(Ivf.autoLists(999L) == 1)
+    assert(Ivf.autoLists(5000L) == 5)
+    assert(Ivf.autoLists(50000L) == 50)
+    assert(Ivf.autoLists(100L * 1000 * 1000) == 4096) // cap engages
+    assert(Ivf.autoLists(50000L, maxLists = 100) == 50)
+    assert(Ivf.autoLists(500000L, maxLists = 100) == 100)
+    // build(nLists <= 0) auto-sizes: at 2k and 8k rows the derived cell
+    // count quadruples with the corpus, so the MEAN cell size holds
+    // ~constant — the property that keeps probe cost flat as a warehouse
+    // grows (a caller constant would let cells grow linearly instead)
+    for (n <- Seq(2000, 8000)) {
+      val ix = Ivf.build(corpus(n), nLists = 0, maxIter = 3)
+      val expected = Ivf.autoLists(n.toLong)
+      val cells = ix.assigned.groupBy("list_id").count()
+        .as[(Int, Long)].collect().toMap
+      assert(cells.keySet.max < expected && ix.centroids.count() == expected,
+        s"n=$n should auto-size to $expected lists")
+      val mean = n.toDouble / expected
+      assert(mean >= 900 && mean <= 1100, s"mean cell size $mean off target")
+      // k-means balance is approximate (the planted clusters don't
+      // divide evenly into k cells); the bound that matters for probe
+      // cost is that no cell degenerates toward a corpus-sized scan
+      assert(cells.values.max <= 3 * mean,
+        s"degenerate cell at n=$n: ${cells.values.max} rows vs mean $mean")
+    }
+  }
+
   test("IVF top-k recall >= 0.9 vs brute force on clustered data") {
     val corp = corpus(300).persist()
     val queries = corp.filter(col("id") < 5)

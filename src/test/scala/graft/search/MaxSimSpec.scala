@@ -66,4 +66,47 @@ class MaxSimSpec extends AnyFunSuite {
     val out = MaxSim.topK(q, docs, k = 2).select("maxsim").as[Double].collect()
     assert(out.forall(_ == 0.0))
   }
+
+  test("serving tier E2E: SearchRequest(maxsimTokens) == the q151 pipeline on the same candidates") {
+    // the API's rerank tier must produce EXACTLY what the distributed
+    // pruned pipeline (MaxSim.topKCandidates — q151's shape) produces
+    // when given the same candidate set and the same token embeddings
+    val wh = java.nio.file.Files.createTempDirectory("graft-maxsim-e2e").toString
+    val embedder = graft.embed.HashEmbedder(32)
+    val store = new graft.api.KnowledgeStore(spark, wh, embedder = embedder,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 0, minChunkSize = 5))
+    val cid = store.createContainer("ms")
+    store.bulkUpload(cid, Seq(
+      ("/a.txt", "spark shuffle partitions control parallel join throughput"),
+      ("/b.txt", "the shuffle stage spills when partitions outgrow memory"),
+      ("/c.txt", "window functions rank rows inside each partition group"),
+      ("/d.txt", "broadcast joins skip the shuffle for small dimension tables"),
+      ("/e.txt", "checkpoint files let streaming queries restart exactly once")))
+    val m = 6
+    val req = graft.model.SearchRequest("shuffle partitions join", cid, topK = 5)
+    // candidate set = the fused hits WITHOUT the tier (the legs' pruning)
+    val fused = store.search(req)
+    val served = store.search(req.copy(maxsimTokens = Some(m)))
+    assert(fused.map(_.chunk_id).toSet == served.map(_.chunk_id).toSet,
+      "the tier reorders candidates, never changes the set")
+    // replay through the DISTRIBUTED pipeline: same tokenization, same
+    // embedder, candidates = the fused set, one query
+    val qTok = MaxSim.tokenVectors(req.query, m, embedder).zipWithIndex
+      .map { case (v, i) => (0L, i.toLong, v) }.toDF("qid", "qtok", "qvec")
+    val dTok = fused.flatMap(h =>
+      MaxSim.tokenVectors(h.content, m, embedder).map(v => (h.chunk_id, v)))
+      .toDF("did", "dvec")
+    val cand = fused.map(h => (0L, h.chunk_id)).toDF("qid", "did")
+    val pipeline = MaxSim.topKCandidates(qTok, dTok, cand, k = 5, roundTo = Some(6))
+      .orderBy("rank").select("did", "maxsim")
+      .as[(String, Double)].collect().toSeq
+    assert(served.map(_.chunk_id) == pipeline.map(_._1),
+      s"serving order ${served.map(_.chunk_id)} != pipeline ${pipeline.map(_._1)}")
+    served.zip(pipeline).foreach { case (hit, (_, score)) =>
+      assert(math.abs(hit.score - score) < 1e-6,
+        s"serving score ${hit.score} != pipeline $score")
+    }
+    // the fused score survives for downstream consumers
+    assert(served.forall(_.metadata.contains("fused_score")))
+  }
 }
