@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-scale rehearsal: measure the four vector-serving layouts
+  * (brute / IVF / HNSW / PQ) at 1× and N× corpus, OFF the sf0.1 job
+  * floor, with the telemetry that actually explains the numbers — rows
+  * scanned per query (the quantity pruning divides) and approximate
+  * bytes touched. The N× corpus is synthesized in-memory with the
+  * ScaleGen document transform (copy-tagged token renaming: per-copy
+  * internal structure identical, no cross-copy collisions), and IVF
+  * lists use the AUTO default (`Ivf.autoLists`) so this run also
+  * re-measures the nLists-proportional-to-corpus contract with the
+  * derived value rather than a caller constant.
+  *
+  *   sbt "runMain graft.ServingScale /root/testdata/sf0.1 10"
+  *
+  * Prints one line per (scale, layout): median latency over 11 queries
+  * × 5 query strings, rows scanned by the vector leg, and the layout
+  * parameters. Results land in BENCH_NOTES.md with analysis.
+  */
+object ServingScale {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val embedder = graft.embed.HashEmbedder(64)
+    val cfg = graft.model.ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
+    val queries = Seq(
+      "spark join window", "shuffle partition skew", "vector index probe",
+      "document chunk overlap", "stream checkpoint state")
+
+    def docsAt(k: Int): org.apache.spark.sql.Dataset[graft.ingest.IndexBuild.RawDoc] = {
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      val scaled = (0 until k).map { c =>
+        if (c == 0) base
+        else base.select(
+          (col("doc_id") + c * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", s"$$1x$c").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+          .select(base.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_.unionByName(_))
+      scaled.select(col("doc_id").cast("string"), col("lang"), col("source"), col("text"))
+        .as[(String, String, String, String)]
+        .map { case (id, lang, source, text) =>
+          graft.ingest.IndexBuild.RawDoc(id, lang, s"/$source/$id.txt", s"$id.txt", text)
+        }
+    }
+
+    // serving config: small jobs pay scheduling, not data — match Bench
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    for (scale <- Seq(1, copies)) {
+      val docs = docsAt(scale)
+      val chunks = graft.ingest.IndexBuild
+        .chunkDocs(docs, graft.chunk.RecursiveChunker, cfg).persist()
+      val vectors = graft.ingest.IndexBuild.embedChunks(chunks, None, embedder).persist()
+      val nChunks = vectors.count()
+      val dims = 64
+      // ~bytes per serving row the vector scan touches: the embedding +
+      // the id/content payload the leg materializes (rough, but the same
+      // rule across layouts — relative telemetry is what matters)
+      val avgContent = chunks.select(avg(length(col("content")))).head().getDouble(0)
+      def mb(rows: Long): Double = rows * (dims * 4 + avgContent + 64) / 1e6
+
+      val autoLists = graft.ann.Ivf.autoLists(nChunks)
+      val probes = math.max(2, autoLists / 8)
+      val layouts: Seq[(String, graft.search.HybridSearch.Index)] = Seq(
+        "brute" -> graft.search.HybridSearch.servingIndex(chunks.toDF(), vectors),
+        s"ivf(auto=$autoLists,p=$probes)" -> graft.search.HybridSearch.servingIndex(
+          chunks.toDF(), vectors, ivfLists = autoLists, ivfProbes = probes),
+        s"hnsw(m=16,ivf=$autoLists)" -> graft.search.HybridSearch.servingIndex(
+          chunks.toDF(), vectors, ivfLists = autoLists, ivfProbes = probes, hnswM = 16),
+        s"pq(m=8,r=64,ivf=$autoLists)" -> graft.search.HybridSearch.servingIndex(
+          chunks.toDF(), vectors, ivfLists = autoLists, ivfProbes = probes,
+          pqM = 8, pqRefine = 64))
+
+      layouts.foreach { case (name, ix) =>
+        // semantic-only so the measured job is the vector leg alone
+        def run(q: String): Unit = {
+          graft.search.HybridSearch.search(ix,
+            graft.model.SearchRequest(q, "en", mode = "semantic", topK = 10), embedder)
+          ()
+        }
+        queries.foreach(run) // warm every query string
+        System.gc()
+        val meds = queries.map { q =>
+          val ts = (1 to 11).map { _ =>
+            val t0 = System.nanoTime()
+            run(q)
+            (System.nanoTime() - t0) / 1e6
+          }.sorted
+          ts(ts.length / 2)
+        }
+        // rows the vector scan actually schedules (IVF-routed layouts:
+        // probed cells only; brute: the corpus)
+        val scanned = ix.serving.flatMap(_.ivf).map { iv =>
+          val counts = queries.map { q =>
+            val probedParts = iv.centroids.map { case (lid, c) =>
+              (lid, graft.embed.VectorOps.cosine(c, embedder.embed(q)))
+            }.sortBy { case (lid, s) => (-s, lid) }.take(iv.nProbes)
+              .map { case (lid, _) => iv.partitionOf(lid) }.toSet
+            org.apache.spark.rdd.PartitionPruningRDD
+              .create(iv.rows, probedParts.contains).count()
+          }
+          counts.sum / counts.length
+        }.getOrElse(nChunks)
+        println(f"[serving-scale] scale=${scale}%2dx rows=$nChunks%7d  $name%-26s " +
+          f"median=${meds.sorted.apply(meds.length / 2)}%6.1f ms  " +
+          f"(per-query min=${meds.min}%5.1f max=${meds.max}%5.1f)  " +
+          f"scanned=$scanned%7d rows (~${mb(scanned)}%6.1f MB)")
+        ix.serving.foreach(_.unpersist())
+      }
+      chunks.unpersist(); vectors.unpersist()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    spark.stop()
+  }
+}

@@ -64,7 +64,18 @@ object IncrementalView {
   def refresh(spark: SparkSession, warehouse: String, source: String,
       view: String, keyCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
-      hllCols: Seq[String] = Nil): Long = {
+      hllCols: Seq[String] = Nil,
+      /** buckets > 0: the view is stored PARTITIONED by
+        * `__bucket = pmod(hash(keys), buckets)` and each refresh
+        * rewrites ONLY the buckets containing changed keys — refresh
+        * I/O follows the dirty buckets, not the view size (the r8
+        * verdict's view-sized-rewrite watch item, for views whose key
+        * cardinality is itself large). Untouched buckets' files stay
+        * live across the commit. Choose at view creation and keep
+        * stable, like the column signature; 0 = single-shard rewrite
+        * (correct at any size, I/O ∝ view — fine for aggregate-sized
+        * views). */
+      buckets: Int = 0): Long = {
     require(keyCols.nonEmpty, "incremental view needs grouping keys")
     val from = consumedVersion(spark, warehouse, view)
     val snap = TxLog.snapshot(spark, warehouse)
@@ -91,8 +102,31 @@ object IncrementalView {
           hllAggs ++
           Seq(max(when(col("_change_type") === "delete", lit(1L))
             .otherwise(lit(0L))).as("__dirty"))): _*)
+    // bucketed layout: the view's files are __bucket=N partition dirs and
+    // a refresh touches only DIRTY buckets — the prev read prunes to
+    // their files at the log level (partition-dir "in" probes), and the
+    // commit removes only their files; clean buckets stay live untouched
+    val bucketOf = if (buckets > 0)
+      Some(pmod(hash(keyCols.map(col): _*), lit(buckets)).cast("int")) else None
+    val dirtyBuckets: Seq[Int] = bucketOf.fold(Seq.empty[Int])(b =>
+      delta.select(b.as("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq)
+    val viewFiles = snap.files(view)
+    // layout-mode mismatch would silently duplicate or orphan rows:
+    // a view is bucketed (every file under __bucket=) or not, forever
+    if (viewFiles.nonEmpty) {
+      val bucketed = viewFiles.forall(_._1.startsWith("__bucket="))
+      require(bucketed == (buckets > 0),
+        s"incremental view '$view' was created ${if (bucketed) "bucketed"
+          else "unbucketed"} — the buckets setting must stay stable")
+    }
     val prev =
-      try TxLog.read(spark, warehouse, view)
+      try {
+        if (buckets > 0)
+          TxLog.readWhereKeyIn(spark, warehouse, view,
+            Seq("__bucket"), dirtyBuckets.map(Seq(_))).drop("__bucket")
+        else TxLog.read(spark, warehouse, view)
+      }
       catch { case _: org.apache.spark.sql.AnalysisException =>
         delta.drop("__dirty").limit(0) }
     val valCols = "n" +: sumCols.map(c => s"sum_$c")
@@ -164,10 +198,18 @@ object IncrementalView {
               when(col("m.__dirty") === 1L, col(s"r.hll_$c"))
                 .otherwise(col(s"m.hll_$c")).as(s"hll_$c")): _*)
     }
-    val adds = TxLog.stageWrite(merged, warehouse, view, Nil,
-      generation = cur)
-    TxLog.commit(spark, warehouse, adds,
-      snap.files(view).map { case (rel, _) => TxLog.Remove(view, rel) },
+    val (adds, removes) = bucketOf match {
+      case Some(b) =>
+        (TxLog.stageWrite(merged.withColumn("__bucket", b), warehouse, view,
+          Seq("__bucket"), generation = cur),
+          viewFiles.collect { case (rel, _)
+            if dirtyBuckets.exists(db => rel.startsWith(s"__bucket=$db/")) =>
+              TxLog.Remove(view, rel) })
+      case None =>
+        (TxLog.stageWrite(merged, warehouse, view, Nil, generation = cur),
+          viewFiles.map { case (rel, _) => TxLog.Remove(view, rel) })
+    }
+    TxLog.commit(spark, warehouse, adds, removes,
       tags = Map(tagName(view) -> cur))
     cur
   }

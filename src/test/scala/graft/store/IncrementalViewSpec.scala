@@ -176,6 +176,52 @@ class IncrementalViewSpec extends AnyFunSuite {
     pin("updateWhere")
   }
 
+  test("bucketed views rewrite ONLY dirty buckets; clean buckets' files survive the commit") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val wh = java.nio.file.Files.createTempDirectory("graft-iview-bkt").toString
+    val B = 8
+    def refresh(): Long = IncrementalView.refresh(spark, wh, "t", "agg",
+      Seq("k"), Seq("v"), buckets = B)
+    def recompute() = TxLog.read(spark, wh, "t").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+    def viewState() = TxLog.read(spark, wh, "agg")
+      .select("k", "n", "sum_v").as[(String, Long, Long)].collect().toSet
+    // wide key space so buckets are populated
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df((0L until 200L).map(i => (i, s"k$i", i))).coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id")))
+    refresh()
+    assert(viewState() == recompute())
+    val filesBefore = TxLog.snapshot(spark, wh).files("agg").map(_._1)
+    assert(filesBefore.forall(_.startsWith("__bucket=")), filesBefore.take(3).toString)
+    // a delta touching ONE key dirties one bucket: every other bucket's
+    // file must remain live and byte-identical (same rel path) — the
+    // metadata-level proof the refresh I/O was bucket-scoped
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df(Seq((500L, "k7", 1000L))).coalesce(1), wh, "t", Nil, 2,
+      statsCols = Seq("id")))
+    refresh()
+    assert(viewState() == recompute(), "bucketed view diverged")
+    val filesAfter = TxLog.snapshot(spark, wh).files("agg").map(_._1)
+    val survivors = filesBefore.toSet.intersect(filesAfter.toSet)
+    assert(survivors.nonEmpty && survivors.size >= filesBefore.size - 2,
+      s"clean buckets must survive: before=${filesBefore.size} " +
+        s"after=${filesAfter.size} surviving=${survivors.size}")
+    // deletes flow through the same bucket-scoped path
+    TxLog.deleteWhere(spark, wh, "t", col("id") < 10L, statsCols = Seq("id"))
+    refresh()
+    assert(viewState() == recompute(), "bucketed view diverged after delete")
+    // flipping the layout mode is rejected before any write (a fresh
+    // source commit so the refresh does not no-op before validating)
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df(Seq((600L, "k8", 1L))).coalesce(1), wh, "t", Nil, 3,
+      statsCols = Seq("id")))
+    intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, wh, "t", "agg", Seq("k"), Seq("v"))
+    }
+  }
+
   test("a key whose rows all leave disappears from the view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-iview2").toString
     TxLog.commit(spark, wh, TxLog.stageWrite(
