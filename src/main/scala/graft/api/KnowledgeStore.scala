@@ -178,26 +178,40 @@ final class KnowledgeStore(
         new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(p), true)
     }
-    // registry + folders are metadata-sized tables: driver rewrite is fine
-    val remainingFolders = foldersDf.filter(col("container_id") =!= containerId).collect()
-    val foldersSchema = foldersDf.schema
-    val ffs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(foldersPath), spark.sparkContext.hadoopConfiguration)
-    if (ffs.exists(new org.apache.hadoop.fs.Path(foldersPath))) {
-      ffs.delete(new org.apache.hadoop.fs.Path(foldersPath), true)
-      if (remainingFolders.nonEmpty)
-        spark.createDataFrame(spark.sparkContext.parallelize(remainingFolders.toSeq), foldersSchema)
-          .write.mode(SaveMode.Overwrite).parquet(foldersPath)
-    }
-    val remaining = containersDf.filter(col("container_id") =!= containerId)
-    val rows = remaining.collect()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(containersPath), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(containersPath), true)
-    if (rows.nonEmpty)
-      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), remaining.schema)
-        .write.mode(SaveMode.Overwrite).parquet(containersPath)
+    // registry + folders rewrite as Spark jobs (temp dir + swap): these
+    // tables are metadata-sized, but rows never funnel through the
+    // driver, so a deployment that accretes millions of folders pays a
+    // distributed rewrite, not a driver collect
+    rewriteRegistry(foldersPath,
+      foldersDf.filter(col("container_id") =!= containerId))
+    rewriteRegistry(containersPath,
+      containersDf.filter(col("container_id") =!= containerId))
     invalidate()
+  }
+
+  /** Swap-rewrite a registry table to `kept` (read from the same path):
+    * materialize to a dot-prefixed temp dir first (hidden from Spark's
+    * listing), then delete + rename — readers see old-or-new. An empty
+    * `kept` leaves no table (the readers' missing-table default). */
+  private def rewriteRegistry(path: String, kept: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) return
+    val parent = target.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      s".registry-rewrite-${java.util.UUID.randomUUID}")
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // emptiness read from the WRITTEN files — `kept`'s plan reads the
+    // original path, which is about to disappear
+    val keptEmpty = spark.read.parquet(tmp.toString).isEmpty
+    fs.delete(target, true)
+    // zero kept rows still writes a footer-only part (no partitionBy) —
+    // readable — but no table at all is the cleaner post-state
+    if (keptEmpty) fs.delete(tmp, true)
+    else if (!fs.rename(tmp, target))
+      sys.error(s"registry rewrite rename failed: $tmp -> $target")
+    spark.catalog.refreshByPath(path)
   }
 
   // ---- documents --------------------------------------------------------
@@ -555,16 +569,8 @@ final class KnowledgeStore(
     // ValidationConstants); an internal cascade over a large folder chunks
     // under it rather than failing mid-delete
     docs.grouped(MaxBulk).foreach(group => bulkDelete(containerId, group))
-    val remaining = foldersDf
-      .filter(!(col("container_id") === containerId && col("path") === norm))
-      .collect()
-    val schema = foldersDf.schema
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(foldersPath), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(foldersPath), true)
-    if (remaining.nonEmpty)
-      spark.createDataFrame(spark.sparkContext.parallelize(remaining.toSeq), schema)
-        .write.mode(SaveMode.Overwrite).parquet(foldersPath)
+    rewriteRegistry(foldersPath, foldersDf
+      .filter(!(col("container_id") === containerId && col("path") === norm)))
   }
 
   /** get_document (ref :546): reconstruct extracted text from chunks. */
