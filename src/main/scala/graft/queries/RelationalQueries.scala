@@ -1536,6 +1536,134 @@ object RelationalQueries {
                CAST(1 AS BIGINT) AS hll_within,
                CAST(1 AS BIGINT) AS audit_ok
         FROM live GROUP BY source ORDER BY source"""),
-      doc = "incremental view with HLL distinct sketches: union on insert, dirty-group re-derive on delete, estimate verdict-flagged vs the exact twin")
+      doc = "incremental view with HLL distinct sketches: union on insert, dirty-group re-derive on delete, estimate verdict-flagged vs the exact twin"),
+
+    QueryDef(
+      "q154_merge_conditional",
+      (s, d) => {
+        // CONDITIONAL MERGE (TxLog whenMatchedCondition — Delta's
+        // `WHEN MATCHED AND <cond> THEN UPDATE SET`, completing the MERGE
+        // grammar): the SET applies only to matched pairs where the
+        // condition holds over (target ⋈ source); failing matches are
+        // LEFT UNTOUCHED — not rewritten, not replayed in the change
+        // feed. Here a classic CDC guard: take the delta's n_chars only
+        // when it EXCEEDS the stored value (monotone high-water-mark
+        // apply). The audit pins the scale contract: matchedRows and the
+        // feed's pre-image count equal the CHANGED keys only (the
+        // condition-failing majority never costs a rewrite), and both
+        // flavors agree row-for-row.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q154").toString
+        val whDv = java.nio.file.Files.createTempDirectory("graft-q154dv").toString
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+        Seq(wh, whDv).foreach { w =>
+          T.commit(s, w, T.stageWrite(
+            docs.repartitionByRange(8, col("doc_id")), w, "documents", Nil, 1L,
+            statsCols = Seq("doc_id")))
+        }
+        // every doc_id % 5 == 0 row arrives in the delta; the proposed
+        // value (doc_id % 701) beats the stored n_chars for only some
+        val src = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("doc_id") % 701 + 1L)
+          .withColumn("source", lit("hwm"))
+        val set = Map("n_chars" -> col("s.n_chars"), "source" -> col("s.source"))
+        val cond = col("s.n_chars") > col("t.n_chars")
+        val rCow = T.merge(s, wh, "documents", src, Seq("doc_id"),
+          statsCols = Seq("doc_id"),
+          whenMatchedUpdate = Some(set), whenMatchedCondition = Some(cond))
+        val rDv = T.mergeDV(s, whDv, "documents", src, Seq("doc_id"),
+          whenMatchedUpdate = Some(set), whenMatchedCondition = Some(cond))
+        val feedDel = T.readChanges(s, wh, "documents", fromVersion = 0L)
+          .filter(col("_change_type") === "delete").count()
+        val cow = T.read(s, wh, "documents")
+        val mor = T.read(s, whDv, "documents")
+        val changed = cow.filter(col("source") === "hwm").count()
+        val flavorsAgree = cow.count() == mor.count() && cow.exceptAll(mor).isEmpty
+        // the feed and matched counts track the CHANGED set, not the match set
+        val auditOk = feedDel == changed && rCow.matchedRows == changed &&
+          rCow.matchedRows == rDv.matchedRows && flavorsAgree
+        cow.groupBy("source", "lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH merged AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 5 = 0 AND doc_id % 701 + 1 > n_chars
+                      THEN 'hwm' ELSE source END AS source,
+                 CASE WHEN doc_id % 5 = 0 AND doc_id % 701 + 1 > n_chars
+                      THEN doc_id % 701 + 1 ELSE n_chars END AS n_chars
+          FROM documents
+        )
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM merged
+        GROUP BY source, lang ORDER BY source, lang"""),
+      doc = "conditional MERGE (WHEN MATCHED AND cond THEN UPDATE): high-water-mark apply, failing matches untouched and absent from the feed, flavors agree"),
+
+    QueryDef(
+      "q155_merge_bysource",
+      (s, d) => {
+        // WHEN NOT MATCHED BY SOURCE (TxLog notMatchedBySourceDelete —
+        // the last clause of Delta's MERGE grammar): a snapshot SYNC.
+        // The source is the current "still present" set (doc_id % 3 == 0,
+        // re-stamped); matched target rows are replaced, and target rows
+        // ABSENT from the source are deleted — but only non-English ones
+        // (the clause condition is a retention rule). One commit, both
+        // flavors. The audit pins the contracts that matter at scale:
+        // flavors agree row-for-row, and the change feed's pre-image
+        // count equals matched keys + clause-passing keys exactly (the
+        // condition-failing English rows never rewrite or feed).
+        val wh = java.nio.file.Files.createTempDirectory("graft-q155").toString
+        val whDv = java.nio.file.Files.createTempDirectory("graft-q155dv").toString
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+        Seq(wh, whDv).foreach { w =>
+          T.commit(s, w, T.stageWrite(
+            docs.repartitionByRange(8, col("doc_id")), w, "documents", Nil, 1L,
+            statsCols = Seq("doc_id")))
+        }
+        val src = docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("doc_id") % 997 + 1L)
+          .withColumn("source", lit("sync"))
+        val clause = Some(col("lang") =!= "en")
+        val rCow = T.merge(s, wh, "documents", src, Seq("doc_id"),
+          statsCols = Seq("doc_id"), notMatchedBySourceDelete = clause)
+        val rDv = T.mergeDV(s, whDv, "documents", src, Seq("doc_id"),
+          notMatchedBySourceDelete = clause)
+        val feedDel = T.readChanges(s, wh, "documents", fromVersion = 0L)
+          .filter(col("_change_type") === "delete").count()
+        val cow = T.read(s, wh, "documents")
+        val mor = T.read(s, whDv, "documents")
+        val total = docs.count()
+        val matched = docs.filter(col("doc_id") % 3 === 0).count()
+        val purged = docs.filter(col("doc_id") % 3 =!= 0 && col("lang") =!= "en").count()
+        val flavorsAgree = cow.count() == mor.count() && cow.exceptAll(mor).isEmpty
+        val auditOk = feedDel == matched + purged &&
+          rCow.matchedRows == matched && rDv.matchedRows == matched &&
+          cow.count() == total - purged && flavorsAgree
+        cow.groupBy("source", "lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH synced AS (
+          SELECT doc_id, lang, 'sync' AS source, doc_id % 997 + 1 AS n_chars
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, lang, source, n_chars
+          FROM documents WHERE doc_id % 3 <> 0 AND lang = 'en'
+        )
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM synced
+        GROUP BY source, lang ORDER BY source, lang"""),
+      doc = "MERGE WHEN NOT MATCHED BY SOURCE: snapshot sync deletes target-only rows through a retention condition; flavors agree; feed pre-images = matched + purged keys exactly")
   )
 }

@@ -573,6 +573,23 @@ object TxLog {
       .select("fname", "row_index"))
   }
 
+  /** NULL-SAFE key semi/anti join (`<=>` per key column). The merge
+    * sidecar mechanism keys every replay and row-op by the merge key
+    * set, and a `whenNotMatchedBySource` clause can legitimately put
+    * NULL-key target rows in that set (a null key matches no source row,
+    * so SQL says the row IS not-matched-by-source) — a plain column-name
+    * join would silently never match those rows back. Null-safe equality
+    * is a supported equi-join key, so the plan stays a hash join; when
+    * the key frame holds no nulls (every matched-only merge) the result
+    * is bit-identical to the plain join. */
+  private def keyJoin(rows: DataFrame, keys: DataFrame, keyCols: Seq[String],
+      joinType: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    rows.as("__kj_l").join(keys.as("__kj_r"),
+      keyCols.map(c => col(s"__kj_l.$c") <=> col(s"__kj_r.$c")).reduce(_ && _),
+      joinType)
+  }
+
   /** DV-aware scan of an explicit file set (ONE layout group per call)
     * with the metadata columns materialized as visible columns before
     * any join — `_metadata` is a per-relation pseudo-column and must not
@@ -722,14 +739,15 @@ object TxLog {
           // like the data files it describes.
           case Some((keysRel, kcols)) =>
             def keysDf = spark.read.parquet(s"$warehouse/$table/$keysRel")
+            // null-safe: a by-source clause's sidecar can hold null keys
             val pre: () => DataFrame =
               if (removes.nonEmpty) { () =>
-                readFileSet(spark, warehouse, table,
-                  snapshot(spark, warehouse, atVersion = v - 1), removes.toSeq)
-                  .join(keysDf, kcols, "left_semi")
+                keyJoin(readFileSet(spark, warehouse, table,
+                  snapshot(spark, warehouse, atVersion = v - 1), removes.toSeq),
+                  keysDf, kcols, "left_semi")
               } else { () =>
-                read(spark, warehouse, table, atVersion = v - 1)
-                  .join(keysDf, kcols, "left_semi")
+                keyJoin(read(spark, warehouse, table, atVersion = v - 1),
+                  keysDf, kcols, "left_semi")
               }
             Some(Seq(Some((v, pre, "delete")), inserts).flatten)
           case None =>
@@ -1490,11 +1508,52 @@ object TxLog {
         * semantics). `whenMatchedDelete` still evaluates on the source
         * row and wins over the update. Unmatched source rows insert
         * with their source shape, exactly as without the clause. */
-      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None)
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      /** Delta's `whenMatched(condition).update(set)` CONDITION: the SET
+        * assignments apply only to matched pairs where this evaluates
+        * strictly true over the (target ⋈ source) pair (`t.`/`s.`
+        * qualifiers, keys unqualified); a matched row whose pair fails
+        * the condition is LEFT UNCHANGED — not rewritten, not replayed
+        * in the change feed (unless another target row under the same
+        * key passes, in which case the key's failing rows are written
+        * back byte-identical). Requires `whenMatchedUpdate`;
+        * `whenMatchedDelete` still wins on its rows. Pruning, the
+        * matched-keys sidecar, survivor rewrites, and DV masks all
+        * narrow to the keys that actually change, so a merge whose
+        * condition filters out most matches costs ∝ the rows it really
+        * touches. */
+      whenMatchedCondition: Option[org.apache.spark.sql.Column] = None,
+      /** Delta's `whenNotMatchedBySource(condition).delete()` clause:
+        * when present, TARGET rows whose key has NO source match (null
+        * keys included — SQL equality matches them to nothing) and for
+        * which this condition evaluates strictly true (over the target
+        * row, unqualified columns; `lit(true)` = unconditional) are
+        * DELETED in the same commit. The inverted match cannot be pruned
+        * by the source key set, so the clause costs one column-pruned
+        * DV-aware scan of the table — the same cost Delta pays. Key
+        * granularity mirrors `whenMatchedCondition`: a not-matched key
+        * with ≥1 passing row has ALL its rows touched — passing rows
+        * deleted, failing siblings written back byte-identical (their
+        * feed replay nets delete+insert = no-op). Mutually exclusive
+        * with `notMatchedBySourceUpdate`. */
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      /** Delta's `whenNotMatchedBySource.update(set)` clause: SET
+        * assignments (over the target row, unqualified columns) applied
+        * to target rows with no source match; unassigned columns keep
+        * their values. Gate with [[notMatchedBySourceCondition]] —
+        * without it EVERY not-matched row rewrites (the documented
+        * full-table shape). Mutually exclusive with the delete flavor. */
+      notMatchedBySourceUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      /** CONDITION gating [[notMatchedBySourceUpdate]] (strictly-true
+        * semantics, target columns). Requires the update clause; the
+        * delete clause carries its own condition. */
+      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None)
       : MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
       statsCols, bloomCols, whenMatchedDelete, copyOnWrite = true, txnTags,
-      insertUnmatched, dropCols, whenMatchedUpdate)
+      insertUnmatched, dropCols, whenMatchedUpdate, whenMatchedCondition,
+      notMatchedBySourceDelete, notMatchedBySourceUpdate,
+      notMatchedBySourceCondition)
 
   /** MERGE-ON-READ flavor of [[merge]] (the deletion-vector half, like
     * [[deleteWhereDV]] vs [[deleteWhere]]): matched target rows are
@@ -1513,11 +1572,17 @@ object TxLog {
       txnTags: Map[String, Long] = Map.empty,
       insertUnmatched: Option[org.apache.spark.sql.Column] = None,
       dropCols: Seq[String] = Nil,
-      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None)
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      whenMatchedCondition: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None)
       : MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
       statsCols, bloomCols, whenMatchedDelete, copyOnWrite = false, txnTags,
-      insertUnmatched, dropCols, whenMatchedUpdate)
+      insertUnmatched, dropCols, whenMatchedUpdate, whenMatchedCondition,
+      notMatchedBySourceDelete, notMatchedBySourceUpdate,
+      notMatchedBySourceCondition)
 
   /** Driver budget for shipping distinct source-key values into
     * partition-dir and Bloom probes (tier 1). Beyond it the equality
@@ -1533,10 +1598,26 @@ object TxLog {
       txnTags: Map[String, Long] = Map.empty,
       insertUnmatched: Option[org.apache.spark.sql.Column] = None,
       dropCols: Seq[String] = Nil,
-      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None)
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      whenMatchedCondition: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None)
       : MergeResult = {
-    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, max, min, not, split}
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, max, min, not, split, when}
     require(keyCols.nonEmpty, "txlog: merge needs at least one key column")
+    require(whenMatchedCondition.isEmpty || whenMatchedUpdate.nonEmpty,
+      "txlog: whenMatchedCondition gates the update clause — pass whenMatchedUpdate")
+    require(notMatchedBySourceDelete.isEmpty || notMatchedBySourceUpdate.isEmpty,
+      "txlog: at most one whenNotMatchedBySource clause (delete OR update)")
+    require(notMatchedBySourceCondition.isEmpty || notMatchedBySourceUpdate.nonEmpty,
+      "txlog: notMatchedBySourceCondition gates the update clause — the " +
+        "delete clause carries its own condition")
+    val bsClause = notMatchedBySourceDelete.isDefined || notMatchedBySourceUpdate.isDefined
+    // the clause's row condition: the delete flavor IS its condition;
+    // the update flavor is gated by the separate condition (or always)
+    val bsCond = notMatchedBySourceDelete
+      .orElse(notMatchedBySourceCondition).getOrElse(lit(true))
     require(dropCols.intersect(keyCols).isEmpty,
       "txlog: merge cannot drop a key column from the output")
     val missingKeys = keyCols.filterNot(source.columns.contains)
@@ -1549,7 +1630,9 @@ object TxLog {
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcRows = src.count()
-      if (srcRows == 0) return MergeResult(-1L, 0L, 0L, 0, 0) // no version burned
+      // an empty source is a no-op ONLY without a by-source clause —
+      // with one, EVERY target row is not-matched and the clause applies
+      if (srcRows == 0 && !bsClause) return MergeResult(-1L, 0L, 0L, 0, 0) // no version burned
       // uniqueness is only meaningful over fully NON-NULL keys: null-key
       // rows can never match a target (SQL equality) and always insert,
       // so several of them in one batch cause no order-dependence
@@ -1624,46 +1707,144 @@ object TxLog {
       }
       val candidates = files.filter { case (rel, _) =>
         fileMayMatch(snap, table, rel, rangeConstraints ++ probeConstraints) }
-      if (candidates.isEmpty) return pureInsert()
-      // ---- tier 2: owner files + matched-row counts (DV-aware) ----
       val tablePath = new Path(warehouse, table).toUri.getPath
+      def relOf(fullPath: String): String = new Path(fullPath).toUri.getPath
+        .stripPrefix(tablePath).stripPrefix("/")
       def ownerScan(rels: Seq[String]): DataFrame =
         metaScan(spark, warehouse, table, snap, rels)
+      // ---- by-source tier (clause present only): keys of target rows
+      // with NO source match and ≥1 row passing the clause condition,
+      // plus the files holding ANY row under those keys (key granularity
+      // — failing siblings rewrite byte-identical, see the scaladoc).
+      // The inverted match cannot be pruned by the source key set, so
+      // this costs one column-pruned scan for the keys and one for the
+      // owners — the same table-scan cost Delta's clause pays.
+      val bsKeys: Option[DataFrame] = if (!bsClause || files.isEmpty) None else {
+        val allRels = files.map(_._1)
+        val k = readFileSet(spark, warehouse, table, snap, allRels)
+          .join(srcKeys, keyCols, "left_anti") // nulls survive: not-matched
+          .filter(coalesce(bsCond, lit(false)))
+          .select(keyCols.map(col): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (k.isEmpty) { k.unpersist(); None } else Some(k)
+      }
+      val bsOwners: Map[String, Long] = bsKeys.fold(Map.empty[String, Long]) { bk =>
+        files.map(_._1).groupBy(layoutShape).toSeq.sortBy(_._1.mkString(","))
+          .flatMap { case (_, rels) =>
+            keyJoin(ownerScan(rels), bk, keyCols, "left_semi")
+              .groupBy(col("__file").as("_f")).count()
+              .collect().map(r => relOf(r.getString(0)) -> r.getLong(1))
+          }.toMap
+      }
+      if (candidates.isEmpty && bsOwners.isEmpty) return pureInsert()
+      // ---- tier 2: owner files + matched-row counts (DV-aware) ----
       val layoutGroups = candidates.map(_._1).groupBy(layoutShape).toSeq
         .sortBy(_._1.mkString(","))
-      val owners: Map[String, Long] = layoutGroups.flatMap { case (_, rels) =>
-        ownerScan(rels).join(srcKeys, keyCols, "left_semi")
-          .groupBy(col("__file").as("_f")).count()
-          .collect()
-          .map { r =>
-            val rel = new Path(r.getString(0)).toUri.getPath
-              .stripPrefix(tablePath).stripPrefix("/")
-            rel -> r.getLong(1)
-          }
-      }.toMap
-      if (owners.isEmpty) return pureInsert()
-      val matchedRows = owners.values.sum
-      val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
-      val ownerRels = ownerFiles.map(_._1)
-      // the owner rows feed both the keys sidecar and the survivor
-      // rewrite: cache once instead of re-reading the owner files
-      val ownerRows = readFileSet(spark, warehouse, table, snap, ownerRels)
+      def ownersFor(probe: DataFrame, within: Seq[String]): Map[String, Long] =
+        layoutGroups
+          .map { case (sh, rels) => (sh, rels.filter(within.contains)) }
+          .filter(_._2.nonEmpty)
+          .flatMap { case (_, rels) =>
+            ownerScan(rels).join(probe, keyCols, "left_semi")
+              .groupBy(col("__file").as("_f")).count()
+              .collect()
+              .map(r => relOf(r.getString(0)) -> r.getLong(1))
+          }.toMap
+      val owners0 =
+        if (candidates.isEmpty) Map.empty[String, Long]
+        else ownersFor(srcKeys, candidates.map(_._1))
+      if (owners0.isEmpty && bsOwners.isEmpty) { bsKeys.foreach(_.unpersist()); return pureInsert() }
+      val ownerRels0 = candidates.map(_._1).filter(owners0.contains)
+      // the owner rows feed the changed-key derivation, the keys sidecar,
+      // the update pair join, and the survivor rewrite: cache once.
+      // A by-source-only merge (no matched keys) carries an EMPTY
+      // matched-owner frame through the matched machinery unchanged.
+      val ownerRows0 = (if (ownerRels0.nonEmpty)
+          readFileSet(spark, warehouse, table, snap, ownerRels0)
+        else readFileSet(spark, warehouse, table, snap,
+          files.take(1).map(_._1)).limit(0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ---- matched-keys sidecar: the exact pre-image key set ----
-      val matchedKeys = ownerRows
-        .join(srcKeys, keyCols, "left_semi")
+      // ALL matched keys decide insert eligibility (a matched-but-
+      // unchanged source row must not insert); with an update CONDITION,
+      // only the keys whose pair passes it — or whose source row is a
+      // whenMatchedDelete row — actually CHANGE, and everything
+      // downstream (sidecar, survivors, masks, feed) narrows to those
+      val allMatchedKeys = ownerRows0.join(srcKeys, keyCols, "left_semi")
         .select(keyCols.map(col): _*).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changedKeys: DataFrame = whenMatchedCondition match {
+        case None => allMatchedKeys
+        case Some(cond) =>
+          val mSrc = src.join(allMatchedKeys, keyCols, "left_semi")
+          val delKeys = whenMatchedDelete.map(c =>
+            mSrc.filter(coalesce(c, lit(false))).select(keyCols.map(col): _*))
+          val updSrc = whenMatchedDelete.fold(mSrc)(c =>
+            mSrc.filter(not(coalesce(c, lit(false)))))
+          val condKeys = ownerRows0.as("t").join(updSrc.as("s"), keyCols)
+            .filter(coalesce(cond, lit(false)))
+            .select(keyCols.map(col): _*)
+          delKeys.fold(condKeys)(_.unionByName(condKeys)).distinct()
+      }
+      val (owners, ownerRows) =
+        if (whenMatchedCondition.isEmpty) (owners0, ownerRows0)
+        else {
+          val o = ownersFor(changedKeys, ownerRels0)
+          val rels = ownerRels0.filter(o.contains)
+          val rows = // empty rels: unused, the owners.isEmpty path returns
+            if (rels.isEmpty || rels.size == ownerRels0.size) ownerRows0
+            else readFileSet(spark, warehouse, table, snap, rels)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (o, rows)
+        }
+      val unmatchedSrc = src.join(allMatchedKeys, keyCols, "left_anti")
+      val keptUnmatched = insertUnmatched.fold(unmatchedSrc)(g =>
+        unmatchedSrc.filter(coalesce(g, lit(false))))
+      if (owners.isEmpty && bsOwners.isEmpty) {
+        // matches exist but the condition filtered every one of them
+        // out: only the unmatched rows insert, nothing rewrites
+        val out = keptUnmatched.drop(dropCols: _*)
+        val outRows = out.count()
+        allMatchedKeys.unpersist(); ownerRows0.unpersist()
+        bsKeys.foreach(_.unpersist())
+        if (outRows == 0) return MergeResult(-1L, 0L, 0L, 0, 0)
+        return finish(stageWrite(out, warehouse, table, partitionBy, nextGen,
+          statsCols, bloomCols), Nil, Nil, Map.empty, 0L, outRows)
+      }
+      val matchedRows = owners.values.sum
+      // ---- owner union: matched-changed files ∪ by-source files. A file
+      // that is BOTH rewrites once; its matched-unchanged rows fall into
+      // the survivor rewrite (byte-identical, feed-silent).
+      val ownersAll = (owners.keySet ++ bsOwners.keySet).map(r =>
+        r -> (owners.getOrElse(r, 0L) + bsOwners.getOrElse(r, 0L))).toMap
+      val ownerFiles = files.filter { case (rel, _) => ownersAll.contains(rel) }
+      val bsExtraRels = files.map(_._1)
+        .filter(r => bsOwners.contains(r) && !owners.contains(r))
+      // rows of EVERY rewritten file — feeds by-source row ops and the
+      // survivor rewrite; the matched-side machinery keeps using the
+      // narrower `ownerRows` (its semi-joins never see by-source keys)
+      val ownerRowsAll =
+        if (bsExtraRels.isEmpty) ownerRows
+        else ownerRows.unionByName(
+          readFileSet(spark, warehouse, table, snap, bsExtraRels),
+          allowMissingColumns = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ---- keys sidecar: the exact CHANGED pre-image key set (matched-
+      // changed keys ∪ by-source keys; the replay semi-join is null-safe
+      // so by-source null-key rows round-trip) ----
+      val matchedKeys = ownerRows
+        .join(changedKeys, keyCols, "left_semi")
+        .select(keyCols.map(col): _*).distinct()
+      val sidecarKeys = bsKeys.fold(matchedKeys)(bk =>
+        matchedKeys.unionByName(bk).distinct())
       val keysRel = s".merge/${java.util.UUID.randomUUID()}"
-      writeSidecar(matchedKeys, s"$base/$keysRel", matchedRows)
+      writeSidecar(sidecarKeys, s"$base/$keysRel",
+        matchedRows + bsOwners.values.sum)
       val matchedKeysDf = spark.read.parquet(s"$base/$keysRel")
       // ---- source split: matched rows under whenMatchedDelete drop;
       //      unmatched rows insert only through the insertUnmatched gate
       val matchedSrc = src.join(matchedKeysDf, keyCols, "left_semi")
-      val unmatchedSrc = src.join(matchedKeysDf, keyCols, "left_anti")
       val keptMatched = whenMatchedDelete.fold(matchedSrc)(c =>
         matchedSrc.filter(not(coalesce(c, lit(false)))))
-      val keptUnmatched = insertUnmatched.fold(unmatchedSrc)(g =>
-        unmatchedSrc.filter(coalesce(g, lit(false))))
       // matched post-images: full source-row replacement by default, or
       // the whenMatchedUpdate SET assignments over the (target ⋈ source)
       // pair — unassigned columns keep the target value (UPDATE
@@ -1680,11 +1861,20 @@ object TxLog {
               s"${badAssign.mkString(", ")} the target does not have")
           require(set.keys.forall(k => !keyCols.contains(k)),
             "txlog: whenMatchedUpdate cannot reassign a merge key column")
-          val pre = ownerRows.join(srcKeys, keyCols, "left_semi").as("t")
+          val pre = ownerRows.join(matchedKeysDf, keyCols, "left_semi").as("t")
+          // with a condition, a pair that fails it keeps the TARGET value
+          // per column — this only arises for duplicate target keys where
+          // a sibling row under the same key passed (otherwise the key is
+          // not in the changed set at all)
           val updated = pre.join(keptMatched.as("s"), keyCols)
             .select(targetCols.map { c =>
               if (keyCols.contains(c)) col(c).as(c)
-              else set.get(c).map(_.as(c)).getOrElse(col(s"t.$c").as(c))
+              else (set.get(c), whenMatchedCondition) match {
+                case (Some(e), None)    => e.as(c)
+                case (Some(e), Some(p)) =>
+                  when(coalesce(p, lit(false)), e).otherwise(col(s"t.$c")).as(c)
+                case (None, _)          => col(s"t.$c").as(c)
+              }
             }: _*)
           // assignments must keep each column's LOGGED type (same guard
           // as updateWhere — a mistyped SET would commit files the
@@ -1702,34 +1892,81 @@ object TxLog {
           }
           updated
       }
-      val sourceOut = matchedOut.unionByName(
+      // ---- by-source post-images (written as PLAIN adds → feed
+      // inserts): delete flavor re-adds only the failing siblings;
+      // update flavor re-adds every row under a by-source key with SET
+      // applied where the condition holds, target values elsewhere ----
+      val bsOut: Option[DataFrame] = bsKeys.map { bk =>
+        val rowsUnder = keyJoin(ownerRowsAll, bk, keyCols, "left_semi")
+        notMatchedBySourceUpdate match {
+          case None =>
+            rowsUnder.filter(not(coalesce(bsCond, lit(false))))
+          case Some(set) =>
+            require(set.nonEmpty, "txlog: notMatchedBySourceUpdate needs assignments")
+            val targetCols = ownerRowsAll.columns.toSeq
+            val badAssign = set.keys.filterNot(targetCols.contains)
+            require(badAssign.isEmpty,
+              s"txlog: notMatchedBySourceUpdate assigns column(s) " +
+                s"${badAssign.mkString(", ")} the target does not have")
+            require(set.keys.forall(k => !keyCols.contains(k)),
+              "txlog: notMatchedBySourceUpdate cannot reassign a merge key column")
+            val updated = rowsUnder.select(targetCols.map { c =>
+              set.get(c) match {
+                case Some(e) =>
+                  when(coalesce(bsCond, lit(false)), e).otherwise(col(c)).as(c)
+                case None => col(c).as(c)
+              }
+            }: _*)
+            snap.schemaOf(table).foreach { st =>
+              val logged = st.fields.map(fl => fl.name -> fl.dataType).toMap
+              val mistyped = updated.schema.fields.collect {
+                case fl if logged.get(fl.name).exists(_ != fl.dataType) =>
+                  s"${fl.name} (assigned ${fl.dataType.simpleString} vs " +
+                    s"logged ${logged(fl.name).simpleString})"
+              }
+              require(mistyped.isEmpty,
+                s"txlog: notMatchedBySourceUpdate changes column type(s): " +
+                  mistyped.mkString(", "))
+            }
+            updated
+        }
+      }
+      val sourceOut0 = matchedOut.unionByName(
         keptUnmatched.drop(dropCols: _*), allowMissingColumns = true)
+      val sourceOut = bsOut.fold(sourceOut0)(b =>
+        sourceOut0.unionByName(b, allowMissingColumns = true))
       val outAdds = stageWrite(sourceOut, warehouse, table, partitionBy,
         nextGen, statsCols, bloomCols)
       val writtenRows = outAdds.map(a => fileRowCount(spark, base, a.relPath)).sum
+      def cleanup(): Unit = {
+        ownerRows.unpersist(); allMatchedKeys.unpersist()
+        if (!(ownerRows eq ownerRows0)) ownerRows0.unpersist()
+        if (!(ownerRowsAll eq ownerRows)) ownerRowsAll.unpersist()
+        bsKeys.foreach(_.unpersist())
+      }
       if (copyOnWrite) {
-        // ---- tier 3: rewrite owners down to non-matched survivors ----
-        val survivors = ownerRows.join(srcKeys, keyCols, "left_anti")
+        // ---- tier 3: rewrite owners down to non-changed survivors ----
+        // (null-safe anti: by-source null-key rows must NOT survive)
+        val survivors = keyJoin(ownerRowsAll, matchedKeysDf, keyCols, "left_anti")
         val survivorAdds = stageWrite(survivors, warehouse, table, partitionBy,
           generation = ownerFiles.map(_._2).max,
           statsCols = statsCols, bloomCols = bloomCols)
           .map(_.copy(rewrite = true))
-        ownerRows.unpersist()
+        cleanup()
         finish(survivorAdds ++ outAdds,
           ownerFiles.map { case (rel, _) => Remove(table, rel) },
           Nil, Map(table -> ((keysRel, keyCols))), matchedRows, writtenRows)
       } else {
-        // ---- merge-on-read: mask the matched rows, rewrite nothing ----
-        val masks = layoutGroups
-          .map { case (_, rels) => rels.filter(owners.contains) }
-          .filter(_.nonEmpty)
-          .map { rels =>
-            ownerScan(rels).join(srcKeys, keyCols, "left_semi")
+        // ---- merge-on-read: mask the changed rows, rewrite nothing ----
+        val masks = ownerFiles.map(_._1).groupBy(layoutShape).toSeq
+          .sortBy(_._1.mkString(","))
+          .map { case (_, rels) =>
+            keyJoin(ownerScan(rels), matchedKeysDf, keyCols, "left_semi")
               .select(col("__dv_fname").as("fname"), col("__dv_row").as("row_index"))
           }.reduce(_.unionByName(_))
         val dvRel = s".dv/${java.util.UUID.randomUUID()}"
-        writeSidecar(masks, s"$base/$dvRel", matchedRows)
-        ownerRows.unpersist()
+        writeSidecar(masks, s"$base/$dvRel", matchedRows + bsOwners.values.sum)
+        cleanup()
         finish(outAdds, Nil,
           Seq((table, dvRel, s"__merge keys=$keysRel on=${keyCols.mkString(",")}")),
           Map(table -> ((keysRel, keyCols))), matchedRows, writtenRows)

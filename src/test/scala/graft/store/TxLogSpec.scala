@@ -1402,6 +1402,92 @@ class TxLogSpec extends AnyFunSuite {
       (4L, "old4"), (9L, "new9")))
   }
 
+  test("whenMatchedCondition: only passing pairs change; feed and pruning narrow to them") {
+    import org.apache.spark.sql.functions.col
+    def build(wh: String): Unit =
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+          .toDF("id", "cnt"), wh, "t", Nil, 1))
+    // cond: update only when the source count exceeds the target's.
+    // id 2 passes (25>20), id 3 fails (15<30) and must stay UNTOUCHED,
+    // id 4 is a delete row (delete wins over the failing cond), id 9 inserts
+    val src = Seq((2L, 25L, false), (3L, 15L, false), (4L, 0L, true), (9L, 99L, false))
+      .toDF("id", "cnt", "gone")
+    def check(wh: String, merge: () => TxLog.MergeResult): Unit = {
+      val v0 = TxLog.snapshot(spark, wh).version
+      val r = merge()
+      assert(r.matchedRows == 2) // id 2 (cond) + id 4 (delete); NOT id 3
+      val rows = TxLog.read(spark, wh, "t")
+        .select("id", "cnt").as[(Long, Long)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, 10L), (2L, 25L), (3L, 30L), (9L, 99L)))
+      // CDF replays pre-images ONLY for the keys that changed — the
+      // condition-failing match (id 3) never appears in the feed
+      val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      assert(feed.filter(col("_change_type") === "delete")
+        .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+      assert(feed.filter(col("_change_type") === "insert")
+        .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 9L))
+    }
+    val set = Map("cnt" -> col("s.cnt"))
+    val cond = col("s.cnt") > col("t.cnt")
+    val whCow = freshWh(); build(whCow)
+    check(whCow, () => TxLog.merge(spark, whCow, "t", src, Seq("id"),
+      whenMatchedDelete = Some(col("gone")), dropCols = Seq("gone"),
+      whenMatchedUpdate = Some(set), whenMatchedCondition = Some(cond)))
+    val whMor = freshWh(); build(whMor)
+    check(whMor, () => TxLog.mergeDV(spark, whMor, "t", src, Seq("id"),
+      whenMatchedDelete = Some(col("gone")), dropCols = Seq("gone"),
+      whenMatchedUpdate = Some(set), whenMatchedCondition = Some(cond)))
+    // a condition without an update clause is rejected up front
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, whCow, "t", src.drop("gone"), Seq("id"),
+        whenMatchedCondition = Some(cond))
+    }
+  }
+
+  test("whenMatchedCondition: duplicate target keys — failing sibling rows are kept byte-identical") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // key 7 has TWO target rows; the source row (7, 20) passes the
+    // condition against cnt=5 but fails against cnt=50
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((7L, 5L, "lo"), (7L, 50L, "hi"), (8L, 8L, "x"))
+        .toDF("id", "cnt", "tag"), wh, "t", Nil, 1))
+    val src = Seq((7L, 20L)).toDF("id", "cnt")
+    val r = TxLog.merge(spark, wh, "t", src, Seq("id"),
+      whenMatchedUpdate = Some(Map("cnt" -> col("s.cnt"))),
+      whenMatchedCondition = Some(col("s.cnt") > col("t.cnt")))
+    assert(r.matchedRows == 2) // both rows of the changed key
+    val rows = TxLog.read(spark, wh, "t")
+      .select("id", "cnt", "tag").as[(Long, Long, String)]
+      .collect().sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq((7L, 20L, "lo"), (7L, 50L, "hi"), (8L, 8L, "x")))
+  }
+
+  test("whenMatchedCondition filtering every match: inserts only, no rewrite, no version when nothing to do") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv(Seq(1L -> "a", 2L -> "b"), 1), wh, "t", Nil, 1))
+    val vBefore = TxLog.snapshot(spark, wh).version
+    // all matches fail the condition; one unmatched row still inserts
+    val r = TxLog.merge(spark, wh, "t",
+      kv(Seq(1L -> "A", 9L -> "I"), 2), Seq("id"),
+      whenMatchedUpdate = Some(Map("body" -> col("s.body"))),
+      whenMatchedCondition = Some(lit(false)))
+    assert(r.matchedRows == 0 && r.writtenRows == 1 && r.removedFiles == 0)
+    val rows = TxLog.read(spark, wh, "t")
+      .select("id", "body").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (9L, "I")))
+    // matched-only source under an always-false condition: a true no-op,
+    // no version burned
+    val r2 = TxLog.merge(spark, wh, "t", kv(Seq(2L -> "B"), 3), Seq("id"),
+      whenMatchedUpdate = Some(Map("body" -> col("s.body"))),
+      whenMatchedCondition = Some(lit(false)))
+    assert(r2.version == -1L)
+    assert(TxLog.snapshot(spark, wh).version == vBefore + 1)
+  }
+
   test("merge sidecar shards past the row budget; CDF replay stays exact") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
@@ -1469,5 +1555,168 @@ class TxLogSpec extends AnyFunSuite {
     val horizon = TxLog.snapshot(spark, wh).version
     intercept[Exception] { TxLog.readChanges(spark, wh, "t", fromVersion = -1L) }
     assert(TxLog.readChanges(spark, wh, "t", fromVersion = horizon).isEmpty)
+  }
+
+  // ---- MERGE: whenNotMatchedBySource ------------------------------------
+
+  test("notMatchedBySourceDelete: target-only rows deleted in the same commit; flavors agree; feed exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def build(wh: String): Unit =
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        kv((1L to 4L).map(i => i -> s"old$i"), 1), wh, "t", Nil, 1))
+    // source: updates key 2, inserts key 9; keys 1/3/4 are not matched
+    // by source and the unconditional clause deletes them — one commit
+    val src = kv(Seq(2L -> "new2", 9L -> "new9"), 2)
+    def check(wh: String, merge: () => TxLog.MergeResult): Unit = {
+      val v0 = TxLog.snapshot(spark, wh).version
+      merge()
+      val rows = TxLog.read(spark, wh, "t")
+        .select("id", "body").as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((2L, "new2"), (9L, "new9")))
+      // feed: pre-images of EVERY touched key (matched 2 + by-source
+      // 1/3/4) as deletes, post-images as inserts, one version
+      val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      assert(feed.filter(col("_change_type") === "delete")
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(feed.filter(col("_change_type") === "insert")
+        .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 9L))
+      assert(feed.select("_commit_version").distinct().count() == 1)
+    }
+    val whCow = freshWh(); build(whCow)
+    check(whCow, () => TxLog.merge(spark, whCow, "t", src, Seq("id"),
+      notMatchedBySourceDelete = Some(lit(true))))
+    val whMor = freshWh(); build(whMor)
+    check(whMor, () => TxLog.mergeDV(spark, whMor, "t", src, Seq("id"),
+      notMatchedBySourceDelete = Some(lit(true))))
+    // guards: two by-source clauses; condition without the update clause
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, whCow, "t", src, Seq("id"),
+        notMatchedBySourceDelete = Some(lit(true)),
+        notMatchedBySourceUpdate = Some(Map("body" -> lit("x"))))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, whCow, "t", src, Seq("id"),
+        notMatchedBySourceCondition = Some(lit(true)))
+    }
+  }
+
+  test("notMatchedBySourceDelete condition: key granularity — failing siblings byte-identical, untouched keys silent") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    // key 7 has two rows: cnt=5 passes the condition, cnt=50 fails —
+    // the failing sibling must survive byte-identical; key 9 passes
+    // whole; key 8 is matched (replaced); key 6 fails entirely: its
+    // file must NOT be rewritten and it must stay out of the feed
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((6L, 60L, "safe"), (7L, 5L, "lo"), (7L, 50L, "hi"), (8L, 8L, "x"), (9L, 9L, "y"))
+        .toDF("id", "cnt", "tag"), wh, "t", Nil, 1))
+    val v0 = TxLog.snapshot(spark, wh).version
+    val src = Seq((8L, 88L, "X")).toDF("id", "cnt", "tag")
+    TxLog.merge(spark, wh, "t", src, Seq("id"),
+      notMatchedBySourceDelete = Some(col("cnt") < 10L))
+    val rows = TxLog.read(spark, wh, "t")
+      .select("id", "cnt", "tag").as[(Long, Long, String)]
+      .collect().sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq((6L, 60L, "safe"), (7L, 50L, "hi"), (8L, 88L, "X")))
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+    // key 6 never feeds; key 7's sibling nets delete+insert (no-op)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id", "cnt").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((7L, 5L), (7L, 50L), (8L, 8L), (9L, 9L)))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id", "cnt").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((7L, 50L), (8L, 88L)))
+  }
+
+  test("notMatchedBySourceUpdate: SET where the condition holds; flavors agree; feed delete+insert pairs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def build(wh: String): Unit =
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        Seq((1L, 10L, "fresh"), (2L, 20L, "fresh"), (3L, 30L, "fresh"))
+          .toDF("id", "cnt", "status"), wh, "t", Nil, 1))
+    val src = Seq((2L, 22L, "fresh")).toDF("id", "cnt", "status")
+    def check(wh: String, merge: () => TxLog.MergeResult): Unit = {
+      val v0 = TxLog.snapshot(spark, wh).version
+      merge()
+      val rows = TxLog.read(spark, wh, "t")
+        .select("id", "cnt", "status").as[(Long, Long, String)]
+        .collect().sortBy(_._1)
+      // key 3 passes (cnt >= 30) → status flips, cnt kept; key 1 fails
+      // → untouched; key 2 matched → replaced by the source row
+      assert(rows.toSeq == Seq((1L, 10L, "fresh"), (2L, 22L, "fresh"),
+        (3L, 30L, "stale")))
+      val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+      assert(feed.filter(col("_change_type") === "delete")
+        .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+      assert(feed.filter(col("_change_type") === "insert")
+        .select("id", "status").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((2L, "fresh"), (3L, "stale")))
+    }
+    val set = Map("status" -> lit("stale"))
+    val cond = col("cnt") >= 30L
+    val whCow = freshWh(); build(whCow)
+    check(whCow, () => TxLog.merge(spark, whCow, "t", src, Seq("id"),
+      notMatchedBySourceUpdate = Some(set),
+      notMatchedBySourceCondition = Some(cond)))
+    val whMor = freshWh(); build(whMor)
+    check(whMor, () => TxLog.mergeDV(spark, whMor, "t", src, Seq("id"),
+      notMatchedBySourceUpdate = Some(set),
+      notMatchedBySourceCondition = Some(cond)))
+    // bad assignments rejected before anything is written
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, whCow, "t", src, Seq("id"),
+        notMatchedBySourceUpdate = Some(Map("nope" -> lit(1L))))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, whCow, "t", src, Seq("id"),
+        notMatchedBySourceUpdate = Some(Map("id" -> lit(1L))))
+    }
+  }
+
+  test("notMatchedBySource: NULL-key target rows are not-matched — clause applies, feed round-trips them") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((Some(1L), "a"), (None, "orphan"), (Some(2L), "b"))
+        .toDF("id", "body"), wh, "t", Nil, 1))
+    val v0 = TxLog.snapshot(spark, wh).version
+    val src = Seq((1L, "A")).toDF("id", "body")
+    TxLog.merge(spark, wh, "t", src, Seq("id"),
+      notMatchedBySourceDelete = Some(col("body") === "orphan"))
+    val rows = TxLog.read(spark, wh, "t")
+      .select("id", "body").as[(Option[Long], String)]
+      .collect().sortBy(_._2)
+    assert(rows.toSeq == Seq((Some(1L), "A"), (Some(2L), "b")))
+    // the null-key pre-image replays through the (null-safe) sidecar
+    // join, next to the matched key's pre-image
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v0)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("body").as[String].collect().sorted.toSeq == Seq("a", "orphan"))
+  }
+
+  test("notMatchedBySource with an EMPTY or fully-disjoint source; empty source without the clause stays a no-op") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "cnt"), wh, "t", Nil, 1))
+    val empty = Seq.empty[(Long, Long)].toDF("id", "cnt")
+    // empty source, no clause: no version burned
+    assert(TxLog.merge(spark, wh, "t", empty, Seq("id")).version == -1L)
+    // empty source WITH the clause: every row is not-matched
+    TxLog.merge(spark, wh, "t", empty, Seq("id"),
+      notMatchedBySourceDelete = Some(col("cnt") < 15L))
+    assert(TxLog.read(spark, wh, "t").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+    // fully-disjoint source (no matched keys at all): inserts + clause
+    TxLog.merge(spark, wh, "t", Seq((9L, 9L)).toDF("id", "cnt"), Seq("id"),
+      notMatchedBySourceDelete = Some(col("cnt") === 20L))
+    assert(TxLog.read(spark, wh, "t").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 9L))
+    // clause present but nothing passes AND nothing matches: pure insert
+    val vBefore = TxLog.snapshot(spark, wh).version
+    TxLog.merge(spark, wh, "t", Seq((11L, 1L)).toDF("id", "cnt"), Seq("id"),
+      notMatchedBySourceDelete = Some(lit(false)))
+    assert(TxLog.snapshot(spark, wh).version == vBefore + 1)
+    assert(TxLog.read(spark, wh, "t").count() == 3)
   }
 }
