@@ -1664,6 +1664,67 @@ object RelationalQueries {
                CAST(1 AS BIGINT) AS audit_ok
         FROM synced
         GROUP BY source, lang ORDER BY source, lang"""),
-      doc = "MERGE WHEN NOT MATCHED BY SOURCE: snapshot sync deletes target-only rows through a retention condition; flavors agree; feed pre-images = matched + purged keys exactly")
+      doc = "MERGE WHEN NOT MATCHED BY SOURCE: snapshot sync deletes target-only rows through a retention condition; flavors agree; feed pre-images = matched + purged keys exactly"),
+
+    QueryDef(
+      "q156_column_mapping",
+      (s, d) => {
+        // COLUMN MAPPING (TxLog renameColumn/dropColumn/addColumn — the
+        // Delta columnMapping design): rename and drop are METADATA-ONLY
+        // log actions; at 100 TB the alternative is rewriting every
+        // file. The pipeline: rename n_chars→char_count, drop source,
+        // re-add source (fresh physical name — the dropped bytes must
+        // NOT resurrect), then run a keyed MERGE through the renamed
+        // column. The audit pins the scale contract: the live file set
+        // is IDENTICAL across all three schema ops (zero rewrite), and
+        // the merge's owner pruning still works off the stats recorded
+        // under the pre-rename physical name.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q156").toString
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        T.commit(s, wh, T.stageWrite(
+          docs.repartitionByRange(8, col("doc_id")), wh, "documents", Nil, 1L,
+          statsCols = Seq("doc_id")), schemas = Map("documents" -> docs.schema))
+        val files0 = T.snapshot(s, wh).files("documents").map(_._1).toSet
+        T.renameColumn(s, wh, "documents", "n_chars", "char_count")
+        T.dropColumn(s, wh, "documents", "source")
+        T.addColumn(s, wh, "documents", "source",
+          org.apache.spark.sql.types.StringType)
+        val schemaOpsNoRewrite =
+          T.snapshot(s, wh).files("documents").map(_._1).toSet == files0
+        // keyed merge THROUGH the renamed column: doc_id % 7 == 0 rows
+        // take char_count = doc_id % 500 + 1 and source = 'merged'
+        val src = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("doc_id") % 500 + 1L).as("char_count"),
+            lit("merged").as("source"))
+        val r = T.merge(s, wh, "documents", src, Seq("doc_id"),
+          statsCols = Seq("doc_id"))
+        val live = T.read(s, wh, "documents")
+        val auditOk = schemaOpsNoRewrite && r.matchedRows == src.count() &&
+          live.columns.sorted.toSeq ==
+            Seq("char_count", "doc_id", "lang", "source")
+        live.groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("char_count").cast("long").as("sum_chars"),
+            count(col("source")).cast("long").as("n_sourced"))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH mapped AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 7 = 0 THEN doc_id % 500 + 1
+                      ELSE n_chars END AS char_count,
+                 CASE WHEN doc_id % 7 = 0 THEN 'merged' END AS source
+          FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(char_count) AS BIGINT) AS sum_chars,
+               CAST(count(source) AS BIGINT) AS n_sourced,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM mapped GROUP BY lang ORDER BY lang"""),
+      doc = "column mapping: rename/drop/re-add are metadata-only (zero file rewrite), dropped data never resurrects, merge + stat pruning work through the renamed column")
   )
 }

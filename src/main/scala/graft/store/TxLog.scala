@@ -141,7 +141,12 @@ object TxLog {
         * away; the predicate rides along so RESTORE can re-register a
         * mask at full fidelity. Cleared by compaction (which
         * materializes the deletes). */
-      dvs: Map[String, Seq[(String, String)]] = Map.empty) {
+      dvs: Map[String, Seq[(String, String)]] = Map.empty,
+      /** PHYSICAL column names retired by [[dropColumn]] — live files may
+        * still carry their data, so a later evolution re-adding the same
+        * logical name must take a FRESH physical name (the Delta field-id
+        * rule, realized by name) or the dropped data would resurrect. */
+      retired: Map[String, Set[String]] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
@@ -164,6 +169,7 @@ object TxLog {
     def partitionSpecOf(table: String): Option[Seq[String]] = partSpecs.get(table)
     def dvsOf(table: String): Seq[String] = dvs.getOrElse(table, Nil).map(_._1)
     def dvEntriesOf(table: String): Seq[(String, String)] = dvs.getOrElse(table, Nil)
+    def retiredOf(table: String): Set[String] = retired.getOrElse(table, Set.empty)
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -252,33 +258,64 @@ object TxLog {
       partitionSpecs: Map[String, Seq[String]] = Map.empty,
       dvAdds: Seq[(String, String, String)] = Nil, // (table, dvRel, predSql)
       dvClears: Seq[String] = Nil,
-      merges: Map[String, (String, Seq[String])] = Map.empty): Long =
+      merges: Map[String, (String, Seq[String])] = Map.empty,
+      /** PHYSICAL names this commit retires per table — the [[dropColumn]]
+        * authorization: the evolution guard only permits a column to
+        * leave the schema when its physical name is retired in the SAME
+        * commit, and the retire action then guards against a later
+        * evolution resurrecting its on-disk data. */
+      retires: Map[String, Seq[String]] = Map.empty): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
     f.mkdirs(dir)
-    // SCHEMA EVOLUTION guard (the published Delta write contract): a new
-    // schema may only ADD columns — every column the log already records
-    // must survive with an identical type, so files written under the old
-    // schema stay readable (missing columns surface as null; nothing is
-    // silently narrowed or dropped). Validated BEFORE the claim so a
-    // rejected evolution burns no version.
-    if (schemas.nonEmpty) {
+    // SCHEMA EVOLUTION guard (the published Delta write contract),
+    // compared in PHYSICAL-column space (column mapping): every physical
+    // column the log records must survive with an identical type — so
+    // files written under the old schema stay readable — unless this
+    // commit explicitly retires it (dropColumn). Logical RENAMES keep
+    // the physical set intact and pass untouched. A new field whose
+    // physical name was ever retired is rejected: live files may still
+    // carry that column's data and it would silently resurrect
+    // ([[addColumn]] assigns fresh physical names to avoid this).
+    // Validated BEFORE the claim so a rejected evolution burns no version.
+    if (schemas.nonEmpty || retires.nonEmpty) {
       val prev = snapshot(spark, warehouse)
+      retires.keys.foreach(t => require(schemas.contains(t),
+        s"txlog: retiring columns of '$t' needs the evolved schema in the same commit"))
       schemas.foreach { case (table, next) =>
+        val nextPhys = next.fields.map(physicalNameOf)
+        require(nextPhys.distinct.length == nextPhys.length,
+          s"txlog: schema for '$table' maps two columns to one physical name")
+        require(next.fieldNames.distinct.length == next.fieldNames.length,
+          s"txlog: schema for '$table' repeats a logical column name")
+        val retiredHere = retires.getOrElse(table, Nil).toSet
         prev.schemaOf(table).foreach { old =>
-          val nextByName = next.fields.map(fld => fld.name -> fld.dataType).toMap
+          val nextByPhys = next.fields.map(fld => physicalNameOf(fld) -> fld).toMap
           old.fields.foreach { fld =>
-            nextByName.get(fld.name) match {
-              case Some(t) if t == fld.dataType => ()
-              case Some(t) => throw new IllegalArgumentException(
+            val phys = physicalNameOf(fld)
+            nextByPhys.get(phys) match {
+              case Some(nf) if nf.dataType == fld.dataType => ()
+              case Some(nf) => throw new IllegalArgumentException(
                 s"txlog: schema evolution for '$table' changes column " +
                   s"'${fld.name}' from ${fld.dataType.simpleString} to " +
-                  s"${t.simpleString} — only additive evolution is supported")
+                  s"${nf.dataType.simpleString} — only additive evolution is supported")
+              case None if retiredHere.contains(phys) => () // authorized drop
               case None => throw new IllegalArgumentException(
                 s"txlog: schema evolution for '$table' drops column " +
-                  s"'${fld.name}' — only additive evolution is supported")
+                  s"'${fld.name}' — only additive evolution is supported " +
+                  "(dropColumn is the explicit path)")
             }
+          }
+          val oldPhys = old.fields.map(physicalNameOf).toSet
+          val retiredAll = prev.retiredOf(table) ++ retiredHere
+          next.fields.foreach { nf =>
+            val phys = physicalNameOf(nf)
+            if (!oldPhys.contains(phys) && retiredAll.contains(phys))
+              throw new IllegalArgumentException(
+                s"txlog: schema evolution for '$table' re-introduces physical " +
+                  s"column '$phys' retired by an earlier dropColumn — dropped " +
+                  "data would resurrect; use addColumn (fresh physical name)")
           }
         }
       }
@@ -293,6 +330,9 @@ object TxLog {
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
     schemas.toSeq.sortBy(_._1).foreach { case (table, st) =>
       body ++= s"schema\t$table\t${esc(st.json)}\n"
+    }
+    retires.toSeq.sortBy(_._1).foreach { case (table, phys) =>
+      phys.sorted.foreach(p => body ++= s"retire\t$table\t${esc(p)}\n")
     }
     tags.toSeq.sortBy(_._1).foreach { case (name, v) =>
       body ++= s"tag\t${esc(name)}\t$v\n"
@@ -353,7 +393,7 @@ object TxLog {
     val touchedTables: Set[String] =
       adds.map(_.table).toSet ++ removes.map(_.table) ++ schemas.keys ++
         deletes.keys ++ partitionSpecs.keys ++ dvAdds.map(_._1) ++
-        dvClears ++ merges.keys
+        dvClears ++ merges.keys ++ retires.keys
     val touchedTags = tags.keySet
     def interleavedOverlap(from: Long): Option[String] =
       listVersions(f, warehouse).filter(_ >= from).iterator.flatMap { v =>
@@ -370,6 +410,7 @@ object TxLog {
           case Array("partspec", t) => Some(t)
           case Array("dv", t, _, _) => Some(t)
           case Array("dvclear", t) => Some(t)
+          case Array("retire", t, _) => Some(t)
           case Array("tag", n, _) if touchedTags.contains(unesc(n)) =>
             Some(s"tag:${unesc(n)}")
           case _ => None
@@ -454,6 +495,7 @@ object TxLog {
     val tagMap = scala.collection.mutable.LinkedHashMap[String, Long]()
     val partSpecMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val dvMap = scala.collection.mutable.LinkedHashMap[String, Vector[(String, String)]]()
+    val retiredMap = scala.collection.mutable.LinkedHashMap[String, Set[String]]()
     var version = -1L
     def foldText(text: String, v: Long): Unit =
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
@@ -480,6 +522,8 @@ object TxLog {
             dvMap(table) = dvMap.getOrElse(table, Vector.empty) :+
               ((unesc(dvRel), unesc(pred)))
           case Array("dvclear", table) => dvMap.remove(table)
+          case Array("retire", table, phys) =>
+            retiredMap(table) = retiredMap.getOrElse(table, Set.empty) + unesc(phys)
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -509,7 +553,8 @@ object TxLog {
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
       fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap,
       partSpecMap.toMap,
-      dvMap.toMap.map { case (k, v) => k -> (v: Seq[(String, String)]) })
+      dvMap.toMap.map { case (k, v) => k -> (v: Seq[(String, String)]) },
+      retiredMap.toMap)
   }
 
   /** The partition-directory column names a rel path encodes
@@ -519,6 +564,42 @@ object TxLog {
   private def layoutShape(rel: String): Seq[String] =
     rel.split('/').dropRight(1).toSeq
       .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+
+  /** COLUMN MAPPING (the published Delta columnMapping design, name
+    * mode): a logical column may carry the PHYSICAL name its data is
+    * stored under, as StructField metadata on the logged schema. Rename
+    * and drop are then METADATA-ONLY log actions — no file rewrite:
+    * readers read the physical schema and project back to logical
+    * names; [[stageWrite]] translates logical frames to physical before
+    * staging; stats, Bloom sketches, and partition directories all live
+    * in PHYSICAL space, so file pruning keeps working across renames
+    * (constraints translate at [[fileMayMatch]]). A field without the
+    * metadata key is identity-mapped — every pre-mapping table reads
+    * and writes byte-identically through these helpers. */
+  private[graft] val PhysicalNameKey = "graft.physicalName"
+  private def physicalNameOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+  private def hasMapping(st: org.apache.spark.sql.types.StructType): Boolean =
+    st.fields.exists(f => physicalNameOf(f) != f.name)
+  private def physicalSchema(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (!hasMapping(st)) st
+    else org.apache.spark.sql.types.StructType(st.fields.map(f =>
+      f.copy(name = physicalNameOf(f),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+  /** Rename a just-read physical frame back to logical names. Extra
+    * columns (`__file`, DV bookkeeping) pass through untouched. */
+  private def toLogical(df: DataFrame,
+      st: org.apache.spark.sql.types.StructType): DataFrame = {
+    val ren = st.fields.collect { case f if physicalNameOf(f) != f.name =>
+      physicalNameOf(f) -> f.name }.toMap
+    if (ren.isEmpty) df else df.withColumnsRenamed(ren)
+  }
+  /** Logical column name → physical, identity for unmapped/unknown. */
+  private def toPhysicalName(st: Option[org.apache.spark.sql.types.StructType],
+      name: String): String =
+    st.flatMap(_.fields.find(_.name == name)).map(physicalNameOf).getOrElse(name)
 
   /** Read an explicit live-file set, grouping by layout shape: a table
     * whose partition spec EVOLVED (Iceberg-style — the spec is a log
@@ -534,8 +615,9 @@ object TxLog {
   private def readFileSet(spark: SparkSession, warehouse: String, table: String,
       snap: Snapshot, rels: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
-    val reader = snap.schemaOf(table) match {
-      case Some(st) => spark.read.schema(st)
+    val schemaOpt = snap.schemaOf(table)
+    val reader = schemaOpt match {
+      case Some(st) => spark.read.schema(physicalSchema(st))
       case None => spark.read
     }
     val base = s"$warehouse/$table"
@@ -547,7 +629,7 @@ object TxLog {
     rels.groupBy(layoutShape).toSeq.sortBy(_._1.mkString(","))
       .map { case (_, fs) =>
         val df = reader.option("basePath", base).parquet(fs.map(r => s"$base/$r"): _*)
-        dv match {
+        val masked = dv match {
           case Some(mask) =>
             val cols = df.columns.map(col)
             df.withColumn("__dv_fname",
@@ -559,6 +641,7 @@ object TxLog {
               .select(cols: _*)
           case None => df
         }
+        schemaOpt.fold(masked)(st => toLogical(masked, st))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -602,8 +685,9 @@ object TxLog {
       snap: Snapshot, rels: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     val base = s"$warehouse/$table"
-    val reader = snap.schemaOf(table) match {
-      case Some(st) => spark.read.schema(st)
+    val schemaOpt = snap.schemaOf(table)
+    val reader = schemaOpt match {
+      case Some(st) => spark.read.schema(physicalSchema(st))
       case None => spark.read
     }
     val scan0 = reader.option("basePath", base)
@@ -612,10 +696,11 @@ object TxLog {
       .withColumn("__dv_fname",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__dv_row", col("_metadata.row_index"))
-    dvFrame(spark, warehouse, table, snap).fold(scan0)(mask =>
+    val masked = dvFrame(spark, warehouse, table, snap).fold(scan0)(mask =>
       scan0.join(mask,
         col("__dv_fname") === mask("fname") &&
           col("__dv_row") === mask("row_index"), "left_anti"))
+    schemaOpt.fold(masked)(st => toLogical(masked, st))
   }
 
   /** Read one table at the log's current snapshot. Falls back to a plain
@@ -823,9 +908,25 @@ object TxLog {
     val spark = df.sparkSession
     val f = fs(spark, warehouse)
     val conf = spark.sparkContext.hadoopConfiguration
+    // COLUMN MAPPING write side: a renamed table stores data under
+    // PHYSICAL names — translate the caller's logical frame (and the
+    // partition/stat/bloom column lists) before staging. Identity (and
+    // one cheap snapshot read is skipped) for every unmapped table.
+    val mapped = if (!exists(spark, warehouse)) None
+      else snapshot(spark, warehouse).schemaOf(table).filter(hasMapping)
+    val (dfW, partW, statsW, bloomW) = mapped match {
+      case None => (df, partitionBy, statsCols, bloomCols)
+      case Some(st) =>
+        val ren = st.fields.collect { case fl if physicalNameOf(fl) != fl.name =>
+          fl.name -> physicalNameOf(fl) }.toMap
+        (df.withColumnsRenamed(ren),
+          partitionBy.map(n => ren.getOrElse(n, n)),
+          statsCols.map(n => ren.getOrElse(n, n)),
+          bloomCols.map(n => ren.getOrElse(n, n)))
+    }
     val stagingRoot = new Path(warehouse, s".staging/${java.util.UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    val writer = dfW.write.mode("overwrite")
+    (if (partW.nonEmpty) writer.partitionBy(partW: _*) else writer)
       .parquet(stagingRoot.toString)
     // move every parquet part into the flat table dir, keeping the
     // partition-relative path; Spark part names embed a job UUID, so
@@ -842,19 +943,19 @@ object TxLog {
         // footer read BEFORE the rename: the staged file is complete, and
         // a crash between here and the commit leaves no stat anywhere
         val stats =
-          if (statsCols.isEmpty) Map.empty[String, ColStat]
-          else footerStats(conf, st.getPath, statsCols.toSet)
+          if (statsW.isEmpty) Map.empty[String, ColStat]
+          else footerStats(conf, st.getPath, statsW.toSet)
         // per-file Bloom sketches (equality skipping where min/max is
         // weak — high-cardinality string keys): one column-pruned scan of
         // the staged file per column. Pay this on compaction / batch
         // index builds, not hot streaming appends (the stat path is free;
         // this one reads the column back).
         val blooms =
-          if (bloomCols.isEmpty) Map.empty[String, String]
+          if (bloomW.isEmpty) Map.empty[String, String]
           else {
             val fileDf = spark.read.parquet(st.getPath.toString)
             val rows = math.max(1L, rowCount(conf, st.getPath))
-            bloomCols.filter(fileDf.columns.contains).map { c =>
+            bloomW.filter(fileDf.columns.contains).map { c =>
               val bf = fileDf.na.drop(Seq(c)).stat.bloomFilter(c, rows, 0.01)
               val bos = new java.io.ByteArrayOutputStream()
               bf.writeTo(bos)
@@ -1059,8 +1160,13 @@ object TxLog {
     * — classic Hive/Iceberg partition pruning applied at the log level,
     * so a container-scoped delete never lists other containers' files. */
   private def fileMayMatch(snap: Snapshot, table: String, rel: String,
-      constraints: Seq[(String, String, Any)]): Boolean =
-    constraints.forall { case (colName, op, value) =>
+      constraints: Seq[(String, String, Any)]): Boolean = {
+    // constraints arrive in LOGICAL names; stats/blooms/partition dirs
+    // live in PHYSICAL space (column mapping) — translate once here so
+    // pruning keeps working across renames
+    val sch = snap.schemaOf(table)
+    constraints.forall { case (colName0, op, value) =>
+      val colName = toPhysicalName(sch, colName0)
       // directory segments are Hive-ESCAPED (Spark writes 'a:b' as
       // 'a%3Ab'); compare both the raw and decoded forms so special
       // characters never cause a wrong prune (admit-on-doubt)
@@ -1103,6 +1209,7 @@ object TxLog {
         case _ => rangeAdmits(value)
       }
     }
+  }
 
   /** Log-pruned read of rows whose key tuple MAY be in `keys` (a small
     * driver-side set): files are pruned by per-column "in" probes
@@ -1992,6 +2099,101 @@ object TxLog {
       .write.parquet(dest)
   }
 
+  /** The live layout/partition column names a rename or drop must not
+    * touch: physical partition values live in DIRECTORY NAMES, and the
+    * current spec's names are what writers stage under. */
+  private def immovableCols(snap: Snapshot, table: String): Set[String] =
+    snap.files(table).map(_._1).flatMap(layoutShape).toSet ++
+      snap.partitionSpecOf(table).getOrElse(Nil)
+
+  /** RENAME COLUMN — METADATA-ONLY (the Delta columnMapping rename): no
+    * file rewrite, no data movement. The logged schema's field changes
+    * its LOGICAL name and pins its previous name as the PHYSICAL name;
+    * every read projects physical→logical, every write translates back,
+    * and file pruning translates constraints — so stats and Bloom
+    * sketches on files written before the rename keep pruning. Time
+    * travel resolves the schema AS OF the pinned version, so historical
+    * reads see historical names. Partition-spec/layout columns are
+    * immovable (their values live in directory names).
+    * Ref behavior: `/root/reference/src/Connapse.Storage/Postgres/
+    * SchemaMigrator.cs` evolves tables by ALTER; this is the same
+    * user-facing operation without the rewrite a file store would need. */
+  def renameColumn(spark: SparkSession, warehouse: String, table: String,
+      from: String, to: String): Long = {
+    val snap = snapshot(spark, warehouse)
+    val st = snap.schemaOf(table).getOrElse(throw new IllegalArgumentException(
+      s"txlog: renameColumn needs a logged schema for '$table' — commit one first"))
+    require(st.fieldNames.contains(from),
+      s"txlog: '$table' has no column '$from'")
+    require(!st.fieldNames.contains(to),
+      s"txlog: '$table' already has a column '$to'")
+    require(!immovableCols(snap, table).contains(from),
+      s"txlog: '$from' is a partition/layout column of '$table' — its values " +
+        "live in directory names; rewrite the layout (compact) before renaming")
+    val next = org.apache.spark.sql.types.StructType(st.fields.map { fl =>
+      if (fl.name != from) fl
+      else fl.copy(name = to,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fl.metadata)
+          .putString(PhysicalNameKey, physicalNameOf(fl)).build())
+    })
+    commit(spark, warehouse, Nil, schemas = Map(table -> next))
+  }
+
+  /** DROP COLUMN — METADATA-ONLY (the Delta columnMapping drop): the
+    * field leaves the logged schema and its PHYSICAL name is RETIRED in
+    * the same commit. Live files keep the bytes (reclaimed when normal
+    * compaction rewrites them); schema-applied reads simply never decode
+    * the column. The retire action permanently guards the physical name:
+    * a later evolution re-adding the same logical name must go through
+    * [[addColumn]], which assigns a fresh physical name — otherwise the
+    * dropped data would silently resurrect under the new column. */
+  def dropColumn(spark: SparkSession, warehouse: String, table: String,
+      name: String): Long = {
+    val snap = snapshot(spark, warehouse)
+    val st = snap.schemaOf(table).getOrElse(throw new IllegalArgumentException(
+      s"txlog: dropColumn needs a logged schema for '$table' — commit one first"))
+    val fld = st.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"txlog: '$table' has no column '$name'"))
+    require(st.fields.length > 1,
+      s"txlog: cannot drop the last column of '$table'")
+    require(!immovableCols(snap, table).contains(name),
+      s"txlog: '$name' is a partition/layout column of '$table' — rewrite the " +
+        "layout (compact under a new spec) before dropping")
+    val next = org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(_.name == name))
+    commit(spark, warehouse, Nil, schemas = Map(table -> next),
+      retires = Map(table -> Seq(physicalNameOf(fld))))
+  }
+
+  /** ADD COLUMN with resurrection safety: plain additive evolution
+    * (`commit(schemas=...)`) still works for never-used names; this
+    * helper additionally handles re-adding a name that was dropped
+    * before — the new field gets a FRESH physical name
+    * (`<name>__r<version>`), so old files' retired bytes stay invisible
+    * and the new column starts null everywhere, exactly like any added
+    * column. */
+  def addColumn(spark: SparkSession, warehouse: String, table: String,
+      name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+    val snap = snapshot(spark, warehouse)
+    val st = snap.schemaOf(table).getOrElse(throw new IllegalArgumentException(
+      s"txlog: addColumn needs a logged schema for '$table' — commit one first"))
+    require(!st.fieldNames.contains(name),
+      s"txlog: '$table' already has a column '$name'")
+    val usedPhys = st.fields.map(physicalNameOf).toSet ++ snap.retiredOf(table)
+    val fld =
+      if (!usedPhys.contains(name))
+        org.apache.spark.sql.types.StructField(name, dataType)
+      else {
+        val phys = Iterator.from(snap.version.toInt + 1)
+          .map(v => s"${name}__r$v").find(!usedPhys.contains(_)).get
+        org.apache.spark.sql.types.StructField(name, dataType,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(PhysicalNameKey, phys).build())
+      }
+    commit(spark, warehouse, Nil, schemas = Map(table -> st.add(fld)))
+  }
+
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):
     * roll the whole warehouse's live file set back to what `toVersion`
     * saw, AS A NEW COMMIT — history is never rewritten, so the botched
@@ -2145,6 +2347,8 @@ object TxLog {
       body ++= s"tag\t${esc(n)}\t$v\n" }
     snap.partSpecs.toSeq.sortBy(_._1).foreach { case (t, cols) =>
       body ++= s"partspec\t$t\t${esc(cols.mkString(","))}\n" }
+    snap.retired.toSeq.sortBy(_._1).foreach { case (t, phys) =>
+      phys.toSeq.sorted.foreach(p => body ++= s"retire\t$t\t${esc(p)}\n") }
     snap.dvs.toSeq.sortBy(_._1).foreach { case (t, entries) =>
       entries.foreach { case (rel, pred) =>
         body ++= s"dv\t$t\t${esc(rel)}\t${esc(pred)}\n" } }

@@ -1557,6 +1557,112 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.readChanges(spark, wh, "t", fromVersion = horizon).isEmpty)
   }
 
+  // ---- COLUMN MAPPING: rename / drop / re-add ---------------------------
+
+  test("renameColumn is metadata-only: no rewrite, reads project, writes translate, pruning survives") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0.repartitionByRange(3, col("id")),
+      wh, "t", Nil, 1, statsCols = Seq("id", "body")),
+      schemas = Map("t" -> t0.schema))
+    val filesBefore = TxLog.snapshot(spark, wh).files("t").map(_._1).toSet
+    TxLog.renameColumn(spark, wh, "t", "body", "text")
+    // metadata-only: the live file set did not move
+    assert(TxLog.snapshot(spark, wh).files("t").map(_._1).toSet == filesBefore)
+    assert(TxLog.read(spark, wh, "t").columns.toSeq == Seq("id", "text"))
+    assert(TxLog.read(spark, wh, "t").select("text").as[String]
+      .collect().sorted.toSeq == Seq("a", "b", "c"))
+    // a write AFTER the rename translates to the physical layout: both
+    // generations read back under the ONE logical name
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((9L, "i")).toDF("id", "text"), wh, "t", Nil, 2,
+      statsCols = Seq("id", "text")))
+    assert(TxLog.read(spark, wh, "t").select("text").as[String]
+      .collect().sorted.toSeq == Seq("a", "b", "c", "i"))
+    // DML through the renamed name: merge keyed on id, predicate on text;
+    // pruning (stats recorded under the PHYSICAL name pre-rename) still
+    // narrows the rewrite to the owner file
+    val r = TxLog.merge(spark, wh, "t",
+      Seq((2L, "B")).toDF("id", "text"), Seq("id"), statsCols = Seq("id"))
+    assert(r.matchedRows == 1 && r.removedFiles == 1)
+    TxLog.deleteWhere(spark, wh, "t", col("text") === "c")
+    assert(TxLog.read(spark, wh, "t").select("text").as[String]
+      .collect().sorted.toSeq == Seq("B", "a", "i"))
+    // time travel: the schema resolves AS OF the version — old name
+    assert(TxLog.read(spark, wh, "t", atVersion = 0L).columns.toSeq ==
+      Seq("id", "body"))
+    // guards
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, wh, "t", "text", "id") }
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, wh, "t", "nope", "x") }
+  }
+
+  test("dropColumn retires the physical name; addColumn re-adds fresh — dropped data never resurrects") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "body", "score")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    val filesBefore = TxLog.snapshot(spark, wh).files("t").map(_._1).toSet
+    TxLog.dropColumn(spark, wh, "t", "score")
+    assert(TxLog.snapshot(spark, wh).files("t").map(_._1).toSet == filesBefore)
+    assert(TxLog.read(spark, wh, "t").columns.toSeq == Seq("id", "body"))
+    // plain additive evolution re-adding the name is REJECTED (the old
+    // files still hold 'score' bytes that would resurrect)
+    intercept[IllegalArgumentException] {
+      TxLog.commit(spark, wh, Nil, schemas = Map("t" ->
+        TxLog.snapshot(spark, wh).schemaOf("t").get
+          .add("score", org.apache.spark.sql.types.LongType)))
+    }
+    // addColumn assigns a fresh physical name: the new column is null
+    // everywhere, including on pre-drop files
+    TxLog.addColumn(spark, wh, "t", "score",
+      org.apache.spark.sql.types.LongType)
+    assert(TxLog.read(spark, wh, "t").select("score").as[Option[Long]]
+      .collect().toSeq == Seq(None, None))
+    // new writes land in the fresh physical column and read back
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((3L, "c", 33L)).toDF("id", "body", "score"), wh, "t", Nil, 2))
+    assert(TxLog.read(spark, wh, "t").select("id", "score")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some(33L))))
+    // the retired guard survives a checkpoint (folded state)
+    TxLog.checkpoint(spark, wh)
+    TxLog.dropColumn(spark, wh, "t", "score")
+    TxLog.addColumn(spark, wh, "t", "score",
+      org.apache.spark.sql.types.LongType)
+    assert(TxLog.read(spark, wh, "t").select("score").as[Option[Long]]
+      .collect().forall(_.isEmpty))
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, wh, "t", "nope") }
+  }
+
+  test("column mapping composes with DV deletes, CDF, and partition immovability") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
+      .toDF("id", "lang", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Seq("lang"), 1),
+      schemas = Map("t" -> t0.schema), partitionSpecs = Map("t" -> Seq("lang")))
+    // a partition column's values live in directory names: immovable
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, wh, "t", "lang", "language") }
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, wh, "t", "lang") }
+    TxLog.renameColumn(spark, wh, "t", "body", "text")
+    val v1 = TxLog.snapshot(spark, wh).version
+    // merge-on-read delete through the renamed name: DV masks the row
+    TxLog.deleteWhereDV(spark, wh, "t", col("text") === "b")
+    assert(TxLog.read(spark, wh, "t").select("text").as[String]
+      .collect().sorted.toSeq == Seq("a", "c"))
+    // the feed replays the pre-image under the POST-RENAME logical name
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v1)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("text").as[String].collect().toSeq == Seq("b"))
+  }
+
   // ---- MERGE: whenNotMatchedBySource ------------------------------------
 
   test("notMatchedBySourceDelete: target-only rows deleted in the same commit; flavors agree; feed exact") {
