@@ -2099,6 +2099,49 @@ object TxLog {
       .write.parquet(dest)
   }
 
+  /** The log's newest version — ONE directory listing, no log replay.
+    * The per-trigger poll of the streaming source ([[graft.streaming
+    * .TxLogSource]]) and any cheap "did anything change" probe. */
+  def currentVersion(spark: SparkSession, warehouse: String): Long = {
+    val f = fs(spark, warehouse)
+    if (!exists(spark, warehouse)) -1L
+    else (listVersions(f, warehouse) ++ listCheckpoints(f, warehouse))
+      .maxOption.getOrElse(-1L)
+  }
+
+  /** TIMESTAMP AS OF resolution (the published Delta shape): the newest
+    * version whose commit timestamp is <= `tsMs`. Commit timestamps are
+    * the writers' wall clocks (recorded in each commit's header line);
+    * like Delta, a version before the log's truncation horizon cannot
+    * be served — the error names the horizon. Returns -1 when the log's
+    * FIRST commit is already later than `tsMs` (nothing existed yet). */
+  def versionAt(spark: SparkSession, warehouse: String, tsMs: Long): Long = {
+    val f = fs(spark, warehouse)
+    // checkpoint headers stand in for expired commits: a checkpoint at
+    // version V was created while V was newest, so its timestamp sits
+    // between commit V and commit V+1 — ordering stays monotone, the
+    // folded version stays timestamp-addressable after expiry
+    val headers = (listVersions(f, warehouse).map(v =>
+        readCommitText(f, warehouse, v)) ++
+      listCheckpoints(f, warehouse).map(v =>
+        readText(f, checkpointFile(warehouse, v))))
+      .flatMap(_.linesIterator.take(1).toSeq.collectFirst {
+        case l if l.startsWith("commit\t") =>
+          val p = l.split('\t'); (p(1).toLong, p(2).toLong)
+      })
+      .sortBy(_._1)
+    headers.filter(_._2 <= tsMs).map(_._1).maxOption.getOrElse(-1L)
+  }
+
+  /** Time travel by wall clock: `read` pinned to [[versionAt]]'s answer. */
+  def readAsOfTimestamp(spark: SparkSession, warehouse: String, table: String,
+      tsMs: Long): DataFrame = {
+    val v = versionAt(spark, warehouse, tsMs)
+    require(v >= 0,
+      s"txlog: no commit at or before timestamp $tsMs (warehouse $warehouse)")
+    read(spark, warehouse, table, atVersion = v)
+  }
+
   /** The live layout/partition column names a rename or drop must not
     * touch: physical partition values live in DIRECTORY NAMES, and the
     * current spec's names are what writers stage under. */

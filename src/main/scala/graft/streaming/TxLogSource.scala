@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.store.TxLog
+
+/** STRUCTURED STREAMING SOURCE over a [[TxLog]] table's change feed —
+  * the published Delta streaming-source design (`readStream.format(
+  * "delta")` + CDF), realized as a classic v1 `Source` exactly the way
+  * Delta's own `DeltaSource` is: offsets ARE log versions, a micro-batch
+  * is `readChanges(start, end]`, and the engine's offset log gives
+  * end-to-end exactly-once when paired with [[TxLogSink]] (a TxLog →
+  * transform → TxLog pipeline is then exactly-once at BOTH edges).
+  *
+  * ```
+  * spark.readStream.format("graft-txlog")
+  *   .option("warehouse", wh).option("table", "chunks")
+  *   .option("startingVersion", "0")        // or "latest"
+  *   .option("maxVersionsPerBatch", "10")   // optional rate limit
+  *   .load()
+  * ```
+  *
+  * Rows carry the feed's `_commit_version` / `_change_type`
+  * ("insert" | "delete") next to the table columns — DML commits
+  * (deleteWhere/updateWhere/merge, either flavor) stream as
+  * delete-pre-image + insert-post-image pairs at one version, so a
+  * downstream consumer can maintain exact state, not just appends.
+  *
+  * Scale shape: the per-trigger poll is ONE log-directory listing
+  * ([[TxLog.currentVersion]] — no log replay, no file listing); a batch
+  * reads only the files the commits in its version range reference
+  * (cost ∝ changed data, never a table rescan). Feed history obeys the
+  * vacuum/expireLog retention window: recovery from a checkpoint older
+  * than the horizon fails LOUDLY (readChanges' truncation guard) rather
+  * than silently skipping changes — retention must exceed the longest
+  * outage the pipeline should survive, the Delta operational contract.
+  *
+  * Schema is pinned at stream start (the logged schema as of that
+  * snapshot + the two feed columns); batches spanning an older schema
+  * null-fill, exactly like the batch feed. A schema evolution mid-stream
+  * surfaces new columns only after a restart — Delta's behavior.
+  *
+  * Ref behavior: the reference's live-update story is poll-based
+  * connector deltas (`/root/reference/src/Connapse.Ingestion/Sync/
+  * SyncOrchestrator.cs`); this source is the same "react to what
+  * changed" capability as a first-class Spark stream over the
+  * transactional store.
+  */
+class TxLogSource(sqlContext: SQLContext, parameters: Map[String, String])
+    extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val warehouse = parameters.getOrElse("warehouse",
+    sys.error("graft-txlog source: option 'warehouse' is required"))
+  private val table = parameters.getOrElse("table",
+    sys.error("graft-txlog source: option 'table' is required"))
+  private val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    .getOrElse(Long.MaxValue)
+  require(maxVersions > 0, "graft-txlog source: maxVersionsPerBatch must be > 0")
+
+  /** Exclusive base version: the feed starts AFTER this. `startingVersion`
+    * = N includes commit N onward (Delta's contract); "latest" (or "0" on
+    * an empty log) starts with changes made after stream start. */
+  private val baseVersion: Long = parameters.get("startingVersion") match {
+    case Some("latest") => TxLog.currentVersion(spark, warehouse)
+    case Some(v) => v.toLong - 1L
+    case None => -1L // full history (version 0 onward)
+  }
+
+  override val schema: StructType = TxLogSource.schemaFor(spark, parameters)
+
+  /** Newest version offered/planned so far — the rate-limit cursor. The
+    * engine's checkpoint is authoritative across restarts (getBatch /
+    * commit push it forward); this only throttles how far a single
+    * getOffset may run ahead. */
+  @volatile private var cursor: Long = baseVersion
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getOffset: Option[Offset] = {
+    val cur = TxLog.currentVersion(spark, warehouse)
+    // saturating add: the unlimited default is Long.MaxValue and would
+    // wrap negative past cursor >= 1
+    val ceiling = if (maxVersions > Long.MaxValue - math.max(cursor, 0L))
+      Long.MaxValue else cursor + maxVersions
+    val capped = math.min(cur, ceiling)
+    if (capped <= baseVersion || capped <= cursor) None
+    else { cursor = capped; Some(LongOffset(capped)) }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(baseVersion)
+    val to = versionOf(end)
+    // restart note: the engine re-calls getBatch for the last committed
+    // range on recovery (populateStartOffsets), so the rate-limit cursor
+    // re-seeds from the checkpoint before any getOffset poll
+    cursor = math.max(cursor, to)
+    val feed =
+      if (to <= from) TxLog.readChanges(spark, warehouse, table, from, from)
+      else TxLog.readChanges(spark, warehouse, table,
+        fromVersion = from, toVersion = to)
+    // align to the pinned schema (older batches null-fill evolved
+    // columns), then mark the plan streaming — the v1 engine asserts
+    // isStreaming on getBatch results (FileStreamSource does the same)
+    val aligned = feed.select(schema.fields.map { f =>
+      if (feed.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    org.apache.spark.sql.graftbridge.Bridge.asStreamingBatch(aligned, schema)
+  }
+
+  override def commit(end: Offset): Unit =
+    cursor = math.max(cursor, versionOf(end))
+
+  override def stop(): Unit = ()
+}
+
+object TxLogSource {
+  /** The stream's pinned schema: the table's logged schema at the
+    * current snapshot (or the live read's schema for unlogged tables) +
+    * the feed columns, all nullable (older batches null-fill). */
+  private[streaming] def schemaFor(spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String]): StructType = {
+    val warehouse = parameters.getOrElse("warehouse",
+      sys.error("graft-txlog source: option 'warehouse' is required"))
+    val table = parameters.getOrElse("table",
+      sys.error("graft-txlog source: option 'table' is required"))
+    val base = graft.store.TxLog.snapshot(spark, warehouse).schemaOf(table)
+      .getOrElse(graft.store.TxLog.read(spark, warehouse, table).schema)
+    StructType(base.fields.map(_.copy(nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+      .add("_commit_version", LongType).add("_change_type", StringType)
+  }
+}
+
+/** `spark.readStream.format("graft-txlog")` registration (the service
+  * file under META-INF/services maps the short name). */
+class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-txlog"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      TxLogSource.schemaFor(sqlContext.sparkSession, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxLogSource(sqlContext, parameters)
+}

@@ -19,4 +19,20 @@ object Bridge {
     */
   def invalidateFileStatusCache(): Unit =
     org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+
+  /** Re-issue a batch DataFrame as a STREAMING one (same rows, plan
+    * flagged isStreaming) — what a classic v1 `Source.getBatch` must
+    * return (the engine asserts it; FileStreamSource builds its batches
+    * the same way). `internalCreateDataFrame` is private[sql], hence the
+    * bridge. */
+  def asStreamingBatch(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd,
+      schema, isStreaming = true)
+  }
 }

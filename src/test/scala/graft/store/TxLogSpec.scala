@@ -1557,6 +1557,30 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.readChanges(spark, wh, "t", fromVersion = horizon).isEmpty)
   }
 
+  test("TIMESTAMP AS OF: versionAt resolves wall-clock to versions; survives checkpoint folding") {
+    val wh = freshWh()
+    val t0 = System.currentTimeMillis() - 1
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(1L -> "a"), 1), wh, "t", Nil, 1))
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(2L -> "b"), 2), wh, "t", Nil, 2))
+    assert(TxLog.versionAt(spark, wh, t0) == -1L) // before the first commit
+    assert(TxLog.versionAt(spark, wh, mid) == 0L)
+    assert(TxLog.versionAt(spark, wh, System.currentTimeMillis()) == 1L)
+    assert(TxLog.readAsOfTimestamp(spark, wh, "t", mid).count() == 1)
+    intercept[IllegalArgumentException] {
+      TxLog.readAsOfTimestamp(spark, wh, "t", t0) }
+    // checkpoint + expiry: the folded version stays timestamp-addressable
+    TxLog.checkpoint(spark, wh)
+    TxLog.expireLog(spark, wh)
+    Thread.sleep(15)
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(3L -> "c"), 3), wh, "t", Nil, 3))
+    assert(TxLog.versionAt(spark, wh, System.currentTimeMillis()) == 2L)
+    assert(TxLog.readAsOfTimestamp(spark, wh, "t",
+      System.currentTimeMillis()).count() == 3)
+  }
+
   // ---- COLUMN MAPPING: rename / drop / re-add ---------------------------
 
   test("renameColumn is metadata-only: no rewrite, reads project, writes translate, pruning survives") {
