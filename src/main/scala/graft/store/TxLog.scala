@@ -2346,6 +2346,23 @@ object TxLog {
     * Returns the commit version when compaction ran, None when the
     * table was under budget (no version burned, no data touched).
     */
+  /** OPTIMIZE ... ZORDER BY (the published Delta shape): [[compact]]
+    * with the rewrite laid out by [[Zorder.layout]] — range-partitioned
+    * + sorted on the Morton interleave of (xCol, yCol), stats recorded
+    * on BOTH, so subsequent [[readWhereBetween]]/[[readWhereEquals]]
+    * prune files on either column (a linear sort gives one tight column
+    * and spreads the other across every file; ZorderSkipSpec measures
+    * the difference). One commit: old files removed, DVs materialized,
+    * z-laid files added. Works through column mapping — the z-expr
+    * runs on the LOGICAL frame before stageWrite translates. */
+  def compactZorder(spark: SparkSession, warehouse: String, table: String,
+      xCol: String, yCol: String, nFiles: Int,
+      bits: Int = 21, partitionBy: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    compact(spark, warehouse, table, partitionBy,
+      view = df => Zorder.layout(df, xCol, yCol, bits, nFiles),
+      statsCols = Seq(xCol, yCol), bloomCols = bloomCols)
+
   def compactIfFragmented(spark: SparkSession, warehouse: String, table: String,
       partitionBy: Seq[String], maxFiles: Int,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Option[Long] = {

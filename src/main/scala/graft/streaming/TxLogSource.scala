@@ -65,12 +65,24 @@ class TxLogSource(sqlContext: SQLContext, parameters: Map[String, String])
 
   /** Exclusive base version: the feed starts AFTER this. `startingVersion`
     * = N includes commit N onward (Delta's contract); "latest" (or "0" on
-    * an empty log) starts with changes made after stream start. */
-  private val baseVersion: Long = parameters.get("startingVersion") match {
-    case Some("latest") => TxLog.currentVersion(spark, warehouse)
-    case Some(v) => v.toLong - 1L
-    case None => -1L // full history (version 0 onward)
-  }
+    * an empty log) starts with changes made after stream start;
+    * `startingTimestamp` resolves through [[TxLog.versionAt]] and
+    * includes everything committed after that wall-clock instant. */
+  private val baseVersion: Long =
+    (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) =>
+        sys.error("graft-txlog source: startingVersion and startingTimestamp " +
+          "are mutually exclusive")
+      case (Some("latest"), _) => TxLog.currentVersion(spark, warehouse)
+      case (Some(v), _) => v.toLong - 1L
+      case (_, Some(ts)) =>
+        val ms = ts.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+        // include commits AT the instant too (Delta's contract): base is
+        // the newest version strictly BEFORE it
+        TxLog.versionAt(spark, warehouse, ms - 1)
+      case _ => -1L // full history (version 0 onward)
+    }
 
   override val schema: StructType = TxLogSource.schemaFor(spark, parameters)
 
@@ -103,6 +115,21 @@ class TxLogSource(sqlContext: SQLContext, parameters: Map[String, String])
     // range on recovery (populateStartOffsets), so the rate-limit cursor
     // re-seeds from the checkpoint before any getOffset poll
     cursor = math.max(cursor, to)
+    // a RENAME/DROP mid-stream would otherwise silently null-fill the
+    // pinned column from here on — fail loudly instead (Delta's
+    // behavior: incompatible schema change ends the stream; restart
+    // picks up the new shape)
+    val nowLogical = TxLog.snapshot(spark, warehouse).schemaOf(table)
+      .map(_.fieldNames.toSet)
+    nowLogical.foreach { names =>
+      val missing = schema.fieldNames
+        .filterNot(n => n == "_commit_version" || n == "_change_type")
+        .filterNot(names.contains)
+      if (missing.nonEmpty) sys.error(
+        s"graft-txlog source: column(s) ${missing.mkString(", ")} were " +
+          "renamed or dropped after this stream started — restart the " +
+          "stream to adopt the new schema")
+    }
     val feed =
       if (to <= from) TxLog.readChanges(spark, warehouse, table, from, from)
       else TxLog.readChanges(spark, warehouse, table,

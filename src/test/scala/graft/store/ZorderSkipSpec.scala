@@ -66,6 +66,23 @@ class ZorderSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("compactZorder: OPTIMIZE ZORDER BY — one commit re-lays a fragmented table, both columns prune after") {
+    // fragmented, unsorted layout: 16 random-order files, nothing prunes
+    val wh = java.nio.file.Files.createTempDirectory("graft-zcompact").toString
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      grid.repartition(nFiles), wh, "t", Nil, 0L, statsCols = Seq("a", "b")))
+    def filesTouched(c: String): Int =
+      TxLog.readWhereBetween(spark, wh, "t", c, 100L, 160L).inputFiles.length
+    assert(filesTouched("a") == nFiles && filesTouched("b") == nFiles)
+    val before = TxLog.read(spark, wh, "t").orderBy("id").collect().toSeq
+    TxLog.compactZorder(spark, wh, "t", "a", "b", nFiles, bits = 10)
+    // same rows, new layout, pruning on BOTH columns
+    assert(TxLog.read(spark, wh, "t").orderBy("id").collect().toSeq == before)
+    assert(TxLog.snapshot(spark, wh).files("t").size == nFiles)
+    assert(filesTouched("a") <= nFiles / 2, s"a-probe touched ${filesTouched("a")}")
+    assert(filesTouched("b") <= nFiles / 2, s"b-probe touched ${filesTouched("b")}")
+  }
+
   test("zExpr/unzExpr roundtrip and ordering are the textbook Morton curve") {
     // tiny exhaustive check: 6-bit interleave of all 64x64 points
     val df = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))

@@ -106,6 +106,37 @@ class TxLogSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("startingTimestamp resolves mid-history; mid-stream rename fails loudly instead of null-filling") {
+    val wh = freshDir("wh")
+    val t0 = Seq((1L, "a")).toDF("id", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((2L, "b")).toDF("id", "body"), wh, "t", Nil, 2))
+    val q = readStream(wh, "startingTimestamp" -> mid.toString)
+      .writeStream.format("memory").queryName("txsrc5")
+      .option("checkpointLocation", freshDir("ck")).start()
+    try {
+      q.processAllAvailable()
+      // only the post-timestamp commit arrives
+      assert(spark.table("txsrc5").select("id").as[Long]
+        .collect().toSeq == Seq(2L))
+      // rename mid-stream: the next batch must END the stream loudly —
+      // silently null-filling 'body' would corrupt the consumer
+      TxLog.renameColumn(spark, wh, "t", "body", "text")
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        Seq((3L, "c")).toDF("id", "text"), wh, "t", Nil, 3))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); throw q.exception.get
+      }
+      assert(e.getMessage.contains("renamed or dropped") ||
+        Option(e.getCause).exists(_.getMessage.contains("renamed or dropped")))
+    } finally q.stop()
+  }
+
   test("end-to-end exactly-once: TxLog source -> transform -> TxLogSink upsert") {
     val src = freshDir("src"); val dst = freshDir("dst")
     TxLog.commit(spark, src, TxLog.stageWrite(
