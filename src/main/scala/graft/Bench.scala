@@ -75,11 +75,12 @@ object Bench {
       // materializes before the clock stops; the headline chunks/s stays
       // chunk+embed (the r7/r8-comparable definition), with the write
       // phase measured separately.
-      // TWO full-scale passes, min taken per phase: the sf0.001 self-warm
-      // above is too small to drive the chunk/embed loops through C2 —
-      // a single cold pass measured 1,808 chunks/s where the steady
-      // state is ~4,700. Pass 1 is the real warmup (full sf0.1 volume);
-      // pass 2 is steady-state. Min-of-two matches the battery's rule.
+      // THREE full-scale passes, min taken per phase: a small-SF
+      // self-warm is too little to drive the chunk/embed loops through
+      // C2 — a single cold pass measured 1,808 chunks/s, pass 2 3,390,
+      // pass 3 4,411 where the steady state is ~4,700. Passes 1-2 are
+      // the real warmup (full sf0.1 volume); pass 3 is steady-state.
+      // Min-of-N matches the battery's rule.
       case class IngestPass(chunkMs: Double, embedMs: Double, writeMs: Double,
           n: Long,
           chunks: org.apache.spark.sql.Dataset[graft.ingest.IndexBuild.BuiltChunk],
@@ -99,6 +100,8 @@ object Bench {
           .parquet(s"$writeDir/chunks")
         val tWrite = System.nanoTime()
         if (!keep) { c.unpersist(); v.unpersist() }
+        // the written warehouse only exists to time the write phase
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(writeDir))
         IngestPass((tChunk - t0) / 1e6, (tEmbed - tChunk) / 1e6,
           (tWrite - tEmbed) / 1e6, n, c, v)
       }

@@ -127,6 +127,14 @@ final class KnowledgeStore(
     containersDf.select("container_id", "name", "connector_type")
       .as[(String, String, String)].collect().toSeq
 
+  /** Document count per container in ONE grouped job — the listing
+    * surface's companion (per-container [[containerStats]] calls from a
+    * listing are an N+1: K containers = K ledger scans). */
+  def documentCounts(): Map[String, Long] =
+    try ledgerDf.groupBy("container_id").count()
+      .as[(String, Long)].collect().toMap
+    catch { case _: org.apache.spark.sql.AnalysisException => Map.empty }
+
   /** Write-permission check (ref ContainerWriteGuard.cs:12-30). */
   def isWritable(containerId: String): Boolean =
     containersDf.filter(col("container_id") === containerId)

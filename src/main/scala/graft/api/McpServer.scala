@@ -45,7 +45,17 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-  private val sessions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Issued Mcp-Session-Id values, insertion-ordered and BOUNDED: a
+    * reconnecting client re-initializes (MCP contract), so only the
+    * most recent sessions matter — evicting the oldest past the cap
+    * keeps a long-lived server's memory flat under periodic probes. */
+  private val MaxSessions = 1024
+  private val sessions = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > MaxSessions
+    })
   server.setExecutor(pool)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
@@ -74,13 +84,17 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
         case "initialize" =>
           if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
           val sid = java.util.UUID.randomUUID().toString
-          sessions.add(sid)
+          sessions.put(sid, java.lang.Boolean.TRUE)
           ex.getResponseHeaders.set("Mcp-Session-Id", sid)
           rpcOk(ex, id, obj(
             "protocolVersion" -> ProtocolVersion,
             "capabilities" -> obj("tools" -> obj("listChanged" -> false)),
             "serverInfo" -> obj("name" -> "graft-knowledge", "version" -> "1.0.0")))
         case "notifications/initialized" | "notifications/cancelled" =>
+          // same auth surface as every other method: with discovery off,
+          // an unauthenticated request never gets past 401 — not even a
+          // response-less notification (a free endpoint probe otherwise)
+          if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
           ex.sendResponseHeaders(202, -1); ex.close() // notifications have no response
         case "ping" =>
           if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
@@ -229,10 +243,13 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
     case "container_list" =>
       val cs = store.listContainers()
       if (cs.isEmpty) "No containers found."
-      else cs.map { case (id, n, ct) =>
-        val docs = store.containerStats(id).getOrElse("documents", 0L)
-        s"- $n (ID: $id, type: $ct, documents: $docs)"
-      }.mkString(s"Containers (${cs.size}):\n", "\n", "")
+      else {
+        // one grouped count for ALL containers, not one stats job each
+        val docs = store.documentCounts()
+        cs.map { case (id, n, ct) =>
+          s"- $n (ID: $id, type: $ct, documents: ${docs.getOrElse(id, 0L)})"
+        }.mkString(s"Containers (${cs.size}):\n", "\n", "")
+      }
     case "container_delete" => withContainer(args) { cid =>
       store.deleteContainer(cid); s"Deleted container $cid."
     }

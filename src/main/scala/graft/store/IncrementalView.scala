@@ -123,8 +123,14 @@ object IncrementalView {
     val prev =
       try {
         if (buckets > 0)
+          // readWhereKeyIn is MAY-match (admit-on-doubt file pruning) —
+          // re-apply the exact bucket predicate so a conservatively
+          // admitted clean-bucket file can never leak rows into the
+          // rewrite (its file is not in this refresh's removes)
           TxLog.readWhereKeyIn(spark, warehouse, view,
-            Seq("__bucket"), dirtyBuckets.map(Seq(_))).drop("__bucket")
+            Seq("__bucket"), dirtyBuckets.map(Seq(_)))
+            .filter(col("__bucket").isin(dirtyBuckets.map(b => b: Any): _*))
+            .drop("__bucket")
         else TxLog.read(spark, warehouse, view)
       }
       catch { case _: org.apache.spark.sql.AnalysisException =>

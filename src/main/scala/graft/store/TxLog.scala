@@ -471,6 +471,18 @@ object TxLog {
     out.toString
   }
 
+  /** First line of a log file only — the header probe ([[versionAt]],
+    * [[history]]'s checkpoint rows) must not download whole commit
+    * bodies that can carry thousands of add/stat lines. */
+  private def readFirstLine(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      Option(r.readLine()).getOrElse("")
+    } finally in.close()
+  }
+
   private def readText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try {
@@ -904,7 +916,11 @@ object TxLog {
   def stageWrite(df: DataFrame, warehouse: String, table: String,
       partitionBy: Seq[String], generation: Long,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Seq[Add] = {
+      bloomCols: Seq[String] = Nil,
+      /** Pass the snapshot you already hold (every DML path has one):
+        * skips this write's own log replay for the column-mapping
+        * check. None = resolve here. */
+      snapshotHint: Option[Snapshot] = None): Seq[Add] = {
     val spark = df.sparkSession
     val f = fs(spark, warehouse)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -912,8 +928,11 @@ object TxLog {
     // PHYSICAL names — translate the caller's logical frame (and the
     // partition/stat/bloom column lists) before staging. Identity (and
     // one cheap snapshot read is skipped) for every unmapped table.
-    val mapped = if (!exists(spark, warehouse)) None
-      else snapshot(spark, warehouse).schemaOf(table).filter(hasMapping)
+    val mapped = snapshotHint.map(_.schemaOf(table).filter(hasMapping))
+      .getOrElse {
+        if (!exists(spark, warehouse)) None
+        else snapshot(spark, warehouse).schemaOf(table).filter(hasMapping)
+      }
     val (dfW, partW, statsW, bloomW) = mapped match {
       case None => (df, partitionBy, statsCols, bloomCols)
       case Some(st) =>
@@ -1401,7 +1420,8 @@ object TxLog {
           .filter(not(coalesce(predicate, lit(false))))
         val adds = stageWrite(survivors, warehouse, table, partitionBy,
           generation = ownerFiles.map(_._2).max,
-          statsCols = statsCols, bloomCols = bloomCols)
+          statsCols = statsCols, bloomCols = bloomCols,
+          snapshotHint = Some(snap))
           .map(_.copy(rewrite = true)) // survivors carry no logically-new rows
         StagedDelete(adds,
           ownerFiles.map { case (rel, _) => Remove(table, rel) },
@@ -1510,7 +1530,8 @@ object TxLog {
         val survivorAdds = stageWrite(
           ownerRows.filter(not(coalesce(predicate, lit(false)))),
           warehouse, table, partitionBy, generation = ownerGen,
-          statsCols = statsCols, bloomCols = bloomCols)
+          statsCols = statsCols, bloomCols = bloomCols,
+          snapshotHint = Some(snap))
           .map(_.copy(rewrite = true))
         // post-images: matched rows with the assignments applied, staged
         // as PLAIN adds so the feed sees them as inserts
@@ -1535,7 +1556,8 @@ object TxLog {
         }
         val postAdds = stageWrite(postImages, warehouse, table, partitionBy,
           generation = snap.maxGeneration(table) + 1,
-          statsCols = statsCols, bloomCols = bloomCols)
+          statsCols = statsCols, bloomCols = bloomCols,
+          snapshotHint = Some(snap))
         val v = commit(spark, warehouse, survivorAdds ++ postAdds,
           ownerFiles.map { case (rel, _) => Remove(table, rel) },
           deletes = Map(table -> predSql))
@@ -1796,7 +1818,8 @@ object TxLog {
         val outRows = if (insertUnmatched.isEmpty) srcRows else out.count()
         if (outRows == 0) return MergeResult(-1L, 0L, 0L, 0, 0)
         finish(stageWrite(out, warehouse, table, partitionBy, nextGen,
-          statsCols, bloomCols), Nil, Nil, Map.empty, 0L, outRows)
+          statsCols, bloomCols, snapshotHint = Some(snap)),
+          Nil, Nil, Map.empty, 0L, outRows)
       }
       if (files.isEmpty) return pureInsert()
       // ---- tier 1: log-level pruning from the source key set ----
@@ -1915,7 +1938,8 @@ object TxLog {
         bsKeys.foreach(_.unpersist())
         if (outRows == 0) return MergeResult(-1L, 0L, 0L, 0, 0)
         return finish(stageWrite(out, warehouse, table, partitionBy, nextGen,
-          statsCols, bloomCols), Nil, Nil, Map.empty, 0L, outRows)
+          statsCols, bloomCols, snapshotHint = Some(snap)),
+          Nil, Nil, Map.empty, 0L, outRows)
       }
       val matchedRows = owners.values.sum
       // ---- owner union: matched-changed files ∪ by-source files. A file
@@ -2043,7 +2067,7 @@ object TxLog {
       val sourceOut = bsOut.fold(sourceOut0)(b =>
         sourceOut0.unionByName(b, allowMissingColumns = true))
       val outAdds = stageWrite(sourceOut, warehouse, table, partitionBy,
-        nextGen, statsCols, bloomCols)
+        nextGen, statsCols, bloomCols, snapshotHint = Some(snap))
       val writtenRows = outAdds.map(a => fileRowCount(spark, base, a.relPath)).sum
       def cleanup(): Unit = {
         ownerRows.unpersist(); allMatchedKeys.unpersist()
@@ -2057,7 +2081,8 @@ object TxLog {
         val survivors = keyJoin(ownerRowsAll, matchedKeysDf, keyCols, "left_anti")
         val survivorAdds = stageWrite(survivors, warehouse, table, partitionBy,
           generation = ownerFiles.map(_._2).max,
-          statsCols = statsCols, bloomCols = bloomCols)
+          statsCols = statsCols, bloomCols = bloomCols,
+          snapshotHint = Some(snap))
           .map(_.copy(rewrite = true))
         cleanup()
         finish(survivorAdds ++ outAdds,
@@ -2099,6 +2124,66 @@ object TxLog {
       .write.parquet(dest)
   }
 
+  /** DESCRIBE HISTORY (the published Delta surface): one row per
+    * retained commit — version, wall-clock timestamp, an OPERATION name
+    * inferred from the commit's actions (the log stores actions, not
+    * statement text), per-table action counts, and the tables touched.
+    * Versions folded into a checkpoint by [[expireLog]] are summarized
+    * as one `checkpoint` row (their individual commits are gone — same
+    * truncation contract as time travel). Driver-side text parse of
+    * retained commits only; row count ∝ retained history. */
+  def history(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, warehouse)
+    val live = listVersions(f, warehouse).toSet
+    val ckRows = listCheckpoints(f, warehouse).filterNot(live)
+      .map { v =>
+        val header = readFirstLine(f, checkpointFile(warehouse, v))
+        val ts = if (header.startsWith("commit\t"))
+          header.split('\t')(2).toLong else 0L
+        (v, new java.sql.Timestamp(ts), "checkpoint", Seq.empty[String],
+          0L, 0L, 0L)
+      }
+    val rows = live.toSeq.sorted.map { v =>
+      var adds = 0L; var removes = 0L; var dvs = 0L; var ts = 0L
+      val kinds = scala.collection.mutable.LinkedHashSet[String]()
+      val tables = scala.collection.mutable.LinkedHashSet[String]()
+      readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty)
+        .foreach(_.split('\t') match {
+          case Array("commit", _, t) => ts = t.toLong
+          case Array("add", t, _, _) => adds += 1; tables += t
+          case Array("add", t, _, _, _) => adds += 1; tables += t; kinds += "rewrite"
+          case Array("remove", t, _) => removes += 1; tables += t
+          case Array("delete", t, _) => kinds += "delete"; tables += t
+          case Array("merge", t, _, _) => kinds += "merge"; tables += t
+          case Array("dv", t, _, _) => dvs += 1; kinds += "dv"; tables += t
+          case Array("dvclear", t) => kinds += "dvclear"; tables += t
+          case Array("schema", t, _) => kinds += "schema"; tables += t
+          case Array("retire", t, _) => kinds += "retire"; tables += t
+          case Array("partspec", t, _*) => kinds += "partspec"; tables += t
+          case Array("tag", _, _) => kinds += "tag"
+          case _ => ()
+        })
+      // most-specific action wins the operation name, Delta-style
+      val op =
+        if (kinds.contains("merge")) "MERGE"
+        else if (kinds.contains("retire")) "DROP COLUMN"
+        else if (kinds.contains("schema") && adds + removes == 0) "SET SCHEMA"
+        else if (kinds.contains("delete") || kinds.contains("dv")) "DELETE"
+        else if (kinds.contains("dvclear") || kinds.contains("rewrite"))
+          if (adds > 0 && removes > 0) "OPTIMIZE" else "WRITE"
+        else if (removes > 0 && adds > 0) "OPTIMIZE"
+        else if (removes > 0) "REMOVE"
+        else if (kinds.contains("partspec") && adds == 0) "SET PARTITION SPEC"
+        else if (adds > 0) "WRITE"
+        else "EMPTY"
+      (v, new java.sql.Timestamp(ts), op, tables.toSeq, adds, removes, dvs)
+    }
+    (ckRows ++ rows).sortBy(_._1)
+      .toDF("version", "timestamp", "operation", "tables",
+        "added_files", "removed_files", "dv_masks")
+  }
+
   /** The log's newest version — ONE directory listing, no log replay.
     * The per-trigger poll of the streaming source ([[graft.streaming
     * .TxLogSource]]) and any cheap "did anything change" probe. */
@@ -2120,15 +2205,17 @@ object TxLog {
     // checkpoint headers stand in for expired commits: a checkpoint at
     // version V was created while V was newest, so its timestamp sits
     // between commit V and commit V+1 — ordering stays monotone, the
-    // folded version stays timestamp-addressable after expiry
+    // folded version stays timestamp-addressable after expiry.
+    // Header-only reads: a large ingest commit carries thousands of
+    // add/stat lines — only line 1 matters here.
     val headers = (listVersions(f, warehouse).map(v =>
-        readCommitText(f, warehouse, v)) ++
+        readFirstLine(f, commitFile(warehouse, v))) ++
       listCheckpoints(f, warehouse).map(v =>
-        readText(f, checkpointFile(warehouse, v))))
-      .flatMap(_.linesIterator.take(1).toSeq.collectFirst {
+        readFirstLine(f, checkpointFile(warehouse, v))))
+      .collect {
         case l if l.startsWith("commit\t") =>
           val p = l.split('\t'); (p(1).toLong, p(2).toLong)
-      })
+      }
       .sortBy(_._1)
     headers.filter(_._2 <= tsMs).map(_._1).maxOption.getOrElse(-1L)
   }
@@ -2323,7 +2410,7 @@ object TxLog {
     val data = view(read(spark, warehouse, table))
     val adds = stageWrite(data, warehouse, table, partitionBy,
       generation = snap.maxGeneration(table), statsCols = statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, snapshotHint = Some(snap))
     // deletion vectors are MATERIALIZED by this rewrite (read() is
     // DV-aware), so the same commit clears them — post-compaction reads
     // pay no anti-join and vacuum reclaims the mask dirs

@@ -51,7 +51,8 @@ import graft.store.TxLog
   * changed" capability as a first-class Spark stream over the
   * transactional store.
   */
-class TxLogSource(sqlContext: SQLContext, parameters: Map[String, String])
+class TxLogSource(sqlContext: SQLContext, parameters: Map[String, String],
+    metadataPath: Option[String] = None)
     extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -67,22 +68,50 @@ class TxLogSource(sqlContext: SQLContext, parameters: Map[String, String])
     * = N includes commit N onward (Delta's contract); "latest" (or "0" on
     * an empty log) starts with changes made after stream start;
     * `startingTimestamp` resolves through [[TxLog.versionAt]] and
-    * includes everything committed after that wall-clock instant. */
-  private val baseVersion: Long =
-    (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
-      case (Some(_), Some(_)) =>
-        sys.error("graft-txlog source: startingVersion and startingTimestamp " +
-          "are mutually exclusive")
-      case (Some("latest"), _) => TxLog.currentVersion(spark, warehouse)
-      case (Some(v), _) => v.toLong - 1L
-      case (_, Some(ts)) =>
-        val ms = ts.toLongOption.getOrElse(
-          java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
-        // include commits AT the instant too (Delta's contract): base is
-        // the newest version strictly BEFORE it
-        TxLog.versionAt(spark, warehouse, ms - 1)
-      case _ => -1L // full history (version 0 onward)
+    * includes everything committed at or after that wall-clock instant.
+    *
+    * PINNED in the stream's metadata dir on first resolution (the Delta
+    * initial-offset design): "latest"/timestamp are wall-clock-relative,
+    * so re-resolving them on a RESTART would move the base — a crash
+    * between offset-log write and batch commit would then silently skip
+    * the in-flight versions, and a restart with downtime commits would
+    * wrongly re-anchor past them. Every restart reads the pinned value. */
+  private val baseVersion: Long = {
+    def resolve(): Long =
+      (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+        case (Some(_), Some(_)) =>
+          sys.error("graft-txlog source: startingVersion and startingTimestamp " +
+            "are mutually exclusive")
+        case (Some("latest"), _) => TxLog.currentVersion(spark, warehouse)
+        case (Some(v), _) => v.toLong - 1L
+        case (_, Some(ts)) =>
+          val ms = ts.toLongOption.getOrElse(
+            java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+          // include commits AT the instant too (Delta's contract): base
+          // is the newest version strictly BEFORE it
+          TxLog.versionAt(spark, warehouse, ms - 1)
+        case _ => -1L // full history (version 0 onward)
+      }
+    metadataPath match {
+      case None => resolve()
+      case Some(dir) =>
+        val p = new org.apache.hadoop.fs.Path(dir, "graft-txlog-base")
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) {
+          val in = f.open(p)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        } else {
+          val b = resolve()
+          f.mkdirs(p.getParent)
+          val out = f.create(p, false)
+          try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          b
+        }
     }
+  }
 
   override val schema: StructType = TxLogSource.schemaFor(spark, parameters)
 
@@ -182,5 +211,5 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new TxLogSource(sqlContext, parameters)
+    new TxLogSource(sqlContext, parameters, Some(metadataPath))
 }

@@ -1557,6 +1557,28 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.readChanges(spark, wh, "t", fromVersion = horizon).isEmpty)
   }
 
+  test("DESCRIBE HISTORY: one row per commit with inferred operations; expiry folds to a checkpoint row") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv((0L to 5L).map(i => i -> s"v$i"), 1), wh, "t", Nil, 1))
+    TxLog.merge(spark, wh, "t", kv(Seq(2L -> "B"), 2), Seq("id"))
+    TxLog.deleteWhere(spark, wh, "t", col("id") === 0L)
+    TxLog.compact(spark, wh, "t", Nil)
+    val h = TxLog.history(spark, wh)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h == Seq((0L, "WRITE"), (1L, "MERGE"), (2L, "DELETE"), (3L, "OPTIMIZE")))
+    val ops = TxLog.history(spark, wh).collect()
+    assert(ops.forall(_.getAs[java.sql.Timestamp]("timestamp").getTime > 0))
+    // expire: folded versions summarize as one checkpoint row
+    TxLog.checkpoint(spark, wh)
+    TxLog.expireLog(spark, wh)
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(9L -> "i"), 3), wh, "t", Nil, 3))
+    val h2 = TxLog.history(spark, wh)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h2 == Seq((3L, "checkpoint"), (4L, "WRITE")))
+  }
+
   test("TIMESTAMP AS OF: versionAt resolves wall-clock to versions; survives checkpoint folding") {
     val wh = freshWh()
     val t0 = System.currentTimeMillis() - 1

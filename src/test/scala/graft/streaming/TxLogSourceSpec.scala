@@ -106,6 +106,35 @@ class TxLogSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("startingVersion=latest is PINNED at first start: a restart never re-anchors past downtime commits") {
+    val wh = freshDir("wh"); val ck = freshDir("ck"); val out = freshDir("out")
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv(Seq(1L -> "old"), 1), wh, "t", Nil, 1))
+    def start() = readStream(wh, "startingVersion" -> "latest")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        kv(Seq(2L -> "live"), 2), wh, "t", Nil, 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSeq == Seq(2L))
+    // two commits land while the stream is DOWN; a re-resolved "latest"
+    // would anchor PAST them (silent loss) — the pinned base delivers both
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv(Seq(3L -> "down1"), 3), wh, "t", Nil, 3))
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      kv(Seq(4L -> "down2"), 4), wh, "t", Nil, 4))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    } finally q2.stop()
+  }
+
   test("startingTimestamp resolves mid-history; mid-stream rename fails loudly instead of null-filling") {
     val wh = freshDir("wh")
     val t0 = Seq((1L, "a")).toDF("id", "body")
