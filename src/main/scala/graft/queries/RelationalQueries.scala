@@ -1725,6 +1725,43 @@ object RelationalQueries {
                CAST(count(source) AS BIGINT) AS n_sourced,
                CAST(1 AS BIGINT) AS audit_ok
         FROM mapped GROUP BY lang ORDER BY lang"""),
-      doc = "column mapping: rename/drop/re-add are metadata-only (zero file rewrite), dropped data never resurrects, merge + stat pruning work through the renamed column")
+      doc = "column mapping: rename/drop/re-add are metadata-only (zero file rewrite), dropped data never resurrects, merge + stat pruning work through the renamed column"),
+
+    QueryDef(
+      "q157_zorder_nary",
+      (s, d) => {
+        // N-ARY Morton interleave (Zorder.zExprN — Delta's OPTIMIZE
+        // ZORDER BY any-column-list grammar): bit b of column i lands at
+        // position b*k+i. The SAME SQL fragment runs on Spark and DuckDB
+        // (plain BIGINT bit-ops), so the oracle pins the interleave math
+        // engine-independently, exactly like q114 pins the 2-D form.
+        // The in-query audit additionally pins the k=2 special case
+        // bit-identical to the 2-D interleave.
+        val cols = Seq("(doc_id % 1024)", "(n_chars % 1024)",
+          "((doc_id * 7) % 1024)")
+        val z3 = graft.store.Zorder.zExprN(cols, 10)
+        val z2n = graft.store.Zorder.zExprN(cols.take(2), 10)
+        val z2 = graft.store.Zorder.zExpr(cols(0), cols(1), 10)
+        table(s, d, "documents")
+          .selectExpr("lang", s"$z3 AS z3",
+            s"CASE WHEN $z2n = $z2 THEN 1 ELSE 0 END AS same2")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("z3")).cast("long").as("sum_z3"),
+            min(col("same2")).cast("long").as("k2_matches_2d"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(${graft.store.Zorder.zExprN(
+                 Seq("(doc_id % 1024)", "(n_chars % 1024)",
+                   "((doc_id * 7) % 1024)"), 10)}) AS BIGINT) AS sum_z3,
+               CAST(min(CASE WHEN ${graft.store.Zorder.zExprN(
+                 Seq("(doc_id % 1024)", "(n_chars % 1024)"), 10)} =
+                 ${graft.store.Zorder.zExpr("(doc_id % 1024)",
+                   "(n_chars % 1024)", 10)} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS k2_matches_2d
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      doc = "N-ary Morton interleave: 3-column z-values pinned bit-for-bit by DuckDB via the shared SQL fragment; k=2 special case equals the 2-D interleave in-query")
   )
 }

@@ -2450,6 +2450,17 @@ object TxLog {
       view = df => Zorder.layout(df, xCol, yCol, bits, nFiles),
       statsCols = Seq(xCol, yCol), bloomCols = bloomCols)
 
+  /** [[compactZorder]] for ANY column list (Delta's grammar): the N-ary
+    * interleave trades per-column tightness for breadth — each column
+    * contributes every k-th bit — so stats prune on all k at once. */
+  def compactZorderN(spark: SparkSession, warehouse: String, table: String,
+      zCols: Seq[String], nFiles: Int,
+      bits: Int = 15, partitionBy: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    compact(spark, warehouse, table, partitionBy,
+      view = df => Zorder.layoutN(df, zCols, bits, nFiles),
+      statsCols = zCols, bloomCols = bloomCols)
+
   def compactIfFragmented(spark: SparkSession, warehouse: String, table: String,
       partitionBy: Seq[String], maxFiles: Int,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Option[Long] = {

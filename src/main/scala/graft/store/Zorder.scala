@@ -54,4 +54,34 @@ object Zorder {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** N-ARY Morton interleave (Delta's OPTIMIZE ZORDER BY takes any
+    * column list): bit b of column i lands at position `b * k + i` for
+    * k columns. Same engine-portable SQL-fragment form as [[zExpr]];
+    * `k * bits` must fit a non-negative BIGINT (<= 63). Tightness per
+    * column degrades gracefully with k — each column contributes every
+    * k-th bit, so a k-col layout prunes each column ~2^((k-1)·b/k)
+    * coarser than a dedicated sort but on ALL k at once. */
+  def zExprN(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    require(k >= 2, "zExprN needs at least two columns")
+    require(bits >= 1 && k * bits <= 63,
+      s"k*bits must fit a non-negative BIGINT, got $k x $bits")
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map(b =>
+        s"(((($c) >> $b) & 1) << ${b * k + i})")
+    }.mkString("(", " + ", ")")
+  }
+
+  /** [[layout]] for any number of columns. */
+  def layoutN(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      bits: Int, nFiles: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val mask = (1L << bits) - 1
+    val z = zExprN(cols.map(c => s"(($c) & ${mask}L)"), bits)
+    df.withColumn("_z", expr(z))
+      .repartitionByRange(nFiles, expr("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
 }

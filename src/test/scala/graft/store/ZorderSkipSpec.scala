@@ -83,6 +83,40 @@ class ZorderSkipSpec extends AnyFunSuite {
     assert(filesTouched("b") <= nFiles / 2, s"b-probe touched ${filesTouched("b")}")
   }
 
+  test("zExprN: k=2 equals the 2-D interleave; 3-column compactZorderN prunes on ALL three") {
+    import org.apache.spark.sql.functions.expr
+    // bit-identical to zExpr for two columns (col0 even, col1 odd)
+    val two = spark.range(512).selectExpr("id % 23 AS a", "id % 17 AS b")
+      .selectExpr(s"${Zorder.zExpr("a", "b", 5)} AS z2",
+        s"${Zorder.zExprN(Seq("a", "b"), 5)} AS zn")
+    assert(two.filter(expr("z2 != zn")).count() == 0)
+    // 3-column layout: c derived independently of a/b
+    def h(i: Long, salt: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L + salt
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 1023L
+    }
+    val wh = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    val df3 = (0L until n).map(i => (i, h(i, 1), h(i, 2), h(i, 3)))
+      .toDF("id", "a", "b", "c")
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df3.repartition(nFiles), wh, "t", Nil, 0L, statsCols = Seq("a", "b", "c")))
+    def touched(c: String): Int =
+      TxLog.readWhereBetween(spark, wh, "t", c, 100L, 160L).inputFiles.length
+    assert(Seq("a", "b", "c").forall(touched(_) == nFiles)) // nothing prunes yet
+    TxLog.compactZorderN(spark, wh, "t", Seq("a", "b", "c"), nFiles, bits = 10)
+    Seq("a", "b", "c").foreach { c =>
+      assert(touched(c) < nFiles,
+        s"3-col z layout should prune $c below $nFiles, got ${touched(c)}")
+    }
+    // pruned reads stay exact
+    val full = TxLog.read(spark, wh, "t")
+      .filter(expr("a BETWEEN 100 AND 160")).orderBy("id").collect().toSeq
+    assert(TxLog.readWhereBetween(spark, wh, "t", "a", 100L, 160L)
+      .filter(expr("a BETWEEN 100 AND 160")).orderBy("id")
+      .collect().toSeq == full)
+  }
+
   test("zExpr/unzExpr roundtrip and ordering are the textbook Morton curve") {
     // tiny exhaustive check: 6-bit interleave of all 64x64 points
     val df = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))
