@@ -2575,28 +2575,95 @@ object TxLog {
           case _ => None
         })
       }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
-    snap.live.keys.foreach { table =>
-      val liveSet = snap.files(table).map(_._1).toSet
-      // live deletion-vector dirs are log-referenced storage: protected
-      // like data files; cleared masks reclaim by age like anything else
-      val dvLive = snap.dvsOf(table).map(_ + "/") ++
-        protectedSidecars.getOrElse(table, Nil).map(_ + "/")
+    // Per-table reclaim. The walk+delete DISTRIBUTES (Delta's vacuum is
+    // a Spark job for the same reason): at 100 TB a table dir holds
+    // millions of part files across thousands of partition dirs, and a
+    // single-threaded driver listing is the bottleneck. The driver
+    // handles each table dir's top LEVEL (cheap); every subdirectory
+    // subtree becomes a task that lists, filters, and deletes with its
+    // own FileSystem handle. One job covers ALL tables.
+    val perTable: Map[String, (Set[String], Seq[String])] =
+      snap.live.keys.map { table =>
+        val liveSet = snap.files(table).map(_._1).toSet
+        // live deletion-vector dirs are log-referenced storage: protected
+        // like data files; cleared masks reclaim by age like anything else
+        val dvLive = snap.dvsOf(table).map(_ + "/") ++
+          protectedSidecars.getOrElse(table, Nil).map(_ + "/")
+        table -> ((liveSet, dvLive))
+      }.toMap
+    def eligible(table: String, rel: String, name: String, mtime: Long): Boolean = {
+      val (liveSet, dvLive) = perTable(table)
+      name.endsWith(".parquet") && !liveSet.contains(rel) &&
+        !dvLive.exists(rel.startsWith) && mtime < cutoff
+    }
+    val subtrees = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    perTable.keys.toSeq.sorted.foreach { table =>
       val tableDir = new Path(warehouse, table)
-      def walk(p: Path): Unit = if (f.exists(p)) f.listStatus(p).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
+      if (f.exists(tableDir)) f.listStatus(tableDir).foreach { st =>
+        if (st.isDirectory)
+          subtrees += ((table, st.getPath.toUri.getPath))
         else {
-          val rel = st.getPath.toUri.getPath
-            .stripPrefix(tableDir.toUri.getPath).stripPrefix("/")
-          if (st.getPath.getName.endsWith(".parquet") && !liveSet.contains(rel) &&
-            !dvLive.exists(rel.startsWith) &&
-            st.getModificationTime < cutoff) {
-            f.delete(st.getPath, false)
-            deleted += 1
+          val rel = st.getPath.getName
+          if (eligible(table, rel, rel, st.getModificationTime)) {
+            f.delete(st.getPath, false); deleted += 1
           }
         }
       }
-      walk(tableDir)
+    }
+    if (subtrees.nonEmpty) {
+      val confSer = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val tablePaths = perTable.keys.map(t =>
+        t -> new Path(warehouse, t).toUri.getPath).toMap
+      val perTableB = spark.sparkContext.broadcast(perTable)
+      val tablePathsB = spark.sparkContext.broadcast(tablePaths)
+      val cutoffB = cutoff
+      try {
+        deleted += spark.sparkContext
+          .parallelize(subtrees.toSeq, math.min(subtrees.size, 64))
+          .map { case (table, dir) =>
+            val p = new Path(dir)
+            val fsx = p.getFileSystem(confSer.value)
+            val tPath = tablePathsB.value(table)
+            val (liveSet, dvLive) = perTableB.value(table)
+            var n = 0L
+            def walk(q: Path): Unit = if (fsx.exists(q))
+              fsx.listStatus(q).foreach { st =>
+                if (st.isDirectory) walk(st.getPath)
+                else {
+                  val rel = st.getPath.toUri.getPath
+                    .stripPrefix(tPath).stripPrefix("/")
+                  if (st.getPath.getName.endsWith(".parquet") &&
+                    !liveSet.contains(rel) &&
+                    !dvLive.exists(rel.startsWith) &&
+                    st.getModificationTime < cutoffB) {
+                    fsx.delete(st.getPath, false); n += 1
+                  }
+                }
+              }
+            walk(p)
+            n
+          }.sum().toLong
+      } finally { perTableB.destroy(); tablePathsB.destroy() }
     }
     deleted
+  }
+
+  /** Hadoop Configuration that survives a Spark closure — the standard
+    * connector wrapper (Spark's own SerializableConfiguration is
+    * private[spark]); executors re-hydrate it to open FileSystems with
+    * the driver's credentials/settings. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
   }
 }
