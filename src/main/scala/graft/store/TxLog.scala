@@ -146,7 +146,12 @@ object TxLog {
         * still carry their data, so a later evolution re-adding the same
         * logical name must take a FRESH physical name (the Delta field-id
         * rule, realized by name) or the dropped data would resurrect. */
-      retired: Map[String, Set[String]] = Map.empty) {
+      retired: Map[String, Set[String]] = Map.empty,
+      /** CHECK constraints per table (name -> SQL predicate) — the Delta
+        * `ALTER TABLE ADD CONSTRAINT` surface. Enforced on every staged
+        * write; SQL-standard semantics (a row violates only when the
+        * predicate is explicitly FALSE; NULL passes). */
+      checks: Map[String, Map[String, String]] = Map.empty) {
     /** Live (path, generation) pairs for one table. */
     def files(table: String): Seq[(String, Long)] = live.getOrElse(table, Nil)
     def maxGeneration(table: String): Long =
@@ -170,6 +175,7 @@ object TxLog {
     def dvsOf(table: String): Seq[String] = dvs.getOrElse(table, Nil).map(_._1)
     def dvEntriesOf(table: String): Seq[(String, String)] = dvs.getOrElse(table, Nil)
     def retiredOf(table: String): Set[String] = retired.getOrElse(table, Set.empty)
+    def checksOf(table: String): Map[String, String] = checks.getOrElse(table, Map.empty)
   }
 
   private def logPath(warehouse: String) = new Path(warehouse, "_txlog")
@@ -264,7 +270,12 @@ object TxLog {
         * leave the schema when its physical name is retired in the SAME
         * commit, and the retire action then guards against a later
         * evolution resurrecting its on-disk data. */
-      retires: Map[String, Seq[String]] = Map.empty): Long =
+      retires: Map[String, Seq[String]] = Map.empty,
+      /** CHECK constraint additions (table -> name -> SQL predicate) and
+        * removals — [[addConstraint]]/[[dropConstraint]] are the public
+        * surface (they validate the predicate and existing data). */
+      constraints: Map[String, Map[String, String]] = Map.empty,
+      dropConstraints: Map[String, Seq[String]] = Map.empty): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
@@ -334,6 +345,13 @@ object TxLog {
     retires.toSeq.sortBy(_._1).foreach { case (table, phys) =>
       phys.sorted.foreach(p => body ++= s"retire\t$table\t${esc(p)}\n")
     }
+    constraints.toSeq.sortBy(_._1).foreach { case (table, cs) =>
+      cs.toSeq.sortBy(_._1).foreach { case (nm, pred) =>
+        body ++= s"constraint\t$table\t${esc(nm)}\t${esc(pred)}\n" }
+    }
+    dropConstraints.toSeq.sortBy(_._1).foreach { case (table, nms) =>
+      nms.sorted.foreach(nm => body ++= s"dropconstraint\t$table\t${esc(nm)}\n")
+    }
     tags.toSeq.sortBy(_._1).foreach { case (name, v) =>
       body ++= s"tag\t${esc(name)}\t$v\n"
     }
@@ -393,7 +411,8 @@ object TxLog {
     val touchedTables: Set[String] =
       adds.map(_.table).toSet ++ removes.map(_.table) ++ schemas.keys ++
         deletes.keys ++ partitionSpecs.keys ++ dvAdds.map(_._1) ++
-        dvClears ++ merges.keys ++ retires.keys
+        dvClears ++ merges.keys ++ retires.keys ++ constraints.keys ++
+        dropConstraints.keys
     val touchedTags = tags.keySet
     def interleavedOverlap(from: Long): Option[String] =
       listVersions(f, warehouse).filter(_ >= from).iterator.flatMap { v =>
@@ -411,6 +430,8 @@ object TxLog {
           case Array("dv", t, _, _) => Some(t)
           case Array("dvclear", t) => Some(t)
           case Array("retire", t, _) => Some(t)
+          case Array("constraint", t, _, _) => Some(t)
+          case Array("dropconstraint", t, _) => Some(t)
           case Array("tag", n, _) if touchedTags.contains(unesc(n)) =>
             Some(s"tag:${unesc(n)}")
           case _ => None
@@ -508,6 +529,7 @@ object TxLog {
     val partSpecMap = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val dvMap = scala.collection.mutable.LinkedHashMap[String, Vector[(String, String)]]()
     val retiredMap = scala.collection.mutable.LinkedHashMap[String, Set[String]]()
+    val checkMap = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
     var version = -1L
     def foldText(text: String, v: Long): Unit =
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
@@ -536,6 +558,11 @@ object TxLog {
           case Array("dvclear", table) => dvMap.remove(table)
           case Array("retire", table, phys) =>
             retiredMap(table) = retiredMap.getOrElse(table, Set.empty) + unesc(phys)
+          case Array("constraint", table, nm, pred) =>
+            checkMap(table) = checkMap.getOrElse(table, Map.empty) +
+              (unesc(nm) -> unesc(pred))
+          case Array("dropconstraint", table, nm) =>
+            checkMap(table) = checkMap.getOrElse(table, Map.empty) - unesc(nm)
           case Array("commit", _, _) => ()
           case other => sys.error(s"txlog: malformed line '${other.mkString("\t")}' in version $v")
         }
@@ -566,7 +593,7 @@ object TxLog {
       fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap,
       partSpecMap.toMap,
       dvMap.toMap.map { case (k, v) => k -> (v: Seq[(String, String)]) },
-      retiredMap.toMap)
+      retiredMap.toMap, checkMap.toMap)
   }
 
   /** The partition-directory column names a rel path encodes
@@ -928,11 +955,11 @@ object TxLog {
     // PHYSICAL names — translate the caller's logical frame (and the
     // partition/stat/bloom column lists) before staging. Identity (and
     // one cheap snapshot read is skipped) for every unmapped table.
-    val mapped = snapshotHint.map(_.schemaOf(table).filter(hasMapping))
-      .getOrElse {
-        if (!exists(spark, warehouse)) None
-        else snapshot(spark, warehouse).schemaOf(table).filter(hasMapping)
-      }
+    val snapResolved: Option[Snapshot] = snapshotHint.orElse(
+      if (!exists(spark, warehouse)) None
+      else Some(snapshot(spark, warehouse)))
+    val mapped = snapResolved.flatMap(_.schemaOf(table)).filter(hasMapping)
+    val tableChecks = snapResolved.map(_.checksOf(table)).getOrElse(Map.empty)
     val (dfW, partW, statsW, bloomW) = mapped match {
       case None => (df, partitionBy, statsCols, bloomCols)
       case Some(st) =>
@@ -947,6 +974,31 @@ object TxLog {
     val writer = dfW.write.mode("overwrite")
     (if (partW.nonEmpty) writer.partitionBy(partW: _*) else writer)
       .parquet(stagingRoot.toString)
+    // CHECK-CONSTRAINT enforcement on the STAGED files, before anything
+    // renames into the table: a column-pruned read of just the
+    // constraints' columns (never a re-evaluation of the caller's
+    // frame); violation deletes the staging dir and errors. SQL
+    // standard: only an explicitly-FALSE predicate violates.
+    if (tableChecks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val staged0 =
+        try Some(spark.read.option("basePath", stagingRoot.toString)
+          .parquet(stagingRoot.toString))
+        catch { case _: org.apache.spark.sql.AnalysisException => None } // empty write
+      staged0.foreach { s0 =>
+        val staged = mapped.fold(s0)(st => toLogical(s0, st))
+        tableChecks.toSeq.sortBy(_._1).foreach { case (nm, sql) =>
+          val bad = staged.filter(coalesce(expr(sql), lit(true)) === false)
+            .limit(1).collect()
+          if (bad.nonEmpty) {
+            f.delete(stagingRoot, true)
+            throw new IllegalArgumentException(
+              s"txlog: write to '$table' violates CHECK constraint " +
+                s"'$nm' ($sql); example row: ${bad.head}")
+          }
+        }
+      }
+    }
     // move every parquet part into the flat table dir, keeping the
     // partition-relative path; Spark part names embed a job UUID, so
     // collisions with existing files are impossible
@@ -2260,6 +2312,10 @@ object TxLog {
     require(!immovableCols(snap, table).contains(from),
       s"txlog: '$from' is a partition/layout column of '$table' — its values " +
         "live in directory names; rewrite the layout (compact) before renaming")
+    val refs = constraintsReferencing(spark, snap, table, st, from)
+    require(refs.isEmpty,
+      s"txlog: CHECK constraint(s) ${refs.mkString(", ")} reference '$from' — " +
+        "drop them before renaming (their SQL names the column)")
     val next = org.apache.spark.sql.types.StructType(st.fields.map { fl =>
       if (fl.name != from) fl
       else fl.copy(name = to,
@@ -2290,6 +2346,10 @@ object TxLog {
     require(!immovableCols(snap, table).contains(name),
       s"txlog: '$name' is a partition/layout column of '$table' — rewrite the " +
         "layout (compact under a new spec) before dropping")
+    val refs = constraintsReferencing(spark, snap, table, st, name)
+    require(refs.isEmpty,
+      s"txlog: CHECK constraint(s) ${refs.mkString(", ")} reference '$name' — " +
+        "drop them before dropping the column")
     val next = org.apache.spark.sql.types.StructType(
       st.fields.filterNot(_.name == name))
     commit(spark, warehouse, Nil, schemas = Map(table -> next),
@@ -2323,6 +2383,86 @@ object TxLog {
       }
     commit(spark, warehouse, Nil, schemas = Map(table -> st.add(fld)))
   }
+
+  /** Constraint names whose SQL references column `without` — detected
+    * by re-analysis against the schema WITHOUT it (the same probe trick
+    * the delete planner uses); rename/drop must reject while any
+    * constraint still reads the column (Delta's rule: drop the
+    * constraint first). */
+  private def constraintsReferencing(spark: SparkSession, snap: Snapshot,
+      table: String, st: org.apache.spark.sql.types.StructType,
+      without: String): Seq[String] = {
+    import org.apache.spark.sql.functions.expr
+    val probeSchema = org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(_.name == without))
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), probeSchema)
+    snap.checksOf(table).toSeq.sortBy(_._1).collect {
+      case (nm, sql) if scala.util.Try(
+        probe.filter(expr(sql)).queryExecution.analyzed).isFailure => nm
+    }
+  }
+
+  /** CHECK CONSTRAINT (Delta's `ALTER TABLE ADD CONSTRAINT`): a named
+    * SQL predicate every future write must satisfy, enforced at
+    * [[stageWrite]] on the STAGED files (column-pruned read of just the
+    * constraint's columns — no re-evaluation of the caller's frame) with
+    * SQL-standard semantics: a row violates only when the predicate is
+    * explicitly FALSE; NULL passes (`col IS NOT NULL` is how NOT NULL is
+    * spelled). Adding validates EXISTING data first — a table already in
+    * violation rejects the constraint, Delta's contract — and the
+    * predicate must be SQL-replayable (rendered + re-analyzed, same
+    * probe as the delete planner), so enforcement never depends on a
+    * Scala closure. */
+  def addConstraint(spark: SparkSession, warehouse: String, table: String,
+      name: String, predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(!name.contains('\t') && !name.contains('\n'),
+      "txlog: constraint name must be flat")
+    val snap = snapshot(spark, warehouse)
+    require(!snap.checksOf(table).contains(name),
+      s"txlog: '$table' already has constraint '$name' — drop it first")
+    val files = snap.files(table)
+    val probeSchema = snap.schemaOf(table).getOrElse {
+      require(files.nonEmpty,
+        s"txlog: addConstraint needs a logged schema or live data for '$table'")
+      read(spark, warehouse, table).schema
+    }
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), probeSchema)
+    val predExpr = probe.filter(predicate).queryExecution.analyzed.collectFirst {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+    }.getOrElse(sys.error("txlog: constraint did not analyze to a Filter"))
+    val predSql = predExpr.sql
+    try probe.filter(expr(predSql)).queryExecution.analyzed
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"txlog: constraint predicate is not SQL-replayable ($predSql): ${e.getMessage}")
+    }
+    if (files.nonEmpty) {
+      val bad = read(spark, warehouse, table)
+        .filter(coalesce(expr(predSql), lit(true)) === false)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"txlog: existing data in '$table' violates '$name' ($predSql); " +
+          s"example row: ${bad.headOption.getOrElse("")}")
+    }
+    commit(spark, warehouse, Nil,
+      constraints = Map(table -> Map(name -> predSql)))
+  }
+
+  def dropConstraint(spark: SparkSession, warehouse: String, table: String,
+      name: String): Long = {
+    require(snapshot(spark, warehouse).checksOf(table).contains(name),
+      s"txlog: '$table' has no constraint '$name'")
+    commit(spark, warehouse, Nil,
+      dropConstraints = Map(table -> Seq(name)))
+  }
+
+  /** CHECK constraints of `table` at the current snapshot. */
+  def constraints(spark: SparkSession, warehouse: String,
+      table: String): Map[String, String] =
+    snapshot(spark, warehouse).checksOf(table)
 
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):
     * roll the whole warehouse's live file set back to what `toVersion`
@@ -2371,6 +2511,43 @@ object TxLog {
         old.dvEntriesOf(t).map { case (rel, pred) => (t, rel, pred) }),
       dvClears = dvTables.toSeq.sorted)
     old.live.keys.foreach(t => spark.catalog.refreshByPath(s"$warehouse/$t"))
+    org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+    v
+  }
+
+  /** RESTORE ONE TABLE to `toVersion` (Delta's actual `RESTORE TABLE`
+    * granularity — [[restore]] is the whole-warehouse form): same
+    * new-commit mechanics, scoped so OTHER tables' live state — and a
+    * concurrent writer landing on them — is untouched. DV state for the
+    * table rolls back with its file set. Fails before claiming a
+    * version if vacuum already reclaimed a needed file. */
+  def restoreTable(spark: SparkSession, warehouse: String, table: String,
+      toVersion: Long): Long = {
+    val f = fs(spark, warehouse)
+    val cur = snapshot(spark, warehouse)
+    val old = snapshot(spark, warehouse, toVersion)
+    require(old.version == toVersion,
+      s"txlog: version $toVersion does not exist (log is at ${cur.version})")
+    val missing = (old.files(table).map(_._1) ++ old.dvsOf(table)).collect {
+      case rel if !f.exists(new Path(new Path(warehouse, table), rel)) =>
+        s"$table/$rel"
+    }
+    require(missing.isEmpty,
+      s"txlog: cannot restore '$table' to $toVersion — vacuum already " +
+        s"reclaimed: ${missing.mkString(", ")}")
+    val oldSet = old.files(table).toMap
+    val curSet = cur.files(table).map(_._1).toSet
+    val adds = oldSet.collect { case (r, g) if !curSet.contains(r) =>
+      Add(table, r, g, old.statsOf(table, r), old.bloomsOf(table, r)) }.toSeq
+    val removes = curSet.collect { case r if !oldSet.contains(r) =>
+      Remove(table, r) }.toSeq
+    val dvChanged = cur.dvEntriesOf(table) != old.dvEntriesOf(table)
+    val v = commit(spark, warehouse, adds, removes,
+      dvAdds = if (dvChanged)
+        old.dvEntriesOf(table).map { case (rel, pred) => (table, rel, pred) }
+      else Nil,
+      dvClears = if (dvChanged) Seq(table) else Nil)
+    spark.catalog.refreshByPath(s"$warehouse/$table")
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
     v
   }
@@ -2507,6 +2684,9 @@ object TxLog {
       body ++= s"partspec\t$t\t${esc(cols.mkString(","))}\n" }
     snap.retired.toSeq.sortBy(_._1).foreach { case (t, phys) =>
       phys.toSeq.sorted.foreach(p => body ++= s"retire\t$t\t${esc(p)}\n") }
+    snap.checks.toSeq.sortBy(_._1).foreach { case (t, cs) =>
+      cs.toSeq.sortBy(_._1).foreach { case (nm, pred) =>
+        body ++= s"constraint\t$t\t${esc(nm)}\t${esc(pred)}\n" } }
     snap.dvs.toSeq.sortBy(_._1).foreach { case (t, entries) =>
       entries.foreach { case (rel, pred) =>
         body ++= s"dv\t$t\t${esc(rel)}\t${esc(pred)}\n" } }

@@ -1557,6 +1557,66 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.readChanges(spark, wh, "t", fromVersion = horizon).isEmpty)
   }
 
+  test("CHECK constraints: staged writes enforce, existing violations reject the add, columns lock while referenced") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val wh = freshWh()
+    val t0 = Seq((1L, "alpha", 10L), (2L, "beta", 20L)).toDF("id", "body", "score")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    // adding a constraint the EXISTING data violates is rejected
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, wh, "t", "big", col("score") > 15L) }
+    TxLog.addConstraint(spark, wh, "t", "positive", col("score") > 0L)
+    TxLog.addConstraint(spark, wh, "t", "named", length(col("body")) >= 2)
+    assert(TxLog.constraints(spark, wh, "t").keySet == Set("positive", "named"))
+    // a violating write fails BEFORE anything lands; the table is untouched
+    intercept[IllegalArgumentException] {
+      TxLog.commit(spark, wh, TxLog.stageWrite(
+        Seq((3L, "x", -5L)).toDF("id", "body", "score"), wh, "t", Nil, 2))
+    }
+    assert(TxLog.read(spark, wh, "t").count() == 2)
+    // NULL passes (SQL-standard CHECK); a passing write lands
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((Some(3L), Some("ok"), Option.empty[Long]))
+        .toDF("id", "body", "score"), wh, "t", Nil, 2))
+    assert(TxLog.read(spark, wh, "t").count() == 3)
+    // merge enforcement rides the same staged write
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, wh, "t",
+        Seq((2L, "B", -1L)).toDF("id", "body", "score"), Seq("id"))
+    }
+    // constrained columns cannot rename/drop until the constraint goes
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, wh, "t", "score", "points") }
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, wh, "t", "score") }
+    TxLog.dropConstraint(spark, wh, "t", "positive")
+    TxLog.renameColumn(spark, wh, "t", "score", "points")
+    // checkpoint folds constraint state
+    TxLog.checkpoint(spark, wh)
+    assert(TxLog.constraints(spark, wh, "t") ==
+      Map("named" -> "(length(body) >= 2)"))
+    // a Scala-closure predicate is rejected up front (not replayable)
+    val udf = org.apache.spark.sql.functions.udf((s: String) => s.nonEmpty)
+    intercept[Exception] {
+      TxLog.addConstraint(spark, wh, "t", "closure", udf(col("body"))) }
+  }
+
+  test("restoreTable: one table rolls back; other tables' state is untouched") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(1L -> "a"), 1), wh, "t", Nil, 1))
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(9L -> "z"), 1), wh, "u", Nil, 1))
+    val vPin = TxLog.snapshot(spark, wh).version
+    TxLog.deleteWhere(spark, wh, "t", col("id") === 1L)
+    TxLog.commit(spark, wh, TxLog.stageWrite(kv(Seq(8L -> "y"), 2), wh, "u", Nil, 2))
+    // roll ONLY t back: its deleted row returns; u keeps BOTH its rows
+    TxLog.restoreTable(spark, wh, "t", vPin)
+    assert(TxLog.read(spark, wh, "t").select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(TxLog.read(spark, wh, "u").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(8L, 9L))
+  }
+
   test("DESCRIBE HISTORY: one row per commit with inferred operations; expiry folds to a checkpoint row") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
