@@ -2212,6 +2212,8 @@ object TxLog {
           case Array("dvclear", t) => kinds += "dvclear"; tables += t
           case Array("schema", t, _) => kinds += "schema"; tables += t
           case Array("retire", t, _) => kinds += "retire"; tables += t
+          case Array("constraint", t, _, _) => kinds += "constraint"; tables += t
+          case Array("dropconstraint", t, _) => kinds += "dropconstraint"; tables += t
           case Array("partspec", t, _*) => kinds += "partspec"; tables += t
           case Array("tag", _, _) => kinds += "tag"
           case _ => ()
@@ -2220,6 +2222,8 @@ object TxLog {
       val op =
         if (kinds.contains("merge")) "MERGE"
         else if (kinds.contains("retire")) "DROP COLUMN"
+        else if (kinds.contains("constraint")) "ADD CONSTRAINT"
+        else if (kinds.contains("dropconstraint")) "DROP CONSTRAINT"
         else if (kinds.contains("schema") && adds + removes == 0) "SET SCHEMA"
         else if (kinds.contains("delete") || kinds.contains("dv")) "DELETE"
         else if (kinds.contains("dvclear") || kinds.contains("rewrite"))
