@@ -2240,6 +2240,31 @@ object TxLog {
         "added_files", "removed_files", "dv_masks")
   }
 
+  /** DESCRIBE DETAIL (the published Delta surface): one row per live
+    * table — file count, total bytes (from the live files' statuses),
+    * partition spec, schema presence, DV mask count, constraint count,
+    * and the snapshot version. Metadata-sized: one status probe per
+    * live file, no data read. */
+  def detail(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, warehouse)
+    val snap = snapshot(spark, warehouse)
+    snap.live.keys.toSeq.sorted.map { table =>
+      val rels = snap.files(table).map(_._1)
+      val bytes = rels.map { r =>
+        try f.getFileStatus(new Path(new Path(warehouse, table), r)).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }.sum
+      (table, snap.version, rels.size.toLong, bytes,
+        snap.partitionSpecOf(table).getOrElse(layoutShape(
+          rels.headOption.getOrElse(""))),
+        snap.schemaOf(table).isDefined,
+        snap.dvsOf(table).size.toLong,
+        snap.checksOf(table).size.toLong)
+    }.toDF("table", "version", "num_files", "size_bytes",
+      "partition_columns", "has_schema", "dv_masks", "constraints")
+  }
+
   /** The log's newest version — ONE directory listing, no log replay.
     * The per-trigger poll of the streaming source ([[graft.streaming
     * .TxLogSource]]) and any cheap "did anything change" probe. */
@@ -2736,7 +2761,11 @@ object TxLog {
     * pre-compaction snapshot — 0 is safe only when nothing is querying
     * (the offline-compaction contract).
     */
-  def vacuum(spark: SparkSession, warehouse: String, retentionMs: Long): Long = {
+  def vacuum(spark: SparkSession, warehouse: String, retentionMs: Long,
+      /** Count what WOULD be reclaimed without deleting anything (the
+        * Delta `VACUUM ... DRY RUN` shape) — run before a first
+        * aggressive retention change. */
+      dryRun: Boolean = false): Long = {
     val f = fs(spark, warehouse)
     val snap = snapshot(spark, warehouse)
     val cutoff = System.currentTimeMillis() - retentionMs
@@ -2744,7 +2773,10 @@ object TxLog {
     // staging leftovers
     val stagingRoot = new Path(warehouse, ".staging")
     if (f.exists(stagingRoot)) f.listStatus(stagingRoot).foreach { st =>
-      if (st.getModificationTime < cutoff) { f.delete(st.getPath, true); deleted += 1 }
+      if (st.getModificationTime < cutoff) {
+        if (!dryRun) f.delete(st.getPath, true)
+        deleted += 1
+      }
     }
     // merge matched-keys sidecars referenced by UN-EXPIRED merge commits
     // are feed metadata, not data files: readChanges replays a
@@ -2789,7 +2821,8 @@ object TxLog {
         else {
           val rel = st.getPath.getName
           if (eligible(table, rel, rel, st.getModificationTime)) {
-            f.delete(st.getPath, false); deleted += 1
+            if (!dryRun) f.delete(st.getPath, false)
+            deleted += 1
           }
         }
       }
@@ -2802,6 +2835,7 @@ object TxLog {
       val perTableB = spark.sparkContext.broadcast(perTable)
       val tablePathsB = spark.sparkContext.broadcast(tablePaths)
       val cutoffB = cutoff
+      val dryRunB = dryRun
       try {
         deleted += spark.sparkContext
           .parallelize(subtrees.toSeq, math.min(subtrees.size, 64))
@@ -2821,7 +2855,8 @@ object TxLog {
                     !liveSet.contains(rel) &&
                     !dvLive.exists(rel.startsWith) &&
                     st.getModificationTime < cutoffB) {
-                    fsx.delete(st.getPath, false); n += 1
+                    if (!dryRunB) fsx.delete(st.getPath, false)
+                    n += 1
                   }
                 }
               }

@@ -1602,6 +1602,27 @@ class TxLogSpec extends AnyFunSuite {
       TxLog.addConstraint(spark, wh, "t", "closure", udf(col("body"))) }
   }
 
+  test("DESCRIBE DETAIL + VACUUM DRY RUN: metadata-only inventory; dry run counts without deleting") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("id", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    TxLog.addConstraint(spark, wh, "t", "pos", col("id") > 0L)
+    val d = TxLog.detail(spark, wh).collect().head
+    assert(d.getAs[String]("table") == "t")
+    assert(d.getAs[Long]("num_files") >= 1 && d.getAs[Long]("size_bytes") > 0)
+    assert(d.getAs[Boolean]("has_schema") && d.getAs[Long]("constraints") == 1L)
+    // compaction orphans the old file; dry run counts it, deletes nothing
+    TxLog.compact(spark, wh, "t", Nil)
+    val would = TxLog.vacuum(spark, wh, retentionMs = 0L, dryRun = true)
+    assert(would >= 1)
+    assert(TxLog.read(spark, wh, "t", atVersion = 1L).count() == 2) // history intact
+    val did = TxLog.vacuum(spark, wh, retentionMs = 0L)
+    assert(did == would)
+    intercept[Exception] { TxLog.read(spark, wh, "t", atVersion = 1L).count() }
+  }
+
   test("restoreTable: one table rolls back; other tables' state is untouched") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
