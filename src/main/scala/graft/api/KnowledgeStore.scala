@@ -415,7 +415,8 @@ final class KnowledgeStore(
         val staged = Seq("chunks", "vectors", "ledger")
           .flatMap(t => T.stageDeleteDV(spark, warehouse, t, pred))
         if (staged.nonEmpty) {
-          T.commit(spark, warehouse, Nil, Nil, dvAdds = staged.map(_._1))
+          T.commit(spark, warehouse, Nil, Nil, dvAdds = staged.map(_.dvAdd),
+            readVersion = Some(staged.map(_.readVersion).min))
           spark.catalog.refreshByPath(s"$warehouse/chunks")
           org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
         }
@@ -429,7 +430,8 @@ final class KnowledgeStore(
         if (staged.nonEmpty) {
           T.commit(spark, warehouse,
             staged.flatMap(_._2.adds), staged.flatMap(_._2.removes),
-            deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap)
+            deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap,
+            readVersion = Some(staged.map(_._2.readVersion).min).filter(_ >= 0))
           spark.catalog.refreshByPath(s"$warehouse/chunks")
           org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
         }

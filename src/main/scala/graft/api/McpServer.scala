@@ -80,6 +80,21 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
       val method = Option(body.get("method")).map(_.asText()).getOrElse("")
       val params = Option(body.get("params")).getOrElse(mapper.createObjectNode())
       val authed = apiKey.forall(bearerMatches(ex, _))
+      // MCP streamable-HTTP session contract: a server that issues
+      // Mcp-Session-Id on initialize MUST see it back on every later
+      // request — 400 when absent, 404 when unknown/evicted (the spec's
+      // signal for the client to re-initialize). Auth is checked FIRST
+      // (401 outranks session state; a session id is not a credential).
+      if (method != "initialize") {
+        if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }
+        val sid = Option(ex.getRequestHeaders.getFirst("Mcp-Session-Id"))
+        sid match {
+          case None => httpErr(ex, 400, "missing Mcp-Session-Id"); return
+          case Some(s) if !sessions.containsKey(s) =>
+            httpErr(ex, 404, "unknown session; re-initialize"); return
+          case _ => ()
+        }
+      }
       method match {
         case "initialize" =>
           if (!authed && !allowAnonymousDiscovery) { httpErr(ex, 401, "unauthorized"); return }

@@ -275,7 +275,18 @@ object TxLog {
         * removals — [[addConstraint]]/[[dropConstraint]] are the public
         * surface (they validate the predicate and existing data). */
       constraints: Map[String, Map[String, String]] = Map.empty,
-      dropConstraints: Map[String, Seq[String]] = Map.empty): Long =
+      dropConstraints: Map[String, Seq[String]] = Map.empty,
+      /** The snapshot version this commit's actions were DERIVED from —
+        * the Delta conflict-check anchor. Remove/DV-bearing commits
+        * (delete/update/merge/compact/restore) MUST pass it: their
+        * staged survivors embody a read of the table, and a commit that
+        * landed after that read (during the possibly minutes-long
+        * survivor staging) may have rewritten the same rows — committing
+        * anyway would resurrect them (lost update). Checked from
+        * readVersion+1 BEFORE the claim, regardless of claim collision;
+        * any overlap on a touched table throws [[TxConflictException]].
+        * Blind appends may omit it (they commute, Delta's own rule). */
+      readVersion: Option[Long] = None): Long =
     lockFor(warehouse).synchronized {
     val f = fs(spark, warehouse)
     val dir = logPath(warehouse)
@@ -437,6 +448,39 @@ object TxLog {
           case _ => None
         })
       }.find(t => t.startsWith("tag:") || touchedTables.contains(t))
+    // SNAPSHOT-ISOLATION check (Delta checks conflicts from the txn's
+    // READ version, not the claim version): a remove/DV-bearing commit
+    // whose snapshot has been overtaken — even by a commit that landed
+    // cleanly BEFORE our first claim attempt, e.g. during a minutes-long
+    // survivor staging — must not publish survivors derived from stale
+    // state (lost update). Only row-state/metadata-changing interleaved
+    // actions conflict; pure appends commute (the documented
+    // write-serializable contract — appended rows are outside this
+    // commit's read set, Delta's own append rule).
+    if (removes.nonEmpty || dvAdds.nonEmpty || dvClears.nonEmpty)
+      readVersion.foreach { rv =>
+        val stale = listVersions(f, warehouse).filter(_ > rv).iterator.flatMap { v =>
+          readCommitText(f, warehouse, v).linesIterator.flatMap(_.split('\t') match {
+            case Array("remove", t, _) => Some(t)
+            case Array("delete", t, _) => Some(t)
+            case Array("merge", t, _, _) => Some(t)
+            case Array("dv", t, _, _) => Some(t)
+            case Array("dvclear", t) => Some(t)
+            case Array("schema", t, _) => Some(t)
+            case Array("retire", t, _) => Some(t)
+            case Array("constraint", t, _, _) => Some(t)
+            case Array("dropconstraint", t, _) => Some(t)
+            case Array("partspec", t, _) => Some(t)
+            case _ => None // add/stat/bloom/tag: appends commute
+          })
+        }.find(touchedTables.contains)
+        stale.foreach { what =>
+          throw new TxConflictException(
+            s"txlog: state read at snapshot version $rv is stale — a " +
+              s"concurrent commit rewrote '$what' (warehouse $warehouse); " +
+              "recompute the snapshot and retry")
+        }
+      }
     var version = nextVersion()
     var attempts = 0
     while (!store.putIfAbsent(f, dir, commitFile(warehouse, version),
@@ -842,12 +886,19 @@ object TxLog {
             case _ => ()
           }
         }
-        // the insert batch common to delete/dv/plain commits
+        // the insert batch common to delete/dv/plain commits — read
+        // through readFileSet with the snapshot AS OF v so the logged
+        // schema applies (physical→logical column-mapping rename, layout
+        // grouping): after renameColumn the files store the old PHYSICAL
+        // name, and a raw parquet read would surface it, null-filling the
+        // logical column in every downstream unionByName/pinned-schema
+        // select (CDF/streaming/IncrementalView corruption). DVs at v
+        // cannot cover files first added at v, so the mask pass is a
+        // no-op here, never a row loss.
         def inserts: Option[(Long, () => DataFrame, String)] =
           if (newAdds.isEmpty) None
-          else Some((v, () => spark.read
-            .option("basePath", s"$warehouse/$table")
-            .parquet(newAdds.toSeq.map(rel => s"$warehouse/$table/$rel"): _*),
+          else Some((v, () => readFileSet(spark, warehouse, table,
+            snapshot(spark, warehouse, atVersion = v), newAdds.toSeq),
             "insert"))
         mergeKeys match {
           // KEYED UPSERT (merge): pre-images are the matched target rows
@@ -981,22 +1032,37 @@ object TxLog {
     // standard: only an explicitly-FALSE predicate violates.
     if (tableChecks.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
-      val staged0 =
-        try Some(spark.read.option("basePath", stagingRoot.toString)
-          .parquet(stagingRoot.toString))
-        catch { case _: org.apache.spark.sql.AnalysisException => None } // empty write
-      staged0.foreach { s0 =>
-        val staged = mapped.fold(s0)(st => toLogical(s0, st))
-        tableChecks.toSeq.sortBy(_._1).foreach { case (nm, sql) =>
-          val bad = staged.filter(coalesce(expr(sql), lit(true)) === false)
-            .limit(1).collect()
-          if (bad.nonEmpty) {
-            f.delete(stagingRoot, true)
-            throw new IllegalArgumentException(
-              s"txlog: write to '$table' violates CHECK constraint " +
-                s"'$nm' ($sql); example row: ${bad.head}")
+      // the staged re-read applies the LOGGED physical schema (like
+      // readFileSet) — otherwise partition-column types re-infer (a
+      // numeric-looking string partition value becomes int) and a
+      // constraint on that column mis-evaluates or fails analysis; and
+      // ANY failure in here — analysis error included, not just a
+      // violation — must reclaim the staging dir, never leak it.
+      try {
+        val loggedSchema = snapResolved.flatMap(_.schemaOf(table))
+        val reader = loggedSchema match {
+          case Some(st) => spark.read.schema(physicalSchema(st))
+          case None => spark.read
+        }
+        val staged0 =
+          try Some(reader.option("basePath", stagingRoot.toString)
+            .parquet(stagingRoot.toString))
+          catch { case _: org.apache.spark.sql.AnalysisException => None } // empty write
+        staged0.foreach { s0 =>
+          val staged = loggedSchema.filter(hasMapping).fold(s0)(st => toLogical(s0, st))
+          tableChecks.toSeq.sortBy(_._1).foreach { case (nm, sql) =>
+            val bad = staged.filter(coalesce(expr(sql), lit(true)) === false)
+              .limit(1).collect()
+            if (bad.nonEmpty)
+              throw new IllegalArgumentException(
+                s"txlog: write to '$table' violates CHECK constraint " +
+                  s"'$nm' ($sql); example row: ${bad.head}")
           }
         }
+      } catch {
+        case e: Throwable =>
+          try f.delete(stagingRoot, true) catch { case _: Exception => () }
+          throw e
       }
     }
     // move every parquet part into the flat table dir, keeping the
@@ -1324,7 +1390,12 @@ object TxLog {
     * one commit — the transactional UPSERT shape (delete the old rows +
     * add the new batch, atomically; `KnowledgeStore.appendDocs`). */
   final case class StagedDelete(adds: Seq[Add], removes: Seq[Remove],
-      predSql: String, deletedRows: Long)
+      predSql: String, deletedRows: Long,
+      /** Snapshot version the owner set was derived from — pass (the
+        * minimum across a bundled commit's stages) as `commit(...,
+        * readVersion)` so the stale-snapshot conflict check anchors at
+        * the READ, not the claim. -1 = unknown (legacy callers). */
+      readVersion: Long = -1L)
 
   /** ROW-LEVEL DELETE (the reference's `ExecuteDeleteAsync` / bulk_delete,
     * ref `IngestionPipeline.cs:211-218`, `McpTools.cs:375`; the published
@@ -1374,7 +1445,8 @@ object TxLog {
     stageDelete(spark, warehouse, table, predicate, partitionBy,
         statsCols, bloomCols).map { sd =>
       val v = commit(spark, warehouse, sd.adds, sd.removes,
-        deletes = Map(table -> sd.predSql))
+        deletes = Map(table -> sd.predSql),
+        readVersion = Some(sd.readVersion).filter(_ >= 0))
       spark.catalog.refreshByPath(s"$warehouse/$table")
       org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
       DeleteResult(v, sd.removes.size, sd.adds.size, sd.deletedRows)
@@ -1477,7 +1549,7 @@ object TxLog {
           .map(_.copy(rewrite = true)) // survivors carry no logically-new rows
         StagedDelete(adds,
           ownerFiles.map { case (rel, _) => Remove(table, rel) },
-          predSql, owners.values.sum)
+          predSql, owners.values.sum, readVersion = snap.version)
     }
   }
 
@@ -1497,23 +1569,28 @@ object TxLog {
     */
   def deleteWhereDV(spark: SparkSession, warehouse: String, table: String,
       predicate: org.apache.spark.sql.Column): Option[DeleteResult] =
-    stageDeleteDV(spark, warehouse, table, predicate).map {
-      case (dvAdd, deletedRows) =>
-        val v = commit(spark, warehouse, Nil, Nil, dvAdds = Seq(dvAdd))
-        spark.catalog.refreshByPath(s"$warehouse/$table")
-        org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
-        DeleteResult(v, 0, 0, deletedRows)
+    stageDeleteDV(spark, warehouse, table, predicate).map { sdv =>
+      val v = commit(spark, warehouse, Nil, Nil, dvAdds = Seq(sdv.dvAdd),
+        readVersion = Some(sdv.readVersion))
+      spark.catalog.refreshByPath(s"$warehouse/$table")
+      org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+      DeleteResult(v, 0, 0, sdv.deletedRows)
     }
+
+  /** A staged-but-uncommitted merge-on-read delete: the `dvAdds` action
+    * tuple, the matched-row count, and the snapshot version the mask was
+    * derived from (the conflict-check anchor, like [[StagedDelete]]). */
+  final case class StagedDV(dvAdd: (String, String, String),
+      deletedRows: Long, readVersion: Long)
 
   /** The staging core of [[deleteWhereDV]]: write the mask, return the
     * `dvAdds` action tuple WITHOUT committing — so a transactional
     * caller bundles several tables' mask deletes into ONE commit (the
     * multi-table bulk-delete shape). The mask dir is unreferenced
-    * (vacuumable) if never committed. Returns ((table, dvRel, predSql),
-    * deletedRows), or None when nothing matches. */
+    * (vacuumable) if never committed. Returns None when nothing
+    * matches. */
   def stageDeleteDV(spark: SparkSession, warehouse: String, table: String,
-      predicate: org.apache.spark.sql.Column)
-      : Option[((String, String, String), Long)] = {
+      predicate: org.apache.spark.sql.Column): Option[StagedDV] = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     val snap = snapshot(spark, warehouse)
     planDelete(spark, warehouse, table, snap, predicate).map {
@@ -1532,7 +1609,7 @@ object TxLog {
           }.reduce(_.unionByName(_))
         val dvRel = s".dv/${java.util.UUID.randomUUID()}"
         writeSidecar(masks, s"$base/$dvRel", owners.values.sum)
-        ((table, dvRel, predSql), owners.values.sum)
+        StagedDV((table, dvRel, predSql), owners.values.sum, snap.version)
     }
   }
 
@@ -1612,7 +1689,8 @@ object TxLog {
           snapshotHint = Some(snap))
         val v = commit(spark, warehouse, survivorAdds ++ postAdds,
           ownerFiles.map { case (rel, _) => Remove(table, rel) },
-          deletes = Map(table -> predSql))
+          deletes = Map(table -> predSql),
+          readVersion = Some(snap.version))
         spark.catalog.refreshByPath(s"$warehouse/$table")
         org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
         UpdateResult(v, owners.values.sum,
@@ -1857,7 +1935,8 @@ object TxLog {
           merges: Map[String, (String, Seq[String])],
           matched: Long, written: Long): MergeResult = {
         val v = commit(spark, warehouse, adds, removes,
-          tags = txnTags, dvAdds = dvAdds, merges = merges)
+          tags = txnTags, dvAdds = dvAdds, merges = merges,
+          readVersion = Some(snap.version))
         spark.catalog.refreshByPath(base)
         org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
         MergeResult(v, matched, written,
@@ -2493,6 +2572,56 @@ object TxLog {
       table: String): Map[String, String] =
     snapshot(spark, warehouse).checksOf(table)
 
+  /** The restore-time CHECK gate: tables whose file or DV state a
+    * restore rewinds get their RESTORED view validated against the
+    * CURRENT constraint declarations before any version is claimed —
+    * write-time enforcement must not be bypassable by re-registering
+    * pre-constraint files (or by a DV rollback resurrecting deleted
+    * rows). The view reads the OLD file/DV state under the CURRENT
+    * schema — exactly what post-restore readers will see, since schema
+    * does not roll back. Cost: one column-pruned `filter ... limit 1`
+    * scan per (affected table × constraint); restore is an admin op. */
+  private def validateRestoredChecks(spark: SparkSession, warehouse: String,
+      cur: Snapshot, old: Snapshot, tables: Iterable[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    tables.toSeq.sorted.foreach { t =>
+      val checks = cur.checksOf(t)
+      if (checks.nonEmpty && old.files(t).nonEmpty) {
+        val restoredView = cur.copy(
+          live = cur.live + (t -> old.files(t)),
+          dvs = cur.dvs - t ++ (if (old.dvEntriesOf(t).nonEmpty)
+            Map(t -> old.dvEntriesOf(t)) else Map.empty))
+        val df = readFileSet(spark, warehouse, t, restoredView,
+          old.files(t).map(_._1))
+        checks.toSeq.sortBy(_._1).foreach { case (nm, sql) =>
+          val bad = df.filter(coalesce(expr(sql), lit(true)) === false)
+            .limit(1).collect()
+          if (bad.nonEmpty)
+            throw new IllegalArgumentException(
+              s"txlog: restore would re-register data in '$t' violating " +
+                s"CHECK constraint '$nm' ($sql); example row: ${bad.head}. " +
+                "Drop the constraint first if the rollback is intended.")
+        }
+      }
+    }
+  }
+
+  /** Partition-spec rollback set for a restore: tables whose CURRENT
+    * resolved spec differs from the target version's. When the old
+    * snapshot never logged an explicit spec, the de-facto layout of its
+    * file set (directory shape) is what writers must stage under after
+    * the restore — an explicit-spec-to-none rewind pins that shape. */
+  private def restoredPartSpecs(cur: Snapshot, old: Snapshot,
+      tables: Iterable[String]): Map[String, Seq[String]] =
+    tables.toSeq.sorted.flatMap { t =>
+      val oldSpec = old.partitionSpecOf(t).getOrElse(
+        old.files(t).map(_._1).flatMap(layoutShape).distinct)
+      val curSpec = cur.partitionSpecOf(t).getOrElse(
+        cur.files(t).map(_._1).flatMap(layoutShape).distinct)
+      if (cur.partSpecs.contains(t) && oldSpec != curSpec) Some(t -> oldSpec)
+      else None
+    }.toMap
+
   /** RESTORE (the published Delta `RESTORE TABLE ... TO VERSION` shape):
     * roll the whole warehouse's live file set back to what `toVersion`
     * saw, AS A NEW COMMIT — history is never rewritten, so the botched
@@ -2504,6 +2633,13 @@ object TxLog {
     * NOT rolled back: evolution is additive-only, so the old files read
     * fine under the latest schema (new columns null-fill), and rolling
     * schema back would be a drop the evolution guard exists to prevent.
+    * CHECK constraints do NOT roll back either (they are current
+    * declarations about the table, like the schema) — instead the
+    * RESTORED data is VALIDATED against them before a version is
+    * claimed, so write-time enforcement cannot be silently bypassed by
+    * re-registering pre-constraint files. PARTITION SPECS roll back
+    * with the file set (the spec describes the layout writers stage
+    * under; after a restore that layout is the old one).
     */
   def restore(spark: SparkSession, warehouse: String, toVersion: Long): Long = {
     val f = fs(spark, warehouse)
@@ -2535,10 +2671,14 @@ object TxLog {
     // the target version's (the log retains each mask's dir + predicate)
     val dvTables = (cur.dvs.keySet ++ old.dvs.keySet)
       .filter(t => cur.dvEntriesOf(t) != old.dvEntriesOf(t))
+    val touched = adds.map(_.table).toSet ++ removes.map(_.table) ++ dvTables
+    validateRestoredChecks(spark, warehouse, cur, old, touched)
     val v = commit(spark, warehouse, adds, removes,
       dvAdds = dvTables.toSeq.sorted.flatMap(t =>
         old.dvEntriesOf(t).map { case (rel, pred) => (t, rel, pred) }),
-      dvClears = dvTables.toSeq.sorted)
+      dvClears = dvTables.toSeq.sorted,
+      partitionSpecs = restoredPartSpecs(cur, old, old.live.keySet ++ cur.live.keySet),
+      readVersion = Some(cur.version))
     old.live.keys.foreach(t => spark.catalog.refreshByPath(s"$warehouse/$t"))
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
     v
@@ -2547,9 +2687,11 @@ object TxLog {
   /** RESTORE ONE TABLE to `toVersion` (Delta's actual `RESTORE TABLE`
     * granularity — [[restore]] is the whole-warehouse form): same
     * new-commit mechanics, scoped so OTHER tables' live state — and a
-    * concurrent writer landing on them — is untouched. DV state for the
-    * table rolls back with its file set. Fails before claiming a
-    * version if vacuum already reclaimed a needed file. */
+    * concurrent writer landing on them — is untouched. DV state and the
+    * partition spec roll back with the file set; the restored view is
+    * validated against CURRENT CHECK constraints first (see [[restore]]).
+    * Fails before claiming a version if vacuum already reclaimed a
+    * needed file. */
   def restoreTable(spark: SparkSession, warehouse: String, table: String,
       toVersion: Long): Long = {
     val f = fs(spark, warehouse)
@@ -2571,11 +2713,15 @@ object TxLog {
     val removes = curSet.collect { case r if !oldSet.contains(r) =>
       Remove(table, r) }.toSeq
     val dvChanged = cur.dvEntriesOf(table) != old.dvEntriesOf(table)
+    if (adds.nonEmpty || removes.nonEmpty || dvChanged)
+      validateRestoredChecks(spark, warehouse, cur, old, Seq(table))
     val v = commit(spark, warehouse, adds, removes,
       dvAdds = if (dvChanged)
         old.dvEntriesOf(table).map { case (rel, pred) => (table, rel, pred) }
       else Nil,
-      dvClears = if (dvChanged) Seq(table) else Nil)
+      dvClears = if (dvChanged) Seq(table) else Nil,
+      partitionSpecs = restoredPartSpecs(cur, old, Seq(table)),
+      readVersion = Some(cur.version))
     spark.catalog.refreshByPath(s"$warehouse/$table")
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
     v
@@ -2622,7 +2768,8 @@ object TxLog {
     // pay no anti-join and vacuum reclaims the mask dirs
     val v = commit(spark, warehouse, adds,
       old.map { case (rel, _) => Remove(table, rel) },
-      dvClears = if (snap.dvsOf(table).nonEmpty) Seq(table) else Nil)
+      dvClears = if (snap.dvsOf(table).nonEmpty) Seq(table) else Nil,
+      readVersion = Some(snap.version))
     spark.catalog.refreshByPath(s"$warehouse/$table")
     org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
     v

@@ -26,8 +26,19 @@ class McpServerSpec extends AnyFunSuite {
   private lazy val client = java.net.http.HttpClient.newHttpClient()
 
   private var rpcId = 0
+  /** One session against the shared `base` server, established by a real
+    * initialize — the server now ENFORCES the MCP session contract
+    * (400 missing / 404 unknown after initialize), so every post-init
+    * request must carry it. */
+  private lazy val baseSession: Option[String] =
+    initSession(base)
+  private def initSession(url: String, bearer: Option[String] = None): Option[String] =
+    rpc(url, "initialize",
+      """{"protocolVersion": "2025-06-18", "capabilities": {},
+          "clientInfo": {"name": "spec", "version": "1.0"}}""",
+      bearer = bearer, session = Some("-"))._3
   private def rpc(url: String, method: String, params: String = "{}",
-      bearer: Option[String] = None, session: Option[String] = None)
+      bearer: Option[String] = None, session: Option[String] = null)
       : (Int, JsonNode, Option[String]) = {
     rpcId += 1
     val idField = if (method.startsWith("notifications/")) ""
@@ -37,7 +48,10 @@ class McpServerSpec extends AnyFunSuite {
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
     bearer.foreach(t => b = b.header("Authorization", s"Bearer $t"))
-    session.foreach(sid => b = b.header("Mcp-Session-Id", sid))
+    // null = "default to the shared base session"; Some(sid) = explicit;
+    // None = deliberately send NO session header (the 400 probe)
+    val sess = if (session == null) baseSession else session
+    sess.filter(_ != "-").foreach(sid => b = b.header("Mcp-Session-Id", sid))
     val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     val json = if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
       else mapper.readTree(resp.body())
@@ -47,9 +61,10 @@ class McpServerSpec extends AnyFunSuite {
 
   /** tools/call helper: returns (isError, concatenated text). */
   private def call(url: String, tool: String, args: String,
-      bearer: Option[String] = None): (Boolean, String) = {
+      bearer: Option[String] = None,
+      session: Option[String] = null): (Boolean, String) = {
     val (st, j, _) = rpc(url, "tools/call",
-      s"""{"name": "$tool", "arguments": $args}""", bearer)
+      s"""{"name": "$tool", "arguments": $args}""", bearer, session)
     assert(st == 200, s"tools/call $tool HTTP $st: $j")
     val r = j.get("result")
     assert(r != null, s"no result in $j")
@@ -196,15 +211,30 @@ class McpServerSpec extends AnyFunSuite {
       allowAnonymousDiscovery = true)
     val anonUrl = s"http://127.0.0.1:${anon.start()}"
     try {
-      assert(rpc(anonUrl, "initialize")._1 == 200)
-      val (lSt, lJ, _) = rpc(anonUrl, "tools/list")
+      val anonSid = initSession(anonUrl)
+      assert(anonSid.nonEmpty)
+      val (lSt, lJ, _) = rpc(anonUrl, "tools/list", session = anonSid)
       assert(lSt == 200 && lJ.get("result").get("tools").size == 11)
-      val (isErr, txt) = call(anonUrl, "container_list", "{}")
+      val (isErr, txt) = call(anonUrl, "container_list", "{}", session = anonSid)
       assert(isErr && txt.contains("Authentication required"), txt)
       // the authenticated agent succeeds
-      val (okErr, okTxt) = call(anonUrl, "container_list", "{}", bearer = Some("sekret"))
+      val (okErr, okTxt) = call(anonUrl, "container_list", "{}",
+        bearer = Some("sekret"), session = anonSid)
       assert(!okErr, okTxt)
     } finally anon.stop()
+  }
+
+  test("session contract: post-initialize requests need a valid Mcp-Session-Id (400 missing / 404 unknown)") {
+    // no header at all -> 400 (the spec's SHOULD-respond-400 rule)
+    assert(rpc(base, "tools/list", session = None)._1 == 400)
+    assert(rpc(base, "ping", session = None)._1 == 400)
+    // a session id the server never issued (or evicted) -> 404, the
+    // signal for the client to re-initialize
+    assert(rpc(base, "tools/list", session = Some("not-a-session"))._1 == 404)
+    // re-initializing always works without a session and issues a fresh one
+    val fresh = initSession(base)
+    assert(fresh.nonEmpty && fresh != baseSession)
+    assert(rpc(base, "tools/list", session = fresh)._1 == 200)
   }
 
   test("protocol edges: malformed JSON -> -32700; GET -> 405") {

@@ -854,12 +854,13 @@ class TxLogSpec extends AnyFunSuite {
       (0L until 10L).map(i => (i, 1L)).toDF("id", "generation").coalesce(1),
       wh, "t", Nil, 1))
     // the stageDeleteDV transactional shape: mask + new batch, ONE commit
-    val (dvAdd, n) = TxLog.stageDeleteDV(spark, wh, "t", col("id") < 3L).get
-    assert(n == 3)
+    val sdv = TxLog.stageDeleteDV(spark, wh, "t", col("id") < 3L).get
+    assert(sdv.deletedRows == 3)
     val adds = TxLog.stageWrite(
       (100L until 105L).map(i => (i, 2L)).toDF("id", "generation").coalesce(1),
       wh, "t", Nil, 2)
-    val v = TxLog.commit(spark, wh, adds, Nil, dvAdds = Seq(dvAdd))
+    val v = TxLog.commit(spark, wh, adds, Nil, dvAdds = Seq(sdv.dvAdd),
+      readVersion = Some(sdv.readVersion))
     assert(TxLog.read(spark, wh, "t").count() == 12) // 10 - 3 + 5
     val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v - 1)
     assert(feed.filter(col("_change_type") === "delete")
@@ -1951,5 +1952,105 @@ class TxLogSpec extends AnyFunSuite {
       notMatchedBySourceDelete = Some(lit(false)))
     assert(TxLog.snapshot(spark, wh).version == vBefore + 1)
     assert(TxLog.read(spark, wh, "t").count() == 3)
+  }
+
+  test("change feed after renameColumn: insert batches surface the LOGICAL column, never null-filled") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("id", "body")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    TxLog.renameColumn(spark, wh, "t", "body", "text")
+    // appends after the rename store the old PHYSICAL name in the files;
+    // the feed must still project physical -> logical (the readFileSet
+    // path), or every post-rename insert null-fills `text` downstream
+    val v = TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((3L, "c"), (4L, "d")).toDF("id", "text"), wh, "t", Nil, 2))
+    val feed = TxLog.readChanges(spark, wh, "t", fromVersion = v - 1)
+    assert(feed.columns.contains("text") && !feed.columns.contains("body"))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("text").as[String].collect().sorted.toSeq == Seq("c", "d"))
+    // a DV delete's insert companion (upsert shape) goes through the same
+    // projection: mask old rows + add a batch in ONE commit, then feed it
+    val sdv = TxLog.stageDeleteDV(spark, wh, "t", col("text") === "a").get
+    val v2 = TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((5L, "e")).toDF("id", "text"), wh, "t", Nil, 3), Nil,
+      dvAdds = Seq(sdv.dvAdd), readVersion = Some(sdv.readVersion))
+    val feed2 = TxLog.readChanges(spark, wh, "t", fromVersion = v2 - 1)
+    assert(feed2.filter(col("_change_type") === "insert")
+      .select("text").as[String].collect().toSeq == Seq("e"))
+    assert(feed2.filter(col("_change_type") === "delete")
+      .select("text").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("snapshot-isolation: a commit whose readVersion was overtaken by a conflicting rewrite throws") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 10L).map(i => (i, 1L)).toDF("id", "generation"), wh, "t", Nil, 1))
+    // writer A stages survivors from the current snapshot (a possibly
+    // minutes-long operation at scale) ...
+    val staged = TxLog.stageDelete(spark, wh, "t", col("id") < 3L).get
+    // ... writer B lands a conflicting rewrite on the SAME table first —
+    // at a version A's claim never collides with
+    TxLog.deleteWhere(spark, wh, "t", col("id") === 5L)
+    // A's commit must now fail loudly: its survivors embody a stale read
+    // (they would resurrect id=5 — the lost update)
+    intercept[TxConflictException] {
+      TxLog.commit(spark, wh, staged.adds, staged.removes,
+        deletes = Map("t" -> staged.predSql),
+        readVersion = Some(staged.readVersion))
+    }
+    assert(TxLog.read(spark, wh, "t").count() == 9) // B's delete intact, A never landed
+    // pure appends COMMUTE (Delta's own rule): an append staged from the
+    // same overtaken snapshot still lands
+    val v = TxLog.commit(spark, wh, TxLog.stageWrite(
+      Seq((100L, 2L)).toDF("id", "generation"), wh, "t", Nil, 2))
+    assert(v > 0 && TxLog.read(spark, wh, "t").count() == 10)
+    // and a staged rewrite against the FRESH snapshot applies cleanly
+    val retry = TxLog.stageDelete(spark, wh, "t", col("id") < 3L).get
+    TxLog.commit(spark, wh, retry.adds, retry.removes,
+      deletes = Map("t" -> retry.predSql),
+      readVersion = Some(retry.readVersion))
+    assert(TxLog.read(spark, wh, "t").select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L, 4L, 6L, 7L, 8L, 9L, 100L))
+  }
+
+  test("restore validates against CURRENT constraints; partition specs roll back with the file set") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val t0 = Seq((1L, 10L), (2L, -5L), (3L, 30L)).toDF("id", "score")
+    TxLog.commit(spark, wh, TxLog.stageWrite(t0, wh, "t", Nil, 1),
+      schemas = Map("t" -> t0.schema))
+    val v0 = TxLog.snapshot(spark, wh).version
+    // delete the violating row, then declare the constraint (valid NOW)
+    TxLog.deleteWhere(spark, wh, "t", col("score") < 0L)
+    TxLog.addConstraint(spark, wh, "t", "positive", col("score") > 0L)
+    val declared = TxLog.snapshot(spark, wh).version
+    // restoring to v0 would re-register data violating 'positive' — the
+    // write-time gate must not be bypassable by a rollback
+    intercept[IllegalArgumentException] { TxLog.restore(spark, wh, v0) }
+    intercept[IllegalArgumentException] { TxLog.restoreTable(spark, wh, "t", v0) }
+    assert(TxLog.snapshot(spark, wh).version == declared) // no version burned
+    // dropping the constraint makes the same rollback legal
+    TxLog.dropConstraint(spark, wh, "t", "positive")
+    TxLog.restoreTable(spark, wh, "t", v0)
+    assert(TxLog.read(spark, wh, "t").count() == 3)
+
+    // PARTITION SPEC rolls back with the file set: flat v0 -> spec'd
+    // layout -> restore pins the de-facto old layout (here: flat)
+    val wh2 = freshWh()
+    val d0 = Seq((1L, "en"), (2L, "de")).toDF("id", "lang")
+    TxLog.commit(spark, wh2, TxLog.stageWrite(d0, wh2, "t", Nil, 1),
+      schemas = Map("t" -> d0.schema))
+    val flatV = TxLog.snapshot(spark, wh2).version
+    TxLog.commit(spark, wh2, TxLog.stageWrite(
+      Seq((3L, "fr")).toDF("id", "lang"), wh2, "t", Seq("lang"), 2),
+      partitionSpecs = Map("t" -> Seq("lang")))
+    assert(TxLog.snapshot(spark, wh2).partitionSpecOf("t") == Some(Seq("lang")))
+    TxLog.restore(spark, wh2, flatV)
+    // writers now stage under the restored (flat) layout again
+    assert(TxLog.snapshot(spark, wh2).partitionSpecOf("t") == Some(Nil))
+    assert(TxLog.read(spark, wh2, "t").count() == 2)
   }
 }
