@@ -47,6 +47,20 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
 
+    // Shared by the serving section below AND its post-battery twin.
+    val servingEmbedder = graft.embed.HashEmbedder(64)
+    val servingCfg = graft.model.ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
+    def servingDocs = {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string"), col("lang"), col("source"), col("text"))
+        .as[(String, String, String, String)]
+        .map { case (id, lang, source, text) =>
+          graft.ingest.IndexBuild.RawDoc(id, lang, s"/$source/$id.txt", s"$id.txt", text)
+        }
+    }
+
     // The ingest + serving-latency section runs BEFORE the query battery:
     // r8's official artifact measured 2,783 chunks/s vs 4,649-4,894 in
     // uncontended runs because the 140-query suite ran ahead of it (page
@@ -59,16 +73,9 @@ object Bench {
     // (reference: <100 ms with both legs + fusion).
     val (chunksPerSec, hybridMs, hybridIvfMs, hybridHnswMs, hybridPqMs,
          hybridMaxsimMs, chunkMs, embedMs, writeMs) = {
-      import org.apache.spark.sql.functions.col
-      import spark.implicits._
-      val embedder = graft.embed.HashEmbedder(64)
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id").cast("string"), col("lang"), col("source"), col("text"))
-        .as[(String, String, String, String)]
-        .map { case (id, lang, source, text) =>
-          graft.ingest.IndexBuild.RawDoc(id, lang, s"/$source/$id.txt", s"$id.txt", text)
-        }
-      val cfg = graft.model.ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
+      val embedder = servingEmbedder
+      val docs = servingDocs
+      val cfg = servingCfg
       // PER-PHASE ingest telemetry (round-8 verdict item 5: the official
       // artifact's chunks/s moved outside the noise band with no code
       // change — the artifact must explain its own number). Each phase
@@ -133,9 +140,28 @@ object Bench {
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      graft.search.HybridSearch.search(index, req, embedder) // warm
-      System.gc() // shed the query suite's garbage before the latency loop
+      // SELF-WARM (round-9 verdict item 1): serving measures BEFORE the
+      // battery since round 9, i.e. in a barely-JIT'd JVM — the same
+      // mechanism that made r8's ingest artifact read 2,783 chunks/s
+      // against a 4,700 steady state, in reverse. One warm call is not C2
+      // territory for a ~50 ms driver+job path; drive it through the
+      // compiler with a sustained loop first, like the three-pass ingest,
+      // and PRINT the per-block medians so the artifact shows its own
+      // convergence (steady state = last block ≈ second-to-last).
+      System.gc() // shed the ingest passes' garbage before the latency loop
+      val warmBlocks = (1 to 4).map { _ =>
+        val ts = (1 to 16).map { _ =>
+          val s0 = System.nanoTime()
+          graft.search.HybridSearch.search(index, req, embedder)
+          (System.nanoTime() - s0) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      }
+      System.err.println(warmBlocks.map(m => f"$m%.1f").mkString(
+        "[hybrid] self-warm convergence (median of 16 per block): ",
+        " -> ", " ms"))
       def medianMs(ix: graft.search.HybridSearch.Index): Double = {
+        (1 to 3).foreach(_ => graft.search.HybridSearch.search(ix, req, embedder))
         val ts = (1 to 11).map { _ =>
           val s0 = System.nanoTime()
           graft.search.HybridSearch.search(ix, req, embedder)
@@ -175,7 +201,7 @@ object Bench {
       // maxsimTokens — the late-interaction serving slot): the delta vs
       // bruteMs is the tier's driver-side token-scoring cost
       val msReq = req.copy(maxsimTokens = Some(8))
-      graft.search.HybridSearch.search(index, msReq, embedder) // warm
+      (1 to 3).foreach(_ => graft.search.HybridSearch.search(index, msReq, embedder)) // warm
       val maxsimMs = {
         val ts = (1 to 11).map { _ =>
           val s0 = System.nanoTime()
@@ -276,6 +302,39 @@ object Bench {
         s"[bench] ERRORS: ${errored.size} queries failed: ${errored.mkString(", ")}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // POST-BATTERY TWIN (round-9 verdict item 1): re-measure the brute
+    // serving layout AFTER the 146-query battery in the SAME JVM, same
+    // definition (fresh index build, 3 warm, median of 11). Pre/post
+    // agreement in one artifact proves the serving number is
+    // steady-state-defined and the r8→r9 37→63 ms move was
+    // measurement-order JIT warmth, not a serving regression.
+    val hybridPostBatteryMs: Double = try {
+      val chunks2 = graft.ingest.IndexBuild
+        .chunkDocs(servingDocs, graft.chunk.RecursiveChunker, servingCfg).persist()
+      val vectors2 = graft.ingest.IndexBuild
+        .embedChunks(chunks2, None, servingEmbedder).persist()
+      vectors2.count()
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val index2 = graft.search.HybridSearch.servingIndex(chunks2.toDF(), vectors2)
+      val req2 = graft.model.SearchRequest("spark join window", "en", topK = 10)
+      (1 to 3).foreach(_ =>
+        graft.search.HybridSearch.search(index2, req2, servingEmbedder))
+      val ts = (1 to 11).map { _ =>
+        val s0 = System.nanoTime()
+        graft.search.HybridSearch.search(index2, req2, servingEmbedder)
+        (System.nanoTime() - s0) / 1e6
+      }.sorted
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      releaseStorage()
+      ts(ts.length / 2)
+    } catch { case _: Throwable => -1.0 }
+    System.err.println(
+      f"[hybrid] twin: pre-battery=$hybridMs%.1f ms post-battery=$hybridPostBatteryMs%.1f ms (same definition, same JVM)")
+
 
     // BASELINE "upload -> searchable < 30 s": wall time from dropping a
     // file into a watched dir until a hybrid search over the freshly-read
@@ -369,7 +428,7 @@ object Bench {
       if (found) (System.nanoTime() - t0) / 1e9 else -1.0
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"ingest_phase_ms":{"chunk":${"%.0f".format(chunkMs)},"embed":${"%.0f".format(embedMs)},"write":${"%.0f".format(writeMs)}},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"hybrid_query_ms_maxsim":${"%.1f".format(hybridMaxsimMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"ingest_phase_ms":{"chunk":${"%.0f".format(chunkMs)},"embed":${"%.0f".format(embedMs)},"write":${"%.0f".format(writeMs)}},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"hybrid_query_ms_maxsim":${"%.1f".format(hybridMaxsimMs)},"hybrid_query_ms_postbattery":${"%.1f".format(hybridPostBatteryMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
     spark.stop()
   }
 }
