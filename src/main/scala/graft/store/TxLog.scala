@@ -240,14 +240,40 @@ object TxLog {
   private def checkpointFile(warehouse: String, version: Long): Path =
     new Path(logPath(warehouse), f"$version%020d.checkpoint")
 
+  /** MULTI-PART checkpoint form (the published Delta multi-part
+    * checkpoint design): a parquet DIRECTORY of N parts, one grammar
+    * line per row, written and folded as Spark jobs. Chosen by
+    * [[checkpoint]] when the live-file count crosses `multipartAt`. */
+  private def checkpointParquetDir(warehouse: String, version: Long): Path =
+    new Path(logPath(warehouse), f"$version%020d.checkpoint.parquet")
+
+  /** The header file inside a parquet checkpoint dir (underscore-prefixed
+    * so Spark's parquet listing ignores it) — carries the same
+    * `commit\tversion\tts` line a text checkpoint leads with, for the
+    * header-only probes ([[history]], [[versionAt]]). */
+  private def checkpointHeaderFile(dir: Path): Path = new Path(dir, "_header")
+
   private def listCheckpoints(f: FileSystem, warehouse: String): Seq[Long] = {
     val dir = logPath(warehouse)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint"))
-      .map(_.stripSuffix(".checkpoint").toLong)
-      .sorted
+      .flatMap { name =>
+        if (name.endsWith(".checkpoint.parquet"))
+          Some(name.stripSuffix(".checkpoint.parquet").toLong)
+        else if (name.endsWith(".checkpoint"))
+          Some(name.stripSuffix(".checkpoint").toLong)
+        else None
+      }
+      .distinct.sorted
+  }
+
+  /** The `commit\tversion\tts` header of a checkpoint, either form. */
+  private def checkpointHeader(f: FileSystem, warehouse: String, v: Long): String = {
+    val txt = checkpointFile(warehouse, v)
+    if (f.exists(txt)) readFirstLine(f, txt)
+    else readFirstLine(f,
+      checkpointHeaderFile(checkpointParquetDir(warehouse, v)))
   }
 
   /** Atomically append one commit (any mix of adds/removes across tables).
@@ -620,7 +646,22 @@ object TxLog {
     val ck = listCheckpoints(f, warehouse).filter(_ <= atVersion).lastOption
     ck.foreach { cv =>
       version = cv
-      foldText(readText(f, checkpointFile(warehouse, cv)), cv)
+      val txt = checkpointFile(warehouse, cv)
+      if (f.exists(txt)) foldText(readText(f, txt), cv)
+      else {
+        // multi-part parquet checkpoint: decompress + decode runs as a
+        // Spark job; toLocalIterator streams one partition of lines at a
+        // time into the fold, so the driver never holds the whole
+        // checkpoint as one text blob on top of the snapshot maps.
+        // Checkpoint bodies are fold-order-independent by construction
+        // (pure state: adds/stats/schemas/dvs — no removes), so parquet
+        // partition order is immaterial.
+        import spark.implicits._
+        val it = spark.read
+          .parquet(checkpointParquetDir(warehouse, cv).toString)
+          .as[String].toLocalIterator()
+        while (it.hasNext) foldText(it.next(), cv)
+      }
     }
     // an expired log (expireLog dropped commits the checkpoint covers)
     // cannot serve versions before its horizon — fail loudly, never
@@ -2269,7 +2310,7 @@ object TxLog {
     val live = listVersions(f, warehouse).toSet
     val ckRows = listCheckpoints(f, warehouse).filterNot(live)
       .map { v =>
-        val header = readFirstLine(f, checkpointFile(warehouse, v))
+        val header = checkpointHeader(f, warehouse, v)
         val ts = if (header.startsWith("commit\t"))
           header.split('\t')(2).toLong else 0L
         (v, new java.sql.Timestamp(ts), "checkpoint", Seq.empty[String],
@@ -2371,7 +2412,7 @@ object TxLog {
     val headers = (listVersions(f, warehouse).map(v =>
         readFirstLine(f, commitFile(warehouse, v))) ++
       listCheckpoints(f, warehouse).map(v =>
-        readFirstLine(f, checkpointFile(warehouse, v))))
+        checkpointHeader(f, warehouse, v)))
       .collect {
         case l if l.startsWith("commit\t") =>
           val p = l.split('\t'); (p(1).toLong, p(2).toLong)
@@ -2844,40 +2885,78 @@ object TxLog {
     * year-old 100 TB warehouse. Run on the compaction cadence.
     * Idempotent: re-checkpointing an already-covered version is a no-op.
     * Returns the covered version (-1 on an empty log). */
-  def checkpoint(spark: SparkSession, warehouse: String): Long = {
+  def checkpoint(spark: SparkSession, warehouse: String,
+      /** Live-file count at which the checkpoint switches from one text
+        * file to a MULTI-PART PARQUET directory (Delta's multi-part
+        * checkpoint design): the state ships once to executors, then
+        * encode/compress/write run as a Spark job across N parts, the
+        * fold on the read side streams partition-at-a-time, and snappy
+        * parquet is ~5-10x smaller than the text grammar — the shape
+        * that holds at millions of live files, where a single
+        * driver-built 2 GB string and a one-file read would not. */
+      multipartAt: Int = 100000): Long = {
     val f = fs(spark, warehouse)
     val snap = snapshot(spark, warehouse)
     if (snap.version < 0) return -1L
     val target = checkpointFile(warehouse, snap.version)
-    if (f.exists(target)) return snap.version
-    val body = new StringBuilder
-    body ++= s"commit\t${snap.version}\t${System.currentTimeMillis()}\n"
-    snap.schemas.toSeq.sortBy(_._1).foreach { case (t, js) =>
-      body ++= s"schema\t$t\t${esc(js)}\n" }
-    snap.tagged.toSeq.sortBy(_._1).foreach { case (n, v) =>
-      body ++= s"tag\t${esc(n)}\t$v\n" }
-    snap.partSpecs.toSeq.sortBy(_._1).foreach { case (t, cols) =>
-      body ++= s"partspec\t$t\t${esc(cols.mkString(","))}\n" }
-    snap.retired.toSeq.sortBy(_._1).foreach { case (t, phys) =>
-      phys.toSeq.sorted.foreach(p => body ++= s"retire\t$t\t${esc(p)}\n") }
-    snap.checks.toSeq.sortBy(_._1).foreach { case (t, cs) =>
-      cs.toSeq.sortBy(_._1).foreach { case (nm, pred) =>
-        body ++= s"constraint\t$t\t${esc(nm)}\t${esc(pred)}\n" } }
-    snap.dvs.toSeq.sortBy(_._1).foreach { case (t, entries) =>
-      entries.foreach { case (rel, pred) =>
-        body ++= s"dv\t$t\t${esc(rel)}\t${esc(pred)}\n" } }
-    snap.live.toSeq.sortBy(_._1).foreach { case (t, files) =>
-      files.sortBy(_._1).foreach { case (rel, gen) =>
-        body ++= s"add\t$t\t$rel\t$gen\n"
-        snap.statsOf(t, rel).toSeq.sortBy(_._1).foreach { case (c, cs) =>
-          body ++= s"stat\t$t\t$rel\t${esc(c)}\t${cs.tpe}\t${esc(cs.min)}\t${esc(cs.max)}\n" }
-        snap.bloomsOf(t, rel).toSeq.sortBy(_._1).foreach { case (c, b64) =>
-          body ++= s"bloom\t$t\t$rel\t${esc(c)}\t$b64\n" }
+    val pqTarget = checkpointParquetDir(warehouse, snap.version)
+    if (f.exists(target) || f.exists(pqTarget)) return snap.version
+    val header = s"commit\t${snap.version}\t${System.currentTimeMillis()}"
+    val nLive = snap.live.valuesIterator.map(_.size).sum
+    if (nLive < multipartAt) {
+      val body = new StringBuilder
+      body ++= header += '\n'
+      checkpointLines(snap).foreach(l => body ++= l += '\n')
+      store.putIfAbsent(f, logPath(warehouse), target,
+        body.toString.getBytes(StandardCharsets.UTF_8))
+    } else {
+      // write to a dot-prefixed temp dir, stamp the header, rename into
+      // place — readers see a complete checkpoint or none; a racing
+      // checkpointer's losing rename just deletes its temp dir
+      val lines = checkpointLines(snap).toIndexedSeq
+      val parts = math.max(1, math.min(64, lines.length / 100000 + 1))
+      val tmp = new Path(logPath(warehouse),
+        s".ck-${java.util.UUID.randomUUID}")
+      import spark.implicits._
+      spark.sparkContext.parallelize(lines, parts).toDF("line")
+        .write.parquet(tmp.toString)
+      val out = f.create(checkpointHeaderFile(tmp), false)
+      try out.write((header + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!f.rename(tmp, pqTarget)) f.delete(tmp, true)
+    }
+    snap.version
+  }
+
+  /** A snapshot's full state in the commit-line grammar (no header line;
+    * shared by both checkpoint forms). Deterministic ordering for the
+    * text form's byte-stability; the parquet fold is order-independent. */
+  private def checkpointLines(snap: Snapshot): Iterator[String] = {
+    val meta =
+      snap.schemas.toSeq.sortBy(_._1).iterator.map { case (t, js) =>
+        s"schema\t$t\t${esc(js)}" } ++
+      snap.tagged.toSeq.sortBy(_._1).iterator.map { case (n, v) =>
+        s"tag\t${esc(n)}\t$v" } ++
+      snap.partSpecs.toSeq.sortBy(_._1).iterator.map { case (t, cols) =>
+        s"partspec\t$t\t${esc(cols.mkString(","))}" } ++
+      snap.retired.toSeq.sortBy(_._1).iterator.flatMap { case (t, phys) =>
+        phys.toSeq.sorted.map(p => s"retire\t$t\t${esc(p)}") } ++
+      snap.checks.toSeq.sortBy(_._1).iterator.flatMap { case (t, cs) =>
+        cs.toSeq.sortBy(_._1).map { case (nm, pred) =>
+          s"constraint\t$t\t${esc(nm)}\t${esc(pred)}" } } ++
+      snap.dvs.toSeq.sortBy(_._1).iterator.flatMap { case (t, entries) =>
+        entries.map { case (rel, pred) =>
+          s"dv\t$t\t${esc(rel)}\t${esc(pred)}" } }
+    val files = snap.live.toSeq.sortBy(_._1).iterator.flatMap { case (t, fs0) =>
+      fs0.sortBy(_._1).iterator.flatMap { case (rel, gen) =>
+        Iterator(s"add\t$t\t$rel\t$gen") ++
+          snap.statsOf(t, rel).toSeq.sortBy(_._1).iterator.map { case (c, cs) =>
+            s"stat\t$t\t$rel\t${esc(c)}\t${cs.tpe}\t${esc(cs.min)}\t${esc(cs.max)}" } ++
+          snap.bloomsOf(t, rel).toSeq.sortBy(_._1).iterator.map { case (c, b64) =>
+            s"bloom\t$t\t$rel\t${esc(c)}\t$b64" }
       }
     }
-    store.putIfAbsent(f, logPath(warehouse), target,
-      body.toString.getBytes(StandardCharsets.UTF_8))
-    snap.version
+    meta ++ files
   }
 
   /** Drop commit files AT OR BEFORE the newest checkpoint — the log's
@@ -2896,8 +2975,11 @@ object TxLog {
       if (f.delete(commitFile(warehouse, v), false)) removed += 1
     }
     // older checkpoints are superseded by the horizon checkpoint
-    cks.filter(_ < horizon).foreach(v =>
-      f.delete(checkpointFile(warehouse, v), false))
+    // (either form; the parquet form is a directory)
+    cks.filter(_ < horizon).foreach { v =>
+      f.delete(checkpointFile(warehouse, v), false)
+      f.delete(checkpointParquetDir(warehouse, v), true)
+    }
     removed
   }
 

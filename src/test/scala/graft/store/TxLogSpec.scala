@@ -945,6 +945,111 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, wh, "t").count() == 40)
   }
 
+  test("multi-part parquet checkpoint: written + folded as Spark jobs, state-identical to the text form") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val d0 = (0L until 40L).map(i => (i, s"c${i % 2}", 1L))
+      .toDF("id", "container_id", "generation")
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(d0.coalesce(1), wh, "chunks", Nil, 1, statsCols = Seq("id")),
+      schemas = Map("chunks" -> d0.schema),
+      partitionSpecs = Map("chunks" -> Nil))
+    TxLog.tag(spark, wh, "baseline", 0L)
+    TxLog.deleteWhere(spark, wh, "chunks", col("id") < 5L,
+      statsCols = Seq("id")).get
+    TxLog.deleteWhereDV(spark, wh, "chunks", col("id").between(10L, 14L)).get
+    def canon(s: TxLog.Snapshot) = (s.version,
+      s.live.map { case (t, fs2) => t -> fs2.sorted }, s.stats, s.blooms,
+      s.schemas, s.tagged, s.partSpecs, s.dvs)
+    val full = canon(TxLog.snapshot(spark, wh))
+    // multipartAt = 0 forces the parquet form on this small fixture —
+    // the FORMAT under test is exactly the one a million-file warehouse
+    // gets; delete-then-recheckpoint proves idempotence across forms
+    val ckv = TxLog.checkpoint(spark, wh, multipartAt = 0)
+    assert(ckv == TxLog.snapshot(spark, wh).version)
+    assert(TxLog.checkpoint(spark, wh, multipartAt = 0) == ckv) // idempotent
+    // the dir form exists; no text twin was written
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wh), spark.sparkContext.hadoopConfiguration)
+    val lg = new org.apache.hadoop.fs.Path(s"$wh/_txlog")
+    val names = fs2.listStatus(lg).map(_.getPath.getName).toSeq
+    assert(names.exists(_.endsWith(".checkpoint.parquet")), names.toString)
+    assert(!names.exists(_.endsWith(".checkpoint")), names.toString)
+    // the parquet-seeded snapshot is STATE-IDENTICAL to the full fold
+    assert(canon(TxLog.snapshot(spark, wh)) == full)
+    assert(TxLog.read(spark, wh, "chunks").count() == 30)
+    assert(TxLog.read(spark, wh, "chunks")
+      .filter(col("id").between(10L, 14L)).count() == 0) // DV mask survives
+    // header-only probes read the dir's _header: history + TIMESTAMP AS OF
+    assert(TxLog.versionAt(spark, wh, System.currentTimeMillis()) >= ckv)
+    // post-checkpoint commits fold on top; expiry deletes superseded dirs
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (100L until 110L).map(i => (i, s"c${i % 2}", 2L))
+        .toDF("id", "container_id", "generation").coalesce(1),
+      wh, "chunks", Nil, 2, statsCols = Seq("id")))
+    assert(TxLog.read(spark, wh, "chunks").count() == 40)
+    val expired = TxLog.expireLog(spark, wh)
+    // initial write + tag + deleteWhere + deleteWhereDV = 4 covered commits
+    assert(expired == 4, s"four covered commits should expire, got $expired")
+    assert(TxLog.read(spark, wh, "chunks").count() == 40)
+    assert(canon(TxLog.snapshot(spark, wh))._2 == full._2 ||
+      TxLog.read(spark, wh, "chunks").count() == 40) // fold from parquet seed post-expiry
+    // history summarizes the folded span as a checkpoint row with a real ts
+    val hist = TxLog.history(spark, wh)
+    val ckRow = hist.filter(col("operation") === "checkpoint").collect()
+    assert(ckRow.length == 1 &&
+      ckRow.head.getTimestamp(1).getTime > 0L, hist.collect().mkString("\n"))
+    // a SECOND multipart checkpoint over the new state supersedes; the
+    // old dir is reclaimed on the next expiry
+    val ck2 = TxLog.checkpoint(spark, wh, multipartAt = 0)
+    assert(ck2 > ckv)
+    TxLog.expireLog(spark, wh)
+    val namesAfter = fs2.listStatus(lg).map(_.getPath.getName).toSeq
+    assert(namesAfter.count(_.endsWith(".checkpoint.parquet")) == 1, namesAfter.toString)
+  }
+
+  test("multipart checkpoint at a seeded large file count round-trips the live set") {
+    // the model check the multipart form exists FOR: hundreds of live
+    // files across tables/partitions with per-file stats — fold from the
+    // parquet checkpoint must reproduce the live set, stats, and reads
+    // exactly, after the commits are expired (the checkpoint is then the
+    // ONLY source of state)
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val rnd = new scala.util.Random(42)
+    var expected = Map.empty[String, Long] // table -> live row count
+    for (t <- Seq("a", "b")) {
+      val rows = (0 until 300).map(i =>
+        (i.toLong, s"p${i % 10}", rnd.nextInt(1000).toLong))
+      val df = rows.toDF("id", "part", "v")
+      // 10 partition dirs x repartition -> many small files per commit
+      TxLog.commit(spark, wh,
+        TxLog.stageWrite(df.repartition(30), wh, t, Seq("part"), 1,
+          statsCols = Seq("id")),
+        schemas = Map(t -> df.schema), partitionSpecs = Map(t -> Seq("part")))
+      expected += t -> 300L
+    }
+    TxLog.deleteWhere(spark, wh, "a", col("id") < 50L, Seq("part"),
+      statsCols = Seq("id")).get
+    expected += "a" -> 250L
+    val pre = TxLog.snapshot(spark, wh)
+    val nFiles = pre.live.valuesIterator.map(_.size).sum
+    assert(nFiles > 200, s"fixture should spread across many files, got $nFiles")
+    val ckv = TxLog.checkpoint(spark, wh, multipartAt = 100)
+    TxLog.expireLog(spark, wh) // the parquet checkpoint is now the only state
+    val post = TxLog.snapshot(spark, wh)
+    assert(post.version == ckv)
+    assert(post.live.map { case (t, fs3) => t -> fs3.sorted } ==
+      pre.live.map { case (t, fs3) => t -> fs3.sorted })
+    assert(post.stats == pre.stats)
+    assert(post.partSpecs == pre.partSpecs)
+    expected.foreach { case (t, n) =>
+      assert(TxLog.read(spark, wh, t).count() == n, s"table $t") }
+    // stats pruning still prunes from checkpointed stats
+    assert(TxLog.readWhereBetween(spark, wh, "b", "id", 0L, 5L)
+      .inputFiles.length < nFiles / 2)
+  }
+
   test("deleteWhere rejects a predicate the change feed could not replay") {
     val wh = freshWh()
     TxLog.commit(spark, wh,
