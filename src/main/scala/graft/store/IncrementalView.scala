@@ -75,19 +75,37 @@ object IncrementalView {
         * stable, like the column signature; 0 = single-shard rewrite
         * (correct at any size, I/O ∝ view — fine for aggregate-sized
         * views). */
-      buckets: Int = 0): Long = {
+      buckets: Int = 0): Long =
+    refreshReport(spark, warehouse, source, view, keyCols, sumCols,
+      minMaxCols, hllCols, buckets).version
+
+  /** What a refresh actually DID — the observability the silent
+    * degradations need: `recompute` names whether the dirty-group
+    * re-derivation read was file-pruned to the dirty keys or fell back
+    * to a full source scan (the DirtyKeyBudget cliff), `rewrite` names
+    * whether the commit rewrote only dirty buckets or the whole view.
+    * An operator watching a view thrash sees "full-scan"/"full" here
+    * instead of inferring it from job metrics. */
+  final case class RefreshReport(version: Long, recompute: String, rewrite: String)
+
+  /** [[refresh]] with the path report (same semantics, same commit). */
+  def refreshReport(spark: SparkSession, warehouse: String, source: String,
+      view: String, keyCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil,
+      hllCols: Seq[String] = Nil,
+      buckets: Int = 0): RefreshReport = {
     require(keyCols.nonEmpty, "incremental view needs grouping keys")
     val from = consumedVersion(spark, warehouse, view)
     val snap = TxLog.snapshot(spark, warehouse)
     val cur = snap.version
-    if (cur == from) return cur
+    if (cur == from) return RefreshReport(cur, "none", "none")
     val changes = TxLog.readChanges(spark, warehouse, source,
       fromVersion = from, toVersion = cur)
     // nothing logical changed in the source (view-own commits, other
     // tables' commits, compactions): no merge, no commit, no version
     // burned — the tag stays at the last version that carried source
     // changes, which keeps a polling refresher convergent
-    if (changes.isEmpty) return from
+    if (changes.isEmpty) return RefreshReport(from, "none", "none")
     val sign = when(col("_change_type") === "delete", -1L).otherwise(1L)
     val mmAggs = minMaxCols.flatMap(c => Seq(
       min(when(col("_change_type") =!= "delete", col(c))).as(s"min_$c"),
@@ -139,6 +157,7 @@ object IncrementalView {
     // dirty-group recompute for the non-invertible aggregates: ONLY the
     // groups that received a delete re-derive their min/max, from the
     // current source snapshot restricted by a null-safe key semi-join
+    var recomputePath = "none"
     val recomp: Option[DataFrame] =
       if (minMaxCols.isEmpty && hllCols.isEmpty) None
       else {
@@ -151,19 +170,28 @@ object IncrementalView {
         // it would diverge from the n/sum deltas and the tag this
         // refresh publishes.
         val dirtyVals = dirtyKeys.limit(DirtyKeyBudget + 1).collect()
-        val srcA = (if (dirtyVals.length <= DirtyKeyBudget)
-          TxLog.readWhereKeyIn(spark, warehouse, source, keyCols,
-            dirtyVals.toSeq.map(r => keyCols.indices.map(r.get)),
-            atVersion = cur)
-        else TxLog.read(spark, warehouse, source, atVersion = cur)).as("s")
-        val dk = dirtyKeys.as("k")
-        val semiCond = keyCols.map(k => col(s"s.$k") <=> col(s"k.$k")).reduce(_ && _)
-        val rcAggs = minMaxCols.flatMap(c => Seq(
-          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-          hllCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
-        Some(srcA.join(dk, semiCond, "left_semi")
-          .groupBy(keyCols.map(col): _*)
-          .agg(rcAggs.head, rcAggs.tail: _*))
+        // insert-only delta: no group lost rows, the monotone merge is
+        // complete — skip the recompute read entirely (zero extra I/O;
+        // previously this path still issued a pruned-to-nothing read)
+        if (dirtyVals.isEmpty) None
+        else {
+          recomputePath =
+            if (dirtyVals.length <= DirtyKeyBudget) s"pruned(${dirtyVals.length} keys)"
+            else s"full-scan(dirty keys exceed budget $DirtyKeyBudget)"
+          val srcA = (if (dirtyVals.length <= DirtyKeyBudget)
+            TxLog.readWhereKeyIn(spark, warehouse, source, keyCols,
+              dirtyVals.toSeq.map(r => keyCols.indices.map(r.get)),
+              atVersion = cur)
+          else TxLog.read(spark, warehouse, source, atVersion = cur)).as("s")
+          val dk = dirtyKeys.as("k")
+          val semiCond = keyCols.map(k => col(s"s.$k") <=> col(s"k.$k")).reduce(_ && _)
+          val rcAggs = minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+            hllCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
+          Some(srcA.join(dk, semiCond, "left_semi")
+            .groupBy(keyCols.map(col): _*)
+            .agg(rcAggs.head, rcAggs.tail: _*))
+        }
       }
     // merge: full-outer on NULL-SAFE key equality (a null grouping key is
     // a legal group — plain using-columns joins would never match it and
@@ -217,6 +245,8 @@ object IncrementalView {
     }
     TxLog.commit(spark, warehouse, adds, removes,
       tags = Map(tagName(view) -> cur))
-    cur
+    RefreshReport(cur, recomputePath,
+      if (buckets > 0) s"dirty-buckets(${dirtyBuckets.size} of $buckets)"
+      else "full")
   }
 }

@@ -222,6 +222,33 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("refreshReport names the paths taken: pruned vs full-scan recompute, dirty-bucket vs full rewrite") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-iview-rpt").toString
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      df((0L until 100L).map(i => (i, s"k${i % 20}", i))).coalesce(1),
+      wh, "t", Nil, 1, statsCols = Seq("id", "k")))
+    val r1 = IncrementalView.refreshReport(spark, wh, "t", "agg",
+      Seq("k"), Seq("v"), minMaxCols = Seq("v"), buckets = 4)
+    // insert-only delta: the monotone merge needs no recompute read
+    assert(r1.recompute == "none", r1.toString)
+    assert(r1.rewrite.startsWith("dirty-buckets("), r1.toString)
+    // a delete dirties groups -> pruned recompute, bucket-scoped rewrite
+    TxLog.deleteWhere(spark, wh, "t", col("k") === "k3", statsCols = Seq("id", "k"))
+    val r2 = IncrementalView.refreshReport(spark, wh, "t", "agg",
+      Seq("k"), Seq("v"), minMaxCols = Seq("v"), buckets = 4)
+    assert(r2.recompute.startsWith("pruned("), r2.toString)
+    assert(r2.rewrite.startsWith("dirty-buckets(") && !r2.rewrite.contains("4 of 4"),
+      s"one key should not dirty every bucket: $r2")
+    // already-current: explicit no-op report, no version burned
+    val r3 = IncrementalView.refreshReport(spark, wh, "t", "agg",
+      Seq("k"), Seq("v"), minMaxCols = Seq("v"), buckets = 4)
+    assert(r3.recompute == "none" && r3.rewrite == "none")
+    // unbucketed views report the full rewrite they always were
+    val r4 = IncrementalView.refreshReport(spark, wh, "t", "agg2", Seq("k"), Seq("v"))
+    assert(r4.rewrite == "full", r4.toString)
+  }
+
   test("a key whose rows all leave disappears from the view") {
     val wh = java.nio.file.Files.createTempDirectory("graft-iview2").toString
     TxLog.commit(spark, wh, TxLog.stageWrite(
