@@ -612,11 +612,17 @@ object AnnQueries {
         // the full-corpus assignment at 8 tasks and cost 5.7 s at sf0.1
         // (BENCH_r06 q88 12.7 s vs 7.0 s in r5).
         val tFit = System.nanoTime()
+        // auto-sized lists (r9 verdict item 6): Ivf.autoLists with 64
+        // rows/cell matches the old max(2, n/64) at every test SF (the
+        // golden fixture is unchanged) and adds the 4096-list clamp the
+        // serving contract documents — past ~260k vectors the cell count
+        // stops growing and the O(cell²) intra-cell term grows linearly
+        // with cell size instead of the fit cost growing with n/64 lists
         val idx = graft.ann.Ivf.build(
           table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
             .repartition(32, col("vec_id")).sortWithinPartitions("vec_id"),
-          nLists = math.max(2, (n / 64).toInt), maxIter = 5,
-          fitSample = 0.25)
+          nLists = math.max(2, graft.ann.Ivf.autoLists(n, rowsPerCell = 64L)),
+          maxIter = 5, fitSample = 0.25)
         val fitSec = (System.nanoTime() - tFit) / 1e9
         val b = idx.assigned
           .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"),
