@@ -1,0 +1,179 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal identity slice — named API keys with per-container scopes and
+  * an append-only audit log (ref Connapse.Identity/Services/PatService.cs:
+  * token = prefix + 32 random bytes base64url, ONLY the SHA-256 hash is
+  * stored, list shows the 12-char prefix, revoke is a tombstone;
+  * AuditLogger.cs: every identity/admin action appends action/resource/
+  * details/timestamp and must never fail the primary operation).
+  *
+  * What the reference builds around Postgres + ASP.NET identity, this
+  * engine maps onto warehouse tables: `api_keys` is a driver-sized
+  * registry (swap-rewritten like containers/folders), `audit_log` is an
+  * append-only parquet table written in BATCHES (a per-request
+  * single-row parquet append would be a Spark job per HTTP call — the
+  * buffer amortizes that to one append per flush window, and the table
+  * stays queryable with plain Spark SQL).
+  *
+  * Scope grammar (the deployment-facing subset of the reference's PAT
+  * scopes + container ACLs):
+  *   - `admin`        — everything: key CRUD, settings, containers, audit
+  *   - `read:<cid>`   — search/list/get within container `<cid>`
+  *   - `write:<cid>`  — read plus upload/delete within `<cid>`
+  *   - `read:*` / `write:*` — all containers (no admin surfaces)
+  */
+final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
+  import spark.implicits._
+
+  private val path = s"$warehouse/api_keys"
+  val TokenPrefix = "gft_"
+
+  /** (key_id, name, token_hash, token_prefix, scopes, created_ms,
+    * expires_ms [-1 = never], revoked_ms [-1 = active], last_used_ms) */
+  private type Row = (String, String, String, String, Seq[String], Long, Long, Long, Long)
+
+  @volatile private var cache: Option[Seq[Row]] = None
+
+  private def load(): Seq[Row] = cache.getOrElse {
+    val rows =
+      try spark.read.parquet(path)
+        .select("key_id", "name", "token_hash", "token_prefix", "scopes",
+          "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
+        .as[Row].collect().toSeq
+      catch { case _: Throwable => Seq.empty }
+    cache = Some(rows)
+    rows
+  }
+
+  private def write(rows: Seq[Row]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (rows.isEmpty) { fs.delete(target, true) }
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+        s".keys-rewrite-${java.util.UUID.randomUUID}")
+      rows.toDF("key_id", "name", "token_hash", "token_prefix", "scopes",
+        "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        sys.error(s"api_keys rewrite rename failed: $tmp -> $target")
+    }
+    spark.catalog.refreshByPath(path)
+    cache = Some(rows)
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def validScope(s: String): Boolean =
+    s == "admin" || ((s.startsWith("read:") || s.startsWith("write:")) &&
+      s.substring(s.indexOf(':') + 1).nonEmpty)
+
+  /** Mint a key. The raw token is returned ONCE and never stored — only
+    * its SHA-256 hash persists (the reference's PAT contract). */
+  def create(name: String, scopes: Seq[String],
+      expiresMs: Long = -1L): (String, String) = synchronized {
+    require(name.nonEmpty, "key name required")
+    require(scopes.nonEmpty, "at least one scope required")
+    scopes.foreach(s => require(validScope(s),
+      s"invalid scope '$s' (admin | read:<cid> | write:<cid> | read:* | write:*)"))
+    require(!load().exists(r => r._2 == name && r._8 < 0),
+      s"an active key named '$name' exists")
+    val raw = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(raw)
+    val token = TokenPrefix + java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(raw)
+    val id = java.util.UUID.randomUUID().toString
+    write(load() :+ ((id, name, sha256Hex(token), token.take(12),
+      scopes, System.currentTimeMillis(), expiresMs, -1L, -1L)))
+    (id, token)
+  }
+
+  /** (key_id, name, token_prefix, scopes, active) — never the hash. */
+  def list(): Seq[(String, String, String, Seq[String], Boolean)] = {
+    val now = System.currentTimeMillis()
+    load().map(r => (r._1, r._2, r._4, r._5,
+      r._8 < 0 && (r._7 < 0 || r._7 > now)))
+  }
+
+  /** Tombstone, not delete — the audit trail keeps the name/prefix. */
+  def revoke(keyId: String): Boolean = synchronized {
+    val rows = load()
+    if (!rows.exists(r => r._1 == keyId && r._8 < 0)) false
+    else {
+      write(rows.map(r =>
+        if (r._1 == keyId && r._8 < 0) r.copy(_8 = System.currentTimeMillis())
+        else r))
+      true
+    }
+  }
+
+  /** Resolve a presented bearer token to (key name, scopes) — None when
+    * unknown, revoked, or expired. Hash comparison is constant-time on
+    * the digest (the token itself is never stored to compare against). */
+  def authenticate(token: String): Option[(String, Seq[String])] = {
+    val h = sha256Hex(token).getBytes("UTF-8")
+    val now = System.currentTimeMillis()
+    load().find { r =>
+      java.security.MessageDigest.isEqual(r._3.getBytes("UTF-8"), h) &&
+        r._8 < 0 && (r._7 < 0 || r._7 > now)
+    }.map(r => (r._2, r._5))
+  }
+
+  /** Scope checks the serving layers call per route. */
+  def allows(scopes: Seq[String], action: String, containerId: String): Boolean =
+    scopes.contains("admin") || (action match {
+      case "read" => scopes.exists(s => s == "read:*" || s == "write:*" ||
+        s == s"read:$containerId" || s == s"write:$containerId")
+      case "write" => scopes.exists(s => s == "write:*" || s == s"write:$containerId")
+      case _ => false
+    })
+  def isAdmin(scopes: Seq[String]): Boolean = scopes.contains("admin")
+}
+
+/** Append-only audit table (ref AuditLogger.cs). Events buffer in memory
+  * and flush as ONE parquet append per window (`flushAt` events or an
+  * explicit [[flush]]) — never a Spark job per request, never fails the
+  * primary operation. Queryable as a plain DataFrame. */
+final class AuditLog(spark: SparkSession, warehouse: String, flushAt: Int = 64) {
+  import spark.implicits._
+
+  private val path = s"$warehouse/audit_log"
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, String, String, String, String, Int)]()
+
+  /** (ts_ms, key name or "-", action, resource, detail, http status). */
+  def record(key: String, action: String, resource: String,
+      detail: String = "", status: Int = 200): Unit = {
+    buf.add((System.currentTimeMillis(), key, action, resource, detail, status))
+    if (buf.size >= flushAt) flush()
+  }
+
+  /** Drain the buffer into one parquet append. Failures are swallowed
+    * after a stderr note — audit must never fail the primary operation
+    * (the reference's explicit contract, AuditLogger.cs:55-59). */
+  def flush(): Unit = synchronized {
+    val drained = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
+    if (drained.isEmpty) return
+    try drained
+      .toDF("ts_ms", "key_name", "action", "resource", "detail", "status")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(path)
+    catch { case e: Exception =>
+      System.err.println(s"[audit] flush failed (${drained.size} events): ${e.getMessage}")
+    }
+  }
+
+  /** The audit table, most recent first (flushes pending events first). */
+  def df(): DataFrame = {
+    flush()
+    try spark.read.parquet(path).orderBy(org.apache.spark.sql.functions.desc("ts_ms"))
+    catch { case _: Throwable =>
+      Seq.empty[(Long, String, String, String, String, Int)]
+        .toDF("ts_ms", "key_name", "action", "resource", "detail", "status") }
+  }
+}

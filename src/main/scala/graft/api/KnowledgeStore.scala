@@ -222,6 +222,178 @@ final class KnowledgeStore(
     spark.catalog.refreshByPath(path)
   }
 
+  // ---- runtime-mutable settings (ref SettingsEndpoints.cs:28-270,
+  // ContainerSettingsResolver.cs; SURVEY §1.3 per-container override merge).
+  // A tiny registry table `settings` keyed by (scope, category): scope is
+  // "global" or a container id, values a map of explicitly-set keys.
+  // Resolution is field-wise: constructor defaults <- global <- container.
+  // The constructor's embedder/cfg/chunkerName become the LOWEST layer
+  // (the reference's appsettings.json role), so existing deployments that
+  // never PUT a setting behave exactly as before. -----------------------
+
+  private val settingsPath = s"$warehouse/settings"
+
+  @volatile private var settingsCache:
+      Option[Map[(String, String), (Map[String, String], Long)]] = None
+
+  private def loadSettings(): Map[(String, String), (Map[String, String], Long)] =
+    settingsCache.getOrElse {
+      val loaded =
+        try spark.read.parquet(settingsPath)
+          .select("scope", "category", "entries", "updated_ms")
+          .as[(String, String, Map[String, String], Long)].collect()
+          .map { case (s, c, m, ts) => (s, c) -> (m, ts) }.toMap
+        catch { case _: Throwable =>
+          Map.empty[(String, String), (Map[String, String], Long)] }
+      settingsCache = Some(loaded)
+      loaded
+    }
+
+  /** Swap-write the whole settings registry (driver-sized metadata, same
+    * old-or-new reader guarantee as the other registry tables). */
+  private def writeSettingsTable(
+      all: Map[(String, String), (Map[String, String], Long)]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(settingsPath), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(settingsPath)
+    if (all.isEmpty) { fs.delete(target, true) }
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+        s".settings-rewrite-${java.util.UUID.randomUUID}")
+      all.toSeq.map { case ((sc, cat), (m, ts)) => (sc, cat, m, ts) }
+        .toDF("scope", "category", "entries", "updated_ms")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        sys.error(s"settings rewrite rename failed: $tmp -> $target")
+    }
+    spark.catalog.refreshByPath(settingsPath)
+    settingsCache = Some(all)
+  }
+
+  /** The constructor-level defaults per category — the bottom layer of
+    * resolution (the reference's appsettings/IOptionsMonitor fallback,
+    * SettingsEndpoints.cs:36-43). */
+  private def constructorDefaults(category: String): Map[String, String] =
+    category match {
+      case "chunking" => Map(
+        "strategy" -> chunkerName,
+        "max_chunk_size" -> cfg.maxChunkSize.toString,
+        "overlap" -> cfg.overlap.toString,
+        "min_chunk_size" -> cfg.minChunkSize.toString,
+        "semantic_threshold" -> cfg.semanticThreshold.toString,
+        "semantic_buffer_size" -> cfg.semanticBufferSize.toString,
+        "breakpoint_method" -> cfg.breakpointMethod,
+        "breakpoint_amount" -> cfg.breakpointAmount.toString,
+        "sentence_window_size" -> cfg.windowSize.toString,
+        "prepend_header_path" -> cfg.prependHeaderPath.toString)
+      case "embedding" => Map(
+        "model" -> embedder.modelId,
+        "dimensions" -> embedder.dimensions.toString)
+      case "search" => Map(
+        "mode" -> "hybrid", "top_k" -> "10", "min_score" -> "0.0",
+        "alpha" -> "0.5", "fusion_method" -> "minmax", "auto_cut" -> "false",
+        "rank_fn" -> "cover_density", "cross_model_search" -> "false")
+      case "upload" => Map("parallel_workers" -> "4")
+      case "llm" => Map.empty
+      case other => throw new IllegalArgumentException(
+        s"unknown settings category: $other")
+    }
+
+  /** Stored (explicitly-set) entries for one scope — what PUT wrote. */
+  def getSettings(category: String, containerId: Option[String] = None): Map[String, String] = {
+    require(Settings.Categories.contains(category),
+      s"unknown settings category: $category")
+    loadSettings()
+      .get((containerId.getOrElse(Settings.GlobalScope), category))
+      .map(_._1).getOrElse(Map.empty)
+  }
+
+  /** Effective settings after the merge: constructor defaults, overlaid
+    * with global stored entries, overlaid with the container's overrides
+    * (when a containerId is given). This is what ingest and search read. */
+  def effectiveSettings(category: String, containerId: Option[String] = None): Map[String, String] = {
+    val stored = loadSettings()
+    val global = stored.get((Settings.GlobalScope, category)).map(_._1).getOrElse(Map.empty)
+    val scoped = containerId.flatMap(c => stored.get((c, category)).map(_._1)).getOrElse(Map.empty)
+    constructorDefaults(category) ++ global ++ scoped
+  }
+
+  /** PUT settings for a category: whole-row replace of that scope's
+    * explicitly-set entries (validated; the next ingest/search reads the
+    * new values — no restart, ref SettingsEndpoints.cs PUT). */
+  def putSettings(
+      category: String,
+      values: Map[String, String],
+      containerId: Option[String] = None): Unit = synchronized {
+    Settings.validate(category, values)
+    containerId.foreach(c => require(listContainers().exists(_._1 == c),
+      s"no such container: $c"))
+    val scope = containerId.getOrElse(Settings.GlobalScope)
+    writeSettingsTable(loadSettings()
+      .updated((scope, category), (values, System.currentTimeMillis())))
+  }
+
+  /** Reset a category for a scope to the inherited layers (removes the
+    * stored row; ref ISettingsStore.ResetAsync). */
+  def resetSettings(category: String, containerId: Option[String] = None): Unit =
+    synchronized {
+      require(Settings.Categories.contains(category),
+        s"unknown settings category: $category")
+      writeSettingsTable(
+        loadSettings() - ((containerId.getOrElse(Settings.GlobalScope), category)))
+    }
+
+  /** Categories with stored entries for a scope (ref GetCategoriesAsync). */
+  def listSettingsCategories(containerId: Option[String] = None): Seq[String] = {
+    val scope = containerId.getOrElse(Settings.GlobalScope)
+    loadSettings().keys.collect { case (s, c) if s == scope => c }.toSeq.sorted
+  }
+
+  /** The embedder a container's ingest/search should use under current
+    * settings. Only the deterministic hash family is constructible from a
+    * bare model name; a real provider model that differs from the injected
+    * embedder fails fast here (providers need an endpoint + transport at
+    * construction — inject via the constructor). */
+  private val HashModel = "hash-(\\d+)-v1".r
+  private def embedderFor(containerId: String): Embedder =
+    effectiveSettings("embedding", Some(containerId)).get("model") match {
+      case None => embedder
+      case Some(m) if m == embedder.modelId => embedder
+      case Some(HashModel(d)) => graft.embed.HashEmbedder(d.toInt)
+      case Some(other) => throw new IllegalArgumentException(
+        s"embedding model '$other' is not constructible from settings alone; " +
+          "inject the provider via the KnowledgeStore constructor or use the " +
+          "hash-<dims>-v1 family")
+    }
+
+  /** Effective (chunker, config) for a container under current settings. */
+  private def chunkingFor(containerId: String): (graft.chunk.Chunker, ChunkingConfig) = {
+    val eff = effectiveSettings("chunking", Some(containerId))
+    val c = ChunkingConfig(
+      maxChunkSize = eff("max_chunk_size").toInt,
+      overlap = eff("overlap").toInt,
+      minChunkSize = eff("min_chunk_size").toInt,
+      semanticThreshold = eff("semantic_threshold").toDouble,
+      semanticBufferSize = eff("semantic_buffer_size").toInt,
+      breakpointMethod = eff("breakpoint_method"),
+      breakpointAmount = eff("breakpoint_amount").toDouble,
+      windowSize = eff("sentence_window_size").toInt,
+      prependHeaderPath = eff("prepend_header_path").toBoolean)
+    (graft.chunk.Chunkers.forName(eff("strategy"), embedderFor(containerId)), c)
+  }
+
+  /** The IndexedWith:* stamp a fresh ingest of this container would write —
+    * the settings fingerprint Reindex.classify compares against (T6). */
+  private def stampFor(containerId: String): Map[String, String] = {
+    val ch = effectiveSettings("chunking", Some(containerId))
+    Map(
+      "IndexedWith:Chunker" -> ch("strategy"),
+      "IndexedWith:MaxChunkSize" -> ch("max_chunk_size"),
+      "IndexedWith:Overlap" -> ch("overlap"),
+      "IndexedWith:Model" -> embedderFor(containerId).modelId)
+  }
+
   // ---- documents --------------------------------------------------------
 
   /** upload_file (ref :250): decode (optionally base64), ingest, index.
@@ -237,7 +409,17 @@ final class KnowledgeStore(
   def bulkUpload(
       containerId: String,
       files: Seq[(String, String)],
-      base64: Boolean = false): Seq[String] = {
+      base64: Boolean = false): Seq[String] =
+    bulkUploadBatch(containerId, files, base64)._2
+
+  /** bulk_upload with a BATCH resource id (ref BatchesEndpoints.cs —
+    * bulk-operation job tracking): the returned id keys the progress
+    * ring, so `GET /batches/{id}` answers phase/current/total until the
+    * terminal "ready" event. */
+  def bulkUploadBatch(
+      containerId: String,
+      files: Seq[(String, String)],
+      base64: Boolean = false): (String, Seq[String]) = {
     require(files.length <= MaxBulk, s"bulk_upload limited to $MaxBulk files")
     requireWritable(containerId)
     val docs = files.map { case (path, raw) =>
@@ -268,11 +450,12 @@ final class KnowledgeStore(
     // two same-path entries in one call would otherwise both append and
     // double getDocument/containerStats until the next re-upload
     val lastWins = docs.reverse.distinctBy(_.document_id).reverse
-    appendDocs(lastWins)
-    docs.map(_.document_id)
+    val jobId = appendDocs(lastWins)
+    (jobId, docs.map(_.document_id))
   }
 
-  private def appendDocs(docs: Seq[IndexBuild.RawDoc]): Unit = {
+  /** Returns the progress jobId — the batch resource's id. */
+  private def appendDocs(docs: Seq[IndexBuild.RawDoc]): String = {
     // phase-grained progress (the reference's per-phase broadcast,
     // IngestionPipeline.cs:412-446): one jobId per upsert batch, events
     // at each phase boundary; counts come from already-persisted frames
@@ -313,19 +496,22 @@ final class KnowledgeStore(
       }
     }
     emit("upsert_probe", 0L, s"replaced=${prevGen.size}")
-    val chunker = graft.chunk.Chunkers.forName(chunkerName, embedder)
-    val newChunks = IndexBuild.chunkDocs(ds, chunker, cfg).persist()
+    // chunker/config/embedder resolve through the settings layers at JOB
+    // BUILD time (constructor defaults <- global PUTs <- this container's
+    // overrides) — a settings change applies to the next upload with no
+    // restart, and the IndexedWith stamp below records what was actually
+    // used so Reindex.classify can flag docs indexed under older settings
+    val batchCid = docs.head.container_id
+    val (chunker, effCfg) = chunkingFor(batchCid)
+    val effEmbedder = embedderFor(batchCid)
+    val newChunks = IndexBuild.chunkDocs(ds, chunker, effCfg).persist()
     val vectors = IndexBuild.embedChunks(newChunks,
-      Option(tableOrEmpty(s"$warehouse/embed_cache", null)), embedder)
+      Option(tableOrEmpty(s"$warehouse/embed_cache", null)), effEmbedder)
       .persist() // reused by the cache write-back below without re-embedding
     // same ledger schema as IndexBuild.build (generation + indexed_with
     // settings stamp) so both producers can target one warehouse and
     // Reindex.classify reads API-built ledgers
-    val stamp = Map(
-      "IndexedWith:Chunker" -> chunkerName,
-      "IndexedWith:MaxChunkSize" -> cfg.maxChunkSize.toString,
-      "IndexedWith:Overlap" -> cfg.overlap.toString,
-      "IndexedWith:Model" -> embedder.modelId)
+    val stamp = stampFor(batchCid)
     val genDf = prevGen.toSeq.toDF("document_id", "prev_gen")
     val ledger = newChunks.groupBy($"document_id", $"container_id", $"path")
       .agg(count(lit(1)).cast("int").as("chunk_count"))
@@ -390,6 +576,7 @@ final class KnowledgeStore(
     newChunks.unpersist()
     invalidate()
     emit("ready", total)
+    jobId
   }
 
   /** delete_file (ref :321): drop one document's rows. */
@@ -402,8 +589,18 @@ final class KnowledgeStore(
     * pre-images surface in the change feed); plain mode rewrites the
     * container partition dirs. */
   def bulkDelete(containerId: String, paths: Seq[String]): Unit = {
+    bulkDeleteBatch(containerId, paths); ()
+  }
+
+  /** bulk_delete with a batch resource id (ref BatchesEndpoints.cs), like
+    * [[bulkUploadBatch]]: phase events land in the progress ring under
+    * the returned id. */
+  def bulkDeleteBatch(containerId: String, paths: Seq[String]): String = {
     require(paths.length <= MaxBulk, s"bulk_delete limited to $MaxBulk")
     requireWritable(containerId)
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    progress.onProgress(graft.ingest.ProgressEvent(
+      jobId, "received", 0L, paths.length.toLong, "bulk_delete"))
     val ids = paths.map(p => java.util.UUID.nameUUIDFromBytes(
       s"$containerId:${graft.ingest.PathUtil.normalize(p)}".getBytes("UTF-8")).toString).toSet
     if (txMode) {
@@ -442,6 +639,9 @@ final class KnowledgeStore(
       dropDocRows("ledger", containerId, Nil, ids)
     }
     invalidate()
+    progress.onProgress(graft.ingest.ProgressEvent(
+      jobId, "ready", paths.length.toLong, paths.length.toLong, "bulk_delete"))
+    jobId
   }
 
   /** Distributed, container-scoped document delete: rewrites ONLY the
@@ -606,6 +806,76 @@ final class KnowledgeStore(
       "bytes" -> row.getLong(2), "ready" -> row.getLong(3))
   }
 
+  // ---- settings-driven reindex (ref SettingsEndpoints.cs POST /reindex,
+  // ReindexService.cs; T6) --------------------------------------------------
+
+  /** Classify the container's ledger against the CURRENT effective
+    * settings stamp (Reindex.classify with the warehouse as its own
+    * listing — content is by definition unchanged, so the only actions
+    * are Unchanged / SettingsChanged / Forced). */
+  private def classifyDf(containerId: String, force: Boolean): DataFrame = {
+    val led = ledgerDf
+    if (!led.columns.contains("indexed_with"))
+      return Seq.empty[(String, String, Boolean)]
+        .toDF("document_id", "action", "needs_reindex")
+    val scoped = led.filter(col("container_id") === containerId)
+    graft.ingest.Reindex.classify(
+      scoped,
+      scoped.select(col("document_id"), col("content_hash").as("live_hash")),
+      stampFor(containerId), force)
+  }
+
+  /** Per-action document counts — the check an operator runs after a
+    * settings PUT to see how much of the corpus went stale. */
+  def reindexCheck(containerId: String, force: Boolean = false): Map[String, Long] =
+    classifyDf(containerId, force).groupBy("action").count()
+      .as[(String, Long)].collect().toMap
+
+  /** The settings-change reindex trigger: re-ingests every stale document
+    * under the current effective settings (new chunker/config/embedder,
+    * fresh IndexedWith stamp, generation bump — the same upsert path as an
+    * upload, so readers flip atomically per batch in txMode).
+    *
+    * Document text is reconstructed from the stored chunks (ordered
+    * chunk-content join — ONE Spark job per MaxBulk batch, not a
+    * per-document getDocument loop). Exact for the chunkers whose chunks
+    * tile the document; chunk-boundary newline joins are the documented
+    * approximation (the reference re-reads source bytes from its object
+    * store — this warehouse intentionally does not retain raw uploads).
+    * Returns the number of documents reindexed. */
+  def reindexStale(containerId: String, force: Boolean = false): Int = {
+    requireWritable(containerId)
+    val stale = classifyDf(containerId, force)
+      .filter(col("needs_reindex"))
+      .join(ledgerDf.filter(col("container_id") === containerId)
+        .select("document_id", "path"), Seq("document_id"))
+      .select("document_id", "path").as[(String, String)].collect()
+    if (stale.isEmpty) return 0
+    stale.grouped(MaxBulk).foreach { group =>
+      val ids = group.map(_._1)
+      val texts = chunksDf
+        .filter(col("container_id") === containerId &&
+          col("document_id").isin(ids: _*))
+        .groupBy("document_id")
+        // ordered reconstruction: array_sort on (chunk_index, content)
+        // structs sorts by index, then project content and join
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_index"), col("content")))),
+          x => x.getField("content")), "\n").as("text"))
+        .as[(String, String)].collect().toMap
+      val raws = group.flatMap { case (id, path) =>
+        texts.get(id).map { text =>
+          IndexBuild.RawDoc(
+            document_id = id, container_id = containerId, path = path,
+            file_name = path.substring(path.lastIndexOf('/') + 1),
+            content = text)
+        }
+      }
+      if (raws.nonEmpty) appendDocs(raws.toSeq)
+    }
+    stale.length
+  }
+
   // ---- maintenance ------------------------------------------------------
 
   /** The warehouse's NIGHTLY JOB in one call (the reference runs these as
@@ -695,7 +965,12 @@ final class KnowledgeStore(
   def search(req: SearchRequest, reranker: Option[CrossEncoderProvider] = None): Seq[SearchHit] = {
     require(req.topK >= 1 && req.topK <= MaxTopK, s"topK must be in [1,$MaxTopK]")
     require(req.query.length <= MaxQueryChars, s"query over $MaxQueryChars chars")
-    val hits = HybridSearch.search(index, req, embedder)
+    // the query embeds with the container's EFFECTIVE embedding model so a
+    // settings-driven model change is queryable immediately for re-ingested
+    // docs (the vector leg already model-filters — P4 — so pre-reindex
+    // vectors under the old model simply stop matching until reindexed, or
+    // stay reachable via the keyword leg with crossModelSearch)
+    val hits = HybridSearch.search(index, req, embedderFor(req.containerId))
     reranker match {
       case Some(r) => Reranker.rerank(r, req.query, hits).take(req.topK)
       case None => hits

@@ -206,7 +206,31 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
         "fileId" -> "Document ID (UUID) or virtual path (e.g., '/docs/readme.md')"), Nil),
     ("container_stats",
       "Get container statistics: document counts, chunk count, storage size, and embedding model info.",
-      Seq("containerId" -> "Container ID or name"), Nil))
+      Seq("containerId" -> "Container ID or name"), Nil),
+    // runtime-mutable settings surface (ref SettingsEndpoints.cs exposed
+    // REST-only in the reference; this engine mirrors it onto MCP so an
+    // admin agent can retune chunking/search without a second protocol)
+    ("settings_get",
+      "Get effective settings for a category (chunking, embedding, search, upload, llm). Optionally scoped to one container's override merge.",
+      Seq("category" -> "Settings category: chunking | embedding | search | upload | llm"),
+      Seq("containerId" -> "Optional container ID or name: resolve that container's effective (override-merged) settings")),
+    ("settings_put",
+      "Update settings for a category. 'settings' is a JSON object of key/value pairs; keys are validated. With containerId, writes a per-container override that beats the global value.",
+      Seq("category" -> "Settings category: chunking | embedding | search | upload | llm",
+        "settings" -> "JSON object of settings to store, e.g. {\"max_chunk_size\":\"256\",\"strategy\":\"recursive\"}"),
+      Seq("containerId" -> "Optional container ID or name for a per-container override")),
+    ("settings_reset",
+      "Reset a settings category to its inherited layers (removes the stored entries for the scope).",
+      Seq("category" -> "Settings category to reset"),
+      Seq("containerId" -> "Optional container ID or name: reset only that container's override")),
+    ("reindex_check",
+      "Check which documents were indexed under settings that differ from the current effective settings. Returns per-action counts (Unchanged / SettingsChanged).",
+      Seq("containerId" -> "Container ID or name"),
+      Seq("force" -> "true to classify every document as Forced (full reindex preview)")),
+    ("reindex",
+      "Re-ingest every stale document under the current effective settings (new chunker/config/embedding model, fresh settings stamp). Returns the number reindexed.",
+      Seq("containerId" -> "Container ID or name"),
+      Seq("force" -> "true to reindex all documents regardless of staleness")))
 
   private def toolSchemas: Seq[JsonNode] = toolDefs.map {
     case (name, desc, required, optional) =>
@@ -398,8 +422,63 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
          |Models:
          |$modelLines""".stripMargin
     }
+    case "settings_get" =>
+      val cat = reqStr(args, "category")
+      withOptContainer(args) { cidOpt =>
+        val eff = store.effectiveSettings(cat, cidOpt)
+        val scope = cidOpt.map(c => s"container $c").getOrElse("global")
+        eff.toSeq.sortBy(_._1).map { case (k, v) => s"  $k = $v" }
+          .mkString(s"Effective '$cat' settings ($scope):\n", "\n", "")
+      }
+    case "settings_put" =>
+      val cat = reqStr(args, "category")
+      val node = mapper.readTree(reqStr(args, "settings"))
+      require(node != null && node.isObject, "settings must be a JSON object")
+      val values = {
+        val out = scala.collection.mutable.LinkedHashMap[String, String]()
+        val it = node.fields()
+        while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asText() }
+        out.toMap
+      }
+      withOptContainer(args) { cidOpt =>
+        store.putSettings(cat, values, cidOpt)
+        val scope = cidOpt.map(c => s"container $c").getOrElse("global")
+        s"Updated '$cat' settings ($scope): ${values.size} key(s). " +
+          "The next ingest/search uses them; run reindex_check to see stale documents."
+      }
+    case "settings_reset" =>
+      val cat = reqStr(args, "category")
+      withOptContainer(args) { cidOpt =>
+        store.resetSettings(cat, cidOpt)
+        val scope = cidOpt.map(c => s"container $c").getOrElse("global")
+        s"Reset '$cat' settings ($scope) to inherited values."
+      }
+    case "reindex_check" => withContainer(args) { cid =>
+      val force = optStr(args, "force").contains("true")
+      val counts = store.reindexCheck(cid, force)
+      if (counts.isEmpty) "No documents in this container."
+      else counts.toSeq.sortBy(_._1).map { case (a, n) => s"  $a: $n" }
+        .mkString(s"Reindex check for $cid:\n", "\n", "")
+    }
+    case "reindex" => withContainer(args) { cid =>
+      val force = optStr(args, "force").contains("true")
+      val n = store.reindexStale(cid, force)
+      if (n == 0) "Nothing to reindex — all documents match current settings."
+      else s"Reindexed $n document(s) under current effective settings."
+    }
     case other => throw new IllegalArgumentException(s"unknown tool: $other")
   }
+
+  /** Like withContainer but the containerId argument is optional (the
+    * settings tools operate globally when it is absent). */
+  private def withOptContainer(args: JsonNode)(f: Option[String] => String): String =
+    optStr(args, "containerId") match {
+      case None => f(None)
+      case Some(idOrName) => resolveContainer(idOrName) match {
+        case Some(cid) => f(Some(cid))
+        case None => s"Error: Container '$idOrName' not found."
+      }
+    }
 
   // ---- JSON helpers (same conventions as RestServer) ---------------------
 

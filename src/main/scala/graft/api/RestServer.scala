@@ -42,8 +42,26 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * this is the minimal deployment-facing slice): when set, every
       * route except `GET /health` requires `Authorization: Bearer <key>`
       * — 401 otherwise. Comparison is constant-time
-      * (`MessageDigest.isEqual`). None = open (dev mode, the default). */
-    apiKey: Option[String] = None) {
+      * (`MessageDigest.isEqual`). None = open (dev mode, the default).
+      * Superseded by `keys` when both are given. */
+    apiKey: Option[String] = None,
+    /** NAMED keys with per-container scopes (ref PatService.cs,
+      * AgentEndpoints.cs): when set, bearer tokens resolve through the
+      * registry instead of the single shared `apiKey` — per-route authz
+      * (admin surfaces vs read/write per container), 401 unknown /
+      * revoked / expired, 403 out-of-scope, and admin key CRUD at
+      * `/keys`. */
+    keys: Option[ApiKeyRegistry] = None,
+    /** Append-only audit sink (ref AuditLogger.cs): when set, every
+      * non-GET request and every auth denial records (key, action,
+      * resource, status); admins read it back at `GET /audit`. */
+    audit: Option[AuditLog] = None,
+    /** Token-bucket rate limit per key (or per shared-key/anonymous
+      * principal) across ALL routes except /health (ref
+      * RateLimitingExtensions.cs): None = unlimited; Some(n) = n
+      * requests per minute sustained with a burst of n, 429 +
+      * Retry-After when drained. */
+    requestsPerMinute: Option[Int] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -59,22 +77,114 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val Containers = "/containers".r
   private val Container = "/containers/([^/]+)".r
   private val Sub = "/containers/([^/]+)/([a-z_]+)".r
+  private val SettingsCat = "/settings/([a-z]+)".r
+  private val ContainerSettings = "/containers/([^/]+)/settings/([a-z]+)".r
+  private val KeyId = "/keys/([^/]+)".r
+  private val BatchId = "/batches/([^/]+)".r
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  /** Auth/authz short-circuit: thrown by the guards, answered + audited
+    * in the shared catch. */
+  private final case class Denied(status: Int, msg: String)
+    extends RuntimeException(msg)
+
+  /** Token buckets for the rate limit, keyed by principal (key name, or
+    * the remote address in open/shared-key mode). Refill is continuous:
+    * capacity n, n/60 tokens per second. */
+  private val buckets =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def rateCheck(principal: String): Unit = requestsPerMinute.foreach { n =>
+    val now = System.nanoTime() / 1e9
+    val b = buckets.computeIfAbsent(principal, _ => Array(n.toDouble, now))
+    val ok = b.synchronized {
+      val refilled = math.min(n.toDouble, b(0) + (now - b(1)) * n / 60.0)
+      b(1) = now
+      if (refilled >= 1.0) { b(0) = refilled - 1.0; true }
+      else { b(0) = refilled; false }
+    }
+    if (!ok) throw Denied(429, "rate limit exceeded")
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
+    var principal = "-"
+    var audited = false
+    def auditRec(status: Int, detail: String = ""): Unit = {
+      audited = true
+      audit.foreach(_.record(principal, s"$method $path", path, detail, status))
+    }
     try {
-      if (path != "/health" && !apiKey.forall(key =>
-          Option(ex.getRequestHeaders.getFirst("Authorization"))
-            .filter(_.startsWith("Bearer "))
-            .exists(h => java.security.MessageDigest.isEqual(
-              h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
-              key.getBytes(StandardCharsets.UTF_8))))) {
-        err(ex, 401, "unauthorized"); return
-      }
+      // ---- authn: resolve the caller's scopes --------------------------
+      val scopes: Seq[String] =
+        if (path == "/health") Seq("admin")
+        else keys match {
+          case Some(reg) =>
+            Option(ex.getRequestHeaders.getFirst("Authorization"))
+              .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+              .flatMap(reg.authenticate) match {
+              case Some((name, ss)) => principal = name; ss
+              case None => throw Denied(401, "unauthorized")
+            }
+          case None =>
+            if (!apiKey.forall(key =>
+              Option(ex.getRequestHeaders.getFirst("Authorization"))
+                .filter(_.startsWith("Bearer "))
+                .exists(h => java.security.MessageDigest.isEqual(
+                  h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
+                  key.getBytes(StandardCharsets.UTF_8)))))
+              throw Denied(401, "unauthorized")
+            principal =
+              if (apiKey.isDefined) "shared-key"
+              else String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress)
+            Seq("admin")
+        }
+      if (path != "/health") rateCheck(principal)
+      // ---- authz guards (no-ops without a key registry) ----------------
+      def requireAdmin(): Unit =
+        if (keys.isDefined && !scopes.contains("admin"))
+          throw Denied(403, "admin scope required")
+      def requireScope(action: String, cid: String): Unit =
+        if (!keys.forall(_.allows(scopes, action, cid)))
+          throw Denied(403, s"$action scope required for container $cid")
       (method, path) match {
+        // ---- key management + audit (admin; ref AgentEndpoints.cs) -----
+        case ("POST", "/keys") =>
+          requireAdmin()
+          val reg = keys.getOrElse(throw Denied(404, "no key registry configured"))
+          val b = body(ex)
+          val ss = {
+            val it = node(b, "scopes").elements()
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) out += it.next().asText()
+            out.toSeq
+          }
+          val (id, token) = reg.create(str(b, "name"), ss,
+            optLong(b, "expires_ms").getOrElse(-1L))
+          auditRec(201, s"key_create name=${str(b, "name")} scopes=${ss.mkString(",")}")
+          ok(ex, obj("key_id" -> id, "token" -> token), status = 201)
+        case ("GET", "/keys") =>
+          requireAdmin()
+          val reg = keys.getOrElse(throw Denied(404, "no key registry configured"))
+          ok(ex, arr(reg.list().map { case (id, name, prefix, ss, active) =>
+            obj("key_id" -> id, "name" -> name, "token_prefix" -> prefix,
+              "scopes" -> ss.map(s => s: Any), "active" -> active)
+          }))
+        case ("DELETE", KeyId(id)) =>
+          requireAdmin()
+          val reg = keys.getOrElse(throw Denied(404, "no key registry configured"))
+          if (reg.revoke(id)) { auditRec(204, s"key_revoke $id"); noContent(ex) }
+          else err(ex, 404, s"no active key: $id")
+        case ("GET", "/audit") =>
+          requireAdmin()
+          val log = audit.getOrElse(throw Denied(404, "no audit log configured"))
+          val limit = query(ex).get("limit").map(_.toInt).getOrElse(100)
+          val rows = log.df().limit(limit).collect()
+          ok(ex, arr(rows.toSeq.map(r => obj(
+            "ts_ms" -> r.getLong(0), "key_name" -> r.getString(1),
+            "action" -> r.getString(2), "resource" -> r.getString(3),
+            "detail" -> r.getString(4), "status" -> r.getInt(5)))))
         case ("GET", "/health") => ok(ex, obj("status" -> "ok"))
         case ("GET", "/progress") => progressLog match {
           case Some(log) =>
@@ -84,8 +194,51 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 "detail" -> e.detail, "ts_ms" -> e.tsMs))))
           case None => err(ex, 404, "no progress log configured")
         }
-        case ("POST", "/search") => search(ex)
+        // ---- SSE progress push (ref IngestionHub.cs — the reference's
+        // SignalR broadcast; here Server-Sent Events over the same JDK
+        // server): the client holds the connection and RECEIVES phase
+        // events as the ingest emits them, instead of polling /progress.
+        // `job_id` filters to one ingest job; the stream closes on that
+        // job's terminal "ready" phase, or after `max_ms` (default 30 s —
+        // the handler pool is small, a streamer must not pin a thread
+        // forever; clients reconnect, the ring replays the backlog).
+        case ("GET", "/progress/stream") => progressLog match {
+          case Some(log) =>
+            val q = query(ex)
+            val jobId = q.get("job_id")
+            val deadline = System.currentTimeMillis() +
+              q.get("max_ms").map(_.toLong).getOrElse(30000L)
+            ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+            ex.getResponseHeaders.set("Cache-Control", "no-cache")
+            ex.sendResponseHeaders(200, 0) // chunked: stream until closed
+            val out = ex.getResponseBody
+            var cursor = 0L // replay the ring's backlog, then follow live
+            var open = true
+            try {
+              while (open && System.currentTimeMillis() < deadline) {
+                val batch = log.eventsSince(cursor, waitMs = 250L)
+                // the cursor advances past EVERY fetched event (matching
+                // or not) so filtered-out jobs never re-scan
+                batch.lastOption.foreach { case (seq, _) => cursor = seq + 1 }
+                batch.filter { case (_, e) => jobId.forall(_ == e.jobId) }
+                  .foreach { case (seq, e) =>
+                    val payload = mapper.writeValueAsString(obj(
+                      "job_id" -> e.jobId, "phase" -> e.phase,
+                      "current" -> e.current, "total" -> e.total,
+                      "detail" -> e.detail, "ts_ms" -> e.tsMs))
+                    out.write(s"id: $seq\ndata: $payload\n\n"
+                      .getBytes(StandardCharsets.UTF_8))
+                    out.flush()
+                    if (jobId.contains(e.jobId) && e.phase == "ready") open = false
+                  }
+              }
+            } catch { case _: java.io.IOException => () /* client went away */ }
+            finally ex.close()
+          case None => err(ex, 404, "no progress log configured")
+        }
+        case ("POST", "/search") => search(ex, requireScope)
         case ("POST", "/maintain") =>
+          requireAdmin()
           val b = body(ex)
           val r = store.maintain(
             maxFilesPerTable = optInt(b, "max_files_per_table").getOrElse(64),
@@ -93,20 +246,67 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
               .getOrElse(7L * 24 * 3600 * 1000),
             expireLogHistory = bool(b, "expire_log", default = false))
           ok(ex, obj(r.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*))
-        case ("POST", Containers()) => createContainer(ex)
+        // ---- runtime-mutable settings (ref SettingsEndpoints.cs): GET
+        // returns the EFFECTIVE merge (?stored=true for the raw PUT row),
+        // PUT replaces the scope's stored entries, DELETE resets to the
+        // inherited layers. Container-scoped twins override per container.
+        case ("GET", "/settings") =>
+          requireAdmin()
+          ok(ex, arr(store.listSettingsCategories().map(c => c: Any)))
+        case ("GET", SettingsCat(cat)) =>
+          requireAdmin()
+          val raw = query(ex).get("stored").contains("true")
+          val m = if (raw) store.getSettings(cat) else store.effectiveSettings(cat)
+          ok(ex, obj(m.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*))
+        case ("PUT", SettingsCat(cat)) =>
+          requireAdmin()
+          store.putSettings(cat, settingsBody(ex)); ok(ex, obj("updated" -> cat))
+        case ("DELETE", SettingsCat(cat)) =>
+          requireAdmin()
+          store.resetSettings(cat); noContent(ex)
+        case ("GET", ContainerSettings(id, cat)) =>
+          requireAdmin()
+          val raw = query(ex).get("stored").contains("true")
+          val m = if (raw) store.getSettings(cat, Some(id))
+                  else store.effectiveSettings(cat, Some(id))
+          ok(ex, obj(m.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*))
+        case ("PUT", ContainerSettings(id, cat)) =>
+          requireAdmin()
+          store.putSettings(cat, settingsBody(ex), Some(id))
+          ok(ex, obj("updated" -> cat, "container_id" -> id))
+        case ("DELETE", ContainerSettings(id, cat)) =>
+          requireAdmin()
+          store.resetSettings(cat, Some(id)); noContent(ex)
+        // settings-change reindex surface (ref SettingsEndpoints.cs POST
+        // /reindex + ReindexStateService): check reports per-action counts,
+        // reindex re-ingests the stale set under current settings
+        case ("POST", Sub(id, "reindex_check")) =>
+          requireScope("read", id)
+          val force = optBody(ex).exists(bool(_, "force", default = false))
+          ok(ex, obj(store.reindexCheck(id, force).toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (v: Any) }: _*))
+        case ("POST", Sub(id, "reindex")) =>
+          requireScope("write", id)
+          val force = optBody(ex).exists(bool(_, "force", default = false))
+          ok(ex, obj("reindexed" -> store.reindexStale(id, force)))
+        case ("POST", Containers()) => requireAdmin(); createContainer(ex)
         case ("GET", Containers()) =>
           ok(ex, arr(store.listContainers().map { case (id, name, ct) =>
             obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
           }))
         case ("DELETE", Container(id)) =>
+          requireAdmin()
           store.deleteContainer(id); noContent(ex)
         case ("GET", Sub(id, "stats")) =>
+          requireScope("read", id)
           ok(ex, obj(store.containerStats(id).toSeq.sortBy(_._1): _*))
         case ("GET", Sub(id, "models")) =>
+          requireScope("read", id)
           ok(ex, arr(store.listModels(id).map { case (m, d, n) =>
             obj("model_id" -> m, "dimensions" -> d, "vectors" -> n)
           }))
         case ("GET", Sub(id, "files")) =>
+          requireScope("read", id)
           val q = query(ex)
           ok(ex, arr(store.listFiles(id, q.get("prefix"),
             q.get("offset").map(_.toInt).getOrElse(0),
@@ -115,13 +315,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
               obj("document_id" -> doc, "path" -> p, "chunk_count" -> n)
           }))
         case ("POST", Sub(id, "files")) =>
+          requireScope("write", id)
           val b = body(ex)
           val doc = store.uploadFile(id, str(b, "path"), str(b, "content"),
             base64 = bool(b, "base64", default = false))
           ok(ex, obj("document_id" -> doc), status = 201)
         case ("DELETE", Sub(id, "files")) =>
+          requireScope("write", id)
           store.deleteFile(id, query(ex)("path")); noContent(ex)
         case ("POST", Sub(id, "bulk_upload")) =>
+          requireScope("write", id)
           val b = body(ex)
           val files = node(b, "files").elements()
           val pairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -129,60 +332,104 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             val f = files.next()
             pairs += ((str(f, "path"), str(f, "content")))
           }
-          val ids = store.bulkUpload(id, pairs.toSeq,
+          val (batchId, ids) = store.bulkUploadBatch(id, pairs.toSeq,
             base64 = bool(b, "base64", default = false))
-          ok(ex, obj("document_ids" -> ids), status = 201)
+          ok(ex, obj("document_ids" -> ids, "batch_id" -> batchId), status = 201)
         case ("POST", Sub(id, "bulk_delete")) =>
+          requireScope("write", id)
           val paths = node(body(ex), "paths").elements()
           val ps = scala.collection.mutable.ArrayBuffer[String]()
           while (paths.hasNext) ps += paths.next().asText()
-          store.bulkDelete(id, ps.toSeq); noContent(ex)
+          val batchId = store.bulkDeleteBatch(id, ps.toSeq)
+          ex.getResponseHeaders.set("X-Batch-Id", batchId)
+          noContent(ex)
+        // batch resource (ref BatchesEndpoints.cs): status of a bulk
+        // operation from the progress ring — latest phase event wins
+        case ("GET", BatchId(bid)) => progressLog match {
+          case Some(log) =>
+            log.events(Some(bid)).lastOption match {
+              case Some(e) => ok(ex, obj(
+                "batch_id" -> bid, "phase" -> e.phase,
+                "current" -> e.current, "total" -> e.total,
+                "detail" -> e.detail, "ts_ms" -> e.tsMs,
+                "done" -> (e.phase == "ready")))
+              case None => err(ex, 404, s"no such batch: $bid")
+            }
+          case None => err(ex, 404, "no progress log configured")
+        }
         case ("GET", Sub(id, "document")) =>
+          requireScope("read", id)
           store.getDocument(id, query(ex)("path")) match {
             case Some(content) => ok(ex, obj("content" -> content))
             case None => err(ex, 404, "document not found")
           }
         case ("GET", Sub(id, "folders")) =>
+          requireScope("read", id)
           ok(ex, arr(store.listFolders(id, query(ex).get("prefix")).map(p => p: Any)))
         case ("POST", Sub(id, "folders")) =>
+          requireScope("write", id)
           store.createFolder(id, str(body(ex), "path")); ok(ex, obj(), status = 201)
         case ("DELETE", Sub(id, "folders")) =>
+          requireScope("write", id)
           store.deleteFolder(id, query(ex)("path")); noContent(ex)
         case _ => err(ex, 404, s"no route: $method $path")
       }
+      // mutations audit on success (reads stay out of the log — the
+      // reference audits identity/admin actions, not every search);
+      // handlers that already recorded a richer line skip the generic one
+      if (method != "GET" && path != "/health" && !audited) auditRec(200)
     } catch {
+      case Denied(status, msg) =>
+        auditRec(status, msg)
+        if (status == 429)
+          ex.getResponseHeaders.set("Retry-After", "1")
+        err(ex, status, msg)
+      // NumberFormatException IS-A IllegalArgumentException — match it
+      // first for the clearer client message (non-numeric query params)
+      case e: NumberFormatException =>
+        err(ex, 400, s"not a number: ${e.getMessage}")
       case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
       case e: NoSuchElementException => err(ex, 400, s"missing field: ${e.getMessage}")
       // client-shaped failures are 400s, not server faults: malformed /
-      // empty JSON bodies and non-numeric query-string parameters
+      // empty JSON bodies
       case e: com.fasterxml.jackson.core.JacksonException =>
         err(ex, 400, s"malformed JSON body: ${e.getOriginalMessage}")
-      case e: NumberFormatException =>
-        err(ex, 400, s"not a number: ${e.getMessage}")
       case e: Throwable => err(ex, 500, String.valueOf(e.getMessage))
     }
   }
 
   /** POST /search — the full SearchRequest surface as snake_case JSON. */
-  private def search(ex: HttpExchange): Unit = {
+  private def search(ex: HttpExchange, guard: (String, String) => Unit): Unit = {
     val b = body(ex)
+    val cid = str(b, "container_id")
+    guard("read", cid)
+    // absent request fields fall back to the container's EFFECTIVE search
+    // settings (constructor defaults <- global PUTs <- container override,
+    // ref SearchSettings in SettingsModels.cs applied as request defaults);
+    // an explicit field in the body always wins
+    val eff = store.effectiveSettings("search", Some(cid))
     val req = SearchRequest(
       query = str(b, "query"),
-      containerId = str(b, "container_id"),
-      mode = optStr(b, "mode").getOrElse("hybrid"),
-      topK = optInt(b, "top_k").getOrElse(10),
-      minScore = optDouble(b, "min_score").getOrElse(0.0),
-      alpha = optDouble(b, "alpha").getOrElse(0.5),
-      fusionMethod = optStr(b, "fusion_method").getOrElse("minmax"),
-      autoCut = bool(b, "auto_cut", default = false),
+      containerId = cid,
+      mode = optStr(b, "mode").getOrElse(eff("mode")),
+      topK = optInt(b, "top_k").getOrElse(eff("top_k").toInt),
+      minScore = optDouble(b, "min_score").getOrElse(eff("min_score").toDouble),
+      alpha = optDouble(b, "alpha").getOrElse(eff("alpha").toDouble),
+      fusionMethod = optStr(b, "fusion_method").getOrElse(eff("fusion_method")),
+      autoCut = Option(b.get("auto_cut")).filterNot(_.isNull).map(_.asBoolean())
+        .getOrElse(eff("auto_cut").toBoolean),
       pathPrefix = optStr(b, "path_prefix"),
       documentId = optStr(b, "document_id"),
       modelId = optStr(b, "model_id"),
-      crossModelSearch = bool(b, "cross_model_search", default = false),
-      mmrLambda = optDouble(b, "mmr_lambda"),
-      rankFn = optStr(b, "rank_fn").getOrElse("cover_density"),
-      snippetTokens = optInt(b, "snippet_tokens"),
-      maxsimTokens = optInt(b, "maxsim_tokens"))
+      crossModelSearch = Option(b.get("cross_model_search")).filterNot(_.isNull)
+        .map(_.asBoolean()).getOrElse(eff("cross_model_search").toBoolean),
+      mmrLambda = optDouble(b, "mmr_lambda")
+        .orElse(eff.get("mmr_lambda").map(_.toDouble)),
+      rankFn = optStr(b, "rank_fn").getOrElse(eff("rank_fn")),
+      snippetTokens = optInt(b, "snippet_tokens")
+        .orElse(eff.get("snippet_tokens").map(_.toInt)),
+      maxsimTokens = optInt(b, "maxsim_tokens")
+        .orElse(eff.get("maxsim_tokens").map(_.toInt)))
     val hits = store.search(req)
     ok(ex, obj("hits" -> hits.map(h => obj(
       "chunk_id" -> h.chunk_id, "document_id" -> h.document_id,
@@ -203,6 +450,28 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
 
   private def body(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  /** Body for routes where it is optional (e.g. POST reindex): None when
+    * the request carries no bytes. */
+  private def optBody(ex: HttpExchange): Option[JsonNode] = {
+    val s = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    if (s.isBlank) None else Some(mapper.readTree(s))
+  }
+
+  /** A settings PUT body: a flat JSON object; numbers/booleans stringify
+    * (the store's settings values are string-typed; Settings.validate
+    * re-parses by key). */
+  private def settingsBody(ex: HttpExchange): Map[String, String] = {
+    val b = body(ex)
+    require(b != null && b.isObject, "settings body must be a JSON object")
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    val fields = b.fields()
+    while (fields.hasNext) {
+      val e = fields.next()
+      out += e.getKey -> e.getValue.asText()
+    }
+    out.toMap
+  }
 
   private def node(b: JsonNode, field: String): JsonNode = {
     val n = b.get(field)

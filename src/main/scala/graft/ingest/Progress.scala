@@ -38,17 +38,33 @@ object ProgressListener {
   * polls `/progress` instead of holding a socket; the ring bound keeps a
   * long-lived server's memory flat regardless of ingest volume. */
 final class ProgressLog(capacity: Int = 1024) extends ProgressListener {
-  private val buf = new java.util.ArrayDeque[ProgressEvent]()
+  private val buf = new java.util.ArrayDeque[(Long, ProgressEvent)]()
+  private var nextSeq = 0L
 
   override def onProgress(e: ProgressEvent): Unit = synchronized {
-    buf.addLast(e)
+    buf.addLast((nextSeq, e))
+    nextSeq += 1
     while (buf.size > capacity) buf.removeFirst()
+    notifyAll() // wake blocked eventsSince pollers (the SSE push path)
   }
 
   /** Events in arrival order, optionally filtered to one job. */
   def events(jobId: Option[String] = None): Seq[ProgressEvent] = synchronized {
     import scala.jdk.CollectionConverters._
-    val all = buf.iterator.asScala.toSeq
+    val all = buf.iterator.asScala.map(_._2).toSeq
     jobId.fold(all)(id => all.filter(_.jobId == id))
   }
+
+  /** The next event sequence number — a "from now on" cursor. */
+  def cursor(): Long = synchronized(nextSeq)
+
+  /** Events with sequence >= `from`, tagged with their sequence numbers.
+    * Blocks up to `waitMs` for something new when the slice would be
+    * empty — the SSE endpoint gets push latency without busy-polling. */
+  def eventsSince(from: Long, waitMs: Long = 0L): Seq[(Long, ProgressEvent)] =
+    synchronized {
+      import scala.jdk.CollectionConverters._
+      if (nextSeq <= from && waitMs > 0) this.wait(waitMs)
+      buf.iterator.asScala.filter(_._1 >= from).toSeq
+    }
 }

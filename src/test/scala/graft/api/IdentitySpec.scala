@@ -1,0 +1,259 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The identity slice (ref PatService.cs, AuditLogger.cs,
+  * AgentEndpoints.cs): named keys with per-container scopes, hash-only
+  * storage, revoke/expiry, the REST authz matrix (401 unknown / 403
+  * out-of-scope), admin key CRUD, the append-only audit table, the
+  * token-bucket rate limit (ref RateLimitingExtensions.cs), SSE progress
+  * push (ref IngestionHub.cs), and the batch resource
+  * (ref BatchesEndpoints.cs). */
+class ApiKeyRegistrySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft-keys").toString
+  private lazy val reg = new ApiKeyRegistry(spark, wh)
+
+  test("create returns the token once; only its hash is stored") {
+    val (id, token) = reg.create("ci-bot", Seq("read:c1", "write:c2"))
+    assert(token.startsWith("gft_") && token.length > 20)
+    assert(reg.authenticate(token).contains(("ci-bot", Seq("read:c1", "write:c2"))))
+    assert(reg.authenticate("gft_nope").isEmpty)
+    // the raw token appears NOWHERE in the stored table
+    val stored = spark.read.parquet(s"$wh/api_keys").collect().mkString
+    assert(!stored.contains(token))
+    assert(stored.contains(token.take(12))) // the display prefix does
+    assert(id.nonEmpty)
+  }
+
+  test("revoke tombstones; expiry gates; names stay unique among active keys") {
+    val (id, token) = reg.create("temp", Seq("admin"))
+    assertThrows[IllegalArgumentException](reg.create("temp", Seq("admin")))
+    assert(reg.revoke(id))
+    assert(!reg.revoke(id)) // already revoked
+    assert(reg.authenticate(token).isEmpty, "revoked key must not authenticate")
+    reg.create("temp", Seq("admin")) // name free again after revoke
+    val (_, expired) = reg.create("old",
+      Seq("admin"), expiresMs = System.currentTimeMillis() - 1000)
+    assert(reg.authenticate(expired).isEmpty, "expired key must not authenticate")
+  }
+
+  test("scope grammar validated; allows() implements the matrix") {
+    assertThrows[IllegalArgumentException](reg.create("bad", Seq("root")))
+    assertThrows[IllegalArgumentException](reg.create("bad", Seq("read:")))
+    assertThrows[IllegalArgumentException](reg.create("bad", Nil))
+    assert(reg.allows(Seq("admin"), "write", "anything"))
+    assert(reg.allows(Seq("read:c1"), "read", "c1"))
+    assert(!reg.allows(Seq("read:c1"), "write", "c1"))
+    assert(!reg.allows(Seq("read:c1"), "read", "c2"))
+    assert(reg.allows(Seq("write:c1"), "read", "c1")) // write implies read
+    assert(reg.allows(Seq("write:*"), "write", "c9"))
+    assert(!reg.allows(Seq("read:*"), "write", "c9"))
+  }
+
+  test("registry survives a reopen (hash table on disk)") {
+    val (_, token) = reg.create("durable", Seq("read:*"))
+    val reopened = new ApiKeyRegistry(spark, wh)
+    assert(reopened.authenticate(token).map(_._1).contains("durable"))
+  }
+}
+
+class IdentityRestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-authz").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+    progress = progressLog)
+  private lazy val progressLog = new graft.ingest.ProgressLog()
+  private lazy val reg = new ApiKeyRegistry(spark, wh)
+  private lazy val auditLog = new AuditLog(spark, wh, flushAt = 1000)
+  private lazy val (server, base) = {
+    val s = new RestServer(store, progressLog = Some(progressLog),
+      keys = Some(reg), audit = Some(auditLog))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  // minted in the first test, used by the matrix
+  private var adminToken: String = _
+  private var cidA: String = _
+  private var cidB: String = _
+  private var readAToken: String = _
+  private var writeBToken: String = _
+
+  test("admin bootstraps: containers + scoped keys over REST; health stays open") {
+    assert(http("GET", "/health")._1 == 200) // no auth needed
+    assert(http("GET", "/containers")._1 == 401) // everything else is
+    adminToken = reg.create("root", Seq("admin"))._2
+    val a = http("POST", "/containers", """{"name": "team-a"}""", adminToken)
+    val b = http("POST", "/containers", """{"name": "team-b"}""", adminToken)
+    assert(a._1 == 201 && b._1 == 201)
+    cidA = a._2.get("container_id").asText()
+    cidB = b._2.get("container_id").asText()
+    val kA = http("POST", "/keys",
+      s"""{"name": "reader-a", "scopes": ["read:$cidA"]}""", adminToken)
+    assert(kA._1 == 201 && kA._2.get("token").asText().startsWith("gft_"))
+    readAToken = kA._2.get("token").asText()
+    writeBToken = http("POST", "/keys",
+      s"""{"name": "writer-b", "scopes": ["write:$cidB"]}""", adminToken)
+      ._2.get("token").asText()
+    // key listing shows prefixes, never tokens
+    val list = http("GET", "/keys", bearer = adminToken)._2
+    assert(list.size() == 3)
+    assert((0 until list.size()).forall(i => !list.get(i).has("token")))
+  }
+
+  test("authz matrix: scoped keys reach their container, 401/403 elsewhere") {
+    // seed content as admin
+    assert(http("POST", s"/containers/$cidA/files",
+      """{"path": "/a.txt", "content": "alpha container knowledge notes."}""",
+      adminToken)._1 == 201)
+    // reader-a: read A ok; write A 403; anything B 403; admin surface 403
+    assert(http("GET", s"/containers/$cidA/files", bearer = readAToken)._1 == 200)
+    assert(http("POST", "/search",
+      s"""{"query": "alpha", "container_id": "$cidA"}""", readAToken)._1 == 200)
+    assert(http("POST", s"/containers/$cidA/files",
+      """{"path": "/x.txt", "content": "nope"}""", readAToken)._1 == 403)
+    assert(http("GET", s"/containers/$cidB/files", bearer = readAToken)._1 == 403)
+    assert(http("POST", "/search",
+      s"""{"query": "alpha", "container_id": "$cidB"}""", readAToken)._1 == 403)
+    assert(http("PUT", "/settings/chunking", """{"overlap": "2"}""",
+      readAToken)._1 == 403)
+    assert(http("POST", "/keys",
+      """{"name": "sneaky", "scopes": ["admin"]}""", readAToken)._1 == 403)
+    // writer-b: write B ok (write implies read); container A 403
+    assert(http("POST", s"/containers/$cidB/files",
+      """{"path": "/b.txt", "content": "bravo container notes."}""",
+      writeBToken)._1 == 201)
+    assert(http("GET", s"/containers/$cidB/files", bearer = writeBToken)._1 == 200)
+    assert(http("GET", s"/containers/$cidA/files", bearer = writeBToken)._1 == 403)
+    // unknown + revoked tokens are 401, not 403
+    assert(http("GET", s"/containers/$cidA/files", bearer = "gft_bogus")._1 == 401)
+    val (kid, shortLived) = reg.create("gone", Seq(s"read:$cidA"))
+    assert(http("GET", s"/containers/$cidA/files", bearer = shortLived)._1 == 200)
+    reg.revoke(kid)
+    assert(http("GET", s"/containers/$cidA/files", bearer = shortLived)._1 == 401)
+  }
+
+  test("audit log records key CRUD, mutations, and denials; admin reads it back") {
+    val (st, rows) = http("GET", "/audit?limit=500", bearer = adminToken)
+    assert(st == 200 && rows.size() > 0)
+    val lines = (0 until rows.size()).map(rows.get(_))
+    def has(key: String, status: Int, actionPart: String) = lines.exists(r =>
+      r.get("key_name").asText() == key && r.get("status").asInt() == status &&
+        r.get("action").asText().contains(actionPart))
+    assert(has("root", 201, "POST /keys"), "key creation must audit")
+    assert(has("reader-a", 403, "POST /search") ||
+      has("reader-a", 403, s"POST /containers/$cidA/files"),
+      "denials must audit with the denied key's name")
+    assert(has("writer-b", 200, s"POST /containers/$cidB/files") ||
+      has("writer-b", 201, s"POST /containers/$cidB/files") ||
+      lines.exists(r => r.get("key_name").asText() == "writer-b" &&
+        r.get("status").asInt() == 200),
+      "successful mutations must audit")
+    // audit is admin-only
+    assert(http("GET", "/audit", bearer = readAToken)._1 == 403)
+  }
+
+  test("SSE progress stream pushes phase events; batch resource reports status") {
+    // live push: hold the stream open (all jobs), upload mid-stream,
+    // then assert the stream carried the upload's phases
+    val streamFut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      val conn = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base/progress/stream?max_ms=8000"))
+        .header("Authorization", s"Bearer $adminToken").GET().build()
+      client.send(conn, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    }
+    Thread.sleep(500) // stream established
+    val up = http("POST", s"/containers/$cidB/bulk_upload",
+      """{"files": [{"path": "/sse.txt", "content": "server sent events carry ingest phases."}]}""",
+      writeBToken)
+    assert(up._1 == 201)
+    val batchId = up._2.get("batch_id").asText()
+    assert(batchId.nonEmpty)
+    val body = streamFut.get(15, java.util.concurrent.TimeUnit.SECONDS)
+    assert(body.contains("data: "), s"SSE frames expected, got: ${body.take(200)}")
+    assert(body.contains(batchId) && body.contains("\"phase\":\"ready\""),
+      s"the upload's phases must arrive on the stream: ${body.take(400)}")
+    // batch resource: terminal state from the ring
+    val (bSt, bJ) = http("GET", s"/batches/$batchId", bearer = adminToken)
+    assert(bSt == 200 && bJ.get("done").asBoolean() &&
+      bJ.get("phase").asText() == "ready", bJ.toString)
+    assert(http("GET", "/batches/nope", bearer = adminToken)._1 == 404)
+    // job-scoped replay: a stream opened AFTER completion replays the
+    // backlog and closes itself on the terminal event (raw SSE text,
+    // not JSON — and it must return well before max_ms)
+    val replayReq = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(s"$base/progress/stream?job_id=$batchId&max_ms=30000"))
+      .header("Authorization", s"Bearer $adminToken").GET().build()
+    val t0 = System.currentTimeMillis()
+    val replay = client.send(replayReq,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(replay.statusCode() == 200)
+    assert(replay.body().contains("\"phase\":\"ready\""), replay.body().take(300))
+    assert(System.currentTimeMillis() - t0 < 10000,
+      "replay must close on the terminal event, not run to max_ms")
+    // bulk_delete carries its batch id in the response header
+    val delReq = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(s"$base/containers/$cidB/bulk_delete"))
+      .header("Authorization", s"Bearer $writeBToken")
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        """{"paths": ["/sse.txt"]}""")).build()
+    val delResp = client.send(delReq,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(delResp.statusCode() == 204)
+    val delBatch = delResp.headers().firstValue("X-Batch-Id").orElse("")
+    assert(delBatch.nonEmpty)
+    val (dSt, dJ) = http("GET", s"/batches/$delBatch", bearer = adminToken)
+    assert(dSt == 200 && dJ.get("done").asBoolean(), dJ.toString)
+  }
+
+  test("token-bucket rate limit: burst over the cap answers 429 + Retry-After") {
+    val limited = new RestServer(store, keys = Some(reg),
+      requestsPerMinute = Some(3))
+    val lBase = s"http://127.0.0.1:${limited.start()}"
+    try {
+      def hit(): Int = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$lBase/containers"))
+          .header("Authorization", s"Bearer $adminToken").GET().build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      val statuses = (1 to 5).map(_ => hit())
+      assert(statuses.take(3).forall(_ == 200), statuses.toString)
+      assert(statuses.drop(3).contains(429), statuses.toString)
+      // health is never limited; other principals have their own bucket
+      assert((1 to 10).map(_ => http("GET", "/health")._1).forall(_ == 200))
+      val req429 = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$lBase/containers"))
+        .header("Authorization", s"Bearer $adminToken").GET().build()
+      val resp = client.send(req429,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 429)
+        assert(resp.headers().firstValue("Retry-After").isPresent)
+    } finally limited.stop()
+  }
+}

@@ -5,7 +5,7 @@ import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The MCP protocol surface end-to-end over real HTTP: JSON-RPC
-  * initialize → tools/list → tools/call for every one of the 11 tools
+  * initialize → tools/list → tools/call for every tool (the reference's 11 + the settings/reindex surface)
   * (the reference's McpDiscoveryTests + per-tool test classes), plus the
   * AllowAnonymousDiscovery auth matrix. Tool responses are checked
   * against the SAME KnowledgeStore calls the REST surface pins, so both
@@ -71,7 +71,7 @@ class McpServerSpec extends AnyFunSuite {
     (r.get("isError").asBoolean(), r.get("content").get(0).get("text").asText())
   }
 
-  test("MCP lifecycle: initialize returns a session; tools/list exposes all 11 tools") {
+  test("MCP lifecycle: initialize returns a session; tools/list exposes all 16 tools") {
     val (st, j, sid) = rpc(base, "initialize",
       """{"protocolVersion": "2025-06-18", "capabilities": {},
           "clientInfo": {"name": "spec", "version": "1.0"}}""")
@@ -95,7 +95,9 @@ class McpServerSpec extends AnyFunSuite {
     val names = (0 until tools.size).map(tools.get(_).get("name").asText()).toSet
     assert(names == Set("container_create", "container_list", "container_delete",
       "search_knowledge", "list_files", "upload_file", "delete_file",
-      "bulk_delete", "bulk_upload", "get_document", "container_stats"),
+      "bulk_delete", "bulk_upload", "get_document", "container_stats",
+      "settings_get", "settings_put", "settings_reset",
+      "reindex_check", "reindex"),
       s"tool set mismatch: $names")
     // every tool carries a JSON-Schema input with required args
     (0 until tools.size).foreach { i =>
@@ -108,7 +110,7 @@ class McpServerSpec extends AnyFunSuite {
     assert(uJ.get("error").get("code").asInt() == -32601)
   }
 
-  test("all 11 tools over the wire; responses match the KnowledgeStore engine") {
+  test("all tools over the wire; responses match the KnowledgeStore engine") {
     // container_create (+ name validation in-band)
     val (e0, bad) = call(base, "container_create", """{"name": "Bad Name!"}""")
     assert(e0 && bad.toLowerCase.contains("name"))
@@ -192,6 +194,48 @@ class McpServerSpec extends AnyFunSuite {
     assert(gone.contains("not found"))
   }
 
+  test("settings + reindex tools over the wire (ref SettingsEndpoints.cs mirrored onto MCP)") {
+    val (e0, _) = call(base, "container_create", """{"name": "mcp-settings"}""")
+    assert(!e0)
+    val cid = store.listContainers().collectFirst {
+      case (id, "mcp-settings", _) => id }.get
+    // settings_get (global effective) shows the constructor layer
+    val (e1, got) = call(base, "settings_get", """{"category": "chunking"}""")
+    assert(!e1 && got.contains("max_chunk_size = 40"), got)
+    // settings_put validates and applies; container override by NAME
+    val (e2, put) = call(base, "settings_put",
+      """{"category": "chunking", "settings": "{\"max_chunk_size\":\"16\",\"overlap\":\"2\",\"min_chunk_size\":\"2\"}"}""")
+    assert(!e2 && put.contains("3 key(s)"), put)
+    val (e3, scoped) = call(base, "settings_put",
+      """{"category": "chunking", "containerId": "mcp-settings", "settings": "{\"max_chunk_size\":\"12\"}"}""")
+    assert(!e3 && scoped.contains("container"), scoped)
+    val (e4, eff) = call(base, "settings_get",
+      """{"category": "chunking", "containerId": "mcp-settings"}""")
+    assert(!e4 && eff.contains("max_chunk_size = 12"), eff)
+    val (eBad, bad) = call(base, "settings_put",
+      """{"category": "chunking", "settings": "{\"max_chunk_size\":\"soup\"}"}""")
+    assert(eBad && bad.contains("integer"), bad)
+    // ingest under the override, then flip settings -> reindex_check flags
+    val (e5, _) = call(base, "upload_file",
+      """{"containerId": "mcp-settings", "fileName": "s.txt",
+          "textContent": "settings driven chunking reindex verification text that goes on for a while to produce several chunks."}""")
+    assert(!e5)
+    val (e6, rc0) = call(base, "reindex_check", """{"containerId": "mcp-settings"}""")
+    assert(!e6 && rc0.contains("Unchanged: 1"), rc0)
+    val (e7, _) = call(base, "settings_reset",
+      """{"category": "chunking", "containerId": "mcp-settings"}""")
+    assert(!e7)
+    val (e8, rc1) = call(base, "reindex_check", """{"containerId": "mcp-settings"}""")
+    assert(!e8 && rc1.contains("SettingsChanged: 1"), rc1)
+    val (e9, ri) = call(base, "reindex", """{"containerId": "mcp-settings"}""")
+    assert(!e9 && ri.contains("Reindexed 1"), ri)
+    val (e10, rc2) = call(base, "reindex_check", """{"containerId": "mcp-settings"}""")
+    assert(!e10 && rc2.contains("Unchanged: 1"), rc2)
+    // cleanup: global chunking reset so later suites see constructor cfg
+    call(base, "settings_reset", """{"category": "chunking"}""")
+    call(base, "container_delete", """{"containerId": "mcp-settings"}""")
+  }
+
   test("auth matrix: AllowAnonymousDiscovery gates discovery vs tools/call (ref McpDiscoveryTests)") {
     // default config (discovery OFF) + apiKey: unauthenticated initialize -> 401
     val locked = new McpServer(store, apiKey = Some("sekret"))
@@ -214,7 +258,7 @@ class McpServerSpec extends AnyFunSuite {
       val anonSid = initSession(anonUrl)
       assert(anonSid.nonEmpty)
       val (lSt, lJ, _) = rpc(anonUrl, "tools/list", session = anonSid)
-      assert(lSt == 200 && lJ.get("result").get("tools").size == 11)
+      assert(lSt == 200 && lJ.get("result").get("tools").size == 16)
       val (isErr, txt) = call(anonUrl, "container_list", "{}", session = anonSid)
       assert(isErr && txt.contains("Authentication required"), txt)
       // the authenticated agent succeeds

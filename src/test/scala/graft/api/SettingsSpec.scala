@@ -1,0 +1,263 @@
+package graft.api
+
+import graft.TestSpark
+import graft.model.SearchRequest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime-mutable settings (ref SettingsEndpoints.cs, SettingsModels.cs,
+  * ContainerSettingsResolver.cs; SURVEY §1.3 per-container override merge):
+  * PUT settings → the NEXT ingest uses them with no restart → the
+  * IndexedWith stamp records them → reindex_check flags documents indexed
+  * under older settings → reindex re-ingests the stale set. Covers the
+  * resolution order (constructor defaults <- global <- container), strict
+  * validation, the embedding-model swap, and the REST surface.
+  */
+class SettingsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft-settings").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+  private lazy val cidA = store.createContainer("settings-a")
+  private lazy val cidB = store.createContainer("settings-b")
+
+  private val text = ("The quick brown fox jumps over the lazy dog. " * 30).trim
+
+  private def stampOf(cid: String, path: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$wh/ledger")
+      .filter(col("container_id") === cid && col("path") === path)
+      .select("indexed_with")
+      .collect().head.getMap[String, String](0).toMap
+  }
+
+  private def maxTokens(cid: String, path: String): Int = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$wh/chunks")
+      .filter(col("container_id") === cid && col("path") === path)
+      .select("token_count")
+      .collect().map(_.getInt(0)).max
+  }
+
+  test("effective settings resolve constructor defaults before any PUT") {
+    val eff = store.effectiveSettings("chunking", Some(cidA))
+    assert(eff("strategy") == "recursive")
+    assert(eff("max_chunk_size") == "40") // the constructor cfg, not 512
+    assert(store.getSettings("chunking").isEmpty) // nothing stored yet
+    assert(store.listSettingsCategories().isEmpty)
+  }
+
+  test("PUT chunking settings -> next ingest uses them and stamps them") {
+    store.uploadFile(cidA, "/docs/before.txt", text)
+    assert(stampOf(cidA, "/docs/before.txt")("IndexedWith:MaxChunkSize") == "40")
+    assert(maxTokens(cidA, "/docs/before.txt") <= 40)
+
+    store.putSettings("chunking",
+      Map("strategy" -> "fixedsize", "max_chunk_size" -> "16", "overlap" -> "2",
+        "min_chunk_size" -> "2"))
+    assert(store.listSettingsCategories() == Seq("chunking"))
+    assert(store.effectiveSettings("chunking", Some(cidA))("max_chunk_size") == "16")
+    // unset keys still resolve through the constructor layer
+    assert(store.effectiveSettings("chunking", Some(cidA))("breakpoint_method") == "percentile")
+
+    store.uploadFile(cidA, "/docs/after.txt", text)
+    val stamp = stampOf(cidA, "/docs/after.txt")
+    assert(stamp("IndexedWith:MaxChunkSize") == "16")
+    assert(stamp("IndexedWith:Chunker") == "fixedsize")
+    assert(maxTokens(cidA, "/docs/after.txt") <= 16)
+  }
+
+  test("per-container override beats global; other containers track global") {
+    store.putSettings("chunking", Map("max_chunk_size" -> "24"), Some(cidB))
+    // B: container override wins; global PUT supplies the strategy
+    val effB = store.effectiveSettings("chunking", Some(cidB))
+    assert(effB("max_chunk_size") == "24" && effB("strategy") == "fixedsize")
+    // A: untouched by B's override
+    assert(store.effectiveSettings("chunking", Some(cidA))("max_chunk_size") == "16")
+
+    store.uploadFile(cidB, "/docs/b.txt", text)
+    assert(stampOf(cidB, "/docs/b.txt")("IndexedWith:MaxChunkSize") == "24")
+    assert(maxTokens(cidB, "/docs/b.txt") <= 24)
+  }
+
+  test("reindex_check flags documents indexed under older settings (T6)") {
+    val counts = store.reindexCheck(cidA)
+    // before.txt carries the 40-token stamp -> SettingsChanged;
+    // after.txt was ingested under the current settings -> Unchanged
+    assert(counts.getOrElse("SettingsChanged", 0L) == 1L, counts.toString)
+    assert(counts.getOrElse("Unchanged", 0L) == 1L, counts.toString)
+    // force previews a full rebuild
+    val forced = store.reindexCheck(cidA, force = true)
+    assert(forced.getOrElse("Forced", 0L) == 2L)
+  }
+
+  test("reindex re-ingests the stale set under current settings") {
+    assert(store.reindexStale(cidA) == 1)
+    assert(stampOf(cidA, "/docs/before.txt")("IndexedWith:MaxChunkSize") == "16")
+    assert(maxTokens(cidA, "/docs/before.txt") <= 16)
+    val counts = store.reindexCheck(cidA)
+    assert(counts.getOrElse("SettingsChanged", 0L) == 0L, counts.toString)
+    assert(counts.getOrElse("Unchanged", 0L) == 2L, counts.toString)
+    // generation bumped by the upsert path
+    import org.apache.spark.sql.functions.col
+    val gen = spark.read.parquet(s"$wh/ledger")
+      .filter(col("container_id") === cidA && col("path") === "/docs/before.txt")
+      .select("generation").collect().head.getInt(0)
+    assert(gen == 2)
+    // idempotent: nothing left to do
+    assert(store.reindexStale(cidA) == 0)
+  }
+
+  test("embedding model change re-embeds on reindex; search follows") {
+    store.putSettings("embedding", Map("model" -> "hash-128-v1"))
+    // both docs' stamps now stale on IndexedWith:Model
+    val counts = store.reindexCheck(cidA)
+    assert(counts.getOrElse("SettingsChanged", 0L) == 2L, counts.toString)
+    assert(store.reindexStale(cidA) == 2)
+    import org.apache.spark.sql.functions.col
+    val dims = spark.read.parquet(s"$wh/vectors")
+      .filter(col("container_id") === cidA)
+      .groupBy("model_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dims.keySet.contains("hash-128-v1"), dims.toString)
+    // the query embeds with the effective model, so fresh vectors match
+    val hits = store.search(SearchRequest("quick brown fox", cidA, topK = 3))
+    assert(hits.nonEmpty)
+    // an unconstructible provider model fails fast at ingest, not silently
+    store.putSettings("embedding", Map("model" -> "text-embedding-3-small"))
+    assertThrows[IllegalArgumentException](
+      store.uploadFile(cidA, "/docs/fail.txt", text))
+    store.resetSettings("embedding")
+  }
+
+  test("reset returns a scope to its inherited layers") {
+    store.resetSettings("chunking", Some(cidB))
+    assert(store.effectiveSettings("chunking", Some(cidB))("max_chunk_size") == "16")
+    store.resetSettings("chunking")
+    assert(store.effectiveSettings("chunking", Some(cidB))("max_chunk_size") == "40")
+    assert(store.listSettingsCategories().isEmpty)
+  }
+
+  test("validation rejects unknown categories, keys, and bad values") {
+    assertThrows[IllegalArgumentException](
+      store.putSettings("nope", Map("a" -> "b")))
+    assertThrows[IllegalArgumentException](
+      store.putSettings("chunking", Map("max_chunksize" -> "32"))) // typo'd key
+    assertThrows[IllegalArgumentException](
+      store.putSettings("chunking", Map("max_chunk_size" -> "lots")))
+    assertThrows[IllegalArgumentException](
+      store.putSettings("chunking", Map("strategy" -> "quantum")))
+    assertThrows[IllegalArgumentException](
+      store.putSettings("search", Map("auto_cut" -> "yes")))
+    assertThrows[IllegalArgumentException](
+      store.putSettings("chunking", Map("overlap" -> "3"), Some("no-such-cid")))
+  }
+
+  test("settings survive a fresh KnowledgeStore over the same warehouse") {
+    store.putSettings("chunking", Map("max_chunk_size" -> "32"))
+    val reopened = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    assert(reopened.effectiveSettings("chunking")("max_chunk_size") == "32")
+    assert(reopened.getSettings("chunking") == Map("max_chunk_size" -> "32"))
+    store.resetSettings("chunking")
+  }
+}
+
+/** The REST settings surface over real HTTP (ref SettingsEndpoints.cs
+  * routing): GET effective vs ?stored=true, PUT validation errors as 400,
+  * container-scoped routes, reindex_check/reindex, and search falling back
+  * to effective search settings for absent fields. */
+class SettingsRestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-settings-rest").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+  private lazy val (server, base) = {
+    val s = new RestServer(store)
+    val port = s.start()
+    (s, s"http://127.0.0.1:$port")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null)
+      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  test("settings lifecycle over HTTP: PUT -> GET effective/stored -> DELETE") {
+    val (cSt, cJ) = http("POST", "/containers", """{"name": "rest-settings"}""")
+    assert(cSt == 201)
+    val cid = cJ.get("container_id").asText()
+
+    // numbers in the JSON body stringify into the store
+    val (pSt, _) = http("PUT", "/settings/chunking",
+      """{"max_chunk_size": 20, "overlap": 2, "min_chunk_size": 2}""")
+    assert(pSt == 200)
+    val (gSt, gJ) = http("GET", "/settings/chunking")
+    assert(gSt == 200 && gJ.get("max_chunk_size").asText() == "20")
+    assert(gJ.get("strategy").asText() == "recursive") // constructor layer
+    val (rawSt, rawJ) = http("GET", "/settings/chunking?stored=true")
+    assert(rawSt == 200 && !rawJ.has("strategy") &&
+      rawJ.get("max_chunk_size").asText() == "20")
+    val (catSt, catJ) = http("GET", "/settings")
+    assert(catSt == 200 && catJ.get(0).asText() == "chunking")
+
+    // container override + scoped GET
+    val (oSt, _) = http("PUT", s"/containers/$cid/settings/chunking",
+      """{"max_chunk_size": 12}""")
+    assert(oSt == 200)
+    val (eSt, eJ) = http("GET", s"/containers/$cid/settings/chunking")
+    assert(eSt == 200 && eJ.get("max_chunk_size").asText() == "12")
+
+    // ingest honors the override; reindex surface over HTTP
+    val (uSt, _) = http("POST", s"/containers/$cid/files",
+      s"""{"path": "/a.txt", "content": "${"alpha beta gamma delta. " * 20}"}""")
+    assert(uSt == 201)
+    val (dSt, _) = http("DELETE", s"/containers/$cid/settings/chunking")
+    assert(dSt == 204)
+    val (rcSt, rcJ) = http("POST", s"/containers/$cid/reindex_check")
+    assert(rcSt == 200 && rcJ.get("SettingsChanged").asLong() == 1L, rcJ.toString)
+    val (riSt, riJ) = http("POST", s"/containers/$cid/reindex")
+    assert(riSt == 200 && riJ.get("reindexed").asInt() == 1)
+    val (rc2St, rc2J) = http("POST", s"/containers/$cid/reindex_check")
+    assert(rc2St == 200 && rc2J.get("Unchanged").asLong() == 1L, rc2J.toString)
+
+    // validation errors surface as 400 with a message
+    val (badSt, badJ) = http("PUT", "/settings/chunking", """{"max_chunk_size": "soup"}""")
+    assert(badSt == 400 && badJ.get("error").asText().contains("integer"))
+    val (catBadSt, _) = http("PUT", "/settings/quantum", """{"a": "b"}""")
+    assert(catBadSt == 400)
+    val (notObjSt, _) = http("PUT", "/settings/chunking", """[1,2]""")
+    assert(notObjSt == 400)
+  }
+
+  test("search falls back to effective search settings for absent fields") {
+    val cid = store.listContainers().head._1
+    (1 to 6).foreach(i => store.uploadFile(cid, s"/s/doc$i.txt",
+      s"fusion ranking notes $i: vector and keyword scores blend by alpha weight."))
+    val (pSt, _) = http("PUT", "/settings/search", """{"top_k": 2}""")
+    assert(pSt == 200)
+    val (sSt, sJ) = http("POST", "/search",
+      s"""{"query": "fusion ranking", "container_id": "$cid"}""")
+    assert(sSt == 200 && sJ.get("hits").size() == 2, sJ.toString)
+    // explicit body field still wins
+    val (s2St, s2J) = http("POST", "/search",
+      s"""{"query": "fusion ranking", "container_id": "$cid", "top_k": 4}""")
+    assert(s2St == 200 && s2J.get("hits").size() == 4, s2J.toString)
+    http("DELETE", "/settings/search")
+    server // keep referenced
+  }
+}
