@@ -136,6 +136,27 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
   def isAdmin(scopes: Seq[String]): Boolean = scopes.contains("admin")
 }
 
+/** Token-bucket rate limiter shared by both serving surfaces (ref
+  * RateLimitingExtensions.cs): capacity `perMinute` with continuous
+  * refill at `perMinute`/60 per second, one bucket per principal. */
+final class RateLimiter(perMinute: Int) {
+  private val buckets =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** Take one token; false = drained (answer 429 + Retry-After). */
+  def tryAcquire(principal: String): Boolean = {
+    val now = System.nanoTime() / 1e9
+    val b = buckets.computeIfAbsent(principal, _ => Array(perMinute.toDouble, now))
+    b.synchronized {
+      val refilled = math.min(perMinute.toDouble,
+        b(0) + (now - b(1)) * perMinute / 60.0)
+      b(1) = now
+      if (refilled >= 1.0) { b(0) = refilled - 1.0; true }
+      else { b(0) = refilled; false }
+    }
+  }
+}
+
 /** Append-only audit table (ref AuditLogger.cs). Events buffer in memory
   * and flush as ONE parquet append per window (`flushAt` events or an
   * explicit [[flush]]) — never a Spark job per request, never fails the

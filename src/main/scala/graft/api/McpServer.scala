@@ -40,7 +40,21 @@ import java.nio.charset.StandardCharsets
   */
 final class McpServer(store: KnowledgeStore, port: Int = 0,
     apiKey: Option[String] = None,
-    allowAnonymousDiscovery: Boolean = false) {
+    allowAnonymousDiscovery: Boolean = false,
+    /** NAMED keys with per-container scopes (the same registry RestServer
+      * takes, ref PatService.cs): when set, bearer tokens resolve through
+      * it instead of the shared `apiKey`, and tools/call enforces
+      * per-tool scopes — read tools need `read:<cid>`, mutating tools
+      * `write:<cid>`, container/settings administration `admin` — with
+      * failures answered IN-BAND (isError, the MCP tool-error shape),
+      * like every other tool failure. */
+    keys: Option[ApiKeyRegistry] = None,
+    /** Audit sink shared with REST: every tools/call records
+      * (key, tool, container, isError). */
+    audit: Option[AuditLog] = None,
+    /** Token-bucket rate limit per key principal (429 + Retry-After),
+      * shared semantics with RestServer. */
+    requestsPerMinute: Option[Int] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -79,7 +93,24 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
       val id = Option(body.get("id")).filterNot(_.isNull)
       val method = Option(body.get("method")).map(_.asText()).getOrElse("")
       val params = Option(body.get("params")).getOrElse(mapper.createObjectNode())
-      val authed = apiKey.forall(bearerMatches(ex, _))
+      // registry mode: the bearer resolves to (name, scopes); shared-key
+      // mode: a match grants the admin scope (pre-registry behavior)
+      val resolved: Option[(String, Seq[String])] = keys match {
+        case Some(reg) =>
+          Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+            .flatMap(reg.authenticate)
+        case None =>
+          if (apiKey.forall(bearerMatches(ex, _)))
+            Some((apiKey.fold("-")(_ => "shared-key"), Seq("admin")))
+          else None
+      }
+      val authed = resolved.isDefined
+      if (authed && requestsPerMinute.isDefined &&
+          !limiter.forall(_.tryAcquire(resolved.get._1))) {
+        ex.getResponseHeaders.set("Retry-After", "1")
+        httpErr(ex, 429, "rate limit exceeded"); return
+      }
       // MCP streamable-HTTP session contract: a server that issues
       // Mcp-Session-Id on initialize MUST see it back on every later
       // request — 400 when absent, 404 when unknown/evicted (the spec's
@@ -124,9 +155,12 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
           if (!authed) { rpcOk(ex, id, toolResult("Authentication required to call tools.", isError = true)); return }
           val name = Option(params.get("name")).map(_.asText()).getOrElse("")
           val args = Option(params.get("arguments")).getOrElse(mapper.createObjectNode())
+          val (principal, scopes) = resolved.get
           val result =
-            try toolResult(callTool(name, args), isError = false)
-            catch {
+            try {
+              authorizeTool(name, args, scopes)
+              toolResult(callTool(name, args), isError = false)
+            } catch {
               case e: IllegalArgumentException =>
                 toolResult(s"Error: ${e.getMessage}", isError = true)
               case e: NoSuchElementException =>
@@ -134,6 +168,14 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
               case e: Exception =>
                 toolResult(s"Error: ${String.valueOf(e.getMessage)}", isError = true)
             }
+          // MCP tool failures are in-band (HTTP stays 200): the audit
+          // row carries the error text's head as its detail instead
+          audit.foreach(_.record(principal, s"mcp $name",
+            Option(args.get("containerId")).map(_.asText()).getOrElse("-"),
+            detail = if (result.get("isError").asBoolean())
+              result.get("content").get(0).get("text").asText().take(120)
+            else "",
+            status = if (result.get("isError").asBoolean()) 400 else 200))
           rpcOk(ex, id, result)
         case other =>
           rpcErr(ex, id.orNull, -32601, s"method not found: $other")
@@ -141,6 +183,38 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
     } catch {
       case e: Exception => try httpErr(ex, 500, String.valueOf(e.getMessage))
         catch { case _: Exception => () }
+    }
+  }
+
+  private val limiter = requestsPerMinute.map(new RateLimiter(_))
+
+  /** Per-tool authz under a key registry (no-op otherwise): read tools
+    * need `read:<cid>`, mutating tools `write:<cid>`, administration
+    * `admin`. Container args resolve by id or name first, so a scope on
+    * either form works. Throws IllegalArgumentException — surfaces as
+    * the standard in-band tool error. */
+  private def authorizeTool(name: String, args: JsonNode, scopes: Seq[String]): Unit = {
+    if (keys.isEmpty) return
+    val reg = keys.get
+    def cid: String = {
+      val idOrName = Option(args.get("containerId")).map(_.asText()).getOrElse("")
+      resolveContainer(idOrName).getOrElse(idOrName)
+    }
+    def need(action: String): Unit = {
+      val c = cid
+      require(reg.allows(scopes, action, c),
+        s"$action scope required for container $c")
+    }
+    name match {
+      case "search_knowledge" | "list_files" | "get_document" |
+           "container_stats" | "reindex_check" => need("read")
+      case "upload_file" | "delete_file" | "bulk_delete" | "bulk_upload" |
+           "reindex" => need("write")
+      case "container_create" | "container_delete" |
+           "settings_get" | "settings_put" | "settings_reset" =>
+        require(reg.isAdmin(scopes), "admin scope required")
+      case "container_list" => () // names + counts; any valid key
+      case _ => ()
     }
   }
 

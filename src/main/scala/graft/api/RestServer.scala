@@ -89,22 +89,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private final case class Denied(status: Int, msg: String)
     extends RuntimeException(msg)
 
-  /** Token buckets for the rate limit, keyed by principal (key name, or
-    * the remote address in open/shared-key mode). Refill is continuous:
-    * capacity n, n/60 tokens per second. */
-  private val buckets =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
-  private def rateCheck(principal: String): Unit = requestsPerMinute.foreach { n =>
-    val now = System.nanoTime() / 1e9
-    val b = buckets.computeIfAbsent(principal, _ => Array(n.toDouble, now))
-    val ok = b.synchronized {
-      val refilled = math.min(n.toDouble, b(0) + (now - b(1)) * n / 60.0)
-      b(1) = now
-      if (refilled >= 1.0) { b(0) = refilled - 1.0; true }
-      else { b(0) = refilled; false }
-    }
-    if (!ok) throw Denied(429, "rate limit exceeded")
-  }
+  /** One bucket per principal (key name, or the remote address in
+    * open/shared-key mode). */
+  private val limiter = requestsPerMinute.map(new RateLimiter(_))
+  private def rateCheck(principal: String): Unit =
+    if (!limiter.forall(_.tryAcquire(principal)))
+      throw Denied(429, "rate limit exceeded")
 
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod

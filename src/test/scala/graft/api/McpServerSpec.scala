@@ -268,6 +268,54 @@ class McpServerSpec extends AnyFunSuite {
     } finally anon.stop()
   }
 
+  test("scoped-key authz on tools/call: read/write/admin per tool, in-band denials, audit rows") {
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-mcp-authz").toString
+    val store2 = new KnowledgeStore(TestSpark.spark, wh2,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    val reg = new ApiKeyRegistry(TestSpark.spark, wh2)
+    val auditLog = new AuditLog(TestSpark.spark, wh2, flushAt = 1000)
+    val (_, adminTok) = reg.create("mcp-admin", Seq("admin"))
+    val srv = new McpServer(store2, keys = Some(reg), audit = Some(auditLog))
+    val url = s"http://127.0.0.1:${srv.start()}"
+    try {
+      // unknown bearer -> 401 at HTTP level (registry mode)
+      assert(rpc(url, "initialize", bearer = Some("gft_bogus"),
+        session = Some("-"))._1 == 401)
+      val sid = initSession(url, bearer = Some(adminTok))
+      assert(sid.nonEmpty)
+      // admin bootstraps a container and a read-scoped key
+      val (eC, _) = call(url, "container_create", """{"name": "authz"}""",
+        bearer = Some(adminTok), session = sid)
+      assert(!eC)
+      val cid = store2.listContainers().head._1
+      val (_, readTok) = reg.create("mcp-reader", Seq(s"read:$cid"))
+      val (eUp, _) = call(url, "upload_file",
+        """{"containerId": "authz", "fileName": "a.txt", "textContent": "alpha scoped tool access text."}""",
+        bearer = Some(adminTok), session = sid)
+      assert(!eUp)
+      // reader: read tools pass (by container NAME too), writes deny in-band
+      val rSid = initSession(url, bearer = Some(readTok))
+      val (eS, sTxt) = call(url, "search_knowledge",
+        """{"containerId": "authz", "query": "alpha"}""",
+        bearer = Some(readTok), session = rSid)
+      assert(!eS, sTxt)
+      val (eW, wTxt) = call(url, "upload_file",
+        """{"containerId": "authz", "fileName": "b.txt", "textContent": "nope"}""",
+        bearer = Some(readTok), session = rSid)
+      assert(eW && wTxt.contains("write scope required"), wTxt)
+      val (eA, aTxt) = call(url, "settings_put",
+        """{"category": "chunking", "settings": "{\"overlap\":\"2\"}"}""",
+        bearer = Some(readTok), session = rSid)
+      assert(eA && aTxt.contains("admin scope required"), aTxt)
+      // audit carries both the grant and the denial
+      val rows = auditLog.df().collect()
+      assert(rows.exists(r => r.getString(1) == "mcp-reader" &&
+        r.getString(2) == "mcp search_knowledge" && r.getInt(5) == 200))
+      assert(rows.exists(r => r.getString(1) == "mcp-reader" &&
+        r.getString(2) == "mcp upload_file" && r.getInt(5) == 400))
+    } finally srv.stop()
+  }
+
   test("session contract: post-initialize requests need a valid Mcp-Session-Id (400 missing / 404 unknown)") {
     // no header at all -> 400 (the spec's SHOULD-respond-400 rule)
     assert(rpc(base, "tools/list", session = None)._1 == 400)
