@@ -1,0 +1,104 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.embed.HttpTransport
+
+/** Connection testers for the settings surface (ref
+  * `SettingsEndpoints.cs:173-235` POST /api/settings/test-connection;
+  * the `Connapse.Storage/ConnectionTesters` classes — Ollama GET /api/tags,
+  * OpenAI GET /v1/models, AzureOpenAI GET /openai/deployments,
+  * Anthropic GET /v1/models, TEI GET /info;
+  * `ConnectionTestResult.cs`: success flag + human message + structured
+  * details + duration). An operator pastes candidate settings into the
+  * UI and tests them BEFORE saving — the probe runs against the
+  * provided settings, not the stored ones.
+  *
+  * The probe-building and response-parsing are real and offline-tested;
+  * the transport is injected like every provider in this engine (zero
+  * egress here; deployments pass [[graft.embed.JdkHttpTransport]]).
+  */
+object ConnectionTest {
+
+  final case class Result(
+      success: Boolean,
+      message: String,
+      details: Map[String, String],
+      durationMs: Long)
+
+  private val mapper = new ObjectMapper()
+
+  /** Test connectivity for a settings category with candidate settings.
+    * Categories: `embedding` / `llm` (provider-keyed: ollama | openai |
+    * azureopenai | anthropic) and `crossencoder` (tei). Unknown
+    * categories/providers answer a failure Result, never throw — the
+    * reference's testers map every fault to CreateFailure. */
+  def test(
+      category: String,
+      settings: Map[String, String],
+      transport: HttpTransport): Result = {
+    val t0 = System.nanoTime()
+    def done(ok: Boolean, msg: String, details: Map[String, String] = Map.empty) =
+      Result(ok, msg, details, (System.nanoTime() - t0) / 1000000L)
+    def base: Either[Result, String] =
+      settings.get("base_url").filter(_.nonEmpty).toRight(
+        done(ok = false, "base_url is required",
+          Map("error" -> "missing base_url in settings")))
+    try {
+      val provider = settings.getOrElse("provider", "ollama").toLowerCase
+      (category.toLowerCase, provider) match {
+        case ("embedding" | "llm", "ollama") => base.fold(identity, { b =>
+          // ref OllamaConnectionTester: GET /api/tags, count models
+          val json = mapper.readTree(transport.get(s"${b.stripSuffix("/")}/api/tags"))
+          val models = Option(json.get("models")).map(_.size()).getOrElse(0)
+          done(ok = true, s"Connected to Ollama ($models models available)",
+            Map("modelCount" -> models.toString))
+        })
+        case ("embedding" | "llm", "openai") => base.fold(identity, { b =>
+          // ref OpenAiConnectionTester: GET /v1/models with the bearer key
+          val headers = settings.get("api_key")
+            .map(k => Map("Authorization" -> s"Bearer $k")).getOrElse(Map.empty)
+          val json = mapper.readTree(
+            transport.get(s"${b.stripSuffix("/")}/v1/models", headers))
+          val n = Option(json.get("data")).map(_.size()).getOrElse(0)
+          done(ok = true, s"Connected to OpenAI-compatible endpoint ($n models)",
+            Map("modelCount" -> n.toString))
+        })
+        case ("embedding" | "llm", "azureopenai") => base.fold(identity, { b =>
+          // ref AzureOpenAiConnectionTester: GET /openai/deployments
+          // (api-key header, not bearer)
+          val headers = settings.get("api_key")
+            .map(k => Map("api-key" -> k)).getOrElse(Map.empty)
+          val json = mapper.readTree(transport.get(
+            s"${b.stripSuffix("/")}/openai/deployments?api-version=2023-05-15",
+            headers))
+          val n = Option(json.get("data")).map(_.size()).getOrElse(0)
+          done(ok = true, s"Connected to Azure OpenAI ($n deployments)",
+            Map("deploymentCount" -> n.toString))
+        })
+        case ("llm", "anthropic") => base.fold(identity, { b =>
+          // ref AnthropicConnectionTester: GET /v1/models with x-api-key
+          val headers = settings.get("api_key")
+            .map(k => Map("x-api-key" -> k)).getOrElse(Map.empty)
+          val json = mapper.readTree(
+            transport.get(s"${b.stripSuffix("/")}/v1/models", headers))
+          val n = Option(json.get("data")).map(_.size()).getOrElse(0)
+          done(ok = true, s"Connected to Anthropic ($n models)",
+            Map("modelCount" -> n.toString))
+        })
+        case ("crossencoder", _) => base.fold(identity, { b =>
+          // ref TeiConnectionTester: GET /info returns the served model
+          val json = mapper.readTree(transport.get(s"${b.stripSuffix("/")}/info"))
+          val model = Option(json.get("model_id")).map(_.asText()).getOrElse("?")
+          done(ok = true, s"Connected to TEI reranker (model: $model)",
+            Map("model" -> model))
+        })
+        case (c, p) => done(ok = false,
+          s"Category '$c' with provider '$p' does not support connection testing")
+      }
+    } catch {
+      case e: Exception => done(ok = false,
+        s"Connection failed: ${String.valueOf(e.getMessage)}",
+        Map("error" -> e.getClass.getSimpleName))
+    }
+  }
+}

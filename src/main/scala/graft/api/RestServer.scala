@@ -61,7 +61,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * RateLimitingExtensions.cs): None = unlimited; Some(n) = n
       * requests per minute sustained with a burst of n, 429 +
       * Retry-After when drained. */
-    requestsPerMinute: Option[Int] = None) {
+    requestsPerMinute: Option[Int] = None,
+    /** Transport the connection testers probe through (ref
+      * SettingsEndpoints.cs POST /test-connection). Injected like every
+      * provider transport; specs pass canned doubles. */
+    testTransport: graft.embed.HttpTransport = new graft.embed.JdkHttpTransport(10000)) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -243,6 +247,26 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("GET", "/settings") =>
           requireAdmin()
           ok(ex, arr(store.listSettingsCategories().map(c => c: Any)))
+        // test CANDIDATE settings before saving them (ref
+        // SettingsEndpoints.cs POST /test-connection + ConnectionTesters):
+        // body = {category, settings: {...}}; never throws — failures
+        // answer success=false with the fault in details
+        case ("POST", "/settings/test_connection") =>
+          requireAdmin()
+          val b = body(ex)
+          val cat = str(b, "category")
+          val cand = {
+            val n = node(b, "settings")
+            require(n.isObject, "settings must be a JSON object")
+            val out = scala.collection.mutable.LinkedHashMap[String, String]()
+            val it = n.fields()
+            while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asText() }
+            out.toMap
+          }
+          val r = ConnectionTest.test(cat, cand, testTransport)
+          ok(ex, obj("success" -> r.success, "message" -> r.message,
+            "duration_ms" -> r.durationMs,
+            "details" -> r.details.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }))
         case ("GET", SettingsCat(cat)) =>
           requireAdmin()
           val raw = query(ex).get("stored").contains("true")

@@ -19,6 +19,12 @@ trait HttpTransport extends Serializable {
     * override. */
   def post(url: String, body: String, headers: Map[String, String]): String =
     post(url, body)
+
+  /** GET (the connection testers' probe verb — model listings, /info).
+    * Default unsupported so POST-only test doubles stay source-compatible;
+    * real transports and tester doubles override. */
+  def get(url: String, headers: Map[String, String] = Map.empty): String =
+    throw new UnsupportedOperationException("transport has no GET")
 }
 
 /** java.net.http transport for real deployments. */
@@ -26,6 +32,13 @@ final class JdkHttpTransport(timeoutMs: Long = 30000) extends HttpTransport {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
   override def post(url: String, body: String): String =
     post(url, body, Map.empty)
+  override def get(url: String, headers: Map[String, String]): String = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
   override def post(url: String, body: String, headers: Map[String, String]): String = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))

@@ -244,6 +244,56 @@ class SettingsRestSpec extends AnyFunSuite {
     assert(notObjSt == 400)
   }
 
+  test("test_connection probes candidate settings through the injected transport") {
+    // canned transport speaking each provider's probe shape (ref
+    // ConnectionTesters: Ollama /api/tags, OpenAI /v1/models, TEI /info)
+    val transport = new graft.embed.HttpTransport {
+      override def post(url: String, body: String): String = "{}"
+      override def get(url: String, headers: Map[String, String]): String = {
+        if (url.contains("refused")) throw new java.io.IOException("Connection refused")
+        else if (url.endsWith("/api/tags"))
+          """{"models": [{"name": "nomic-embed-text"}, {"name": "llama3.2"}]}"""
+        else if (url.endsWith("/v1/models")) {
+          assert(headers.get("Authorization").contains("Bearer sk-test"))
+          """{"data": [{"id": "text-embedding-3-small"}]}"""
+        } else if (url.endsWith("/info")) """{"model_id": "BAAI/bge-reranker-large"}"""
+        else "{}"
+      }
+    }
+    val srv = new RestServer(store, testTransport = transport)
+    val tBase = s"http://127.0.0.1:${srv.start()}"
+    def probe(body: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$tBase/settings/test_connection"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), mapper.readTree(resp.body()))
+    }
+    try {
+      val (s1, j1) = probe(
+        """{"category": "embedding", "settings": {"provider": "ollama", "base_url": "http://localhost:11434"}}""")
+      assert(s1 == 200 && j1.get("success").asBoolean() &&
+        j1.get("message").asText().contains("2 models"), j1.toString)
+      val (s2, j2) = probe(
+        """{"category": "llm", "settings": {"provider": "openai", "base_url": "http://api", "api_key": "sk-test"}}""")
+      assert(s2 == 200 && j2.get("success").asBoolean(), j2.toString)
+      val (s3, j3) = probe(
+        """{"category": "crossencoder", "settings": {"base_url": "http://tei"}}""")
+      assert(s3 == 200 && j3.get("message").asText().contains("bge-reranker"), j3.toString)
+      // faults map to success=false, never a 500 (the reference contract)
+      val (s4, j4) = probe(
+        """{"category": "embedding", "settings": {"provider": "ollama", "base_url": "http://refused"}}""")
+      assert(s4 == 200 && !j4.get("success").asBoolean() &&
+        j4.get("message").asText().contains("Connection failed"), j4.toString)
+      val (s5, j5) = probe("""{"category": "embedding", "settings": {"provider": "ollama"}}""")
+      assert(s5 == 200 && !j5.get("success").asBoolean() &&
+        j5.get("message").asText().contains("base_url"), j5.toString)
+      val (s6, j6) = probe("""{"category": "quantum", "settings": {"base_url": "x"}}""")
+      assert(s6 == 200 && !j6.get("success").asBoolean(), j6.toString)
+    } finally srv.stop()
+  }
+
   test("search falls back to effective search settings for absent fields") {
     val cid = store.listContainers().head._1
     (1 to 6).foreach(i => store.uploadFile(cid, s"/s/doc$i.txt",
