@@ -462,8 +462,14 @@ final class KnowledgeStore(
     // so progress never adds a recompute
     val jobId = java.util.UUID.randomUUID().toString.take(8)
     val total = docs.length.toLong
-    def emit(phase: String, current: Long, detail: String = ""): Unit =
-      progress.onProgress(graft.ingest.ProgressEvent(jobId, phase, current, total, detail))
+    // detail is BY-NAME and the Noop listener short-circuits: the
+    // chunk/vector counts in the phase details are real Spark jobs (cheap
+    // on persisted frames, but jobs), and an unobserved pipeline must not
+    // pay them — with a listener attached they remain count()s on frames
+    // the write path persists anyway
+    def emit(phase: String, current: Long, detail: => String = ""): Unit =
+      if (progress ne graft.ingest.ProgressListener.Noop)
+        progress.onProgress(graft.ingest.ProgressEvent(jobId, phase, current, total, detail))
     emit("received", 0L)
     val ds = docs.toDS()
     // Upsert, not blind append: re-uploading an existing path must REPLACE
@@ -845,13 +851,20 @@ final class KnowledgeStore(
     * Returns the number of documents reindexed. */
   def reindexStale(containerId: String, force: Boolean = false): Int = {
     requireWritable(containerId)
+    // the stale (id, path) list MATERIALIZES on the driver before the
+    // first re-ingest batch runs — deliberately: appendDocs rewrites the
+    // very ledger/chunk files a lazy iterator would still be streaming.
+    // Driver bound: ~100 B/doc, so a full-corpus force-reindex of 10M
+    // documents holds ~1 GB — the same registry-sized driver term as
+    // merge owner discovery (SCALE.md), with the same 128 GB headroom.
     val stale = classifyDf(containerId, force)
       .filter(col("needs_reindex"))
       .join(ledgerDf.filter(col("container_id") === containerId)
         .select("document_id", "path"), Seq("document_id"))
       .select("document_id", "path").as[(String, String)].collect()
-    if (stale.isEmpty) return 0
+    var reindexed = 0
     stale.grouped(MaxBulk).foreach { group =>
+      reindexed += group.length
       val ids = group.map(_._1)
       val texts = chunksDf
         .filter(col("container_id") === containerId &&
@@ -873,7 +886,7 @@ final class KnowledgeStore(
       }
       if (raws.nonEmpty) appendDocs(raws.toSeq)
     }
-    stale.length
+    reindexed
   }
 
   // ---- maintenance ------------------------------------------------------

@@ -106,8 +106,11 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
           else None
       }
       val authed = resolved.isDefined
-      if (authed && requestsPerMinute.isDefined &&
-          !limiter.forall(_.tryAcquire(resolved.get._1))) {
+      // unauthenticated requests (anonymous discovery) bucket by remote
+      // address, or a discovery flood would bypass the limiter entirely
+      val ratePrincipal = resolved.map(_._1).getOrElse(
+        String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress))
+      if (!limiter.forall(_.tryAcquire(ratePrincipal))) {
         ex.getResponseHeaders.set("Retry-After", "1")
         httpErr(ex, 429, "rate limit exceeded"); return
       }

@@ -90,6 +90,94 @@ object PipelineQueries {
       doc = "full hybrid search over a freshly built index, golden-oracled"),
 
     QueryDef(
+      "q158_settings_reindex",
+      (s, d) => {
+        // The ROUND-10 SETTINGS SURFACE end-to-end, SQL-ORACLED (ref
+        // SettingsEndpoints.cs PUT + POST /reindex; SURVEY §1.3 override
+        // merge; T6): ingest the EVEN-doc_id cohort under the constructor
+        // chunking config, PUT a smaller max_chunk_size, ingest the ODD
+        // cohort (which picks the new settings up with no restart), then
+        // reindex_check must flag exactly the even cohort as
+        // SettingsChanged and reindexStale must re-ingest exactly it.
+        // The oracle pins the per-cohort document counts and generations
+        // (even = 2 after the reindex bump, odd = 1) straight from the
+        // `documents` table; the non-SQL-expressible effects — every
+        // chunk's token budget honors the NEW setting, every ledger
+        // stamp records it, check counts before/after, uniform
+        // generations per cohort — fold into the audit_ok flag (the
+        // q152/q153 in-query-audit pattern).
+        // Scale: the harness is bounded (doc_id < 100 at every SF); the
+        // operators under test are the production paths — settings
+        // resolve as driver map lookups per batch, classify is one
+        // ledger-sized join, reindex I/O follows the stale set only.
+        import s.implicits._
+        val wh = java.nio.file.Files.createTempDirectory("graft-q158").toString
+        // the harness moves ~40 tiny documents through full ingest several
+        // times — 32-wide shuffles would be all scheduler overhead, so run
+        // it at 4 like the serving benchmarks (restored below)
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val store = new graft.api.KnowledgeStore(s, wh,
+          cfg = ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8))
+        val cid = store.createContainer("corpus")
+        val docs = table(s, d, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val early = docs.filter(_._1 % 2 == 0)
+        val late = docs.filter(_._1 % 2 == 1)
+        def upload(batch: Array[(Long, String)]): Unit =
+          batch.grouped(store.MaxBulk).foreach(g =>
+            store.bulkUpload(cid, g.toSeq.map { case (id, t) => (s"/docs/$id.txt", t) }))
+        upload(early)
+        store.putSettings("chunking",
+          Map("max_chunk_size" -> "32", "overlap" -> "4", "min_chunk_size" -> "4"))
+        upload(late)
+        val pre = store.reindexCheck(cid)
+        val reindexed = store.reindexStale(cid)
+        val post = store.reindexCheck(cid)
+        val ledger = s.read.parquet(s"$wh/ledger")
+        val cohortCol = (regexp_extract(col("path"), "/docs/(\\d+)\\.txt", 1)
+          .cast("long") % 2)
+        val maxTok = s.read.parquet(s"$wh/chunks")
+          .agg(max("token_count")).head.getInt(0)
+        val stampOk = ledger.filter(
+          element_at(col("indexed_with"), "IndexedWith:MaxChunkSize") =!= "32").isEmpty
+        val genUniform = ledger.groupBy(cohortCol.as("m"))
+          .agg(countDistinct("generation").as("k"))
+          .filter(col("k") =!= 1).isEmpty
+        val auditOk =
+          pre.getOrElse("SettingsChanged", 0L) == early.length &&
+          pre.getOrElse("Unchanged", 0L) == late.length &&
+          reindexed == early.length &&
+          post.getOrElse("Unchanged", 0L) == docs.length &&
+          post.getOrElse("SettingsChanged", 0L) == 0L &&
+          // budget bound honors the DOCUMENTED merge-forward: a sub-min
+          // tail (<= minChunkSize-1 tokens) merges into its neighbor
+          // (ref ChunkingSettings.MinChunkSize), so max + (min-1) is the
+          // chunker's true ceiling under (max=32, min=4)
+          maxTok <= 32 + 3 && stampOk && genUniform
+        val out = ledger.groupBy(cohortCol.as("m"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            max("generation").cast("long").as("generation"))
+          .select(
+            when(col("m") === 0, "early").otherwise("late").as("cohort"),
+            col("n_docs"), col("generation"),
+            lit(if (auditOk) 1L else 0L).as("audit_ok"))
+          .orderBy("cohort")
+          .localCheckpoint() // materialize BEFORE the conf restore below
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        out
+      },
+      Some("""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'early' ELSE 'late' END AS cohort,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS generation,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM documents WHERE doc_id < 40
+        GROUP BY 1 ORDER BY cohort"""),
+      doc = "runtime-settings lifecycle: PUT applies to the next ingest, reindex_check flags the stale cohort, reindex bumps exactly it (chunk budgets + stamps + counts audited in-query). Harness cost is fixed (3 full ingest passes + classify), ~11 s regardless of SF - the q152-family disclosed-harness shape"),
+
+    QueryDef(
       "q53_chunk_semantic",
       (s, d) =>
         // C3: semantic chunking with the deterministic embedder — exercises
