@@ -154,7 +154,14 @@ class TxLogModelSpec extends AnyFunSuite {
               view = _.repartition(2), statsCols = Seq("id")); "compact"
           } else append()
         case 8 => s"vacuum(${TxLog.vacuum(spark, wh, retentionMs = 0L)})"
-        case 9 => s"checkpoint(${TxLog.checkpoint(spark, wh)})"
+        case 9 =>
+          // coin-flip the checkpoint FORM so the multi-part parquet fold
+          // is fuzzed against the model through arbitrary histories, not
+          // just the example-based spec (multipartAt = 0 forces it)
+          if (rnd.nextBoolean())
+            s"checkpoint(${TxLog.checkpoint(spark, wh)})"
+          else
+            s"checkpointMultipart(${TxLog.checkpoint(spark, wh, multipartAt = 0)})"
         case 10 | 11 => if (model.nonEmpty) mergeOp(cow = true) else append()
         case 12 => if (model.nonEmpty) mergeOp(cow = false) else append()
         case 13 => if (model.nonEmpty) updateOp() else append()
