@@ -308,30 +308,37 @@ object Bench {
     // agreement in one artifact proves the serving number is
     // steady-state-defined and the r8→r9 37→63 ms move was
     // measurement-order JIT warmth, not a serving regression.
-    val hybridPostBatteryMs: Double = try {
-      val chunks2 = graft.ingest.IndexBuild
-        .chunkDocs(servingDocs, graft.chunk.RecursiveChunker, servingCfg).persist()
-      val vectors2 = graft.ingest.IndexBuild
-        .embedChunks(chunks2, None, servingEmbedder).persist()
-      vectors2.count()
+    val hybridPostBatteryMs: Double = {
+      // conf restore + storage release in FINALLY: a failed twin must
+      // not leave AQE off and 4 shuffle partitions for the
+      // upload/reindex-to-searchable baselines measured after it
       val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val index2 = graft.search.HybridSearch.servingIndex(chunks2.toDF(), vectors2)
-      val req2 = graft.model.SearchRequest("spark join window", "en", topK = 10)
-      (1 to 3).foreach(_ =>
-        graft.search.HybridSearch.search(index2, req2, servingEmbedder))
-      val ts = (1 to 11).map { _ =>
-        val s0 = System.nanoTime()
-        graft.search.HybridSearch.search(index2, req2, servingEmbedder)
-        (System.nanoTime() - s0) / 1e6
-      }.sorted
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      releaseStorage()
-      ts(ts.length / 2)
-    } catch { case _: Throwable => -1.0 }
+      try {
+        val chunks2 = graft.ingest.IndexBuild
+          .chunkDocs(servingDocs, graft.chunk.RecursiveChunker, servingCfg).persist()
+        val vectors2 = graft.ingest.IndexBuild
+          .embedChunks(chunks2, None, servingEmbedder).persist()
+        vectors2.count()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val index2 = graft.search.HybridSearch.servingIndex(chunks2.toDF(), vectors2)
+        val req2 = graft.model.SearchRequest("spark join window", "en", topK = 10)
+        (1 to 3).foreach(_ =>
+          graft.search.HybridSearch.search(index2, req2, servingEmbedder))
+        val ts = (1 to 11).map { _ =>
+          val s0 = System.nanoTime()
+          graft.search.HybridSearch.search(index2, req2, servingEmbedder)
+          (System.nanoTime() - s0) / 1e6
+        }.sorted
+        ts(ts.length / 2)
+      } catch { case _: Throwable => -1.0 }
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        releaseStorage()
+      }
+    }
     System.err.println(
       f"[hybrid] twin: pre-battery=$hybridMs%.1f ms post-battery=$hybridPostBatteryMs%.1f ms (same definition, same JVM)")
 

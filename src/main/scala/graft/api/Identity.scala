@@ -34,17 +34,38 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     * expires_ms [-1 = never], revoked_ms [-1 = active], last_used_ms) */
   private type Row = (String, String, String, String, Seq[String], Long, Long, Long, Long)
 
-  @volatile private var cache: Option[Seq[Row]] = None
+  /** (rows, table mtime at load, last staleness probe). The cache
+    * re-probes the table's modification time at most every
+    * [[ApiKeyRegistry.StalenessProbeMs]]: a revoke issued through
+    * ANOTHER registry instance (a second server process on the shared
+    * warehouse) takes effect here within that window instead of living
+    * until restart — revocation must propagate, a key cache is not a
+    * same-process-only structure. One FS stat per window, zero Spark. */
+  @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
 
-  private def load(): Seq[Row] = cache.getOrElse {
-    val rows =
-      try spark.read.parquet(path)
-        .select("key_id", "name", "token_hash", "token_prefix", "scopes",
-          "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
-        .as[Row].collect().toSeq
-      catch { case _: Throwable => Seq.empty }
-    cache = Some(rows)
-    rows
+  private def tableMtime(): Long =
+    try org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path)).getModificationTime
+    catch { case _: Throwable => -1L }
+
+  private def load(): Seq[Row] = {
+    val now = System.currentTimeMillis()
+    cache match {
+      case Some((rows, _, probed))
+          if now - probed < ApiKeyRegistry.StalenessProbeMs => rows
+      case Some((rows, mtime, _)) if tableMtime() == mtime =>
+        cache = Some((rows, mtime, now)); rows
+      case _ =>
+        val rows =
+          try spark.read.parquet(path)
+            .select("key_id", "name", "token_hash", "token_prefix", "scopes",
+              "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
+            .as[Row].collect().toSeq
+          catch { case _: Throwable => Seq.empty }
+        cache = Some((rows, tableMtime(), now))
+        rows
+    }
   }
 
   private def write(rows: Seq[Row]): Unit = {
@@ -63,7 +84,7 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
         sys.error(s"api_keys rewrite rename failed: $tmp -> $target")
     }
     spark.catalog.refreshByPath(path)
-    cache = Some(rows)
+    cache = Some((rows, tableMtime(), System.currentTimeMillis()))
   }
 
   private def sha256Hex(s: String): String =
@@ -136,17 +157,37 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
   def isAdmin(scopes: Seq[String]): Boolean = scopes.contains("admin")
 }
 
+object ApiKeyRegistry {
+  /** How stale another instance's key mutation may be here: the cache
+    * re-stats the table's mtime at most this often. */
+  val StalenessProbeMs: Long = 5000L
+}
+
 /** Token-bucket rate limiter shared by both serving surfaces (ref
   * RateLimitingExtensions.cs): capacity `perMinute` with continuous
-  * refill at `perMinute`/60 per second, one bucket per principal. */
-final class RateLimiter(perMinute: Int) {
-  private val buckets =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  * refill at `perMinute`/60 per second, one bucket per principal.
+  * BOUNDED: principals include per-address buckets for unauthenticated
+  * traffic, so an unbounded map is itself a slow-leak DoS — past
+  * `maxPrincipals` the least-recently-used bucket evicts (an evicted
+  * principal restarts with a full bucket: a limiter must fail toward
+  * availability, and a rotating-address attacker gets at most one
+  * burst per eviction slot either way). */
+final class RateLimiter(perMinute: Int, maxPrincipals: Int = 16384) {
+  private val buckets = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[Double]](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Double]]): Boolean =
+        size() > maxPrincipals
+    })
 
   /** Take one token; false = drained (answer 429 + Retry-After). */
   def tryAcquire(principal: String): Boolean = {
     val now = System.nanoTime() / 1e9
-    val b = buckets.computeIfAbsent(principal, _ => Array(perMinute.toDouble, now))
+    val b = buckets.synchronized {
+      var cur = buckets.get(principal)
+      if (cur == null) { cur = Array(perMinute.toDouble, now); buckets.put(principal, cur) }
+      cur
+    }
     b.synchronized {
       val refilled = math.min(perMinute.toDouble,
         b(0) + (now - b(1)) * perMinute / 60.0)

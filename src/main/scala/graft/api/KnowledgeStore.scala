@@ -456,6 +456,10 @@ final class KnowledgeStore(
 
   /** Returns the progress jobId — the batch resource's id. */
   private def appendDocs(docs: Seq[IndexBuild.RawDoc]): String = {
+    // an empty batch (bulk_upload with files: []) completes as a no-op
+    // with a valid batch id, exactly as it did before settings resolution
+    // started reading docs.head's container
+    if (docs.isEmpty) return java.util.UUID.randomUUID().toString.take(8)
     // phase-grained progress (the reference's per-phase broadcast,
     // IngestionPipeline.cs:412-446): one jobId per upsert batch, events
     // at each phase boundary; counts come from already-persisted frames
@@ -551,10 +555,17 @@ final class KnowledgeStore(
         T.stageWrite(vectors.toDF(), warehouse,
           "vectors", Seq("container_id", "model_id"), gen) ++
         T.stageWrite(ledger.toDF(), warehouse, "ledger", Seq("container_id"), gen)
+      // readVersion threads the staged deletes' snapshot into the commit
+      // so the snapshot-isolation check runs on the upsert path too: a
+      // concurrent rewrite of the replaced docs' owner files during this
+      // (potentially long) chunk+embed staging must surface as
+      // TxConflictException, not silently resurrect its deleted rows
       T.commit(spark, warehouse,
         staged.flatMap(_._2.adds) ++ adds,
         staged.flatMap(_._2.removes),
-        deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap)
+        deletes = staged.map { case (t, sd) => t -> sd.predSql }.toMap,
+        readVersion = Some(staged.map(_._2.readVersion))
+          .filter(_.nonEmpty).map(_.min).filter(_ >= 0))
       spark.catalog.refreshByPath(s"$warehouse/chunks")
       org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
       emit("chunked", total, s"chunks=${newChunks.count()}")

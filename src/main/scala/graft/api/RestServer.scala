@@ -110,16 +110,20 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       audit.foreach(_.record(principal, s"$method $path", path, detail, status))
     }
     try {
-      // ---- authn: resolve the caller's scopes --------------------------
-      val scopes: Seq[String] =
-        if (path == "/health") Seq("admin")
+      // ---- authn: resolve the caller's scopes. 401 is DEFERRED until
+      // after the rate check so a bad-token flood is throttled by source
+      // address instead of driving unlimited authenticate scans and
+      // audit-flush jobs (the MCP server buckets unauthenticated traffic
+      // the same way) -----------------------------------------------------
+      val resolved: Option[Seq[String]] =
+        if (path == "/health") Some(Seq("admin"))
         else keys match {
           case Some(reg) =>
             Option(ex.getRequestHeaders.getFirst("Authorization"))
               .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
               .flatMap(reg.authenticate) match {
-              case Some((name, ss)) => principal = name; ss
-              case None => throw Denied(401, "unauthorized")
+              case Some((name, ss)) => principal = name; Some(ss)
+              case None => None
             }
           case None =>
             if (!apiKey.forall(key =>
@@ -127,14 +131,19 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 .filter(_.startsWith("Bearer "))
                 .exists(h => java.security.MessageDigest.isEqual(
                   h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
-                  key.getBytes(StandardCharsets.UTF_8)))))
-              throw Denied(401, "unauthorized")
-            principal =
-              if (apiKey.isDefined) "shared-key"
-              else String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress)
-            Seq("admin")
+                  key.getBytes(StandardCharsets.UTF_8))))) None
+            else {
+              principal =
+                if (apiKey.isDefined) "shared-key"
+                else String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress)
+              Some(Seq("admin"))
+            }
         }
-      if (path != "/health") rateCheck(principal)
+      if (path != "/health") rateCheck(
+        if (resolved.isDefined) principal
+        else String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress))
+      val scopes: Seq[String] =
+        resolved.getOrElse(throw Denied(401, "unauthorized"))
       // ---- authz guards (no-ops without a key registry) ----------------
       def requireAdmin(): Unit =
         if (keys.isDefined && !scopes.contains("admin"))

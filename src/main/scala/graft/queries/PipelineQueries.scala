@@ -117,6 +117,7 @@ object PipelineQueries {
         // it at 4 like the serving benchmarks (restored below)
         val savedParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
         val store = new graft.api.KnowledgeStore(s, wh,
           cfg = ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8))
         val cid = store.createContainer("corpus")
@@ -165,8 +166,10 @@ object PipelineQueries {
             lit(if (auditOk) 1L else 0L).as("audit_ok"))
           .orderBy("cohort")
           .localCheckpoint() // materialize BEFORE the conf restore below
-        s.conf.set("spark.sql.shuffle.partitions", savedParts)
         out
+        // conf restore in FINALLY: a failed harness must not leave the
+        // narrowed shuffle width for the rest of the battery
+        } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       },
       Some("""
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'early' ELSE 'late' END AS cohort,

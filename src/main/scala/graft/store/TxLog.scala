@@ -483,31 +483,55 @@ object TxLog {
     // actions conflict; pure appends commute (the documented
     // write-serializable contract — appended rows are outside this
     // commit's read set, Delta's own append rule).
-    if (removes.nonEmpty || dvAdds.nonEmpty || dvClears.nonEmpty)
-      readVersion.foreach { rv =>
-        val stale = listVersions(f, warehouse).filter(_ > rv).iterator.flatMap { v =>
-          readCommitText(f, warehouse, v).linesIterator.flatMap(_.split('\t') match {
-            case Array("remove", t, _) => Some(t)
-            case Array("delete", t, _) => Some(t)
-            case Array("merge", t, _, _) => Some(t)
-            case Array("dv", t, _, _) => Some(t)
-            case Array("dvclear", t) => Some(t)
-            case Array("schema", t, _) => Some(t)
-            case Array("retire", t, _) => Some(t)
-            case Array("constraint", t, _, _) => Some(t)
-            case Array("dropconstraint", t, _) => Some(t)
-            case Array("partspec", t, _) => Some(t)
-            case _ => None // add/stat/bloom/tag: appends commute
-          })
-        }.find(touchedTables.contains)
-        stale.foreach { what =>
-          throw new TxConflictException(
-            s"txlog: state read at snapshot version $rv is stale — a " +
-              s"concurrent commit rewrote '$what' (warehouse $warehouse); " +
-              "recompute the snapshot and retry")
+    //
+    // Runs on EVERY claim attempt, and the claim is anchored to the scan
+    // it just ran (the scan's max seen version + 1): a commit landing
+    // between the scan and the claim necessarily claims that same number
+    // first, so our putIfAbsent loses and the retry re-scans — no
+    // interleaver can slip between check and publish unexamined. Returns
+    // the next version to claim; throws on a stale snapshot.
+    def scanAndNextVersion(): Long = {
+      val commits = listVersions(f, warehouse)
+      if (removes.nonEmpty || dvAdds.nonEmpty || dvClears.nonEmpty)
+        readVersion.foreach { rv =>
+          // truncation guard: conflicts inside an expireLog'd span cannot
+          // be examined — fail LOUDLY rather than silently treating the
+          // dropped commits as conflict-free (the same contract the
+          // snapshot/CDF readers enforce at the horizon)
+          val horizon = listCheckpoints(f, warehouse).maxOption.getOrElse(-1L)
+          if (horizon > rv &&
+            commits.count(v => v > rv && v <= horizon) < horizon - rv)
+            throw new TxConflictException(
+              s"txlog: snapshot version $rv predates the log's truncation " +
+                s"horizon ($horizon) — interleaved commits are expired and " +
+                s"cannot be conflict-checked (warehouse $warehouse); " +
+                "recompute the snapshot and retry")
+          val stale = commits.filter(_ > rv).iterator.flatMap { v =>
+            readCommitText(f, warehouse, v).linesIterator.flatMap(_.split('\t') match {
+              case Array("remove", t, _) => Some(t)
+              case Array("delete", t, _) => Some(t)
+              case Array("merge", t, _, _) => Some(t)
+              case Array("dv", t, _, _) => Some(t)
+              case Array("dvclear", t) => Some(t)
+              case Array("schema", t, _) => Some(t)
+              case Array("retire", t, _) => Some(t)
+              case Array("constraint", t, _, _) => Some(t)
+              case Array("dropconstraint", t, _) => Some(t)
+              case Array("partspec", t, _) => Some(t)
+              case Array("partspec", t) => Some(t) // reset-to-unpartitioned
+              case _ => None // add/stat/bloom/tag: appends commute
+            })
+          }.find(touchedTables.contains)
+          stale.foreach { what =>
+            throw new TxConflictException(
+              s"txlog: state read at snapshot version $rv is stale — a " +
+                s"concurrent commit rewrote '$what' (warehouse $warehouse); " +
+                "recompute the snapshot and retry")
+          }
         }
-      }
-    var version = nextVersion()
+      (commits ++ listCheckpoints(f, warehouse)).maxOption.getOrElse(-1L) + 1L
+    }
+    var version = scanAndNextVersion()
     var attempts = 0
     while (!store.putIfAbsent(f, dir, commitFile(warehouse, version),
         bodyFor(version).getBytes(StandardCharsets.UTF_8))) {
@@ -520,7 +544,10 @@ object TxLog {
         case None if attempts >= 20 => throw new TxConflictException(
           s"txlog: lost the version claim $attempts times in a row " +
             s"(warehouse $warehouse) — giving up; retry the commit")
-        case None => version = nextVersion() // disjoint: commute past it
+        // disjoint: commute past it — with a fresh snapshot-staleness
+        // scan, since the interleaver(s) include commits the pre-claim
+        // scan never saw
+        case None => version = scanAndNextVersion()
       }
     }
     version
@@ -893,6 +920,25 @@ object TxLog {
       sys.error(s"txlog: change feed from $fromVersion predates the " +
         s"truncated log horizon (missing commit ${missing.head}; earliest " +
         s"present ${available.headOption.getOrElse(-1L)})")
+    // schema + deletion-vector state EVOLVES INCREMENTALLY across the
+    // replayed span: the pre-image/insert readers below need only
+    // schemaOf/dvsOf as of each version (column-mapping rename + mask
+    // application), and a from-scratch snapshot(atVersion = v) per
+    // version is O(log length) EACH — quadratic over a long bootstrap
+    // replay. One seed fold at fromVersion, then the same commit texts
+    // this loop already parses advance the state version by version.
+    var runSchemas: Map[String, String] = Map.empty
+    var runDvs: Seq[(String, String)] = Seq.empty
+    if (available.nonEmpty || listCheckpoints(f, warehouse).nonEmpty) {
+      val seed = snapshot(spark, warehouse,
+        atVersion = math.max(fromVersion, -1L))
+      runSchemas = seed.schemas
+      runDvs = seed.dvEntriesOf(table)
+    }
+    def miniSnap(v: Long, schemas: Map[String, String],
+        dvs: Seq[(String, String)]): Snapshot =
+      Snapshot(v, Map.empty, schemas = schemas,
+        dvs = if (dvs.isEmpty) Map.empty else Map(table -> dvs))
     // per-version change batch: (version, files to read, change type,
     // optional delete predicate to replay over the pre-image files)
     val batches = available
@@ -904,7 +950,20 @@ object TxLog {
         var deletePred: Option[String] = None
         var dvPred: Option[String] = None
         var mergeKeys: Option[(String, Seq[String])] = None
+        // state as of v-1 (pre-image readers) vs as of v (insert readers)
+        val preSchemas = runSchemas
+        val preDvs = runDvs
         readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
+          // advance the running schema/DV state — the same fold
+          // snapshot() applies to these line kinds, scoped to `table`
+          line.split('\t') match {
+            case Array("schema", t, js) if t == table =>
+              runSchemas = runSchemas + (table -> unesc(js))
+            case Array("dv", t, rel, pred) if t == table =>
+              runDvs = runDvs :+ ((unesc(rel), unesc(pred)))
+            case Array("dvclear", t) if t == table => runDvs = Seq.empty
+            case _ => ()
+          }
           line.split('\t') match {
             case Array("add", t, rel, _) if t == table => newAdds += rel
             case Array("add", t, rel, _, _) if t == table => rewriteAdds += rel
@@ -936,10 +995,12 @@ object TxLog {
         // select (CDF/streaming/IncrementalView corruption). DVs at v
         // cannot cover files first added at v, so the mask pass is a
         // no-op here, never a row loss.
+        val postSchemas = runSchemas
+        val postDvs = runDvs
         def inserts: Option[(Long, () => DataFrame, String)] =
           if (newAdds.isEmpty) None
           else Some((v, () => readFileSet(spark, warehouse, table,
-            snapshot(spark, warehouse, atVersion = v), newAdds.toSeq),
+            miniSnap(v, postSchemas, postDvs), newAdds.toSeq),
             "insert"))
         mergeKeys match {
           // KEYED UPSERT (merge): pre-images are the matched target rows
@@ -959,9 +1020,11 @@ object TxLog {
             val pre: () => DataFrame =
               if (removes.nonEmpty) { () =>
                 keyJoin(readFileSet(spark, warehouse, table,
-                  snapshot(spark, warehouse, atVersion = v - 1), removes.toSeq),
+                  miniSnap(v - 1, preSchemas, preDvs), removes.toSeq),
                   keysDf, kcols, "left_semi")
               } else { () =>
+                // merge-on-read pre-images need the v-1 LIVE SET, not
+                // just a file list — the one per-version full fold left
                 keyJoin(read(spark, warehouse, table, atVersion = v - 1),
                   keysDf, kcols, "left_semi")
               }
@@ -982,7 +1045,7 @@ object TxLog {
             val rels = removes.toSeq
             Some(Seq(
               Some((v, () => readFileSet(spark, warehouse, table,
-                snapshot(spark, warehouse, atVersion = v - 1), rels)
+                miniSnap(v - 1, preSchemas, preDvs), rels)
                 .filter(expr(pred)), "delete")),
               inserts).flatten)
           // MERGE-ON-READ delete (deletion vector): pre-images are the

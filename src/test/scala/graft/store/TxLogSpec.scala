@@ -2121,6 +2121,47 @@ class TxLogSpec extends AnyFunSuite {
       .toSeq == Seq(3L, 4L, 6L, 7L, 8L, 9L, 100L))
   }
 
+  test("snapshot-isolation: conflicts inside an expired span fail loudly; partspec RESET conflicts too") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 10L).map(i => (i, 1L)).toDF("id", "generation"), wh, "t", Nil, 1))
+    // A stages against the current snapshot ...
+    val staged = TxLog.stageDelete(spark, wh, "t", col("id") < 3L).get
+    // ... a conflicting rewrite lands, then maintenance CHECKPOINTS and
+    // EXPIRES the log: the conflicting commit's file is GONE, so A's
+    // staleness scan cannot examine it — committing anyway would be a
+    // silent lost update; the contract is the loud horizon error
+    TxLog.deleteWhere(spark, wh, "t", col("id") === 5L)
+    TxLog.checkpoint(spark, wh)
+    TxLog.expireLog(spark, wh)
+    val e = intercept[TxConflictException] {
+      TxLog.commit(spark, wh, staged.adds, staged.removes,
+        deletes = Map("t" -> staged.predSql),
+        readVersion = Some(staged.readVersion))
+    }
+    assert(e.getMessage.contains("truncation horizon"), e.getMessage)
+    assert(TxLog.read(spark, wh, "t").count() == 9)
+
+    // a concurrent partition-spec RESET (partspec reverts to
+    // unpartitioned — the 2-field log form) is a layout change a staged
+    // rewrite must conflict with, exactly like the 3-field form
+    val wh2 = freshWh()
+    val d = (0L until 10L).map(i => (i, s"p${i % 2}", 1L)).toDF("id", "part", "generation")
+    TxLog.commit(spark, wh2,
+      TxLog.stageWrite(d, wh2, "t", Seq("part"), 1),
+      partitionSpecs = Map("t" -> Seq("part")))
+    val staged2 = TxLog.stageDelete(spark, wh2, "t", col("id") < 3L, Seq("part")).get
+    // spec reset lands first (an empty partitionSpecs entry = the
+    // 2-field 'partspec\tt' line)
+    TxLog.commit(spark, wh2, Nil, partitionSpecs = Map("t" -> Nil))
+    intercept[TxConflictException] {
+      TxLog.commit(spark, wh2, staged2.adds, staged2.removes,
+        deletes = Map("t" -> staged2.predSql),
+        readVersion = Some(staged2.readVersion))
+    }
+  }
+
   test("restore validates against CURRENT constraints; partition specs roll back with the file set") {
     import org.apache.spark.sql.functions.col
     val wh = freshWh()
