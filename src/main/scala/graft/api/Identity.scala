@@ -209,11 +209,19 @@ final class AuditLog(spark: SparkSession, warehouse: String, flushAt: Int = 64) 
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[
     (Long, String, String, String, String, Int)]()
 
-  /** (ts_ms, key name or "-", action, resource, detail, http status). */
+  private val flusher = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-audit-flush"); t.setDaemon(true); t
+  })
+
+  /** (ts_ms, key name or "-", action, resource, detail, http status).
+    * The size-triggered flush runs on a daemon thread — the HTTP handler
+    * that happens to be the flushAt-th caller must not pay a Spark job
+    * inside its request. */
   def record(key: String, action: String, resource: String,
       detail: String = "", status: Int = 200): Unit = {
     buf.add((System.currentTimeMillis(), key, action, resource, detail, status))
-    if (buf.size >= flushAt) flush()
+    if (buf.size >= flushAt)
+      flusher.submit(new Runnable { override def run(): Unit = flush() })
   }
 
   /** Drain the buffer into one parquet append. Failures are swallowed

@@ -900,6 +900,40 @@ final class KnowledgeStore(
     reindexed
   }
 
+  /** The reference's reindex trigger is ASYNC (SettingsEndpoints.cs
+    * POST /reindex runs in a background Task with ReindexStateService
+    * status): this twin runs [[reindexStale]] on a single daemon thread
+    * (serialized — two overlapping reindexes of one warehouse would
+    * race the upsert path) and reports through the progress ring under
+    * the returned batch id: `received` on submit, `ready` with the
+    * reindexed count, `failed` with the error message. Poll
+    * `GET /batches/{id}` or follow `/progress/stream?job_id=`. */
+  def reindexStaleAsync(containerId: String, force: Boolean = false): String = {
+    requireWritable(containerId)
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    progress.onProgress(graft.ingest.ProgressEvent(
+      jobId, "received", 0L, 0L, "reindex"))
+    reindexExec.submit(new Runnable {
+      override def run(): Unit =
+        try {
+          val n = reindexStale(containerId, force)
+          progress.onProgress(graft.ingest.ProgressEvent(
+            jobId, "ready", n.toLong, n.toLong, "reindex"))
+        } catch {
+          case e: Throwable => progress.onProgress(graft.ingest.ProgressEvent(
+            jobId, "failed", 0L, 0L, String.valueOf(e.getMessage)))
+        }
+    })
+    jobId
+  }
+
+  private lazy val reindexExec = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-reindex"); t.setDaemon(true); t
+    })
+    ex
+  }
+
   // ---- maintenance ------------------------------------------------------
 
   /** The warehouse's NIGHTLY JOB in one call (the reference runs these as

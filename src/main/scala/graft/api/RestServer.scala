@@ -310,8 +310,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             .map { case (k, v) => k -> (v: Any) }: _*))
         case ("POST", Sub(id, "reindex")) =>
           requireScope("write", id)
-          val force = optBody(ex).exists(bool(_, "force", default = false))
-          ok(ex, obj("reindexed" -> store.reindexStale(id, force)))
+          val b = optBody(ex)
+          val force = b.exists(bool(_, "force", default = false))
+          // async = the reference's shape (202 + a batch id to poll);
+          // sync blocks and answers the count — handy for scripts
+          if (b.exists(bool(_, "async", default = false)))
+            ok(ex, obj("batch_id" -> store.reindexStaleAsync(id, force)),
+              status = 202)
+          else ok(ex, obj("reindexed" -> store.reindexStale(id, force)))
         case ("POST", Containers()) => requireAdmin(); createContainer(ex)
         case ("GET", Containers()) =>
           ok(ex, arr(store.listContainers().map { case (id, name, ct) =>
@@ -375,7 +381,9 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 "batch_id" -> bid, "phase" -> e.phase,
                 "current" -> e.current, "total" -> e.total,
                 "detail" -> e.detail, "ts_ms" -> e.tsMs,
-                "done" -> (e.phase == "ready")))
+                // terminal either way; a failed batch reports done with
+                // phase=failed and the error in detail
+                "done" -> (e.phase == "ready" || e.phase == "failed")))
               case None => err(ex, 404, s"no such batch: $bid")
             }
           case None => err(ex, 404, "no progress log configured")

@@ -294,6 +294,55 @@ class SettingsRestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("async reindex: 202 + batch id, polled to done through the progress ring") {
+    val plog = new graft.ingest.ProgressLog()
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-settings-async").toString
+    val store2 = new KnowledgeStore(spark, wh2,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      progress = plog)
+    val srv = new RestServer(store2, progressLog = Some(plog))
+    val aBase = s"http://127.0.0.1:${srv.start()}"
+    def http2(method: String, path: String, body: String = "")
+        : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(aBase + path))
+        .header("Content-Type", "application/json")
+      val req = (if (method == "GET") b.GET()
+        else b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), if (resp.body().isEmpty) mapper.createObjectNode()
+        else mapper.readTree(resp.body()))
+    }
+    try {
+      val (cSt, cJ) = http2("POST", "/containers", """{"name": "async-ri"}""")
+      assert(cSt == 201)
+      val cid = cJ.get("container_id").asText()
+      http2("POST", s"/containers/$cid/files",
+        s"""{"path": "/a.txt", "content": "${"async reindex text. " * 15}"}""")
+      val (pSt, _) = http2("PUT", "/settings/chunking",
+        """{"max_chunk_size": 16, "overlap": 2, "min_chunk_size": 2}""")
+      assert(pSt == 200)
+      val (aSt, aJ) = http2("POST", s"/containers/$cid/reindex", """{"async": true}""")
+      assert(aSt == 202, aJ.toString)
+      val bid = aJ.get("batch_id").asText()
+      assert(bid.nonEmpty)
+      var done = false
+      val deadline = System.currentTimeMillis() + 60000
+      while (!done && System.currentTimeMillis() < deadline) {
+        val (bSt, bJ) = http2("GET", s"/batches/$bid")
+        if (bSt == 200 && bJ.get("done").asBoolean()) {
+          assert(bJ.get("phase").asText() == "ready", bJ.toString)
+          assert(bJ.get("current").asLong() == 1L, bJ.toString)
+          done = true
+        } else Thread.sleep(200)
+      }
+      assert(done, "async reindex must reach a terminal batch state")
+      val (rcSt, rcJ) = http2("POST", s"/containers/$cid/reindex_check")
+      assert(rcSt == 200 && rcJ.get("Unchanged").asLong() == 1L, rcJ.toString)
+      http2("DELETE", "/settings/chunking")
+    } finally srv.stop()
+  }
+
   test("search falls back to effective search settings for absent fields") {
     val cid = store.listContainers().head._1
     (1 to 6).foreach(i => store.uploadFile(cid, s"/s/doc$i.txt",
