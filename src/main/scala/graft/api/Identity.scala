@@ -43,28 +43,56 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     * same-process-only structure. One FS stat per window, zero Spark. */
   @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
 
-  private def tableMtime(): Long =
-    try org.apache.hadoop.fs.FileSystem.get(
+  /** Cross-process change signal for the table: a hash of its part-file
+    * listing (name + length). Part names are job-UUID-unique, so ANY
+    * rewrite changes the stamp — unlike a directory mtime, which object
+    * stores report as a constant for pseudo-directories (an mtime probe
+    * would silently never fire on s3a/gcs). Long.MinValue = table absent
+    * (a DISTINCT sentinel — an Int hashCode can legitimately be any
+    * value including -1, so the stamp range must not overlap it). */
+  private val AbsentStamp = Long.MinValue
+  private def tableStamp(): Long =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(new org.apache.hadoop.fs.Path(path)).getModificationTime
-    catch { case _: Throwable => -1L }
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(p)) AbsentStamp
+      else fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
+        .sorted.mkString("|").hashCode.toLong
+    } catch { case _: Throwable => AbsentStamp }
 
   private def load(): Seq[Row] = {
     val now = System.currentTimeMillis()
-    cache match {
+    val prev = cache
+    prev match {
       case Some((rows, _, probed))
           if now - probed < ApiKeyRegistry.StalenessProbeMs => rows
-      case Some((rows, mtime, _)) if tableMtime() == mtime =>
-        cache = Some((rows, mtime, now)); rows
       case _ =>
-        val rows =
-          try spark.read.parquet(path)
-            .select("key_id", "name", "token_hash", "token_prefix", "scopes",
-              "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
-            .as[Row].collect().toSeq
-          catch { case _: Throwable => Seq.empty }
-        cache = Some((rows, tableMtime(), now))
-        rows
+        // stamp sampled BEFORE the read: a write racing this reload makes
+        // the stamp mismatch on the NEXT probe (stale-toward-reload) —
+        // sampling after would pin the pre-write rows under the post-write
+        // stamp forever
+        val s0 = tableStamp()
+        prev match {
+          case Some((rows, stamp, _)) if stamp == s0 =>
+            cache = Some((rows, stamp, now)); rows
+          case _ =>
+            try {
+              val rows =
+                if (s0 == AbsentStamp) Seq.empty[Row]
+                else spark.read.parquet(path)
+                  .select("key_id", "name", "token_hash", "token_prefix", "scopes",
+                    "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
+                  .as[Row].collect().toSeq
+              cache = Some((rows, s0, now))
+              rows
+            } catch { case _: Throwable =>
+              // a read landing in a concurrent swap's delete->rename gap:
+              // serve the previous rows and retry next call — never cache
+              // an accidental empty set over live keys
+              prev.map(_._1).getOrElse(Seq.empty)
+            }
+        }
     }
   }
 
@@ -84,7 +112,7 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
         sys.error(s"api_keys rewrite rename failed: $tmp -> $target")
     }
     spark.catalog.refreshByPath(path)
-    cache = Some((rows, tableMtime(), System.currentTimeMillis()))
+    cache = Some((rows, tableStamp(), System.currentTimeMillis()))
   }
 
   private def sha256Hex(s: String): String =

@@ -458,8 +458,14 @@ final class KnowledgeStore(
   private def appendDocs(docs: Seq[IndexBuild.RawDoc]): String = {
     // an empty batch (bulk_upload with files: []) completes as a no-op
     // with a valid batch id, exactly as it did before settings resolution
-    // started reading docs.head's container
-    if (docs.isEmpty) return java.util.UUID.randomUUID().toString.take(8)
+    // started reading docs.head's container — and the id is POLLABLE:
+    // the batch resource contract says every returned id resolves
+    if (docs.isEmpty) {
+      val emptyJob = java.util.UUID.randomUUID().toString.take(8)
+      progress.onProgress(graft.ingest.ProgressEvent(emptyJob, "received", 0L, 0L))
+      progress.onProgress(graft.ingest.ProgressEvent(emptyJob, "ready", 0L, 0L))
+      return emptyJob
+    }
     // phase-grained progress (the reference's per-phase broadcast,
     // IngestionPipeline.cs:412-446): one jobId per upsert batch, events
     // at each phase boundary; counts come from already-persisted frames
@@ -860,7 +866,11 @@ final class KnowledgeStore(
     * approximation (the reference re-reads source bytes from its object
     * store — this warehouse intentionally does not retain raw uploads).
     * Returns the number of documents reindexed. */
-  def reindexStale(containerId: String, force: Boolean = false): Int = {
+  def reindexStale(containerId: String, force: Boolean = false,
+      /** Called after each re-ingested batch with (done, total) — the
+        * async wrapper's heartbeat hook (its batch id must stay live in
+        * the bounded progress ring while nested upload events churn). */
+      onBatch: (Long, Long) => Unit = (_, _) => ()): Int = {
     requireWritable(containerId)
     // the stale (id, path) list MATERIALIZES on the driver before the
     // first re-ingest batch runs — deliberately: appendDocs rewrites the
@@ -873,9 +883,8 @@ final class KnowledgeStore(
       .join(ledgerDf.filter(col("container_id") === containerId)
         .select("document_id", "path"), Seq("document_id"))
       .select("document_id", "path").as[(String, String)].collect()
-    var reindexed = 0
+    var done = 0L
     stale.grouped(MaxBulk).foreach { group =>
-      reindexed += group.length
       val ids = group.map(_._1)
       val texts = chunksDf
         .filter(col("container_id") === containerId &&
@@ -896,8 +905,10 @@ final class KnowledgeStore(
         }
       }
       if (raws.nonEmpty) appendDocs(raws.toSeq)
+      done += group.length
+      onBatch(done, stale.length.toLong)
     }
-    reindexed
+    stale.length
   }
 
   /** The reference's reindex trigger is ASYNC (SettingsEndpoints.cs
@@ -916,7 +927,12 @@ final class KnowledgeStore(
     reindexExec.submit(new Runnable {
       override def run(): Unit =
         try {
-          val n = reindexStale(containerId, force)
+          // per-batch heartbeat keeps this id live in the bounded ring —
+          // a long reindex's nested upload events would otherwise evict
+          // the lone "received" event and 404 the batch mid-run
+          val n = reindexStale(containerId, force,
+            onBatch = (done, total) => progress.onProgress(
+              graft.ingest.ProgressEvent(jobId, "processing", done, total, "reindex")))
           progress.onProgress(graft.ingest.ProgressEvent(
             jobId, "ready", n.toLong, n.toLong, "reindex"))
         } catch {

@@ -232,7 +232,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                     out.write(s"id: $seq\ndata: $payload\n\n"
                       .getBytes(StandardCharsets.UTF_8))
                     out.flush()
-                    if (jobId.contains(e.jobId) && e.phase == "ready") open = false
+                    // "failed" is terminal too (async reindex) — a stream
+                    // following a failed job must close, not pin a handler
+                    // thread until max_ms
+                    if (jobId.contains(e.jobId) &&
+                      (e.phase == "ready" || e.phase == "failed")) open = false
                   }
               }
             } catch { case _: java.io.IOException => () /* client went away */ }

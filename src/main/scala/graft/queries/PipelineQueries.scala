@@ -141,8 +141,11 @@ object PipelineQueries {
           .cast("long") % 2)
         val maxTok = s.read.parquet(s"$wh/chunks")
           .agg(max("token_count")).head.getInt(0)
-        val stampOk = ledger.filter(
-          element_at(col("indexed_with"), "IndexedWith:MaxChunkSize") =!= "32").isEmpty
+        // null-safe: a MISSING stamp key must fail the audit, not slip
+        // through a three-valued =!= as "no violating rows"
+        val stampOk = ledger.filter(not(
+          element_at(col("indexed_with"), "IndexedWith:MaxChunkSize") <=> lit("32")))
+          .isEmpty
         val genUniform = ledger.groupBy(cohortCol.as("m"))
           .agg(countDistinct("generation").as("k"))
           .filter(col("k") =!= 1).isEmpty

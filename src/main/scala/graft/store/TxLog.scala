@@ -368,11 +368,6 @@ object TxLog {
         }
       }
     }
-    // the next version follows the newest commit OR checkpoint — after
-    // expireLog drops every commit at the horizon, numbering must
-    // continue from the checkpoint, never restart at 0
-    def nextVersion(): Long = (listVersions(f, warehouse) ++ listCheckpoints(f, warehouse))
-      .maxOption.getOrElse(-1L) + 1L
     def bodyFor(version: Long): String = {
     val body = new StringBuilder
     body ++= s"commit\t$version\t${System.currentTimeMillis()}\n"
@@ -529,6 +524,9 @@ object TxLog {
                 "recompute the snapshot and retry")
           }
         }
+      // the next version follows the newest commit OR checkpoint — after
+      // expireLog drops every commit at the horizon, numbering must
+      // continue from the checkpoint, never restart at 0
       (commits ++ listCheckpoints(f, warehouse)).maxOption.getOrElse(-1L) + 1L
     }
     var version = scanAndNextVersion()
@@ -929,7 +927,10 @@ object TxLog {
     // this loop already parses advance the state version by version.
     var runSchemas: Map[String, String] = Map.empty
     var runDvs: Seq[(String, String)] = Seq.empty
-    if (available.nonEmpty || listCheckpoints(f, warehouse).nonEmpty) {
+    // seed only when something will be replayed: the streaming source's
+    // no-new-data poll (readChanges(from, from) per trigger) must stay
+    // O(one directory listing), not pay a snapshot fold per microbatch
+    if (available.exists(v => v > fromVersion && v <= toVersion)) {
       val seed = snapshot(spark, warehouse,
         atVersion = math.max(fromVersion, -1L))
       runSchemas = seed.schemas
