@@ -414,9 +414,13 @@ object RelationalQueries {
         // approx_count_distinct (HLL: bounded memory, mergeable across
         // partitions); the exact count-distincts here are the
         // verification harness, and the q118 verdict pattern pins the
-        // sketch IN-QUERY: each approx must land within 5% of exact
-        // (HLL's default rsd is 5%; the oracle pins the flag to 1, so a
-        // sketch regression fails the hash compare). Numeric and string
+        // sketch IN-QUERY: each approx must land within 5% of exact.
+        // The sketch runs at rsd = 1% so the 5% band is a ~5-sigma
+        // check that holds AT ANY SCALE — the default rsd of 5% made
+        // the band a 1-sigma coin flip, which the sf0.01 gate happened
+        // to pass while sf0.1's higher cardinalities deterministically
+        // missed it (caught in the round-10 sf0.1 oracle sweep).
+        // Numeric and string
         // min/max ride separate typed columns — profiling never
         // stringifies numerics (lexicographic "10" < "9" bugs).
         val e = table(s, d, "events")
@@ -424,15 +428,15 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"),
           sum(col("user_id").isNull.cast("long")).as("nn_user"),
           countDistinct(col("user_id")).as("nd_user"),
-          approx_count_distinct(col("user_id")).as("ad_user"),
+          approx_count_distinct(col("user_id"), 0.01).as("ad_user"),
           min("user_id").as("mn_user"), max("user_id").as("mx_user"),
           sum(col("event_type").isNull.cast("long")).as("nn_type"),
           countDistinct(col("event_type")).as("nd_type"),
-          approx_count_distinct(col("event_type")).as("ad_type"),
+          approx_count_distinct(col("event_type"), 0.01).as("ad_type"),
           min("event_type").as("mn_type"), max("event_type").as("mx_type"),
           sum(col("value").isNull.cast("long")).as("nn_value"),
           countDistinct(col("value")).as("nd_value"),
-          approx_count_distinct(col("value")).as("ad_value"),
+          approx_count_distinct(col("value"), 0.01).as("ad_value"),
           min("value").as("mn_value"), max("value").as("mx_value"))
         prof.select(expr(
           """stack(3,
