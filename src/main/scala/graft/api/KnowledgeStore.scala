@@ -811,9 +811,11 @@ final class KnowledgeStore(
     val norm = graft.ingest.PathUtil.normalize(path)
     val rows = chunksDf
       .filter(col("container_id") === containerId && col("path") === norm)
-      .orderBy("chunk_index")
-      .select("content").as[String].collect()
-    if (rows.isEmpty) None else Some(rows.mkString("\n"))
+      .select("chunk_index", "start_offset", "end_offset", "content")
+      .as[(Int, Int, Int, String)].collect()
+    // offset-sliced reassembly (Reindex.reconstruct): overlapping chunkers'
+    // shared regions appear ONCE, not once per chunk boundary
+    if (rows.isEmpty) None else Some(graft.ingest.Reindex.reconstruct(rows.toSeq))
   }
 
   /** container_stats (ref :670, A1): counts by status, chunk/byte sums. */
@@ -859,12 +861,17 @@ final class KnowledgeStore(
     * fresh IndexedWith stamp, generation bump — the same upsert path as an
     * upload, so readers flip atomically per batch in txMode).
     *
-    * Document text is reconstructed from the stored chunks (ordered
-    * chunk-content join — ONE Spark job per MaxBulk batch, not a
-    * per-document getDocument loop). Exact for the chunkers whose chunks
-    * tile the document; chunk-boundary newline joins are the documented
-    * approximation (the reference re-reads source bytes from its object
-    * store — this warehouse intentionally does not retain raw uploads).
+    * Document text is reconstructed from the stored chunks by OFFSET
+    * SLICING ([[graft.ingest.Reindex.reconstruct]] — ONE Spark job per
+    * MaxBulk batch, not a per-document getDocument loop): each chunk
+    * contributes only the span past what prior chunks already covered, so
+    * the default chunkers' trailing-token overlap (ChunkingConfig
+    * overlap=50) is NOT duplicated at each boundary and repeated
+    * reindexes are idempotent. Exact for chunkers whose contents are
+    * document slices; chunk-boundary newline joins across trimmed
+    * whitespace gaps are the documented approximation (the reference
+    * re-reads source bytes from its object store — this warehouse
+    * intentionally does not retain raw uploads).
     * Returns the number of documents reindexed. */
   def reindexStale(containerId: String, force: Boolean = false,
       /** Called after each re-ingested batch with (done, total) — the
@@ -890,12 +897,11 @@ final class KnowledgeStore(
         .filter(col("container_id") === containerId &&
           col("document_id").isin(ids: _*))
         .groupBy("document_id")
-        // ordered reconstruction: array_sort on (chunk_index, content)
-        // structs sorts by index, then project content and join
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("chunk_index"), col("content")))),
-          x => x.getField("content")), "\n").as("text"))
-        .as[(String, String)].collect().toMap
+        .agg(collect_list(struct(col("chunk_index"), col("start_offset"),
+          col("end_offset"), col("content"))).as("chunks"))
+        .as[(String, Seq[(Int, Int, Int, String)])].collect()
+        .map { case (id, cs) => id -> graft.ingest.Reindex.reconstruct(cs) }
+        .toMap
       val raws = group.flatMap { case (id, path) =>
         texts.get(id).map { text =>
           IndexBuild.RawDoc(

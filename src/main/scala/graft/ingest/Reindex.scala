@@ -51,4 +51,39 @@ object Reindex {
       .withColumn("needs_reindex",
         col("action").isin(ContentChanged, SettingsChanged, NeverIndexed, Forced))
   }
+
+  /** Reassemble document text from stored chunk rows using the chunkers'
+    * exact char offsets (F11). Chunks sort by (start_offset, chunk_index);
+    * where a chunk's span overlaps the text already covered (the
+    * FixedSize/Recursive trailing-token overlap), the overlapped PREFIX is
+    * sliced off by offset arithmetic instead of re-appended — so repeated
+    * reindexes are idempotent instead of growing the document by one
+    * overlap region per chunk boundary per pass. Exact for chunkers whose
+    * contents are document slices (all of them except DocumentAware's
+    * breadcrumb prefix and merge-joined sub-min chunks — and those never
+    * overlap their neighbors, so the slice never misaligns on them; the
+    * drop is clamped to [0, content.length] regardless). Gaps between
+    * covered spans (whitespace the chunkers trimmed; markdown heading
+    * lines DocumentAware hoists into breadcrumbs) join with one newline —
+    * the remaining documented approximation.
+    *
+    * Input tuples: (chunk_index, start_offset, end_offset, content).
+    */
+  def reconstruct(chunks: Seq[(Int, Int, Int, String)]): String = {
+    val sorted = chunks.sortBy { case (idx, start, _, _) => (start, idx) }
+    val sb = new java.lang.StringBuilder
+    var covered = Long.MinValue // original-document char offset covered so far
+    sorted.foreach { case (_, start, end, content) =>
+      if (covered == Long.MinValue) { sb.append(content); covered = end.toLong }
+      else if (start >= covered) {
+        sb.append('\n').append(content)
+        covered = math.max(covered, end.toLong)
+      } else {
+        val drop = math.min(covered - start, content.length.toLong).toInt
+        if (drop < content.length) sb.append(content, drop, content.length)
+        covered = math.max(covered, end.toLong)
+      }
+    }
+    sb.toString
+  }
 }

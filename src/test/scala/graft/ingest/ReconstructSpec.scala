@@ -1,0 +1,77 @@
+package graft.ingest
+
+import graft.chunk.{FixedSizeChunker, RecursiveChunker, SentenceWindowChunker}
+import graft.model.{ChunkingConfig, ParsedDocument}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Offset-sliced document reassembly (Reindex.reconstruct): the overlap
+  * region the FixedSize/Recursive chunkers share between neighbors must
+  * appear ONCE in the rebuilt text — naive content concatenation would
+  * duplicate it at every chunk boundary and compound on repeated
+  * reindexes (the round-10 high-severity advice finding).
+  */
+class ReconstructSpec extends AnyFunSuite {
+
+  private val para =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett. " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango. " +
+      "uniform victor whiskey xray yankee zulu apple banana cherry date. " +
+      "elder fig grape honey iris jasmine kiwi lemon mango nectar. " +
+      "olive peach quince rose sage thyme umber violet walnut yarrow."
+  private val doc = ParsedDocument(para + "\n\n" + para.toUpperCase)
+  private val cfg = ChunkingConfig(maxChunkSize = 20, overlap = 6, minChunkSize = 2)
+
+  private def ws(s: String) = s.replaceAll("\\s+", " ").trim
+
+  private def rebuild(chunker: graft.chunk.Chunker): String = {
+    val chunks = chunker.chunk(doc, cfg)
+    assert(chunks.length > 3, "need several chunks for the boundary check")
+    Reindex.reconstruct(chunks.map(c =>
+      (c.chunkIndex, c.startOffset, c.endOffset, c.content)))
+  }
+
+  test("recursive chunker overlap is sliced out, not duplicated") {
+    // word-sized pieces (no sentence separators) so the merge loop's
+    // overlap seed actually retains a tail across chunk boundaries
+    val wordsDoc = ParsedDocument((1 to 160).map(i => s"w$i").mkString(" "))
+    val chunks = RecursiveChunker.chunk(wordsDoc, cfg)
+    // the premise: the default chunkers DO emit overlapping neighbors
+    assert(chunks.sliding(2).exists {
+      case Seq(a, b) => b.startOffset < a.endOffset
+      case _ => false
+    }, "expected overlapping chunks under overlap=6")
+    val rebuilt = Reindex.reconstruct(chunks.map(c =>
+      (c.chunkIndex, c.startOffset, c.endOffset, c.content)))
+    assert(ws(rebuilt) == ws(wordsDoc.content))
+    // and the paragraph-structured doc reassembles too
+    assert(ws(rebuild(RecursiveChunker)) == ws(doc.content))
+  }
+
+  test("fixedsize chunker overlap is sliced out, not duplicated") {
+    assert(ws(rebuild(FixedSizeChunker)) == ws(doc.content))
+  }
+
+  test("disjoint chunkers (sentence window) reassemble exactly") {
+    assert(ws(rebuild(SentenceWindowChunker)) == ws(doc.content))
+  }
+
+  test("every word count is preserved (no boundary duplication)") {
+    val rebuilt = ws(rebuild(RecursiveChunker))
+    val want = ws(doc.content).split(' ').groupBy(identity).map { case (k, v) => k -> v.length }
+    val got = rebuilt.split(' ').groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(got == want)
+  }
+
+  test("reconstruct is stable on fully-contained and unordered input") {
+    // shuffled input sorts by (start, index); a chunk fully inside the
+    // covered span contributes nothing
+    val chunks = Seq(
+      (2, 20, 30, "0123456789"),
+      (0, 0, 10, "0123456789"),
+      (1, 5, 15, "5678901234"),
+      (3, 6, 9, "678"))
+    // 0-10 whole, 5-15 contributes its tail past 10, 6-9 is fully covered,
+    // 20-30 is a gap away and joins with one newline
+    assert(Reindex.reconstruct(chunks) == "012345678901234\n0123456789")
+  }
+}
