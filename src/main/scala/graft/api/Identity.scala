@@ -43,23 +43,8 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     * same-process-only structure. One FS stat per window, zero Spark. */
   @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
 
-  /** Cross-process change signal for the table: a hash of its part-file
-    * listing (name + length). Part names are job-UUID-unique, so ANY
-    * rewrite changes the stamp — unlike a directory mtime, which object
-    * stores report as a constant for pseudo-directories (an mtime probe
-    * would silently never fire on s3a/gcs). Long.MinValue = table absent
-    * (a DISTINCT sentinel — an Int hashCode can legitimately be any
-    * value including -1, so the stamp range must not overlap it). */
-  private val AbsentStamp = Long.MinValue
-  private def tableStamp(): Long =
-    try {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(path)
-      if (!fs.exists(p)) AbsentStamp
-      else fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
-        .sorted.mkString("|").hashCode.toLong
-    } catch { case _: Throwable => AbsentStamp }
+  private val AbsentStamp = TableStamp.Absent
+  private def tableStamp(): Long = TableStamp.of(spark, path)
 
   private def load(): Seq[Row] = {
     val now = System.currentTimeMillis()
@@ -164,7 +149,14 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
 
   /** Resolve a presented bearer token to (key name, scopes) — None when
     * unknown, revoked, or expired. Hash comparison is constant-time on
-    * the digest (the token itself is never stored to compare against). */
+    * the digest (the token itself is never stored to compare against).
+    *
+    * SECURITY WINDOW: a key revoked through ANOTHER registry instance
+    * (a second server JVM on the shared warehouse) keeps authenticating
+    * here for up to [[ApiKeyRegistry.StalenessProbeMs]] (5 s) — the
+    * standard cache-coherence trade of the listing-stamp probe. Revokes
+    * issued through THIS instance take effect immediately (write()
+    * replaces the cache synchronously). */
   def authenticate(token: String): Option[(String, Seq[String])] = {
     val h = sha256Hex(token).getBytes("UTF-8")
     val now = System.currentTimeMillis()
@@ -183,6 +175,28 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
       case _ => false
     })
   def isAdmin(scopes: Seq[String]): Boolean = scopes.contains("admin")
+}
+
+/** Cross-process change signal for a swap-rewritten registry table: a
+  * hash of its part-file listing (name + length). Part names are
+  * job-UUID-unique, so ANY rewrite changes the stamp — unlike a
+  * directory mtime, which object stores report as a constant for
+  * pseudo-directories (an mtime probe would silently never fire on
+  * s3a/gcs). [[Absent]] = table missing (a DISTINCT sentinel — an Int
+  * hashCode can legitimately be any value including -1, so the stamp
+  * range must not overlap it). Shared by the key registry and the
+  * settings cache — both are driver-sized tables other JVMs may rewrite. */
+private[api] object TableStamp {
+  val Absent: Long = Long.MinValue
+  def of(spark: SparkSession, path: String): Long =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(p)) Absent
+      else fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
+        .sorted.mkString("|").hashCode.toLong
+    } catch { case _: Throwable => Absent }
 }
 
 object ApiKeyRegistry {
@@ -239,6 +253,16 @@ final class AuditLog(spark: SparkSession, warehouse: String, flushAt: Int = 64) 
 
   private val flusher = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
     val t = new Thread(r, "graft-audit-flush"); t.setDaemon(true); t
+  })
+
+  // belt-and-braces for the NON-graceful path (the serving layers' stop()
+  // flushes explicitly): a JVM exit must not drop the up-to-flushAt-1
+  // buffered tail of an audit trail. Best-effort — flush() already
+  // swallows failures, and a dead SparkContext at shutdown just means the
+  // graceful flush already ran or nothing was buffered.
+  Runtime.getRuntime.addShutdownHook(new Thread("graft-audit-exit-flush") {
+    override def run(): Unit =
+      try flush() catch { case _: Throwable => () }
   })
 
   /** (ts_ms, key name or "-", action, resource, detail, http status).

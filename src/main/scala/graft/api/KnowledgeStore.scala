@@ -233,21 +233,52 @@ final class KnowledgeStore(
 
   private val settingsPath = s"$warehouse/settings"
 
+  /** (entries, table stamp at load, last staleness probe) — the same
+    * listing-stamp probe the key registry runs (see
+    * [[graft.api.TableStamp]]): a settings PUT from ANOTHER server
+    * process on the shared warehouse propagates here within
+    * [[ApiKeyRegistry.StalenessProbeMs]] (5 s) instead of living until
+    * restart. One FS stat per window, zero Spark. (Two processes doing
+    * concurrent read-modify-write PUTs of one scope can still race — the
+    * settings table is whole-row-replace per scope; cross-process
+    * serialization of WRITES is out of scope, propagation of reads is
+    * the contract here.) */
   @volatile private var settingsCache:
-      Option[Map[(String, String), (Map[String, String], Long)]] = None
+      Option[(Map[(String, String), (Map[String, String], Long)], Long, Long)] = None
 
-  private def loadSettings(): Map[(String, String), (Map[String, String], Long)] =
-    settingsCache.getOrElse {
-      val loaded =
-        try spark.read.parquet(settingsPath)
-          .select("scope", "category", "entries", "updated_ms")
-          .as[(String, String, Map[String, String], Long)].collect()
-          .map { case (s, c, m, ts) => (s, c) -> (m, ts) }.toMap
-        catch { case _: Throwable =>
-          Map.empty[(String, String), (Map[String, String], Long)] }
-      settingsCache = Some(loaded)
-      loaded
+  private def loadSettings(): Map[(String, String), (Map[String, String], Long)] = {
+    val now = System.currentTimeMillis()
+    val prev = settingsCache
+    prev match {
+      case Some((m, _, probed))
+          if now - probed < ApiKeyRegistry.StalenessProbeMs => m
+      case _ =>
+        // stamp sampled BEFORE the read: a write racing this reload makes
+        // the stamp mismatch on the NEXT probe (stale-toward-reload)
+        val s0 = TableStamp.of(spark, settingsPath)
+        prev match {
+          case Some((m, stamp, _)) if stamp == s0 =>
+            settingsCache = Some((m, stamp, now)); m
+          case _ =>
+            try {
+              val loaded =
+                if (s0 == TableStamp.Absent)
+                  Map.empty[(String, String), (Map[String, String], Long)]
+                else spark.read.parquet(settingsPath)
+                  .select("scope", "category", "entries", "updated_ms")
+                  .as[(String, String, Map[String, String], Long)].collect()
+                  .map { case (s, c, m, ts) => (s, c) -> (m, ts) }.toMap
+              settingsCache = Some((loaded, s0, now))
+              loaded
+            } catch { case _: Throwable =>
+              // a read landing in a concurrent swap's delete->rename gap:
+              // serve the previous entries and retry next call
+              prev.map(_._1).getOrElse(
+                Map.empty[(String, String), (Map[String, String], Long)])
+            }
+        }
     }
+  }
 
   /** Swap-write the whole settings registry (driver-sized metadata, same
     * old-or-new reader guarantee as the other registry tables). */
@@ -268,7 +299,8 @@ final class KnowledgeStore(
         sys.error(s"settings rewrite rename failed: $tmp -> $target")
     }
     spark.catalog.refreshByPath(settingsPath)
-    settingsCache = Some(all)
+    settingsCache = Some((all, TableStamp.of(spark, settingsPath),
+      System.currentTimeMillis()))
   }
 
   /** The constructor-level defaults per category — the bottom layer of
@@ -771,6 +803,11 @@ final class KnowledgeStore(
 
   /** folder list: explicit (possibly empty) folders ∪ parent dirs implied
     * by stored document paths, sorted. */
+  /** Driver bound: collects the container's distinct FOLDER set (paths
+    * only, ~100 B each — the same registry-sized driver term as
+    * reindexStale's stale list; 10M folders ≈ 1 GB against 128 GB
+    * heaps). The distinct itself runs distributed; only the result
+    * lands on the driver. */
   def listFolders(containerId: String, pathPrefix: Option[String] = None): Seq[String] = {
     val explicit = foldersDf.filter(col("container_id") === containerId)
       .select("path")
@@ -788,6 +825,10 @@ final class KnowledgeStore(
 
   /** folder delete: removes the explicit entry and every document under the
     * subtree (the reference cascades through the path prefix). */
+  /** Driver bound: materializes the folder's document PATH set (~100 B
+    * each — registry-sized, same class as reindexStale's stale list)
+    * before the chunked cascade, deliberately: bulkDelete rewrites the
+    * very ledger a lazy iterator would still be streaming. */
   def deleteFolder(containerId: String, path: String): Unit = {
     requireWritable(containerId)
     val norm = graft.ingest.PathUtil.normalize(path).stripSuffix("/")

@@ -78,7 +78,10 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
   val ProtocolVersion = "2025-06-18"
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  /** Graceful shutdown flushes the audit buffer — the tail window of a
+    * trail must survive a clean stop (RestServer.stop does the same). */
+  def stop(): Unit = { server.stop(0); pool.shutdown(); audit.foreach(_.flush()) }
 
   // ---- JSON-RPC plumbing -------------------------------------------------
 

@@ -74,7 +74,15 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
 
   /** Start serving; returns the bound port (ephemeral when `port` = 0). */
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  /** Graceful shutdown FLUSHES the audit buffer: up to flushAt-1 tail
+    * events live only in memory, and a trail that silently loses its last
+    * window on every restart is not a trail (AuditLog also registers a
+    * JVM shutdown hook for the non-graceful path). */
+  def stop(): Unit = {
+    server.stop(0); pool.shutdown()
+    audit.foreach(_.flush())
+  }
 
   // ---- routing ----------------------------------------------------------
 
@@ -99,6 +107,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private def rateCheck(principal: String): Unit =
     if (!limiter.forall(_.tryAcquire(principal)))
       throw Denied(429, "rate limit exceeded")
+
+  /** SSE streams pin a handler thread for their whole lifetime and the
+    * pool is 4 wide: without a cap, 4 streams with a huge max_ms are a
+    * full denial of service on every other route — so at most HALF the
+    * pool may stream concurrently (the rest stays request/response), and
+    * max_ms clamps to [[RestServer.MaxStreamMs]] regardless of what the
+    * client asked for. */
+  private val activeStreams = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
@@ -151,6 +167,13 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       def requireScope(action: String, cid: String): Unit =
         if (!keys.forall(_.allows(scopes, action, cid)))
           throw Denied(403, s"$action scope required for container $cid")
+      // container-scoped keys may follow progress/batches (their own bulk
+      // uploads report there) but must not see OTHER containers' paths and
+      // error messages — the event `detail` redacts for non-admins (ref
+      // the per-route scope model; progress events carry no container id
+      // to filter by, so redaction is the honest middle ground)
+      val isAdmin = keys.isEmpty || scopes.contains("admin")
+      def visibleDetail(detail: String): String = if (isAdmin) detail else ""
       (method, path) match {
         // ---- key management + audit (admin; ref AgentEndpoints.cs) -----
         case ("POST", "/keys") =>
@@ -194,7 +217,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             ok(ex, arr(log.events(query(ex).get("job_id")).map(e =>
               obj("job_id" -> e.jobId, "phase" -> e.phase,
                 "current" -> e.current, "total" -> e.total,
-                "detail" -> e.detail, "ts_ms" -> e.tsMs))))
+                "detail" -> visibleDetail(e.detail), "ts_ms" -> e.tsMs))))
           case None => err(ex, 404, "no progress log configured")
         }
         // ---- SSE progress push (ref IngestionHub.cs — the reference's
@@ -209,8 +232,15 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           case Some(log) =>
             val q = query(ex)
             val jobId = q.get("job_id")
-            val deadline = System.currentTimeMillis() +
-              q.get("max_ms").map(_.toLong).getOrElse(30000L)
+            // CLAMPED: client-supplied max_ms must not pin a handler
+            // thread indefinitely (the pool is 4 wide)
+            val deadline = System.currentTimeMillis() + math.min(
+              q.get("max_ms").map(_.toLong).getOrElse(30000L),
+              RestServer.MaxStreamMs)
+            if (activeStreams.incrementAndGet() > RestServer.MaxConcurrentStreams) {
+              activeStreams.decrementAndGet()
+              throw Denied(429, "too many concurrent streams; retry or poll /progress")
+            }
             ex.getResponseHeaders.set("Content-Type", "text/event-stream")
             ex.getResponseHeaders.set("Cache-Control", "no-cache")
             ex.sendResponseHeaders(200, 0) // chunked: stream until closed
@@ -228,7 +258,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                     val payload = mapper.writeValueAsString(obj(
                       "job_id" -> e.jobId, "phase" -> e.phase,
                       "current" -> e.current, "total" -> e.total,
-                      "detail" -> e.detail, "ts_ms" -> e.tsMs))
+                      "detail" -> visibleDetail(e.detail), "ts_ms" -> e.tsMs))
                     out.write(s"id: $seq\ndata: $payload\n\n"
                       .getBytes(StandardCharsets.UTF_8))
                     out.flush()
@@ -240,7 +270,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                   }
               }
             } catch { case _: java.io.IOException => () /* client went away */ }
-            finally ex.close()
+            finally { activeStreams.decrementAndGet(); ex.close() }
           case None => err(ex, 404, "no progress log configured")
         }
         case ("POST", "/search") => search(ex, requireScope)
@@ -284,7 +314,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           requireAdmin()
           val raw = query(ex).get("stored").contains("true")
           val m = if (raw) store.getSettings(cat) else store.effectiveSettings(cat)
-          ok(ex, obj(m.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*))
+          ok(ex, settingsPayload(cat, m))
         case ("PUT", SettingsCat(cat)) =>
           requireAdmin()
           store.putSettings(cat, settingsBody(ex)); ok(ex, obj("updated" -> cat))
@@ -296,7 +326,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val raw = query(ex).get("stored").contains("true")
           val m = if (raw) store.getSettings(cat, Some(id))
                   else store.effectiveSettings(cat, Some(id))
-          ok(ex, obj(m.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }: _*))
+          ok(ex, settingsPayload(cat, m))
         case ("PUT", ContainerSettings(id, cat)) =>
           requireAdmin()
           store.putSettings(cat, settingsBody(ex), Some(id))
@@ -324,9 +354,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           else ok(ex, obj("reindexed" -> store.reindexStale(id, force)))
         case ("POST", Containers()) => requireAdmin(); createContainer(ex)
         case ("GET", Containers()) =>
-          ok(ex, arr(store.listContainers().map { case (id, name, ct) =>
-            obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
-          }))
+          // a read:<one-container> key sees ONLY the containers it can
+          // read — listing is enumeration, and ids/names/connector types
+          // of other tenants' containers are not this key's to see
+          ok(ex, arr(store.listContainers()
+            .filter { case (id, _, _) => keys.forall(_.allows(scopes, "read", id)) }
+            .map { case (id, name, ct) =>
+              obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
+            }))
         case ("DELETE", Container(id)) =>
           requireAdmin()
           store.deleteContainer(id); noContent(ex)
@@ -384,7 +419,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
               case Some(e) => ok(ex, obj(
                 "batch_id" -> bid, "phase" -> e.phase,
                 "current" -> e.current, "total" -> e.total,
-                "detail" -> e.detail, "ts_ms" -> e.tsMs,
+                "detail" -> visibleDetail(e.detail), "ts_ms" -> e.tsMs,
                 // terminal either way; a failed batch reports done with
                 // phase=failed and the error in detail
                 "done" -> (e.phase == "ready" || e.phase == "failed")))
@@ -493,6 +528,19 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     if (s.isBlank) None else Some(mapper.readTree(s))
   }
 
+  /** A settings GET payload: the resolved entries, plus `_advisory` naming
+    * any keys this engine accepts but does not consume (honesty over
+    * accept-and-ignore: `upload.parallel_workers` maps the reference's
+    * worker pool onto the Spark scheduler, see Settings.AdvisoryKeys). */
+  private def settingsPayload(cat: String, m: Map[String, String]): JsonNode = {
+    val fields = m.toSeq.sortBy(_._1).map { case (k, v) => k -> (v: Any) }
+    Settings.AdvisoryKeys.get(cat).filter(_.nonEmpty) match {
+      case Some(adv) =>
+        obj(fields :+ ("_advisory" -> adv.toSeq.sorted.mkString(",")): _*)
+      case None => obj(fields: _*)
+    }
+  }
+
   /** A settings PUT body: a flat JSON object; numbers/booleans stringify
     * (the store's settings values are string-typed; Settings.validate
     * re-parses by key). */
@@ -573,4 +621,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         java.net.URLDecoder.decode(k, "UTF-8") ->
           java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
+}
+
+object RestServer {
+  /** Hard ceiling on a single SSE stream's lifetime (5 min): clients
+    * reconnect and the ring replays — a client-supplied max_ms must not
+    * pin a handler thread indefinitely. */
+  val MaxStreamMs: Long = 300000L
+
+  /** At most half the 4-thread handler pool may hold SSE streams at once;
+    * the rest stays request/response so streams can never deny service to
+    * the whole REST surface. */
+  val MaxConcurrentStreams: Int = 2
 }

@@ -51,6 +51,15 @@ object Settings {
 
   val Categories: Set[String] = CategoryKeys.keySet
 
+  /** Keys that validate, persist, and resolve — but are NOT consumed by
+    * the engine: `upload.parallel_workers` maps the reference's worker
+    * pool onto the Spark scheduler (SURVEY §2.11 T4), which sizes its own
+    * parallelism. The serving layer's settings GET surfaces these under
+    * `_advisory` so an operator tuning the knob learns it is inert here
+    * instead of silently assuming it took effect. */
+  val AdvisoryKeys: Map[String, Set[String]] = Map(
+    "upload" -> Set("parallel_workers"))
+
   private val IntKeys = Set(
     "max_chunk_size", "overlap", "min_chunk_size", "semantic_buffer_size",
     "sentence_window_size", "dimensions", "batch_size", "timeout_seconds",

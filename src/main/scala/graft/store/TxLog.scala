@@ -702,7 +702,16 @@ object TxLog {
       .map { case (t, entries) => t -> entries.map { case ((_, rel), g) => (rel, g) } },
       fileStats.toMap, fileBlooms.toMap, tableSchemas.toMap, tagMap.toMap,
       partSpecMap.toMap,
-      dvMap.toMap.map { case (k, v) => k -> (v: Seq[(String, String)]) },
+      // CANONICAL ORDER: dv lines append in fold-encounter order, and a
+      // multi-part parquet checkpoint's partition order is arbitrary — two
+      // folds of identical state could otherwise carry differently-ordered
+      // dv vectors, and restore's dvEntriesOf equality test would see a
+      // spurious "change" and issue a no-op dvclear+dv re-register commit.
+      // Sorting here makes every snapshot's dv state order-insensitive by
+      // construction (mask application is commutative, so read semantics
+      // are unchanged).
+      dvMap.toMap.map { case (k, v) =>
+        k -> (v.sortBy(identity): Seq[(String, String)]) },
       retiredMap.toMap, checkMap.toMap)
   }
 

@@ -1,0 +1,170 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 serving-surface hardening, end-to-end over real HTTP:
+  * container listing is scope-filtered (no cross-tenant enumeration),
+  * progress/batch `detail` redacts for non-admin keys (paths + error
+  * text are not every key's to see), SSE streams clamp max_ms and cap
+  * concurrency (a 4-thread pool must not be pinnable by streamers), the
+  * settings GET declares advisory keys, and the audit buffer survives a
+  * graceful stop.
+  */
+class RestHardeningSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-hard").toString
+  private lazy val progressLog = new graft.ingest.ProgressLog()
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+    progress = progressLog)
+  private lazy val reg = new ApiKeyRegistry(spark, wh)
+  private lazy val auditLog = new AuditLog(spark, wh, flushAt = 1000)
+  private lazy val (server, base) = {
+    val s = new RestServer(store, progressLog = Some(progressLog),
+      keys = Some(reg), audit = Some(auditLog))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  private var adminToken: String = _
+  private var cidA: String = _
+  private var cidB: String = _
+  private var readAToken: String = _
+  private var batchId: String = _
+
+  test("bootstrap: two containers, a read:A key, one batch upload") {
+    adminToken = reg.create("root", Seq("admin"))._2
+    cidA = http("POST", "/containers", """{"name": "tenant-a"}""", adminToken)
+      ._2.get("container_id").asText()
+    cidB = http("POST", "/containers", """{"name": "tenant-b"}""", adminToken)
+      ._2.get("container_id").asText()
+    readAToken = http("POST", "/keys",
+      s"""{"name": "reader-a", "scopes": ["read:$cidA"]}""", adminToken)
+      ._2.get("token").asText()
+    val up = http("POST", s"/containers/$cidB/bulk_upload",
+      """{"files": [{"path": "/secret/plans.txt", "content": "tenant b confidential notes live here."}]}""",
+      adminToken)
+    assert(up._1 == 201)
+    batchId = up._2.get("batch_id").asText()
+  }
+
+  test("container listing is scope-filtered: read:A sees only A") {
+    val admin = http("GET", "/containers", bearer = adminToken)._2
+    assert(admin.size() == 2)
+    val scoped = http("GET", "/containers", bearer = readAToken)._2
+    assert(scoped.size() == 1, scoped.toString)
+    assert(scoped.get(0).get("container_id").asText() == cidA)
+  }
+
+  test("progress + batch detail redacts for non-admin keys") {
+    // admin sees details (the bulk upload's events exist by now)
+    val adminEvents = http("GET", "/progress", bearer = adminToken)._2
+    assert(adminEvents.size() > 0)
+    // scoped key: same events, but every detail is blank
+    val scopedEvents = http("GET", "/progress", bearer = readAToken)._2
+    assert(scopedEvents.size() == adminEvents.size())
+    assert((0 until scopedEvents.size()).forall(i =>
+      scopedEvents.get(i).get("detail").asText() == ""),
+      "non-admin progress events must carry no detail")
+    val (bSt, bJ) = http("GET", s"/batches/$batchId", bearer = readAToken)
+    assert(bSt == 200 && bJ.get("detail").asText() == "", bJ.toString)
+    // and the SSE replay path redacts too (raw SSE text, not JSON)
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+      s"$base/progress/stream?job_id=$batchId&max_ms=5000"))
+      .header("Authorization", s"Bearer $readAToken").GET().build()
+    val replay = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(replay.statusCode() == 200)
+    assert(replay.body().contains("\"detail\":\"\""), replay.body().take(300))
+    assert(!replay.body().contains("plans.txt"), "paths must not leak on the stream")
+  }
+
+  test("SSE concurrency cap: a third concurrent stream answers 429") {
+    def openStream(maxMs: Long) =
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base/progress/stream?job_id=no-such-job&max_ms=$maxMs"))
+          .header("Authorization", s"Bearer $adminToken").GET().build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+    val s1 = openStream(4000)
+    val s2 = openStream(4000)
+    Thread.sleep(700) // both streams established and holding
+    val third = openStream(4000).get(10, java.util.concurrent.TimeUnit.SECONDS)
+    assert(third.statusCode() == 429,
+      s"third concurrent stream must be rejected, got ${third.statusCode()}")
+    assert(s1.get(10, java.util.concurrent.TimeUnit.SECONDS).statusCode() == 200)
+    assert(s2.get(10, java.util.concurrent.TimeUnit.SECONDS).statusCode() == 200)
+    // slots freed: a new stream works again
+    val again = openStream(300).get(10, java.util.concurrent.TimeUnit.SECONDS)
+    assert(again.statusCode() == 200)
+  }
+
+  test("max_ms clamps to MaxStreamMs (constant sanity + huge value accepted)") {
+    assert(RestServer.MaxStreamMs <= 300000L)
+    // a Long.MaxValue max_ms must not 500 (and must not hold past the
+    // clamp — we only verify acceptance here; the 5-min ceiling is not
+    // practically awaitable in a unit test)
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+      s"$base/progress/stream?job_id=$batchId&max_ms=${Long.MaxValue}"))
+      .header("Authorization", s"Bearer $adminToken").GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200) // replay closes on the terminal event
+  }
+
+  test("settings GET declares advisory keys") {
+    val up = http("GET", "/settings/upload", bearer = adminToken)._2
+    assert(up.get("_advisory").asText().contains("parallel_workers"), up.toString)
+    // consumed categories carry no advisory marker
+    assert(!http("GET", "/settings/chunking", bearer = adminToken)._2.has("_advisory"))
+  }
+
+  test("graceful stop flushes the audit buffer (no tail loss)") {
+    // flushAt=1000 means nothing below flushed on its own; stop() must
+    server.stop()
+    val rows = spark.read.parquet(s"$wh/audit_log")
+    import org.apache.spark.sql.functions.col
+    assert(rows.filter(col("action").startsWith("POST /containers")).count() >= 2,
+      "audited mutations must survive a graceful stop without reaching flushAt")
+  }
+}
+
+/** A settings PUT from one process propagates to another within the
+  * staleness window (the key registry's listing-stamp probe, reused). */
+class SettingsPropagationSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("cross-instance settings PUT visible after the probe window") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sprop").toString
+    val a = new KnowledgeStore(spark, wh)
+    val b = new KnowledgeStore(spark, wh)
+    // b caches the (empty) table now
+    assert(b.effectiveSettings("chunking")("max_chunk_size") == "512")
+    a.putSettings("chunking", Map("max_chunk_size" -> "128"))
+    // a sees its own write immediately
+    assert(a.effectiveSettings("chunking")("max_chunk_size") == "128")
+    // b re-probes the table stamp after the window and reloads
+    Thread.sleep(ApiKeyRegistry.StalenessProbeMs + 200)
+    assert(b.effectiveSettings("chunking")("max_chunk_size") == "128",
+      "cross-process PUT must propagate after the staleness window")
+  }
+}

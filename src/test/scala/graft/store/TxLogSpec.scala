@@ -1008,6 +1008,46 @@ class TxLogSpec extends AnyFunSuite {
     assert(namesAfter.count(_.endsWith(".checkpoint.parquet")) == 1, namesAfter.toString)
   }
 
+  test("dv state is canonically ordered: multi-DV checkpoint refold compares equal, restore is quiet") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (0L until 40L).map(i => (i, 1L)).toDF("id", "generation").coalesce(1),
+      wh, "t", Nil, 1))
+    // three DV registrations — three dv lines whose fold-encounter order
+    // would differ across parquet partition orders without canonicalization
+    TxLog.deleteWhereDV(spark, wh, "t", col("id") < 3L).get
+    TxLog.deleteWhereDV(spark, wh, "t", col("id").between(10L, 12L)).get
+    TxLog.deleteWhereDV(spark, wh, "t", col("id").between(20L, 22L)).get
+    val snapA = TxLog.snapshot(spark, wh)
+    assert(snapA.dvEntriesOf("t").length == 3)
+    // CANONICAL: every snapshot's dv entries sort by (rel, pred) — two
+    // folds of identical state compare equal regardless of line order
+    assert(snapA.dvEntriesOf("t") == snapA.dvEntriesOf("t").sorted)
+    val vBefore = snapA.version
+    TxLog.checkpoint(spark, wh, multipartAt = 0) // force the parquet form
+    val snapB = TxLog.snapshot(spark, wh) // seeded from the parquet fold
+    assert(snapB.dvEntriesOf("t") == snapA.dvEntriesOf("t"),
+      "checkpoint refold must reproduce IDENTICAL dv state (ordered compare)")
+    // restore across the checkpoint to the same logical state claims a
+    // version (restore is always a NEW COMMIT) but must not manufacture
+    // dvclear+dv re-register lines out of ordering noise: the commit body
+    // carries no dv actions when the mask state is identical
+    val vRestore = TxLog.restore(spark, wh, vBefore)
+    val body = {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/_txlog/" + f"$vRestore%020d.commit")
+      val fs3 = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), spark.sparkContext.hadoopConfiguration)
+      val in = fs3.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(!body.linesIterator.exists(l =>
+      l.startsWith("dv\t") || l.startsWith("dvclear\t")),
+      s"identical dv state must not re-register on restore:\n$body")
+    assert(TxLog.snapshot(spark, wh).dvEntriesOf("t") == snapA.dvEntriesOf("t"))
+    assert(TxLog.read(spark, wh, "t").count() == 31)
+  }
+
   test("multipart checkpoint at a seeded large file count round-trips the live set") {
     // the model check the multipart form exists FOR: hundreds of live
     // files across tables/partitions with per-file stats — fold from the
