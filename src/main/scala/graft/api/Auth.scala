@@ -1,0 +1,463 @@
+package graft.api
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Human-user identity slice — login sessions as signed JWTs with
+  * rotating refresh tokens, invite-gated signup, and the OAuth
+  * authorization-code flow with PKCE (ref
+  * Connapse.Identity/Services/JwtTokenService.cs, InviteService.cs,
+  * OAuthAuthCodeService.cs, OAuthClientService.cs, AuthEndpoints.cs).
+  * Complements the machine-to-machine scoped API keys
+  * ([[ApiKeyRegistry]]): keys are minted secrets, sessions are
+  * password-derived and time-boxed.
+  *
+  * What the reference builds on ASP.NET Identity + EF Core, this engine
+  * maps onto the same warehouse-registry pattern as `api_keys`:
+  * driver-sized parquet tables (`users`, `refresh_tokens`, `invites`,
+  * `oauth_clients`, `oauth_codes`), swap-rewritten, staleness-probed via
+  * [[TableStamp]] so a revocation in one server JVM propagates to the
+  * others within [[ApiKeyRegistry.StalenessProbeMs]].
+  *
+  * Reference behavior contracts mirrored exactly:
+  *   - JWT: HS256, issuer-checked, 60 s clock skew, lifetime-checked
+  *     (JwtTokenService.cs ValidateToken); only the refresh token's
+  *     SHA-256 lands in storage.
+  *   - Refresh ROTATION with family revocation: using a refresh token
+  *     revokes it and issues a replacement; REPLAYING a revoked token is
+  *     treated as theft and revokes the whole descendant chain
+  *     (JwtTokenService.cs RevokeTokenFamilyAsync).
+  *   - Invites: 7-day expiry, single-use, hashed token, no second
+  *     pending invite per email, and the admin scope cannot be granted
+  *     by invitation (the reference's "Owner role cannot be assigned via
+  *     invitation" rule mapped onto this engine's scope grammar).
+  *   - OAuth codes: 5-minute expiry, single-use, client_id AND
+  *     redirect_uri must match the authorize call, PKCE S256 verified
+  *     with a fixed-time comparison (OAuthAuthCodeService.cs).
+  */
+object Jwt {
+  final case class Claims(sub: String, name: String, scopes: Seq[String],
+      iss: String, iatMs: Long, expMs: Long)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def b64url(b: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  private def unb64url(s: String): Array[Byte] =
+    java.util.Base64.getUrlDecoder.decode(s)
+
+  private def hmac(secret: String, data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(data.getBytes("UTF-8"))
+  }
+
+  /** Sign a compact HS256 JWT. Timestamps travel in SECONDS (the RFC
+    * 7519 NumericDate convention) — millisecond iat/exp would verify
+    * here but read as year-55k to any standard consumer. */
+  def mint(secret: String, claims: Claims): String = {
+    val header = b64url("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+    val p = mapper.createObjectNode()
+    p.put("sub", claims.sub); p.put("name", claims.name)
+    p.put("iss", claims.iss)
+    p.put("iat", claims.iatMs / 1000L); p.put("exp", claims.expMs / 1000L)
+    val arr = p.putArray("scopes")
+    claims.scopes.foreach(arr.add)
+    val payload = b64url(mapper.writeValueAsBytes(p))
+    val signingInput = s"$header.$payload"
+    s"$signingInput.${b64url(hmac(secret, signingInput))}"
+  }
+
+  /** Verify signature (fixed-time), issuer, and lifetime (60 s skew, the
+    * reference's ClockSkew). None on ANY failure — malformed, tampered,
+    * wrong issuer, expired, not-yet-issued. */
+  def verify(secret: String, token: String, issuer: String,
+      nowMs: Long = System.currentTimeMillis(),
+      clockSkewMs: Long = 60000L): Option[Claims] =
+    try {
+      val parts = token.split('.')
+      if (parts.length != 3) return None
+      val expected = hmac(secret, s"${parts(0)}.${parts(1)}")
+      if (!java.security.MessageDigest.isEqual(expected, unb64url(parts(2))))
+        return None
+      val p = mapper.readTree(unb64url(parts(1)))
+      val iss = p.get("iss").asText()
+      if (iss != issuer) return None
+      val iatMs = p.get("iat").asLong() * 1000L
+      val expMs = p.get("exp").asLong() * 1000L
+      if (expMs + clockSkewMs < nowMs) return None
+      if (iatMs - clockSkewMs > nowMs) return None
+      val ss = {
+        val it = p.get("scopes").elements()
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) out += it.next().asText()
+        out.toSeq
+      }
+      Some(Claims(p.get("sub").asText(), p.get("name").asText(), ss, iss, iatMs, expMs))
+    } catch { case _: Exception => None }
+}
+
+/** A minted access/refresh pair (the raw refresh token is returned ONCE;
+  * only its hash persists — the PAT/refresh-token storage contract). */
+final case class TokenPair(accessToken: String, refreshToken: String,
+    expiresMs: Long)
+
+/** Users + sessions + invites over warehouse registry tables. */
+final class UserRegistry(spark: SparkSession, warehouse: String,
+    /** HS256 signing secret (the reference's Identity__Jwt__Secret —
+      * deployment-provided, never stored in the warehouse). */
+    jwtSecret: String,
+    issuer: String = "graft",
+    accessTtlMs: Long = 15L * 60 * 1000,
+    refreshTtlMs: Long = 30L * 24 * 3600 * 1000,
+    /** Injectable clock for expiry specs. */
+    now: () => Long = () => System.currentTimeMillis()) {
+  require(jwtSecret.length >= 16, "jwt secret must be at least 16 chars")
+  import spark.implicits._
+
+  // (user_id, email, display name, pbkdf2 hash hex, salt hex, scopes,
+  //  created_ms, revoked_ms [-1 = active])
+  private type User = (String, String, String, String, String, Seq[String], Long, Long)
+  // (token_hash, user_id, created_ms, expires_ms, revoked_ms,
+  //  replaced_by_hash ["" = tip of chain])
+  private type Refresh = (String, String, Long, Long, Long, String)
+  // (invite_id, email, scopes, token_hash, created_by, created_ms,
+  //  expires_ms, accepted_ms [-1 = pending])
+  private type Invite = (String, String, Seq[String], String, String, Long, Long, Long)
+
+  private val users = new RegistryTable[User](spark, s"$warehouse/users",
+    Seq("user_id", "email", "name", "pw_hash", "pw_salt", "scopes",
+      "created_ms", "revoked_ms"))
+  private val refreshes = new RegistryTable[Refresh](spark,
+    s"$warehouse/refresh_tokens",
+    Seq("token_hash", "user_id", "created_ms", "expires_ms", "revoked_ms",
+      "replaced_by_hash"))
+  private val invites = new RegistryTable[Invite](spark, s"$warehouse/invites",
+    Seq("invite_id", "email", "scopes", "token_hash", "created_by",
+      "created_ms", "expires_ms", "accepted_ms"))
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def randToken(): String = {
+    val raw = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(raw)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(raw)
+  }
+
+  /** PBKDF2WithHmacSHA256, 100k iterations (OWASP-cited floor) — the
+    * reference defers to ASP.NET Identity's PBKDF2 hasher. */
+  private def pbkdf2(password: String, saltHex: String): String = {
+    val salt = saltHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, 100000, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded.map("%02x".format(_)).mkString
+  }
+
+  private def validScope(s: String): Boolean =
+    s == "admin" || ((s.startsWith("read:") || s.startsWith("write:")) &&
+      s.substring(s.indexOf(':') + 1).nonEmpty)
+
+  /** Direct (admin-driven) user creation; signup goes through invites. */
+  def createUser(email: String, password: String, scopes: Seq[String],
+      name: String = ""): String = synchronized {
+    require(email.contains('@'), "email required")
+    require(password.length >= 8, "password must be at least 8 chars")
+    require(scopes.nonEmpty, "at least one scope required")
+    scopes.foreach(s => require(validScope(s), s"invalid scope '$s'"))
+    require(!users.load().exists(u => u._2 == email && u._8 < 0),
+      s"a user with email '$email' already exists")
+    val salt = { val b = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(b)
+      b.map("%02x".format(_)).mkString }
+    val id = java.util.UUID.randomUUID().toString
+    users.write(users.load() :+ ((id, email,
+      if (name.isEmpty) email.takeWhile(_ != '@') else name,
+      pbkdf2(password, salt), salt, scopes, now(), -1L)))
+    id
+  }
+
+  /** (user_id, email, name, scopes, active) — never hashes. */
+  def listUsers(): Seq[(String, String, String, Seq[String], Boolean)] =
+    users.load().map(u => (u._1, u._2, u._3, u._6, u._8 < 0))
+
+  /** Tombstone. A revoked user's outstanding JWTs keep their signature
+    * but [[authenticate]] re-checks the user row, so they die with the
+    * staleness window, and refresh is refused immediately. */
+  def revokeUser(userId: String): Boolean = synchronized {
+    val rows = users.load()
+    if (!rows.exists(u => u._1 == userId && u._8 < 0)) false
+    else { users.write(rows.map(u =>
+      if (u._1 == userId && u._8 < 0) u.copy(_8 = now()) else u)); true }
+  }
+
+  private def activeUser(pred: User => Boolean): Option[User] =
+    users.load().find(u => pred(u) && u._8 < 0)
+
+  private def mintPair(u: User): TokenPair = synchronized {
+    val t = now()
+    val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, u._6, issuer,
+      t, t + accessTtlMs))
+    val refresh = randToken()
+    refreshes.write(refreshes.load() :+
+      ((sha256Hex(refresh), u._1, t, t + refreshTtlMs, -1L, "")))
+    TokenPair(access, refresh, t + accessTtlMs)
+  }
+
+  /** Password login → token pair. Constant-time hash compare; None for
+    * unknown email, wrong password, or revoked user (indistinguishable
+    * to the caller — no account probing). */
+  def login(email: String, password: String): Option[TokenPair] =
+    activeUser(_._2 == email).filter { u =>
+      java.security.MessageDigest.isEqual(
+        pbkdf2(password, u._5).getBytes("UTF-8"), u._4.getBytes("UTF-8"))
+    }.map(mintPair)
+
+  /** Refresh-token ROTATION (ref JwtTokenService.cs RefreshTokenAsync):
+    * a valid token is revoked and replaced; a REVOKED token replayed is
+    * potential theft — the whole descendant family is revoked and the
+    * caller gets nothing. */
+  def refresh(refreshToken: String): Option[TokenPair] = synchronized {
+    val h = sha256Hex(refreshToken)
+    val rows = refreshes.load()
+    rows.find(_._1 == h) match {
+      case None => None
+      case Some(r) if r._5 >= 0 => // revoked: replay => revoke the family
+        var cur = r._6
+        var updated = rows
+        while (cur.nonEmpty) {
+          val nxt = updated.find(_._1 == cur)
+          updated = updated.map(x =>
+            if (x._1 == cur && x._5 < 0) x.copy(_5 = now()) else x)
+          cur = nxt.map(_._6).getOrElse("")
+        }
+        refreshes.write(updated)
+        None
+      case Some(r) if r._4 < now() => None // expired
+      case Some(r) =>
+        activeUser(_._1 == r._2) match {
+          case None => None // user revoked since the token was minted
+          case Some(u) =>
+            val t = now()
+            val newRefresh = randToken()
+            val newHash = sha256Hex(newRefresh)
+            refreshes.write(rows.map(x =>
+              if (x._1 == h) x.copy(_5 = t, _6 = newHash) else x) :+
+              ((newHash, u._1, t, t + refreshTtlMs, -1L, "")))
+            val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, u._6,
+              issuer, t, t + accessTtlMs))
+            Some(TokenPair(access, newRefresh, t + accessTtlMs))
+        }
+    }
+  }
+
+  /** Resolve a presented JWT to (display name, scopes) for the serving
+    * layers — signature/issuer/lifetime via [[Jwt.verify]], THEN the
+    * user row re-checked so a revoked user's outstanding tokens stop
+    * working without waiting for expiry. */
+  def authenticate(token: String): Option[(String, Seq[String])] =
+    Jwt.verify(jwtSecret, token, issuer, now()).flatMap(c =>
+      activeUser(_._1 == c.sub).map(u => (u._3, c.scopes)))
+
+  /** Mint a pair for a user id — the OAuth token endpoint's final step
+    * (the code exchange proved the user; None if since revoked). */
+  def mintFor(userId: String): Option[TokenPair] =
+    activeUser(_._1 == userId).map(mintPair)
+
+  /** The verified subject (user id) of a presented JWT — what the OAuth
+    * authorize endpoint binds codes to. */
+  def subjectOf(token: String): Option[String] =
+    Jwt.verify(jwtSecret, token, issuer, now()).map(_.sub)
+      .filter(sub => activeUser(_._1 == sub).isDefined)
+
+  /** Mint an invite (admin surface). The admin scope cannot be granted
+    * by invitation — the reference's Owner-role rule. */
+  def invite(email: String, scopes: Seq[String], createdBy: String): String =
+    synchronized {
+      require(email.contains('@'), "email required")
+      require(scopes.nonEmpty, "at least one scope required")
+      scopes.foreach(s => require(validScope(s), s"invalid scope '$s'"))
+      require(!scopes.contains("admin"),
+        "the admin scope cannot be assigned via invitation")
+      require(!users.load().exists(u => u._2 == email && u._8 < 0),
+        s"a user with email '$email' already exists")
+      val t = now()
+      require(!invites.load().exists(i =>
+        i._2 == email && i._8 < 0 && i._7 > t),
+        s"a pending invitation for '$email' already exists")
+      val raw = randToken()
+      invites.write(invites.load() :+
+        ((java.util.UUID.randomUUID().toString, email, scopes, sha256Hex(raw),
+          createdBy, t, t + UserRegistry.InviteTtlMs, -1L)))
+      raw
+    }
+
+  /** Redeem an invite: single-use, unexpired, email must match the
+    * invitation. Creates the user with the INVITED scopes. */
+  def signup(inviteToken: String, email: String, password: String,
+      name: String = ""): Option[String] = synchronized {
+    val h = sha256Hex(inviteToken)
+    val t = now()
+    invites.load().find(i => i._4 == h && i._8 < 0 && i._7 > t) match {
+      case Some(i) if i._2 == email =>
+        val id = createUser(email, password, i._3, name)
+        invites.write(invites.load().map(x =>
+          if (x._1 == i._1) x.copy(_8 = t) else x))
+        Some(id)
+      case _ => None
+    }
+  }
+}
+
+object UserRegistry {
+  val InviteTtlMs: Long = 7L * 24 * 3600 * 1000 // ref InviteService DefaultExpiry
+}
+
+/** OAuth authorization-code flow, server side (ref OAuthClientService.cs
+  * + OAuthAuthCodeService.cs): registered clients exchange single-use
+  * PKCE-bound codes for token pairs. */
+final class OAuthRegistry(spark: SparkSession, warehouse: String,
+    now: () => Long = () => System.currentTimeMillis()) {
+  import spark.implicits._
+
+  // (client_id, name, secret_hash, redirect_uri, created_ms, revoked_ms)
+  private type Client = (String, String, String, String, Long, Long)
+  // (code_hash, user_id, client_id, code_challenge, redirect_uri, scope,
+  //  created_ms, expires_ms, used_ms [-1 = fresh])
+  private type Code = (String, String, String, String, String, String, Long, Long, Long)
+
+  private val clients = new RegistryTable[Client](spark,
+    s"$warehouse/oauth_clients",
+    Seq("client_id", "name", "secret_hash", "redirect_uri", "created_ms",
+      "revoked_ms"))
+  private val codes = new RegistryTable[Code](spark, s"$warehouse/oauth_codes",
+    Seq("code_hash", "user_id", "client_id", "code_challenge",
+      "redirect_uri", "scope", "created_ms", "expires_ms", "used_ms"))
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def randToken(): String = {
+    val raw = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(raw)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(raw)
+  }
+
+  /** RFC 7636 S256: BASE64URL(SHA256(verifier)), no padding. */
+  def s256Challenge(verifier: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(verifier.getBytes("UTF-8")))
+
+  /** Register a client; the secret is returned once, only its hash
+    * persists. */
+  def registerClient(name: String, redirectUri: String): (String, String) =
+    synchronized {
+      require(name.nonEmpty, "client name required")
+      require(redirectUri.startsWith("http"), "redirect_uri must be a URL")
+      val id = java.util.UUID.randomUUID().toString
+      val secret = randToken()
+      clients.write(clients.load() :+
+        ((id, name, sha256Hex(secret), redirectUri, now(), -1L)))
+      (id, secret)
+    }
+
+  def clientRedirect(clientId: String): Option[String] =
+    clients.load().find(c => c._1 == clientId && c._6 < 0).map(_._4)
+
+  /** Authorize step: mint a single-use code bound to (user, client,
+    * challenge, redirect_uri, scope). 5-minute expiry (ref CodeExpiry). */
+  def createCode(userId: String, clientId: String, codeChallenge: String,
+      redirectUri: String, scope: String): String = synchronized {
+    require(clientRedirect(clientId).contains(redirectUri),
+      "unknown client or redirect_uri mismatch")
+    require(codeChallenge.nonEmpty, "code_challenge required (PKCE S256)")
+    val raw = randToken()
+    val t = now()
+    codes.write(codes.load() :+
+      ((sha256Hex(raw), userId, clientId, codeChallenge, redirectUri, scope,
+        t, t + OAuthRegistry.CodeTtlMs, -1L)))
+    raw
+  }
+
+  /** Token step: exchange code + verifier. None on: unknown code, reuse,
+    * expiry, client_id mismatch, redirect_uri mismatch, failed PKCE
+    * (fixed-time compare) — the reference's exact refusal ladder. */
+  def exchange(rawCode: String, codeVerifier: String, redirectUri: String,
+      clientId: String): Option[(String, String)] = synchronized {
+    val h = sha256Hex(rawCode)
+    val rows = codes.load()
+    rows.find(_._1 == h).flatMap { c =>
+      val t = now()
+      if (c._9 >= 0 || c._8 < t || c._3 != clientId || c._5 != redirectUri) None
+      else if (!java.security.MessageDigest.isEqual(
+        s256Challenge(codeVerifier).getBytes("UTF-8"), c._4.getBytes("UTF-8"))) None
+      else {
+        codes.write(rows.map(x => if (x._1 == h) x.copy(_9 = t) else x))
+        Some((c._2, c._6)) // (user_id, scope)
+      }
+    }
+  }
+}
+
+object OAuthRegistry {
+  val CodeTtlMs: Long = 5L * 60 * 1000 // ref OAuthAuthCodeService CodeExpiry
+}
+
+/** Shared storage shape of the identity registries: a driver-sized
+  * parquet table, swap-rewritten (old-or-new reader guarantee), cached
+  * with the [[TableStamp]] listing-stamp staleness probe — exactly the
+  * [[ApiKeyRegistry]] mechanics, factored for reuse. */
+private[api] final class RegistryTable[Row <: Product](
+    spark: SparkSession, path: String, cols: Seq[String])(
+    implicit enc: org.apache.spark.sql.Encoder[Row]) {
+
+  @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
+
+  def load(): Seq[Row] = {
+    val nowT = System.currentTimeMillis()
+    val prev = cache
+    prev match {
+      case Some((rows, _, probed))
+          if nowT - probed < ApiKeyRegistry.StalenessProbeMs => rows
+      case _ =>
+        val s0 = TableStamp.of(spark, path)
+        prev match {
+          case Some((rows, stamp, _)) if stamp == s0 =>
+            cache = Some((rows, stamp, nowT)); rows
+          case _ =>
+            try {
+              val rows =
+                if (s0 == TableStamp.Absent) Seq.empty[Row]
+                else spark.read.parquet(path)
+                  .select(cols.head, cols.tail: _*).as[Row].collect().toSeq
+              cache = Some((rows, s0, nowT))
+              rows
+            } catch { case _: Throwable =>
+              prev.map(_._1).getOrElse(Seq.empty)
+            }
+        }
+    }
+  }
+
+  def write(rows: Seq[Row]): Unit = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (rows.isEmpty) { fs.delete(target, true); () }
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+        s".registry-rewrite-${java.util.UUID.randomUUID}")
+      spark.createDataset(rows).toDF(cols: _*)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        sys.error(s"registry rewrite rename failed: $tmp -> $target")
+    }
+    spark.catalog.refreshByPath(path)
+    cache = Some((rows, TableStamp.of(spark, path), System.currentTimeMillis()))
+  }
+}

@@ -168,12 +168,7 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
 
   /** Scope checks the serving layers call per route. */
   def allows(scopes: Seq[String], action: String, containerId: String): Boolean =
-    scopes.contains("admin") || (action match {
-      case "read" => scopes.exists(s => s == "read:*" || s == "write:*" ||
-        s == s"read:$containerId" || s == s"write:$containerId")
-      case "write" => scopes.exists(s => s == "write:*" || s == s"write:$containerId")
-      case _ => false
-    })
+    ApiKeyRegistry.allowsScopes(scopes, action, containerId)
   def isAdmin(scopes: Seq[String]): Boolean = scopes.contains("admin")
 }
 
@@ -203,6 +198,18 @@ object ApiKeyRegistry {
   /** How stale another instance's key mutation may be here: the cache
     * re-stats the table's mtime at most this often. */
   val StalenessProbeMs: Long = 5000L
+
+  /** The scope matrix, STATIC: JWT sessions ([[UserRegistry]]) carry the
+    * same scope grammar as API keys, so both principals authorize
+    * through one function. */
+  def allowsScopes(scopes: Seq[String], action: String,
+      containerId: String): Boolean =
+    scopes.contains("admin") || (action match {
+      case "read" => scopes.exists(s => s == "read:*" || s == "write:*" ||
+        s == s"read:$containerId" || s == s"write:$containerId")
+      case "write" => scopes.exists(s => s == "write:*" || s == s"write:$containerId")
+      case _ => false
+    })
 }
 
 /** Token-bucket rate limiter shared by both serving surfaces (ref

@@ -52,6 +52,18 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * revoked / expired, 403 out-of-scope, and admin key CRUD at
       * `/keys`. */
     keys: Option[ApiKeyRegistry] = None,
+    /** Human-user sessions (ref AuthEndpoints.cs, JwtTokenService.cs):
+      * when set, bearer JWTs resolve through [[UserRegistry]] (login,
+      * refresh rotation, invite-gated signup on the /auth routes)
+      * alongside — or instead of — API keys. JWT scopes use the same
+      * grammar, so per-route authz is identical for both principal
+      * kinds. */
+    users: Option[UserRegistry] = None,
+    /** OAuth authorization-code flow (ref OAuthEndpoints.cs): client
+      * registration (admin), authorize (JWT-authenticated), and the
+      * token endpoint (code + PKCE verifier -> token pair). Requires
+      * `users` for the final mint. */
+    oauth: Option[OAuthRegistry] = None,
     /** Append-only audit sink (ref AuditLogger.cs): when set, every
       * non-GET request and every auth denial records (key, action,
       * resource, status); admins read it back at `GET /audit`. */
@@ -93,6 +105,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val ContainerSettings = "/containers/([^/]+)/settings/([a-z]+)".r
   private val KeyId = "/keys/([^/]+)".r
   private val BatchId = "/batches/([^/]+)".r
+  private val UserId = "/auth/users/([^/]+)".r
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
@@ -131,50 +144,165 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       // address instead of driving unlimited authenticate scans and
       // audit-flush jobs (the MCP server buckets unauthenticated traffic
       // the same way) -----------------------------------------------------
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
       val resolved: Option[Seq[String]] =
         if (path == "/health") Some(Seq("admin"))
-        else keys match {
-          case Some(reg) =>
-            Option(ex.getRequestHeaders.getFirst("Authorization"))
-              .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
-              .flatMap(reg.authenticate) match {
-              case Some((name, ss)) => principal = name; Some(ss)
-              case None => None
-            }
-          case None =>
-            if (!apiKey.forall(key =>
-              Option(ex.getRequestHeaders.getFirst("Authorization"))
-                .filter(_.startsWith("Bearer "))
-                .exists(h => java.security.MessageDigest.isEqual(
-                  h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
-                  key.getBytes(StandardCharsets.UTF_8))))) None
-            else {
-              principal =
-                if (apiKey.isDefined) "shared-key"
-                else String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress)
-              Some(Seq("admin"))
-            }
+        else if (RestServer.OpenAuthRoutes.contains(path) &&
+            (users.isDefined || oauth.isDefined)) {
+          // the session bootstrap routes are reachable WITHOUT a session
+          // (that is their whole point) — but only when a user registry
+          // is actually serving them; rate-limited per source address
+          principal = String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress)
+          Some(Nil)
         }
+        // a compact JWT (two dots) resolves through the user registry;
+        // opaque keys resolve through the key registry — both carry the
+        // same scope grammar
+        else (users.filter(_ => bearer.exists(_.count(_ == '.') == 2))
+          .flatMap(u => bearer.flatMap(u.authenticate)) match {
+          case Some((name, ss)) => principal = name; Some(ss)
+          case None => keys match {
+            case Some(reg) =>
+              bearer.flatMap(reg.authenticate) match {
+                case Some((name, ss)) => principal = name; Some(ss)
+                case None => None
+              }
+            case None if users.isDefined && apiKey.isEmpty =>
+              None // a user registry without keys is NOT open mode
+            case None =>
+              if (!apiKey.forall(key => bearer.exists(h =>
+                java.security.MessageDigest.isEqual(
+                  h.getBytes(StandardCharsets.UTF_8),
+                  key.getBytes(StandardCharsets.UTF_8))))) None
+              else {
+                principal =
+                  if (apiKey.isDefined) "shared-key"
+                  else String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress)
+                Some(Seq("admin"))
+              }
+          }
+        })
       if (path != "/health") rateCheck(
         if (resolved.isDefined) principal
         else String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress))
       val scopes: Seq[String] =
         resolved.getOrElse(throw Denied(401, "unauthorized"))
-      // ---- authz guards (no-ops without a key registry) ----------------
+      // ---- authz guards (no-ops without a key/user registry) -----------
+      val guarded = keys.isDefined || users.isDefined
       def requireAdmin(): Unit =
-        if (keys.isDefined && !scopes.contains("admin"))
+        if (guarded && !scopes.contains("admin"))
           throw Denied(403, "admin scope required")
       def requireScope(action: String, cid: String): Unit =
-        if (!keys.forall(_.allows(scopes, action, cid)))
+        if (guarded && !ApiKeyRegistry.allowsScopes(scopes, action, cid))
           throw Denied(403, s"$action scope required for container $cid")
       // container-scoped keys may follow progress/batches (their own bulk
       // uploads report there) but must not see OTHER containers' paths and
       // error messages — the event `detail` redacts for non-admins (ref
       // the per-route scope model; progress events carry no container id
       // to filter by, so redaction is the honest middle ground)
-      val isAdmin = keys.isEmpty || scopes.contains("admin")
+      val isAdmin = !guarded || scopes.contains("admin")
       def visibleDetail(detail: String): String = if (isAdmin) detail else ""
       (method, path) match {
+        // ---- user sessions (ref AuthEndpoints.cs; UserRegistry) --------
+        case ("POST", "/auth/login") =>
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val b = body(ex)
+          val email = str(b, "email")
+          reg.login(email, str(b, "password")) match {
+            case Some(tp) =>
+              auditRec(200, s"login $email")
+              ok(ex, obj("access_token" -> tp.accessToken,
+                "refresh_token" -> tp.refreshToken, "expires_ms" -> tp.expiresMs))
+            case None => throw Denied(401, "invalid credentials")
+          }
+        case ("POST", "/auth/refresh") =>
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          reg.refresh(str(body(ex), "refresh_token")) match {
+            case Some(tp) => ok(ex, obj("access_token" -> tp.accessToken,
+              "refresh_token" -> tp.refreshToken, "expires_ms" -> tp.expiresMs))
+            case None => throw Denied(401, "invalid refresh token")
+          }
+        case ("POST", "/auth/signup") =>
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val b = body(ex)
+          val email = str(b, "email")
+          reg.signup(str(b, "invite_token"), email, str(b, "password"),
+            optStr(b, "name").getOrElse("")) match {
+            case Some(id) =>
+              auditRec(201, s"signup $email")
+              ok(ex, obj("user_id" -> id), status = 201)
+            case None => throw Denied(400, "invalid, expired, or mismatched invite")
+          }
+        case ("POST", "/auth/invites") =>
+          requireAdmin()
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val b = body(ex)
+          val ss = {
+            val it = node(b, "scopes").elements()
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) out += it.next().asText()
+            out.toSeq
+          }
+          val token = reg.invite(str(b, "email"), ss, principal)
+          auditRec(201, s"invite ${str(b, "email")} scopes=${ss.mkString(",")}")
+          ok(ex, obj("invite_token" -> token), status = 201)
+        case ("GET", "/auth/users") =>
+          requireAdmin()
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          ok(ex, arr(reg.listUsers().map { case (id, email, name, ss, active) =>
+            obj("user_id" -> id, "email" -> email, "name" -> name,
+              "scopes" -> ss.map(s => s: Any), "active" -> active)
+          }))
+        case ("DELETE", UserId(id)) =>
+          requireAdmin()
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          if (reg.revokeUser(id)) { auditRec(204, s"user_revoke $id"); noContent(ex) }
+          else err(ex, 404, s"no active user: $id")
+        // ---- OAuth authorization-code flow (ref OAuthEndpoints.cs) -----
+        case ("POST", "/oauth/clients") =>
+          requireAdmin()
+          val reg = oauth.getOrElse(throw Denied(404, "no oauth registry configured"))
+          val b = body(ex)
+          val (cid, secret) = reg.registerClient(str(b, "name"), str(b, "redirect_uri"))
+          auditRec(201, s"oauth_client ${str(b, "name")}")
+          ok(ex, obj("client_id" -> cid, "client_secret" -> secret), status = 201)
+        case ("POST", "/oauth/authorize") =>
+          // the authenticated-user half of the flow: a logged-in session
+          // (JWT bearer) consents; the code binds to ITS subject
+          val oreg = oauth.getOrElse(throw Denied(404, "no oauth registry configured"))
+          val ureg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val sub = bearer.flatMap(ureg.subjectOf)
+            .getOrElse(throw Denied(401, "authorize requires a user session (JWT)"))
+          val b = body(ex)
+          val code = oreg.createCode(sub, str(b, "client_id"),
+            str(b, "code_challenge"), str(b, "redirect_uri"),
+            optStr(b, "scope").getOrElse(""))
+          auditRec(200, s"oauth_authorize client=${str(b, "client_id")}")
+          ok(ex, obj("code" -> code))
+        case ("POST", "/oauth/token") =>
+          val oreg = oauth.getOrElse(throw Denied(404, "no oauth registry configured"))
+          val ureg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val b = body(ex)
+          str(b, "grant_type") match {
+            case "authorization_code" =>
+              oreg.exchange(str(b, "code"), str(b, "code_verifier"),
+                str(b, "redirect_uri"), str(b, "client_id"))
+                .flatMap { case (userId, _) => ureg.mintFor(userId) } match {
+                case Some(tp) => ok(ex, obj("access_token" -> tp.accessToken,
+                  "refresh_token" -> tp.refreshToken,
+                  "expires_ms" -> tp.expiresMs, "token_type" -> "Bearer"))
+                case None => throw Denied(400, "invalid_grant")
+              }
+            case "refresh_token" =>
+              ureg.refresh(str(b, "refresh_token")) match {
+                case Some(tp) => ok(ex, obj("access_token" -> tp.accessToken,
+                  "refresh_token" -> tp.refreshToken,
+                  "expires_ms" -> tp.expiresMs, "token_type" -> "Bearer"))
+                case None => throw Denied(400, "invalid_grant")
+              }
+            case other => throw Denied(400, s"unsupported grant_type: $other")
+          }
         // ---- key management + audit (admin; ref AgentEndpoints.cs) -----
         case ("POST", "/keys") =>
           requireAdmin()
@@ -358,7 +486,8 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           // read — listing is enumeration, and ids/names/connector types
           // of other tenants' containers are not this key's to see
           ok(ex, arr(store.listContainers()
-            .filter { case (id, _, _) => keys.forall(_.allows(scopes, "read", id)) }
+            .filter { case (id, _, _) =>
+              !guarded || ApiKeyRegistry.allowsScopes(scopes, "read", id) }
             .map { case (id, name, ct) =>
               obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
             }))
@@ -624,6 +753,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
 }
 
 object RestServer {
+  /** Session-bootstrap routes reachable WITHOUT a bearer (their whole
+    * point) when a user/oauth registry serves them; everything they
+    * answer is gated by credentials in the BODY (password, refresh
+    * token, invite token, code+PKCE verifier) and rate-limited per
+    * source address. */
+  val OpenAuthRoutes: Set[String] =
+    Set("/auth/login", "/auth/refresh", "/auth/signup", "/oauth/token")
+
   /** Hard ceiling on a single SSE stream's lifetime (5 min): clients
     * reconnect and the ring replays — a client-supplied max_ms must not
     * pin a handler thread indefinitely. */

@@ -1,0 +1,263 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.embed.HttpTransport
+
+/** Connector identity — acquiring S3/Azure credentials via SSO /
+  * device-code flows instead of static keys (ref
+  * Connapse.Storage/CloudScope/AwsSsoClientRegistrar.cs,
+  * AwsIdentityProvider.cs, AzureIdentityProvider.cs,
+  * ConnectorScopeCache.cs, CloudIdentityEndpoints.cs).
+  *
+  * The reference drives the AWS SDK (SSOOIDC + SSO portal) and
+  * Azure.Identity; this engine speaks the SAME public wire protocols
+  * directly through the injected [[HttpTransport]] every provider
+  * already uses — specs drive register → device-auth → poll → role
+  * credentials → signed S3 request fully offline with canned JSON.
+  *
+  * Protocol sources (public): AWS SSO-OIDC API (RegisterClient /
+  * StartDeviceAuthorization / CreateToken, the RFC 8628 device grant)
+  * and the SSO portal API (GetRoleCredentials / ListAccounts);
+  * Microsoft identity platform OAuth 2.0 device authorization grant
+  * (login.microsoftonline.com devicecode + token endpoints).
+  */
+object CloudIdentity {
+  /** RFC 8628 device-authorization handshake state. */
+  final case class DeviceAuth(deviceCode: String, userCode: String,
+      verificationUri: String, verificationUriComplete: String,
+      expiresInSec: Long, intervalSec: Long)
+
+  /** Temporary credentials for a connector client. For AWS these feed
+    * [[S3Client]] (`sessionToken` signs as x-amz-security-token); for
+    * Azure the access token rides as a bearer. */
+  final case class TempCredentials(accessKeyId: String, secretAccessKey: String,
+      sessionToken: String, expiresAtMs: Long)
+
+  /** Poll outcome that is NOT terminal (RFC 8628): keep polling. */
+  private[sources] val PendingErrors = Set("authorization_pending", "slow_down")
+}
+
+/** AWS IAM Identity Center (SSO) device-code credential acquisition
+  * (ref AwsSsoClientRegistrar.cs — same call sequence, same refresh
+  * rule). All calls go through the injected transport. */
+final class AwsSso(transport: HttpTransport, region: String,
+    startUrl: String,
+    now: () => Long = () => System.currentTimeMillis()) {
+  import CloudIdentity._
+
+  private val mapper = new ObjectMapper()
+  private def oidc = s"https://oidc.$region.amazonaws.com"
+  private def portal = s"https://portal.sso.$region.amazonaws.com"
+
+  /** Registered OIDC client (clientSecretExpiresAt in epoch SECONDS —
+    * the AWS wire unit, kept as-is so the refresh rule reads like the
+    * reference's). */
+  final case class ClientRegistration(clientId: String, clientSecret: String,
+      clientSecretExpiresAtSec: Long)
+
+  /** RegisterClient — mint a public OIDC client for the device grant. */
+  def registerClient(clientName: String = "graft"): ClientRegistration = {
+    val body = mapper.createObjectNode()
+    body.put("clientName", clientName)
+    body.put("clientType", "public")
+    body.putArray("scopes").add("sso:account:access")
+    val grants = body.putArray("grantTypes")
+    grants.add("urn:ietf:params:oauth:grant-type:device_code")
+    grants.add("refresh_token")
+    body.put("issuerUrl", startUrl)
+    val r = mapper.readTree(transport.post(s"$oidc/client/register",
+      mapper.writeValueAsString(body),
+      Map("Content-Type" -> "application/json")))
+    ClientRegistration(r.get("clientId").asText(),
+      r.get("clientSecret").asText(),
+      r.get("clientSecretExpiresAt").asLong())
+  }
+
+  /** The reference's refresh rule (AwsSsoClientRegistrar.cs:23-28):
+    * existing credentials are good iff the clientId exists and the
+    * secret expires more than 10 MINUTES from now; otherwise
+    * re-register. */
+  def ensureRegistered(existing: Option[ClientRegistration]): ClientRegistration =
+    existing.filter(c => c.clientId.nonEmpty &&
+      c.clientSecretExpiresAtSec > now() / 1000L + 600L)
+      .getOrElse(registerClient())
+
+  /** StartDeviceAuthorization — begin the RFC 8628 handshake; the user
+    * visits verificationUriComplete and approves. */
+  def startDeviceAuthorization(client: ClientRegistration): DeviceAuth = {
+    val body = mapper.createObjectNode()
+    body.put("clientId", client.clientId)
+    body.put("clientSecret", client.clientSecret)
+    body.put("startUrl", startUrl)
+    val r = mapper.readTree(transport.post(s"$oidc/device_authorization",
+      mapper.writeValueAsString(body),
+      Map("Content-Type" -> "application/json")))
+    DeviceAuth(r.get("deviceCode").asText(), r.get("userCode").asText(),
+      r.get("verificationUri").asText(),
+      r.get("verificationUriComplete").asText(),
+      Option(r.get("expiresIn")).map(_.asLong()).getOrElse(600L),
+      Option(r.get("interval")).map(_.asLong()).getOrElse(5L))
+  }
+
+  /** CreateToken poll: Some(ssoAccessToken) once the user approved;
+    * None while pending or throttled (the reference catches
+    * AuthorizationPendingException / SlowDownException and returns
+    * null); terminal errors (expired_token, access_denied) throw. */
+  def pollForToken(client: ClientRegistration, deviceCode: String): Option[String] = {
+    val body = mapper.createObjectNode()
+    body.put("clientId", client.clientId)
+    body.put("clientSecret", client.clientSecret)
+    body.put("grantType", "urn:ietf:params:oauth:grant-type:device_code")
+    body.put("deviceCode", deviceCode)
+    val r = mapper.readTree(transport.post(s"$oidc/token",
+      mapper.writeValueAsString(body),
+      Map("Content-Type" -> "application/json")))
+    Option(r.get("error")).map(_.asText()) match {
+      case Some(e) if PendingErrors.contains(e) => None
+      case Some(e) => throw new IllegalStateException(
+        s"aws sso device flow failed: $e")
+      case None => Some(r.get("accessToken").asText())
+    }
+  }
+
+  /** ListAccounts (paginated, ref ListUserAccountsAsync) — the account
+    * set this identity may reach; scope checks compare the connector's
+    * account against it. */
+  def listAccounts(ssoToken: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var next: Option[String] = None
+    var more = true
+    while (more) {
+      val q = s"max_result=100" + next.map(t => s"&next_token=$t").getOrElse("")
+      val r = mapper.readTree(transport.get(s"$portal/assignment/accounts?$q",
+        Map("x-amz-sso_bearer_token" -> ssoToken)))
+      val it = r.get("accountList").elements()
+      while (it.hasNext) {
+        val a = it.next()
+        out += ((a.get("accountId").asText(), a.get("accountName").asText()))
+      }
+      next = Option(r.get("nextToken")).filterNot(_.isNull).map(_.asText())
+        .filter(_.nonEmpty)
+      more = next.isDefined
+    }
+    out.result()
+  }
+
+  /** GetRoleCredentials — exchange the SSO token for TEMPORARY role
+    * credentials; these feed [[S3Client]] (sessionToken included). */
+  def getRoleCredentials(ssoToken: String, accountId: String,
+      roleName: String): TempCredentials = {
+    val r = mapper.readTree(transport.get(
+      s"$portal/federation/credentials?account_id=$accountId&role_name=$roleName",
+      Map("x-amz-sso_bearer_token" -> ssoToken)))
+    val c = r.get("roleCredentials")
+    TempCredentials(c.get("accessKeyId").asText(),
+      c.get("secretAccessKey").asText(), c.get("sessionToken").asText(),
+      c.get("expiration").asLong()) // epoch ms on the wire
+  }
+}
+
+/** Microsoft identity platform device-authorization grant (ref
+  * AzureIdentityProvider.cs's DefaultAzureCredential, realized as the
+  * public OAuth 2.0 device flow against login.microsoftonline.com —
+  * the non-interactive-server shape of the same credential chain). */
+final class AzureDeviceCode(transport: HttpTransport, tenant: String,
+    clientId: String) {
+  import CloudIdentity._
+
+  private val mapper = new ObjectMapper()
+  private def base = s"https://login.microsoftonline.com/$tenant/oauth2/v2.0"
+  private def form(fields: (String, String)*): String =
+    fields.map { case (k, v) =>
+      s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }.mkString("&")
+
+  /** Start the device flow for a scope (e.g.
+    * "https://storage.azure.com/.default offline_access"). */
+  def start(scope: String): DeviceAuth = {
+    val r = mapper.readTree(transport.post(s"$base/devicecode",
+      form("client_id" -> clientId, "scope" -> scope),
+      Map("Content-Type" -> "application/x-www-form-urlencoded")))
+    DeviceAuth(r.get("device_code").asText(), r.get("user_code").asText(),
+      r.get("verification_uri").asText(),
+      Option(r.get("verification_uri_complete")).filterNot(_ == null)
+        .map(_.asText()).getOrElse(r.get("verification_uri").asText()),
+      r.get("expires_in").asLong(),
+      Option(r.get("interval")).map(_.asLong()).getOrElse(5L))
+  }
+
+  /** (access token, refresh token, expires_in seconds). */
+  final case class AzureTokens(accessToken: String, refreshToken: String,
+      expiresInSec: Long)
+
+  /** Token poll: Some once approved, None while pending/throttled,
+    * terminal errors throw (expired_token / access_denied / declined). */
+  def poll(deviceCode: String): Option[AzureTokens] = {
+    val r = mapper.readTree(transport.post(s"$base/token",
+      form("grant_type" -> "urn:ietf:params:oauth:grant-type:device_code",
+        "client_id" -> clientId, "device_code" -> deviceCode),
+      Map("Content-Type" -> "application/x-www-form-urlencoded")))
+    Option(r.get("error")).map(_.asText()) match {
+      case Some(e) if PendingErrors.contains(e) => None
+      case Some(e) => throw new IllegalStateException(
+        s"azure device flow failed: $e")
+      case None => Some(AzureTokens(r.get("access_token").asText(),
+        Option(r.get("refresh_token")).map(_.asText()).getOrElse(""),
+        r.get("expires_in").asLong()))
+    }
+  }
+
+  /** Refresh-token exchange (the long-running-connector path — the
+    * device dance happens once, refreshes keep it alive). */
+  def refresh(refreshToken: String, scope: String): Option[AzureTokens] = {
+    val r = mapper.readTree(transport.post(s"$base/token",
+      form("grant_type" -> "refresh_token", "client_id" -> clientId,
+        "refresh_token" -> refreshToken, "scope" -> scope),
+      Map("Content-Type" -> "application/x-www-form-urlencoded")))
+    Option(r.get("error")).map(_.asText()) match {
+      case Some(_) => None
+      case None => Some(AzureTokens(r.get("access_token").asText(),
+        Option(r.get("refresh_token")).map(_.asText()).getOrElse(refreshToken),
+        r.get("expires_in").asLong()))
+    }
+  }
+}
+
+/** Per-connector-scope credential cache (ref ConnectorScopeCache.cs —
+  * IMemoryCache keyed by (user, container) with a TTL): acquired
+  * credentials are expensive (a device dance or a portal round-trip)
+  * and short-lived — cache them per scope key, re-acquire through the
+  * supplied thunk once the entry's OWN expiry (minus a safety margin)
+  * passes, and allow explicit invalidation (the revoke path). Bounded:
+  * connector scopes are registry-sized, but an LRU cap guards against
+  * key-cardinality bugs becoming heap leaks. */
+final class ConnectorScopeCache[V](
+    /** Entry expiry extractor — credentials carry their own. */
+    expiresAtMs: V => Long,
+    safetyMarginMs: Long = 60000L,
+    maxEntries: Int = 4096,
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  private val entries = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > maxEntries
+    })
+
+  /** Serve the cached credentials for `key` while they have more than
+    * the safety margin left; otherwise acquire fresh ones. */
+  def getOrAcquire(key: String)(acquire: => V): V = entries.synchronized {
+    Option(entries.get(key))
+      .filter(v => expiresAtMs(v) - safetyMarginMs > now())
+      .getOrElse {
+        val v = acquire
+        entries.put(key, v)
+        v
+      }
+  }
+
+  def invalidate(key: String): Unit = entries.synchronized {
+    entries.remove(key); ()
+  }
+
+  def size: Int = entries.size()
+}

@@ -156,7 +156,12 @@ final class S3Client(
     accessKey: String,
     secretKey: String,
     exchange: HttpExchange,
-    clock: () => Instant = () => Instant.now()) extends ObjectStoreClient {
+    clock: () => Instant = () => Instant.now(),
+    /** TEMPORARY-credential marker (STS/SSO role credentials,
+      * [[graft.sources.AwsSso.getRoleCredentials]]): rides every request
+      * as a SIGNED `x-amz-security-token` header — the documented SigV4
+      * shape for session credentials. None = long-lived keys. */
+    sessionToken: Option[String] = None) extends ObjectStoreClient {
 
   private def host: String =
     java.net.URI.create(endpoint).getAuthority
@@ -169,6 +174,7 @@ final class S3Client(
     val payloadHash =
       if (body.isEmpty) SigV4.EmptyPayloadHash else SigV4.sha256Hex(body)
     val base = Map("host" -> host) ++ contentType.map("content-type" -> _) ++
+      sessionToken.map("x-amz-security-token" -> _) ++
       extraHeaders
     val headers = SigV4.signedHeaders(method, uriPath, query, base,
       payloadHash, amzDate, region, "s3", accessKey, secretKey)

@@ -612,7 +612,30 @@ object TxLog {
     readText(f, commitFile(warehouse, v))
 
   def snapshot(spark: SparkSession, warehouse: String,
-      atVersion: Long = Long.MaxValue): Snapshot = {
+      atVersion: Long = Long.MaxValue): Snapshot =
+    snapshotImpl(spark, warehouse, atVersion, withFiles = true)
+
+  /** The TABLE-METADATA slice of a snapshot — schemas, tags, partition
+    * specs, DVs, retired columns, CHECK constraints, version — WITHOUT
+    * the per-file maps (live set + stats + blooms, the ~200 B/file
+    * driver term). Folding skips every add/stat/bloom/remove line, and
+    * the parquet-checkpoint branch filters them out INSIDE the Spark
+    * job, so driver memory is O(tables), not O(files) — the seed the
+    * manifest-join read paths pair with [[fileManifest]]. */
+  def lightSnapshot(spark: SparkSession, warehouse: String,
+      atVersion: Long = Long.MaxValue): Snapshot =
+    snapshotImpl(spark, warehouse, atVersion, withFiles = false)
+
+  /** Line kinds that only matter to the per-file maps — the light fold
+    * drops them (remove included: with no live map there is nothing to
+    * remove, and every other action is last-writer-wins by kind). */
+  private def isFileLine(line: String): Boolean = {
+    val kind = line.substring(0, math.max(line.indexOf('\t'), 0))
+    kind == "add" || kind == "stat" || kind == "bloom" || kind == "remove"
+  }
+
+  private def snapshotImpl(spark: SparkSession, warehouse: String,
+      atVersion: Long, withFiles: Boolean): Snapshot = {
     val f = fs(spark, warehouse)
     val live = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
     val fileStats =
@@ -627,7 +650,8 @@ object TxLog {
     val checkMap = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
     var version = -1L
     def foldText(text: String, v: Long): Unit =
-      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      text.linesIterator.filter(_.nonEmpty)
+        .filter(line => withFiles || !isFileLine(line)).foreach { line =>
         line.split('\t') match {
           case Array("add", table, rel, gen) => live((table, rel)) = gen.toLong
           case Array("add", table, rel, gen, _) => live((table, rel)) = gen.toLong
@@ -682,9 +706,14 @@ object TxLog {
         // (pure state: adds/stats/schemas/dvs — no removes), so parquet
         // partition order is immaterial.
         import spark.implicits._
-        val it = spark.read
+        val ds = spark.read
           .parquet(checkpointParquetDir(warehouse, cv).toString)
-          .as[String].toLocalIterator()
+          .as[String]
+        // light fold: file lines (the overwhelming majority of a big
+        // checkpoint) are dropped INSIDE the Spark job — the driver
+        // iterator only ever sees the O(tables) metadata lines
+        val it = (if (withFiles) ds else ds.filter(l => !isFileLine(l)))
+          .toLocalIterator()
         while (it.hasNext) foldText(it.next(), cv)
       }
     }
@@ -1351,6 +1380,199 @@ object TxLog {
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
+  // ---- SNAPSHOT AS A DATAFRAME (the published Delta design: state
+  // reconstruction / pruning over the checkpoint parquet instead of
+  // driver maps). The resolved snapshot maps cost ~200 B/live file on
+  // the driver (~2 GB at 10M files — the engine's last disclosed
+  // corpus-proportional driver term). The manifest path removes it:
+  // per-file state stays a DATASET, the admit test (constraintsAdmit —
+  // the exact function the driver path runs) filters it inside
+  // executors, and the driver only ever holds the PRUNED survivors plus
+  // the O(tables) metadata slice (lightSnapshot). ----------------------
+
+  /** One live file's logged state — a row of [[fileManifest]]. */
+  final case class FileEntry(rel: String, generation: Long,
+      stats: Map[String, ColStat], blooms: Map[String, String])
+
+  /** Tagged fragment of a checkpoint line during the distributed parse
+    * (kind a=add / s=stat / b=bloom; unused fields empty). private[store]
+    * not private: the Dataset encoder's generated code needs PUBLIC
+    * bytecode accessors. */
+  private[store] final case class ManifestPart(rel: String, kind: String,
+      gen: Long, col: String, tpe: String, mn: String, mx: String)
+
+  private def parseManifestPart(table: String, line: String): Option[ManifestPart] =
+    line.split('\t') match {
+      case Array("add", t, rel, gen) if t == table =>
+        Some(ManifestPart(rel, "a", gen.toLong, "", "", "", ""))
+      case Array("add", t, rel, gen, _) if t == table =>
+        Some(ManifestPart(rel, "a", gen.toLong, "", "", "", ""))
+      case Array("stat", t, rel, c, tpe, mn, mx) if t == table =>
+        Some(ManifestPart(rel, "s", -1L, unesc(c), tpe, unesc(mn), unesc(mx)))
+      case Array("bloom", t, rel, c, b64) if t == table =>
+        Some(ManifestPart(rel, "b", -1L, unesc(c), "", b64, ""))
+      case _ => None
+    }
+
+  /** The table's LIVE FILE SET as a Dataset — (rel path, generation,
+    * per-column stats, per-column Bloom sketches) — reconstructed from
+    * the newest checkpoint at or before `atVersion` plus the commits
+    * after it, WITHOUT materializing the file list on the driver:
+    *
+    *   - the checkpoint's add/stat/bloom lines parse and group INSIDE a
+    *     Spark job (the parquet checkpoint form is the manifest's
+    *     storage — one more reason multi-part checkpoints exist);
+    *   - post-checkpoint commits fold on the driver (bounded by the
+    *     checkpoint cadence, the same contract expireLog already
+    *     relies on) into a small add/remove delta that joins in.
+    *
+    * Pair with [[lightSnapshot]] (schemas/DVs/specs without file maps)
+    * to serve pruned reads with DRIVER MEMORY FLAT IN FILE COUNT — see
+    * [[readWhereBetweenViaManifest]] / [[readWhereEqualsViaManifest]].
+    * Requires a checkpoint when history was expired (same horizon
+    * contract as [[snapshot]]); with no checkpoint at all the manifest
+    * derives from commit texts alone (small log, small manifest). */
+  def fileManifest(spark: SparkSession, warehouse: String, table: String,
+      atVersion: Long = Long.MaxValue)
+      : org.apache.spark.sql.Dataset[FileEntry] = {
+    import spark.implicits._
+    val f = fs(spark, warehouse)
+    val commits = listVersions(f, warehouse)
+    val ck = listCheckpoints(f, warehouse).filter(_ <= atVersion).lastOption
+    if (ck.isEmpty && commits.headOption.exists(_ > 0))
+      sys.error(s"txlog: version $atVersion predates the truncated log " +
+        s"horizon (earliest commit ${commits.head})")
+    val tbl = table
+    val ckLines: org.apache.spark.sql.Dataset[String] = ck match {
+      case Some(cv) =>
+        val txt = checkpointFile(warehouse, cv)
+        if (f.exists(txt)) // text form: small by the multipartAt contract
+          spark.createDataset(
+            readText(f, txt).linesIterator.filter(_.nonEmpty).toSeq)
+        else spark.read
+          .parquet(checkpointParquetDir(warehouse, cv).toString).as[String]
+      case None => spark.emptyDataset[String]
+    }
+    val ckEntries = ckLines
+      .flatMap(line => parseManifestPart(tbl, line))
+      .groupByKey(_.rel)
+      .mapGroups { (rel, it) =>
+        var gen = -1L
+        val stats = scala.collection.mutable.Map.empty[String, ColStat]
+        val blooms = scala.collection.mutable.Map.empty[String, String]
+        it.foreach { p =>
+          p.kind match {
+            case "a" => gen = p.gen
+            case "s" => stats(p.col) = ColStat(p.tpe, p.mn, p.mx)
+            case "b" => blooms(p.col) = p.mn
+          }
+        }
+        FileEntry(rel, gen, stats.toMap, blooms.toMap)
+      }
+      .filter(_.generation >= 0) // stat/bloom lines without an add: not live
+    // post-checkpoint delta, folded in version order on the driver —
+    // bounded by commits-since-checkpoint (the checkpoint cadence), NOT
+    // by table size
+    val postAdds = scala.collection.mutable.LinkedHashMap[
+      String, (Long, Map[String, ColStat], Map[String, String])]()
+    val removed = scala.collection.mutable.LinkedHashSet[String]()
+    commits.filter(v => v > ck.getOrElse(-1L) && v <= atVersion).foreach { v =>
+      readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
+        line.split('\t') match {
+          case Array("add", t, rel, gen) if t == tbl =>
+            postAdds(rel) = (gen.toLong, Map.empty, Map.empty); removed -= rel
+          case Array("add", t, rel, gen, _) if t == tbl =>
+            postAdds(rel) = (gen.toLong, Map.empty, Map.empty); removed -= rel
+          case Array("stat", t, rel, c, tpe, mn, mx) if t == tbl =>
+            postAdds.get(rel).foreach { case (g, s, b) =>
+              postAdds(rel) =
+                (g, s + (unesc(c) -> ColStat(tpe, unesc(mn), unesc(mx))), b) }
+          case Array("bloom", t, rel, c, b64) if t == tbl =>
+            postAdds.get(rel).foreach { case (g, s, b) =>
+              postAdds(rel) = (g, s, b + (unesc(c) -> b64)) }
+          case Array("remove", t, rel) if t == tbl =>
+            postAdds.remove(rel); removed += rel
+          case _ => ()
+        }
+      }
+    }
+    // the delta sets ship to executors as closure state — sized by the
+    // checkpoint cadence, never by the live set
+    val dropSet = removed.toSet ++ postAdds.keySet
+    val ckSurvivors =
+      if (dropSet.isEmpty) ckEntries
+      else ckEntries.filter(e => !dropSet.contains(e.rel))
+    val postDs = spark.createDataset(postAdds.toSeq.map {
+      case (rel, (g, s, b)) => FileEntry(rel, g, s, b) })
+    ckSurvivors.union(postDs)
+  }
+
+  /** Tier-1 log pruning AS A MANIFEST FILTER: run [[constraintsAdmit]]
+    * (the same admit test the driver-map path uses) over [[fileManifest]]
+    * inside executors and collect only the SURVIVING (rel, generation)
+    * pairs. Driver memory ∝ survivors, not table size. */
+  private[store] def manifestCandidates(spark: SparkSession, warehouse: String,
+      table: String, sch: Option[org.apache.spark.sql.types.StructType],
+      constraints: Seq[(String, String, Any)],
+      atVersion: Long = Long.MaxValue): Seq[(String, Long)] = {
+    import spark.implicits._
+    fileManifest(spark, warehouse, table, atVersion)
+      .filter(e => constraintsAdmit(sch, e.rel, e.stats, e.blooms, constraints))
+      .map(e => (e.rel, e.generation)).collect().toSeq
+  }
+
+  /** [[readWhereBetween]] through the manifest path: stats pruning runs
+    * as a distributed filter over [[fileManifest]], table metadata comes
+    * from [[lightSnapshot]] — the driver never holds the live-file maps,
+    * only the pruned survivors. Results are identical to
+    * `read(...).filter(between)` by the same conservative-admit
+    * contract as the driver-map path. */
+  def readWhereBetweenViaManifest(spark: SparkSession, warehouse: String,
+      table: String, column: String, lo: Any, hi: Any,
+      atVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    manifestPrunedRead(spark, warehouse, table,
+      Seq((column, "ge", lo), (column, "le", hi)), atVersion)
+      .filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** [[readWhereEquals]] through the manifest path: partition-dir, range,
+    * AND Bloom pruning all run inside executors over [[fileManifest]]. */
+  def readWhereEqualsViaManifest(spark: SparkSession, warehouse: String,
+      table: String, column: String, value: Any,
+      atVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    manifestPrunedRead(spark, warehouse, table,
+      Seq((column, "eq", value)), atVersion)
+      .filter(col(column) === lit(value))
+  }
+
+  /** Shared scaffolding of the manifest read paths: prune distributed,
+    * read the survivors through [[readFileSet]] seeded with the LIGHT
+    * snapshot. Zero survivors answer an empty frame with the table's
+    * schema (one file's footer read, rows limited to 0). */
+  private def manifestPrunedRead(spark: SparkSession, warehouse: String,
+      table: String, constraints: Seq[(String, String, Any)],
+      atVersion: Long): DataFrame = {
+    import spark.implicits._
+    val light = lightSnapshot(spark, warehouse, atVersion)
+    val sch = light.schemaOf(table)
+    val kept = manifestCandidates(spark, warehouse, table, sch, constraints, atVersion)
+    if (kept.nonEmpty)
+      readFileSet(spark, warehouse, table, light, kept.map(_._1))
+    else {
+      // nothing admitted: shape-correct empty frame off ONE live file's
+      // footer (matching the driver-map paths' read(...).limit(0) shape)
+      val any = fileManifest(spark, warehouse, table, atVersion)
+        .map(_.rel).limit(1).collect()
+      if (any.isEmpty)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "PATH_NOT_FOUND",
+          messageParameters = Map("path" -> s"$warehouse/$table (txlog: no live files)"))
+      readFileSet(spark, warehouse, table, light, any.toSeq).limit(0)
+    }
+  }
+
   /** Conjunctive column-vs-literal constraints extracted from a DELETE
     * predicate for log-level file pruning — the published Delta/Iceberg
     * data-skipping move applied to the delete path: `x = 5 AND p > 2`
@@ -1411,11 +1633,23 @@ object TxLog {
     * — classic Hive/Iceberg partition pruning applied at the log level,
     * so a container-scoped delete never lists other containers' files. */
   private def fileMayMatch(snap: Snapshot, table: String, rel: String,
+      constraints: Seq[(String, String, Any)]): Boolean =
+    constraintsAdmit(snap.schemaOf(table), rel,
+      snap.statsOf(table, rel), snap.bloomsOf(table, rel), constraints)
+
+  /** The pure admit test behind [[fileMayMatch]], factored over ONE
+    * file's logged state so the SAME semantics run in two places: the
+    * driver-map path (snapshot maps) and the distributed manifest path
+    * ([[manifestCandidates]] — the Delta "snapshot as a DataFrame" move,
+    * where this function filters [[fileManifest]] rows inside executors
+    * and the driver only ever holds the SURVIVORS). */
+  private[store] def constraintsAdmit(
+      sch: Option[org.apache.spark.sql.types.StructType], rel: String,
+      fileStats: Map[String, ColStat], fileBlooms: Map[String, String],
       constraints: Seq[(String, String, Any)]): Boolean = {
     // constraints arrive in LOGICAL names; stats/blooms/partition dirs
     // live in PHYSICAL space (column mapping) — translate once here so
     // pruning keeps working across renames
-    val sch = snap.schemaOf(table)
     constraints.forall { case (colName0, op, value) =>
       val colName = toPhysicalName(sch, colName0)
       // directory segments are Hive-ESCAPED (Spark writes 'a:b' as
@@ -1431,7 +1665,7 @@ object TxLog {
           case None => true
         }
       def rangeAdmitsOp(cmpOp: String, v: Any): Boolean =
-        snap.statsOf(table, rel).get(colName).forall { cs =>
+        fileStats.get(colName).forall { cs =>
           val s = String.valueOf(v)
           scala.util.Try(cmpOp match {
             case "eq" => !statLt(cs.tpe, s, cs.min) && !statLt(cs.tpe, cs.max, s)
@@ -1444,7 +1678,7 @@ object TxLog {
         }
       def rangeAdmits(v: Any): Boolean = rangeAdmitsOp(op, v)
       def bloomAdmits(v: Any): Boolean =
-        snap.bloomsOf(table, rel).get(colName).forall { b64 =>
+        fileBlooms.get(colName).forall { b64 =>
           scala.util.Try(org.apache.spark.util.sketch.BloomFilter
             .readFrom(new java.io.ByteArrayInputStream(
               java.util.Base64.getDecoder.decode(b64)))
@@ -1555,9 +1789,11 @@ object TxLog {
       predicate: org.apache.spark.sql.Column,
       partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Option[DeleteResult] =
+      bloomCols: Seq[String] = Nil,
+      /** See [[stageDelete]]: owner discovery as manifest joins. */
+      viaManifest: Boolean = false): Option[DeleteResult] =
     stageDelete(spark, warehouse, table, predicate, partitionBy,
-        statsCols, bloomCols).map { sd =>
+        statsCols, bloomCols, viaManifest).map { sd =>
       val v = commit(spark, warehouse, sd.adds, sd.removes,
         deletes = Map(table -> sd.predSql),
         readVersion = Some(sd.readVersion).filter(_ >= 0))
@@ -1576,10 +1812,22 @@ object TxLog {
     * per layout group) for the files actually holding LIVE matches.
     * Returns None when nothing matches. */
   private def planDelete(spark: SparkSession, warehouse: String, table: String,
-      snap: Snapshot, predicate: org.apache.spark.sql.Column)
+      snap: Snapshot, predicate: org.apache.spark.sql.Column,
+      /** true = the caller holds a LIGHT snapshot: tier-1 pruning runs
+        * as a distributed filter over [[fileManifest]] (the snapshot-as-
+        * a-DataFrame path) and the driver only materializes candidates. */
+      viaManifest: Boolean = false)
       : Option[(String, Seq[(String, Long)], Map[String, Long])] = {
     import org.apache.spark.sql.functions.{col, element_at, expr, split}
-    val files = snap.files(table)
+    import spark.implicits._
+    val manifest = if (!viaManifest) None else Some(
+      fileManifest(spark, warehouse, table, snap.version)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+    val files: Seq[(String, Long)] = manifest match {
+      case Some(m) => m.map(e => (e.rel, e.generation)).limit(1).collect().toSeq
+      case None => snap.files(table) // manifest mode: emptiness probe only
+    }
     if (files.isEmpty) return None
     val base = s"$warehouse/$table"
     def reader = snap.schemaOf(table) match {
@@ -1598,7 +1846,10 @@ object TxLog {
       spark.read.parquet(s"$base/${files.head._1}").schema)
     // partition columns from EVERY live layout (spec evolution can leave
     // different shapes live at once)
-    val partCols = files.map(_._1).flatMap(layoutShape).distinct
+    val partCols = manifest match {
+      case Some(m) => m.flatMap(e => layoutShape(e.rel)).distinct().collect().toSeq
+      case None => files.map(_._1).flatMap(layoutShape).distinct
+    }
     val probeSchema = partCols.filterNot(dataSchema.fieldNames.contains)
       .foldLeft(dataSchema)((st, c) =>
         st.add(c, org.apache.spark.sql.types.StringType))
@@ -1616,10 +1867,17 @@ object TxLog {
       case e: Exception => throw new IllegalArgumentException(
         s"txlog: delete predicate is not SQL-replayable ($predSql): ${e.getMessage}")
     }
-    // tier 1: log-level pruning from the predicate's own conjuncts
+    // tier 1: log-level pruning from the predicate's own conjuncts —
+    // driver-map scan or distributed manifest filter, SAME admit test
     val constraints = extractConstraints(predExpr)
-    val candidates = files.filter { case (rel, _) =>
-      fileMayMatch(snap, table, rel, constraints) }
+    val candidates = manifest match {
+      case Some(m) =>
+        val sch = snap.schemaOf(table)
+        m.filter(e => constraintsAdmit(sch, e.rel, e.stats, e.blooms, constraints))
+          .map(e => (e.rel, e.generation)).collect().toSeq
+      case None => files.filter { case (rel, _) =>
+        fileMayMatch(snap, table, rel, constraints) }
+    }
     if (candidates.isEmpty) return None
     // tier 2: exact owner files + LIVE matched-row counts in one pruned
     // scan. `_metadata` is per-relation (cannot cross a union), so mixed
@@ -1639,16 +1897,23 @@ object TxLog {
           }
       }.toMap
     if (owners.isEmpty) None else Some((predSql, candidates, owners))
+    } finally manifest.foreach(_.unpersist())
   }
 
   def stageDelete(spark: SparkSession, warehouse: String, table: String,
       predicate: org.apache.spark.sql.Column,
       partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Option[StagedDelete] = {
+      bloomCols: Seq[String] = Nil,
+      /** true = tier-1 owner discovery joins against [[fileManifest]]
+        * with a [[lightSnapshot]] seed — driver memory flat in table
+        * size (the snapshot-as-a-DataFrame path); false (default) =
+        * the driver-map path. Results are identical. */
+      viaManifest: Boolean = false): Option[StagedDelete] = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    val snap = snapshot(spark, warehouse)
-    planDelete(spark, warehouse, table, snap, predicate).map {
+    val snap = if (viaManifest) lightSnapshot(spark, warehouse)
+      else snapshot(spark, warehouse)
+    planDelete(spark, warehouse, table, snap, predicate, viaManifest).map {
       case (predSql, candidates, owners) =>
         val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
         // tier 3: rewrite ONLY the owners down to their survivors (the
@@ -1682,8 +1947,10 @@ object TxLog {
     * sees the rows (the mask is versioned with the log).
     */
   def deleteWhereDV(spark: SparkSession, warehouse: String, table: String,
-      predicate: org.apache.spark.sql.Column): Option[DeleteResult] =
-    stageDeleteDV(spark, warehouse, table, predicate).map { sdv =>
+      predicate: org.apache.spark.sql.Column,
+      /** See [[stageDelete]]: owner discovery as manifest joins. */
+      viaManifest: Boolean = false): Option[DeleteResult] =
+    stageDeleteDV(spark, warehouse, table, predicate, viaManifest).map { sdv =>
       val v = commit(spark, warehouse, Nil, Nil, dvAdds = Seq(sdv.dvAdd),
         readVersion = Some(sdv.readVersion))
       spark.catalog.refreshByPath(s"$warehouse/$table")
@@ -1704,10 +1971,13 @@ object TxLog {
     * (vacuumable) if never committed. Returns None when nothing
     * matches. */
   def stageDeleteDV(spark: SparkSession, warehouse: String, table: String,
-      predicate: org.apache.spark.sql.Column): Option[StagedDV] = {
+      predicate: org.apache.spark.sql.Column,
+      /** See [[stageDelete]]: owner discovery as manifest joins. */
+      viaManifest: Boolean = false): Option[StagedDV] = {
     import org.apache.spark.sql.functions.{col, element_at, split}
-    val snap = snapshot(spark, warehouse)
-    planDelete(spark, warehouse, table, snap, predicate).map {
+    val snap = if (viaManifest) lightSnapshot(spark, warehouse)
+      else snapshot(spark, warehouse)
+    planDelete(spark, warehouse, table, snap, predicate, viaManifest).map {
       case (predSql, candidates, owners) =>
         val base = s"$warehouse/$table"
         val ownerRels = candidates.map(_._1).filter(owners.contains)
@@ -1920,13 +2190,19 @@ object TxLog {
       /** CONDITION gating [[notMatchedBySourceUpdate]] (strictly-true
         * semantics, target columns). Requires the update clause; the
         * delete clause carries its own condition. */
-      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None)
+      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None,
+      /** true = owner discovery's tier-1 prune joins against
+        * [[fileManifest]] with a [[lightSnapshot]] seed (the snapshot-as-
+        * a-DataFrame path) — driver memory ∝ candidate owners, not table
+        * size. Identical results; by-source clauses still materialize
+        * the bare rel list (they scan the whole table by definition). */
+      viaManifest: Boolean = false)
       : MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
       statsCols, bloomCols, whenMatchedDelete, copyOnWrite = true, txnTags,
       insertUnmatched, dropCols, whenMatchedUpdate, whenMatchedCondition,
       notMatchedBySourceDelete, notMatchedBySourceUpdate,
-      notMatchedBySourceCondition)
+      notMatchedBySourceCondition, viaManifest)
 
   /** MERGE-ON-READ flavor of [[merge]] (the deletion-vector half, like
     * [[deleteWhereDV]] vs [[deleteWhere]]): matched target rows are
@@ -1949,13 +2225,15 @@ object TxLog {
       whenMatchedCondition: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySourceUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
-      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None)
+      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None,
+      /** See [[merge]]: owner discovery as manifest joins. */
+      viaManifest: Boolean = false)
       : MergeResult =
     mergeImpl(spark, warehouse, table, source, keyCols, partitionBy,
       statsCols, bloomCols, whenMatchedDelete, copyOnWrite = false, txnTags,
       insertUnmatched, dropCols, whenMatchedUpdate, whenMatchedCondition,
       notMatchedBySourceDelete, notMatchedBySourceUpdate,
-      notMatchedBySourceCondition)
+      notMatchedBySourceCondition, viaManifest)
 
   /** Driver budget for shipping distinct source-key values into
     * partition-dir and Bloom probes (tier 1). Beyond it the equality
@@ -1975,7 +2253,8 @@ object TxLog {
       whenMatchedCondition: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySourceUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
-      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None)
+      notMatchedBySourceCondition: Option[org.apache.spark.sql.Column] = None,
+      viaManifest: Boolean = false)
       : MergeResult = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, max, min, not, split, when}
     require(keyCols.nonEmpty, "txlog: merge needs at least one key column")
@@ -2001,6 +2280,7 @@ object TxLog {
     // a nondeterministic source re-evaluated per job could match one key
     // set and insert another
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var manifestCache: Option[org.apache.spark.sql.Dataset[FileEntry]] = None
     try {
       val srcRows = src.count()
       // an empty source is a no-op ONLY without a by-source clause —
@@ -2017,14 +2297,36 @@ object TxLog {
           s"txlog: merge source has duplicate keys on (${keyCols.mkString(", ")}) " +
             "— two source rows matching one target row would make the result " +
             "order-dependent; de-duplicate the source first")
-      val snap = snapshot(spark, warehouse)
-      val files = snap.files(table)
+      // viaManifest: the light snapshot (O(tables) driver memory) plus
+      // the file manifest as a DATASET — owner discovery's tier-1 prune
+      // runs inside executors, and the driver only ever materializes the
+      // pruned candidates (plus, for by-source clauses only, the bare
+      // rel list — those clauses scan the whole table by definition)
+      val snap = if (viaManifest) lightSnapshot(spark, warehouse)
+        else snapshot(spark, warehouse)
+      manifestCache = if (!viaManifest) None else Some(
+        fileManifest(spark, warehouse, table, snap.version)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val files: Seq[(String, Long)] = manifestCache match {
+        case Some(m) if bsClause =>
+          { import spark.implicits._
+            m.map(e => (e.rel, e.generation)).collect().toSeq }
+        case Some(m) => // emptiness/head probe only — never the full list
+          { import spark.implicits._
+            m.map(e => (e.rel, e.generation)).limit(1).collect().toSeq }
+        case None => snap.files(table)
+      }
+      val layoutCols: Seq[String] = manifestCache match {
+        case Some(m) =>
+          { import spark.implicits._
+            m.flatMap(e => layoutShape(e.rel)).distinct().collect().toSeq }
+        case None => files.map(_._1).flatMap(layoutShape).distinct
+      }
       // the logged schema (when present) pins the table's columns: a
       // source carrying columns the log does not know would silently
       // vanish under the schema-applied read — evolve the schema first
       snap.schemaOf(table).foreach { st =>
-        val known = st.fieldNames.toSet ++
-          files.map(_._1).flatMap(layoutShape)
+        val known = st.fieldNames.toSet ++ layoutCols
         val extra = src.columns.filterNot(known.contains)
           .filterNot(dropCols.contains)
         require(extra.isEmpty,
@@ -2043,7 +2345,12 @@ object TxLog {
           s"txlog: merge source column type(s) differ from the logged " +
             s"schema: ${mistyped.mkString(", ")}")
       }
-      val nextGen = snap.maxGeneration(table) + 1
+      val nextGen = (manifestCache match {
+        case Some(m) =>
+          val r = m.toDF().agg(max("generation")).head()
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        case None => snap.maxGeneration(table)
+      }) + 1
       def finish(adds: Seq[Add], removes: Seq[Remove],
           dvAdds: Seq[(String, String, String)],
           merges: Map[String, (String, Seq[String])],
@@ -2080,8 +2387,18 @@ object TxLog {
           .distinct().limit(MergeProbeCap + 1).collect().map(_.get(0)).toSeq
         if (vals.nonEmpty && vals.size <= MergeProbeCap) Some((k, "in", vals)) else None
       }
-      val candidates = files.filter { case (rel, _) =>
-        fileMayMatch(snap, table, rel, rangeConstraints ++ probeConstraints) }
+      val candidates = manifestCache match {
+        case Some(m) =>
+          // the SAME admit test, run inside executors over the manifest —
+          // stats and Bloom sketches never land on the driver
+          val sch = snap.schemaOf(table)
+          val cons = rangeConstraints ++ probeConstraints
+          import spark.implicits._
+          m.filter(e => constraintsAdmit(sch, e.rel, e.stats, e.blooms, cons))
+            .map(e => (e.rel, e.generation)).collect().toSeq
+        case None => files.filter { case (rel, _) =>
+          fileMayMatch(snap, table, rel, rangeConstraints ++ probeConstraints) }
+      }
       val tablePath = new Path(warehouse, table).toUri.getPath
       def relOf(fullPath: String): String = new Path(fullPath).toUri.getPath
         .stripPrefix(tablePath).stripPrefix("/")
@@ -2192,7 +2509,10 @@ object TxLog {
       // the survivor rewrite (byte-identical, feed-silent).
       val ownersAll = (owners.keySet ++ bsOwners.keySet).map(r =>
         r -> (owners.getOrElse(r, 0L) + bsOwners.getOrElse(r, 0L))).toMap
-      val ownerFiles = files.filter { case (rel, _) => ownersAll.contains(rel) }
+      // matched owners always come from `candidates`; by-source owners
+      // need the full list — which the bsClause branch materialized
+      val ownerFiles = (if (bsClause) files else candidates)
+        .filter { case (rel, _) => ownersAll.contains(rel) }
       val bsExtraRels = files.map(_._1)
         .filter(r => bsOwners.contains(r) && !owners.contains(r))
       // rows of EVERY rewritten file — feeds by-source row ops and the
@@ -2348,7 +2668,7 @@ object TxLog {
           Seq((table, dvRel, s"__merge keys=$keysRel on=${keyCols.mkString(",")}")),
           Map(table -> ((keysRel, keyCols))), matchedRows, writtenRows)
       }
-    } finally src.unpersist()
+    } finally { src.unpersist(); manifestCache.foreach(_.unpersist()) }
   }
 
   /** Row count of one staged file from its parquet footer (metadata-only). */

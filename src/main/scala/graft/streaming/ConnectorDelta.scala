@@ -34,6 +34,35 @@ object ConnectorDelta {
       .filter(col("event_type") =!= "Unchanged")
   }
 
+  /** Push one delta batch into the progress ring (ref
+    * Connapse.Web/Services/FileBrowserChangeNotifier.cs — the reference
+    * pushes connector file changes to clients over SignalR; here the
+    * same events ride the SSE channel): every event row becomes a ring
+    * event with phase `file_change` and detail `<EventType> <path>`,
+    * under the CONNECTOR's job id — `GET /progress/stream?job_id=<id>`
+    * then streams Created/Changed/Deleted live. Driver-bounded: a poll
+    * window's changed-file set, k-capped at `maxEvents` with a
+    * summarizing tail event naming the overflow (no silent truncation).
+    * Returns the batch's total event count. */
+  def publish(events: DataFrame, progress: graft.ingest.ProgressListener,
+      connectorId: String, maxEvents: Int = 1000): Long = {
+    val rows = events.select("path", "event_type")
+      .limit(maxEvents + 1).collect()
+    val overflow = rows.length > maxEvents
+    val capped = if (overflow) rows.take(maxEvents) else rows
+    val total = if (overflow) events.count() else capped.length.toLong
+    capped.zipWithIndex.foreach { case (r, i) =>
+      progress.onProgress(graft.ingest.ProgressEvent(
+        connectorId, "file_change", i + 1L, total,
+        s"${r.getString(1)} ${r.getString(0)}"))
+    }
+    if (overflow)
+      progress.onProgress(graft.ingest.ProgressEvent(
+        connectorId, "file_change", total, total,
+        s"... ${total - maxEvents} more change(s) this poll window"))
+    total
+  }
+
   /** Directory listing as a snapshot frame (the local-FS connector; object
     * stores substitute their ListObjects output with the same shape). */
   def listDirectory(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,274 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JWT mechanics, pinned without a server. */
+class JwtSpec extends AnyFunSuite {
+  private val secret = "unit-test-secret-0123456789"
+  private def claims(now: Long) =
+    Jwt.Claims("u1", "alice", Seq("admin"), "graft", now, now + 60000L)
+
+  test("mint/verify round-trip carries sub, name, scopes") {
+    val now = 1700000000000L
+    val t = Jwt.mint(secret, claims(now))
+    val c = Jwt.verify(secret, t, "graft", nowMs = now).get
+    assert(c.sub == "u1" && c.name == "alice" && c.scopes == Seq("admin"))
+    assert(c.expMs == now + 60000L)
+  }
+
+  test("tampered payload, wrong secret, wrong issuer, malformed all refuse") {
+    val now = 1700000000000L
+    val t = Jwt.mint(secret, claims(now))
+    val Array(h, p, s) = t.split('.')
+    val forgedPayload = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      new String(java.util.Base64.getUrlDecoder.decode(p), "UTF-8")
+        .replace("\"u1\"", "\"u2\"").getBytes("UTF-8"))
+    assert(Jwt.verify(secret, s"$h.$forgedPayload.$s", "graft", now).isEmpty)
+    assert(Jwt.verify("other-secret-0123456789", t, "graft", now).isEmpty)
+    assert(Jwt.verify(secret, t, "not-graft", now).isEmpty)
+    assert(Jwt.verify(secret, "not.a.jwt", "graft", now).isEmpty)
+    assert(Jwt.verify(secret, "nodots", "graft", now).isEmpty)
+  }
+
+  test("lifetime: expiry refused past the 60s skew, honored within it") {
+    val now = 1700000000000L
+    val t = Jwt.mint(secret, claims(now))
+    assert(Jwt.verify(secret, t, "graft", nowMs = now + 60000L + 59000L).isDefined) // inside skew
+    assert(Jwt.verify(secret, t, "graft", nowMs = now + 60000L + 61000L).isEmpty) // past skew
+    // not-yet-issued (clock drift) honored within skew only
+    assert(Jwt.verify(secret, t, "graft", nowMs = now - 59000L).isDefined)
+    assert(Jwt.verify(secret, t, "graft", nowMs = now - 61000L).isEmpty)
+  }
+}
+
+/** UserRegistry lifecycle with an injectable clock: rotation, family
+  * revocation on replay, expiry, revoked-user refusal (ref
+  * JwtTokenService.cs semantics). */
+class UserRegistrySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft-users").toString
+  @volatile private var clock = 1700000000000L
+  private lazy val reg = new UserRegistry(spark, wh, "spec-secret-0123456789",
+    accessTtlMs = 60000L, refreshTtlMs = 600000L, now = () => clock)
+
+  test("create + login + authenticate; wrong password and unknown email refuse") {
+    val uid = reg.createUser("alice@example.com", "hunter22!", Seq("admin"), "alice")
+    assert(uid.nonEmpty)
+    assert(reg.login("alice@example.com", "wrong-password").isEmpty)
+    assert(reg.login("bob@example.com", "hunter22!").isEmpty)
+    val tp = reg.login("alice@example.com", "hunter22!").get
+    val (name, scopes) = reg.authenticate(tp.accessToken).get
+    assert(name == "alice" && scopes == Seq("admin"))
+    // duplicate active email refused
+    assertThrows[IllegalArgumentException](
+      reg.createUser("alice@example.com", "password2", Seq("read:*")))
+  }
+
+  test("refresh rotates; the OLD token replayed revokes the family") {
+    val tp0 = reg.login("alice@example.com", "hunter22!").get
+    val tp1 = reg.refresh(tp0.refreshToken).get
+    assert(tp1.refreshToken != tp0.refreshToken)
+    // replaying the rotated-out token is theft: the family dies
+    assert(reg.refresh(tp0.refreshToken).isEmpty)
+    assert(reg.refresh(tp1.refreshToken).isEmpty,
+      "descendant of a replayed token must be revoked with the family")
+  }
+
+  test("access expiry honors the clock; refresh survives it") {
+    val tp = reg.login("alice@example.com", "hunter22!").get
+    clock += 60000L + 61000L // past access ttl + skew
+    assert(reg.authenticate(tp.accessToken).isEmpty)
+    assert(reg.refresh(tp.refreshToken).isDefined, "refresh ttl is longer")
+    clock += 600000L + 1L // past refresh ttl
+    val tp2 = reg.login("alice@example.com", "hunter22!").get
+    clock += 600001L
+    assert(reg.refresh(tp2.refreshToken).isEmpty, "expired refresh refused")
+  }
+
+  test("revoked user: outstanding tokens and refresh both die") {
+    val uid = reg.createUser("eve@example.com", "password!", Seq("read:*"))
+    val tp = reg.login("eve@example.com", "password!").get
+    assert(reg.authenticate(tp.accessToken).isDefined)
+    assert(reg.revokeUser(uid))
+    assert(reg.authenticate(tp.accessToken).isEmpty,
+      "authenticate re-checks the user row")
+    assert(reg.refresh(tp.refreshToken).isEmpty)
+    assert(reg.login("eve@example.com", "password!").isEmpty)
+    assert(!reg.revokeUser(uid)) // already gone
+  }
+
+  test("invites: single-use, email-bound, no admin scope, no pending dup") {
+    assertThrows[IllegalArgumentException](
+      reg.invite("new@example.com", Seq("admin"), "alice"))
+    val tok = reg.invite("new@example.com", Seq("read:*"), "alice")
+    assertThrows[IllegalArgumentException](
+      reg.invite("new@example.com", Seq("read:*"), "alice")) // pending dup
+    assert(reg.signup(tok, "other@example.com", "password!").isEmpty) // email-bound
+    val uid = reg.signup(tok, "new@example.com", "password!").get
+    assert(uid.nonEmpty)
+    assert(reg.signup(tok, "new2@example.com", "password!").isEmpty) // single-use
+    val (_, scopes) = reg.authenticate(
+      reg.login("new@example.com", "password!").get.accessToken).get
+    assert(scopes == Seq("read:*"))
+  }
+
+  test("invite expiry: a 7-day-old invite refuses signup") {
+    val tok = reg.invite("late@example.com", Seq("read:*"), "alice")
+    clock += UserRegistry.InviteTtlMs + 1L
+    assert(reg.signup(tok, "late@example.com", "password!").isEmpty)
+  }
+}
+
+/** The full session + OAuth lifecycle over real HTTP (the round-11
+  * "done" bar: mint, verify, expire, refresh, revoked-user 401 — plus
+  * the PKCE code exchange good/bad paths). */
+class AuthRestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-authrest").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+  private lazy val userReg = new UserRegistry(spark, wh, "rest-secret-0123456789")
+  private lazy val oauthReg = new OAuthRegistry(spark, wh)
+  private lazy val (server, base) = {
+    val s = new RestServer(store, users = Some(userReg), oauth = Some(oauthReg))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  private var adminAccess: String = _
+  private var adminRefresh: String = _
+
+  test("login over HTTP: bad credentials 401, good ones mint a working JWT") {
+    userReg.createUser("root@example.com", "correct horse", Seq("admin"), "root")
+    assert(http("GET", "/containers")._1 == 401) // user registry => not open mode
+    assert(http("POST", "/auth/login",
+      """{"email": "root@example.com", "password": "wrong"}""")._1 == 401)
+    val (st, b) = http("POST", "/auth/login",
+      """{"email": "root@example.com", "password": "correct horse"}""")
+    assert(st == 200)
+    adminAccess = b.get("access_token").asText()
+    adminRefresh = b.get("refresh_token").asText()
+    assert(adminAccess.count(_ == '.') == 2)
+    // the JWT authorizes admin routes
+    assert(http("POST", "/containers", """{"name": "jwt-made"}""",
+      adminAccess)._1 == 201)
+    assert(http("GET", "/containers", bearer = adminAccess)._2.size() == 1)
+  }
+
+  test("refresh over HTTP rotates; replay of the old token 401s") {
+    val (st, b) = http("POST", "/auth/refresh",
+      s"""{"refresh_token": "$adminRefresh"}""")
+    assert(st == 200)
+    val newRefresh = b.get("refresh_token").asText()
+    assert(newRefresh != adminRefresh)
+    assert(b.get("access_token").asText().count(_ == '.') == 2)
+    assert(http("POST", "/auth/refresh",
+      s"""{"refresh_token": "$adminRefresh"}""")._1 == 401) // rotated out
+    adminRefresh = newRefresh
+  }
+
+  test("invite-gated signup: scoped user lands with invited scopes only") {
+    val cid = http("GET", "/containers", bearer = adminAccess)
+      ._2.get(0).get("container_id").asText()
+    val inv = http("POST", "/auth/invites",
+      s"""{"email": "dev@example.com", "scopes": ["read:$cid"]}""", adminAccess)
+    assert(inv._1 == 201)
+    val tok = inv._2.get("invite_token").asText()
+    // signup is open (no bearer) but gated by the invite token
+    assert(http("POST", "/auth/signup",
+      s"""{"invite_token": "bogus", "email": "dev@example.com", "password": "password!"}""")
+      ._1 == 400)
+    assert(http("POST", "/auth/signup",
+      s"""{"invite_token": "$tok", "email": "dev@example.com", "password": "password!"}""")
+      ._1 == 201)
+    val dev = http("POST", "/auth/login",
+      """{"email": "dev@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+    assert(http("POST", s"/containers/$cid/files",
+      """{"path": "/seed.txt", "content": "seeded by the admin session."}""",
+      adminAccess)._1 == 201)
+    assert(http("GET", s"/containers/$cid/files", bearer = dev)._1 == 200)
+    assert(http("POST", s"/containers/$cid/files",
+      """{"path": "/x.txt", "content": "nope"}""", dev)._1 == 403) // read-only
+    assert(http("POST", "/auth/invites",
+      """{"email": "x@example.com", "scopes": ["read:*"]}""", dev)._1 == 403)
+  }
+
+  test("revoked user answers 401 on the next request") {
+    val uid = http("GET", "/auth/users", bearer = adminAccess)._2
+    val devId = (0 until uid.size()).map(uid.get(_))
+      .find(_.get("email").asText() == "dev@example.com").get
+      .get("user_id").asText()
+    val dev = http("POST", "/auth/login",
+      """{"email": "dev@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+    assert(http("DELETE", s"/auth/users/$devId", bearer = adminAccess)._1 == 204)
+    assert(http("GET", "/containers", bearer = dev)._1 == 401,
+      "outstanding JWT of a revoked user must stop authenticating")
+    assert(http("POST", "/auth/login",
+      """{"email": "dev@example.com", "password": "password!"}""")._1 == 401)
+  }
+
+  test("OAuth code flow: PKCE-bound, single-use, wrong verifier refused") {
+    val reg = http("POST", "/oauth/clients",
+      """{"name": "cli", "redirect_uri": "http://localhost:1234/cb"}""", adminAccess)
+    assert(reg._1 == 201)
+    val clientId = reg._2.get("client_id").asText()
+    val verifier = "spec-verifier-0123456789-0123456789-0123456789"
+    val challenge = oauthReg.s256Challenge(verifier)
+    // authorize requires a user session
+    assert(http("POST", "/oauth/authorize",
+      s"""{"client_id": "$clientId", "redirect_uri": "http://localhost:1234/cb",
+           "code_challenge": "$challenge"}""")._1 == 401)
+    val code = http("POST", "/oauth/authorize",
+      s"""{"client_id": "$clientId", "redirect_uri": "http://localhost:1234/cb",
+           "code_challenge": "$challenge"}""", adminAccess)._2.get("code").asText()
+    // wrong verifier refused (and does NOT burn the code)
+    assert(http("POST", "/oauth/token",
+      s"""{"grant_type": "authorization_code", "code": "$code",
+           "code_verifier": "wrong", "redirect_uri": "http://localhost:1234/cb",
+           "client_id": "$clientId"}""")._1 == 400)
+    // wrong redirect refused
+    assert(http("POST", "/oauth/token",
+      s"""{"grant_type": "authorization_code", "code": "$code",
+           "code_verifier": "$verifier", "redirect_uri": "http://evil/cb",
+           "client_id": "$clientId"}""")._1 == 400)
+    val (st, tok) = http("POST", "/oauth/token",
+      s"""{"grant_type": "authorization_code", "code": "$code",
+           "code_verifier": "$verifier", "redirect_uri": "http://localhost:1234/cb",
+           "client_id": "$clientId"}""")
+    assert(st == 200 && tok.get("token_type").asText() == "Bearer")
+    val access = tok.get("access_token").asText()
+    assert(http("GET", "/containers", bearer = access)._1 == 200)
+    // single-use: the same code again refuses
+    assert(http("POST", "/oauth/token",
+      s"""{"grant_type": "authorization_code", "code": "$code",
+           "code_verifier": "$verifier", "redirect_uri": "http://localhost:1234/cb",
+           "client_id": "$clientId"}""")._1 == 400)
+    // grant_type=refresh_token works at the same endpoint
+    assert(http("POST", "/oauth/token",
+      s"""{"grant_type": "refresh_token",
+           "refresh_token": "${tok.get("refresh_token").asText()}"}""")._1 == 200)
+  }
+}

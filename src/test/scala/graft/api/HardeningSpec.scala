@@ -148,6 +148,52 @@ class RestHardeningSpec extends AnyFunSuite {
   }
 }
 
+/** Connector file changes ride the SSE channel (ref
+  * FileBrowserChangeNotifier.cs): a ConnectorDelta batch published into
+  * the progress ring streams as phase=file_change events to a live
+  * /progress/stream watcher. */
+class FileChangeSseSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("delta batch -> progress ring -> SSE stream carries Created/Changed/Deleted") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-fcsse").toString
+    val progress = new graft.ingest.ProgressLog()
+    val store = new KnowledgeStore(spark, wh, progress = progress)
+    val server = new RestServer(store, progressLog = Some(progress))
+    val base = s"http://127.0.0.1:${server.start()}"
+    try {
+      val prev = Seq(("/a.txt", 1L, 10L), ("/b.txt", 1L, 20L))
+        .toDF("path", "mtime", "size")
+      val cur = Seq(("/b.txt", 2L, 21L), ("/c.txt", 1L, 5L))
+        .toDF("path", "mtime", "size")
+      val n = graft.streaming.ConnectorDelta.publish(
+        graft.streaming.ConnectorDelta.events(prev, cur), progress, "conn-1")
+      assert(n == 3) // a deleted, b changed, c created
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+        s"$base/progress/stream?job_id=conn-1&max_ms=2000")).GET().build()
+      val body = java.net.http.HttpClient.newHttpClient()
+        .send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.contains("\"phase\":\"file_change\""), body.take(300))
+      assert(body.contains("Created /c.txt") && body.contains("Changed /b.txt") &&
+        body.contains("Deleted /a.txt"), body.take(600))
+    } finally server.stop()
+  }
+
+  test("overflow past maxEvents emits a summarizing tail, never silence") {
+    val progress = new graft.ingest.ProgressLog()
+    val prev = Seq.empty[(String, Long, Long)].toDF("path", "mtime", "size")
+    val cur = (1 to 7).map(i => (s"/f$i.txt", 1L, 1L)).toDF("path", "mtime", "size")
+    val n = graft.streaming.ConnectorDelta.publish(
+      graft.streaming.ConnectorDelta.events(prev, cur), progress, "conn-2",
+      maxEvents = 5)
+    assert(n == 7)
+    val evs = progress.events(Some("conn-2"))
+    assert(evs.count(_.detail.startsWith("Created")) == 5)
+    assert(evs.last.detail.contains("2 more change(s)"), evs.last.detail)
+  }
+}
+
 /** A settings PUT from one process propagates to another within the
   * staleness window (the key registry's listing-stamp probe, reused). */
 class SettingsPropagationSpec extends AnyFunSuite {

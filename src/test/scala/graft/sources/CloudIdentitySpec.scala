@@ -1,0 +1,156 @@
+package graft.sources
+
+import graft.embed.HttpTransport
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connector identity offline, with canned JSON on an injected
+  * transport (the ProvidersSpec pattern): the AWS SSO device dance
+  * register → device-auth → poll(pending→approved) → accounts → role
+  * credentials → a SIGNED S3 request carrying the session token, and
+  * the Azure device grant start → poll → refresh. Plus the scope
+  * cache's TTL/invalidate contract.
+  */
+class CloudIdentitySpec extends AnyFunSuite {
+
+  private final class FakeTransport(replies: String*) extends HttpTransport {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val getHeaders = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    private var i = -1
+    private def next(): String = { i += 1; replies(math.min(i, replies.length - 1)) }
+    override def post(url: String, body: String): String = {
+      calls += (("POST", url, body)); next()
+    }
+    override def post(url: String, body: String, headers: Map[String, String]): String =
+      post(url, body)
+    override def get(url: String, headers: Map[String, String]): String = {
+      calls += (("GET", url, "")); getHeaders += headers; next()
+    }
+  }
+
+  test("AWS SSO: register -> ensureRegistered honors the 10-minute rule") {
+    val nowSec = 1700000000L
+    val t = new FakeTransport(
+      """{"clientId": "cid-1", "clientSecret": "sec-1", "clientSecretExpiresAt": 1707770000}""")
+    val sso = new AwsSso(t, "us-east-1", "https://corp.awsapps.com/start",
+      now = () => nowSec * 1000L)
+    val reg = sso.registerClient()
+    assert(reg.clientId == "cid-1" && reg.clientSecretExpiresAtSec == 1707770000L)
+    val (m, url, body) = t.calls.head
+    assert(m == "POST" && url == "https://oidc.us-east-1.amazonaws.com/client/register")
+    assert(body.contains("\"clientType\":\"public\"") &&
+      body.contains("device_code"), body)
+    // good credentials are kept
+    assert(sso.ensureRegistered(Some(reg)) eq reg)
+    // expiring within 10 minutes re-registers (ref :23-28)
+    val dying = reg.copy(clientSecretExpiresAtSec = nowSec + 599L)
+    assert(sso.ensureRegistered(Some(dying)).clientId == "cid-1") // re-registered via canned reply
+    assert(t.calls.count(_._2.endsWith("/client/register")) == 2)
+  }
+
+  test("AWS SSO: device auth -> poll pending/slow_down -> token -> role credentials") {
+    val t = new FakeTransport(
+      """{"deviceCode": "dc-1", "userCode": "WXYZ-ABCD", "verificationUri": "https://device.sso",
+         "verificationUriComplete": "https://device.sso?user_code=WXYZ-ABCD",
+         "expiresIn": 600, "interval": 5}""",
+      """{"error": "authorization_pending"}""",
+      """{"error": "slow_down"}""",
+      """{"accessToken": "sso-token-1"}""",
+      """{"accountList": [{"accountId": "111122223333", "accountName": "prod"}],
+         "nextToken": "pg2"}""",
+      """{"accountList": [{"accountId": "444455556666", "accountName": "dev"}]}""",
+      """{"roleCredentials": {"accessKeyId": "ASIAXXXX", "secretAccessKey": "sk",
+         "sessionToken": "st-opaque", "expiration": 1700003600000}}""")
+    val sso = new AwsSso(t, "us-east-1", "https://corp.awsapps.com/start")
+    val reg = sso.ClientRegistration("cid-1", "sec-1", 9999999999L)
+    val da = sso.startDeviceAuthorization(reg)
+    assert(da.userCode == "WXYZ-ABCD" && da.intervalSec == 5L)
+    assert(sso.pollForToken(reg, da.deviceCode).isEmpty) // pending
+    assert(sso.pollForToken(reg, da.deviceCode).isEmpty) // slow_down
+    val token = sso.pollForToken(reg, da.deviceCode).get
+    assert(token == "sso-token-1")
+    val accounts = sso.listAccounts(token)
+    assert(accounts == Seq(("111122223333", "prod"), ("444455556666", "dev")))
+    assert(t.getHeaders.forall(_.get("x-amz-sso_bearer_token").contains(token)))
+    val creds = sso.getRoleCredentials(token, "111122223333", "ReadOnly")
+    assert(creds.accessKeyId == "ASIAXXXX" && creds.sessionToken == "st-opaque")
+    assert(creds.expiresAtMs == 1700003600000L)
+  }
+
+  test("AWS SSO: terminal poll errors throw, never spin") {
+    val t = new FakeTransport("""{"error": "expired_token"}""")
+    val sso = new AwsSso(t, "us-east-1", "https://corp.awsapps.com/start")
+    val reg = sso.ClientRegistration("cid", "sec", 9999999999L)
+    assertThrows[IllegalStateException](sso.pollForToken(reg, "dc"))
+  }
+
+  test("role credentials sign S3 requests with x-amz-security-token") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val exchange = new HttpExchange {
+      override def send(method: String, url: String,
+          headers: Map[String, String], body: Array[Byte]): StoreResponse = {
+        seen += headers
+        StoreResponse(200, Map.empty,
+          """<?xml version="1.0"?><ListBucketResult><IsTruncated>false</IsTruncated></ListBucketResult>"""
+            .getBytes("UTF-8"))
+      }
+    }
+    val s3 = new S3Client("https://s3.us-east-1.amazonaws.com", "us-east-1",
+      "bkt", "ASIAXXXX", "sk", exchange,
+      clock = () => java.time.Instant.parse("2026-01-01T00:00:00Z"),
+      sessionToken = Some("st-opaque"))
+    s3.list("prefix/")
+    val h = seen.head
+    assert(h("x-amz-security-token") == "st-opaque")
+    // SIGNED, not just attached: the Authorization header's SignedHeaders
+    // list must include it (a proxy cannot strip it undetected)
+    assert(h("Authorization").contains("x-amz-security-token"),
+      h("Authorization"))
+  }
+
+  test("Azure device grant: start -> pending -> tokens -> refresh") {
+    val t = new FakeTransport(
+      """{"device_code": "adc-1", "user_code": "AZ-1234",
+         "verification_uri": "https://microsoft.com/devicelogin",
+         "expires_in": 900, "interval": 5}""",
+      """{"error": "authorization_pending"}""",
+      """{"access_token": "az-at-1", "refresh_token": "az-rt-1", "expires_in": 3599}""",
+      """{"access_token": "az-at-2", "refresh_token": "az-rt-2", "expires_in": 3599}""")
+    val az = new AzureDeviceCode(t, "tenant-1", "client-1")
+    val scope = "https://storage.azure.com/.default offline_access"
+    val da = az.start(scope)
+    assert(da.userCode == "AZ-1234" && da.verificationUri.contains("devicelogin"))
+    assert(t.calls.head._2 ==
+      "https://login.microsoftonline.com/tenant-1/oauth2/v2.0/devicecode")
+    assert(t.calls.head._3.contains("client_id=client-1"))
+    assert(az.poll(da.deviceCode).isEmpty)
+    val tok = az.poll(da.deviceCode).get
+    assert(tok.accessToken == "az-at-1" && tok.refreshToken == "az-rt-1")
+    val tok2 = az.refresh(tok.refreshToken, scope).get
+    assert(tok2.accessToken == "az-at-2")
+    // form-encoded bodies, never JSON (the Microsoft endpoint's contract)
+    assert(t.calls.forall(c => c._1 == "GET" || !c._3.startsWith("{")))
+  }
+
+  test("scope cache: TTL-gated reuse, margin-driven re-acquire, invalidate") {
+    var clock = 1000000L
+    var acquisitions = 0
+    val cache = new ConnectorScopeCache[CloudIdentity.TempCredentials](
+      _.expiresAtMs, safetyMarginMs = 1000L, now = () => clock)
+    def acquire() = {
+      acquisitions += 1
+      CloudIdentity.TempCredentials(s"AK$acquisitions", "sk", "st", clock + 10000L)
+    }
+    val c1 = cache.getOrAcquire("conn-1:acct-1")(acquire())
+    assert(cache.getOrAcquire("conn-1:acct-1")(acquire()) eq c1) // cached
+    assert(acquisitions == 1)
+    clock += 9500L // inside expiry but past the safety margin
+    assert(cache.getOrAcquire("conn-1:acct-1")(acquire()).accessKeyId == "AK2")
+    assert(acquisitions == 2)
+    cache.invalidate("conn-1:acct-1")
+    cache.getOrAcquire("conn-1:acct-1")(acquire())
+    assert(acquisitions == 3)
+    // distinct scopes cache independently
+    cache.getOrAcquire("conn-2:acct-9")(acquire())
+    assert(acquisitions == 4 && cache.size == 2)
+  }
+}

@@ -1048,6 +1048,75 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, wh, "t").count() == 31)
   }
 
+  test("snapshot-as-a-DataFrame: manifest joins reproduce the driver-map paths exactly") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val d0 = (0L until 300L).map(i => (i, s"c${i % 3}", 1L))
+      .toDF("id", "container_id", "generation")
+    TxLog.commit(spark, wh,
+      TxLog.stageWrite(d0.repartition(4), wh, "t", Seq("container_id"), 1,
+        statsCols = Seq("id"), bloomCols = Seq("container_id")),
+      schemas = Map("t" -> d0.schema),
+      partitionSpecs = Map("t" -> Seq("container_id")))
+    // a DV, then the PARQUET checkpoint (the manifest's storage), then a
+    // post-checkpoint delta: an append AND a rewriting delete — the
+    // manifest must fold checkpoint + commits exactly like the snapshot
+    TxLog.deleteWhereDV(spark, wh, "t", col("id") === 7L).get
+    TxLog.checkpoint(spark, wh, multipartAt = 0)
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (1000L until 1010L).map(i => (i, s"c${i % 3}", 2L))
+        .toDF("id", "container_id", "generation"),
+      wh, "t", Seq("container_id"), 2, statsCols = Seq("id")))
+    TxLog.deleteWhere(spark, wh, "t", col("id").between(100L, 120L),
+      partitionBy = Seq("container_id"), statsCols = Seq("id")).get
+
+    // 1) the manifest IS the live set: rels, generations, and stats match
+    val snapFull = TxLog.snapshot(spark, wh)
+    val man = TxLog.fileManifest(spark, wh, "t").collect()
+    assert(man.map(e => (e.rel, e.generation)).sorted.toSeq ==
+      snapFull.files("t").sorted)
+    man.foreach { e =>
+      assert(e.stats == snapFull.statsOf("t", e.rel), s"stats differ for ${e.rel}")
+      assert(e.blooms == snapFull.bloomsOf("t", e.rel), s"blooms differ for ${e.rel}")
+    }
+
+    // 2) manifest reads == unpruned read + filter (DV mask included)
+    def sortedIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    val all = TxLog.read(spark, wh, "t")
+    assert(sortedIds(TxLog.readWhereBetweenViaManifest(spark, wh, "t", "id", 0L, 50L)) ==
+      sortedIds(all.filter(col("id").between(0L, 50L))))
+    assert(!sortedIds(all.filter(col("id").between(0L, 50L))).contains(7L)) // DV held
+    assert(sortedIds(TxLog.readWhereEqualsViaManifest(spark, wh, "t", "id", 1005L)) == Seq(1005L))
+    assert(sortedIds(TxLog.readWhereEqualsViaManifest(spark, wh, "t", "id", 110L)).isEmpty) // deleted range
+    // parity with the driver-map read paths
+    assert(sortedIds(TxLog.readWhereBetweenViaManifest(spark, wh, "t", "id", 200L, 260L)) ==
+      sortedIds(TxLog.readWhereBetween(spark, wh, "t", "id", 200L, 260L)))
+
+    // 3) DML through the manifest path: delete + merge behave identically
+    val del = TxLog.deleteWhere(spark, wh, "t", col("id") < 5L,
+      partitionBy = Seq("container_id"), statsCols = Seq("id"),
+      viaManifest = true).get
+    assert(del.deletedRows == 5)
+    assert(sortedIds(TxLog.read(spark, wh, "t").filter(col("id") < 10L)) ==
+      Seq(5L, 6L, 8L, 9L)) // 7 was DV-masked before
+    val mr = TxLog.merge(spark, wh, "t",
+      Seq((5L, "c2", 9L), (2000L, "c1", 9L))
+        .toDF("id", "container_id", "generation"),
+      keyCols = Seq("id"), partitionBy = Seq("container_id"),
+      statsCols = Seq("id"), viaManifest = true)
+    assert(mr.matchedRows == 1 && mr.writtenRows == 2)
+    val after = TxLog.read(spark, wh, "t")
+    assert(after.filter(col("id") === 5L).select("generation")
+      .as[Long].head() == 9L)
+    assert(after.filter(col("id") === 2000L).count() == 1)
+    // and the DV flavor through the manifest path
+    val dv2 = TxLog.deleteWhereDV(spark, wh, "t", col("id") === 2000L,
+      viaManifest = true).get
+    assert(dv2.deletedRows == 1)
+    assert(TxLog.read(spark, wh, "t").filter(col("id") === 2000L).count() == 0)
+  }
+
   test("multipart checkpoint at a seeded large file count round-trips the live set") {
     // the model check the multipart form exists FOR: hundreds of live
     // files across tables/partitions with per-file stats — fold from the

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Off-gate oracle sweep (round-11 standing gate): run the FULL oracle
+battery at a non-gate scale and require 0 unexplained misses, with the
+sf0.01-pinned golden fixtures EXPLICITLY SKIPPED (they freeze gate-scale
+rows by design — see queries/Golden.scala — so at any other scale they
+are a scale-mismatch, not a failure; counting them as "expected
+failures" is how the q126 class of bug hides).
+
+Usage:
+  sbt 'runMain graft.Verify <sf_dir> <out_dir>'
+  python3 tools/sweep.py <sf_dir> <out_dir> <label> <sweep_json>
+
+Appends one sweep record under `label` into <sweep_json> (creating it
+if absent). Exit code 1 iff any non-golden query misses.
+"""
+import sys, json, glob, math, os
+import duckdb
+import pyarrow.parquet as pq
+
+# sf0.01-pinned golden fixtures (queries using Golden.oracle): frozen
+# VALUES rows valid ONLY at the gate scale. Keep in sync with
+# `grep -rl Golden.oracle src/main/scala/graft/queries`.
+GOLDEN_PINNED = [
+    "q50_chunk_recursive", "q51_chunk_sentence_window",
+    "q52_hybrid_search_e2e", "q53_chunk_semantic", "q73_bpe_tokencount",
+    "q83_pca_project", "q85_quality_classifier", "q88_semdedup_ivf",
+]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = [tuple(norm_cell(col[i]) for col in data) for i in range(tbl.num_rows)]
+    return cols, sorted(rows)
+
+def main(sf_dir, out_dir, label, sweep_json):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, failures, skipped = [], {}, []
+    for name, sql in sorted(oracle.items()):
+        if name in GOLDEN_PINNED:
+            skipped.append(name)
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            failures[name] = "no spark output"
+            continue
+        try:
+            got_cols, got = table_rows(pq.read_table(files[0]))
+        except Exception as e:
+            failures[name] = f"read spark output: {e}"
+            continue
+        try:
+            exp_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            failures[name] = f"oracle sql error: {e}"
+            continue
+        exp_cols, exp = table_rows(exp_tbl)
+        if got_cols != exp_cols:
+            failures[name] = f"schema: spark={got_cols} oracle={exp_cols}"
+        elif len(got) != len(exp):
+            failures[name] = f"rows: spark={len(got)} oracle={len(exp)}"
+        elif got != exp:
+            diff = next(i for i in range(len(got)) if got[i] != exp[i])
+            failures[name] = f"values differ at sorted row {diff}: spark={got[diff][:4]} oracle={exp[diff][:4]}"
+        else:
+            ok.append(name)
+    record = {
+        "sf_dir": sf_dir,
+        "n_ok": len(ok),
+        "n_failed": len(failures),
+        "failures": failures,
+        "skipped_golden_pinned": skipped,
+        "skip_reason": "Golden.oracle freezes sf0.01 gate rows; any other "
+                       "scale is a designed mismatch, not a regression",
+    }
+    doc = {}
+    if os.path.exists(sweep_json):
+        doc = json.load(open(sweep_json))
+    doc[label] = record
+    json.dump(doc, open(sweep_json, "w"), indent=2)
+    print(f"[sweep:{label}] {len(ok)} ok, {len(skipped)} golden-skipped, "
+          f"{len(failures)} FAILED")
+    for n, why in failures.items():
+        print(f"  FAIL {n}: {why}")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:5]))
