@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   * re-measures the nLists-proportional-to-corpus contract with the
   * derived value rather than a caller constant.
   *
-  *   sbt "runMain graft.ServingScale /root/testdata/sf0.1 10"
+  *   sbt "runMain graft.ServingScale /root/testdata/sf0.1 10 100"
+  *
+  * Every argument past the base dir is a scale multiplier (1× always
+  * runs first); the round-11 rehearsal pushes to 100× (~700k serving
+  * rows, still cache-resident) to surface the first non-floor brute
+  * latency and verify autoLists keeps probed bytes ~constant.
   *
   * Prints one line per (scale, layout): median latency over 11 queries
   * × 5 query strings, rows scanned by the vector leg, and the layout
@@ -23,7 +28,7 @@ import org.apache.spark.sql.functions._
 object ServingScale {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(10)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -60,7 +65,7 @@ object ServingScale {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
-    for (scale <- Seq(1, copies)) {
+    for (scale <- (Seq(1) ++ scales).distinct) {
       val docs = docsAt(scale)
       val chunks = graft.ingest.IndexBuild
         .chunkDocs(docs, graft.chunk.RecursiveChunker, cfg).persist()

@@ -324,7 +324,13 @@ object RelationalQueries {
         val e = table(s, d, "events")
         def leg(tpe: String, out: String) = {
           val base = e.filter(col("event_type") === tpe)
-            .groupBy(col("user_id")).agg(avg("value").as("raw"))
+            .groupBy(col("user_id"))
+            // ROUNDED rank key: engines sum doubles in different orders,
+            // so exact-duplicate user populations (the ScaleGen corpus's
+            // per-copy clones) tie within an ulp and the top-k boundary
+            // becomes an engine coin flip; at 6 dp the ties are exact and
+            // the user_id tie-break decides identically on both sides
+            .agg(round(avg("value"), 6).as("raw"))
           // leg-wide min/max as a broadcast 1-row aggregate: the leg spans
           // every user, so an unpartitioned window here would funnel the
           // whole leg through one partition at scale
@@ -346,8 +352,8 @@ object RelationalQueries {
           .limit(50)
       },
       Some("""
-        WITH v0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'click' GROUP BY 1),
-             k0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'view' GROUP BY 1),
+        WITH v0 AS (SELECT user_id, round(avg(value), 6) raw FROM events WHERE event_type = 'click' GROUP BY 1),
+             k0 AS (SELECT user_id, round(avg(value), 6) raw FROM events WHERE event_type = 'view' GROUP BY 1),
              v AS (SELECT user_id, CASE WHEN mx = mn THEN 1.0 ELSE (raw - mn)/(mx - mn) END nv
                    FROM (SELECT user_id, raw, min(raw) OVER () mn, max(raw) OVER () mx FROM v0)),
              k AS (SELECT user_id, CASE WHEN mx = mn THEN 1.0 ELSE (raw - mn)/(mx - mn) END nk
@@ -376,7 +382,13 @@ object RelationalQueries {
         val e = table(s, d, "events")
         def leg(tpe: String, out: String) = {
           val top = e.filter(col("event_type") === tpe)
-            .groupBy(col("user_id")).agg(avg("value").as("raw"))
+            .groupBy(col("user_id"))
+            // ROUNDED rank key: engines sum doubles in different orders,
+            // so exact-duplicate user populations (the ScaleGen corpus's
+            // per-copy clones) tie within an ulp and the top-k boundary
+            // becomes an engine coin flip; at 6 dp the ties are exact and
+            // the user_id tie-break decides identically on both sides
+            .agg(round(avg("value"), 6).as("raw"))
             .orderBy(desc("raw"), col("user_id")).limit(25)
             .withColumnRenamed("user_id", "chunk_id")
           graft.search.Fusion.normalizeRrf(top, "raw", out)
@@ -391,9 +403,9 @@ object RelationalQueries {
           .limit(30)
       },
       Some("""
-        WITH v0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'click'
+        WITH v0 AS (SELECT user_id, round(avg(value), 6) raw FROM events WHERE event_type = 'click'
                     GROUP BY 1 ORDER BY raw DESC, user_id LIMIT 25),
-             k0 AS (SELECT user_id, avg(value) raw FROM events WHERE event_type = 'view'
+             k0 AS (SELECT user_id, round(avg(value), 6) raw FROM events WHERE event_type = 'view'
                     GROUP BY 1 ORDER BY raw DESC, user_id LIMIT 25),
              v AS (SELECT user_id, 1.0 / (60 + row_number() OVER (ORDER BY raw DESC, user_id)) nv FROM v0),
              k AS (SELECT user_id, 1.0 / (60 + row_number() OVER (ORDER BY raw DESC, user_id)) nk FROM k0)
@@ -1293,7 +1305,7 @@ object RelationalQueries {
         val tombs = docs.filter(col("doc_id") % 10 === 7)
           .withColumn("n_chars", lit(-1L))
         val inserts = docs.filter(col("doc_id") % 10 === 1)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
           .withColumn("source", lit("merged-new"))
         val src = updates.unionByName(tombs).unionByName(inserts)
         val rCow = T.merge(s, wh, "documents", src, Seq("doc_id"),
@@ -1326,7 +1338,7 @@ object RelationalQueries {
           SELECT doc_id, lang, 'merged', n_chars + 1000 FROM documents
           WHERE doc_id % 10 = 3
           UNION ALL
-          SELECT doc_id + 1000000, lang, 'merged-new', n_chars FROM documents
+          SELECT doc_id + 1000000000, lang, 'merged-new', n_chars FROM documents
           WHERE doc_id % 10 = 1
         )
         SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1433,7 +1445,7 @@ object RelationalQueries {
         val tombs = docs.filter(col("doc_id") % 10 === 8)
           .withColumn("n_chars", lit(-1L))
         val inserts = docs.filter(col("doc_id") % 10 === 2)
-          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("doc_id", col("doc_id") + 2000000000L)
           .withColumn("source", lit("delta-new"))
         val src = updates.unionByName(tombs).unionByName(inserts)
         val set = Map(
@@ -1470,7 +1482,7 @@ object RelationalQueries {
           SELECT doc_id, lang, 'delta', n_chars + (doc_id % 97 + 1)
           FROM documents WHERE doc_id % 10 = 4
           UNION ALL
-          SELECT doc_id + 2000000, lang, 'delta-new', n_chars FROM documents
+          SELECT doc_id + 2000000000, lang, 'delta-new', n_chars FROM documents
           WHERE doc_id % 10 = 2
         )
         SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1766,6 +1778,78 @@ object RelationalQueries {
                    "(n_chars % 1024)", 10)} THEN 1 ELSE 0 END) AS BIGINT)
                  AS k2_matches_2d
         FROM documents GROUP BY lang ORDER BY lang"""),
-      doc = "N-ary Morton interleave: 3-column z-values pinned bit-for-bit by DuckDB via the shared SQL fragment; k=2 special case equals the 2-D interleave in-query")
+      doc = "N-ary Morton interleave: 3-column z-values pinned bit-for-bit by DuckDB via the shared SQL fragment; k=2 special case equals the 2-D interleave in-query"),
+
+    QueryDef(
+      "q159_manifest_pruning",
+      (s, d) => {
+        // SNAPSHOT AS A DATAFRAME, SQL-ORACLED (the round-11 scale item):
+        // the live-file manifest is rebuilt FROM the multipart parquet
+        // checkpoint inside a Spark job plus a cadence-bounded commit
+        // delta, and stats pruning runs as a distributed filter over it —
+        // the driver never holds the per-file maps (measured flat at 3 MB
+        // from 200k to 1M files, ManifestScale). This harness drives the
+        // full lifecycle: range-partitioned load with doc_id stats ->
+        // parquet checkpoint (the manifest's storage form) -> a
+        // post-checkpoint append AND a viaManifest copy-on-write delete
+        // (owner discovery as a manifest join) -> a manifest-pruned
+        // band read. The oracle recomputes the surviving band exactly;
+        // the audit pins manifest==snapshot live-set identity (rels,
+        // generations), read parity with the driver-map path, and the
+        // light snapshot's version agreement.
+        // Scale: harness I/O ∝ the sf table; the operators under test
+        // are the production paths whose whole point is 10^6..10^7-file
+        // warehouses.
+        val wh = java.nio.file.Files.createTempDirectory("graft-q159").toString
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        T.commit(s, wh, T.stageWrite(
+          docs.repartitionByRange(8, col("doc_id")), wh, "documents", Nil, 1L,
+          statsCols = Seq("doc_id")),
+          schemas = Map("documents" -> docs.schema))
+        T.checkpoint(s, wh, multipartAt = 0) // force the parquet form
+        // post-checkpoint delta: an append the manifest must pick up ...
+        T.commit(s, wh, T.stageWrite(
+          docs.filter(col("doc_id") % 10 === 3)
+            .withColumn("doc_id", col("doc_id") + 3000000000L),
+          wh, "documents", Nil, 2L, statsCols = Seq("doc_id")))
+        // ... and a delete whose OWNER DISCOVERY runs as a manifest join
+        T.deleteWhere(s, wh, "documents", col("doc_id").between(100L, 199L),
+          statsCols = Seq("doc_id"), viaManifest = true)
+        val pruned = T.readWhereBetweenViaManifest(
+          s, wh, "documents", "doc_id", 200L, 399L)
+        val viaMaps = T.readWhereBetween(
+          s, wh, "documents", "doc_id", 200L, 399L)
+        val snap = T.snapshot(s, wh)
+        val man = T.fileManifest(s, wh, "documents").collect()
+        val manifestIsLiveSet =
+          man.map(e => (e.rel, e.generation)).sorted.toSeq ==
+            snap.files("documents").sorted &&
+          man.forall(e => e.stats == snap.statsOf("documents", e.rel))
+        val parity = pruned.count() == viaMaps.count() &&
+          pruned.exceptAll(viaMaps).isEmpty
+        val auditOk = manifestIsLiveSet && parity &&
+          T.lightSnapshot(s, wh).version == snap.version
+        pruned.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("source")
+      },
+      Some("""
+        WITH live AS (
+          SELECT doc_id, source, n_chars FROM documents
+          WHERE doc_id NOT BETWEEN 100 AND 199
+          UNION ALL
+          SELECT doc_id + 3000000000, source, n_chars FROM documents
+          WHERE doc_id % 10 = 3
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM live WHERE doc_id BETWEEN 200 AND 399
+        GROUP BY source ORDER BY source"""),
+      doc = "snapshot-as-a-DataFrame: checkpoint-seeded file manifest + distributed stats pruning + viaManifest delete, parity with the driver-map path audited, band read SQL-oracled")
   )
 }
