@@ -314,6 +314,51 @@ object UserRegistry {
   val InviteTtlMs: Long = 7L * 24 * 3600 * 1000 // ref InviteService DefaultExpiry
 }
 
+/** Per-user LINKED CLOUD IDENTITIES (ref
+  * Connapse.Identity/Services/CloudIdentityService.cs +
+  * ICloudIdentityStore + CloudIdentityEndpoints.cs): after the provider
+  * dance (AWS SSO ListAccounts, Azure OIDC profile) the discovered
+  * principal — comma-separated AWS account ids, or the Azure object id
+  * — links to the user; connector scope checks
+  * ([[graft.sources.CloudScopes]]) read it back. One row per
+  * (user, provider), last link wins (the reference upserts). */
+final class CloudIdentityRegistry(spark: SparkSession, warehouse: String,
+    now: () => Long = () => System.currentTimeMillis()) {
+  import spark.implicits._
+
+  // (user_id, provider, principal, display_name, linked_ms)
+  private type Row = (String, String, String, String, Long)
+  private val table = new RegistryTable[Row](spark,
+    s"$warehouse/cloud_identities",
+    Seq("user_id", "provider", "principal", "display_name", "linked_ms"))
+
+  val Providers: Set[String] = Set("aws", "azure")
+
+  def link(userId: String, provider: String, principal: String,
+      displayName: String = ""): Unit = synchronized {
+    require(Providers.contains(provider), s"unknown provider: $provider")
+    require(principal.nonEmpty, "principal required")
+    table.write(table.load().filterNot(r =>
+      r._1 == userId && r._2 == provider) :+
+      ((userId, provider, principal, displayName, now())))
+  }
+
+  /** The linked principal for scope checks — None when never linked. */
+  def principalOf(userId: String, provider: String): Option[String] =
+    table.load().find(r => r._1 == userId && r._2 == provider).map(_._3)
+
+  /** (provider, principal, display_name, linked_ms) for one user. */
+  def list(userId: String): Seq[(String, String, String, Long)] =
+    table.load().filter(_._1 == userId).map(r => (r._2, r._3, r._4, r._5))
+
+  def disconnect(userId: String, provider: String): Boolean = synchronized {
+    val rows = table.load()
+    val kept = rows.filterNot(r => r._1 == userId && r._2 == provider)
+    if (kept.length == rows.length) false
+    else { table.write(kept); true }
+  }
+}
+
 /** OAuth authorization-code flow, server side (ref OAuthClientService.cs
   * + OAuthAuthCodeService.cs): registered clients exchange single-use
   * PKCE-bound codes for token pairs. */

@@ -64,6 +64,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * token endpoint (code + PKCE verifier -> token pair). Requires
       * `users` for the final mint. */
     oauth: Option[OAuthRegistry] = None,
+    /** Linked cloud identities (ref CloudIdentityEndpoints.cs): a JWT
+      * session links/lists/disconnects its own AWS/Azure principals at
+      * /auth/cloud; connector scope checks read them back through
+      * [[graft.sources.CloudScopes]]. Requires `users`. */
+    cloudIdentities: Option[CloudIdentityRegistry] = None,
     /** Append-only audit sink (ref AuditLogger.cs): when set, every
       * non-GET request and every auth denial records (key, action,
       * resource, status); admins read it back at `GET /audit`. */
@@ -106,6 +111,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val KeyId = "/keys/([^/]+)".r
   private val BatchId = "/batches/([^/]+)".r
   private val UserId = "/auth/users/([^/]+)".r
+  private val CloudProvider = "/auth/cloud/([a-z]+)".r
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
@@ -203,6 +209,17 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       // to filter by, so redaction is the honest middle ground)
       val isAdmin = !guarded || scopes.contains("admin")
       def visibleDetail(detail: String): String = if (isAdmin) detail else ""
+      // cloud-identity routes act on the CALLER's own links: resolve the
+      // JWT subject (an API key has no user to link identities to)
+      def cloudSession(): (CloudIdentityRegistry, String) = {
+        val creg = cloudIdentities.getOrElse(
+          throw Denied(404, "no cloud identity registry configured"))
+        val ureg = users.getOrElse(
+          throw Denied(404, "no user registry configured"))
+        val sub = bearer.flatMap(ureg.subjectOf).getOrElse(
+          throw Denied(401, "cloud identity routes require a user session (JWT)"))
+        (creg, sub)
+      }
       (method, path) match {
         // ---- user sessions (ref AuthEndpoints.cs; UserRegistry) --------
         case ("POST", "/auth/login") =>
@@ -259,6 +276,27 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
           if (reg.revokeUser(id)) { auditRec(204, s"user_revoke $id"); noContent(ex) }
           else err(ex, 404, s"no active user: $id")
+        // ---- linked cloud identities (ref CloudIdentityEndpoints.cs):
+        // a session manages ITS OWN links — the JWT subject keys the
+        // registry, so no user can read or drop another's principals ----
+        case ("GET", "/auth/cloud") =>
+          val (creg, sub) = cloudSession()
+          ok(ex, arr(creg.list(sub).map { case (p, principal, name, ts) =>
+            obj("provider" -> p, "principal" -> principal,
+              "display_name" -> name, "linked_ms" -> ts)
+          }))
+        case ("POST", "/auth/cloud") =>
+          val (creg, sub) = cloudSession()
+          val b = body(ex)
+          creg.link(sub, str(b, "provider"), str(b, "principal"),
+            optStr(b, "display_name").getOrElse(""))
+          auditRec(201, s"cloud_link ${str(b, "provider")}")
+          ok(ex, obj("linked" -> str(b, "provider")), status = 201)
+        case ("DELETE", CloudProvider(p)) =>
+          val (creg, sub) = cloudSession()
+          if (creg.disconnect(sub, p)) {
+            auditRec(204, s"cloud_unlink $p"); noContent(ex)
+          } else err(ex, 404, s"no linked $p identity")
         // ---- OAuth authorization-code flow (ref OAuthEndpoints.cs) -----
         case ("POST", "/oauth/clients") =>
           requireAdmin()

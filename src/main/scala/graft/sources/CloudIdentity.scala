@@ -222,6 +222,71 @@ final class AzureDeviceCode(transport: HttpTransport, tenant: String,
   }
 }
 
+/** Result of a scope discovery for a user reaching a cloud container
+  * (ref Connapse.Core/Models/CloudScopeModels.cs — same factory trio
+  * and prefix semantics). */
+final case class CloudScopeResult(hasAccess: Boolean,
+    allowedPrefixes: Seq[String], error: Option[String] = None) {
+  /** True when `path` falls under an allowed prefix; "/" allows all
+    * (case-insensitive, the reference's comparison). */
+  def isPathAllowed(path: String): Boolean = hasAccess &&
+    allowedPrefixes.exists(p =>
+      p == "/" || path.toLowerCase.startsWith(p.toLowerCase))
+}
+
+object CloudScopeResult {
+  def deny(reason: String): CloudScopeResult =
+    CloudScopeResult(hasAccess = false, Nil, Some(reason))
+  def allow(prefixes: Seq[String]): CloudScopeResult =
+    CloudScopeResult(hasAccess = true, prefixes)
+  def fullAccess: CloudScopeResult = allow(Seq("/"))
+}
+
+/** Scope-discovery rules, PURE (ref AwsIdentityProvider.cs /
+  * AzureIdentityProvider.cs): the callers supply what the reference
+  * fetches live (the connector's AWS account id via STS
+  * GetCallerIdentity; the Azure container's reachability via an
+  * existence probe), so the decision matrix unit-tests offline. */
+object CloudScopes {
+
+  /** AWS: the linked principal holds COMMA-SEPARATED account ids from
+    * SSO login (ref AwsIdentityProvider.cs:29-56); access is all-or-
+    * nothing — the connector's account must be among them. */
+  def awsDiscover(linkedAccountIds: String,
+      connectorAccountId: String): CloudScopeResult = {
+    if (linkedAccountIds.isEmpty)
+      return CloudScopeResult.deny(
+        "AWS SSO identity not linked. Connect your AWS account first.")
+    val allowed = linkedAccountIds.split(',').map(_.trim)
+      .filter(_.nonEmpty).map(_.toLowerCase).toSet
+    if (allowed.isEmpty)
+      CloudScopeResult.deny("AWS SSO identity has no linked accounts.")
+    else if (!allowed.contains(connectorAccountId.toLowerCase))
+      CloudScopeResult.deny(
+        "Your AWS SSO identity does not include access to the service's AWS account.")
+    else CloudScopeResult.fullAccess
+  }
+
+  /** Azure: requires a linked object id and a REACHABLE container;
+    * grants the connector's configured prefix (or the whole container)
+    * — the reference's deliberately-coarse grant, full RBAC prefix
+    * enumeration deferred there too (ref AzureIdentityProvider.cs:
+    * 57-72). */
+  def azureDiscover(linkedObjectId: String, containerReachable: Boolean,
+      containerName: String, configuredPrefix: String = ""): CloudScopeResult = {
+    if (linkedObjectId.isEmpty)
+      return CloudScopeResult.deny(
+        "Azure identity not linked. Connect your Azure account first.")
+    if (!containerReachable)
+      return CloudScopeResult.deny(
+        s"Azure Blob container '$containerName' not accessible.")
+    val prefix =
+      if (configuredPrefix.isEmpty) "/"
+      else "/" + configuredPrefix.stripSuffix("/") + "/"
+    CloudScopeResult.allow(Seq(prefix))
+  }
+}
+
 /** Per-connector-scope credential cache (ref ConnectorScopeCache.cs —
   * IMemoryCache keyed by (user, container) with a TTL): acquired
   * credentials are expensive (a device dance or a portal round-trip)

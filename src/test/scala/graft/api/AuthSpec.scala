@@ -121,6 +121,77 @@ class UserRegistrySpec extends AnyFunSuite {
   }
 }
 
+/** Linked cloud identities over real HTTP (ref CloudIdentityEndpoints):
+  * a JWT session links/lists/disconnects ITS OWN provider principals —
+  * and only its own; API keys have no user and are refused. */
+class CloudIdentityRestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-cloudid").toString
+  private lazy val store = new KnowledgeStore(spark, wh)
+  private lazy val userReg = new UserRegistry(spark, wh, "cloud-secret-0123456789")
+  private lazy val cloudReg = new CloudIdentityRegistry(spark, wh)
+  private lazy val (server, base) = {
+    val s = new RestServer(store, users = Some(userReg),
+      cloudIdentities = Some(cloudReg))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  test("link -> list -> scope check -> disconnect, per-session isolation") {
+    userReg.createUser("a@example.com", "password!", Seq("admin"), "a")
+    userReg.createUser("b@example.com", "password!", Seq("read:*"), "b")
+    val ja = http("POST", "/auth/login",
+      """{"email": "a@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+    val jb = http("POST", "/auth/login",
+      """{"email": "b@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+    // unauthenticated refused
+    assert(http("GET", "/auth/cloud")._1 == 401)
+    // a links AWS; b sees nothing
+    assert(http("POST", "/auth/cloud",
+      """{"provider": "aws", "principal": "111122223333,444455556666",
+         "display_name": "prod"}""", ja)._1 == 201)
+    assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 1)
+    assert(http("GET", "/auth/cloud", bearer = jb)._2.size() == 0,
+      "sessions must only see their own links")
+    // the linked principal drives the scope decision
+    val uidA = userReg.listUsers().find(_._2 == "a@example.com").get._1
+    val principal = cloudReg.principalOf(uidA, "aws").get
+    assert(graft.sources.CloudScopes.awsDiscover(principal, "444455556666").hasAccess)
+    assert(!graft.sources.CloudScopes.awsDiscover(principal, "999999999999").hasAccess)
+    // re-link upserts (one row per provider); unknown provider 400
+    assert(http("POST", "/auth/cloud",
+      """{"provider": "aws", "principal": "111122223333"}""", ja)._1 == 201)
+    assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 1)
+    assert(http("POST", "/auth/cloud",
+      """{"provider": "gcp", "principal": "x"}""", ja)._1 == 400)
+    // disconnect: own link 204, absent 404, other's untouched
+    assert(http("DELETE", "/auth/cloud/aws", bearer = jb)._1 == 404)
+    assert(http("DELETE", "/auth/cloud/aws", bearer = ja)._1 == 204)
+    assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 0)
+  }
+}
+
 /** The full session + OAuth lifecycle over real HTTP (the round-11
   * "done" bar: mint, verify, expire, refresh, revoked-user 401 — plus
   * the PKCE code exchange good/bad paths). */

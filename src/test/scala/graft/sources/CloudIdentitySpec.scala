@@ -131,6 +131,30 @@ class CloudIdentitySpec extends AnyFunSuite {
     assert(t.calls.forall(c => c._1 == "GET" || !c._3.startsWith("{")))
   }
 
+  test("scope discovery matrix: AWS account membership, Azure prefix grant") {
+    import CloudScopes._
+    // AWS (ref AwsIdentityProvider.cs): all-or-nothing on account id
+    assert(!awsDiscover("", "111122223333").hasAccess)
+    assert(!awsDiscover(" , ,", "111122223333").hasAccess)
+    assert(!awsDiscover("444455556666", "111122223333").hasAccess)
+    val ok = awsDiscover("444455556666, 111122223333", "111122223333")
+    assert(ok.hasAccess && ok.allowedPrefixes == Seq("/"))
+    assert(ok.isPathAllowed("/any/path.txt"))
+    // Azure (ref AzureIdentityProvider.cs): linked + reachable -> prefix
+    assert(!azureDiscover("", containerReachable = true, "docs").hasAccess)
+    assert(!azureDiscover("oid-1", containerReachable = false, "docs").hasAccess)
+    val full = azureDiscover("oid-1", containerReachable = true, "docs")
+    assert(full.allowedPrefixes == Seq("/"))
+    val scoped = azureDiscover("oid-1", containerReachable = true, "docs",
+      configuredPrefix = "team-a/")
+    assert(scoped.allowedPrefixes == Seq("/team-a/"))
+    assert(scoped.isPathAllowed("/team-a/doc.txt"))
+    assert(scoped.isPathAllowed("/TEAM-A/doc.txt")) // case-insensitive
+    assert(!scoped.isPathAllowed("/team-b/doc.txt"))
+    // denial reasons are actionable, not blank
+    assert(awsDiscover("", "x").error.exists(_.contains("not linked")))
+  }
+
   test("scope cache: TTL-gated reuse, margin-driven re-acquire, invalidate") {
     var clock = 1000000L
     var acquisitions = 0
