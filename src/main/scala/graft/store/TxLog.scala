@@ -621,7 +621,10 @@ object TxLog {
     * driver term). Folding skips every add/stat/bloom/remove line, and
     * the parquet-checkpoint branch filters them out INSIDE the Spark
     * job, so driver memory is O(tables), not O(files) — the seed the
-    * manifest-join read paths pair with [[fileManifest]]. */
+    * manifest-join read paths pair with [[fileManifest]]. (A TEXT-form
+    * checkpoint still reads as one transient driver string here — but
+    * the text form only exists below the multipartAt threshold, where
+    * that string is small by construction.) */
   def lightSnapshot(spark: SparkSession, warehouse: String,
       atVersion: Long = Long.MaxValue): Snapshot =
     snapshotImpl(spark, warehouse, atVersion, withFiles = false)
@@ -2021,19 +2024,27 @@ object TxLog {
       set: Map[String, org.apache.spark.sql.Column],
       partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Option[UpdateResult] = {
+      bloomCols: Seq[String] = Nil,
+      /** See [[stageDelete]]: owner discovery as manifest joins. */
+      viaManifest: Boolean = false): Option[UpdateResult] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(set.nonEmpty, "txlog: updateWhere needs at least one SET assignment")
-    val snap = snapshot(spark, warehouse)
+    val snap = if (viaManifest) lightSnapshot(spark, warehouse)
+      else snapshot(spark, warehouse)
     snap.schemaOf(table).foreach { st =>
       val known = st.fieldNames.toSet ++
-        snap.files(table).map(_._1).flatMap(layoutShape)
+        (if (viaManifest) {
+          // layout columns via one small distinct job, not the file maps
+          import spark.implicits._
+          fileManifest(spark, warehouse, table, snap.version)
+            .flatMap(e => layoutShape(e.rel)).distinct().collect().toSeq
+        } else snap.files(table).map(_._1).flatMap(layoutShape))
       val unknown = set.keys.filterNot(known.contains)
       require(unknown.isEmpty,
         s"txlog: updateWhere assigns column(s) ${unknown.mkString(", ")} the " +
           "logged schema does not know — commit the schema evolution first")
     }
-    planDelete(spark, warehouse, table, snap, predicate).map {
+    planDelete(spark, warehouse, table, snap, predicate, viaManifest).map {
       case (predSql, candidates, owners) =>
         val ownerFiles = candidates.filter { case (rel, _) => owners.contains(rel) }
         val ownerRels = ownerFiles.map(_._1)
@@ -2067,8 +2078,14 @@ object TxLog {
               s"${mistyped.mkString(", ")} — only additive schema " +
               "evolution is supported")
         }
+        val nextGen = (if (viaManifest) {
+          // the light snapshot has no file maps: one small agg instead
+          val r = fileManifest(spark, warehouse, table, snap.version)
+            .toDF().agg(org.apache.spark.sql.functions.max("generation")).head()
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        } else snap.maxGeneration(table)) + 1
         val postAdds = stageWrite(postImages, warehouse, table, partitionBy,
-          generation = snap.maxGeneration(table) + 1,
+          generation = nextGen,
           statsCols = statsCols, bloomCols = bloomCols,
           snapshotHint = Some(snap))
         val v = commit(spark, warehouse, survivorAdds ++ postAdds,

@@ -1115,6 +1115,22 @@ class TxLogSpec extends AnyFunSuite {
       viaManifest = true).get
     assert(dv2.deletedRows == 1)
     assert(TxLog.read(spark, wh, "t").filter(col("id") === 2000L).count() == 0)
+    // and UPDATE: post-images take a FRESH generation above every live
+    // one (the light snapshot has no file maps — the gen must come from
+    // the manifest agg, not default to 0)
+    // (the table's "generation" DATA column is unrelated to the log's
+    // FILE generation — the manifest carries the latter)
+    val fileGenBefore = TxLog.fileManifest(spark, wh, "t").collect()
+      .map(_.generation).max
+    val up = TxLog.updateWhere(spark, wh, "t", col("id") === 6L,
+      Map("generation" -> org.apache.spark.sql.functions.lit(42L)),
+      statsCols = Seq("id"), viaManifest = true).get
+    assert(up.updatedRows == 1)
+    assert(TxLog.read(spark, wh, "t").filter(col("id") === 6L)
+      .select("generation").as[Long].head() == 42L)
+    assert(TxLog.fileManifest(spark, wh, "t").collect()
+      .map(_.generation).max == fileGenBefore + 1,
+      "manifest-path update must stage post-images above the live max file generation")
   }
 
   test("multipart checkpoint at a seeded large file count round-trips the live set") {
