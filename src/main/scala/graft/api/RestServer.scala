@@ -127,6 +127,17 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     if (!limiter.forall(_.tryAcquire(principal)))
       throw Denied(429, "rate limit exceeded")
 
+  /** ALWAYS-ON throttle for the session-bootstrap routes, independent of
+    * the optional global limiter: every login costs a PBKDF2-100k
+    * evaluation by design (the work factor IS the password protection),
+    * so an unthrottled /auth/login is both a brute-force surface and a
+    * CPU-burn DoS on the 4-thread pool. 30/min per source address
+    * sustains any human or CI flow; a credential stuffer gets 429s. */
+  private val authLimiter = new RateLimiter(RestServer.AuthRoutePerMinute)
+  private def authRateCheck(address: String): Unit =
+    if (!authLimiter.tryAcquire(address))
+      throw Denied(429, "auth rate limit exceeded")
+
   /** SSE streams pin a handler thread for their whole lifetime and the
     * pool is 4 wide: without a cap, 4 streams with a huge max_ms are a
     * full denial of service on every other route — so at most HALF the
@@ -158,8 +169,10 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             (users.isDefined || oauth.isDefined)) {
           // the session bootstrap routes are reachable WITHOUT a session
           // (that is their whole point) — but only when a user registry
-          // is actually serving them; rate-limited per source address
+          // is actually serving them; throttled per source address by
+          // the ALWAYS-ON auth limiter (plus the global one when set)
           principal = String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress)
+          authRateCheck(principal)
           Some(Nil)
         }
         // a compact JWT (two dots) resolves through the user registry;
@@ -798,6 +811,10 @@ object RestServer {
     * source address. */
   val OpenAuthRoutes: Set[String] =
     Set("/auth/login", "/auth/refresh", "/auth/signup", "/oauth/token")
+
+  /** Always-on per-address throttle on [[OpenAuthRoutes]] (each login is
+    * a deliberate PBKDF2-100k burn — see the authLimiter note). */
+  val AuthRoutePerMinute: Int = 30
 
   /** Hard ceiling on a single SSE stream's lifetime (5 min): clients
     * reconnect and the ring replays — a client-supplied max_ms must not

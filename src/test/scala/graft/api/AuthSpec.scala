@@ -121,6 +121,42 @@ class UserRegistrySpec extends AnyFunSuite {
   }
 }
 
+/** The always-on auth-route throttle: login is a deliberate PBKDF2-100k
+  * burn, so the bootstrap routes must answer 429 under a burst even
+  * when no global rate limit is configured. */
+class AuthThrottleSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("a credential-stuffing burst hits 429 without a global limiter") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-athrot").toString
+    val store = new KnowledgeStore(spark, wh)
+    val reg = new UserRegistry(spark, wh, "throttle-secret-0123456789")
+    reg.createUser("t@example.com", "password!", Seq("admin"))
+    val server = new RestServer(store, users = Some(reg))
+    val base = s"http://127.0.0.1:${server.start()}"
+    val client = java.net.http.HttpClient.newHttpClient()
+    try {
+      def attempt(): Int = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base/auth/login"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"email": "t@example.com", "password": "WRONG"}""")).build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      val codes = (1 to RestServer.AuthRoutePerMinute + 5).map(_ => attempt())
+      assert(codes.take(5).forall(_ == 401)) // throttle is not a lockout
+      assert(codes.count(_ == 429) >= 4,
+        s"burst past ${RestServer.AuthRoutePerMinute}/min must throttle: $codes")
+      // authenticated traffic on NON-auth routes is unaffected
+      assert(client.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base/health")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+    } finally server.stop()
+  }
+}
+
 /** Linked cloud identities over real HTTP (ref CloudIdentityEndpoints):
   * a JWT session links/lists/disconnects ITS OWN provider principals —
   * and only its own; API keys have no user and are refused. */
