@@ -258,19 +258,89 @@ final class AuditLog(spark: SparkSession, warehouse: String, flushAt: Int = 64) 
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[
     (Long, String, String, String, String, Int)]()
 
+  /** Hadoop config COPIED at construction: the side-file path must not
+    * reach through the SparkSession (it may be torn down by the time the
+    * shutdown hook runs — the exact failure the side file exists for). */
+  private val hadoopConf = new org.apache.hadoop.conf.Configuration(
+    spark.sparkContext.hadoopConfiguration)
+  private val pendingDir = s"$warehouse/audit_log_pending"
+  private val sideMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private val flusher = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
     val t = new Thread(r, "graft-audit-flush"); t.setDaemon(true); t
   })
 
   // belt-and-braces for the NON-graceful path (the serving layers' stop()
   // flushes explicitly): a JVM exit must not drop the up-to-flushAt-1
-  // buffered tail of an audit trail. Best-effort — flush() already
-  // swallows failures, and a dead SparkContext at shutdown just means the
-  // graceful flush already ran or nothing was buffered.
+  // buffered tail of an audit trail. The hook writes a plain-FS JSON side
+  // file — NEVER a Spark job: a shutdown hook races SparkSession teardown
+  // and Hadoop's own FS ClientFinalizer, so the Spark-append path here was
+  // observed dropping its tail with "Eagerly executed command failed". The
+  // next boot (or the next flush on any AuditLog over this warehouse)
+  // folds pending side files back into the parquet table.
   Runtime.getRuntime.addShutdownHook(new Thread("graft-audit-exit-flush") {
     override def run(): Unit =
-      try flush() catch { case _: Throwable => () }
+      try flushToSideFile() catch { case _: Throwable => () }
   })
+
+  /** Drain the buffer into a JSON-lines side file with RAW Hadoop FS I/O
+    * (an UNCACHED FileSystem instance, so Hadoop's shutdown-time
+    * ClientFinalizer closing the cache cannot race it) — zero Spark, safe
+    * after SparkSession.stop() and inside JVM shutdown hooks. */
+  def flushToSideFile(): Unit = synchronized {
+    val drained = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
+    if (drained.isEmpty) return
+    sideFile(drained)
+  }
+
+  private def sideFile(
+      events: Seq[(Long, String, String, String, String, Int)]): Unit =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        new java.net.URI(pendingDir), hadoopConf)
+      try {
+        val p = new org.apache.hadoop.fs.Path(pendingDir,
+          s"tail-${java.util.UUID.randomUUID}.jsonl")
+        val out = fs.create(p, false)
+        events.foreach { case (ts, k, a, r, d, st) =>
+          val n = sideMapper.createObjectNode()
+          n.put("ts_ms", ts); n.put("key_name", k); n.put("action", a)
+          n.put("resource", r); n.put("detail", d); n.put("status", st)
+          out.write((sideMapper.writeValueAsString(n) + "\n").getBytes("UTF-8"))
+        }
+        out.close()
+      } finally fs.close()
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[audit] side-file write failed (${events.size} events): ${e.getMessage}")
+    }
+
+  /** Read + delete pending side files (the previous process's shutdown
+    * tail); at-least-once — a delete failing after a successful fold can
+    * duplicate rows, never lose them. Raw FS, driver-sized by
+    * construction (each file is at most flushAt-1 events). */
+  private def drainSideFiles(): Seq[(Long, String, String, String, String, Int)] =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        new java.net.URI(pendingDir), hadoopConf)
+      try {
+        val dir = new org.apache.hadoop.fs.Path(pendingDir)
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".jsonl"))
+          .flatMap { st =>
+            val in = fs.open(st.getPath)
+            val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            val rows = text.linesIterator.filter(_.nonEmpty).map { line =>
+              val n = sideMapper.readTree(line)
+              (n.get("ts_ms").asLong(), n.get("key_name").asText(),
+                n.get("action").asText(), n.get("resource").asText(),
+                n.get("detail").asText(), n.get("status").asInt())
+            }.toSeq
+            fs.delete(st.getPath, false)
+            rows
+          }
+      } finally fs.close()
+    } catch { case _: Throwable => Seq.empty }
 
   /** (ts_ms, key name or "-", action, resource, detail, http status).
     * The size-triggered flush runs on a daemon thread — the HTTP handler
@@ -283,17 +353,23 @@ final class AuditLog(spark: SparkSession, warehouse: String, flushAt: Int = 64) 
       flusher.submit(new Runnable { override def run(): Unit = flush() })
   }
 
-  /** Drain the buffer into one parquet append. Failures are swallowed
-    * after a stderr note — audit must never fail the primary operation
-    * (the reference's explicit contract, AuditLogger.cs:55-59). */
+  /** Drain the buffer (plus any side-file tail a previous process left)
+    * into one parquet append. A failed append falls back to the side
+    * file so the events survive for the next fold — audit must never
+    * fail the primary operation (the reference's explicit contract,
+    * AuditLogger.cs:55-59), but "never fail" must not mean "silently
+    * lose". */
   def flush(): Unit = synchronized {
-    val drained = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
+    val drained = drainSideFiles() ++
+      Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
     if (drained.isEmpty) return
     try drained
       .toDF("ts_ms", "key_name", "action", "resource", "detail", "status")
       .coalesce(1).write.mode(SaveMode.Append).parquet(path)
     catch { case e: Exception =>
-      System.err.println(s"[audit] flush failed (${drained.size} events): ${e.getMessage}")
+      System.err.println(s"[audit] flush failed (${drained.size} events), " +
+        s"parking to side file: ${e.getMessage}")
+      sideFile(drained)
     }
   }
 

@@ -257,3 +257,53 @@ class IdentityRestSpec extends AnyFunSuite {
     } finally limited.stop()
   }
 }
+
+/** Audit shutdown-tail durability: the JVM-exit hook must not depend on
+  * a live SparkSession (observed in round 11: the hook raced Spark's
+  * own teardown and dropped its tail with "Eagerly executed command
+  * failed"). The hook path is [[AuditLog.flushToSideFile]] — raw Hadoop
+  * FS JSON lines, zero Spark references — and the next boot folds the
+  * side files back into the parquet table. */
+class AuditDurabilitySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("side-file tail survives a process boundary: flushToSideFile -> next boot folds in, zero loss") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-audit-tail").toString
+    val log1 = new AuditLog(spark, wh, flushAt = 1000)
+    log1.record("k1", "POST /x", "/x", "first", 200)
+    log1.flush() // the normal Spark append path
+    log1.record("k2", "POST /y", "/y", "tail-event-1", 201)
+    log1.record("k3", "DELETE /z", "/z", "tail-event-2", 204)
+    // the shutdown hook's path: plain-FS JSON side file, no Spark job
+    log1.flushToSideFile()
+    assert(new java.io.File(s"$wh/audit_log_pending").listFiles()
+      .exists(_.getName.endsWith(".jsonl")), "side file must exist on disk")
+    // "next boot": a fresh AuditLog over the same warehouse folds the tail
+    val log2 = new AuditLog(spark, wh, flushAt = 1000)
+    val rows = log2.df().collect()
+    assert(rows.length == 3, s"all 3 events must survive, got ${rows.length}")
+    val details = rows.map(_.getString(4)).toSet
+    assert(details == Set("first", "tail-event-1", "tail-event-2"))
+    // fold consumed the side files — a second boot must not duplicate
+    val pend = new java.io.File(s"$wh/audit_log_pending").listFiles()
+    assert(pend == null || !pend.exists(_.getName.endsWith(".jsonl")),
+      "folded side files must be deleted")
+    assert(new AuditLog(spark, wh).df().count() == 3)
+  }
+
+  test("a failed Spark append parks the batch in the side file instead of losing it") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-audit-park").toString
+    val log = new AuditLog(spark, wh, flushAt = 1000)
+    // poison the table path: a FILE where the parquet DIRECTORY should go
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$wh/audit_log"),
+      "not a directory".getBytes("UTF-8"))
+    log.record("k", "POST /a", "/a", "parked", 200)
+    log.flush() // append fails -> side file
+    assert(new java.io.File(s"$wh/audit_log_pending").listFiles()
+      .exists(_.getName.endsWith(".jsonl")), "failed append must park the tail")
+    // unpoison; the next flush folds the parked batch in
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$wh/audit_log"))
+    val rows = new AuditLog(spark, wh).df().collect()
+    assert(rows.length == 1 && rows(0).getString(4) == "parked")
+  }
+}
