@@ -110,7 +110,12 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     accessTtlMs: Long = 15L * 60 * 1000,
     refreshTtlMs: Long = 30L * 24 * 3600 * 1000,
     /** Injectable clock for expiry specs. */
-    now: () => Long = () => System.currentTimeMillis()) {
+    now: () => Long = () => System.currentTimeMillis(),
+    /** The password KDF, (password, saltHex) => hashHex. Injectable so
+      * specs can count invocations (the timing-equalization contract);
+      * production uses [[UserRegistry.pbkdf2]] (PBKDF2-HMAC-SHA256,
+      * 100k). */
+    kdf: (String, String) => String = UserRegistry.pbkdf2) {
   require(jwtSecret.length >= 16, "jwt secret must be at least 16 chars")
   import spark.implicits._
 
@@ -145,16 +150,6 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(raw)
   }
 
-  /** PBKDF2WithHmacSHA256, 100k iterations (OWASP-cited floor) — the
-    * reference defers to ASP.NET Identity's PBKDF2 hasher. */
-  private def pbkdf2(password: String, saltHex: String): String = {
-    val salt = saltHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-    val spec = new javax.crypto.spec.PBEKeySpec(
-      password.toCharArray, salt, 100000, 256)
-    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
-      .generateSecret(spec).getEncoded.map("%02x".format(_)).mkString
-  }
-
   private def validScope(s: String): Boolean =
     s == "admin" || ((s.startsWith("read:") || s.startsWith("write:")) &&
       s.substring(s.indexOf(':') + 1).nonEmpty)
@@ -174,7 +169,7 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     val id = java.util.UUID.randomUUID().toString
     users.write(users.load() :+ ((id, email,
       if (name.isEmpty) email.takeWhile(_ != '@') else name,
-      pbkdf2(password, salt), salt, scopes, now(), -1L)))
+      kdf(password, salt), salt, scopes, now(), -1L)))
     id
   }
 
@@ -206,13 +201,26 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
   }
 
   /** Password login → token pair. Constant-time hash compare; None for
-    * unknown email, wrong password, or revoked user (indistinguishable
-    * to the caller — no account probing). */
+    * unknown email, wrong password, or revoked user — indistinguishable
+    * to the caller in BOTH answer and timing: the unknown-email path
+    * evaluates the same KDF against a fixed dummy salt/hash so an
+    * attacker cannot use the PBKDF2-100k latency (tens of ms) as an
+    * account-existence oracle. */
   def login(email: String, password: String): Option[TokenPair] =
-    activeUser(_._2 == email).filter { u =>
-      java.security.MessageDigest.isEqual(
-        pbkdf2(password, u._5).getBytes("UTF-8"), u._4.getBytes("UTF-8"))
-    }.map(mintPair)
+    activeUser(_._2 == email) match {
+      case None =>
+        // equal work factor on the miss path — and a compare that is
+        // false by construction, so the shape matches the hit path too
+        java.security.MessageDigest.isEqual(
+          kdf(password, UserRegistry.DummySalt).getBytes("UTF-8"),
+          UserRegistry.DummyHash.getBytes("UTF-8"))
+        None
+      case Some(u) =>
+        if (java.security.MessageDigest.isEqual(
+          kdf(password, u._5).getBytes("UTF-8"), u._4.getBytes("UTF-8")))
+          Some(mintPair(u))
+        else None
+    }
 
   /** Refresh-token ROTATION (ref JwtTokenService.cs RefreshTokenAsync):
     * a valid token is revoked and replaced; a REVOKED token replayed is
@@ -312,6 +320,23 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
 
 object UserRegistry {
   val InviteTtlMs: Long = 7L * 24 * 3600 * 1000 // ref InviteService DefaultExpiry
+
+  /** PBKDF2WithHmacSHA256, 100k iterations (OWASP-cited floor) — the
+    * reference defers to ASP.NET Identity's PBKDF2 hasher. */
+  def pbkdf2(password: String, saltHex: String): String = {
+    val salt = saltHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, 100000, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded.map("%02x".format(_)).mkString
+  }
+
+  /** Fixed dummy salt/hash the unknown-email login path burns the KDF
+    * against (timing equalization — see [[UserRegistry.login]]). The
+    * hash is NOT pbkdf2(anything, DummySalt), so the dummy compare can
+    * never accidentally succeed. */
+  val DummySalt: String = "00000000000000000000000000000000"
+  val DummyHash: String = "0" * 64
 }
 
 /** Per-user LINKED CLOUD IDENTITIES (ref
@@ -454,12 +479,21 @@ object OAuthRegistry {
 /** Shared storage shape of the identity registries: a driver-sized
   * parquet table, swap-rewritten (old-or-new reader guarantee), cached
   * with the [[TableStamp]] listing-stamp staleness probe — exactly the
-  * [[ApiKeyRegistry]] mechanics, factored for reuse. */
+  * [[ApiKeyRegistry]] mechanics, factored for reuse.
+  *
+  * CROSS-JVM WRITE SEMANTICS: a write() swaps the WHOLE table, so two
+  * JVMs mutating the same registry concurrently resolve last-writer-wins
+  * at table granularity (the loser's rows are silently dropped). Fine
+  * for these admin-rate, driver-sized tables; anything needing real
+  * concurrent DML belongs in [[graft.store.TxLog]]'s OCC instead. */
 private[api] final class RegistryTable[Row <: Product](
     spark: SparkSession, path: String, cols: Seq[String])(
     implicit enc: org.apache.spark.sql.Encoder[Row]) {
 
   @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
+  /** First-failure timestamp of the CURRENT consecutive read-failure
+    * streak (-1 = healthy). Bounds how long stale rows may serve. */
+  @volatile private var staleSinceMs: Long = -1L
 
   def load(): Seq[Row] = {
     val nowT = System.currentTimeMillis()
@@ -471,6 +505,7 @@ private[api] final class RegistryTable[Row <: Product](
         val s0 = TableStamp.of(spark, path)
         prev match {
           case Some((rows, stamp, _)) if stamp == s0 =>
+            staleSinceMs = -1L
             cache = Some((rows, stamp, nowT)); rows
           case _ =>
             try {
@@ -478,9 +513,22 @@ private[api] final class RegistryTable[Row <: Product](
                 if (s0 == TableStamp.Absent) Seq.empty[Row]
                 else spark.read.parquet(path)
                   .select(cols.head, cols.tail: _*).as[Row].collect().toSeq
+              staleSinceMs = -1L
               cache = Some((rows, s0, nowT))
               rows
-            } catch { case _: Throwable =>
+            } catch { case e: Throwable =>
+              // transient swap-gap races heal on the next probe; a
+              // PERSISTENT storage failure must not silently serve
+              // revoked users/keys forever — log every stale serve and
+              // FAIL CLOSED once the streak outlives StaleServeMaxMs
+              // (auth errors beat auth bypass)
+              if (staleSinceMs < 0) staleSinceMs = nowT
+              val ageMs = nowT - staleSinceMs
+              System.err.println(s"[registry] read failed for $path; " +
+                s"serving rows ${ageMs} ms stale " +
+                s"(fail-closed at ${ApiKeyRegistry.StaleServeMaxMs} ms): " +
+                s"${e.getMessage}")
+              if (ageMs > ApiKeyRegistry.StaleServeMaxMs) throw e
               prev.map(_._1).getOrElse(Seq.empty)
             }
         }

@@ -42,6 +42,7 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     * until restart — revocation must propagate, a key cache is not a
     * same-process-only structure. One FS stat per window, zero Spark. */
   @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
+  @volatile private var staleSinceMs: Long = -1L
 
   private val AbsentStamp = TableStamp.Absent
   private def tableStamp(): Long = TableStamp.of(spark, path)
@@ -60,6 +61,7 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
         val s0 = tableStamp()
         prev match {
           case Some((rows, stamp, _)) if stamp == s0 =>
+            staleSinceMs = -1L
             cache = Some((rows, stamp, now)); rows
           case _ =>
             try {
@@ -69,12 +71,23 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
                   .select("key_id", "name", "token_hash", "token_prefix", "scopes",
                     "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
                   .as[Row].collect().toSeq
+              staleSinceMs = -1L
               cache = Some((rows, s0, now))
               rows
-            } catch { case _: Throwable =>
+            } catch { case e: Throwable =>
               // a read landing in a concurrent swap's delete->rename gap:
               // serve the previous rows and retry next call — never cache
-              // an accidental empty set over live keys
+              // an accidental empty set over live keys. But a PERSISTENT
+              // failure must not serve revoked keys forever: logged every
+              // time, fail-closed past StaleServeMaxMs (same contract as
+              // RegistryTable).
+              if (staleSinceMs < 0) staleSinceMs = now
+              val ageMs = now - staleSinceMs
+              System.err.println(s"[registry] read failed for $path; " +
+                s"serving rows ${ageMs} ms stale " +
+                s"(fail-closed at ${ApiKeyRegistry.StaleServeMaxMs} ms): " +
+                s"${e.getMessage}")
+              if (ageMs > ApiKeyRegistry.StaleServeMaxMs) throw e
               prev.map(_._1).getOrElse(Seq.empty)
             }
         }
@@ -198,6 +211,12 @@ object ApiKeyRegistry {
   /** How stale another instance's key mutation may be here: the cache
     * re-stats the table's mtime at most this often. */
   val StalenessProbeMs: Long = 5000L
+
+  /** Upper bound on serving CACHED rows through a persistent storage
+    * failure: each failed reload logs; once a consecutive-failure streak
+    * outlives this, load() rethrows (fail closed) — a revoked user/key
+    * must not outlive a broken store indefinitely. */
+  val StaleServeMaxMs: Long = 5L * 60 * 1000
 
   /** The scope matrix, STATIC: JWT sessions ([[UserRegistry]]) carry the
     * same scope grammar as API keys, so both principals authorize

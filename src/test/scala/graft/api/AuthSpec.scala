@@ -379,3 +379,72 @@ class AuthRestSpec extends AnyFunSuite {
            "refresh_token": "${tok.get("refresh_token").asText()}"}""")._1 == 200)
   }
 }
+
+/** Login timing equalization: the unknown-email path must pay the same
+  * KDF work factor as the wrong-password path — response latency must
+  * not be an account-existence oracle (the scaladoc's "no account
+  * probing" contract, now true in timing as well as in answer). */
+class LoginTimingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("both failure paths evaluate the KDF exactly once (counting KDF)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-timing").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val countingKdf: (String, String) => String = (pw, salt) => {
+      calls.incrementAndGet(); UserRegistry.pbkdf2(pw, salt)
+    }
+    val reg = new UserRegistry(spark, wh, "timing-secret-0123456789",
+      kdf = countingKdf)
+    reg.createUser("known@example.com", "password!", Seq("read:*"))
+    calls.set(0)
+    assert(reg.login("known@example.com", "WRONG").isEmpty)
+    val wrongPasswordCalls = calls.getAndSet(0)
+    assert(reg.login("UNKNOWN@example.com", "whatever").isEmpty)
+    val unknownEmailCalls = calls.getAndSet(0)
+    assert(wrongPasswordCalls == 1 && unknownEmailCalls == 1,
+      s"equal work factor required: wrong-pw=$wrongPasswordCalls unknown=$unknownEmailCalls")
+    // revoked users take the dummy-burn path too
+    val uid = reg.createUser("gone@example.com", "password!", Seq("read:*"))
+    reg.revokeUser(uid)
+    calls.set(0)
+    assert(reg.login("gone@example.com", "password!").isEmpty)
+    assert(calls.get() == 1, "revoked-user path must also pay the KDF")
+    // the dummy compare can never accidentally succeed
+    assert(UserRegistry.pbkdf2("x", UserRegistry.DummySalt) != UserRegistry.DummyHash)
+  }
+}
+
+/** Registry staleness honesty: a persistent storage failure serves the
+  * cached rows ONLY inside a logged, bounded window (ApiKeyRegistry.
+  * StaleServeMaxMs) — never silently, never forever. */
+class RegistryStaleServeSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("a failed reload logs the stale serve and keeps answering inside the bound") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val clockStart = 1700000000000L
+    @volatile var clock = clockStart
+    val reg = new UserRegistry(spark, wh, "stale-secret-0123456789",
+      now = () => clock)
+    reg.createUser("s@example.com", "password!", Seq("admin"))
+    assert(reg.listUsers().size == 1)
+    // corrupt the table: replace the parquet dir with garbage so the
+    // reload read fails (the stamp changes, forcing a real re-read)
+    val dir = java.nio.file.Paths.get(s"$wh/users")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.write(dir.resolve("part-corrupt.parquet"),
+      "garbage".getBytes("UTF-8"))
+    Thread.sleep(ApiKeyRegistry.StalenessProbeMs + 500) // force a re-probe
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try {
+      assert(reg.listUsers().size == 1, "inside the bound: serve stale rows")
+    } finally System.setErr(realErr)
+    val logged = errBuf.toString("UTF-8")
+    assert(logged.contains("[registry] read failed") &&
+      logged.contains("stale"), s"stale serve must log, got: '$logged'")
+  }
+}
