@@ -35,8 +35,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *     with a fixed-time comparison (OAuthAuthCodeService.cs).
   */
 object Jwt {
+  /** `aud` is the RFC 8707 / RFC 9068 audience binding — "" = unbound
+    * (session tokens); OAuth-minted tokens carry the resource identifier
+    * the client consented to, and resource servers reject mismatches. */
   final case class Claims(sub: String, name: String, scopes: Seq[String],
-      iss: String, iatMs: Long, expMs: Long)
+      iss: String, iatMs: Long, expMs: Long, aud: String = "")
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -59,6 +62,7 @@ object Jwt {
     val p = mapper.createObjectNode()
     p.put("sub", claims.sub); p.put("name", claims.name)
     p.put("iss", claims.iss)
+    if (claims.aud.nonEmpty) p.put("aud", claims.aud)
     p.put("iat", claims.iatMs / 1000L); p.put("exp", claims.expMs / 1000L)
     val arr = p.putArray("scopes")
     claims.scopes.foreach(arr.add)
@@ -73,6 +77,15 @@ object Jwt {
   def verify(secret: String, token: String, issuer: String,
       nowMs: Long = System.currentTimeMillis(),
       clockSkewMs: Long = 60000L): Option[Claims] =
+    verifyWith(secret, token, _ == issuer, nowMs, clockSkewMs)
+
+  /** [[verify]] generalized over the issuer check — an OAuth-minted
+    * token's `iss` is the AS-metadata issuer computed from the request
+    * host (RFC 9068 §2.2), so the verifier accepts a PREDICATE over
+    * issuers rather than one fixed string. */
+  def verifyWith(secret: String, token: String, issuerOk: String => Boolean,
+      nowMs: Long = System.currentTimeMillis(),
+      clockSkewMs: Long = 60000L): Option[Claims] =
     try {
       val parts = token.split('.')
       if (parts.length != 3) return None
@@ -81,7 +94,7 @@ object Jwt {
         return None
       val p = mapper.readTree(unb64url(parts(1)))
       val iss = p.get("iss").asText()
-      if (iss != issuer) return None
+      if (!issuerOk(iss)) return None
       val iatMs = p.get("iat").asLong() * 1000L
       val expMs = p.get("exp").asLong() * 1000L
       if (expMs + clockSkewMs < nowMs) return None
@@ -92,7 +105,9 @@ object Jwt {
         while (it.hasNext) out += it.next().asText()
         out.toSeq
       }
-      Some(Claims(p.get("sub").asText(), p.get("name").asText(), ss, iss, iatMs, expMs))
+      val aud = Option(p.get("aud")).filterNot(_.isNull).map(_.asText()).getOrElse("")
+      Some(Claims(p.get("sub").asText(), p.get("name").asText(), ss, iss,
+        iatMs, expMs, aud))
     } catch { case _: Exception => None }
 }
 
@@ -123,8 +138,13 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
   //  created_ms, revoked_ms [-1 = active])
   private type User = (String, String, String, String, String, Seq[String], Long, Long)
   // (token_hash, user_id, created_ms, expires_ms, revoked_ms,
-  //  replaced_by_hash ["" = tip of chain])
-  private type Refresh = (String, String, Long, Long, Long, String)
+  //  replaced_by_hash ["" = tip of chain], client_id ["" = first-party
+  //  session], resource ["" = unbound], scopes [empty = the user's full
+  //  set at refresh time]) — the last three are the OAuth grant binding
+  //  the reference tags refresh rows with (OAuthEndpoints.cs): refresh
+  //  cycles keep the SAME client/aud/scope as the original consent.
+  private type Refresh =
+    (String, String, Long, Long, Long, String, String, String, Seq[String])
   // (invite_id, email, scopes, token_hash, created_by, created_ms,
   //  expires_ms, accepted_ms [-1 = pending])
   private type Invite = (String, String, Seq[String], String, String, Long, Long, Long)
@@ -132,10 +152,15 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
   private val users = new RegistryTable[User](spark, s"$warehouse/users",
     Seq("user_id", "email", "name", "pw_hash", "pw_salt", "scopes",
       "created_ms", "revoked_ms"))
-  private val refreshes = new RegistryTable[Refresh](spark,
-    s"$warehouse/refresh_tokens",
-    Seq("token_hash", "user_id", "created_ms", "expires_ms", "revoked_ms",
-      "replaced_by_hash"))
+  private val refreshes = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    new RegistryTable[Refresh](spark, s"$warehouse/refresh_tokens",
+      Seq("token_hash", "user_id", "created_ms", "expires_ms", "revoked_ms",
+        "replaced_by_hash", "client_id", "resource", "scopes"),
+      // pre-grant-binding tables (schema v1) backfill as unbound sessions
+      defaults = Map("client_id" -> lit(""), "resource" -> lit(""),
+        "scopes" -> typedLit(Seq.empty[String])))
+  }
   private val invites = new RegistryTable[Invite](spark, s"$warehouse/invites",
     Seq("invite_id", "email", "scopes", "token_hash", "created_by",
       "created_ms", "expires_ms", "accepted_ms"))
@@ -190,15 +215,39 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
   private def activeUser(pred: User => Boolean): Option[User] =
     users.load().find(u => pred(u) && u._8 < 0)
 
-  private def mintPair(u: User): TokenPair = synchronized {
-    val t = now()
-    val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, u._6, issuer,
-      t, t + accessTtlMs))
-    val refresh = randToken()
-    refreshes.write(refreshes.load() :+
-      ((sha256Hex(refresh), u._1, t, t + refreshTtlMs, -1L, "")))
-    TokenPair(access, refresh, t + accessTtlMs)
-  }
+  /** Issuers this registry has ADVERTISED in AS metadata (the discovery
+    * endpoint computes one from each request host, RFC 8414) — tokens it
+    * minted under those issuers must verify here. In-memory by design: a
+    * restart drops them, outstanding OAuth access tokens 401 and the
+    * client's next refresh re-mints (and re-advertises) — self-healing
+    * within one refresh round-trip. */
+  private val advertisedIssuers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def advertiseIssuer(iss: String): Unit =
+    if (iss.nonEmpty) { advertisedIssuers.add(iss); () }
+  private def issuerOk(iss: String): Boolean =
+    iss == issuer || advertisedIssuers.contains(iss)
+
+  private def mintPair(u: User, scopes: Seq[String], iss: String,
+      aud: String, clientId: String, resource: String): TokenPair =
+    synchronized {
+      val t = now()
+      val access = Jwt.mint(jwtSecret,
+        Jwt.Claims(u._1, u._3, scopes, iss, t, t + accessTtlMs, aud))
+      val refresh = randToken()
+      // grant-bound rows remember the NARROWED scopes; first-party
+      // session rows store empty = "the user's scopes at refresh time"
+      // (so a scope change on the user propagates to plain sessions)
+      val storedScopes = if (scopes == u._6) Seq.empty[String] else scopes
+      refreshes.write(refreshes.load() :+
+        ((sha256Hex(refresh), u._1, t, t + refreshTtlMs, -1L, "",
+          clientId, resource, storedScopes)))
+      advertiseIssuer(if (iss == issuer) "" else iss)
+      TokenPair(access, refresh, t + accessTtlMs)
+    }
+
+  private def mintPair(u: User): TokenPair =
+    mintPair(u, u._6, issuer, "", "", "")
 
   /** Password login → token pair. Constant-time hash compare; None for
     * unknown email, wrong password, or revoked user — indistinguishable
@@ -226,11 +275,27 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     * a valid token is revoked and replaced; a REVOKED token replayed is
     * potential theft — the whole descendant family is revoked and the
     * caller gets nothing. */
-  def refresh(refreshToken: String): Option[TokenPair] = synchronized {
+  def refresh(refreshToken: String): Option[TokenPair] =
+    refreshGrant(refreshToken, "", "", issuer).toOption
+
+  /** The OAuth-token-endpoint refresh (ref OAuthEndpoints.cs
+    * HandleRefreshTokenGrant): validates the stored grant binding and
+    * re-mints UNDER it —
+    *   - a stored client_id must match the presented one (theft of a
+    *     refresh token across clients) → Left("invalid_grant");
+    *   - an incoming `resource` must match the stored binding (RFC 8707;
+    *     clients may omit it to mean "same resource") →
+    *     Left("invalid_target");
+    *   - the new access token keeps the granted scopes and `aud`, with
+    *     `iss` bound to the CURRENT request's advertised issuer.
+    * Every other refusal (unknown/expired/replayed token, revoked user)
+    * is Left("invalid_grant") — indistinguishable by design. */
+  def refreshGrant(refreshToken: String, clientId: String, resource: String,
+      iss: String): Either[String, TokenPair] = synchronized {
     val h = sha256Hex(refreshToken)
     val rows = refreshes.load()
     rows.find(_._1 == h) match {
-      case None => None
+      case None => Left("invalid_grant")
       case Some(r) if r._5 >= 0 => // revoked: replay => revoke the family
         var cur = r._6
         var updated = rows
@@ -241,42 +306,74 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
           cur = nxt.map(_._6).getOrElse("")
         }
         refreshes.write(updated)
-        None
-      case Some(r) if r._4 < now() => None // expired
+        Left("invalid_grant")
+      case Some(r) if r._4 < now() => Left("invalid_grant") // expired
+      case Some(r) if r._7.nonEmpty && r._7 != clientId =>
+        Left("invalid_grant") // bound to a different client
+      case Some(r) if resource.nonEmpty && resource != r._8 =>
+        Left("invalid_target") // RFC 8707 audience mismatch
       case Some(r) =>
         activeUser(_._1 == r._2) match {
-          case None => None // user revoked since the token was minted
+          case None => Left("invalid_grant") // user revoked since mint
           case Some(u) =>
+            val granted = if (r._9.isEmpty) u._6 else r._9
             val t = now()
             val newRefresh = randToken()
             val newHash = sha256Hex(newRefresh)
             refreshes.write(rows.map(x =>
               if (x._1 == h) x.copy(_5 = t, _6 = newHash) else x) :+
-              ((newHash, u._1, t, t + refreshTtlMs, -1L, "")))
-            val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, u._6,
-              issuer, t, t + accessTtlMs))
-            Some(TokenPair(access, newRefresh, t + accessTtlMs))
+              ((newHash, u._1, t, t + refreshTtlMs, -1L, "",
+                r._7, r._8, r._9)))
+            val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, granted,
+              iss, t, t + accessTtlMs, aud = r._8))
+            advertiseIssuer(if (iss == issuer) "" else iss)
+            Right(TokenPair(access, newRefresh, t + accessTtlMs))
         }
     }
   }
 
   /** Resolve a presented JWT to (display name, scopes) for the serving
-    * layers — signature/issuer/lifetime via [[Jwt.verify]], THEN the
-    * user row re-checked so a revoked user's outstanding tokens stop
-    * working without waiting for expiry. */
+    * layers — signature/issuer/lifetime via [[Jwt.verifyWith]] (static
+    * issuer or any advertised one), THEN the user row re-checked so a
+    * revoked user's outstanding tokens stop working without waiting for
+    * expiry. */
   def authenticate(token: String): Option[(String, Seq[String])] =
-    Jwt.verify(jwtSecret, token, issuer, now()).flatMap(c =>
-      activeUser(_._1 == c.sub).map(u => (u._3, c.scopes)))
+    resolve(token).map { case (name, scopes, _) => (name, scopes) }
+
+  /** [[authenticate]] plus the token's `aud` claim, for resource servers
+    * that enforce audience binding ("" = unbound session token). */
+  def resolve(token: String): Option[(String, Seq[String], String)] =
+    Jwt.verifyWith(jwtSecret, token, issuerOk, now()).flatMap(c =>
+      activeUser(_._1 == c.sub).map(u => (u._3, c.scopes, c.aud)))
 
   /** Mint a pair for a user id — the OAuth token endpoint's final step
     * (the code exchange proved the user; None if since revoked). */
   def mintFor(userId: String): Option[TokenPair] =
     activeUser(_._1 == userId).map(mintPair)
 
+  /** Mint a GRANT-BOUND pair: the consented scope string narrowed to
+    * what the user's scopes actually cover (the token must carry the
+    * CONSENTED privilege set, never the user's full one — ref
+    * OAuthEndpoints.cs BuildClaims builds claims from exchange scope),
+    * `aud` bound to the consented resource, `iss` to the advertised
+    * issuer. Returns the pair plus the granted scopes for the token
+    * response's `scope` field. An EMPTY requested scope means the
+    * client asked for everything the user has (legacy consent shape).
+    */
+  def mintForGranted(userId: String, requestedScope: String, iss: String,
+      clientId: String, resource: String): Option[(TokenPair, Seq[String])] =
+    activeUser(_._1 == userId).map { u =>
+      val requested = requestedScope.split(' ').map(_.trim).filter(_.nonEmpty)
+      val granted =
+        if (requested.isEmpty) u._6
+        else requested.filter(UserRegistry.scopeCovered(u._6, _)).toSeq
+      (mintPair(u, granted, iss, aud = resource, clientId, resource), granted)
+    }
+
   /** The verified subject (user id) of a presented JWT — what the OAuth
     * authorize endpoint binds codes to. */
   def subjectOf(token: String): Option[String] =
-    Jwt.verify(jwtSecret, token, issuer, now()).map(_.sub)
+    Jwt.verifyWith(jwtSecret, token, issuerOk, now()).map(_.sub)
       .filter(sub => activeUser(_._1 == sub).isDefined)
 
   /** Mint an invite (admin surface). The admin scope cannot be granted
@@ -337,6 +434,26 @@ object UserRegistry {
     * never accidentally succeed. */
   val DummySalt: String = "00000000000000000000000000000000"
   val DummyHash: String = "0" * 64
+
+  /** Would a principal holding `userScopes` be granted `requested`?
+    * Narrowing for OAuth consent: a requested scope is granted iff the
+    * user's scopes COVER it (admin covers everything; `write:x` covers
+    * `read:x`; a `*` grant covers every container) — a client must never
+    * receive a privilege its user does not hold. */
+  def scopeCovered(userScopes: Seq[String], requested: String): Boolean =
+    requested match {
+      case "admin" => userScopes.contains("admin")
+      case s if s.startsWith("read:") =>
+        val cid = s.stripPrefix("read:")
+        if (cid == "*") userScopes.exists(x =>
+          x == "admin" || x == "read:*" || x == "write:*")
+        else ApiKeyRegistry.allowsScopes(userScopes, "read", cid)
+      case s if s.startsWith("write:") =>
+        val cid = s.stripPrefix("write:")
+        if (cid == "*") userScopes.exists(x => x == "admin" || x == "write:*")
+        else ApiKeyRegistry.allowsScopes(userScopes, "write", cid)
+      case _ => false
+    }
 }
 
 /** Per-user LINKED CLOUD IDENTITIES (ref
@@ -391,19 +508,28 @@ final class OAuthRegistry(spark: SparkSession, warehouse: String,
     now: () => Long = () => System.currentTimeMillis()) {
   import spark.implicits._
 
-  // (client_id, name, secret_hash, redirect_uri, created_ms, revoked_ms)
-  private type Client = (String, String, String, String, Long, Long)
+  // (client_id, name, secret_hash ["" = PUBLIC client, PKCE-only — the
+  //  RFC 7591 dynamic-registration shape, token_endpoint_auth_method
+  //  "none"], redirect_uris, created_ms, revoked_ms)
+  private type Client = (String, String, String, Seq[String], Long, Long)
   // (code_hash, user_id, client_id, code_challenge, redirect_uri, scope,
+  //  resource [RFC 8707 audience the user consented to; "" = unbound],
   //  created_ms, expires_ms, used_ms [-1 = fresh])
-  private type Code = (String, String, String, String, String, String, Long, Long, Long)
+  private type Code =
+    (String, String, String, String, String, String, String, Long, Long, Long)
 
   private val clients = new RegistryTable[Client](spark,
     s"$warehouse/oauth_clients",
-    Seq("client_id", "name", "secret_hash", "redirect_uri", "created_ms",
+    Seq("client_id", "name", "secret_hash", "redirect_uris", "created_ms",
       "revoked_ms"))
-  private val codes = new RegistryTable[Code](spark, s"$warehouse/oauth_codes",
-    Seq("code_hash", "user_id", "client_id", "code_challenge",
-      "redirect_uri", "scope", "created_ms", "expires_ms", "used_ms"))
+  private val codes = {
+    import org.apache.spark.sql.functions.lit
+    new RegistryTable[Code](spark, s"$warehouse/oauth_codes",
+      Seq("code_hash", "user_id", "client_id", "code_challenge",
+        "redirect_uri", "scope", "resource", "created_ms", "expires_ms",
+        "used_ms"),
+      defaults = Map("resource" -> lit("")))
+  }
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -421,8 +547,8 @@ final class OAuthRegistry(spark: SparkSession, warehouse: String,
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(verifier.getBytes("UTF-8")))
 
-  /** Register a client; the secret is returned once, only its hash
-    * persists. */
+  /** Register a CONFIDENTIAL client (admin surface); the secret is
+    * returned once, only its hash persists. */
   def registerClient(name: String, redirectUri: String): (String, String) =
     synchronized {
       require(name.nonEmpty, "client name required")
@@ -430,43 +556,82 @@ final class OAuthRegistry(spark: SparkSession, warehouse: String,
       val id = java.util.UUID.randomUUID().toString
       val secret = randToken()
       clients.write(clients.load() :+
-        ((id, name, sha256Hex(secret), redirectUri, now(), -1L)))
+        ((id, name, sha256Hex(secret), Seq(redirectUri), now(), -1L)))
       (id, secret)
     }
 
-  def clientRedirect(clientId: String): Option[String] =
-    clients.load().find(c => c._1 == clientId && c._6 < 0).map(_._4)
+  /** RFC 7591 DYNAMIC registration (anonymous, throttled at the route —
+    * ref OAuthEndpoints.cs /oauth/register): a PUBLIC client (no secret,
+    * PKCE-only) with its registered redirect set. Returns the client_id. */
+  def registerPublic(name: String, redirectUris: Seq[String]): String =
+    synchronized {
+      require(name.nonEmpty, "invalid_client_metadata: client_name required")
+      require(redirectUris.nonEmpty,
+        "invalid_client_metadata: at least one redirect_uri required")
+      redirectUris.foreach(u => require(u.startsWith("http"),
+        s"invalid_client_metadata: redirect_uri must be a URL: $u"))
+      val id = java.util.UUID.randomUUID().toString
+      clients.write(clients.load() :+
+        ((id, name, "", redirectUris, now(), -1L)))
+      id
+    }
+
+  private def activeClient(clientId: String): Option[Client] =
+    clients.load().find(c => c._1 == clientId && c._6 < 0)
+
+  /** Is `redirectUri` registered for this active client? */
+  def redirectOk(clientId: String, redirectUri: String): Boolean =
+    activeClient(clientId).exists(_._4.contains(redirectUri))
+
+  /** (name, redirect_uris, isPublic) of an active client — the
+    * registration-response echo. */
+  def clientInfo(clientId: String): Option[(String, Seq[String], Boolean)] =
+    activeClient(clientId).map(c => (c._2, c._4, c._3.isEmpty))
+
+  /** Token-endpoint client authentication: public clients present no
+    * secret (PKCE is their proof); confidential clients must match
+    * their secret hash (fixed-time). */
+  def clientAuthOk(clientId: String, secret: Option[String]): Boolean =
+    activeClient(clientId).exists { c =>
+      if (c._3.isEmpty) true
+      else secret.exists(s => java.security.MessageDigest.isEqual(
+        sha256Hex(s).getBytes("UTF-8"), c._3.getBytes("UTF-8")))
+    }
 
   /** Authorize step: mint a single-use code bound to (user, client,
-    * challenge, redirect_uri, scope). 5-minute expiry (ref CodeExpiry). */
+    * challenge, redirect_uri, scope, resource). 5-minute expiry (ref
+    * CodeExpiry). `resource` is the RFC 8707 audience the user consents
+    * to — it travels code → token → the access token's `aud`. */
   def createCode(userId: String, clientId: String, codeChallenge: String,
-      redirectUri: String, scope: String): String = synchronized {
-    require(clientRedirect(clientId).contains(redirectUri),
-      "unknown client or redirect_uri mismatch")
-    require(codeChallenge.nonEmpty, "code_challenge required (PKCE S256)")
-    val raw = randToken()
-    val t = now()
-    codes.write(codes.load() :+
-      ((sha256Hex(raw), userId, clientId, codeChallenge, redirectUri, scope,
-        t, t + OAuthRegistry.CodeTtlMs, -1L)))
-    raw
-  }
+      redirectUri: String, scope: String, resource: String = ""): String =
+    synchronized {
+      require(redirectOk(clientId, redirectUri),
+        "unknown client or redirect_uri mismatch")
+      require(codeChallenge.nonEmpty, "code_challenge required (PKCE S256)")
+      val raw = randToken()
+      val t = now()
+      codes.write(codes.load() :+
+        ((sha256Hex(raw), userId, clientId, codeChallenge, redirectUri, scope,
+          resource, t, t + OAuthRegistry.CodeTtlMs, -1L)))
+      raw
+    }
 
   /** Token step: exchange code + verifier. None on: unknown code, reuse,
     * expiry, client_id mismatch, redirect_uri mismatch, failed PKCE
-    * (fixed-time compare) — the reference's exact refusal ladder. */
+    * (fixed-time compare) — the reference's exact refusal ladder.
+    * Some((user_id, consented scope, consented resource)). */
   def exchange(rawCode: String, codeVerifier: String, redirectUri: String,
-      clientId: String): Option[(String, String)] = synchronized {
+      clientId: String): Option[(String, String, String)] = synchronized {
     val h = sha256Hex(rawCode)
     val rows = codes.load()
     rows.find(_._1 == h).flatMap { c =>
       val t = now()
-      if (c._9 >= 0 || c._8 < t || c._3 != clientId || c._5 != redirectUri) None
+      if (c._10 >= 0 || c._9 < t || c._3 != clientId || c._5 != redirectUri) None
       else if (!java.security.MessageDigest.isEqual(
         s256Challenge(codeVerifier).getBytes("UTF-8"), c._4.getBytes("UTF-8"))) None
       else {
-        codes.write(rows.map(x => if (x._1 == h) x.copy(_9 = t) else x))
-        Some((c._2, c._6)) // (user_id, scope)
+        codes.write(rows.map(x => if (x._1 == h) x.copy(_10 = t) else x))
+        Some((c._2, c._6, c._7)) // (user_id, scope, resource)
       }
     }
   }
@@ -487,7 +652,12 @@ object OAuthRegistry {
   * for these admin-rate, driver-sized tables; anything needing real
   * concurrent DML belongs in [[graft.store.TxLog]]'s OCC instead. */
 private[api] final class RegistryTable[Row <: Product](
-    spark: SparkSession, path: String, cols: Seq[String])(
+    spark: SparkSession, path: String, cols: Seq[String],
+    /** Backfill expressions for columns ADDED after a table's first
+      * schema (e.g. the refresh rows' grant binding): a stored table
+      * missing one of these reads it as the default instead of failing —
+      * old registries keep working across library upgrades. */
+    defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)(
     implicit enc: org.apache.spark.sql.Encoder[Row]) {
 
   @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
@@ -511,8 +681,13 @@ private[api] final class RegistryTable[Row <: Product](
             try {
               val rows =
                 if (s0 == TableStamp.Absent) Seq.empty[Row]
-                else spark.read.parquet(path)
-                  .select(cols.head, cols.tail: _*).as[Row].collect().toSeq
+                else {
+                  var df = spark.read.parquet(path)
+                  val have = df.columns.toSet
+                  cols.filterNot(have).foreach(c =>
+                    df = df.withColumn(c, defaults(c)))
+                  df.select(cols.head, cols.tail: _*).as[Row].collect().toSeq
+                }
               staleSinceMs = -1L
               cache = Some((rows, s0, nowT))
               rows

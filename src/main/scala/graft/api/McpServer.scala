@@ -49,6 +49,18 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
       * failures answered IN-BAND (isError, the MCP tool-error shape),
       * like every other tool failure. */
     keys: Option[ApiKeyRegistry] = None,
+    /** Human-user sessions (the same registry RestServer takes): when
+      * set, a compact JWT bearer resolves here too — INCLUDING tokens
+      * minted by the OAuth flow, whose `aud` claim must name THIS
+      * server's base URL (RFC 9728 §3.3 audience binding: a token issued
+      * for a different resource must not authenticate, even with a valid
+      * signature). */
+    users: Option[UserRegistry] = None,
+    /** The authorization server's base URL, advertised in this server's
+      * GET /.well-known/oauth-protected-resource document (RFC 9728) so
+      * spec-compliant MCP clients can discover where to register +
+      * authorize. None = no discovery document (404). */
+    authorizationServer: Option[String] = None,
     /** Audit sink shared with REST: every tools/call records
       * (key, tool, container, isError). */
     audit: Option[AuditLog] = None,
@@ -85,8 +97,36 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
 
   // ---- JSON-RPC plumbing -------------------------------------------------
 
+  /** This resource server's identifier as the client reached it. */
+  private def baseUrl(ex: HttpExchange): String =
+    "http://" + Option(ex.getRequestHeaders.getFirst("Host"))
+      .getOrElse("127.0.0.1:" + server.getAddress.getPort)
+
   private def handle(ex: HttpExchange): Unit = {
     try {
+      // RFC 9728 protected-resource metadata: the ONE anonymous GET on
+      // an otherwise POST-only JSON-RPC surface — it's how spec-compliant
+      // MCP clients find the authorization server behind a 401
+      if (ex.getRequestMethod == "GET" &&
+          ex.getRequestURI.getPath.startsWith("/.well-known/oauth-protected-resource")) {
+        authorizationServer match {
+          case Some(as) =>
+            val b = baseUrl(ex)
+            val suffix = ex.getRequestURI.getPath
+              .stripPrefix("/.well-known/oauth-protected-resource")
+            val doc = obj(
+              "resource" -> (b + suffix),
+              "authorization_servers" -> arr(Seq(as)),
+              "scopes_supported" -> arr(Seq("admin", "read:*", "write:*")),
+              "bearer_methods_supported" -> arr(Seq("header")))
+            val bytes = mapper.writeValueAsBytes(doc)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes); ex.close()
+          case None => httpErr(ex, 404, "no authorization server configured")
+        }
+        return
+      }
       if (ex.getRequestMethod != "POST") { httpErr(ex, 405, "POST only"); return }
       val body =
         try mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
@@ -96,18 +136,29 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
       val id = Option(body.get("id")).filterNot(_.isNull)
       val method = Option(body.get("method")).map(_.asText()).getOrElse("")
       val params = Option(body.get("params")).getOrElse(mapper.createObjectNode())
-      // registry mode: the bearer resolves to (name, scopes); shared-key
+      // registry mode: the bearer resolves to (name, scopes) — a compact
+      // JWT (two dots) through the user registry WITH audience
+      // enforcement, an opaque key through the key registry; shared-key
       // mode: a match grants the admin scope (pre-registry behavior)
-      val resolved: Option[(String, Seq[String])] = keys match {
-        case Some(reg) =>
-          Option(ex.getRequestHeaders.getFirst("Authorization"))
-            .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
-            .flatMap(reg.authenticate)
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+      val jwtResolved: Option[(String, Seq[String])] =
+        users.filter(_ => bearer.exists(_.count(_ == '.') == 2))
+          .flatMap(u => bearer.flatMap(u.resolve))
+          .flatMap { case (name, ss, aud) =>
+            // an OAuth token minted for ANOTHER resource must not work
+            // here, valid signature or not (RFC 9728 §3.3)
+            if (aud.nonEmpty && aud != baseUrl(ex)) None
+            else Some((name, ss))
+          }
+      val resolved: Option[(String, Seq[String])] = jwtResolved.orElse(keys match {
+        case Some(reg) => bearer.flatMap(reg.authenticate)
+        case None if users.isDefined => None // a user registry is NOT open mode
         case None =>
           if (apiKey.forall(bearerMatches(ex, _)))
             Some((apiKey.fold("-")(_ => "shared-key"), Seq("admin")))
           else None
-      }
+      })
       val authed = resolved.isDefined
       // unauthenticated requests (anonymous discovery) bucket by remote
       // address, or a discovery flood would bypass the limiter entirely
@@ -613,8 +664,15 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
     o.set[JsonNode]("error", obj("code" -> code, "message" -> msg))
     respond(ex, 200, mapper.writeValueAsString(o))
   }
-  private def httpErr(ex: HttpExchange, status: Int, msg: String): Unit =
+  private def httpErr(ex: HttpExchange, status: Int, msg: String): Unit = {
+    // RFC 9728 §5.1: a 401 points the client at this resource's metadata
+    // so it can discover the authorization server and start the flow
+    if (status == 401 && authorizationServer.isDefined)
+      ex.getResponseHeaders.set("WWW-Authenticate",
+        "Bearer resource_metadata=\"" + baseUrl(ex) +
+          "/.well-known/oauth-protected-resource\"")
     respond(ex, status, mapper.writeValueAsString(obj("error" -> msg)))
+  }
   private def respond(ex: HttpExchange, status: Int, json: String): Unit = {
     val bytes = json.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")

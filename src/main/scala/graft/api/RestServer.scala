@@ -165,6 +165,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
       val resolved: Option[Seq[String]] =
         if (path == "/health") Some(Seq("admin"))
+        else if (method == "GET" && oauth.isDefined &&
+            (path.startsWith("/.well-known/oauth-") ||
+              path == "/oauth/clients/cli.json"))
+          // RFC 8414/9728 discovery documents are anonymous BY SPEC —
+          // clients fetch them before they hold any credential
+          Some(Nil)
         else if (RestServer.OpenAuthRoutes.contains(path) &&
             (users.isDefined || oauth.isDefined)) {
           // the session bootstrap routes are reachable WITHOUT a session
@@ -177,9 +183,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         }
         // a compact JWT (two dots) resolves through the user registry;
         // opaque keys resolve through the key registry — both carry the
-        // same scope grammar
+        // same scope grammar. An OAuth-minted JWT carries an `aud`
+        // binding: this server only honors tokens issued FOR it (RFC
+        // 9728 §3.3 — a token minted for another resource must not
+        // authenticate here, even with a valid signature).
         else (users.filter(_ => bearer.exists(_.count(_ == '.') == 2))
-          .flatMap(u => bearer.flatMap(u.authenticate)) match {
+          .flatMap(u => bearer.flatMap(u.resolve))
+          .flatMap { case (name, ss, aud) =>
+            if (aud.nonEmpty && aud != baseUrl(ex)) None
+            else Some((name, ss))
+          } match {
           case Some((name, ss)) => principal = name; Some(ss)
           case None => keys match {
             case Some(reg) =>
@@ -310,6 +323,77 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           if (creg.disconnect(sub, p)) {
             auditRec(204, s"cloud_unlink $p"); noContent(ex)
           } else err(ex, 404, s"no linked $p identity")
+        // ---- OAuth discovery (RFC 8414 + RFC 9728; ref OAuthEndpoints
+        // .cs:21-47): spec-compliant MCP clients DISCOVER the
+        // authorization server through these anonymous documents and
+        // reject tokens whose iss/aud don't match them — serving the
+        // metadata is what makes the PKCE flow reachable by off-the-shelf
+        // clients. The issuer is computed from the request host and
+        // ADVERTISED to the user registry so tokens minted under it
+        // verify. ------------------------------------------------------
+        case ("GET", "/.well-known/oauth-authorization-server")
+            if oauth.isDefined =>
+          val b = baseUrl(ex)
+          users.foreach(_.advertiseIssuer(b))
+          ok(ex, obj(
+            "issuer" -> b,
+            "authorization_endpoint" -> s"$b/oauth/authorize",
+            "token_endpoint" -> s"$b/oauth/token",
+            "registration_endpoint" -> s"$b/oauth/register",
+            "scopes_supported" -> Seq[Any]("admin", "read:*", "write:*"),
+            "response_types_supported" -> Seq[Any]("code"),
+            "grant_types_supported" ->
+              Seq[Any]("authorization_code", "refresh_token"),
+            "code_challenge_methods_supported" -> Seq[Any]("S256"),
+            "token_endpoint_auth_methods_supported" ->
+              Seq[Any]("none", "client_secret_post")))
+        case ("GET", p) if oauth.isDefined &&
+            p.startsWith("/.well-known/oauth-protected-resource") =>
+          // RFC 9728 §3.1: the metadata URL for resource "<base>/foo" is
+          // "<base>/.well-known/oauth-protected-resource/foo" — echo the
+          // discovered path back into `resource` (§3.3 requires it to
+          // equal the identifier the client is trying to reach; strict
+          // MCP clients reject the document otherwise)
+          val b = baseUrl(ex)
+          val suffix = p.stripPrefix("/.well-known/oauth-protected-resource")
+          ok(ex, obj(
+            "resource" -> (b + suffix),
+            "authorization_servers" -> Seq[Any](b),
+            "scopes_supported" -> Seq[Any]("admin", "read:*", "write:*"),
+            "bearer_methods_supported" -> Seq[Any]("header")))
+        // static client-metadata document for first-party CLIs (ref
+        // OAuthEndpoints.cs /oauth/clients/cli.json)
+        case ("GET", "/oauth/clients/cli.json") if oauth.isDefined =>
+          val b = baseUrl(ex)
+          ok(ex, obj(
+            "client_id" -> s"$b/oauth/clients/cli.json",
+            "client_name" -> "graft CLI",
+            "redirect_uris" -> Seq[Any]("http://127.0.0.1/callback"),
+            "grant_types" -> Seq[Any]("authorization_code", "refresh_token"),
+            "response_types" -> Seq[Any]("code"),
+            "token_endpoint_auth_method" -> "none"))
+        // RFC 7591 dynamic client registration (anonymous, throttled by
+        // the always-on auth limiter — it's in OpenAuthRoutes): a PUBLIC
+        // PKCE-only client; 201 + metadata echo, metadata faults answer
+        // 400 invalid_client_metadata (the reference's contract)
+        case ("POST", "/oauth/register") =>
+          val reg = oauth.getOrElse(throw Denied(404, "no oauth registry configured"))
+          val b = body(ex)
+          val uris = Option(b.get("redirect_uris")).filterNot(_.isNull)
+            .map { n =>
+              val it = n.elements()
+              val out = scala.collection.mutable.ArrayBuffer[String]()
+              while (it.hasNext) out += it.next().asText()
+              out.toSeq
+            }.getOrElse(Seq.empty)
+          val cid = reg.registerPublic(str(b, "client_name"), uris)
+          auditRec(201, s"oauth_register ${str(b, "client_name")}")
+          ok(ex, obj(
+            "client_id" -> cid,
+            "client_name" -> str(b, "client_name"),
+            "redirect_uris" -> uris.map(u => u: Any),
+            "grant_types" -> Seq[Any]("authorization_code", "refresh_token"),
+            "token_endpoint_auth_method" -> "none"), status = 201)
         // ---- OAuth authorization-code flow (ref OAuthEndpoints.cs) -----
         case ("POST", "/oauth/clients") =>
           requireAdmin()
@@ -328,29 +412,48 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val b = body(ex)
           val code = oreg.createCode(sub, str(b, "client_id"),
             str(b, "code_challenge"), str(b, "redirect_uri"),
-            optStr(b, "scope").getOrElse(""))
+            optStr(b, "scope").getOrElse(""),
+            optStr(b, "resource").getOrElse(""))
           auditRec(200, s"oauth_authorize client=${str(b, "client_id")}")
           ok(ex, obj("code" -> code))
         case ("POST", "/oauth/token") =>
           val oreg = oauth.getOrElse(throw Denied(404, "no oauth registry configured"))
           val ureg = users.getOrElse(throw Denied(404, "no user registry configured"))
           val b = body(ex)
+          val iss = baseUrl(ex) // RFC 9068 §2.2: iss = the advertised issuer
           str(b, "grant_type") match {
             case "authorization_code" =>
-              oreg.exchange(str(b, "code"), str(b, "code_verifier"),
-                str(b, "redirect_uri"), str(b, "client_id"))
-                .flatMap { case (userId, _) => ureg.mintFor(userId) } match {
-                case Some(tp) => ok(ex, obj("access_token" -> tp.accessToken,
-                  "refresh_token" -> tp.refreshToken,
-                  "expires_ms" -> tp.expiresMs, "token_type" -> "Bearer"))
+              val clientId = str(b, "client_id")
+              if (!oreg.clientAuthOk(clientId, optStr(b, "client_secret")))
+                throw Denied(401, "invalid_client")
+              val (userId, scope, codeResource) =
+                oreg.exchange(str(b, "code"), str(b, "code_verifier"),
+                  str(b, "redirect_uri"), clientId)
+                  .getOrElse(throw Denied(400, "invalid_grant"))
+              // RFC 8707 §2: a `resource` presented at the token endpoint
+              // must match the one the user consented to at authorize —
+              // a mismatch means the client wants a token for a DIFFERENT
+              // audience (ref OAuthEndpoints.cs invalid_target)
+              optStr(b, "resource").filter(_.nonEmpty).foreach { r =>
+                if (r != codeResource) throw Denied(400, "invalid_target")
+              }
+              ureg.mintForGranted(userId, scope, iss, clientId,
+                codeResource) match {
+                case Some((tp, granted)) =>
+                  ok(ex, obj("access_token" -> tp.accessToken,
+                    "refresh_token" -> tp.refreshToken,
+                    "expires_ms" -> tp.expiresMs, "token_type" -> "Bearer",
+                    "scope" -> granted.mkString(" ")))
                 case None => throw Denied(400, "invalid_grant")
               }
             case "refresh_token" =>
-              ureg.refresh(str(b, "refresh_token")) match {
-                case Some(tp) => ok(ex, obj("access_token" -> tp.accessToken,
+              ureg.refreshGrant(str(b, "refresh_token"),
+                optStr(b, "client_id").getOrElse(""),
+                optStr(b, "resource").getOrElse(""), iss) match {
+                case Right(tp) => ok(ex, obj("access_token" -> tp.accessToken,
                   "refresh_token" -> tp.refreshToken,
                   "expires_ms" -> tp.expiresMs, "token_type" -> "Bearer"))
-                case None => throw Denied(400, "invalid_grant")
+                case Left(err) => throw Denied(400, err)
               }
             case other => throw Denied(400, s"unsupported grant_type: $other")
           }
@@ -633,6 +736,13 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         auditRec(status, msg)
         if (status == 429)
           ex.getResponseHeaders.set("Retry-After", "1")
+        // RFC 9728 §5.1: point an unauthenticated caller at the
+        // protected-resource metadata so spec-compliant clients can
+        // bootstrap the discovery -> register -> authorize flow
+        if (status == 401 && oauth.isDefined)
+          ex.getResponseHeaders.set("WWW-Authenticate",
+            "Bearer resource_metadata=\"" + baseUrl(ex) +
+              "/.well-known/oauth-protected-resource\"")
         err(ex, status, msg)
       // NumberFormatException IS-A IllegalArgumentException — match it
       // first for the clearer client message (non-numeric query params)
@@ -793,6 +903,17 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     ex.close()
   }
 
+  /** The server's base URL as the CLIENT reached it (Host header —
+    * discovery metadata, token `iss`, and resource identifiers must all
+    * agree with the URL the client used, RFC 8414/9068/9728). This
+    * server speaks plain HTTP (TLS terminates in front of it in a real
+    * deployment — same as the reference behind its ingress); a
+    * terminating proxy that rewrites Host should present the public
+    * name. */
+  private def baseUrl(ex: HttpExchange): String =
+    "http://" + Option(ex.getRequestHeaders.getFirst("Host"))
+      .getOrElse("127.0.0.1:" + server.getAddress.getPort)
+
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.contains('='))
@@ -810,7 +931,8 @@ object RestServer {
     * token, invite token, code+PKCE verifier) and rate-limited per
     * source address. */
   val OpenAuthRoutes: Set[String] =
-    Set("/auth/login", "/auth/refresh", "/auth/signup", "/oauth/token")
+    Set("/auth/login", "/auth/refresh", "/auth/signup", "/oauth/token",
+      "/oauth/register")
 
   /** Always-on per-address throttle on [[OpenAuthRoutes]] (each login is
     * a deliberate PBKDF2-100k burn — see the authLimiter note). */

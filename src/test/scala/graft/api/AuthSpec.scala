@@ -342,6 +342,10 @@ class AuthRestSpec extends AnyFunSuite {
       """{"name": "cli", "redirect_uri": "http://localhost:1234/cb"}""", adminAccess)
     assert(reg._1 == 201)
     val clientId = reg._2.get("client_id").asText()
+    // an admin-registered client is CONFIDENTIAL: the token endpoint
+    // requires its secret (client_secret_post); PKCE protects the code,
+    // the secret proves the client
+    val clientSecret = reg._2.get("client_secret").asText()
     val verifier = "spec-verifier-0123456789-0123456789-0123456789"
     val challenge = oauthReg.s256Challenge(verifier)
     // authorize requires a user session
@@ -355,16 +359,16 @@ class AuthRestSpec extends AnyFunSuite {
     assert(http("POST", "/oauth/token",
       s"""{"grant_type": "authorization_code", "code": "$code",
            "code_verifier": "wrong", "redirect_uri": "http://localhost:1234/cb",
-           "client_id": "$clientId"}""")._1 == 400)
+           "client_id": "$clientId", "client_secret": "$clientSecret"}""")._1 == 400)
     // wrong redirect refused
     assert(http("POST", "/oauth/token",
       s"""{"grant_type": "authorization_code", "code": "$code",
            "code_verifier": "$verifier", "redirect_uri": "http://evil/cb",
-           "client_id": "$clientId"}""")._1 == 400)
+           "client_id": "$clientId", "client_secret": "$clientSecret"}""")._1 == 400)
     val (st, tok) = http("POST", "/oauth/token",
       s"""{"grant_type": "authorization_code", "code": "$code",
            "code_verifier": "$verifier", "redirect_uri": "http://localhost:1234/cb",
-           "client_id": "$clientId"}""")
+           "client_id": "$clientId", "client_secret": "$clientSecret"}""")
     assert(st == 200 && tok.get("token_type").asText() == "Bearer")
     val access = tok.get("access_token").asText()
     assert(http("GET", "/containers", bearer = access)._1 == 200)
@@ -372,10 +376,11 @@ class AuthRestSpec extends AnyFunSuite {
     assert(http("POST", "/oauth/token",
       s"""{"grant_type": "authorization_code", "code": "$code",
            "code_verifier": "$verifier", "redirect_uri": "http://localhost:1234/cb",
-           "client_id": "$clientId"}""")._1 == 400)
-    // grant_type=refresh_token works at the same endpoint
+           "client_id": "$clientId", "client_secret": "$clientSecret"}""")._1 == 400)
+    // grant_type=refresh_token works at the same endpoint — the grant is
+    // client-bound, so the refreshing client must present itself
     assert(http("POST", "/oauth/token",
-      s"""{"grant_type": "refresh_token",
+      s"""{"grant_type": "refresh_token", "client_id": "$clientId",
            "refresh_token": "${tok.get("refresh_token").asText()}"}""")._1 == 200)
   }
 }

@@ -1,0 +1,274 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spec-compliant OAuth surface end to end (ref OAuthEndpoints.cs:
+  * 21-47 discovery, 100-124 dynamic registration, 163-186 resource/aud
+  * binding): an off-the-shelf MCP client's exact path — hit the resource
+  * server, get 401 + resource metadata, DISCOVER the authorization
+  * server (RFC 8414/9728), REGISTER anonymously (RFC 7591), authorize +
+  * exchange with PKCE and an RFC 8707 `resource`, then call the
+  * protected resource with a token whose `iss`/`aud` the servers verify.
+  */
+class OAuthDiscoverySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-oauthdisc").toString
+  private lazy val store = new KnowledgeStore(spark, wh)
+  private lazy val userReg = new UserRegistry(spark, wh, "disc-secret-0123456789")
+  private lazy val oauthReg = new OAuthRegistry(spark, wh)
+  private lazy val (rest, restBase) = {
+    val s = new RestServer(store, users = Some(userReg), oauth = Some(oauthReg))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val (mcp, mcpBase) = {
+    val s = new McpServer(store, users = Some(userReg),
+      authorizationServer = Some(restBase))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, url: String, body: String = null,
+      bearer: String = null, headers: Map[String, String] = Map.empty)
+      : (Int, com.fasterxml.jackson.databind.JsonNode, java.net.http.HttpHeaders) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val req = (method match {
+      case "GET" => b.GET()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json, resp.headers())
+  }
+
+  /** Decode a compact JWT's payload (claims inspection, no verification
+    * — the servers do that; the spec reads what they verified). */
+  private def jwtPayload(token: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(java.util.Base64.getUrlDecoder.decode(token.split('.')(1)))
+
+  private def loginAdmin(): String = {
+    if (userReg.listUsers().isEmpty)
+      userReg.createUser("owner@example.com", "correct horse", Seq("admin"), "owner")
+    http("POST", s"$restBase/auth/login",
+      """{"email": "owner@example.com", "password": "correct horse"}""")
+      ._2.get("access_token").asText()
+  }
+
+  private val verifier = "disc-verifier-0123456789-0123456789-0123456789"
+  private lazy val challenge = oauthReg.s256Challenge(verifier)
+
+  /** register -> authorize -> exchange, returning the token response. */
+  private def mintViaFlow(scope: String, authorizeResource: String,
+      tokenResource: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val session = loginAdmin()
+    val cid = http("POST", s"$restBase/oauth/register",
+      """{"client_name": "flow", "redirect_uris": ["http://127.0.0.1/callback"]}""")
+      ._2.get("client_id").asText()
+    val resField =
+      if (authorizeResource.isEmpty) "" else s""", "resource": "$authorizeResource""""
+    val code = http("POST", s"$restBase/oauth/authorize",
+      s"""{"client_id": "$cid", "redirect_uri": "http://127.0.0.1/callback",
+           "code_challenge": "$challenge", "scope": "$scope"$resField}""",
+      session)._2.get("code").asText()
+    val tokResField =
+      if (tokenResource.isEmpty) "" else s""", "resource": "$tokenResource""""
+    val (st, tok, _) = http("POST", s"$restBase/oauth/token",
+      s"""{"grant_type": "authorization_code", "code": "$code",
+           "code_verifier": "$verifier",
+           "redirect_uri": "http://127.0.0.1/callback",
+           "client_id": "$cid"$tokResField}""")
+    (st, tok)
+  }
+
+  test("discovery documents are anonymous, host-derived, and self-consistent") {
+    val (st, as, _) = http("GET", s"$restBase/.well-known/oauth-authorization-server")
+    assert(st == 200)
+    assert(as.get("issuer").asText() == restBase)
+    assert(as.get("authorization_endpoint").asText() == s"$restBase/oauth/authorize")
+    assert(as.get("token_endpoint").asText() == s"$restBase/oauth/token")
+    assert(as.get("registration_endpoint").asText() == s"$restBase/oauth/register")
+    assert(as.get("code_challenge_methods_supported").get(0).asText() == "S256")
+    // protected-resource metadata, bare and path-suffixed (RFC 9728 §3.1:
+    // the suffixed document's `resource` must echo the discovered path)
+    val (st2, pr, _) = http("GET", s"$restBase/.well-known/oauth-protected-resource")
+    assert(st2 == 200 && pr.get("resource").asText() == restBase)
+    assert(pr.get("authorization_servers").get(0).asText() == restBase)
+    val (_, prSub, _) = http("GET",
+      s"$restBase/.well-known/oauth-protected-resource/containers")
+    assert(prSub.get("resource").asText() == s"$restBase/containers")
+    // the MCP resource server serves its own metadata, pointing at the AS
+    val (st3, mcpPr, _) = http("GET", s"$mcpBase/.well-known/oauth-protected-resource")
+    assert(st3 == 200 && mcpPr.get("resource").asText() == mcpBase)
+    assert(mcpPr.get("authorization_servers").get(0).asText() == restBase)
+    // the static CLI client-metadata document
+    val (st4, cli, _) = http("GET", s"$restBase/oauth/clients/cli.json")
+    assert(st4 == 200 &&
+      cli.get("token_endpoint_auth_method").asText() == "none")
+  }
+
+  test("401 carries WWW-Authenticate pointing at the resource metadata (RFC 9728 §5.1)") {
+    val (st, _, h) = http("GET", s"$restBase/containers")
+    assert(st == 401)
+    val www = h.firstValue("WWW-Authenticate")
+    assert(www.isPresent && www.get.contains("resource_metadata=") &&
+      www.get.contains("/.well-known/oauth-protected-resource"), s"got: $www")
+  }
+
+  test("RFC 7591 dynamic registration: anonymous 201 + metadata; faults 400") {
+    val (st, reg, _) = http("POST", s"$restBase/oauth/register",
+      """{"client_name": "spec-mcp-client",
+         "redirect_uris": ["http://127.0.0.1/callback", "http://127.0.0.1:9999/cb"]}""")
+    assert(st == 201, reg.toString)
+    assert(reg.get("client_id").asText().nonEmpty)
+    assert(reg.get("token_endpoint_auth_method").asText() == "none")
+    assert(reg.get("redirect_uris").size() == 2)
+    assert(reg.get("grant_types").get(0).asText() == "authorization_code")
+    // metadata faults: no redirect uris, non-URL redirect
+    assert(http("POST", s"$restBase/oauth/register",
+      """{"client_name": "bad", "redirect_uris": []}""")._1 == 400)
+    assert(http("POST", s"$restBase/oauth/register",
+      """{"client_name": "bad", "redirect_uris": ["not-a-url"]}""")._1 == 400)
+    // the registered client can authorize immediately (any of its uris)
+    val session = loginAdmin()
+    val cid = reg.get("client_id").asText()
+    assert(http("POST", s"$restBase/oauth/authorize",
+      s"""{"client_id": "$cid", "redirect_uri": "http://127.0.0.1:9999/cb",
+           "code_challenge": "$challenge"}""", session)._1 == 200)
+    assert(http("POST", s"$restBase/oauth/authorize",
+      s"""{"client_id": "$cid", "redirect_uri": "http://evil/cb",
+           "code_challenge": "$challenge"}""", session)._1 == 400)
+  }
+
+  test("resource -> aud binding: the token works ONLY at its consented resource") {
+    val (st, tok) = mintViaFlow("", authorizeResource = mcpBase,
+      tokenResource = mcpBase)
+    assert(st == 200, tok.toString)
+    val access = tok.get("access_token").asText()
+    val claims = jwtPayload(access)
+    assert(claims.get("aud").asText() == mcpBase,
+      "aud must be the consented resource")
+    assert(claims.get("iss").asText() == restBase,
+      "iss must be the advertised issuer (RFC 9068 §2.2)")
+    // the protected MCP call: initialize + a tool listing under the token
+    val (ist, _, ih) = http("POST", mcpBase,
+      """{"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}""",
+      access)
+    assert(ist == 200, "aud-bound token must authenticate at its resource")
+    val sid = ih.firstValue("Mcp-Session-Id").get
+    val (lst, tools, _) = http("POST", mcpBase,
+      """{"jsonrpc": "2.0", "id": 2, "method": "tools/list", "params": {}}""",
+      access, headers = Map("Mcp-Session-Id" -> sid))
+    assert(lst == 200 && tools.get("result").get("tools").size() > 0)
+    // the SAME token is refused by the REST server: different audience
+    assert(http("GET", s"$restBase/containers", bearer = access)._1 == 401,
+      "a token minted for the MCP resource must not authenticate at REST")
+    // and an unbound session token still works at REST but the MCP server
+    // accepts it too (aud = "" = first-party session, not audience-bound)
+    val session = loginAdmin()
+    assert(http("GET", s"$restBase/containers", bearer = session)._1 == 200)
+  }
+
+  test("resource mismatch at the token endpoint answers invalid_target") {
+    val (st, tok) = mintViaFlow("", authorizeResource = mcpBase,
+      tokenResource = "http://other-resource:1")
+    assert(st == 400 && tok.get("error").asText() == "invalid_target", tok.toString)
+  }
+
+  test("consent scope narrows the token: an admin's read:* grant cannot administrate") {
+    val (st, tok) = mintViaFlow("read:*", authorizeResource = "",
+      tokenResource = "")
+    assert(st == 200, tok.toString)
+    assert(tok.get("scope").asText() == "read:*",
+      "token response must echo the GRANTED scope")
+    val access = tok.get("access_token").asText()
+    val claims = jwtPayload(access)
+    assert(claims.get("scopes").size() == 1 &&
+      claims.get("scopes").get(0).asText() == "read:*",
+      s"token must carry the consented scopes only, got ${claims.get("scopes")}")
+    // unbound resource: works at REST — but only within the granted scope
+    assert(http("GET", s"$restBase/containers", bearer = access)._1 == 200)
+    assert(http("GET", s"$restBase/auth/users", bearer = access)._1 == 403,
+      "the narrowed token must NOT carry the user's admin privilege")
+    // a scope the user doesn't hold is silently dropped, never granted
+    val dev = userReg.createUser("dev2@example.com", "password!", Seq("read:*"))
+    val (_, tok2) = {
+      // authorize as the limited user asking for admin
+      val devSession = http("POST", s"$restBase/auth/login",
+        """{"email": "dev2@example.com", "password": "password!"}""")
+        ._2.get("access_token").asText()
+      val cid = http("POST", s"$restBase/oauth/register",
+        """{"client_name": "greedy", "redirect_uris": ["http://127.0.0.1/callback"]}""")
+        ._2.get("client_id").asText()
+      val code = http("POST", s"$restBase/oauth/authorize",
+        s"""{"client_id": "$cid", "redirect_uri": "http://127.0.0.1/callback",
+             "code_challenge": "$challenge", "scope": "admin read:*"}""",
+        devSession)._2.get("code").asText()
+      val (s2, t2, _) = http("POST", s"$restBase/oauth/token",
+        s"""{"grant_type": "authorization_code", "code": "$code",
+             "code_verifier": "$verifier",
+             "redirect_uri": "http://127.0.0.1/callback", "client_id": "$cid"}""")
+      (s2, t2)
+    }
+    assert(tok2.get("scope").asText() == "read:*",
+      s"requested admin must be dropped for a read:* user, got ${tok2.get("scope")}")
+    userReg.revokeUser(dev)
+  }
+
+  test("refresh keeps the grant binding: client, resource, and narrowed scope") {
+    val (st, tok) = mintViaFlow("read:*", authorizeResource = mcpBase,
+      tokenResource = mcpBase)
+    assert(st == 200, tok.toString)
+    val refresh = tok.get("refresh_token").asText()
+    // a DIFFERENT client replaying the refresh token is refused, and so
+    // is omitting the client entirely — the grant is client-bound
+    // (checked BEFORE the resource, the reference's order)
+    assert(http("POST", s"$restBase/oauth/token",
+      s"""{"grant_type": "refresh_token", "refresh_token": "$refresh",
+           "client_id": "some-other-client"}""")._1 == 400)
+    val (rs2, _, _) = http("POST", s"$restBase/oauth/token",
+      s"""{"grant_type": "refresh_token", "refresh_token": "$refresh"}""")
+    assert(rs2 == 400, "client-bound refresh without client_id must refuse")
+    val realCid = {
+      // re-mint a bound pair and refresh properly with its client
+      val session = loginAdmin()
+      val c = http("POST", s"$restBase/oauth/register",
+        """{"client_name": "refresher", "redirect_uris": ["http://127.0.0.1/callback"]}""")
+        ._2.get("client_id").asText()
+      val code = http("POST", s"$restBase/oauth/authorize",
+        s"""{"client_id": "$c", "redirect_uri": "http://127.0.0.1/callback",
+             "code_challenge": "$challenge", "scope": "read:*",
+             "resource": "$mcpBase"}""", session)._2.get("code").asText()
+      val (_, t, _) = http("POST", s"$restBase/oauth/token",
+        s"""{"grant_type": "authorization_code", "code": "$code",
+             "code_verifier": "$verifier",
+             "redirect_uri": "http://127.0.0.1/callback", "client_id": "$c"}""")
+      (c, t)
+    }
+    val (c, t) = realCid
+    // the right client presenting a MISMATCHED resource at refresh is
+    // invalid_target (RFC 8707); omitting resource means "same binding"
+    val (rs1, rb1, _) = http("POST", s"$restBase/oauth/token",
+      s"""{"grant_type": "refresh_token",
+           "refresh_token": "${t.get("refresh_token").asText()}",
+           "client_id": "$c", "resource": "http://other:1"}""")
+    assert(rs1 == 400 && rb1.get("error").asText() == "invalid_target", rb1.toString)
+    val (rs3, rb3, _) = http("POST", s"$restBase/oauth/token",
+      s"""{"grant_type": "refresh_token",
+           "refresh_token": "${t.get("refresh_token").asText()}",
+           "client_id": "$c", "resource": "$mcpBase"}""")
+    assert(rs3 == 200, rb3.toString)
+    val refreshed = jwtPayload(rb3.get("access_token").asText())
+    assert(refreshed.get("aud").asText() == mcpBase,
+      "refresh must keep the aud binding")
+    assert(refreshed.get("scopes").size() == 1 &&
+      refreshed.get("scopes").get(0).asText() == "read:*",
+      "refresh must keep the NARROWED scopes, not re-expand to the user's")
+  }
+}
