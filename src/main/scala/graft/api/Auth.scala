@@ -204,12 +204,48 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
 
   /** Tombstone. A revoked user's outstanding JWTs keep their signature
     * but [[authenticate]] re-checks the user row, so they die with the
-    * staleness window, and refresh is refused immediately. */
-  def revokeUser(userId: String): Boolean = synchronized {
+    * staleness window, and refresh is refused immediately. REVERSIBLE
+    * via [[setUserActive]] — the reference's PUT /{id}/active. */
+  def revokeUser(userId: String): Boolean = setUserActive(userId, active = false)
+
+  /** Deactivate (tombstone) or REACTIVATE a user (ref AgentEndpoints.cs
+    * PUT /{id}/active): reactivation clears the tombstone — the account,
+    * its email, scopes, and password come back; refresh tokens revoked
+    * while inactive STAY revoked (the user logs in again). False when
+    * the flip is a no-op (already in the requested state / unknown id).
+    */
+  def setUserActive(userId: String, active: Boolean): Boolean = synchronized {
     val rows = users.load()
-    if (!rows.exists(u => u._1 == userId && u._8 < 0)) false
-    else { users.write(rows.map(u =>
-      if (u._1 == userId && u._8 < 0) u.copy(_8 = now()) else u)); true }
+    rows.find(_._1 == userId) match {
+      case Some(u) if !active && u._8 < 0 =>
+        users.write(rows.map(x =>
+          if (x._1 == userId) x.copy(_8 = now()) else x)); true
+      case Some(u) if active && u._8 >= 0 =>
+        // an email freed by the tombstone may have been reused since —
+        // never reactivate into a duplicate active email
+        require(!rows.exists(x => x._2 == u._2 && x._8 < 0),
+          s"an active user with email '${u._2}' exists; cannot reactivate")
+        users.write(rows.map(x =>
+          if (x._1 == userId) x.copy(_8 = -1L) else x)); true
+      case _ => false
+    }
+  }
+
+  /** Idempotent first-admin bootstrap (ref AdminSeedService.cs
+    * SeedOwnerUserAsync — there it reads CONNAPSE_ADMIN_EMAIL/PASSWORD;
+    * here deployment config passes them explicitly): a fresh warehouse
+    * gets an admin user so someone can always log in and administrate;
+    * an existing user with this email is ENSURED the admin scope (never
+    * a second row, never a password overwrite). Returns the user id. */
+  def seedOwner(email: String, password: String): String = synchronized {
+    users.load().find(u => u._2 == email && u._8 < 0) match {
+      case Some(u) if u._6.contains("admin") => u._1
+      case Some(u) =>
+        users.write(users.load().map(x =>
+          if (x._1 == u._1) x.copy(_6 = x._6 :+ "admin") else x))
+        u._1
+      case None => createUser(email, password, Seq("admin"), "Instance Owner")
+    }
   }
 
   private def activeUser(pred: User => Boolean): Option[User] =
@@ -499,6 +535,68 @@ final class CloudIdentityRegistry(spark: SparkSession, warehouse: String,
     if (kept.length == rows.length) false
     else { table.write(kept); true }
   }
+}
+
+/** Server-side cloud-identity acquisition (ref CloudIdentityService.cs +
+  * CloudIdentityEndpoints.cs): the principal persisted on link is always
+  * DISCOVERED from the provider — AWS SSO ListAccounts after the device
+  * grant, the `oid` claim of the Azure id_token — never accepted from
+  * the client, so a user cannot self-assert accounts they do not own and
+  * later pass [[graft.sources.CloudScopes]] checks for them.
+  *
+  * Deployment wires the provider flows (region/start URL, tenant/client
+  * id); specs inject canned transports and drive start → poll →
+  * discovered-principal persistence fully offline. */
+final class CloudFlows(
+    aws: Option[graft.sources.AwsSso] = None,
+    azure: Option[graft.sources.AzureDeviceCode] = None,
+    /** Identity LINKING needs the id_token: `openid` is mandatory here
+      * (the reference's "openid profile" callback scope). */
+    azureScope: String = "openid profile offline_access") {
+  import graft.sources.CloudIdentity._
+
+  /** Cached OIDC client registration, re-validated per call with the
+    * reference's 10-minute-expiry rule (AwsSsoClientRegistrar.cs). */
+  @volatile private var awsReg: Option[ClientRegistration] = None
+
+  def awsConfigured: Boolean = aws.isDefined
+  def azureConfigured: Boolean = azure.isDefined
+
+  def awsStart(): DeviceAuth = {
+    val sso = aws.getOrElse(sys.error("aws sso not configured"))
+    val reg = sso.ensureRegistered(awsReg)
+    awsReg = Some(reg)
+    sso.startDeviceAuthorization(reg)
+  }
+
+  /** None while the user hasn't approved yet; Some((principal, display
+    * name)) once approved — the principal is the COMMA-JOINED account-id
+    * set from a server-side ListAccounts (ref PollAwsDeviceAuthAsync),
+    * the exact shape [[graft.sources.CloudScopes.awsDiscover]] checks. */
+  def awsPoll(deviceCode: String): Option[(String, String)] = {
+    val sso = aws.getOrElse(sys.error("aws sso not configured"))
+    val reg = sso.ensureRegistered(awsReg)
+    awsReg = Some(reg)
+    sso.pollForToken(reg, deviceCode).map { token =>
+      val accounts = sso.listAccounts(token)
+      require(accounts.nonEmpty, "SSO identity reaches no AWS accounts")
+      (accounts.map(_._1).mkString(","), accounts.head._2)
+    }
+  }
+
+  def azureStart(): DeviceAuth =
+    azure.getOrElse(sys.error("azure not configured")).start(azureScope)
+
+  /** None while pending; Some((object id, display name)) once approved —
+    * the durable `oid` claim from the id_token, read SERVER-side. */
+  def azurePoll(deviceCode: String): Option[(String, String)] =
+    azure.getOrElse(sys.error("azure not configured")).poll(deviceCode)
+      .map { t =>
+        require(t.idToken.nonEmpty,
+          "token response missing id_token (scope must include openid)")
+        val (oid, _, name) = idTokenClaims(t.idToken)
+        (oid, name)
+      }
 }
 
 /** OAuth authorization-code flow, server side (ref OAuthClientService.cs

@@ -31,8 +31,12 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
   val TokenPrefix = "gft_"
 
   /** (key_id, name, token_hash, token_prefix, scopes, created_ms,
-    * expires_ms [-1 = never], revoked_ms [-1 = active], last_used_ms) */
-  private type Row = (String, String, String, String, Seq[String], Long, Long, Long, Long)
+    * expires_ms [-1 = never], revoked_ms [-1 = active], last_used_ms,
+    * user_id ["" = global/admin-minted; else the OWNING user — the
+    * reference's PersonalAccessTokenEntity.UserId: each user mints,
+    * lists, and revokes ITS OWN named keys, ref PatService.cs]) */
+  private type Row =
+    (String, String, String, String, Seq[String], Long, Long, Long, Long, String)
 
   /** (rows, table mtime at load, last staleness probe). The cache
     * re-probes the table's modification time at most every
@@ -67,10 +71,17 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
             try {
               val rows =
                 if (s0 == AbsentStamp) Seq.empty[Row]
-                else spark.read.parquet(path)
-                  .select("key_id", "name", "token_hash", "token_prefix", "scopes",
-                    "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
-                  .as[Row].collect().toSeq
+                else {
+                  // schema-v1 tables (pre-PAT) backfill user_id as global
+                  var df = spark.read.parquet(path)
+                  if (!df.columns.contains("user_id"))
+                    df = df.withColumn("user_id",
+                      org.apache.spark.sql.functions.lit(""))
+                  df.select("key_id", "name", "token_hash", "token_prefix",
+                    "scopes", "created_ms", "expires_ms", "revoked_ms",
+                    "last_used_ms", "user_id")
+                    .as[Row].collect().toSeq
+                }
               staleSinceMs = -1L
               cache = Some((rows, s0, now))
               rows
@@ -103,7 +114,7 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
       val tmp = new org.apache.hadoop.fs.Path(target.getParent,
         s".keys-rewrite-${java.util.UUID.randomUUID}")
       rows.toDF("key_id", "name", "token_hash", "token_prefix", "scopes",
-        "created_ms", "expires_ms", "revoked_ms", "last_used_ms")
+        "created_ms", "expires_ms", "revoked_ms", "last_used_ms", "user_id")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       fs.delete(target, true)
       if (!fs.rename(tmp, target))
@@ -122,30 +133,49 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
       s.substring(s.indexOf(':') + 1).nonEmpty)
 
   /** Mint a key. The raw token is returned ONCE and never stored — only
-    * its SHA-256 hash persists (the reference's PAT contract). */
+    * its SHA-256 hash persists (the reference's PAT contract). A
+    * nonempty `userId` makes this a PERSONAL access token owned by that
+    * user (self-served via /auth/pats); "" is a global admin-minted key.
+    * Names are unique per owner among active keys. */
   def create(name: String, scopes: Seq[String],
-      expiresMs: Long = -1L): (String, String) = synchronized {
-    require(name.nonEmpty, "key name required")
-    require(scopes.nonEmpty, "at least one scope required")
-    scopes.foreach(s => require(validScope(s),
-      s"invalid scope '$s' (admin | read:<cid> | write:<cid> | read:* | write:*)"))
-    require(!load().exists(r => r._2 == name && r._8 < 0),
-      s"an active key named '$name' exists")
-    val raw = new Array[Byte](32)
-    new java.security.SecureRandom().nextBytes(raw)
-    val token = TokenPrefix + java.util.Base64.getUrlEncoder.withoutPadding
-      .encodeToString(raw)
-    val id = java.util.UUID.randomUUID().toString
-    write(load() :+ ((id, name, sha256Hex(token), token.take(12),
-      scopes, System.currentTimeMillis(), expiresMs, -1L, -1L)))
-    (id, token)
-  }
+      expiresMs: Long = -1L, userId: String = ""): (String, String) =
+    synchronized {
+      require(name.nonEmpty, "key name required")
+      require(scopes.nonEmpty, "at least one scope required")
+      scopes.foreach(s => require(validScope(s),
+        s"invalid scope '$s' (admin | read:<cid> | write:<cid> | read:* | write:*)"))
+      require(!load().exists(r => r._2 == name && r._10 == userId && r._8 < 0),
+        s"an active key named '$name' exists")
+      val raw = new Array[Byte](32)
+      new java.security.SecureRandom().nextBytes(raw)
+      val token = TokenPrefix + java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(raw)
+      val id = java.util.UUID.randomUUID().toString
+      write(load() :+ ((id, name, sha256Hex(token), token.take(12),
+        scopes, System.currentTimeMillis(), expiresMs, -1L, -1L, userId)))
+      (id, token)
+    }
 
   /** (key_id, name, token_prefix, scopes, active) — never the hash. */
-  def list(): Seq[(String, String, String, Seq[String], Boolean)] = {
+  def list(): Seq[(String, String, String, Seq[String], Boolean)] =
+    listDetailed().map(r => (r._1, r._2, r._3, r._4, r._5))
+
+  /** [[list]] plus the owning user_id ("" = global) for the admin view. */
+  def listDetailed(): Seq[(String, String, String, Seq[String], Boolean, String)] = {
     val now = System.currentTimeMillis()
     load().map(r => (r._1, r._2, r._4, r._5,
-      r._8 < 0 && (r._7 < 0 || r._7 > now)))
+      r._8 < 0 && (r._7 < 0 || r._7 > now), r._10))
+  }
+
+  /** ONE user's keys, newest first (ref PatService.ListAsync): (key_id,
+    * name, token_prefix, scopes, active, created_ms, expires_ms). */
+  def listFor(userId: String): Seq[(String, String, String, Seq[String],
+      Boolean, Long, Long)] = {
+    require(userId.nonEmpty, "user id required")
+    val now = System.currentTimeMillis()
+    load().filter(_._10 == userId).sortBy(-_._6).map(r =>
+      (r._1, r._2, r._4, r._5, r._8 < 0 && (r._7 < 0 || r._7 > now),
+        r._6, r._7))
   }
 
   /** Tombstone, not delete — the audit trail keeps the name/prefix. */
@@ -155,6 +185,23 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     else {
       write(rows.map(r =>
         if (r._1 == keyId && r._8 < 0) r.copy(_8 = System.currentTimeMillis())
+        else r))
+      true
+    }
+  }
+
+  /** Revoke ONLY a key the caller owns (ref PatService.RevokeAsync
+    * filters on UserId): false for another user's key id — the route
+    * answers 404, indistinguishable from "no such key" (existence of
+    * other users' key ids is not the caller's to learn). */
+  def revokeOwn(keyId: String, userId: String): Boolean = synchronized {
+    require(userId.nonEmpty, "user id required")
+    val rows = load()
+    if (!rows.exists(r => r._1 == keyId && r._10 == userId && r._8 < 0)) false
+    else {
+      write(rows.map(r =>
+        if (r._1 == keyId && r._10 == userId && r._8 < 0)
+          r.copy(_8 = System.currentTimeMillis())
         else r))
       true
     }

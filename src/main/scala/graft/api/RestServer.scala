@@ -69,6 +69,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * /auth/cloud; connector scope checks read them back through
       * [[graft.sources.CloudScopes]]. Requires `users`. */
     cloudIdentities: Option[CloudIdentityRegistry] = None,
+    /** Provider flows backing the cloud-identity link routes: the linked
+      * principal is DISCOVERED server-side (AWS SSO ListAccounts / the
+      * Azure id_token's oid) — never taken from the request body, so a
+      * session cannot self-assert accounts it does not own (ref
+      * CloudIdentityService.cs). Requires `cloudIdentities` + `users`. */
+    cloudFlows: Option[CloudFlows] = None,
     /** Append-only audit sink (ref AuditLogger.cs): when set, every
       * non-GET request and every auth denial records (key, action,
       * resource, status); admins read it back at `GET /audit`. */
@@ -111,7 +117,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val KeyId = "/keys/([^/]+)".r
   private val BatchId = "/batches/([^/]+)".r
   private val UserId = "/auth/users/([^/]+)".r
+  private val UserActive = "/auth/users/([^/]+)/active".r
+  private val PatId = "/auth/pats/([^/]+)".r
   private val CloudProvider = "/auth/cloud/([a-z]+)".r
+  private val CloudDeviceAuth = "/auth/cloud/(aws|azure)/device_auth".r
+  private val CloudDevicePoll = "/auth/cloud/(aws|azure)/device_auth/poll".r
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
@@ -246,6 +256,17 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           throw Denied(401, "cloud identity routes require a user session (JWT)"))
         (creg, sub)
       }
+      // PAT routes act on the CALLER's own keys: resolve the JWT subject
+      // (an API key cannot mint further keys — no privilege laundering)
+      def patSession(): (ApiKeyRegistry, String, Seq[String]) = {
+        val kreg = keys.getOrElse(
+          throw Denied(404, "no key registry configured"))
+        val ureg = users.getOrElse(
+          throw Denied(404, "no user registry configured"))
+        val sub = bearer.flatMap(ureg.subjectOf).getOrElse(
+          throw Denied(401, "personal access tokens require a user session (JWT)"))
+        (kreg, sub, scopes)
+      }
       (method, path) match {
         // ---- user sessions (ref AuthEndpoints.cs; UserRegistry) --------
         case ("POST", "/auth/login") =>
@@ -302,6 +323,50 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
           if (reg.revokeUser(id)) { auditRec(204, s"user_revoke $id"); noContent(ex) }
           else err(ex, 404, s"no active user: $id")
+        // deactivate / REACTIVATE (ref AgentEndpoints.cs PUT /{id}/active
+        // — a tombstone is reversible, not a permanent deletion)
+        case ("PUT", UserActive(id)) =>
+          requireAdmin()
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val active = bool(body(ex), "active", default = true)
+          if (reg.setUserActive(id, active)) {
+            auditRec(204, s"user_set_active $id active=$active"); noContent(ex)
+          } else err(ex, 404, s"no user to flip: $id")
+        // ---- personal access tokens (ref PatService.cs + AuthEndpoints
+        // .cs /pats): a JWT session mints/lists/revokes ITS OWN named
+        // keys — self-served machine credentials, scoped at most to what
+        // the session itself may do; admin oversight stays at /keys ----
+        case ("GET", "/auth/pats") =>
+          val (kreg, sub, _) = patSession()
+          ok(ex, arr(kreg.listFor(sub).map {
+            case (id, name, prefix, ss, active, created, expires) =>
+              obj("key_id" -> id, "name" -> name, "token_prefix" -> prefix,
+                "scopes" -> ss.map(s => s: Any), "active" -> active,
+                "created_ms" -> created, "expires_ms" -> expires)
+          }))
+        case ("POST", "/auth/pats") =>
+          val (kreg, sub, sessionScopes) = patSession()
+          val b = body(ex)
+          val ss = {
+            val it = node(b, "scopes").elements()
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) out += it.next().asText()
+            out.toSeq
+          }
+          // a PAT must never exceed its owner: every requested scope has
+          // to be covered by the session's scopes (the reference gets
+          // this for free by resolving PATs through the owning user; this
+          // engine's keys authenticate standalone, so the cap is at mint)
+          ss.find(!UserRegistry.scopeCovered(sessionScopes, _)).foreach(s =>
+            throw Denied(403, s"cannot mint a key with scope '$s' beyond your own"))
+          val (id, token) = kreg.create(str(b, "name"), ss,
+            optLong(b, "expires_ms").getOrElse(-1L), userId = sub)
+          auditRec(201, s"pat_create name=${str(b, "name")} scopes=${ss.mkString(",")}")
+          ok(ex, obj("key_id" -> id, "token" -> token), status = 201)
+        case ("DELETE", PatId(id)) =>
+          val (kreg, sub, _) = patSession()
+          if (kreg.revokeOwn(id, sub)) { auditRec(204, s"pat_revoke $id"); noContent(ex) }
+          else err(ex, 404, s"no active key of yours: $id")
         // ---- linked cloud identities (ref CloudIdentityEndpoints.cs):
         // a session manages ITS OWN links — the JWT subject keys the
         // registry, so no user can read or drop another's principals ----
@@ -311,13 +376,44 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             obj("provider" -> p, "principal" -> principal,
               "display_name" -> name, "linked_ms" -> ts)
           }))
-        case ("POST", "/auth/cloud") =>
+        // linking goes THROUGH the provider flows — there is deliberately
+        // no route that accepts a principal from the request body (a
+        // session must not self-assert AWS accounts / Azure object ids
+        // it does not own; ref CloudIdentityEndpoints.cs discovers the
+        // principal server-side in every path)
+        case ("POST", CloudDeviceAuth(p)) =>
+          val (_, _) = cloudSession() // requires a user session
+          val flows = cloudFlows.getOrElse(
+            throw Denied(404, "no cloud provider flows configured"))
+          if ((p == "aws" && !flows.awsConfigured) ||
+              (p == "azure" && !flows.azureConfigured))
+            throw Denied(400, s"${p}_not_configured")
+          val da = try { if (p == "aws") flows.awsStart() else flows.azureStart() }
+          catch { case e: Exception =>
+            throw Denied(400, s"${p}_device_auth_failed: ${e.getMessage}") }
+          auditRec(200, s"cloud_device_auth $p")
+          ok(ex, obj("device_code" -> da.deviceCode, "user_code" -> da.userCode,
+            "verification_uri" -> da.verificationUri,
+            "verification_uri_complete" -> da.verificationUriComplete,
+            "expires_in" -> da.expiresInSec, "interval" -> da.intervalSec))
+        case ("POST", CloudDevicePoll(p)) =>
           val (creg, sub) = cloudSession()
-          val b = body(ex)
-          creg.link(sub, str(b, "provider"), str(b, "principal"),
-            optStr(b, "display_name").getOrElse(""))
-          auditRec(201, s"cloud_link ${str(b, "provider")}")
-          ok(ex, obj("linked" -> str(b, "provider")), status = 201)
+          val flows = cloudFlows.getOrElse(
+            throw Denied(404, "no cloud provider flows configured"))
+          val dc = str(body(ex), "device_code")
+          val outcome = try {
+            if (p == "aws") flows.awsPoll(dc) else flows.azurePoll(dc)
+          } catch { case e: Exception =>
+            throw Denied(400, s"${p}_poll_failed: ${e.getMessage}") }
+          outcome match {
+            case None => ok(ex, obj("status" -> "pending"))
+            case Some((principal, name)) =>
+              creg.link(sub, p, principal, name)
+              auditRec(201, s"cloud_link $p")
+              ok(ex, obj("status" -> "complete", "identity" -> obj(
+                "provider" -> p, "principal" -> principal,
+                "display_name" -> name)))
+          }
         case ("DELETE", CloudProvider(p)) =>
           val (creg, sub) = cloudSession()
           if (creg.disconnect(sub, p)) {
@@ -475,9 +571,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("GET", "/keys") =>
           requireAdmin()
           val reg = keys.getOrElse(throw Denied(404, "no key registry configured"))
-          ok(ex, arr(reg.list().map { case (id, name, prefix, ss, active) =>
-            obj("key_id" -> id, "name" -> name, "token_prefix" -> prefix,
-              "scopes" -> ss.map(s => s: Any), "active" -> active)
+          ok(ex, arr(reg.listDetailed().map {
+            case (id, name, prefix, ss, active, owner) =>
+              obj("key_id" -> id, "name" -> name, "token_prefix" -> prefix,
+                "scopes" -> ss.map(s => s: Any), "active" -> active,
+                "user_id" -> owner)
           }))
         case ("DELETE", KeyId(id)) =>
           requireAdmin()

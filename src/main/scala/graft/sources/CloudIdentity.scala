@@ -33,8 +33,33 @@ object CloudIdentity {
   final case class TempCredentials(accessKeyId: String, secretAccessKey: String,
       sessionToken: String, expiresAtMs: Long)
 
+  /** Registered OIDC client (clientSecretExpiresAt in epoch SECONDS —
+    * the AWS wire unit, kept as-is so the refresh rule reads like the
+    * reference's). Companion-level (not nested in [[AwsSso]]) so callers
+    * can CACHE one across requests without path-dependent types. */
+  final case class ClientRegistration(clientId: String, clientSecret: String,
+      clientSecretExpiresAtSec: Long)
+
   /** Poll outcome that is NOT terminal (RFC 8628): keep polling. */
   private[sources] val PendingErrors = Set("authorization_pending", "slow_down")
+
+  /** Claims read (UNVERIFIED — same as the reference's ReadJwtToken on
+    * the id_token it just received over TLS from the token endpoint it
+    * called) from an OIDC id_token: (oid/object id, tid/tenant id,
+    * display name). The Microsoft identity platform puts the directory
+    * object id in `oid` — THE durable principal the reference persists
+    * (CloudIdentityService.cs HandleAzureCallbackAsync). */
+  def idTokenClaims(idToken: String): (String, String, String) = {
+    val parts = idToken.split('.')
+    require(parts.length == 3, "not a compact JWT id_token")
+    val p = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.util.Base64.getUrlDecoder.decode(parts(1)))
+    def claim(k: String): String =
+      Option(p.get(k)).filterNot(_.isNull).map(_.asText()).getOrElse("")
+    val oid = claim("oid")
+    require(oid.nonEmpty, "id_token missing 'oid' claim")
+    (oid, claim("tid"), claim("name"))
+  }
 }
 
 /** AWS IAM Identity Center (SSO) device-code credential acquisition
@@ -48,12 +73,6 @@ final class AwsSso(transport: HttpTransport, region: String,
   private val mapper = new ObjectMapper()
   private def oidc = s"https://oidc.$region.amazonaws.com"
   private def portal = s"https://portal.sso.$region.amazonaws.com"
-
-  /** Registered OIDC client (clientSecretExpiresAt in epoch SECONDS —
-    * the AWS wire unit, kept as-is so the refresh rule reads like the
-    * reference's). */
-  final case class ClientRegistration(clientId: String, clientSecret: String,
-      clientSecretExpiresAtSec: Long)
 
   /** RegisterClient — mint a public OIDC client for the device grant. */
   def registerClient(clientName: String = "graft"): ClientRegistration = {
@@ -185,9 +204,11 @@ final class AzureDeviceCode(transport: HttpTransport, tenant: String,
       Option(r.get("interval")).map(_.asLong()).getOrElse(5L))
   }
 
-  /** (access token, refresh token, expires_in seconds). */
+  /** (access token, refresh token, expires_in seconds, id_token — ""
+    * unless the flow's scope included `openid`; identity LINKING needs
+    * it for the `oid` claim). */
   final case class AzureTokens(accessToken: String, refreshToken: String,
-      expiresInSec: Long)
+      expiresInSec: Long, idToken: String = "")
 
   /** Token poll: Some once approved, None while pending/throttled,
     * terminal errors throw (expired_token / access_denied / declined). */
@@ -202,7 +223,9 @@ final class AzureDeviceCode(transport: HttpTransport, tenant: String,
         s"azure device flow failed: $e")
       case None => Some(AzureTokens(r.get("access_token").asText(),
         Option(r.get("refresh_token")).map(_.asText()).getOrElse(""),
-        r.get("expires_in").asLong()))
+        r.get("expires_in").asLong(),
+        Option(r.get("id_token")).filterNot(_.isNull).map(_.asText())
+          .getOrElse("")))
     }
   }
 

@@ -157,9 +157,12 @@ class AuthThrottleSpec extends AnyFunSuite {
   }
 }
 
-/** Linked cloud identities over real HTTP (ref CloudIdentityEndpoints):
-  * a JWT session links/lists/disconnects ITS OWN provider principals —
-  * and only its own; API keys have no user and are refused. */
+/** Linked cloud identities over real HTTP (ref CloudIdentityEndpoints +
+  * CloudIdentityService.cs): the principal is DISCOVERED server-side by
+  * the provider flows (AWS SSO ListAccounts; the Azure id_token's oid) —
+  * there is no route that accepts a principal from the client, so a
+  * session cannot self-assert accounts it does not own. A JWT session
+  * links/lists/disconnects ITS OWN identities only. */
 class CloudIdentityRestSpec extends AnyFunSuite {
   import TestSpark.spark
 
@@ -168,9 +171,53 @@ class CloudIdentityRestSpec extends AnyFunSuite {
   private lazy val store = new KnowledgeStore(spark, wh)
   private lazy val userReg = new UserRegistry(spark, wh, "cloud-secret-0123456789")
   private lazy val cloudReg = new CloudIdentityRegistry(spark, wh)
+
+  private final class FakeTransport(replies: String*)
+      extends graft.embed.HttpTransport {
+    private var i = -1
+    private def next(): String = { i += 1; replies(math.min(i, replies.length - 1)) }
+    override def post(url: String, body: String): String = next()
+    override def post(url: String, body: String,
+        headers: Map[String, String]): String = next()
+    override def get(url: String, headers: Map[String, String]): String = next()
+  }
+
+  /** A syntactically-valid unsigned id_token carrying oid/tid/name (the
+    * linking path reads, never verifies — it just received it from the
+    * token endpoint it called). */
+  private def fakeIdToken(oid: String, name: String): String = {
+    def b64(s: String) = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes("UTF-8"))
+    s"${b64("{\"alg\":\"none\"}")}.${b64(
+      s"{\"oid\": \"$oid\", \"tid\": \"t-1\", \"name\": \"$name\"}")}.${b64("sig")}"
+  }
+
+  // AWS flow: register -> device auth -> poll(pending) -> token ->
+  // ListAccounts (two accounts; the DISCOVERED principal)
+  private lazy val awsFlow = new graft.sources.AwsSso(new FakeTransport(
+    """{"clientId": "cid-1", "clientSecret": "sec-1", "clientSecretExpiresAt": 9999999999}""",
+    """{"deviceCode": "dc-aws", "userCode": "WXYZ-ABCD",
+        "verificationUri": "https://device.sso",
+        "verificationUriComplete": "https://device.sso?user_code=WXYZ-ABCD",
+        "expiresIn": 600, "interval": 5}""",
+    """{"error": "authorization_pending"}""",
+    """{"accessToken": "sso-token-1"}""",
+    """{"accountList": [{"accountId": "111122223333", "accountName": "prod"},
+        {"accountId": "444455556666", "accountName": "dev"}]}"""),
+    "us-east-1", "https://corp.awsapps.com/start")
+
+  private lazy val azureFlow = new graft.sources.AzureDeviceCode(new FakeTransport(
+    s"""{"device_code": "dc-az", "user_code": "AZ-1234",
+         "verification_uri": "https://microsoft.com/devicelogin",
+         "expires_in": 900, "interval": 5}""",
+    s"""{"access_token": "az-at", "refresh_token": "az-rt", "expires_in": 3600,
+         "id_token": "${fakeIdToken("oid-42", "Alice A")}"}"""),
+    "tenant-1", "client-1")
+
   private lazy val (server, base) = {
     val s = new RestServer(store, users = Some(userReg),
-      cloudIdentities = Some(cloudReg))
+      cloudIdentities = Some(cloudReg),
+      cloudFlows = Some(new CloudFlows(aws = Some(awsFlow), azure = Some(azureFlow))))
     (s, s"http://127.0.0.1:${s.start()}")
   }
   private lazy val client = java.net.http.HttpClient.newHttpClient()
@@ -192,7 +239,7 @@ class CloudIdentityRestSpec extends AnyFunSuite {
     (resp.statusCode(), json)
   }
 
-  test("link -> list -> scope check -> disconnect, per-session isolation") {
+  test("device flow -> server-discovered principal -> scope check -> disconnect; per-session isolation") {
     userReg.createUser("a@example.com", "password!", Seq("admin"), "a")
     userReg.createUser("b@example.com", "password!", Seq("read:*"), "b")
     val ja = http("POST", "/auth/login",
@@ -203,27 +250,45 @@ class CloudIdentityRestSpec extends AnyFunSuite {
       ._2.get("access_token").asText()
     // unauthenticated refused
     assert(http("GET", "/auth/cloud")._1 == 401)
-    // a links AWS; b sees nothing
+    assert(http("POST", "/auth/cloud/aws/device_auth")._1 == 401)
+    // self-asserting a principal is IMPOSSIBLE: the old body-link route
+    // is gone — the only path to a link is the provider flow
     assert(http("POST", "/auth/cloud",
-      """{"provider": "aws", "principal": "111122223333,444455556666",
-         "display_name": "prod"}""", ja)._1 == 201)
+      """{"provider": "aws", "principal": "999999999999"}""", ja)._1 == 404,
+      "no route may accept a client-supplied principal")
+    // a drives the AWS device flow
+    val da = http("POST", "/auth/cloud/aws/device_auth", "{}", ja)
+    assert(da._1 == 200 && da._2.get("user_code").asText() == "WXYZ-ABCD")
+    val dc = da._2.get("device_code").asText()
+    val pending = http("POST", "/auth/cloud/aws/device_auth/poll",
+      s"""{"device_code": "$dc"}""", ja)
+    assert(pending._2.get("status").asText() == "pending")
+    val done = http("POST", "/auth/cloud/aws/device_auth/poll",
+      s"""{"device_code": "$dc"}""", ja)
+    assert(done._2.get("status").asText() == "complete", done._2.toString)
+    assert(done._2.get("identity").get("principal").asText()
+      == "111122223333,444455556666",
+      "principal must be the server-side ListAccounts discovery")
     assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 1)
     assert(http("GET", "/auth/cloud", bearer = jb)._2.size() == 0,
       "sessions must only see their own links")
-    // the linked principal drives the scope decision
+    // the DISCOVERED principal drives the scope decision
     val uidA = userReg.listUsers().find(_._2 == "a@example.com").get._1
     val principal = cloudReg.principalOf(uidA, "aws").get
     assert(graft.sources.CloudScopes.awsDiscover(principal, "444455556666").hasAccess)
     assert(!graft.sources.CloudScopes.awsDiscover(principal, "999999999999").hasAccess)
-    // re-link upserts (one row per provider); unknown provider 400
-    assert(http("POST", "/auth/cloud",
-      """{"provider": "aws", "principal": "111122223333"}""", ja)._1 == 201)
-    assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 1)
-    assert(http("POST", "/auth/cloud",
-      """{"provider": "gcp", "principal": "x"}""", ja)._1 == 400)
+    // azure: device flow ends in the id_token's oid, never a client value
+    val daz = http("POST", "/auth/cloud/azure/device_auth", "{}", ja)
+    assert(daz._1 == 200)
+    val az = http("POST", "/auth/cloud/azure/device_auth/poll",
+      s"""{"device_code": "${daz._2.get("device_code").asText()}"}""", ja)
+    assert(az._2.get("status").asText() == "complete", az._2.toString)
+    assert(az._2.get("identity").get("principal").asText() == "oid-42")
+    assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 2)
     // disconnect: own link 204, absent 404, other's untouched
     assert(http("DELETE", "/auth/cloud/aws", bearer = jb)._1 == 404)
     assert(http("DELETE", "/auth/cloud/aws", bearer = ja)._1 == 204)
+    assert(http("DELETE", "/auth/cloud/azure", bearer = ja)._1 == 204)
     assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 0)
   }
 }

@@ -307,3 +307,189 @@ class AuditDurabilitySpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(4) == "parked")
   }
 }
+
+/** User-bound personal access tokens (ref PatService.cs +
+  * AuthEndpoints.cs /pats): a JWT session self-serves ITS OWN machine
+  * credentials — the isolation matrix (A cannot list/revoke B's keys),
+  * the scope cap (a PAT never exceeds its owner), and admin oversight. */
+class PatRestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-pats").toString
+  private lazy val store = new KnowledgeStore(spark, wh)
+  private lazy val userReg = new UserRegistry(spark, wh, "pat-secret-0123456789")
+  private lazy val keyReg = new ApiKeyRegistry(spark, wh)
+  private lazy val (server, base) = {
+    val s = new RestServer(store, users = Some(userReg), keys = Some(keyReg))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  private def login(email: String): String =
+    http("POST", "/auth/login",
+      s"""{"email": "$email", "password": "password!"}""")
+      ._2.get("access_token").asText()
+
+  test("mint/list/revoke own PATs; the isolation matrix holds") {
+    userReg.createUser("admin@example.com", "password!", Seq("admin"), "admin")
+    userReg.createUser("a@example.com", "password!", Seq("write:c1"), "a")
+    userReg.createUser("b@example.com", "password!", Seq("read:*"), "b")
+    val (ja, jb) = (login("a@example.com"), login("b@example.com"))
+    // a mints a PAT within its own scopes; the token works as a bearer
+    val mint = http("POST", "/auth/pats",
+      """{"name": "a-ci", "scopes": ["read:c1"]}""", ja)
+    assert(mint._1 == 201, mint._2.toString)
+    val aKeyId = mint._2.get("key_id").asText()
+    val aToken = mint._2.get("token").asText()
+    assert(keyReg.authenticate(aToken).contains(("a-ci", Seq("read:c1"))))
+    // the scope cap: beyond the owner's scopes -> 403, nothing minted
+    assert(http("POST", "/auth/pats",
+      """{"name": "greedy", "scopes": ["admin"]}""", ja)._1 == 403)
+    assert(http("POST", "/auth/pats",
+      """{"name": "greedy", "scopes": ["write:c2"]}""", ja)._1 == 403)
+    // write covers read; * covers a container
+    assert(http("POST", "/auth/pats",
+      """{"name": "b-ro", "scopes": ["read:c9"]}""", jb)._1 == 201)
+    // isolation: A lists only its own; B cannot revoke A's key
+    val aList = http("GET", "/auth/pats", bearer = ja)._2
+    assert(aList.size() == 1 && aList.get(0).get("name").asText() == "a-ci")
+    val bList = http("GET", "/auth/pats", bearer = jb)._2
+    assert(bList.size() == 1 && bList.get(0).get("name").asText() == "b-ro")
+    assert(http("DELETE", s"/auth/pats/$aKeyId", bearer = jb)._1 == 404,
+      "another user's key id must answer 404, not reveal existence")
+    assert(keyReg.authenticate(aToken).isDefined, "B's attempt must not revoke A's key")
+    // owner revokes; the PAT dies
+    assert(http("DELETE", s"/auth/pats/$aKeyId", bearer = ja)._1 == 204)
+    assert(keyReg.authenticate(aToken).isEmpty)
+    // an API key cannot reach the PAT routes (no user to bind to)
+    val (_, gToken) = keyReg.create("global-ci", Seq("admin"))
+    assert(http("GET", "/auth/pats", bearer = gToken)._1 == 401)
+    assert(http("POST", "/auth/pats",
+      """{"name": "x", "scopes": ["read:*"]}""", gToken)._1 == 401)
+    // admin sees ALL keys with owners at /keys
+    val jAdmin = login("admin@example.com")
+    val all = http("GET", "/keys", bearer = jAdmin)._2
+    val owners = (0 until all.size()).map(all.get(_))
+      .map(n => (n.get("name").asText(), n.get("user_id").asText())).toMap
+    assert(owners("b-ro").nonEmpty && owners("global-ci") == "")
+    // non-admin cannot see the global key surface
+    assert(http("GET", "/keys", bearer = jb)._1 == 403)
+  }
+}
+
+/** First-admin bootstrap + reactivation (ref AdminSeedService.cs,
+  * AgentEndpoints.cs PUT /{id}/active): a fresh warehouse always has an
+  * admin; deactivation is reversible. */
+class BootstrapSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("seedOwner: fresh warehouse gets an admin; idempotent; scope-heals") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-seed").toString
+    val reg = new UserRegistry(spark, wh, "seed-secret-0123456789")
+    val uid = reg.seedOwner("root@example.com", "boot-password!")
+    assert(reg.login("root@example.com", "boot-password!").isDefined,
+      "a fresh deployment must always have a working admin login")
+    assert(reg.listUsers().exists(u => u._1 == uid && u._4.contains("admin")))
+    // idempotent: same id back, no second row, password NOT overwritten
+    val uid2 = reg.seedOwner("root@example.com", "different-password!")
+    assert(uid2 == uid && reg.listUsers().size == 1)
+    assert(reg.login("root@example.com", "boot-password!").isDefined)
+    assert(reg.login("root@example.com", "different-password!").isEmpty,
+      "seed must never overwrite an existing password")
+    // an existing NON-admin user with the seed email gains the admin scope
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-seed2").toString
+    val reg2 = new UserRegistry(spark, wh2, "seed-secret-0123456789")
+    val plain = reg2.createUser("ops@example.com", "password!", Seq("read:*"))
+    assert(reg2.seedOwner("ops@example.com", "ignored") == plain)
+    assert(reg2.listUsers().find(_._1 == plain).get._4.contains("admin"))
+  }
+
+  test("reactivation round-trip: revoked cannot log in, reactivated can") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-react").toString
+    val reg = new UserRegistry(spark, wh, "react-secret-0123456789")
+    val uid = reg.createUser("u@example.com", "password!", Seq("read:*"))
+    assert(reg.setUserActive(uid, active = false))
+    assert(reg.login("u@example.com", "password!").isEmpty)
+    assert(!reg.setUserActive(uid, active = false), "already inactive: no-op")
+    assert(reg.setUserActive(uid, active = true))
+    assert(reg.login("u@example.com", "password!").isDefined,
+      "reactivation must restore the account")
+    // the tombstone freed the email; a reused email blocks reactivation
+    assert(reg.setUserActive(uid, active = false))
+    val other = reg.createUser("u@example.com", "password2!", Seq("read:*"))
+    assertThrows[IllegalArgumentException](reg.setUserActive(uid, active = true))
+    assert(other.nonEmpty)
+  }
+
+  test("PUT /auth/users/{id}/active over HTTP: deactivate + reactivate") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-reactrest").toString
+    val store = new KnowledgeStore(spark, wh)
+    val reg = new UserRegistry(spark, wh, "rr-secret-0123456789")
+    reg.seedOwner("root@example.com", "password!")
+    val uid = reg.createUser("u@example.com", "password!", Seq("read:*"))
+    val server = new RestServer(store, users = Some(reg))
+    val base = s"http://127.0.0.1:${server.start()}"
+    val client = java.net.http.HttpClient.newHttpClient()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def http(method: String, path: String, body: String = null,
+        bearer: String = null): Int = {
+      var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .header("Content-Type", "application/json")
+      if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+      client.send((method match {
+        case "GET" => b.GET()
+        case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+          Option(body).getOrElse("")))
+      }).build(), java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+    try {
+      val root = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base/auth/login"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"email": "root@example.com", "password": "password!"}""")).build()
+        mapper.readTree(client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          .get("access_token").asText()
+      }
+      assert(http("PUT", s"/auth/users/$uid/active",
+        """{"active": false}""", root) == 204)
+      assert(reg.login("u@example.com", "password!").isEmpty)
+      assert(http("PUT", s"/auth/users/$uid/active",
+        """{"active": true}""", root) == 204)
+      assert(reg.login("u@example.com", "password!").isDefined)
+      // admin-only
+      val u = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base/auth/login"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"email": "u@example.com", "password": "password!"}""")).build()
+        mapper.readTree(client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          .get("access_token").asText()
+      }
+      assert(http("PUT", s"/auth/users/$uid/active",
+        """{"active": false}""", u) == 403)
+    } finally server.stop()
+  }
+}

@@ -61,7 +61,7 @@ class CloudIdentitySpec extends AnyFunSuite {
       """{"roleCredentials": {"accessKeyId": "ASIAXXXX", "secretAccessKey": "sk",
          "sessionToken": "st-opaque", "expiration": 1700003600000}}""")
     val sso = new AwsSso(t, "us-east-1", "https://corp.awsapps.com/start")
-    val reg = sso.ClientRegistration("cid-1", "sec-1", 9999999999L)
+    val reg = CloudIdentity.ClientRegistration("cid-1", "sec-1", 9999999999L)
     val da = sso.startDeviceAuthorization(reg)
     assert(da.userCode == "WXYZ-ABCD" && da.intervalSec == 5L)
     assert(sso.pollForToken(reg, da.deviceCode).isEmpty) // pending
@@ -79,7 +79,7 @@ class CloudIdentitySpec extends AnyFunSuite {
   test("AWS SSO: terminal poll errors throw, never spin") {
     val t = new FakeTransport("""{"error": "expired_token"}""")
     val sso = new AwsSso(t, "us-east-1", "https://corp.awsapps.com/start")
-    val reg = sso.ClientRegistration("cid", "sec", 9999999999L)
+    val reg = CloudIdentity.ClientRegistration("cid", "sec", 9999999999L)
     assertThrows[IllegalStateException](sso.pollForToken(reg, "dc"))
   }
 
