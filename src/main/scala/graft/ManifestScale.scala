@@ -70,7 +70,11 @@ object ManifestScale {
         }
       }
 
-      // release the full snapshot before measuring the manifest path
+      // heap BETWEEN the two measurements — snapFull is deliberately kept
+      // REACHABLE (hashCode pin) so the manifest-path delta below is
+      // measured against its own h1 baseline, not against a GC of the
+      // full fold; this reading therefore still INCLUDES the live full
+      // snapshot (it is not a "post-release" number)
       val nKeptFull = keptFull.size
       val hAfterFullRelease = { val x = snapFull; x.hashCode(); heapUsed() }
 
@@ -92,7 +96,7 @@ object ManifestScale {
       println(f"[manifestscale] n=$n%d survivors=${kept.size}%d " +
         f"full_fold_s=$tFull%.2f full_heap_mb=${hFull / 1024 / 1024}%d " +
         f"manifest_s=$tMan%.2f manifest_heap_mb=${hMan / 1024 / 1024}%d " +
-        f"(post-release baseline ${hAfterFullRelease / 1024 / 1024}%d MB)")
+        f"(inter-measurement baseline, full snapshot still live: ${hAfterFullRelease / 1024 / 1024}%d MB)")
       // keep wh out of scope; temp dirs reclaimed by the OS
     }
     spark.stop()

@@ -75,10 +75,14 @@ object Reindex {
     var covered = Long.MinValue // original-document char offset covered so far
     sorted.foreach { case (_, start, end, content) =>
       if (covered == Long.MinValue) { sb.append(content); covered = end.toLong }
-      else if (start >= covered) {
+      else if (start > covered) {
         sb.append('\n').append(content)
         covered = math.max(covered, end.toLong)
       } else {
+        // start <= covered INCLUDING exact adjacency (start == covered,
+        // e.g. overlap=0 tiling chunkers): drop == 0 there, so adjacent
+        // chunks concatenate exactly instead of gaining a separator
+        // newline the original document never had
         val drop = math.min(covered - start, content.length.toLong).toInt
         if (drop < content.length) sb.append(content, drop, content.length)
         covered = math.max(covered, end.toLong)

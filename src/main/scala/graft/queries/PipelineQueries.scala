@@ -414,8 +414,15 @@ object PipelineQueries {
             col("quality_prob"),
             (round(col("quality_prob"), 3) + 0.0).as("p"),
             col("keep"))
-        // tie-averaged ranks: rank each row, then average within equal p
-        // (the verdict frame is 2 rows/doc — driver-small, single window)
+        // tie-averaged ranks: rank each row, then average within equal p.
+        // HONEST SCALE NOTE: Window.orderBy with no partition is a
+        // SINGLE-PARTITION global sort over 2 rows PER DOCUMENT —
+        // corpus-proportional, fine for this gate-scale verification
+        // harness, NOT a production path. A 100 TB AUC needs a
+        // distributed tie-rank (sortWithinPartitions + per-partition
+        // offset aggregation) or a bounded sample; the p-rounding to 3dp
+        // here also caps distinct ties, which a production rank would
+        // not rely on.
         val ranked = scored
           .withColumn("rk", row_number().over(
             Window.orderBy(col("p"), col("label"))))

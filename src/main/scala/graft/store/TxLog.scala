@@ -1482,10 +1482,20 @@ object TxLog {
     commits.filter(v => v > ck.getOrElse(-1L) && v <= atVersion).foreach { v =>
       readCommitText(f, warehouse, v).linesIterator.filter(_.nonEmpty).foreach { line =>
         line.split('\t') match {
-          case Array("add", t, rel, gen) if t == tbl =>
-            postAdds(rel) = (gen.toLong, Map.empty, Map.empty); removed -= rel
-          case Array("add", t, rel, gen, _) if t == tbl =>
-            postAdds(rel) = (gen.toLong, Map.empty, Map.empty); removed -= rel
+          // a re-add WITHOUT an intervening remove keeps the stats
+          // already accumulated in this delta window — the driver-map
+          // fold merges stat lines across adds, and the two paths must
+          // agree (q159's stats-identity audit pins it). A re-add of a
+          // CHECKPOINT-live rel would still reset to the new add's own
+          // stat lines here; that shape is unreachable through the
+          // engine's writers (staged rels are fresh names; restore only
+          // re-adds non-live rels and carries the full stat set from the
+          // old snapshot) and degrades to conservative pruning anyway.
+          case Array("add", t, rel, gen, _*) if t == tbl =>
+            val (s0, b0) = postAdds.get(rel)
+              .map(p => (p._2, p._3))
+              .getOrElse((Map.empty[String, ColStat], Map.empty[String, String]))
+            postAdds(rel) = (gen.toLong, s0, b0); removed -= rel
           case Array("stat", t, rel, c, tpe, mn, mx) if t == tbl =>
             postAdds.get(rel).foreach { case (g, s, b) =>
               postAdds(rel) =

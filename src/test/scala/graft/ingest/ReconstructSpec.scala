@@ -75,3 +75,22 @@ class ReconstructSpec extends AnyFunSuite {
     assert(Reindex.reconstruct(chunks) == "012345678901234\n0123456789")
   }
 }
+
+/** Exactly-adjacent chunks (overlap=0 tiling: next start == covered end)
+  * must concatenate WITHOUT a separator — only a real gap (start >
+  * covered) earns the newline join. */
+class AdjacentReconstructSpec extends AnyFunSuite {
+  test("start == covered concatenates exactly; start > covered gets the newline") {
+    // "hello world!" tiled with zero overlap: [0,6) [6,12)
+    assert(graft.ingest.Reindex.reconstruct(Seq(
+      (0, 0, 6, "hello "), (1, 6, 12, "world!"))) == "hello world!")
+    // a trimmed gap (chunker skipped offset 6) still joins with \n
+    assert(graft.ingest.Reindex.reconstruct(Seq(
+      (0, 0, 6, "hello"), (1, 7, 12, "world"))) == "hello\nworld")
+    // three-way tiling round-trips byte-exactly
+    val doc = "abcdefghijklmnopqr"
+    val tiles = Seq((0, 0, 6, doc.substring(0, 6)),
+      (1, 6, 12, doc.substring(6, 12)), (2, 12, 18, doc.substring(12, 18)))
+    assert(graft.ingest.Reindex.reconstruct(tiles) == doc)
+  }
+}

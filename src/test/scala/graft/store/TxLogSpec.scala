@@ -2325,3 +2325,42 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, wh2, "t").count() == 2)
   }
 }
+
+/** Manifest/driver-map parity across RE-ADDS inside one delta window:
+  * the driver fold MERGES stat lines across adds of the same rel; the
+  * manifest's post-checkpoint fold must do the same — a second add
+  * without new stat lines must not erase the stats the first add carried
+  * (it previously reset them, disagreeing with the driver map). */
+class TxLogReAddManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.TestSpark.spark
+  import graft.store.TxLog
+
+  test("post-checkpoint re-add keeps accumulated stats; both paths agree") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-readd").toString
+    // seed + checkpoint so the delta window is post-checkpoint
+    TxLog.commit(spark, wh, Seq(TxLog.Add("t", "seed.parquet", 1L,
+      stats = Map("id" -> TxLog.ColStat("long", "0", "9")))))
+    TxLog.checkpoint(spark, wh, multipartAt = 0)
+    // add with stats, then RE-ADD the same rel bare (gen bump, no stats)
+    TxLog.commit(spark, wh, Seq(TxLog.Add("t", "hot.parquet", 1L,
+      stats = Map("id" -> TxLog.ColStat("long", "100", "199")))))
+    TxLog.commit(spark, wh, Seq(TxLog.Add("t", "hot.parquet", 2L)))
+    val snap = TxLog.snapshot(spark, wh)
+    val man = TxLog.fileManifest(spark, wh, "t").collect()
+      .map(e => e.rel -> e).toMap
+    assert(man("hot.parquet").generation == 2L)
+    assert(snap.statsOf("t", "hot.parquet").nonEmpty,
+      "driver map merges stats across adds")
+    assert(man("hot.parquet").stats == snap.statsOf("t", "hot.parquet"),
+      "manifest must merge like the driver map, not reset")
+    // a remove BETWEEN adds is a clean slate on both paths
+    TxLog.commit(spark, wh, Nil, removes = Seq(TxLog.Remove("t", "hot.parquet")))
+    TxLog.commit(spark, wh, Seq(TxLog.Add("t", "hot.parquet", 3L)))
+    val snap2 = TxLog.snapshot(spark, wh)
+    val man2 = TxLog.fileManifest(spark, wh, "t").collect()
+      .map(e => e.rel -> e).toMap
+    assert(snap2.statsOf("t", "hot.parquet").isEmpty &&
+      man2("hot.parquet").stats.isEmpty,
+      "remove clears stats on both paths")
+  }
+}
