@@ -1045,7 +1045,12 @@ final class KnowledgeStore(
         report += "postings" -> s"failed: ${e.getMessage}"
     }
     if (txMode) {
-      report += "checkpoint" -> s"v${T.checkpoint(spark, warehouse)}"
+      // the INCREMENTAL writer (previous checkpoint + delta as a Spark
+      // job): driver memory ∝ commits-since-last-checkpoint, never live
+      // files — the classic driver-fold writer OOMs an 8 GB driver near
+      // 10M live files, a count a nightly-maintained 100 TB warehouse
+      // reaches (see ManifestScale / BENCH_NOTES)
+      report += "checkpoint" -> s"v${T.checkpointViaManifest(spark, warehouse)}"
       report += "vacuum" -> s"${T.vacuum(spark, warehouse, vacuumRetentionMs)} files"
       if (expireLogHistory)
         report += "expire_log" -> s"${T.expireLog(spark, warehouse)} commits"

@@ -414,28 +414,34 @@ object PipelineQueries {
             col("quality_prob"),
             (round(col("quality_prob"), 3) + 0.0).as("p"),
             col("keep"))
-        // tie-averaged ranks: rank each row, then average within equal p.
-        // HONEST SCALE NOTE: Window.orderBy with no partition is a
-        // SINGLE-PARTITION global sort over 2 rows PER DOCUMENT —
-        // corpus-proportional, fine for this gate-scale verification
-        // harness, NOT a production path. A 100 TB AUC needs a
-        // distributed tie-rank (sortWithinPartitions + per-partition
-        // offset aggregation) or a bounded sample; the p-rounding to 3dp
-        // here also caps distinct ties, which a production rank would
-        // not rely on.
-        val ranked = scored
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("p"), col("label"))))
-        val tieAvg = ranked.groupBy("p").agg(avg("rk").as("ark"))
-        val j = ranked.join(tieAvg, "p")
-        val agg = j.agg(
+        // DISTRIBUTED tie-rank: the tie-averaged rank of a row whose
+        // rounded score is p equals (# rows with p' < p) + (cnt(p)+1)/2
+        // — so the whole Mann-Whitney statistic reduces to the per-p
+        // HISTOGRAM, whose cardinality is ≤ 1001 BY CONSTRUCTION (3-dp
+        // rounding of a unit-interval probability). The one ordered
+        // window below runs over that bounded frame, never the corpus:
+        // the only corpus-sized shuffle is the map-side-combined
+        // groupBy(p). (The previous shape was a single-partition
+        // row_number over 2 rows/document + a corpus-sized join — a
+        // global sort that does not survive 100 TB.)
+        val rowAgg = scored.agg(
           count(lit(1)).as("n_scored"),
-          sum(when(col("label") === 1, col("ark"))).as("posRankSum"),
-          sum(col("label")).as("nPos"),
-          sum(lit(1) - col("label")).as("nNeg"),
           min("quality_prob").as("pMin"), max("quality_prob").as("pMax"),
           sum(when(col("keep") =!= (col("p") > 0.5).cast("int"), 1)
             .otherwise(0)).as("gateViolations"))
+        val hist = scored.groupBy("p").agg(
+          count(lit(1)).as("cnt"), sum(col("label")).as("posCnt"))
+        val wBelow = Window.orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val arked = hist
+          .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+          .withColumn("ark", col("below") + (col("cnt") + lit(1)) / 2.0)
+        val rankAgg = arked.agg(
+          sum(col("posCnt") * col("ark")).as("posRankSum"),
+          sum(col("posCnt")).as("nPos"),
+          sum(col("cnt") - col("posCnt")).as("nNeg"))
+        // two 1-row frames: the broadcast crossJoin costs nothing
+        val agg = rankAgg.crossJoin(rowAgg)
           .withColumn("auc",
             (col("posRankSum") - col("nPos") * (col("nPos") + 1) / 2.0) /
               (col("nPos") * col("nNeg")))

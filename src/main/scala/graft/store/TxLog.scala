@@ -3352,31 +3352,123 @@ object TxLog {
     * shared by both checkpoint forms). Deterministic ordering for the
     * text form's byte-stability; the parquet fold is order-independent. */
   private def checkpointLines(snap: Snapshot): Iterator[String] = {
-    val meta =
-      snap.schemas.toSeq.sortBy(_._1).iterator.map { case (t, js) =>
-        s"schema\t$t\t${esc(js)}" } ++
-      snap.tagged.toSeq.sortBy(_._1).iterator.map { case (n, v) =>
-        s"tag\t${esc(n)}\t$v" } ++
-      snap.partSpecs.toSeq.sortBy(_._1).iterator.map { case (t, cols) =>
-        s"partspec\t$t\t${esc(cols.mkString(","))}" } ++
-      snap.retired.toSeq.sortBy(_._1).iterator.flatMap { case (t, phys) =>
-        phys.toSeq.sorted.map(p => s"retire\t$t\t${esc(p)}") } ++
-      snap.checks.toSeq.sortBy(_._1).iterator.flatMap { case (t, cs) =>
-        cs.toSeq.sortBy(_._1).map { case (nm, pred) =>
-          s"constraint\t$t\t${esc(nm)}\t${esc(pred)}" } } ++
-      snap.dvs.toSeq.sortBy(_._1).iterator.flatMap { case (t, entries) =>
-        entries.map { case (rel, pred) =>
-          s"dv\t$t\t${esc(rel)}\t${esc(pred)}" } }
     val files = snap.live.toSeq.sortBy(_._1).iterator.flatMap { case (t, fs0) =>
       fs0.sortBy(_._1).iterator.flatMap { case (rel, gen) =>
-        Iterator(s"add\t$t\t$rel\t$gen") ++
-          snap.statsOf(t, rel).toSeq.sortBy(_._1).iterator.map { case (c, cs) =>
-            s"stat\t$t\t$rel\t${esc(c)}\t${cs.tpe}\t${esc(cs.min)}\t${esc(cs.max)}" } ++
-          snap.bloomsOf(t, rel).toSeq.sortBy(_._1).iterator.map { case (c, b64) =>
-            s"bloom\t$t\t$rel\t${esc(c)}\t$b64" }
+        fileEntryLines(t, rel, gen, snap.statsOf(t, rel), snap.bloomsOf(t, rel))
       }
     }
-    meta ++ files
+    checkpointMetaLines(snap) ++ files
+  }
+
+  /** The O(tables) metadata half of [[checkpointLines]] — everything a
+    * [[lightSnapshot]] carries (schemas/tags/specs/retired/checks/dvs),
+    * no per-file state. */
+  private def checkpointMetaLines(snap: Snapshot): Iterator[String] =
+    snap.schemas.toSeq.sortBy(_._1).iterator.map { case (t, js) =>
+      s"schema\t$t\t${esc(js)}" } ++
+    snap.tagged.toSeq.sortBy(_._1).iterator.map { case (n, v) =>
+      s"tag\t${esc(n)}\t$v" } ++
+    snap.partSpecs.toSeq.sortBy(_._1).iterator.map { case (t, cols) =>
+      s"partspec\t$t\t${esc(cols.mkString(","))}" } ++
+    snap.retired.toSeq.sortBy(_._1).iterator.flatMap { case (t, phys) =>
+      phys.toSeq.sorted.map(p => s"retire\t$t\t${esc(p)}") } ++
+    snap.checks.toSeq.sortBy(_._1).iterator.flatMap { case (t, cs) =>
+      cs.toSeq.sortBy(_._1).map { case (nm, pred) =>
+        s"constraint\t$t\t${esc(nm)}\t${esc(pred)}" } } ++
+    snap.dvs.toSeq.sortBy(_._1).iterator.flatMap { case (t, entries) =>
+      entries.map { case (rel, pred) =>
+        s"dv\t$t\t${esc(rel)}\t${esc(pred)}" } }
+
+  /** One live file's checkpoint lines (add + stats + blooms) — shared by
+    * the driver-fold writer and the manifest writer so both emit the
+    * exact grammar the fold parses. */
+  private def fileEntryLines(t: String, rel: String, gen: Long,
+      stats: Map[String, ColStat],
+      blooms: Map[String, String]): Iterator[String] =
+    Iterator(s"add\t$t\t$rel\t$gen") ++
+      stats.toSeq.sortBy(_._1).iterator.map { case (c, cs) =>
+        s"stat\t$t\t$rel\t${esc(c)}\t${cs.tpe}\t${esc(cs.min)}\t${esc(cs.max)}" } ++
+      blooms.toSeq.sortBy(_._1).iterator.map { case (c, b64) =>
+        s"bloom\t$t\t$rel\t${esc(c)}\t$b64" }
+
+  /** The table a checkpoint/commit line belongs to (None for tag and
+    * header lines) — cheap token parse, used to discover the live table
+    * set without folding any per-file state. */
+  private def lineTable(line: String): Option[String] = {
+    val parts = line.split('\t')
+    parts(0) match {
+      case "add" | "stat" | "bloom" | "remove" | "schema" | "partspec" |
+           "dv" | "dvclear" | "retire" | "constraint" | "dropconstraint" |
+           "delete" | "merge" if parts.length > 1 => Some(parts(1))
+      case _ => None
+    }
+  }
+
+  /** Write the NEXT checkpoint WITHOUT the full driver fold — the
+    * INCREMENTAL checkpoint (the published Delta state-reconstruction
+    * shape: new checkpoint = previous checkpoint ⊎ delta, computed as a
+    * Spark job). [[checkpoint]] materializes the whole live set on the
+    * driver first (~200 B/file — measured 438 MB at 1M files, an OOM at
+    * 10M on an 8 GB driver); this path streams it instead:
+    *   - metadata (schemas/tags/specs/dvs/checks) from [[lightSnapshot]]
+    *     — O(tables) driver state;
+    *   - per-file lines from [[fileManifest]] per table — previous
+    *     checkpoint parsed INSIDE executors, post-checkpoint delta
+    *     folded on the driver bounded by the CHECKPOINT CADENCE;
+    *   - encode + write as a partitioned parquet job (always the
+    *     multi-part form — this path exists for states too big for one
+    *     driver string).
+    * Driver memory ∝ tables + commits-since-last-checkpoint, never live
+    * files. Run it on the same cadence as [[checkpoint]]; the cadence IS
+    * the bound — the first checkpoint of an already-huge uncheckpointed
+    * log must still pay a delta fold proportional to that log.
+    * Idempotent; returns the covered version (-1 on an empty log). */
+  def checkpointViaManifest(spark: SparkSession, warehouse: String): Long = {
+    val f = fs(spark, warehouse)
+    val light = lightSnapshot(spark, warehouse)
+    if (light.version < 0) return -1L
+    val v = light.version
+    val target = checkpointFile(warehouse, v)
+    val pqTarget = checkpointParquetDir(warehouse, v)
+    if (f.exists(target) || f.exists(pqTarget)) return v
+    // live-table discovery without file-map state: table tokens from the
+    // previous checkpoint (parsed in executors for the parquet form) ∪
+    // post-checkpoint commit texts (cadence-bounded driver read)
+    val commits = listVersions(f, warehouse)
+    val prevCk = listCheckpoints(f, warehouse).filter(_ <= v).lastOption
+    val ckTables: Set[String] = prevCk match {
+      case Some(cv) =>
+        val txt = checkpointFile(warehouse, cv)
+        if (f.exists(txt)) // text form: small by the multipartAt contract
+          readText(f, txt).linesIterator.flatMap(lineTable).toSet
+        else {
+          import spark.implicits._
+          spark.read.parquet(checkpointParquetDir(warehouse, cv).toString)
+            .as[String].flatMap(l => lineTable(l)).distinct().collect().toSet
+        }
+      case None => Set.empty
+    }
+    val deltaTables = commits.filter(c => c > prevCk.getOrElse(-1L) && c <= v)
+      .iterator.flatMap(c => readCommitText(f, warehouse, c).linesIterator
+        .flatMap(lineTable)).toSet
+    val tables = (ckTables ++ deltaTables).toSeq.sorted
+    import spark.implicits._
+    val fileLines = tables.map { t =>
+      fileManifest(spark, warehouse, t, atVersion = v).flatMap(e =>
+        fileEntryLines(t, e.rel, e.generation, e.stats, e.blooms).toSeq)
+    }.reduceOption(_ union _).getOrElse(spark.emptyDataset[String])
+    val all = spark.createDataset(checkpointMetaLines(light).toSeq)
+      .union(fileLines)
+    // same complete-or-none publish protocol as the classic multi-part
+    // writer: temp dir + header stamp + rename; a losing racer cleans up
+    val header = s"commit\t$v\t${System.currentTimeMillis()}"
+    val tmp = new Path(logPath(warehouse), s".ck-${java.util.UUID.randomUUID}")
+    all.repartition(64).toDF("line").write.parquet(tmp.toString)
+    val out = f.create(checkpointHeaderFile(tmp), false)
+    try out.write((header + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, pqTarget)) f.delete(tmp, true)
+    v
   }
 
   /** Drop commit files AT OR BEFORE the newest checkpoint — the log's

@@ -2364,3 +2364,72 @@ class TxLogReAddManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
       "remove clears stats on both paths")
   }
 }
+
+/** The INCREMENTAL checkpoint writer (checkpointViaManifest): state-
+  * identical to the classic driver-fold writer across the full state
+  * zoo (schemas, tags, partition specs, DVs, constraints, stats,
+  * blooms, deletes) — but the driver never materializes the live set.
+  * This is the shape that checkpoints a 10M-file warehouse on an 8 GB
+  * driver, where the classic writer's snapshot() fold OOMs. */
+class TxLogManifestCheckpointSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.store.TxLog
+
+  test("manifest-built checkpoint is state-identical to the classic one; expiry-safe") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ckman").toString
+    val d0 = (0L until 30L).map(i => (i, s"c${i % 3}", 1L))
+      .toDF("id", "container_id", "generation")
+    TxLog.commit(spark, wh, TxLog.stageWrite(d0, wh, "chunks",
+      Seq("container_id"), 1, statsCols = Seq("id"), bloomCols = Seq("id")),
+      schemas = Map("chunks" -> d0.schema),
+      partitionSpecs = Map("chunks" -> Seq("container_id")))
+    // a second (schema-less) table must be DISCOVERED by the writer too
+    TxLog.commit(spark, wh, Seq(TxLog.Add("aux", "a.parquet", 1L,
+      stats = Map("k" -> TxLog.ColStat("long", "1", "5")))))
+    TxLog.tag(spark, wh, "baseline", 0L)
+    TxLog.deleteWhere(spark, wh, "chunks", col("id") < 5L,
+      partitionBy = Seq("container_id"), statsCols = Seq("id")).get
+    TxLog.deleteWhereDV(spark, wh, "chunks", col("id").between(10L, 14L)).get
+    def canon(s: TxLog.Snapshot) = (s.version,
+      s.live.map { case (t, fs2) => t -> fs2.sorted }, s.stats, s.blooms,
+      s.schemas, s.tagged, s.partSpecs, s.dvs, s.checks)
+    val full = canon(TxLog.snapshot(spark, wh))
+    val ckv = TxLog.checkpointViaManifest(spark, wh)
+    assert(ckv == full._1)
+    assert(TxLog.checkpointViaManifest(spark, wh) == ckv) // idempotent
+    // always the multi-part parquet form
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wh), spark.sparkContext.hadoopConfiguration)
+    val names = fs2.listStatus(new org.apache.hadoop.fs.Path(s"$wh/_txlog"))
+      .map(_.getPath.getName).toSeq
+    assert(names.exists(_.endsWith(".checkpoint.parquet")), names.toString)
+    // the checkpoint-seeded fold reproduces the EXACT pre-checkpoint state
+    assert(canon(TxLog.snapshot(spark, wh)) == full)
+    // and survives log expiry: the checkpoint is now the only source
+    TxLog.expireLog(spark, wh)
+    assert(canon(TxLog.snapshot(spark, wh)) == full)
+    assert(TxLog.read(spark, wh, "chunks").count() == 20) // 30 - 5 - 5(DV)
+    assert(TxLog.read(spark, wh, "chunks")
+      .filter(col("id").between(10L, 14L)).count() == 0) // DV mask survives
+    // the manifest path reads the manifest-built checkpoint too
+    val man = TxLog.fileManifest(spark, wh, "chunks").collect()
+    val snap = TxLog.snapshot(spark, wh)
+    assert(man.map(e => (e.rel, e.generation)).sorted.toSeq ==
+      snap.files("chunks").sorted)
+    man.foreach(e => assert(e.stats == snap.statsOf("chunks", e.rel)))
+    // post-checkpoint delta folds on top; a SECOND incremental checkpoint
+    // (previous parquet checkpoint + delta, all inside Spark) supersedes
+    TxLog.commit(spark, wh, TxLog.stageWrite(
+      (100L until 110L).map(i => (i, s"c${i % 3}", 2L))
+        .toDF("id", "container_id", "generation"),
+      wh, "chunks", Seq("container_id"), 2, statsCols = Seq("id")))
+    val ck2 = TxLog.checkpointViaManifest(spark, wh)
+    assert(ck2 > ckv)
+    TxLog.expireLog(spark, wh)
+    assert(TxLog.read(spark, wh, "chunks").count() == 30)
+    assert(TxLog.snapshot(spark, wh).files("aux").nonEmpty,
+      "schema-less tables must survive incremental checkpoints")
+  }
+}
