@@ -1860,6 +1860,88 @@ object RelationalQueries {
                CAST(1 AS BIGINT) AS audit_ok
         FROM live WHERE doc_id BETWEEN 200 AND 399
         GROUP BY source ORDER BY source"""),
-      doc = "snapshot-as-a-DataFrame: checkpoint-seeded file manifest + distributed stats pruning + viaManifest delete, parity with the driver-map path audited, band read SQL-oracled")
+      doc = "snapshot-as-a-DataFrame: checkpoint-seeded file manifest + distributed stats pruning + viaManifest delete, parity with the driver-map path audited, band read SQL-oracled"),
+
+    QueryDef(
+      "q160_incremental_checkpoint",
+      (s, d) => {
+        // INCREMENTAL CHECKPOINT, SQL-ORACLED (the round-12 scale item):
+        // checkpointViaManifest builds the next checkpoint as a Spark job
+        // (lightSnapshot metadata + per-table fileManifest lines — the
+        // previous checkpoint parses inside executors, the delta is
+        // cadence-bounded) instead of the classic writer's full driver
+        // fold, which needs ~7.8 GB of driver maps at 10M live files
+        // (OOMs an 8 GB heap — measured, ManifestScale/BENCH_NOTES).
+        // This harness drives TWO increment rounds end to end on ONE
+        // warehouse and pins each against the fold that does NOT use the
+        // checkpoint it produced: (1) ground1 = the raw-commit driver
+        // fold, then ck1 = checkpointViaManifest — the ck1-seeded fold
+        // must equal ground1; (2) a post-ck1 append + merge-on-read
+        // delete (the DV registration must ride through the next
+        // checkpoint), ground2 = the ck1-seeded + delta driver fold,
+        // then ck2 = checkpoint-from-previous-checkpoint + expireLog —
+        // the ck2-only fold must equal ground2. Chained, the two pins
+        // prove the incremental writer reproduces the classic fold's
+        // exact state at every step, with DV masks surviving expiry,
+        // lightSnapshot version agreement, manifest==snapshot identity,
+        // and driver-map/manifest read parity; the band read is
+        // recomputed exactly by DuckDB.
+        // Scale: harness I/O ∝ the sf table; the operator under test is
+        // the nightly-maintenance path at 10^7 live files.
+        val T = graft.store.TxLog
+        val docs = table(s, d, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        val wh = java.nio.file.Files.createTempDirectory("graft-q160").toString
+        def canon() = {
+          val sn = T.snapshot(s, wh)
+          (sn.version, sn.live.map { case (t, fs0) => t -> fs0.sorted },
+            sn.stats, sn.blooms, sn.schemas, sn.dvs)
+        }
+        T.commit(s, wh, T.stageWrite(
+          docs.repartitionByRange(8, col("doc_id")), wh, "documents", Nil,
+          1L, statsCols = Seq("doc_id")),
+          schemas = Map("documents" -> docs.schema))
+        val ground1 = canon() // raw-commit fold, no checkpoint involved
+        T.checkpointViaManifest(s, wh) // increment 1: from raw commits
+        val pin1 = canon() == ground1 // ck1-seeded fold == raw fold
+        T.commit(s, wh, T.stageWrite(
+          docs.filter(col("doc_id") % 10 === 7)
+            .withColumn("doc_id", col("doc_id") + 3000000000L),
+          wh, "documents", Nil, 2L, statsCols = Seq("doc_id")))
+        T.deleteWhereDV(s, wh, "documents",
+          col("doc_id").between(300L, 499L))
+        val ground2 = canon() // ck1 + commit-delta fold
+        T.checkpointViaManifest(s, wh) // increment 2: prev ck + delta
+        T.expireLog(s, wh) // ck2 is now the ONLY source of state
+        val pin2 = canon() == ground2
+        val snap = T.snapshot(s, wh)
+        val man = T.fileManifest(s, wh, "documents").collect()
+        val manifestIsLiveSet =
+          man.map(e => (e.rel, e.generation)).sorted.toSeq ==
+            snap.files("documents").sorted &&
+          man.forall(e => e.stats == snap.statsOf("documents", e.rel))
+        val pruned = T.readWhereBetweenViaManifest(
+          s, wh, "documents", "doc_id", 200L, 599L)
+        val viaMaps = T.readWhereBetween(
+          s, wh, "documents", "doc_id", 200L, 599L)
+        val parity = pruned.count() == viaMaps.count() &&
+          pruned.exceptAll(viaMaps).isEmpty
+        val auditOk = pin1 && pin2 && manifestIsLiveSet && parity &&
+          T.lightSnapshot(s, wh).version == snap.version
+        pruned.groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .withColumn("audit_ok", lit(if (auditOk) 1L else 0L))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(1 AS BIGINT) AS audit_ok
+        FROM documents
+        WHERE doc_id BETWEEN 200 AND 599
+          AND doc_id NOT BETWEEN 300 AND 499
+        GROUP BY lang ORDER BY lang"""),
+      doc = "incremental checkpoint (previous checkpoint + delta as a Spark job, no driver fold): fold-chain state identity vs the classic driver fold, DV survival through expiry, manifest parity — band read SQL-oracled")
   )
 }
