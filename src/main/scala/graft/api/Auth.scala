@@ -202,6 +202,38 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
   def listUsers(): Seq[(String, String, String, Seq[String], Boolean)] =
     users.load().map(u => (u._1, u._2, u._3, u._6, u._8 < 0))
 
+  /** One ACTIVE user's profile: (user_id, email, name, scopes,
+    * created_ms) — the GET /auth/me payload (ref AuthEndpoints.cs /me). */
+  def userInfo(userId: String): Option[(String, String, String, Seq[String], Long)] =
+    activeUser(_._1 == userId).map(u => (u._1, u._2, u._3, u._6, u._7))
+
+  /** Replace a user's scopes (ref AuthEndpoints.cs PUT /users/{id}/roles
+    * mapped onto the scope grammar). The reference's "never remove the
+    * Owner role" invariant maps to: the LAST active admin's admin scope
+    * cannot be removed — a deployment must never administrate itself
+    * into lockout (seedOwner exists to guarantee an admin; this guards
+    * the other direction). Scopes take effect on the NEXT token mint;
+    * outstanding JWTs keep their minted scopes until expiry (15 min
+    * default) — the same trade the reference makes with role claims
+    * baked into issued tokens. */
+  def setUserScopes(userId: String, scopes: Seq[String]): Boolean =
+    synchronized {
+      require(scopes.nonEmpty, "at least one scope required")
+      scopes.foreach(s => require(validScope(s), s"invalid scope '$s'"))
+      val rows = users.load()
+      rows.find(u => u._1 == userId && u._8 < 0) match {
+        case None => false
+        case Some(u) =>
+          if (u._6.contains("admin") && !scopes.contains("admin"))
+            require(rows.exists(x => x._1 != userId && x._8 < 0 &&
+              x._6.contains("admin")),
+              "cannot remove the last active admin's admin scope")
+          users.write(rows.map(x =>
+            if (x._1 == userId) x.copy(_6 = scopes) else x))
+          true
+      }
+    }
+
   /** Tombstone. A revoked user's outstanding JWTs keep their signature
     * but [[authenticate]] re-checks the user row, so they die with the
     * staleness window, and refresh is refused immediately. REVERSIBLE

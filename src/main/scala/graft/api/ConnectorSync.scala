@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Remote-connector SYNC (ref ContainersEndpoints.cs POST
+  * /{containerId}/sync): pull the connector's current listing, diff it
+  * against the LAST synced snapshot ([[graft.streaming.ConnectorDelta]]
+  * — the poll-based change feed for stores with no native
+  * notifications), ingest Created/Changed files through the
+  * KnowledgeStore's own upload path (chunk → embed → index, write
+  * guard bypassed the same way the reference's ingestion queue writes
+  * into read-only connector containers), delete removed ones, and
+  * persist the new snapshot so the next sync is a delta, never a
+  * re-crawl.
+  *
+  * The LISTING and CONTENT providers are injected per deployment —
+  * `sources/ObjectStore.S3Client.list`/`get`, AzureBlobClient, or a
+  * filesystem walk all produce the same (path, mtime, size) shape;
+  * specs pass canned closures and drive the whole lifecycle offline
+  * (the ObjectStoreIngest specs already pin the real wire clients).
+  *
+  * CLOUD-SCOPE GATE (ref /sync's ICloudScopeService check): for a
+  * cloud connector, the CALLER's linked identity must reach the
+  * connector's account/container — `cloudPrincipalOf` names what the
+  * connector belongs to, the route resolves the caller's linked
+  * principal ([[CloudIdentityRegistry]]) and
+  * [[graft.sources.CloudScopes]] decides. A user who never linked (or
+  * whose SSO account set misses the connector's account) gets
+  * `cloud_access_denied` — server-side discovery means this cannot be
+  * self-asserted around.
+  *
+  * Scale shape: the diff is one full-outer join of two listings
+  * (ConnectorDelta.events); ingest cost ∝ changed files only. The
+  * snapshot table is one parquet frame per container, swap-rewritten
+  * like every registry.
+  */
+final class ConnectorSyncer(spark: SparkSession, warehouse: String,
+    store: KnowledgeStore,
+    /** Remote listing per container id: (path, mtime: long, size: long). */
+    list: String => DataFrame,
+    /** Remote content per (container id, path). */
+    fetch: (String, String) => String,
+    /** (provider, connector principal) for cloud connectors — for aws
+      * the connector's ACCOUNT ID (ref STS GetCallerIdentity), for
+      * azure the (reachable) container name; None = not identity-gated
+      * (managed/filesystem). */
+    val cloudPrincipalOf: String => Option[(String, String)] = _ => None) {
+
+  private def snapPath(cid: String) = s"$warehouse/connector_snapshots/$cid"
+
+  private def previous(cid: String): DataFrame = {
+    import spark.implicits._
+    try spark.read.parquet(snapPath(cid)).select("path", "mtime", "size")
+    catch { case _: Exception =>
+      Seq.empty[(String, Long, Long)].toDF("path", "mtime", "size") }
+  }
+
+  /** One sync pass. Returns the MATERIALIZED (path, event_type) delta
+    * (collected before the snapshot swap — the lazy frame would re-diff
+    * against the NEW snapshot) plus (created, changed, deleted) counts;
+    * when a progress listener is given, the delta also lands in the ring
+    * as phase=file_change events (the SSE channel clients follow). */
+  def sync(cid: String,
+      progress: Option[graft.ingest.ProgressListener] = None)
+      : (Seq[(String, String)], (Long, Long, Long)) = {
+    val cur = list(cid).select("path", "mtime", "size")
+    // evaluate the listing ONCE: it feeds the diff and the new snapshot
+    val curRows = cur.cache()
+    val eventsDf = graft.streaming.ConnectorDelta.events(previous(cid), curRows)
+    progress.foreach(p =>
+      graft.streaming.ConnectorDelta.publish(eventsDf, p, connectorId = cid))
+    val byType = eventsDf.collect() // changed-file set: poll-window-bounded
+    val created = byType.filter(_.getString(1) == "Created").map(_.getString(0))
+    val changed = byType.filter(_.getString(1) == "Changed").map(_.getString(0))
+    val deleted = byType.filter(_.getString(1) == "Deleted").map(_.getString(0))
+    // ingest in MaxBulk batches through the store's own pipeline (chunk
+    // -> embed -> index, progress events, upsert semantics); asConnector
+    // bypasses the USER write guard — the sync IS the connector
+    (created ++ changed).grouped(store.MaxBulk).foreach { grp =>
+      store.bulkUploadBatch(cid, grp.toSeq.map(p => (p, fetch(cid, p))),
+        asConnector = true)
+    }
+    deleted.grouped(store.MaxBulk).foreach(grp =>
+      store.bulkDeleteBatch(cid, grp.toSeq, asConnector = true))
+    // swap-rewrite the snapshot (old-or-new reader guarantee)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(snapPath(cid)), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(snapPath(cid))
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".sync-${java.util.UUID.randomUUID}")
+    curRows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      sys.error(s"connector snapshot rename failed: $tmp -> $target")
+    curRows.unpersist()
+    spark.catalog.refreshByPath(snapPath(cid))
+    (byType.toSeq.map(r => (r.getString(0), r.getString(1))),
+      (created.length.toLong, changed.length.toLong, deleted.length.toLong))
+  }
+}

@@ -451,9 +451,16 @@ final class KnowledgeStore(
   def bulkUploadBatch(
       containerId: String,
       files: Seq[(String, String)],
-      base64: Boolean = false): (String, Seq[String]) = {
+      base64: Boolean = false,
+      /** The CONNECTOR SYNC path sets this: the write guard blocks USER
+        * writes into connector-managed containers (ref
+        * ContainerWriteGuard.cs — the guard's whole point), but the sync
+        * job IS the connector and must land its pulled files (ref the
+        * ingestion queue writing into read-only containers). Never
+        * exposed over REST/MCP — only [[ConnectorSyncer]] passes true. */
+      asConnector: Boolean = false): (String, Seq[String]) = {
     require(files.length <= MaxBulk, s"bulk_upload limited to $MaxBulk files")
-    requireWritable(containerId)
+    if (!asConnector) requireWritable(containerId)
     val docs = files.map { case (path, raw) =>
       val norm = graft.ingest.PathUtil.normalize(path)
       val fileName = norm.substring(norm.lastIndexOf('/') + 1)
@@ -650,9 +657,12 @@ final class KnowledgeStore(
   /** bulk_delete with a batch resource id (ref BatchesEndpoints.cs), like
     * [[bulkUploadBatch]]: phase events land in the progress ring under
     * the returned id. */
-  def bulkDeleteBatch(containerId: String, paths: Seq[String]): String = {
+  def bulkDeleteBatch(containerId: String, paths: Seq[String],
+      /** See [[bulkUploadBatch]]'s asConnector — the sync path removes
+        * files the REMOTE deleted; the guard is for user writes. */
+      asConnector: Boolean = false): String = {
     require(paths.length <= MaxBulk, s"bulk_delete limited to $MaxBulk")
-    requireWritable(containerId)
+    if (!asConnector) requireWritable(containerId)
     val jobId = java.util.UUID.randomUUID().toString.take(8)
     progress.onProgress(graft.ingest.ProgressEvent(
       jobId, "received", 0L, paths.length.toLong, "bulk_delete"))

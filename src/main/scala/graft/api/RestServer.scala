@@ -75,6 +75,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * session cannot self-assert accounts it does not own (ref
       * CloudIdentityService.cs). Requires `cloudIdentities` + `users`. */
     cloudFlows: Option[CloudFlows] = None,
+    /** Remote-connector sync (ref ContainersEndpoints.cs /sync): POST
+      * /containers/{id}/sync pulls the connector delta and ingests it,
+      * gated by the CALLER's linked cloud identity for cloud
+      * connectors. */
+    connectorSync: Option[ConnectorSyncer] = None,
     /** Append-only audit sink (ref AuditLogger.cs): when set, every
       * non-GET request and every auth denial records (key, action,
       * resource, status); admins read it back at `GET /audit`. */
@@ -118,6 +123,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val BatchId = "/batches/([^/]+)".r
   private val UserId = "/auth/users/([^/]+)".r
   private val UserActive = "/auth/users/([^/]+)/active".r
+  private val UserScopes = "/auth/users/([^/]+)/scopes".r
   private val PatId = "/auth/pats/([^/]+)".r
   private val CloudProvider = "/auth/cloud/([a-z]+)".r
   private val CloudDeviceAuth = "/auth/cloud/(aws|azure)/device_auth".r
@@ -311,6 +317,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val token = reg.invite(str(b, "email"), ss, principal)
           auditRec(201, s"invite ${str(b, "email")} scopes=${ss.mkString(",")}")
           ok(ex, obj("invite_token" -> token), status = 201)
+        // who am I (ref AuthEndpoints.cs GET /me): any live session may
+        // introspect itself — id, email, name, scopes, created
+        case ("GET", "/auth/me") =>
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val sub = bearer.flatMap(reg.subjectOf).getOrElse(
+            throw Denied(401, "/auth/me requires a user session (JWT)"))
+          val (id, email, name, ss, created) = reg.userInfo(sub)
+            .getOrElse(throw Denied(401, "unauthorized"))
+          ok(ex, obj("user_id" -> id, "email" -> email, "name" -> name,
+            "scopes" -> ss.map(s => s: Any), "created_ms" -> created))
         case ("GET", "/auth/users") =>
           requireAdmin()
           val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
@@ -318,6 +334,23 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             obj("user_id" -> id, "email" -> email, "name" -> name,
               "scopes" -> ss.map(s => s: Any), "active" -> active)
           }))
+        // scope (role) assignment (ref AuthEndpoints.cs PUT
+        // /users/{id}/roles): admin replaces a user's scopes; the
+        // last-admin guard is the reference's "never remove Owner"
+        case ("PUT", UserScopes(id)) =>
+          requireAdmin()
+          val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
+          val b = body(ex)
+          val ss = {
+            val it = node(b, "scopes").elements()
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) out += it.next().asText()
+            out.toSeq
+          }
+          if (reg.setUserScopes(id, ss)) {
+            auditRec(200, s"user_set_scopes $id scopes=${ss.mkString(",")}")
+            ok(ex, obj("user_id" -> id, "scopes" -> ss.map(s => s: Any)))
+          } else err(ex, 404, s"no active user: $id")
         case ("DELETE", UserId(id)) =>
           requireAdmin()
           val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
@@ -717,6 +750,38 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         // settings-change reindex surface (ref SettingsEndpoints.cs POST
         // /reindex + ReindexStateService): check reports per-action counts,
         // reindex re-ingests the stale set under current settings
+        // remote-connector sync (ref ContainersEndpoints.cs POST /sync):
+        // pull the connector's listing, ingest the delta. For cloud
+        // connectors the CALLER's linked identity must reach the
+        // connector's account/container — the reference gates user
+        // sessions and lets machine agents through (its Guid.TryParse
+        // skip), mirrored here: JWT subject => gate, API key => no user
+        // to gate on
+        case ("POST", Sub(id, "sync")) =>
+          requireScope("write", id)
+          val syncer = connectorSync.getOrElse(
+            throw Denied(404, "no connector sync configured"))
+          syncer.cloudPrincipalOf(id).foreach { case (provider, connPrincipal) =>
+            bearer.flatMap(b => users.flatMap(_.subjectOf(b))).foreach { sub =>
+              val creg = cloudIdentities.getOrElse(
+                throw Denied(403, "cloud_access_denied: no identity registry"))
+              val linked = creg.principalOf(sub, provider).getOrElse("")
+              val verdict = provider match {
+                case "aws" =>
+                  graft.sources.CloudScopes.awsDiscover(linked, connPrincipal)
+                case _ =>
+                  graft.sources.CloudScopes.azureDiscover(linked,
+                    containerReachable = true, containerName = connPrincipal)
+              }
+              if (!verdict.hasAccess)
+                throw Denied(403, s"cloud_access_denied: ${verdict.error.getOrElse("")}")
+            }
+          }
+          val (_, (nCreated, nChanged, nDeleted)) =
+            syncer.sync(id, progressLog.map(identity))
+          auditRec(200, s"sync created=$nCreated changed=$nChanged deleted=$nDeleted")
+          ok(ex, obj("created" -> nCreated, "changed" -> nChanged,
+            "deleted" -> nDeleted))
         case ("POST", Sub(id, "reindex_check")) =>
           requireScope("read", id)
           val force = optBody(ex).exists(bool(_, "force", default = false))

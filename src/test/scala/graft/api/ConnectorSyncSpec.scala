@@ -1,0 +1,200 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Remote-connector sync over REST (ref ContainersEndpoints.cs POST
+  * /{id}/sync + ICloudScopeService): listing diff -> delta ingest into a
+  * READ-ONLY connector container (the guard blocks user writes, the
+  * sync IS the connector), idempotent re-sync, change/delete
+  * propagation, and the cloud-scope gate driven by the caller's
+  * SERVER-LINKED identity. */
+class ConnectorSyncSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-sync").toString
+  private lazy val store = new KnowledgeStore(spark, wh,
+    cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+  private lazy val userReg = new UserRegistry(spark, wh, "sync-secret-0123456789")
+  private lazy val cloudReg = new CloudIdentityRegistry(spark, wh)
+
+  // the "remote": a mutable in-memory bucket of (path -> (content, mtime))
+  private val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+    "/docs/a.txt" -> (("alpha file contents about storage", 100L)),
+    "/docs/b.txt" -> (("bravo file contents about engines", 100L)))
+
+  private lazy val syncer = new ConnectorSyncer(spark, wh, store,
+    list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+      .toDF("path", "mtime", "size"),
+    fetch = (_, p) => remote(p)._1,
+    cloudPrincipalOf = cid =>
+      if (cid == s3Container) Some(("aws", "444455556666")) else None)
+
+  private lazy val s3Container =
+    store.createContainer("bucket-mirror", connectorType = "S3")
+  private lazy val (server, base) = {
+    val s = new RestServer(store, users = Some(userReg),
+      cloudIdentities = Some(cloudReg), connectorSync = Some(syncer))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  private def login(email: String): String =
+    http("POST", "/auth/login",
+      s"""{"email": "$email", "password": "password!"}""")
+      ._2.get("access_token").asText()
+
+  test("cloud gate: unlinked user 403; linked-to-the-right-account user syncs") {
+    userReg.createUser("ops@example.com", "password!", Seq("admin"), "ops")
+    val jwt = login("ops@example.com")
+    // an S3 container is READ-ONLY for user writes (the guard)...
+    assert(http("POST", s"/containers/$s3Container/files",
+      """{"path": "/x.txt", "content": "user write"}""", jwt)._1 == 400)
+    // ...and sync is refused while the caller has no linked AWS identity
+    val denied = http("POST", s"/containers/$s3Container/sync", "{}", jwt)
+    assert(denied._1 == 403 &&
+      denied._2.get("error").asText().contains("cloud_access_denied"), denied._2)
+    // a linked identity that MISSES the connector's account still 403s
+    val uid = userReg.listUsers().find(_._2 == "ops@example.com").get._1
+    cloudReg.link(uid, "aws", "999999999999")
+    assert(http("POST", s"/containers/$s3Container/sync", "{}", jwt)._1 == 403)
+    // linked to the connector's account: the sync runs and ingests
+    cloudReg.link(uid, "aws", "111122223333,444455556666")
+    val (st, r) = http("POST", s"/containers/$s3Container/sync", "{}", jwt)
+    assert(st == 200, r.toString)
+    assert(r.get("created").asLong() == 2 && r.get("deleted").asLong() == 0)
+    val files = http("GET", s"/containers/$s3Container/files", bearer = jwt)._2
+    assert(files.size() == 2, files.toString)
+    // the synced content is SEARCHABLE through the normal pipeline
+    val hits = http("POST", "/search",
+      s"""{"container_id": "$s3Container", "query": "bravo engines",
+           "mode": "keyword"}""", jwt)._2.get("hits")
+    assert(hits.size() > 0, "synced files must be indexed")
+  }
+
+  test("re-sync is a delta: no-op, then changed re-ingests and deleted removes") {
+    val jwt = login("ops@example.com")
+    val noop = http("POST", s"/containers/$s3Container/sync", "{}", jwt)._2
+    assert(noop.get("created").asLong() == 0 &&
+      noop.get("changed").asLong() == 0 && noop.get("deleted").asLong() == 0,
+      s"unchanged remote must be a no-op delta, got $noop")
+    remote("/docs/a.txt") = (("alpha REVISED contents about storage", 200L))
+    remote.remove("/docs/b.txt")
+    remote("/docs/c.txt") = (("charlie new file", 300L))
+    val r = http("POST", s"/containers/$s3Container/sync", "{}", jwt)._2
+    assert(r.get("created").asLong() == 1 && r.get("changed").asLong() == 1 &&
+      r.get("deleted").asLong() == 1, r.toString)
+    val doc = http("GET",
+      s"/containers/$s3Container/document?path=/docs/a.txt", bearer = jwt)._2
+    assert(doc.get("content").asText().contains("REVISED"),
+      "a Changed file must re-ingest its new content")
+    assert(http("GET",
+      s"/containers/$s3Container/document?path=/docs/b.txt", bearer = jwt)._1
+      == 404, "a Deleted file must leave the index")
+  }
+
+  test("non-cloud containers sync without an identity gate") {
+    val fsContainer = store.createContainer("plain", connectorType = "Filesystem",
+      writable = false)
+    remote.clear()
+    remote("/p/readme.md") = (("plain connector file", 10L))
+    val jwt = login("ops@example.com")
+    val (st, r) = http("POST", s"/containers/$fsContainer/sync", "{}", jwt)
+    assert(st == 200 && r.get("created").asLong() == 1, r.toString)
+  }
+}
+
+/** Session self-introspection + admin scope assignment (ref
+  * AuthEndpoints.cs GET /me, PUT /users/{id}/roles). */
+class MeAndScopesSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-me").toString
+  private lazy val store = new KnowledgeStore(spark, wh)
+  private lazy val userReg = new UserRegistry(spark, wh, "me-secret-0123456789")
+  private lazy val (server, base) = {
+    val s = new RestServer(store, users = Some(userReg))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  private def login(email: String): String =
+    http("POST", "/auth/login",
+      s"""{"email": "$email", "password": "password!"}""")
+      ._2.get("access_token").asText()
+
+  test("GET /auth/me answers the session's own profile; 401 without one") {
+    userReg.createUser("root@example.com", "password!", Seq("admin"), "root")
+    userReg.createUser("dev@example.com", "password!", Seq("read:*"), "dev")
+    assert(http("GET", "/auth/me")._1 == 401)
+    val me = http("GET", "/auth/me", bearer = login("dev@example.com"))._2
+    assert(me.get("email").asText() == "dev@example.com")
+    assert(me.get("name").asText() == "dev")
+    assert(me.get("scopes").get(0).asText() == "read:*")
+    assert(me.get("created_ms").asLong() > 0L)
+  }
+
+  test("PUT /auth/users/{id}/scopes: admin reassigns; last-admin guard holds") {
+    val root = login("root@example.com")
+    val devId = userReg.listUsers().find(_._2 == "dev@example.com").get._1
+    val rootId = userReg.listUsers().find(_._2 == "root@example.com").get._1
+    // non-admin refused
+    assert(http("PUT", s"/auth/users/$devId/scopes",
+      """{"scopes": ["write:*"]}""", login("dev@example.com"))._1 == 403)
+    // admin promotes dev to write:*; the NEXT login carries it
+    assert(http("PUT", s"/auth/users/$devId/scopes",
+      """{"scopes": ["write:*"]}""", root)._1 == 200)
+    val me = http("GET", "/auth/me", bearer = login("dev@example.com"))._2
+    assert(me.get("scopes").get(0).asText() == "write:*")
+    // invalid grammar 400; unknown user 404
+    assert(http("PUT", s"/auth/users/$devId/scopes",
+      """{"scopes": ["root"]}""", root)._1 == 400)
+    assert(http("PUT", "/auth/users/nope/scopes",
+      """{"scopes": ["read:*"]}""", root)._1 == 404)
+    // the LAST active admin cannot drop its own admin scope (the
+    // reference's "never remove Owner" — no self-administered lockout)
+    assert(http("PUT", s"/auth/users/$rootId/scopes",
+      """{"scopes": ["read:*"]}""", root)._1 == 400)
+    // with a second admin present, the first may step down
+    assert(http("PUT", s"/auth/users/$devId/scopes",
+      """{"scopes": ["admin"]}""", root)._1 == 200)
+    assert(http("PUT", s"/auth/users/$rootId/scopes",
+      """{"scopes": ["read:*"]}""", root)._1 == 200)
+  }
+}
