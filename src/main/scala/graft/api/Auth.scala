@@ -291,8 +291,20 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     * within one refresh round-trip. */
   private val advertisedIssuers =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** BOUNDED: the discovery endpoint is anonymous and Host-derived, so
+    * an unbounded set would let a Host-header loop grow driver heap and
+    * whitelist arbitrary issuer strings. Past the cap new issuers are
+    * refused with a log line — a real deployment advertises ONE issuer
+    * (set `canonicalBaseUrl` on the servers; the cap is the backstop
+    * for Host-derived multi-name setups). */
   def advertiseIssuer(iss: String): Unit =
-    if (iss.nonEmpty) { advertisedIssuers.add(iss); () }
+    if (iss.nonEmpty && !advertisedIssuers.contains(iss)) {
+      if (advertisedIssuers.size >= UserRegistry.MaxAdvertisedIssuers)
+        System.err.println(s"[auth] advertised-issuer cap " +
+          s"(${UserRegistry.MaxAdvertisedIssuers}) reached; refusing '$iss' " +
+          "— set a canonical base URL on the serving layer")
+      else { advertisedIssuers.add(iss); () }
+    }
   private def issuerOk(iss: String): Boolean =
     iss == issuer || advertisedIssuers.contains(iss)
 
@@ -384,18 +396,31 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
         activeUser(_._1 == r._2) match {
           case None => Left("invalid_grant") // user revoked since mint
           case Some(u) =>
-            val granted = if (r._9.isEmpty) u._6 else r._9
-            val t = now()
-            val newRefresh = randToken()
-            val newHash = sha256Hex(newRefresh)
-            refreshes.write(rows.map(x =>
-              if (x._1 == h) x.copy(_5 = t, _6 = newHash) else x) :+
-              ((newHash, u._1, t, t + refreshTtlMs, -1L, "",
-                r._7, r._8, r._9)))
-            val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, granted,
-              iss, t, t + accessTtlMs, aud = r._8))
-            advertiseIssuer(if (iss == issuer) "" else iss)
-            Right(TokenPair(access, newRefresh, t + accessTtlMs))
+            // stored granted scopes re-filter through the user's CURRENT
+            // scopes at every rotation: an admin reducing a user via
+            // setUserScopes must propagate to grant-bound sessions too —
+            // a removed privilege must not survive 30-day rotations. A
+            // grant whose every scope was stripped dies as invalid_grant
+            // (and must NOT fall back to the empty-list full-set
+            // sentinel).
+            val granted =
+              if (r._9.isEmpty) u._6
+              else r._9.filter(UserRegistry.scopeCovered(u._6, _))
+            if (granted.isEmpty) Left("invalid_grant")
+            else {
+              val storedScopes = if (r._9.isEmpty) r._9 else granted
+              val t = now()
+              val newRefresh = randToken()
+              val newHash = sha256Hex(newRefresh)
+              refreshes.write(rows.map(x =>
+                if (x._1 == h) x.copy(_5 = t, _6 = newHash) else x) :+
+                ((newHash, u._1, t, t + refreshTtlMs, -1L, "",
+                  r._7, r._8, storedScopes)))
+              val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, granted,
+                iss, t, t + accessTtlMs, aud = r._8))
+              advertiseIssuer(if (iss == issuer) "" else iss)
+              Right(TokenPair(access, newRefresh, t + accessTtlMs))
+            }
         }
     }
   }
@@ -430,12 +455,19 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     */
   def mintForGranted(userId: String, requestedScope: String, iss: String,
       clientId: String, resource: String): Option[(TokenPair, Seq[String])] =
-    activeUser(_._1 == userId).map { u =>
+    activeUser(_._1 == userId).flatMap { u =>
       val requested = requestedScope.split(' ').map(_.trim).filter(_.nonEmpty)
       val granted =
         if (requested.isEmpty) u._6
         else requested.filter(UserRegistry.scopeCovered(u._6, _)).toSeq
-      (mintPair(u, granted, iss, aud = resource, clientId, resource), granted)
+      // a consent whose requested scopes are ENTIRELY uncovered must
+      // refuse, not mint: an empty granted list would collide with the
+      // refresh row's empty-list sentinel ("the user's full scopes at
+      // refresh time") and the next rotation would ESCALATE the
+      // zero-privilege grant to everything the user holds
+      if (granted.isEmpty) None
+      else Some((mintPair(u, granted, iss, aud = resource, clientId,
+        resource), granted))
     }
 
   /** The verified subject (user id) of a presented JWT — what the OAuth
@@ -485,6 +517,10 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
 
 object UserRegistry {
   val InviteTtlMs: Long = 7L * 24 * 3600 * 1000 // ref InviteService DefaultExpiry
+
+  /** Backstop bound on Host-derived advertised issuers (see
+    * [[UserRegistry.advertiseIssuer]]). */
+  val MaxAdvertisedIssuers: Int = 64
 
   /** PBKDF2WithHmacSHA256, 100k iterations (OWASP-cited floor) — the
     * reference defers to ASP.NET Identity's PBKDF2 hasher. */

@@ -44,14 +44,30 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       * the connector's ACCOUNT ID (ref STS GetCallerIdentity), for
       * azure the (reachable) container name; None = not identity-gated
       * (managed/filesystem). */
-    val cloudPrincipalOf: String => Option[(String, String)] = _ => None) {
+    val cloudPrincipalOf: String => Option[(String, String)] = _ => None,
+    /** Azure reachability probe for the scope gate (the reference probes
+      * the blob container before granting, AzureIdentityProvider.cs) —
+      * deployment wires a HEAD through its blob client; the default
+      * treats configuration as reachability, which weakens the azure
+      * gate to link-existence (DISCLOSED — wire the probe). */
+    val containerReachable: String => Boolean = _ => true) {
 
   private def snapPath(cid: String) = s"$warehouse/connector_snapshots/$cid"
 
+  /** The last synced listing — or empty after a lost/corrupt snapshot,
+    * LOGGED: an empty previous makes every remote file diff as Created
+    * (harmless — ingest is an upsert) and deletions are reconciled
+    * against the STORE below, so a lost snapshot costs a re-crawl,
+    * never divergence. */
   private def previous(cid: String): DataFrame = {
     import spark.implicits._
     try spark.read.parquet(snapPath(cid)).select("path", "mtime", "size")
-    catch { case _: Exception =>
+    catch { case e: Exception =>
+      if (new org.apache.hadoop.fs.Path(snapPath(cid)).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(snapPath(cid))))
+        System.err.println(s"[sync] snapshot for $cid unreadable " +
+          s"(${e.getMessage}); falling back to a full re-crawl")
       Seq.empty[(String, Long, Long)].toDF("path", "mtime", "size") }
   }
 
@@ -63,16 +79,33 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
   def sync(cid: String,
       progress: Option[graft.ingest.ProgressListener] = None)
       : (Seq[(String, String)], (Long, Long, Long)) = {
+    import spark.implicits._
     val cur = list(cid).select("path", "mtime", "size")
     // evaluate the listing ONCE: it feeds the diff and the new snapshot
     val curRows = cur.cache()
-    val eventsDf = graft.streaming.ConnectorDelta.events(previous(cid), curRows)
-    progress.foreach(p =>
-      graft.streaming.ConnectorDelta.publish(eventsDf, p, connectorId = cid))
-    val byType = eventsDf.collect() // changed-file set: poll-window-bounded
+    val byType = graft.streaming.ConnectorDelta
+      .events(previous(cid), curRows).collect() // poll-window-bounded
     val created = byType.filter(_.getString(1) == "Created").map(_.getString(0))
     val changed = byType.filter(_.getString(1) == "Changed").map(_.getString(0))
-    val deleted = byType.filter(_.getString(1) == "Deleted").map(_.getString(0))
+    // DELETIONS reconcile against the STORE, not only the side snapshot:
+    // a snapshot lost in the swap's crash window would otherwise hide
+    // remote deletions forever (neither frame would list the file). The
+    // store's path listing is the durable ground truth of what was
+    // synced; remote = the ground truth of what exists.
+    val currentPaths = curRows.select("path").as[String].collect().toSet
+    val storePaths =
+      // a never-ingested warehouse has no ledger yet — the store's own
+      // empty-ledger convention (KnowledgeStore.containerStats)
+      try store.listFiles(cid, None, 0, Int.MaxValue).map(_._2).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
+    val deleted = (storePaths -- currentPaths).toSeq.sorted
+    val published = byType.map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2 != graft.streaming.ConnectorDelta.Deleted) ++
+      deleted.map((_, graft.streaming.ConnectorDelta.Deleted))
+    progress.foreach { p =>
+      graft.streaming.ConnectorDelta.publish(
+        published.toSeq.toDF("path", "event_type"), p, connectorId = cid)
+    }
     // ingest in MaxBulk batches through the store's own pipeline (chunk
     // -> embed -> index, progress events, upsert semantics); asConnector
     // bypasses the USER write guard — the sync IS the connector
@@ -94,7 +127,7 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       sys.error(s"connector snapshot rename failed: $tmp -> $target")
     curRows.unpersist()
     spark.catalog.refreshByPath(snapPath(cid))
-    (byType.toSeq.map(r => (r.getString(0), r.getString(1))),
+    (published.toSeq,
       (created.length.toLong, changed.length.toLong, deleted.length.toLong))
   }
 }

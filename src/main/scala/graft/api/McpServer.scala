@@ -61,6 +61,11 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
       * spec-compliant MCP clients can discover where to register +
       * authorize. None = no discovery document (404). */
     authorizationServer: Option[String] = None,
+    /** CANONICAL resource identifier for this server: when set, the
+      * protected-resource metadata and the `aud` check use THIS value,
+      * ignoring the spoofable Host header — required where audience
+      * binding is load-bearing (see RestServer.canonicalBaseUrl). */
+    canonicalBaseUrl: Option[String] = None,
     /** Audit sink shared with REST: every tools/call records
       * (key, tool, container, isError). */
     audit: Option[AuditLog] = None,
@@ -97,10 +102,12 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
 
   // ---- JSON-RPC plumbing -------------------------------------------------
 
-  /** This resource server's identifier as the client reached it. */
+  /** This resource server's identifier — canonical when configured,
+    * else as the client reached it (Host). */
   private def baseUrl(ex: HttpExchange): String =
-    "http://" + Option(ex.getRequestHeaders.getFirst("Host"))
-      .getOrElse("127.0.0.1:" + server.getAddress.getPort)
+    canonicalBaseUrl.getOrElse(
+      "http://" + Option(ex.getRequestHeaders.getFirst("Host"))
+        .getOrElse("127.0.0.1:" + server.getAddress.getPort))
 
   private def handle(ex: HttpExchange): Unit = {
     try {
@@ -153,7 +160,11 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
           }
       val resolved: Option[(String, Seq[String])] = jwtResolved.orElse(keys match {
         case Some(reg) => bearer.flatMap(reg.authenticate)
-        case None if users.isDefined => None // a user registry is NOT open mode
+        // a user registry WITHOUT a shared key is not open mode — but a
+        // configured apiKey keeps working next to `users` (adding JWT
+        // support must not 401 every existing shared-key client;
+        // RestServer guards the same combo)
+        case None if users.isDefined && apiKey.isEmpty => None
         case None =>
           if (apiKey.forall(bearerMatches(ex, _)))
             Some((apiKey.fold("-")(_ => "shared-key"), Seq("admin")))

@@ -80,6 +80,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * gated by the CALLER's linked cloud identity for cloud
       * connectors. */
     connectorSync: Option[ConnectorSyncer] = None,
+    /** CANONICAL resource identifier / issuer for this server (e.g.
+      * "https://api.example.com"): when set, discovery metadata, token
+      * `iss`, and the `aud` check all use THIS value and the
+      * client-supplied Host header is ignored — required in deployments
+      * where the audience binding is load-bearing (multiple resource
+      * servers sharing a signing secret), since a Host-derived identity
+      * is spoofable by the caller. None (default) derives from the
+      * request Host — the reference's own behavior behind ASP.NET host
+      * filtering. */
+    canonicalBaseUrl: Option[String] = None,
     /** Append-only audit sink (ref AuditLogger.cs): when set, every
       * non-GET request and every auth denial records (key, action,
       * resource, status); admins read it back at `GET /audit`. */
@@ -576,6 +586,15 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 case None => throw Denied(400, "invalid_grant")
               }
             case "refresh_token" =>
+              // RFC 6749 §6: a CONFIDENTIAL client must authenticate at
+              // refresh too — the stored client binding is meaningless if
+              // the client_id is a self-asserted string. Public (PKCE)
+              // clients present no secret; clientAuthOk knows which is
+              // which.
+              optStr(b, "client_id").filter(_.nonEmpty).foreach { cid =>
+                if (!oreg.clientAuthOk(cid, optStr(b, "client_secret")))
+                  throw Denied(401, "invalid_client")
+              }
               ureg.refreshGrant(str(b, "refresh_token"),
                 optStr(b, "client_id").getOrElse(""),
                 optStr(b, "resource").getOrElse(""), iss) match {
@@ -771,7 +790,8 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                   graft.sources.CloudScopes.awsDiscover(linked, connPrincipal)
                 case _ =>
                   graft.sources.CloudScopes.azureDiscover(linked,
-                    containerReachable = true, containerName = connPrincipal)
+                    containerReachable = syncer.containerReachable(id),
+                    containerName = connPrincipal)
               }
               if (!verdict.hasAccess)
                 throw Denied(403, s"cloud_access_denied: ${verdict.error.getOrElse("")}")
@@ -1074,8 +1094,9 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     * terminating proxy that rewrites Host should present the public
     * name. */
   private def baseUrl(ex: HttpExchange): String =
-    "http://" + Option(ex.getRequestHeaders.getFirst("Host"))
-      .getOrElse("127.0.0.1:" + server.getAddress.getPort)
+    canonicalBaseUrl.getOrElse(
+      "http://" + Option(ex.getRequestHeaders.getFirst("Host"))
+        .getOrElse("127.0.0.1:" + server.getAddress.getPort))
 
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')

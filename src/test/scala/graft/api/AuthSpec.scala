@@ -443,9 +443,16 @@ class AuthRestSpec extends AnyFunSuite {
            "code_verifier": "$verifier", "redirect_uri": "http://localhost:1234/cb",
            "client_id": "$clientId", "client_secret": "$clientSecret"}""")._1 == 400)
     // grant_type=refresh_token works at the same endpoint — the grant is
-    // client-bound, so the refreshing client must present itself
+    // client-bound AND this client is CONFIDENTIAL, so refresh must
+    // authenticate with the secret (RFC 6749 §6): a bare client_id is a
+    // self-asserted string anyone holding a stolen token could send
     assert(http("POST", "/oauth/token",
       s"""{"grant_type": "refresh_token", "client_id": "$clientId",
+           "refresh_token": "${tok.get("refresh_token").asText()}"}""")._1 == 401,
+      "confidential refresh without the secret must refuse")
+    assert(http("POST", "/oauth/token",
+      s"""{"grant_type": "refresh_token", "client_id": "$clientId",
+           "client_secret": "$clientSecret",
            "refresh_token": "${tok.get("refresh_token").asText()}"}""")._1 == 200)
   }
 }
@@ -516,5 +523,66 @@ class RegistryStaleServeSpec extends AnyFunSuite {
     val logged = errBuf.toString("UTF-8")
     assert(logged.contains("[registry] read failed") &&
       logged.contains("stale"), s"stale serve must log, got: '$logged'")
+  }
+}
+
+/** OAuth grant-binding hardening (round-12 review findings): empty
+  * granted scopes never mint (the empty-list refresh sentinel must not
+  * be reachable from a zero-coverage consent), and stored grants
+  * re-filter through the user's CURRENT scopes at every rotation. */
+class GrantBindingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("a consent with zero covered scopes refuses to mint") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-grant0").toString
+    val reg = new UserRegistry(spark, wh, "grant-secret-0123456789")
+    val uid = reg.createUser("ro@example.com", "password!", Seq("read:*"))
+    assert(reg.mintForGranted(uid, "admin", "http://as.test", "c1", "").isEmpty,
+      "an entirely-uncovered scope request must refuse, never mint")
+    assert(reg.mintForGranted(uid, "admin read:*", "http://as.test", "c1", "")
+      .map(_._2).contains(Seq("read:*")), "partial coverage narrows")
+  }
+
+  test("scope reduction propagates through refresh; a fully-stripped grant dies") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-grantr").toString
+    val reg = new UserRegistry(spark, wh, "grant-secret-0123456789")
+    val uid = reg.createUser("dev@example.com", "password!",
+      Seq("read:*", "write:c1"))
+    reg.createUser("root@example.com", "password!", Seq("admin"))
+    val (tp, granted) = reg.mintForGranted(uid, "write:c1 read:*",
+      "http://as.test", "c1", "").get
+    assert(granted.toSet == Set("write:c1", "read:*"))
+    // admin reduces the user; the NEXT rotation narrows the grant
+    assert(reg.setUserScopes(uid, Seq("read:*")))
+    val tp2 = reg.refreshGrant(tp.refreshToken, "c1", "", "http://as.test")
+    assert(tp2.isRight)
+    val claims = Jwt.verifyWith("grant-secret-0123456789",
+      tp2.toOption.get.accessToken, _ => true).get
+    assert(claims.scopes == Seq("read:*"),
+      s"removed write:c1 must not survive rotation, got ${claims.scopes}")
+    // stripped entirely: the grant dies as invalid_grant, and must NOT
+    // fall back to the user's full set via the empty-list sentinel
+    assert(reg.setUserScopes(uid, Seq("write:c9")))
+    val tp3 = reg.refreshGrant(tp2.toOption.get.refreshToken, "c1", "",
+      "http://as.test")
+    assert(tp3 == Left("invalid_grant"),
+      s"a grant with no surviving scopes must die, got $tp3")
+  }
+
+  test("advertised issuers are bounded: past the cap new issuers are refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-isscap").toString
+    val secret = "isscap-secret-0123456789"
+    val reg = new UserRegistry(spark, wh, secret)
+    val uid = reg.createUser("u@example.com", "password!", Seq("read:*"))
+    (1 to UserRegistry.MaxAdvertisedIssuers + 10)
+      .foreach(i => reg.advertiseIssuer(s"http://h$i.test"))
+    val now = System.currentTimeMillis()
+    def tokenWithIss(iss: String) = Jwt.mint(secret,
+      Jwt.Claims(uid, "u", Seq("read:*"), iss, now, now + 60000L))
+    assert(reg.authenticate(tokenWithIss("http://h1.test")).isDefined,
+      "issuers inside the cap verify")
+    assert(reg.authenticate(tokenWithIss(
+      s"http://h${UserRegistry.MaxAdvertisedIssuers + 5}.test")).isEmpty,
+      "issuers refused by the cap must not verify")
   }
 }

@@ -198,3 +198,36 @@ class MeAndScopesSpec extends AnyFunSuite {
       """{"scopes": ["read:*"]}""", root)._1 == 200)
   }
 }
+
+/** Lost-snapshot healing: remote deletions reconcile against the STORE's
+  * own listing, so a snapshot lost in a crash window costs a re-crawl
+  * (harmless upsert), never silent divergence. */
+class SyncSnapshotLossSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("deleting the snapshot still detects remote deletions on the next sync") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncloss").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/a.txt" -> (("first file body", 1L)), "/b.txt" -> (("second file body", 1L)))
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1)
+    val cid = store.createContainer("loss", connectorType = "S3")
+    assert(syncer.sync(cid)._2 == ((2L, 0L, 0L)))
+    // simulate the swap's crash window: the snapshot is GONE
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$wh/connector_snapshots/$cid")).deleteRecursively()
+    remote.remove("/b.txt")
+    val (_, (created, changed, deleted)) = syncer.sync(cid)
+    assert(deleted == 1L,
+      "a remote deletion must be detected even with no previous snapshot")
+    assert(created == 1L && changed == 0L,
+      "the surviving file re-diffs as Created (upsert no-op), never diverges")
+    assert(store.getDocument(cid, "/b.txt").isEmpty, "the deleted doc must leave the store")
+    assert(store.getDocument(cid, "/a.txt").isDefined)
+  }
+}

@@ -340,3 +340,37 @@ class McpServerSpec extends AnyFunSuite {
       .statusCode() == 405)
   }
 }
+
+/** Adding JWT support must not break existing shared-key deployments:
+  * apiKey keeps authenticating next to `users` (the keys=None combo). */
+class McpSharedKeyWithUsersSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.TestSpark.spark
+
+  test("shared apiKey still authenticates when a user registry is also configured") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mcpcombo").toString
+    val store = new KnowledgeStore(spark, wh)
+    val userReg = new UserRegistry(spark, wh, "combo-secret-0123456789")
+    userReg.createUser("u@example.com", "password!", Seq("admin"))
+    val server = new McpServer(store, apiKey = Some("shared-secret-token"),
+      users = Some(userReg))
+    val base = s"http://127.0.0.1:${server.start()}"
+    val client = java.net.http.HttpClient.newHttpClient()
+    def init(bearer: String): Int = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base))
+        .header("Content-Type", "application/json")
+        .header("Authorization", s"Bearer $bearer")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}"""))
+        .build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        .statusCode()
+    }
+    try {
+      assert(init("shared-secret-token") == 200,
+        "the shared key must keep working next to `users`")
+      assert(init("wrong-token") == 401)
+      val jwt = userReg.login("u@example.com", "password!").get.accessToken
+      assert(init(jwt) == 200, "JWTs resolve too")
+    } finally server.stop()
+  }
+}

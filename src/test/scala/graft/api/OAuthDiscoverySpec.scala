@@ -226,12 +226,12 @@ class OAuthDiscoverySpec extends AnyFunSuite {
       tokenResource = mcpBase)
     assert(st == 200, tok.toString)
     val refresh = tok.get("refresh_token").asText()
-    // a DIFFERENT client replaying the refresh token is refused, and so
-    // is omitting the client entirely — the grant is client-bound
-    // (checked BEFORE the resource, the reference's order)
+    // a DIFFERENT client replaying the refresh token is refused — an
+    // UNKNOWN client_id now dies at client authentication (401
+    // invalid_client) before the grant binding is even consulted
     assert(http("POST", s"$restBase/oauth/token",
       s"""{"grant_type": "refresh_token", "refresh_token": "$refresh",
-           "client_id": "some-other-client"}""")._1 == 400)
+           "client_id": "some-other-client"}""")._1 == 401)
     val (rs2, _, _) = http("POST", s"$restBase/oauth/token",
       s"""{"grant_type": "refresh_token", "refresh_token": "$refresh"}""")
     assert(rs2 == 400, "client-bound refresh without client_id must refuse")
@@ -270,5 +270,84 @@ class OAuthDiscoverySpec extends AnyFunSuite {
     assert(refreshed.get("scopes").size() == 1 &&
       refreshed.get("scopes").get(0).asText() == "read:*",
       "refresh must keep the NARROWED scopes, not re-expand to the user's")
+  }
+}
+
+/** Canonical resource identity: with canonicalBaseUrl set, discovery
+  * metadata, token iss, and the aud check all use the CONFIGURED value
+  * — the client-supplied Host header stops mattering, closing the
+  * spoofed-Host audience bypass (a token bound to another resource must
+  * not authenticate here no matter what Host the caller sends). */
+class CanonicalBaseUrlSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-canon").toString
+  private val Canonical = "http://api.graft.test"
+  private lazy val store = new KnowledgeStore(spark, wh)
+  private lazy val userReg = new UserRegistry(spark, wh, "canon-secret-0123456789")
+  private lazy val oauthReg = new OAuthRegistry(spark, wh)
+  private lazy val (rest, restAddr) = {
+    val s = new RestServer(store, users = Some(userReg), oauth = Some(oauthReg),
+      canonicalBaseUrl = Some(Canonical))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(restAddr + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  test("discovery, iss, and aud all bind to the canonical identity, not Host") {
+    userReg.createUser("c@example.com", "password!", Seq("admin"), "c")
+    // the request reaches 127.0.0.1:<port>, the metadata says Canonical
+    val as = http("GET", "/.well-known/oauth-authorization-server")._2
+    assert(as.get("issuer").asText() == Canonical)
+    val pr = http("GET", "/.well-known/oauth-protected-resource")._2
+    assert(pr.get("resource").asText() == Canonical)
+    // full flow bound to the canonical resource
+    val session = http("POST", "/auth/login",
+      """{"email": "c@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+    val cid = http("POST", "/oauth/register",
+      """{"client_name": "canon", "redirect_uris": ["http://127.0.0.1/cb"]}""")
+      ._2.get("client_id").asText()
+    val verifier = "canon-verifier-0123456789-0123456789-012345"
+    val code = http("POST", "/oauth/authorize",
+      s"""{"client_id": "$cid", "redirect_uri": "http://127.0.0.1/cb",
+           "code_challenge": "${oauthReg.s256Challenge(verifier)}",
+           "resource": "$Canonical"}""", session)._2.get("code").asText()
+    val tok = http("POST", "/oauth/token",
+      s"""{"grant_type": "authorization_code", "code": "$code",
+           "code_verifier": "$verifier", "redirect_uri": "http://127.0.0.1/cb",
+           "client_id": "$cid"}""")._2
+    val claims = mapper.readTree(java.util.Base64.getUrlDecoder.decode(
+      tok.get("access_token").asText().split('.')(1)))
+    assert(claims.get("iss").asText() == Canonical)
+    assert(claims.get("aud").asText() == Canonical)
+    // the canonical-bound token authenticates (Host header is ignored)
+    assert(http("GET", "/containers",
+      bearer = tok.get("access_token").asText())._1 == 200)
+    // a token audience-bound to the HOST-DERIVED url does NOT — with a
+    // canonical identity configured, Host-shaped audiences are foreign
+    val now = System.currentTimeMillis()
+    val uid = userReg.listUsers().head._1
+    userReg.advertiseIssuer(restAddr)
+    val hostBound = Jwt.mint("canon-secret-0123456789", Jwt.Claims(
+      uid, "c", Seq("admin"), restAddr, now, now + 60000L, aud = restAddr))
+    assert(http("GET", "/containers", bearer = hostBound)._1 == 401,
+      "a foreign-audience token must not authenticate at the canonical resource")
   }
 }
