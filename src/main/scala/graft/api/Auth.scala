@@ -297,32 +297,44 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     * refused with a log line — a real deployment advertises ONE issuer
     * (set `canonicalBaseUrl` on the servers; the cap is the backstop
     * for Host-derived multi-name setups). */
-  def advertiseIssuer(iss: String): Unit =
-    if (iss.nonEmpty && !advertisedIssuers.contains(iss)) {
-      if (advertisedIssuers.size >= UserRegistry.MaxAdvertisedIssuers)
-        System.err.println(s"[auth] advertised-issuer cap " +
-          s"(${UserRegistry.MaxAdvertisedIssuers}) reached; refusing '$iss' " +
-          "— set a canonical base URL on the serving layer")
-      else { advertisedIssuers.add(iss); () }
-    }
+  def advertiseIssuer(iss: String): Boolean =
+    if (iss.isEmpty || advertisedIssuers.contains(iss)) true
+    else if (advertisedIssuers.size >= UserRegistry.MaxAdvertisedIssuers) {
+      System.err.println(s"[auth] advertised-issuer cap " +
+        s"(${UserRegistry.MaxAdvertisedIssuers}) reached; refusing '$iss' " +
+        "— set a canonical base URL on the serving layer")
+      false
+    } else { advertisedIssuers.add(iss); true }
   private def issuerOk(iss: String): Boolean =
     iss == issuer || advertisedIssuers.contains(iss)
 
   private def mintPair(u: User, scopes: Seq[String], iss: String,
       aud: String, clientId: String, resource: String): TokenPair =
     synchronized {
+      // a token minted under an issuer this registry refuses to remember
+      // would be born unverifiable — refuse BEFORE minting (the issuer
+      // cap is a Host-header-abuse backstop; a real deployment sets a
+      // canonical base URL and never advertises more than one issuer)
+      require(advertiseIssuer(if (iss == issuer) "" else iss),
+        "issuer cap reached; set a canonical base URL on the serving layer")
       val t = now()
       val access = Jwt.mint(jwtSecret,
         Jwt.Claims(u._1, u._3, scopes, iss, t, t + accessTtlMs, aud))
       val refresh = randToken()
-      // grant-bound rows remember the NARROWED scopes; first-party
-      // session rows store empty = "the user's scopes at refresh time"
-      // (so a scope change on the user propagates to plain sessions)
-      val storedScopes = if (scopes == u._6) Seq.empty[String] else scopes
+      // the empty-list "user's scopes at refresh time" sentinel is ONLY
+      // for first-party sessions (a user scope change propagates to its
+      // own sessions). GRANT-BOUND rows (any client/resource binding)
+      // store the consented scopes VERBATIM — even when they happen to
+      // equal the user's current scope list — so privileges granted to
+      // the user AFTER consent never flow into the client's tokens:
+      // rotation re-filters the stored set through the user's current
+      // scopes (narrowing propagates, widening never does).
+      val storedScopes =
+        if (clientId.isEmpty && resource.isEmpty) Seq.empty[String]
+        else scopes
       refreshes.write(refreshes.load() :+
         ((sha256Hex(refresh), u._1, t, t + refreshTtlMs, -1L, "",
           clientId, resource, storedScopes)))
-      advertiseIssuer(if (iss == issuer) "" else iss)
       TokenPair(access, refresh, t + accessTtlMs)
     }
 
@@ -407,6 +419,10 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
               if (r._9.isEmpty) u._6
               else r._9.filter(UserRegistry.scopeCovered(u._6, _))
             if (granted.isEmpty) Left("invalid_grant")
+            else if (!advertiseIssuer(if (iss == issuer) "" else iss))
+              // never rotate into an unverifiable token (issuer cap) —
+              // and never consume the presented refresh token doing so
+              Left("invalid_request")
             else {
               val storedScopes = if (r._9.isEmpty) r._9 else granted
               val t = now()
@@ -418,7 +434,6 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
                   r._7, r._8, storedScopes)))
               val access = Jwt.mint(jwtSecret, Jwt.Claims(u._1, u._3, granted,
                 iss, t, t + accessTtlMs, aud = r._8))
-              advertiseIssuer(if (iss == issuer) "" else iss)
               Right(TokenPair(access, newRefresh, t + accessTtlMs))
             }
         }

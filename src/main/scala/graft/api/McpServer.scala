@@ -94,6 +94,16 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
     * date-versioning scheme). */
   val ProtocolVersion = "2025-06-18"
 
+  // same unsafe-configuration warning as RestServer: a Host-derived
+  // resource identity makes the RFC 9728 `aud` check caller-spoofable
+  if (users.isDefined && authorizationServer.isDefined &&
+      canonicalBaseUrl.isEmpty)
+    System.err.println(
+      "[mcp] WARNING: OAuth audience binding is enabled without " +
+        "canonicalBaseUrl — the `aud` check compares against the " +
+        "client-supplied Host header; set canonicalBaseUrl where the " +
+        "binding is load-bearing.")
+
   def start(): Int = { server.start(); server.getAddress.getPort }
 
   /** Graceful shutdown flushes the audit buffer — the tail window of a

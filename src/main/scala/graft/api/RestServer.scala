@@ -110,6 +110,22 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
   server.setExecutor(pool)
 
+  // the RFC 9728 audience binding is only as strong as the resource
+  // identity it compares against: with no canonical base URL, both the
+  // token `iss` and the `aud` check derive from the CALLER-CONTROLLED
+  // Host header, so a token minted for resource A authenticates at
+  // resource B whenever the caller sends "Host: A" — fine for a single
+  // server behind host-filtering ingress (the reference's deployment),
+  // self-defeating when multiple resource servers share the signing
+  // secret. Warn LOUDLY at construction so the unsafe configuration is
+  // never silent.
+  if (users.isDefined && oauth.isDefined && canonicalBaseUrl.isEmpty)
+    System.err.println(
+      "[rest] WARNING: OAuth is enabled without canonicalBaseUrl — token " +
+        "iss/aud derive from the client-supplied Host header. The audience " +
+        "binding does NOT isolate resource servers sharing this signing " +
+        "secret; set canonicalBaseUrl (or terminate with host filtering).")
+
   /** Start serving; returns the bound port (ephemeral when `port` = 0). */
   def start(): Int = { server.start(); server.getAddress.getPort }
 
@@ -193,10 +209,15 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         if (path == "/health") Some(Seq("admin"))
         else if (method == "GET" && oauth.isDefined &&
             (path.startsWith("/.well-known/oauth-") ||
-              path == "/oauth/clients/cli.json"))
+              path == "/oauth/clients/cli.json")) {
           // RFC 8414/9728 discovery documents are anonymous BY SPEC —
-          // clients fetch them before they hold any credential
+          // clients fetch them before they hold any credential. Still
+          // throttled per source address: an anonymous Host-varied GET
+          // loop must not be a free metadata-scrape/issuer-churn channel
+          authRateCheck(
+            String.valueOf(ex.getRemoteAddress.getAddress.getHostAddress))
           Some(Nil)
+        }
         else if (RestServer.OpenAuthRoutes.contains(path) &&
             (users.isDefined || oauth.isDefined)) {
           // the session bootstrap routes are reachable WITHOUT a session
@@ -472,8 +493,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         // verify. ------------------------------------------------------
         case ("GET", "/.well-known/oauth-authorization-server")
             if oauth.isDefined =>
+          // issuers are advertised at TOKEN-MINT time, not here: an
+          // anonymous Host-varied GET loop on this document must not be
+          // able to fill the advertised-issuer cap and block legitimate
+          // hosts from ever minting verifiable tokens
           val b = baseUrl(ex)
-          users.foreach(_.advertiseIssuer(b))
           ok(ex, obj(
             "issuer" -> b,
             "authorization_endpoint" -> s"$b/oauth/authorize",

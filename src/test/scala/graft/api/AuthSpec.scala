@@ -569,6 +569,41 @@ class GrantBindingSpec extends AnyFunSuite {
       s"a grant with no surviving scopes must die, got $tp3")
   }
 
+  test("a consent equal to the user's current scopes is still a snapshot: " +
+      "privileges granted AFTER consent never reach the client") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-grantsnap").toString
+    val reg = new UserRegistry(spark, wh, "grant-secret-0123456789")
+    reg.createUser("root@example.com", "password!", Seq("admin"))
+    val uid = reg.createUser("dev@example.com", "password!", Seq("read:*"))
+    // the COLLISION shape: granted == the user's scope Seq — both via an
+    // omitted scope (granted = everything the user has) and via an
+    // explicit request listing the user's scopes in the same order
+    for ((req, label) <- Seq(("", "omitted scope"), ("read:*", "exact list"))) {
+      val (tp, granted) = reg.mintForGranted(uid, req,
+        "http://as.test", "cli-1", "http://rs.test").get
+      assert(granted == Seq("read:*"), label)
+      // the user is PROMOTED after consent; the client's rotation must
+      // keep the consented snapshot, never inherit the new privilege
+      assert(reg.setUserScopes(uid, Seq("admin")))
+      val tp2 = reg.refreshGrant(tp.refreshToken, "cli-1", "http://rs.test",
+        "http://as.test")
+      assert(tp2.isRight, label)
+      val claims = Jwt.verifyWith("grant-secret-0123456789",
+        tp2.toOption.get.accessToken, _ => true).get
+      assert(claims.scopes == Seq("read:*"),
+        s"$label: post-consent admin leaked into the grant: ${claims.scopes}")
+      assert(reg.setUserScopes(uid, Seq("read:*"))) // reset for next shape
+    }
+    // full reassignment: a user moved to entirely different scopes kills
+    // the grant (stored read:* no longer covered) — never mints the NEW set
+    val (tp3, _) = reg.mintForGranted(uid, "", "http://as.test", "cli-2",
+      "http://rs.test").get
+    assert(reg.setUserScopes(uid, Seq("write:c9")))
+    assert(reg.refreshGrant(tp3.refreshToken, "cli-2", "http://rs.test",
+      "http://as.test") == Left("invalid_grant"),
+      "a fully-reassigned user's grant must die, not mint never-consented scopes")
+  }
+
   test("advertised issuers are bounded: past the cap new issuers are refused") {
     val wh = java.nio.file.Files.createTempDirectory("graft-isscap").toString
     val secret = "isscap-secret-0123456789"
