@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Connector-sync rehearsal at listing scale (the round-12 verdict's
+  * "What's wrong 2" done-criterion): DRIVER HEAP for one sync pass as
+  * the synced-container listing grows 100k → 1M files. The old shape
+  * materialized BOTH full listings on the driver every sync
+  * (`collect().toSet` of the remote listing + `listFiles(0, MaxInt)` of
+  * the store — the same corpus-proportional driver-fold class the
+  * checkpoint writer retired in round 12); the current shape diffs and
+  * reconciles DISTRIBUTED (full-outer join for events, `left_anti` for
+  * deletions) and collects only the DELTA, so a no-op sync and a
+  * 5-file-delete sync both hold driver heap flat while n grows 10×.
+  * Run:
+  *   sbt "runMain graft.SyncScale 100000 1000000"
+  * Numbers land in SCALE.md / BENCH_NOTES.
+  */
+object SyncScale {
+  private def heapUsed(): Long = {
+    val rt = Runtime.getRuntime
+    System.gc(); System.gc()
+    Thread.sleep(200)
+    rt.totalMemory() - rt.freeMemory()
+  }
+
+  private def settledHeap(): Long = {
+    var prev = heapUsed()
+    var i = 0
+    while (i < 6) {
+      Thread.sleep(500)
+      val cur = heapUsed()
+      if (math.abs(cur - prev) < math.max(prev, cur) * 0.05)
+        return math.min(cur, prev)
+      prev = cur; i += 1
+    }
+    prev
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(100000, 1000000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    sizes.foreach { n =>
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-sscale-$n").toString
+      println(s"[syncscale] ===== $n synced files =====")
+      val store = new graft.api.KnowledgeStore(spark, wh)
+      val cid = store.createContainer(s"scale-$n", connectorType = "S3")
+      // fabricate the post-ingest state directly (the thing under test is
+      // the SYNC PASS's driver shape, not ingestion): a ledger with n
+      // synced paths + the matching connector snapshot, both written as
+      // distributed frames — exactly what n prior syncs would leave
+      def listing(upTo: Int) = spark.range(upTo.toLong)
+        .select(format_string("/corpus/f%08d.txt", col("id")).as("path"),
+          lit(1L).as("mtime"), lit(64L).as("size"))
+      listing(n)
+        .select(lit(cid).as("container_id"),
+          expr("uuid()").as("document_id"), col("path"),
+          lit(1).as("chunk_count"), lit("h").as("content_hash"),
+          lit(64L).as("size_bytes"), lit("f.txt").as("file_name"),
+          lit("Ready").as("status"), lit(1).as("generation"))
+        .write.mode("overwrite").partitionBy("container_id")
+        .parquet(s"$wh/ledger")
+      listing(n).write.mode("overwrite")
+        .parquet(s"$wh/connector_snapshots/$cid")
+
+      // fetch must never be called in either pass (no created/changed)
+      val syncer = new graft.api.ConnectorSyncer(spark, wh, store,
+        list = _ => listing(n),
+        fetch = (_, p) => sys.error(s"unexpected fetch of $p"))
+
+      def pass(label: String, remote: Int => org.apache.spark.sql.DataFrame,
+          expectDeleted: Long): Unit = {
+        val s2 = new graft.api.ConnectorSyncer(spark, wh, store,
+          list = _ => remote(n),
+          fetch = (_, p) => sys.error(s"unexpected fetch of $p"))
+        val h0 = settledHeap()
+        val t0 = System.nanoTime()
+        val (_, r) = s2.sync(cid)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val dh = heapUsed() - h0
+        require(r.deleted == expectDeleted,
+          s"$label: expected $expectDeleted deletions, got $r")
+        println(f"[syncscale] n=$n%d $label: ${secs}%.2f s " +
+          f"driver_heap_delta_mb=${dh / 1024 / 1024}%d " +
+          f"(deleted=${r.deleted}%d created=${r.created}%d)")
+      }
+      pass("no-op sync", listing, expectDeleted = 0L)
+      // 5 remote deletions out of n: only the 5-row delta may reach the
+      // driver (the guard floor is 10, so they flow)
+      val dropped = Seq(1, 3, 5, 7, 9).map(i => f"/corpus/f$i%08d.txt")
+      pass("5-delete sync",
+        m => listing(m).filter(!col("path").isin(dropped: _*)),
+        expectDeleted = 5L)
+      val _ = syncer // referenced; the per-pass syncers carry the listings
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, udf}
 
 /** Remote-connector SYNC (ref ContainersEndpoints.cs POST
   * /{containerId}/sync): pull the connector's current listing, diff it
@@ -9,15 +10,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * notifications), ingest Created/Changed files through the
   * KnowledgeStore's own upload path (chunk → embed → index, write
   * guard bypassed the same way the reference's ingestion queue writes
-  * into read-only connector containers), delete removed ones, and
-  * persist the new snapshot so the next sync is a delta, never a
-  * re-crawl.
+  * into read-only connector containers), move Renamed documents keeping
+  * their identity, delete removed ones, and persist the new snapshot so
+  * the next sync is a delta, never a re-crawl.
   *
   * The LISTING and CONTENT providers are injected per deployment —
   * `sources/ObjectStore.S3Client.list`/`get`, AzureBlobClient, or a
-  * filesystem walk all produce the same (path, mtime, size) shape;
-  * specs pass canned closures and drive the whole lifecycle offline
-  * (the ObjectStoreIngest specs already pin the real wire clients).
+  * filesystem walk all produce the same (path, mtime, size) listing
+  * shape and `get` already returns BYTES; specs pass canned closures
+  * and drive the whole lifecycle offline (the ObjectStoreIngest specs
+  * pin the real wire clients).
+  *
+  * FILE-TYPE GATE AS A FILTER (ref ConnectorWatcherService.cs:225-230 +
+  * FileTypeValidator.cs — the watcher checks the extension at ENQUEUE
+  * time and skips, it never aborts): unsupported remote files publish a
+  * Skipped event and the sync continues — one `.exe` in the bucket must
+  * not wedge the container forever. Binary formats (pdf/docx/pptx/epub)
+  * base64-encode into the upload path and run the REAL parsers. A file
+  * whose PARSE fails (corrupt bytes) is likewise skipped-with-event, not
+  * an abort: the batch retries per-file so one poisoned document never
+  * blocks its batch-mates.
   *
   * CLOUD-SCOPE GATE (ref /sync's ICloudScopeService check): for a
   * cloud connector, the CALLER's linked identity must reach the
@@ -29,17 +41,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `cloud_access_denied` — server-side discovery means this cannot be
   * self-asserted around.
   *
-  * Scale shape: the diff is one full-outer join of two listings
-  * (ConnectorDelta.events); ingest cost ∝ changed files only. The
-  * snapshot table is one parquet frame per container, swap-rewritten
-  * like every registry.
+  * Scale shape: the diff is one full-outer join of two listings; ingest
+  * cost ∝ changed files only. DELETION reconciliation is a distributed
+  * `left_anti` join of the store's ledger paths against the remote
+  * listing — only the deleted DELTA is ever collected (and streamed in
+  * MaxBulk batches via toLocalIterator), so an unchanged 10M-file
+  * container costs the driver nothing per sync. The snapshot table is
+  * one parquet frame per container, swap-rewritten like every registry.
   */
 final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     store: KnowledgeStore,
     /** Remote listing per container id: (path, mtime: long, size: long). */
     list: String => DataFrame,
-    /** Remote content per (container id, path). */
-    fetch: (String, String) => String,
+    /** Remote content BYTES per (container id, path) — binary formats
+      * must survive the trip (ref ConnectorWatcherService.cs streams the
+      * file into parse-by-extension; a String fetch could never carry a
+      * PDF). */
+    fetch: (String, String) => Array[Byte],
     /** (provider, connector principal) for cloud connectors — for aws
       * the connector's ACCOUNT ID (ref STS GetCallerIdentity), for
       * azure the (reachable) container name; None = not identity-gated
@@ -47,10 +65,18 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     val cloudPrincipalOf: String => Option[(String, String)] = _ => None,
     /** Azure reachability probe for the scope gate (the reference probes
       * the blob container before granting, AzureIdentityProvider.cs) —
-      * deployment wires a HEAD through its blob client; the default
-      * treats configuration as reachability, which weakens the azure
-      * gate to link-existence (DISCLOSED — wire the probe). */
-    val containerReachable: String => Boolean = _ => true) {
+      * deployment wires [[ConnectorSyncer.reachableVia]] (a HEAD through
+      * its blob client); the default treats configuration as
+      * reachability, which weakens the azure gate to link-existence
+      * (DISCLOSED — wire the probe). */
+    val containerReachable: String => Boolean = _ => true,
+    /** Mass-deletion guard: a listing provider that silently answers
+      * empty/partial on a transient failure must not wipe the container
+      * in one pass. Deletions are REFUSED (skipped with an event, counts
+      * reported) when they exceed this fraction of the store's files AND
+      * the [[ConnectorSyncer.DeleteGuardFloor]]; `sync(force = true)`
+      * overrides for intentional mass removals. */
+    val maxDeleteFraction: Double = 0.5) {
 
   private def snapPath(cid: String) = s"$warehouse/connector_snapshots/$cid"
 
@@ -71,51 +97,180 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       Seq.empty[(String, Long, Long)].toDF("path", "mtime", "size") }
   }
 
+  private def isSupported(path: String): Boolean =
+    graft.ingest.Parsers.isSupported(
+      path.substring(path.lastIndexOf('/') + 1))
+
+  /** Fetch + base64 one remote file into the upload-path shape (binary
+    * AND text ride base64 — the store decodes uniformly and routes
+    * binary formats through the real parsers). */
+  private def fetched(cid: String, path: String): (String, String) =
+    (path, java.util.Base64.getEncoder.encodeToString(fetch(cid, path)))
+
+  /** Ingest one MaxBulk group; a batch-level failure retries PER FILE so
+    * one corrupt document skips (with an event) instead of aborting its
+    * batch-mates. Returns the paths that were skipped. */
+  private def ingestGroup(cid: String, grp: Seq[String],
+      overrides: Map[String, String]): Seq[(String, String)] = {
+    def upload(paths: Seq[String]): Unit = {
+      // override keys are NORMALIZED paths (the store's own recipe)
+      val norms = paths.map(graft.ingest.PathUtil.normalize).toSet
+      store.bulkUploadBatch(cid, paths.map(fetched(cid, _)), base64 = true,
+        asConnector = true,
+        docIdOverride = overrides.filter(o => norms.contains(o._1)))
+      ()
+    }
+    try { upload(grp); Seq.empty }
+    catch { case _: Exception =>
+      grp.flatMap { p =>
+        try { upload(Seq(p)); None }
+        catch { case e: Exception =>
+          System.err.println(s"[sync] skipping $p: ${e.getMessage}")
+          Some((p, s"ingest_failed: ${e.getMessage}"))
+        }
+      }
+    }
+  }
+
   /** One sync pass. Returns the MATERIALIZED (path, event_type) delta
     * (collected before the snapshot swap — the lazy frame would re-diff
-    * against the NEW snapshot) plus (created, changed, deleted) counts;
-    * when a progress listener is given, the delta also lands in the ring
-    * as phase=file_change events (the SSE channel clients follow). */
+    * against the NEW snapshot; deletions capped at
+    * [[ConnectorSyncer.MaxReturnedEvents]] rows with exact counts in the
+    * result) plus the [[ConnectorSyncer.SyncResult]] counts; when a
+    * progress listener is given, the delta also lands in the ring as
+    * phase=file_change events (the SSE channel clients follow). */
   def sync(cid: String,
-      progress: Option[graft.ingest.ProgressListener] = None)
-      : (Seq[(String, String)], (Long, Long, Long)) = {
+      progress: Option[graft.ingest.ProgressListener] = None,
+      /** Override the mass-deletion guard (intentional bulk removal). */
+      force: Boolean = false)
+      : (Seq[(String, String)], ConnectorSyncer.SyncResult) = {
     import spark.implicits._
     val cur = list(cid).select("path", "mtime", "size")
-    // evaluate the listing ONCE: it feeds the diff and the new snapshot
+    // evaluate the listing ONCE: it feeds the diff, the deletion
+    // reconciliation, and the new snapshot
     val curRows = cur.cache()
     val byType = graft.streaming.ConnectorDelta
-      .events(previous(cid), curRows).collect() // poll-window-bounded
-    val created = byType.filter(_.getString(1) == "Created").map(_.getString(0))
-    val changed = byType.filter(_.getString(1) == "Changed").map(_.getString(0))
-    // DELETIONS reconcile against the STORE, not only the side snapshot:
-    // a snapshot lost in the swap's crash window would otherwise hide
-    // remote deletions forever (neither frame would list the file). The
-    // store's path listing is the durable ground truth of what was
-    // synced; remote = the ground truth of what exists.
-    val currentPaths = curRows.select("path").as[String].collect().toSet
-    val storePaths =
-      // a never-ingested warehouse has no ledger yet — the store's own
-      // empty-ledger convention (KnowledgeStore.containerStats)
-      try store.listFiles(cid, None, 0, Int.MaxValue).map(_._2).toSet
-      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
-    val deleted = (storePaths -- currentPaths).toSeq.sorted
-    val published = byType.map(r => (r.getString(0), r.getString(1)))
-      .filter(_._2 != graft.streaming.ConnectorDelta.Deleted) ++
-      deleted.map((_, graft.streaming.ConnectorDelta.Deleted))
-    progress.foreach { p =>
-      graft.streaming.ConnectorDelta.publish(
-        published.toSeq.toDF("path", "event_type"), p, connectorId = cid)
+      .eventsWithRenames(previous(cid), curRows)
+      .collect() // poll-window-bounded (delta rows, not the corpus)
+    def paths(t: String): Seq[String] =
+      byType.filter(_.getString(1) == t).map(_.getString(0)).toSeq.sorted
+    // S8 gate as a FILTER (ref FileTypeValidator.cs): unsupported types
+    // skip with an event, never abort — and a skipped file can never
+    // wedge the NEXT pass either (the snapshot swap below still runs)
+    val (created, createdSkipped) = paths(
+      graft.streaming.ConnectorDelta.Created).partition(isSupported)
+    val (changed, changedSkipped) = paths(
+      graft.streaming.ConnectorDelta.Changed).partition(isSupported)
+    val renamedPairs = byType
+      .filter(_.getString(1) == graft.streaming.ConnectorDelta.Renamed)
+      .map(r => (r.getString(0), r.getString(2))).toSeq.sortBy(_._1)
+
+    var skipped = (createdSkipped ++ changedSkipped)
+      .map((_, "unsupported type"))
+
+    // RENAMES (ref ConnectorWatcherService.cs:237-255): the document at
+    // the OLD path keeps its id at the NEW path — the upload pins the
+    // moved document's ledger id, so the upsert replaces the old-path
+    // rows and writes the new-path ones in one commit; content is
+    // unchanged, so the embed cache answers every chunk (zero embed
+    // calls). An old path that was never indexed (atomic-save temp) has
+    // no id to carry — the new path ingests as a plain Created, reusing
+    // any id already AT that path (the ledger-first probe).
+    var renameOverrides = Map.empty[String, String]
+    var renameIngest = Seq.empty[String]
+    var renameDeletes = Seq.empty[String]
+    renamedPairs.foreach { case (newPath, oldPath) =>
+      val oldId = store.documentIdAt(cid, oldPath)
+      if (isSupported(newPath)) {
+        renameIngest :+= newPath
+        oldId.foreach { id =>
+          renameOverrides += (graft.ingest.PathUtil.normalize(newPath) -> id)
+        }
+      } else {
+        // renamed INTO an unsupported extension: the indexed old-path
+        // document leaves the store, the new path skips
+        if (oldId.isDefined) renameDeletes :+= oldPath
+        skipped :+= ((newPath, "unsupported type (renamed)"))
+      }
     }
+
     // ingest in MaxBulk batches through the store's own pipeline (chunk
     // -> embed -> index, progress events, upsert semantics); asConnector
     // bypasses the USER write guard — the sync IS the connector
-    (created ++ changed).grouped(store.MaxBulk).foreach { grp =>
-      store.bulkUploadBatch(cid, grp.toSeq.map(p => (p, fetch(cid, p))),
-        asConnector = true)
+    (created ++ changed ++ renameIngest).grouped(store.MaxBulk).foreach { g =>
+      skipped ++= ingestGroup(cid, g.toSeq, renameOverrides)
     }
-    deleted.grouped(store.MaxBulk).foreach(grp =>
-      store.bulkDeleteBatch(cid, grp.toSeq, asConnector = true))
-    // swap-rewrite the snapshot (old-or-new reader guarantee)
+    renameDeletes.grouped(store.MaxBulk).foreach(g =>
+      store.bulkDeleteBatch(cid, g.toSeq, asConnector = true))
+
+    // DELETIONS reconcile against the STORE, not only the side snapshot:
+    // a snapshot lost in the swap's crash window would otherwise hide
+    // remote deletions forever (neither frame would list the file). The
+    // store's ledger is the durable ground truth of what was synced;
+    // remote = the ground truth of what exists. DISTRIBUTED: ledger
+    // paths anti-join the remote listing (paths normalized the same way
+    // the upload path normalizes them) — the driver sees only the
+    // deleted delta, streamed in MaxBulk groups, never a full listing.
+    val normalize = udf(graft.ingest.PathUtil.normalize _)
+    val deletedDf = store.filePathsDf(cid)
+      .join(curRows.select(normalize(col("path")).as("path")),
+        Seq("path"), "left_anti")
+    val deletedCount = deletedDf.count()
+    val storeCount = store.filePathsDf(cid).count()
+    // mass-deletion guard: an injected listing that answers empty/partial
+    // on a transient failure (instead of throwing) must not wipe the
+    // container in one pass (the deletions stay PENDING — reconciliation
+    // is store-vs-remote, so the next sync re-detects them; force
+    // proceeds)
+    val guardTripped = !force &&
+      deletedCount > ConnectorSyncer.DeleteGuardFloor &&
+      deletedCount > maxDeleteFraction * storeCount
+    var deletedReturned = Seq.empty[String]
+    if (guardTripped)
+      System.err.println(s"[sync] delete guard: refusing $deletedCount " +
+        s"deletions (${storeCount} synced files, " +
+        s"max fraction $maxDeleteFraction) for $cid — " +
+        "re-sync with force=true if intentional")
+    else if (deletedCount > 0) {
+      val it = deletedDf.orderBy("path").as[String].toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        buf += it.next()
+        if (buf.length == store.MaxBulk) {
+          store.bulkDeleteBatch(cid, buf.toSeq, asConnector = true)
+          if (deletedReturned.length < ConnectorSyncer.MaxReturnedEvents)
+            deletedReturned ++= buf
+          buf.clear()
+        }
+      }
+      if (buf.nonEmpty) {
+        store.bulkDeleteBatch(cid, buf.toSeq, asConnector = true)
+        if (deletedReturned.length < ConnectorSyncer.MaxReturnedEvents)
+          deletedReturned ++= buf
+      }
+      deletedReturned =
+        deletedReturned.take(ConnectorSyncer.MaxReturnedEvents)
+    }
+
+    val D = graft.streaming.ConnectorDelta
+    val published: Seq[(String, String)] =
+      created.map((_, D.Created)) ++ changed.map((_, D.Changed)) ++
+        renamedPairs.map { case (n, o) => (n, s"${D.Renamed} from $o") } ++
+        deletedReturned.map((_, D.Deleted)) ++
+        (if (guardTripped)
+          Seq((s"$deletedCount deletions held by the mass-delete guard",
+            "DeleteGuard"))
+        else Seq.empty) ++
+        skipped.map { case (p, why) => (p, s"Skipped ($why)") }
+    progress.foreach { p =>
+      D.publish(published.toDF("path", "event_type"), p, connectorId = cid)
+    }
+
+    // swap-rewrite the snapshot. NOTE the window: this is delete-then-
+    // rename, so a reader racing the swap can observe a brief NEITHER
+    // state — which self-heals as a full re-crawl (see previous()):
+    // upserts are idempotent and deletions reconcile against the store,
+    // so the race costs work, never divergence.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(snapPath(cid)), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(snapPath(cid))
@@ -127,7 +282,40 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       sys.error(s"connector snapshot rename failed: $tmp -> $target")
     curRows.unpersist()
     spark.catalog.refreshByPath(snapPath(cid))
-    (published.toSeq,
-      (created.length.toLong, changed.length.toLong, deleted.length.toLong))
+    (published, ConnectorSyncer.SyncResult(
+      created = created.length.toLong,
+      changed = changed.length.toLong,
+      deleted = if (guardTripped) 0L else deletedCount,
+      renamed = renamedPairs.length.toLong,
+      skipped = skipped.length.toLong,
+      deletedHeld = if (guardTripped) deletedCount else 0L))
   }
+}
+
+object ConnectorSyncer {
+  /** One sync pass's counts. `deletedHeld` > 0 means the mass-deletion
+    * guard refused that many deletions (they stay pending — the next
+    * sync re-detects them; force proceeds). */
+  final case class SyncResult(created: Long, changed: Long, deleted: Long,
+      renamed: Long, skipped: Long, deletedHeld: Long)
+
+  /** The guard never fires below this many deletions — small containers
+    * legitimately delete most of themselves (and the fraction test is
+    * meaningless at n=2). */
+  val DeleteGuardFloor: Long = 10L
+
+  /** Cap on deletion rows carried back in the returned event list (the
+    * full count is always exact in [[SyncResult]]) — the return value
+    * must stay driver-bounded even when force wipes a huge container. */
+  val MaxReturnedEvents: Int = 10000
+
+  /** Azure reachability probe wiring (ref AzureIdentityProvider.cs —
+    * the reference probes the blob container before granting cloud
+    * scope): resolve the container id to its deployment blob client and
+    * HEAD the container resource. Unknown container / any failure reads
+    * as unreachable — the gate fails CLOSED. */
+  def reachableVia(
+      client: String => Option[graft.sources.AzureBlobClient])
+      : String => Boolean =
+    cid => client(cid).exists(_.containerExists())
 }

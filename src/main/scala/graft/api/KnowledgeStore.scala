@@ -458,7 +458,14 @@ final class KnowledgeStore(
         * job IS the connector and must land its pulled files (ref the
         * ingestion queue writing into read-only containers). Never
         * exposed over REST/MCP — only [[ConnectorSyncer]] passes true. */
-      asConnector: Boolean = false): (String, Seq[String]) = {
+      asConnector: Boolean = false,
+      /** Pin specific paths to EXPLICIT document ids (normalized path ->
+        * id) — the connector sync's rename branch passes the moved
+        * document's existing id so the upsert replaces its old-path rows
+        * and the document keeps its identity (ref
+        * ConnectorWatcherService.cs:246-255 id reuse). Internal — never
+        * exposed over REST/MCP. */
+      docIdOverride: Map[String, String] = Map.empty): (String, Seq[String]) = {
     require(files.length <= MaxBulk, s"bulk_upload limited to $MaxBulk files")
     if (!asConnector) requireWritable(containerId)
     val docs = files.map { case (path, raw) =>
@@ -478,33 +485,78 @@ final class KnowledgeStore(
         } else if (base64)
           new String(java.util.Base64.getDecoder.decode(raw), "UTF-8")
         else raw
+      // PROVISIONAL id: the path-derived recipe (override pins win). The
+      // ledger probe in appendDocs resolves the FINAL id — a path that
+      // already owns a ledger row keeps that row's id, so identity
+      // follows the document across renames, not the path string.
       IndexBuild.RawDoc(
-        document_id = java.util.UUID.nameUUIDFromBytes(
-          s"$containerId:$norm".getBytes("UTF-8")).toString,
+        document_id = docIdOverride.getOrElse(norm,
+          java.util.UUID.nameUUIDFromBytes(
+            s"$containerId:$norm".getBytes("UTF-8")).toString),
         container_id = containerId, path = norm, file_name = fileName,
         content = content)
     }
     // last-wins dedupe of repeated paths WITHIN the batch: duplicates share
-    // a document_id, and the upsert probe only clears pre-existing rows —
-    // two same-path entries in one call would otherwise both append and
-    // double getDocument/containerStats until the next re-upload
-    val lastWins = docs.reverse.distinctBy(_.document_id).reverse
-    val jobId = appendDocs(lastWins)
-    (jobId, docs.map(_.document_id))
+    // a final document_id, and the upsert probe only clears pre-existing
+    // rows — two same-path entries in one call would otherwise both append
+    // and double getDocument/containerStats until the next re-upload
+    val lastWins = docs.reverse.distinctBy(_.path).reverse
+    val (jobId, finalIds) = appendDocs(lastWins, docIdOverride.keySet)
+    (jobId, docs.map(d => finalIds.getOrElse(d.path, d.document_id)))
   }
 
-  /** Returns the progress jobId — the batch resource's id. */
-  private def appendDocs(docs: Seq[IndexBuild.RawDoc]): String = {
+  /** Returns (progress jobId — the batch resource's id, the FINAL
+    * document id per normalized path after ledger-first resolution). */
+  private def appendDocs(docs0: Seq[IndexBuild.RawDoc],
+      pinnedPaths: Set[String]): (String, Map[String, String]) = {
     // an empty batch (bulk_upload with files: []) completes as a no-op
     // with a valid batch id, exactly as it did before settings resolution
     // started reading docs.head's container — and the id is POLLABLE:
     // the batch resource contract says every returned id resolves
-    if (docs.isEmpty) {
+    if (docs0.isEmpty) {
       val emptyJob = java.util.UUID.randomUUID().toString.take(8)
       progress.onProgress(graft.ingest.ProgressEvent(emptyJob, "received", 0L, 0L))
       progress.onProgress(graft.ingest.ProgressEvent(emptyJob, "ready", 0L, 0L))
-      return emptyJob
+      return (emptyJob, Map.empty)
     }
+    // LEDGER-FIRST id resolution (ref ConnectorWatcherService.cs:246-255
+    // `existingAtNew?.Id`): ONE partition-pruned probe by (path OR
+    // candidate id), <=2*MaxBulk rows, answers three questions at once —
+    //   1. does this path already own a ledger row? keep ITS id (identity
+    //      follows the document across renames; a later re-upload at a
+    //      renamed-onto path upserts instead of duplicating);
+    //   2. is the path-derived id now owned by a DIFFERENT path (the
+    //      previous occupant was renamed away)? mint a fresh id rather
+    //      than silently replacing the moved document's rows;
+    //   3. what generation does each surviving id carry (the upsert
+    //      probe — previously a second lookup)?
+    val probe: Seq[(String, String, Int)] = {
+      val led = ledgerDf
+      if (!led.columns.contains("document_id")) Seq.empty
+      else {
+        val paths = docs0.map(_.path)
+        val candidates = docs0.map(_.document_id)
+        led.filter(col("container_id") === docs0.head.container_id &&
+            (col("path").isin(paths: _*) ||
+              col("document_id").isin(candidates: _*)))
+          .select(col("document_id"), col("path"),
+            (if (led.columns.contains("generation")) col("generation")
+             else lit(1)).cast("int").as("generation"))
+          .as[(String, String, Int)].collect().toSeq
+      }
+    }
+    val byPath = probe.map(r => r._2 -> ((r._1, r._3))).toMap
+    val pathOf = probe.map(r => r._1 -> r._2).toMap
+    val docs = docs0.map { d =>
+      if (pinnedPaths.contains(d.path)) d // explicit id (rename) wins
+      else byPath.get(d.path) match {
+        case Some((id, _)) => d.copy(document_id = id)
+        case None if pathOf.get(d.document_id).exists(_ != d.path) =>
+          d.copy(document_id = java.util.UUID.randomUUID().toString)
+        case None => d
+      }
+    }
+    val finalIds = docs.map(d => d.path -> d.document_id).toMap
     // phase-grained progress (the reference's per-phase broadcast,
     // IngestionPipeline.cs:412-446): one jobId per upsert batch, events
     // at each phase boundary; counts come from already-persisted frames
@@ -523,22 +575,15 @@ final class KnowledgeStore(
     val ds = docs.toDS()
     // Upsert, not blind append: re-uploading an existing path must REPLACE
     // its chunks/vectors/ledger rows (ref IngestionPipeline.cs upsert +
-    // generation checks), or every re-upload doubles getDocument output and
-    // containerStats. Probe the ledger for the incoming ids (partition-
-    // pruned, <=MaxBulk ids) and rewrite them out of the warehouse first;
-    // the surviving generation number rides into the new ledger rows.
-    val prevGen: Map[String, Int] = {
-      val led = ledgerDf
-      if (!led.columns.contains("document_id")) Map.empty
-      else docs.groupBy(_.container_id).toSeq.flatMap { case (cid, group) =>
-        val ids = group.map(_.document_id)
-        led.filter(col("container_id") === cid && col("document_id").isin(ids: _*))
-          .select(col("document_id"),
-            (if (led.columns.contains("generation")) col("generation")
-             else lit(1)).cast("int").as("generation"))
-          .as[(String, Int)].collect().toSeq
-      }.toMap
-    }
+    // generation checks), or every re-upload doubles getDocument output
+    // and containerStats. The generations ride from the SAME probe that
+    // resolved the ids above — a rename-pinned id found at its OLD path
+    // is in prevGen too, so the upsert replaces the moved document's
+    // old-path rows in the same commit that writes the new-path ones.
+    val probeGen = probe.map(r => r._1 -> r._3).toMap
+    val prevGen: Map[String, Int] =
+      docs.flatMap(d => probeGen.get(d.document_id).map(d.document_id -> _))
+        .toMap
     // plain mode replaces existing docs by partition rewrite up front;
     // txMode folds the replacement into the SAME commit as the append
     // (stageDelete below) — the reference's single-transaction upsert
@@ -638,7 +683,7 @@ final class KnowledgeStore(
     newChunks.unpersist()
     invalidate()
     emit("ready", total)
-    jobId
+    (jobId, finalIds)
   }
 
   /** delete_file (ref :321): drop one document's rows. */
@@ -666,8 +711,21 @@ final class KnowledgeStore(
     val jobId = java.util.UUID.randomUUID().toString.take(8)
     progress.onProgress(graft.ingest.ProgressEvent(
       jobId, "received", 0L, paths.length.toLong, "bulk_delete"))
-    val ids = paths.map(p => java.util.UUID.nameUUIDFromBytes(
-      s"$containerId:${graft.ingest.PathUtil.normalize(p)}".getBytes("UTF-8")).toString).toSet
+    // ledger-first id resolution (same contract as the upload probe): a
+    // renamed document's id no longer matches the path-derived recipe, so
+    // deletion resolves ids from the ledger by path — the derived id is
+    // only the fallback for paths the ledger never saw (legacy layouts)
+    val norms = paths.map(graft.ingest.PathUtil.normalize)
+    val ledgerIds: Map[String, String] = {
+      val led = ledgerDf
+      if (!led.columns.contains("document_id")) Map.empty
+      else led.filter(col("container_id") === containerId &&
+          col("path").isin(norms: _*))
+        .select("path", "document_id").as[(String, String)].collect().toMap
+    }
+    val ids = norms.map(n => ledgerIds.getOrElse(n,
+      java.util.UUID.nameUUIDFromBytes(
+        s"$containerId:$n".getBytes("UTF-8")).toString)).toSet
     if (txMode) {
       val T = graft.store.TxLog
       val pred = col("container_id") === containerId &&
@@ -765,12 +823,44 @@ final class KnowledgeStore(
     false
   }
 
+  /** The ledger's document id at an EXACT path — a partition-pruned
+    * point lookup (the rename path resolves the moved document's
+    * identity through this before pinning it at the new path). */
+  def documentIdAt(containerId: String, path: String): Option[String] = {
+    val norm = graft.ingest.PathUtil.normalize(path)
+    val led = ledgerDf
+    if (!led.columns.contains("document_id")) None
+    else led.filter(col("container_id") === containerId && col("path") === norm)
+      .select("document_id").as[String].collect().headOption
+  }
+
+  /** The container's synced paths as a DATAFRAME (one `path` column) —
+    * the distributed twin of [[listFiles]] for corpus-sized
+    * reconciliations: the connector sync anti-joins this against the
+    * remote listing so deletion detection never materializes a
+    * full-container listing on the driver (only the deleted DELTA is
+    * ever collected). Empty frame when the warehouse has no ledger yet. */
+  def filePathsDf(containerId: String): DataFrame = {
+    val led = ledgerDf
+    if (!led.columns.contains("path"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType))))
+    led.filter(col("container_id") === containerId).select("path")
+  }
+
   /** list_files (ref :174) with pagination (K5). */
   def listFiles(
       containerId: String,
       pathPrefix: Option[String] = None,
       offset: Int = 0,
       limit: Int = 50): Seq[(String, String, Int)] = {
+    // a fully-emptied warehouse has no ledger table at all (the last
+    // delete removes the only partition): that is an EMPTY listing, not
+    // an analysis error
+    if (!ledgerDf.columns.contains("path")) return Seq.empty
     var df = ledgerDf.filter(col("container_id") === containerId)
     pathPrefix.foreach(p => df = df.filter(col("path").startsWith(p)))
     df.select($"document_id", $"path", $"chunk_count")
@@ -860,6 +950,7 @@ final class KnowledgeStore(
   /** get_document (ref :546): reconstruct extracted text from chunks. */
   def getDocument(containerId: String, path: String): Option[String] = {
     val norm = graft.ingest.PathUtil.normalize(path)
+    if (!chunksDf.columns.contains("path")) return None // emptied warehouse
     val rows = chunksDf
       .filter(col("container_id") === containerId && col("path") === norm)
       .select("chunk_index", "start_offset", "end_offset", "content")
@@ -871,6 +962,8 @@ final class KnowledgeStore(
 
   /** container_stats (ref :670, A1): counts by status, chunk/byte sums. */
   def containerStats(containerId: String): Map[String, Long] = {
+    if (!ledgerDf.columns.contains("container_id")) // emptied warehouse
+      return Map("documents" -> 0L, "chunks" -> 0L, "bytes" -> 0L)
     val led = ledgerDf.filter(col("container_id") === containerId)
     if (led.isEmpty) return Map("documents" -> 0L, "chunks" -> 0L, "bytes" -> 0L)
     val row = led.agg(
@@ -961,7 +1054,8 @@ final class KnowledgeStore(
             content = text)
         }
       }
-      if (raws.nonEmpty) appendDocs(raws.toSeq)
+      // ids here CAME from the ledger — pin them (no remap needed)
+      if (raws.nonEmpty) appendDocs(raws.toSeq, raws.map(_.path).toSet)
       done += group.length
       onBatch(done, stale.length.toLong)
     }

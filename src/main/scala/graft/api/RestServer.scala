@@ -821,11 +821,17 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 throw Denied(403, s"cloud_access_denied: ${verdict.error.getOrElse("")}")
             }
           }
-          val (_, (nCreated, nChanged, nDeleted)) =
-            syncer.sync(id, progressLog.map(identity))
-          auditRec(200, s"sync created=$nCreated changed=$nChanged deleted=$nDeleted")
-          ok(ex, obj("created" -> nCreated, "changed" -> nChanged,
-            "deleted" -> nDeleted))
+          val force = optBody(ex).exists(bool(_, "force", default = false))
+          val (_, r) = syncer.sync(id, progressLog.map(identity), force)
+          auditRec(200, s"sync created=${r.created} changed=${r.changed} " +
+            s"deleted=${r.deleted} renamed=${r.renamed} " +
+            s"skipped=${r.skipped} deleted_held=${r.deletedHeld}")
+          ok(ex, obj("created" -> r.created, "changed" -> r.changed,
+            "deleted" -> r.deleted, "renamed" -> r.renamed,
+            "skipped" -> r.skipped,
+            // > 0 = the mass-deletion guard held this many deletions;
+            // re-POST with {"force": true} if the removal is intentional
+            "deleted_held" -> r.deletedHeld))
         case ("POST", Sub(id, "reindex_check")) =>
           requireScope("read", id)
           val force = optBody(ex).exists(bool(_, "force", default = false))

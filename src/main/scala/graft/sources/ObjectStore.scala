@@ -358,6 +358,16 @@ final class AzureBlobClient(
 
   override def exists(path: String): Boolean =
     request("HEAD", path, Nil, Array.empty, "").status == 200
+
+  /** CONTAINER reachability probe (ref AzureIdentityProvider.cs — the
+    * reference probes the blob container before granting cloud scope):
+    * HEAD on the container resource (`restype=container`); any 2xx
+    * proves the container exists and these credentials reach it, every
+    * failure — 403, 404, DNS, timeout — reads as unreachable. */
+  def containerExists(): Boolean =
+    try request("HEAD", "", Seq("restype" -> "container"),
+      Array.empty, "").status / 100 == 2
+    catch { case _: Exception => false }
 }
 
 /** Glue to the snapshot-delta operator (J6/T2): listings become the

@@ -15,6 +15,7 @@ object ConnectorDelta {
   val Created = "Created"
   val Changed = "Changed"
   val Deleted = "Deleted"
+  val Renamed = "Renamed"
 
   /** Both frames carry (path, mtime: long, size: long). Returns
     * (path, event_type) rows; unchanged files emit nothing.
@@ -32,6 +33,43 @@ object ConnectorDelta {
           .when(col("p_mtime") =!= col("c_mtime") || col("p_size") =!= col("c_size"), Changed)
           .otherwise("Unchanged").as("event_type"))
       .filter(col("event_type") =!= "Unchanged")
+  }
+
+  /** [[events]] plus RENAME detection (ref StorageModels.cs:14-15 —
+    * `ConnectorFileEvent.Renamed` carries `OldPath`; the reference gets
+    * these from FileSystemWatcher, a poll-based feed must infer them): a
+    * Deleted and a Created in the SAME poll window with identical
+    * (mtime, size) is one file moved — a filesystem rename preserves
+    * both. Pairs match 1:1 within each (mtime, size) group in path order
+    * (row_number over a keyed window — distributed; when N byte-identical
+    * files move at once the pairing is deterministic and any mispairing
+    * is content-neutral). Object stores re-stamp mtime on copy, so their
+    * moves stay Deleted+Created — exactly the reference's behavior, whose
+    * rename events exist only for filesystem watchers.
+    *
+    * Returns (path, event_type, old_path); old_path is null except on
+    * Renamed rows, where `path` is the NEW location.
+    */
+  def eventsWithRenames(previous: DataFrame, current: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("mtime", "size").orderBy("path")
+    val base = events(previous, current)
+    val dels = base.filter(col("event_type") === Deleted).select("path")
+      .join(previous.select("path", "mtime", "size"), Seq("path"))
+      .withColumn("rn", row_number().over(w))
+    val cres = base.filter(col("event_type") === Created).select("path")
+      .join(current.select("path", "mtime", "size"), Seq("path"))
+      .withColumn("rn", row_number().over(w))
+    val pairs = cres.join(
+        dels.select(col("path").as("old_path"),
+          col("mtime"), col("size"), col("rn")),
+        Seq("mtime", "size", "rn"))
+      .select(col("path"), lit(Renamed).as("event_type"), col("old_path"))
+    val consumed = pairs.select("path")
+      .union(pairs.select(col("old_path").as("path")))
+    base.join(consumed, Seq("path"), "left_anti")
+      .withColumn("old_path", lit(null).cast("string"))
+      .unionByName(pairs)
   }
 
   /** Push one delta batch into the progress ring (ref

@@ -28,7 +28,7 @@ class ConnectorSyncSpec extends AnyFunSuite {
   private lazy val syncer = new ConnectorSyncer(spark, wh, store,
     list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
       .toDF("path", "mtime", "size"),
-    fetch = (_, p) => remote(p)._1,
+    fetch = (_, p) => remote(p)._1.getBytes("UTF-8"),
     cloudPrincipalOf = cid =>
       if (cid == s3Container) Some(("aws", "444455556666")) else None)
 
@@ -120,6 +120,269 @@ class ConnectorSyncSpec extends AnyFunSuite {
     val jwt = login("ops@example.com")
     val (st, r) = http("POST", s"/containers/$fsContainer/sync", "{}", jwt)
     assert(st == 200 && r.get("created").asLong() == 1, r.toString)
+  }
+}
+
+/** A REAL bucket: binary documents (pdf/docx) sync through the real
+  * parsers, unsupported files SKIP with an event instead of wedging the
+  * container (ref ConnectorWatcherService.cs:225-230 — the S8 gate is an
+  * enqueue-time filter, never an abort), and the pass stays un-wedged
+  * across re-syncs. */
+class SyncBinaryBucketSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("pdf + docx land searchable; an .exe skips; re-sync is a no-op") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncbin").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 80, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (Array[Byte], Long)](
+      "/r/report.pdf" -> ((graft.ingest.OoxmlFixtures.pdfBytes(
+        "BT /F1 12 Tf (Quarterly synced report body) Tj ET"), 10L)),
+      "/r/spec.docx" -> ((graft.ingest.OoxmlFixtures.docxBytes, 10L)),
+      "/r/tool.exe" -> ((Array[Byte](0x4d, 0x5a, 0, 1, 2, 3), 10L)))
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new graft.ingest.ProgressListener {
+      override def onProgress(e: graft.ingest.ProgressEvent): Unit =
+        if (e.phase == "file_change") events.synchronized { events += e.detail }
+    }
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (b, m)) => (p, m, b.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1)
+    val cid = store.createContainer("bin-bucket", connectorType = "S3")
+
+    val (_, r1) = syncer.sync(cid, Some(listener))
+    assert(r1.created == 2L && r1.skipped == 1L, r1)
+    assert(events.exists(d => d.contains("/r/tool.exe") && d.contains("Skipped")),
+      s"the unsupported file must publish a Skipped event, got $events")
+    // both documents are INDEXED TEXT (the real parsers ran)
+    assert(store.getDocument(cid, "/r/report.pdf").exists(
+      _.contains("Quarterly synced report body")))
+    assert(store.getDocument(cid, "/r/spec.docx").exists(
+      _.contains("First paragraph text.")))
+    assert(store.getDocument(cid, "/r/tool.exe").isEmpty)
+    // the index holds the pdf's EXTRACTED text (chunks the search legs scan)
+    import org.apache.spark.sql.functions.col
+    assert(spark.read.parquet(s"$wh/chunks")
+      .filter(col("container_id") === cid &&
+        col("content").contains("Quarterly synced report body"))
+      .count() > 0, "synced pdf text must reach the chunk index")
+
+    // UN-WEDGED: the same bucket (still containing the .exe) re-syncs as
+    // a clean no-op delta — the skip is re-published, nothing re-ingests
+    val (_, r2) = syncer.sync(cid, Some(listener))
+    assert(r2.created == 0L && r2.changed == 0L && r2.deleted == 0L, r2)
+    // and a LATER change next to the .exe still flows (the container is
+    // not stuck)
+    remote("/r/notes.md") = (("fresh markdown notes".getBytes("UTF-8"), 20L))
+    val (_, r3) = syncer.sync(cid)
+    assert(r3.created == 1L, r3)
+    assert(store.getDocument(cid, "/r/notes.md").isDefined)
+  }
+}
+
+/** Renamed files keep their document identity (ref StorageModels.cs:14-15
+  * Renamed/OldPath; ConnectorWatcherService.cs:237-255 id reuse): the
+  * poll diff pairs a same-window Deleted+Created with identical
+  * (mtime, size) into a Renamed event, the moved document keeps its id at
+  * the new path, and unchanged content re-embeds NOTHING (cache hit). */
+class SyncRenameSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("rename keeps document_id, costs zero embed calls, and moves the path") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncren").toString
+    val counting = new graft.ingest.CountingEmbedder
+    val store = new KnowledgeStore(spark, wh, embedder = counting,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val body = "stable renamed content about identity preservation."
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/d/original.txt" -> ((body, 100L)),
+      "/d/untouched.txt" -> (("bystander file body", 100L)))
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"))
+    val cid = store.createContainer("rename-bucket", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 2L)
+    val idBefore = store.documentIdAt(cid, "/d/original.txt").get
+
+    // a filesystem MOVE: same bytes, same mtime, new path
+    remote.remove("/d/original.txt")
+    remote("/d/renamed.txt") = ((body, 100L))
+    graft.ingest.CountingEmbedder.calls.set(0)
+    val (published, r) = syncer.sync(cid)
+    assert(r.renamed == 1L && r.created == 0L &&
+      r.changed == 0L && r.deleted == 0L, r)
+    assert(published.exists { case (p, e) =>
+      p == "/d/renamed.txt" && e.contains("Renamed") && e.contains("/d/original.txt") },
+      s"the event must carry the old path, got $published")
+    assert(graft.ingest.CountingEmbedder.calls.get() == 0,
+      "unchanged content must re-embed nothing on a rename (cache hit)")
+    // IDENTITY: same document_id at the new path; the old path is gone
+    assert(store.documentIdAt(cid, "/d/renamed.txt").contains(idBefore),
+      "the moved document must keep its id")
+    assert(store.documentIdAt(cid, "/d/original.txt").isEmpty)
+    assert(store.getDocument(cid, "/d/renamed.txt").exists(_.contains("identity")))
+    assert(store.getDocument(cid, "/d/original.txt").isEmpty)
+    // no duplicate rows: exactly 2 ledger rows (renamed + bystander)
+    assert(store.listFiles(cid, None, 0, 50).length == 2)
+
+    // a LATER re-upload at the renamed path keeps upserting the SAME id
+    // (ledger-first resolution) — never a duplicate path
+    remote("/d/renamed.txt") = ((body + " updated", 200L))
+    assert(syncer.sync(cid)._2.changed == 1L)
+    assert(store.documentIdAt(cid, "/d/renamed.txt").contains(idBefore))
+    assert(store.listFiles(cid, None, 0, 50).length == 2)
+  }
+
+  test("rename onto an unsupported extension deletes the indexed original") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncren2").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/d/a.txt" -> (("soon to be a binary", 100L)))
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"))
+    val cid = store.createContainer("rename-bucket2", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 1L)
+    remote.remove("/d/a.txt")
+    remote("/d/a.bin") = (("soon to be a binary", 100L))
+    val (_, r) = syncer.sync(cid)
+    assert(r.renamed == 1L && r.skipped == 1L, r)
+    assert(store.getDocument(cid, "/d/a.txt").isEmpty,
+      "the old path's document must leave the index")
+    assert(store.listFiles(cid, None, 0, 50).isEmpty)
+  }
+}
+
+/** Mass-deletion guard: a listing provider answering empty/partial on a
+  * transient failure must not wipe the container in one pass — deletions
+  * above the fraction+floor are HELD (pending, re-detected next sync);
+  * force proceeds. */
+class SyncDeleteGuardSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("an empty listing holds deletions; force wipes; small deltas flow") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncguard").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      (1 to 20).map(i => s"/g/f$i.txt" -> ((s"guarded file number $i body", 1L))): _*)
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"))
+    val cid = store.createContainer("guarded", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 20L)
+
+    // a SMALL legitimate delta (4 < floor) deletes normally
+    (1 to 4).foreach(i => remote.remove(s"/g/f$i.txt"))
+    val small = syncer.sync(cid)._2
+    assert(small.deleted == 4L && small.deletedHeld == 0L, small)
+
+    // the provider "fails" into an empty listing: 16/16 deletions — held
+    val wiped = remote.toMap
+    remote.clear()
+    val held = syncer.sync(cid)._2
+    assert(held.deleted == 0L && held.deletedHeld == 16L, held)
+    assert(store.listFiles(cid, None, 0, 50).length == 16,
+      "held deletions must leave the store intact")
+
+    // the provider RECOVERS: the next sync sees everything in place
+    wiped.foreach { case (p, v) => remote(p) = v }
+    val healed = syncer.sync(cid)._2
+    assert(healed.deleted == 0L && healed.deletedHeld == 0L, healed)
+    assert(store.listFiles(cid, None, 0, 50).length == 16)
+
+    // an INTENTIONAL wipe proceeds with force
+    remote.clear()
+    val forced = syncer.sync(cid, force = true)._2
+    assert(forced.deleted == 16L && forced.deletedHeld == 0L, forced)
+    assert(store.listFiles(cid, None, 0, 50).isEmpty)
+  }
+}
+
+/** Azure reachability probe wiring (ref AzureIdentityProvider.cs): the
+  * cloud-scope gate's containerReachable is a real HEAD through
+  * [[graft.sources.AzureBlobClient]], failing CLOSED. */
+class SyncAzureProbeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import graft.sources.{AzureBlobClient, HttpExchange, StoreResponse}
+
+  private def client(status: Int, recorded: scala.collection.mutable.Buffer[(String, String)]) =
+    new AzureBlobClient("http://azurite:10000/acct", "acct", "docs",
+      java.util.Base64.getEncoder.encodeToString("k".getBytes("UTF-8")),
+      exchange = new HttpExchange {
+        override def send(method: String, url: String,
+            headers: Map[String, String], body: Array[Byte]): StoreResponse = {
+          recorded += ((method, url))
+          StoreResponse(status, Map.empty, Array.empty)
+        }
+      },
+      clock = () => java.time.Instant.EPOCH)
+
+  test("containerExists HEADs the container resource; reachableVia fails closed") {
+    val reqs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    assert(client(200, reqs).containerExists())
+    assert(reqs.head._1 == "HEAD" && reqs.head._2.contains("restype=container"),
+      s"must probe the CONTAINER resource, got ${reqs.head}")
+    assert(!client(404, reqs).containerExists())
+    assert(!client(403, reqs).containerExists(), "forbidden reads as unreachable")
+    // the wiring: unknown container ids and probe failures fail CLOSED
+    val reachable = ConnectorSyncer.reachableVia {
+      case "known" => Some(client(200, reqs))
+      case "gone" => Some(client(404, reqs))
+      case _ => None
+    }
+    assert(reachable("known"))
+    assert(!reachable("gone"))
+    assert(!reachable("never-configured"))
+  }
+
+  test("unreachable container answers cloud_access_denied over REST") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncaz").toString
+    val store = new KnowledgeStore(spark, wh)
+    val userReg = new UserRegistry(spark, wh, "az-secret-0123456789")
+    val cloudReg = new CloudIdentityRegistry(spark, wh)
+    val reqs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val cid = store.createContainer("az-mirror", connectorType = "AzureBlob")
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => Seq(("/x.txt", 1L, 3L)).toDF("path", "mtime", "size"),
+      fetch = (_, _) => "abc".getBytes("UTF-8"),
+      cloudPrincipalOf = c => if (c == cid) Some(("azure", "docs")) else None,
+      containerReachable = ConnectorSyncer.reachableVia(c =>
+        if (c == cid) Some(client(404, reqs)) else None))
+    val server = new RestServer(store, users = Some(userReg),
+      cloudIdentities = Some(cloudReg), connectorSync = Some(syncer))
+    val base = s"http://127.0.0.1:${server.start()}"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String, bearer: String = null) = {
+      var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .header("Content-Type", "application/json")
+        .method("POST", java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+      val resp = http.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), mapper.readTree(resp.body()))
+    }
+    userReg.createUser("az@example.com", "password!", Seq("admin"), "az")
+    val jwt = post("/auth/login",
+      """{"email": "az@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+    val uid = userReg.listUsers().head._1
+    cloudReg.link(uid, "azure", "oid-123")
+    val (st, body) = post(s"/containers/$cid/sync", "{}", jwt)
+    assert(st == 403 && body.get("error").asText().contains("cloud_access_denied"),
+      s"unreachable container must deny: $st $body")
+    assert(reqs.nonEmpty, "the gate must actually probe the blob container")
+    server.stop()
   }
 }
 
@@ -215,17 +478,18 @@ class SyncSnapshotLossSpec extends AnyFunSuite {
     val syncer = new ConnectorSyncer(spark, wh, store,
       list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
         .toDF("path", "mtime", "size"),
-      fetch = (_, p) => remote(p)._1)
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"))
     val cid = store.createContainer("loss", connectorType = "S3")
-    assert(syncer.sync(cid)._2 == ((2L, 0L, 0L)))
+    val first = syncer.sync(cid)._2
+    assert(first.created == 2L && first.deleted == 0L)
     // simulate the swap's crash window: the snapshot is GONE
     import scala.reflect.io.Directory
     new Directory(new java.io.File(s"$wh/connector_snapshots/$cid")).deleteRecursively()
     remote.remove("/b.txt")
-    val (_, (created, changed, deleted)) = syncer.sync(cid)
-    assert(deleted == 1L,
+    val (_, r) = syncer.sync(cid)
+    assert(r.deleted == 1L,
       "a remote deletion must be detected even with no previous snapshot")
-    assert(created == 1L && changed == 0L,
+    assert(r.created == 1L && r.changed == 0L,
       "the surviving file re-diffs as Created (upsert no-op), never diverges")
     assert(store.getDocument(cid, "/b.txt").isEmpty, "the deleted doc must leave the store")
     assert(store.getDocument(cid, "/a.txt").isDefined)
