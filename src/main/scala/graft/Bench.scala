@@ -47,6 +47,18 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
 
+    // Whole-process CPU time (all 32 local-mode executor threads + driver):
+    // wall-time on this box drifts 2-26x with co-tenant load (BENCH_NOTES
+    // r11/r12 needed a manual worktree A/B to separate noise from
+    // regression), but CPU burned by THIS process is contention-blind —
+    // a query whose cpu_s holds steady while wall moves is machine noise;
+    // a cpu_s move is a real plan change. -1 when the JVM doesn't expose it.
+    def procCpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+
     // Shared by the serving section below AND its post-battery twin.
     val servingEmbedder = graft.embed.HashEmbedder(64)
     val servingCfg = graft.model.ChunkingConfig(maxChunkSize = 64, overlap = 8, minChunkSize = 8)
@@ -72,7 +84,8 @@ object Bench {
     // steady-state hybrid-search latency over cached index frames
     // (reference: <100 ms with both legs + fusion).
     val (chunksPerSec, hybridMs, hybridIvfMs, hybridHnswMs, hybridPqMs,
-         hybridMaxsimMs, chunkMs, embedMs, writeMs) = {
+         hybridMaxsimMs, chunkMs, embedMs, writeMs, keywordLegMs,
+         vectorLegMs) = {
       val embedder = servingEmbedder
       val docs = servingDocs
       val cfg = servingCfg
@@ -160,16 +173,24 @@ object Bench {
       System.err.println(warmBlocks.map(m => f"$m%.1f").mkString(
         "[hybrid] self-warm convergence (median of 16 per block): ",
         " -> ", " ms"))
-      def medianMs(ix: graft.search.HybridSearch.Index): Double = {
-        (1 to 3).foreach(_ => graft.search.HybridSearch.search(ix, req, embedder))
+      def medianMs(ix: graft.search.HybridSearch.Index,
+          r: graft.model.SearchRequest = req): Double = {
+        (1 to 3).foreach(_ => graft.search.HybridSearch.search(ix, r, embedder))
         val ts = (1 to 11).map { _ =>
           val s0 = System.nanoTime()
-          graft.search.HybridSearch.search(ix, req, embedder)
+          graft.search.HybridSearch.search(ix, r, embedder)
           (System.nanoTime() - s0) / 1e6
         }.sorted
         ts(ts.length / 2)
       }
       val bruteMs = medianMs(index)
+      // per-leg latencies against BASELINE's own targets (<20 ms keyword,
+      // <50 ms vector): SAME index, SAME definition, single-leg mode —
+      // every BASELINE row gets a measured twin in the artifact
+      val keywordMs = medianMs(index, req.copy(mode = "keyword"))
+      val vectorMs = medianMs(index, req.copy(mode = "semantic"))
+      System.err.println(
+        f"[hybrid] legs: keyword=${keywordMs}%.1f ms vector=${vectorMs}%.1f ms (single-leg mode, same index/definition)")
       // IVF-pruned serving leg (flag in servingIndex): the vector scan job
       // schedules only probed cell partitions. At sf0.1 latency is
       // task-overhead-bound (any job costs ~30 ms), so the telemetry also
@@ -229,7 +250,8 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       (nChunks / math.max(ingestSec, 1e-9), bruteMs, ivfMs, hnswMs, pqMs,
-        maxsimMs, phaseChunkMs, phaseEmbedMs, phaseWriteMs)
+        maxsimMs, phaseChunkMs, phaseEmbedMs, phaseWriteMs, keywordMs,
+        vectorMs)
     }
     releaseStorage() // serving-index frames must not skew the streaming run
 
@@ -248,11 +270,13 @@ object Bench {
     val errored = scala.collection.mutable.LinkedHashSet[String]()
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        p: Int): Double = {
+        p: Int): (Double, Double) = {
       val gc0 = gcMillis()
+      val cpu0 = procCpuNs()
       val t0 = System.nanoTime()
       val ok = try run(fn(spark, sfDir)) >= 0 catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cpuDt = if (cpu0 < 0) -1.0 else (procCpuNs() - cpu0) / 1e9
       val gcDt = gcMillis() - gc0
       val leftover = spark.sparkContext.getPersistentRDDs.size
       val heapMb = {
@@ -262,10 +286,10 @@ object Bench {
       // per-pass telemetry so the next suite-context anomaly is diagnosable
       // from the driver artifact (stderr — stdout stays one JSON line)
       System.err.println(
-        f"[bench] $name%-28s p$p ${dt}%8.3f s  gc=${gcDt}%5d ms  heap=${heapMb}%6d MB  rddBlocksLeft=$leftover" +
+        f"[bench] $name%-28s p$p ${dt}%8.3f s  cpu=${cpuDt}%7.3f s  gc=${gcDt}%5d ms  heap=${heapMb}%6d MB  rddBlocksLeft=$leftover" +
           (if (ok) "" else "  FAILED"))
       releaseStorage()
-      if (!ok) { errored += name; -1.0 } else dt
+      if (!ok) { errored += name; (-1.0, -1.0) } else (dt, cpuDt)
     }
 
     // Warm every query once at sf0.001 (codegen + JIT are JVM-global, so
@@ -283,17 +307,23 @@ object Bench {
     }
     val passA = selected.map { case (n, fn) => n -> measure(n, fn, 1) }.toMap
     val passB = selected.map { case (n, fn) => n -> measure(n, fn, 2) }.toMap
+    // (name, min wall, max wall, cpu_s of the min-wall pass): the reported
+    // cpu rides the SAME pass as the reported wall, so the pair is
+    // internally consistent for round-over-round comparison
     val results = selected.map { case (n, _) =>
-      val (a, b) = (passA(n), passB(n))
-      if (a < 0 || b < 0) (n, -1.0, -1.0)
-      else (n, math.min(a, b), math.max(a, b))
+      val ((aW, aC), (bW, bC)) = (passA(n), passB(n))
+      if (aW < 0 || bW < 0) (n, -1.0, -1.0, -1.0)
+      else if (aW <= bW) (n, aW, bW, aC)
+      else (n, bW, aW, bC)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cpuJson = results.map { case (k, _, _, c) =>
+      "\"" + k + "\":" + f"$c%.3f" }.mkString("{", ",", "}")
     // queries whose two passes disagree >1.5x: environmental drift, named
     // in the artifact itself so a judge can tell drift from regression
     val drift = results.collect {
-      case (k, lo, hi) if lo > 0 && hi / lo > 1.5 =>
+      case (k, lo, hi, _) if lo > 0 && hi / lo > 1.5 =>
         "\"" + k + "\":" + f"[$lo%.3f,$hi%.3f]"
     }.mkString("{", ",", "}")
     val errors = errored.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -301,6 +331,7 @@ object Bench {
       System.err.println(
         s"[bench] ERRORS: ${errored.size} queries failed: ${errored.mkString(", ")}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalCpu = results.map(_._4).filter(_ >= 0).sum
 
     // POST-BATTERY TWIN (round-9 verdict item 1): re-measure the brute
     // serving layout AFTER the 146-query battery in the SAME JVM, same
@@ -435,7 +466,7 @@ object Bench {
       if (found) (System.nanoTime() - t0) / 1e9 else -1.0
     } catch { case _: Throwable => -1.0 }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"ingest_phase_ms":{"chunk":${"%.0f".format(chunkMs)},"embed":${"%.0f".format(embedMs)},"write":${"%.0f".format(writeMs)}},"hybrid_query_ms":${"%.1f".format(hybridMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"hybrid_query_ms_maxsim":${"%.1f".format(hybridMaxsimMs)},"hybrid_query_ms_postbattery":${"%.1f".format(hybridPostBatteryMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${"%.1f".format(totalCpu)},"queries":$qs,"cpu":$cpuJson,"drift":$drift,"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"ingest_phase_ms":{"chunk":${"%.0f".format(chunkMs)},"embed":${"%.0f".format(embedMs)},"write":${"%.0f".format(writeMs)}},"hybrid_query_ms":${"%.1f".format(hybridMs)},"keyword_query_ms":${"%.1f".format(keywordLegMs)},"vector_query_ms":${"%.1f".format(vectorLegMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"hybrid_query_ms_maxsim":${"%.1f".format(hybridMaxsimMs)},"hybrid_query_ms_postbattery":${"%.1f".format(hybridPostBatteryMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,164 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** Named agent entities that OWN API keys (ref Connapse.Identity/Services/
+  * AgentService.cs:13-218 + Connapse.Web/Endpoints/AgentEndpoints.cs:21-181):
+  * an admin registers an agent (name, description), mints keys FOR it, and
+  * can disable or soft-delete the agent as a unit — disabling makes every
+  * key the agent owns stop authenticating WITHOUT revoking them (re-enable
+  * restores service), deleting tombstones the agent and revokes its keys
+  * permanently (ref AgentService.DeleteAsync cascades ExecuteUpdate over
+  * AgentApiKeys; ApiKeyAuthenticationHandler.cs:94-99 refuses keys of
+  * inactive or deleted agents).
+  *
+  * Keys live in the SAME [[ApiKeyRegistry]] as admin keys and user PATs,
+  * owned under the reserved `agent:<agent_id>` owner id — one registry, one
+  * hash-lookup auth path, one scope grammar. The serving layers gate
+  * agent-owned principals through [[ownerUsable]] after hash resolution,
+  * which is the engine's translation of the reference's
+  * `!agentKey.Agent.IsActive => AuthenticateResult.Fail`.
+  *
+  * Name rules mirror ValidationConstants.cs:12-17: 2-64 chars of
+  * `[a-zA-Z0-9_-]`, description at most 500 chars, key names 2-64 chars.
+  * Agent names are unique among live agents (ix_agents_name). */
+final class AgentRegistry(spark: SparkSession, warehouse: String,
+    keys: ApiKeyRegistry,
+    now: () => Long = () => System.currentTimeMillis()) {
+  import spark.implicits._
+
+  // (agent_id, name, description, is_active, created_by, created_ms,
+  //  deleted_ms [-1 = live])
+  private type Agent = (String, String, String, Boolean, String, Long, Long)
+
+  private val agents = new RegistryTable[Agent](spark, s"$warehouse/agents",
+    Seq("agent_id", "name", "description", "is_active", "created_by",
+      "created_ms", "deleted_ms"))
+
+  /** A live (not soft-deleted) agent row. */
+  private def live(rows: Seq[Agent]): Seq[Agent] = rows.filter(_._7 < 0)
+
+  private def validName(s: String): Boolean =
+    s.length >= AgentRegistry.MinNameLength &&
+      s.length <= AgentRegistry.MaxNameLength &&
+      s.forall(c => c.isLetterOrDigit && c < 128 || c == '-' || c == '_')
+
+  /** Register an agent; returns its id. IllegalArgumentException on
+    * malformed input (route answers 400); [[AgentRegistry.Conflict]] on a
+    * duplicate live name (route answers 409 — ref AgentEndpoints.cs maps
+    * the ix_agents_name unique-constraint violation the same way). */
+  def create(name: String, description: String, createdBy: String): String =
+    synchronized {
+      val trimmed = name.trim
+      require(validName(trimmed),
+        "agent name must be 2-64 characters, alphanumeric with hyphens and underscores")
+      val desc = description.trim
+      require(desc.length <= AgentRegistry.MaxDescriptionLength,
+        s"agent description must not exceed ${AgentRegistry.MaxDescriptionLength} characters")
+      val rows = agents.load()
+      if (live(rows).exists(_._2 == trimmed))
+        throw new AgentRegistry.Conflict(s"an agent named '$trimmed' already exists")
+      val id = java.util.UUID.randomUUID().toString
+      agents.write(rows :+ ((id, trimmed, desc, true, createdBy, now(), -1L)))
+      id
+    }
+
+  /** Live agents sorted by name (ref AgentService.ListAsync):
+    * (agent_id, name, description, is_active, created_by, created_ms). */
+  def list(): Seq[(String, String, String, Boolean, String, Long)] =
+    live(agents.load()).sortBy(_._2)
+      .map(a => (a._1, a._2, a._3, a._4, a._5, a._6))
+
+  /** One live agent, or None (soft-deleted agents 404 like unknown ids). */
+  def get(agentId: String): Option[(String, String, String, Boolean, String, Long)] =
+    live(agents.load()).find(_._1 == agentId)
+      .map(a => (a._1, a._2, a._3, a._4, a._5, a._6))
+
+  /** Enable/disable WITHOUT touching the agent's keys: a disabled agent's
+    * keys stop authenticating (via [[ownerUsable]]) but come back intact on
+    * re-enable (ref AgentService.SetActiveAsync — flag only, no cascade).
+    * False = unknown/deleted id. True even when the flip is a no-op (the
+    * reference's ExecuteUpdate counts the row either way). */
+  def setActive(agentId: String, active: Boolean): Boolean = synchronized {
+    val rows = agents.load()
+    if (!rows.exists(a => a._1 == agentId && a._7 < 0)) false
+    else {
+      agents.write(rows.map(a =>
+        if (a._1 == agentId && a._7 < 0) a.copy(_4 = active) else a))
+      true
+    }
+  }
+
+  /** Soft-delete the agent and REVOKE every key it owns (ref
+    * AgentService.DeleteAsync: DeletedAt + IsActive=false on the agent,
+    * RevokedAt on its live keys — irreversible, unlike [[setActive]]). */
+  def delete(agentId: String): Boolean = synchronized {
+    val rows = agents.load()
+    if (!rows.exists(a => a._1 == agentId && a._7 < 0)) false
+    else {
+      agents.write(rows.map(a =>
+        if (a._1 == agentId && a._7 < 0) a.copy(_4 = false, _7 = now()) else a))
+      keys.revokeAllFor(AgentRegistry.ownerId(agentId))
+      true
+    }
+  }
+
+  /** Mint a key owned by a live agent — the raw token is returned ONCE
+    * (the PAT storage contract); None when the agent is unknown/deleted
+    * (ref AgentService.CreateKeyAsync throws "Agent not found" → 404).
+    * A DISABLED agent can still receive keys (the reference only filters
+    * DeletedAt here); they start working when the agent is re-enabled. */
+  def createKey(agentId: String, name: String, scopes: Seq[String],
+      expiresMs: Long = -1L): Option[(String, String)] = synchronized {
+    val trimmed = name.trim
+    require(trimmed.length >= AgentRegistry.MinNameLength &&
+      trimmed.length <= AgentRegistry.MaxKeyNameLength,
+      s"agent key name must be ${AgentRegistry.MinNameLength}-${AgentRegistry.MaxKeyNameLength} characters")
+    if (!agents.load().exists(a => a._1 == agentId && a._7 < 0)) None
+    else Some(keys.create(trimmed, scopes, expiresMs,
+      userId = AgentRegistry.ownerId(agentId)))
+  }
+
+  /** The agent's keys, newest first: (key_id, name, token_prefix, scopes,
+    * active, created_ms, expires_ms). Empty for unknown agents (ref
+    * AgentService.ListKeysAsync returns []). */
+  def listKeys(agentId: String): Seq[(String, String, String, Seq[String],
+      Boolean, Long, Long)] =
+    keys.listFor(AgentRegistry.ownerId(agentId))
+
+  /** Revoke ONE of the agent's keys; false when the key isn't the agent's
+    * or is already revoked (route answers 404 — existence of other owners'
+    * key ids is not the caller's to learn). */
+  def revokeKey(agentId: String, keyId: String): Boolean =
+    keys.revokeOwn(keyId, AgentRegistry.ownerId(agentId))
+
+  /** The auth-path gate: may a key owned by `ownerId` authenticate right
+    * now? Non-agent owners ("" global, user ids) always pass — this gate
+    * only adds the agent active/deleted check on top of the key's own
+    * revoked/expired checks (ref ApiKeyAuthenticationHandler.cs:94-99). */
+  def ownerUsable(ownerId: String): Boolean =
+    AgentRegistry.agentOf(ownerId) match {
+      case None => true
+      case Some(agentId) =>
+        agents.load().exists(a => a._1 == agentId && a._7 < 0 && a._4)
+    }
+}
+
+object AgentRegistry {
+  /** ref ValidationConstants.cs:12-17. */
+  val MinNameLength = 2
+  val MaxNameLength = 64
+  val MaxDescriptionLength = 500
+  val MaxKeyNameLength = 64
+
+  /** The reserved key-owner namespace for agents. A USER id can never
+    * collide: user ids are UUIDs, which contain no ':'. */
+  def ownerId(agentId: String): String = s"agent:$agentId"
+  def agentOf(ownerId: String): Option[String] =
+    if (ownerId.startsWith("agent:")) Some(ownerId.stripPrefix("agent:"))
+    else None
+
+  /** Duplicate live agent name → HTTP 409 (ref AgentEndpoints.cs
+    * IsUniqueConstraintViolation("ix_agents_name") → Results.Conflict). */
+  final class Conflict(msg: String) extends RuntimeException(msg)
+}

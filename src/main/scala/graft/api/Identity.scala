@@ -217,13 +217,35 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     * standard cache-coherence trade of the listing-stamp probe. Revokes
     * issued through THIS instance take effect immediately (write()
     * replaces the cache synchronously). */
-  def authenticate(token: String): Option[(String, Seq[String])] = {
+  def authenticate(token: String): Option[(String, Seq[String])] =
+    authenticateDetailed(token).map(r => (r._1, r._2))
+
+  /** [[authenticate]] plus the key's OWNER id ("" = global admin-minted,
+    * a user id = PAT, `agent:<id>` = agent key) so the serving layers can
+    * apply owner-level gates — the agent active/deleted check (ref
+    * ApiKeyAuthenticationHandler.cs:94-99) — after hash resolution. */
+  def authenticateDetailed(token: String): Option[(String, Seq[String], String)] = {
     val h = sha256Hex(token).getBytes("UTF-8")
     val now = System.currentTimeMillis()
     load().find { r =>
       java.security.MessageDigest.isEqual(r._3.getBytes("UTF-8"), h) &&
         r._8 < 0 && (r._7 < 0 || r._7 > now)
-    }.map(r => (r._2, r._5))
+    }.map(r => (r._2, r._5, r._10))
+  }
+
+  /** Revoke every ACTIVE key an owner holds in one swap — the
+    * agent-deletion cascade (ref AgentService.DeleteAsync's ExecuteUpdate
+    * over the agent's AgentApiKeys). Returns how many keys died. */
+  def revokeAllFor(userId: String): Int = synchronized {
+    require(userId.nonEmpty, "owner id required")
+    val rows = load()
+    val hit = rows.count(r => r._10 == userId && r._8 < 0)
+    if (hit > 0) {
+      val ts = System.currentTimeMillis()
+      write(rows.map(r =>
+        if (r._10 == userId && r._8 < 0) r.copy(_8 = ts) else r))
+    }
+    hit
   }
 
   /** Scope checks the serving layers call per route. */

@@ -49,6 +49,11 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
       * failures answered IN-BAND (isError, the MCP tool-error shape),
       * like every other tool failure. */
     keys: Option[ApiKeyRegistry] = None,
+    /** Agent registry (the same one RestServer takes): when set, a key
+      * owned by a disabled or soft-deleted agent fails auth exactly like
+      * a revoked key (ref ApiKeyAuthenticationHandler.cs:94-99). Agent
+      * MANAGEMENT stays on the REST surface — MCP only gates. */
+    agents: Option[AgentRegistry] = None,
     /** Human-user sessions (the same registry RestServer takes): when
       * set, a compact JWT bearer resolves here too — INCLUDING tokens
       * minted by the OAuth flow, whose `aud` claim must name THIS
@@ -169,7 +174,11 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
             else Some((name, ss))
           }
       val resolved: Option[(String, Seq[String])] = jwtResolved.orElse(keys match {
-        case Some(reg) => bearer.flatMap(reg.authenticate)
+        // the agent gate runs AFTER hash resolution: a disabled/deleted
+        // agent's keys stop authenticating without being revoked
+        case Some(reg) => bearer.flatMap(reg.authenticateDetailed)
+          .filter { case (_, _, owner) => agents.forall(_.ownerUsable(owner)) }
+          .map { case (name, ss, _) => (name, ss) }
         // a user registry WITHOUT a shared key is not open mode — but a
         // configured apiKey keeps working next to `users` (adding JWT
         // support must not 401 every existing shared-key client;

@@ -52,6 +52,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       * revoked / expired, 403 out-of-scope, and admin key CRUD at
       * `/keys`. */
     keys: Option[ApiKeyRegistry] = None,
+    /** Named agents owning keys (ref AgentService.cs + AgentEndpoints.cs):
+      * when set (requires `keys`), admins manage agents at `/agents` —
+      * create/list/get/delete, enable/disable (PUT /agents/{id}/active),
+      * and key mint/list/revoke under `/agents/{id}/keys`. Keys of a
+      * disabled or deleted agent stop authenticating. */
+    agents: Option[AgentRegistry] = None,
     /** Human-user sessions (ref AuthEndpoints.cs, JwtTokenService.cs):
       * when set, bearer JWTs resolve through [[UserRegistry]] (login,
       * refresh rotation, invite-gated signup on the /auth routes)
@@ -146,6 +152,10 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val SettingsCat = "/settings/([a-z]+)".r
   private val ContainerSettings = "/containers/([^/]+)/settings/([a-z]+)".r
   private val KeyId = "/keys/([^/]+)".r
+  private val AgentId = "/agents/([^/]+)".r
+  private val AgentActive = "/agents/([^/]+)/active".r
+  private val AgentKeys = "/agents/([^/]+)/keys".r
+  private val AgentKeyId = "/agents/([^/]+)/keys/([^/]+)".r
   private val BatchId = "/batches/([^/]+)".r
   private val UserId = "/auth/users/([^/]+)".r
   private val UserActive = "/auth/users/([^/]+)/active".r
@@ -192,6 +202,10 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
     var principal = "-"
+    /** True when the caller authenticated with an AGENT-owned key — the
+      * reference's `actor_type=agent` claim; agents cannot create agents
+      * (ref AgentEndpoints.cs GetUserId returns null for agent actors). */
+    var agentActor = false
     var audited = false
     def auditRec(status: Int, detail: String = ""): Unit = {
       audited = true
@@ -243,8 +257,18 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           case Some((name, ss)) => principal = name; Some(ss)
           case None => keys match {
             case Some(reg) =>
-              bearer.flatMap(reg.authenticate) match {
-                case Some((name, ss)) => principal = name; Some(ss)
+              // owner-level gate AFTER hash resolution: a key owned by a
+              // disabled or soft-deleted agent fails auth exactly like a
+              // revoked key (ref ApiKeyAuthenticationHandler.cs:94-99) —
+              // the key itself stays live, so re-enabling the agent
+              // restores service without re-minting
+              bearer.flatMap(reg.authenticateDetailed)
+                .filter { case (_, _, owner) =>
+                  agents.forall(_.ownerUsable(owner)) } match {
+                case Some((name, ss, owner)) =>
+                  principal = name
+                  agentActor = AgentRegistry.agentOf(owner).isDefined
+                  Some(ss)
                 case None => None
               }
             case None if users.isDefined && apiKey.isEmpty =>
@@ -658,6 +682,75 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val reg = keys.getOrElse(throw Denied(404, "no key registry configured"))
           if (reg.revoke(id)) { auditRec(204, s"key_revoke $id"); noContent(ex) }
           else err(ex, 404, s"no active key: $id")
+        // ---- agent registry (admin; ref AgentService.cs +
+        // AgentEndpoints.cs /api/v1/agents): named agents own keys as a
+        // unit — disable pauses them, delete revokes them ----------------
+        case ("POST", "/agents") =>
+          requireAdmin()
+          // agents cannot create agents (ref AgentEndpoints.cs GetUserId
+          // answers null for actor_type=agent → Unauthorized)
+          if (agentActor) throw Denied(401, "agents cannot create agents")
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          val b = body(ex)
+          val createdBy = users.flatMap(u => bearer.flatMap(u.subjectOf))
+            .getOrElse(principal)
+          val id = reg.create(str(b, "name"),
+            optStr(b, "description").getOrElse(""), createdBy)
+          val a = reg.get(id).get
+          auditRec(201, s"agent_create name=${a._2}")
+          ok(ex, agentJson(a, reg), status = 201)
+        case ("GET", "/agents") =>
+          requireAdmin()
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          ok(ex, arr(reg.list().map(agentJson(_, reg): Any)))
+        case ("GET", AgentId(id)) =>
+          requireAdmin()
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          reg.get(id) match {
+            case Some(a) => ok(ex, agentJson(a, reg))
+            case None => err(ex, 404, s"no agent: $id")
+          }
+        case ("DELETE", AgentId(id)) =>
+          requireAdmin()
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          if (reg.delete(id)) { auditRec(204, s"agent_delete $id"); noContent(ex) }
+          else err(ex, 404, s"no agent: $id")
+        case ("PUT", AgentActive(id)) =>
+          requireAdmin()
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          val active = bool(body(ex), "active", default = true)
+          if (reg.setActive(id, active)) {
+            auditRec(204, s"agent_set_active $id active=$active"); noContent(ex)
+          } else err(ex, 404, s"no agent: $id")
+        case ("GET", AgentKeys(id)) =>
+          requireAdmin()
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          ok(ex, arr(reg.listKeys(id).map(keyJson(_): Any)))
+        case ("POST", AgentKeys(id)) =>
+          requireAdmin()
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          val b = body(ex)
+          val ss = {
+            val it = node(b, "scopes").elements()
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) out += it.next().asText()
+            out.toSeq
+          }
+          reg.createKey(id, str(b, "name"), ss,
+            optLong(b, "expires_ms").getOrElse(-1L)) match {
+            case Some((keyId, token)) =>
+              auditRec(201,
+                s"agent_key_create agent=$id name=${str(b, "name")} scopes=${ss.mkString(",")}")
+              ok(ex, obj("key_id" -> keyId, "agent_id" -> id, "token" -> token,
+                "scopes" -> ss.map(s => s: Any)), status = 201)
+            case None => err(ex, 404, s"no agent: $id")
+          }
+        case ("DELETE", AgentKeyId(id, keyId)) =>
+          requireAdmin()
+          val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
+          if (reg.revokeKey(id, keyId)) {
+            auditRec(204, s"agent_key_revoke agent=$id key=$keyId"); noContent(ex)
+          } else err(ex, 404, s"no active key of agent $id: $keyId")
         case ("GET", "/audit") =>
           requireAdmin()
           val log = audit.getOrElse(throw Denied(404, "no audit log configured"))
@@ -959,6 +1052,9 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         err(ex, status, msg)
       // NumberFormatException IS-A IllegalArgumentException — match it
       // first for the clearer client message (non-numeric query params)
+      case e: AgentRegistry.Conflict =>
+        auditRec(409, String.valueOf(e.getMessage))
+        err(ex, 409, String.valueOf(e.getMessage))
       case e: NumberFormatException =>
         err(ex, 400, s"not a number: ${e.getMessage}")
       case e: IllegalArgumentException => err(ex, 400, String.valueOf(e.getMessage))
@@ -1018,6 +1114,20 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       writable = bool(b, "writable", default = true))
     ok(ex, obj("container_id" -> id), status = 201)
   }
+
+  /** One agent's payload, keys embedded (ref AgentDto carries its
+    * AgentKeyListItems). */
+  private def agentJson(a: (String, String, String, Boolean, String, Long),
+      reg: AgentRegistry): JsonNode =
+    obj("agent_id" -> a._1, "name" -> a._2, "description" -> a._3,
+      "active" -> a._4, "created_by" -> a._5, "created_ms" -> a._6,
+      "keys" -> arr(reg.listKeys(a._1).map(keyJson(_): Any)))
+
+  private def keyJson(k: (String, String, String, Seq[String], Boolean,
+      Long, Long)): JsonNode =
+    obj("key_id" -> k._1, "name" -> k._2, "token_prefix" -> k._3,
+      "scopes" -> k._4.map(s => s: Any), "active" -> k._5,
+      "created_ms" -> k._6, "expires_ms" -> k._7)
 
   // ---- JSON plumbing ----------------------------------------------------
 

@@ -31,7 +31,23 @@ object StreamingIngest {
       cfg: ChunkingConfig = ChunkingConfig(),
       chunkerName: String = "recursive",
       embedder: Embedder = graft.embed.HashEmbedder(),
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      /** Rename inference (ref StorageModels.cs:14-15 Renamed/OldPath):
+        * Spark's file source only emits NEW paths — a filesystem rename
+        * surfaces as one unseen path with the old file silently gone, so
+        * [[resolveRenames]] probes the ledger for a vanished same-content
+        * twin and reuses its document id. Off = every new path is a new
+        * document (pre-rename behavior). */
+      inferRenames: Boolean = true,
+      /** "Does this path still exist on the watched store?" — injectable
+        * for specs; production probes through Hadoop FS. Errors (and
+        * non-filesystem paths like WARC record URLs) answer true, which
+        * conservatively DISABLES rename inference for that row. */
+      pathExists: String => Boolean = p =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(hp)
+        } catch { case _: Throwable => true }): StreamingQuery = {
     import spark.implicits._
 
     // the binaryFile streaming source requires its (fixed) schema up front
@@ -95,12 +111,83 @@ object StreamingIngest {
                 content = content))
             }
           }
-        if (!docs.isEmpty)
-          upsertBatch(spark, docs, warehouse, chunkerName, cfg, embedder,
-            generation = batchId)
+        if (!docs.isEmpty) {
+          val cached = docs.persist() // resolve + upsert must not parse twice
+          val (resolved, movedIds) =
+            if (inferRenames) resolveRenames(spark, cached, warehouse, pathExists)
+            else (cached, Nil)
+          upsertBatch(spark, resolved, warehouse, chunkerName, cfg, embedder,
+            generation = batchId, embedCacheDocIds = movedIds)
+          cached.unpersist()
+        }
         ()
       }
       .start()
+  }
+
+  /** Infer renames the file source cannot see (ref
+    * ConnectorWatcherService.cs:237-255, the atomic-save-editor id-reuse
+    * path): a batch document whose content hash matches exactly ONE latest
+    * stream-ledger row whose path is (a) not in this batch and (b) no
+    * longer present on the watched store is that row's document MOVED —
+    * reuse its id, so metadata and generation history survive the rename
+    * and [[latest]] supersedes the old path's rows in the same commit.
+    * Ambiguous matches (duplicate content at several vanished paths, or
+    * several batch copies of one hash) stay NEW documents: a wrong guess
+    * would reassign another document's identity, and the only cost of
+    * declining is one re-embed.
+    *
+    * Scale shape: the batch's (id, path, hash) triples are micro-batch-
+    * bounded (driver-safe collect); the ledger side is ONE row per live
+    * document, probed with a hash `isin` filter that reaches the parquet
+    * scan — never a full-corpus fold. Returns the docs with ids rewritten
+    * plus the reused ids (fed to [[upsertBatch]]'s embed-cache restriction
+    * so an unchanged move costs zero embed calls). */
+  private[graft] def resolveRenames(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.Dataset[IndexBuild.RawDoc],
+      warehouse: String,
+      pathExists: String => Boolean)
+      : (org.apache.spark.sql.Dataset[IndexBuild.RawDoc], Seq[String]) = {
+    import spark.implicits._
+    val ledger =
+      try latest(table(spark, warehouse, "stream_ledger"))
+      catch { case _: Throwable => return (docs, Nil) }
+    val inc = docs
+      .map(d => (d.document_id, d.path, IndexBuild.sha256(d.content)))
+      .collect()
+    if (inc.isEmpty) return (docs, Nil)
+    // renames are interactive-scale events (an editor saved a file); a
+    // multi-thousand-doc batch is a backfill or crawl shard — skip the
+    // probe rather than ship a giant isin predicate for nothing
+    if (inc.length > 4096) return (docs, Nil)
+    val incPaths = inc.map(_._2).toSet
+    val incHashes = inc.map(_._3).toSet.toSeq
+    val candidates = ledger
+      .filter(col("doc_hash").isin(incHashes: _*))
+      .select("document_id", "path", "doc_hash")
+      .as[(String, String, String)].collect()
+    // a candidate is a stored doc whose path vanished: not re-delivered in
+    // this batch AND gone from the store (the rename's source side)
+    val vanished = candidates.filter(c =>
+      !incPaths.contains(c._2) && !pathExists(c._2))
+    val oldByHash = vanished.groupBy(_._3)
+      .collect { case (h, rows) if rows.length == 1 => h -> rows.head }
+    val incByHash = inc.groupBy(_._3)
+    val overrides = inc.flatMap { case (_, p, h) =>
+      if (incByHash(h).length == 1) oldByHash.get(h).map(old => p -> old._1)
+      else None
+    }.toMap
+    if (overrides.isEmpty) (docs, Nil)
+    else {
+      overrides.foreach { case (p, id) =>
+        System.err.println(s"[stream] rename inferred: $p keeps document $id")
+      }
+      val ov = spark.sparkContext.broadcast(overrides)
+      (docs.map(d => ov.value.get(d.path)
+        .map(id => d.copy(document_id = id)).getOrElse(d)),
+        overrides.values.toSeq)
+    }
   }
 
   /** Idempotent per-document upsert, APPEND-ONLY and TRANSACTIONAL: each
@@ -123,10 +210,23 @@ object StreamingIngest {
       chunkerName: String,
       cfg: ChunkingConfig,
       embedder: Embedder,
-      generation: Long): Unit = {
+      generation: Long,
+      /** Document ids whose EXISTING vectors may serve as the embed cache
+        * (J4) for this batch — the rename path passes the moved documents'
+        * reused ids, so an unchanged move re-embeds nothing. A point
+        * `isin` filter on the vectors table (document_id range stats +
+        * Bloom prune to the owning files post-compaction), never a
+        * corpus-wide cache broadcast. */
+      embedCacheDocIds: Seq[String] = Nil): Unit = {
     val chunker = Chunkers.forName(chunkerName, embedder)
     val newChunks = IndexBuild.chunkDocs(docs, chunker, cfg).persist()
-    val newVectors = IndexBuild.embedChunks(newChunks, None, embedder)
+    val cache =
+      if (embedCacheDocIds.isEmpty) None
+      else try Some(table(spark, warehouse, "vectors")
+        .filter(col("document_id").isin(embedCacheDocIds: _*))
+        .select("content_hash", "model_id", "dimensions", "embedding"))
+      catch { case _: Throwable => None }
+    val newVectors = IndexBuild.embedChunks(newChunks, cache, embedder)
 
     val chunkAdds = graft.store.TxLog.stageWrite(
       newChunks.drop("precomputed").toDF()
@@ -135,7 +235,18 @@ object StreamingIngest {
     val vectorAdds = graft.store.TxLog.stageWrite(
       newVectors.withColumn("generation", lit(generation)),
       warehouse, "vectors", Seq("container_id", "model_id"), generation)
-    graft.store.TxLog.commit(spark, warehouse, chunkAdds ++ vectorAdds)
+    // one ledger row per doc per generation, committed ATOMICALLY with the
+    // doc's chunks+vectors: path + content hash back the rename inference
+    // (and Reindex.classify over streaming warehouses); [[latest]] gives
+    // the live view. Tiny next to chunks — one row per document version.
+    val ledgerAdds = graft.store.TxLog.stageWrite(
+      docs.toDF().select(
+        col("container_id"), col("document_id"), col("path"),
+        sha2(col("content"), 256).as("doc_hash"),
+        lit(generation).as("generation")),
+      warehouse, "stream_ledger", Seq("container_id"), generation)
+    graft.store.TxLog.commit(spark, warehouse,
+      chunkAdds ++ vectorAdds ++ ledgerAdds)
     newChunks.unpersist()
     ()
   }

@@ -1,0 +1,151 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Agent resource registry end-to-end (ref AgentService.cs +
+  * AgentEndpoints.cs): named agents own API keys as a unit — the CRUD
+  * matrix, disable-pauses-keys vs delete-revokes-keys, the 409 duplicate
+  * name, agents-cannot-create-agents, and admin-only access. */
+class AgentsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val wh = java.nio.file.Files.createTempDirectory("graft-agents").toString
+  private lazy val store = new KnowledgeStore(spark, wh)
+  private lazy val userReg = new UserRegistry(spark, wh, "agent-secret-0123456789")
+  private lazy val keyReg = new ApiKeyRegistry(spark, wh)
+  private lazy val agentReg = new AgentRegistry(spark, wh, keyReg)
+  private lazy val (server, base) = {
+    val s = new RestServer(store, users = Some(userReg), keys = Some(keyReg),
+      agents = Some(agentReg))
+    (s, s"http://127.0.0.1:${s.start()}")
+  }
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  private def http(method: String, path: String, body: String = null,
+      bearer: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+    if (bearer != null) b = b.header("Authorization", s"Bearer $bearer")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("")))
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val json = if (resp.body() == null || resp.body().isEmpty)
+      mapper.createObjectNode() else mapper.readTree(resp.body())
+    (resp.statusCode(), json)
+  }
+
+  private lazy val admin = {
+    userReg.createUser("admin@example.com", "password!", Seq("admin"), "admin")
+    userReg.createUser("user@example.com", "password!", Seq("read:*"), "user")
+    http("POST", "/auth/login",
+      """{"email": "admin@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+  }
+
+  test("agent CRUD: create/get/list, name rules, 409 duplicate, admin-only") {
+    val (st, b) = http("POST", "/agents",
+      """{"name": "ci-crawler", "description": "nightly crawl"}""", admin)
+    assert(st == 201, b.toString)
+    val aid = b.get("agent_id").asText()
+    assert(b.get("name").asText() == "ci-crawler" && b.get("active").asBoolean())
+    assert(b.get("created_by").asText().nonEmpty)
+    // duplicate live name -> 409 (ref ix_agents_name unique constraint)
+    assert(http("POST", "/agents", """{"name": "ci-crawler"}""", admin)._1 == 409)
+    // name rules (ref ValidationConstants.cs): too short, bad chars -> 400
+    assert(http("POST", "/agents", """{"name": "x"}""", admin)._1 == 400)
+    assert(http("POST", "/agents", """{"name": "has space"}""", admin)._1 == 400)
+    assert(http("POST", "/agents",
+      s"""{"name": "desc-cap", "description": "${"d" * 501}"}""", admin)._1 == 400)
+    // get + list
+    val got = http("GET", s"/agents/$aid", bearer = admin)
+    assert(got._1 == 200 && got._2.get("name").asText() == "ci-crawler")
+    assert(http("GET", "/agents/nope", bearer = admin)._1 == 404)
+    val list = http("GET", "/agents", bearer = admin)._2
+    assert(list.size() == 1)
+    // admin-only: a read-scoped user JWT gets 403, anonymous 401
+    val user = http("POST", "/auth/login",
+      """{"email": "user@example.com", "password": "password!"}""")
+      ._2.get("access_token").asText()
+    assert(http("GET", "/agents", bearer = user)._1 == 403)
+    assert(http("GET", "/agents")._1 == 401)
+  }
+
+  test("agent keys: mint/list/revoke; disable pauses, enable restores, delete kills") {
+    val aid = http("POST", "/agents", """{"name": "indexer"}""", admin)
+      ._2.get("agent_id").asText()
+    // mint a key; the raw token returns once and authenticates
+    val mint = http("POST", s"/agents/$aid/keys",
+      """{"name": "indexer-prod", "scopes": ["read:*"]}""", admin)
+    assert(mint._1 == 201, mint._2.toString)
+    val keyId = mint._2.get("key_id").asText()
+    val token = mint._2.get("token").asText()
+    assert(http("GET", "/containers", bearer = token)._1 == 200)
+    // key name rules -> 400; unknown agent -> 404
+    assert(http("POST", s"/agents/$aid/keys",
+      """{"name": "x", "scopes": ["read:*"]}""", admin)._1 == 400)
+    assert(http("POST", "/agents/nope/keys",
+      """{"name": "orphan", "scopes": ["read:*"]}""", admin)._1 == 404)
+    // the agent's key list shows prefix, never the token
+    val keys = http("GET", s"/agents/$aid/keys", bearer = admin)._2
+    assert(keys.size() == 1 && keys.get(0).get("key_id").asText() == keyId)
+    assert(keys.get(0).get("token_prefix").asText().startsWith("gft_"))
+    assert(!keys.toString.contains(token.drop(12)), "raw token must never list")
+    // the GET /agents payload embeds the keys (ref AgentDto.ApiKeys)
+    assert(http("GET", s"/agents/$aid", bearer = admin)
+      ._2.get("keys").size() == 1)
+    // DISABLE: the key stops authenticating but is NOT revoked…
+    assert(http("PUT", s"/agents/$aid/active",
+      """{"active": false}""", admin)._1 == 204)
+    assert(http("GET", "/containers", bearer = token)._1 == 401)
+    assert(keyReg.authenticate(token).isDefined,
+      "disable must pause the key, not revoke it")
+    // …and a disabled agent still lists/gets with active=false
+    assert(!http("GET", s"/agents/$aid", bearer = admin)
+      ._2.get("active").asBoolean())
+    // RE-ENABLE: the same key works again, no re-mint
+    assert(http("PUT", s"/agents/$aid/active",
+      """{"active": true}""", admin)._1 == 204)
+    assert(http("GET", "/containers", bearer = token)._1 == 200)
+    // revoke ONE key via the route; a second key survives
+    val second = http("POST", s"/agents/$aid/keys",
+      """{"name": "indexer-canary", "scopes": ["read:*"]}""", admin)._2
+    assert(http("DELETE", s"/agents/$aid/keys/$keyId", bearer = admin)._1 == 204)
+    assert(http("GET", "/containers", bearer = token)._1 == 401)
+    assert(http("DELETE", s"/agents/$aid/keys/$keyId", bearer = admin)._1 == 404,
+      "double revoke answers 404")
+    val canary = second.get("token").asText()
+    assert(http("GET", "/containers", bearer = canary)._1 == 200)
+    // DELETE the agent: tombstone + cascade-revoke; 404s thereafter
+    assert(http("DELETE", s"/agents/$aid", bearer = admin)._1 == 204)
+    assert(http("GET", "/containers", bearer = canary)._1 == 401)
+    assert(keyReg.authenticate(canary).isEmpty,
+      "delete must REVOKE the agent's keys (irreversible, unlike disable)")
+    assert(http("GET", s"/agents/$aid", bearer = admin)._1 == 404)
+    assert(http("PUT", s"/agents/$aid/active",
+      """{"active": true}""", admin)._1 == 404)
+    // the freed name is reusable (unique among LIVE agents only)
+    assert(http("POST", "/agents", """{"name": "indexer"}""", admin)._1 == 201)
+  }
+
+  test("agents cannot create agents; admin-scoped agent key manages everything else") {
+    val aid = http("POST", "/agents", """{"name": "operator"}""", admin)
+      ._2.get("agent_id").asText()
+    val token = http("POST", s"/agents/$aid/keys",
+      """{"name": "operator-admin", "scopes": ["admin"]}""", admin)
+      ._2.get("token").asText()
+    // an admin agent key can read the registry…
+    assert(http("GET", "/agents", bearer = token)._1 == 200)
+    // …but cannot CREATE agents (ref AgentEndpoints.cs: GetUserId answers
+    // null for actor_type=agent -> Unauthorized)
+    assert(http("POST", "/agents", """{"name": "spawn"}""", token)._1 == 401)
+    // a key the ADMIN minted directly (no agent owner) can create agents
+    val (_, globalTok) = keyReg.create("root-ci", Seq("admin"))
+    assert(http("POST", "/agents", """{"name": "spawn"}""", globalTok)._1 == 201)
+  }
+}

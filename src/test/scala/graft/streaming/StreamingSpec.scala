@@ -318,6 +318,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(vectors.count() == chunks.count())
   }
 
+  test("a renamed file keeps its document id and re-embeds nothing (T1 rename)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ren-in")
+    val wh = java.nio.file.Files.createTempDirectory("graft-ren-wh").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-ren-cp").toString
+    val counting = new graft.ingest.CountingEmbedder
+    java.nio.file.Files.writeString(root.resolve("draft.txt"),
+      "the moved document keeps its identity across a rename. " * 5)
+    java.nio.file.Files.writeString(root.resolve("bystander.txt"),
+      "an unrelated file that never moves anywhere at all. " * 5)
+    def run(): Unit = {
+      val q = StreamingIngest.start(spark, root.toString, "cR", wh, cp,
+        cfg, "recursive", counting, Trigger.AvailableNow())
+      q.awaitTermination(60000); ()
+    }
+    run()
+    val idBefore = StreamingIngest.latest(spark.read.parquet(s"$wh/chunks"))
+      .filter($"path".endsWith("draft.txt"))
+      .select("document_id").as[String].head()
+
+    // the atomic-save-editor case: the file MOVES; the file source only
+    // sees the new path appear — rename inference must pair it with the
+    // vanished same-content original and reuse the id
+    java.nio.file.Files.move(root.resolve("draft.txt"), root.resolve("final.txt"))
+    graft.ingest.CountingEmbedder.calls.set(0)
+    run()
+    assert(graft.ingest.CountingEmbedder.calls.get() == 0,
+      "unchanged content must re-embed nothing on a rename (cache hit)")
+    val live = StreamingIngest.latest(
+      graft.store.TxLog.read(spark, wh, "chunks"))
+    assert(live.filter($"path".endsWith("final.txt"))
+      .select("document_id").as[String].collect().toSet == Set(idBefore),
+      "the moved document must keep its id at the new path")
+    assert(live.filter($"path".endsWith("draft.txt")).count() == 0,
+      "last-writer-wins must supersede the old path's rows")
+    // the bystander is untouched; exactly two live documents remain
+    assert(live.select("document_id").distinct().count() == 2)
+    // vectors moved with the document (cache-hit rows, not re-embeds)
+    val liveVec = StreamingIngest.latest(
+      graft.store.TxLog.read(spark, wh, "vectors"))
+    assert(liveVec.filter($"document_id" === idBefore).count() ==
+      live.filter($"document_id" === idBefore).count())
+
+    // CHANGED content at a new path is a NEW document, never an id theft:
+    // move the bystander AND edit it in the same window — hash mismatch,
+    // no pairing
+    val byId = live.filter($"path".endsWith("bystander.txt"))
+      .select("document_id").as[String].head()
+    java.nio.file.Files.move(root.resolve("bystander.txt"), root.resolve("edited.txt"))
+    java.nio.file.Files.writeString(root.resolve("edited.txt"),
+      "completely different words now occupy this moved file. " * 5)
+    run()
+    val after = StreamingIngest.latest(
+      graft.store.TxLog.read(spark, wh, "chunks"))
+    val editedId = after.filter($"path".endsWith("edited.txt"))
+      .select("document_id").as[String].head()
+    assert(editedId != byId,
+      "changed content must mint a new document id (no rename pairing)")
+  }
+
   test("a WARC crawl shard streams in as one document per archived page") {
     val root = java.nio.file.Files.createTempDirectory("graft-warc-in")
     val wh = java.nio.file.Files.createTempDirectory("graft-warc-wh").toString
