@@ -150,8 +150,8 @@ object StreamingIngest {
       pathExists: String => Boolean)
       : (org.apache.spark.sql.Dataset[IndexBuild.RawDoc], Seq[String]) = {
     import spark.implicits._
-    val ledger =
-      try latest(table(spark, warehouse, "stream_ledger"))
+    val rawLedger =
+      try table(spark, warehouse, "stream_ledger")
       catch { case _: Throwable => return (docs, Nil) }
     val inc = docs
       .map(d => (d.document_id, d.path, IndexBuild.sha256(d.content)))
@@ -163,20 +163,44 @@ object StreamingIngest {
     if (inc.length > 4096) return (docs, Nil)
     val incPaths = inc.map(_._2).toSet
     val incHashes = inc.map(_._3).toSet.toSeq
-    val candidates = ledger
-      .filter(col("doc_hash").isin(incHashes: _*))
+    // latest() over the WHOLE ledger would be a corpus-wide window per
+    // micro-batch. Restrict first: find the doc ids with ANY matching row
+    // (a pushed-down scan), then run the last-writer-wins window over just
+    // those docs' histories — superseded versions of matched docs still
+    // lose (matching an OLD version's hash must not steal a live doc's
+    // id), and work stays ∝ matched docs, never the corpus.
+    val matchedIds = rawLedger
+      .filter(col("doc_hash").isin(incHashes: _*) ||
+        col("path").isin(incPaths.toSeq: _*))
+      .select("document_id").distinct()
+    val candidates = latest(rawLedger.join(
+        org.apache.spark.sql.functions.broadcast(matchedIds),
+        Seq("document_id"), "left_semi"))
+      .filter(col("doc_hash").isin(incHashes: _*) ||
+        col("path").isin(incPaths.toSeq: _*))
       .select("document_id", "path", "doc_hash")
       .as[(String, String, String)].collect()
-    // a candidate is a stored doc whose path vanished: not re-delivered in
-    // this batch AND gone from the store (the rename's source side)
+    // document identity is PATH-STICKY first: a path the ledger already
+    // knows keeps its recorded id. For ordinary paths that is a no-op (ids
+    // derive from the path), but it makes a CRASH-REPLAYED rename batch
+    // idempotent — after the rename committed, the new path's ledger row
+    // carries the REUSED id, and without this the replay would fall back
+    // to a fresh path-derived id and leave two live documents.
+    val atPath = candidates.filter(c => incPaths.contains(c._2))
+      .map(c => c._2 -> c._1).toMap
+    // a rename candidate is a stored doc whose path vanished: not
+    // re-delivered in this batch AND gone from the store (the source side)
     val vanished = candidates.filter(c =>
       !incPaths.contains(c._2) && !pathExists(c._2))
     val oldByHash = vanished.groupBy(_._3)
       .collect { case (h, rows) if rows.length == 1 => h -> rows.head }
     val incByHash = inc.groupBy(_._3)
-    val overrides = inc.flatMap { case (_, p, h) =>
-      if (incByHash(h).length == 1) oldByHash.get(h).map(old => p -> old._1)
-      else None
+    // only overrides that CHANGE the id matter (an ordinary path's ledger
+    // id equals its path-derived default — skip the no-ops)
+    val overrides = inc.flatMap { case (id0, p, h) =>
+      atPath.get(p).map(p -> _).orElse(
+        if (incByHash(h).length == 1) oldByHash.get(h).map(old => p -> old._1)
+        else None).filter(_._2 != id0)
     }.toMap
     if (overrides.isEmpty) (docs, Nil)
     else {

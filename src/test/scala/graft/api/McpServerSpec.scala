@@ -316,6 +316,29 @@ class McpServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("a disabled agent's key fails MCP auth; re-enable restores it without a re-mint") {
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-mcp-agent").toString
+    val store2 = new KnowledgeStore(TestSpark.spark, wh2)
+    val reg = new ApiKeyRegistry(TestSpark.spark, wh2)
+    val agents = new AgentRegistry(TestSpark.spark, wh2, reg)
+    val aid = agents.create("mcp-bot", "", "admin")
+    val Some((_, tok)) = agents.createKey(aid, "mcp-bot-key", Seq("admin"))
+    val srv = new McpServer(store2, keys = Some(reg), agents = Some(agents))
+    val url = s"http://127.0.0.1:${srv.start()}"
+    try {
+      assert(initSession(url, bearer = Some(tok)).nonEmpty)
+      agents.setActive(aid, active = false)
+      assert(rpc(url, "initialize", bearer = Some(tok), session = Some("-"))._1 == 401,
+        "a paused agent's key must stop authenticating")
+      agents.setActive(aid, active = true)
+      assert(initSession(url, bearer = Some(tok)).nonEmpty,
+        "re-enabling the agent must restore the SAME key")
+      agents.delete(aid)
+      assert(rpc(url, "initialize", bearer = Some(tok), session = Some("-"))._1 == 401,
+        "a deleted agent's key is revoked for good")
+    } finally srv.stop()
+  }
+
   test("session contract: post-initialize requests need a valid Mcp-Session-Id (400 missing / 404 unknown)") {
     // no header at all -> 400 (the spec's SHOULD-respond-400 rule)
     assert(rpc(base, "tools/list", session = None)._1 == 400)

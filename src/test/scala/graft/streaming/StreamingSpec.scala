@@ -360,6 +360,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(liveVec.filter($"document_id" === idBefore).count() ==
       live.filter($"document_id" === idBefore).count())
 
+    // CRASH-REPLAY idempotency: re-resolving the SAME batch after the
+    // rename committed must map the new path to the SAME reused id (the
+    // ledger's path-sticky row), never fall back to a fresh path-derived
+    // id — a replayed rename batch must not leave two live documents
+    val replayDoc = Seq(IndexBuild.RawDoc(
+      java.util.UUID.nameUUIDFromBytes(
+        s"cR:${root.resolve("final.txt")}".getBytes("UTF-8")).toString,
+      "cR", root.resolve("final.txt").toString, "final.txt",
+      "the moved document keeps its identity across a rename. " * 5)).toDS()
+    val (replayResolved, _) = StreamingIngest.resolveRenames(
+      spark, replayDoc, wh, p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    assert(replayResolved.map(_.document_id).collect().toSeq == Seq(idBefore),
+      "a replayed rename batch must reuse the committed id (path-sticky)")
+
     // CHANGED content at a new path is a NEW document, never an id theft:
     // move the bystander AND edit it in the same window — hash mismatch,
     // no pairing
