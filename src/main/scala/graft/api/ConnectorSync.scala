@@ -134,11 +134,19 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
 
   /** One sync pass. Returns the MATERIALIZED (path, event_type) delta
     * (collected before the snapshot swap — the lazy frame would re-diff
-    * against the NEW snapshot; deletions capped at
+    * against the NEW snapshot; every category is capped at
     * [[ConnectorSyncer.MaxReturnedEvents]] rows with exact counts in the
-    * result) plus the [[ConnectorSyncer.SyncResult]] counts; when a
-    * progress listener is given, the delta also lands in the ring as
-    * phase=file_change events (the SSE channel clients follow). */
+    * result, so a first crawl of a 10M-file bucket never folds the
+    * corpus into the return value) plus the
+    * [[ConnectorSyncer.SyncResult]] counts; when a progress listener is
+    * given, the delta also lands in the ring as phase=file_change events
+    * (the SSE channel clients follow).
+    *
+    * Driver shape: the delta frame stays DISTRIBUTED — Created/Changed
+    * paths stream to the ingest loop via `toLocalIterator` in MaxBulk
+    * groups (a first crawl is corpus-sized BY DEFINITION, but it flows
+    * through the driver one batch at a time, never as one collect);
+    * rename pairs are poll-window-bounded and collect. */
   def sync(cid: String,
       progress: Option[graft.ingest.ProgressListener] = None,
       /** Override the mass-deletion guard (intentional bulk removal). */
@@ -149,24 +157,45 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // evaluate the listing ONCE: it feeds the diff, the deletion
     // reconciliation, and the new snapshot
     val curRows = cur.cache()
-    val byType = graft.streaming.ConnectorDelta
-      .eventsWithRenames(previous(cid), curRows)
-      .collect() // poll-window-bounded (delta rows, not the corpus)
-    def paths(t: String): Seq[String] =
-      byType.filter(_.getString(1) == t).map(_.getString(0)).toSeq.sorted
+    val prevRows = previous(cid)
+    val events = graft.streaming.ConnectorDelta
+      .eventsWithRenames(prevRows, curRows).cache()
+    val D = graft.streaming.ConnectorDelta
+    // capture-free lambda (a method reference would drag `this` — and its
+    // SparkSession — into the task closure)
+    val supportedUdf = udf((p: String) => graft.ingest.Parsers.isSupported(
+      p.substring(p.lastIndexOf('/') + 1)))
     // S8 gate as a FILTER (ref FileTypeValidator.cs): unsupported types
     // skip with an event, never abort — and a skipped file can never
     // wedge the NEXT pass either (the snapshot swap below still runs)
-    val (created, createdSkipped) = paths(
-      graft.streaming.ConnectorDelta.Created).partition(isSupported)
-    val (changed, changedSkipped) = paths(
-      graft.streaming.ConnectorDelta.Changed).partition(isSupported)
-    val renamedPairs = byType
-      .filter(_.getString(1) == graft.streaming.ConnectorDelta.Renamed)
-      .map(r => (r.getString(0), r.getString(2))).toSeq.sortBy(_._1)
+    def unsupportedOf(t: String): (Long, Seq[String]) = {
+      val df = events.filter(col("event_type") === t &&
+        !supportedUdf(col("path"))).select("path")
+      (df.count(), df.orderBy("path")
+        .limit(ConnectorSyncer.MaxReturnedEvents).as[String].collect().toSeq)
+    }
+    val (createdSkippedN, createdSkipped) = unsupportedOf(D.Created)
+    val (changedSkippedN, changedSkipped) = unsupportedOf(D.Changed)
+    // rename pairs only arise from same-window Deleted+Created pairing —
+    // poll-window-bounded, never the corpus (a first crawl has none)
+    val renamedPairs = events.filter(col("event_type") === D.Renamed)
+      .select("path", "old_path").as[(String, String)]
+      .collect().toSeq.sortBy(_._1)
 
-    var skipped = (createdSkipped ++ changedSkipped)
-      .map((_, "unsupported type"))
+    val skippedSample = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    skippedSample ++= (createdSkipped ++ changedSkipped).map((_, "unsupported type"))
+    var skippedCount = createdSkippedN + changedSkippedN
+    // ingest failures whose snapshot row must NOT advance (so the next
+    // diff re-detects and retries them); bounded or the swap is skipped
+    val failedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    def noteSkips(ss: Seq[(String, String)]): Unit = {
+      skippedCount += ss.length
+      failedPaths ++= ss.collect {
+        case (p, why) if why.startsWith("ingest_failed") => p }
+      if (skippedSample.length < ConnectorSyncer.MaxReturnedEvents)
+        skippedSample ++= ss.take(
+          ConnectorSyncer.MaxReturnedEvents - skippedSample.length)
+    }
 
     // RENAMES (ref ConnectorWatcherService.cs:237-255): the document at
     // the OLD path keeps its id at the NEW path — the upload pins the
@@ -190,16 +219,39 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
         // renamed INTO an unsupported extension: the indexed old-path
         // document leaves the store, the new path skips
         if (oldId.isDefined) renameDeletes :+= oldPath
-        skipped :+= ((newPath, "unsupported type (renamed)"))
+        noteSkips(Seq((newPath, "unsupported type (renamed)")))
       }
     }
 
     // ingest in MaxBulk batches through the store's own pipeline (chunk
     // -> embed -> index, progress events, upsert semantics); asConnector
-    // bypasses the USER write guard — the sync IS the connector
-    (created ++ changed ++ renameIngest).grouped(store.MaxBulk).foreach { g =>
-      skipped ++= ingestGroup(cid, g.toSeq, renameOverrides)
+    // bypasses the USER write guard — the sync IS the connector.
+    // STREAMED: the supported Created/Changed paths flow off the cluster
+    // one MaxBulk group at a time — a first crawl's corpus-sized delta
+    // never lands on the driver as one collect
+    def streamIngest(t: String): (Long, Seq[String]) = {
+      val it = events.filter(col("event_type") === t &&
+          supportedUdf(col("path")))
+        .select("path").orderBy("path").as[String].toLocalIterator()
+      var n = 0L
+      val sample = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (buf.nonEmpty) {
+        noteSkips(ingestGroup(cid, buf.toSeq, renameOverrides))
+        buf.clear()
+      }
+      while (it.hasNext) {
+        val p = it.next(); n += 1; buf += p
+        if (sample.length < ConnectorSyncer.MaxReturnedEvents) sample += p
+        if (buf.length == store.MaxBulk) flush()
+      }
+      flush()
+      (n, sample.toSeq)
     }
+    val (createdN, createdSample) = streamIngest(D.Created)
+    val (changedN, changedSample) = streamIngest(D.Changed)
+    renameIngest.grouped(store.MaxBulk).foreach(g =>
+      noteSkips(ingestGroup(cid, g.toSeq, renameOverrides)))
     renameDeletes.grouped(store.MaxBulk).foreach(g =>
       store.bulkDeleteBatch(cid, g.toSeq, asConnector = true))
 
@@ -252,42 +304,71 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
         deletedReturned.take(ConnectorSyncer.MaxReturnedEvents)
     }
 
-    val D = graft.streaming.ConnectorDelta
     val published: Seq[(String, String)] =
-      created.map((_, D.Created)) ++ changed.map((_, D.Changed)) ++
+      createdSample.map((_, D.Created)) ++ changedSample.map((_, D.Changed)) ++
         renamedPairs.map { case (n, o) => (n, s"${D.Renamed} from $o") } ++
         deletedReturned.map((_, D.Deleted)) ++
         (if (guardTripped)
           Seq((s"$deletedCount deletions held by the mass-delete guard",
             "DeleteGuard"))
         else Seq.empty) ++
-        skipped.map { case (p, why) => (p, s"Skipped ($why)") }
+        skippedSample.toSeq.map { case (p, why) => (p, s"Skipped ($why)") }
     progress.foreach { p =>
       D.publish(published.toDF("path", "event_type"), p, connectorId = cid)
     }
 
-    // swap-rewrite the snapshot. NOTE the window: this is delete-then-
-    // rename, so a reader racing the swap can observe a brief NEITHER
-    // state — which self-heals as a full re-crawl (see previous()):
-    // upserts are idempotent and deletions reconcile against the store,
-    // so the race costs work, never divergence.
+    // swap-rewrite the snapshot — EXCEPT the rows of paths whose ingest
+    // FAILED this pass: advancing them would hide the failure forever (a
+    // transiently-failed Created would never re-diff; a failed Changed
+    // would serve stale content silently). Keeping the failed paths'
+    // PREVIOUS state (absent for Created, old mtime for Changed) makes
+    // the next sync re-detect and retry them — a deterministically
+    // corrupt file retries once per sync with a Skipped event, cost ∝
+    // poisoned files. An unsupported skip DOES advance (retrying a .exe
+    // forever would be noise, and an extension change re-diffs anyway).
+    // Pathological total failure (more failed paths than the event cap)
+    // skips the swap entirely: the whole pass re-diffs next time.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(snapPath(cid)), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(snapPath(cid))
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
-      s".sync-${java.util.UUID.randomUUID}")
-    curRows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      sys.error(s"connector snapshot rename failed: $tmp -> $target")
-    curRows.unpersist()
-    spark.catalog.refreshByPath(snapPath(cid))
+    if (failedPaths.length > ConnectorSyncer.MaxReturnedEvents)
+      System.err.println(s"[sync] ${failedPaths.length} ingest failures " +
+        s"for $cid — keeping the previous snapshot so the next sync " +
+        "retries the whole delta")
+    else {
+      val snapRows =
+        if (failedPaths.isEmpty) curRows
+        else {
+          val f = failedPaths.toSeq.toDF("path")
+          curRows.join(org.apache.spark.sql.functions.broadcast(f),
+              Seq("path"), "left_anti")
+            .unionByName(prevRows.join(
+              org.apache.spark.sql.functions.broadcast(f),
+              Seq("path"), "left_semi"))
+        }
+      // NOTE the window: this is delete-then-rename, so a reader racing
+      // the swap can observe a brief NEITHER state — which self-heals as
+      // a full re-crawl (see previous()): upserts are idempotent and
+      // deletions reconcile against the store, so the race costs work,
+      // never divergence.
+      val target = new org.apache.hadoop.fs.Path(snapPath(cid))
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+        s".sync-${java.util.UUID.randomUUID}")
+      snapRows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        sys.error(s"connector snapshot rename failed: $tmp -> $target")
+      spark.catalog.refreshByPath(snapPath(cid))
+    }
+    // blocking: a long-lived server must not accrete cached diff frames
+    // across syncs while the async release lags
+    curRows.unpersist(blocking = true)
+    events.unpersist(blocking = true)
     (published, ConnectorSyncer.SyncResult(
-      created = created.length.toLong,
-      changed = changed.length.toLong,
+      created = createdN,
+      changed = changedN,
       deleted = if (guardTripped) 0L else deletedCount,
       renamed = renamedPairs.length.toLong,
-      skipped = skipped.length.toLong,
+      skipped = skippedCount,
       deletedHeld = if (guardTripped) deletedCount else 0L))
   }
 }

@@ -495,3 +495,66 @@ class SyncSnapshotLossSpec extends AnyFunSuite {
     assert(store.getDocument(cid, "/a.txt").isDefined)
   }
 }
+
+/** A TRANSIENT ingest failure must not diverge silently: the failed
+  * path's snapshot row does not advance (absent for Created, old mtime
+  * for Changed), so the next sync re-detects and retries it — previously
+  * the snapshot swallowed the failure and the file stayed missing (or
+  * stale) until its remote mtime happened to change. */
+class SyncRetrySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("failed ingest skips with an event, then the next sync retries and heals") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncretry").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/t/good.txt" -> (("a healthy document body", 1L)),
+      "/t/flaky.txt" -> (("the flaky document body", 1L)))
+    @volatile var flakyDown = true
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => {
+        if (p == "/t/flaky.txt" && flakyDown) sys.error("503 from the store")
+        remote(p)._1.getBytes("UTF-8")
+      })
+    val cid = store.createContainer("retry", connectorType = "S3")
+
+    // pass 1: the flaky file fails per-file (batch-mates unaffected)
+    val (ev1, r1) = syncer.sync(cid)
+    assert(r1.created == 2L && r1.skipped == 1L, r1)
+    assert(ev1.exists { case (p, e) =>
+      p == "/t/flaky.txt" && e.contains("ingest_failed") }, ev1)
+    assert(store.getDocument(cid, "/t/good.txt").isDefined)
+    assert(store.getDocument(cid, "/t/flaky.txt").isEmpty)
+
+    // pass 2, still down: re-detected as Created again (the snapshot row
+    // did NOT advance), fails again — no silent divergence
+    val (_, r2) = syncer.sync(cid)
+    assert(r2.created == 1L && r2.skipped == 1L, r2)
+
+    // pass 3, transient cleared: the retry heals the store
+    flakyDown = false
+    val (_, r3) = syncer.sync(cid)
+    assert(r3.created == 1L && r3.skipped == 0L, r3)
+    assert(store.getDocument(cid, "/t/flaky.txt").exists(_.contains("flaky")))
+    // pass 4: clean no-op
+    val (_, r4) = syncer.sync(cid)
+    assert(r4.created == 0L && r4.changed == 0L && r4.skipped == 0L, r4)
+
+    // a failed CHANGED re-ingest keeps serving the old content but keeps
+    // the old snapshot row, so it re-diffs as Changed until it heals
+    remote("/t/flaky.txt") = (("the flaky document body REVISED", 2L))
+    flakyDown = true
+    val (_, r5) = syncer.sync(cid)
+    assert(r5.changed == 1L && r5.skipped == 1L, r5)
+    assert(store.getDocument(cid, "/t/flaky.txt").exists(!_.contains("REVISED")),
+      "the old content keeps serving while the re-ingest fails")
+    flakyDown = false
+    val (_, r6) = syncer.sync(cid)
+    assert(r6.changed == 1L && r6.skipped == 0L, r6)
+    assert(store.getDocument(cid, "/t/flaky.txt").exists(_.contains("REVISED")))
+  }
+}
