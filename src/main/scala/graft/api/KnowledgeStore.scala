@@ -834,6 +834,20 @@ final class KnowledgeStore(
       .select("document_id").as[String].collect().headOption
   }
 
+  /** The stored path of one document id — a POINT lookup (ledger filter
+    * with document_id pushdown; post-compaction the range stats + Bloom
+    * sketches prune to the owning files), the reference's
+    * documentStore.GetAsync. The serving layers resolve file arguments
+    * through this; a full-listing scan to find one id would be a
+    * corpus-proportional driver fold. */
+  def documentPathOf(containerId: String, docId: String): Option[String] = {
+    val led = ledgerDf
+    if (!led.columns.contains("document_id")) None
+    else led.filter(col("container_id") === containerId &&
+        col("document_id") === docId)
+      .select("path").limit(1).as[String].collect().headOption
+  }
+
   /** The container's synced paths as a DATAFRAME (one `path` column) —
     * the distributed twin of [[listFiles]] for corpus-sized
     * reconciliations: the connector sync anti-joins this against the

@@ -413,17 +413,16 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
   }
 
   /** Resolve a file argument to a stored path: a virtual path is
-    * normalized and verified against the ledger; a document ID looks its
-    * path up (both metadata-sized, prefix-pruned listings). None = the
-    * file does not exist — tools answer "not found" per file. */
+    * normalized and verified against the ledger (exact-path probe); a
+    * document ID resolves through the ledger POINT lookup — never a
+    * full-container listing (a 10M-file container must not fold onto the
+    * driver to find one id). None = the file does not exist — tools
+    * answer "not found" per file. */
   private def resolvePath(cid: String, fileId: String): Option[String] =
     if (fileId.startsWith("/")) {
       val p = graft.ingest.PathUtil.normalize(fileId)
-      if (store.listFiles(cid, Some(p), 0, Int.MaxValue).exists(_._2 == p))
-        Some(p)
-      else None
-    } else store.listFiles(cid, None, 0, Int.MaxValue)
-      .collectFirst { case (doc, p, _) if doc == fileId => p }
+      store.documentIdAt(cid, p).map(_ => p)
+    } else store.documentPathOf(cid, fileId)
 
   private def withContainer(args: JsonNode)(f: String => String): String = {
     val idOrName = reqStr(args, "containerId")

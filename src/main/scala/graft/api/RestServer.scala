@@ -965,9 +965,15 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("GET", Sub(id, "files")) =>
           requireScope("read", id)
           val q = query(ex)
+          // ref PaginationValidator.cs: skip >= 0, 1 <= take <= 200 — an
+          // unbounded limit is a driver-collect amplifier for any reader
+          val offset = q.get("offset").map(_.toInt).getOrElse(0)
+          val limit = q.get("limit").map(_.toInt).getOrElse(50)
+          require(offset >= 0, "offset must be >= 0")
+          require(limit >= 1 && limit <= RestServer.MaxPageSize,
+            s"limit must be between 1 and ${RestServer.MaxPageSize}")
           ok(ex, arr(store.listFiles(id, q.get("prefix"),
-            q.get("offset").map(_.toInt).getOrElse(0),
-            q.get("limit").map(_.toInt).getOrElse(50)).map {
+            offset, limit).map {
             case (doc, p, n) =>
               obj("document_id" -> doc, "path" -> p, "chunk_count" -> n)
           }))
@@ -1249,6 +1255,9 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
 }
 
 object RestServer {
+  /** Listing-pagination cap (ref PaginationValidator.cs MaxTake). */
+  val MaxPageSize: Int = 200
+
   /** Session-bootstrap routes reachable WITHOUT a bearer (their whole
     * point) when a user/oauth registry serves them; everything they
     * answer is gated by credentials in the BODY (password, refresh

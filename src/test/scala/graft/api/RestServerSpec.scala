@@ -90,6 +90,12 @@ class RestServerSpec extends AnyFunSuite {
     assert(send("GET", s"/containers/$cid/files")._2.size() == 1)
 
     // error contract
+    // pagination bounds (ref PaginationValidator.cs): negative offset and
+    // out-of-range limit are 400s, never a driver-collect amplifier
+    assert(send("GET", s"/containers/$cid/files?offset=-1")._1 == 400)
+    assert(send("GET", s"/containers/$cid/files?limit=0")._1 == 400)
+    assert(send("GET", s"/containers/$cid/files?limit=100000")._1 == 400)
+    assert(send("GET", s"/containers/$cid/files?limit=200")._1 == 200)
     assert(send("GET", s"/containers/$cid/document?path=/nope.txt")._1 == 404)
     assert(send("POST", "/search",
       s"""{"query": "x", "container_id": "$cid", "top_k": 9999}""")._1 == 400)
