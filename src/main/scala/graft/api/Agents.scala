@@ -120,10 +120,10 @@ final class AgentRegistry(spark: SparkSession, warehouse: String,
   }
 
   /** The agent's keys, newest first: (key_id, name, token_prefix, scopes,
-    * active, created_ms, expires_ms). Empty for unknown agents (ref
-    * AgentService.ListKeysAsync returns []). */
+    * active, created_ms, expires_ms, last_used_ms). Empty for unknown
+    * agents (ref AgentService.ListKeysAsync returns []). */
   def listKeys(agentId: String): Seq[(String, String, String, Seq[String],
-      Boolean, Long, Long)] =
+      Boolean, Long, Long, Long)] =
     keys.listFor(AgentRegistry.ownerId(agentId))
 
   /** Revoke ONE of the agent's keys; false when the key isn't the agent's

@@ -48,6 +48,20 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
   @volatile private var cache: Option[(Seq[Row], Long, Long)] = None
   @volatile private var staleSinceMs: Long = -1L
 
+  /** Pending last-used stamps (key_id → ms), updated on every successful
+    * auth and FOLDED into the table on the next write — the reference
+    * updates LastUsedAt fire-and-forget per request
+    * (ApiKeyAuthenticationHandler.cs:60-75); a swap-rewrite per auth
+    * would be a Spark-write-per-request, so the stamp is best-effort by
+    * the same contract: listings serve the live map merged over the
+    * stored column, and a process exit loses at most the stamps since
+    * the last key mutation. */
+  private val lastUsed =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def lastUsedOf(r: Row): Long =
+    Option(lastUsed.get(r._1)).map(_.longValue).getOrElse(r._9)
+
   private val AbsentStamp = TableStamp.Absent
   private def tableStamp(): Long = TableStamp.of(spark, path)
 
@@ -105,7 +119,12 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     }
   }
 
-  private def write(rows: Seq[Row]): Unit = {
+  private def write(rows0: Seq[Row]): Unit = {
+    // fold the pending last-used stamps into the swap so they persist
+    // whenever the table rewrites anyway (create/revoke) — zero extra
+    // writes on the auth path
+    val rows = rows0.map(r => r.copy(_9 = lastUsedOf(r)))
+    rows.foreach(r => lastUsed.remove(r._1))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
@@ -168,14 +187,15 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
   }
 
   /** ONE user's keys, newest first (ref PatService.ListAsync): (key_id,
-    * name, token_prefix, scopes, active, created_ms, expires_ms). */
+    * name, token_prefix, scopes, active, created_ms, expires_ms,
+    * last_used_ms [-1 = never; best-effort, see [[lastUsed]]]). */
   def listFor(userId: String): Seq[(String, String, String, Seq[String],
-      Boolean, Long, Long)] = {
+      Boolean, Long, Long, Long)] = {
     require(userId.nonEmpty, "user id required")
     val now = System.currentTimeMillis()
     load().filter(_._10 == userId).sortBy(-_._6).map(r =>
       (r._1, r._2, r._4, r._5, r._8 < 0 && (r._7 < 0 || r._7 > now),
-        r._6, r._7))
+        r._6, r._7, lastUsedOf(r)))
   }
 
   /** Tombstone, not delete — the audit trail keeps the name/prefix. */
@@ -230,7 +250,10 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     load().find { r =>
       java.security.MessageDigest.isEqual(r._3.getBytes("UTF-8"), h) &&
         r._8 < 0 && (r._7 < 0 || r._7 > now)
-    }.map(r => (r._2, r._5, r._10))
+    }.map { r =>
+      lastUsed.put(r._1, now) // fire-and-forget stamp (ref :60-75)
+      (r._2, r._5, r._10)
+    }
   }
 
   /** Revoke every ACTIVE key an owner holds in one swap — the

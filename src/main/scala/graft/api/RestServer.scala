@@ -426,12 +426,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         // the session itself may do; admin oversight stays at /keys ----
         case ("GET", "/auth/pats") =>
           val (kreg, sub, _) = patSession()
-          ok(ex, arr(kreg.listFor(sub).map {
-            case (id, name, prefix, ss, active, created, expires) =>
-              obj("key_id" -> id, "name" -> name, "token_prefix" -> prefix,
-                "scopes" -> ss.map(s => s: Any), "active" -> active,
-                "created_ms" -> created, "expires_ms" -> expires)
-          }))
+          ok(ex, arr(kreg.listFor(sub).map(keyJson(_): Any)))
         case ("POST", "/auth/pats") =>
           val (kreg, sub, sessionScopes) = patSession()
           val b = body(ex)
@@ -1130,10 +1125,10 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       "keys" -> arr(reg.listKeys(a._1).map(keyJson(_): Any)))
 
   private def keyJson(k: (String, String, String, Seq[String], Boolean,
-      Long, Long)): JsonNode =
+      Long, Long, Long)): JsonNode =
     obj("key_id" -> k._1, "name" -> k._2, "token_prefix" -> k._3,
       "scopes" -> k._4.map(s => s: Any), "active" -> k._5,
-      "created_ms" -> k._6, "expires_ms" -> k._7)
+      "created_ms" -> k._6, "expires_ms" -> k._7, "last_used_ms" -> k._8)
 
   // ---- JSON plumbing ----------------------------------------------------
 

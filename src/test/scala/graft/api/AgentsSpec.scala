@@ -91,10 +91,14 @@ class AgentsSpec extends AnyFunSuite {
       """{"name": "x", "scopes": ["read:*"]}""", admin)._1 == 400)
     assert(http("POST", "/agents/nope/keys",
       """{"name": "orphan", "scopes": ["read:*"]}""", admin)._1 == 404)
-    // the agent's key list shows prefix, never the token
+    // the agent's key list shows prefix, never the token — and the
+    // best-effort last_used stamp from the auth above (ref
+    // ApiKeyAuthenticationHandler.cs fire-and-forget LastUsedAt)
     val keys = http("GET", s"/agents/$aid/keys", bearer = admin)._2
     assert(keys.size() == 1 && keys.get(0).get("key_id").asText() == keyId)
     assert(keys.get(0).get("token_prefix").asText().startsWith("gft_"))
+    assert(keys.get(0).get("last_used_ms").asLong() > 0,
+      "an authenticated key must carry its last_used stamp")
     assert(!keys.toString.contains(token.drop(12)), "raw token must never list")
     // the GET /agents payload embeds the keys (ref AgentDto.ApiKeys)
     assert(http("GET", s"/agents/$aid", bearer = admin)

@@ -72,8 +72,12 @@ class IndexBuildSpec extends AnyFunSuite {
     IndexBuild.build(spark, docs, wh)
     val cache1 = spark.read.parquet(s"$wh/embed_cache").count()
     assert(cache1 > 0)
-    // rebuild: all embeddings must come from cache (counting via a tracking embedder)
+    // rebuild: all embeddings must come from cache (counting via a tracking
+    // embedder). The counter is GLOBAL — reset it here, or whatever count a
+    // previously-run suite left behind fails this assert (observed: the
+    // streaming rename spec's final pass leaves its embed count)
     val counting = new CountingEmbedder
+    CountingEmbedder.calls.set(0)
     IndexBuild.build(spark, docs, wh, embedder = counting)
     assert(CountingEmbedder.calls.get() == 0, "rebuild should hit the embedding cache")
   }
