@@ -1193,7 +1193,116 @@ object TextQueries {
                           AND alpha_frac > 0.8
                           AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
         FROM m ORDER BY doc_id"""),
-      doc = "the published Gopher corpus-quality rules: word/length/symbol/alpha/stopword gates, ratios + verdict all cross-checked")
+      doc = "the published Gopher corpus-quality rules: word/length/symbol/alpha/stopword gates, ratios + verdict all cross-checked"),
+
+    QueryDef(
+      "q161_url_canonicalize",
+      (s, d) => {
+        // URL canonicalization + domain blocklist + URL-level dedup — the
+        // FRONT gate of every web-corpus pipeline (C4/RefinedWeb/Dolma
+        // all canonicalize crawl URLs, drop blocklisted domains, and keep
+        // one document per canonical URL before any content-level work).
+        // Messy URLs are synthesized from doc_id arithmetic (scheme/host
+        // case, default vs real ports, utm_*/ref tracking params,
+        // unsorted params, fragments, a planted blocklisted domain) so
+        // DuckDB re-derives the SAME canonical form and must agree on
+        // every row: canonical steps are lowercase scheme+authority,
+        // strip :80/:443 (keep real ports), drop the fragment, remove
+        // tracking params, sort survivors. Dedup = min doc_id per
+        // canonical URL among unblocked rows. Scale: per-row regex/HOF
+        // columns riding the scan + ONE keyed window on canon_url.
+        val urls = table(s, d, "documents").filter(col("doc_id") < 400)
+          .withColumn("url", concat(
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://")).otherwise(lit("https://")),
+            when(pmod(col("doc_id"), lit(10)) === 7, lit("Ads.BAD.com"))
+              .otherwise(concat(lit("Site"), pmod(col("doc_id"), lit(25)).cast("string"),
+                when(pmod(col("doc_id"), lit(2)) === 0, lit(".com")).otherwise(lit(".org")))),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(":80"))
+              .when(pmod(col("doc_id"), lit(4)) === 1, lit(":443"))
+              .when(pmod(col("doc_id"), lit(8)) === 2, lit(":8080"))
+              .otherwise(lit("")),
+            lit("/a/"), pmod(col("doc_id"), lit(40)).cast("string"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(9)).cast("string")))
+              .when(pmod(col("doc_id"), lit(3)) === 1, lit("?b=2&a=1&ref=abc"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 4, lit("#sec")).otherwise(lit(""))))
+        val canon = urls
+          .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+          .withColumn("auth", lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/]+)", 1)))
+          .withColumn("host",
+            when(col("scheme") === "http", regexp_replace(col("auth"), ":80$", ""))
+              .otherwise(regexp_replace(col("auth"), ":443$", "")))
+          .withColumn("path", regexp_extract(col("url"), "^[A-Za-z]+://[^/]+([^?#]*)", 1))
+          .withColumn("q", regexp_extract(col("url"), "\\?([^#]*)", 1))
+          .withColumn("params", when(col("q") === "", lit(""))
+            .otherwise(expr("array_join(array_sort(filter(split(q, '&'), " +
+              "x -> not (startswith(x, 'utm_') or startswith(x, 'ref=')))), '&')")))
+          .withColumn("canon_url", concat(col("scheme"), lit("://"), col("host"),
+            col("path"),
+            when(col("params") === "", lit("")).otherwise(concat(lit("?"), col("params")))))
+          .withColumn("domain", regexp_extract(
+            regexp_replace(col("host"), ":[0-9]+$", ""), "[^.]+\\.[^.]+$", 0))
+          .withColumn("blocked", col("domain") === "bad.com")
+        val w = Window.partitionBy("canon_url")
+        canon
+          .withColumn("first_id", min(when(!col("blocked"), col("doc_id"))).over(w))
+          .select(col("doc_id"), col("url"), col("canon_url"), col("domain"),
+            col("blocked").cast("int").as("blocked"),
+            (!col("blocked") && col("first_id") === col("doc_id"))
+              .cast("int").as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+                 (CASE WHEN doc_id % 10 = 7 THEN 'Ads.BAD.com'
+                       ELSE 'Site' || CAST(doc_id % 25 AS VARCHAR) ||
+                            (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) END) ||
+                 (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                       WHEN doc_id % 4 = 1 THEN ':443'
+                       WHEN doc_id % 8 = 2 THEN ':8080' ELSE '' END) ||
+                 '/a/' || CAST(doc_id % 40 AS VARCHAR) ||
+                 (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 9 AS VARCHAR)
+                       WHEN doc_id % 3 = 1 THEN '?b=2&a=1&ref=abc' ELSE '' END) ||
+                 (CASE WHEN doc_id % 5 = 4 THEN '#sec' ELSE '' END) AS url
+          FROM documents WHERE doc_id < 400),
+        c0 AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                 lower(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)) AS auth,
+                 regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM u),
+        c1 AS (
+          SELECT doc_id, url, scheme, path, q,
+                 CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                      ELSE regexp_replace(auth, ':443$', '') END AS host
+          FROM c0),
+        c2 AS (
+          SELECT doc_id, url, scheme, host, path,
+                 CASE WHEN q = '' THEN ''
+                      ELSE array_to_string(list_sort(list_filter(string_split(q, '&'),
+                             x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')))), '&')
+                 END AS params
+          FROM c1),
+        c3 AS (
+          SELECT doc_id, url,
+                 scheme || '://' || host || path ||
+                   (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url,
+                 regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                                '[^.]+\.[^.]+$', 0) AS domain
+          FROM c2),
+        c4 AS (
+          SELECT doc_id, url, canon_url, domain,
+                 CASE WHEN domain = 'bad.com' THEN 1 ELSE 0 END AS blocked
+          FROM c3)
+        SELECT doc_id, url, canon_url, domain, blocked,
+               CASE WHEN blocked = 0 AND doc_id = min(CASE WHEN blocked = 0 THEN doc_id END)
+                      OVER (PARTITION BY canon_url) THEN 1 ELSE 0 END AS kept
+        FROM c4 ORDER BY doc_id"""),
+      doc = "web-pipeline URL gate: canonicalize (case/ports/fragments/tracking params/param order), eTLD+1 blocklist, keep-first per canonical URL")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are

@@ -145,10 +145,17 @@ class AuthThrottleSpec extends AnyFunSuite {
         client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
           .statusCode()
       }
-      val codes = (1 to RestServer.AuthRoutePerMinute + 5).map(_ => attempt())
+      val codes = (1 to RestServer.AuthRoutePerMinute + 15).map(_ => attempt())
       assert(codes.take(5).forall(_ == 401)) // throttle is not a lockout
-      assert(codes.count(_ == 429) >= 4,
+      // the bucket refills at 0.5/s DURING the burst (each attempt costs a
+      // real PBKDF2-100k, slower under suite load), so pin the invariants
+      // that hold regardless of wall time: the throttle ENGAGES, and the
+      // number of granted KDF evaluations stays bounded by capacity plus a
+      // generous refill allowance — not an exact excess count
+      assert(codes.count(_ == 429) >= 1,
         s"burst past ${RestServer.AuthRoutePerMinute}/min must throttle: $codes")
+      assert(codes.count(_ == 401) <= RestServer.AuthRoutePerMinute + 10,
+        s"granted attempts must stay bucket-bounded: $codes")
       // authenticated traffic on NON-auth routes is unaffected
       assert(client.send(java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"$base/health")).GET().build(),
