@@ -308,6 +308,15 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
   private def issuerOk(iss: String): Boolean =
     iss == issuer || advertisedIssuers.contains(iss)
 
+  /** Pre-flight for the token endpoint: can a token for this issuer be
+    * minted (advertising it if new)? The authorization-code exchange must
+    * check BEFORE consuming the one-time code — mintPair's own require
+    * would otherwise burn the code and answer a non-OAuth-shaped 400 at
+    * the issuer cap (the refresh path already orders the check before
+    * consuming the presented token). */
+  def issuerMintable(iss: String): Boolean =
+    advertiseIssuer(if (iss == issuer) "" else iss)
+
   private def mintPair(u: User, scopes: Seq[String], iss: String,
       aud: String, clientId: String, resource: String): TokenPair =
     synchronized {

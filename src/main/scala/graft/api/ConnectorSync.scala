@@ -76,7 +76,13 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       * reported) when they exceed this fraction of the store's files AND
       * the [[ConnectorSyncer.DeleteGuardFloor]]; `sync(force = true)`
       * overrides for intentional mass removals. */
-    val maxDeleteFraction: Double = 0.5) {
+    val maxDeleteFraction: Double = 0.5,
+    /** Identity-preserving rename budget per pass: above this many
+      * Renamed pairs (one bulk directory move), renames DEMOTE to
+      * ingest-new + delete-old so the pass stays driver-bounded —
+      * document ids are not preserved, the content-hash embed cache
+      * still makes the re-embed free. Injectable for specs. */
+    val maxRenamesPreserved: Long = ConnectorSyncer.MaxReturnedEvents.toLong) {
 
   private def snapPath(cid: String) = s"$warehouse/connector_snapshots/$cid"
 
@@ -176,11 +182,13 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     }
     val (createdSkippedN, createdSkipped) = unsupportedOf(D.Created)
     val (changedSkippedN, changedSkipped) = unsupportedOf(D.Changed)
-    // rename pairs only arise from same-window Deleted+Created pairing —
-    // poll-window-bounded, never the corpus (a first crawl has none)
-    val renamedPairs = events.filter(col("event_type") === D.Renamed)
-      .select("path", "old_path").as[(String, String)]
-      .collect().toSeq.sortBy(_._1)
+    // MASS-DELETION GUARD DENOMINATOR, measured BEFORE this pass ingests
+    // anything: a wrong-but-nonempty listing (re-pointed bucket, changed
+    // prefix) must not inflate the store with its own garbage and then
+    // pass the fraction test against the inflated count — the guard's
+    // contract is "fraction of the files that were synced BEFORE this
+    // pass".
+    val storeCountBefore = store.filePathsDf(cid).count()
 
     val skippedSample = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     skippedSample ++= (createdSkipped ++ changedSkipped).map((_, "unsupported type"))
@@ -205,20 +213,43 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // calls). An old path that was never indexed (atomic-save temp) has
     // no id to carry — the new path ingests as a plain Created, reusing
     // any id already AT that path (the ledger-first probe).
+    //
+    // BOUNDED: rename pairs are poll-window events in normal operation,
+    // but one bulk directory move can make them corpus-sized — above the
+    // event cap the pass DEMOTES renames to ingest-new + delete-old
+    // (identity is not preserved; the content-hash embed cache still
+    // makes the re-embed free; logged loudly). The demoted deletes run
+    // explicitly because the pairs are PROVEN moves (matched
+    // Deleted+Created), so they must not be held hostage by the
+    // mass-deletion guard below.
+    val renamedN = events.filter(col("event_type") === D.Renamed).count()
+    val renamesDemoted = renamedN > maxRenamesPreserved
+    if (renamesDemoted)
+      System.err.println(s"[sync] $renamedN renames in one pass for $cid " +
+        "— demoting to delete+create (bounded pass; document ids not preserved)")
+    val renamedPairs: Seq[(String, String)] =
+      if (renamesDemoted) Seq.empty
+      else events.filter(col("event_type") === D.Renamed)
+        .select("path", "old_path").as[(String, String)]
+        .collect().toSeq.sortBy(_._1)
+    // ONE batched ledger probe for every old path (was: one sequential
+    // point-lookup Spark job per renamed pair)
+    val oldIdAt: Map[String, String] =
+      store.documentIdsAt(cid, renamedPairs.map(_._2))
     var renameOverrides = Map.empty[String, String]
-    var renameIngest = Seq.empty[String]
-    var renameDeletes = Seq.empty[String]
+    val renameIngest = scala.collection.mutable.ArrayBuffer.empty[String]
+    val renameDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
     renamedPairs.foreach { case (newPath, oldPath) =>
-      val oldId = store.documentIdAt(cid, oldPath)
+      val oldId = oldIdAt.get(graft.ingest.PathUtil.normalize(oldPath))
       if (isSupported(newPath)) {
-        renameIngest :+= newPath
+        renameIngest += newPath
         oldId.foreach { id =>
           renameOverrides += (graft.ingest.PathUtil.normalize(newPath) -> id)
         }
       } else {
         // renamed INTO an unsupported extension: the indexed old-path
         // document leaves the store, the new path skips
-        if (oldId.isDefined) renameDeletes :+= oldPath
+        if (oldId.isDefined) renameDeletes += oldPath
         noteSkips(Seq((newPath, "unsupported type (renamed)")))
       }
     }
@@ -250,9 +281,33 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     }
     val (createdN, createdSample) = streamIngest(D.Created)
     val (changedN, changedSample) = streamIngest(D.Changed)
-    renameIngest.grouped(store.MaxBulk).foreach(g =>
+    // demoted renames: stream-ingest the new paths (unsupported ones skip
+    // with events) and delete the old paths in MaxBulk groups
+    val demotedIngestedN =
+      if (!renamesDemoted) 0L
+      else {
+        val (skN, sk) = unsupportedOf(D.Renamed)
+        skippedCount += skN
+        if (skippedSample.length < ConnectorSyncer.MaxReturnedEvents)
+          skippedSample ++= sk.map((_, "unsupported type (renamed)")).take(
+            ConnectorSyncer.MaxReturnedEvents - skippedSample.length)
+        val (n, _) = streamIngest(D.Renamed)
+        val it = events.filter(col("event_type") === D.Renamed)
+          .select("old_path").orderBy("old_path").as[String].toLocalIterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          buf += it.next()
+          if (buf.length == store.MaxBulk) {
+            store.bulkDeleteBatch(cid, buf.toSeq, asConnector = true); buf.clear()
+          }
+        }
+        if (buf.nonEmpty)
+          store.bulkDeleteBatch(cid, buf.toSeq, asConnector = true)
+        n
+      }
+    renameIngest.toSeq.grouped(store.MaxBulk).foreach(g =>
       noteSkips(ingestGroup(cid, g.toSeq, renameOverrides)))
-    renameDeletes.grouped(store.MaxBulk).foreach(g =>
+    renameDeletes.toSeq.grouped(store.MaxBulk).foreach(g =>
       store.bulkDeleteBatch(cid, g.toSeq, asConnector = true))
 
     // DELETIONS reconcile against the STORE, not only the side snapshot:
@@ -264,23 +319,26 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // the upload path normalizes them) — the driver sees only the
     // deleted delta, streamed in MaxBulk groups, never a full listing.
     val normalize = udf(graft.ingest.PathUtil.normalize _)
+    // cached: the count, the guard, and the streamed delete loop all read
+    // this frame — uncached it would recompute the ledger-vs-listing
+    // anti-join (a full ledger scan) once per consumer
     val deletedDf = store.filePathsDf(cid)
       .join(curRows.select(normalize(col("path")).as("path")),
-        Seq("path"), "left_anti")
+        Seq("path"), "left_anti").cache()
     val deletedCount = deletedDf.count()
-    val storeCount = store.filePathsDf(cid).count()
     // mass-deletion guard: an injected listing that answers empty/partial
     // on a transient failure (instead of throwing) must not wipe the
     // container in one pass (the deletions stay PENDING — reconciliation
     // is store-vs-remote, so the next sync re-detects them; force
-    // proceeds)
+    // proceeds). The denominator is the PRE-INGEST store size, so a
+    // garbage listing cannot vote with the files it just added.
     val guardTripped = !force &&
       deletedCount > ConnectorSyncer.DeleteGuardFloor &&
-      deletedCount > maxDeleteFraction * storeCount
+      deletedCount > maxDeleteFraction * storeCountBefore
     var deletedReturned = Seq.empty[String]
     if (guardTripped)
       System.err.println(s"[sync] delete guard: refusing $deletedCount " +
-        s"deletions (${storeCount} synced files, " +
+        s"deletions (${storeCountBefore} synced files before this pass, " +
         s"max fraction $maxDeleteFraction) for $cid — " +
         "re-sync with force=true if intentional")
     else if (deletedCount > 0) {
@@ -363,10 +421,13 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // across syncs while the async release lags
     curRows.unpersist(blocking = true)
     events.unpersist(blocking = true)
+    deletedDf.unpersist(blocking = true)
     (published, ConnectorSyncer.SyncResult(
-      created = createdN,
+      // demoted renames surface honestly as creates + deletes
+      created = createdN + demotedIngestedN,
       changed = changedN,
-      deleted = if (guardTripped) 0L else deletedCount,
+      deleted = (if (guardTripped) 0L else deletedCount) +
+        (if (renamesDemoted) renamedN else 0L),
       renamed = renamedPairs.length.toLong,
       skipped = skippedCount,
       deletedHeld = if (guardTripped) deletedCount else 0L))

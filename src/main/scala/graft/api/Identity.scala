@@ -241,16 +241,22 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
     authenticateDetailed(token).map(r => (r._1, r._2))
 
   /** [[authenticate]] plus the key's OWNER id ("" = global admin-minted,
-    * a user id = PAT, `agent:<id>` = agent key) so the serving layers can
-    * apply owner-level gates — the agent active/deleted check (ref
-    * ApiKeyAuthenticationHandler.cs:94-99) — after hash resolution. */
-  def authenticateDetailed(token: String): Option[(String, Seq[String], String)] = {
+    * a user id = PAT, `agent:<id>` = agent key). `ownerOk` is the
+    * owner-level gate the serving layers supply — the agent
+    * active/deleted check (ref ApiKeyAuthenticationHandler.cs:94-99) —
+    * applied after hash resolution and BEFORE the last-used stamp: a
+    * rejected request must not refresh last_used_ms, or a paused agent's
+    * keys would read as "in use" while every call is denied (the
+    * reference stamps only after the agent-active check). */
+  def authenticateDetailed(token: String,
+      ownerOk: String => Boolean = _ => true)
+      : Option[(String, Seq[String], String)] = {
     val h = sha256Hex(token).getBytes("UTF-8")
     val now = System.currentTimeMillis()
     load().find { r =>
       java.security.MessageDigest.isEqual(r._3.getBytes("UTF-8"), h) &&
         r._8 < 0 && (r._7 < 0 || r._7 > now)
-    }.map { r =>
+    }.filter(r => ownerOk(r._10)).map { r =>
       lastUsed.put(r._1, now) // fire-and-forget stamp (ref :60-75)
       (r._2, r._5, r._10)
     }

@@ -588,7 +588,25 @@ final class KnowledgeStore(
     // txMode folds the replacement into the SAME commit as the append
     // (stageDelete below) — the reference's single-transaction upsert
     if (!txMode) docs.groupBy(_.container_id).foreach { case (cid, group) =>
-      val existing = group.map(_.document_id).filter(prevGen.contains).toSet
+      val ids = group.map(_.document_id).toSet
+      // the ledger probe alone misses ORPHANED rows: plain mode appends
+      // chunks, then vectors, then the ledger — a mid-append failure (FS
+      // hiccup between tables) leaves chunk rows with NO ledger row, and
+      // a retry of the same document would then append a SECOND set of
+      // chunks (doubled getDocument output, doubled stats) because
+      // prevGen is ledger-driven. Probe the chunks table for the batch's
+      // ids too (one point-filtered scan, batch-sized result) so any
+      // partial previous attempt is swept before the fresh append.
+      // txMode needs none of this — its upsert is one atomic commit.
+      val orphanProbe: Set[String] = {
+        val c = chunksDf
+        if (!c.columns.contains("document_id")) Set.empty
+        else c.filter(col("container_id") === cid &&
+            col("document_id").isin(ids.toSeq: _*))
+          .select("document_id").distinct().as[String].collect().toSet
+      }
+      val existing = ids.filter(id =>
+        prevGen.contains(id) || orphanProbe.contains(id))
       if (existing.nonEmpty) {
         dropDocRows("chunks", cid, Nil, existing)
         dropDocRows("vectors", cid, Seq("model_id"), existing)
@@ -832,6 +850,20 @@ final class KnowledgeStore(
     if (!led.columns.contains("document_id")) None
     else led.filter(col("container_id") === containerId && col("path") === norm)
       .select("document_id").as[String].collect().headOption
+  }
+
+  /** Batched [[documentIdAt]]: the ledger ids of MANY paths in ONE
+    * point-filtered probe (normalized path → document_id) — the rename
+    * branch resolves a whole poll window's moved files in one job
+    * instead of one sequential ledger scan per pair. */
+  def documentIdsAt(containerId: String, paths: Seq[String]): Map[String, String] = {
+    if (paths.isEmpty) return Map.empty
+    val norms = paths.map(graft.ingest.PathUtil.normalize)
+    val led = ledgerDf
+    if (!led.columns.contains("document_id")) Map.empty
+    else led.filter(col("container_id") === containerId &&
+        col("path").isin(norms: _*))
+      .select("path", "document_id").as[(String, String)].collect().toMap
   }
 
   /** The stored path of one document id — a POINT lookup (ledger filter

@@ -175,9 +175,12 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
           }
       val resolved: Option[(String, Seq[String])] = jwtResolved.orElse(keys match {
         // the agent gate runs AFTER hash resolution: a disabled/deleted
-        // agent's keys stop authenticating without being revoked
-        case Some(reg) => bearer.flatMap(reg.authenticateDetailed)
-          .filter { case (_, _, owner) => agents.forall(_.ownerUsable(owner)) }
+        // agent's keys stop authenticating without being revoked.
+        // FAIL-CLOSED: an agent-owned key on a server constructed without
+        // the agent registry is rejected, never silently granted.
+        case Some(reg) => bearer.flatMap(reg.authenticateDetailed(_, owner =>
+            AgentRegistry.agentOf(owner).isEmpty ||
+              agents.exists(_.ownerUsable(owner))))
           .map { case (name, ss, _) => (name, ss) }
         // a user registry WITHOUT a shared key is not open mode — but a
         // configured apiKey keeps working next to `users` (adding JWT

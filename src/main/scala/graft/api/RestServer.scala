@@ -261,10 +261,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
               // disabled or soft-deleted agent fails auth exactly like a
               // revoked key (ref ApiKeyAuthenticationHandler.cs:94-99) —
               // the key itself stays live, so re-enabling the agent
-              // restores service without re-minting
-              bearer.flatMap(reg.authenticateDetailed)
-                .filter { case (_, _, owner) =>
-                  agents.forall(_.ownerUsable(owner)) } match {
+              // restores service without re-minting. FAIL-CLOSED on a
+              // half-wired deployment: an agent-owned key on a server
+              // constructed WITHOUT the agent registry is rejected (the
+              // agent's active state cannot be verified here), never
+              // silently granted.
+              bearer.flatMap(reg.authenticateDetailed(_, owner =>
+                AgentRegistry.agentOf(owner).isEmpty ||
+                  agents.exists(_.ownerUsable(owner)))) match {
                 case Some((name, ss, owner)) =>
                   principal = name
                   agentActor = AgentRegistry.agentOf(owner).isDefined
@@ -608,6 +612,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
               val clientId = str(b, "client_id")
               if (!oreg.clientAuthOk(clientId, optStr(b, "client_secret")))
                 throw Denied(401, "invalid_client")
+              // issuer-cap pre-flight BEFORE the one-time code is consumed:
+              // at the cap, the client gets a retryable invalid_request and
+              // KEEPS its code instead of burning it on an unmintable token
+              if (!ureg.issuerMintable(iss))
+                throw Denied(400, "invalid_request")
               val (userId, scope, codeResource) =
                 oreg.exchange(str(b, "code"), str(b, "code_verifier"),
                   str(b, "redirect_uri"), clientId)

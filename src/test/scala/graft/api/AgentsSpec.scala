@@ -137,6 +137,57 @@ class AgentsSpec extends AnyFunSuite {
     assert(http("POST", "/agents", """{"name": "indexer"}""", admin)._1 == 201)
   }
 
+  test("agent-owned keys FAIL CLOSED on a server wired without the agent registry") {
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-agents-hw").toString
+    val store2 = new KnowledgeStore(spark, wh2)
+    val kreg = new ApiKeyRegistry(spark, wh2)
+    val areg = new AgentRegistry(spark, wh2, kreg)
+    val aid = areg.create("half-wired", "", "admin")
+    val Some((_, agentTok)) = areg.createKey(aid, "hw-key", Seq("admin"))
+    val (_, plainTok) = kreg.create("plain-admin", Seq("admin"))
+    // a server that shares the key registry but was NOT given the agent
+    // registry cannot verify the agent's active state — the agent-owned
+    // key must be rejected, never silently granted (the misconfiguration
+    // would otherwise bypass every disable/delete)
+    val s2 = new RestServer(store2, keys = Some(kreg)) // agents NOT wired
+    val base2 = s"http://127.0.0.1:${s2.start()}"
+    try {
+      def get(tok: String): Int = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base2/containers"))
+          .header("Authorization", s"Bearer $tok").GET().build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      assert(get(plainTok) == 200, "non-agent keys are unaffected")
+      assert(get(agentTok) == 401,
+        "an agent key must fail closed when the agent registry is absent")
+    } finally s2.stop()
+  }
+
+  test("a denied request does not refresh last_used (stamp rides the gate)") {
+    val aid = http("POST", "/agents", """{"name": "stamper"}""", admin)
+      ._2.get("agent_id").asText()
+    val mint = http("POST", s"/agents/$aid/keys",
+      """{"name": "stamper-key", "scopes": ["read:*"]}""", admin)._2
+    val token = mint.get("token").asText()
+    assert(http("GET", "/containers", bearer = token)._1 == 200)
+    val used = http("GET", s"/agents/$aid/keys", bearer = admin)._2
+      .get(0).get("last_used_ms").asLong()
+    assert(used > 0)
+    // pause the agent; denied attempts must NOT advance the stamp — a
+    // paused key reading as "in use" would tell the admin the opposite
+    // of the truth (the reference stamps only after the agent check)
+    assert(http("PUT", s"/agents/$aid/active",
+      """{"active": false}""", admin)._1 == 204)
+    Thread.sleep(5)
+    assert(http("GET", "/containers", bearer = token)._1 == 401)
+    val afterDenied = http("GET", s"/agents/$aid/keys", bearer = admin)._2
+      .get(0).get("last_used_ms").asLong()
+    assert(afterDenied == used,
+      "a rejected request must not refresh last_used_ms")
+  }
+
   test("agents cannot create agents; admin-scoped agent key manages everything else") {
     val aid = http("POST", "/agents", """{"name": "operator"}""", admin)
       ._2.get("agent_id").asText()

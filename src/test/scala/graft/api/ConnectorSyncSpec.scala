@@ -558,3 +558,90 @@ class SyncRetrySpec extends AnyFunSuite {
     assert(store.getDocument(cid, "/t/flaky.txt").exists(_.contains("REVISED")))
   }
 }
+
+/** Round-13 review pins: the partial-append orphan sweep, the
+  * pre-ingest guard denominator, and the bulk-rename demotion bound. */
+class SyncReviewPinsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("a partially-failed append never doubles a document on retry (orphan sweep)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-orphan").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    val cid = store.createContainer("orphans")
+    store.uploadFile(cid, "a.txt", "the one true body of this document.")
+    val before = store.getDocument(cid, "/a.txt").get
+    // simulate the mid-append crash window: chunk rows landed, the ledger
+    // row did not (plain mode appends chunks -> vectors -> ledger)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$wh/ledger/container_id=$cid")).deleteRecursively()
+    spark.catalog.refreshByPath(s"$wh/ledger")
+    // the retry: the ledger probe finds nothing, but the orphan sweep
+    // must still clear the stranded chunk rows before appending
+    store.uploadFile(cid, "a.txt", "the one true body of this document.")
+    val after = store.getDocument(cid, "/a.txt").get
+    assert(after == before,
+      s"retry after a partial append must not double content:\n$after")
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(s"$wh/chunks")
+      .filter(col("container_id") === cid)
+    assert(rows.count() == rows.select("chunk_id").distinct().count(),
+      "no stranded duplicate chunk rows may survive the retry")
+  }
+
+  test("the mass-delete guard's denominator is the PRE-ingest store size") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-guarddenom").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)]()
+    (0 until 12).foreach(i => remote(f"/r/f$i%02d.txt") = ((s"body number $i text", 1L)))
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"))
+    val cid = store.createContainer("denom", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 12L)
+    // a re-pointed bucket: 40 unrelated files, NONE of the original 12 —
+    // the pass ingests the 40, then must judge the 12 deletions against
+    // the PRE-pass store (12/12 = 1.0 > 0.5), not the inflated 52
+    remote.clear()
+    (0 until 40).foreach(i => remote(f"/other/g$i%02d.txt") = ((s"garbage $i", 9L)))
+    val (_, r) = syncer.sync(cid)
+    assert(r.deletedHeld == 12L && r.deleted == 0L,
+      s"the guard must hold the wipe against the pre-ingest denominator: $r")
+    assert(store.getDocument(cid, "/r/f00.txt").isDefined,
+      "the original documents must survive the held pass")
+  }
+
+  test("bulk renames above the budget demote to delete+create (bounded pass)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rdemote").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)]()
+    (0 until 4).foreach(i => remote(s"/d/f$i.txt") = ((s"moved corpus body $i", 1L)))
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"),
+      maxRenamesPreserved = 2L)
+    val cid = store.createContainer("demote", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 4L)
+    val idBefore = store.documentIdAt(cid, "/d/f0.txt").get
+    // a directory move: all 4 files relocate with mtime+size intact ->
+    // 4 Renamed pairs > the budget of 2 -> demotion
+    val moved = remote.toMap
+    remote.clear()
+    moved.foreach { case (p, v) => remote(p.replace("/d/", "/e/")) = v }
+    val (_, r) = syncer.sync(cid)
+    assert(r.renamed == 0L && r.created == 4L && r.deleted == 4L,
+      s"above-budget renames must surface as create+delete: $r")
+    assert(store.getDocument(cid, "/e/f0.txt").exists(_.contains("moved corpus body 0")))
+    assert(store.getDocument(cid, "/d/f0.txt").isEmpty)
+    assert(!store.documentIdAt(cid, "/e/f0.txt").contains(idBefore),
+      "demotion does not preserve ids (the disclosed trade)")
+    // next pass is a clean no-op
+    val (_, r2) = syncer.sync(cid)
+    assert(r2.created == 0L && r2.deleted == 0L && r2.renamed == 0L, r2)
+  }
+}
