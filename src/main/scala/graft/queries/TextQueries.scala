@@ -1302,7 +1302,81 @@ object TextQueries {
                CASE WHEN blocked = 0 AND doc_id = min(CASE WHEN blocked = 0 THEN doc_id END)
                       OVER (PARTITION BY canon_url) THEN 1 ELSE 0 END AS kept
         FROM c4 ORDER BY doc_id"""),
-      doc = "web-pipeline URL gate: canonicalize (case/ports/fragments/tracking params/param order), eTLD+1 blocklist, keep-first per canonical URL")
+      doc = "web-pipeline URL gate: canonicalize (case/ports/fragments/tracking params/param order), eTLD+1 blocklist, keep-first per canonical URL"),
+
+    QueryDef(
+      "q162_ccnet_buckets",
+      (s, d) => {
+        // CCNet's head/middle/tail RELEASE shape (Wenzek et al. 2020 —
+        // the published step BETWEEN q77's perplexity scoring and the
+        // released corpus): every document scores against the
+        // corpus-trained Laplace bigram LM, each LANGUAGE splits into
+        // perplexity terciles (head = most fluent), and the release keeps
+        // head+middle. Tercile assignment keys on the ROUNDED 6-dp nll +
+        // doc_id so both engines order identically (raw doubles differ at
+        // 1 ulp); docs with < 2 tokens have no bigram score and are
+        // excluded on both sides. Shapes are q77's (keyed bigram
+        // shuffles, broadcast vocab scalar) plus ONE language-partitioned
+        // window — all linear.
+        val toksDf = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .select(col("doc_id"), col("lang"), col("toks"))
+          .persist()
+        val bi = toksDf
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(" +
+              "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .persist()
+        val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val vocab = toksDf.select(explode(col("toks")).as("tok"))
+          .agg(countDistinct("tok").as("v"))
+        val scored = bi
+          .join(cb, Seq("w1", "w2"))
+          .join(broadcast(cu), Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("nlp",
+            -log((col("cb") + 1).cast("double") / (col("cu") + col("v")).cast("double")))
+          .groupBy("doc_id")
+          .agg(round(avg("nlp"), 6).as("avg_nll"))
+        val w = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+        Catalog.materializeAndRelease(toksDf.select("doc_id", "lang")
+          .join(scored, Seq("doc_id"))
+          .withColumn("tercile", ntile(3).over(w))
+          .withColumn("bucket",
+            when(col("tercile") === 1, lit("head"))
+              .when(col("tercile") === 2, lit("middle")).otherwise(lit("tail")))
+          .withColumn("kept", (col("tercile") =!= 3).cast("int"))
+          .select("doc_id", "lang", "avg_nll", "bucket", "kept")
+          .orderBy("doc_id"), toksDf, bi)
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, lang, ${toksDuck("text")} t FROM documents),
+             bi AS (SELECT doc_id, t[i] w1, t[i+1] w2
+                    FROM toks, unnest(range(1, len(t))) AS u(i)
+                    WHERE len(t) >= 2),
+             cb AS (SELECT w1, w2, count(*) cb FROM bi GROUP BY 1, 2),
+             cu AS (SELECT w1, count(*) cu FROM bi GROUP BY 1),
+             vocab AS (SELECT count(DISTINCT tok) v
+                       FROM (SELECT unnest(t) tok FROM toks)),
+             scored AS (
+               SELECT doc_id, round(avg(-ln((cb + 1.0) / (cu + v))), 6) AS avg_nll
+               FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab
+               GROUP BY doc_id),
+             b AS (
+               SELECT t.doc_id, t.lang, s.avg_nll,
+                      ntile(3) OVER (PARTITION BY t.lang
+                                     ORDER BY s.avg_nll, t.doc_id) AS tercile
+               FROM (SELECT DISTINCT doc_id, lang FROM documents) t
+               JOIN scored s USING (doc_id))
+        SELECT doc_id, lang, avg_nll,
+               CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CASE WHEN tercile <> 3 THEN 1 ELSE 0 END AS kept
+        FROM b ORDER BY doc_id"""),
+      doc = "CCNet head/middle/tail: per-language perplexity terciles over the corpus-trained bigram LM, head+middle released")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are
