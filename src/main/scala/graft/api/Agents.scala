@@ -124,7 +124,11 @@ final class AgentRegistry(spark: SparkSession, warehouse: String,
     * agents (ref AgentService.ListKeysAsync returns []). */
   def listKeys(agentId: String): Seq[(String, String, String, Seq[String],
       Boolean, Long, Long, Long)] =
-    keys.listFor(AgentRegistry.ownerId(agentId))
+    // a deleted agent reads like an unknown one (ref AgentService
+    // .ListKeysAsync filters DeletedAt == null): its tombstoned keys are
+    // registry history, not API surface
+    if (get(agentId).isEmpty) Seq.empty
+    else keys.listFor(AgentRegistry.ownerId(agentId))
 
   /** Revoke ONE of the agent's keys; false when the key isn't the agent's
     * or is already revoked (route answers 404 — existence of other owners'

@@ -309,13 +309,20 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
     iss == issuer || advertisedIssuers.contains(iss)
 
   /** Pre-flight for the token endpoint: can a token for this issuer be
-    * minted (advertising it if new)? The authorization-code exchange must
-    * check BEFORE consuming the one-time code — mintPair's own require
-    * would otherwise burn the code and answer a non-OAuth-shaped 400 at
-    * the issuer cap (the refresh path already orders the check before
-    * consuming the presented token). */
-  def issuerMintable(iss: String): Boolean =
-    advertiseIssuer(if (iss == issuer) "" else iss)
+    * minted? READ-ONLY — the authorization-code exchange checks BEFORE
+    * consuming the one-time code (mintPair's own require would otherwise
+    * burn the code and answer a non-OAuth-shaped 400 at the issuer cap),
+    * and advertising here would let FAILED exchanges (invalid code or
+    * verifier, attacker-chosen Host) permanently consume cap slots. The
+    * issuer is advertised only when the exchange succeeds, inside
+    * mintPair. A concurrent cap-fill between this check and the mint
+    * surfaces as mintPair's require — rare, and no worse than losing the
+    * race outright. */
+  def issuerMintable(iss: String): Boolean = {
+    val i = if (iss == issuer) "" else iss
+    i.isEmpty || advertisedIssuers.contains(i) ||
+      advertisedIssuers.size < UserRegistry.MaxAdvertisedIssuers
+  }
 
   private def mintPair(u: User, scopes: Seq[String], iss: String,
       aud: String, clientId: String, resource: String): TokenPair =

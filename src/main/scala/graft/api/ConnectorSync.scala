@@ -82,7 +82,18 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       * ingest-new + delete-old so the pass stays driver-bounded —
       * document ids are not preserved, the content-hash embed cache
       * still makes the re-embed free. Injectable for specs. */
-    val maxRenamesPreserved: Long = ConnectorSyncer.MaxReturnedEvents.toLong) {
+    val maxRenamesPreserved: Long = ConnectorSyncer.MaxReturnedEvents.toLong,
+    /** Distributed FIRST-CRAWL reader: (container id, paths frame with
+      * one `path` column) => DataFrame(path: string, content: binary),
+      * fetched EXECUTOR-side (e.g. `spark.read.format("binaryFile")`
+      * over the bucket, or a per-partition client). When set and the
+      * container has nothing synced yet, the whole listing ingests as
+      * ONE cluster-parallel parse→chunk→embed commit
+      * ([[KnowledgeStore.bulkUploadFirstCrawl]]) instead of the MaxBulk
+      * driver loop — first-crawl wall ∝ corpus/parallelism, not
+      * corpus/MaxBulk commits. None (default) keeps every pass on the
+      * incremental loop (the driver `fetch` is the only transport). */
+    val fetchBulk: Option[(String, DataFrame) => DataFrame] = None) {
 
   private def snapPath(cid: String) = s"$warehouse/connector_snapshots/$cid"
 
@@ -109,20 +120,38 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
 
   /** Fetch + base64 one remote file into the upload-path shape (binary
     * AND text ride base64 — the store decodes uniformly and routes
-    * binary formats through the real parsers). */
-  private def fetched(cid: String, path: String): (String, String) =
-    (path, java.util.Base64.getEncoder.encodeToString(fetch(cid, path)))
+    * binary formats through the real parsers). `prefetched` short-circuits
+    * the remote round-trip for bytes the rename confirm already pulled. */
+  private def fetched(cid: String, path: String,
+      prefetched: Map[String, Array[Byte]] = Map.empty): (String, String) =
+    (path, java.util.Base64.getEncoder.encodeToString(
+      prefetched.getOrElse(path, fetch(cid, path))))
+
+  /** sha-256 of the PARSED content these bytes would index as — the
+    * ledger's own hash recipe (binary formats run the real parsers; text
+    * decodes UTF-8). None when the parse fails (the ingest would fail
+    * too, so a rename confirm declines). */
+  private def parsedHashOf(path: String, bytes: Array[Byte]): Option[String] = {
+    val norm = graft.ingest.PathUtil.normalize(path)
+    val fileName = norm.substring(norm.lastIndexOf('/') + 1)
+    val content =
+      if (graft.ingest.Parsers.isBinary(fileName))
+        graft.ingest.Parsers.parse(fileName, bytes).toOption.map(_.content)
+      else Some(new String(bytes, "UTF-8"))
+    content.map(graft.ingest.IndexBuild.sha256)
+  }
 
   /** Ingest one MaxBulk group; a batch-level failure retries PER FILE so
     * one corrupt document skips (with an event) instead of aborting its
     * batch-mates. Returns the paths that were skipped. */
   private def ingestGroup(cid: String, grp: Seq[String],
-      overrides: Map[String, String]): Seq[(String, String)] = {
+      overrides: Map[String, String],
+      prefetched: Map[String, Array[Byte]] = Map.empty): Seq[(String, String)] = {
     def upload(paths: Seq[String]): Unit = {
       // override keys are NORMALIZED paths (the store's own recipe)
       val norms = paths.map(graft.ingest.PathUtil.normalize).toSet
-      store.bulkUploadBatch(cid, paths.map(fetched(cid, _)), base64 = true,
-        asConnector = true,
+      store.bulkUploadBatch(cid, paths.map(fetched(cid, _, prefetched)),
+        base64 = true, asConnector = true,
         docIdOverride = overrides.filter(o => norms.contains(o._1)))
       ()
     }
@@ -194,15 +223,23 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     skippedSample ++= (createdSkipped ++ changedSkipped).map((_, "unsupported type"))
     var skippedCount = createdSkippedN + changedSkippedN
     // ingest failures whose snapshot row must NOT advance (so the next
-    // diff re-detects and retries them); bounded or the swap is skipped
+    // diff re-detects and retries them); bounded or the swap is skipped.
+    // Failures count as `failed`, NEVER as created/changed (created means
+    // "successfully ingested") and not as skipped (skipped is the
+    // by-design unsupported-type filter; failures retry, skips don't).
     val failedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
-    def noteSkips(ss: Seq[(String, String)]): Unit = {
-      skippedCount += ss.length
-      failedPaths ++= ss.collect {
+    /** Fold one ingest group's skip list into the counters; returns the
+      * subset that were ingest FAILURES (callers subtract them from
+      * their own created/changed tallies). */
+    def noteSkips(ss: Seq[(String, String)]): Seq[String] = {
+      val fails = ss.collect {
         case (p, why) if why.startsWith("ingest_failed") => p }
+      failedPaths ++= fails
+      skippedCount += ss.length - fails.length
       if (skippedSample.length < ConnectorSyncer.MaxReturnedEvents)
         skippedSample ++= ss.take(
           ConnectorSyncer.MaxReturnedEvents - skippedSample.length)
+      fails
     }
 
     // RENAMES (ref ConnectorWatcherService.cs:237-255): the document at
@@ -233,23 +270,54 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
         .select("path", "old_path").as[(String, String)]
         .collect().toSeq.sortBy(_._1)
     // ONE batched ledger probe for every old path (was: one sequential
-    // point-lookup Spark job per renamed pair)
-    val oldIdAt: Map[String, String] =
-      store.documentIdsAt(cid, renamedPairs.map(_._2))
+    // point-lookup Spark job per renamed pair) — id AND content hash:
+    // the id transplant below is CONTENT-CONFIRMED
+    val oldAt: Map[String, (String, String)] =
+      store.documentIdHashAt(cid, renamedPairs.map(_._2))
     var renameOverrides = Map.empty[String, String]
     val renameIngest = scala.collection.mutable.ArrayBuffer.empty[String]
     val renameDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
+    // bytes pulled by the confirm, reused by the ingest below (bounded:
+    // renamedPairs <= maxRenamesPreserved)
+    val renameBytes = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var confirmedRenames = 0L
     renamedPairs.foreach { case (newPath, oldPath) =>
-      val oldId = oldIdAt.get(graft.ingest.PathUtil.normalize(oldPath))
+      val old = oldAt.get(graft.ingest.PathUtil.normalize(oldPath))
       if (isSupported(newPath)) {
         renameIngest += newPath
-        oldId.foreach { id =>
-          renameOverrides += (graft.ingest.PathUtil.normalize(newPath) -> id)
+        old.foreach { case (id, ledgerHash) =>
+          // CONTENT-CONFIRMED id reuse (ref ConnectorWatcherService.cs:
+          // 237-255 reuses ids only for watcher-REPORTED renames — an
+          // INFERRED pair is a (mtime, size) coincidence until the bytes
+          // say otherwise): fetch the new path and pin the old document's
+          // id only when the parsed content's sha-256 equals its ledger
+          // hash. Two different files stamped in the same second with the
+          // same size would otherwise transplant the old document's
+          // identity (id/metadata/generation history) onto unrelated
+          // content. A declined or failed confirm ingests as a plain
+          // Created; the vanished old path is deleted by the store-vs-
+          // remote reconciliation below — delete+create, never a wrong id.
+          val confirmed =
+            try {
+              val bytes = fetch(cid, newPath)
+              renameBytes(newPath) = bytes
+              parsedHashOf(newPath, bytes).contains(ledgerHash)
+            } catch { case e: Exception =>
+              System.err.println(s"[sync] rename confirm fetch failed for " +
+                s"$newPath (${e.getMessage}) — declining id reuse")
+              false
+            }
+          if (confirmed) {
+            confirmedRenames += 1L
+            renameOverrides += (graft.ingest.PathUtil.normalize(newPath) -> id)
+          } else if (renameBytes.contains(newPath))
+            System.err.println(s"[sync] rename pair ($oldPath -> $newPath) " +
+              "failed content confirm — ingesting as create + delete")
         }
       } else {
         // renamed INTO an unsupported extension: the indexed old-path
         // document leaves the store, the new path skips
-        if (oldId.isDefined) renameDeletes += oldPath
+        if (old.isDefined) renameDeletes += oldPath
         noteSkips(Seq((newPath, "unsupported type (renamed)")))
       }
     }
@@ -268,7 +336,7 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       val sample = scala.collection.mutable.ArrayBuffer.empty[String]
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       def flush(): Unit = if (buf.nonEmpty) {
-        noteSkips(ingestGroup(cid, buf.toSeq, renameOverrides))
+        n -= noteSkips(ingestGroup(cid, buf.toSeq, renameOverrides)).length
         buf.clear()
       }
       while (it.hasNext) {
@@ -279,7 +347,63 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       flush()
       (n, sample.toSeq)
     }
-    val (createdN, createdSample) = streamIngest(D.Created)
+    /** FIRST-CRAWL bulk path (empty container + distributed reader): the
+      * listing's supported paths fetch and parse EXECUTOR-side and land
+      * as one cluster-parallel commit — wall ∝ corpus/parallelism, not
+      * corpus/MaxBulk commits. Parse failures fold into the same
+      * retry-next-pass accounting as the driver loop's. */
+    def bulkFirstCrawl(): (Long, Seq[String]) = {
+      val paths = events.filter(col("event_type") === D.Created &&
+        supportedUdf(col("path"))).select("path")
+      val parsed = fetchBulk.get(cid, paths)
+        .select(col("path").cast("string"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (p, bytes) =>
+          val norm = graft.ingest.PathUtil.normalize(p)
+          val fileName = norm.substring(norm.lastIndexOf('/') + 1)
+          // the parsers are never-throw by contract; the belt-and-braces
+          // catch keeps ONE pathological row from failing the whole
+          // first-crawl job (it lands in the retry-next-pass accounting)
+          val contentE: Either[String, String] =
+            try {
+              if (graft.ingest.Parsers.isBinary(fileName))
+                graft.ingest.Parsers.parse(fileName, bytes).map(_.content)
+              else Right(new String(bytes, "UTF-8"))
+            } catch { case e: Exception =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+          contentE match {
+            case Right(c) => (p, norm, fileName, c, null: String)
+            case Left(e) => (p, norm, fileName, null: String, e)
+          }
+        }.toDF("raw_path", "norm", "file_name", "content", "err").persist()
+      // bounded collect: one over the cap is enough to trip the
+      // skip-the-swap total-failure path below
+      val fails = parsed.filter(col("err").isNotNull)
+        .select("raw_path", "err").orderBy("raw_path")
+        .limit(ConnectorSyncer.MaxReturnedEvents + 1)
+        .as[(String, String)].collect()
+      noteSkips(fails.map { case (p, e) => (p, s"ingest_failed: $e") }.toSeq)
+      val ok = parsed.filter(col("err").isNull)
+      val docs = ok.select(col("norm"), col("file_name"), col("content"))
+        .as[(String, String, String)]
+        .map { case (norm, fileName, content) =>
+          graft.ingest.IndexBuild.RawDoc(
+            document_id = java.util.UUID.nameUUIDFromBytes(
+              s"$cid:$norm".getBytes("UTF-8")).toString,
+            container_id = cid, path = norm, file_name = fileName,
+            content = content)
+        }
+      val n = ok.count()
+      if (n > 0L) store.bulkUploadFirstCrawl(cid, docs, asConnector = true)
+      val sample = ok.select("raw_path").orderBy("raw_path")
+        .limit(ConnectorSyncer.MaxReturnedEvents).as[String].collect().toSeq
+      parsed.unpersist()
+      (n, sample)
+    }
+    val firstCrawlBulk = fetchBulk.isDefined && storeCountBefore == 0L &&
+      prevRows.isEmpty
+    val (createdN, createdSample) =
+      if (firstCrawlBulk) bulkFirstCrawl() else streamIngest(D.Created)
     val (changedN, changedSample) = streamIngest(D.Changed)
     // demoted renames: stream-ingest the new paths (unsupported ones skip
     // with events) and delete the old paths in MaxBulk groups
@@ -305,10 +429,31 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
           store.bulkDeleteBatch(cid, buf.toSeq, asConnector = true)
         n
       }
+    val renameFailed = scala.collection.mutable.Set.empty[String]
     renameIngest.toSeq.grouped(store.MaxBulk).foreach(g =>
-      noteSkips(ingestGroup(cid, g.toSeq, renameOverrides)))
+      renameFailed ++= noteSkips(
+        ingestGroup(cid, g.toSeq, renameOverrides, renameBytes.toMap)))
     renameDeletes.toSeq.grouped(store.MaxBulk).foreach(g =>
       store.bulkDeleteBatch(cid, g.toSeq, asConnector = true))
+    // rename outcome accounting: identity-preserved pairs (confirmed AND
+    // successfully ingested) count as renamed; a declined/unconfirmable
+    // pair is honestly a create (+ the old path's reconciliation delete).
+    // IDENTITY-LOSS WINDOW (disclosed): a rename whose ingest FAILED
+    // keeps its OLD-path document alive this pass (held from the
+    // reconciliation delete below, so content never vanishes from the
+    // index), but the retry next pass re-diffs the new path as a plain
+    // Created — the snapshot can no longer prove the pair, so the
+    // document re-ingests under a fresh id and the old path deletes.
+    val confirmedNewPaths = renameOverrides.keySet // normalized confirmed paths
+    val renamedOkN = renameIngest.toSeq.count(p =>
+      confirmedNewPaths.contains(graft.ingest.PathUtil.normalize(p)) &&
+        !renameFailed.contains(p))
+    val createdFromRenames =
+      (renameIngest.length - renameFailed.size) - renamedOkN
+    val heldOldPaths: Seq[String] = renamedPairs.collect {
+      case (newPath, oldPath) if renameFailed.contains(newPath) =>
+        graft.ingest.PathUtil.normalize(oldPath)
+    }
 
     // DELETIONS reconcile against the STORE, not only the side snapshot:
     // a snapshot lost in the swap's crash window would otherwise hide
@@ -322,9 +467,15 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // cached: the count, the guard, and the streamed delete loop all read
     // this frame — uncached it would recompute the ledger-vs-listing
     // anti-join (a full ledger scan) once per consumer
-    val deletedDf = store.filePathsDf(cid)
-      .join(curRows.select(normalize(col("path")).as("path")),
-        Seq("path"), "left_anti").cache()
+    val deletedDf = {
+      val base = store.filePathsDf(cid)
+        .join(curRows.select(normalize(col("path")).as("path")),
+          Seq("path"), "left_anti")
+      // failed-rename old paths stay ALIVE this pass (see the identity-
+      // loss note above) — bounded by the rename cap
+      if (heldOldPaths.isEmpty) base
+      else base.filter(!col("path").isin(heldOldPaths: _*))
+    }.cache()
     val deletedCount = deletedDf.count()
     // mass-deletion guard: an injected listing that answers empty/partial
     // on a transient failure (instead of throwing) must not wipe the
@@ -370,7 +521,12 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
           Seq((s"$deletedCount deletions held by the mass-delete guard",
             "DeleteGuard"))
         else Seq.empty) ++
-        skippedSample.toSeq.map { case (p, why) => (p, s"Skipped ($why)") }
+        skippedSample.toSeq.map { case (p, why) =>
+          // failures publish as Failed, not Skipped: a skip is by-design
+          // and final; a failure retries next pass
+          (p, if (why.startsWith("ingest_failed")) s"Failed ($why)"
+              else s"Skipped ($why)")
+        }
     progress.foreach { p =>
       D.publish(published.toDF("path", "event_type"), p, connectorId = cid)
     }
@@ -423,23 +579,33 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     events.unpersist(blocking = true)
     deletedDf.unpersist(blocking = true)
     (published, ConnectorSyncer.SyncResult(
-      // demoted renames surface honestly as creates + deletes
-      created = createdN + demotedIngestedN,
+      // demoted and confirm-declined renames surface honestly as
+      // creates (+ reconciliation deletes); created/changed count only
+      // SUCCESSFUL ingests — failures are the `failed` count
+      created = createdN + demotedIngestedN + createdFromRenames,
       changed = changedN,
       deleted = (if (guardTripped) 0L else deletedCount) +
         (if (renamesDemoted) renamedN else 0L),
-      renamed = renamedPairs.length.toLong,
+      // renamed = pairs processed AS renames (identity preserved, or the
+      // unsupported-target delete route); confirm-declined pairs are
+      // createdFromRenames above
+      renamed = renamedOkN.toLong + renameDeletes.length.toLong,
       skipped = skippedCount,
-      deletedHeld = if (guardTripped) deletedCount else 0L))
+      deletedHeld = if (guardTripped) deletedCount else 0L,
+      failed = failedPaths.length.toLong))
   }
 }
 
 object ConnectorSyncer {
-  /** One sync pass's counts. `deletedHeld` > 0 means the mass-deletion
-    * guard refused that many deletions (they stay pending — the next
-    * sync re-detects them; force proceeds). */
+  /** One sync pass's counts. `created`/`changed` count SUCCESSFUL
+    * ingests only; `failed` is the ingest failures (their snapshot rows
+    * do not advance — the next pass retries them). `skipped` is the
+    * by-design unsupported-type filter (advances, never retries).
+    * `deletedHeld` > 0 means the mass-deletion guard refused that many
+    * deletions (they stay pending — the next sync re-detects them;
+    * force proceeds). */
   final case class SyncResult(created: Long, changed: Long, deleted: Long,
-      renamed: Long, skipped: Long, deletedHeld: Long)
+      renamed: Long, skipped: Long, deletedHeld: Long, failed: Long = 0L)
 
   /** The guard never fires below this many deletions — small containers
     * legitimately delete most of themselves (and the fraction test is

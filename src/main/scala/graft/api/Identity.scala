@@ -122,9 +122,11 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
   private def write(rows0: Seq[Row]): Unit = {
     // fold the pending last-used stamps into the swap so they persist
     // whenever the table rewrites anyway (create/revoke) — zero extra
-    // writes on the auth path
+    // writes on the auth path. The pending stamps are removed from the
+    // in-memory map only AFTER the rename lands: dropping them first
+    // would lose the stamps on a failed write even though the stored
+    // table never changed.
     val rows = rows0.map(r => r.copy(_9 = lastUsedOf(r)))
-    rows.foreach(r => lastUsed.remove(r._1))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
@@ -140,6 +142,9 @@ final class ApiKeyRegistry(spark: SparkSession, warehouse: String) {
         sys.error(s"api_keys rewrite rename failed: $tmp -> $target")
     }
     spark.catalog.refreshByPath(path)
+    // conditional remove: a stamp that raced in AFTER the fold above is a
+    // NEWER timestamp the swap didn't persist — it must stay pending
+    rows.foreach(r => lastUsed.remove(r._1, java.lang.Long.valueOf(r._9)))
     cache = Some((rows, tableStamp(), System.currentTimeMillis()))
   }
 

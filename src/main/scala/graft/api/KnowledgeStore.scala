@@ -4,7 +4,7 @@ import graft.embed.Embedder
 import graft.ingest.IndexBuild
 import graft.model.{ChunkingConfig, SearchHit, SearchRequest}
 import graft.search.{CrossEncoderProvider, HybridSearch, Reranker}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The engine's query surface — the Scala equivalent of the reference's 11
@@ -505,6 +505,84 @@ final class KnowledgeStore(
     (jobId, docs.map(d => finalIds.getOrElse(d.path, d.document_id)))
   }
 
+  /** First-crawl bulk ingest: the connector sync's EMPTY-container fast
+    * path. The whole listing lands as ONE cluster-parallel
+    * parse→chunk→embed→write commit instead of a MaxBulk-at-a-time
+    * driver loop — a 10M-file initial sync is bound by
+    * corpus/parallelism, not corpus/MaxBulk commits. Append-only BY
+    * CONTRACT: requires the container to have no synced files, so the
+    * upsert probe, generation carry, and replaced-row deletes all
+    * vanish (every document is generation 1); an id collision is
+    * impossible because ids derive from the (unique) normalized paths.
+    * The incremental MaxBulk loop stays the path for every later delta.
+    * `docs` carries PARSED content (the caller runs
+    * Parsers.parse/parseText on the fetched bytes, executor-side). */
+  def bulkUploadFirstCrawl(containerId: String,
+      docs: Dataset[IndexBuild.RawDoc],
+      asConnector: Boolean = false): String = {
+    if (!asConnector) requireWritable(containerId)
+    require(filePathsDf(containerId).isEmpty,
+      "first-crawl bulk ingest requires a container with no synced files")
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    // duplicate listing paths collapse (same recipe as bulkUploadBatch's
+    // last-wins — without an order, one survivor per path)
+    val ds = docs.dropDuplicates("path").persist()
+    val total = ds.count()
+    def emit(phase: String, current: Long, detail: => String = ""): Unit =
+      if (progress ne graft.ingest.ProgressListener.Noop)
+        progress.onProgress(graft.ingest.ProgressEvent(jobId, phase, current, total, detail))
+    emit("received", 0L, "first_crawl")
+    val (chunker, effCfg) = chunkingFor(containerId)
+    val effEmbedder = embedderFor(containerId)
+    val stamp = stampFor(containerId)
+    val newChunks = IndexBuild.chunkDocs(ds, chunker, effCfg).persist()
+    val vectors = IndexBuild.embedChunks(newChunks,
+      Option(tableOrEmpty(s"$warehouse/embed_cache", null)), effEmbedder)
+      .persist()
+    val ledger = newChunks.groupBy($"document_id", $"container_id", $"path")
+      .agg(count(lit(1)).cast("int").as("chunk_count"))
+      .join(ds.select($"document_id", sha2($"content", 256).as("content_hash"),
+        length($"content").cast("long").as("size_bytes"), $"file_name"),
+        Seq("document_id"))
+      .withColumn("status", lit("Ready"))
+      .withColumn("generation", lit(1).cast("int"))
+      .withColumn("indexed_with", typedLit(stamp))
+    if (txMode) {
+      val T = graft.store.TxLog
+      val gen = T.snapshot(spark, warehouse).maxGeneration("chunks") + 1L
+      val adds =
+        T.stageWrite(newChunks.drop("precomputed").toDF(), warehouse,
+          "chunks", Seq("container_id"), gen) ++
+        T.stageWrite(vectors.toDF(), warehouse,
+          "vectors", Seq("container_id", "model_id"), gen) ++
+        T.stageWrite(ledger.toDF(), warehouse, "ledger", Seq("container_id"), gen)
+      T.commit(spark, warehouse, adds, Nil)
+      spark.catalog.refreshByPath(s"$warehouse/chunks")
+      org.apache.spark.sql.graftbridge.Bridge.invalidateFileStatusCache()
+      emit("chunked", total, s"chunks=${newChunks.count()}")
+      emit("embedded", total, s"vectors=${vectors.count()}")
+    } else {
+      newChunks.drop("precomputed").toDF()
+        .write.mode(SaveMode.Append).partitionBy("container_id")
+        .parquet(s"$warehouse/chunks")
+      emit("chunked", total, s"chunks=${newChunks.count()}")
+      vectors.write.mode(SaveMode.Append).partitionBy("container_id", "model_id")
+        .parquet(s"$warehouse/vectors")
+      emit("embedded", total, s"vectors=${vectors.count()}")
+      ledger.write.mode(SaveMode.Append).partitionBy("container_id")
+        .parquet(s"$warehouse/ledger")
+    }
+    vectors.select("content_hash", "model_id", "dimensions", "embedding")
+      .dropDuplicates("content_hash")
+      .write.mode(SaveMode.Append).parquet(s"$warehouse/embed_cache")
+    vectors.unpersist()
+    newChunks.unpersist()
+    ds.unpersist()
+    invalidate()
+    emit("ready", total)
+    jobId
+  }
+
   /** Returns (progress jobId — the batch resource's id, the FINAL
     * document id per normalized path after ledger-first resolution). */
   private def appendDocs(docs0: Seq[IndexBuild.RawDoc],
@@ -864,6 +942,26 @@ final class KnowledgeStore(
     else led.filter(col("container_id") === containerId &&
         col("path").isin(norms: _*))
       .select("path", "document_id").as[(String, String)].collect().toMap
+  }
+
+  /** Like [[documentIdsAt]] but also returns each document's ledger
+    * content hash (sha-256 of the PARSED content — the same recipe the
+    * upsert ledger writes): the connector sync's rename branch pins a
+    * moved document's id onto a new path only after confirming the new
+    * path's content actually IS the old document (normalized path ->
+    * (document_id, content_hash)). */
+  def documentIdHashAt(containerId: String, paths: Seq[String])
+      : Map[String, (String, String)] = {
+    if (paths.isEmpty) return Map.empty
+    val norms = paths.map(graft.ingest.PathUtil.normalize)
+    val led = ledgerDf
+    if (!led.columns.contains("document_id") ||
+        !led.columns.contains("content_hash")) Map.empty
+    else led.filter(col("container_id") === containerId &&
+        col("path").isin(norms: _*))
+      .select("path", "document_id", "content_hash")
+      .as[(String, String, String)].collect()
+      .map { case (p, id, h) => p -> ((id, h)) }.toMap
   }
 
   /** The stored path of one document id — a POINT lookup (ledger filter

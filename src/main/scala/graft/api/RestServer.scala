@@ -729,7 +729,11 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("GET", AgentKeys(id)) =>
           requireAdmin()
           val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))
-          ok(ex, arr(reg.listKeys(id).map(keyJson(_): Any)))
+          // a soft-deleted agent reads like an unknown one on every route
+          // (ref AgentService.ListKeysAsync filters DeletedAt == null) —
+          // without this gate the tombstoned (revoked) keys would leak back
+          if (reg.get(id).isEmpty) err(ex, 404, s"no agent: $id")
+          else ok(ex, arr(reg.listKeys(id).map(keyJson(_): Any)))
         case ("POST", AgentKeys(id)) =>
           requireAdmin()
           val reg = agents.getOrElse(throw Denied(404, "no agent registry configured"))

@@ -428,7 +428,17 @@ object HybridSearch {
       tokRows: org.apache.spark.rdd.RDD[ServingTokRow],
       ivf: Option[IvfServing] = None,
       hnsw: Option[HnswServing] = None,
-      pq: Option[PqServing] = None) {
+      pq: Option[PqServing] = None,
+      /** Driver-resident copy of `tokRows`, present ONLY while the corpus
+        * fits [[tokLocalCap]] (the autocut ≤100-row pattern at cache
+        * scale): the keyword leg then answers as a driver loop — zero
+        * Spark jobs, shedding the ~30 ms local-mode job floor that
+        * dominated the leg's latency (BASELINE's < 20 ms row is a
+        * Postgres GIN point lookup; the fair comparison is compute, not
+        * scheduler overhead). Above the cap this is None and the
+        * distributed RDD leg serves — the 100 TB path is unchanged. */
+      tokLocal: Option[IndexedSeq[ServingTokRow]] = None,
+      tokLocalCap: Int = 0) {
     def unpersist(): Unit = {
       vecRows.unpersist(blocking = false)
       tokRows.unpersist(blocking = false)
@@ -470,7 +480,13 @@ object HybridSearch {
       hnswM: Int = 0,
       hnswEf: Int = 60,
       pqM: Int = 0,
-      pqRefine: Int = 64): Index = {
+      pqRefine: Int = 64,
+      /** Corpus-size cap for the keyword leg's driver-resident fast path
+        * (see [[ServingCache.tokLocal]]); 0 disables it. The default is
+        * tens of MB of driver heap at typical chunk sizes — small enough
+        * to be free, large enough that an interactive single-box corpus
+        * answers keyword queries with no job scheduling at all. */
+      keywordDriverCacheMaxRows: Int = 65536): Index = {
     import org.apache.spark.storage.StorageLevel
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -494,7 +510,14 @@ object HybridSearch {
       .select($"chunk_id", $"document_id", $"container_id", $"path",
         $"content", $"metadata", $"tokens_simple", $"tokens_english")
       .as[ServingTokRow].rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    vecRows.count(); tokRows.count() // materialize: queries start warm
+    vecRows.count()
+    val tokCount = tokRows.count() // materialize: queries start warm
+    // keyword driver fast path: collect ONCE at build when the corpus is
+    // under the cap; defaults OFF above it (the RDD leg is the scale path)
+    val tokLocal: Option[IndexedSeq[ServingTokRow]] =
+      if (keywordDriverCacheMaxRows > 0 && tokCount <= keywordDriverCacheMaxRows)
+        Some(tokRows.collect().toIndexedSeq)
+      else None
     // opt-in IVF layout (ivfLists > 1, or ivfLists < 0 for the
     // reference's AUTO-SIZING contract — Ivf.autoLists derives the cell
     // count from the corpus so upserting into a growing warehouse keeps
@@ -577,7 +600,8 @@ object HybridSearch {
           pqRefine))
       }
     Index(chunksC, denormC,
-      serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw, pq)))
+      serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw, pq,
+        tokLocal = tokLocal, tokLocalCap = keywordDriverCacheMaxRows)))
   }
 
   /** Absorb a micro-batch of new chunks/vectors into a serving cache
@@ -623,7 +647,15 @@ object HybridSearch {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tokRows2 = cache.tokRows.union(newTokRows)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    vecRows2.count(); tokRows2.count()
+    vecRows2.count()
+    val tokCount2 = tokRows2.count()
+    // extend the driver fast path in place while the corpus stays under
+    // its cap (the batch is micro-batch-bounded); past the cap it drops
+    // and the RDD leg takes over — the same default-off-at-scale contract
+    // as the build
+    val tokLocal2: Option[IndexedSeq[ServingTokRow]] =
+      cache.tokLocal.filter(_ => tokCount2 <= cache.tokLocalCap)
+        .map(_ ++ newTokRows.collect())
 
     // route new rows once; both the IVF cells and the cell-aligned HNSW
     // graphs consume the same cell-partitioned RDD
@@ -701,7 +733,8 @@ object HybridSearch {
       grown.count()
       ps.copy(parts = grown)
     }
-    index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2, pq2)))
+    index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2,
+      pq2, tokLocal = tokLocal2, tokLocalCap = cache.tokLocalCap)))
   }
 
   /** Mean cosine distance (1 − cos) of serving rows to their assigned
@@ -1033,7 +1066,10 @@ object HybridSearch {
 
   /** Keyword leg over the serving rows: scope filter, then the imperative
     * mirror of `KeywordSearch.leg`'s conjunctive prefilter, then the SAME
-    * `rankChunk` — scores identical to the DataFrame leg by construction. */
+    * `rankChunk` — scores identical to the DataFrame leg by construction.
+    * When the cache carries a driver-resident copy ([[ServingCache
+    * .tokLocal]], present only under its corpus cap), the whole leg runs
+    * as a driver loop — zero Spark jobs, same scorer, identical hits. */
   private def keywordLegRdd(
       cache: ServingCache, req: SearchRequest, k: Int): Seq[LegHit] = {
     val parsed = WebsearchParser.parse(req.query)
@@ -1044,27 +1080,33 @@ object HybridSearch {
     val preGroups = parsed.groups
       .filter(g => g.nonEmpty && g.exists(_.english.nonEmpty))
       .map(g => (g.flatMap(_.simple).toSet, g.flatMap(_.english).toSet))
-    val parts = cache.tokRows.mapPartitions { it =>
-      val scored = it.flatMap { r =>
-        if (r.container_id != container || docId.exists(_ != r.document_id) ||
-            prefix.exists(p => !r.path.startsWith(p))) None
-        else {
-          val simple = r.tokens_simple
-          val english = r.tokens_english
-          val pass = preGroups.forall { case (s, e) =>
-            simple.exists(s.contains) || (e.nonEmpty && english.exists(e.contains))
-          }
-          if (!pass) None
-          else KeywordSearch
-            .rankChunk(parsed, simple.toIndexedSeq, english.toIndexedSeq)
-            .map(raw => LegHit(r.chunk_id, r.document_id,
-              Option(r.content).getOrElse(""),
-              Option(r.metadata).getOrElse(Map.empty), raw))
+    def score(r: ServingTokRow): Option[LegHit] = {
+      if (r.container_id != container || docId.exists(_ != r.document_id) ||
+          prefix.exists(p => !r.path.startsWith(p))) None
+      else {
+        val simple = r.tokens_simple
+        val english = r.tokens_english
+        val pass = preGroups.forall { case (s, e) =>
+          simple.exists(s.contains) || (e.nonEmpty && english.exists(e.contains))
         }
+        if (!pass) None
+        else KeywordSearch
+          .rankChunk(parsed, simple.toIndexedSeq, english.toIndexedSeq)
+          .map(raw => LegHit(r.chunk_id, r.document_id,
+            Option(r.content).getOrElse(""),
+            Option(r.metadata).getOrElse(Map.empty), raw))
       }
-      topKHeap(scored, k)
-    }.collect()
-    mergeTopK(parts, k)
+    }
+    cache.tokLocal match {
+      case Some(rows) =>
+        topKHeap(rows.iterator.flatMap(score), k).toSeq
+          .sortBy(h => (-h.raw, h.chunkId))
+      case None =>
+        val parts = cache.tokRows.mapPartitions { it =>
+          topKHeap(it.flatMap(score), k)
+        }.collect()
+        mergeTopK(parts, k)
+    }
   }
 
   /** Interactive search: the two legs run as CONCURRENT Spark jobs (the

@@ -40,14 +40,27 @@ object StreamingIngest {
         * document (pre-rename behavior). */
       inferRenames: Boolean = true,
       /** "Does this path still exist on the watched store?" — injectable
-        * for specs; production probes through Hadoop FS. Errors (and
-        * non-filesystem paths like WARC record URLs) answer true, which
-        * conservatively DISABLES rename inference for that row. */
-      pathExists: String => Boolean = p =>
-        try {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(hp)
-        } catch { case _: Throwable => true }): StreamingQuery = {
+        * for specs; production probes through Hadoop FS using the SESSION's
+        * hadoopConfiguration (a fresh Configuration() would drop
+        * spark.hadoop.* settings — default FS, object-store credentials —
+        * and a scheme-less path could then resolve against local disk while
+        * the watched store is remote, answering a wrong `false` that lets a
+        * new file steal a still-live document's id). Errors, unknown
+        * schemes, and non-filesystem paths like WARC record URLs answer
+        * true, which conservatively DISABLES rename inference for that
+        * row. The probe runs driver-side ([[resolveRenames]] loops over a
+        * micro-batch-bounded candidate list). */
+      pathExists: String => Boolean = null): StreamingQuery = {
+    val pathProbe: String => Boolean =
+      if (pathExists != null) pathExists
+      else {
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(hadoopConf).exists(hp)
+          } catch { case _: Throwable => true }
+      }
     import spark.implicits._
 
     // the binaryFile streaming source requires its (fixed) schema up front
@@ -114,7 +127,7 @@ object StreamingIngest {
         if (!docs.isEmpty) {
           val cached = docs.persist() // resolve + upsert must not parse twice
           val (resolved, movedIds) =
-            if (inferRenames) resolveRenames(spark, cached, warehouse, pathExists)
+            if (inferRenames) resolveRenames(spark, cached, warehouse, pathProbe)
             else (cached, Nil)
           upsertBatch(spark, resolved, warehouse, chunkerName, cfg, embedder,
             generation = batchId, embedCacheDocIds = movedIds)

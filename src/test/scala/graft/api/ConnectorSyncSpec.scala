@@ -153,7 +153,7 @@ class SyncBinaryBucketSpec extends AnyFunSuite {
     val cid = store.createContainer("bin-bucket", connectorType = "S3")
 
     val (_, r1) = syncer.sync(cid, Some(listener))
-    assert(r1.created == 2L && r1.skipped == 1L, r1)
+    assert(r1.created == 2L && r1.skipped == 1L && r1.failed == 0L, r1)
     assert(events.exists(d => d.contains("/r/tool.exe") && d.contains("Skipped")),
       s"the unsupported file must publish a Skipped event, got $events")
     // both documents are INDEXED TEXT (the real parsers ran)
@@ -256,6 +256,156 @@ class SyncRenameSpec extends AnyFunSuite {
     assert(store.getDocument(cid, "/d/a.txt").isEmpty,
       "the old path's document must leave the index")
     assert(store.listFiles(cid, None, 0, 50).isEmpty)
+  }
+
+  test("inferred rename with DIFFERENT content does not transplant the old id") {
+    // two different files can share (mtime, size) — generated artifacts,
+    // log rotations stamped in the same second. The delta layer pairs
+    // them as a rename candidate, but the CONTENT CONFIRM must decline
+    // the id transplant: the pair ingests as create + delete, never as
+    // the old document's identity wrapped around unrelated content (ref
+    // ConnectorWatcherService.cs:237-255 only ever reuses ids for
+    // watcher-REPORTED renames).
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncren3").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val bodyA = "alpha document body with deterministic size!"
+    val bodyB = "bravo document body with deterministic size!" // same length
+    assert(bodyA.length == bodyB.length)
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/d/rotated.txt" -> ((bodyA, 100L)))
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"))
+    val cid = store.createContainer("rename-confirm", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 1L)
+    val idA = store.documentIdAt(cid, "/d/rotated.txt").get
+
+    remote.remove("/d/rotated.txt")
+    remote("/d/unrelated.txt") = ((bodyB, 100L)) // same (mtime, size), new bytes
+    val (_, r) = syncer.sync(cid)
+    assert(r.renamed == 0L && r.created == 1L && r.deleted == 1L, r)
+    val idB = store.documentIdAt(cid, "/d/unrelated.txt").get
+    assert(idB != idA,
+      "declined confirm must mint a fresh identity, not transplant the old one")
+    assert(store.getDocument(cid, "/d/unrelated.txt").exists(_.contains("bravo")))
+    assert(store.getDocument(cid, "/d/rotated.txt").isEmpty)
+    assert(store.listFiles(cid, None, 0, 50).length == 1)
+  }
+}
+
+/** FIRST-CRAWL bulk path: with a distributed reader wired, an empty
+  * container's initial sync ingests the whole listing as ONE
+  * cluster-parallel parse→chunk→embed commit (wall ∝ corpus/parallelism,
+  * not corpus/MaxBulk commits) and produces EXACTLY the index the driver
+  * loop would have; later passes stay on the incremental loop. */
+class SyncFirstCrawlSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def mkRemote(n: Int): scala.collection.concurrent.TrieMap[String, (String, Long)] = {
+    val m = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+    (1 to n).foreach(i => m(f"/crawl/doc$i%03d.txt") =
+      ((s"document number $i body: " + ("lorem ipsum " * (i % 5 + 1)).trim, i.toLong)))
+    m
+  }
+
+  private def mkSyncer(wh: String, store: KnowledgeStore,
+      remote: scala.collection.concurrent.TrieMap[String, (String, Long)],
+      bulk: Boolean): ConnectorSyncer = {
+    val fetchBulk: Option[(String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame] =
+      if (!bulk) None
+      else Some { (_, paths) =>
+        val snap = remote.toMap // capture a serializable snapshot
+        paths.select("path").as[String]
+          .map(p => (p, snap(p)._1.getBytes("UTF-8")))
+          .toDF("path", "content")
+      }
+    new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"),
+      fetchBulk = fetchBulk)
+  }
+
+  test("bulk first crawl equals the driver loop's index, then goes incremental") {
+    val remote = mkRemote(23)
+    remote("/crawl/skipme.exe") = (("not text", 1L))
+    val whA = java.nio.file.Files.createTempDirectory("graft-fc-bulk").toString
+    val whB = java.nio.file.Files.createTempDirectory("graft-fc-loop").toString
+    val cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5)
+    val storeA = new KnowledgeStore(spark, whA, cfg = cfg)
+    val storeB = new KnowledgeStore(spark, whB, cfg = cfg)
+    val syncA = mkSyncer(whA, storeA, remote, bulk = true)
+    val syncB = mkSyncer(whB, storeB, remote, bulk = false)
+    val cidA = storeA.createContainer("crawl", connectorType = "S3")
+    val cidB = storeB.createContainer("crawl", connectorType = "S3")
+
+    val (_, rA) = syncA.sync(cidA)
+    val (_, rB) = syncB.sync(cidB)
+    assert(rA.created == 23L && rA.skipped == 1L && rA.failed == 0L, rA)
+    assert(rA.created == rB.created && rA.skipped == rB.skipped, (rA, rB))
+    // PARITY: same ledger identities and content hashes, same chunk rows
+    def ledgerOf(wh: String, cid: String) =
+      spark.read.parquet(s"$wh/ledger")
+        .filter(org.apache.spark.sql.functions.col("container_id") === cid)
+        .select("path", "document_id", "content_hash", "chunk_count")
+        .as[(String, String, String, Int)].collect().toSet
+    val la = ledgerOf(whA, cidA)
+    assert(la.map(r => (r._1, r._3, r._4)) ==
+      ledgerOf(whB, cidB).map(r => (r._1, r._3, r._4)),
+      "bulk path must index exactly what the driver loop indexes")
+    assert(la.map(_._2) == ledgerOf(whB, cidB).map(_._2),
+      "document ids derive from the same path recipe on both paths")
+
+    // searchable end to end
+    assert(storeA.getDocument(cidA, "/crawl/doc007.txt")
+      .exists(_.contains("document number 7")))
+
+    // pass 2 is a clean incremental no-op; a change rides the DRIVER loop
+    assert(syncA.sync(cidA)._2 ==
+      ConnectorSyncer.SyncResult(0, 0, 0, 0, 0, 0, 0))
+    remote("/crawl/doc003.txt") = (("document number 3 body REVISED", 999L))
+    val (_, r3) = syncA.sync(cidA)
+    assert(r3.changed == 1L && r3.created == 0L, r3)
+    assert(storeA.getDocument(cidA, "/crawl/doc003.txt").exists(_.contains("REVISED")))
+  }
+
+  test("bulk first crawl is all-or-nothing: a failed job commits nothing, the retry heals") {
+    val remote = mkRemote(3)
+    val wh = java.nio.file.Files.createTempDirectory("graft-fc-fail").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    @volatile var down = true
+    val fetchBulk: Option[(String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame] =
+      Some { (_, paths) =>
+        val snap = remote.toMap
+        val failNow = down // serialized into the task closure per job
+        paths.select("path").as[String]
+          .map { p =>
+            if (failNow && p.endsWith("doc002.txt")) sys.error("503 from the store")
+            (p, snap(p)._1.getBytes("UTF-8"))
+          }.toDF("path", "content")
+      }
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"),
+      fetchBulk = fetchBulk)
+    val cid = store.createContainer("crawl-fail", connectorType = "S3")
+    // the reader dies mid-job: the ONE-COMMIT contract means nothing
+    // landed — no documents, no snapshot — and the pass surfaces as an
+    // exception the caller retries wholesale
+    intercept[Exception](syncer.sync(cid))
+    assert(store.listFiles(cid, None, 0, 50).isEmpty,
+      "a failed first-crawl job must commit nothing")
+    // retry after the remote heals: still an EMPTY container, so the
+    // bulk path runs again and lands everything
+    down = false
+    val (_, r) = syncer.sync(cid)
+    assert(r.created == 3L && r.failed == 0L, r)
+    assert(store.getDocument(cid, "/crawl/doc002.txt").exists(_.contains("document number 2")))
   }
 }
 
@@ -524,7 +674,7 @@ class SyncRetrySpec extends AnyFunSuite {
 
     // pass 1: the flaky file fails per-file (batch-mates unaffected)
     val (ev1, r1) = syncer.sync(cid)
-    assert(r1.created == 2L && r1.skipped == 1L, r1)
+    assert(r1.created == 1L && r1.failed == 1L && r1.skipped == 0L, r1)
     assert(ev1.exists { case (p, e) =>
       p == "/t/flaky.txt" && e.contains("ingest_failed") }, ev1)
     assert(store.getDocument(cid, "/t/good.txt").isDefined)
@@ -533,28 +683,29 @@ class SyncRetrySpec extends AnyFunSuite {
     // pass 2, still down: re-detected as Created again (the snapshot row
     // did NOT advance), fails again — no silent divergence
     val (_, r2) = syncer.sync(cid)
-    assert(r2.created == 1L && r2.skipped == 1L, r2)
+    assert(r2.created == 0L && r2.failed == 1L && r2.skipped == 0L, r2)
 
     // pass 3, transient cleared: the retry heals the store
     flakyDown = false
     val (_, r3) = syncer.sync(cid)
-    assert(r3.created == 1L && r3.skipped == 0L, r3)
+    assert(r3.created == 1L && r3.failed == 0L && r3.skipped == 0L, r3)
     assert(store.getDocument(cid, "/t/flaky.txt").exists(_.contains("flaky")))
     // pass 4: clean no-op
     val (_, r4) = syncer.sync(cid)
-    assert(r4.created == 0L && r4.changed == 0L && r4.skipped == 0L, r4)
+    assert(r4.created == 0L && r4.changed == 0L && r4.skipped == 0L &&
+      r4.failed == 0L, r4)
 
     // a failed CHANGED re-ingest keeps serving the old content but keeps
     // the old snapshot row, so it re-diffs as Changed until it heals
     remote("/t/flaky.txt") = (("the flaky document body REVISED", 2L))
     flakyDown = true
     val (_, r5) = syncer.sync(cid)
-    assert(r5.changed == 1L && r5.skipped == 1L, r5)
+    assert(r5.changed == 0L && r5.failed == 1L && r5.skipped == 0L, r5)
     assert(store.getDocument(cid, "/t/flaky.txt").exists(!_.contains("REVISED")),
       "the old content keeps serving while the re-ingest fails")
     flakyDown = false
     val (_, r6) = syncer.sync(cid)
-    assert(r6.changed == 1L && r6.skipped == 0L, r6)
+    assert(r6.changed == 1L && r6.failed == 0L && r6.skipped == 0L, r6)
     assert(store.getDocument(cid, "/t/flaky.txt").exists(_.contains("REVISED")))
   }
 }

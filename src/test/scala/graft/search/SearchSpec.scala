@@ -394,6 +394,77 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("keyword driver fast path: zero jobs, identical hits, defaults off above its cap") {
+    // default cap: tiny corpus -> driver copy present; cap 0 / cap below
+    // the corpus -> absent (the default-off-above-scale contract)
+    val fast = HybridSearch.servingIndex(index.chunks, index.vectors)
+    val rdd = HybridSearch.servingIndex(index.chunks, index.vectors,
+      keywordDriverCacheMaxRows = 0)
+    val tooSmall = HybridSearch.servingIndex(index.chunks, index.vectors,
+      keywordDriverCacheMaxRows = 1)
+    assert(fast.serving.get.tokLocal.nonEmpty, "under the cap -> driver copy")
+    assert(rdd.serving.get.tokLocal.isEmpty, "cap 0 disables the fast path")
+    assert(tooSmall.serving.get.tokLocal.isEmpty, "corpus over the cap -> RDD leg")
+
+    // identical hits across modes/operators, fast path vs RDD leg
+    val requests = Seq(
+      SearchRequest("run", "c1", mode = "keyword", topK = 10),
+      SearchRequest("\"chunk overlap\"", "c1", mode = "keyword", topK = 10),
+      SearchRequest("chunk -overlap", "c1", mode = "keyword", topK = 10),
+      SearchRequest("search legs", "c1", topK = 10, pathPrefix = Some("/docs/api/")),
+      SearchRequest("overlap", "c1", mode = "keyword", topK = 10,
+        documentId = Some("doc-overlap")),
+      SearchRequest("chunk overlap settings", "c1", topK = 5))
+    requests.foreach { req =>
+      val a = HybridSearch.search(fast, req, embedder)
+      val b = HybridSearch.search(rdd, req, embedder)
+      assert(a.map(h => (h.chunk_id, h.score, h.metadata.get("source"))) ==
+        b.map(h => (h.chunk_id, h.score, h.metadata.get("source"))),
+        s"fast path diverged from RDD leg for $req")
+    }
+
+    // ZERO Spark jobs on a keyword-mode query through the driver copy
+    val tracker = spark.sparkContext.statusTracker
+    val kreq = SearchRequest("chunk overlap", "c1", mode = "keyword", topK = 10)
+    HybridSearch.search(fast, kreq, embedder) // warm (nothing lazy left)
+    Thread.sleep(300)
+    val before = tracker.getJobIdsForGroup(null).length
+    (1 to 3).foreach(_ => HybridSearch.search(fast, kreq, embedder))
+    Thread.sleep(500) // job-start events are async; give the bus time
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"keyword fast path must schedule no Spark jobs (before=$before after=$after)")
+
+    // upsert keeps the driver copy in sync while under the cap...
+    val wh3 = java.nio.file.Files.createTempDirectory("graft-wh3").toString
+    val moreDocs = Seq(
+      IndexBuild.RawDoc("doc-fastpath", "c1", "/docs/guide/fastpath.txt",
+        "fastpath.txt",
+        "The wombat sentinel paragraph rides the keyword fast path upsert."))
+      .toDS()
+    IndexBuild.build(spark, moreDocs, wh3,
+      cfg = ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
+      embedder = embedder)
+    val late3 = IndexBuild.loadIndex(spark, wh3)
+    val upserted = HybridSearch.upsertServing(fast, late3.chunks, late3.vectors)
+    val baseRows = fast.serving.get.tokLocal.get.length
+    assert(upserted.serving.get.tokLocal.exists(_.length > baseRows),
+      "upsert under the cap must extend the driver copy")
+    assert(HybridSearch.search(upserted,
+      SearchRequest("wombat sentinel", "c1", mode = "keyword", topK = 3), embedder)
+      .headOption.exists(_.document_id == "doc-fastpath"))
+    // ...and DROPS it once the corpus outgrows the cap
+    val capped = fast.copy(serving =
+      fast.serving.map(_.copy(tokLocalCap = baseRows))) // next union exceeds
+    val overflow = HybridSearch.upsertServing(capped, late3.chunks, late3.vectors)
+    assert(overflow.serving.get.tokLocal.isEmpty,
+      "outgrowing the cap must hand the leg back to the RDD path")
+    Seq(fast, rdd, tooSmall).foreach { s =>
+      s.chunks.unpersist(); s.vectors.unpersist()
+      s.serving.foreach(_.unpersist())
+    }
+  }
+
   test("upsertServing absorbs a micro-batch into every cache layout without rebuild") {
     // a second warehouse supplies the new docs through the SAME build path
     val wh2 = java.nio.file.Files.createTempDirectory("graft-wh2").toString
