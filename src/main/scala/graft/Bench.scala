@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * service).
   */
 object Bench {
+  /** Above this many >1.5x pass-disagreement pairs, the battery runs a
+    * third interleaved pass before taking per-query minimums (the
+    * round-13 artifact carried ~46 drift pairs and could not support
+    * round-over-round claims; a clean run carries a handful). */
+  val DriftAutoExtendPairs = 10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -307,14 +313,33 @@ object Bench {
     }
     val passA = selected.map { case (n, fn) => n -> measure(n, fn, 1) }.toMap
     val passB = selected.map { case (n, fn) => n -> measure(n, fn, 2) }.toMap
+    // DRIFT AUTO-EXTEND: when more than DriftAutoExtendPairs queries
+    // disagree >1.5x across the two passes, the box is contaminated
+    // (co-tenant load, not code) — run a THIRD interleaved pass so each
+    // query gets one more chance to land on a quiet slice before the min
+    // is taken. Bounded: at most one extra pass, and only on dirty runs.
+    val driftAB = selected.count { case (n, _) =>
+      val ((aW, _), (bW, _)) = (passA(n), passB(n))
+      aW > 0 && bW > 0 && math.max(aW, bW) / math.min(aW, bW) > 1.5
+    }
+    val passC: Option[Map[String, (Double, Double)]] =
+      if (driftAB <= DriftAutoExtendPairs) None
+      else {
+        System.err.println(s"[bench] drift auto-extend: $driftAB pairs " +
+          s"disagree >1.5x after two passes (threshold $DriftAutoExtendPairs)" +
+          " — running a third interleaved pass")
+        Some(selected.map { case (n, fn) => n -> measure(n, fn, 3) }.toMap)
+      }
     // (name, min wall, max wall, cpu_s of the min-wall pass): the reported
     // cpu rides the SAME pass as the reported wall, so the pair is
     // internally consistent for round-over-round comparison
     val results = selected.map { case (n, _) =>
-      val ((aW, aC), (bW, bC)) = (passA(n), passB(n))
-      if (aW < 0 || bW < 0) (n, -1.0, -1.0, -1.0)
-      else if (aW <= bW) (n, aW, bW, aC)
-      else (n, bW, aW, bC)
+      val passes = Seq(passA(n), passB(n)) ++ passC.map(_(n))
+      if (passes.exists(_._1 < 0)) (n, -1.0, -1.0, -1.0)
+      else {
+        val (minW, minC) = passes.minBy(_._1)
+        (n, minW, passes.map(_._1).max, minC)
+      }
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

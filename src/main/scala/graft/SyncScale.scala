@@ -38,7 +38,62 @@ object SyncScale {
     prev
   }
 
+  /** First-crawl rehearsal (round-14 verdict item 3): wall time for an
+    * EMPTY container's initial sync, driver MaxBulk loop vs the
+    * `fetchBulk` one-commit bulk path, at growing file counts. The loop
+    * pays ceil(n/MaxBulk) upsert commits (each a probe + chunk job +
+    * embed job + write); the bulk path pays ONE — its wall should grow
+    * ∝ corpus/parallelism while the loop's grows ∝ commits.
+    * Run: sbt "runMain graft.SyncScale firstcrawl 1000 4000" */
+  private def firstCrawl(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    import spark.implicits._
+    // content derives from the path alone, so executors can generate it
+    def bodyOf(p: String): String =
+      s"document at $p discussing topic ${math.abs(p.hashCode % 97)} " +
+        ("with shared corpus vocabulary " * 3).trim
+    sizes.foreach { n =>
+      def listing = spark.range(n.toLong)
+        .select(format_string("/corpus/f%08d.txt", col("id")).as("path"),
+          lit(1L).as("mtime"), lit(64L).as("size"))
+      def timed(label: String, bulk: Boolean): Unit = {
+        val wh = java.nio.file.Files.createTempDirectory(s"graft-fcscale").toString
+        val store = new graft.api.KnowledgeStore(spark, wh)
+        val cid = store.createContainer(s"fc-$n-$bulk", connectorType = "S3")
+        val fetchBulk: Option[(String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame] =
+          if (!bulk) None
+          else Some((_, paths) => paths.select("path").as[String]
+            .map(p => (p, bodyOf(p).getBytes("UTF-8"))).toDF("path", "content"))
+        val syncer = new graft.api.ConnectorSyncer(spark, wh, store,
+          list = _ => listing,
+          fetch = (_, p) => bodyOf(p).getBytes("UTF-8"),
+          fetchBulk = fetchBulk)
+        val t0 = System.nanoTime()
+        val (_, r) = syncer.sync(cid)
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(r.created == n.toLong && r.failed == 0L, r)
+        val commits = if (bulk) 1 else (n + store.MaxBulk - 1) / store.MaxBulk
+        println(f"[syncscale] first-crawl n=$n%d $label: ${secs}%.1f s " +
+          f"(${secs * 1000 / n}%.1f ms/file, $commits%d commits)")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      }
+      timed("driver-loop", bulk = false)
+      timed("bulk-path  ", bulk = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("firstcrawl")) {
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      firstCrawl(spark,
+        if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1000, 4000))
+      spark.stop()
+      return
+    }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(100000, 1000000)
     val spark = SparkSession.builder()

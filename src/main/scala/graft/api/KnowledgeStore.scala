@@ -64,10 +64,12 @@ final class KnowledgeStore(
     transactional || graft.store.TxLog.exists(spark, warehouse)
   }
 
-  /** Validation bounds (ref ValidationConstants.cs:6-8). */
+  /** Validation bounds (ref ValidationConstants.cs:6-8,19-21). */
   val MaxTopK = 100
   val MaxQueryChars = 10000
   val MaxBulk = 100
+  val MaxFileNameLength = 255
+  val MaxPathDepth = 50
 
   private val containersPath = s"$warehouse/containers"
 
@@ -471,6 +473,22 @@ final class KnowledgeStore(
     val docs = files.map { case (path, raw) =>
       val norm = graft.ingest.PathUtil.normalize(path)
       val fileName = norm.substring(norm.lastIndexOf('/') + 1)
+      // upload-input hardening, uniform for REST, MCP, and connector sync
+      // (all route through here) — mirrors the reference's ValidateInput
+      // gauntlet and its messages (ref ValidationConstants.cs:19-21,
+      // UploadService.cs:137-160): oversize/control-char filenames,
+      // absurd path depth, and zero-byte bodies answer 400, never land
+      // in the warehouse. Traversal is already neutralized by
+      // PathUtil.normalize (dot segments collapse, clamped at root).
+      if (fileName.length > MaxFileNameLength)
+        throw new IllegalArgumentException(
+          s"Filename exceeds ${MaxFileNameLength} characters.")
+      if (fileName.isEmpty || fileName == "." || fileName == ".." ||
+          fileName.exists(c => c <= '\u001f' || c == '\u007f'))
+        throw new IllegalArgumentException(s"Invalid filename: '$fileName'.")
+      if (norm.split('/').count(_.nonEmpty) - 1 > MaxPathDepth)
+        throw new IllegalArgumentException(
+          s"Path exceeds maximum depth of ${MaxPathDepth} levels.")
       require(graft.ingest.Parsers.isSupported(fileName), s"unsupported type: $fileName")
       // binary formats (pdf/docx/pptx) arrive base64 and run the REAL
       // parsers here, so the indexed content is the extracted text (the
@@ -480,11 +498,18 @@ final class KnowledgeStore(
         if (graft.ingest.Parsers.isBinary(fileName)) {
           require(base64, s"binary upload ($fileName) requires base64 content")
           val bytes = java.util.Base64.getDecoder.decode(raw)
+          if (bytes.isEmpty) throw new IllegalArgumentException(
+            "File is empty. Zero-byte uploads are not allowed.")
           graft.ingest.Parsers.parse(fileName, bytes)
             .fold(err => throw new IllegalArgumentException(err), _.content)
-        } else if (base64)
-          new String(java.util.Base64.getDecoder.decode(raw), "UTF-8")
-        else raw
+        } else {
+          val c =
+            if (base64) new String(java.util.Base64.getDecoder.decode(raw), "UTF-8")
+            else raw
+          if (c.isEmpty) throw new IllegalArgumentException(
+            "File is empty. Zero-byte uploads are not allowed.")
+          c
+        }
       // PROVISIONAL id: the path-derived recipe (override pins win). The
       // ledger probe in appendDocs resolves the FINAL id — a path that
       // already owns a ledger row keeps that row's id, so identity

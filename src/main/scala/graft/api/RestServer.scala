@@ -201,6 +201,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
+    // security headers on EVERY response — success, error, SSE, 204 —
+    // stamped before any route can answer (ref Program.cs:255-262; the
+    // reference's middleware wraps the whole pipeline the same way).
+    // A JSON API without a browser UI rarely exercises these, but
+    // sniffing/framing hardening is published reference surface.
+    ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
+    ex.getResponseHeaders.set("X-Frame-Options", "DENY")
+    ex.getResponseHeaders.set("Referrer-Policy", "strict-origin-when-cross-origin")
     var principal = "-"
     /** True when the caller authenticated with an AGENT-owned key — the
       * reference's `actor_type=agent` claim; agents cannot create agents

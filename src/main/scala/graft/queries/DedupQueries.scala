@@ -353,6 +353,105 @@ object DedupQueries {
       doc = "MinHash signatures + LSH band-bucket candidate pairs"),
 
     QueryDef(
+      "q164_incremental_neardup",
+      (s, d) => {
+        // INCREMENTAL near-dup gate as an oracled query — the shape a
+        // growing corpus actually runs (and `ingest/NearDupIndex` serves
+        // incrementally): a NEW batch (here: the five highest-numbered
+        // sources, a fresh crawl seed) probes the EXISTING corpus's LSH
+        // band buckets ONE-SIDED — new×corpus on (band, band_hash), never
+        // new×new or corpus×corpus — and a new document confirming >= 3/4
+        // signature agreement against its best bucket-mate is dropped
+        // before ingestion. Signatures/bands are exactly q25's (16
+        // permutations, 4×4 banding, one wide-agg pass); the join output
+        // is ∝ colliding buckets and the best-match window runs over the
+        // candidate set only. est is a multiple of 1/16 (exact in binary)
+        // so the 0.75 gate can't ulp-flip across engines.
+        val sig0 = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+          .select(col("doc_id"), col("source"),
+            graft.functions.PolyHash(col("sh")).as("h"))
+          .groupBy("doc_id", "source")
+          .agg(
+            min(expr(s"((2*0 + 1) * h + 104729L * 0) % $P")).as("mh0"),
+            (1 until 16).map(k =>
+              min(expr(s"((2*$k + 1) * h + 104729L * $k) % $P")).as(s"mh$k")): _*)
+        val sig = sig0.select(col("doc_id"),
+          expr("CAST(substring(source, 4) AS INT) >= 15").as("is_new"),
+          array((0 until 16).map(k => col(s"mh$k")): _*).as("sig"))
+        val bands = sig.select(col("doc_id"), col("is_new"), explode(expr(
+          s"""transform(sequence(0, 3), b -> struct(cast(b as int) as band,
+              aggregate(slice(sig, b * 4 + 1, 4), cast(b + 7 as bigint),
+                        (a, x) -> (a * 31 + x) % $P) as band_hash))"""))
+          .as("bb"))
+          .select(col("doc_id"), col("is_new"), col("bb.band").as("band"),
+            col("bb.band_hash").as("band_hash"))
+        val cand = bands.filter(col("is_new")).as("a")
+          .join(bands.filter(!col("is_new")).as("b").hint("shuffle_hash"),
+            col("a.band") === col("b.band") &&
+              col("a.band_hash") === col("b.band_hash"))
+          .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+          .distinct()
+        val scored = cand
+          .join(sig.filter(col("is_new"))
+            .select(col("doc_id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+          .join(sig.filter(!col("is_new"))
+            .select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")), Seq("corpus_id"))
+          .select(col("new_id"), col("corpus_id"),
+            round(expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (s, v) -> s + v)")
+              .cast("double") / 16, 6).as("est"))
+        val best = scored
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("new_id").orderBy(desc("est"), col("corpus_id"))))
+          .filter(col("rn") === 1).drop("rn")
+        sig.filter(col("is_new")).select(col("doc_id").as("new_id"))
+          .join(best, Seq("new_id"), "left")
+          .select(col("new_id"),
+            coalesce(col("corpus_id"), lit(-1L)).as("match_id"),
+            coalesce(col("est"), lit(0.0)).as("est_jaccard"),
+            (coalesce(col("est"), lit(0.0)) >= 0.75).cast("int").as("is_dup"))
+          .orderBy("new_id")
+      },
+      Some(s"""
+        WITH hs AS (SELECT doc_id, source, list_transform(${shinglesDuck("toks")}, sh -> ${polyDuck("sh")}) hs
+                    FROM (SELECT doc_id, source, ${toksDuck("text")} toks FROM documents)
+                    WHERE len(toks) >= 3),
+             sig AS (SELECT doc_id,
+                            CAST(substr(source, 4) AS INT) >= 15 is_new,
+                            unnest(range(0, 16)) k,
+                            unnest(list_transform(range(0, 16),
+                              k -> list_min(list_transform(hs, h -> ((2*k + 1) * h + 104729 * k) % $P)))) mh
+                     FROM hs),
+             bands AS (SELECT doc_id, is_new, CAST(k // 4 AS INT) band,
+                              list_reduce(list_concat([CAST(k // 4 AS BIGINT) + 7], array_agg(mh ORDER BY k)),
+                                          (a, b) -> (a * 31 + b) % $P) band_hash
+                       FROM sig GROUP BY doc_id, is_new, k // 4),
+             cand AS (SELECT DISTINCT a.doc_id new_id, b.doc_id corpus_id
+                      FROM bands a JOIN bands b
+                        ON a.band = b.band AND a.band_hash = b.band_hash
+                      WHERE a.is_new AND NOT b.is_new),
+             scored AS (SELECT new_id, corpus_id,
+                               round(CAST(count(*) FILTER (WHERE sa.mh = sb.mh) AS DOUBLE) / 16, 6) est
+                        FROM cand
+                        JOIN sig sa ON sa.doc_id = new_id
+                        JOIN sig sb ON sb.doc_id = corpus_id AND sb.k = sa.k
+                        GROUP BY new_id, corpus_id),
+             best AS (SELECT new_id, corpus_id, est,
+                             row_number() OVER (PARTITION BY new_id ORDER BY est DESC, corpus_id) rn
+                      FROM scored)
+        SELECT n.doc_id new_id,
+               coalesce(b.corpus_id, -1) match_id,
+               coalesce(b.est, 0.0) est_jaccard,
+               CAST(coalesce(b.est, 0.0) >= 0.75 AS INT) is_dup
+        FROM (SELECT DISTINCT doc_id FROM sig WHERE is_new) n
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = n.doc_id
+        ORDER BY new_id"""),
+      doc = "Incremental cross-snapshot near-dup gate: new batch probes corpus LSH buckets one-sided"),
+
+    QueryDef(
       "q26_simhash",
       (s, d) =>
         // SimHash: 32-bit signature — per-bit vote of token-frequency-

@@ -1376,7 +1376,74 @@ object TextQueries {
                     ELSE 'tail' END AS bucket,
                CASE WHEN tercile <> 3 THEN 1 ELSE 0 END AS kept
         FROM b ORDER BY doc_id"""),
-      doc = "CCNet head/middle/tail: per-language perplexity terciles over the corpus-trained bigram LM, head+middle released")
+      doc = "CCNet head/middle/tail: per-language perplexity terciles over the corpus-trained bigram LM, head+middle released"),
+
+    QueryDef(
+      "q163_source_quality_rank",
+      (s, d) => {
+        // Per-SOURCE quality gating with a Wilson lower bound — the
+        // domain-ranking op web pipelines run after per-document filters:
+        // a source (domain, feed, crawl seed) is admitted or throttled by
+        // its documents' keep RATE, and the raw proportion is replaced by
+        // the Wilson score interval's LOWER bound so a 3/3 source does
+        // not outrank a 240/250 one (small-n bluff protection; the same
+        // interval Bernoulli ranking uses everywhere). Gate = q57's
+        // length/diversity/stopword rules (no dup stage — source quality
+        // is about content, dedup has its own pipeline slot). Scale: one
+        // scan + one groupBy(source) — aggregate state ∝ sources, and
+        // the rank window runs over the source-count-sized result.
+        val z = "1.959964"
+        val gated = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("uniq_ratio",
+            expr("size(array_distinct(toks))").cast("double") /
+              greatest(col("n_tok"), lit(1)))
+          .withColumn("stop_ratio",
+            expr(s"size(filter(toks, t -> t IN $stopSqlList))").cast("double") /
+              greatest(col("n_tok"), lit(1)))
+          .withColumn("kept",
+            (col("n_tok") >= 20 && col("n_tok") <= 2000 &&
+              col("uniq_ratio") >= 0.3 && col("stop_ratio") >= 0.02).cast("int"))
+        gated.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+          .withColumn("p", col("n_kept").cast("double") / col("n_docs"))
+          .withColumn("nn", col("n_docs").cast("double"))
+          .withColumn("wilson_lo", round(expr(
+            s"(p + $z*$z/(2*nn) - $z * sqrt(p*(1.0-p)/nn + $z*$z/(4*nn*nn)))" +
+              s" / (1.0 + $z*$z/nn)"), 6))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("wilson_lo"), col("source"))))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            round(col("p"), 6).as("keep_rate"), col("wilson_lo"), col("rank"))
+          .orderBy("rank")
+      },
+      Some {
+        val z = "1.959964"
+        s"""
+        WITH g AS (
+          SELECT source,
+                 CASE WHEN n_tok >= 20 AND n_tok <= 2000
+                           AND uniq_ratio >= 0.3 AND stop_ratio >= 0.02
+                      THEN 1 ELSE 0 END kept
+          FROM (SELECT source, len(toks) n_tok,
+                       CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) uniq_ratio,
+                       CAST(len(list_filter(toks, t -> t IN $stopSqlList)) AS DOUBLE) / greatest(len(toks), 1) stop_ratio
+                FROM (SELECT source, ${toksDuck("text")} toks FROM documents))),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+                     CAST(sum(kept) AS BIGINT) n_kept
+              FROM g GROUP BY source),
+        w AS (SELECT source, n_docs, n_kept,
+                     CAST(n_kept AS DOUBLE) / n_docs p,
+                     CAST(n_docs AS DOUBLE) nn FROM a),
+        r AS (SELECT source, n_docs, n_kept, round(p, 6) keep_rate,
+                     round((p + $z*$z/(2*nn) - $z * sqrt(p*(1.0-p)/nn + $z*$z/(4*nn*nn))) / (1.0 + $z*$z/nn), 6) wilson_lo
+              FROM w)
+        SELECT source, n_docs, n_kept, keep_rate, wilson_lo,
+               CAST(row_number() OVER (ORDER BY wilson_lo DESC, source) AS INT) rank
+        FROM r ORDER BY rank"""
+      },
+      doc = "Per-source keep-rate ranking by Wilson lower bound (domain admission gating)")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are

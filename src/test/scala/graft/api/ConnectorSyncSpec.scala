@@ -708,6 +708,32 @@ class SyncRetrySpec extends AnyFunSuite {
     assert(r6.changed == 1L && r6.failed == 0L && r6.skipped == 0L, r6)
     assert(store.getDocument(cid, "/t/flaky.txt").exists(_.contains("REVISED")))
   }
+
+  test("a zero-byte remote file is refused by upload validation, then heals once nonempty") {
+    // the store-level ValidateInput mirror gates the SYNC transport too:
+    // an empty remote object (often a partial write in progress) fails
+    // with an event and RETRIES — when bytes appear, the retry lands it
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncempty").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/t/ok.txt" -> (("a healthy document body", 1L)),
+      "/t/empty.txt" -> (("", 1L)))
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"))
+    val cid = store.createContainer("empty-gate", connectorType = "S3")
+    val (ev, r) = syncer.sync(cid)
+    assert(r.created == 1L && r.failed == 1L, r)
+    assert(ev.exists { case (p, e) =>
+      p == "/t/empty.txt" && e.contains("Zero-byte uploads are not allowed") }, ev)
+    assert(store.getDocument(cid, "/t/empty.txt").isEmpty)
+    remote("/t/empty.txt") = (("bytes arrived", 2L))
+    val (_, r2) = syncer.sync(cid)
+    assert(r2.created == 1L && r2.failed == 0L, r2)
+    assert(store.getDocument(cid, "/t/empty.txt").exists(_.contains("bytes")))
+  }
 }
 
 /** Round-13 review pins: the partial-append orphan sweep, the

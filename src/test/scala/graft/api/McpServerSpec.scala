@@ -133,6 +133,17 @@ class McpServerSpec extends AnyFunSuite {
     val (eX, xor) = call(base, "upload_file",
       s"""{"containerId": "$cid", "fileName": "x.txt", "content": "$b64", "textContent": "y"}""")
     assert(xor.contains("not both"))
+    // upload-input hardening: the store-level ValidateInput mirror answers
+    // in-band tool errors over MCP too (same messages as the REST 400s)
+    val (eV1, v1) = call(base, "upload_file",
+      s"""{"containerId": "$cid", "fileName": "${"a" * 256}.txt", "textContent": "body"}""")
+    assert(eV1 && v1.contains("Filename exceeds 255 characters."), v1)
+    val (eV2, v2) = call(base, "upload_file",
+      s"""{"containerId": "$cid", "fileName": "bad\\u0007name.txt", "textContent": "body"}""")
+    assert(eV2 && v2.contains("Invalid filename:"), v2)
+    val (eV3, v3) = call(base, "upload_file",
+      s"""{"containerId": "$cid", "fileName": "e.txt", "textContent": ""}""")
+    assert(eV3 && v3.contains("Zero-byte uploads are not allowed."), v3)
 
     // bulk_upload with per-file results (one bad file type fails alone)
     val (e4, bulk) = call(base, "bulk_upload",

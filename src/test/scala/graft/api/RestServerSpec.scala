@@ -138,6 +138,80 @@ class RestServerSpec extends AnyFunSuite {
     s2.stop()
   }
 
+  test("security headers ride every response, success and error") {
+    val wh4 = java.nio.file.Files.createTempDirectory("graft-rest4").toString
+    val s4 = new RestServer(new KnowledgeStore(spark, wh4))
+    val port = s4.start()
+    def headersOf(path: String) = {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.headers())
+    }
+    try {
+      val expected = Seq(
+        "X-Content-Type-Options" -> "nosniff",
+        "X-Frame-Options" -> "DENY",
+        "Referrer-Policy" -> "strict-origin-when-cross-origin")
+      val (okSt, okH) = headersOf("/health")
+      assert(okSt == 200)
+      val (errSt, errH) = headersOf("/no/such/route")
+      assert(errSt >= 400)
+      expected.foreach { case (k, v) =>
+        assert(okH.firstValue(k).orElse("") == v, s"$k missing on a success response")
+        assert(errH.firstValue(k).orElse("") == v, s"$k missing on an error response")
+      }
+    } finally s4.stop()
+  }
+
+  test("upload-input validation: the 400 matrix mirrors the reference") {
+    val wh5 = java.nio.file.Files.createTempDirectory("graft-rest5").toString
+    val s5 = new RestServer(new KnowledgeStore(spark, wh5,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5)))
+    val port = s5.start()
+    val base5 = s"http://127.0.0.1:$port"
+    def send5(method: String, path: String, body: String) = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base5$path"))
+        .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(),
+        if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+        else mapper.readTree(resp.body()))
+    }
+    val cid = send5("POST", "/containers", """{"name": "validation"}""")
+      ._2.get("container_id").asText()
+    def up(path: String, content: String) = {
+      val o = mapper.createObjectNode()
+      o.put("path", path); o.put("content", content)
+      send5("POST", s"/containers/$cid/files", mapper.writeValueAsString(o))
+    }
+    try {
+    // filename > 255 chars
+    val long = up("/" + ("a" * 252) + ".txt", "body")
+    assert(long._1 == 400 &&
+      long._2.get("error").asText() == "Filename exceeds 255 characters.", long)
+    // control characters in the filename
+    val ctl = up("/bad\u0007name.txt", "body")
+    assert(ctl._1 == 400 &&
+      ctl._2.get("error").asText().startsWith("Invalid filename:"), ctl)
+    // path depth > 50 directories
+    val deep = up((1 to 51).map(i => s"d$i").mkString("/", "/", "/f.txt"), "body")
+    assert(deep._1 == 400 &&
+      deep._2.get("error").asText() == "Path exceeds maximum depth of 50 levels.", deep)
+    // zero-byte body
+    val empty = up("/empty.txt", "")
+    assert(empty._1 == 400 &&
+      empty._2.get("error").asText() ==
+        "File is empty. Zero-byte uploads are not allowed.", empty)
+    // boundary cases land: exactly 255-char filename, exactly 50 dirs deep
+    val okName = up("/" + ("b" * 251) + ".txt", "boundary body")
+    assert(okName._1 == 201, okName)
+    val okDeep = up((1 to 50).map(i => s"d$i").mkString("/", "/", "/f.txt"),
+      "boundary body")
+    assert(okDeep._1 == 201, okDeep)
+    } finally s5.stop()
+  }
+
   test("bearer guard: 401 without/with-wrong token, 200 with it; /health stays open") {
     val wh3 = java.nio.file.Files.createTempDirectory("graft-rest3").toString
     val s3 = new RestServer(new KnowledgeStore(spark, wh3), apiKey = Some("hunter2"))
