@@ -126,7 +126,9 @@ final class AgentRegistry(spark: SparkSession, warehouse: String,
       Boolean, Long, Long, Long)] =
     // a deleted agent reads like an unknown one (ref AgentService
     // .ListKeysAsync filters DeletedAt == null): its tombstoned keys are
-    // registry history, not API surface
+    // registry history, not API surface. The REST route ALSO gates (404,
+    // consistent with the other /agents routes) — this registry-level
+    // empty is the defense-in-depth for direct/MCP callers
     if (get(agentId).isEmpty) Seq.empty
     else keys.listFor(AgentRegistry.ownerId(agentId))
 

@@ -228,6 +228,9 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // "successfully ingested") and not as skipped (skipped is the
     // by-design unsupported-type filter; failures retry, skips don't).
     val failedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    // first-crawl failures beyond the bounded event sample (the COUNT is
+    // exact even when the retry list tripped the skip-the-swap path)
+    var bulkUncollectedFailedN = 0L
     /** Fold one ingest group's skip list into the counters; returns the
       * subset that were ingest FAILURES (callers subtract them from
       * their own created/changed tallies). */
@@ -280,7 +283,6 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // bytes pulled by the confirm, reused by the ingest below (bounded:
     // renamedPairs <= maxRenamesPreserved)
     val renameBytes = scala.collection.mutable.Map.empty[String, Array[Byte]]
-    var confirmedRenames = 0L
     renamedPairs.foreach { case (newPath, oldPath) =>
       val old = oldAt.get(graft.ingest.PathUtil.normalize(oldPath))
       if (isSupported(newPath)) {
@@ -307,10 +309,9 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
                 s"$newPath (${e.getMessage}) — declining id reuse")
               false
             }
-          if (confirmed) {
-            confirmedRenames += 1L
+          if (confirmed)
             renameOverrides += (graft.ingest.PathUtil.normalize(newPath) -> id)
-          } else if (renameBytes.contains(newPath))
+          else if (renameBytes.contains(newPath))
             System.err.println(s"[sync] rename pair ($oldPath -> $newPath) " +
               "failed content confirm — ingesting as create + delete")
         }
@@ -328,15 +329,16 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // STREAMED: the supported Created/Changed paths flow off the cluster
     // one MaxBulk group at a time — a first crawl's corpus-sized delta
     // never lands on the driver as one collect
-    def streamIngest(t: String): (Long, Seq[String]) = {
+    def streamIngest(t: String): (Long, Seq[String], Seq[String]) = {
       val it = events.filter(col("event_type") === t &&
           supportedUdf(col("path")))
         .select("path").orderBy("path").as[String].toLocalIterator()
       var n = 0L
       val sample = scala.collection.mutable.ArrayBuffer.empty[String]
+      val fails = scala.collection.mutable.ArrayBuffer.empty[String]
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       def flush(): Unit = if (buf.nonEmpty) {
-        n -= noteSkips(ingestGroup(cid, buf.toSeq, renameOverrides)).length
+        fails ++= noteSkips(ingestGroup(cid, buf.toSeq, renameOverrides))
         buf.clear()
       }
       while (it.hasNext) {
@@ -345,7 +347,7 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
         if (buf.length == store.MaxBulk) flush()
       }
       flush()
-      (n, sample.toSeq)
+      (n - fails.length, sample.toSeq, fails.toSeq)
     }
     /** FIRST-CRAWL bulk path (empty container + distributed reader): the
       * listing's supported paths fetch and parse EXECUTOR-side and land
@@ -355,34 +357,57 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     def bulkFirstCrawl(): (Long, Seq[String]) = {
       val paths = events.filter(col("event_type") === D.Created &&
         supportedUdf(col("path"))).select("path")
+      // the reader must echo the LISTING's path strings verbatim: rows
+      // for paths the listing never asked for are dropped (semi-join),
+      // and requested paths the reader did not answer FAIL with retry —
+      // a reader returning qualified URIs instead of listing paths fails
+      // everything, which skips the snapshot swap and surfaces loudly
+      // instead of silently advancing a crawl that indexed nothing
       val parsed = fetchBulk.get(cid, paths)
         .select(col("path").cast("string"), col("content"))
+        .join(paths, Seq("path"), "left_semi")
         .as[(String, Array[Byte])]
         .map { case (p, bytes) =>
           val norm = graft.ingest.PathUtil.normalize(p)
           val fileName = norm.substring(norm.lastIndexOf('/') + 1)
-          // the parsers are never-throw by contract; the belt-and-braces
-          // catch keeps ONE pathological row from failing the whole
-          // first-crawl job (it lands in the retry-next-pass accounting)
+          // the SAME gauntlet bulkUploadBatch runs (executor-side here):
+          // a zero-byte or invalid-named file must fail identically on
+          // both transports. The parsers are never-throw by contract;
+          // the belt-and-braces catch keeps ONE pathological row from
+          // failing the whole first-crawl job (it lands in the
+          // retry-next-pass accounting).
           val contentE: Either[String, String] =
-            try {
-              if (graft.ingest.Parsers.isBinary(fileName))
-                graft.ingest.Parsers.parse(fileName, bytes).map(_.content)
-              else Right(new String(bytes, "UTF-8"))
-            } catch { case e: Exception =>
-              Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+            graft.ingest.UploadValidation.check(norm, fileName) match {
+              case Some(msg) => Left(msg)
+              case None if bytes == null || bytes.isEmpty =>
+                Left(graft.ingest.UploadValidation.EmptyMessage)
+              case None =>
+                try {
+                  if (graft.ingest.Parsers.isBinary(fileName))
+                    graft.ingest.Parsers.parse(fileName, bytes).map(_.content)
+                  else Right(new String(bytes, "UTF-8"))
+                } catch { case e: Exception =>
+                  Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+            }
           contentE match {
             case Right(c) => (p, norm, fileName, c, null: String)
             case Left(e) => (p, norm, fileName, null: String, e)
           }
         }.toDF("raw_path", "norm", "file_name", "content", "err").persist()
-      // bounded collect: one over the cap is enough to trip the
-      // skip-the-swap total-failure path below
-      val fails = parsed.filter(col("err").isNotNull)
-        .select("raw_path", "err").orderBy("raw_path")
+      val failDf = parsed.filter(col("err").isNotNull).select("raw_path", "err")
+        .unionByName(paths
+          .join(parsed.select(col("raw_path").as("path")), Seq("path"), "left_anti")
+          .select(col("path").as("raw_path"),
+            org.apache.spark.sql.functions.lit(
+              "not returned by the bulk reader").as("err")))
+      // failed count is EXACT; the event/retry sample is bounded (one
+      // over the cap is enough to trip the skip-the-swap path below)
+      val failN = failDf.count()
+      val fails = failDf.orderBy("raw_path")
         .limit(ConnectorSyncer.MaxReturnedEvents + 1)
         .as[(String, String)].collect()
       noteSkips(fails.map { case (p, e) => (p, s"ingest_failed: $e") }.toSeq)
+      bulkUncollectedFailedN = failN - fails.length
       val ok = parsed.filter(col("err").isNull)
       val docs = ok.select(col("norm"), col("file_name"), col("content"))
         .as[(String, String, String)]
@@ -403,10 +428,17 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     val firstCrawlBulk = fetchBulk.isDefined && storeCountBefore == 0L &&
       prevRows.isEmpty
     val (createdN, createdSample) =
-      if (firstCrawlBulk) bulkFirstCrawl() else streamIngest(D.Created)
-    val (changedN, changedSample) = streamIngest(D.Changed)
+      if (firstCrawlBulk) bulkFirstCrawl()
+      else { val (n, sm, _) = streamIngest(D.Created); (n, sm) }
+    val (changedN, changedSample) = { val (n, sm, _) = streamIngest(D.Changed); (n, sm) }
     // demoted renames: stream-ingest the new paths (unsupported ones skip
     // with events) and delete the old paths in MaxBulk groups
+    // old paths of FAILED rename ingests (both the preserved and the
+    // demoted branch): held from every deletion this pass so content
+    // never vanishes while the retry is pending. Bounded by the failure
+    // accounting (a pathological all-failing pass skips the snapshot
+    // swap and re-diffs wholesale anyway).
+    val heldOld = scala.collection.mutable.ArrayBuffer.empty[String]
     val demotedIngestedN =
       if (!renamesDemoted) 0L
       else {
@@ -415,12 +447,19 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
         if (skippedSample.length < ConnectorSyncer.MaxReturnedEvents)
           skippedSample ++= sk.map((_, "unsupported type (renamed)")).take(
             ConnectorSyncer.MaxReturnedEvents - skippedSample.length)
-        val (n, _) = streamIngest(D.Renamed)
+        val (n, _, demFails) = streamIngest(D.Renamed)
+        // a demoted pair whose new-path ingest FAILED keeps its old-path
+        // document alive (same contract as the preserved-rename hold
+        // below): content must not vanish while the retry is pending
+        val demFailSet = demFails.toSet
         val it = events.filter(col("event_type") === D.Renamed)
-          .select("old_path").orderBy("old_path").as[String].toLocalIterator()
+          .select("path", "old_path").orderBy("old_path")
+          .as[(String, String)].toLocalIterator()
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
-          buf += it.next()
+          val (newP, oldP) = it.next()
+          if (!demFailSet.contains(newP)) buf += oldP
+          else heldOld += graft.ingest.PathUtil.normalize(oldP)
           if (buf.length == store.MaxBulk) {
             store.bulkDeleteBatch(cid, buf.toSeq, asConnector = true); buf.clear()
           }
@@ -450,10 +489,11 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
         !renameFailed.contains(p))
     val createdFromRenames =
       (renameIngest.length - renameFailed.size) - renamedOkN
-    val heldOldPaths: Seq[String] = renamedPairs.collect {
+    heldOld ++= renamedPairs.collect {
       case (newPath, oldPath) if renameFailed.contains(newPath) =>
         graft.ingest.PathUtil.normalize(oldPath)
     }
+    val heldOldPaths: Seq[String] = heldOld.toSeq
 
     // DELETIONS reconcile against the STORE, not only the side snapshot:
     // a snapshot lost in the swap's crash window would otherwise hide
@@ -515,7 +555,14 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
 
     val published: Seq[(String, String)] =
       createdSample.map((_, D.Created)) ++ changedSample.map((_, D.Changed)) ++
-        renamedPairs.map { case (n, o) => (n, s"${D.Renamed} from $o") } ++
+        renamedPairs.map { case (n, o) =>
+          val processedAsRename =
+            (confirmedNewPaths.contains(graft.ingest.PathUtil.normalize(n)) &&
+              !renameFailed.contains(n)) || renameDeletes.contains(o)
+          if (processedAsRename) (n, s"${D.Renamed} from $o")
+          else if (renameFailed.contains(n)) (n, s"${D.Created} (rename ingest failed, retrying)")
+          else (n, D.Created)
+        } ++
         deletedReturned.map((_, D.Deleted)) ++
         (if (guardTripped)
           Seq((s"$deletedCount deletions held by the mass-delete guard",
@@ -592,7 +639,7 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       renamed = renamedOkN.toLong + renameDeletes.length.toLong,
       skipped = skippedCount,
       deletedHeld = if (guardTripped) deletedCount else 0L,
-      failed = failedPaths.length.toLong))
+      failed = failedPaths.length.toLong + bulkUncollectedFailedN))
   }
 }
 

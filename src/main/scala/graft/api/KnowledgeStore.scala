@@ -68,8 +68,8 @@ final class KnowledgeStore(
   val MaxTopK = 100
   val MaxQueryChars = 10000
   val MaxBulk = 100
-  val MaxFileNameLength = 255
-  val MaxPathDepth = 50
+  val MaxFileNameLength = graft.ingest.UploadValidation.MaxFileNameLength
+  val MaxPathDepth = graft.ingest.UploadValidation.MaxPathDepth
 
   private val containersPath = s"$warehouse/containers"
 
@@ -473,22 +473,16 @@ final class KnowledgeStore(
     val docs = files.map { case (path, raw) =>
       val norm = graft.ingest.PathUtil.normalize(path)
       val fileName = norm.substring(norm.lastIndexOf('/') + 1)
-      // upload-input hardening, uniform for REST, MCP, and connector sync
-      // (all route through here) — mirrors the reference's ValidateInput
-      // gauntlet and its messages (ref ValidationConstants.cs:19-21,
-      // UploadService.cs:137-160): oversize/control-char filenames,
-      // absurd path depth, and zero-byte bodies answer 400, never land
-      // in the warehouse. Traversal is already neutralized by
+      // upload-input hardening, uniform for REST, MCP, and connector
+      // sync (all route through here; the first-crawl bulk path runs the
+      // SAME gauntlet executor-side) — mirrors the reference's
+      // ValidateInput rules and messages (ref ValidationConstants.cs:
+      // 19-21, UploadService.cs:137-160): oversize/control-char
+      // filenames, absurd path depth, and zero-byte bodies answer 400,
+      // never land in the warehouse. Traversal is already neutralized by
       // PathUtil.normalize (dot segments collapse, clamped at root).
-      if (fileName.length > MaxFileNameLength)
-        throw new IllegalArgumentException(
-          s"Filename exceeds ${MaxFileNameLength} characters.")
-      if (fileName.isEmpty || fileName == "." || fileName == ".." ||
-          fileName.exists(c => c <= '\u001f' || c == '\u007f'))
-        throw new IllegalArgumentException(s"Invalid filename: '$fileName'.")
-      if (norm.split('/').count(_.nonEmpty) - 1 > MaxPathDepth)
-        throw new IllegalArgumentException(
-          s"Path exceeds maximum depth of ${MaxPathDepth} levels.")
+      graft.ingest.UploadValidation.check(norm, fileName)
+        .foreach(msg => throw new IllegalArgumentException(msg))
       require(graft.ingest.Parsers.isSupported(fileName), s"unsupported type: $fileName")
       // binary formats (pdf/docx/pptx) arrive base64 and run the REAL
       // parsers here, so the indexed content is the extracted text (the
@@ -499,7 +493,7 @@ final class KnowledgeStore(
           require(base64, s"binary upload ($fileName) requires base64 content")
           val bytes = java.util.Base64.getDecoder.decode(raw)
           if (bytes.isEmpty) throw new IllegalArgumentException(
-            "File is empty. Zero-byte uploads are not allowed.")
+            graft.ingest.UploadValidation.EmptyMessage)
           graft.ingest.Parsers.parse(fileName, bytes)
             .fold(err => throw new IllegalArgumentException(err), _.content)
         } else {
@@ -507,7 +501,7 @@ final class KnowledgeStore(
             if (base64) new String(java.util.Base64.getDecoder.decode(raw), "UTF-8")
             else raw
           if (c.isEmpty) throw new IllegalArgumentException(
-            "File is empty. Zero-byte uploads are not allowed.")
+            graft.ingest.UploadValidation.EmptyMessage)
           c
         }
       // PROVISIONAL id: the path-derived recipe (override pins win). The
@@ -955,21 +949,7 @@ final class KnowledgeStore(
       .select("document_id").as[String].collect().headOption
   }
 
-  /** Batched [[documentIdAt]]: the ledger ids of MANY paths in ONE
-    * point-filtered probe (normalized path → document_id) — the rename
-    * branch resolves a whole poll window's moved files in one job
-    * instead of one sequential ledger scan per pair. */
-  def documentIdsAt(containerId: String, paths: Seq[String]): Map[String, String] = {
-    if (paths.isEmpty) return Map.empty
-    val norms = paths.map(graft.ingest.PathUtil.normalize)
-    val led = ledgerDf
-    if (!led.columns.contains("document_id")) Map.empty
-    else led.filter(col("container_id") === containerId &&
-        col("path").isin(norms: _*))
-      .select("path", "document_id").as[(String, String)].collect().toMap
-  }
-
-  /** Like [[documentIdsAt]] but also returns each document's ledger
+  /** Batched [[documentIdAt]] that also returns each document's ledger
     * content hash (sha-256 of the PARSED content — the same recipe the
     * upsert ledger writes): the connector sync's rename branch pins a
     * moved document's id onto a new path only after confirming the new

@@ -934,10 +934,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val (_, r) = syncer.sync(id, progressLog.map(identity), force)
           auditRec(200, s"sync created=${r.created} changed=${r.changed} " +
             s"deleted=${r.deleted} renamed=${r.renamed} " +
-            s"skipped=${r.skipped} deleted_held=${r.deletedHeld}")
+            s"skipped=${r.skipped} failed=${r.failed} " +
+            s"deleted_held=${r.deletedHeld}")
           ok(ex, obj("created" -> r.created, "changed" -> r.changed,
             "deleted" -> r.deleted, "renamed" -> r.renamed,
             "skipped" -> r.skipped,
+            // ingest failures: their snapshot rows did not advance — the
+            // next sync retries them (created/changed count successes only)
+            "failed" -> r.failed,
             // > 0 = the mass-deletion guard held this many deletions;
             // re-POST with {"force": true} if the removal is intentional
             "deleted_held" -> r.deletedHeld))

@@ -1,0 +1,31 @@
+package graft.ingest
+
+/** Upload-input gauntlet shared by every ingest transport — the store's
+  * `bulkUploadBatch` (REST, MCP, and the connector sync's driver loop)
+  * and the first-crawl bulk path's EXECUTOR-side parse map — so one
+  * definition decides what may enter the warehouse. Mirrors the
+  * reference's rules and messages (ref ValidationConstants.cs:19-21 +
+  * UploadService.cs ValidateInput): oversize filenames, control
+  * characters, absurd path depth, and zero-byte bodies are rejected with
+  * the published 400 texts. Path traversal is not a rule here because
+  * `PathUtil.normalize` neutralizes it structurally (dot segments
+  * collapse, clamped at root) before any check runs.
+  */
+object UploadValidation extends Serializable {
+  val MaxFileNameLength = 255
+  val MaxPathDepth = 50
+  val EmptyMessage = "File is empty. Zero-byte uploads are not allowed."
+
+  /** None = valid. `norm` is the PathUtil-normalized path; `fileName`
+    * its basename. Depth counts DIRECTORY segments (the reference
+    * validates the folder path, not the filename's slot). */
+  def check(norm: String, fileName: String): Option[String] =
+    if (fileName.length > MaxFileNameLength)
+      Some(s"Filename exceeds $MaxFileNameLength characters.")
+    else if (fileName.isEmpty || fileName == "." || fileName == ".." ||
+        fileName.exists(c => c <= '\u001f' || c == '\u007f'))
+      Some(s"Invalid filename: '$fileName'.")
+    else if (norm.split('/').count(_.nonEmpty) - 1 > MaxPathDepth)
+      Some(s"Path exceeds maximum depth of $MaxPathDepth levels.")
+    else None
+}

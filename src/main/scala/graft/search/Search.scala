@@ -513,9 +513,16 @@ object HybridSearch {
     vecRows.count()
     val tokCount = tokRows.count() // materialize: queries start warm
     // keyword driver fast path: collect ONCE at build when the corpus is
-    // under the cap; defaults OFF above it (the RDD leg is the scale path)
+    // under the cap; defaults OFF above it (the RDD leg is the scale
+    // path). Belt-and-braces BYTES guard on top of the row cap: content
+    // lengths are summed on the cached frame (one cheap job) and the
+    // collect is skipped past 256 MB of raw content — row-count alone
+    // would let 64k pathologically wide chunks (plus the 3-4x JVM
+    // string/token-array expansion) OOM a modest driver at build time.
     val tokLocal: Option[IndexedSeq[ServingTokRow]] =
-      if (keywordDriverCacheMaxRows > 0 && tokCount <= keywordDriverCacheMaxRows)
+      if (keywordDriverCacheMaxRows > 0 && tokCount <= keywordDriverCacheMaxRows &&
+          chunksC.agg(coalesce(sum(length(col("content"))), lit(0L)))
+            .head.getLong(0) <= (256L << 20))
         Some(tokRows.collect().toIndexedSeq)
       else None
     // opt-in IVF layout (ivfLists > 1, or ivfLists < 0 for the
@@ -1099,8 +1106,31 @@ object HybridSearch {
     }
     cache.tokLocal match {
       case Some(rows) =>
-        topKHeap(rows.iterator.flatMap(score), k).toSeq
-          .sortBy(h => (-h.raw, h.chunkId))
+        // sliced parallel scan: the capped corpus still costs ~4 µs/row
+        // single-threaded (29 ms at 7k rows — right back at the job
+        // floor the fast path exists to shed), so slice the IndexedSeq
+        // across driver threads and merge the per-slice heaps — same
+        // scorer, zero Spark jobs, results identical by the same
+        // merge the RDD leg uses. Small corpora stay single-sliced.
+        val slices = math.min(16, math.max(1, rows.length / 512))
+        if (slices <= 1)
+          topKHeap(rows.iterator.flatMap(score), k).toSeq
+            .sortBy(h => (-h.raw, h.chunkId))
+        else {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val bounds = (0 to slices)
+            .map(i => (rows.length.toLong * i / slices).toInt)
+          val parts = Await.result(Future.sequence(
+            (0 until slices).map { i =>
+              Future {
+                topKHeap(rows.view.slice(bounds(i), bounds(i + 1))
+                  .iterator.flatMap(score), k).toSeq
+              }
+            }), Duration.Inf).flatten
+          mergeTopK(parts.toArray, k)
+        }
       case None =>
         val parts = cache.tokRows.mapPartitions { it =>
           topKHeap(it.flatMap(score), k)

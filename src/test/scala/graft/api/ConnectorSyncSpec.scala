@@ -372,6 +372,61 @@ class SyncFirstCrawlSpec extends AnyFunSuite {
     assert(storeA.getDocument(cidA, "/crawl/doc003.txt").exists(_.contains("REVISED")))
   }
 
+  test("bulk first crawl runs the upload-validation gauntlet executor-side") {
+    val remote = mkRemote(4)
+    remote("/crawl/empty.txt") = (("", 1L)) // zero-byte: must FAIL, not count as created
+    val wh = java.nio.file.Files.createTempDirectory("graft-fc-val").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val syncer = mkSyncer(wh, store, remote, bulk = true)
+    val cid = store.createContainer("crawl-val", connectorType = "S3")
+    val (ev, r) = syncer.sync(cid)
+    assert(r.created == 4L && r.failed == 1L && r.skipped == 0L, r)
+    assert(ev.exists { case (p, e) =>
+      p == "/crawl/empty.txt" && e.contains("Zero-byte uploads are not allowed") }, ev)
+    assert(store.getDocument(cid, "/crawl/empty.txt").isEmpty)
+    // retry (now through the incremental loop — the container is
+    // populated): still failing until the remote heals, then it lands
+    assert(syncer.sync(cid)._2.failed == 1L)
+    remote("/crawl/empty.txt") = (("bytes arrived", 2L))
+    val (_, r3) = syncer.sync(cid)
+    assert(r3.created == 1L && r3.failed == 0L, r3)
+    assert(store.getDocument(cid, "/crawl/empty.txt").exists(_.contains("bytes")))
+  }
+
+  test("bulk first crawl enforces the reader contract: unanswered paths fail loudly") {
+    // a reader echoing QUALIFIED URIs instead of the listing's own path
+    // strings answers zero requested paths — every file must FAIL (and
+    // retry), never silently advance a crawl that indexed nothing
+    val remote = mkRemote(3)
+    val wh = java.nio.file.Files.createTempDirectory("graft-fc-uri").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    @volatile var qualified = true
+    val fetchBulk: Option[(String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame] =
+      Some { (_, paths) =>
+        val snap = remote.toMap
+        val prefix = if (qualified) "s3a://bucket" else ""
+        paths.select("path").as[String]
+          .map(p => (prefix + p, snap(p)._1.getBytes("UTF-8")))
+          .toDF("path", "content")
+      }
+    val syncer = new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => remote(p)._1.getBytes("UTF-8"),
+      fetchBulk = fetchBulk)
+    val cid = store.createContainer("crawl-uri", connectorType = "S3")
+    val (ev, r) = syncer.sync(cid)
+    assert(r.created == 0L && r.failed == 3L, r)
+    assert(ev.exists(_._2.contains("not returned by the bulk reader")), ev)
+    assert(store.listFiles(cid, None, 0, 50).isEmpty)
+    // fixed reader, container still empty -> the bulk path retries clean
+    qualified = false
+    val (_, r2) = syncer.sync(cid)
+    assert(r2.created == 3L && r2.failed == 0L, r2)
+  }
+
   test("bulk first crawl is all-or-nothing: a failed job commits nothing, the retry heals") {
     val remote = mkRemote(3)
     val wh = java.nio.file.Files.createTempDirectory("graft-fc-fail").toString
