@@ -438,7 +438,13 @@ object HybridSearch {
         * scheduler overhead). Above the cap this is None and the
         * distributed RDD leg serves — the 100 TB path is unchanged. */
       tokLocal: Option[IndexedSeq[ServingTokRow]] = None,
-      tokLocalCap: Int = 0) {
+      tokLocalCap: Int = 0,
+      /** Driver-resident copy of `vecRows` for the BRUTE vector leg —
+        * same contract as [[tokLocal]] (present only under the caps,
+        * and only when no ANN layout was built: IVF/HNSW/PQ already
+        * shed the full-scan cost their own way). The brute leg then
+        * answers as the sliced driver scan, zero Spark jobs. */
+      vecLocal: Option[IndexedSeq[ServingVecRow]] = None) {
     def unpersist(): Unit = {
       vecRows.unpersist(blocking = false)
       tokRows.unpersist(blocking = false)
@@ -606,9 +612,20 @@ object HybridSearch {
           ivf.map(_.nProbes).getOrElse(1),
           pqRefine))
       }
+    // brute-vector driver fast path (same caps as tokLocal, embeddings
+    // counted at 4 bytes/dim): only when NO ANN layout was built — the
+    // IVF/HNSW/PQ legs already shed the full-scan cost their own way,
+    // and holding a second full copy beside them would buy nothing
+    val vecLocal: Option[IndexedSeq[ServingVecRow]] =
+      if (ivf.isEmpty && hnsw.isEmpty && pq.isEmpty && tokLocal.isDefined &&
+          denormC.agg(coalesce(sum(size(col("embedding"))), lit(0L)))
+            .head.getLong(0) * 4L <= (256L << 20))
+        Some(vecRows.collect().toIndexedSeq)
+      else None
     Index(chunksC, denormC,
       serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw, pq,
-        tokLocal = tokLocal, tokLocalCap = keywordDriverCacheMaxRows)))
+        tokLocal = tokLocal, tokLocalCap = keywordDriverCacheMaxRows,
+        vecLocal = vecLocal)))
   }
 
   /** Absorb a micro-batch of new chunks/vectors into a serving cache
@@ -663,6 +680,9 @@ object HybridSearch {
     val tokLocal2: Option[IndexedSeq[ServingTokRow]] =
       cache.tokLocal.filter(_ => tokCount2 <= cache.tokLocalCap)
         .map(_ ++ newTokRows.collect())
+    val vecLocal2: Option[IndexedSeq[ServingVecRow]] =
+      cache.vecLocal.filter(_ => tokCount2 <= cache.tokLocalCap)
+        .map(_ ++ newVecRows.collect())
 
     // route new rows once; both the IVF cells and the cell-aligned HNSW
     // graphs consume the same cell-partitioned RDD
@@ -741,7 +761,8 @@ object HybridSearch {
       ps.copy(parts = grown)
     }
     index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2,
-      pq2, tokLocal = tokLocal2, tokLocalCap = cache.tokLocalCap)))
+      pq2, tokLocal = tokLocal2, tokLocalCap = cache.tokLocalCap,
+      vecLocal = vecLocal2)))
   }
 
   /** Mean cosine distance (1 − cos) of serving rows to their assigned
@@ -863,6 +884,36 @@ object HybridSearch {
   private def mergeTopK(parts: Array[LegHit], k: Int): Seq[LegHit] =
     parts.sortBy(h => (-h.raw, h.chunkId)).take(k).toSeq
 
+  /** Sliced parallel top-k over a DRIVER-RESIDENT row cache — the
+    * zero-Spark-job serving scan shared by the keyword and brute-vector
+    * fast paths (see [[ServingCache.tokLocal]]): the capped corpus still
+    * costs microseconds/row single-threaded, which lands right back at
+    * the job floor the fast path exists to shed, so the IndexedSeq is
+    * split across ≤16 driver Futures and the per-slice heaps merge with
+    * the RDD legs' own [[mergeTopK]] — same scorers, identical results.
+    * Small corpora stay single-sliced. */
+  private def slicedTopK[R](rows: IndexedSeq[R], k: Int)(
+      score: R => Option[LegHit]): Seq[LegHit] = {
+    val slices = math.min(16, math.max(1, rows.length / 512))
+    if (slices <= 1)
+      topKHeap(rows.iterator.flatMap(score(_)), k).toSeq
+        .sortBy(h => (-h.raw, h.chunkId))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bounds = (0 to slices).map(i => (rows.length.toLong * i / slices).toInt)
+      val parts = Await.result(Future.sequence(
+        (0 until slices).map { i =>
+          Future {
+            topKHeap(rows.view.slice(bounds(i), bounds(i + 1))
+              .iterator.flatMap(score(_)), k).toSeq
+          }
+        }), Duration.Inf).flatten
+      mergeTopK(parts.toArray, k)
+    }
+  }
+
   /** Vector leg over the pre-materialized serving rows: a per-partition
     * top-k heap whose closure carries the query vector. The cosine loop is
     * the same float->double accumulation as `CosineSimilarity.nullSafeEval`,
@@ -887,19 +938,23 @@ object HybridSearch {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private def scoreVecRow(
+      r: ServingVecRow, container: String, model: String,
+      docId: Option[String], prefix: Option[String],
+      q: Array[Float]): Option[LegHit] =
+    if (r.container_id != container || r.model_id != model ||
+        docId.exists(_ != r.document_id) ||
+        prefix.exists(p => !r.path.startsWith(p))) None
+    else
+      Some(LegHit(r.chunk_id, r.document_id,
+        Option(r.content).getOrElse(""),
+        Option(r.metadata).getOrElse(Map.empty), rawCosine(r.embedding, q)))
+
   private def scoreVecRows(
       it: Iterator[ServingVecRow], container: String, model: String,
       docId: Option[String], prefix: Option[String],
       q: Array[Float]): Iterator[LegHit] =
-    it.flatMap { r =>
-      if (r.container_id != container || r.model_id != model ||
-          docId.exists(_ != r.document_id) ||
-          prefix.exists(p => !r.path.startsWith(p))) None
-      else
-        Some(LegHit(r.chunk_id, r.document_id,
-          Option(r.content).getOrElse(""),
-          Option(r.metadata).getOrElse(Map.empty), rawCosine(r.embedding, q)))
-    }
+    it.flatMap(scoreVecRow(_, container, model, docId, prefix, q))
 
   private def vectorLegRdd(
       cache: ServingCache, req: SearchRequest, model: String,
@@ -907,10 +962,18 @@ object HybridSearch {
     val container = req.containerId
     val docId = req.documentId
     val prefix = req.pathPrefix
-    val parts = cache.vecRows.mapPartitions { it =>
-      topKHeap(scoreVecRows(it, container, model, docId, prefix, q), k)
-    }.collect()
-    mergeTopK(parts, k)
+    cache.vecLocal match {
+      case Some(rows) =>
+        // zero-job brute leg over the driver copy — same cosine loop,
+        // same scope filter, sliced like the keyword fast path
+        slicedTopK(rows, k)(
+          scoreVecRow(_, container, model, docId, prefix, q))
+      case None =>
+        val parts = cache.vecRows.mapPartitions { it =>
+          topKHeap(scoreVecRows(it, container, model, docId, prefix, q), k)
+        }.collect()
+        mergeTopK(parts, k)
+    }
   }
 
   /** IVF-pruned serving leg: centroid routing is driver arithmetic
@@ -1105,32 +1168,7 @@ object HybridSearch {
       }
     }
     cache.tokLocal match {
-      case Some(rows) =>
-        // sliced parallel scan: the capped corpus still costs ~4 µs/row
-        // single-threaded (29 ms at 7k rows — right back at the job
-        // floor the fast path exists to shed), so slice the IndexedSeq
-        // across driver threads and merge the per-slice heaps — same
-        // scorer, zero Spark jobs, results identical by the same
-        // merge the RDD leg uses. Small corpora stay single-sliced.
-        val slices = math.min(16, math.max(1, rows.length / 512))
-        if (slices <= 1)
-          topKHeap(rows.iterator.flatMap(score), k).toSeq
-            .sortBy(h => (-h.raw, h.chunkId))
-        else {
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          import scala.concurrent.duration.Duration
-          val bounds = (0 to slices)
-            .map(i => (rows.length.toLong * i / slices).toInt)
-          val parts = Await.result(Future.sequence(
-            (0 until slices).map { i =>
-              Future {
-                topKHeap(rows.view.slice(bounds(i), bounds(i + 1))
-                  .iterator.flatMap(score), k).toSeq
-              }
-            }), Duration.Inf).flatten
-          mergeTopK(parts.toArray, k)
-        }
+      case Some(rows) => slicedTopK(rows, k)(score)
       case None =>
         val parts = cache.tokRows.mapPartitions { it =>
           topKHeap(it.flatMap(score), k)

@@ -403,8 +403,20 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     val tooSmall = HybridSearch.servingIndex(index.chunks, index.vectors,
       keywordDriverCacheMaxRows = 1)
     assert(fast.serving.get.tokLocal.nonEmpty, "under the cap -> driver copy")
+    assert(fast.serving.get.vecLocal.nonEmpty,
+      "brute layout under the cap -> vector driver copy too")
     assert(rdd.serving.get.tokLocal.isEmpty, "cap 0 disables the fast path")
+    assert(rdd.serving.get.vecLocal.isEmpty, "cap 0 disables the vector copy")
     assert(tooSmall.serving.get.tokLocal.isEmpty, "corpus over the cap -> RDD leg")
+    // an ANN layout suppresses the brute-vector driver copy (the pruned
+    // legs already shed the scan; a second full copy would buy nothing)
+    val withIvf = HybridSearch.servingIndex(index.chunks, index.vectors,
+      ivfLists = 4, ivfProbes = 4)
+    assert(withIvf.serving.get.vecLocal.isEmpty &&
+      withIvf.serving.get.tokLocal.nonEmpty,
+      "ANN layout -> no vector driver copy; the keyword copy stays")
+    withIvf.chunks.unpersist(); withIvf.vectors.unpersist()
+    withIvf.serving.foreach(_.unpersist())
 
     // identical hits across modes/operators, fast path vs RDD leg
     val requests = Seq(
@@ -423,17 +435,24 @@ class HybridSearchE2ESpec extends AnyFunSuite {
         s"fast path diverged from RDD leg for $req")
     }
 
-    // ZERO Spark jobs on a keyword-mode query through the driver copy
+    // ZERO Spark jobs through the driver copies — keyword-only AND a
+    // full hybrid request (both legs fast-pathed; the embedder is
+    // driver-side)
     val tracker = spark.sparkContext.statusTracker
     val kreq = SearchRequest("chunk overlap", "c1", mode = "keyword", topK = 10)
+    val hreq = SearchRequest("chunk overlap", "c1", topK = 10)
     HybridSearch.search(fast, kreq, embedder) // warm (nothing lazy left)
+    HybridSearch.search(fast, hreq, embedder)
     Thread.sleep(300)
     val before = tracker.getJobIdsForGroup(null).length
-    (1 to 3).foreach(_ => HybridSearch.search(fast, kreq, embedder))
+    (1 to 3).foreach { _ =>
+      HybridSearch.search(fast, kreq, embedder)
+      HybridSearch.search(fast, hreq, embedder)
+    }
     Thread.sleep(500) // job-start events are async; give the bus time
     val after = tracker.getJobIdsForGroup(null).length
     assert(after == before,
-      s"keyword fast path must schedule no Spark jobs (before=$before after=$after)")
+      s"fast-path queries must schedule no Spark jobs (before=$before after=$after)")
 
     // upsert keeps the driver copy in sync while under the cap...
     val wh3 = java.nio.file.Files.createTempDirectory("graft-wh3").toString
@@ -450,6 +469,9 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     val baseRows = fast.serving.get.tokLocal.get.length
     assert(upserted.serving.get.tokLocal.exists(_.length > baseRows),
       "upsert under the cap must extend the driver copy")
+    assert(upserted.serving.get.vecLocal.exists(
+      _.length > fast.serving.get.vecLocal.get.length),
+      "upsert under the cap must extend the vector driver copy too")
     assert(HybridSearch.search(upserted,
       SearchRequest("wombat sentinel", "c1", mode = "keyword", topK = 3), embedder)
       .headOption.exists(_.document_id == "doc-fastpath"))
