@@ -331,8 +331,8 @@ final class UserRegistry(spark: SparkSession, warehouse: String,
       // would be born unverifiable — refuse BEFORE minting (the issuer
       // cap is a Host-header-abuse backstop; a real deployment sets a
       // canonical base URL and never advertises more than one issuer)
-      require(advertiseIssuer(if (iss == issuer) "" else iss),
-        "issuer cap reached; set a canonical base URL on the serving layer")
+      if (!advertiseIssuer(if (iss == issuer) "" else iss))
+        throw new UserRegistry.IssuerCapReached
       val t = now()
       val access = Jwt.mint(jwtSecret,
         Jwt.Claims(u._1, u._3, scopes, iss, t, t + accessTtlMs, aud))
@@ -552,6 +552,16 @@ object UserRegistry {
   /** Backstop bound on Host-derived advertised issuers (see
     * [[UserRegistry.advertiseIssuer]]). */
   val MaxAdvertisedIssuers: Int = 64
+
+  /** Thrown by the mint when a concurrent exchange filled the LAST
+    * advertised-issuer slot between the token endpoint's read-only
+    * pre-flight ([[UserRegistry.issuerMintable]]) and the mint itself —
+    * typed so the endpoint can answer the losing race with a
+    * spec-compliant OAuth error instead of the raw require message.
+    * IS-A IllegalArgumentException so uncaught paths still read as a
+    * client-shaped 400. */
+  final class IssuerCapReached extends IllegalArgumentException(
+    "issuer cap reached; set a canonical base URL on the serving layer")
 
   /** PBKDF2WithHmacSHA256, 100k iterations (OWASP-cited floor) — the
     * reference defers to ASP.NET Identity's PBKDF2 hasher. */

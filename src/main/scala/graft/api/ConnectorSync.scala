@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.functions.{col, udf, when}
 
 /** Remote-connector SYNC (ref ContainersEndpoints.cs POST
   * /{containerId}/sync): pull the connector's current listing, diff it
@@ -117,6 +117,36 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
   private def isSupported(path: String): Boolean =
     graft.ingest.Parsers.isSupported(
       path.substring(path.lastIndexOf('/') + 1))
+
+  private def pendingRenamePath(cid: String) =
+    s"$warehouse/connector_pending_renames/$cid"
+
+  /** Pending rename-retry rows: pairs whose content confirm passed (or
+    * could not run) but whose new-path ingest FAILED — persisted so the
+    * NEXT pass, which re-diffs the new path as a plain Created (the
+    * snapshot can no longer prove the pair), re-runs the confirm against
+    * the persisted ledger hash and re-pins the old document's id instead
+    * of minting a fresh one. Bounded by maxRenamesPreserved + the failure
+    * accounting; a lost file costs only id continuity (self-heals as a
+    * create). Rows: (new_path, old_path, doc_id, ledger_hash). */
+  private def loadPendingRenames(cid: String)
+      : Seq[(String, String, String, String)] = {
+    import spark.implicits._
+    try spark.read.parquet(pendingRenamePath(cid))
+      .select("new_path", "old_path", "doc_id", "ledger_hash")
+      .as[(String, String, String, String)].collect().toSeq
+    catch { case _: Exception => Seq.empty }
+  }
+
+  private def savePendingRenames(cid: String,
+      rows: Seq[(String, String, String, String)]): Unit = {
+    import spark.implicits._
+    val target = new org.apache.hadoop.fs.Path(pendingRenamePath(cid))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rows.isEmpty) { fs.delete(target, true); () }
+    else rows.toDF("new_path", "old_path", "doc_id", "ledger_hash")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(target.toString)
+  }
 
   /** Fetch + base64 one remote file into the upload-path shape (binary
     * AND text ride base64 — the store decodes uniformly and routes
@@ -323,6 +353,49 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       }
     }
 
+    // RENAME-RETRY ID CONTINUITY: a rename whose ingest failed LAST pass
+    // persisted its (new_path, old_path, doc_id, ledger_hash) — this pass
+    // re-diffs the new path as a plain Created, so re-run the content
+    // confirm against the persisted hash and re-pin the id before the
+    // ingest loop runs. A confirm that positively DECLINES (bytes fetched,
+    // hash mismatch: the file changed while the retry was pending) drops
+    // the pending row — plain create + reconciliation delete, never a
+    // wrong id. A fetch failure keeps the row pending only if the ingest
+    // fails again too (it fetches the same transport).
+    val pendingPrev = loadPendingRenames(cid)
+    val pendingListed: Set[String] =
+      if (pendingPrev.isEmpty) Set.empty
+      else events.filter(col("event_type") === D.Created &&
+          col("path").isin(pendingPrev.map(_._1): _*))
+        .select("path").as[String].collect().toSet
+    // rows still eligible after this pass's confirm (outcome re-checked
+    // against the failure accounting after the ingest loop below)
+    val pendingRetry =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+    pendingPrev.foreach { case row @ (newPath, _, docId, ledgerHash) =>
+      if (pendingListed.contains(newPath)) {
+        val confirmed =
+          try {
+            val bytes = fetch(cid, newPath)
+            if (parsedHashOf(newPath, bytes).contains(ledgerHash)) Some(true)
+            else Some(false)
+          } catch { case e: Exception =>
+            System.err.println(s"[sync] pending-rename confirm fetch failed " +
+              s"for $newPath (${e.getMessage}) — retrying next pass")
+            None
+          }
+        confirmed match {
+          case Some(true) =>
+            renameOverrides +=
+              (graft.ingest.PathUtil.normalize(newPath) -> docId)
+            pendingRetry += row
+          case Some(false) => () // changed while pending: honest create
+          case None => pendingRetry += row
+        }
+      }
+      // not listed this pass: the new path vanished remotely — drop
+    }
+
     // ingest in MaxBulk batches through the store's own pipeline (chunk
     // -> embed -> index, progress events, upsert semantics); asConnector
     // bypasses the USER write guard — the sync IS the connector.
@@ -393,7 +466,16 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
             case Right(c) => (p, norm, fileName, c, null: String)
             case Left(e) => (p, norm, fileName, null: String, e)
           }
-        }.toDF("raw_path", "norm", "file_name", "content", "err").persist()
+        }.toDF("raw_path", "norm", "file_name", "content", "err")
+        // ONE row per listing path, ok rows preferred: a reader that
+        // echoes a path twice must not inflate `created` (the upload
+        // dedups anyway), and a path answered once erred + once ok must
+        // count as exactly one outcome — the successful one
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("raw_path"))
+            .orderBy(when(col("err").isNull, 0).otherwise(1))))
+        .filter(col("_rn") === 1).drop("_rn")
+        .persist()
       val failDf = parsed.filter(col("err").isNotNull).select("raw_path", "err")
         .unionByName(paths
           .join(parsed.select(col("raw_path").as("path")), Seq("path"), "left_anti")
@@ -477,12 +559,12 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     // rename outcome accounting: identity-preserved pairs (confirmed AND
     // successfully ingested) count as renamed; a declined/unconfirmable
     // pair is honestly a create (+ the old path's reconciliation delete).
-    // IDENTITY-LOSS WINDOW (disclosed): a rename whose ingest FAILED
-    // keeps its OLD-path document alive this pass (held from the
-    // reconciliation delete below, so content never vanishes from the
-    // index), but the retry next pass re-diffs the new path as a plain
-    // Created — the snapshot can no longer prove the pair, so the
-    // document re-ingests under a fresh id and the old path deletes.
+    // A rename whose ingest FAILED keeps its OLD-path document alive this
+    // pass (held from the reconciliation delete below, so content never
+    // vanishes from the index) AND persists a pending-retry row: the next
+    // pass re-diffs the new path as a plain Created, re-runs the content
+    // confirm against the persisted ledger hash, and re-pins the id — a
+    // transient failure costs one pass of latency, never identity.
     val confirmedNewPaths = renameOverrides.keySet // normalized confirmed paths
     val renamedOkN = renameIngest.toSeq.count(p =>
       confirmedNewPaths.contains(graft.ingest.PathUtil.normalize(p)) &&
@@ -492,6 +574,30 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
     heldOld ++= renamedPairs.collect {
       case (newPath, oldPath) if renameFailed.contains(newPath) =>
         graft.ingest.PathUtil.normalize(oldPath)
+    }
+    // pending retries that failed AGAIN stay pending and keep their old
+    // paths held from the reconciliation delete; everything else resolves
+    // (re-pinned + ingested, positively declined, or vanished remotely)
+    val failedSet = failedPaths.toSet
+    val pendingStill = pendingRetry.toSeq.filter(r => failedSet.contains(r._1))
+    heldOld ++= pendingStill.map(r => graft.ingest.PathUtil.normalize(r._2))
+    // fresh failures this pass persist a pending row UNLESS the confirm
+    // positively declined (bytes fetched, hash mismatched — no continuity
+    // to preserve); a confirm whose fetch failed keeps its claim alive
+    val pendingFresh = renamedPairs.flatMap { case (newPath, oldPath) =>
+      val normNew = graft.ingest.PathUtil.normalize(newPath)
+      if (!renameFailed.contains(newPath)) None
+      else if (renameBytes.contains(newPath) &&
+        !renameOverrides.contains(normNew)) None
+      else oldAt.get(graft.ingest.PathUtil.normalize(oldPath))
+        .map { case (id, h) => (newPath, oldPath, id, h) }
+    }
+    savePendingRenames(cid, (pendingStill ++ pendingFresh).distinct)
+    // a retried pair that re-pinned its id and ingested is a RENAME
+    // completed across two passes, not a create
+    val pendingRepinnedOkN = pendingRetry.toSeq.count { r =>
+      renameOverrides.contains(graft.ingest.PathUtil.normalize(r._1)) &&
+        !failedSet.contains(r._1)
     }
     val heldOldPaths: Seq[String] = heldOld.toSeq
 
@@ -629,14 +735,16 @@ final class ConnectorSyncer(spark: SparkSession, warehouse: String,
       // demoted and confirm-declined renames surface honestly as
       // creates (+ reconciliation deletes); created/changed count only
       // SUCCESSFUL ingests — failures are the `failed` count
-      created = createdN + demotedIngestedN + createdFromRenames,
+      created = createdN + demotedIngestedN + createdFromRenames -
+        pendingRepinnedOkN,
       changed = changedN,
       deleted = (if (guardTripped) 0L else deletedCount) +
         (if (renamesDemoted) renamedN else 0L),
       // renamed = pairs processed AS renames (identity preserved, or the
-      // unsupported-target delete route); confirm-declined pairs are
-      // createdFromRenames above
-      renamed = renamedOkN.toLong + renameDeletes.length.toLong,
+      // unsupported-target delete route) + pending retries that re-pinned
+      // their id this pass; confirm-declined pairs are createdFromRenames
+      renamed = renamedOkN.toLong + renameDeletes.length.toLong +
+        pendingRepinnedOkN,
       skipped = skippedCount,
       deletedHeld = if (guardTripped) deletedCount else 0L,
       failed = failedPaths.length.toLong + bulkUncollectedFailedN))

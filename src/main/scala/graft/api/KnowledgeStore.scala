@@ -109,16 +109,23 @@ final class KnowledgeStore(
       name: String,
       connectorType: String = "ManagedStorage",
       writable: Boolean = true): String = {
-    require(name.nonEmpty, "container name required")
+    // Reference trims before validating (ContainersEndpoints.cs:31), then
+    // rejects anything outside ^[a-z0-9][a-z0-9-]*[a-z0-9]$ 2-128 with a
+    // 400 (PathUtilities.cs:13-17). Enforced HERE so every transport
+    // (REST, MCP, sync) inherits one rule — the UploadValidation pattern.
+    val trimmed = if (name == null) "" else name.trim
+    if (!graft.ingest.PathUtil.isValidContainerName(trimmed))
+      throw new IllegalArgumentException(
+        graft.ingest.PathUtil.containerNameRule)
     val existing = listContainers()
-    require(!existing.exists(_._2 == name), s"container '$name' exists")
-    val id = java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8")).toString
+    require(!existing.exists(_._2 == trimmed), s"container '$trimmed' exists")
+    val id = java.util.UUID.nameUUIDFromBytes(trimmed.getBytes("UTF-8")).toString
     val effective = connectorType match {
       case "S3" | "AzureBlob" => false
       case "ManagedStorage" => true
       case _ => writable
     }
-    Seq((id, name, connectorType, effective))
+    Seq((id, trimmed, connectorType, effective))
       .toDF("container_id", "name", "connector_type", "writable")
       .write.mode(SaveMode.Append).parquet(containersPath)
     id
@@ -330,6 +337,10 @@ final class KnowledgeStore(
         "rank_fn" -> "cover_density", "cross_model_search" -> "false")
       case "upload" => Map("parallel_workers" -> "4")
       case "llm" => Map.empty
+      case "serving" => Map(
+        "keyword_driver_cache_max_rows" -> "65536",
+        "driver_cache_max_bytes" ->
+          HybridSearch.DriverCacheMaxBytes.toString)
       case other => throw new IllegalArgumentException(
         s"unknown settings category: $other")
     }
@@ -366,6 +377,10 @@ final class KnowledgeStore(
     val scope = containerId.getOrElse(Settings.GlobalScope)
     writeSettingsTable(loadSettings()
       .updated((scope, category), (values, System.currentTimeMillis())))
+    // serving-cache knobs bind at index-build time: drop the cached index
+    // so the next search rebuilds under the new caps (chunking/embedding
+    // changes go through the reindex stamp instead — they change ROWS)
+    if (category == "serving") invalidate()
   }
 
   /** Reset a category for a scope to the inherited layers (removes the
@@ -376,6 +391,7 @@ final class KnowledgeStore(
         s"unknown settings category: $category")
       writeSettingsTable(
         loadSettings() - ((containerId.getOrElse(Settings.GlobalScope), category)))
+      if (category == "serving") invalidate()
     }
 
   /** Categories with stored entries for a scope (ref GetCategoriesAsync). */
@@ -1332,12 +1348,23 @@ final class KnowledgeStore(
   private def index: HybridSearch.Index = synchronized {
     cachedIndex.getOrElse {
       // denormalized serving layout: the vector leg answers in one cached
-      // scan, no per-query hydration join (HybridSearch.servingIndex)
-      val ix = HybridSearch.servingIndex(chunksDf, vectorsDf, partitions = 8)
+      // scan, no per-query hydration join (HybridSearch.servingIndex).
+      // The driver fast-path caps come from the runtime-mutable settings
+      // registry (GLOBAL scope — the index is store-wide); a PUT
+      // invalidates the cache so the NEXT build honors the new caps.
+      val sv = effectiveSettings("serving")
+      val ix = HybridSearch.servingIndex(chunksDf, vectorsDf, partitions = 8,
+        keywordDriverCacheMaxRows =
+          sv("keyword_driver_cache_max_rows").toInt,
+        driverCacheMaxBytes = sv("driver_cache_max_bytes").toLong)
       cachedIndex = Some(ix)
       ix
     }
   }
+
+  /** The live serving index (spec surface: lets tests pin which layout —
+    * driver copy vs RDD leg — actually serves under current settings). */
+  private[graft] def currentIndex: HybridSearch.Index = index
 
   /** search_knowledge (ref :93): bounds-checked hybrid search, optional
     * rerank. */

@@ -437,9 +437,10 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
 
   private def callTool(name: String, args: JsonNode): String = name match {
     case "container_create" =>
+      // Name validation lives in KnowledgeStore.createContainer (ref
+      // PathUtilities.cs rule) — its IllegalArgumentException surfaces
+      // here as an isError tool result, same as every other transport.
       val n = reqStr(args, "name")
-      require(n.matches("[a-z0-9][a-z0-9-]{1,127}"),
-        "Container name must be lowercase alphanumeric and hyphens, 2-128 chars")
       val id = store.createContainer(n)
       s"Created container '$n' with ID: $id"
     case "container_list" =>

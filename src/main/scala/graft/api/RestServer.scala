@@ -615,7 +615,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val ureg = users.getOrElse(throw Denied(404, "no user registry configured"))
           val b = body(ex)
           val iss = baseUrl(ex) // RFC 9068 §2.2: iss = the advertised issuer
-          str(b, "grant_type") match {
+          // the pre-flight below is read-only (advertising on failed
+          // exchanges would let attackers consume cap slots), so a
+          // concurrent exchange CAN fill the last issuer slot between the
+          // check and the mint — the losing race must still answer an
+          // OAuth-shaped error, not the mint's raw message
+          try str(b, "grant_type") match {
             case "authorization_code" =>
               val clientId = str(b, "client_id")
               if (!oreg.clientAuthOk(clientId, optStr(b, "client_secret")))
@@ -664,6 +669,9 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 case Left(err) => throw Denied(400, err)
               }
             case other => throw Denied(400, s"unsupported grant_type: $other")
+          } catch {
+            case _: UserRegistry.IssuerCapReached =>
+              throw Denied(400, "invalid_request")
           }
         // ---- key management + audit (admin; ref AgentEndpoints.cs) -----
         case ("POST", "/keys") =>
@@ -839,6 +847,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           case None => err(ex, 404, "no progress log configured")
         }
         case ("POST", "/search") => search(ex, requireScope)
+        case ("GET", Sub(id, "search")) => searchGet(ex, id, requireScope)
         case ("POST", "/maintain") =>
           requireAdmin()
           val b = body(ex)
@@ -1126,10 +1135,51 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       maxsimTokens = optInt(b, "maxsim_tokens")
         .orElse(eff.get("maxsim_tokens").map(_.toInt)))
     val hits = store.search(req)
-    ok(ex, obj("hits" -> hits.map(h => obj(
+    ok(ex, hitsJson(hits))
+  }
+
+  private def hitsJson(hits: Seq[graft.model.SearchHit]): JsonNode =
+    obj("hits" -> hits.map(h => obj(
       "chunk_id" -> h.chunk_id, "document_id" -> h.document_id,
       "content" -> h.content, "score" -> h.score,
-      "metadata" -> h.metadata.toSeq.sortBy(_._1)))))
+      "metadata" -> h.metadata.toSeq.sortBy(_._1))))
+
+  /** GET /containers/{id}/search?q=…&mode=&topK=&path=&minScore= — the
+    * curl/browser-friendly surface the reference documents first
+    * (ref SearchEndpoints.cs:19-71): query params mapped onto the same
+    * SearchRequest as POST /search, absent fields falling back to the
+    * container's effective search settings. Unknown `mode` values fall
+    * back to hybrid, as the reference's Enum.TryParse does.
+    */
+  private def searchGet(ex: HttpExchange, cid: String,
+      guard: (String, String) => Unit): Unit = {
+    guard("read", cid)
+    val q = query(ex)
+    val queryText = q.getOrElse("q",
+      throw new IllegalArgumentException("Query parameter 'q' is required"))
+    require(queryText.trim.nonEmpty, "Query parameter 'q' is required")
+    val eff = store.effectiveSettings("search", Some(cid))
+    val mode = q.get("mode").map(_.toLowerCase) match {
+      case Some(m @ ("semantic" | "keyword" | "hybrid")) => m
+      case _ => eff("mode")
+    }
+    val req = SearchRequest(
+      query = queryText,
+      containerId = cid,
+      mode = mode,
+      topK = q.get("topK").map(_.toInt).getOrElse(eff("top_k").toInt),
+      minScore = q.get("minScore").map(_.toDouble)
+        .getOrElse(eff("min_score").toDouble),
+      alpha = eff("alpha").toDouble,
+      fusionMethod = eff("fusion_method"),
+      autoCut = eff("auto_cut").toBoolean,
+      pathPrefix = q.get("path"),
+      crossModelSearch = eff("cross_model_search").toBoolean,
+      mmrLambda = eff.get("mmr_lambda").map(_.toDouble),
+      rankFn = eff("rank_fn"),
+      snippetTokens = eff.get("snippet_tokens").map(_.toInt),
+      maxsimTokens = eff.get("maxsim_tokens").map(_.toInt))
+    ok(ex, hitsJson(store.search(req)))
   }
 
   private def createContainer(ex: HttpExchange): Unit = {

@@ -47,7 +47,16 @@ object Settings {
     "upload" -> Set("parallel_workers"),
     "llm" -> Set(
       "provider", "model", "base_url", "temperature", "max_tokens",
-      "timeout_seconds"))
+      "timeout_seconds"),
+    /** Serving-cache knobs (beyond the reference, which hardcodes its
+      * search infrastructure): the driver fast-path caps documented on
+      * [[graft.search.HybridSearch.servingIndex]]. GLOBAL scope only —
+      * the serving index is store-wide, so per-container overrides have
+      * nothing to bind to. Changing them takes effect on the NEXT index
+      * build (a PUT invalidates the cached index); they never change
+      * indexed rows, so no reindex stamp is needed. */
+    "serving" -> Set(
+      "keyword_driver_cache_max_rows", "driver_cache_max_bytes"))
 
   val Categories: Set[String] = CategoryKeys.keySet
 
@@ -64,7 +73,8 @@ object Settings {
     "max_chunk_size", "overlap", "min_chunk_size", "semantic_buffer_size",
     "sentence_window_size", "dimensions", "batch_size", "timeout_seconds",
     "top_k", "snippet_tokens", "maxsim_tokens", "parallel_workers",
-    "max_tokens")
+    "max_tokens", "keyword_driver_cache_max_rows")
+  private val LongKeys = Set("driver_cache_max_bytes")
   private val DoubleKeys = Set(
     "semantic_threshold", "breakpoint_amount", "min_score", "alpha",
     "temperature", "mmr_lambda")
@@ -82,6 +92,8 @@ object Settings {
         s"$category.$k must be $t, got: $v")
       if (IntKeys.contains(k))
         try { v.toInt; () } catch { case _: NumberFormatException => fail("an integer") }
+      else if (LongKeys.contains(k))
+        try { v.toLong; () } catch { case _: NumberFormatException => fail("an integer") }
       else if (DoubleKeys.contains(k))
         try { v.toDouble; () } catch { case _: NumberFormatException => fail("a number") }
       else if (BoolKeys.contains(k) && v != "true" && v != "false")

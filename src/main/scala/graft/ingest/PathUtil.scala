@@ -27,6 +27,22 @@ object PathUtil {
     if (i <= 0) "/" else n.substring(0, i)
   }
 
+  /** Container-name rule (ref PathUtilities.cs:13-17,155): 2-128 chars,
+    * lowercase alphanumeric and hyphens, no leading OR trailing hyphen
+    * (`^[a-z0-9][a-z0-9-]*[a-z0-9]$`). One gauntlet at the store choke
+    * point so REST, MCP, and sync all inherit it (CHANGELOG #225:
+    * "Uppercase container names now return 400").
+    */
+  val containerNameRule: String =
+    "Container name must be 2-128 characters, lowercase alphanumeric and " +
+      "hyphens, cannot start or end with a hyphen"
+
+  private val ContainerName = "^[a-z0-9][a-z0-9-]*[a-z0-9]$".r
+
+  def isValidContainerName(name: String): Boolean =
+    name != null && name.length >= 2 && name.length <= 128 &&
+      ContainerName.matches(name)
+
   /** Prefix match on whole segments: /a/b covers /a/b/c but not /a/bc. */
   def isUnder(path: String, prefix: String): Boolean = {
     val p = normalize(path)

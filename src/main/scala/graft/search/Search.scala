@@ -327,6 +327,12 @@ final case class ServingTokRow(
   */
 object HybridSearch {
 
+  /** Byte bound on each driver-resident serving copy (raw content chars
+    * for the keyword copy, 4 bytes/dim for the brute-vector copy) —
+    * enforced at build AND re-checked on every upsert, because the row
+    * cap alone would let 64k pathologically wide chunks OOM the driver. */
+  val DriverCacheMaxBytes: Long = 256L << 20
+
   /** Pre-materialized row caches for the interactive serving path. The
     * DataFrame legs pay 40-70 ms of Catalyst re-analysis PER QUERY (the
     * query vector/terms are literals, so plans can't be reused across
@@ -444,7 +450,18 @@ object HybridSearch {
         * and only when no ANN layout was built: IVF/HNSW/PQ already
         * shed the full-scan cost their own way). The brute leg then
         * answers as the sliced driver scan, zero Spark jobs. */
-      vecLocal: Option[IndexedSeq[ServingVecRow]] = None) {
+      vecLocal: Option[IndexedSeq[ServingVecRow]] = None,
+      /** Cumulative raw-content chars behind [[tokLocal]] and embedding
+        * bytes (4/dim) behind [[vecLocal]] — carried so upserts re-check
+        * the SAME 256 MB byte guards the build enforces: a stream of
+        * wide-chunk micro-batches that stays under the row cap must not
+        * grow the driver copies past the build-time bound. */
+      tokLocalBytes: Long = 0L,
+      vecLocalBytes: Long = 0L,
+      /** The byte bound both copies were built under — carried so
+        * upserts enforce the SAME cap the build did (settings-tunable
+        * via [[HybridSearch.servingIndex]]'s driverCacheMaxBytes). */
+      localBytesCap: Long = HybridSearch.DriverCacheMaxBytes) {
     def unpersist(): Unit = {
       vecRows.unpersist(blocking = false)
       tokRows.unpersist(blocking = false)
@@ -492,7 +509,12 @@ object HybridSearch {
         * tens of MB of driver heap at typical chunk sizes — small enough
         * to be free, large enough that an interactive single-box corpus
         * answers keyword queries with no job scheduling at all. */
-      keywordDriverCacheMaxRows: Int = 65536): Index = {
+      keywordDriverCacheMaxRows: Int = 65536,
+      /** Byte bound on each driver-resident copy (content chars / 4
+        * bytes-per-dim embeddings) — the second guard behind the row
+        * cap; see [[DriverCacheMaxBytes]]. Runtime-tunable through the
+        * settings registry (`serving.driver_cache_max_bytes`). */
+      driverCacheMaxBytes: Long = DriverCacheMaxBytes): Index = {
     import org.apache.spark.storage.StorageLevel
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -525,10 +547,15 @@ object HybridSearch {
     // collect is skipped past 256 MB of raw content — row-count alone
     // would let 64k pathologically wide chunks (plus the 3-4x JVM
     // string/token-array expansion) OOM a modest driver at build time.
+    // The byte total is CARRIED in the cache so upsertServing re-checks
+    // the same bound as the copies grow.
+    val tokLocalBytes: Long =
+      if (keywordDriverCacheMaxRows > 0 && tokCount <= keywordDriverCacheMaxRows)
+        chunksC.agg(coalesce(sum(length(col("content"))), lit(0L)))
+          .head.getLong(0)
+      else Long.MaxValue
     val tokLocal: Option[IndexedSeq[ServingTokRow]] =
-      if (keywordDriverCacheMaxRows > 0 && tokCount <= keywordDriverCacheMaxRows &&
-          chunksC.agg(coalesce(sum(length(col("content"))), lit(0L)))
-            .head.getLong(0) <= (256L << 20))
+      if (tokLocalBytes <= driverCacheMaxBytes)
         Some(tokRows.collect().toIndexedSeq)
       else None
     // opt-in IVF layout (ivfLists > 1, or ivfLists < 0 for the
@@ -616,16 +643,22 @@ object HybridSearch {
     // counted at 4 bytes/dim): only when NO ANN layout was built — the
     // IVF/HNSW/PQ legs already shed the full-scan cost their own way,
     // and holding a second full copy beside them would buy nothing
+    val vecLocalBytes: Long =
+      if (ivf.isEmpty && hnsw.isEmpty && pq.isEmpty && tokLocal.isDefined)
+        denormC.agg(coalesce(sum(size(col("embedding"))), lit(0L)))
+          .head.getLong(0) * 4L
+      else Long.MaxValue
     val vecLocal: Option[IndexedSeq[ServingVecRow]] =
-      if (ivf.isEmpty && hnsw.isEmpty && pq.isEmpty && tokLocal.isDefined &&
-          denormC.agg(coalesce(sum(size(col("embedding"))), lit(0L)))
-            .head.getLong(0) * 4L <= (256L << 20))
+      if (vecLocalBytes <= driverCacheMaxBytes)
         Some(vecRows.collect().toIndexedSeq)
       else None
     Index(chunksC, denormC,
       serving = Some(ServingCache(vecRows, tokRows, ivf, hnsw, pq,
         tokLocal = tokLocal, tokLocalCap = keywordDriverCacheMaxRows,
-        vecLocal = vecLocal)))
+        vecLocal = vecLocal,
+        tokLocalBytes = if (tokLocal.isDefined) tokLocalBytes else 0L,
+        vecLocalBytes = if (vecLocal.isDefined) vecLocalBytes else 0L,
+        localBytesCap = driverCacheMaxBytes)))
   }
 
   /** Absorb a micro-batch of new chunks/vectors into a serving cache
@@ -674,15 +707,36 @@ object HybridSearch {
     vecRows2.count()
     val tokCount2 = tokRows2.count()
     // extend the driver fast path in place while the corpus stays under
-    // its cap (the batch is micro-batch-bounded); past the cap it drops
-    // and the RDD leg takes over — the same default-off-at-scale contract
-    // as the build
+    // BOTH build-time guards — the row cap AND the 256 MB byte bounds
+    // (cumulative totals carried in the cache): a stream of wide-chunk
+    // micro-batches under the row cap must not grow the driver copies
+    // past the byte bound the build enforces. Past either cap the copy
+    // drops and the RDD leg takes over — the same default-off-at-scale
+    // contract as the build.
+    var tokLocalBytes2 = 0L
     val tokLocal2: Option[IndexedSeq[ServingTokRow]] =
-      cache.tokLocal.filter(_ => tokCount2 <= cache.tokLocalCap)
-        .map(_ ++ newTokRows.collect())
+      cache.tokLocal.flatMap { cur =>
+        if (tokCount2 > cache.tokLocalCap) None
+        else {
+          val batch = newTokRows.collect()
+          val b2 = cache.tokLocalBytes +
+            batch.iterator.map(r => r.content.length.toLong).sum
+          if (b2 > cache.localBytesCap) None
+          else { tokLocalBytes2 = b2; Some(cur ++ batch) }
+        }
+      }
+    var vecLocalBytes2 = 0L
     val vecLocal2: Option[IndexedSeq[ServingVecRow]] =
-      cache.vecLocal.filter(_ => tokCount2 <= cache.tokLocalCap)
-        .map(_ ++ newVecRows.collect())
+      cache.vecLocal.flatMap { cur =>
+        if (tokCount2 > cache.tokLocalCap) None
+        else {
+          val batch = newVecRows.collect()
+          val b2 = cache.vecLocalBytes +
+            batch.iterator.map(r => r.embedding.length.toLong * 4L).sum
+          if (b2 > cache.localBytesCap) None
+          else { vecLocalBytes2 = b2; Some(cur ++ batch) }
+        }
+      }
 
     // route new rows once; both the IVF cells and the cell-aligned HNSW
     // graphs consume the same cell-partitioned RDD
@@ -762,7 +816,9 @@ object HybridSearch {
     }
     index.copy(serving = Some(ServingCache(vecRows2, tokRows2, ivf2, hnsw2,
       pq2, tokLocal = tokLocal2, tokLocalCap = cache.tokLocalCap,
-      vecLocal = vecLocal2)))
+      vecLocal = vecLocal2,
+      tokLocalBytes = tokLocalBytes2, vecLocalBytes = vecLocalBytes2,
+      localBytesCap = cache.localBytesCap)))
   }
 
   /** Mean cosine distance (1 − cos) of serving rows to their assigned

@@ -111,9 +111,14 @@ class McpServerSpec extends AnyFunSuite {
   }
 
   test("all tools over the wire; responses match the KnowledgeStore engine") {
-    // container_create (+ name validation in-band)
-    val (e0, bad) = call(base, "container_create", """{"name": "Bad Name!"}""")
-    assert(e0 && bad.toLowerCase.contains("name"))
+    // container_create (+ name validation in-band): the store enforces
+    // the reference's ^[a-z0-9][a-z0-9-]*[a-z0-9]$ 2-128 rule — leading
+    // AND trailing hyphens reject (the old MCP-local regex admitted
+    // "docs-"), as do uppercase and 1-char names
+    for (n <- Seq("Bad Name!", "docs-", "-docs", "x", "Docs")) {
+      val (e0, bad) = call(base, "container_create", s"""{"name": "$n"}""")
+      assert(e0 && bad.toLowerCase.contains("container name"), s"'$n': $bad")
+    }
     val (e1, created) = call(base, "container_create", """{"name": "mcp-docs"}""")
     assert(!e1 && created.contains("mcp-docs"))
     val cid = store.listContainers().collectFirst {

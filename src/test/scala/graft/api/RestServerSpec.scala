@@ -212,6 +212,99 @@ class RestServerSpec extends AnyFunSuite {
     } finally s5.stop()
   }
 
+  test("container-name validation: the reference's 400 matrix, one rule for every transport") {
+    val wh6 = java.nio.file.Files.createTempDirectory("graft-rest6").toString
+    val s6 = new RestServer(new KnowledgeStore(spark, wh6,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5)))
+    val port = s6.start()
+    val base6 = s"http://127.0.0.1:$port"
+    def create(name: String) = {
+      val o = mapper.createObjectNode(); o.put("name", name)
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base6/containers"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(o))).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), mapper.readTree(resp.body()))
+    }
+    try {
+      val msg = "Container name must be 2-128 characters, lowercase " +
+        "alphanumeric and hyphens, cannot start or end with a hyphen"
+      // ref PathUtilities.cs ^[a-z0-9][a-z0-9-]*[a-z0-9]$ 2-128 chars
+      // (CHANGELOG #225 "Uppercase container names now return 400")
+      for (bad <- Seq("Docs", "x", "a" * 129, "-docs", "docs-", "-x-",
+        "do cs", "d_ocs", "")) {
+        val (st, b) = create(bad)
+        assert(st == 400, s"'$bad' must 400, got $st")
+        assert(b.get("error").asText() == msg, s"'$bad' message: $b")
+      }
+      // boundary names land: exactly 2 and exactly 128 chars, inner hyphens
+      assert(create("ab")._1 == 201)
+      assert(create("a" + ("b" * 126) + "c")._1 == 201)
+      assert(create("my-docs-2")._1 == 201)
+      // the reference trims before validating; the stored name is trimmed
+      // (same namespace as the untrimmed form — duplicate rejected)
+      assert(create("  trimmed  ")._1 == 201)
+      assert(create("trimmed")._1 == 400) // duplicate after trim
+    } finally s6.stop()
+  }
+
+  test("GET container search: query params map onto the POST surface, same hits") {
+    val wh7 = java.nio.file.Files.createTempDirectory("graft-rest7").toString
+    val s7 = new RestServer(new KnowledgeStore(spark, wh7,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5)))
+    val port = s7.start()
+    val base7 = s"http://127.0.0.1:$port"
+    def send7(method: String, path: String, body: String = null) = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base7$path"))
+      val req = (method match {
+        case "GET" => b.GET()
+        case m => b.method(m,
+          java.net.http.HttpRequest.BodyPublishers.ofString(Option(body).getOrElse("{}")))
+      }).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(),
+        if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+        else mapper.readTree(resp.body()))
+    }
+    try {
+      val cid = send7("POST", "/containers", """{"name": "getsearch"}""")
+        ._2.get("container_id").asText()
+      send7("POST", s"/containers/$cid/files",
+        """{"path": "/guide/chunking.txt", "content": "Chunk overlap controls how many tokens adjacent chunks share. Overlap must stay below the chunk size."}""")
+      send7("POST", s"/containers/$cid/files",
+        """{"path": "/api/search.txt", "content": "Search runs a vector leg and a keyword leg fused with a convex combination."}""")
+      // GET == POST parity: same query through both transports, same hits
+      val get = send7("GET",
+        s"/containers/$cid/search?q=chunk+overlap&mode=keyword&topK=5")
+      assert(get._1 == 200, get)
+      val post = send7("POST", "/search",
+        s"""{"query": "chunk overlap", "container_id": "$cid", "mode": "keyword", "top_k": 5}""")
+      assert(post._1 == 200)
+      assert(get._2.get("hits").size() == post._2.get("hits").size())
+      assert(get._2.get("hits").size() > 0)
+      for (i <- 0 until get._2.get("hits").size()) {
+        assert(get._2.get("hits").get(i).get("chunk_id").asText() ==
+          post._2.get("hits").get(i).get("chunk_id").asText())
+        assert(get._2.get("hits").get(i).get("score").asDouble() ==
+          post._2.get("hits").get(i).get("score").asDouble())
+      }
+      // path filter narrows the same way as the POST path_prefix
+      val scoped = send7("GET",
+        s"/containers/$cid/search?q=chunk+overlap&mode=keyword&path=/api/")
+      assert(scoped._1 == 200)
+      assert(scoped._2.get("hits").size() < get._2.get("hits").size())
+      // validation parity with POST (ref SearchEndpoints.cs:42-46):
+      // missing/blank q and out-of-range topK are 400s, never 500s
+      assert(send7("GET", s"/containers/$cid/search")._1 == 400)
+      assert(send7("GET", s"/containers/$cid/search?q=%20")._1 == 400)
+      assert(send7("GET", s"/containers/$cid/search?q=x&topK=9999")._1 == 400)
+      assert(send7("GET", s"/containers/$cid/search?q=x&topK=abc")._1 == 400)
+      // unknown mode falls back (reference Enum.TryParse → Hybrid): 200
+      assert(send7("GET", s"/containers/$cid/search?q=chunk+overlap&mode=bogus")._1 == 200)
+    } finally s7.stop()
+  }
+
   test("bearer guard: 401 without/with-wrong token, 200 with it; /health stays open") {
     val wh3 = java.nio.file.Files.createTempDirectory("graft-rest3").toString
     val s3 = new RestServer(new KnowledgeStore(spark, wh3), apiKey = Some("hunter2"))

@@ -138,6 +138,43 @@ class SettingsSpec extends AnyFunSuite {
     assert(store.listSettingsCategories().isEmpty)
   }
 
+  test("serving-cache caps are runtime-mutable: PUT -> the next index build honors them") {
+    // a dedicated store (the shared one carries other tests' state)
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-settings-srv").toString
+    val s2 = new KnowledgeStore(spark, wh2,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    val cid = s2.createContainer("serving-caps")
+    s2.uploadFile(cid, "/d/a.txt",
+      "chunk overlap controls how many tokens adjacent chunks share")
+    // defaults: tiny corpus -> the driver fast-path copies exist
+    s2.search(graft.model.SearchRequest("chunk overlap", cid, topK = 3))
+    assert(s2.currentIndex.serving.get.tokLocal.nonEmpty)
+    // PUT row cap 0 -> the cached index invalidates and the NEXT build
+    // leaves the driver copies off (the RDD legs serve)
+    s2.putSettings("serving", Map("keyword_driver_cache_max_rows" -> "0"))
+    val hits = s2.search(graft.model.SearchRequest("chunk overlap", cid, topK = 3))
+    assert(hits.nonEmpty)
+    assert(s2.currentIndex.serving.get.tokLocal.isEmpty,
+      "row cap 0 must disable the driver copy on the next build")
+    assert(s2.currentIndex.serving.get.vecLocal.isEmpty)
+    // a 1-byte bytes cap does the same even with the row cap back
+    s2.putSettings("serving", Map("driver_cache_max_bytes" -> "1"))
+    s2.search(graft.model.SearchRequest("chunk overlap", cid, topK = 3))
+    assert(s2.currentIndex.serving.get.tokLocal.isEmpty,
+      "a bytes cap under the corpus size must disable the driver copy")
+    assert(s2.currentIndex.serving.get.localBytesCap == 1L,
+      "upserts must inherit the settings-built cap")
+    // reset -> defaults again -> copies return
+    s2.resetSettings("serving")
+    s2.search(graft.model.SearchRequest("chunk overlap", cid, topK = 3))
+    assert(s2.currentIndex.serving.get.tokLocal.nonEmpty)
+    // bad values reject at the boundary
+    assertThrows[IllegalArgumentException](
+      s2.putSettings("serving", Map("driver_cache_max_bytes" -> "lots")))
+    assertThrows[IllegalArgumentException](
+      s2.putSettings("serving", Map("keyword_driver_cache_max_rows" -> "many")))
+  }
+
   test("validation rejects unknown categories, keys, and bad values") {
     assertThrows[IllegalArgumentException](
       store.putSettings("nope", Map("a" -> "b")))

@@ -1,0 +1,110 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rename-retry ID CONTINUITY (ref ConnectorWatcherService.cs:237-255 —
+  * a rename keeps its document id): a rename whose new-path ingest fails
+  * TRANSIENTLY must keep the old document's identity once the retry
+  * succeeds. The failing pass persists a pending (new_path, old_path,
+  * doc_id, ledger_hash) row; the next pass re-diffs the new path as a
+  * plain Created, re-runs the content confirm against the persisted
+  * ledger hash, and re-pins the id — never a fresh id for a true move.
+  */
+class SyncRenameRetrySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def mkSyncer(wh: String, store: KnowledgeStore,
+      remote: scala.collection.concurrent.TrieMap[String, (String, Long)],
+      failPaths: scala.collection.mutable.Set[String]) =
+    new ConnectorSyncer(spark, wh, store,
+      list = _ => remote.toSeq.map { case (p, (c, m)) => (p, m, c.length.toLong) }
+        .toDF("path", "mtime", "size"),
+      fetch = (_, p) => {
+        if (failPaths.contains(p))
+          throw new RuntimeException(s"transient io failure: $p")
+        remote(p)._1.getBytes("UTF-8")
+      })
+
+  test("a rename whose first ingest fails keeps its document_id after the retry pass") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncretry").toString
+    val counting = new graft.ingest.CountingEmbedder
+    val store = new KnowledgeStore(spark, wh, embedder = counting,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val body = "durable renamed content about identity retry continuity."
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/d/original.txt" -> ((body, 100L)),
+      "/d/untouched.txt" -> (("bystander file body", 100L)))
+    val failPaths = scala.collection.mutable.Set.empty[String]
+    val syncer = mkSyncer(wh, store, remote, failPaths)
+    val cid = store.createContainer("retry-rename", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 2L)
+    val idBefore = store.documentIdAt(cid, "/d/original.txt").get
+
+    // a filesystem MOVE whose new path fails transiently: the confirm
+    // fetch AND the ingest both fail this pass
+    remote.remove("/d/original.txt")
+    remote("/d/moved.txt") = ((body, 100L))
+    failPaths += "/d/moved.txt"
+    val (published1, r1) = syncer.sync(cid)
+    assert(r1.failed == 1L && r1.renamed == 0L && r1.created == 0L, r1)
+    assert(published1.exists { case (p, e) =>
+      p == "/d/moved.txt" && e.contains("retrying") }, published1)
+    // the old-path document is HELD (content never vanishes mid-retry)
+    assert(store.documentIdAt(cid, "/d/original.txt").contains(idBefore),
+      "the old document must stay alive while the retry is pending")
+    assert(store.documentIdAt(cid, "/d/moved.txt").isEmpty)
+
+    // transient failure clears; the retry pass re-pins the SAME id
+    failPaths.clear()
+    graft.ingest.CountingEmbedder.calls.set(0)
+    val (_, r2) = syncer.sync(cid)
+    assert(r2.renamed == 1L && r2.created == 0L && r2.failed == 0L, r2)
+    assert(store.documentIdAt(cid, "/d/moved.txt").contains(idBefore),
+      "the retried rename must keep the original document_id")
+    assert(store.documentIdAt(cid, "/d/original.txt").isEmpty,
+      "the old path leaves the store once the retry lands")
+    assert(graft.ingest.CountingEmbedder.calls.get() == 0,
+      "unchanged content must re-embed nothing on the retried rename")
+    assert(store.listFiles(cid, None, 0, 50).length == 2)
+
+    // steady state: a further sync is a no-op (pending row consumed)
+    val (_, r3) = syncer.sync(cid)
+    assert(r3.renamed == 0L && r3.created == 0L && r3.changed == 0L &&
+      r3.deleted == 0L && r3.failed == 0L, r3)
+  }
+
+  test("content changed while the retry was pending: confirm declines, fresh id, old path deletes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-syncretry2").toString
+    val store = new KnowledgeStore(spark, wh,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 60, overlap = 5, minChunkSize = 5))
+    val body = "original body for the declined pending retry scenario."
+    val remote = scala.collection.concurrent.TrieMap[String, (String, Long)](
+      "/d/orig.txt" -> ((body, 100L)))
+    val failPaths = scala.collection.mutable.Set.empty[String]
+    val syncer = mkSyncer(wh, store, remote, failPaths)
+    val cid = store.createContainer("retry-decline", connectorType = "S3")
+    assert(syncer.sync(cid)._2.created == 1L)
+    val idBefore = store.documentIdAt(cid, "/d/orig.txt").get
+
+    remote.remove("/d/orig.txt")
+    remote("/d/moved.txt") = ((body, 100L))
+    failPaths += "/d/moved.txt"
+    assert(syncer.sync(cid)._2.failed == 1L)
+
+    // the file is REWRITTEN before the retry: the persisted ledger hash
+    // no longer matches, so the confirm must decline and the document
+    // must NOT inherit the old identity
+    failPaths.clear()
+    remote("/d/moved.txt") = (("entirely different content now", 100L))
+    val (_, r2) = syncer.sync(cid)
+    assert(r2.renamed == 0L && r2.created == 1L, r2)
+    val idAfter = store.documentIdAt(cid, "/d/moved.txt")
+    assert(idAfter.isDefined && !idAfter.contains(idBefore),
+      "a declined confirm must mint a fresh id, never transplant the old one")
+    assert(store.documentIdAt(cid, "/d/orig.txt").isEmpty,
+      "the old path reconciles away once the pending claim resolves")
+    assert(store.listFiles(cid, None, 0, 50).length == 1)
+  }
+}

@@ -481,6 +481,22 @@ class HybridSearchE2ESpec extends AnyFunSuite {
     val overflow = HybridSearch.upsertServing(capped, late3.chunks, late3.vectors)
     assert(overflow.serving.get.tokLocal.isEmpty,
       "outgrowing the cap must hand the leg back to the RDD path")
+    // ...and drops it when an upsert crosses the BYTES caps even while
+    // the row count stays far under the row cap — wide-chunk
+    // micro-batches must not grow the driver copies past the same 256 MB
+    // guards the build enforces
+    val nearBytes = fast.copy(serving = fast.serving.map(_.copy(
+      tokLocalBytes = HybridSearch.DriverCacheMaxBytes - 10L,
+      vecLocalBytes = HybridSearch.DriverCacheMaxBytes - 10L)))
+    val wide = HybridSearch.upsertServing(nearBytes, late3.chunks, late3.vectors)
+    assert(wide.serving.get.tokLocal.isEmpty,
+      "crossing the content-bytes cap must hand the keyword leg to the RDD path")
+    assert(wide.serving.get.vecLocal.isEmpty,
+      "crossing the embedding-bytes cap must hand the vector leg to the RDD path")
+    assert(HybridSearch.search(wide,
+      SearchRequest("wombat sentinel", "c1", mode = "keyword", topK = 3), embedder)
+      .headOption.exists(_.document_id == "doc-fastpath"),
+      "the RDD legs must keep serving the upserted rows after the drop")
     Seq(fast, rdd, tooSmall).foreach { s =>
       s.chunks.unpersist(); s.vectors.unpersist()
       s.serving.foreach(_.unpersist())
