@@ -136,6 +136,32 @@ final class KnowledgeStore(
     containersDf.select("container_id", "name", "connector_type")
       .as[(String, String, String)].collect().toSeq
 
+  /** One container's record (ref ContainersEndpoints.cs:101 GetContainer
+    * / :116 GetContainerByName — names compare lowercased there because
+    * creation already lowercases; ours validates the same alphabet):
+    * (container_id, name, connector_type, writable). */
+  def containerDetails(idOrName: String, byName: Boolean = false)
+      : Option[(String, String, String, Boolean)] = {
+    val key = if (byName) "name" else "container_id"
+    val v = if (byName) idOrName.toLowerCase else idOrName
+    containersDf.filter(col(key) === v)
+      .select("container_id", "name", "connector_type", "writable")
+      .as[(String, String, String, Boolean)].collect().headOption
+  }
+
+  /** Global embedding-model discovery (ref SettingsEndpoints.cs:235
+    * GET /settings/embedding-models): every model with vectors across
+    * ALL containers — one grouped job, the A2 shape without the
+    * container filter. */
+  def listModelsGlobal(): Seq[(String, Int, Long)] = {
+    val v = vectorsDf
+    if (!v.columns.contains("model_id")) return Seq.empty
+    v.groupBy(col("model_id"), size(col("embedding")).as("dimensions"))
+      .agg(count(lit(1)).as("vectors"))
+      .orderBy(desc("vectors"), col("model_id"))
+      .as[(String, Int, Long)].collect().toSeq
+  }
+
   /** Document count per container in ONE grouped job — the listing
     * surface's companion (per-container [[containerStats]] calls from a
     * listing are an N+1: K containers = K ledger scans). */
@@ -372,6 +398,10 @@ final class KnowledgeStore(
       values: Map[String, String],
       containerId: Option[String] = None): Unit = synchronized {
     Settings.validate(category, values)
+    // the serving index is store-wide: a container-scoped override would
+    // validate, persist, and bind to NOTHING — reject at the boundary
+    if (category == "serving")
+      require(containerId.isEmpty, "serving settings are global-scope only")
     containerId.foreach(c => require(listContainers().exists(_._1 == c),
       s"no such container: $c"))
     val scope = containerId.getOrElse(Settings.GlobalScope)
@@ -998,6 +1028,44 @@ final class KnowledgeStore(
         col("document_id") === docId)
       .select("path").limit(1).as[String].collect().headOption
   }
+
+  /** One document's full ledger row (ref DocumentsEndpoints.cs:221
+    * GetFile — "file details including indexing status"): (path,
+    * file_name, chunk_count, size_bytes, status, generation,
+    * content_hash, indexed_with). Point lookup by id, pruned like
+    * [[documentPathOf]]. */
+  def fileDetails(containerId: String, docId: String): Option[(String,
+      String, Int, Long, String, Long, String, Map[String, String])] = {
+    val led = ledgerDf
+    if (!led.columns.contains("document_id")) return None
+    led.filter(col("container_id") === containerId &&
+        col("document_id") === docId)
+      .select($"path", $"file_name", $"chunk_count", $"size_bytes",
+        $"status", $"generation".cast("long"), $"content_hash",
+        $"indexed_with")
+      .as[(String, String, Int, Long, String, Long, String, Map[String, String])]
+      .collect().headOption
+  }
+
+  /** Per-document reindex check (ref DocumentsEndpoints.cs:415 GET
+    * /{fileId}/reindex-check): (reason, needs_reindex). This warehouse
+    * retains no raw source bytes, so content is by definition unchanged —
+    * the reasons are Unchanged / SettingsChanged / NeverIndexed / Forced
+    * (the reference's ContentChanged arm needs its object store).
+    * The stamps themselves ride [[fileDetails]] (stored) and
+    * [[currentStamp]] (what a fresh ingest would write). */
+  def reindexCheckDocument(containerId: String, docId: String)
+      : Option[(String, Boolean)] =
+    classifyDf(containerId, force = false)
+      .filter(col("document_id") === docId)
+      .select("action", "needs_reindex").as[(String, Boolean)]
+      .collect().headOption
+
+  /** The IndexedWith:* stamp a fresh ingest would write under CURRENT
+    * effective settings — the comparison side of the per-document
+    * reindex check. */
+  def currentStamp(containerId: String): Map[String, String] =
+    stampFor(containerId)
 
   /** The container's synced paths as a DATAFRAME (one `path` column) —
     * the distributed twin of [[listFiles]] for corpus-sized

@@ -149,6 +149,9 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val Containers = "/containers".r
   private val Container = "/containers/([^/]+)".r
   private val Sub = "/containers/([^/]+)/([a-z_]+)".r
+  private val FileSub = "/containers/([^/]+)/files/([^/]+)".r
+  private val FileContent = "/containers/([^/]+)/files/([^/]+)/content".r
+  private val FileReindex = "/containers/([^/]+)/files/([^/]+)/reindex-check".r
   private val SettingsCat = "/settings/([a-z]+)".r
   private val ContainerSettings = "/containers/([^/]+)/settings/([a-z]+)".r
   private val KeyId = "/keys/([^/]+)".r
@@ -156,7 +159,10 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
   private val AgentActive = "/agents/([^/]+)/active".r
   private val AgentKeys = "/agents/([^/]+)/keys".r
   private val AgentKeyId = "/agents/([^/]+)/keys/([^/]+)".r
-  private val BatchId = "/batches/([^/]+)".r
+  // the reference serves batch status at /batches/{id}/status
+  // (BatchesEndpoints.cs:14); the bare form is kept as an alias
+  private val BatchId = "/batches/([^/]+?)(?:/status)?".r
+  private val ByName = "/containers/by-name/([^/]+)".r
   private val UserId = "/auth/users/([^/]+)".r
   private val UserActive = "/auth/users/([^/]+)/active".r
   private val UserScopes = "/auth/users/([^/]+)/scopes".r
@@ -846,8 +852,34 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             finally { activeStreams.decrementAndGet(); ex.close() }
           case None => err(ex, 404, "no progress log configured")
         }
+        // by-name resolution sits BEFORE the generic Sub routes: a
+        // container literally named "stats" must resolve here, not as
+        // Sub("by-name", "stats")
+        case ("GET", ByName(name)) =>
+          store.containerDetails(name, byName = true) match {
+            case Some((id, n, ct, w)) =>
+              requireScope("read", id)
+              ok(ex, obj("container_id" -> id, "name" -> n,
+                "connector_type" -> ct, "writable" -> w))
+            case None => err(ex, 404, s"Container '$name' not found")
+          }
         case ("POST", "/search") => search(ex, requireScope)
         case ("GET", Sub(id, "search")) => searchGet(ex, id, requireScope)
+        case ("GET", "/settings/embedding-models") =>
+          // global model discovery (ref SettingsEndpoints.cs:235): every
+          // model with vectors anywhere, flagged against the CURRENT
+          // global embedding setting
+          requireAdmin()
+          val current = store.effectiveSettings("embedding")("model")
+          val models = store.listModelsGlobal()
+          ok(ex, obj(
+            "current_model" -> current,
+            "models" -> models.map { case (m, d, n) =>
+              obj("model_id" -> m, "dimensions" -> d, "vectors" -> n,
+                "is_current" -> m.equalsIgnoreCase(current))
+            },
+            "has_legacy_vectors" ->
+              models.exists(m => !m._1.equalsIgnoreCase(current))))
         case ("POST", "/maintain") =>
           requireAdmin()
           val b = body(ex)
@@ -908,6 +940,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("DELETE", ContainerSettings(id, cat)) =>
           requireAdmin()
           store.resetSettings(cat, Some(id)); noContent(ex)
+        case ("GET", Sub(id, "settings")) =>
+          // whole-record overrides view (ref ContainersEndpoints.cs:209
+          // GetContainerSettings): every category with a STORED override
+          // for this container — the per-category routes above carry the
+          // effective merge
+          requireAdmin()
+          if (!store.listContainers().exists(_._1 == id))
+            err(ex, 404, s"Container $id not found")
+          else ok(ex, obj(store.listSettingsCategories(Some(id)).map(cat =>
+            cat -> (store.getSettings(cat, Some(id)).toSeq.sortBy(_._1): Any)): _*))
         // settings-change reindex surface (ref SettingsEndpoints.cs POST
         // /reindex + ReindexStateService): check reports per-action counts,
         // reindex re-ingests the stale set under current settings
@@ -980,6 +1022,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             .map { case (id, name, ct) =>
               obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
             }))
+        case ("GET", Container(id)) =>
+          requireScope("read", id)
+          store.containerDetails(id) match {
+            case Some((cid2, n, ct, w)) =>
+              ok(ex, obj("container_id" -> cid2, "name" -> n,
+                "connector_type" -> ct, "writable" -> w))
+            case None => err(ex, 404, s"Container $id not found")
+          }
         case ("DELETE", Container(id)) =>
           requireAdmin()
           store.deleteContainer(id); noContent(ex)
@@ -1015,6 +1065,53 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("DELETE", Sub(id, "files")) =>
           requireScope("write", id)
           store.deleteFile(id, query(ex)("path")); noContent(ex)
+        // by-fileId document surface (ref DocumentsEndpoints.cs:221-465;
+        // CHANGELOG #163): GET details / GET content / GET reindex-check /
+        // DELETE, each a ledger point lookup — NEVER a listing scan
+        case ("GET", FileContent(id, fid)) =>
+          requireScope("read", id)
+          store.documentPathOf(id, fid)
+            .flatMap(p => store.getDocument(id, p).map((p, _))) match {
+            case Some((p, content)) =>
+              ok(ex, obj("document_id" -> fid, "path" -> p,
+                "content" -> content))
+            case None =>
+              err(ex, 404, s"File $fid not found in container $id")
+          }
+        case ("GET", FileReindex(id, fid)) =>
+          requireScope("read", id)
+          store.reindexCheckDocument(id, fid) match {
+            case Some((reason, needs)) =>
+              val stored = store.fileDetails(id, fid)
+                .map(_._8).getOrElse(Map.empty)
+              ok(ex, obj(
+                "document_id" -> fid, "needs_reindex" -> needs,
+                "reason" -> reason,
+                "stored_stamp" -> stored.toSeq.sortBy(_._1),
+                "current_stamp" ->
+                  store.currentStamp(id).toSeq.sortBy(_._1)))
+            case None =>
+              err(ex, 404, s"File $fid not found in container $id")
+          }
+        case ("GET", FileSub(id, fid)) =>
+          requireScope("read", id)
+          store.fileDetails(id, fid) match {
+            case Some((p, fn, n, sz, status, gen, hash, stamp)) =>
+              ok(ex, obj(
+                "document_id" -> fid, "path" -> p, "file_name" -> fn,
+                "chunk_count" -> n, "size_bytes" -> sz, "status" -> status,
+                "generation" -> gen, "content_hash" -> hash,
+                "indexed_with" -> stamp.toSeq.sortBy(_._1)))
+            case None =>
+              err(ex, 404, s"File $fid not found in container $id")
+          }
+        case ("DELETE", FileSub(id, fid)) =>
+          requireScope("write", id)
+          store.documentPathOf(id, fid) match {
+            case Some(p) => store.deleteFile(id, p); noContent(ex)
+            case None =>
+              err(ex, 404, s"File $fid not found in container $id")
+          }
         case ("POST", Sub(id, "bulk_upload")) =>
           requireScope("write", id)
           val b = body(ex)

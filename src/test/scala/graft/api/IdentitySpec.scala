@@ -200,6 +200,10 @@ class IdentityRestSpec extends AnyFunSuite {
     val (bSt, bJ) = http("GET", s"/batches/$batchId", bearer = adminToken)
     assert(bSt == 200 && bJ.get("done").asBoolean() &&
       bJ.get("phase").asText() == "ready", bJ.toString)
+    // the reference's route shape (BatchesEndpoints.cs:14) is /status —
+    // both forms answer identically
+    val (sSt, sJ) = http("GET", s"/batches/$batchId/status", bearer = adminToken)
+    assert(sSt == 200 && sJ == bJ, sJ.toString)
     assert(http("GET", "/batches/nope", bearer = adminToken)._1 == 404)
     // job-scoped replay: a stream opened AFTER completion replays the
     // backlog and closes itself on the terminal event (raw SSE text,

@@ -302,6 +302,58 @@ class RestServerSpec extends AnyFunSuite {
       assert(send7("GET", s"/containers/$cid/search?q=x&topK=abc")._1 == 400)
       // unknown mode falls back (reference Enum.TryParse → Hybrid): 200
       assert(send7("GET", s"/containers/$cid/search?q=chunk+overlap&mode=bogus")._1 == 200)
+
+      // by-fileId document surface (ref DocumentsEndpoints.cs:221-465)
+      val listing = send7("GET", s"/containers/$cid/files")._2
+      val fid = (0 until listing.size()).map(listing.get)
+        .find(_.get("path").asText() == "/guide/chunking.txt").get
+        .get("document_id").asText()
+      val det = send7("GET", s"/containers/$cid/files/$fid")
+      assert(det._1 == 200)
+      assert(det._2.get("path").asText() == "/guide/chunking.txt")
+      assert(det._2.get("file_name").asText() == "chunking.txt")
+      assert(det._2.get("status").asText() == "Ready")
+      assert(det._2.get("chunk_count").asInt() > 0)
+      assert(det._2.get("indexed_with").get("IndexedWith:Chunker") != null)
+      val content = send7("GET", s"/containers/$cid/files/$fid/content")
+      assert(content._1 == 200 &&
+        content._2.get("content").asText().contains("Chunk overlap"))
+      val rc = send7("GET", s"/containers/$cid/files/$fid/reindex-check")
+      assert(rc._1 == 200)
+      assert(!rc._2.get("needs_reindex").asBoolean())
+      assert(rc._2.get("reason").asText() == "Unchanged")
+      // a chunking settings change flips the per-document check
+      send7("PUT", s"/containers/$cid/settings/chunking",
+        """{"max_chunk_size": "30"}""")
+      val rc2 = send7("GET", s"/containers/$cid/files/$fid/reindex-check")
+      assert(rc2._2.get("needs_reindex").asBoolean(), rc2)
+      assert(rc2._2.get("reason").asText() == "SettingsChanged")
+      // container details by id and by name (ref ContainersEndpoints.cs
+      // :101/:116); names resolve case-insensitively like the reference
+      val byId = send7("GET", s"/containers/$cid")
+      assert(byId._1 == 200 && byId._2.get("name").asText() == "getsearch" &&
+        byId._2.get("connector_type").asText() == "ManagedStorage" &&
+        byId._2.get("writable").asBoolean())
+      val byName = send7("GET", "/containers/by-name/GETSEARCH")
+      assert(byName._1 == 200 &&
+        byName._2.get("container_id").asText() == cid)
+      assert(send7("GET", "/containers/nope")._1 == 404)
+      assert(send7("GET", "/containers/by-name/nope")._1 == 404)
+      // global embedding-model discovery (ref SettingsEndpoints.cs:235)
+      val em = send7("GET", "/settings/embedding-models")
+      assert(em._1 == 200)
+      assert(em._2.get("models").size() == 1)
+      assert(em._2.get("models").get(0).get("is_current").asBoolean())
+      assert(!em._2.get("has_legacy_vectors").asBoolean())
+      // unknown ids 404 on every by-id route
+      assert(send7("GET", s"/containers/$cid/files/nope")._1 == 404)
+      assert(send7("GET", s"/containers/$cid/files/nope/content")._1 == 404)
+      assert(send7("GET", s"/containers/$cid/files/nope/reindex-check")._1 == 404)
+      assert(send7("DELETE", s"/containers/$cid/files/nope")._1 == 404)
+      // DELETE by id removes the document and its listing row
+      assert(send7("DELETE", s"/containers/$cid/files/$fid")._1 == 204)
+      assert(send7("GET", s"/containers/$cid/files/$fid")._1 == 404)
+      assert(send7("GET", s"/containers/$cid/files")._2.size() == 1)
     } finally s7.stop()
   }
 

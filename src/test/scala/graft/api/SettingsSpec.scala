@@ -173,6 +173,11 @@ class SettingsSpec extends AnyFunSuite {
       s2.putSettings("serving", Map("driver_cache_max_bytes" -> "lots")))
     assertThrows[IllegalArgumentException](
       s2.putSettings("serving", Map("keyword_driver_cache_max_rows" -> "many")))
+    // the index is store-wide: a container-scoped override would bind to
+    // nothing — rejected at the boundary rather than silently inert
+    assertThrows[IllegalArgumentException](
+      s2.putSettings("serving",
+        Map("keyword_driver_cache_max_rows" -> "16"), Some(cid)))
   }
 
   test("validation rejects unknown categories, keys, and bad values") {
@@ -258,6 +263,13 @@ class SettingsRestSpec extends AnyFunSuite {
     assert(oSt == 200)
     val (eSt, eJ) = http("GET", s"/containers/$cid/settings/chunking")
     assert(eSt == 200 && eJ.get("max_chunk_size").asText() == "12")
+    // whole-record overrides view (ref ContainersEndpoints.cs:209): only
+    // STORED categories appear, each with only its explicitly-set keys
+    val (wSt, wJ) = http("GET", s"/containers/$cid/settings")
+    assert(wSt == 200 && wJ.size() == 1 &&
+      wJ.get("chunking").get("max_chunk_size").asText() == "12" &&
+      !wJ.get("chunking").has("strategy"), wJ.toString)
+    assert(http("GET", "/containers/nope/settings")._1 == 404)
 
     // ingest honors the override; reindex surface over HTTP
     val (uSt, _) = http("POST", s"/containers/$cid/files",
