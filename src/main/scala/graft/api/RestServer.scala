@@ -856,12 +856,15 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         // container literally named "stats" must resolve here, not as
         // Sub("by-name", "stats")
         case ("GET", ByName(name)) =>
+          // out-of-scope reads answer the SAME 404 as absence — the
+          // listing route already refuses enumeration, and a 403 here
+          // would leak which names exist to a foreign-scoped key
           store.containerDetails(name, byName = true) match {
-            case Some((id, n, ct, w)) =>
-              requireScope("read", id)
+            case Some((id, n, ct, w)) if !guarded ||
+                ApiKeyRegistry.allowsScopes(scopes, "read", id) =>
               ok(ex, obj("container_id" -> id, "name" -> n,
                 "connector_type" -> ct, "writable" -> w))
-            case None => err(ex, 404, s"Container '$name' not found")
+            case _ => err(ex, 404, s"Container '$name' not found")
           }
         case ("POST", "/search") => search(ex, requireScope)
         case ("GET", Sub(id, "search")) => searchGet(ex, id, requireScope)
@@ -1023,12 +1026,14 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
               obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
             }))
         case ("GET", Container(id)) =>
-          requireScope("read", id)
+          // same enumeration posture as the by-name route: absence and
+          // out-of-scope are indistinguishable
           store.containerDetails(id) match {
-            case Some((cid2, n, ct, w)) =>
+            case Some((cid2, n, ct, w)) if !guarded ||
+                ApiKeyRegistry.allowsScopes(scopes, "read", cid2) =>
               ok(ex, obj("container_id" -> cid2, "name" -> n,
                 "connector_type" -> ct, "writable" -> w))
-            case None => err(ex, 404, s"Container $id not found")
+            case _ => err(ex, 404, s"Container $id not found")
           }
         case ("DELETE", Container(id)) =>
           requireAdmin()

@@ -76,6 +76,21 @@ class RestHardeningSpec extends AnyFunSuite {
     assert(scoped.get(0).get("container_id").asText() == cidA)
   }
 
+  test("container details by id/name: out-of-scope reads the same 404 as absence") {
+    // in scope: details resolve by id AND by name
+    val (aSt, aJ) = http("GET", s"/containers/$cidA", bearer = readAToken)
+    assert(aSt == 200 && aJ.get("name").asText() == "tenant-a")
+    val (nSt, nJ) = http("GET", "/containers/by-name/tenant-a", bearer = readAToken)
+    assert(nSt == 200 && nJ.get("container_id").asText() == cidA)
+    // out of scope: indistinguishable from a container that does not
+    // exist — a 403 would let a foreign key enumerate ids and names
+    assert(http("GET", s"/containers/$cidB", bearer = readAToken)._1 == 404)
+    assert(http("GET", "/containers/by-name/tenant-b", bearer = readAToken)._1 == 404)
+    assert(http("GET", "/containers/by-name/no-such", bearer = readAToken)._1 == 404)
+    // admin sees both
+    assert(http("GET", s"/containers/$cidB", bearer = adminToken)._1 == 200)
+  }
+
   test("progress + batch detail redacts for non-admin keys") {
     // admin sees details (the bulk upload's events exist by now)
     val adminEvents = http("GET", "/progress", bearer = adminToken)._2
