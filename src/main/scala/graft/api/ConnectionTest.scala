@@ -101,4 +101,63 @@ object ConnectionTest {
         Map("error" -> e.getClass.getSimpleName))
     }
   }
+
+  /** Test a CONNECTOR config before creating its container (ref
+    * ContainersEndpoints.cs:280 POST /containers/test-connection +
+    * S3/AzureBlob/MinioConnectionTester): S3 and ManagedStorage (MinIO
+    * speaks the same API) issue one bounded ListObjectsV2 probe;
+    * AzureBlob HEADs the container resource. Missing keys and unknown
+    * types answer a failure Result, never throw. Config keys are the
+    * snake_case twins of the reference's connector config JSON. */
+  def testConnector(
+      connectorType: String,
+      config: Map[String, String],
+      exchange: graft.sources.HttpExchange): Result = {
+    val t0 = System.nanoTime()
+    def done(ok: Boolean, msg: String, details: Map[String, String] = Map.empty) =
+      Result(ok, msg, details, (System.nanoTime() - t0) / 1000000L)
+    def need(keys: String*): Either[Result, Seq[String]] = {
+      val missing = keys.filterNot(k => config.get(k).exists(_.nonEmpty))
+      if (missing.nonEmpty)
+        Left(done(ok = false, s"Missing required config: ${missing.mkString(", ")}",
+          Map("missing" -> missing.mkString(","))))
+      else Right(keys.map(config))
+    }
+    try {
+      connectorType match {
+        case "S3" | "ManagedStorage" =>
+          need("endpoint", "bucket", "access_key", "secret_key").fold(identity, {
+            case Seq(endpoint, bucket, ak, sk) =>
+              val client = new graft.sources.S3Client(
+                endpoint, config.getOrElse("region", "us-east-1"), bucket,
+                ak, sk, exchange,
+                sessionToken = config.get("session_token").filter(_.nonEmpty))
+              if (client.bucketReachable())
+                done(ok = true, s"Connected to bucket '$bucket'",
+                  Map("bucket" -> bucket))
+              else done(ok = false,
+                s"Bucket '$bucket' unreachable (check endpoint, region, credentials)",
+                Map("bucket" -> bucket))
+          })
+        case "AzureBlob" =>
+          need("endpoint", "account", "account_key", "container").fold(identity, {
+            case Seq(endpoint, account, key, container) =>
+              val client = new graft.sources.AzureBlobClient(
+                endpoint, account, container, key, exchange)
+              if (client.containerExists())
+                done(ok = true, s"Connected to container '$container'",
+                  Map("container" -> container))
+              else done(ok = false,
+                s"Container '$container' unreachable (check endpoint, account, key)",
+                Map("container" -> container))
+          })
+        case other => done(ok = false,
+          s"Connector type '$other' does not support connection testing from this endpoint")
+      }
+    } catch {
+      case e: Exception => done(ok = false,
+        s"Connection failed: ${String.valueOf(e.getMessage)}",
+        Map("error" -> e.getClass.getSimpleName))
+    }
+  }
 }

@@ -109,7 +109,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     /** Transport the connection testers probe through (ref
       * SettingsEndpoints.cs POST /test-connection). Injected like every
       * provider transport; specs pass canned doubles. */
-    testTransport: graft.embed.HttpTransport = new graft.embed.JdkHttpTransport(10000)) {
+    testTransport: graft.embed.HttpTransport = new graft.embed.JdkHttpTransport(10000),
+    /** Object-store exchange the CONNECTOR testers probe through (ref
+      * ContainersEndpoints.cs POST /test-connection — validate an
+      * S3/AzureBlob/MinIO config before creating its container). */
+    connectorExchange: graft.sources.HttpExchange =
+      new graft.sources.JdkHttpExchange(10000)) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -1014,14 +1019,47 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
             ok(ex, obj("batch_id" -> store.reindexStaleAsync(id, force)),
               status = 202)
           else ok(ex, obj("reindexed" -> store.reindexStale(id, force)))
+        case ("POST", "/containers/test_connection") =>
+          // validate a connector config BEFORE creating its container
+          // (ref ContainersEndpoints.cs:280): S3/MinIO = one bounded
+          // ListObjectsV2 probe, AzureBlob = container HEAD; failures
+          // answer success=false, never throw
+          requireAdmin()
+          val b = body(ex)
+          val cfgNode = Option(b.get("connector_config"))
+            .filterNot(_.isNull).getOrElse(
+              throw new IllegalArgumentException("ConnectorConfig is required"))
+          require(cfgNode.isObject, "connector_config must be a JSON object")
+          val cfg = {
+            val out = scala.collection.mutable.LinkedHashMap[String, String]()
+            val it = cfgNode.fields()
+            while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asText() }
+            out.toMap
+          }
+          val r = ConnectionTest.testConnector(
+            str(b, "connector_type"), cfg, connectorExchange)
+          ok(ex, obj("success" -> r.success, "message" -> r.message,
+            "duration_ms" -> r.durationMs,
+            "details" -> r.details.toSeq.sortBy(_._1)))
         case ("POST", Containers()) => requireAdmin(); createContainer(ex)
         case ("GET", Containers()) =>
           // a read:<one-container> key sees ONLY the containers it can
           // read — listing is enumeration, and ids/names/connector types
-          // of other tenants' containers are not this key's to see
+          // of other tenants' containers are not this key's to see.
+          // Pagination (ref ContainersEndpoints.cs:79 ?skip=&take= with
+          // PaginationValidator bounds) applies AFTER the scope filter so
+          // page boundaries are stable per caller.
+          val q = query(ex)
+          val skip = q.get("skip").map(_.toInt).getOrElse(0)
+          val take = q.get("take").map(_.toInt).getOrElse(RestServer.MaxPageSize)
+          require(skip >= 0, "skip must be >= 0")
+          require(take >= 1 && take <= RestServer.MaxPageSize,
+            s"take must be between 1 and ${RestServer.MaxPageSize}")
           ok(ex, arr(store.listContainers()
             .filter { case (id, _, _) =>
               !guarded || ApiKeyRegistry.allowsScopes(scopes, "read", id) }
+            .sortBy(_._2)
+            .slice(skip, skip + take)
             .map { case (id, name, ct) =>
               obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
             }))

@@ -220,6 +220,18 @@ final class S3Client(
   override def get(path: String): Array[Byte] =
     require2xx(request("GET", path, Nil, Array.empty, None), s"GetObject $path").body
 
+  /** BOUNDED reachability probe (ref S3ConnectionTester /
+    * MinioConnectionTester — test a connector config BEFORE creating its
+    * container): ONE ListObjectsV2 page capped at a single key, so a
+    * billion-object bucket answers in one round trip — never the
+    * paginating [[list]]. Any 2xx proves the bucket exists and these
+    * credentials sign; 403/404/DNS/timeout all read as unreachable. */
+  def bucketReachable(): Boolean =
+    try request("GET", "",
+      Seq("list-type" -> "2", "max-keys" -> "1"),
+      Array.empty, None).status / 100 == 2
+    catch { case _: Exception => false }
+
   override def put(path: String, bytes: Array[Byte], contentType: String): Unit =
     require2xx(request("PUT", path, Nil, bytes, Some(contentType)), s"PutObject $path")
 

@@ -74,6 +74,16 @@ class RestHardeningSpec extends AnyFunSuite {
     val scoped = http("GET", "/containers", bearer = readAToken)._2
     assert(scoped.size() == 1, scoped.toString)
     assert(scoped.get(0).get("container_id").asText() == cidA)
+    // pagination (ref ContainersEndpoints.cs ?skip=&take=) pages the
+    // POST-scope-filter listing, name-ordered; bounds are 400s
+    val page = http("GET", "/containers?skip=1&take=1", bearer = adminToken)._2
+    assert(page.size() == 1 && page.get(0).get("name").asText() == "tenant-b",
+      page.toString)
+    assert(http("GET", "/containers?skip=0&take=1", bearer = adminToken)
+      ._2.get(0).get("name").asText() == "tenant-a")
+    assert(http("GET", "/containers?take=0", bearer = adminToken)._1 == 400)
+    assert(http("GET", "/containers?skip=-1", bearer = adminToken)._1 == 400)
+    assert(http("GET", "/containers?take=9999", bearer = adminToken)._1 == 400)
   }
 
   test("container details by id/name: out-of-scope reads the same 404 as absence") {

@@ -343,6 +343,67 @@ class SettingsRestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("container test_connection probes S3/Azure connector configs before create") {
+    // canned object-store exchange: the S3 probe must be the BOUNDED
+    // ListObjectsV2 (max-keys=1) single round trip, signed; the Azure
+    // probe the container HEAD (ref ContainersEndpoints.cs:280 +
+    // S3/AzureBlob/MinioConnectionTester)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val exchange = new graft.sources.HttpExchange {
+      override def send(method: String, url: String,
+          headers: Map[String, String], body: Array[Byte])
+          : graft.sources.StoreResponse = {
+        seen += s"$method $url"
+        if (url.contains("down")) throw new java.io.IOException("no route")
+        val ok = url.contains("good")
+        graft.sources.StoreResponse(if (ok) 200 else 403, Map.empty,
+          Array.empty)
+      }
+    }
+    val srv = new RestServer(store, connectorExchange = exchange)
+    val tBase = s"http://127.0.0.1:${srv.start()}"
+    def probe(body: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$tBase/containers/test_connection"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), mapper.readTree(resp.body()))
+    }
+    try {
+      val (s1, j1) = probe(
+        """{"connector_type": "S3", "connector_config": {"endpoint": "http://good-minio:9000", "bucket": "corpus", "access_key": "ak", "secret_key": "sk"}}""")
+      assert(s1 == 200 && j1.get("success").asBoolean() &&
+        j1.get("message").asText().contains("corpus"), j1.toString)
+      assert(seen.last.startsWith("GET") && seen.last.contains("max-keys=1"),
+        s"the S3 probe must be one bounded ListObjectsV2 page: $seen")
+      // bad credentials (403) and a dead endpoint both answer
+      // success=false, never a 500
+      val (s2, j2) = probe(
+        """{"connector_type": "S3", "connector_config": {"endpoint": "http://denied:9000", "bucket": "corpus", "access_key": "ak", "secret_key": "sk"}}""")
+      assert(s2 == 200 && !j2.get("success").asBoolean(), j2.toString)
+      val (s3, j3) = probe(
+        """{"connector_type": "AzureBlob", "connector_config": {"endpoint": "http://down.blob", "account": "acct", "account_key": "a2V5", "container": "docs"}}""")
+      assert(s3 == 200 && !j3.get("success").asBoolean(), j3.toString)
+      val (s4, j4) = probe(
+        """{"connector_type": "AzureBlob", "connector_config": {"endpoint": "http://good.blob", "account": "acct", "account_key": "a2V5", "container": "docs"}}""")
+      assert(s4 == 200 && j4.get("success").asBoolean(), j4.toString)
+      assert(seen.last.startsWith("HEAD") && seen.last.contains("restype=container"),
+        s"the Azure probe must HEAD the container resource: $seen")
+      // missing keys and unsupported types answer structured failures
+      val (s5, j5) = probe(
+        """{"connector_type": "S3", "connector_config": {"endpoint": "http://x"}}""")
+      assert(s5 == 200 && !j5.get("success").asBoolean() &&
+        j5.get("message").asText().contains("Missing required config"), j5.toString)
+      val (s6, j6) = probe(
+        """{"connector_type": "Filesystem", "connector_config": {"path": "/tmp"}}""")
+      assert(s6 == 200 && !j6.get("success").asBoolean() &&
+        j6.get("message").asText().contains("does not support"), j6.toString)
+      // the reference 400s a missing config outright
+      assert(probe("""{"connector_type": "S3"}""")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("async reindex: 202 + batch id, polled to done through the progress ring") {
     val plog = new graft.ingest.ProgressLog()
     val wh2 = java.nio.file.Files.createTempDirectory("graft-settings-async").toString
