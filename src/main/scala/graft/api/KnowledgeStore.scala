@@ -184,6 +184,20 @@ final class KnowledgeStore(
     * (container ids are name-derived UUIDs, so a recreated same-named
     * container would otherwise inherit ghost folders). */
   def deleteContainer(containerId: String): Unit = {
+    // ref PostgresContainerStore.DeleteAsync:96-119 — a MANAGED-STORAGE
+    // container that still holds documents refuses deletion (the store
+    // owns those bytes; silent cascade would destroy data). Watcher-only
+    // connectors (Filesystem/S3/AzureBlob) delete freely: they just stop
+    // being indexed, the source of truth is the remote.
+    containerDetails(containerId).foreach { case (_, name, ct, _) =>
+      if (ct == "ManagedStorage") {
+        val docs = documentCounts().getOrElse(containerId, 0L)
+        if (docs > 0)
+          throw new IllegalArgumentException(
+            s"Container '$name' is not empty ($docs documents). " +
+              "Delete all files first.")
+      }
+    }
     // txMode: logically remove the container's live files in one
     // metadata commit — readers flip atomically, in-flight snapshot and
     // time-travel reads keep working, and VACUUM reclaims the bytes on

@@ -408,7 +408,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("GET", "/auth/users") =>
           requireAdmin()
           val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
-          ok(ex, arr(reg.listUsers().map { case (id, email, name, ss, active) =>
+          // ?skip=&take= (ref docs/api.md "Paginated endpoints" lists the
+          // user listing; same PaginationValidator bounds as the others)
+          val uq = query(ex)
+          val uSkip = uq.get("skip").map(_.toInt).getOrElse(0)
+          val uTake = uq.get("take").map(_.toInt).getOrElse(RestServer.MaxPageSize)
+          require(uSkip >= 0, "skip must be >= 0")
+          require(uTake >= 1 && uTake <= RestServer.MaxPageSize,
+            s"take must be between 1 and ${RestServer.MaxPageSize}")
+          ok(ex, arr(reg.listUsers().sortBy(_._2).slice(uSkip, uSkip + uTake)
+            .map { case (id, email, name, ss, active) =>
             obj("user_id" -> id, "email" -> email, "name" -> name,
               "scopes" -> ss.map(s => s: Any), "active" -> active)
           }))

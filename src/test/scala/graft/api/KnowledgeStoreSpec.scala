@@ -160,6 +160,7 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     val after = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
     assert(after == before, "unrelated container partition was rewritten")
     assert(store.getDocument(other, "keep/me.txt").nonEmpty)
+    store.deleteFile(other, "keep/me.txt")
     store.deleteContainer(other)
   }
 
@@ -198,6 +199,7 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     val doc = store.getDocument(cid, "dup/a.txt")
     assert(doc.exists(_.contains("second version wins")))
     assert(doc.forall(!_.contains("first version")))
+    store.bulkDelete(cid, Seq("dup/a.txt", "dup/b.txt"))
     store.deleteContainer(cid)
   }
 
@@ -250,12 +252,23 @@ class KnowledgeStoreSpec extends AnyFunSuite {
     store.deleteContainer(cid)
   }
 
-  test("container_delete drops data and registry entry") {
+  test("container_delete drops data and registry entry; non-empty managed refuses") {
     val cid = store.createContainer("temp")
     store.uploadFile(cid, "x.txt", "temporary words here")
+    // ref PostgresContainerStore.DeleteAsync:96-119 — managed storage
+    // owns the bytes; a non-empty container refuses deletion
+    val e = intercept[IllegalArgumentException](store.deleteContainer(cid))
+    assert(e.getMessage.contains("not empty"), e.getMessage)
+    store.deleteFile(cid, "x.txt")
     store.deleteContainer(cid)
     assert(!store.listContainers().exists(_._1 == cid))
     assert(store.containerStats(cid)("documents") == 0)
+    // watcher-only connectors delete freely WITH documents still indexed
+    // (they just stop being indexed; the remote owns the source bytes)
+    val fs = store.createContainer("temp-fs", connectorType = "Filesystem")
+    store.uploadFile(fs, "y.txt", "watcher connector document words")
+    store.deleteContainer(fs)
+    assert(!store.listContainers().exists(_._1 == fs))
   }
 
   test("container_delete clears folders: a recreated name sees no ghosts") {
@@ -445,7 +458,7 @@ class KnowledgeStoreTxSpec extends KnowledgeStoreSpec {
     val s = new KnowledgeStore(spark, wh,
       cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5),
       transactional = true)
-    val cid = s.createContainer("tx-cdel")
+    val cid = s.createContainer("tx-cdel", connectorType = "Filesystem")
     val keep = s.createContainer("tx-keep")
     s.uploadFile(cid, "/a.txt", "alpha beta gamma delta epsilon zeta")
     s.uploadFile(keep, "/k.txt", "kappa lambda mu nu xi omicron")

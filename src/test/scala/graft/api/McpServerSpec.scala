@@ -203,9 +203,17 @@ class McpServerSpec extends AnyFunSuite {
     assert(!e13 && bdel.contains("Deleted 1 of 2"), bdel)
     assert(bdel.contains("FAIL  /nope.txt"))
 
-    // container_delete; unknown container answers the reference's text
+    // container_delete: a NON-EMPTY managed container refuses (ref
+    // PostgresContainerStore.DeleteAsync — the store owns those bytes;
+    // fusion.txt is still indexed), then succeeds once emptied
+    val (eNE, notEmpty) = call(base, "container_delete",
+      """{"containerId": "mcp-docs"}""")
+    assert(eNE && notEmpty.contains("not empty"), notEmpty)
+    val (eDf, _) = call(base, "delete_file",
+      s"""{"containerId": "$cid", "fileId": "/fusion.txt"}""")
+    assert(!eDf)
     val (e14, cdel) = call(base, "container_delete", """{"containerId": "mcp-docs"}""")
-    assert(!e14 && cdel.contains("Deleted"))
+    assert(!e14 && cdel.contains("Deleted"), cdel)
     val (_, gone) = call(base, "container_stats", """{"containerId": "mcp-docs"}""")
     assert(gone.contains("not found"))
   }
@@ -247,8 +255,11 @@ class McpServerSpec extends AnyFunSuite {
     assert(!e9 && ri.contains("Reindexed 1"), ri)
     val (e10, rc2) = call(base, "reindex_check", """{"containerId": "mcp-settings"}""")
     assert(!e10 && rc2.contains("Unchanged: 1"), rc2)
-    // cleanup: global chunking reset so later suites see constructor cfg
+    // cleanup: global chunking reset so later suites see constructor cfg;
+    // the container must empty before it deletes (managed-storage guard)
     call(base, "settings_reset", """{"category": "chunking"}""")
+    call(base, "delete_file",
+      """{"containerId": "mcp-settings", "fileId": "/s.txt"}""")
     call(base, "container_delete", """{"containerId": "mcp-settings"}""")
   }
 

@@ -112,7 +112,13 @@ class RestServerSpec extends AnyFunSuite {
     val (mSt, mB) = send("POST", "/maintain", "{}")
     assert(mSt == 200 && mB.get("postings").asText() == "refreshed")
 
-    // container delete clears everything
+    // container delete: non-empty managed storage refuses with 400 (ref
+    // PostgresContainerStore.DeleteAsync + docs/api.md "must be empty
+    // first"); emptied, it deletes
+    val (neSt, neB) = send("DELETE", s"/containers/$cid")
+    assert(neSt == 400 && neB.get("error").asText().contains("not empty"), neB)
+    assert(send("POST", s"/containers/$cid/bulk_delete",
+      """{"paths": ["/guide/chunking.txt"]}""")._1 == 204)
     assert(send("DELETE", s"/containers/$cid")._1 == 204)
     assert(send("GET", "/containers")._2.size() == 0)
     server.stop()
