@@ -74,12 +74,21 @@ final class KnowledgeStore(
   private val containersPath = s"$warehouse/containers"
 
   private def containersDf: DataFrame = {
-    val df = try spark.read.parquet(containersPath)
-    catch { case _: Throwable => Seq.empty[(String, String, String, Boolean)]
-      .toDF("container_id", "name", "connector_type", "writable") }
-    // warehouses written before the write-guard column default to writable
-    if (df.columns.contains("writable")) df
-    else df.withColumn("writable", lit(true))
+    var df = try spark.read.parquet(containersPath)
+    catch { case _: Throwable =>
+      Seq.empty[(String, String, String, Boolean, String, Long)]
+        .toDF("container_id", "name", "connector_type", "writable",
+          "description", "created_ms") }
+    // columns added over time default for older warehouses: the
+    // write-guard flag, then (r15) description + created_ms (ref
+    // Container record: Id/Name/Description/ConnectorType/CreatedAt)
+    if (!df.columns.contains("writable"))
+      df = df.withColumn("writable", lit(true))
+    if (!df.columns.contains("description"))
+      df = df.withColumn("description", lit(""))
+    if (!df.columns.contains("created_ms"))
+      df = df.withColumn("created_ms", lit(0L))
+    df
   }
 
   private def tableOrEmpty(path: String, empty: => DataFrame): DataFrame =
@@ -108,7 +117,8 @@ final class KnowledgeStore(
   def createContainer(
       name: String,
       connectorType: String = "ManagedStorage",
-      writable: Boolean = true): String = {
+      writable: Boolean = true,
+      description: String = ""): String = {
     // Reference trims before validating (ContainersEndpoints.cs:31), then
     // rejects anything outside ^[a-z0-9][a-z0-9-]*[a-z0-9]$ 2-128 with a
     // 400 (PathUtilities.cs:13-17). Enforced HERE so every transport
@@ -125,9 +135,19 @@ final class KnowledgeStore(
       case "ManagedStorage" => true
       case _ => writable
     }
-    Seq((id, trimmed, connectorType, effective))
-      .toDF("container_id", "name", "connector_type", "writable")
-      .write.mode(SaveMode.Append).parquet(containersPath)
+    val row = Seq((id, trimmed, connectorType, effective,
+        Option(description).getOrElse(""), System.currentTimeMillis()))
+      .toDF("container_id", "name", "connector_type", "writable",
+        "description", "created_ms")
+    // first container: plain write; otherwise union through containersDf
+    // (which defaults columns older rows lack) and swap-rewrite, so the
+    // registry never holds mixed schemas a plain parquet read would
+    // resolve nondeterministically
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(containersPath), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(containersPath)))
+      row.write.parquet(containersPath)
+    else rewriteRegistry(containersPath, containersDf.unionByName(row))
     id
   }
 
@@ -136,17 +156,27 @@ final class KnowledgeStore(
     containersDf.select("container_id", "name", "connector_type")
       .as[(String, String, String)].collect().toSeq
 
+  /** Full listing rows (ref Container record: the REST listing carries
+    * description and created alongside the identity triple). */
+  def listContainersDetailed()
+      : Seq[(String, String, String, Boolean, String, Long)] =
+    containersDf.select("container_id", "name", "connector_type",
+        "writable", "description", "created_ms")
+      .as[(String, String, String, Boolean, String, Long)].collect().toSeq
+
   /** One container's record (ref ContainersEndpoints.cs:101 GetContainer
     * / :116 GetContainerByName — names compare lowercased there because
     * creation already lowercases; ours validates the same alphabet):
     * (container_id, name, connector_type, writable). */
   def containerDetails(idOrName: String, byName: Boolean = false)
-      : Option[(String, String, String, Boolean)] = {
+      : Option[(String, String, String, Boolean, String, Long)] = {
     val key = if (byName) "name" else "container_id"
     val v = if (byName) idOrName.toLowerCase else idOrName
     containersDf.filter(col(key) === v)
-      .select("container_id", "name", "connector_type", "writable")
-      .as[(String, String, String, Boolean)].collect().headOption
+      .select("container_id", "name", "connector_type", "writable",
+        "description", "created_ms")
+      .as[(String, String, String, Boolean, String, Long)]
+      .collect().headOption
   }
 
   /** Global embedding-model discovery (ref SettingsEndpoints.cs:235
@@ -189,7 +219,7 @@ final class KnowledgeStore(
     // owns those bytes; silent cascade would destroy data). Watcher-only
     // connectors (Filesystem/S3/AzureBlob) delete freely: they just stop
     // being indexed, the source of truth is the remote.
-    containerDetails(containerId).foreach { case (_, name, ct, _) =>
+    containerDetails(containerId).foreach { case (_, name, ct, _, _, _) =>
       if (ct == "ManagedStorage") {
         val docs = documentCounts().getOrElse(containerId, 0L)
         if (docs > 0)

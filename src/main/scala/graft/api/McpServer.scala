@@ -441,7 +441,8 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
       // PathUtilities.cs rule) — its IllegalArgumentException surfaces
       // here as an isError tool result, same as every other transport.
       val n = reqStr(args, "name")
-      val id = store.createContainer(n)
+      val id = store.createContainer(n,
+        description = optStr(args, "description").getOrElse(""))
       s"Created container '$n' with ID: $id"
     case "container_list" =>
       val cs = store.listContainers()

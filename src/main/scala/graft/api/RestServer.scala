@@ -874,14 +874,16 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           // listing route already refuses enumeration, and a 403 here
           // would leak which names exist to a foreign-scoped key
           store.containerDetails(name, byName = true) match {
-            case Some((id, n, ct, w)) if !guarded ||
+            case Some((id, n, ct, w, desc, created)) if !guarded ||
                 ApiKeyRegistry.allowsScopes(scopes, "read", id) =>
               ok(ex, obj("container_id" -> id, "name" -> n,
-                "connector_type" -> ct, "writable" -> w))
+                "connector_type" -> ct, "writable" -> w,
+                "description" -> desc, "created_ms" -> created))
             case _ => err(ex, 404, s"Container '$name' not found")
           }
         case ("POST", "/search") => search(ex, requireScope)
         case ("GET", Sub(id, "search")) => searchGet(ex, id, requireScope)
+        case ("POST", Sub(id, "search")) => searchPost(ex, id, requireScope)
         case ("GET", "/settings/embedding-models") =>
           // global model discovery (ref SettingsEndpoints.cs:235): every
           // model with vectors anywhere, flagged against the CURRENT
@@ -1064,22 +1066,29 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           require(skip >= 0, "skip must be >= 0")
           require(take >= 1 && take <= RestServer.MaxPageSize,
             s"take must be between 1 and ${RestServer.MaxPageSize}")
-          ok(ex, arr(store.listContainers()
-            .filter { case (id, _, _) =>
+          val docCounts = store.documentCounts() // ONE grouped job, not N+1
+          ok(ex, arr(store.listContainersDetailed()
+            .filter { case (id, _, _, _, _, _) =>
               !guarded || ApiKeyRegistry.allowsScopes(scopes, "read", id) }
             .sortBy(_._2)
             .slice(skip, skip + take)
-            .map { case (id, name, ct) =>
-              obj("container_id" -> id, "name" -> name, "connector_type" -> ct)
+            .map { case (id, name, ct, w, desc, created) =>
+              obj("container_id" -> id, "name" -> name,
+                "connector_type" -> ct, "writable" -> w,
+                "description" -> desc, "created_ms" -> created,
+                "document_count" -> docCounts.getOrElse(id, 0L))
             }))
         case ("GET", Container(id)) =>
           // same enumeration posture as the by-name route: absence and
           // out-of-scope are indistinguishable
           store.containerDetails(id) match {
-            case Some((cid2, n, ct, w)) if !guarded ||
+            case Some((cid2, n, ct, w, desc, created)) if !guarded ||
                 ApiKeyRegistry.allowsScopes(scopes, "read", cid2) =>
               ok(ex, obj("container_id" -> cid2, "name" -> n,
-                "connector_type" -> ct, "writable" -> w))
+                "connector_type" -> ct, "writable" -> w,
+                "description" -> desc, "created_ms" -> created,
+                "document_count" ->
+                  store.documentCounts().getOrElse(cid2, 0L)))
             case _ => err(ex, 404, s"Container $id not found")
           }
         case ("DELETE", Container(id)) =>
@@ -1293,6 +1302,45 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       "content" -> h.content, "score" -> h.score,
       "metadata" -> h.metadata.toSeq.sortBy(_._1))))
 
+  /** POST /containers/{id}/search — the reference's container-scoped
+    * ADVANCED form (ref SearchEndpoints.cs:76-135, ContainerSearchRequest:
+    * query, path, mode, topK, minScore, filters.pathPrefix): mapped onto
+    * the same SearchRequest as the flat POST /search, absent fields
+    * falling back to the container's effective settings. An explicit
+    * `path` wins over `filters.pathPrefix` only when the filter is
+    * absent, matching the reference's precedence. */
+  private def searchPost(ex: HttpExchange, cid: String,
+      guard: (String, String) => Unit): Unit = {
+    guard("read", cid)
+    val b = body(ex)
+    val eff = store.effectiveSettings("search", Some(cid))
+    val filterPrefix = Option(b.get("filters")).filter(_.isObject)
+      .flatMap(f => Option(f.get("pathPrefix")).filterNot(_.isNull)
+        .map(_.asText()).filter(_.nonEmpty))
+    val mode = optStr(b, "mode").map(_.toLowerCase) match {
+      case Some(m @ ("semantic" | "keyword" | "hybrid")) => m
+      case _ => eff("mode")
+    }
+    val req = SearchRequest(
+      query = str(b, "query"),
+      containerId = cid,
+      mode = mode,
+      topK = optInt(b, "top_k").orElse(optInt(b, "topK"))
+        .getOrElse(eff("top_k").toInt),
+      minScore = optDouble(b, "min_score").orElse(optDouble(b, "minScore"))
+        .getOrElse(eff("min_score").toDouble),
+      alpha = eff("alpha").toDouble,
+      fusionMethod = eff("fusion_method"),
+      autoCut = eff("auto_cut").toBoolean,
+      pathPrefix = filterPrefix.orElse(optStr(b, "path")),
+      crossModelSearch = eff("cross_model_search").toBoolean,
+      mmrLambda = eff.get("mmr_lambda").map(_.toDouble),
+      rankFn = eff("rank_fn"),
+      snippetTokens = eff.get("snippet_tokens").map(_.toInt),
+      maxsimTokens = eff.get("maxsim_tokens").map(_.toInt))
+    ok(ex, hitsJson(store.search(req)))
+  }
+
   /** GET /containers/{id}/search?q=…&mode=&topK=&path=&minScore= — the
     * curl/browser-friendly surface the reference documents first
     * (ref SearchEndpoints.cs:19-71): query params mapped onto the same
@@ -1336,7 +1384,8 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
     val id = store.createContainer(
       name = str(b, "name"),
       connectorType = optStr(b, "connector_type").getOrElse("ManagedStorage"),
-      writable = bool(b, "writable", default = true))
+      writable = bool(b, "writable", default = true),
+      description = optStr(b, "description").getOrElse(""))
     ok(ex, obj("container_id" -> id), status = 201)
   }
 

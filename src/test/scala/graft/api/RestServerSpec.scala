@@ -252,6 +252,31 @@ class RestServerSpec extends AnyFunSuite {
       // (same namespace as the untrimmed form — duplicate rejected)
       assert(create("  trimmed  ")._1 == 201)
       assert(create("trimmed")._1 == 400) // duplicate after trim
+      // description + created_ms persist through create -> details/list
+      // (ref Container record: Id/Name/Description/ConnectorType/CreatedAt)
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base6/containers"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"name": "described", "description": "project knowledge base"}"""))
+        .build()
+      val created = mapper.readTree(client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      val dId = created.get("container_id").asText()
+      val getReq = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base6/containers/$dId")).GET().build()
+      val det = mapper.readTree(client.send(getReq,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      assert(det.get("description").asText() == "project knowledge base")
+      assert(det.get("created_ms").asLong() > 0L)
+      assert(det.get("document_count").asLong() == 0L)
+      val listReq = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base6/containers")).GET().build()
+      val listing = mapper.readTree(client.send(listReq,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      val row = (0 until listing.size()).map(listing.get)
+        .find(_.get("name").asText() == "described").get
+      assert(row.get("description").asText() == "project knowledge base")
+      assert(row.get("document_count").asLong() == 0L)
     } finally s6.stop()
   }
 
@@ -308,6 +333,19 @@ class RestServerSpec extends AnyFunSuite {
       assert(send7("GET", s"/containers/$cid/search?q=x&topK=abc")._1 == 400)
       // unknown mode falls back (reference Enum.TryParse → Hybrid): 200
       assert(send7("GET", s"/containers/$cid/search?q=chunk+overlap&mode=bogus")._1 == 200)
+      // the container-scoped POST (ref ContainerSearchRequest) answers
+      // the same hits as the flat POST; filters.pathPrefix wins over path
+      val cpost = send7("POST", s"/containers/$cid/search",
+        """{"query": "chunk overlap", "mode": "keyword", "topK": 5}""")
+      assert(cpost._1 == 200 &&
+        cpost._2.get("hits").size() == post._2.get("hits").size(), cpost)
+      val cfil = send7("POST", s"/containers/$cid/search",
+        """{"query": "chunk overlap", "mode": "keyword", "path": "/guide/",
+            "filters": {"pathPrefix": "/api/"}}""")
+      assert(cfil._1 == 200 &&
+        cfil._2.get("hits").size() == scoped._2.get("hits").size(), cfil)
+      assert(send7("POST", s"/containers/$cid/search", """{"topK": 3}""")._1 == 400,
+        "missing query must 400")
 
       // by-fileId document surface (ref DocumentsEndpoints.cs:221-465)
       val listing = send7("GET", s"/containers/$cid/files")._2
