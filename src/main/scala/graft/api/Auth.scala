@@ -696,6 +696,43 @@ final class CloudFlows(
   def azureStart(): DeviceAuth =
     azure.getOrElse(sys.error("azure not configured")).start(azureScope)
 
+  /** Browser connect start (ref CloudIdentityEndpoints.cs:40-63 GET
+    * /azure/connect): fresh state + PKCE verifier with its S256
+    * challenge. The caller stashes state/verifier in HttpOnly cookies
+    * and 302s the browser to `authorizeUrl`. */
+  final case class AzureConnect(authorizeUrl: String, state: String,
+      codeVerifier: String)
+
+  def azureConnectStart(redirectUri: String): AzureConnect = {
+    val az = azure.getOrElse(sys.error("azure not configured"))
+    val rnd = new java.security.SecureRandom()
+    def tok(): String = {
+      val raw = new Array[Byte](32); rnd.nextBytes(raw)
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(raw)
+    }
+    val state = tok()
+    val verifier = tok()
+    val challenge = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(java.security.MessageDigest.getInstance("SHA-256")
+        .digest(verifier.getBytes("UTF-8")))
+    AzureConnect(
+      az.authorizeUrl(redirectUri, azureScope, state, challenge),
+      state, verifier)
+  }
+
+  /** Browser connect finish (ref HandleAzureCallbackAsync): exchange the
+    * code under PKCE, read the durable `oid` claim SERVER-side — the
+    * linked principal is never accepted from the client. */
+  def azureConnectFinish(code: String, codeVerifier: String,
+      redirectUri: String): (String, String) = {
+    val az = azure.getOrElse(sys.error("azure not configured"))
+    val t = az.exchangeCode(code, codeVerifier, redirectUri, azureScope)
+    require(t.idToken.nonEmpty,
+      "token response missing id_token (scope must include openid)")
+    val (oid, _, name) = idTokenClaims(t.idToken)
+    (oid, name)
+  }
+
   /** None while pending; Some((object id, display name)) once approved —
     * the durable `oid` claim from the id_token, read SERVER-side. */
   def azurePoll(deviceCode: String): Option[(String, String)] =

@@ -1378,6 +1378,63 @@ final class KnowledgeStore(
     ex
   }
 
+  /** Status of the last GLOBAL settings-reindex sweep (ref
+    * ReindexStateService: Status/StartedAt/CompletedAt/LastError; the
+    * reference reports its ingestion-queue depth as a progress proxy —
+    * here queueDepth is the count of containers the running sweep has
+    * not finished yet). */
+  final case class GlobalReindexState(
+      status: String, queueDepth: Int, startedMs: Long,
+      completedMs: Long, lastError: String)
+
+  private val globalReindex =
+    new java.util.concurrent.atomic.AtomicReference(
+      GlobalReindexState("idle", 0, 0L, 0L, ""))
+
+  def globalReindexStatus: GlobalReindexState = globalReindex.get()
+
+  /** The reference's GLOBAL reindex trigger (SettingsEndpoints.cs:261-309
+    * POST /settings/reindex): flips cross-model search ON if it is off
+    * (old- and new-model vectors coexist searchably mid-sweep), then
+    * re-ingests every stale document in every writable container — or
+    * just `containerId` — in the background. Runs on the SAME serialized
+    * executor as the per-container trigger, so a global sweep and a
+    * per-container reindex can never race the upsert path. Fire and
+    * forget; poll [[globalReindexStatus]] (GET /settings/reindex/status). */
+  def reindexAllAsync(containerId: Option[String] = None,
+      force: Boolean = false): Unit = {
+    containerId.foreach { c => // fail fast on the caller's thread
+      require(listContainers().exists(_._1 == c), s"no such container: $c")
+      requireWritable(c)
+    }
+    // ref auto-enables cross-model search before re-embedding; merge into
+    // the STORED global row (putSettings is whole-row replace per scope)
+    if (!effectiveSettings("search")("cross_model_search").toBoolean)
+      putSettings("search",
+        getSettings("search") + ("cross_model_search" -> "true"))
+    val targets = containerId.map(Seq(_)).getOrElse(
+      listContainersDetailed().filter(_._4).map(_._1))
+    val startMs = System.currentTimeMillis()
+    globalReindex.set(
+      GlobalReindexState("running", targets.size, startMs, 0L, ""))
+    reindexExec.submit(new Runnable {
+      override def run(): Unit =
+        try {
+          targets.zipWithIndex.foreach { case (cid, i) =>
+            reindexStale(cid, force)
+            globalReindex.set(GlobalReindexState(
+              "running", targets.size - i - 1, startMs, 0L, ""))
+          }
+          globalReindex.set(GlobalReindexState(
+            "completed", 0, startMs, System.currentTimeMillis(), ""))
+        } catch {
+          case e: Throwable => globalReindex.set(GlobalReindexState(
+            "failed", 0, startMs, System.currentTimeMillis(),
+            String.valueOf(e.getMessage)))
+        }
+    })
+  }
+
   // ---- maintenance ------------------------------------------------------
 
   /** The warehouse's NIGHTLY JOB in one call (the reference runs these as

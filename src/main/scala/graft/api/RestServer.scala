@@ -353,7 +353,10 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       }
       (method, path) match {
         // ---- user sessions (ref AuthEndpoints.cs; UserRegistry) --------
-        case ("POST", "/auth/login") =>
+        // "/auth/token" + "/auth/token/refresh" are the reference's
+        // literal paths (AuthEndpoints.cs:22,62) — served as aliases so
+        // its clients work verbatim
+        case ("POST", "/auth/login" | "/auth/token") =>
           val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
           val b = body(ex)
           val email = str(b, "email")
@@ -364,7 +367,7 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 "refresh_token" -> tp.refreshToken, "expires_ms" -> tp.expiresMs))
             case None => throw Denied(401, "invalid credentials")
           }
-        case ("POST", "/auth/refresh") =>
+        case ("POST", "/auth/refresh" | "/auth/token/refresh") =>
           val reg = users.getOrElse(throw Denied(404, "no user registry configured"))
           reg.refresh(str(body(ex), "refresh_token")) match {
             case Some(tp) => ok(ex, obj("access_token" -> tp.accessToken,
@@ -529,6 +532,54 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
                 "provider" -> p, "principal" -> principal,
                 "display_name" -> name)))
           }
+        // Azure browser-redirect link flow (ref CloudIdentityEndpoints
+        // .cs:40-103 GET /azure/connect + /azure/callback): state + PKCE
+        // verifier ride HttpOnly cookies scoped to the callback path;
+        // the linked principal is still DISCOVERED server-side from the
+        // id_token at the callback, same invariant as the device flows.
+        case ("GET", "/auth/cloud/azure/connect") =>
+          val (_, _) = cloudSession()
+          val flows = cloudFlows.getOrElse(
+            throw Denied(404, "no cloud provider flows configured"))
+          if (!flows.azureConfigured)
+            throw Denied(400, "azure_ad_not_configured: an admin must " +
+              "set the Azure client and tenant ids")
+          val c = flows.azureConnectStart(
+            baseUrl(ex) + "/auth/cloud/azure/callback")
+          val opts = "; HttpOnly; SameSite=Lax; Max-Age=600; " +
+            "Path=/auth/cloud/azure"
+          ex.getResponseHeaders.add("Set-Cookie",
+            s"azure_oauth_state=${c.state}$opts")
+          ex.getResponseHeaders.add("Set-Cookie",
+            s"azure_oauth_pkce=${c.codeVerifier}$opts")
+          auditRec(302, "cloud_connect azure")
+          redirect(ex, c.authorizeUrl)
+        case ("GET", "/auth/cloud/azure/callback") =>
+          val (creg, sub) = cloudSession()
+          val flows = cloudFlows.getOrElse(
+            throw Denied(404, "no cloud provider flows configured"))
+          val q = query(ex)
+          val code = q.getOrElse("code",
+            throw new IllegalArgumentException("missing query parameter: code"))
+          val jar = cookies(ex)
+          val expected = jar.getOrElse("azure_oauth_state", "")
+          if (expected.isEmpty || !q.get("state").contains(expected))
+            throw Denied(400, "invalid_state: invalid or expired state parameter")
+          val verifier = jar.getOrElse("azure_oauth_pkce", "")
+          if (verifier.isEmpty)
+            throw Denied(400, "invalid_pkce: missing PKCE code verifier")
+          // one-shot cookies: expire them whether the exchange succeeds
+          // or fails (ref deletes before calling the exchange)
+          val gone = "=; Max-Age=0; Path=/auth/cloud/azure"
+          ex.getResponseHeaders.add("Set-Cookie", "azure_oauth_state" + gone)
+          ex.getResponseHeaders.add("Set-Cookie", "azure_oauth_pkce" + gone)
+          val (principal, name) = try flows.azureConnectFinish(
+            code, verifier, baseUrl(ex) + "/auth/cloud/azure/callback")
+          catch { case e: Exception =>
+            throw Denied(400, s"azure_callback_failed: ${e.getMessage}") }
+          creg.link(sub, "azure", principal, name)
+          auditRec(201, "cloud_link azure")
+          redirect(ex, "/profile")
         case ("DELETE", CloudProvider(p)) =>
           val (creg, sub) = cloudSession()
           if (creg.disconnect(sub, p)) {
@@ -915,6 +966,30 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("GET", "/settings") =>
           requireAdmin()
           ok(ex, arr(store.listSettingsCategories().map(c => c: Any)))
+        // global settings-reindex (ref SettingsEndpoints.cs:261-340
+        // POST /reindex + GET /reindex/status): fire the background
+        // re-embed sweep, poll its state — is_active mirrors the
+        // reference's queue-depth>0 proxy via the sweep's own status
+        case ("POST", "/settings/reindex") =>
+          requireAdmin()
+          val b = optBody(ex)
+          store.reindexAllAsync(
+            b.flatMap(optStr(_, "container_id")),
+            b.exists(bool(_, "force", default = false)))
+          auditRec(200, "settings_reindex")
+          ok(ex, obj("success" -> true,
+            "message" -> "Re-embedding started in background"))
+        case ("GET", "/settings/reindex/status") =>
+          requireAdmin()
+          val s = store.globalReindexStatus
+          ok(ex, obj(
+            "queue_depth" -> s.queueDepth,
+            "is_active" -> (s.status == "running"),
+            "status" -> s.status,
+            "is_failed" -> (s.status == "failed"),
+            "last_error" -> s.lastError,
+            "started_ms" -> s.startedMs,
+            "completed_ms" -> s.completedMs))
         // test CANDIDATE settings before saving them (ref
         // SettingsEndpoints.cs POST /test-connection + ConnectionTesters):
         // body = {category, settings: {...}}; never throws — failures
@@ -959,6 +1034,44 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
         case ("DELETE", ContainerSettings(id, cat)) =>
           requireAdmin()
           store.resetSettings(cat, Some(id)); noContent(ex)
+        case ("PUT", Sub(id, "settings")) =>
+          // whole-record overrides REPLACE (ref ContainersEndpoints.cs:225
+          // SaveContainerSettings: the stored overrides JSON is swapped
+          // wholesale, so a category absent from the body is CLEARED).
+          // Validation stays per-category through putSettings — all-or-
+          // nothing: every category validates before any is written.
+          requireAdmin()
+          if (!store.listContainers().exists(_._1 == id))
+            err(ex, 404, s"Container $id not found")
+          else {
+            val b = body(ex)
+            require(b != null && b.isObject, "settings body must be a JSON object")
+            val cats = {
+              val out = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+              val fields = b.fields()
+              while (fields.hasNext) {
+                val e = fields.next()
+                require(e.getValue.isObject,
+                  s"category '${e.getKey}' must be a JSON object of settings")
+                val inner = scala.collection.mutable.LinkedHashMap[String, String]()
+                val fs = e.getValue.fields()
+                while (fs.hasNext) {
+                  val f = fs.next(); inner += f.getKey -> f.getValue.asText()
+                }
+                out += e.getKey -> inner.toMap
+              }
+              out.toMap
+            }
+            require(!cats.contains("serving"),
+              "serving settings are global-scope only")
+            cats.foreach { case (cat, vs) => Settings.validate(cat, vs) }
+            cats.foreach { case (cat, vs) => store.putSettings(cat, vs, Some(id)) }
+            store.listSettingsCategories(Some(id))
+              .filterNot(cats.contains)
+              .foreach(cat => store.resetSettings(cat, Some(id)))
+            ok(ex, obj(cats.toSeq.map { case (cat, vs) =>
+              cat -> (vs.toSeq.sortBy(_._1): Any) }: _*))
+          }
         case ("GET", Sub(id, "settings")) =>
           // whole-record overrides view (ref ContainersEndpoints.cs:209
           // GetContainerSettings): every category with a STORED override
@@ -1512,6 +1625,20 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
       "http://" + Option(ex.getRequestHeaders.getFirst("Host"))
         .getOrElse("127.0.0.1:" + server.getAddress.getPort))
 
+  private def redirect(ex: HttpExchange, location: String): Unit = {
+    ex.getResponseHeaders.set("Location", location)
+    ex.sendResponseHeaders(302, -1)
+    ex.close()
+  }
+
+  private def cookies(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+      .split(';').map(_.trim).filter(_.contains('='))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> v
+      }.toMap
+
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.contains('='))
@@ -1532,7 +1659,8 @@ object RestServer {
     * token, invite token, code+PKCE verifier) and rate-limited per
     * source address. */
   val OpenAuthRoutes: Set[String] =
-    Set("/auth/login", "/auth/refresh", "/auth/signup", "/oauth/token",
+    Set("/auth/login", "/auth/token", "/auth/refresh",
+      "/auth/token/refresh", "/auth/signup", "/oauth/token",
       "/oauth/register")
 
   /** Always-on per-address throttle on [[OpenAuthRoutes]] (each login is

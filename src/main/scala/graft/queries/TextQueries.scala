@@ -1443,7 +1443,72 @@ object TextQueries {
                CAST(row_number() OVER (ORDER BY wilson_lo DESC, source) AS INT) rank
         FROM r ORDER BY rank"""
       },
-      doc = "Per-source keep-rate ranking by Wilson lower bound (domain admission gating)")
+      doc = "Per-source keep-rate ranking by Wilson lower bound (domain admission gating)"),
+
+    QueryDef(
+      "q165_source_overlap",
+      (s, d) => {
+        // Cross-SOURCE contamination audit: pairwise word-8-gram
+        // containment between sources — the report run BEFORE mixing
+        // datasets (is feed B a mirror or subset of feed A?), the
+        // source-level sibling of the doc-level decontamination gates
+        // (q69/q89). Shape: explode to DISTINCT (source, gram) — set
+        // semantics, so repeat occurrences inside a source don't inflate
+        // overlap — then ONE keyed self-join on the gram. A gram shared
+        // by k sources fans out C(k,2) pair rows and k is bounded by the
+        // SOURCE count (not the corpus), so the join stays linear in
+        // distinct grams at any scale; containment divides by the
+        // SMALLER side's gram-set size so a mirrored subset reads 1.0
+        // regardless of size skew. persist: the distinct gram set feeds
+        // the per-source totals AND both self-join sides.
+        val grams = table(s, d, "documents")
+          .withColumn("toks", expr(toksSpark("text")))
+          .filter(size(col("toks")) >= 8)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', " +
+              "element_at(toks, i), element_at(toks, i + 1), " +
+              "element_at(toks, i + 2), element_at(toks, i + 3), " +
+              "element_at(toks, i + 4), element_at(toks, i + 5), " +
+              "element_at(toks, i + 6), element_at(toks, i + 7)))")).as("gram"))
+          .distinct()
+          .persist()
+        val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val pairs = grams
+          .join(grams.withColumnRenamed("source", "source_b"), Seq("gram"))
+          .where(col("source") < col("source_b"))
+          .groupBy(col("source").as("src_a"), col("source_b").as("src_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+        pairs
+          .join(totals.select(col("source").as("src_a"),
+            col("n_grams").as("n_a")), Seq("src_a"))
+          .join(totals.select(col("source").as("src_b"),
+            col("n_grams").as("n_b")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("shared_grams"),
+            col("n_a"), col("n_b"),
+            round(col("shared_grams").cast("double") /
+              least(col("n_a"), col("n_b")), 6).as("containment"))
+          .orderBy(desc("containment"), col("src_a"), col("src_b"))
+      },
+      Some(s"""
+        WITH g AS (SELECT DISTINCT source,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                          || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                          || ' ' || t[i+7] AS gram
+                   FROM (SELECT source, ${toksDuck("text")} t FROM documents),
+                        unnest(range(1, len(t) - 6)) AS u(i)
+                   WHERE len(t) >= 8),
+             totals AS (SELECT source, CAST(count(*) AS BIGINT) n_grams
+                        FROM g GROUP BY source),
+             p AS (SELECT a.source src_a, b.source src_b,
+                          CAST(count(*) AS BIGINT) shared_grams
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+                   GROUP BY 1, 2)
+        SELECT src_a, src_b, shared_grams, ta.n_grams AS n_a, tb.n_grams AS n_b,
+               round(CAST(shared_grams AS DOUBLE) / least(ta.n_grams, tb.n_grams), 6) AS containment
+        FROM p JOIN totals ta ON ta.source = p.src_a
+               JOIN totals tb ON tb.source = p.src_b
+        ORDER BY containment DESC, src_a, src_b"""),
+      doc = "cross-source 8-gram containment matrix (pre-mixing contamination audit)")
   )
 
   /** Oracle generator for q119: unrolled BPE training replay. Words are

@@ -229,6 +229,39 @@ final class AzureDeviceCode(transport: HttpTransport, tenant: String,
     }
   }
 
+  /** Browser authorization-code URL (ref CloudIdentityService
+    * GetAzureConnectUrl: the Microsoft identity platform auth-code
+    * endpoint with PKCE — the state and challenge are minted by the
+    * caller, which stashes state + verifier client-side for the
+    * callback's check). */
+  def authorizeUrl(redirectUri: String, scope: String, state: String,
+      codeChallenge: String): String =
+    s"$base/authorize?" + form(
+      "client_id" -> clientId, "response_type" -> "code",
+      "redirect_uri" -> redirectUri, "response_mode" -> "query",
+      "scope" -> scope, "state" -> state,
+      "code_challenge" -> codeChallenge,
+      "code_challenge_method" -> "S256")
+
+  /** Authorization-code + PKCE exchange (ref HandleAzureCallbackAsync):
+    * terminal — a wire error throws, unlike the device poll's pending
+    * states (there is nothing to keep polling here). */
+  def exchangeCode(code: String, codeVerifier: String, redirectUri: String,
+      scope: String): AzureTokens = {
+    val r = mapper.readTree(transport.post(s"$base/token",
+      form("grant_type" -> "authorization_code", "client_id" -> clientId,
+        "code" -> code, "redirect_uri" -> redirectUri,
+        "code_verifier" -> codeVerifier, "scope" -> scope),
+      Map("Content-Type" -> "application/x-www-form-urlencoded")))
+    Option(r.get("error")).map(_.asText()).foreach(e =>
+      throw new IllegalStateException(s"azure code exchange failed: $e"))
+    AzureTokens(r.get("access_token").asText(),
+      Option(r.get("refresh_token")).map(_.asText()).getOrElse(""),
+      r.get("expires_in").asLong(),
+      Option(r.get("id_token")).filterNot(_.isNull).map(_.asText())
+        .getOrElse(""))
+  }
+
   /** Refresh-token exchange (the long-running-connector path — the
     * device dance happens once, refreshes keep it alive). */
   def refresh(refreshToken: String, scope: String): Option[AzureTokens] = {

@@ -298,6 +298,88 @@ class CloudIdentityRestSpec extends AnyFunSuite {
     assert(http("DELETE", "/auth/cloud/azure", bearer = ja)._1 == 204)
     assert(http("GET", "/auth/cloud", bearer = ja)._2.size() == 0)
   }
+
+  test("azure browser flow: connect 302 + cookies -> callback exchanges under PKCE and links the oid") {
+    // self-contained server: the shared azureFlow's canned replies belong
+    // to the device-flow test above
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-cloudid-br").toString
+    val store2 = new KnowledgeStore(spark, wh2)
+    val users2 = new UserRegistry(spark, wh2, "cloud-secret-0123456789")
+    val creg2 = new CloudIdentityRegistry(spark, wh2)
+    val az2 = new graft.sources.AzureDeviceCode(new FakeTransport(
+      s"""{"access_token": "az-at", "refresh_token": "az-rt",
+           "expires_in": 3600,
+           "id_token": "${fakeIdToken("oid-77", "Carol C")}"}"""),
+      "tenant-1", "client-1")
+    val srv = new RestServer(store2, users = Some(users2),
+      cloudIdentities = Some(creg2),
+      cloudFlows = Some(new CloudFlows(azure = Some(az2))))
+    val b2 = s"http://127.0.0.1:${srv.start()}"
+    try {
+      users2.createUser("c@example.com", "password!", Seq("admin"), "c")
+      val jc = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$b2/auth/login"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"email": "c@example.com", "password": "password!"}"""))
+          .build()
+        mapper.readTree(client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          .get("access_token").asText()
+      }
+      def raw(path: String, headers: (String, String)*)
+          : java.net.http.HttpResponse[String] = {
+        var b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(b2 + path)).GET()
+          .header("Authorization", s"Bearer $jc")
+        headers.foreach { case (k, v) => b = b.header(k, v) }
+        client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // connect: 302 to the tenant's authorize endpoint, PKCE + state
+      // minted server-side and stashed in HttpOnly cookies
+      val conn = raw("/auth/cloud/azure/connect")
+      assert(conn.statusCode() == 302, conn.body())
+      val loc = conn.headers().firstValue("Location").orElse("")
+      assert(loc.startsWith(
+        "https://login.microsoftonline.com/tenant-1/oauth2/v2.0/authorize?"))
+      assert(loc.contains("client_id=client-1") &&
+        loc.contains("code_challenge_method=S256") &&
+        loc.contains("response_type=code"), loc)
+      val setCookies = conn.headers().allValues("Set-Cookie")
+      def cookieOf(name: String): String = {
+        val c = setCookies.stream().filter(_.startsWith(name + "="))
+          .findFirst().orElse("")
+        assert(c.contains("HttpOnly") && c.contains("Path=/auth/cloud/azure"), c)
+        c.split(';')(0).split("=", 2)(1)
+      }
+      val state = cookieOf("azure_oauth_state")
+      val pkce = cookieOf("azure_oauth_pkce")
+      assert(state.nonEmpty && pkce.nonEmpty && state != pkce)
+      // the redirect URL carries the SAME state the cookie pinned
+      assert(loc.contains(s"state=$state"), loc)
+      val jar = s"azure_oauth_state=$state; azure_oauth_pkce=$pkce"
+      // wrong state: 400, nothing linked
+      val bad = raw(s"/auth/cloud/azure/callback?code=c-1&state=WRONG",
+        "Cookie" -> jar)
+      assert(bad.statusCode() == 400 && bad.body().contains("invalid_state"))
+      // no cookies at all: 400 (state can't match an absent cookie)
+      assert(raw(s"/auth/cloud/azure/callback?code=c-1&state=$state")
+        .statusCode() == 400)
+      // good callback: exchange under PKCE, link the id_token's oid,
+      // expire the one-shot cookies, bounce to /profile
+      val cb = raw(s"/auth/cloud/azure/callback?code=c-1&state=$state",
+        "Cookie" -> jar)
+      assert(cb.statusCode() == 302, cb.body())
+      assert(cb.headers().firstValue("Location").orElse("") == "/profile")
+      assert(cb.headers().allValues("Set-Cookie").stream()
+        .allMatch(c => c.contains("Max-Age=0")), "cookies must be expired")
+      val links = raw("/auth/cloud")
+      val linksJ = mapper.readTree(links.body())
+      assert(linksJ.size() == 1 &&
+        linksJ.get(0).get("principal").asText() == "oid-77", links.body())
+    } finally srv.stop()
+  }
 }
 
 /** The full session + OAuth lifecycle over real HTTP (the round-11
@@ -365,6 +447,19 @@ class AuthRestSpec extends AnyFunSuite {
     assert(http("POST", "/auth/refresh",
       s"""{"refresh_token": "$adminRefresh"}""")._1 == 401) // rotated out
     adminRefresh = newRefresh
+  }
+
+  test("the reference's /auth/token + /auth/token/refresh paths alias login/refresh") {
+    val (st, b) = http("POST", "/auth/token",
+      """{"email": "root@example.com", "password": "correct horse"}""")
+    assert(st == 200 && b.get("access_token").asText().count(_ == '.') == 2)
+    assert(http("POST", "/auth/token",
+      """{"email": "root@example.com", "password": "nope"}""")._1 == 401)
+    val (rSt, rB) = http("POST", "/auth/token/refresh",
+      s"""{"refresh_token": "${b.get("refresh_token").asText()}"}""")
+    assert(rSt == 200 && rB.get("access_token").asText().nonEmpty)
+    assert(http("POST", "/auth/token/refresh",
+      """{"refresh_token": "bogus"}""")._1 == 401)
   }
 
   test("invite-gated signup: scoped user lands with invited scopes only") {

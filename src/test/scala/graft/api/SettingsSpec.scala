@@ -293,6 +293,43 @@ class SettingsRestSpec extends AnyFunSuite {
     assert(notObjSt == 400)
   }
 
+  test("whole-record container overrides PUT replaces; absent categories clear") {
+    val (cSt, cJ) = http("POST", "/containers", """{"name": "whole-record"}""")
+    assert(cSt == 201)
+    val cid = cJ.get("container_id").asText()
+    // seed two categories via the per-category route
+    assert(http("PUT", s"/containers/$cid/settings/chunking",
+      """{"max_chunk_size": 30}""")._1 == 200)
+    assert(http("PUT", s"/containers/$cid/settings/search",
+      """{"top_k": 7}""")._1 == 200)
+    // whole-record PUT (ref SaveContainerSettings: wholesale replace) —
+    // chunking survives with new values, search is CLEARED by absence
+    val (wSt, wJ) = http("PUT", s"/containers/$cid/settings",
+      """{"chunking": {"max_chunk_size": 22, "overlap": 3}}""")
+    assert(wSt == 200 &&
+      wJ.get("chunking").get("max_chunk_size").asText() == "22", wJ.toString)
+    val (gSt, gJ) = http("GET", s"/containers/$cid/settings")
+    assert(gSt == 200 && gJ.size() == 1 && gJ.has("chunking") &&
+      gJ.get("chunking").get("overlap").asText() == "3", gJ.toString)
+    // all-or-nothing: one bad category leaves the record untouched
+    val (bSt, _) = http("PUT", s"/containers/$cid/settings",
+      """{"chunking": {"max_chunk_size": 50}, "search": {"top_k": "soup"}}""")
+    assert(bSt == 400)
+    assert(http("GET", s"/containers/$cid/settings")
+      ._2.get("chunking").get("max_chunk_size").asText() == "22")
+    // serving is global-scope only; unknown category refused; non-object 400s
+    assert(http("PUT", s"/containers/$cid/settings",
+      """{"serving": {"keyword_driver_cache_max_rows": "10"}}""")._1 == 400)
+    assert(http("PUT", s"/containers/$cid/settings",
+      """{"quantum": {"a": "b"}}""")._1 == 400)
+    assert(http("PUT", s"/containers/$cid/settings",
+      """{"chunking": 5}""")._1 == 400)
+    assert(http("PUT", "/containers/nope/settings", """{}""")._1 == 404)
+    // an empty record clears every override
+    assert(http("PUT", s"/containers/$cid/settings", """{}""")._1 == 200)
+    assert(http("GET", s"/containers/$cid/settings")._2.size() == 0)
+  }
+
   test("test_connection probes candidate settings through the injected transport") {
     // canned transport speaking each provider's probe shape (ref
     // ConnectionTesters: Ollama /api/tags, OpenAI /v1/models, TEI /info)
@@ -450,6 +487,88 @@ class SettingsRestSpec extends AnyFunSuite {
       val (rcSt, rcJ) = http2("POST", s"/containers/$cid/reindex_check")
       assert(rcSt == 200 && rcJ.get("Unchanged").asLong() == 1L, rcJ.toString)
       http2("DELETE", "/settings/chunking")
+    } finally srv.stop()
+  }
+
+  test("global settings reindex: background sweep + status, cross-model auto-on") {
+    val wh3 = java.nio.file.Files.createTempDirectory("graft-settings-global").toString
+    val store3 = new KnowledgeStore(spark, wh3,
+      cfg = graft.model.ChunkingConfig(maxChunkSize = 40, overlap = 5, minChunkSize = 5))
+    val srv = new RestServer(store3)
+    val gBase = s"http://127.0.0.1:${srv.start()}"
+    def http3(method: String, path: String, body: String = "")
+        : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(gBase + path))
+        .header("Content-Type", "application/json")
+      val req = (if (method == "GET") b.GET()
+        else b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), if (resp.body().isEmpty) mapper.createObjectNode()
+        else mapper.readTree(resp.body()))
+    }
+    try {
+      // before any trigger: idle, never-started
+      val (i0St, i0J) = http3("GET", "/settings/reindex/status")
+      assert(i0St == 200 && i0J.get("status").asText() == "idle" &&
+        !i0J.get("is_active").asBoolean(), i0J.toString)
+      // two containers, one stale doc each, after a global chunking change
+      val cids = Seq("global-ri-a", "global-ri-b").map { n =>
+        val (st, j) = http3("POST", "/containers", s"""{"name": "$n"}""")
+        assert(st == 201); j.get("container_id").asText()
+      }
+      cids.foreach(cid => assert(http3("POST", s"/containers/$cid/files",
+        s"""{"path": "/a.txt", "content": "${"global sweep text. " * 15}"}""")._1 == 201))
+      assert(http3("PUT", "/settings/chunking",
+        """{"max_chunk_size": 16, "overlap": 2, "min_chunk_size": 2}""")._1 == 200)
+      // the trigger answers immediately (ref: "started in background")
+      val (tSt, tJ) = http3("POST", "/settings/reindex")
+      assert(tSt == 200 && tJ.get("success").asBoolean() &&
+        tJ.get("message").asText().contains("background"), tJ.toString)
+      var st = "running"
+      val deadline = System.currentTimeMillis() + 120000
+      while (st == "running" && System.currentTimeMillis() < deadline) {
+        val (sSt, sJ) = http3("GET", "/settings/reindex/status")
+        assert(sSt == 200)
+        st = sJ.get("status").asText()
+        if (st == "running") Thread.sleep(200)
+        else {
+          assert(!sJ.get("is_active").asBoolean())
+          assert(sJ.get("queue_depth").asInt() == 0)
+          assert(sJ.get("started_ms").asLong() > 0L)
+          assert(sJ.get("completed_ms").asLong() >= sJ.get("started_ms").asLong())
+        }
+      }
+      assert(st == "completed", s"sweep must complete, got $st")
+      // every container re-stamped under the new settings...
+      cids.foreach { cid =>
+        val (rcSt, rcJ) = http3("POST", s"/containers/$cid/reindex_check")
+        assert(rcSt == 200 && rcJ.get("Unchanged").asLong() == 1L, rcJ.toString)
+      }
+      // ...and cross-model search was auto-enabled (ref SettingsEndpoints
+      // .cs:282-289), persisted in the stored global row
+      val (eSt, eJ) = http3("GET", "/settings/search")
+      assert(eSt == 200 && eJ.get("cross_model_search").asText() == "true")
+      // a container-scoped trigger only drains that container
+      assert(http3("PUT", "/settings/chunking",
+        """{"max_chunk_size": 24, "overlap": 2, "min_chunk_size": 2}""")._1 == 200)
+      val (t2St, _) = http3("POST", "/settings/reindex",
+        s"""{"container_id": "${cids.head}"}""")
+      assert(t2St == 200)
+      val deadline2 = System.currentTimeMillis() + 120000
+      var st2 = "running"
+      while (st2 == "running" && System.currentTimeMillis() < deadline2) {
+        st2 = http3("GET", "/settings/reindex/status")._2.get("status").asText()
+        if (st2 == "running") Thread.sleep(200)
+      }
+      assert(st2 == "completed")
+      assert(http3("POST", s"/containers/${cids.head}/reindex_check")
+        ._2.get("Unchanged").asLong() == 1L)
+      assert(http3("POST", s"/containers/${cids(1)}/reindex_check")
+        ._2.get("SettingsChanged").asLong() == 1L)
+      // unknown container fails fast on the request thread: 400
+      assert(http3("POST", "/settings/reindex",
+        """{"container_id": "nope"}""")._1 == 400)
     } finally srv.stop()
   }
 
