@@ -445,13 +445,16 @@ final class McpServer(store: KnowledgeStore, port: Int = 0,
         description = optStr(args, "description").getOrElse(""))
       s"Created container '$n' with ID: $id"
     case "container_list" =>
-      val cs = store.listContainers()
+      val cs = store.listContainersDetailed()
       if (cs.isEmpty) "No containers found."
       else {
-        // one grouped count for ALL containers, not one stats job each
+        // one grouped count for ALL containers, not one stats job each;
+        // description rides the line when set (ref mcp-tools.md
+        // container_list return format)
         val docs = store.documentCounts()
-        cs.map { case (id, n, ct) =>
-          s"- $n (ID: $id, type: $ct, documents: ${docs.getOrElse(id, 0L)})"
+        cs.map { case (id, n, ct, _, desc, _) =>
+          val d = if (desc.nonEmpty) s" — $desc" else ""
+          s"- $n (ID: $id, type: $ct, documents: ${docs.getOrElse(id, 0L)})$d"
         }.mkString(s"Containers (${cs.size}):\n", "\n", "")
       }
     case "container_delete" => withContainer(args) { cid =>

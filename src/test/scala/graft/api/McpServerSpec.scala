@@ -188,10 +188,17 @@ class McpServerSpec extends AnyFunSuite {
     assert(!e10 && stTxt.contains(s"Documents: ${stats("documents")}"), stTxt)
     assert(stTxt.contains(s"Chunks: ${stats("chunks")}"))
 
-    // container_list includes the doc count
+    // container_list includes the doc count; a described container's
+    // description rides the listing line (ref mcp-tools.md format)
+    val (eD, _) = call(base, "container_create",
+      """{"name": "mcp-described", "description": "scratch corpus"}""")
+    assert(!eD)
     val (e11, cl) = call(base, "container_list", "{}")
     assert(!e11 && cl.contains("mcp-docs") &&
       cl.contains(s"documents: ${stats("documents")}"), cl)
+    assert(cl.contains("mcp-described") && cl.contains("— scratch corpus"), cl)
+    store.listContainers().collectFirst {
+      case (id, "mcp-described", _) => id }.foreach(store.deleteContainer)
 
     // delete_file by id; bulk_delete by mixed id/path with per-file report
     val (e12, del) = call(base, "delete_file",
