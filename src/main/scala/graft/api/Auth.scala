@@ -820,6 +820,22 @@ final class OAuthRegistry(spark: SparkSession, warehouse: String,
       id
     }
 
+  /** Client-ID-metadata-document support for the server's OWN static
+    * cli.json (ref OAuthEndpoints.cs `client_id_metadata_document_
+    * supported`): the first authorize/token call presenting the
+    * document URL as client_id materializes it as a public PKCE-only
+    * client with the document's pinned redirect. Only the HOST decides
+    * which URL is its own (the route compares against the advertised
+    * base) — a foreign metadata URL is never fetched (and never
+    * accepted), so this cannot register attacker-controlled redirect
+    * sets. Idempotent. */
+  def ensureStaticClient(clientId: String, name: String,
+      redirectUri: String): Unit = synchronized {
+    if (activeClient(clientId).isEmpty)
+      clients.write(clients.load() :+
+        ((clientId, name, "", Seq(redirectUri), now(), -1L)))
+  }
+
   private def activeClient(clientId: String): Option[Client] =
     clients.load().find(c => c._1 == clientId && c._6 < 0)
 

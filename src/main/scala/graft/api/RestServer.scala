@@ -611,7 +611,10 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
               Seq[Any]("authorization_code", "refresh_token"),
             "code_challenge_methods_supported" -> Seq[Any]("S256"),
             "token_endpoint_auth_methods_supported" ->
-              Seq[Any]("none", "client_secret_post")))
+              Seq[Any]("none", "client_secret_post"),
+            // the OWN-host cli.json document URL works as a client_id
+            // (materialized as a public PKCE client on first use)
+            "client_id_metadata_document_supported" -> true))
         case ("GET", p) if oauth.isDefined &&
             p.startsWith("/.well-known/oauth-protected-resource") =>
           // RFC 9728 §3.1: the metadata URL for resource "<base>/foo" is
@@ -675,6 +678,12 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           val sub = bearer.flatMap(ureg.subjectOf)
             .getOrElse(throw Denied(401, "authorize requires a user session (JWT)"))
           val b = body(ex)
+          // client-id metadata document (the OWN-host cli.json only —
+          // zero egress means a foreign document URL can never be
+          // fetched, so it is never accepted)
+          if (str(b, "client_id") == baseUrl(ex) + "/oauth/clients/cli.json")
+            oreg.ensureStaticClient(str(b, "client_id"), "graft CLI",
+              "http://127.0.0.1/callback")
           val code = oreg.createCode(sub, str(b, "client_id"),
             str(b, "code_challenge"), str(b, "redirect_uri"),
             optStr(b, "scope").getOrElse(""),
@@ -694,6 +703,9 @@ final class RestServer(store: KnowledgeStore, port: Int = 0,
           try str(b, "grant_type") match {
             case "authorization_code" =>
               val clientId = str(b, "client_id")
+              if (clientId == baseUrl(ex) + "/oauth/clients/cli.json")
+                oreg.ensureStaticClient(clientId, "graft CLI",
+                  "http://127.0.0.1/callback")
               if (!oreg.clientAuthOk(clientId, optStr(b, "client_secret")))
                 throw Denied(401, "invalid_client")
               // issuer-cap pre-flight BEFORE the one-time code is consumed:

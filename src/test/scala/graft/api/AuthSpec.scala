@@ -557,6 +557,38 @@ class AuthRestSpec extends AnyFunSuite {
            "client_secret": "$clientSecret",
            "refresh_token": "${tok.get("refresh_token").asText()}"}""")._1 == 200)
   }
+
+  test("client-id metadata document: the own-host cli.json URL works as client_id") {
+    val (dSt, disc) = http("GET", "/.well-known/oauth-authorization-server")
+    assert(dSt == 200 &&
+      disc.get("client_id_metadata_document_supported").asBoolean())
+    val cliId = s"$base/oauth/clients/cli.json"
+    val verifier = "cli-verifier-0123456789-0123456789-0123456789"
+    val challenge = oauthReg.s256Challenge(verifier)
+    // the document URL authorizes like a registered public client —
+    // only with the document's pinned redirect
+    assert(http("POST", "/oauth/authorize",
+      s"""{"client_id": "$cliId", "redirect_uri": "http://evil/cb",
+           "code_challenge": "$challenge"}""", adminAccess)._1 == 400,
+      "a redirect outside the document's set must refuse")
+    val code = http("POST", "/oauth/authorize",
+      s"""{"client_id": "$cliId", "redirect_uri": "http://127.0.0.1/callback",
+           "code_challenge": "$challenge"}""", adminAccess)._2.get("code").asText()
+    // public client: PKCE alone proves it at the token endpoint
+    val (st, tok) = http("POST", "/oauth/token",
+      s"""{"grant_type": "authorization_code", "code": "$code",
+           "code_verifier": "$verifier",
+           "redirect_uri": "http://127.0.0.1/callback",
+           "client_id": "$cliId"}""")
+    assert(st == 200 && tok.get("token_type").asText() == "Bearer", tok.toString)
+    assert(http("GET", "/containers",
+      bearer = tok.get("access_token").asText())._1 == 200)
+    // a FOREIGN metadata URL is not fetched and not accepted
+    assert(http("POST", "/oauth/authorize",
+      s"""{"client_id": "https://evil.example/oauth/clients/cli.json",
+           "redirect_uri": "http://127.0.0.1/callback",
+           "code_challenge": "$challenge"}""", adminAccess)._1 == 400)
+  }
 }
 
 /** Login timing equalization: the unknown-email path must pay the same
