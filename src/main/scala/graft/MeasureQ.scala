@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev A/B timer matching Bench's exact methodology (toRdd.count() action,
+  * full storage release between runs, per-run cpu_s from process CPU time)
+  * so optimization A/Bs are directly comparable to the official artifact.
+  *
+  * Usage: runMain graft.MeasureQ q165_source_overlap [q24_ngram_jaccard ...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_RUNS (default 3),
+  *      SPARK_GRAFT_CPUS (default 32).
+  */
+object MeasureQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Optional per-job breakdown (SPARK_GRAFT_JOBLOG=1): job wall + task
+    // count + the call site, so harness-style queries (dozens of commits)
+    // show where their time goes.
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          private val nTasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger]()
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            t0.put(js.jobId, (System.nanoTime(), site))
+            js.stageInfos.foreach(si => nTasks
+              .computeIfAbsent(js.jobId, _ => new java.util.concurrent.atomic.AtomicInteger())
+              .addAndGet(si.numTasks))
+          }
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(t0.remove(je.jobId)).foreach { case (t, site) =>
+              val ms = (System.nanoTime() - t) / 1e6
+              val k = Option(nTasks.remove(je.jobId)).map(_.get).getOrElse(0)
+              System.err.println(f"[job] id=${je.jobId}%4d $ms%8.1f ms tasks=$k%4d  $site")
+            }
+          }
+        })
+    def releaseStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    def procCpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+      releaseStorage()
+      val stats = (1 to runs).map { r =>
+        val cpu0 = procCpuNs()
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable => e.printStackTrace(); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val cpuDt = (procCpuNs() - cpu0) / 1e9
+        releaseStorage()
+        println(f"[measure] $name run$r wall=$dt%.3f s cpu=$cpuDt%.3f s rows=$n")
+        (dt, cpuDt)
+      }
+      val minW = stats.minBy(_._1)
+      println(f"[measure] $name MIN wall=${minW._1}%.3f s cpu=${minW._2}%.3f s " +
+        f"(cpuMin=${stats.map(_._2).min}%.3f)")
+    }
+    spark.stop()
+  }
+}

@@ -88,6 +88,9 @@ object MicroBench {
       time("tokenize only") {
         run(docs.select(expr(toksSpark("text")).as("toks")))
       }
+      time("tokenize native (Tokenize)") {
+        run(docs.select(graft.functions.Tokenize(col("text")).as("toks")))
+      }
       time("tokenize + shingle HOF") {
         run(docs.withColumn("toks", expr(toksSpark("text")))
           .select(expr(shinglesSpark("toks")).as("sh")))

@@ -844,12 +844,18 @@ final class KnowledgeStore(
           T.stageDelete(spark, warehouse, t,
             col("document_id").isin(existingIds: _*), pb).map(t -> _)
         }
+      // writeParts = 1: a <= MaxBulk-doc batch otherwise stages one tiny
+      // parquet file PER DOCUMENT per table (the upstream runs one doc per
+      // task) — N footer opens + renames + log lines per commit, and
+      // N-file scans for every later reader. Chunk/embed stay wide; only
+      // the staged write narrows (repartition, not coalesce).
       val adds =
         T.stageWrite(newChunks.drop("precomputed").toDF(), warehouse,
-          "chunks", Seq("container_id"), gen) ++
+          "chunks", Seq("container_id"), gen, writeParts = Some(1)) ++
         T.stageWrite(vectors.toDF(), warehouse,
-          "vectors", Seq("container_id", "model_id"), gen) ++
-        T.stageWrite(ledger.toDF(), warehouse, "ledger", Seq("container_id"), gen)
+          "vectors", Seq("container_id", "model_id"), gen, writeParts = Some(1)) ++
+        T.stageWrite(ledger.toDF(), warehouse, "ledger", Seq("container_id"), gen,
+          writeParts = Some(1))
       // readVersion threads the staged deletes' snapshot into the commit
       // so the snapshot-isolation check runs on the upsert path too: a
       // concurrent rewrite of the replaced docs' owner files during this
@@ -880,9 +886,11 @@ final class KnowledgeStore(
     // re-uploading identical content skips the embedder (IndexBuild.build
     // refreshes the cache wholesale; the API path appends increments —
     // the cache reader dropDuplicates on content_hash). The cache is an
-    // optimization table: plain parquet in both modes.
+    // optimization table: plain parquet in both modes. coalesce(1): the
+    // increment is batch-bounded and the dropDuplicates shuffle otherwise
+    // fans it into shuffle-partition-many tiny files per upload.
     vectors.select("content_hash", "model_id", "dimensions", "embedding")
-      .dropDuplicates("content_hash")
+      .dropDuplicates("content_hash").coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$warehouse/embed_cache")
     vectors.unpersist()
     newChunks.unpersist()

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst form of `QualityClassifier.shuffledNegatives`'s
+  * deterministic token shuffle: reorder a token array by the avalanched
+  * cross-engine polynomial hash of (token, position) —
+  *
+  *   k = (poly(t) * 31 + i) % P          (poly = PolyHash's fold, seed 7)
+  *   h = (k*k + 7919*k + 104729) % P     (Frag.mixSpark's avalanche round)
+  *   sort by (h, t, i) ascending, emit t
+  *
+  * — exactly the HOF reference form (see shuffledNegatives' scaladoc),
+  * whose inline lambda chain interprets the poly fold per character with
+  * an O(i) `substring` probe, per token, per document. This expression is
+  * one fused loop + in-place sort inside whole-stage codegen; it feeds
+  * the q85/q87/q93 classifier family. Values are bit-identical: the poly
+  * fold is PolyHash.hash (PolyHashSpec pins it against the HOF form), the
+  * avalanche is the same exact BIGINT arithmetic, and the (h, t, i) sort
+  * matches array_sort's struct ordering (long asc, then UTF8String binary
+  * asc, then int asc; keys are unique by i, so the order is total).
+  * ShuffledToksSpec pins expression == HOF form.
+  */
+case class ShuffledToks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shuffled_toks expects array<string>, got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shuffled_toks"
+
+  override def nullSafeEval(a: Any): Any =
+    ShuffledToks.shuffle(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShuffledToks.shuffle($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShuffledToks {
+  private val P = PolyHash.P
+
+  /** Static so generated code calls it directly inside whole-stage
+    * codegen. */
+  def shuffle(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val keyed = new Array[(Long, UTF8String, Int)](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val k = (PolyHash.hash(t) * 31 + i) % P
+      val h = (k * k + 7919L * k + 104729L) % P
+      keyed(i) = (h, t, i)
+      i += 1
+    }
+    java.util.Arrays.sort(keyed, new java.util.Comparator[(Long, UTF8String, Int)] {
+      override def compare(a: (Long, UTF8String, Int),
+          b: (Long, UTF8String, Int)): Int = {
+        val c1 = java.lang.Long.compare(a._1, b._1)
+        if (c1 != 0) return c1
+        val c2 = a._2.compareTo(b._2)
+        if (c2 != 0) return c2
+        Integer.compare(a._3, b._3)
+      }
+    })
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = keyed(i)._2; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column form. */
+  def apply(c: Column): Column = Bridge.column(ShuffledToks(Bridge.expression(c)))
+}

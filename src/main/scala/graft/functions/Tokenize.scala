@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst form of the battery's engine-agnostic tokenizer
+  * (`Frag.toksSpark` / `toksDuck`): lowercased `[a-z0-9]+` runs of a text
+  * column. The SQL form — `regexp_extract_all(lower(text), '[a-z0-9]+',
+  * 0)` — pays a full `lower()` materialization of every document plus the
+  * java.util.regex matcher machinery per row, on the FIRST scan of nearly
+  * every text/dedup/pipeline query. This expression is one fused
+  * byte-level scan for ASCII inputs (no lowered copy, no regex), inside
+  * whole-stage codegen; any row containing a non-ASCII byte falls back to
+  * literally `UTF8String.toLowerCase` + the same compiled `[a-z0-9]+`
+  * pattern, so outputs are bit-identical to the SQL form BY CONSTRUCTION
+  * on every input:
+  *   - pure-ASCII rows: Spark's `lower()` ASCII path is exactly
+  *     `A-Z -> +32`, and `[a-z0-9]+` over ASCII is maximal runs of those
+  *     bytes — the fused scan emits the same runs, lowered the same way;
+  *   - rows with any non-ASCII byte: the fallback IS the SQL form's
+  *     evaluation (same toLowerCase call, same java.util.regex pattern).
+  * TokenizeSpec pins expression == SQL form on ASCII, Unicode (including
+  * multi-char lowercase expansions), empty, and null inputs.
+  */
+case class Tokenize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_tokens expects a string arg, got $other")
+    }
+  // same type as regexp_extract_all(...)
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(s: Any): Any =
+    Tokenize.tokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Tokenize.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Tokenize {
+  private val Pattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** Static so generated code calls it directly inside whole-stage
+    * codegen. */
+  def tokens(s: UTF8String): ArrayData = {
+    val b = s.getBytes // may be the backing array — never mutated here
+    val n = b.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if ((b(i) & 0x80) != 0) ascii = false; i += 1 }
+    val out = new java.util.ArrayList[AnyRef]()
+    if (ascii) {
+      i = 0
+      while (i < n) {
+        if (isTok(lower(b(i)))) {
+          val start = i
+          while (i < n && isTok(lower(b(i)))) i += 1
+          val tok = new Array[Byte](i - start)
+          var j = 0
+          while (j < tok.length) { tok(j) = lower(b(start + j)); j += 1 }
+          out.add(UTF8String.fromBytes(tok))
+        } else i += 1
+      }
+    } else {
+      // exact SQL-form evaluation: same toLowerCase, same compiled regex
+      val m = Pattern.matcher(s.toLowerCase.toString)
+      while (m.find()) out.add(UTF8String.fromString(m.group()))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  @inline private def lower(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  @inline private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** Column form. */
+  def apply(c: Column): Column = Bridge.column(Tokenize(Bridge.expression(c)))
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst form of the bigram-LM family's pair builder: exactly
+  * `transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i)
+  * AS w1, element_at(toks, i + 1) AS w2))` for arrays with size >= 2 —
+  * one fused loop inside whole-stage codegen instead of an interpreted
+  * per-position lambda building boxed structs. Feeds q77/q162 and
+  * `QualityClassifier.bigramNll` (q85/q87/q93). Callers guarantee
+  * size >= 2 (they all filter first); size < 2 returns an empty array.
+  * WordBigramsSpec pins expression == HOF form.
+  */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_bigrams expects array<string>, got $other")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType), StructField("w2", StringType))))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_bigrams"
+
+  override def nullSafeEval(a: Any): Any =
+    WordBigrams.bigrams(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBigrams.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordBigrams {
+  /** Static so generated code calls it directly inside whole-stage
+    * codegen. */
+  def bigrams(arr: ArrayData): ArrayData = {
+    val size = arr.numElements()
+    val out = size - 1
+    if (out <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](size)
+    var i = 0
+    while (i < size) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val pairs = new Array[Any](out)
+    i = 0
+    while (i < out) {
+      pairs(i) = new GenericInternalRow(
+        Array[Any](toks(i), toks(i + 1))): InternalRow
+      i += 1
+    }
+    new GenericArrayData(pairs)
+  }
+
+  /** Column form. */
+  def apply(c: Column): Column = Bridge.column(WordBigrams(Bridge.expression(c)))
+}

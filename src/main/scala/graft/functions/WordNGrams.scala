@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst form of the battery's word n-gram builder: the
+  * space-joined n-grams of a token array, i.e. exactly
+  * `transform(sequence(1, size(toks) - (n-1)), i -> concat_ws(' ',
+  * element_at(toks, i), ..., element_at(toks, i+n-1)))` for arrays with
+  * size >= n. The HOF form interprets its lambda per position and reads
+  * every element boxed through GenericArrayData; this expression is one
+  * fused loop over the array inside whole-stage codegen, and it feeds the
+  * entire shingle/dedup family (q24/q25/q75/q90's 3-gram shingles via
+  * `Frag.shingles`, q165's 8-grams, the production NearDupIndex).
+  *
+  * Callers guarantee size >= n (every site filters `size(toks) >= n`
+  * first — the HOF reference form is undefined below n, where
+  * `sequence(1, size-n+1)` would count DOWN). For size < n this returns
+  * an empty array. Elements must be non-null (they come from token
+  * extraction); a null element would concat as empty under concat_ws —
+  * here it would NPE, loudly, rather than silently diverge.
+  * WordNGramsSpec pins expression == HOF form.
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "word_ngrams needs n >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams expects array<string>, got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    WordNGrams.ngrams(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGrams.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Static so generated code calls it directly inside whole-stage
+    * codegen. */
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val size = arr.numElements()
+    val out = size - n + 1
+    if (out <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](size)
+    var i = 0
+    while (i < size) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val grams = new Array[Any](out)
+    val parts = new Array[UTF8String](n)
+    i = 0
+    while (i < out) {
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      grams(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(grams)
+  }
+
+  /** Column form. */
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(WordNGrams(Bridge.expression(c), n))
+}

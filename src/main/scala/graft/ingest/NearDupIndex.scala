@@ -33,9 +33,9 @@ object NearDupIndex {
     * one array column, docs with < 3 tokens dropped. */
   def signatures(docs: DataFrame): DataFrame = {
     val shingleHash = docs
-      .withColumn("toks", expr(toksSpark("text")))
+      .withColumn("toks", toks("text"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+      .withColumn("sh", explode(shingles(col("toks"))))
       .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
     val minAggs = (0 until 16).map(k =>
       min(expr(s"((2*$k + 1) * h + 104729L * $k) % $P")).as(s"mh$k"))
@@ -76,8 +76,10 @@ object NearDupIndex {
         col("doc_id").isin(batchIds: _*)).map(t -> _)
     }
     val adds =
-      TxLog.stageWrite(sigs, warehouse, SigTable, Nil, generation) ++
-        TxLog.stageWrite(bands(sigs), warehouse, BandTable, Nil, generation)
+      TxLog.stageWrite(sigs, warehouse, SigTable, Nil, generation,
+          writeParts = Some(1)) ++
+        TxLog.stageWrite(bands(sigs), warehouse, BandTable, Nil, generation,
+          writeParts = Some(1))
     TxLog.commit(spark, warehouse,
       staged.flatMap(_._2.adds) ++ adds,
       staged.flatMap(_._2.removes),

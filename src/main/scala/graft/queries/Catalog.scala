@@ -112,6 +112,15 @@ object Frag {
   def toksDuck(col: String): String =
     s"regexp_extract_all(lower($col), '[a-z0-9]+')"
 
+  /** Column form of [[toksSpark]] via the native `graft.functions.Tokenize`
+    * expression — bit-identical values (TokenizeSpec pins expression ==
+    * SQL form), one fused byte scan instead of lower() + java.util.regex
+    * per row. This is the hot first step of nearly every text/dedup query;
+    * battery sites use this form, `toksSpark` stays the SQL/oracle-twin
+    * reference. */
+  def toks(col: String): org.apache.spark.sql.Column =
+    graft.functions.Tokenize(org.apache.spark.sql.functions.col(col))
+
   /** Polynomial hash of a string expr: fold(31*acc + codepoint) mod P,
     * seed 7 — the pure-Catalyst REFERENCE form. Battery queries use the
     * native `graft.functions.PolyHash` expression (same values, one
@@ -138,6 +147,16 @@ object Frag {
   /** Word 3-gram shingles over a token-array expr (space-joined, distinct). */
   def shinglesSpark(toks: String): String =
     s"array_distinct(transform(sequence(1, size($toks) - 2), i -> concat_ws(' ', element_at($toks, i), element_at($toks, i+1), element_at($toks, i+2))))"
+
+  /** Column form of [[shinglesSpark]] via the native
+    * `graft.functions.WordNGrams` expression — bit-identical values
+    * (WordNGramsSpec pins expression == HOF form), one fused loop instead
+    * of an interpreted per-position lambda over boxed element reads.
+    * Battery sites use this form; `shinglesSpark` stays the SQL/oracle-twin
+    * reference. Callers must filter size >= 3 first (they all do). */
+  def shingles(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.array_distinct(
+      graft.functions.WordNGrams(toks, 3))
   def shinglesDuck(toks: String): String =
     s"list_distinct(list_transform(range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"
 

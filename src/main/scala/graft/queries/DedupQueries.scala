@@ -28,7 +28,7 @@ object DedupQueries {
     val votes = (0 until 32).map(j =>
       sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$j"))
     table(s, d, "documents")
-      .withColumn("tok", explode(expr(toksSpark("text"))))
+      .withColumn("tok", explode(toks("text")))
       .select(col("doc_id"), graft.functions.PolyHash(col("tok")).as("h"))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
@@ -63,9 +63,9 @@ object DedupQueries {
         // and the df-cap — and the pairs union would double every
         // evaluation again (measured: 30 s uncached vs 3 s cached)
         val base = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 3)
-          .withColumn("shs", expr(shinglesSpark("toks")))
+          .withColumn("shs", shingles(col("toks")))
           .select(col("doc_id"), col("shs"))
           .persist()
         val counts = base.select(col("doc_id"), size(col("shs")).as("n_sh"))
@@ -161,9 +161,9 @@ object DedupQueries {
         // second — work ∝ shingles, never doc-pairs.
         {
           val sh = table(s, d, "documents")
-            .withColumn("toks", expr(toksSpark("text")))
+            .withColumn("toks", toks("text"))
             .filter(size(col("toks")) >= 3)
-            .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+            .withColumn("sh", explode(shingles(col("toks"))))
             .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
           val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
           sh.join(df, Seq("h"))
@@ -221,9 +221,9 @@ object DedupQueries {
         // hash of the shingle, not the string (smaller shuffle, cheaper
         // compares — results identical barring a 2^-64 collision).
         val base = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 3)
-          .withColumn("shs", expr(shinglesSpark("toks")))
+          .withColumn("shs", shingles(col("toks")))
           .select(col("doc_id"), col("shs"))
           .persist()
         val counts = base.select(col("doc_id"), size(col("shs")).as("n_sh"))
@@ -293,9 +293,9 @@ object DedupQueries {
         // through the partial aggregate (1.3x slower here, 16x more
         // aggregate-input rows at any scale).
         val shingleHash = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 3)
-          .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+          .withColumn("sh", explode(shingles(col("toks"))))
           .select(col("doc_id"), graft.functions.PolyHash(col("sh")).as("h"))
         val minAggs = (0 until 16).map(k =>
           min(expr(s"((2*$k + 1) * h + 104729L * $k) % $P")).as(s"mh$k"))
@@ -368,9 +368,9 @@ object DedupQueries {
         // candidate set only. est is a multiple of 1/16 (exact in binary)
         // so the 0.75 gate can't ulp-flip across engines.
         val sig0 = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 3)
-          .withColumn("sh", explode(expr(shinglesSpark("toks"))))
+          .withColumn("sh", explode(shingles(col("toks"))))
           .select(col("doc_id"), col("source"),
             graft.functions.PolyHash(col("sh")).as("h"))
           .groupBy("doc_id", "source")
@@ -499,14 +499,28 @@ object DedupQueries {
           .withColumn("slice", expr(
             "shiftright(simhash, element_at(array(0, 7, 14, 20, 26), i + 1)) " +
               "& element_at(array(127L, 127L, 63L, 63L, 63L), i + 1)"))
+        // A sig pair may share several slices; dedup IN-ROW by keeping the
+        // pair only at its FIRST shared slice (every j < i must differ) —
+        // pigeonhole guarantees >= 1 shared slice for hamming <= 4, so each
+        // qualifying pair survives exactly once. Round-15 optimization:
+        // this filter replaces a .distinct() that shuffled the full
+        // candidate volume (7.8M rows at sf0.1) through one more exchange;
+        // candidates now die in-stage right after the band join.
+        def sliceDiffers(j: Int): String = {
+          val off = Seq(0, 7, 14, 20, 26)(j)
+          val mask = Seq(127L, 127L, 63L, 63L, 63L)(j)
+          s"(shiftright(a.simhash, $off) & $mask) != (shiftright(b.simhash, $off) & $mask)"
+        }
+        val firstSharedSlice = (0 until 4)
+          .map(j => s"(a.i <= $j OR ${sliceDiffers(j)})").mkString(" AND ")
         val candSig = sliced.as("a")
           .join(sliced.as("b").hint("shuffle_hash"),
             col("a.i") === col("b.i") && col("a.slice") === col("b.slice") &&
               col("a.simhash") < col("b.simhash"))
+          .filter(expr(firstSharedSlice))
           .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
           .filter(col("hamming") <= 4)
           .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"), col("hamming"))
-          .distinct() // a sig pair may share several slices
         val cross = candSig
           .join(sig.select(col("doc_id").as("da"), col("simhash").as("sa")), Seq("sa"))
           .join(sig.select(col("doc_id").as("db"), col("simhash").as("sb")), Seq("sb"))
@@ -544,7 +558,7 @@ object DedupQueries {
           .partitionBy("dup_key").orderBy(desc("n_tok"), col("doc_id"))
         table(s, d, "documents")
           .withColumn("dup_key", sha2(substring(col("text"), 1, 50), 256))
-          .withColumn("n_tok", size(expr(toksSpark("text"))))
+          .withColumn("n_tok", size(toks("text")))
           .withColumn("rn", row_number().over(w))
           .withColumn("cluster_size", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("dup_key")))
@@ -574,12 +588,9 @@ object DedupQueries {
         // groupBy on the gram key: one keyed shuffle, linear in corpus
         // size; the n_docs > 1 filter is map-side partial-agg friendly.
         table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', " +
-              "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
-              "element_at(toks, i + 3), element_at(toks, i + 4)))")).as("gram"))
+          .select(col("doc_id"), explode(graft.functions.WordNGrams(col("toks"), 5)).as("gram"))
           .groupBy("gram")
           .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
           .filter(col("n_docs") > 1)
@@ -638,15 +649,12 @@ object DedupQueries {
         // persist: toks feeds the gram pass AND the token-position pass;
         // g5 feeds the hot-gram count AND the hot-start join.
         val toks = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", Frag.toks("text"))
           .select(col("doc_id"), col("toks"))
           .persist()
         val g5 = toks
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', " +
-              "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
-              "element_at(toks, i + 3), element_at(toks, i + 4)))")).as(Seq("p", "gram")))
+          .select(col("doc_id"), posexplode(graft.functions.WordNGrams(col("toks"), 5)).as(Seq("p", "gram")))
           .select(col("doc_id"), (col("p") + 1).as("i"), xxhash64(col("gram")).as("gh"))
           .persist()
         val hot = g5.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
@@ -701,7 +709,7 @@ object DedupQueries {
         val clusters = dedupClusters(s, d) // materialized star-contraction output
         val uniq = table(s, d, "documents")
           .select(col("doc_id"),
-            expr(s"size(array_distinct(${toksSpark("text")}))").cast("long").as("n_uniq"))
+            size(array_distinct(toks("text"))).cast("long").as("n_uniq"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id")
           .orderBy(desc("n_uniq"), col("doc_id"))
@@ -764,7 +772,7 @@ object DedupQueries {
         // (end-to-end counts). PlanSpec asserts the plan really carries
         // the two keyed aggregates (salted partial, final merge).
         val toks = table(s, d, "documents")
-          .select(col("doc_id"), explode(expr(toksSpark("text"))).as("tok"))
+          .select(col("doc_id"), explode(Frag.toks("text")).as("tok"))
           .withColumn("one", lit(1L))
         graft.functions.Skew.saltedSum(toks, "tok", "one", 16, col("doc_id"))
           .filter(col("sum_one") >= 50)
@@ -801,12 +809,9 @@ object DedupQueries {
         // reassembly shape.
         val k = 6
         val grams = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= k)
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', " +
-              (0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ") +
-              "))")).as(Seq("p", "gram")))
+          .select(col("doc_id"), posexplode(graft.functions.WordNGrams(col("toks"), k)).as(Seq("p", "gram")))
           .select(col("doc_id"), (col("p") + 1).as("i"), xxhash64(col("gram")).as("gh"))
           .persist()
         val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))

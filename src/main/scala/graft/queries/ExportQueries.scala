@@ -91,7 +91,7 @@ object ExportQueries {
           .withColumn("idstr", concat(lit("pack-v1:"), col("doc_id").cast("string")))
           .withColumn("ph", graft.functions.PolyHash(col("idstr")))
           .withColumn("shard", (expr(mixSpark("ph")) % 8).cast("int"))
-          .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
+          .withColumn("n_tok", size(toks("text")))
           // floor, not cast: DuckDB CAST(double AS BIGINT) rounds-to-nearest
           // while Spark's cast truncates — floor agrees on both engines
           .withColumn("bin", floor((sum("n_tok").over(w) - col("n_tok")) / budget))
@@ -173,7 +173,7 @@ object ExportQueries {
         // demo shape; production keeps the sketch side alone (that's the
         // point of sketches). CorpusSketchSpec pins the tighter bounds.
         table(s, d, "documents")
-          .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
+          .withColumn("n_tok", size(toks("text")))
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -204,7 +204,7 @@ object ExportQueries {
         // bit length - 1 (integer-exact floor(log2) on both engines;
         // float log2 disagrees at exact powers of two).
         table(s, d, "documents")
-          .withColumn("n_tok", expr(s"size(${toksSpark("text")})"))
+          .withColumn("n_tok", size(toks("text")))
           .withColumn("bucket",
             when(col("n_tok") <= 0, -1)
               .otherwise(length(bin(col("n_tok"))) - 1).cast("int"))
@@ -260,13 +260,9 @@ object ExportQueries {
         // equi-join shape as q24 — work ∝ colliding n-grams, never
         // |train| × |eval| — with the eval side small enough to broadcast.
         def grams(src: org.apache.spark.sql.DataFrame) = src
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            s"""array_distinct(transform(sequence(1, size(toks) - 4),
-                i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
-                               element_at(toks, i+2), element_at(toks, i+3),
-                               element_at(toks, i+4))))""")).as("g"))
+          .select(col("doc_id"), explode(array_distinct(graft.functions.WordNGrams(col("toks"), 5))).as("g"))
         val docs = table(s, d, "documents")
         val train = grams(docs.filter(col("doc_id") % 97 =!= 0))
         val eval_ = grams(docs.filter(col("doc_id") % 97 === 0))
@@ -307,13 +303,9 @@ object ExportQueries {
         // and Bloom filters have no false negatives, so exactness is
         // structural, not probabilistic.
         def grams(src: org.apache.spark.sql.DataFrame) = src
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            s"""array_distinct(transform(sequence(1, size(toks) - 4),
-                i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
-                               element_at(toks, i+2), element_at(toks, i+3),
-                               element_at(toks, i+4))))""")).as("g"))
+          .select(col("doc_id"), explode(array_distinct(graft.functions.WordNGrams(col("toks"), 5))).as("g"))
         val docs = table(s, d, "documents")
         val train = grams(docs.filter(col("doc_id") % 97 =!= 0))
         val eval_ = grams(docs.filter(col("doc_id") % 97 === 0))
@@ -416,7 +408,7 @@ object ExportQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, d, "documents")
           .withColumn("nfc", graft.text.NfcNormalize(col("text")))
-          .withColumn("toks", expr(toksSpark("nfc")))
+          .withColumn("toks", toks("nfc"))
           .withColumn("n_tok", size(col("toks")))
           .withColumn("uniq_ratio",
             expr("size(array_distinct(toks))").cast("double") /
@@ -536,7 +528,7 @@ object ExportQueries {
           .withColumn("h", graft.functions.PolyHash(col("idstr")))
           .withColumn("u",
             (expr(mixSpark("h")) + 1).cast("double") / lit((P + 1).toDouble))
-          .withColumn("wt", expr(s"size(${toksSpark("text")})").cast("double"))
+          .withColumn("wt", size(toks("text")).cast("double"))
           .withColumn("key", floor(pow(col("u"), lit(1.0) / col("wt")) * lit(1e9)).cast("long"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 20)

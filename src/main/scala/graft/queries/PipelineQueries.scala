@@ -211,15 +211,15 @@ object PipelineQueries {
         // pins the inverted index end-to-end (r03 left this rows-only).
         // Chunk-granularity retrieval + cover-density ranking stay pinned
         // by PostingsSpec's leg-equivalence tests.
-        import graft.queries.Frag.toksSpark
+        import graft.queries.Frag.toks
         val docsC = table(s, d, "documents")
           .select(col("doc_id").cast("string").as("chunk_id"),
             col("doc_id").cast("string").as("document_id"),
             col("lang").as("container_id"),
             col("text").as("content"),
             map(lit("source"), col("source")).as("metadata"),
-            expr(toksSpark("text")).as("tokens_simple"),
-            expr(toksSpark("text")).as("tokens_english"))
+            toks("text").as("tokens_simple"),
+            toks("text").as("tokens_english"))
         val postings = graft.search.PostingsIndex.build(docsC)
         val parsed = graft.search.WebsearchParser.parse("spark join -error")
         graft.search.PostingsIndex.leg(postings, docsC, parsed, 1000000)
@@ -323,9 +323,9 @@ object PipelineQueries {
         extracted
           .select(col("doc_id"), col("title"),
             length(col("main_text")).cast("long").as("n_chars"),
-            size(expr(Frag.toksSpark("main_text"))).cast("long").as("n_words"),
+            size(Frag.toks("main_text")).cast("long").as("n_words"),
             sha2(col("main_text"), 256).as("extracted_hash"),
-            when(size(expr(Frag.toksSpark("main_text"))).between(5, 100000), 1)
+            when(size(Frag.toks("main_text")).between(5, 100000), 1)
               .otherwise(0).as("kept"))
           .orderBy(col("doc_id").cast("long"))
       },

@@ -43,7 +43,7 @@ object TextQueries {
         // variant is the library's CoverDensityRank (ScalaTest-pinned);
         // this TF form is the oracle-checkable projection of it.
         table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .withColumn("tf", expr(s"size(filter(toks, t -> t IN $termsSqlList))"))
           .withColumn("matched", expr(
             s"size(array_intersect(array_distinct(toks), array${termsSqlList}))"))
@@ -71,7 +71,7 @@ object TextQueries {
         // min-max normalized per leg, full-outer merged, alpha-fused, top-15.
         val qArr = s"array(${terms.map(t => s"'$t'").mkString(", ")})"
         val docs = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .withColumn("dtoks", expr("array_distinct(toks)"))
         val keyword = docs
           .withColumn("tf", expr(s"size(filter(toks, t -> t IN $termsSqlList))"))
@@ -128,7 +128,7 @@ object TextQueries {
       (s, d) =>
         // Language-ID heuristic: stopword-hit ratio vs an English profile.
         table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .select(col("doc_id"),
             round(expr(s"size(filter(toks, t -> t IN $stopSqlList))").cast("double") /
               greatest(size(col("toks")), lit(1)), 6).as("stop_ratio"))
@@ -150,7 +150,7 @@ object TextQueries {
         // Quality scoring: token count, mean token length, unique ratio,
         // stopword ratio — the standard pretraining-filter features.
         table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .withColumn("n_tok", size(col("toks")))
           .select(col("doc_id"), col("n_tok"),
             round(expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double") /
@@ -208,7 +208,7 @@ object TextQueries {
         // interpreted-lambda cost per character (1.1 s); PolyHash measured
         // 0.6 s.
         table(s, d, "documents")
-          .withColumn("norm", expr(s"concat_ws(' ', ${toksSpark("text")})"))
+          .withColumn("norm", concat_ws(" ", toks("text")))
           .select(col("doc_id"),
             graft.functions.PolyHash(col("norm")).as("fingerprint"))
           .orderBy("doc_id"),
@@ -308,7 +308,7 @@ object TextQueries {
         // tagged with its first failing rule.
         val wDup = Window.partitionBy("dup_key").orderBy(desc("n_tok"), col("doc_id"))
         table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .withColumn("n_tok", size(col("toks")))
           .withColumn("uniq_ratio",
             expr("size(array_distinct(toks))").cast("double") / greatest(col("n_tok"), lit(1)))
@@ -360,15 +360,13 @@ object TextQueries {
         // populated). Narrow per-doc shape + one (doc, gram) shuffle —
         // linear at any corpus size.
         val toks = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", Frag.toks("text"))
         val base = toks.filter(size(col("toks")) > 0)
           .select(col("doc_id"), size(col("toks")).as("n_tok"),
             (size(array_distinct(col("toks"))).cast("double") /
               size(col("toks"))).as("ttr_raw"))
         val top2 = toks.filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .select(col("doc_id"), explode(graft.functions.WordNGrams(col("toks"), 2))
             .as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
@@ -445,14 +443,12 @@ object TextQueries {
         // persist: toks feeds the bigram pass and the vocab count; bi
         // feeds cb, cu, and the scoring join.
         val toksDf = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .select(col("doc_id"), col("toks"))
           .persist()
         val bi = toksDf
           .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> struct(" +
-              "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+          .select(col("doc_id"), explode(graft.functions.WordBigrams(col("toks"))).as("bg"))
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
           .persist()
         val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
@@ -499,7 +495,7 @@ object TextQueries {
         // small-integer (tf, df) combos can collide exactly (2·ln(N/x) vs
         // ln(N/y)) where the engines' ln may disagree on which is larger.
         val tf = table(s, d, "documents")
-          .select(col("source"), explode(expr(toksSpark("text"))).as("term"))
+          .select(col("source"), explode(toks("text")).as("term"))
           .groupBy("source", "term").agg(count(lit(1)).as("tf"))
           .persist()
         val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -547,7 +543,7 @@ object TextQueries {
         // round absorbs the engines' avg() summation-order difference
         // (q77's discipline).
         val occ = table(s, d, "documents")
-          .select(col("doc_id"), col("lang"), explode(expr(toksSpark("text"))).as("tok"))
+          .select(col("doc_id"), col("lang"), explode(toks("text")).as("tok"))
           .persist()
         val ct = occ.filter(col("lang") === "en")
           .groupBy("tok").agg(count(lit(1)).as("ct"))
@@ -598,7 +594,7 @@ object TextQueries {
         // double multiply to disagree across engines.
         import s.implicits._
         val toks = table(s, d, "documents")
-          .select(explode(expr(toksSpark("text"))).as("term"))
+          .select(explode(Frag.toks("text")).as("term"))
         val cands = toks.as[String]
           .mapPartitions(it => graft.functions.HeavyHitters.misraGries(it, 64))
           .toDF("term").distinct()
@@ -783,7 +779,7 @@ object TextQueries {
         // no self-join.
         graft.search.Bm25.scores(
           table(s, d, "documents")
-            .withColumn("toks", expr(toksSpark("text"))),
+            .withColumn("toks", toks("text")),
           "doc_id", "toks", Seq("spark", "join"))
           .select(col("doc_id").cast("long").as("doc_id"),
             round(col("score"), 6).as("score"))
@@ -822,7 +818,7 @@ object TextQueries {
         // the corpus's tokens, so the level genuinely binds.
         import org.apache.spark.sql.expressions.Window
         val caps = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .groupBy("source")
           .agg(sum(size(col("toks"))).cast("double").as("cap"))
         val stats = caps.agg(sum("cap").as("total"), count(lit(1)).as("n"))
@@ -884,7 +880,7 @@ object TextQueries {
         // en, like real pipelines gate it).
         table(s, d, "documents")
           .filter(col("lang") === "en" && col("doc_id") < 400)
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .withColumn("n_words", greatest(size(col("toks")), lit(1)))
           .withColumn("n_sentences", greatest(
             size(expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)")),
@@ -932,7 +928,7 @@ object TextQueries {
         {
           val q = termsSqlList
           table(s, d, "documents")
-            .withColumn("toks", expr(toksSpark("text")))
+            .withColumn("toks", toks("text"))
             .withColumn("hits", expr(
               s"filter(transform(toks, (t, i) -> CASE WHEN t IN $q THEN i ELSE -1 END), x -> x >= 0)"))
             .filter(size(col("hits")) > 0)
@@ -1319,14 +1315,12 @@ object TextQueries {
         // shuffles, broadcast vocab scalar) plus ONE language-partitioned
         // window — all linear.
         val toksDf = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .select(col("doc_id"), col("lang"), col("toks"))
           .persist()
         val bi = toksDf
           .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> struct(" +
-              "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+          .select(col("doc_id"), explode(graft.functions.WordBigrams(col("toks"))).as("bg"))
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
           .persist()
         val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
@@ -1394,7 +1388,7 @@ object TextQueries {
         // the rank window runs over the source-count-sized result.
         val z = "1.959964"
         val gated = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+          .withColumn("toks", toks("text"))
           .withColumn("n_tok", size(col("toks")))
           .withColumn("uniq_ratio",
             expr("size(array_distinct(toks))").cast("double") /
@@ -1452,33 +1446,44 @@ object TextQueries {
         // containment between sources — the report run BEFORE mixing
         // datasets (is feed B a mirror or subset of feed A?), the
         // source-level sibling of the doc-level decontamination gates
-        // (q69/q89). Shape: explode to DISTINCT (source, gram) — set
-        // semantics, so repeat occurrences inside a source don't inflate
-        // overlap — then ONE keyed self-join on the gram. A gram shared
-        // by k sources fans out C(k,2) pair rows and k is bounded by the
-        // SOURCE count (not the corpus), so the join stays linear in
-        // distinct grams at any scale; containment divides by the
+        // (q69/q89). Set semantics per source (repeat occurrences inside
+        // a source don't inflate overlap); containment divides by the
         // SMALLER side's gram-set size so a mirrored subset reads 1.0
-        // regardless of size skew. persist: the distinct gram set feeds
-        // the per-source totals AND both self-join sides.
-        val grams = table(s, d, "documents")
-          .withColumn("toks", expr(toksSpark("text")))
+        // regardless of size skew.
+        // Shape (round-15 optimization): ONE gram-keyed aggregation,
+        // groupBy(gram).collect_set(source), replaces the original
+        // DISTINCT pass + gram-string self-join — the same distinct
+        // (source, gram) semantics, but the gram strings cross the wire
+        // once (map-side partial sets bound shuffle bytes by the distinct
+        // pair count) instead of three times (distinct exchange + both
+        // join sides), and the string equi-join disappears entirely. A
+        // gram shared by k sources expands to C(k,2) in-row pairs and k
+        // is bounded by the SOURCE count (not the corpus), so the pair
+        // explode stays linear in distinct grams at any scale. persist:
+        // the per-gram source sets feed the totals AND the pair counts.
+        val grouped = table(s, d, "documents")
+          .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 8)
-          .select(col("source"), explode(expr(
-            "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', " +
-              "element_at(toks, i), element_at(toks, i + 1), " +
-              "element_at(toks, i + 2), element_at(toks, i + 3), " +
-              "element_at(toks, i + 4), element_at(toks, i + 5), " +
-              "element_at(toks, i + 6), element_at(toks, i + 7)))")).as("gram"))
-          .distinct()
+          .select(col("source"),
+            explode(graft.functions.WordNGrams(col("toks"), 8)).as("gram"))
+          .groupBy("gram")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .select("srcs")
           .persist()
-        val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-        val pairs = grams
-          .join(grams.withColumnRenamed("source", "source_b"), Seq("gram"))
-          .where(col("source") < col("source_b"))
-          .groupBy(col("source").as("src_a"), col("source_b").as("src_b"))
+        val totals = grouped.select(explode(col("srcs")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val pairs = grouped
+          .where(size(col("srcs")) >= 2)
+          // all a<b pairs from the sorted set, expanded in-row: element i
+          // pairs with every later element (slice is 1-based, so the
+          // successors of 0-based i start at position i + 2)
+          .select(explode(expr(
+            "flatten(transform(srcs, (a, i) -> transform(" +
+              "slice(srcs, i + 2, size(srcs)), " +
+              "b -> named_struct('src_a', a, 'src_b', b))))")).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
           .agg(count(lit(1)).as("shared_grams"))
-        pairs
+        Catalog.materializeAndRelease(pairs
           .join(totals.select(col("source").as("src_a"),
             col("n_grams").as("n_a")), Seq("src_a"))
           .join(totals.select(col("source").as("src_b"),
@@ -1487,7 +1492,7 @@ object TextQueries {
             col("n_a"), col("n_b"),
             round(col("shared_grams").cast("double") /
               least(col("n_a"), col("n_b")), 6).as("containment"))
-          .orderBy(desc("containment"), col("src_a"), col("src_b"))
+          .orderBy(desc("containment"), col("src_a"), col("src_b")), grouped)
       },
       Some(s"""
         WITH g AS (SELECT DISTINCT source,

@@ -232,15 +232,25 @@ object IncrementalView {
               when(col("m.__dirty") === 1L, col(s"r.hll_$c"))
                 .otherwise(col(s"m.hll_$c")).as(s"hll_$c")): _*)
     }
+    // File sizing (round-15 optimization): the merged state is
+    // GROUP-bounded (a materialized aggregate), but it arrives here at
+    // shuffle-partition width from the full-outer merge join — written
+    // as-is, every refresh stages up to that many tiny files which the
+    // NEXT refresh (and every reader) re-lists and re-opens. Bucketed
+    // views cluster by __bucket before the write (<= one file per
+    // rewritten bucket — the dirty-bucket rewrite unit); unbucketed views
+    // write one file (their whole state is the rewrite unit).
     val (adds, removes) = bucketOf match {
       case Some(b) =>
-        (TxLog.stageWrite(merged.withColumn("__bucket", b), warehouse, view,
-          Seq("__bucket"), generation = cur),
+        (TxLog.stageWrite(
+          merged.withColumn("__bucket", b).repartition(col("__bucket")),
+          warehouse, view, Seq("__bucket"), generation = cur),
           viewFiles.collect { case (rel, _)
             if dirtyBuckets.exists(db => rel.startsWith(s"__bucket=$db/")) =>
               TxLog.Remove(view, rel) })
       case None =>
-        (TxLog.stageWrite(merged, warehouse, view, Nil, generation = cur),
+        (TxLog.stageWrite(merged, warehouse, view, Nil, generation = cur,
+          writeParts = Some(1)),
           viewFiles.map { case (rel, _) => TxLog.Remove(view, rel) })
     }
     TxLog.commit(spark, warehouse, adds, removes,

@@ -1144,7 +1144,20 @@ object TxLog {
       /** Pass the snapshot you already hold (every DML path has one):
         * skips this write's own log replay for the column-mapping
         * check. None = resolve here. */
-      snapshotHint: Option[Snapshot] = None): Seq[Add] = {
+      snapshotHint: Option[Snapshot] = None,
+      /** Repartition the frame to this many partitions JUST before the
+        * staged write (the upstream computation keeps its own width —
+        * repartition is an exchange, not a coalesce-narrowing). For
+        * BOUNDED incremental batches (API uploads <= MaxBulk docs,
+        * streaming micro-batches) the natural upstream parallelism is one
+        * task per document, which stages one tiny parquet file per task
+        * per partition value — N footer opens + renames + log lines per
+        * commit, and N-file scans for every later reader (the small-files
+        * anti-pattern). One file per partition value is the right layout
+        * for a bounded batch. None (corpus-sized writes: first-crawl bulk,
+        * index builds, merge/compact survivor rewrites) keeps the
+        * caller's layout. */
+      writeParts: Option[Int] = None): Seq[Add] = {
     val spark = df.sparkSession
     val f = fs(spark, warehouse)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1168,7 +1181,8 @@ object TxLog {
           bloomCols.map(n => ren.getOrElse(n, n)))
     }
     val stagingRoot = new Path(warehouse, s".staging/${java.util.UUID.randomUUID()}")
-    val writer = dfW.write.mode("overwrite")
+    val dfP = writeParts.fold(dfW)(n => dfW.repartition(n))
+    val writer = dfP.write.mode("overwrite")
     (if (partW.nonEmpty) writer.partitionBy(partW: _*) else writer)
       .parquet(stagingRoot.toString)
     // CHECK-CONSTRAINT enforcement on the STAGED files, before anything
@@ -2309,17 +2323,31 @@ object TxLog {
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var manifestCache: Option[org.apache.spark.sql.Dataset[FileEntry]] = None
     try {
-      val srcRows = src.count()
+      // one validation job, not three: total rows, fully-non-null-keyed
+      // rows, and distinct keys among them ride a single aggregate over
+      // the just-persisted source (each was its own Spark job before —
+      // fixed per-merge overhead on every DML call)
+      val keyedNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+      // the per-key min/max bounds (tier-1 pruning, used below when the
+      // table has files) ride the same job
+      val validationAggs = Seq(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(when(keyedNonNull, lit(1))),
+        org.apache.spark.sql.functions.countDistinct(
+          when(keyedNonNull,
+            org.apache.spark.sql.functions.struct(keyCols.map(col): _*)))) ++
+        keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+      val validationRow = src.agg(validationAggs.head, validationAggs.tail: _*).head()
+      val srcRows = validationRow.getLong(0)
       // an empty source is a no-op ONLY without a by-source clause —
       // with one, EVERY target row is not-matched and the clause applies
       if (srcRows == 0 && !bsClause) return MergeResult(-1L, 0L, 0L, 0, 0) // no version burned
       // uniqueness is only meaningful over fully NON-NULL keys: null-key
       // rows can never match a target (SQL equality) and always insert,
       // so several of them in one batch cause no order-dependence
-      val keyedNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
       val keyedRows = src.filter(keyedNonNull)
       val srcKeys = keyedRows.select(keyCols.map(col): _*).distinct()
-      if (srcKeys.count() != keyedRows.count())
+      if (validationRow.getLong(2) != validationRow.getLong(1))
         throw new IllegalArgumentException(
           s"txlog: merge source has duplicate keys on (${keyCols.mkString(", ")}) " +
             "— two source rows matching one target row would make the result " +
@@ -2402,10 +2430,10 @@ object TxLog {
       }
       if (files.isEmpty) return pureInsert()
       // ---- tier 1: log-level pruning from the source key set ----
-      val boundAggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
-      val boundsRow = src.agg(boundAggs.head, boundAggs.tail: _*).head()
+      // (bounds rode the validation aggregate above — offset past its
+      // three count columns)
       val rangeConstraints = keyCols.zipWithIndex.flatMap { case (k, i) =>
-        val mn = boundsRow.get(2 * i); val mx = boundsRow.get(2 * i + 1)
+        val mn = validationRow.get(3 + 2 * i); val mx = validationRow.get(3 + 2 * i + 1)
         if (mn == null || mx == null) Nil // all-null key col: nothing matches on it
         else Seq((k, "ge", mn), (k, "le", mx))
       }

@@ -268,10 +268,12 @@ object StreamingIngest {
     val chunkAdds = graft.store.TxLog.stageWrite(
       newChunks.drop("precomputed").toDF()
         .withColumn("generation", lit(generation)),
-      warehouse, "chunks", Seq("container_id"), generation)
+      warehouse, "chunks", Seq("container_id"), generation,
+      writeParts = Some(1)) // micro-batch-bounded: one file per container
     val vectorAdds = graft.store.TxLog.stageWrite(
       newVectors.withColumn("generation", lit(generation)),
-      warehouse, "vectors", Seq("container_id", "model_id"), generation)
+      warehouse, "vectors", Seq("container_id", "model_id"), generation,
+      writeParts = Some(1))
     // one ledger row per doc per generation, committed ATOMICALLY with the
     // doc's chunks+vectors: path + content hash back the rename inference
     // (and Reindex.classify over streaming warehouses); [[latest]] gives
@@ -281,7 +283,8 @@ object StreamingIngest {
         col("container_id"), col("document_id"), col("path"),
         sha2(col("content"), 256).as("doc_hash"),
         lit(generation).as("generation")),
-      warehouse, "stream_ledger", Seq("container_id"), generation)
+      warehouse, "stream_ledger", Seq("container_id"), generation,
+      writeParts = Some(1))
     graft.store.TxLog.commit(spark, warehouse,
       chunkAdds ++ vectorAdds ++ ledgerAdds)
     newChunks.unpersist()

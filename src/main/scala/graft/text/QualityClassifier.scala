@@ -22,13 +22,13 @@ import org.apache.spark.sql.functions._
   * executors); scoring is a broadcast-model map.
   */
 object QualityClassifier {
-  private val toksExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-
   /** (doc_id, toks) frame from a `text` frame, dropping docs too short to
-    * carry a bigram.
+    * carry a bigram. Native tokenizer — bit-identical to the SQL form
+    * `regexp_extract_all(lower(text), '[a-z0-9]+', 0)` (TokenizeSpec).
     */
   def tokenized(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", expr(toksExpr)).filter(size(col("toks")) >= 2)
+    docs.withColumn("toks", graft.functions.Tokenize(col("text")))
+      .filter(size(col("toks")) >= 2)
 
   /** Deterministic token-shuffle twin of a tokenized frame: each doc's
     * tokens reordered by a per-position hash. Unigram counts (and thus all
@@ -44,13 +44,11 @@ object QualityClassifier {
     * shuffle bit-for-bit (q87 pins it).
     */
   def shuffledNegatives(tokenized: DataFrame): DataFrame =
-    tokenized.withColumn("toks",
-      expr("transform(array_sort(transform(transform(toks, (t, i) -> struct(" +
-        "(aggregate(sequence(1, length(t)), 7L, " +
-        "(acc, c) -> (acc * 31 + ascii(substring(t, c, 1))) % 1000000007L) " +
-        "* 31 + i) % 1000000007L AS k, t AS t, i AS i)), " +
-        "s -> struct((s.k * s.k + 7919L * s.k + 104729L) % 1000000007L AS h, " +
-        "s.t AS t, s.i AS i))), x -> x.t)"))
+    // native fused form of the HOF reference (kept in ShuffledToks'
+    // scaladoc); bit-identical values, pinned by ShuffledToksSpec — the
+    // HOF interpreted its poly fold per character with an O(i) substring
+    // probe, per token
+    tokenized.withColumn("toks", graft.functions.ShuffledToks(col("toks")))
 
   /** Per-doc avg bigram negative log-likelihood of `score` rows under a
     * Laplace LM trained on `train` rows (both tokenized frames keyed by
@@ -59,9 +57,8 @@ object QualityClassifier {
     */
   def bigramNll(train: DataFrame, score: DataFrame, keyCols: Seq[String]): DataFrame = {
     val bigrams = (df: DataFrame) => df
-      .select(keyCols.map(col) :+ explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(" +
-          "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"): _*)
+      .select(keyCols.map(col) :+
+        explode(graft.functions.WordBigrams(col("toks"))).as("bg"): _*)
       .select(keyCols.map(col) :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
     // cu is a RE-AGGREGATION of cb (count of (w1,·) = Σ_w2 cb), so the
     // corpus-wide bigram explode is scanned exactly once and nothing needs

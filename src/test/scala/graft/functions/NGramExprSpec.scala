@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native n-gram/bigram/shuffle expressions against the HOF
+  * reference forms the oracles were built on — bit-identical arrays on
+  * varied token arrays (ASCII, unicode, repeated tokens, size == n
+  * boundary). */
+class NGramExprSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val samples: Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x1", "42",
+      "zürich", "の", "alpha") // repeats + unicode
+    (1 to 200).map(_ => (0 to rnd.nextInt(30)).map(_ =>
+      vocab(rnd.nextInt(vocab.length)))) ++
+      Seq(Seq("a", "b", "c"), Seq("a", "b"), Seq("solo", "pair"),
+        (1 to 8).map(i => s"t$i"), (1 to 9).map(i => s"t$i"))
+  }
+
+  private def hofNGrams(n: Int): org.apache.spark.sql.Column = expr(
+    s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', " +
+      (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ") + "))")
+
+  test("WordNGrams equals the HOF form for n = 2, 3, 5, 8 (size >= n)") {
+    for (n <- Seq(2, 3, 5, 8)) {
+      val df = samples.filter(_.size >= n).toDF("toks")
+        .withColumn("native", WordNGrams(col("toks"), n))
+        .withColumn("hof", hofNGrams(n))
+      val diff = df.filter(not(col("native") <=> col("hof"))).collect()
+      assert(diff.isEmpty, s"n=$n: " + diff.take(3).mkString("\n"))
+    }
+  }
+
+  test("WordNGrams returns empty below n; null propagates") {
+    val out = Seq(Some(Seq("a", "b")), Some(Seq.empty[String]), None)
+      .toDF("toks").select(WordNGrams(col("toks"), 3).as("g")).collect()
+    assert(out(0).getSeq[String](0) == Seq.empty)
+    assert(out(1).getSeq[String](0) == Seq.empty)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("WordBigrams equals the struct HOF form (size >= 2)") {
+    val df = samples.filter(_.size >= 2).toDF("toks")
+      .withColumn("native", WordBigrams(col("toks")))
+      .withColumn("hof", expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(" +
+          "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+    val diff = df.filter(not(col("native") <=> col("hof"))).collect()
+    assert(diff.isEmpty, diff.take(3).mkString("\n"))
+  }
+
+  test("ShuffledToks equals the HOF reference form") {
+    val hof = expr(
+      "transform(array_sort(transform(transform(toks, (t, i) -> struct(" +
+        "(aggregate(sequence(1, length(t)), 7L, " +
+        "(acc, c) -> (acc * 31 + ascii(substring(t, c, 1))) % 1000000007L) " +
+        "* 31 + i) % 1000000007L AS k, t AS t, i AS i)), " +
+        "s -> struct((s.k * s.k + 7919L * s.k + 104729L) % 1000000007L AS h, " +
+        "s.t AS t, s.i AS i))), x -> x.t)")
+    // ASCII-token samples (the production inputs come from tokenization);
+    // include heavy repeats so hash ties exercise the (t, i) tie-break
+    val ascii = samples.map(_.map(t =>
+      t.replaceAll("[^a-z0-9]", "x"))) ++ Seq(Seq.fill(40)("same"))
+    val df = ascii.toDF("toks")
+      .withColumn("native", ShuffledToks(col("toks")))
+      .withColumn("hof", hof)
+    val diff = df.filter(not(col("native") <=> col("hof"))).collect()
+    assert(diff.isEmpty, diff.take(3).mkString("\n"))
+  }
+
+  test("expressions participate in whole-stage codegen") {
+    val plan = spark.range(50)
+      .withColumn("toks", split(concat(lit("a b c d e f g h x"),
+        col("id").cast("string")), " "))
+      .withColumn("g3", WordNGrams(col("toks"), 3))
+      .withColumn("bg", WordBigrams(col("toks")))
+      .withColumn("sh", ShuffledToks(col("toks")))
+      .filter(size(col("g3")) + size(col("bg")) + size(col("sh")) > 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("codegenfallback"), plan.take(1500))
+  }
+}

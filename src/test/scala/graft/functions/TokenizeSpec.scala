@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native Tokenize expression against the SQL reference form
+  * (`Frag.toksSpark` = `regexp_extract_all(lower(s), '[a-z0-9]+', 0)`)
+  * the oracles were built on: bit-identical token arrays on ASCII,
+  * Unicode (including multi-char lowercase expansions that produce ASCII
+  * letters), empty, token-free, and null inputs, plus whole-stage-codegen
+  * participation. */
+class TokenizeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sqlForm = expr(graft.queries.Frag.toksSpark("s"))
+
+  test("expression equals the SQL reference form on varied inputs") {
+    val rnd = new scala.util.Random(15)
+    val alpha = "abcdefghijklm NOPQRSTUVWXYZ0123456789 .,-_\t\n!@#"
+    val samples =
+      (1 to 300).map(_ => (0 to rnd.nextInt(60))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString) ++
+        Seq(
+          "", " ", "...", "a", "A", "9", "Spark JOIN Window",
+          "  leading and trailing  ", "hy-phen_under.dot",
+          "MixedCASE123tail", "x" * 5000,
+          // non-ASCII: the fallback path must equal lower()+regex exactly
+          "Zürich naïve café", "ÅNGSTRÖM über STRASSE",
+          "日本語 ascii123 テキスト", "emoji 😀 Tail42",
+          // Unicode lowercase EXPANSIONS that yield ASCII letters — the
+          // cases a naive per-char lowering would get wrong:
+          "İstanbul", // İ lowercases to i + combining dot
+          "AİBİC",
+          "ẞ SHARP", // U+1E9E lowercases to ß (non-ASCII)
+          "Ω OHM K KELVIN" // Kelvin sign lowercases to k
+        )
+    val df = samples.toDF("s")
+      .withColumn("native", Tokenize(col("s")))
+      .withColumn("sqlf", sqlForm)
+    val diff = df.filter(not(col("native") <=> col("sqlf"))).collect()
+    assert(diff.isEmpty, diff.take(5).mkString("\n"))
+  }
+
+  test("null propagates; empty and token-free strings give empty arrays") {
+    val out = Seq(Some("x Y"), None, Some(""), Some("!!!"))
+      .toDF("s").select(Tokenize(col("s")).as("t")).collect()
+    assert(out(0).getSeq[String](0) == Seq("x", "y"))
+    assert(out(1).isNullAt(0))
+    assert(out(2).getSeq[String](0) == Seq.empty)
+    assert(out(3).getSeq[String](0) == Seq.empty)
+  }
+
+  test("participates in whole-stage codegen (no CodegenFallback)") {
+    val plan = spark.range(100)
+      .withColumn("s", concat(lit("Doc-"), col("id").cast("string"), lit(" TAIL")))
+      .withColumn("t", Tokenize(col("s")))
+      .filter(size(col("t")) > 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter") || plan.contains("WholeStageCodegen"),
+      plan.take(1200))
+    assert(!plan.toLowerCase.contains("codegenfallback"), plan.take(1200))
+  }
+}
