@@ -1450,39 +1450,86 @@ object TextQueries {
         // a source don't inflate overlap); containment divides by the
         // SMALLER side's gram-set size so a mirrored subset reads 1.0
         // regardless of size skew.
-        // Shape (round-15 optimization): ONE gram-keyed aggregation,
-        // groupBy(gram).collect_set(source), replaces the original
-        // DISTINCT pass + gram-string self-join — the same distinct
-        // (source, gram) semantics, but the gram strings cross the wire
-        // once (map-side partial sets bound shuffle bytes by the distinct
-        // pair count) instead of three times (distinct exchange + both
-        // join sides), and the string equi-join disappears entirely. A
-        // gram shared by k sources expands to C(k,2) in-row pairs and k
-        // is bounded by the SOURCE count (not the corpus), so the pair
-        // explode stays linear in distinct grams at any scale. persist:
-        // the per-gram source sets feed the totals AND the pair counts.
-        val grouped = table(s, d, "documents")
+        // Shape (round-15 optimization, two steps): the original DISTINCT
+        // pass + gram-string self-join (whose build side planned as a
+        // corpus-sized broadcast) became ONE gram-keyed aggregation; this
+        // form sharpens the aggregation from collect_set(source) — an
+        // ObjectHashAggregate whose per-key buffer is a string set, with
+        // a 128-key sort-based fallback — to per-gram source BITMASKS:
+        // a tiny broadcast source→bit dictionary, bit_or per 64-source
+        // word (plain long-buffer HashAggregate, map-side partial, OR is
+        // the set union), then a SECOND groupBy on the mask combination
+        // collapses millions of per-gram rows to the distinct
+        // source-SETS observed (≤ min(2^k, #grams), realistically
+        // dozens) BEFORE any totals/pair work. Gram strings cross the
+        // wire once; k is bounded by the SOURCE count, so the in-row
+        // pair expansion of a mask is C(k,2) at worst. The source
+        // dictionary is a bounded driver collect BY the operator's own
+        // contract — the OUTPUT is the C(k,2) pair matrix, so k is
+        // dimension-table-sized; names sort in UTF8String binary order
+        // so bit index order == the oracle's string '<' order.
+        val srcNames = table(s, d, "documents").select("source").distinct()
+          .collect().map(_.getString(0))
+          .sortWith((a, b) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(
+                org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+        val nW = math.max(1, (srcNames.length + 63) / 64)
+        val maskSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType) +:
+          (0 until nW).map(j => org.apache.spark.sql.types.StructField(
+            s"m$j", org.apache.spark.sql.types.LongType)))
+        val maskRows = srcNames.zipWithIndex.map { case (nm, i) =>
+          org.apache.spark.sql.Row.fromSeq(nm +: Seq.tabulate(nW)(j =>
+            if (i / 64 == j) 1L << (i % 64) else 0L))
+        }
+        import scala.jdk.CollectionConverters._
+        val maskDf = s.createDataFrame(maskRows.toSeq.asJava, maskSchema)
+        val nameDf = s.createDataFrame(
+          srcNames.zipWithIndex.map { case (nm, i) =>
+            org.apache.spark.sql.Row(nm, i) }.toSeq.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("i",
+              org.apache.spark.sql.types.IntegerType))))
+        val maskCols = (0 until nW).map(j => col(s"m$j"))
+        val maskCounts = table(s, d, "documents")
           .withColumn("toks", toks("text"))
           .filter(size(col("toks")) >= 8)
           .select(col("source"),
             explode(graft.functions.WordNGrams(col("toks"), 8)).as("gram"))
+          .join(broadcast(maskDf), "source")
           .groupBy("gram")
-          .agg(sort_array(collect_set(col("source"))).as("srcs"))
-          .select("srcs")
-          .persist()
-        val totals = grouped.select(explode(col("srcs")).as("source"))
-          .groupBy("source").agg(count(lit(1)).as("n_grams"))
-        val pairs = grouped
-          .where(size(col("srcs")) >= 2)
-          // all a<b pairs from the sorted set, expanded in-row: element i
-          // pairs with every later element (slice is 1-based, so the
-          // successors of 0-based i start at position i + 2)
+          .agg(expr("bit_or(m0)").as("m0"),
+            (1 until nW).map(j => expr(s"bit_or(m$j)").as(s"m$j")): _*)
+          .groupBy(maskCols: _*).agg(count(lit(1)).cast("long").as("cnt"))
+          // set-bit indices of the mask words, in ascending == name order
+          .withColumn("idxs", expr((0 until nW).map(j =>
+            s"transform(filter(sequence(0, 63), " +
+              s"b -> (shiftright(m$j, b) & 1) = 1), b -> int(b + ${j * 64}))")
+            .mkString("concat(", ", ", ")")))
+          .persist() // feeds totals AND pairs; mask-combination-sized
+        val totals = maskCounts
+          .select(explode(col("idxs")).as("i"), col("cnt"))
+          .groupBy("i").agg(sum("cnt").as("n_grams"))
+          .join(broadcast(nameDf), "i").select("source", "n_grams")
+        val pairs = maskCounts
+          .where(size(col("idxs")) >= 2)
+          // all a<b index pairs, expanded in-row: element ai pairs with
+          // every later element (slice is 1-based, so the successors of
+          // 0-based ai start at position ai + 2)
           .select(explode(expr(
-            "flatten(transform(srcs, (a, i) -> transform(" +
-              "slice(srcs, i + 2, size(srcs)), " +
-              "b -> named_struct('src_a', a, 'src_b', b))))")).as("p"))
-          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
-          .agg(count(lit(1)).as("shared_grams"))
+            "flatten(transform(idxs, (a, ai) -> transform(" +
+              "slice(idxs, ai + 2, size(idxs)), " +
+              "b -> named_struct('ia', a, 'ib', b))))")).as("p"), col("cnt"))
+          .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+          .agg(sum("cnt").as("shared_grams"))
+          .join(broadcast(nameDf.select(col("i").as("ia"),
+            col("source").as("src_a"))), "ia")
+          .join(broadcast(nameDf.select(col("i").as("ib"),
+            col("source").as("src_b"))), "ib")
         Catalog.materializeAndRelease(pairs
           .join(totals.select(col("source").as("src_a"),
             col("n_grams").as("n_a")), Seq("src_a"))
@@ -1492,7 +1539,7 @@ object TextQueries {
             col("n_a"), col("n_b"),
             round(col("shared_grams").cast("double") /
               least(col("n_a"), col("n_b")), 6).as("containment"))
-          .orderBy(desc("containment"), col("src_a"), col("src_b")), grouped)
+          .orderBy(desc("containment"), col("src_a"), col("src_b")), maskCounts)
       },
       Some(s"""
         WITH g AS (SELECT DISTINCT source,
