@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst form of the covariance Gramian's per-row term builder
+  * (q86): the upper-triangular pairwise products of a numeric vector as
+  * (i, j, p) structs, 1-based — exactly
+  * `flatten(transform(sequence(1, d), i -> transform(sequence(i, d),
+  * j -> struct(i, j, element_at(v, i) * element_at(v, j)))))` over the
+  * double-cast vector. The HOF form interprets the nested lambda with
+  * boxed element probes, d(d+1)/2 times per row (2,080 at d=64); this is
+  * one fused loop inside whole-stage codegen. Accepts array<float>
+  * (values cast to double exactly as the `toDoubleSpark` transform did —
+  * widening is exact) or array<double>. UpperTriProductsSpec pins
+  * expression == HOF form.
+  */
+case class UpperTriProducts(child: Expression) extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"upper_tri_products expects array<float|double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("p", DoubleType))))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "upper_tri_products"
+
+  override def nullSafeEval(a: Any): Any =
+    UpperTriProducts.products(a.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UpperTriProducts.products($c, $elemIsFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UpperTriProducts {
+  /** Static so generated code calls it directly inside whole-stage
+    * codegen. */
+  def products(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = arr.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](d * (d + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(k) = new GenericInternalRow(
+          Array[Any](i + 1, j + 1, v(i) * v(j))): InternalRow
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column form. */
+  def apply(c: Column): Column =
+    Bridge.column(UpperTriProducts(Bridge.expression(c)))
+}

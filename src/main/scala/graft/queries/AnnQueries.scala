@@ -542,14 +542,16 @@ object AnnQueries {
         // Scale: 2080 product terms per row feed a 2080-group aggregate —
         // map-side partial agg collapses each task's contribution to a
         // constant-size state; the shuffle moves O(d²·tasks), not O(rows).
-        val dims = 64
         val e = table(s, d, "embeddings")
           .select(col("vec_id"), expr(toDoubleSpark("embedding")).as("v"))
-        val prods = e.select(explode(expr(
-          s"""flatten(transform(sequence(1, $dims), i ->
-                transform(sequence(i, $dims), j ->
-                  struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p))))"""))
-          .as("t"))
+        // round-15 optimization: the 2,080 upper-triangle product terms
+        // per row come from the native fused expression instead of the
+        // interpreted nested-transform HOF (bit-identical — float→double
+        // widening then multiply, exactly what the HOF over the
+        // toDoubleSpark cast computed; UpperTriProductsSpec pins it)
+        val prods = table(s, d, "embeddings")
+          .select(explode(
+            graft.functions.UpperTriProducts(col("embedding"))).as("t"))
           .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
         val ex = e.select(posexplode(col("v")).as(Seq("p0", "x")))
           .select((col("p0") + 1).as("i"), col("x"))

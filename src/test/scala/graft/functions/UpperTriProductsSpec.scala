@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native upper-triangle-products expression against the HOF
+  * reference form q86's oracle was built on: identical (i, j, p) arrays
+  * over float vectors (the production column type) including the exact
+  * float→double widening. */
+class UpperTriProductsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("expression equals the HOF form over the double-cast vector") {
+    val rnd = new scala.util.Random(31)
+    for (d <- Seq(1, 2, 7, 64)) {
+      val rows = (1 to 50).map(_ => (1 to d).map(_ =>
+        (rnd.nextFloat() - 0.5f) * 3f))
+      val df = rows.toDF("f")
+        .withColumn("v", expr("transform(f, x -> cast(x as double))"))
+        .withColumn("native", UpperTriProducts(col("f")))
+        .withColumn("hof", expr(
+          s"""flatten(transform(sequence(1, $d), i ->
+                transform(sequence(i, $d), j ->
+                  struct(cast(i as int) AS i, cast(j as int) AS j,
+                         element_at(v, i) * element_at(v, j) AS p))))"""))
+      val diff = df.filter(not(col("native") <=> col("hof"))).collect()
+      assert(diff.isEmpty, s"d=$d: " + diff.take(2).mkString("\n"))
+    }
+  }
+
+  test("null propagates; double input accepted") {
+    val out = Seq((Some(Seq(1.0, 2.0)), 1), (None, 2))
+      .toDF("v", "k").select(UpperTriProducts(col("v")).as("t")).collect()
+    assert(out(0).getSeq[org.apache.spark.sql.Row](0).map(r =>
+      (r.getInt(0), r.getInt(1), r.getDouble(2))) ==
+      Seq((1, 1, 1.0), (1, 2, 2.0), (2, 2, 4.0)))
+    assert(out(1).isNullAt(0))
+  }
+}
