@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * avalanche is the same exact BIGINT arithmetic, and the (h, t, i) sort
   * matches array_sort's struct ordering (long asc, then UTF8String binary
   * asc, then int asc; keys are unique by i, so the order is total).
-  * ShuffledToksSpec pins expression == HOF form.
+  * NGramExprSpec pins expression == HOF form.
   */
 case class ShuffledToks(child: Expression) extends UnaryExpression {
 

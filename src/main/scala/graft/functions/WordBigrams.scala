@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-position lambda building boxed structs. Feeds q77/q162 and
   * `QualityClassifier.bigramNll` (q85/q87/q93). Callers guarantee
   * size >= 2 (they all filter first); size < 2 returns an empty array.
-  * WordBigramsSpec pins expression == HOF form.
+  * NGramExprSpec pins expression == HOF form.
   */
 case class WordBigrams(child: Expression) extends UnaryExpression {
 

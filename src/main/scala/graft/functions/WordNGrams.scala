@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * an empty array. Elements must be non-null (they come from token
   * extraction); a null element would concat as empty under concat_ws —
   * here it would NPE, loudly, rather than silently diverge.
-  * WordNGramsSpec pins expression == HOF form.
+  * NGramExprSpec pins expression == HOF form.
   */
 case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "word_ngrams needs n >= 1")

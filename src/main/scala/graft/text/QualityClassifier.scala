@@ -45,7 +45,7 @@ object QualityClassifier {
     */
   def shuffledNegatives(tokenized: DataFrame): DataFrame =
     // native fused form of the HOF reference (kept in ShuffledToks'
-    // scaladoc); bit-identical values, pinned by ShuffledToksSpec — the
+    // scaladoc); bit-identical values, pinned by NGramExprSpec — the
     // HOF interpreted its poly fold per character with an O(i) substring
     // probe, per token
     tokenized.withColumn("toks", graft.functions.ShuffledToks(col("toks")))
