@@ -509,6 +509,17 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}") }
+    // COMPACT HEADLINE (round-15 verdict item 1): the full line above is
+    // ~15 KB and the driver's artifact keeps only the last 2000 chars of
+    // stdout, so its parser has seen a mid-JSON fragment every round since
+    // r12 (BENCH_r12..r15 all `parsed: null`). Print a second, FINAL line
+    // — the same headline fields, NO per-query maps, well under the tail —
+    // so the driver's automated round-over-round comparison can parse at
+    // least the totals. The full line (with every per-query entry,
+    // unchanged) still prints first AND lands in BENCH_FULL.json; nothing
+    // is removed or renamed, this is purely an additional summary line.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${"%.1f".format(totalCpu)},"passes":$passCount,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir","ingest_chunks_per_s":${"%.1f".format(chunksPerSec)},"hybrid_query_ms":${"%.1f".format(hybridMs)},"keyword_query_ms":${"%.1f".format(keywordLegMs)},"vector_query_ms":${"%.1f".format(vectorLegMs)},"hybrid_query_ms_ivf":${"%.1f".format(hybridIvfMs)},"hybrid_query_ms_hnsw":${"%.1f".format(hybridHnswMs)},"hybrid_query_ms_pq":${"%.1f".format(hybridPqMs)},"hybrid_query_ms_maxsim":${"%.1f".format(hybridMaxsimMs)},"hybrid_query_ms_postbattery":${"%.1f".format(hybridPostBatteryMs)},"upload_to_searchable_s":${"%.2f".format(uploadToSearchableS)},"reindex_to_searchable_s":${"%.2f".format(reindexToSearchableS)},"full_line":"BENCH_FULL.json"}"""
+    println(compact)
     spark.stop()
   }
 }

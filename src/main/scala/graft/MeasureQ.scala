@@ -70,11 +70,21 @@ object MeasureQ {
         val cpuDt = (procCpuNs() - cpu0) / 1e9
         releaseStorage()
         println(f"[measure] $name run$r wall=$dt%.3f s cpu=$cpuDt%.3f s rows=$n")
-        (dt, cpuDt)
+        (dt, cpuDt, n)
       }
-      val minW = stats.minBy(_._1)
-      println(f"[measure] $name MIN wall=${minW._1}%.3f s cpu=${minW._2}%.3f s " +
-        f"(cpuMin=${stats.map(_._2).min}%.3f)")
+      // a failed run (rows = -1) is not a measurement — the MIN summary
+      // must never let a throwing query read like a valid A/B timing
+      val ok = stats.filter(_._3 >= 0)
+      if (ok.isEmpty)
+        println(s"[measure] $name FAILED: every run threw — no MIN reported")
+      else {
+        if (ok.size < stats.size)
+          println(s"[measure] $name WARNING: ${stats.size - ok.size} of " +
+            s"${stats.size} runs failed; MIN is over the ${ok.size} clean runs")
+        val minW = ok.minBy(_._1)
+        println(f"[measure] $name MIN wall=${minW._1}%.3f s cpu=${minW._2}%.3f s " +
+          f"(cpuMin=${ok.map(_._2).min}%.3f)")
+      }
     }
     spark.stop()
   }

@@ -55,7 +55,17 @@ case class UpperTriProducts(child: Expression) extends UnaryExpression {
 
 object UpperTriProducts {
   /** Static so generated code calls it directly inside whole-stage
-    * codegen. */
+    * codegen.
+    *
+    * Input contract (differs from the HOF's literal `sequence(1, 64)` in
+    * two documented ways): the term count follows the RUNTIME array
+    * length d — d(d+1)/2 terms — rather than a hard-wired 64, so a
+    * shorter/longer row yields its own triangle instead of the HOF's
+    * out-of-range null probes; and a NULL element reads as 0.0 (ArrayData
+    * primitive accessors have no null channel) where `element_at` would
+    * have propagated null into the product. Both only matter on
+    * malformed rows: every caller (q86's Gramian over the fixed-d
+    * embedding corpus) guarantees uniform-length, null-free vectors. */
   def products(arr: ArrayData, isFloat: Boolean): ArrayData = {
     val d = arr.numElements()
     val v = new Array[Double](d)

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Accumulating Gramian buffer: per-(i, j) upper-triangle product sums and
+  * contribution counts, keyed d-independently as k(i, j) = j(j+1)/2 + i
+  * (i <= j, 0-based) so buffers over rows of different lengths grow
+  * compatibly. */
+final class UpperTriBuf(var sums: Array[Double], var counts: Array[Long]) {
+  def ensure(len: Int): Unit = {
+    val need = len * (len + 1) / 2
+    if (sums == null) { sums = new Array[Double](need); counts = new Array[Long](need) }
+    else if (sums.length < need) {
+      sums = java.util.Arrays.copyOf(sums, need)
+      counts = java.util.Arrays.copyOf(counts, need)
+    }
+  }
+}
+
+/** One-pass Gramian aggregate (q86 — the round-15 verdict's "kill the
+  * explode" item): sums every row's upper-triangular pairwise products
+  * into a d(d+1)/2 double buffer — the RowMatrix-Gramian shape, kept
+  * SQL-visible as an aggregate expression. Replaces
+  * `explode(upper_tri_products(v))` + `groupBy(i, j).agg(sum(p), count(1))`,
+  * which materialized rows·d(d+1)/2 intermediate rows (8.3M at sf0.1)
+  * into the partial aggregate. Equivalence is structural: per partition,
+  * rows are folded in the same order and each row's term lands in its
+  * (i, j) bucket exactly once, so the per-partition partial sums are the
+  * same additions in the same order as the exploded HashAggregate's; the
+  * cross-partition merge order is runtime-dependent in BOTH forms.
+  * UpperTriSumsSpec pins aggregate == explode+groupBy.
+  *
+  * Input contract matches [[UpperTriProducts]]: the triangle follows the
+  * runtime array length (uniform-d corpora everywhere it is used), a null
+  * ARRAY contributes nothing, a null ELEMENT reads as 0.0. Output: one
+  * array of (i, j, sp, n) structs, 1-based, ascending (i, j), only
+  * buckets with n > 0 — exactly the row set the groupBy form produced.
+  */
+case class UpperTriSums(child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[UpperTriBuf] {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"upper_tri_sums expects array<float|double>, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("sp", DoubleType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "upper_tri_sums"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): UpperTriBuf = new UpperTriBuf(null, null)
+
+  override def update(buf: UpperTriBuf, input: InternalRow): UpperTriBuf = {
+    val a = child.eval(input)
+    if (a == null) return buf
+    val arr = a.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    if (d == 0) return buf
+    buf.ensure(d)
+    val isFloat = elemIsFloat
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val sums = buf.sums; val counts = buf.counts
+    var j = 0
+    var k = 0
+    while (j < d) {
+      val vj = v(j)
+      i = 0
+      while (i <= j) {
+        sums(k) += v(i) * vj
+        counts(k) += 1L
+        k += 1
+        i += 1
+      }
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(buf: UpperTriBuf, other: UpperTriBuf): UpperTriBuf = {
+    if (other.sums == null) return buf
+    if (buf.sums == null) { buf.sums = other.sums; buf.counts = other.counts; return buf }
+    val (dst, src) =
+      if (buf.sums.length >= other.sums.length) (buf, other)
+      else { val t = new UpperTriBuf(buf.sums, buf.counts)
+        buf.sums = other.sums; buf.counts = other.counts; (buf, t) }
+    var k = 0
+    while (k < src.sums.length) {
+      dst.sums(k) += src.sums(k)
+      dst.counts(k) += src.counts(k)
+      k += 1
+    }
+    dst
+  }
+
+  override def eval(buf: UpperTriBuf): Any = {
+    if (buf.sums == null) return new GenericArrayData(Array.empty[Any])
+    // buffer is keyed column-major (k = j(j+1)/2 + i); emit ascending
+    // (i, j) — the natural order of the explode+groupBy form's output set
+    // (order is irrelevant downstream, the consumer joins on (i, j))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // recover d from the triangle size
+    var d = 0
+    while (d * (d + 1) / 2 < buf.sums.length) d += 1
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val k = j * (j + 1) / 2 + i
+        if (buf.counts(k) > 0L)
+          out += (new GenericInternalRow(
+            Array[Any](i + 1, j + 1, buf.sums(k), buf.counts(k))): InternalRow)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: UpperTriBuf): Array[Byte] = {
+    val n = if (buf.sums == null) 0 else buf.sums.length
+    val bb = java.nio.ByteBuffer.allocate(4 + n * 16)
+    bb.putInt(n)
+    var k = 0
+    while (k < n) { bb.putDouble(buf.sums(k)); k += 1 }
+    k = 0
+    while (k < n) { bb.putLong(buf.counts(k)); k += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): UpperTriBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    if (n == 0) return new UpperTriBuf(null, null)
+    val sums = new Array[Double](n)
+    val counts = new Array[Long](n)
+    var k = 0
+    while (k < n) { sums(k) = bb.getDouble(); k += 1 }
+    k = 0
+    while (k < n) { counts(k) = bb.getLong(); k += 1 }
+    new UpperTriBuf(sums, counts)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): UpperTriSums =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): UpperTriSums =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object UpperTriSums {
+  /** Column form (aggregate expression). */
+  def apply(c: Column): Column =
+    Bridge.column(UpperTriSums(Bridge.expression(c)).toAggregateExpression())
+}

@@ -22,8 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * first — the HOF reference form is undefined below n, where
   * `sequence(1, size-n+1)` would count DOWN). For size < n this returns
   * an empty array. Elements must be non-null (they come from token
-  * extraction); a null element would concat as empty under concat_ws —
-  * here it would NPE, loudly, rather than silently diverge.
+  * extraction); a null element is silently SKIPPED by
+  * `UTF8String.concatWs` — the same semantics as the HOF form's
+  * `concat_ws`, so the two forms agree even on that malformed input.
   * NGramExprSpec pins expression == HOF form.
   */
 case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the one-pass Gramian aggregate (UpperTriSums) against the shape
+  * it replaced in q86: explode(upper_tri_products(v)) + groupBy(i, j)
+  * .agg(sum(p), count(1)) — same (i, j, sp, n) sets over float vectors
+  * (the production column type), doubles, mixed lengths, nulls, and an
+  * empty input. */
+class UpperTriSumsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def viaAgg(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Double, Long)] =
+    df.agg(UpperTriSums(col("f")).as("g"))
+      .select(explode(col("g")).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.sp"), col("t.n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+  private def viaExplode(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Double, Long)] =
+    df.select(explode(UpperTriProducts(col("f"))).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sp"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+  test("aggregate equals explode+groupBy over uniform float vectors (q86 shape)") {
+    val rnd = new scala.util.Random(97)
+    for (d <- Seq(1, 2, 7, 64)) {
+      val rows = (1 to 60).map(_ => (1 to d).map(_ => (rnd.nextFloat() - 0.5f) * 3f))
+      // one partition per form so both fold rows in the same order — the
+      // cross-partition merge order is runtime-dependent in both forms,
+      // and exact-equality pinning needs the deterministic single-task case
+      val df = rows.toDF("f").coalesce(1)
+      assert(viaAgg(df) == viaExplode(df), s"d=$d")
+    }
+  }
+
+  test("multi-partition result matches to 1e-9 (merge path)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map(_ => (1 to 16).map(_ => (rnd.nextFloat() - 0.5f) * 3f))
+    val df = rows.toDF("f").repartition(7)
+    val a = viaAgg(df).map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    val b = viaExplode(df).map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, (sp, n)) =>
+      assert(n == b(k)._2, s"$k count")
+      assert(math.abs(sp - b(k)._1) <= 1e-9 * math.max(1.0, math.abs(sp)), s"$k sum")
+    }
+  }
+
+  test("mixed lengths, null arrays, doubles, empty input") {
+    // variable-length rows: per-(i,j) counts follow coverage, like the
+    // exploded form's groupBy counts
+    val mixed = Seq(Some(Seq(1.0, 2.0, 3.0)), None, Some(Seq(4.0)), Some(Seq.empty[Double]))
+      .toDF("f").coalesce(1)
+    assert(viaAgg(mixed) == viaExplode(mixed))
+    val expected = Set(
+      (1, 1, 1.0 * 1 + 4.0 * 4, 2L), (1, 2, 2.0, 1L), (1, 3, 3.0, 1L),
+      (2, 2, 4.0, 1L), (2, 3, 6.0, 1L), (3, 3, 9.0, 1L))
+    assert(viaAgg(mixed) == expected)
+    // empty input: the global aggregate emits one empty array -> no rows
+    val empty = Seq.empty[Seq[Double]].toDF("f")
+    assert(viaAgg(empty).isEmpty)
+  }
+}

@@ -123,14 +123,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
-  test("PCA covariance is one explode + map-side-partial groupBy (q86)") {
+  test("PCA covariance Gramian aggregates in-buffer, no explode feeds it (q86)") {
     val p = plan("q86_pca_covariance")
-    // the 2080-terms-per-row explode must collapse via partial aggregation
-    // before the shuffle, and the two mean joins must broadcast
+    // round-16: the Gramian accumulates in a d(d+1)/2 buffer aggregate
+    // (UpperTriSums) — no Generate may feed it (the old shape exploded
+    // rows*2080 terms into the partial aggregate); the means leg still
+    // partial-aggregates and the two mean joins must broadcast
+    assert(p.contains("upper_tri_sums"), p.take(1200))
     assert(p.contains("partial_sum") || p.contains("partial_"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("Window"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the one Generate left is the FINAL 2080-row struct unpack AFTER the
+    // aggregate (and the means posexplode) — never upstream of the
+    // Gramian ObjectHashAggregate. Structural check: the aggregate's
+    // child subtree (everything below the first ObjectHashAggregate that
+    // mentions upper_tri_sums, partial mode) must be Generate-free.
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.lastIndexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("upper_tri_sums"))
+    assert(aggIdx >= 0, p.take(1200))
+    assert(!lines.drop(aggIdx + 1).takeWhile(l => !l.contains("Scan"))
+      .exists(_.contains("Generate")), lines.drop(aggIdx).take(6).mkString("\n"))
   }
 
   test("quality features keep q77's shapes: keyed joins, no windows (q87)") {
